@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions._
+
+/** Locality-sensitive sketches as native Catalyst expressions.
+  *
+  * The reference has no sketching at all (its only stateful op is a running
+  * counter, Operators.java:57-63); these are the scale-path extensions for
+  * training-data dedup (SURVEY.md §7.2 step 7). Implemented as Catalyst
+  * `Expression`s rather than Scala UDFs so evaluation stays on `UTF8String` /
+  * `ArrayData` without per-row serialization to JVM objects; one array
+  * traversal computes the whole signature.
+  */
+object Sketches {
+
+  /** xxhash64 over a UTF8String with a seed — same primitive Spark's
+    * `xxhash64()` SQL function uses. */
+  @inline private[functions] def hash64(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(s, StringType, seed)
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash (Charikar 2002) of a token array: per token a 64-bit
+    * hash votes +1/-1 on each bit position; the sign of each accumulated
+    * vote is the output bit. Near-identical documents differ in few bits. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes() = super.checkInputDataTypes()
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = hash64(arr.getUTF8String(i), 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** k-permutation MinHash signature of a string-array (shingle set), one
+    * pass: per element two strong hashes (h1, h2), the k permutations are the
+    * standard cheap combination h1 + i*h2 (Indyk/Broder composite trick used
+    * by public MinHash implementations). Returns array<long> of length k. */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          val h1 = hash64(s, 0x9E3779B97F4A7C15L)
+          val h2 = hash64(s, 0xC2B2AE3D27D4EB4FL) | 1L // odd => full-period mix
+          var j = 0
+          while (j < k) {
+            val h = h1 + j * h2
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  }
+
+  def minhashSignature(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), k))
+
+  // ------------------------------------------------------------ RollingHash
+
+  /** Polynomial rolling hash (Rabin-Karp) over the document's characters —
+    * a cheap order-sensitive content fingerprint. */
+  case class RollingHash(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = h * 1000003L + (bytes(i) & 0xffL)
+        i += 1
+      }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
+  }
+
+  def rollingHash(text: Column): Column =
+    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(text)))
+
+  // ------------------------------------------------------------- LSH bands
+
+  /** Band keys for MinHash-LSH: the signature is cut into `bands` bands of
+    * `rowsPerBand` values; each band is hashed to one bucket key. Two docs
+    * collide iff some band matches entirely. Returns array<struct<band:int,
+    * key:bigint>> ready to explode into a bucket join. */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    val entries = (0 until bands).map { b =>
+      val bandVals = (0 until rowsPerBand).map(r => signature.getItem(b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(bandVals: _*).as("key"))
+    }
+    array(entries: _*)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, word n-gram shingles, quality scoring, language-ID heuristic,
+  * fingerprinting. All pure Catalyst built-ins / higher-order functions —
+  * codegen'd, no UDFs, fully distributed (no driver-side state).
+  *
+  * These generalize the reference's TRANSFORM:splitintowords
+  * (Operators.java:165-167) from "the only generator op" into a text-pipeline
+  * toolbox (SURVEY.md §7.2 step 7).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization — same `\s+` split as the reference's
+    * splitintowords (Operators.java:166). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles (default n=3), the unit for MinHash / Jaccard
+    * near-dup detection. Empty array when the document has fewer than n
+    * tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set (Jaccard operates on sets). */
+  def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
+
+  /** Exact Jaccard similarity of two string arrays (treated as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** Tiny per-language stopword lists for the heuristic language ID.
+    * Ordered: ties resolve to the earlier language. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est", "dans", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** N-gram-free stopword-hit language ID: score(lang) = |tokens ∩ stoplist|,
+    * argmax wins (ties -> listed order), zero hits -> "und". Deterministic and
+    * expressible in ANSI SQL for oracle checking. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Multiset stopword count against the English list (repeated stopwords
+    * count each time — a ratio signal, unlike the set-intersect in langId). */
+  def stopwordCount(text: Column, words: Seq[String] = stopwords.head._2): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** Heuristic document quality signals: char length, token count, mean token
+    * length, stopword ratio — the length/punct/stopword family
+    * (Gopher/C4-style rules, public). */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val sumTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    Seq(
+      "n_chars" -> length(text),
+      "n_tokens" -> size(toks),
+      "mean_token_len" -> round(sumTokLen.cast("double") / size(toks), 4),
+      "stop_ratio" -> round(stopwordCount(text).cast("double") / size(toks), 4))
+  }
+
+  /** Stable content fingerprint (md5 of the raw text). For a
+    * locality-sensitive fingerprint see [[graft.functions.Sketches.simhash64]]. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** BPE-ish token estimate: counts word + punctuation chunks, the usual
+    * ~regex proxy for subword tokenizers. */
+  def bpeTokenEstimate(text: Column): Column =
+    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"), t => t =!= "" && t =!= " "))
+}

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns using Catalyst
+  * higher-order functions (`zip_with` / `aggregate` / `transform`) — codegen'd
+  * and fully distributed, no UDF, no linear-algebra dependency.
+  *
+  * All arithmetic is promoted to double BEFORE any accumulation so results are
+  * stable across engines to ~1e-14 (the DuckDB correctness oracle does the
+  * same; thresholds/rank keys are rounded to absorb the residual ulp noise).
+  */
+object VectorFunctions {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine rounded for stable cross-engine comparison / ranking. */
+  def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =
+    round(cosineSimilarity(a, b), scale)
+
+  /** Sign-bit bucket id for random-hyperplane LSH: bit i = (v · plane_i) >= 0.
+    * Planes are deterministic (seeded) so bucketing is reproducible across
+    * runs and executors. */
+  def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(v, plane) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (xorshift from a fixed
+    * seed — no java.util.Random so results never depend on JVM version). */
+  def makePlanes(nPlanes: Int, dim: Int, seed: Long = 0x5DEECE66DL): Seq[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s.toDouble / Long.MaxValue.toDouble)
+    }
+    Seq.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+}

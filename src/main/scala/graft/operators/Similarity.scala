@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * - [[bruteForceTopK]]: exact top-k cosine per query. The query side is
+  *   broadcast, so the corpus is scanned once with NO shuffle of the corpus —
+  *   this is the right plan at 100 TB when the query set is small (the common
+  *   case: dedup probes, eval sets).
+  * - [[annLsh]]: random-hyperplane LSH bucketing — corpus is shuffled once by
+  *   bucket id; each query probes its own bucket plus hamming-1 neighbors
+  *   (multi-probe), so per-query work is O(bucket) not O(corpus).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. Ranking key is the
+    * rounded cosine with id tiebreak => fully deterministic output. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosineRounded(col("q_v"), col("n_v"), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: corpus vectors are bucketed
+    * by sign-bit signature; queries probe their bucket and all hamming-1
+    * buckets (multi-probe) to recover near-misses on a single flipped plane.
+    * Join is keyed on bucket id — shuffle volume is corpus-size, never n². */
+  def annLsh(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nPlanes: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val planes = makePlanes(nPlanes, dim)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+      .withColumn("bucket", hyperplaneBucket(col("n_v"), planes))
+    // multi-probe: each query expands to its bucket + nPlanes hamming-1 probes
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .withColumn("bucket0", hyperplaneBucket(col("q_v"), planes))
+      .withColumn("bucket", explode(array(
+        (col("bucket0") +: (0 until nPlanes).map(i =>
+          col("bucket0").bitwiseXOR(lit(1 << i)))): _*)))
+      .select("q_id", "q_v", "bucket")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosineRounded(col("q_v"), col("n_v"), 6))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source layer: schema-on-read replaces the reference's hard-coded positional
+  * column array (Node.java:113-115) and its HyDFS fetch-to-local-disk scan
+  * (Node.java:304-312). Storage durability/replication is delegated to the
+  * filesystem (SURVEY.md §1.5) — Spark reads any Hadoop-compatible path.
+  */
+object Tables {
+
+  /** The one schema the reference knows: 19 string columns for the
+    * Traffic_Signs CSVs (Node.java:113-115; files carry no header row). */
+  val trafficSignsSchema: StructType = StructType(
+    Seq("X", "Y", "OBJECTID", "Sign_Type", "Size_", "Supplement", "Sign_Post",
+      "Year_Insta", "Category", "Notes", "MUTCD", "Ownership", "FACILITYID",
+      "Schools", "Location_Adjusted", "Replacement_Zone", "Sign_Text",
+      "Set_ID", "FieldVerifiedDate").map(StructField(_, StringType, nullable = true)))
+
+  /** Proper RFC-4180 CSV read (quoted commas handled) — the deliberate
+    * divergence from the reference's naive `line.split(",")`
+    * (Operators.java:174, SURVEY.md §1.1). */
+  def trafficSigns(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(trafficSignsSchema)
+      .option("header", "false").option("quote", "\"").option("escape", "\"")
+      .csv(path)
+
+  /** Line-tuple source: one row per text line with lineage identity
+    * (file, line_no) — the Spark analog of the reference's
+    * `uniqueId:filename,lineNumber` tuple id (Node.java:907-913).
+    * The per-file line index is computed per-partition (text files split by
+    * HDFS block; within one file Spark preserves order per split — for exact
+    * per-file numbering on multi-block files, use wholetext or a monotonic id;
+    * here files are small chunks, matching the reference's chunking). */
+  def lines(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name()).orderBy(monotonically_increasing_id())
+    spark.read.text(path)
+      .withColumn("file", input_file_name())
+      .withColumn("line_no", row_number().over(w).cast("long") - 1)
+  }
+
+  val tableNames: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+
+  /** Load one driver-generated parquet table from an sf directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register all tables as temp views (for spark.sql use). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}
