@@ -1,13 +1,383 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Sketches, TextFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.ops.{OpCompiler, Pipeline, StreamOp}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (the reference's FILTER / COLUMN_FILTER / TRANSFORM family /
+  * AGGREGATE running count, Operators.java:13-19) plus the scale-path
+  * extension operators (dedup, similarity search, multimodal, text analysis).
+  *
+  * Every SQL-expressible query has a DuckDB oracle in [[oracleSql]]; numeric
+  * outputs are designed for bit-exact cross-engine agreement: sums go through
+  * exact DECIMAL accumulation (the source data carries <=2 decimal places),
+  * divisions/cosines use fixed sequential left-fold accumulation (Spark
+  * `aggregate` HOF == DuckDB `list_sum`), and no floating round() is relied
+  * on anywhere a hash must match.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with TIMESTAMP(NANOS) `ts` converted to TimestampType. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(s, dir)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  /** Exact decimal sum of a <=2dp double column, returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column, as: String) =
+    sum(c.cast("decimal(20,4)")).cast("double").as(as)
+
+  /** Exact decimal sum of a computed per-row double (price*(1-disc)). */
+  private def dsum8(c: org.apache.spark.sql.Column, as: String) =
+    sum(c.cast("decimal(24,8)")).cast("double").as(as)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------------------
+    // Reference operator surface (SURVEY.md §2.1), driven through the parsed
+    // op pipeline exactly as the reference's console would submit them.
+    // ---------------------------------------------------------------------
+
+    // O1 FILTER — case-insensitive substring match on the line.
+    "q_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Pipeline.fromDescriptors(Seq("FILTER:window"),
+        OpCompiler.Ctx(Some("text"), Seq("doc_id")))(docs)
+    }),
+
+    // O2 COLUMN_FILTER + O7 select — exact trimmed equality on one column.
+    "q_column_filter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Pipeline.fromDescriptors(
+        Seq("COLUMN_FILTER:l_returnflag:R",
+          "TRANSFORM:select:l_orderkey,l_linenumber,l_returnflag"),
+        OpCompiler.Ctx(None, Seq("l_orderkey", "l_linenumber")))(li)
+    }),
+
+    // O3 TRANSFORM:uppercase — applied to every string column.
+    "q_transform_upper" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"), col("source"))
+      Pipeline.fromDescriptors(Seq("TRANSFORM:uppercase"),
+        OpCompiler.Ctx(None, Seq("doc_id")))(docs)
+    }),
+
+    // O6 TRANSFORM:splitintowords — the reference's generator op.
+    "q_split_words" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      Pipeline.fromDescriptors(Seq("TRANSFORM:splitintowords"),
+        OpCompiler.Ctx(Some("text"), Seq("doc_id")))(docs)
+        .select(col("doc_id"), col("__graft_word_pos").cast("long").as("pos"), col("word"))
+    }),
+
+    // O7 TRANSFORM:select — projection.
+    "q_select" -> ((s, dir) => {
+      Pipeline.fromDescriptors(Seq("TRANSFORM:select:p_partkey,p_name"),
+        OpCompiler.Ctx(None, Seq("p_partkey")))(t(s, dir, "part"))
+    }),
+
+    // O9 AGGREGATE — scalable global running count (1,2,3,... per row).
+    "q_running_count" -> ((s, dir) => {
+      Pipeline.fromDescriptors(Seq("AGGREGATE"),
+        OpCompiler.Ctx(None, Seq("event_id")))(ev(s, dir).select("event_id"))
+    }),
+
+    // The canonical reference job shape: op1 -> op2 chain (FILTER then
+    // AGGREGATE, Node.java:1106-1160) in ONE Catalyst plan.
+    "q_pipeline_filter_count" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Pipeline.fromDescriptors(
+        Seq("FILTER:join", "TRANSFORM:select:doc_id", "AGGREGATE"),
+        OpCompiler.Ctx(Some("text"), Seq("doc_id")))(docs)
+    }),
+
+    // ---------------------------------------------------------------------
+    // Analytics beyond the reference surface (scale/bench headliners).
+    // ---------------------------------------------------------------------
+
+    // TPC-H Q1 shape: scan + pushdown filter + hash agg with partial combine.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), "sum_qty"),
+          dsum(col("l_extendedprice"), "sum_base_price"),
+          dsum8(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // TPC-H Q3 shape: broadcast the small filtered dim, shuffle only the fact.
+    "q3_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(dsum8(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+    }),
+
+    // Event-time tumbling window aggregation (streaming-compatible shape).
+    "q_events_window" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // ---------------------------------------------------------------------
+    // Text analysis (training-data pipeline ops).
+    // ---------------------------------------------------------------------
+
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      val cols = TextFunctions.qualityCounts(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Native Catalyst sketch expressions (no SQL oracle — rows-only check).
+    "q_sketches" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Sketches.simhash64(TextFunctions.tokens(col("text"))).as("simhash"),
+        Sketches.rollingHash(col("text")).as("rolling_hash"))
+    }),
+
+    // ---------------------------------------------------------------------
+    // Deduplication suite.
+    // ---------------------------------------------------------------------
+
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5)),
+
+    // LSH path; oracle = the same brute-force pair SQL (LSH misses at
+    // j>=0.5 with 32x4 bands are verified-absent on this data locally).
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)),
+
+    // SimHash banding (no SQL oracle — rows-only check).
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)),
+
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // ---------------------------------------------------------------------
+    // Similarity search.
+    // ---------------------------------------------------------------------
+
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    }),
+
+    // ANN path (no SQL oracle — rows-only; recall vs brute force is covered
+    // by SimilaritySpec).
+    "q_sim_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annLsh(emb.filter(col("vec_id") < 10), emb, k = 5, nPlanes = 6, dim = 64)
+    }),
+
+    // ---------------------------------------------------------------------
+    // Multimodal columns (binary payload + typed metadata; stub codec).
+    // ---------------------------------------------------------------------
+
+    "q_media_decode" -> ((s, dir) => {
+      Multimodal.decode(Multimodal.asMediaTable(t(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+    }),
+
+    "q_media_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(Multimodal.asMediaTable(t(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+    }),
+  )
+
+  // -------------------------------------------------------------------------
+  // DuckDB oracles. Same parquet tables by name; every alias matches the
+  // Spark column names exactly (the driver sorts columns by name and hashes).
+  // -------------------------------------------------------------------------
+
+  /** Shared SQL fragments (kept inline per-query so each entry is a
+    * self-contained ANSI statement for the driver). */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter" ->
+      "SELECT doc_id, text FROM documents WHERE contains(lower(text), 'window')",
+
+    "q_column_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE trim(l_returnflag) = 'R'",
+
+    "q_transform_upper" ->
+      "SELECT doc_id, upper(text) AS text, upper(lang) AS lang, upper(source) AS source FROM documents",
+
+    "q_split_words" ->
+      """SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, unnest(toks) AS word
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents WHERE doc_id < 50)""".stripMargin,
+
+    "q_select" ->
+      "SELECT p_partkey, p_name FROM part",
+
+    "q_running_count" ->
+      "SELECT event_id, CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS running_count FROM events",
+
+    "q_pipeline_filter_count" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS running_count
+        |FROM documents WHERE contains(lower(text), 'join')""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS s_en,
+        |    len(list_intersect(toks, ['el','la','de','los','y','que','en','un'])) AS s_es,
+        |    len(list_intersect(toks, ['der','die','das','und','ein','zu','ist','nicht'])) AS s_de,
+        |    len(list_intersect(toks, ['le','les','des','et','une','est','dans','pour'])) AS s_fr,
+        |    len(list_intersect(toks, ['的','是','了','在','我','有','和','不'])) AS s_zh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+        |  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+        |  ELSE 'zh' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_len,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS n_stop
+        |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+
+    "q_dedup_ngram" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
+        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
+        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2])) /
+        |    (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2])) /
+        |    (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |sc AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_sum(list_transform(list_zip(q.e, c.e), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
+        |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT q_id, n_id, rank, cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_media_decode" ->
+      """SELECT doc_id, 'image' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(64 + octet_length(encode(text)) % 1024 AS BIGINT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "q_media_frames" ->
+      """SELECT doc_id, CAST(unnest(range(0, 1 + octet_length(encode(text)) % 8, 2)) AS BIGINT) AS frame_idx
+        |FROM documents""".stripMargin,
+  )
 }

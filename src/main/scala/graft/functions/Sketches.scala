@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftExpr
 import org.apache.spark.sql.functions._
 
 /** Locality-sensitive sketches as native Catalyst expressions.
@@ -62,7 +62,7 @@ object Sketches {
   }
 
   def simhash64(tokens: Column): Column =
-    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+    GraftExpr.column(SimHash64(GraftExpr.expression(tokens)))
 
   // ---------------------------------------------------------------- MinHash
 
@@ -98,7 +98,7 @@ object Sketches {
   }
 
   def minhashSignature(shingles: Column, k: Int): Column =
-    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), k))
+    GraftExpr.column(MinHashSignature(GraftExpr.expression(shingles), k))
 
   // ------------------------------------------------------------ RollingHash
 
@@ -120,7 +120,7 @@ object Sketches {
   }
 
   def rollingHash(text: Column): Column =
-    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(text)))
+    GraftExpr.column(RollingHash(GraftExpr.expression(text)))
 
   // ------------------------------------------------------------- LSH bands
 

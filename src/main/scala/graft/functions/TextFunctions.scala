@@ -27,7 +27,7 @@ object TextFunctions {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, n))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -85,8 +85,22 @@ object TextFunctions {
     * locality-sensitive fingerprint see [[graft.functions.Sketches.simhash64]]. */
   def fingerprint(text: Column): Column = md5(text)
 
-  /** BPE-ish token estimate: counts word + punctuation chunks, the usual
-    * ~regex proxy for subword tokenizers. */
+  /** BPE-ish token estimate: one token per alphanumeric run plus one per
+    * non-space punctuation character — the usual regex proxy for subword
+    * tokenizers. Uses regexp_extract_all (RE2-compatible pattern, no
+    * lookaround) so the DuckDB oracle computes the identical count. */
   def bpeTokenEstimate(text: Column): Column =
-    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"), t => t =!= "" && t =!= " "))
+    size(regexp_extract_all(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Exact-integer quality counts (no ratios — division-free so the DuckDB
+    * oracle hash-matches bit-for-bit; ratios are one division away for
+    * consumers). */
+  def qualityCounts(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_tokens" -> size(toks).cast("long"),
+      "sum_token_len" -> aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
+      "n_stop" -> stopwordCount(text).cast("long"))
+  }
 }

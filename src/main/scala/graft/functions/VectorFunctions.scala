@@ -21,8 +21,12 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** One-pass native cosine (codegen'd, [[CosineSimilarity]]); identical
+    * value to dot(a,b)/(norm(a)*norm(b)) — same left-fold accumulation. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(CosineSimilarity(GraftExpr.expression(a), GraftExpr.expression(b)))
+  }
 
   /** Cosine rounded for stable cross-engine comparison / ranking. */
   def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =
@@ -30,11 +34,19 @@ object VectorFunctions {
 
   /** Sign-bit bucket id for random-hyperplane LSH: bit i = (v · plane_i) >= 0.
     * Planes are deterministic (seeded) so bucketing is reproducible across
-    * runs and executors. */
+    * runs and executors. Fails fast (raise_error) if the vector length does
+    * not match the plane dimension — zip_with would otherwise null-pad and
+    * silently send every vector to bucket 0, degenerating LSH to a cross
+    * join. */
   def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
-      when(dot(v, plane) >= 0, lit(1 << i)).otherwise(lit(0))
+      val d = dot(v, plane)
+      when(d >= 0, lit(1 << i))
+        .when(d < 0, lit(0))
+        .otherwise(raise_error(concat(
+          lit(s"hyperplaneBucket: vector dim != plane dim ${p.length} (size="),
+          size(v).cast("string"), lit(")"))).cast("int"))
     }.reduce(_ + _)
 
   /** Deterministic pseudo-random unit-ish hyperplanes (xorshift from a fixed

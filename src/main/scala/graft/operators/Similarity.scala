@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector. Ranking key is the
-    * rounded cosine with id tiebreak => fully deterministic output. */
+    * cosine with id tiebreak; accumulation order is fixed (array order), so
+    * the ranking is fully deterministic and engine-portable. */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -26,14 +27,17 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    // corpus is the streamed BNLJ side: its partitioning sets the pair-scan
+    // parallelism (a single-file local read would otherwise run one task)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")).repartition(parts)
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosineRounded(col("q_v"), col("n_v"), 6))
+      .withColumn("cos", cosineSimilarity(col("q_v"), col("n_v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
   /** Approximate top-k via random-hyperplane LSH: corpus vectors are bucketed
@@ -45,9 +49,9 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       nPlanes: Int = 6,
+      dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
     val planes = makePlanes(nPlanes, dim)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
       .withColumn("bucket", hyperplaneBucket(col("n_v"), planes))
@@ -60,12 +64,12 @@ object Similarity {
       .select("q_id", "q_v", "bucket")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosineRounded(col("q_v"), col("n_v"), 6))
+      .withColumn("cos", cosineSimilarity(col("q_v"), col("n_v")))
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 }

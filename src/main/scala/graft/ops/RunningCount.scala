@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Scalable global running count (the reference's AGGREGATE op,
   * Operators.java:57-63 / :93-100 — emits 1,2,3,... one output per input).
@@ -33,17 +32,27 @@ object RunningCount {
 
   def withRunningCount(
       df: DataFrame,
-      orderCols: Seq[Column],
+      orderCols0: Seq[Column],
       outputCol: String = "running_count",
       numPartitions: Option[Int] = None): DataFrame = {
     val pidCol = "__graft_pid"
+    val arrivalCol = "__graft_arrival"
+    // No order key (e.g. a Select dropped the lineage columns): fall back to
+    // arrival order via monotonically_increasing_id — matching the
+    // reference's nondeterministic arrival-order results log (SURVEY.md §4).
+    val (base, orderCols, dropExtra) =
+      if (orderCols0.nonEmpty) (df, orderCols0, Seq.empty[String])
+      else (df.withColumn(arrivalCol, monotonically_increasing_id()),
+            Seq(col(arrivalCol)), Seq(arrivalCol))
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged = df
+    // Eager localCheckpoint pins the sampled range boundaries AND the
+    // partition ids so phases 2/3 see identical partitioning on
+    // re-execution, without a session-lifetime cache entry (the round-1
+    // persist() here leaked; checkpointed blocks are GC'd with the RDD).
+    val ranged = base
       .repartitionByRange(parts, orderCols: _*)
       .withColumn(pidCol, spark_partition_id())
-      // Persist so phase 2 and phase 3 see the identical partitioning
-      // (range boundaries come from sampling; re-execution must not re-draw).
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val counts: Array[(Int, Long)] = ranged
       .groupBy(col(pidCol)).count()
@@ -65,5 +74,6 @@ object RunningCount {
       .join(broadcast(offsetDf), col(pidCol) === col(pidCol + "_k"))
       .withColumn(outputCol, col("__graft_rn") + col("__graft_offset"))
       .drop(pidCol, pidCol + "_k", "__graft_rn", "__graft_offset")
+      .drop(dropExtra: _*)
   }
 }

@@ -50,6 +50,17 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Events table with a usable `ts`: the parquet stores TIMESTAMP(NANOS),
+    * which Spark only reads as a nanos-since-epoch long (under
+    * spark.sql.legacy.parquet.nanosAsLong=true). Convert via integer
+    * division — double division would lose precision above 2^53 ns. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = table(spark, sfDir, "events")
+    if (e.schema("ts").dataType == LongType)
+      e.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else e
+  }
+
   /** Register all tables as temp views (for spark.sql use). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.ops.{OpCompiler, StreamOp}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Structured-Streaming execution of the reference's job model
+  * (SURVEY.md §2.3): the same compiled operator pipeline over an unbounded
+  * source, with the running count as checkpointed keyed state.
+  *
+  * Delivery: the reference is at-least-once with possible duplicates (per-tuple
+  * ACK + 5s retry, no receiver dedup — Node.java:1528-1544, :117). Spark's
+  * checkpointing + replayable sources + idempotent file sinks give
+  * exactly-once — a strict upgrade, documented in SURVEY.md §2.3.
+  */
+object StreamingPipeline {
+
+  /** State for the streaming running count: rows seen so far per shard. */
+  final case class CountState(n: Long)
+
+  /** Per-record running count over an unbounded stream, the reference's
+    * AGGREGATE op (1,2,3,... one output per input, Operators.java:93-100).
+    *
+    * `shards` > 1 reproduces the reference's *actual* deployed semantics — N
+    * interleaved partial counters, one per stage-2 worker (SURVEY.md §2.1 O9
+    * caveat) — and scales linearly (state is keyed by shard). `shards` = 1 is
+    * the reference's *intended* single global counter; that is inherently a
+    * single serial stream of state updates on any engine, so it funnels each
+    * micro-batch through one task — fine for control-plane-sized streams,
+    * wrong for 100 TB (use shards > 1 or the batch prefix-sum instead). */
+  def runningCount(
+      df: DataFrame,
+      outputCol: String = "running_count",
+      shards: Int = 1): DataFrame = {
+    val outSchema: StructType = df.schema.add(outputCol, LongType, nullable = false)
+    val outEnc = Encoders.row(outSchema)
+    val shardCol = usableShardCol(df)
+    df.groupByKey { r: Row => math.floorMod(shardCol(r), shards) }(Encoders.scalaInt)
+      .flatMapGroupsWithState[CountState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[Row], state: GroupState[CountState]) =>
+          var c = state.getOption.map(_.n).getOrElse(0L)
+          // materialize the micro-batch slice: state.update must happen
+          // before the returned iterator is consumed
+          val out = rows.map { r => c += 1; Row.fromSeq(r.toSeq :+ c) }.toVector
+          state.update(CountState(c))
+          out.iterator
+      }(Encoders.kryo[CountState], outEnc)
+  }
+
+  /** Shard key extractor: first column's hash (stable across retries for the
+    * same row — required for exactly-once counting under task replay). */
+  private def usableShardCol(df: DataFrame): Row => Int =
+    r => if (r.isNullAt(0)) 0 else r.get(0).hashCode()
+
+  /** Compile a reference op chain onto a (possibly streaming) DataFrame.
+    * Stateless ops are the exact same Catalyst transforms as batch
+    * (OpCompiler); AGGREGATE switches to the streaming state operator. */
+  def pipeline(ops: Seq[StreamOp], ctx: OpCompiler.Ctx, shards: Int = 1)(
+      df: DataFrame): DataFrame =
+    ops.foldLeft((df, ctx)) { case ((d, c), op) =>
+      op match {
+        case StreamOp.Aggregate => (runningCount(d, shards = shards), c)
+        case other =>
+          val (f, c2) = OpCompiler.compile(other, c)
+          (f(d), c2)
+      }
+    }._1
+
+  /** Text-line file stream source — the streaming analog of Tables.lines
+    * (the reference's chunk files appearing in HyDFS). */
+  def fileLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumn("file", input_file_name())
+
+  /** Socket source (BASELINE.json spark_approach: "Structured Streaming +
+    * Kafka/socket source"; no Kafka connector ships in this environment). */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** Results sink: append files + checkpoint — the analog of the reference's
+    * job<k>_results.log with exactly-once instead of at-least-once. */
+  def startFileSink(
+      df: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+}

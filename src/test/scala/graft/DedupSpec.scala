@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  /** 60 base docs + 2 exact dups + 2 planted near-dups (one word changed). */
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0L until 60L).map { i =>
+      (i, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val exactDup = Seq((100L, base(3)._2), (101L, base(7)._2))
+    val nearDup = Seq(
+      (200L, base(5)._2.replaceFirst("\\w+$", "omega")),
+      (201L, base(9)._2.replaceFirst("^\\w+", "omega")))
+    (base ++ exactDup ++ nearDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content, keeps min id") {
+    val g = Dedup.exact(docs)
+    assert(g.count() == 62) // 64 docs, 2 collapse into existing groups
+    val dups = g.filter("n_dups > 1").collect()
+    assert(dups.map(_.getAs[Long]("keep_id")).sorted.toSeq == Seq(3L, 7L))
+    assert(dups.forall(_.getAs[Long]("n_dups") == 2L))
+  }
+
+  test("minhash LSH finds exactly the brute-force pairs (verified candidates)") {
+    val brute = Dedup.ngramJaccardPairs(docs, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    assert(brute.contains((3L, 100L)) && brute.contains((7L, 101L)))
+    assert(brute.contains((5L, 200L)) && brute.contains((9L, 201L)))
+    assert(lsh == brute)
+  }
+
+  test("simhash banding catches the exact dups within hamming 3") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)) && pairs.contains((7L, 101L)))
+  }
+
+  test("embedding cosine pairs find planted near-parallel vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 30L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val nearDup = (100L, base(4)._2.map(x => x * 1.01f))
+    val emb = (base :+ nearDup).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(emb, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 100L)))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.RunningCount
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RunningCountSpec extends AnyFunSuite with SparkSpec {
+
+  test("matches the single-partition window row_number on 10k shuffled rows") {
+    import spark.implicits._
+    val df = scala.util.Random.shuffle((1L to 10000L).toVector).toDF("k").repartition(7)
+    val got = RunningCount.withRunningCount(df, Seq(col("k")))
+    // oracle: the non-scalable global window
+    val want = df.withColumn("rc", row_number().over(Window.orderBy("k")).cast("long"))
+    val mismatches = got.join(want, "k")
+      .filter(col("running_count") =!= col("rc")).count()
+    assert(mismatches == 0)
+    assert(got.count() == 10000)
+  }
+
+  test("running count is dense 1..n and monotone in key order") {
+    import spark.implicits._
+    val df = Seq(5L, 3L, 9L, 1L).toDF("k")
+    val got = RunningCount.withRunningCount(df, Seq(col("k")))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (3L, 2L), (5L, 3L), (9L, 4L)))
+  }
+
+  test("empty input yields empty output, no error") {
+    import spark.implicits._
+    val df = Seq.empty[Long].toDF("k")
+    assert(RunningCount.withRunningCount(df, Seq(col("k"))).count() == 0)
+  }
+
+  test("no order columns: arrival-order fallback still numbers 1..n") {
+    import spark.implicits._
+    val df = Seq("a", "b", "c", "d").toDF("v").repartition(3)
+    val got = RunningCount.withRunningCount(df, Seq.empty)
+    assert(got.select("running_count").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    assert(got.columns.toSeq == Seq("v", "running_count"))
+  }
+}

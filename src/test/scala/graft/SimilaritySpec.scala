@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  private val dim = 16
+
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Driver-side oracle: plain Scala cosine. */
+  private def scalaTopK(k: Int): Map[Long, Seq[Long]] = {
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (0L until 5L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(k).map(_._1)
+    }.toMap
+  }
+
+  test("bruteForceTopK matches a driver-side cosine oracle") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.bruteForceTopK(corpus.filter(col("vec_id") < 5), corpus, k = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+    assert(got == scalaTopK(4))
+  }
+
+  test("annLsh achieves usable recall@5 against brute force") {
+    import org.apache.spark.sql.functions.col
+    val queries = corpus.filter(col("vec_id") < 5)
+    val exact = scalaTopK(5)
+    val ann = Similarity.annLsh(queries, corpus, k = 5, nPlanes = 5, dim = dim)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recall = exact.map { case (q, want) =>
+      want.count(ann.getOrElse(q, Set.empty)).toDouble / want.size
+    }.sum / exact.size
+    assert(recall >= 0.4, s"recall $recall below floor") // multi-probe, 32 buckets over 200 vecs
+  }
+
+  test("annLsh fails fast on a dimension mismatch instead of degenerating") {
+    val e = intercept[Exception] {
+      Similarity.annLsh(corpus.limit(2), corpus, k = 2, nPlanes = 4, dim = 8).count()
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+}

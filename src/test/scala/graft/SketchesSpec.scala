@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{Sketches, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+
+  private def simhashOf(text: String): Long = {
+    import spark.implicits._
+    Seq(text).toDF("t")
+      .select(Sketches.simhash64(TextFunctions.tokens(col("t")))).first().getLong(0)
+  }
+
+  test("simhash is deterministic and near-dup-sensitive") {
+    val a = simhashOf("the quick brown fox jumps over the lazy dog again and again")
+    val a2 = simhashOf("the quick brown fox jumps over the lazy dog again and again")
+    val near = simhashOf("the quick brown fox jumps over the lazy cat again and again")
+    val far = simhashOf("completely unrelated words about database partition shuffles")
+    assert(a == a2)
+    assert(java.lang.Long.bitCount(a ^ near) < java.lang.Long.bitCount(a ^ far))
+  }
+
+  test("minhash signature has length k; identical inputs agree elementwise") {
+    import spark.implicits._
+    val df = Seq("a b c d e f g h", "a b c d e f g h").toDF("t")
+    val sigs = df.select(Sketches.minhashSignature(
+      TextFunctions.shingleSet(col("t")), 16)).collect()
+      .map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("minhash estimates jaccard within tolerance on similar sets") {
+    import spark.implicits._
+    val x = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val y = ((1 to 90).map(i => s"tok$i") ++ (101 to 110).map(i => s"tok$i")).mkString(" ")
+    // true jaccard of 1-gram sets = 90/110 = 0.818
+    val df = Seq((x, y)).toDF("x", "y")
+    val Array(sx, sy) = df.select(
+      Sketches.minhashSignature(TextFunctions.shingleSet(col("x"), 1), 128),
+      Sketches.minhashSignature(TextFunctions.shingleSet(col("y"), 1), 128))
+      .first() match { case r => Array(r.getSeq[Long](0), r.getSeq[Long](1)) }
+    val est = sx.zip(sy).count { case (a, b) => a == b }.toDouble / 128
+    assert(math.abs(est - 0.818) < 0.15, s"estimate $est too far from 0.818")
+  }
+
+  test("lshBands: equal signatures collide in every band, disjoint in none") {
+    import spark.implicits._
+    val df = Seq("p q r s t u v w").toDF("t")
+      .select(Sketches.minhashSignature(TextFunctions.shingleSet(col("t"), 1), 8).as("sig"))
+    val bands = df.select(Sketches.lshBands(col("sig"), 4, 2).as("b")).first()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(bands.length == 4)
+    assert(bands.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("rollingHash is order-sensitive") {
+    import spark.implicits._
+    val df = Seq(("ab c", "ba c")).toDF("x", "y")
+    val r = df.select(Sketches.rollingHash(col("x")), Sketches.rollingHash(col("y"))).first()
+    assert(r.getLong(0) != r.getLong(1))
+  }
+}

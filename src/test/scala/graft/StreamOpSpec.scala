@@ -1,0 +1,35 @@
+package graft
+
+import graft.ops.StreamOp
+import graft.ops.StreamOp._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpSpec extends AnyFunSuite {
+
+  test("parses the reference's textual descriptors") {
+    assert(StreamOp.parse("FILTER:error") == Right(Filter("error")))
+    assert(StreamOp.parse("COLUMN_FILTER:Sign_Type:Stop") == Right(ColumnFilter("Sign_Type", "Stop")))
+    assert(StreamOp.parse("TRANSFORM:uppercase") == Right(Transform(Uppercase)))
+    assert(StreamOp.parse("TRANSFORM:lowercase") == Right(Transform(Lowercase)))
+    assert(StreamOp.parse("TRANSFORM:trim") == Right(Transform(TrimLine)))
+    assert(StreamOp.parse("TRANSFORM:splitintowords") == Right(SplitIntoWords))
+    assert(StreamOp.parse("TRANSFORM:select:X,Y") == Right(Select(Seq("X", "Y"))))
+    assert(StreamOp.parse("AGGREGATE") == Right(Aggregate))
+  }
+
+  test("strips surrounding quotes like the reference tokenizer (Node.java:417-420)") {
+    assert(StreamOp.parse("FILTER:\"Punched Telespar\"") == Right(Filter("Punched Telespar")))
+    assert(StreamOp.parse("COLUMN_FILTER:Sign_Type:\"Stop\"") == Right(ColumnFilter("Sign_Type", "Stop")))
+  }
+
+  test("FILTER pattern may itself contain a colon") {
+    assert(StreamOp.parse("FILTER:a:b") == Right(Filter("a:b")))
+  }
+
+  test("rejects malformed descriptors") {
+    assert(StreamOp.parse("TRANSFORM:frobnicate").isLeft)
+    assert(StreamOp.parse("NOPE").isLeft)
+    assert(StreamOp.parse("TRANSFORM:select:").isLeft)
+    intercept[IllegalArgumentException](StreamOp.parseUnsafe("NOPE"))
+  }
+}
