@@ -127,7 +127,13 @@ object Sketches {
   /** Band keys for MinHash-LSH: the signature is cut into `bands` bands of
     * `rowsPerBand` values; each band is hashed to one bucket key. Two docs
     * collide iff some band matches entirely. Returns array<struct<band:int,
-    * key:bigint>> ready to explode into a bucket join. */
+    * key:bigint>> ready to explode into a bucket join.
+    *
+    * NOTE: composing this from `signature.getItem(i)` columns would make
+    * CollapseProject inline the signature expression into every getItem —
+    * bands*rowsPerBand re-evaluations of the whole MinHash pass per row
+    * (measured 124s vs <1s at sf0.01). Prefer [[minhashBands]], which fuses
+    * shingles -> signature -> band keys into ONE expression evaluation. */
   def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column = {
     val entries = (0 until bands).map { b =>
       val bandVals = (0 until rowsPerBand).map(r => signature.getItem(b * rowsPerBand + r))
@@ -135,4 +141,53 @@ object Sketches {
     }
     array(entries: _*)
   }
+
+  /** Fused shingles -> k-minhash -> banded bucket keys, one traversal per
+    * row. Output array<struct<band:int, key:bigint>>, length = `bands`. */
+  case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val k = bands * rowsPerBand
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("band", IntegerType, nullable = false),
+        StructField("key", LongType, nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          val h1 = hash64(s, 0x9E3779B97F4A7C15L)
+          val h2 = hash64(s, 0xC2B2AE3D27D4EB4FL) | 1L
+          var j = 0
+          while (j < k) {
+            val h = h1 + j * h2
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+        }
+        i += 1
+      }
+      val out = new Array[Any](bands)
+      var b = 0
+      while (b < bands) {
+        var key = -7046029254386353131L // FNV-ish seed
+        var r = 0
+        while (r < rowsPerBand) {
+          key = key * 1099511628211L + sig(b * rowsPerBand + r)
+          r += 1
+        }
+        out(b) = InternalRow(b, key)
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
+  }
+
+  def minhashBands(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftExpr.column(MinHashBands(GraftExpr.expression(shingles), bands, rowsPerBand))
 }

@@ -31,8 +31,14 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct shingle set (Jaccard operates on sets). */
-  def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
+  /** Distinct shingle set (Jaccard operates on sets). Native single-pass
+    * expression ([[WordShingles]]) — set-identical to
+    * `array_distinct(shingles(text, n))`, ~50s faster on first evaluation
+    * (the HOF chain pays heavy interpreter warmup). */
+  def shingleSet(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(WordShingles(GraftExpr.expression(text), n, distinctOut = true))
+  }
 
   /** Exact Jaccard similarity of two string arrays (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {

@@ -79,3 +79,63 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
 }
+
+/** Fused random-hyperplane LSH bucket id: all plane dot products in ONE
+  * traversal of the vector (bit i = v·plane_i >= 0). Composing this from
+  * per-plane dot() columns re-evaluates the HOF dot chain once per plane —
+  * and the multi-probe explode then inlines the whole bucket expression per
+  * probe. Fails fast on a dimension mismatch (a zip-padded null would
+  * silently send every vector to bucket 0). */
+case class HyperplaneBucket(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    planes: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val dim = if (planes.isEmpty) 0 else planes(0).length
+
+  override def dataType: DataType = IntegerType
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bucket needs array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"hyperplaneBucket: vector dim != plane dim $dim (size=$n)")
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v(j) * plane(j); j += 1 }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): HyperplaneBucket =
+    copy(child = c)
+}

@@ -34,20 +34,14 @@ object VectorFunctions {
 
   /** Sign-bit bucket id for random-hyperplane LSH: bit i = (v · plane_i) >= 0.
     * Planes are deterministic (seeded) so bucketing is reproducible across
-    * runs and executors. Fails fast (raise_error) if the vector length does
-    * not match the plane dimension — zip_with would otherwise null-pad and
-    * silently send every vector to bucket 0, degenerating LSH to a cross
-    * join. */
-  def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
-      val d = dot(v, plane)
-      when(d >= 0, lit(1 << i))
-        .when(d < 0, lit(0))
-        .otherwise(raise_error(concat(
-          lit(s"hyperplaneBucket: vector dim != plane dim ${p.length} (size="),
-          size(v).cast("string"), lit(")"))).cast("int"))
-    }.reduce(_ + _)
+    * runs and executors. Fused native expression — one vector traversal for
+    * all planes — that fails fast if the vector length does not match the
+    * plane dimension (a null-padded zip would silently send every vector to
+    * bucket 0, degenerating LSH to a cross join). */
+  def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(HyperplaneBucket(GraftExpr.expression(v), planes.toArray))
+  }
 
   /** Deterministic pseudo-random unit-ish hyperplanes (xorshift from a fixed
     * seed — no java.util.Random so results never depend on JVM version). */

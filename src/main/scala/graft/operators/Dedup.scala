@@ -40,7 +40,10 @@ object Dedup {
       ngram: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val sets = docs.select(
+    // spread the per-doc shingle computation: a single-file local scan is one
+    // partition, which would serialize all expression work into one task
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sets = docs.repartition(parts).select(
       col(idCol).as("id"),
       TextFunctions.shingleSet(col(textCol), ngram).as("sh"))
       .withColumn("sz", size(col("sh")))
@@ -73,14 +76,15 @@ object Dedup {
       rowsPerBand: Int = 4,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val k = bands * rowsPerBand
-    val sets = docs.select(
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sets = docs.repartition(parts).select(
       col(idCol).as("id"),
       TextFunctions.shingleSet(col(textCol), ngram).as("sh"))
+    // fused shingles->signature->bands expression: ONE evaluation per row
+    // (a sig column composed via getItem gets inlined k times by
+    // CollapseProject — measured 124s vs <1s here)
     val buckets = sets
-      .withColumn("sig", Sketches.minhashSignature(col("sh"), k))
-      .withColumn("bands", Sketches.lshBands(col("sig"), bands, rowsPerBand))
-      .select(col("id"), explode(col("bands")).as("b"))
+      .select(col("id"), explode(Sketches.minhashBands(col("sh"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
 
     // Candidate pairs are deduped as BARE ID PAIRS before the shingle sets
@@ -117,22 +121,29 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
-    val withSig = docs.select(
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val withSig = docs.repartition(parts).select(
       col(idCol).as("id"),
       Sketches.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
     val banded = withSig.select(
-      col("id"), col("sig"),
+      col("id"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("band"),
           shiftrightunsigned(col("sig"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("key"))
       }: _*)).as("b"))
-      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
 
-    val l = banded.toDF("a_id", "a_sig", "band", "key")
-    val r = banded.toDF("b_id", "b_sig", "band", "key")
-    l.join(r, Seq("band", "key"))
+    // Bare-id candidate pairs, deduped BEFORE the signatures are joined
+    // back: the bucket join and distinct shuffle (long, long) rows only.
+    val candidates = banded.toDF("a_id", "band", "key")
+      .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+      .distinct()
+
+    candidates
+      .join(withSig.toDF("a_id", "a_sig"), "a_id")
+      .join(withSig.toDF("b_id", "b_sig"), "b_id")
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))

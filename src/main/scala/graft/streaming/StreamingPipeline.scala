@@ -80,6 +80,22 @@ object StreamingPipeline {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
 
+  /** Event-time tumbling-window counts with a watermark — the windowed-agg
+    * surface the reference lacks entirely (SURVEY.md §2.3: no event time, no
+    * windows, no late-data handling). State is keyed by (window, key):
+    * partition-scalable, expired by the watermark. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col(keyCol), col("n"))
+
   /** Results sink: append files + checkpoint — the analog of the reference's
     * job<k>_results.log with exactly-once instead of at-least-once. */
   def startFileSink(

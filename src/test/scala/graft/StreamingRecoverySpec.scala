@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.OpCompiler
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fault-tolerance parity (SURVEY.md §2.3): the reference kills two stage-2
+  * workers mid-job and re-sends unACKed tuples (at-least-once, duplicates
+  * possible, counter state lost). Our analog: stop the streaming query
+  * mid-stream and restart from the checkpoint — state resumes and the file
+  * sink stays exactly-once (strict upgrade). */
+class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
+
+  test("running count resumes from checkpoint across a query restart, exactly-once") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_in").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = Files.createTempFile("graft_stage", ".txt")
+      Files.writeString(tmp, lines.mkString("\n"))
+      Files.move(tmp, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def startQuery() = {
+      val src = spark.readStream.text(in)
+      val ops = Seq(graft.ops.StreamOp.Filter("keep"), graft.ops.StreamOp.Aggregate)
+      val counted = StreamingPipeline.pipeline(ops, OpCompiler.Ctx(Some("value"), Seq.empty))(src)
+      StreamingPipeline.startFileSink(counted, out, ckpt)
+    }
+
+    writeBatch("b1.txt", Seq("keep one", "drop", "keep two"))
+    val q1 = startQuery()
+    q1.awaitTermination(60000) // AvailableNow: drains b1 then stops
+    assert(!q1.isActive)
+
+    // "crash": the query is down; more data lands (reference: tuples retried
+    // to surviving workers, Node.java:1048-1085)
+    writeBatch("b2.txt", Seq("keep three", "nope", "keep four"))
+    val q2 = startQuery()
+    q2.awaitTermination(60000)
+
+    val result = spark.read.parquet(out)
+    val counts = result.select("running_count").collect().map(_.getLong(0)).sorted.toSeq
+    // counter state carried across the restart: 1,2 then 3,4 — no reset, and
+    // no duplicated rows from the pre-crash batch
+    assert(counts == Seq(1L, 2L, 3L, 4L))
+    val values = result.select("value").collect().map(_.getString(0)).toSet
+    assert(values == Set("keep one", "keep two", "keep three", "keep four"))
+  }
+
+  test("watermarked tumbling-window counts emit finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val counted = StreamingPipeline.windowedCounts(
+      df, windowLen = "10 minutes", watermark = "5 minutes")
+    val q = counted.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      mem.addData((t(1), "click"), (t(2), "click"), (t(3), "view"))
+      q.processAllAvailable()
+      // advance event time far past window [10:00,10:10) + watermark
+      mem.addData((t(31), "click"))
+      q.processAllAvailable()
+      mem.addData((t(59), "view")) // push watermark again to flush
+      q.processAllAvailable()
+
+      val rows = spark.table("win_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+}
