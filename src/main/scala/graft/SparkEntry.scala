@@ -68,6 +68,29 @@ object SparkEntry {
         OpCompiler.Ctx(None, Seq("doc_id")))(docs)
     }),
 
+    // O4 TRANSFORM:lowercase.
+    "q_transform_lower" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+      Pipeline.fromDescriptors(Seq("TRANSFORM:lowercase"),
+        OpCompiler.Ctx(None, Seq("doc_id")))(docs)
+    }),
+
+    // O5 TRANSFORM:trim (input padded so the trim is observable).
+    "q_transform_trim" -> ((s, dir) => {
+      val padded = t(s, dir, "part").select(col("p_partkey"),
+        concat(lit("  "), col("p_name"), lit(" ")).as("p_name"))
+      Pipeline.fromDescriptors(Seq("TRANSFORM:trim"),
+        OpCompiler.Ctx(None, Seq("p_partkey")))(padded)
+    }),
+
+    // O8 FILTERED_TRANSFORM — fused filter->map; Catalyst fuses the chain
+    // into one stage (the reference hand-fused it, Operators.java:87-91).
+    "q_filtered_transform" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Pipeline.fromDescriptors(Seq("FILTER:table", "TRANSFORM:uppercase"),
+        OpCompiler.Ctx(Some("text"), Seq("doc_id")))(docs)
+    }),
+
     // O6 TRANSFORM:splitintowords — the reference's generator op.
     "q_split_words" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -198,11 +221,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     }),
 
-    // ANN path (no SQL oracle — rows-only; recall vs brute force is covered
+    // ANN paths (no SQL oracle — rows-only; recall vs brute force is covered
     // by SimilaritySpec).
     "q_sim_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.annLsh(emb.filter(col("vec_id") < 10), emb, k = 5, nPlanes = 6, dim = 64)
+    }),
+
+    "q_sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annIvf(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 16, nprobe = 4)
     }),
 
     // ---------------------------------------------------------------------
@@ -239,6 +267,15 @@ object SparkEntry {
 
     "q_transform_upper" ->
       "SELECT doc_id, upper(text) AS text, upper(lang) AS lang, upper(source) AS source FROM documents",
+
+    "q_transform_lower" ->
+      "SELECT doc_id, lower(lang) AS lang, lower(source) AS source FROM documents",
+
+    "q_transform_trim" ->
+      "SELECT p_partkey, trim('  ' || p_name || ' ') AS p_name FROM part",
+
+    "q_filtered_transform" ->
+      "SELECT doc_id, upper(text) AS text FROM documents WHERE contains(lower(text), 'table')",
 
     "q_split_words" ->
       """SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, unnest(toks) AS word

@@ -72,4 +72,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
+
+  /** IVF (inverted-file) ANN: k-means cells over the corpus; each query
+    * probes its `nprobe` nearest cells and ranks candidates by exact cosine.
+    * The classic coarse-quantizer scale path — per-query work is
+    * O(nprobe/nlist · corpus). The cell model is small (nlist centroids) and
+    * ships as plan literals; the corpus is shuffled ONCE by cell id. */
+  def annIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+      .withColumn("features", array_to_vector(col("n_v").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(c)
+    val cells = model.transform(c)
+      .select(col("n_id"), col("n_v"), col("prediction").as("cell"))
+
+    // nlist centroid literals; per query: squared-euclidean to each centroid,
+    // take the nprobe nearest cells (array sort on a tiny nlist-length array)
+    val centroids = model.clusterCenters.map(_.toArray)
+    def sqDist(v: org.apache.spark.sql.Column, ctr: Array[Double]) =
+      aggregate(
+        zip_with(v, array(ctr.map(lit).toSeq: _*), (x, y) => {
+          val d = x.cast("double") - y; d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+    val probeCells = slice(
+      transform(
+        array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
+          struct(sqDist(col("q_v"), ctr).as("d"), lit(i).as("cell"))
+        }.toSeq: _*)),
+        s => s.getField("cell")),
+      1, nprobe)
+
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .withColumn("cell", explode(probeCells))
+
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosineSimilarity(col("q_v"), col("n_v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
 }

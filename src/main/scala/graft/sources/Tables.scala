@@ -27,6 +27,18 @@ object Tables {
       .option("header", "false").option("quote", "\"").option("escape", "\"")
       .csv(path)
 
+  /** Compatibility mode (SURVEY.md §7.3): the reference's naive `split(",")`
+    * column semantics, quoted commas and all — byte-parity with its outputs
+    * on rows where RFC-4180 and naive parsing disagree. Off the default
+    * path; use [[trafficSigns]] unless replicating reference output. */
+  def trafficSignsNaive(spark: SparkSession, path: String): DataFrame = {
+    val parts = split(col("value"), ",")
+    spark.read.text(path).select(
+      trafficSignsSchema.fieldNames.zipWithIndex.map {
+        case (n, i) => parts.getItem(i).as(n)
+      }.toSeq: _*)
+  }
+
   /** Line-tuple source: one row per text line with lineage identity
     * (file, line_no) — the Spark analog of the reference's
     * `uniqueId:filename,lineNumber` tuple id (Node.java:907-913).
