@@ -13,19 +13,13 @@ object Bench {
     "q_filter", "q_column_filter", "q_split_words",
     "q_lang_id", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-    "q_sim_topk", "q_sim_ann", "q_media_decode", "q_media_frames")
+    "q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_media_decode", "q_media_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region.
     SparkEntry.queries("q1_agg")(spark, sfDir).count()

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.{OpCompiler, Pipeline, RunningCount}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The property tests promised in SURVEY.md §5: filter containment,
+  * split-into-words token conservation, running-count monotonicity/density —
+  * over ScalaCheck-generated inputs (seeded sampling: each case is a full
+  * Spark job, so a handful of deterministic draws beats hundreds). */
+class PropertiesSpec extends AnyFunSuite with SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val lineGen: Gen[String] = Gen.listOfN(8,
+    Gen.oneOf("error", "ok", "warn", "the", "fast", "slow", "x1", "Y2"))
+    .map(_.mkString(" "))
+
+  test("FILTER output is a subset of its input and matches the predicate") {
+    import spark.implicits._
+    for (seed <- 1L to 4L; pat <- Seq("error", "the", "zzz")) {
+      val lines = sample(Gen.listOfN(30, lineGen), seed)
+      val df = lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "line")
+      val out = Pipeline.fromDescriptors(Seq(s"FILTER:$pat"),
+        OpCompiler.Ctx(Some("line"), Seq("id")))(df)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val in = lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toSet
+      assert(out.toSet.subsetOf(in), s"seed=$seed pat=$pat")
+      assert(out.forall(_._2.toLowerCase.contains(pat)), s"seed=$seed pat=$pat")
+      assert(out.length == lines.count(_.toLowerCase.contains(pat)), s"seed=$seed pat=$pat")
+    }
+  }
+
+  test("splitintowords conserves total token count") {
+    import spark.implicits._
+    for (seed <- 1L to 4L) {
+      val lines = sample(Gen.listOfN(20, lineGen), seed)
+      val df = lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "line")
+      val out = Pipeline.fromDescriptors(Seq("TRANSFORM:splitintowords"),
+        OpCompiler.Ctx(Some("line"), Seq("id")))(df)
+      val want = lines.map(l => l.trim.split("\\s+").length).sum
+      assert(out.count() == want, s"seed=$seed")
+    }
+  }
+
+  test("running count is a bijection onto 1..n and monotone in the order key") {
+    import spark.implicits._
+    for (seed <- 1L to 4L) {
+      val keys = sample(Gen.listOfN(60, Gen.chooseNum(-1000000L, 1000000L)), seed).distinct
+      val df = keys.toDF("k").repartition(5)
+      val got = RunningCount.withRunningCount(df, Seq(col("k")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got.map(_._2).toSeq == (1L to keys.size.toLong), s"seed=$seed")
+      assert(got.map(_._1).toSeq == keys.sorted, s"seed=$seed")
+    }
+  }
+
+  test("shingle sets are invariant under extra whitespace") {
+    import spark.implicits._
+    for (seed <- 1L to 6L) {
+      val line = sample(lineGen, seed)
+      val noisy = "  " + line.replace(" ", "   ") + " "
+      val r = Seq((line, noisy)).toDF("a", "b").select(
+        TextFunctions.shingleSet(col("a"), 2).as("sa"),
+        TextFunctions.shingleSet(col("b"), 2).as("sb"))
+        .selectExpr("array_sort(sa) = array_sort(sb) as eq").first()
+      assert(r.getBoolean(0), s"seed=$seed")
+    }
+  }
+}
