@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration: exposes the engine's native
+  * expressions as SQL functions, so the whole operator surface is reachable
+  * from `spark.sql(...)` as well as the DataFrame API.
+  *
+  * Activate with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Registered: cosine_similarity(a, b), word_shingles(text, n),
+  * minhash_bands(shingles, bands, rows_per_band), simhash64(tokens),
+  * minhash_signature(shingles, k), rolling_hash(text),
+  * graft_filter(line, pattern) — the reference's FILTER predicate
+  * (case-insensitive substring, Operators.java:121-144) as a SQL function.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-gram set"),
+      (args: Seq[Expression]) =>
+        WordShingles(args(0), intLit(args(1), "n"), distinctOut = true)))
+
+    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", "minhash_bands(shingles, bands, rows_per_band) - LSH band keys"),
+      (args: Seq[Expression]) => Sketches.MinHashBands(args(0),
+        intLit(args(1), "bands"), intLit(args(2), "rows_per_band"))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => Sketches.SimHash64(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, k) - k-permutation MinHash"),
+      (args: Seq[Expression]) => Sketches.MinHashSignature(args(0), intLit(args(1), "k"))))
+
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - polynomial rolling content hash"),
+      (args: Seq[Expression]) => Sketches.RollingHash(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_filter"),
+      info("graft_filter", "graft_filter(line, pattern) - case-insensitive substring match"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        Contains(Lower(args(0)), Lower(args(1)))
+      }))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("native expressions are callable from spark.sql via GraftExtensions") {
+    spark.sparkContext // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate() // reuses the existing SparkContext, new session state
+      val r = s.sql(
+        """SELECT
+          |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+          |  word_shingles(' a b c d ', 3) AS sh,
+          |  simhash64(array('x', 'y')) AS sim,
+          |  rolling_hash('abc') AS rh,
+          |  size(minhash_signature(word_shingles('a b c d e', 2), 16)) AS sig_len,
+          |  size(minhash_bands(word_shingles('a b c d e', 2), 8, 4)) AS n_bands,
+          |  graft_filter('The ERROR line', 'error') AS hit
+          |""".stripMargin).first()
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+      assert(r.getLong(3) != 0L)
+      assert(r.getInt(4) == 16)
+      assert(r.getInt(5) == 8)
+      assert(r.getBoolean(6))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
