@@ -24,6 +24,9 @@ object GraftSession {
     .config("spark.sql.files.maxPartitionBytes", "128m")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // default 100 is small for a session running the whole query inventory;
+    // eviction means re-running Janino on plans we just compiled
+    .config("spark.sql.codegen.cache.maxEntries", "1000")
 
   /** Local session for the test/bench harness. */
   def local(cores: Int, appName: String = "graft"): SparkSession =
