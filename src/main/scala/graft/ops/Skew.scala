@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew levers for the cases AQE's runtime skew-join splitting does
+  * not cover (AQE splits oversized SHUFFLE partitions of sort-merge joins;
+  * it does not help aggregation hot keys or broadcast-ineligible dim joins).
+  *
+  * The reference never hits this — its only "shuffle" is round-robin by line
+  * number (Node.java:934-946) — but a 100 TB keyed workload does.
+  */
+object Skew {
+
+  private val S = "__graft_salt"
+
+  /** Join a skewed fact side to a small-ish dim side without AQE: the fact's
+    * hot keys are spread over `salt` sub-keys, the dim side is replicated
+    * `salt` ways. Exact same rows as `fact.join(dim, keys)` for inner joins;
+    * shuffle partitions see at most 1/salt of any hot key. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String], salt: Int = 8): DataFrame = {
+    require(salt >= 1)
+    // deterministic per-row salt (stable under task retry, unlike rand())
+    val saltCol = pmod(hash(monotonically_increasing_id()), lit(salt))
+    val left = fact.withColumn(S, saltCol)
+    val right = dim.withColumn(S, explode(array((0 until salt).map(lit): _*)))
+    left.join(right, keys :+ S).drop(S)
+  }
+
+  /** Exact distinct count per key under value skew: values are pre-bucketed
+    * by hash(value) % salt — buckets are DISJOINT value sets, so the
+    * per-(key, bucket) distinct counts sum to the exact global count. Two
+    * balanced shuffles instead of one hot one. */
+  def saltedCountDistinct(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      salt: Int = 16,
+      outputCol: String = "n_distinct"): DataFrame =
+    df.groupBy(col(keyCol), pmod(hash(col(valCol)), lit(salt)).as(S))
+      .agg(count_distinct(col(valCol)).as("__graft_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum("__graft_partial").as(outputCol))
+}
