@@ -212,6 +212,12 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), threshold = 0.4)),
 
+    // LSH-bucketed scale path for embedding near-dups (rows-only check:
+    // bucketing is engine-internal; exact-cosine parity vs the brute-force
+    // path is covered by DedupSpec).
+    "q_dedup_embed_lsh" -> ((s, dir) =>
+      Dedup.embeddingCosinePairsLsh(t(s, dir, "embeddings"), threshold = 0.4)),
+
     // ---------------------------------------------------------------------
     // Similarity search.
     // ---------------------------------------------------------------------

@@ -173,4 +173,42 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
+
+  /** Embedding near-dup pairs at scale: random-hyperplane LSH buckets with
+    * multi-probe pair enumeration (each vector lands in its own bucket and
+    * its `nPlanes` hamming-1 neighbors, so any pair whose signatures differ
+    * in at most one plane meets in some bucket), then exact-cosine verify of
+    * candidates only. A high-cosine pair disagrees on a given plane with
+    * probability θ/π — at threshold 0.99 (θ≈8°) a pair survives all 8
+    * default planes' agreement-or-one-flip with p > 0.95; run with two
+    * plane seeds for a tighter miss bound. Keyed shuffle — never n². */
+  def embeddingCosinePairsLsh(
+      embeddings: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val planes = makePlanes(nPlanes, dim)
+    val v = embeddings.repartition(parts)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket0", hyperplaneBucket(col("v"), planes))
+    // multi-probe: own bucket + every hamming-1 neighbor
+    val probed = v.withColumn("bucket", explode(array(
+        (col("bucket0") +: (0 until nPlanes).map(i =>
+          col("bucket0").bitwiseXOR(lit(1 << i)))): _*)))
+      .select(col("id"), col("v"), col("bucket"))
+
+    val candidates = probed.toDF("a_id", "a_v", "bucket")
+      .join(probed.toDF("b_id", "b_v", "bucket"), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+
+    candidates
+      .withColumn("cos", cosineSimilarity(col("a_v"), col("b_v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
 }

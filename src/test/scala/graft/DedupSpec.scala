@@ -57,4 +57,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((4L, 100L)))
   }
+
+  test("LSH-bucketed embedding pairs find the scaled duplicate (exact-cosine parity)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 30L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // exactly colinear => identical sign signature => guaranteed bucket hit
+    val nearDup = (100L, base(4)._2.map(x => x * 1.01f))
+    val emb = (base :+ nearDup).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairsLsh(emb, 0.99, nPlanes = 6, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 100L)))
+  }
 }
