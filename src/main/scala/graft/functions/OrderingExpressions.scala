@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Bucket index of `key` within a sorted (ascending) boundary array — the
+  * per-row half of an equi-depth range bucketing (boundaries come from
+  * `percentile_approx`). Binary search, O(log parts) per row, codegen'd:
+  * the interpreted `aggregate()` HOF formulation this replaces scanned all
+  * parts-1 boundaries per row, which at cluster-scale partition counts
+  * (10^3-10^4) puts an O(parts) interpreted loop inside the hot path.
+  *
+  * Semantics (matching `Window.orderBy` placement so per-bucket row_numbers
+  * concatenate into a global ordering):
+  *  - ascending:  bucket = #(bounds <= key); null key -> first or last
+  *    bucket per `nullsFirst` (Spark default: asc = NULLS FIRST).
+  *  - descending: bucket = #(bounds >= key), so bucket ids still ascend in
+  *    output order (largest keys -> bucket 0); null key per `nullsFirst`
+  *    (Spark default: desc = NULLS LAST).
+  *  - null bounds array (empty/all-null input): everything -> bucket 0.
+  *
+  * Never null-producing: a bucket id exists for every row.
+  */
+case class BucketIndex(
+    left: Expression,
+    right: Expression,
+    descending: Boolean,
+    nullsFirst: Boolean)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bucket_index needs (double, array<double>), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val boundsAny = right.eval(input)
+    if (boundsAny == null) return 0
+    val bounds = boundsAny.asInstanceOf[ArrayData]
+    val n = bounds.numElements()
+    val keyAny = left.eval(input)
+    if (keyAny == null) return if (nullsFirst) 0 else n
+    val k = keyAny.asInstanceOf[Double]
+    var lo = 0
+    var hi = n
+    if (!descending) {
+      // first index with bounds[i] > k  ==  #(bounds <= k)
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (bounds.getDouble(mid) <= k) lo = mid + 1 else hi = mid
+      }
+      lo
+    } else {
+      // n - (first index with bounds[i] >= k)  ==  #(bounds >= k)
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (bounds.getDouble(mid) < k) lo = mid + 1 else hi = mid
+      }
+      n - lo
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    val cmp = if (!descending) s"<= ${leftGen.value}" else s"< ${leftGen.value}"
+    val result = if (!descending) lo else s"$n - $lo"
+    val nullBucket = if (nullsFirst) "0" else n
+    ev.copy(
+      isNull = FalseLiteral,
+      code = code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |int ${ev.value} = 0;
+        |if (!${rightGen.isNull}) {
+        |  int $n = ${rightGen.value}.numElements();
+        |  if (${leftGen.isNull}) {
+        |    ${ev.value} = $nullBucket;
+        |  } else {
+        |    int $lo = 0, $hi = $n;
+        |    while ($lo < $hi) {
+        |      int $mid = ($lo + $hi) >>> 1;
+        |      if (${rightGen.value}.getDouble($mid) $cmp) $lo = $mid + 1; else $hi = $mid;
+        |    }
+        |    ${ev.value} = $result;
+        |  }
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BucketIndex =
+    copy(left = l, right = r)
+}

@@ -1,6 +1,8 @@
 package graft.ops
 
+import graft.functions.BucketIndex
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftExpr
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,15 +16,23 @@ import org.apache.spark.sql.types._
   *
   * Preferred path (numeric/temporal first order key): VALUE-RANGE buckets.
   *   1. in-plan `percentile_approx` of the key -> ~equi-depth boundaries,
-  *      broadcast (no driver collect);
-  *   2. bucket(row) = #boundaries <= key — a pure function of the VALUE, so
-  *      both passes below see identical bucketing with no pinning/caching;
+  *      eagerly localCheckpoint'ed (ONE tiny row) so the nondeterministic
+  *      approx-percentile draw is pinned — both passes below must bucket
+  *      identically, and relying on ReuseExchange to dedupe the two plan
+  *      subtrees is not a guarantee (config-off or AQE canonicalization
+  *      divergence would silently re-draw);
+  *   2. bucket(row) = binary search of the key in the broadcast boundary
+  *      array (native codegen'd [[BucketIndex]], O(log parts) per row) —
+  *      a pure function of the VALUE, honoring desc/nulls ordering;
   *   3. pass A: row_number windowed per bucket (parallel);
   *      pass B: per-bucket counts -> prefix-summed offsets via a window over
   *      the tiny (numPartitions-row) aggregate, broadcast-joined back.
-  * Spark reuses the boundary broadcast across both passes; nothing is
-  * persisted and nothing round-trips the driver — this holds on a
-  * 1000-executor cluster.
+  * Nothing round-trips the driver — this holds on a 1000-executor cluster.
+  *
+  * Order keys may be plain columns or explicit sort orders
+  * (`col(k).desc`, `col(k).asc_nulls_last`, ...): the head key's direction
+  * and null placement are honored in the bucketing so the concatenated
+  * per-bucket numbering matches the window's global order.
   *
   * Fallback path (non-orderable-by-percentile key types, e.g. strings):
   * range-repartition by the key and pin the sampled partitioning with an
@@ -53,16 +63,31 @@ object RunningCount {
             Seq(col(arrivalCol)), Seq(arrivalCol))
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
 
-    val keyType = base.select(orderCols.head).schema.head.dataType
-    val quantileable = keyType match {
-      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
-      case _ => false
-    }
+    // The head key drives the bucketing; callers may hand us a SortOrder
+    // (col(k).desc) — unwrap it and carry direction + null placement into
+    // the bucket function (Spark defaults: asc = NULLS FIRST, desc = LAST).
+    val (keyCol, descending, nullsFirst) =
+      GraftExpr.sortOrder(orderCols.head).getOrElse((orderCols.head, false, true))
+    val keyType = base.select(keyCol).schema.head.dataType
+    val rankKey = toRankDouble(keyCol, keyType)
     val out =
       if (parts <= 1) singlePartition(base, orderCols, outputCol)
-      else if (quantileable) quantileBuckets(base, orderCols, outputCol, parts)
+      else if (rankKey.isDefined)
+        quantileBuckets(base, rankKey.get, orderCols, descending, nullsFirst, outputCol, parts)
       else rangeCheckpoint(base, orderCols, outputCol, parts)
     out.drop(dropExtra: _*)
+  }
+
+  /** Monotone double image of an orderable key, for percentile bucketing.
+    * Monotone-non-decreasing is all bucketing needs: a (rare, >2^53) double
+    * collision merges two adjacent buckets' boundary rows, affecting balance
+    * only, never the final numbering. */
+  private def toRankDouble(key: Column, keyType: DataType): Option[Column] = keyType match {
+    case _: NumericType => Some(key.cast("double"))
+    case DateType => Some(unix_date(key).cast("double"))
+    case TimestampType => Some(key.cast("double"))
+    case TimestampNTZType => Some(key.cast("timestamp").cast("double"))
+    case _ => None
   }
 
   /** Degenerate single-partition case: the plain global window. */
@@ -71,17 +96,26 @@ object RunningCount {
       row_number().over(Window.orderBy(orderCols: _*)).cast("long"))
 
   private def quantileBuckets(
-      df: DataFrame, orderCols: Seq[Column], outputCol: String, parts: Int): DataFrame = {
-    val key = orderCols.head
+      df: DataFrame,
+      rankKey: Column,
+      orderCols: Seq[Column],
+      descending: Boolean,
+      nullsFirst: Boolean,
+      outputCol: String,
+      parts: Int): DataFrame = {
     val probs = (1 until parts).map(i => lit(i.toDouble / parts))
+    // ONE row of ~parts doubles; the eager localCheckpoint pins the
+    // approx-percentile draw (see scaladoc) at the cost of materializing a
+    // single tiny partition.
     val bounds = df.agg(
-      percentile_approx(key, array(probs: _*), lit(10000)).as("__graft_bounds"))
+      percentile_approx(rankKey, array(probs: _*), lit(10000)).as("__graft_bounds"))
+      .localCheckpoint(true)
     val bucketed = df
       .crossJoin(broadcast(bounds))
-      .withColumn(B, coalesce(
-        aggregate(col("__graft_bounds"), lit(0),
-          (acc, b) => acc + when(key >= b, 1).otherwise(0)),
-        lit(0)))
+      .withColumn(B, GraftExpr.column(BucketIndex(
+        GraftExpr.expression(rankKey),
+        GraftExpr.expression(col("__graft_bounds")),
+        descending, nullsFirst)))
       .drop("__graft_bounds")
 
     val w = Window.partitionBy(col(B)).orderBy(orderCols: _*)

@@ -11,4 +11,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExpr {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Unwrap a sort-order Column (`col(k).desc`, `asc_nulls_last`, ...) into
+    * (bare key column, descending?, nullsFirst?). In Spark 4 the Column holds
+    * an `internal.SortOrder` ColumnNode (catalyst conversion is deferred), so
+    * the unwrap has to happen at the ColumnNode level. */
+  def sortOrder(c: Column): Option[(Column, Boolean, Boolean)] = c.node match {
+    case so: internal.SortOrder =>
+      Some((Column(so.child),
+        so.sortDirection == internal.SortOrder.Descending,
+        so.nullOrdering == internal.SortOrder.NullsFirst))
+    case _ => None
+  }
 }

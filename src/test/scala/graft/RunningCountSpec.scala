@@ -33,6 +33,40 @@ class RunningCountSpec extends AnyFunSuite with SparkSpec {
     assert(RunningCount.withRunningCount(df, Seq(col("k"))).count() == 0)
   }
 
+  test("descending sort-order key numbers largest-first, matching the global window") {
+    import spark.implicits._
+    val df = scala.util.Random.shuffle((1L to 5000L).toVector).toDF("k").repartition(7)
+    val got = RunningCount.withRunningCount(df, Seq(col("k").desc))
+    val want = df.withColumn("rc", row_number().over(Window.orderBy(col("k").desc)).cast("long"))
+    val mismatches = got.join(want, "k")
+      .filter(col("running_count") =!= col("rc")).count()
+    assert(mismatches == 0)
+  }
+
+  test("null keys follow the sort order's null placement") {
+    import spark.implicits._
+    val df = Seq[java.lang.Long](5L, null, 3L, null, 9L, 1L).toDF("k").repartition(3)
+    // asc (nulls first): the two nulls take counts 1, 2
+    val asc = RunningCount.withRunningCount(df, Seq(col("k")))
+    assert(asc.filter(col("k").isNull).select("running_count")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // desc (nulls last): the two nulls take counts 5, 6
+    val desc = RunningCount.withRunningCount(df, Seq(col("k").desc))
+    assert(desc.filter(col("k").isNull).select("running_count")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
+    assert(desc.filter(col("k") === 9L).select("running_count").head().getLong(0) == 1L)
+  }
+
+  test("timestamp order key takes the quantile-bucket path correctly") {
+    import spark.implicits._
+    val df = scala.util.Random.shuffle((1L to 3000L).toVector)
+      .map(i => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 7919)))
+      .toDF("ts").repartition(5)
+    val got = RunningCount.withRunningCount(df, Seq(col("ts")))
+    val want = df.withColumn("rc", row_number().over(Window.orderBy("ts")).cast("long"))
+    assert(got.join(want, "ts").filter(col("running_count") =!= col("rc")).count() == 0)
+  }
+
   test("no order columns: arrival-order fallback still numbers 1..n") {
     import spark.implicits._
     val df = Seq("a", "b", "c", "d").toDF("v").repartition(3)
