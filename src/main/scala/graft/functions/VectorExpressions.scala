@@ -15,6 +15,10 @@ import org.apache.spark.sql.types._
   * 500×500 pair scan at sf0.01. This expression does the whole thing in a
   * tight generated loop; the accumulation order (array order, left fold)
   * is exactly DuckDB's `list_sum`, keeping the oracle bit-identical.
+  *
+  * Fails fast on a length mismatch (same policy as [[HyperplaneBucket]]):
+  * silently truncating to the shorter vector returns a plausible-looking
+  * but wrong similarity for ragged embeddings.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,7 +48,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_similarity: array length mismatch ($n vs ${y.numElements()})")
     val lf = isFloatArr(left); val rf = isFloatArr(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -64,7 +71,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_similarity: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = (double) $a.$lGet($i);

@@ -194,19 +194,27 @@ object Dedup {
     val planes = makePlanes(nPlanes, dim)
     val v = embeddings.repartition(parts)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
+    // multi-probe: own bucket + every hamming-1 neighbor — bare (id, bucket)
+    // rows only; the vectors stay out of the bucket join entirely
+    val probed = v
       .withColumn("bucket0", hyperplaneBucket(col("v"), planes))
-    // multi-probe: own bucket + every hamming-1 neighbor
-    val probed = v.withColumn("bucket", explode(array(
+      .select(col("id"), explode(array(
         (col("bucket0") +: (0 until nPlanes).map(i =>
-          col("bucket0").bitwiseXOR(lit(1 << i)))): _*)))
-      .select(col("id"), col("v"), col("bucket"))
+          col("bucket0").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
 
-    val candidates = probed.toDF("a_id", "a_v", "bucket")
-      .join(probed.toDF("b_id", "b_v", "bucket"), Seq("bucket"))
+    // Candidate pairs deduped as BARE ID PAIRS (multi-probe generates each
+    // pair up to 2·nPlanes+1 times): the bucket join and distinct shuffle
+    // (long, long) rows instead of carrying 2×dim doubles per duplicate
+    // candidate — same discipline as [[minhashLsh]]/[[simhashPairs]].
+    val candidates = probed.toDF("a_id", "bucket")
+      .join(probed.toDF("b_id", "bucket"), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+      .distinct()
 
     candidates
+      .join(v.toDF("a_id", "a_v"), "a_id")
+      .join(v.toDF("b_id", "b_v"), "b_id")
       .withColumn("cos", cosineSimilarity(col("a_v"), col("b_v")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))

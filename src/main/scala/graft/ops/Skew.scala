@@ -14,17 +14,25 @@ object Skew {
 
   private val S = "__graft_salt"
 
-  /** Join a skewed fact side to a small-ish dim side without AQE: the fact's
-    * hot keys are spread over `salt` sub-keys, the dim side is replicated
-    * `salt` ways. Exact same rows as `fact.join(dim, keys)` for inner joins;
-    * shuffle partitions see at most 1/salt of any hot key. */
+  /** INNER-join a skewed fact side to a small-ish dim side without AQE: the
+    * fact's hot keys are spread over `salt` sub-keys, the dim side is
+    * replicated `salt` ways. Exact same rows as `fact.join(dim, keys)` for
+    * inner joins — and ONLY inner joins: an outer flavor would surface each
+    * unmatched dim row `salt` times, so this helper hard-codes the join type.
+    * Shuffle partitions see at most ~1/salt of any hot key.
+    *
+    * The salt is a hash of the whole fact row — a pure function of row
+    * content, so it is reproducible under task retry and independent of
+    * partition layout (`monotonically_increasing_id`/`spark_partition_id`
+    * are not: their values move when the scan splits differently). Duplicate
+    * fact rows share a salt, which only matters if the hot key's rows are
+    * near-identical — pass a wider `salt` there. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String], salt: Int = 8): DataFrame = {
     require(salt >= 1)
-    // deterministic per-row salt (stable under task retry, unlike rand())
-    val saltCol = pmod(hash(monotonically_increasing_id()), lit(salt))
+    val saltCol = pmod(hash(fact.columns.map(col).toSeq: _*), lit(salt))
     val left = fact.withColumn(S, saltCol)
     val right = dim.withColumn(S, explode(array((0 until salt).map(lit): _*)))
-    left.join(right, keys :+ S).drop(S)
+    left.join(right, keys :+ S, "inner").drop(S)
   }
 
   /** Exact distinct count per key under value skew: values are pre-bucketed

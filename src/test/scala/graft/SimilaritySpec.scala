@@ -64,6 +64,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall below floor")
   }
 
+  test("cosine_similarity fails fast on ragged array lengths") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosineSimilarity
+    import org.apache.spark.sql.functions.col
+    val ragged = Seq((Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f)))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(cosineSimilarity(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage != null)
+      && chain(e).exists(t => Option(t.getMessage).exists(_.contains("length mismatch"))))
+  }
+
   test("annLsh fails fast on a dimension mismatch instead of degenerating") {
     val e = intercept[Exception] {
       Similarity.annLsh(corpus.limit(2), corpus, k = 2, nPlanes = 4, dim = 8).count()
