@@ -23,17 +23,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region.
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    // Two timed passes, min per query: the host shows intermittent multi-
-    // second load bursts unrelated to the plan under test. The passes are
-    // INTERLEAVED (all queries once, then all again) so a burst lasting
-    // under a full pass cannot cover both reps of the same query.
+    // Three timed passes, min per query: the host shows intermittent load
+    // bursts (measured up to minutes) unrelated to the plan under test. The
+    // passes are INTERLEAVED (all queries once, then all again) so a burst
+    // must span multiple full passes to inflate a query's reported minimum.
     def pass(): Map[String, Double] = headliners.map { name =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val (p1, p2) = (pass(), pass())
-    val results = headliners.map(n => n -> math.min(p1(n), p2(n)))
+    val passes = Seq(pass(), pass(), pass())
+    val results = headliners.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -42,16 +42,39 @@ object Tables {
   /** Line-tuple source: one row per text line with lineage identity
     * (file, line_no) — the Spark analog of the reference's
     * `uniqueId:filename,lineNumber` tuple id (Node.java:907-913).
-    * The per-file line index is computed per-partition (text files split by
-    * HDFS block; within one file Spark preserves order per split — for exact
-    * per-file numbering on multi-block files, use wholetext or a monotonic id;
-    * here files are small chunks, matching the reference's chunking). */
+    *
+    * Exact numbering even when one file spans multiple scan blocks: a block's
+    * rows always sit in one scan partition in file order (a FilePartition
+    * holds whole splits), but FilePartitions bin-pack splits sorted by SIZE,
+    * so partition order does NOT follow file offset order — ordering by
+    * `monotonically_increasing_id` alone misnumbers multi-block files. Keying
+    * on `_metadata.file_block_start` restores the offset order:
+    *   1. in-block index: row_number over (file, block) — a BALANCED shuffle
+    *      (blocks are <= maxPartitionBytes), never one reducer per file;
+    *   2. per-(file, block) line counts, prefix-summed per file in block
+    *      order — one tiny row per block (~800k rows at 100 TB / 128 MB);
+    *   3. broadcast the offsets back: line_no = block offset + in-block index.
+    */
   def lines(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(input_file_name()).orderBy(monotonically_increasing_id())
-    spark.read.text(path)
-      .withColumn("file", input_file_name())
-      .withColumn("line_no", row_number().over(w).cast("long") - 1)
+    val raw = spark.read.text(path).select(
+      col("value"),
+      col("_metadata.file_path").as("file"),
+      col("_metadata.file_block_start").as("__blk"))
+    // mid ascends within each scan partition, so after the (file, block)
+    // shuffle it reconstructs the original in-block (= in-file) row order
+    val wBlk = Window.partitionBy(col("file"), col("__blk"))
+      .orderBy(monotonically_increasing_id())
+    val offsets = raw.groupBy("file", "__blk")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        sum("__n").over(Window.partitionBy("file").orderBy("__blk")) - col("__n"))
+      .select("file", "__blk", "__off")
+    raw
+      .withColumn("__i", row_number().over(wBlk).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("file", "__blk"))
+      .withColumn("line_no", col("__off") + col("__i"))
+      .select("value", "file", "line_no")
   }
 
   val tableNames: Seq[String] =
