@@ -1,5 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import graft.ops.{OpCompiler, StreamOp}
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
 
 /** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Brute-force O(n²) oracle variants (q_dedup_ngram,
@@ -37,7 +42,55 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Streaming drains reported under their own key: the batch "value" total
+    // stays comparable across rounds, and a stream's time includes the whole
+    // micro-batch lifecycle (listing, state store, commit log), not a plan.
+    val sp = Seq(streamPass(spark, sfDir), streamPass(spark, sfDir))
+    val streams = sp.head.keys.toSeq.sorted
+      .map(k => "\"" + k + "\":" + f"${sp.map(_(k)).min}%.3f")
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streams":$streams,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming headliners: a bounded parquet file-stream drained with
+    * Trigger.AvailableNow into a noop sink — the reference's job model (a
+    * bounded file replayed as a stream, SURVEY.md §2.3) timed end-to-end.
+    * q_stream_pipeline = FILTER + sharded stateful running count over
+    * documents; q_stream_window = watermarked tumbling-window counts over
+    * events. */
+  def streamPass(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    def drain(mode: OutputMode)(df: DataFrame): Double = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = df.writeStream.format("noop").outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // The file-stream source needs a DIRECTORY of arriving files; stage the
+    // single-file tables behind symlinks in a temp dir.
+    def asDir(table: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(s"$table.parquet"), java.nio.file.Paths.get(s"$sfDir/$table.parquet"))
+      d.toString
+    }
+    val docsPath = asDir("documents")
+    val docsSchema = spark.read.parquet(docsPath).schema
+    val pipe = StreamingPipeline.pipeline(
+      Seq(StreamOp.Filter("the"), StreamOp.Aggregate),
+      OpCompiler.Ctx(Some("text"), Seq("doc_id")),
+      shards = spark.sparkContext.defaultParallelism)(
+      spark.readStream.schema(docsSchema).parquet(docsPath))
+    val evPath = asDir("events")
+    val evSchema = spark.read.parquet(evPath).schema
+    val ev = spark.readStream.schema(evSchema).parquet(evPath)
+    val evTs = if (evSchema("ts").dataType == LongType)
+      ev.withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) else ev
+    Map(
+      "q_stream_pipeline" -> drain(OutputMode.Append)(pipe),
+      "q_stream_window" -> drain(OutputMode.Update)(StreamingPipeline.windowedCounts(evTs)))
   }
 }
