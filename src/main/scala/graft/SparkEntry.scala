@@ -255,6 +255,21 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.asMediaTable(t(s, dir, "documents"))).toDF()
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
     }),
+
+    // 16x16 target so most payloads actually truncate (docs are > 256 B).
+    "q_media_resize" -> ((s, dir) => {
+      Multimodal.resize(Multimodal.asMediaTable(t(s, dir, "documents")), 16, 16).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          length(col("payload")).cast("long").as("out_len"))
+    }),
+
+    // Feature vectors depend on payload BYTE values (not SQL-reachable for
+    // non-ASCII text) -> rows-only check; exact values are spec-verified
+    // against an independent reimplementation (MultimodalSpec).
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(t(s, dir, "documents"))).toDF()),
   )
 
   // -------------------------------------------------------------------------
@@ -421,6 +436,11 @@ object SparkEntry {
 
     "q_media_frames" ->
       """SELECT doc_id, CAST(unnest(range(0, 1 + octet_length(encode(text)) % 8, 2)) AS BIGINT) AS frame_idx
+        |FROM documents""".stripMargin,
+
+    "q_media_resize" ->
+      """SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS out_len
         |FROM documents""".stripMargin,
   )
 }

@@ -31,6 +31,19 @@ object Multimodal {
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame_hash: Long)
 
+  /** A resized media row: payload out, payload in — binary-to-binary
+    * partition-local transform, the shape a real resampler has. */
+  final case class ResizedMedia(
+      doc_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int)
+
+  /** Per-document feature vector extracted from the payload — feeds straight
+    * into [[Similarity]] / [[Dedup.embeddingCosinePairsLsh]]. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
   /** Deterministic fake decoder — stands in for a real codec (???): every
     * derived field is pure arithmetic on payload length/bytes, so tests and
     * the SQL oracle can verify the pipeline end-to-end. */
@@ -52,6 +65,37 @@ object Multimodal {
       var i = idx
       while (i < payload.length) { h = h * 1000003L + (payload(i) & 0xffL); i += math.max(1, payload.length / 16) }
       h
+    }
+
+    /** Fake resampler: the output payload is the strided byte subsample that
+      * fits the target pixel budget — bytes in, (fewer) bytes out, like a
+      * real downscale. Deterministic: output length = min(len, w*h). */
+    def resize(r: MediaRecord, w: Int, h: Int): ResizedMedia = {
+      val target = math.min(r.payload.length, w * h)
+      val out = new Array[Byte](target)
+      if (target > 0) {
+        val stride = r.payload.length.toDouble / target
+        var i = 0
+        while (i < target) { out(i) = r.payload((i * stride).toInt); i += 1 }
+      }
+      ResizedMedia(r.doc_id, r.media_type, out, w, h)
+    }
+
+    /** Fake feature extractor: `dim` floats from strided payload bytes, each
+      * (byte - 128) / 128 — exactly representable, in [-1, 1). Empty payload
+      * -> zero vector. */
+    def features(r: MediaRecord, dim: Int): MediaFeatures = {
+      val out = new Array[Float](dim)
+      val n = r.payload.length
+      if (n > 0) {
+        var j = 0
+        while (j < dim) {
+          val b = r.payload(((j.toLong * 2654435761L) % n).toInt.abs) & 0xff
+          out(j) = (b - 128) / 128.0f
+          j += 1
+        }
+      }
+      MediaFeatures(r.doc_id, out)
     }
   }
 
@@ -80,5 +124,23 @@ object Multimodal {
       val d = StubCodec.decode(r)
       (0 until d.n_frames by step).map(i => Frame(r.doc_id, i, StubCodec.frameHash(r.payload, i)))
     })
+  }
+
+  /** Resize stage: binary payload in, binary payload out, partition-local.
+    * The payload never round-trips the driver and never re-encodes between
+    * stages — chain decode/resize/features in one mapPartitions pipeline. */
+  def resize(media: DataFrame, width: Int = 224, height: Int = 224): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(StubCodec.resize(_, width, height)))
+  }
+
+  /** Feature-extraction stage: payload -> fixed-dim float vector. The output
+    * feeds the similarity/dedup operators directly (same `Array[Float]`
+    * embedding shape as the embeddings table). */
+  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(StubCodec.features(_, dim)))
   }
 }
