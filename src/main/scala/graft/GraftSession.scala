@@ -28,12 +28,15 @@ object GraftSession {
     // eviction means re-running Janino on plans we just compiled
     .config("spark.sql.codegen.cache.maxEntries", "1000")
 
-  /** Local session for the test/bench harness. */
+  /** Local session for the test/bench harness. Managed tables (the bucketed
+    * layouts, Layouts.writeBucketed) land in a throwaway warehouse dir. */
   def local(cores: Int, appName: String = "graft"): SparkSession =
     configure(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
 }

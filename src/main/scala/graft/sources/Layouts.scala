@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Physical-layout levers for repeated keyed work — the piece of the 100 TB
+  * design that removes shuffles rather than tuning them. The reference has no
+  * analog (its one redistribution is round-robin by line number,
+  * Node.java:934-946); at cluster scale, pre-bucketing the big fact tables on
+  * their join/agg keys turns every subsequent join between co-bucketed tables
+  * into a zero-exchange sort-merge join.
+  *
+  * Bucketing is Spark's storage-level hash partitioning: `bucketBy(n, keys)`
+  * writes each partition as `n` files by `hash(keys) % n` and records the
+  * layout in the catalog; the planner then proves both join sides are
+  * hash-distributed on the key and plans NO Exchange. Worth it when a table
+  * is joined/aggregated on the same key by many queries (fact-dim star
+  * schemas, dedup postings, feature joins) — one write-time shuffle amortized
+  * over every later read.
+  */
+object Layouts {
+
+  /** Write `df` as a bucketed (and bucket-sorted) managed table. Sorting
+    * within buckets additionally removes the sort-merge join's per-read sort.
+    * On a cluster, pick `buckets` ~ total cores (so one bucket per slot) and
+    * repartition on the keys first to avoid small-file explosion
+    * (`numWritePartitions * buckets` files otherwise). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(keys.map(col): _*)
+      .write
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Number of Exchange (shuffle/broadcast-exchange) nodes in the final
+    * physical plan — 0 on a co-bucketed join is the whole point. */
+  def countExchanges(df: DataFrame): Int = {
+    val executed = df.queryExecution.executedPlan
+    def walk(p: SparkPlan): Int =
+      (if (p.isInstanceOf[Exchange]) 1 else 0) +
+        p.children.map(walk).sum +
+        p.subqueries.map(walk).sum
+    walk(executed)
+  }
+}
