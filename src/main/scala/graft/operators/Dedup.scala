@@ -125,27 +125,30 @@ object Dedup {
     val withSig = docs.repartition(parts).select(
       col(idCol).as("id"),
       Sketches.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    // Unlike minhash/embedding dedup, the signature IS the verification
+    // payload and it is 8 bytes — carry it through the bucket join instead
+    // of joining it back (which re-evaluated the whole tokenize+simhash
+    // subtree 6x: twice for the banded self-join sides, twice for the
+    // join-back sides, twice in not-null join-key filters). The two
+    // identical banded sides shuffle once (ReuseExchange), so the text is
+    // tokenized and hashed ONE time per side.
     val banded = withSig.select(
-      col("id"),
+      col("id"), col("sig"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("band"),
           shiftrightunsigned(col("sig"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("key"))
       }: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
 
-    // Bare-id candidate pairs, deduped BEFORE the signatures are joined
-    // back: the bucket join and distinct shuffle (long, long) rows only.
-    val candidates = banded.toDF("a_id", "band", "key")
-      .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
+    banded.toDF("a_id", "a_sig", "band", "key")
+      .join(banded.toDF("b_id", "b_sig", "band", "key"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
-
-    candidates
-      .join(withSig.toDF("a_id", "a_sig"), "a_id")
-      .join(withSig.toDF("b_id", "b_sig"), "b_id")
+      // verify BEFORE deduping: the popcount is two instructions, so
+      // filtering first shrinks the candidate-dedup shuffle to the rows
+      // that actually pass
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 

@@ -47,6 +47,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((3L, 100L)) && pairs.contains((7L, 101L)))
   }
 
+  test("simhash LSH equals brute-force hamming pairs (pigeonhole: maxHamming < chunks)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Sketches, TextFunctions}
+    val sigs = docs.select(col("doc_id").as("id"),
+      Sketches.simhash64(TextFunctions.tokens(col("text"))).as("sig"))
+    val brute = sigs.toDF("a_id", "a_sig")
+      .crossJoin(sigs.toDF("b_id", "b_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("h", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("h") <= 6)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.simhashPairs(docs, maxHamming = 6, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
+  }
+
   test("embedding cosine pairs find planted near-parallel vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
