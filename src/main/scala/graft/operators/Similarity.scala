@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Trained IVF coarse quantizers, keyed by (canonical corpus plan, nlist) —
+    * see [[annIvf]]. Driver-side only; bounded. */
+  private val ivfModels =
+    scala.collection.mutable.Map.empty[(Int, Int), org.apache.spark.ml.clustering.KMeansModel]
+
   /** Exact top-k cosine neighbors for each query vector. Ranking key is the
     * cosine with id tiebreak; accumulation order is fixed (array order), so
     * the ranking is fully deterministic and engine-portable. */
@@ -91,7 +96,16 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
       .withColumn("features", array_to_vector(col("n_v").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(c)
+    // The coarse quantizer is an INDEX: built once per (corpus, nlist) and
+    // reused across queries, like any vector store. Keyed by the canonical
+    // logical plan, so a changed corpus retrains; deterministic (fixed seed)
+    // so a cache hit is observationally identical to a retrain.
+    val cacheKey = (c.queryExecution.analyzed.canonicalized.hashCode(), nlist)
+    val model = ivfModels.synchronized {
+      if (ivfModels.size > 32) ivfModels.clear()
+      ivfModels.getOrElseUpdate(cacheKey,
+        new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(c))
+    }
     val cells = model.transform(c)
       .select(col("n_id"), col("n_v"), col("prediction").as("cell"))
 
