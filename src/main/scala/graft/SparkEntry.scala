@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Sketches, TextFunctions}
 import graft.operators.{Dedup, Multimodal, Similarity}
-import graft.ops.{OpCompiler, Pipeline, StreamOp}
+import graft.ops.{OpCompiler, Pipeline, RunningCount, StreamOp}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,6 +111,30 @@ object SparkEntry {
       Pipeline.fromDescriptors(Seq("AGGREGATE"),
         OpCompiler.Ctx(None, Seq("event_id")))(ev(s, dir).select("event_id"))
     }),
+
+    // AGGREGATE:sum:field — the reference's declared-but-unimplemented
+    // running-aggregate surface (RainStorm.java:888-891), via the descriptor
+    // parser. DECIMAL accumulation on both engines: windowed double sums
+    // differ in ulps across engines (DuckDB uses segment-tree combination).
+    "q_running_sum" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("l_quantity"))
+      Pipeline.fromDescriptors(Seq("AGGREGATE:sum:l_quantity"),
+        OpCompiler.Ctx(None, Seq("l_orderkey", "l_linenumber")))(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("running_sum").cast("double").as("running_sum"))
+    }),
+
+    // AGGREGATE:max:field via the library API (max of existing doubles is
+    // engine-exact, no decimal detour needed).
+    "q_running_max" -> ((s, dir) =>
+      RunningCount.withRunningAgg(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        col("o_totalprice"), RunningCount.Kind.Max,
+        Seq(col("o_orderkey")), "running_max")
+        .select(col("o_orderkey"), col("running_max"))),
 
     // The canonical reference job shape: op1 -> op2 chain (FILTER then
     // AGGREGATE, Node.java:1106-1160) in ONE Catalyst plan.
@@ -308,6 +332,17 @@ object SparkEntry {
 
     "q_running_count" ->
       "SELECT event_id, CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS running_count FROM events",
+
+    "q_running_sum" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (ORDER BY l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum
+        |FROM lineitem""".stripMargin,
+
+    "q_running_max" ->
+      """SELECT o_orderkey,
+        |  MAX(o_totalprice) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS running_max
+        |FROM orders""".stripMargin,
 
     "q_pipeline_filter_count" ->
       """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS running_count

@@ -59,6 +59,11 @@ object OpCompiler {
 
     case Aggregate =>
       (df => RunningCount.withRunningCount(df, ctx.orderCols.map(col)), ctx)
+
+    case AggregateField(kind, field) =>
+      val out = "running_" + kind.toString.toLowerCase
+      (df => RunningCount.withRunningAgg(
+        df, col(field), kind, ctx.orderCols.map(col), out), ctx)
   }
 
   /** The reference's "whole line" for matching/transform purposes. */

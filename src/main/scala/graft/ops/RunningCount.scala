@@ -3,16 +3,20 @@ package graft.ops
 import graft.functions.BucketIndex
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftExpr
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Scalable global running count (the reference's AGGREGATE op,
-  * Operators.java:57-63 / :93-100 — emits 1,2,3,... one output per input).
+/** Scalable global running aggregates: the reference's AGGREGATE op
+  * (Operators.java:57-63 / :93-100 — emits 1,2,3,... one output per input)
+  * plus the `AGGREGATE:sum|max|min:field` surface its console advertises but
+  * never implemented (RainStorm.java:888-891, SURVEY.md §1.3) — here given
+  * the declared semantics: every row emits the aggregate of all rows up to
+  * and including itself in the global order.
   *
-  * A naive `count(*) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)` collapses
+  * A naive `agg(...) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)` collapses
   * the whole dataset into ONE window partition, so it cannot scale past a
-  * single executor. Instead: classic two-phase prefix sum.
+  * single executor. Instead: classic two-phase prefix aggregation.
   *
   * Preferred path (numeric/temporal first order key): VALUE-RANGE buckets.
   *   1. in-plan `percentile_approx` of the key -> ~equi-depth boundaries,
@@ -24,9 +28,11 @@ import org.apache.spark.sql.types._
   *   2. bucket(row) = binary search of the key in the broadcast boundary
   *      array (native codegen'd [[BucketIndex]], O(log parts) per row) —
   *      a pure function of the VALUE, honoring desc/nulls ordering;
-  *   3. pass A: row_number windowed per bucket (parallel);
-  *      pass B: per-bucket counts -> prefix-summed offsets via a window over
-  *      the tiny (numPartitions-row) aggregate, broadcast-joined back.
+  *   3. pass A: the running aggregate windowed per bucket (parallel);
+  *      pass B: per-bucket totals -> exclusive prefix aggregate via a window
+  *      over the tiny (numPartitions-row) rollup, broadcast-joined back and
+  *      combined (count/sum: +, max: greatest, min: least — null-correct:
+  *      the result is null exactly when no aggregable value precedes).
   * Nothing round-trips the driver — this holds on a 1000-executor cluster.
   *
   * Order keys may be plain columns or explicit sort orders
@@ -37,21 +43,86 @@ import org.apache.spark.sql.types._
   * Fallback path (non-orderable-by-percentile key types, e.g. strings):
   * range-repartition by the key and pin the sampled partitioning with an
   * eager localCheckpoint (sampling is nondeterministic, so phases must not
-  * re-draw), then the same per-partition prefix sum keyed on partition id.
+  * re-draw), then the same per-partition prefix aggregate keyed on
+  * partition id.
   *
   * Ties get an arbitrary but consistent order, same as the reference's
   * arrival-order results log (SURVEY.md §4); order by a unique key for
-  * determinism. All-equal keys degenerate to one bucket — the inherent
-  * serial case of a totally-ordered running count.
+  * determinism (sum/max/min over a tied prefix differ by tie order). All-
+  * equal keys degenerate to one bucket — the inherent serial case of a
+  * totally-ordered running aggregate.
   */
 object RunningCount {
 
   private val B = "__graft_bucket"
+  private val T = "__graft_total"
 
+  /** Which running aggregate to compute. */
+  sealed trait Kind extends Product with Serializable
+  object Kind {
+    case object Count extends Kind
+    case object Sum extends Kind
+    case object Max extends Kind
+    case object Min extends Kind
+
+    def fromName(name: String): Option[Kind] = name.toLowerCase match {
+      case "count" => Some(Count)
+      case "sum"   => Some(Sum)
+      case "max"   => Some(Max)
+      case "min"   => Some(Min)
+      case _       => None
+    }
+  }
+
+  /** The three pieces each kind contributes to the two-phase plan. */
+  private final case class Agg(
+      within: WindowSpec => Column,       // inclusive running agg, per bucket
+      total: Column,                      // per-bucket total (groupBy agg)
+      prefix: WindowSpec => Column,       // exclusive prefix over totals
+      combine: (Column, Column) => Column) // (bucket offset, within) -> out
+
+  private def aggFor(kind: Kind, v: Column): Agg = kind match {
+    case Kind.Count => Agg(
+      w => row_number().over(w).cast("long"),
+      count(lit(1)).as(T),
+      w => coalesce(sum(col(T)).over(w), lit(0L)),
+      (off, in) => off + in)
+    case Kind.Sum => Agg(
+      w => sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(v).as(T),
+      w => sum(col(T)).over(w),
+      // null exactly when BOTH sides are null (no non-null value so far) —
+      // matching SQL's SUM OVER semantics
+      (off, in) => when(off.isNull, in).otherwise(
+        when(in.isNull, off).otherwise(off + in)))
+    case Kind.Max => Agg(
+      w => max(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      max(v).as(T),
+      w => max(col(T)).over(w),
+      (off, in) => greatest(off, in)) // greatest/least skip nulls
+    case Kind.Min => Agg(
+      w => min(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      min(v).as(T),
+      w => min(col(T)).over(w),
+      (off, in) => least(off, in))
+  }
+
+  /** The reference's AGGREGATE: global running count, 1,2,3,... */
   def withRunningCount(
       df: DataFrame,
       orderCols0: Seq[Column],
       outputCol: String = "running_count",
+      numPartitions: Option[Int] = None): DataFrame =
+    withRunningAgg(df, lit(1L), Kind.Count, orderCols0, outputCol, numPartitions)
+
+  /** General running aggregate of `value` over the global `orderCols` order
+    * (`AGGREGATE:sum|max|min:field` declared semantics). */
+  def withRunningAgg(
+      df: DataFrame,
+      value: Column,
+      kind: Kind,
+      orderCols0: Seq[Column],
+      outputCol: String = "running_agg",
       numPartitions: Option[Int] = None): DataFrame = {
     val arrivalCol = "__graft_arrival"
     // No order key (e.g. a Select dropped the lineage columns): fall back to
@@ -62,6 +133,7 @@ object RunningCount {
       else (df.withColumn(arrivalCol, monotonically_increasing_id()),
             Seq(col(arrivalCol)), Seq(arrivalCol))
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val agg = aggFor(kind, value)
 
     // The head key drives the bucketing; callers may hand us a SortOrder
     // (col(k).desc) — unwrap it and carry direction + null placement into
@@ -71,10 +143,10 @@ object RunningCount {
     val keyType = base.select(keyCol).schema.head.dataType
     val rankKey = toRankDouble(keyCol, keyType)
     val out =
-      if (parts <= 1) singlePartition(base, orderCols, outputCol)
+      if (parts <= 1) singlePartition(base, agg, orderCols, outputCol)
       else if (rankKey.isDefined)
-        quantileBuckets(base, rankKey.get, orderCols, descending, nullsFirst, outputCol, parts)
-      else rangeCheckpoint(base, orderCols, outputCol, parts)
+        quantileBuckets(base, agg, rankKey.get, orderCols, descending, nullsFirst, outputCol, parts)
+      else rangeCheckpoint(base, agg, orderCols, outputCol, parts)
     out.drop(dropExtra: _*)
   }
 
@@ -91,12 +163,13 @@ object RunningCount {
   }
 
   /** Degenerate single-partition case: the plain global window. */
-  private def singlePartition(df: DataFrame, orderCols: Seq[Column], outputCol: String) =
-    df.withColumn(outputCol,
-      row_number().over(Window.orderBy(orderCols: _*)).cast("long"))
+  private def singlePartition(
+      df: DataFrame, agg: Agg, orderCols: Seq[Column], outputCol: String) =
+    df.withColumn(outputCol, agg.within(Window.orderBy(orderCols: _*)))
 
   private def quantileBuckets(
       df: DataFrame,
+      agg: Agg,
       rankKey: Column,
       orderCols: Seq[Column],
       descending: Boolean,
@@ -117,26 +190,12 @@ object RunningCount {
         GraftExpr.expression(col("__graft_bounds")),
         descending, nullsFirst)))
       .drop("__graft_bounds")
-
-    val w = Window.partitionBy(col(B)).orderBy(orderCols: _*)
-    val withRn = bucketed.withColumn("__graft_rn", row_number().over(w).cast("long"))
-
-    // numPartitions-row aggregate: a single tiny window partition is fine.
-    val offsets = bucketed.groupBy(col(B))
-      .agg(count(lit(1)).as("__graft_cnt"))
-      .withColumn("__graft_offset", coalesce(
-        sum(col("__graft_cnt")).over(
-          Window.orderBy(col(B)).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col(B), col("__graft_offset"))
-
-    withRn.join(broadcast(offsets), B)
-      .withColumn(outputCol, col("__graft_rn") + col("__graft_offset"))
-      .drop(B, "__graft_rn", "__graft_offset")
+    prefixCombine(bucketed, agg, col(B), B, orderCols, outputCol)
   }
 
   private def rangeCheckpoint(
-      df: DataFrame, orderCols: Seq[Column], outputCol: String, parts: Int): DataFrame = {
+      df: DataFrame, agg: Agg, orderCols: Seq[Column], outputCol: String,
+      parts: Int): DataFrame = {
     val pidCol = "__graft_pid"
     // Eager localCheckpoint pins the sampled range boundaries AND the
     // partition ids so both phases see identical partitioning on
@@ -146,20 +205,30 @@ object RunningCount {
       .repartitionByRange(parts, orderCols: _*)
       .withColumn(pidCol, spark_partition_id())
       .localCheckpoint(true)
+    prefixCombine(ranged, agg, col(pidCol), pidCol, orderCols, outputCol)
+  }
 
-    val w = Window.partitionBy(col(pidCol)).orderBy(orderCols: _*)
-    val withRn = ranged.withColumn("__graft_rn", row_number().over(w).cast("long"))
+  /** Shared second phase: within-bucket running agg + tiny exclusive-prefix
+    * rollup over bucket totals, broadcast back and combined. */
+  private def prefixCombine(
+      bucketed: DataFrame,
+      agg: Agg,
+      bucket: Column,
+      bucketName: String,
+      orderCols: Seq[Column],
+      outputCol: String): DataFrame = {
+    val w = Window.partitionBy(bucket).orderBy(orderCols: _*)
+    val withIn = bucketed.withColumn("__graft_in", agg.within(w))
 
-    val offsets = ranged.groupBy(col(pidCol))
-      .agg(count(lit(1)).as("__graft_cnt"))
-      .withColumn("__graft_offset", coalesce(
-        sum(col("__graft_cnt")).over(
-          Window.orderBy(col(pidCol)).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col(pidCol), col("__graft_offset"))
+    // numPartitions-row rollup: a single tiny window partition is fine.
+    val offsets = bucketed.groupBy(bucket)
+      .agg(agg.total)
+      .withColumn("__graft_offset", agg.prefix(
+        Window.orderBy(bucket).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(bucket, col("__graft_offset"))
 
-    withRn.join(broadcast(offsets), pidCol)
-      .withColumn(outputCol, col("__graft_rn") + col("__graft_offset"))
-      .drop(pidCol, "__graft_rn", "__graft_offset")
+    withIn.join(broadcast(offsets), bucketName)
+      .withColumn(outputCol, agg.combine(col("__graft_offset"), col("__graft_in")))
+      .drop(bucketName, "__graft_in", "__graft_offset")
   }
 }

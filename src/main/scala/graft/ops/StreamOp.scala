@@ -44,6 +44,13 @@ object StreamOp {
     * single-global-count semantics (SURVEY.md §2.1 O9 caveat). */
   case object Aggregate extends StreamOp
 
+  /** The `AGGREGATE:sum|max|min:field` surface the reference's console
+    * advertises (RainStorm.java:888-891) but never implemented
+    * (Node.java:475-477 always builds the counter; SURVEY.md §1.3
+    * "unimplemented surface") — here with the declared semantics: each row
+    * emits the running aggregate of `field` up to itself in global order. */
+  final case class AggregateField(kind: RunningCount.Kind, field: String) extends StreamOp
+
   sealed trait TransformKind extends Product with Serializable
   case object Uppercase extends TransformKind
   case object Lowercase extends TransformKind
@@ -72,6 +79,11 @@ object StreamOp {
         val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (cs.isEmpty) Left(s"TRANSFORM:select needs at least one column: $descriptor")
         else Right(Select(cs))
+      case "AGGREGATE" :: func :: field :: Nil if field.trim.nonEmpty
+          && RunningCount.Kind.fromName(func.trim).exists(_ != RunningCount.Kind.Count) =>
+        Right(AggregateField(RunningCount.Kind.fromName(func.trim).get, field.trim))
+      // the reference's validateOperation accepts ANY AGGREGATE tail and
+      // builds the counter (RainStorm.java:971-973) — preserve that tolerance
       case "AGGREGATE" :: _                          => Right(Aggregate)
       case _ => Left(s"unrecognized operator descriptor: $descriptor")
     }

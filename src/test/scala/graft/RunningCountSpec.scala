@@ -33,6 +33,59 @@ class RunningCountSpec extends AnyFunSuite with SparkSpec {
     assert(RunningCount.withRunningCount(df, Seq(col("k"))).count() == 0)
   }
 
+  test("running sum/max/min match the global-window oracle, nulls included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = scala.util.Random.shuffle((1L to 4000L).toVector).map { k =>
+      (k, if (k % 37 == 0) null else java.lang.Long.valueOf(rnd.nextInt(1000) - 500))
+    }
+    val df = rows.toDF("k", "v").repartition(9)
+    val gw = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for ((kind, oracle) <- Seq(
+        (RunningCount.Kind.Sum, sum(col("v")).over(gw)),
+        (RunningCount.Kind.Max, max(col("v")).over(gw)),
+        (RunningCount.Kind.Min, min(col("v")).over(gw)))) {
+      val got = RunningCount.withRunningAgg(df, col("v"), kind, Seq(col("k")), "ra")
+      val want = df.withColumn("want", oracle)
+      val bad = got.join(want.select("k", "want"), "k")
+        .filter(not(col("ra") <=> col("want"))).count()
+      assert(bad == 0, s"kind=$kind")
+    }
+  }
+
+  test("running sum: leading nulls stay null until the first value (SQL semantics)") {
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Long)]((1L, null), (2L, null), (3L, 10L), (4L, null), (5L, 5L))
+      .toDF("k", "v").repartition(3)
+    val got = RunningCount.withRunningAgg(df, col("v"), RunningCount.Kind.Sum, Seq(col("k")), "rs")
+      .orderBy("k").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Long]))
+    assert(got.toSeq == Seq(None, None, Some(10L), Some(10L), Some(15L)))
+  }
+
+  test("running max on a string order key takes the range-checkpoint path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = scala.util.Random.shuffle((1 to 2000).toVector)
+      .map(i => (f"k$i%06d", rnd.nextDouble() * 100))
+      .toDF("k", "v").repartition(5)
+    val got = RunningCount.withRunningAgg(df, col("v"), RunningCount.Kind.Max, Seq(col("k")), "rm")
+    val gw = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("want", max(col("v")).over(gw))
+    assert(got.join(want.select("k", "want"), "k")
+      .filter(not(col("rm") <=> col("want"))).count() == 0)
+  }
+
+  test("AGGREGATE:sum:field parses; unknown tails still fall back to the counter") {
+    import graft.ops.StreamOp
+    assert(StreamOp.parse("AGGREGATE:sum:amount") ==
+      Right(StreamOp.AggregateField(RunningCount.Kind.Sum, "amount")))
+    assert(StreamOp.parse("AGGREGATE:MAX:v") ==
+      Right(StreamOp.AggregateField(RunningCount.Kind.Max, "v")))
+    assert(StreamOp.parse("AGGREGATE") == Right(StreamOp.Aggregate))
+    assert(StreamOp.parse("AGGREGATE:median:v") == Right(StreamOp.Aggregate))
+    assert(StreamOp.parse("AGGREGATE:count:v") == Right(StreamOp.Aggregate))
+  }
+
   test("descending sort-order key numbers largest-first, matching the global window") {
     import spark.implicits._
     val df = scala.util.Random.shuffle((1L to 5000L).toVector).toDF("k").repartition(7)
