@@ -4,7 +4,7 @@ import graft.ops.{OpCompiler, StreamOp}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 
 /** Structured-Streaming execution of the reference's job model
   * (SURVEY.md §2.3): the same compiled operator pipeline over an unbounded
@@ -55,6 +55,51 @@ object StreamingPipeline {
   private def usableShardCol(df: DataFrame): Row => Int =
     r => if (r.isNullAt(0)) 0 else r.get(0).hashCode()
 
+  /** State for the streaming running sum/max/min: None until the first
+    * non-null value (SQL window semantics). */
+  final case class AggAcc(acc: Option[Double])
+
+  /** Streaming `AGGREGATE:sum|max|min:field` (graft.ops.RunningCount.Kind):
+    * per-shard running aggregate of a numeric field, one output per input.
+    * Accumulates in double — a stream is an ordered sequence, so the
+    * accumulation order is the arrival order on both engines; the batch
+    * decimal-exactness concern (cross-engine windowed-sum reassociation)
+    * does not apply. Same sharding semantics as [[runningCount]]. */
+  def runningAgg(
+      df: DataFrame,
+      valueCol: String,
+      kind: graft.ops.RunningCount.Kind,
+      outputCol: String,
+      shards: Int = 1): DataFrame = {
+    import graft.ops.RunningCount.Kind
+    require(kind != Kind.Count, "use runningCount for the counter")
+    val outSchema: StructType = df.schema.add(outputCol, DoubleType, nullable = true)
+    val outEnc = Encoders.row(outSchema)
+    val shardCol = usableShardCol(df)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val step: (Double, Double) => Double = kind match {
+      case Kind.Sum => _ + _
+      case Kind.Max => math.max
+      case Kind.Min => math.min
+      case Kind.Count => sys.error("unreachable")
+    }
+    df.groupByKey { r: Row => math.floorMod(shardCol(r), shards) }(Encoders.scalaInt)
+      .flatMapGroupsWithState[AggAcc, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[Row], state: GroupState[AggAcc]) =>
+          var acc = state.getOption.flatMap(_.acc)
+          val out = rows.map { r =>
+            if (!r.isNullAt(vIdx)) {
+              val v = r.get(vIdx).asInstanceOf[Number].doubleValue()
+              acc = Some(acc.fold(v)(step(_, v)))
+            }
+            Row.fromSeq(r.toSeq :+ acc.map(Double.box).orNull)
+          }.toVector
+          state.update(AggAcc(acc))
+          out.iterator
+      }(Encoders.kryo[AggAcc], outEnc)
+  }
+
   /** Compile a reference op chain onto a (possibly streaming) DataFrame.
     * Stateless ops are the exact same Catalyst transforms as batch
     * (OpCompiler); AGGREGATE switches to the streaming state operator. */
@@ -63,6 +108,9 @@ object StreamingPipeline {
     ops.foldLeft((df, ctx)) { case ((d, c), op) =>
       op match {
         case StreamOp.Aggregate => (runningCount(d, shards = shards), c)
+        case StreamOp.AggregateField(kind, field) =>
+          (runningAgg(d, field, kind,
+            "running_" + kind.toString.toLowerCase, shards), c)
         case other =>
           val (f, c2) = OpCompiler.compile(other, c)
           (f(d), c2)

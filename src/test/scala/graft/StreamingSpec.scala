@@ -42,6 +42,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming running sum carries state across micro-batches, null-correct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.lang.Double)]
+    val ops = Seq(graft.ops.StreamOp.parseUnsafe("AGGREGATE:sum:v"))
+    val out = StreamingPipeline.pipeline(ops, OpCompiler.Ctx(None, Seq("id")))(
+      mem.toDF().toDF("id", "v"))
+    val q = out.writeStream.format("memory").queryName("rs_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, null), (2L, Double.box(2.5)))
+      q.processAllAvailable()
+      mem.addData((3L, Double.box(1.5)), (4L, null))
+      q.processAllAvailable()
+      val got = spark.table("rs_out").orderBy("id").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      // single shard: arrival order == id order here
+      assert(got.toSeq == Seq(
+        (1L, None), (2L, Some(2.5)), (3L, Some(4.0)), (4L, Some(4.0))))
+    } finally q.stop()
+  }
+
   test("sharded running count partitions the counter like the reference's N workers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
