@@ -208,6 +208,29 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fp"))
     }),
 
+    // The full training-data curation pipeline in ONE Catalyst plan:
+    // lang-ID filter -> quality gate (token count + stopword ratio, ratio
+    // compared in exact integer arithmetic) -> exact dedup keeping the
+    // min-id survivor -> per-survivor token stats. One scan, one shuffle
+    // (the dedup groupBy).
+    "q_pipeline_training" -> ((s, dir) => {
+      val qc = TextFunctions.qualityCounts(col("text")).toMap
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        qc("n_tokens").as("n_tokens"),
+        qc("n_stop").as("n_stop"))
+      scored
+        .filter(col("lang_pred") === "en" && col("n_tokens") >= 20 &&
+          col("n_stop") * 20 >= col("n_tokens")) // stopword ratio >= 0.05
+        .withColumn("fp", md5(col("text")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), max("text").as("text"),
+          count(lit(1)).as("n_dups"))
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"),
+          col("n_dups"))
+    }),
+
     // Native Catalyst sketch expressions (no SQL oracle — rows-only check).
     "q_sketches" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -407,6 +430,35 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "q_pipeline_training" ->
+      """WITH s AS (
+        |  SELECT doc_id, text, toks,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS s_en,
+        |    len(list_intersect(toks, ['el','la','de','los','y','que','en','un'])) AS s_es,
+        |    len(list_intersect(toks, ['der','die','das','und','ein','zu','ist','nicht'])) AS s_de,
+        |    len(list_intersect(toks, ['le','les','des','et','une','est','dans','pour'])) AS s_fr,
+        |    len(list_intersect(toks, ['的','是','了','在','我','有','和','不'])) AS s_zh
+        |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |lang AS (
+        |  SELECT doc_id, text,
+        |    CASE
+        |      WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+        |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+        |      WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+        |      ELSE 'zh' END AS lang_pred,
+        |    len(toks) AS n_tokens,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS n_stop
+        |  FROM s),
+        |kept AS (
+        |  SELECT doc_id, text FROM lang
+        |  WHERE lang_pred = 'en' AND n_tokens >= 20 AND n_stop * 20 >= n_tokens)
+        |SELECT min(doc_id) AS doc_id,
+        |  CAST(len(regexp_extract_all(max(text), '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  count(*) AS n_dups
+        |FROM kept GROUP BY md5(text)""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
