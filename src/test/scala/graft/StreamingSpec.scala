@@ -64,6 +64,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("socket source drives the op pipeline end-to-end (localhost)") {
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      Seq("keep one", "drop this", "KEEP two").foreach(out.println)
+      out.flush()
+      // leave the socket open until the query is done reading
+      Thread.sleep(30000)
+      sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+
+    val lines = StreamingPipeline.socketLines(spark, "localhost", port)
+    val ops = Seq(graft.ops.StreamOp.Filter("keep"),
+      graft.ops.StreamOp.parseUnsafe("TRANSFORM:uppercase"))
+    val out = StreamingPipeline.pipeline(ops, OpCompiler.Ctx(Some("value"), Seq.empty))(lines)
+    val q = out.writeStream.format("memory").queryName("sock_out")
+      .outputMode("append").start()
+    try {
+      // the socket source has no end-of-stream: poll until both rows land
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var rows = Array.empty[String]
+      while (rows.length < 2 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("sock_out").collect().map(_.getString(0))
+        if (rows.length < 2) Thread.sleep(200)
+      }
+      assert(rows.sorted.toSeq == Seq("KEEP ONE", "KEEP TWO"))
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("sharded running count partitions the counter like the reference's N workers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
