@@ -33,6 +33,12 @@ object Sketches {
     * vote is the output bit. Near-identical documents differ in few bits. */
   case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    // null in -> null out (true for every nullSafeEval expression here);
+    // lets constraint propagation derive isnotnull on the CHILD. Note the
+    // optimizer still keeps the original isnotnull(simhash64(x)) predicate
+    // it inferred from join keys — operators avoid that re-evaluation by
+    // making the sketch column non-nullable (see Dedup.simhashPairs).
+    override def nullIntolerant: Boolean = true
     override def checkInputDataTypes() = super.checkInputDataTypes()
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -73,6 +79,7 @@ object Sketches {
   case class MinHashSignature(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val sig = Array.fill(k)(Long.MaxValue)
@@ -106,6 +113,7 @@ object Sketches {
     * a cheap order-sensitive content fingerprint. */
   case class RollingHash(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[UTF8String].getBytes
       var h = 0L
@@ -146,6 +154,7 @@ object Sketches {
     * row. Output array<struct<band:int, key:bigint>>, length = `bands`. */
   case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
       extends UnaryExpression with CodegenFallback {
+    override def nullIntolerant: Boolean = true
     private val k = bands * rowsPerBand
     override def dataType: DataType = ArrayType(
       StructType(Seq(

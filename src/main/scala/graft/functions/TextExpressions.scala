@@ -23,6 +23,7 @@ case class WordShingles(child: Expression, n: Int, distinctOut: Boolean)
   require(n >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.trim

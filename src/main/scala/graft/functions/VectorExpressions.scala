@@ -106,6 +106,7 @@ case class HyperplaneBucket(
   private val dim = if (planes.isEmpty) 0 else planes(0).length
 
   override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
 
   private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true

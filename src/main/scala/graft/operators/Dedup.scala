@@ -46,8 +46,16 @@ object Dedup {
     val sets = docs.repartition(parts).select(
       col(idCol).as("id"),
       TextFunctions.shingleSet(col(textCol), ngram).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val posts = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+      // the coalesce makes sz non-nullable: the jac>=threshold filter would
+      // otherwise infer isnotnull(sz) and inline ANOTHER wordshingles
+      // evaluation into the scan filter (null sh rows never join anyway)
+      .withColumn("sz", coalesce(size(col("sh")), lit(0)))
+    // explode_OUTER: the plain explode makes InferFiltersFromGenerate push
+    // `size(shingles(text)) > 0 AND isnotnull(shingles(text))` into the SCAN,
+    // re-evaluating the whole shingle expression twice more per row. The
+    // outer generate infers nothing; its null/empty rows can't join on the
+    // shingle key, so the output pairs are identical.
+    val posts = sets.select(col("id"), col("sz"), explode_outer(col("sh")).as("shingle"))
     val a = posts.toDF("a_id", "a_sz", "shingle")
     val b = posts.toDF("b_id", "b_sz", "shingle")
     a.join(b, Seq("shingle"))
@@ -122,9 +130,16 @@ object Dedup {
     require(64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val withSig = docs.repartition(parts).select(
-      col(idCol).as("id"),
-      Sketches.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    // Null texts are dropped by a cheap pushed-down scan filter, and the
+    // coalesce makes `sig` provably non-nullable — otherwise the join-key
+    // not-null constraint materializes as `isnotnull(simhash64(...))` in the
+    // scan filter, re-evaluating the whole sketch per row (the coalesce
+    // branch never fires: tokens of a non-null text are non-null).
+    val withSig = docs.repartition(parts)
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("id"),
+        coalesce(Sketches.simhash64(TextFunctions.tokens(col(textCol))), lit(0L)).as("sig"))
     // Unlike minhash/embedding dedup, the signature IS the verification
     // payload and it is 8 bytes — carry it through the bucket join instead
     // of joining it back (which re-evaluated the whole tokenize+simhash
