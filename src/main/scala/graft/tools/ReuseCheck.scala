@@ -14,11 +14,10 @@ object ReuseCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
-    pairs.count()
+    pairs.collect()
     val plan = pairs.queryExecution.executedPlan.toString
     println("REUSED_EXCHANGE_COUNT=" + "ReusedExchange".r.findAllIn(plan).length)
     println("EXCHANGE_COUNT=" + "Exchange".r.findAllIn(plan).length)
-    println(plan)
     spark.stop()
   }
 }
