@@ -183,6 +183,24 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // Sliding windows: every event lands in len/slide = 2 overlapping
+    // windows; epoch-aligned starts match DuckDB's date_trunc arithmetic.
+    "q_events_sliding" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.slidingCounts(
+        ev(s, dir), windowLen = "2 hours", slide = "1 hour")
+        .select(unix_timestamp(col("w_start")).as("w_start"),
+          col("event_type"), col("n"))),
+
+    // Session windows (gaps-and-islands): session starts are compared in
+    // exact integer MICROS on both engines — the parquet carries nanos, and
+    // a ns-precision gap comparison on one side with a us-precision one on
+    // the other could split sessions differently at exact boundaries.
+    "q_events_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.sessionCounts(
+        ev(s, dir), gap = "30 minutes")
+        .select(unix_micros(col("s_start")).as("s_start"),
+          col("event_type"), col("n"))),
+
     // ---------------------------------------------------------------------
     // Text analysis (training-data pipeline ops).
     // ---------------------------------------------------------------------
@@ -395,6 +413,27 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sliding" ->
+      """SELECT w_start, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 * unnest([0, 1]) AS w_start
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH u AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
+        |o AS (
+        |  SELECT event_type, t_us,
+        |    CASE WHEN t_us - lag(t_us) OVER (PARTITION BY event_type ORDER BY t_us) < 1800000000
+        |         THEN 0 ELSE 1 END AS new_s
+        |  FROM u),
+        |i AS (
+        |  SELECT event_type, t_us,
+        |    SUM(new_s) OVER (PARTITION BY event_type ORDER BY t_us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT min(t_us) AS s_start, event_type, count(*) AS n
+        |FROM i GROUP BY event_type, sid""".stripMargin,
 
     "q_lang_id" ->
       """WITH s AS (

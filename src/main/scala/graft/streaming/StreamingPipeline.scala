@@ -144,6 +144,39 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col(keyCol), col("n"))
 
+  /** Sliding-window event-time counts: each event lands in len/slide
+    * overlapping windows. Same watermarked state shape as [[windowedCounts]];
+    * state size multiplies by the overlap factor, not the stream length. */
+  def slidingCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      windowLen: String = "2 hours",
+      slide: String = "1 hour",
+      watermark: String = "4 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col(keyCol), col("n"))
+
+  /** Session-window event-time counts: per key, events within `gap` of the
+    * previous event share a session (gaps-and-islands). Works on batch and
+    * streaming frames — Spark's session_window merges partial sessions under
+    * the watermark; state is bounded by open sessions per key. */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark(tsCol, _))
+    src
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"), col(keyCol), col("n"))
+  }
+
   /** Results sink: append files + checkpoint — the analog of the reference's
     * job<k>_results.log with exactly-once instead of at-least-once. */
   def startFileSink(

@@ -64,6 +64,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within the gap and split beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(min * 60L))
+    val out = StreamingPipeline.sessionCounts(
+      mem.toDF().toDF("ts", "event_type"), gap = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      // a: 0min + 20min merge (gap 20 < 30); 60min starts a new session
+      mem.addData((ts(0), "a"), (ts(20), "a"), (ts(60), "a"), (ts(5), "b"))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").orderBy("event_type", "s_start")
+        .collect().map(r => (r.getString(1), r.getLong(2)))
+      assert(got.toSeq == Seq(("a", 2L), ("a", 1L), ("b", 1L)))
+    } finally q.stop()
+  }
+
   test("socket source drives the op pipeline end-to-end (localhost)") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val port = server.getLocalPort
