@@ -34,12 +34,19 @@ object Dedup {
     * At web scale, cap runaway shingle document-frequency upstream (drop
     * boilerplate shingles) — the standard trick; df² on a boilerplate
     * shingle shared by every document is the quadratic failure mode. */
+  /** @param maxShingleDf drop shingles shared by more than this many docs
+    *   from the postings join — the standard boilerplate guard: a shingle in
+    *   every document contributes df² join rows while carrying no near-dup
+    *   signal. This is an approximation (dropped shingles still count in the
+    *   denominators, so reported Jaccard can only go DOWN — capped runs never
+    *   invent pairs). None = exact. */
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double,
       ngram: Int = 3,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxShingleDf: Option[Int] = None): DataFrame = {
     // spread the per-doc shingle computation: a single-file local scan is one
     // partition, which would serialize all expression work into one task
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -55,9 +62,17 @@ object Dedup {
     // re-evaluating the whole shingle expression twice more per row. The
     // outer generate infers nothing; its null/empty rows can't join on the
     // shingle key, so the output pairs are identical.
-    val posts = sets.select(col("id"), col("sz"), explode_outer(col("sh")).as("shingle"))
-    val a = posts.toDF("a_id", "a_sz", "shingle")
-    val b = posts.toDF("b_id", "b_sz", "shingle")
+    val posts0 = sets.select(col("id"), col("sz"), explode_outer(col("sh")).as("shingle"))
+    // document-frequency cap: one keyed aggregation over the postings, then
+    // drop the hot shingles BEFORE the df² self-join
+    val posts = maxShingleDf.fold(posts0) { cap =>
+      val df_ = posts0.groupBy("shingle").agg(count(lit(1)).as("__graft_df"))
+        .filter(col("__graft_df") <= cap)
+        .select("shingle")
+      posts0.join(df_, "shingle")
+    }
+    val a = posts.select(col("id").as("a_id"), col("sz").as("a_sz"), col("shingle"))
+    val b = posts.select(col("id").as("b_id"), col("sz").as("b_sz"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id", "a_sz", "b_sz")

@@ -83,6 +83,10 @@ object Similarity {
     * The classic coarse-quantizer scale path — per-query work is
     * O(nprobe/nlist · corpus). The cell model is small (nlist centroids) and
     * ships as plan literals; the corpus is shuffled ONCE by cell id. */
+  /** @param trainFraction train the coarse quantizer on a deterministic
+    *   sample of the corpus (the standard IVF practice — faiss trains on a
+    *   subset): cell QUALITY needs only a representative sample, while cell
+    *   ASSIGNMENT still covers every vector. 1.0 = train on everything. */
   def annIvf(
       queries: DataFrame,
       corpus: DataFrame,
@@ -90,7 +94,8 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -100,11 +105,14 @@ object Similarity {
     // reused across queries, like any vector store. Keyed by the canonical
     // logical plan, so a changed corpus retrains; deterministic (fixed seed)
     // so a cache hit is observationally identical to a retrain.
-    val cacheKey = (c.queryExecution.analyzed.canonicalized.hashCode(), nlist)
+    require(trainFraction > 0 && trainFraction <= 1.0)
+    val trainSet = if (trainFraction < 1.0) c.sample(trainFraction, seed = 42) else c
+    val cacheKey = (c.queryExecution.analyzed.canonicalized.hashCode(),
+      nlist, trainFraction).hashCode() -> nlist
     val model = ivfModels.synchronized {
       if (ivfModels.size > 32) ivfModels.clear()
       ivfModels.getOrElseUpdate(cacheKey,
-        new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(c))
+        new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(trainSet))
     }
     val cells = model.transform(c)
       .select(col("n_id"), col("n_v"), col("prediction").as("cell"))

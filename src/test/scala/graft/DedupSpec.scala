@@ -41,6 +41,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == brute)
   }
 
+  test("shingle df-cap drops boilerplate pairs, keeps real near-dups, never invents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // every doc shares a boilerplate prefix; only the planted pairs are real
+    val noisy = docs.select(col("doc_id"),
+      concat(lit("legal disclaimer boilerplate header text here "), col("text")).as("text"))
+    val exact = Dedup.ngramJaccardPairs(noisy, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(noisy, 0.5, maxShingleDf = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capping only lowers evidence: no invented pairs
+    assert(capped.subsetOf(exact))
+    // the genuinely-identical docs still pair (their shingles are rare)
+    assert(capped.contains((3L, 100L)) && capped.contains((7L, 101L)))
+  }
+
   test("simhash banding catches the exact dups within hamming 3") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -51,6 +51,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.4, s"recall $recall below floor") // multi-probe, 32 buckets over 200 vecs
   }
 
+  test("annIvf trained on a sample still reaches the recall floor") {
+    import org.apache.spark.sql.functions.col
+    val queries = corpus.filter(col("vec_id") < 5)
+    val exact = scalaTopK(5)
+    val ivf = Similarity.annIvf(queries, corpus, k = 5, nlist = 8, nprobe = 4,
+        trainFraction = 0.5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recall = exact.map { case (q, want) =>
+      want.count(ivf.getOrElse(q, Set.empty)).toDouble / want.size
+    }.sum / exact.size
+    assert(recall >= 0.4, s"sampled-train IVF recall $recall below floor")
+  }
+
   test("annIvf achieves usable recall@5 against brute force") {
     import org.apache.spark.sql.functions.col
     val queries = corpus.filter(col("vec_id") < 5)
