@@ -332,9 +332,16 @@ object SparkEntry {
 
     // Feature vectors depend on payload BYTE values (not SQL-reachable for
     // non-ASCII text) -> rows-only check; exact values are spec-verified
-    // against an independent reimplementation (MultimodalSpec).
+    // against an independent reimplementation (MultimodalSpec). The vector is
+    // exploded to scalar (doc_id, feat_idx, feat) rows: the harness sorts
+    // output columns with pandas, which cannot sort/hash an array<float>
+    // column, and the explosion puts every feature value under the gate.
     "q_media_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.asMediaTable(t(s, dir, "documents"))).toDF()),
+      Multimodal.extractFeatures(Multimodal.asMediaTable(t(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .select(col("doc_id"),
+          col("feat_idx").cast("long").as("feat_idx"),
+          col("feat").cast("double").as("feat"))),
   )
 
   // -------------------------------------------------------------------------

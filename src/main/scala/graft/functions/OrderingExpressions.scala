@@ -22,6 +22,13 @@ import org.apache.spark.sql.types._
   *    output order (largest keys -> bucket 0); null key per `nullsFirst`
   *    (Spark default: desc = NULLS LAST).
   *  - null bounds array (empty/all-null input): everything -> bucket 0.
+  *  - NaN key: Spark's total order puts NaN above every double, so NaN
+  *    belongs in the extreme-value bucket (asc -> n, desc -> 0). A plain
+  *    binary search would strand it at the wrong end (every NaN comparison
+  *    is false), silently mis-numbering rows relative to other buckets.
+  *    Callers must keep NaN out of the boundary array itself (see
+  *    RunningCount.quantileBuckets) — a NaN bound breaks the search's
+  *    sortedness invariant.
   *
   * Never null-producing: a bucket id exists for every row.
   */
@@ -52,6 +59,7 @@ case class BucketIndex(
     val keyAny = left.eval(input)
     if (keyAny == null) return if (nullsFirst) 0 else n
     val k = keyAny.asInstanceOf[Double]
+    if (java.lang.Double.isNaN(k)) return if (descending) 0 else n
     var lo = 0
     var hi = n
     if (!descending) {
@@ -81,6 +89,7 @@ case class BucketIndex(
     val cmp = if (!descending) s"<= ${leftGen.value}" else s"< ${leftGen.value}"
     val result = if (!descending) lo else s"$n - $lo"
     val nullBucket = if (nullsFirst) "0" else n
+    val nanBucket = if (descending) "0" else n
     ev.copy(
       isNull = FalseLiteral,
       code = code"""
@@ -91,6 +100,8 @@ case class BucketIndex(
         |  int $n = ${rightGen.value}.numElements();
         |  if (${leftGen.isNull}) {
         |    ${ev.value} = $nullBucket;
+        |  } else if (java.lang.Double.isNaN(${leftGen.value})) {
+        |    ${ev.value} = $nanBucket;
         |  } else {
         |    int $lo = 0, $hi = $n;
         |    while ($lo < $hi) {

@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Trained IVF coarse quantizers, keyed by (canonical corpus plan, nlist) —
-    * see [[annIvf]]. Driver-side only; bounded. */
-  private val ivfModels =
-    scala.collection.mutable.Map.empty[(Int, Int), org.apache.spark.ml.clustering.KMeansModel]
+  /** Trained IVF coarse quantizers, keyed by (canonical corpus plan, corpus
+    * row count, nlist, trainFraction) — see [[annIvf]]. The plan itself (not
+    * its hashCode) is the key, so equality is structural with no collision
+    * risk; the row count fingerprints the underlying data, catching a parquet
+    * file overwritten in place (same path, same canonical plan, new
+    * contents). Driver-side only; bounded. */
+  private val ivfModels = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Double),
+    org.apache.spark.ml.clustering.KMeansModel]
 
   /** Exact top-k cosine neighbors for each query vector. Ranking key is the
     * cosine with id tiebreak; accumulation order is fixed (array order), so
@@ -107,8 +112,9 @@ object Similarity {
     // so a cache hit is observationally identical to a retrain.
     require(trainFraction > 0 && trainFraction <= 1.0)
     val trainSet = if (trainFraction < 1.0) c.sample(trainFraction, seed = 42) else c
-    val cacheKey = (c.queryExecution.analyzed.canonicalized.hashCode(),
-      nlist, trainFraction).hashCode() -> nlist
+    // count() is a metadata-only scan on parquet — cheap even at scale, and
+    // it distinguishes same-path-new-contents corpora the plan alone cannot.
+    val cacheKey = (c.queryExecution.analyzed.canonicalized, c.count(), nlist, trainFraction)
     val model = ivfModels.synchronized {
       if (ivfModels.size > 32) ivfModels.clear()
       ivfModels.getOrElseUpdate(cacheKey,

@@ -179,9 +179,12 @@ object RunningCount {
     val probs = (1 until parts).map(i => lit(i.toDouble / parts))
     // ONE row of ~parts doubles; the eager localCheckpoint pins the
     // approx-percentile draw (see scaladoc) at the cost of materializing a
-    // single tiny partition.
+    // single tiny partition. NaN keys are nulled out of the percentile input:
+    // a NaN boundary would break BucketIndex's sorted-search invariant, and
+    // BucketIndex routes NaN keys to the extreme bucket itself.
     val bounds = df.agg(
-      percentile_approx(rankKey, array(probs: _*), lit(10000)).as("__graft_bounds"))
+      percentile_approx(when(isnan(rankKey), lit(null)).otherwise(rankKey),
+        array(probs: _*), lit(10000)).as("__graft_bounds"))
       .localCheckpoint(true)
     val bucketed = df
       .crossJoin(broadcast(bounds))

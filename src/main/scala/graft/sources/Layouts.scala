@@ -23,16 +23,19 @@ object Layouts {
 
   /** Write `df` as a bucketed (and bucket-sorted) managed table. Sorting
     * within buckets additionally removes the sort-merge join's per-read sort.
-    * On a cluster, pick `buckets` ~ total cores (so one bucket per slot) and
-    * repartition on the keys first to avoid small-file explosion
-    * (`numWritePartitions * buckets` files otherwise). */
+    * The pre-write `repartition(buckets, keys)` uses the SAME HashPartitioning
+    * pmod arithmetic as the bucket-id spec, so each write task holds exactly
+    * one bucket id and writes exactly one file — without the explicit
+    * partition count, a task still mixes keys from many bucket ids and the
+    * write explodes into up to `numWritePartitions * buckets` small files.
+    * On a cluster, pick `buckets` ~ total cores (one bucket per slot). */
   def writeBucketed(
       df: DataFrame,
       table: String,
       keys: Seq[String],
       buckets: Int): Unit = {
     import org.apache.spark.sql.functions.col
-    df.repartition(keys.map(col): _*)
+    df.repartition(buckets, keys.map(col): _*)
       .write
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)

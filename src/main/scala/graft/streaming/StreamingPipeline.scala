@@ -56,15 +56,21 @@ object StreamingPipeline {
     r => if (r.isNullAt(0)) 0 else r.get(0).hashCode()
 
   /** State for the streaming running sum/max/min: None until the first
-    * non-null value (SQL window semantics). */
-  final case class AggAcc(acc: Option[Double])
+    * non-null value (SQL window semantics). The accumulator representation is
+    * type-directed (see [[runningAgg]]). */
+  final case class AggAcc(acc: Option[Any])
 
   /** Streaming `AGGREGATE:sum|max|min:field` (graft.ops.RunningCount.Kind):
     * per-shard running aggregate of a numeric field, one output per input.
-    * Accumulates in double — a stream is an ordered sequence, so the
-    * accumulation order is the arrival order on both engines; the batch
-    * decimal-exactness concern (cross-engine windowed-sum reassociation)
-    * does not apply. Same sharding semantics as [[runningCount]]. */
+    * The output schema matches the BATCH compile of the same descriptor
+    * (OpCompiler -> RunningCount.withRunningAgg, i.e. Spark's own aggregate
+    * result types): sum of an integral field accumulates in long (exact past
+    * 2^53, where a double accumulator silently loses integer exactness), sum
+    * of a decimal in BigDecimal with Spark's widened sum precision, sum of a
+    * float/double in double; max/min preserve the field's own type. One op
+    * descriptor therefore yields the same output schema and the same values
+    * whether it is run batch or streaming. Same sharding semantics as
+    * [[runningCount]]. */
   def runningAgg(
       df: DataFrame,
       valueCol: String,
@@ -72,17 +78,58 @@ object StreamingPipeline {
       outputCol: String,
       shards: Int = 1): DataFrame = {
     import graft.ops.RunningCount.Kind
+    import org.apache.spark.sql.types._
     require(kind != Kind.Count, "use runningCount for the counter")
-    val outSchema: StructType = df.schema.add(outputCol, DoubleType, nullable = true)
+    val inType = df.schema(valueCol).dataType
+    // Mirror Spark's Sum.resultType so batch and streaming schemas agree.
+    val outType: DataType = kind match {
+      case Kind.Sum => inType match {
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case FloatType | DoubleType => DoubleType
+        case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+        case other => throw new IllegalArgumentException(
+          s"AGGREGATE:sum needs a numeric field, got $other")
+      }
+      case _ => inType
+    }
+    // (promote incoming value to accumulator repr, combine) — the repr is
+    // also the value emitted, so it must encode as `outType`.
+    val promote: Any => Any = (kind, inType) match {
+      case (Kind.Sum, ByteType | ShortType | IntegerType | LongType) =>
+        v => v.asInstanceOf[Number].longValue()
+      case (Kind.Sum, FloatType | DoubleType) => v => v.asInstanceOf[Number].doubleValue()
+      case (Kind.Sum, _: DecimalType) => {
+        case d: java.math.BigDecimal => BigDecimal(d)
+        case d: BigDecimal => d
+        case other => BigDecimal(other.toString)
+      }
+      case _ => identity // max/min: keep the field's own boxed value
+    }
+    val step: (Any, Any) => Any = kind match {
+      case Kind.Sum => (a, b) => (a, b) match {
+        case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.valueOf(x + y)
+        case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.valueOf(x + y)
+        case (x: BigDecimal, y: BigDecimal) => x + y
+        case other => sys.error(s"unreachable sum reprs: $other")
+      }
+      case _ =>
+        // max/min over the field's natural order; NaN ranks above all doubles
+        // (Spark's ordering). Values are same-typed Comparables.
+        val ord: Ordering[Any] = inType match {
+          case FloatType =>
+            Ordering.by[Any, Float](_.asInstanceOf[Number].floatValue())(
+              Ordering.Float.TotalOrdering)
+          case DoubleType =>
+            Ordering.by[Any, Double](_.asInstanceOf[Number].doubleValue())(
+              Ordering.Double.TotalOrdering)
+          case _ => (x: Any, y: Any) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+        }
+        if (kind == Kind.Max) (a, b) => ord.max(a, b) else (a, b) => ord.min(a, b)
+    }
+    val outSchema: StructType = df.schema.add(outputCol, outType, nullable = true)
     val outEnc = Encoders.row(outSchema)
     val shardCol = usableShardCol(df)
     val vIdx = df.schema.fieldIndex(valueCol)
-    val step: (Double, Double) => Double = kind match {
-      case Kind.Sum => _ + _
-      case Kind.Max => math.max
-      case Kind.Min => math.min
-      case Kind.Count => sys.error("unreachable")
-    }
     df.groupByKey { r: Row => math.floorMod(shardCol(r), shards) }(Encoders.scalaInt)
       .flatMapGroupsWithState[AggAcc, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -90,10 +137,10 @@ object StreamingPipeline {
           var acc = state.getOption.flatMap(_.acc)
           val out = rows.map { r =>
             if (!r.isNullAt(vIdx)) {
-              val v = r.get(vIdx).asInstanceOf[Number].doubleValue()
+              val v = promote(r.get(vIdx))
               acc = Some(acc.fold(v)(step(_, v)))
             }
-            Row.fromSeq(r.toSeq :+ acc.map(Double.box).orNull)
+            Row.fromSeq(r.toSeq :+ acc.orNull)
           }.toVector
           state.update(AggAcc(acc))
           out.iterator

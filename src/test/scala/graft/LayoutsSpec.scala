@@ -28,6 +28,22 @@ class LayoutsSpec extends AnyFunSuite with SparkSpec {
       s"expected a zero-exchange co-located join:\n${joined.queryExecution.executedPlan}")
   }
 
+  test("writeBucketed emits exactly one file per bucket (no small-file explosion)") {
+    import spark.implicits._
+    // many input partitions: without the pmod-aligned repartition(buckets, keys)
+    // each write task mixes bucket ids and the table explodes into up to
+    // partitions*buckets files
+    val df = (0L until 4000L).map(i => (i, s"v$i")).toDF("k", "v").repartition(16)
+    Layouts.writeBucketed(df, "b_files", Seq("k"), buckets = 4)
+    val loc = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("b_files")).location)
+    val dataFiles = loc.listFiles().filter(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles.length == 4,
+      s"expected one file per bucket, got:\n${dataFiles.map(_.getName).mkString("\n")}")
+    assert(Layouts.readTable(spark, "b_files").count() == 4000)
+  }
+
   test("bucketed groupBy on the bucket key needs no exchange either") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i % 500, i)).toDF("k", "v")

@@ -120,6 +120,34 @@ class RunningCountSpec extends AnyFunSuite with SparkSpec {
     assert(got.join(want, "ts").filter(col("running_count") =!= col("rc")).count() == 0)
   }
 
+  test("NaN order keys bucket to Spark's sort position (above all doubles)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // enough rows that NaN/values land in different quantile buckets if
+    // mis-bucketed; a handful of NaNs and nulls mixed through
+    val vals = (1 to 3000).map(i =>
+      if (i % 271 == 0) Double.NaN else rnd.nextDouble() * 1000 - 500)
+    val df = scala.util.Random.shuffle(
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toVector)
+      .toDF("id", "k").repartition(7)
+    // asc: NaN sorts LAST (after every double)
+    val asc = RunningCount.withRunningCount(df, Seq(col("k"), col("id")))
+    val wantAsc = df.withColumn("rc",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+    assert(asc.join(wantAsc, Seq("id"))
+      .filter(col("running_count") =!= col("rc")).count() == 0)
+    // desc: NaN sorts FIRST
+    val desc = RunningCount.withRunningCount(df, Seq(col("k").desc, col("id")))
+    val wantDesc = df.withColumn("rc",
+      row_number().over(Window.orderBy(col("k").desc, col("id"))).cast("long"))
+    assert(desc.join(wantDesc, Seq("id"))
+      .filter(col("running_count") =!= col("rc")).count() == 0)
+    val nNan = vals.count(_.isNaN)
+    // the NaN rows must take exactly the first nNan positions under desc
+    assert(desc.filter(isnan(col("k"))).select("running_count")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to nNan).toSeq)
+  }
+
   test("no order columns: arrival-order fallback still numbers 1..n") {
     import spark.implicits._
     val df = Seq("a", "b", "c", "d").toDF("v").repartition(3)

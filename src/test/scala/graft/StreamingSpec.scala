@@ -64,6 +64,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming running sum of a long field stays long and exact past 2^53") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ops = Seq(graft.ops.StreamOp.parseUnsafe("AGGREGATE:sum:v"))
+    val ctx = OpCompiler.Ctx(None, Seq("id"))
+    val out = StreamingPipeline.pipeline(ops, ctx)(mem.toDF().toDF("id", "v"))
+    // schema agreement with the batch compile of the SAME descriptor
+    val batchOut = graft.ops.Pipeline(
+      Seq(graft.ops.StreamOp.parseUnsafe("AGGREGATE:sum:v")), ctx)(
+      Seq((1L, 1L)).toDF("id", "v"))
+    assert(out.schema("running_sum").dataType == batchOut.schema("running_sum").dataType,
+      "batch and streaming AGGREGATE:sum:v must emit the same output type")
+    val q = out.writeStream.format("memory").queryName("rs_long")
+      .outputMode("append").start()
+    try {
+      val big = (1L << 53) + 1 // not representable as a double sum increment
+      mem.addData((1L, big), (2L, 1L))
+      q.processAllAvailable()
+      mem.addData((3L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("rs_long").orderBy("id").collect()
+        .map(r => r.getLong(2)).toSeq
+      assert(got == Seq(big, big + 1, big + 2)) // a double accumulator loses the +1s
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within the gap and split beyond it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
