@@ -250,9 +250,13 @@ object SparkEntry {
     }),
 
     // Native Catalyst sketch expressions (no SQL oracle — rows-only check).
+    // Portable-hash variants so both sketches are DuckDB-reproducible
+    // (md5-derived 60-bit simhash; rolling hash = mod-2^64 byte fold the
+    // oracle reproduces with HUGEINT + list_reduce). The xxhash64 simhash
+    // stays the production default (SketchesSpec covers both).
     "q_sketches" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
-        Sketches.simhash64(TextFunctions.tokens(col("text"))).as("simhash"),
+        Sketches.simhash64(TextFunctions.tokens(col("text")), portable = true).as("simhash"),
         Sketches.rollingHash(col("text")).as("rolling_hash"))
     }),
 
@@ -271,8 +275,11 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)),
 
     // SimHash banding (no SQL oracle — rows-only check).
+    // Portable hash => the whole banded-join + hamming pipeline is verified
+    // against a from-scratch SQL simhash (rows-only before round 4).
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)),
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6, portable = true)
+        .withColumn("hamming", col("hamming").cast("long"))),
 
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), threshold = 0.4)),
@@ -532,6 +539,56 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+
+    // From-scratch SQL simhash over the SAME portable 60-bit md5 token hash
+    // (Sketches.md5Hash60): per (doc, bit) vote, sign -> signature, then the
+    // exact hamming pair filter. The Spark side's banded candidate join is
+    // lossless at maxHamming 6 < chunks 8 (pigeonhole), so brute-force pairs
+    // here are the complete answer.
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |hv AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hv CROSS JOIN range(60) r(b)
+        |  GROUP BY doc_id, b),
+        |sigs AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin,
+
+    // simhash as above; rolling_hash = Java's mod-2^64 byte fold, reproduced
+    // with a HUGEINT list_reduce over the UTF-8 bytes then mapped back to the
+    // signed 64-bit range.
+    "q_sketches" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+        |hv AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hv CROSS JOIN range(60) r(b)
+        |  GROUP BY doc_id, b),
+        |sigs AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |roll AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS rolling_hash
+        |  FROM (
+        |    SELECT doc_id, list_reduce(
+        |      list_prepend(0::HUGEINT, list_transform(range(octet_length(encode(text))),
+        |        i -> (('0x' || substr(to_hex(encode(text)), CAST(i * 2 + 1 AS INTEGER), 2))::UBIGINT)::HUGEINT)),
+        |      (h, b) -> (h * 1000003 + b) % 18446744073709551616::HUGEINT) AS u
+        |    FROM documents))
+        |SELECT s.doc_id, s.simhash, r.rolling_hash FROM sigs s JOIN roll r USING (doc_id)""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)

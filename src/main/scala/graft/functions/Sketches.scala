@@ -26,12 +26,40 @@ object Sketches {
   @inline private[functions] def hash64(s: UTF8String, seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(s, StringType, seed)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5 (= the
+    * big-endian u64 of the first 8 digest bytes, shifted right 4). Any SQL
+    * engine with md5 + hex-to-int can reproduce it bit-exactly (DuckDB:
+    * `('0x' || substr(md5(s),1,15))::UBIGINT`), which is what makes a
+    * simhash built on it oracle-checkable. 60 bits keeps the value inside a
+    * signed 64-bit integer on engines without unsigned types. */
+  @inline private[functions] def md5Hash60(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash (Charikar 2002) of a token array: per token a 64-bit
     * hash votes +1/-1 on each bit position; the sign of each accumulated
-    * vote is the output bit. Near-identical documents differ in few bits. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    * vote is the output bit. Near-identical documents differ in few bits.
+    *
+    * `portable = true` swaps the per-token xxhash64 for [[md5Hash60]] and
+    * votes over 60 bit positions (bits 60-63 stay 0) — slightly slower per
+    * token, but reproducible in any engine with md5, so results can be
+    * verified against an independent SQL oracle. The default xxhash64 path
+    * is the throughput choice for production dedup. */
+  case class SimHash64(child: Expression, portable: Boolean = false)
+      extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     // null in -> null out (true for every nullSafeEval expression here);
     // lets constraint propagation derive isnotnull on the CHILD. Note the
@@ -40,16 +68,18 @@ object Sketches {
     // making the sketch column non-nullable (see Dedup.simhashPairs).
     override def nullIntolerant: Boolean = true
     override def checkInputDataTypes() = super.checkInputDataTypes()
+    private val nBits = if (portable) 60 else 64
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
+      val votes = new Array[Int](nBits)
       var i = 0
       val n = arr.numElements()
       while (i < n) {
         if (!arr.isNullAt(i)) {
-          val h = hash64(arr.getUTF8String(i), 42L)
+          val s = arr.getUTF8String(i)
+          val h = if (portable) md5Hash60(s) else hash64(s, 42L)
           var b = 0
-          while (b < 64) {
+          while (b < nBits) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
             b += 1
           }
@@ -58,7 +88,7 @@ object Sketches {
       }
       var out = 0L
       var b = 0
-      while (b < 64) {
+      while (b < nBits) {
         if (votes(b) > 0) out |= (1L << b)
         b += 1
       }
@@ -67,8 +97,8 @@ object Sketches {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
-  def simhash64(tokens: Column): Column =
-    GraftExpr.column(SimHash64(GraftExpr.expression(tokens)))
+  def simhash64(tokens: Column, portable: Boolean = false): Column =
+    GraftExpr.column(SimHash64(GraftExpr.expression(tokens), portable))
 
   // ---------------------------------------------------------------- MinHash
 

@@ -136,12 +136,16 @@ object Dedup {
     * within hamming distance < chunks shares at least one exact piece), then
     * verified with an exact popcount <= maxHamming filter. Scales like
     * MinHash-LSH (keyed bucket join). */
+  /** @param portable use the md5-derived engine-portable token hash
+    *   (Sketches.SimHash64 scaladoc) so the output can be verified against
+    *   an independent SQL oracle; default xxhash64 for throughput. */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 6,
       chunks: Int = 8,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -154,7 +158,7 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .select(
         col(idCol).as("id"),
-        coalesce(Sketches.simhash64(TextFunctions.tokens(col(textCol))), lit(0L)).as("sig"))
+        coalesce(Sketches.simhash64(TextFunctions.tokens(col(textCol)), portable), lit(0L)).as("sig"))
     // Unlike minhash/embedding dedup, the signature IS the verification
     // payload and it is 8 bytes — carry it through the bucket join instead
     // of joining it back (which re-evaluated the whole tokenize+simhash

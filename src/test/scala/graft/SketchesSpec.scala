@@ -21,6 +21,34 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(java.lang.Long.bitCount(a ^ near) < java.lang.Long.bitCount(a ^ far))
   }
 
+  test("portable simhash matches an independent md5 reimplementation") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "wörds with ünïcode — and punctuation!",
+      "", "   ", "single")
+    val got = texts.toDF("t")
+      .select(Sketches.simhash64(TextFunctions.tokens(col("t")), portable = true))
+      .collect().map(_.getLong(0)).toSeq
+    // from scratch: tokens = split(trim, \s+); per-token 60-bit hash = first
+    // 15 md5 hex chars; vote per bit; sign -> signature
+    def expected(text: String): Long = {
+      val toks = text.trim.split("\\s+").toSeq
+      val votes = new Array[Int](60)
+      for (t <- toks) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        for (b <- 0 until 60)
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+      (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }
+    assert(got == texts.map(expected))
+    // the top 4 bits are always clear (60-bit hash)
+    assert(got.forall(s => (s >>> 60) == 0L))
+  }
+
   test("minhash signature has length k; identical inputs agree elementwise") {
     import spark.implicits._
     val df = Seq("a b c d e f g h", "a b c d e f g h").toDF("t")
