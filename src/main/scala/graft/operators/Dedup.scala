@@ -174,15 +174,26 @@ object Dedup {
       }: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
 
+    // A qualifying pair collides in EVERY band where its signature chunks
+    // agree — once per matching band. Since both sigs ride through the join,
+    // "is this the first matching band?" is a pure function of
+    // (band, a_sig^b_sig): chunk c matches iff bits [c*bits, (c+1)*bits) of
+    // the xor are zero. Keeping only the first matching band dedups WITHOUT
+    // the dropDuplicates shuffle a candidate set of this size would
+    // otherwise pay (at cluster scale, a full extra exchange of every
+    // candidate pair).
+    val xorSig = col("a_sig").bitwiseXOR(col("b_sig"))
+    val chunkMask = lit((1L << bits) - 1)
+    val firstMatchingBand = (0 until chunks).reverse.foldLeft(lit(-1)) { (acc, c) =>
+      when(shiftrightunsigned(xorSig, c * bits).bitwiseAND(chunkMask) === 0L, lit(c))
+        .otherwise(acc)
+    }
     banded.toDF("a_id", "a_sig", "band", "key")
       .join(banded.toDF("b_id", "b_sig", "band", "key"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      // verify BEFORE deduping: the popcount is two instructions, so
-      // filtering first shrinks the candidate-dedup shuffle to the rows
-      // that actually pass
-      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("band") === firstMatchingBand)
+      .withColumn("hamming", bit_count(xorSig))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
@@ -231,23 +242,37 @@ object Dedup {
     val planes = makePlanes(nPlanes, dim)
     val v = embeddings.repartition(parts)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-    // multi-probe: own bucket + every hamming-1 neighbor — bare (id, bucket)
-    // rows only; the vectors stay out of the bucket join entirely
+    // multi-probe: own bucket + every hamming-1 neighbor — bare
+    // (id, bucket0, bucket) rows only; the vectors stay out of the bucket
+    // join entirely
     val probed = v
       .withColumn("bucket0", hyperplaneBucket(col("v"), planes))
-      .select(col("id"), explode(array(
+      .select(col("id"), col("bucket0"), explode(array(
         (col("bucket0") +: (0 until nPlanes).map(i =>
           col("bucket0").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
 
-    // Candidate pairs deduped as BARE ID PAIRS (multi-probe generates each
-    // pair up to 2·nPlanes+1 times): the bucket join and distinct shuffle
-    // (long, long) rows instead of carrying 2×dim doubles per duplicate
-    // candidate — same discipline as [[minhashLsh]]/[[simhashPairs]].
-    val candidates = probed.toDF("a_id", "bucket")
-      .join(probed.toDF("b_id", "bucket"), Seq("bucket"))
+    // Multi-probe on both sides makes a pair meet in EVERY shared probe
+    // bucket (up to 2 planes of signature disagreement). The meeting set is
+    // a pure function of the two base signatures, so keeping a pair only in
+    // its MINIMUM meeting bucket dedups candidates with a scalar filter —
+    // no distinct shuffle of the (quadratic) candidate set. With
+    // D = a0 xor b0: w=0 meets in a0 and all its flips; w=1 in {a0, b0};
+    // w=2 in {a0^low(D), a0^high(D)}; w>2 never joins.
+    val d = col("a_b0").bitwiseXOR(col("b_b0"))
+    val w = bit_count(d)
+    val lowBit = d.bitwiseAND(-d)
+    val highBit = d.bitwiseXOR(lowBit)
+    val minMeet =
+      when(w === 0, least(
+        (col("a_b0") +: (0 until nPlanes).map(i =>
+          col("a_b0").bitwiseXOR(lit(1 << i)))): _*))
+        .when(w === 1, least(col("a_b0"), col("b_b0")))
+        .when(w === 2, least(col("a_b0").bitwiseXOR(lowBit), col("a_b0").bitwiseXOR(highBit)))
+    val candidates = probed.toDF("a_id", "a_b0", "bucket")
+      .join(probed.toDF("b_id", "b_b0", "bucket"), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
+      .filter(col("bucket") === minMeet)
       .select("a_id", "b_id")
-      .distinct()
 
     candidates
       .join(v.toDF("a_id", "a_v"), "a_id")

@@ -72,10 +72,12 @@ object Similarity {
         (col("bucket0") +: (0 until nPlanes).map(i =>
           col("bucket0").bitwiseXOR(lit(1 << i)))): _*)))
       .select("q_id", "q_v", "bucket")
+    // No dedup needed: probing is one-sided (corpus rows keep their single
+    // own bucket), and a query's 1+nPlanes probe values are pairwise
+    // distinct, so each (q, n) pair joins in at most one bucket.
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosineSimilarity(col("q_v"), col("n_v")))
-      .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -103,4 +103,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((4L, 100L)))
   }
+
+  test("LSH pair emitters never emit a pair twice (filter-dedup, no shuffle)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // dense cluster: everything within a cone -> heavy multi-bucket meeting
+    val center = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val emb = (0L until 40L).map { i =>
+      (i, center.map(x => x + rnd.nextFloat() * 0.3f - 0.15f))
+    }.toDF("vec_id", "embedding")
+    val embPairs = Dedup.embeddingCosinePairsLsh(emb, 0.5, nPlanes = 6, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(embPairs.nonEmpty)
+    assert(embPairs.distinct.size == embPairs.size,
+      "embedding LSH emitted duplicate pairs")
+    // every emitted pair is a true >=threshold pair (subset of brute force)
+    val brute = Dedup.embeddingCosinePairs(emb, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(embPairs.forall(brute.contains))
+
+    val simPairs = Dedup.simhashPairs(docs, maxHamming = 20, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(simPairs.nonEmpty)
+    assert(simPairs.distinct.size == simPairs.size,
+      "simhash emitted duplicate pairs")
+  }
 }
