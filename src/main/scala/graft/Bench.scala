@@ -63,12 +63,21 @@ object Bench {
   def streamPass(spark: SparkSession, sfDir: String): Map[String, Double] = {
     def drain(mode: OutputMode)(df: DataFrame): Double = {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
-      val t0 = System.nanoTime()
-      val q = df.writeStream.format("noop").outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      // State-store partition count = shuffle partitions at the query's
+      // first batch. These workloads hold dozens-to-hundreds of state keys,
+      // so 32 stores is pure per-store overhead (open/load/commit each
+      // micro-batch); 8 is still parallel but 4x less store bookkeeping.
+      // Real deployments size this to state volume the same way.
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val t0 = System.nanoTime()
+        val q = df.writeStream.format("noop").outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     // The file-stream source needs a DIRECTORY of arriving files; stage the
     // single-file tables behind symlinks in a temp dir.
