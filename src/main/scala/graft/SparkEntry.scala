@@ -145,6 +145,19 @@ object SparkEntry {
         OpCompiler.Ctx(Some("text"), Seq("doc_id")))(docs)
     }),
 
+    // The reference's structured workload on its OWN fixture data: the
+    // FIXTURES.md representative job (COLUMN_FILTER -> TRANSFORM:select)
+    // over Traffic_Signs_1000.csv, through the descriptor parse -> compile
+    // path and the proper RFC-4180 reader (quoted commas handled, the
+    // documented divergence from the reference's naive split).
+    "q_traffic_pipeline" -> ((s, _) => {
+      val signs = graft.sources.Tables.trafficSigns(s,
+        "/root/reference/file_system/data_storage/local_file/Traffic_Signs_1000.csv")
+      Pipeline.fromDescriptors(
+        Seq("COLUMN_FILTER:Category:Warning", "TRANSFORM:select:OBJECTID,Sign_Type"),
+        OpCompiler.Ctx(None, Seq("OBJECTID")))(signs)
+    }),
+
     // ---------------------------------------------------------------------
     // Analytics beyond the reference surface (scale/bench headliners).
     // ---------------------------------------------------------------------
@@ -402,6 +415,16 @@ object SparkEntry {
     "q_pipeline_filter_count" ->
       """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS running_count
         |FROM documents WHERE contains(lower(text), 'join')""".stripMargin,
+
+    // DuckDB reads the same reference CSV directly (RFC-4180 both sides).
+    "q_traffic_pipeline" ->
+      ("""SELECT OBJECTID, Sign_Type
+        |FROM read_csv('/root/reference/file_system/data_storage/local_file/Traffic_Signs_1000.csv',
+        |  header=false, columns={""".stripMargin +
+        graft.sources.Tables.trafficSignsSchema.fieldNames
+          .map(n => s"'$n': 'VARCHAR'").mkString(", ") +
+        """})
+        |WHERE trim(Category) = 'Warning'""".stripMargin),
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
