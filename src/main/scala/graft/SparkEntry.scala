@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Sketches, TextFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 import graft.ops.{OpCompiler, Pipeline, RunningCount, StreamOp}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -238,6 +238,20 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
     }),
+
+    // Reproducible train/val/test assignment: a pure per-row function of the
+    // id (portable md5 bucket), zero shuffles, stable across reruns and
+    // scale — the curation-pipeline replacement for randomSplit.
+    "q_split_assign" -> ((s, dir) =>
+      Curation.withSplit(t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
+    // Mixture accounting: docs + estimated tokens per (source, language) —
+    // the aggregate a data-mixture weighting step consumes. One tiny
+    // groups-sized shuffle after partial aggregation.
+    "q_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(t(s, dir, "documents"),
+        Seq(col("source"), TextFunctions.langId(col("text")).as("lang_pred")))),
 
     // The full training-data curation pipeline in ONE Catalyst plan:
     // lang-ID filter -> quality gate (token count + stopword ratio, ratio
@@ -489,6 +503,36 @@ object SparkEntry {
         |  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
         |  ELSE 'zh' END AS lang_pred
         |FROM s""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
+        |                    WHEN b < 9000 THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000 AS BIGINT) AS b
+        |      FROM documents)""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, text,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS s_en,
+        |    len(list_intersect(toks, ['el','la','de','los','y','que','en','un'])) AS s_es,
+        |    len(list_intersect(toks, ['der','die','das','und','ein','zu','ist','nicht'])) AS s_de,
+        |    len(list_intersect(toks, ['le','les','des','et','une','est','dans','pour'])) AS s_fr,
+        |    len(list_intersect(toks, ['的','是','了','在','我','有','和','不'])) AS s_zh
+        |  FROM (SELECT doc_id, source, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |lang AS (
+        |  SELECT source, text, CASE
+        |    WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        |    WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+        |    WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+        |    WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+        |    ELSE 'zh' END AS lang_pred
+        |  FROM s)
+        |SELECT source, lang_pred, count(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS n_tokens
+        |FROM lang GROUP BY source, lang_pred""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id,

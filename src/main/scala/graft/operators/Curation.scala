@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators a large-scale training pipeline needs around
+  * the dedup/quality core: reproducible splits and mixture accounting. The
+  * reference has no analog (its jobs are single-pass filter/transform
+  * chains); these are the standard curation steps over the same tables.
+  */
+object Curation {
+
+  /** Number of hash buckets the split thresholds quantize to. 10k buckets
+    * give 0.01% split granularity — plenty for train/val/test. */
+  val SplitBuckets = 10000
+
+  /** Engine-portable per-row hash bucket in [0, SplitBuckets): the md5 of
+    * the id's decimal string, first 15 hex chars, mod buckets — the same
+    * portable-hash trick as [[graft.functions.Sketches.md5Hash60]], built
+    * from Spark SQL primitives so it stays inside whole-stage codegen.
+    * DuckDB: `('0x' || substr(md5(CAST(id AS VARCHAR)),1,15))::UBIGINT % n`. */
+  def hashBucket(id: Column, buckets: Int = SplitBuckets): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"), lit(buckets))
+
+  /** Deterministic train/val/test assignment: split label by cumulative
+    * fraction thresholds over [[hashBucket]]. Unlike `randomSplit`, the
+    * assignment is a PURE FUNCTION of the row id — reproducible across
+    * reruns, engines, partitionings and scale (a rerun on 100 TB assigns
+    * every row identically; adding data never reassigns existing rows), and
+    * costs zero shuffles: it's a per-row codegen'd expression on the scan.
+    *
+    * @param splits (label, fraction) in order; fractions must sum to <= 1.
+    *   Rows past the cumulative sum get the last label (i.e. the final
+    *   fraction is effectively "the rest" when the sum is 1).
+    */
+  def withSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      outputCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val b = hashBucket(col(idCol))
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * SplitBuckets))
+    val expr = splits.init.zip(thresholds.init).foldRight(
+      lit(splits.last._1): Column) { case (((label, _), hi), acc) =>
+      when(b < hi, lit(label)).otherwise(acc)
+    }
+    df.withColumn(outputCol, expr)
+  }
+
+  /** Mixture accounting: document and (estimated) token counts per group —
+    * the numbers a data-mixture weighting step consumes. Partial aggregation
+    * means only one tiny (groups-sized) shuffle at any scale. */
+  def tokenBudget(
+      docs: DataFrame,
+      groupCols: Seq[Column],
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.bpeTokenEstimate(col(textCol)).cast("long")).as("n_tokens"))
+}

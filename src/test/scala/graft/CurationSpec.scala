@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  test("withSplit is a pure function of the id: stable across repartitioning") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val a = Curation.withSplit(df.repartition(3), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val b = Curation.withSplit(df.repartition(11), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(a.join(b.withColumnRenamed("split", "split2"), "id")
+      .filter(col("split") =!= col("split2")).count() == 0)
+  }
+
+  test("withSplit fractions land near their targets and partition the rows") {
+    import spark.implicits._
+    val n = 20000L
+    val df = (0L until n).toDF("id")
+    val got = Curation.withSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == n)
+    assert(math.abs(got("train") / n.toDouble - 0.8) < 0.02)
+    assert(math.abs(got("val") / n.toDouble - 0.1) < 0.01)
+    assert(math.abs(got("test") / n.toDouble - 0.1) < 0.01)
+  }
+
+  test("withSplit matches an independent md5 bucket reimplementation") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 42L, 9999L, 123456789L)
+    val got = Curation.withSplit(ids.toDF("id"), "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10000
+    }
+    val want = ids.sorted.map(id => if (bucket(id) < 5000) "a" else "b")
+    assert(got == want)
+  }
+
+  test("withSplit rejects fractions summing past 1") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Curation.withSplit(Seq(1L).toDF("id"), "id", Seq("a" -> 0.8, "b" -> 0.3))
+    }
+  }
+
+  test("tokenBudget counts docs and tokens per group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", "one two three"),
+      (2L, "web", "four five"),
+      (3L, "book", "six")).toDF("doc_id", "source", "text")
+    val got = Curation.tokenBudget(docs, Seq(col("source")))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("book", 1L, 1L), ("web", 2L, 5L)))
+  }
+}
