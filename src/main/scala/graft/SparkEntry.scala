@@ -298,6 +298,14 @@ object SparkEntry {
 
     // LSH path; oracle = the same brute-force pair SQL (LSH misses at
     // j>=0.5 with 32x4 bands are verified-absent on this data locally).
+    // The boilerplate-shingle guard (maxShingleDf) under its own oracle:
+    // shingles shared by > 5 docs are dropped BEFORE the df-squared postings
+    // self-join; denominators keep the full set sizes, so capped Jaccard can
+    // only go down — at this SF every true >= 0.5 pair still survives.
+    "q_dedup_ngram_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5,
+        maxShingleDf = Some(5))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)),
 
@@ -592,6 +600,21 @@ object SparkEntry {
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
+        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+
+    "q_dedup_ngram_capped" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |post AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s),
+        |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 5),
+        |kp AS (SELECT post.* FROM post JOIN keep USING (shingle)),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i,
+        |        any_value(a.sz) AS la, any_value(b.sz) AS lb
+        |      FROM kp a JOIN kp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id)
         |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
 
