@@ -224,6 +224,27 @@ object StreamingPipeline {
       .select(col("session_window.start").as("s_start"), col(keyCol), col("n"))
   }
 
+  /** Streaming exact dedup by content fingerprint — the ingest-time
+    * counterpart of [[graft.operators.Dedup.exact]]: the first arrival of
+    * each distinct content passes, later duplicates are dropped. State is
+    * keyed by the 16-byte md5 (the text itself never enters the state
+    * store) and BOUNDED by the watermark: a duplicate arriving later than
+    * `delay` after its original may pass again, in exchange for state that
+    * holds only the recent window — the standard trade for unbounded
+    * streams (an unbounded-state variant is one `dropDuplicates` away). */
+  def dedupExact(
+      docs: DataFrame,
+      tsCol: String,
+      delay: String,
+      textCol: String = "text"): DataFrame = {
+    val fp = "__graft_fp"
+    docs
+      .withColumn(fp, md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
+
   /** Results sink: append files + checkpoint — the analog of the reference's
     * job<k>_results.log with exactly-once instead of at-least-once. */
   def startFileSink(

@@ -91,6 +91,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops duplicate content across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val out = StreamingPipeline.dedupExact(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L, "alpha"), (ts(1), 2L, "beta"), (ts(2), 3L, "alpha"))
+      q.processAllAvailable()
+      // second micro-batch: a dup of "beta" within the watermark window
+      mem.addData((ts(3), 4L, "beta"), (ts(4), 5L, "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("dd_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // first arrival of each distinct text survives: alpha(1), beta(2), gamma(5)
+      assert(ids == Seq(1L, 2L, 5L))
+      assert(spark.table("dd_out").columns.toSeq == Seq("ts", "doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within the gap and split beyond it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
