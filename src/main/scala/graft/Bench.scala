@@ -18,7 +18,9 @@ object Bench {
     "q_running_count", "q_running_sum", "q_pipeline_training",
     "q_filter", "q_column_filter", "q_split_words",
     "q_lang_id", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",
+    "q_split_assign", "q_token_budget",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed_lsh",
+    "q_dedup_ngram_capped",
     "q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_media_decode", "q_media_frames")
 
   def main(args: Array[String]): Unit = {
