@@ -47,13 +47,18 @@ object Layouts {
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** Number of Exchange (shuffle/broadcast-exchange) nodes in the final
-    * physical plan — 0 on a co-bucketed join is the whole point. */
+    * physical plan — 0 on a co-bucketed join is the whole point. Unwraps
+    * AdaptiveSparkPlanExec (a LEAF node: the naive walk would report 0 for
+    * any AQE-wrapped plan regardless of its exchanges). */
   def countExchanges(df: DataFrame): Int = {
-    val executed = df.queryExecution.executedPlan
-    def walk(p: SparkPlan): Int =
-      (if (p.isInstanceOf[Exchange]) 1 else 0) +
-        p.children.map(walk).sum +
-        p.subqueries.map(walk).sum
-    walk(executed)
+    def walk(p: SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case _ =>
+        (if (p.isInstanceOf[Exchange]) 1 else 0) +
+          p.children.map(walk).sum +
+          p.subqueries.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
   }
 }

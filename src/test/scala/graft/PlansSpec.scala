@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regression tests: the scale properties SCALE.md claims
+  * (pushdown, pruning, partial aggregation, broadcasts, exchange reuse) as
+  * assertions over the physical plans of the gate queries, so a refactor
+  * that silently de-optimizes a plan fails the suite, not just the bench. */
+class PlansSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sparkPlan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case f: FileSourceScanExec => f }
+
+  test("q1_agg: shipdate filter pushed to scan, columns pruned, partial agg") {
+    val p = sparkPlan("q1_agg")
+    val scan = scans(p).head
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      s"shipdate predicate not pushed: ${scan.metadata("PushedFilters")}")
+    // the 600k-row table has 16 columns; the scan must read only the 6 used
+    assert(scan.output.map(_.name).toSet == Set(
+      "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate"))
+    // partial (map-side) + final aggregate around the exchange
+    assert("HashAggregate".r.findAllIn(p.toString).size >= 2,
+      "expected partial+final HashAggregate")
+  }
+
+  test("q3_join: the dimension side broadcasts") {
+    val p = sparkPlan("q3_join")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"no broadcast join in:\n$p")
+  }
+
+  test("q_select and q_column_filter: scans read only the projected columns") {
+    assert(scans(sparkPlan("q_select")).head.output.map(_.name).toSet ==
+      Set("p_partkey", "p_name"))
+    assert(scans(sparkPlan("q_column_filter")).head.output.map(_.name).toSet ==
+      Set("l_orderkey", "l_linenumber", "l_returnflag"))
+  }
+
+  test("per-row curation queries plan zero exchanges") {
+    import graft.sources.Layouts
+    assert(Layouts.countExchanges(
+      SparkEntry.queries("q_split_assign")(spark, sf)) == 0)
+    assert(Layouts.countExchanges(
+      SparkEntry.queries("q_lang_id")(spark, sf)) == 0)
+    assert(Layouts.countExchanges(
+      SparkEntry.queries("q_sketches")(spark, sf)) == 0)
+  }
+
+  test("simhash banded self-join reuses ONE exchange for both sides at runtime") {
+    val df = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+    df.collect() // AQE finalizes the plan only on execution
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"),
+      s"banded self-join did not reuse its exchange:\n$finalPlan")
+  }
+}
