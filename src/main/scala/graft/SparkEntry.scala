@@ -372,12 +372,12 @@ object SparkEntry {
           length(col("payload")).cast("long").as("out_len"))
     }),
 
-    // Feature vectors depend on payload BYTE values (not SQL-reachable for
-    // non-ASCII text) -> rows-only check; exact values are spec-verified
-    // against an independent reimplementation (MultimodalSpec). The vector is
-    // exploded to scalar (doc_id, feat_idx, feat) rows: the harness sorts
-    // output columns with pandas, which cannot sort/hash an array<float>
-    // column, and the explosion puts every feature value under the gate.
+    // The vector is exploded to scalar (doc_id, feat_idx, feat) rows: the
+    // harness sorts output columns with pandas, which cannot sort/hash an
+    // array<float> column, and the explosion puts every feature value under
+    // the gate. Payload BYTES are reached in SQL via hex pairs of
+    // encode(text), and the stub's (byte-128)/128 arithmetic is exact
+    // power-of-two math in both float and double -> full hash-match oracle.
     "q_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.asMediaTable(t(s, dir, "documents"))).toDF()
         .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
@@ -722,5 +722,19 @@ object SparkEntry {
       """SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
         |  CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS out_len
         |FROM documents""".stripMargin,
+
+    // Byte j of the payload via its hex pair; (byte - 128)/128 is exact
+    // power-of-two arithmetic, identical in float (Spark) and double (here).
+    "q_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, to_hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN n = 0 THEN 0.0
+        |         ELSE (CAST(('0x' || substr(hx, CAST(((j * 2654435761) % n) * 2 + 1 AS INTEGER), 2))::UBIGINT AS BIGINT) - 128) / 128.0
+        |    END AS feat
+        |  FROM m CROSS JOIN range(16) r(j))
+        |SELECT doc_id, CAST(j AS BIGINT) AS feat_idx, feat FROM f""".stripMargin,
   )
 }
