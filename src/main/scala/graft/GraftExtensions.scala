@@ -46,8 +46,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intLit(args(1), "bands"), intLit(args(2), "rows_per_band"))))
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
-      (args: Seq[Expression]) => Sketches.SimHash64(args(0))))
+      info("simhash64",
+        "simhash64(tokens[, portable]) - 64-bit SimHash of a token array; " +
+          "portable=true uses the md5-derived engine-portable token hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => Sketches.SimHash64(t)
+        case Seq(t, p) => Sketches.SimHash64(t, p match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"portable must be a boolean literal, got $other")
+        })
+        case _ => throw new IllegalArgumentException("simhash64 takes 1 or 2 arguments")
+      }))
 
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingles, k) - k-permutation MinHash"),

@@ -14,6 +14,45 @@ import org.apache.spark.sql.functions._
   * (checkpointed file sink). */
 object Sinks {
 
+  /** Compact a directory of appended parquet files — the Spark analog of the
+    * reference's replica merge (`MergeData`, RainStorm.java:651-768): many
+    * concurrent appenders converge to one well-formed file set, all appended
+    * rows survive, inter-writer order unspecified (exactly the reference's
+    * contract, §1.4). At scale this is the small-file fix for
+    * append-heavy sinks: a directory accreting thousands of tiny files per
+    * hour reads back at one-file-per-task until compacted.
+    *
+    * `targetFileMb` sizes output files from the actual input bytes —
+    * `repartition(n)` (round-robin, balanced), NOT `coalesce(1)`, which
+    * would collapse the read into a single task. The rewrite goes through a
+    * temp dir + atomic-ish swap so a crash mid-compact never loses the
+    * original files. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetFileMb: Int = 128): Unit = {
+    import java.io.File
+    import java.nio.file.{Files, StandardCopyOption}
+    val src = new File(dir)
+    val bytes = src.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
+    val tmp = Files.createTempDirectory(src.getParentFile.toPath, ".compact_").toFile
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = Files.createTempDirectory(src.getParentFile.toPath, ".compact_bak_").toFile
+    src.listFiles().foreach { f =>
+      Files.move(f.toPath, new File(bak, f.getName).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    tmp.listFiles().foreach { f =>
+      if (f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
+        Files.move(f.toPath, new File(src, f.getName).toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(bak)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   /** Write the results log and, when lineage columns are present, the
     * tuple/lineage log next to it. */
   def writeResultsWithLineage(

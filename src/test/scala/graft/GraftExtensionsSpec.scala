@@ -18,6 +18,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
           |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
           |  word_shingles(' a b c d ', 3) AS sh,
           |  simhash64(array('x', 'y')) AS sim,
+          |  simhash64(array('x', 'y'), true) AS sim_p,
           |  rolling_hash('abc') AS rh,
           |  size(minhash_signature(word_shingles('a b c d e', 2), 16)) AS sig_len,
           |  size(minhash_bands(word_shingles('a b c d e', 2), 8, 4)) AS n_bands,
@@ -25,10 +26,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
           |""".stripMargin).first()
       assert(r.getDouble(0) == 1.0)
       assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
-      assert(r.getLong(3) != 0L)
-      assert(r.getInt(4) == 16)
-      assert(r.getInt(5) == 8)
-      assert(r.getBoolean(6))
+      assert((r.getLong(3) >>> 60) == 0L) // portable simhash is 60-bit
+      assert(r.getLong(4) != 0L)
+      assert(r.getInt(5) == 16)
+      assert(r.getInt(6) == 8)
+      assert(r.getBoolean(7))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

@@ -25,6 +25,24 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(tuples.columns.toSet == Set("file", "line_no", "worker"))
   }
 
+  test("compact merges appended file sets losslessly (the MergeData analog)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").resolve("t").toString
+    // three "concurrent appenders", several files each
+    for (w <- 0 until 3)
+      (w * 1000L until w * 1000L + 500L).toDF("v")
+        .repartition(4).write.mode("append").parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 12)
+    Sinks.compact(spark, dir)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1, s"expected 1 compacted file, got $after") // tiny data -> one 128MB target
+    // every appended row survives, exactly once
+    val got = spark.read.parquet(dir).as[Long].collect().sorted
+    val want = (0 until 3).flatMap(w => w * 1000L until w * 1000L + 500L).sorted
+    assert(got.toSeq == want)
+  }
+
   test("naive CSV compatibility mode reproduces split(\",\") misparsing") {
     assume(available)
     import scala.jdk.CollectionConverters._
