@@ -253,6 +253,11 @@ object SparkEntry {
       Curation.tokenBudget(t(s, dir, "documents"),
         Seq(col("source"), TextFunctions.langId(col("text")).as("lang_pred")))),
 
+    // One-pass column profiling (count / nulls / exact distinct per column).
+    "q_profile" -> ((s, dir) =>
+      Curation.profile(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))),
+
     // The full training-data curation pipeline in ONE Catalyst plan:
     // lang-ID filter -> quality gate (token count + stopword ratio, ratio
     // compared in exact integer arithmetic) -> exact dedup keeping the
@@ -541,6 +546,17 @@ object SparkEntry {
         |SELECT source, lang_pred, count(*) AS n_docs,
         |  CAST(SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS n_tokens
         |FROM lang GROUP BY source, lang_pred""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderstatus) AS n_null,
+        |  count(DISTINCT o_orderstatus) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey) FROM orders""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id,

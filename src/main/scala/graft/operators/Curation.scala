@@ -52,6 +52,25 @@ object Curation {
     df.withColumn(outputCol, expr)
   }
 
+  /** One-pass column profile: row count plus per-column null and EXACT
+    * distinct counts, one output row per profiled column. Catalyst plans the
+    * multi-distinct as a single Expand + aggregate — the scan runs once and
+    * the shuffle carries only (column-tag, value) pairs. For columns whose
+    * distinct cardinality itself is shuffle-hostile at 100 TB, swap
+    * count_distinct for approx_count_distinct at the call site; the gate
+    * uses the exact form so the oracle can too. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c")))
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"), col("__n").as("n_rows"),
+      col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct")))
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   /** Mixture accounting: document and (estimated) token counts per group —
     * the numbers a data-mixture weighting step consumes. Partial aggregation
     * means only one tiny (groups-sized) shuffle at any scale. */

@@ -52,6 +52,17 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("profile reports count, nulls, and exact distincts per column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Some(10)), (2L, "b", None), (3L, "a", Some(10)), (4L, null, Some(20)))
+      .toDF("id", "s", "v")
+    val got = Curation.profile(df, Seq("s", "v"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("s", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
+  }
+
   test("tokenBudget counts docs and tokens per group") {
     import spark.implicits._
     val docs = Seq(
