@@ -53,6 +53,50 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(values == Set("keep one", "keep two", "keep three", "keep four"))
   }
 
+  test("session windows recover across a restart: pre- and post-crash events merge") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sess_in").toString
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+
+    def writeBatch(name: String, rows: Seq[(String, String)]): Unit = {
+      val tmp = Files.createTempFile("graft_sess", ".csv")
+      Files.writeString(tmp, rows.map { case (ts, k) => s"$ts,$k" }.mkString("\n"))
+      Files.move(tmp, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def startQuery() = {
+      val src = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING").csv(in)
+      val sessions = StreamingPipeline.sessionCounts(
+        src, gap = "10 minutes", watermark = Some("5 minutes"))
+      StreamingPipeline.startFileSink(sessions, out, ckpt)
+    }
+
+    // session A: two events 5 min apart (within the gap)
+    writeBatch("b1.csv", Seq(
+      ("2024-01-01 10:00:00", "click"), ("2024-01-01 10:05:00", "click")))
+    val q1 = startQuery()
+    q1.awaitTermination(60000)
+    assert(!q1.isActive)
+
+    // restart; an event still within session A's gap must MERGE into the
+    // checkpointed partial session, then far-future events close everything
+    writeBatch("b2.csv", Seq(
+      ("2024-01-01 10:12:00", "click"),   // 7 min after 10:05 -> same session
+      ("2024-01-01 11:00:00", "click"),   // new session
+      ("2024-01-01 12:00:00", "click")))  // pushes the watermark, closes both
+    val q2 = startQuery()
+    q2.awaitTermination(60000)
+
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    val bySession = rows.toSeq.sortBy(_._1)
+    // the 3-event merged session survives the restart as ONE row
+    assert(bySession.exists { case (s, _, n) => s.startsWith("2024-01-01 10:00:00") && n == 3L },
+      s"merged session missing from: ${bySession.mkString(", ")}")
+    assert(bySession.exists { case (s, _, n) => s.startsWith("2024-01-01 11:00:00") && n == 1L })
+  }
+
   test("watermarked tumbling-window counts emit finalized windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
