@@ -64,12 +64,15 @@ object Dedup {
     // shingle key, so the output pairs are identical.
     val posts0 = sets.select(col("id"), col("sz"), explode_outer(col("sh")).as("shingle"))
     // document-frequency cap: one keyed aggregation over the postings, then
-    // drop the hot shingles BEFORE the df² self-join
+    // drop the hot shingles BEFORE the df² self-join. The join is an ANTI
+    // join against the shingles OVER the cap — by definition the small side
+    // (boilerplate), so it broadcasts, where joining against the kept set
+    // would shuffle the full postings against a shingle-sized build side.
     val posts = maxShingleDf.fold(posts0) { cap =>
-      val df_ = posts0.groupBy("shingle").agg(count(lit(1)).as("__graft_df"))
-        .filter(col("__graft_df") <= cap)
+      val hot = posts0.groupBy("shingle").agg(count(lit(1)).as("__graft_df"))
+        .filter(col("__graft_df") > cap)
         .select("shingle")
-      posts0.join(df_, "shingle")
+      posts0.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
     val a = posts.select(col("id").as("a_id"), col("sz").as("a_sz"), col("shingle"))
     val b = posts.select(col("id").as("b_id"), col("sz").as("b_sz"), col("shingle"))
