@@ -158,6 +158,18 @@ object SparkEntry {
         OpCompiler.Ctx(None, Seq("OBJECTID")))(signs)
     }),
 
+    // The compatibility mode: the reference's NAIVE split(",") semantics
+    // (quoted commas shift columns, Operators.java:174) — byte-parity with
+    // its outputs. The oracle reproduces the same naive split with
+    // string_split over raw lines, so the shifted rows match exactly too.
+    "q_traffic_naive" -> ((s, _) => {
+      val signs = graft.sources.Tables.trafficSignsNaive(s,
+        "/root/reference/file_system/data_storage/local_file/Traffic_Signs_1000.csv")
+      Pipeline.fromDescriptors(
+        Seq("COLUMN_FILTER:Category:Streetname", "TRANSFORM:select:OBJECTID,Sign_Type"),
+        OpCompiler.Ctx(None, Seq("OBJECTID")))(signs)
+    }),
+
     // ---------------------------------------------------------------------
     // Analytics beyond the reference surface (scale/bench headliners).
     // ---------------------------------------------------------------------
@@ -452,6 +464,17 @@ object SparkEntry {
           .map(n => s"'$n': 'VARCHAR'").mkString(", ") +
         """})
         |WHERE trim(Category) = 'Warning'""".stripMargin),
+
+    // Naive split(",") parity: raw lines split on every comma, 1-based
+    // column access (OBJECTID=3, Sign_Type=4, Category=9), out-of-range -> NULL
+    // in both engines.
+    "q_traffic_naive" ->
+      """WITH raw AS (
+        |  SELECT string_split(line, ',') AS p
+        |  FROM read_csv('/root/reference/file_system/data_storage/local_file/Traffic_Signs_1000.csv',
+        |    header=false, delim='', quote='', columns={'line': 'VARCHAR'}))
+        |SELECT p[3] AS OBJECTID, p[4] AS Sign_Type
+        |FROM raw WHERE trim(p[9]) = 'Streetname'""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
