@@ -103,6 +103,12 @@ object Bench {
       ev.withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) else ev
     Map(
       "q_stream_pipeline" -> drain(OutputMode.Append)(pipe),
-      "q_stream_window" -> drain(OutputMode.Update)(StreamingPipeline.windowedCounts(evTs)))
+      "q_stream_window" -> drain(OutputMode.Update)(StreamingPipeline.windowedCounts(evTs)),
+      // session windows: the heaviest stateful op (merging state, not just
+      // keyed counters) — watermarked so state stays bounded; Append is the
+      // only output mode session aggregations support
+      "q_stream_sessions" -> drain(OutputMode.Append)(
+        StreamingPipeline.sessionCounts(evTs, gap = "30 minutes",
+          watermark = Some("2 hours"))))
   }
 }
