@@ -35,9 +35,13 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column, as: String) =
     sum(c.cast("decimal(20,4)")).cast("double").as(as)
 
-  /** Exact decimal sum of a computed per-row double (price*(1-disc)). */
-  private def dsum8(c: org.apache.spark.sql.Column, as: String) =
-    sum(c.cast("decimal(24,8)")).cast("double").as(as)
+  /** Exact decimal sum of a computed per-row double: price(2dp)*(1-disc)(2dp)
+    * is exactly a 4dp value, and rounding the double product at 4dp is
+    * unambiguous in every engine (9-10 significant digits, far inside double
+    * precision). Rounding at 8dp sat at the 13-14-significant-digit edge and
+    * flipped a row's last decimal between engines at sf0.1. */
+  private def dsum4(c: org.apache.spark.sql.Column, as: String) =
+    sum(c.cast("decimal(24,4)")).cast("double").as(as)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------------------
@@ -182,7 +186,7 @@ object SparkEntry {
         .agg(
           dsum(col("l_quantity"), "sum_qty"),
           dsum(col("l_extendedprice"), "sum_base_price"),
-          dsum8(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
+          dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -195,7 +199,7 @@ object SparkEntry {
       li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
-        .agg(dsum8(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
     }),
 
     // Event-time tumbling window aggregation (streaming-compatible shape).
@@ -480,7 +484,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -488,7 +492,7 @@ object SparkEntry {
 
     "q3_join" ->
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

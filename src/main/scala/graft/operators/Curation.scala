@@ -61,8 +61,10 @@ object Curation {
     * uses the exact form so the oracle can too. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // coalesce: SUM over zero rows is NULL, and the profile row must stay
+    // non-null on an empty (e.g. fully partition-pruned) input
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
       count_distinct(col(c)).as(s"__nd_$c")))
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val entries = cols.map(c => struct(

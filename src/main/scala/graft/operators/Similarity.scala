@@ -116,7 +116,15 @@ object Similarity {
     val trainSet = if (trainFraction < 1.0) c.sample(trainFraction, seed = 42) else c
     // count() is a metadata-only scan on parquet — cheap even at scale, and
     // it distinguishes same-path-new-contents corpora the plan alone cannot.
-    val cacheKey = (c.queryExecution.analyzed.canonicalized, c.count(), nlist, trainFraction)
+    val corpusCount = c.count()
+    // an empty corpus has no cells to train — and no neighbors to return
+    // (a fully partition-pruned scan must not crash the k-means fit)
+    if (corpusCount == 0) {
+      import corpus.sparkSession.implicits._
+      return corpus.sparkSession.emptyDataset[(Long, Long, Long, Double)]
+        .toDF("q_id", "n_id", "rank", "cos")
+    }
+    val cacheKey = (c.queryExecution.analyzed.canonicalized, corpusCount, nlist, trainFraction)
     val model = ivfModels.synchronized {
       if (ivfModels.size > 32) ivfModels.clear()
       ivfModels.getOrElseUpdate(cacheKey,
