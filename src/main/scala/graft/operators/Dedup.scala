@@ -39,14 +39,27 @@ object Dedup {
     *   every document contributes df² join rows while carrying no near-dup
     *   signal. This is an approximation (dropped shingles still count in the
     *   denominators, so reported Jaccard can only go DOWN — capped runs never
-    *   invent pairs). None = exact. */
+    *   invent pairs). None = exact.
+    * @param maxShingleDfFraction like maxShingleDf but as a fraction of the
+    *   corpus size (cap = ceil(fraction * count)) — the scale-invariant form:
+    *   "boilerplate" means a shingle in more than x% of documents, not more
+    *   than an absolute count that a 10x corpus growth silently turns into
+    *   "drop everything". Costs one metadata-only count(). The tighter of
+    *   the two caps wins when both are set. */
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double,
       ngram: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None,
+      maxShingleDfFraction: Option[Double] = None): DataFrame = {
+    require(maxShingleDfFraction.forall(f => f > 0 && f <= 1), "fraction must be in (0, 1]")
+    val fractionCap = maxShingleDfFraction.map(f => math.ceil(f * docs.count()).toInt)
+    val cap = (maxShingleDf, fractionCap) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (a, b) => a.orElse(b)
+    }
     // spread the per-doc shingle computation: a single-file local scan is one
     // partition, which would serialize all expression work into one task
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -68,9 +81,9 @@ object Dedup {
     // join against the shingles OVER the cap — by definition the small side
     // (boilerplate), so it broadcasts, where joining against the kept set
     // would shuffle the full postings against a shingle-sized build side.
-    val posts = maxShingleDf.fold(posts0) { cap =>
+    val posts = cap.fold(posts0) { c =>
       val hot = posts0.groupBy("shingle").agg(count(lit(1)).as("__graft_df"))
-        .filter(col("__graft_df") > cap)
+        .filter(col("__graft_df") > c)
         .select("shingle")
       posts0.join(broadcast(hot), Seq("shingle"), "left_anti")
     }

@@ -104,6 +104,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((4L, 100L)))
   }
 
+  test("fractional df-cap equals the equivalent absolute cap") {
+    val n = docs.count()
+    // fraction chosen so ceil(f * n) lands on an absolute cap that actually
+    // drops shingles in this corpus
+    val f = 3.0 / n
+    val abs = Dedup.ngramJaccardPairs(docs, 0.3, maxShingleDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val frac = Dedup.ngramJaccardPairs(docs, 0.3, maxShingleDfFraction = Some(f))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(frac == abs)
+    // both caps set: the tighter wins
+    val both = Dedup.ngramJaccardPairs(docs, 0.3,
+      maxShingleDf = Some(Int.MaxValue), maxShingleDfFraction = Some(f))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both == abs)
+  }
+
   test("LSH pair emitters never emit a pair twice (filter-dedup, no shuffle)") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
