@@ -239,6 +239,13 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
     }),
 
+    // The brief's "n-gram heuristic" language ID (Cavnar-Trenkle style):
+    // character-trigram profile hits, fused into one native expression.
+    "q_lang_id_ngram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langIdNgram(col("text")).as("lang_pred"))
+    }),
+
     "q_quality" -> ((s, dir) => {
       val cols = TextFunctions.qualityCounts(col("text")).map { case (n, c) => c.as(n) }
       t(s, dir, "documents").select(col("doc_id") +: cols: _*)
@@ -543,6 +550,34 @@ object SparkEntry {
         |  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
         |  ELSE 'zh' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // Generated from TextFunctions.trigramProfiles — ONE source of truth for
+    // the profile lists on both engines.
+    "q_lang_id_ngram" -> {
+      def sqlList(xs: Seq[String]) =
+        xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
+      val profiles = TextFunctions.trigramProfiles
+      val scoreCols = profiles.map { case (lang, ps) =>
+        s"len(list_filter(tris, x -> list_contains(${sqlList(ps)}, x))) AS s_$lang"
+      }.mkString(",\n    ")
+      val gAll = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+      val cases = profiles.map { case (lang, _) =>
+        s"WHEN s_$lang = $gAll THEN '$lang'"
+      }.mkString("\n  ")
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(length(t) - 1, 1)),
+         |    i -> substr(t, CAST(i AS INTEGER), 3)) AS tris
+         |  FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)),
+         |s AS (
+         |  SELECT doc_id,
+         |    $scoreCols
+         |  FROM g)
+         |SELECT doc_id, CASE
+         |  WHEN $gAll = 0 THEN 'und'
+         |  $cases
+         |  END AS lang_pred
+         |FROM s""".stripMargin
+    },
 
     "q_split_assign" ->
       """SELECT doc_id, CASE WHEN b < 8000 THEN 'train'

@@ -64,3 +64,101 @@ case class WordShingles(child: Expression, n: Int, distinctOut: Boolean)
 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
+
+/** Native character n-grams (1-char step) over CODE POINTS — the unit both
+  * Spark's `substring` and DuckDB's `substr` count, so the DuckDB oracle
+  * `list_transform(range(1, greatest(length(t) - 1, 1)), i -> substr(t, i, 3))`
+  * produces the identical array. Feeds the Cavnar-Trenkle-style n-gram
+  * language ID (TextFunctions.langIdNgram). Fewer than n code points yield
+  * an empty array. One tight loop per row — the HOF formulation would
+  * re-evaluate the (lower/trim) child per element, interpreted. */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // code-point start offsets (UTF-16 indices)
+    val starts = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var idx = 0
+    var cp = 0
+    while (idx < s.length) {
+      starts(cp) = idx
+      idx += Character.charCount(s.codePointAt(idx))
+      cp += 1
+    }
+    starts(cp) = s.length
+    if (cp < n) return new GenericArrayData(Array.empty[Any])
+    val m = cp - n + 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromString(s.substring(starts(i), starts(i + n)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CharNgrams = copy(child = c)
+}
+
+/** Fused character-n-gram language ID: one pass over the text's code-point
+  * n-grams, counting multiset hits against each language's profile
+  * (HashSet membership), then argmax with first-listed tie priority;
+  * zero hits -> "und". Fused for the same reason as MinHashBands: a
+  * per-language `size(filter(ngrams, isin(profile)))` column fans the
+  * n-gram expression into every score reference (scores appear in the
+  * greatest() AND the when-chain), re-evaluating it ~3x languages times
+  * per row, interpreted. */
+case class NgramLangId(
+    child: Expression,
+    n: Int,
+    profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && profiles.nonEmpty)
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    profiles.map { case (_, ps) =>
+      val s = new java.util.HashSet[String](ps.size * 2)
+      ps.foreach(s.add); s
+    }.toArray
+  @transient private lazy val langs: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).toArray
+  private val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](sets.length)
+    var idx = 0
+    // sliding code-point window: start offsets ring buffer of size n
+    val starts = new Array[Int](n)
+    var cp = 0
+    while (idx < s.length) {
+      starts(cp % n) = idx
+      idx += Character.charCount(s.codePointAt(idx))
+      cp += 1
+      if (cp >= n) {
+        val gram = s.substring(starts(cp % n), idx)
+        var l = 0
+        while (l < sets.length) {
+          if (sets(l).contains(gram)) counts(l) += 1
+          l += 1
+        }
+      }
+    }
+    var best = 0
+    var bestIdx = -1
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > best) { best = counts(l); bestIdx = l }
+      l += 1
+    }
+    if (bestIdx < 0) und else langs(bestIdx)
+  }
+  override protected def withNewChildInternal(c: Expression): NgramLangId = copy(child = c)
+}

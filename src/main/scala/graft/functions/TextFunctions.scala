@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpr
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -68,6 +69,31 @@ object TextFunctions {
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Per-language character-trigram profiles (Cavnar-Trenkle style): the
+    * distinct 3-grams of each marker word padded with spaces (" the " ->
+    * " th", "the", "he ") — the classic n-gram language-ID signal, word
+    * boundaries included. One definition feeds BOTH the Spark expression
+    * and the generated DuckDB oracle SQL. */
+  val trigramProfiles: Seq[(String, Seq[String])] = stopwords.map {
+    case (lang, words) =>
+      lang -> words.flatMap(w => s" $w ".sliding(3)).distinct
+  }
+
+  /** Character n-grams of the lowercased, trimmed text (1-char step, code
+    * points) — native one-pass expression (see [[CharNgrams]]). */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    GraftExpr.column(CharNgrams(GraftExpr.expression(lower(trim(text))), n))
+
+  /** Character-n-gram language ID (the Cavnar-Trenkle heuristic): score(lang)
+    * = number of the text's trigram OCCURRENCES that hit the language's
+    * profile (multiset — repetition is signal), argmax wins (ties -> listed
+    * order), zero hits -> "und". Complements the word-level [[langId]]:
+    * n-grams survive unsegmented text (zh) and inflection. Fused native
+    * expression — see [[NgramLangId]]. */
+  def langIdNgram(text: Column): Column =
+    GraftExpr.column(NgramLangId(
+      GraftExpr.expression(lower(trim(text))), 3, trigramProfiles))
 
   /** Multiset stopword count against the English list (repeated stopwords
     * count each time — a ratio signal, unlike the set-intersect in langId). */

@@ -32,6 +32,41 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(1.0, 0.0))
   }
 
+  test("charNgrams: code-point trigrams, short strings empty, unicode intact") {
+    assert(one(TextFunctions.charNgrams(col("t")), "abcd")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("abc", "bcd"))
+    assert(one(TextFunctions.charNgrams(col("t")), "ab").asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    assert(one(TextFunctions.charNgrams(col("t")), " AbC ")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("abc")) // lowered + trimmed
+    assert(one(TextFunctions.charNgrams(col("t")), "的是了在")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("的是了", "是了在"))
+  }
+
+  test("langIdNgram matches an independent trigram-count reimplementation") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat and the dog in the house",
+      "el perro y el gato en la casa que",
+      "der hund und die katze ist nicht da",
+      "le chat et les chiens dans une maison",
+      "的 是 了 在 我 有 和 不",  // spaced, like the synthetic zh docs
+      "zzzz qqqq", "", "ab")
+    val got = texts.toDF("t")
+      .select(TextFunctions.langIdNgram(col("t"))).collect().map(_.getString(0)).toSeq
+    def expected(text: String): String = {
+      val t = text.trim.toLowerCase
+      val tris = if (t.length < 3) Seq.empty else t.sliding(3).toSeq
+      val scores = TextFunctions.trigramProfiles.map { case (lang, ps) =>
+        lang -> tris.count(ps.toSet)
+      }
+      val best = (0 +: scores.map(_._2)).max
+      if (best == 0) "und" else scores.find(_._2 == best).get._1
+    }
+    assert(got.toSeq == texts.map(expected))
+    // the obvious cases actually classify
+    assert(got.take(5).toSeq == Seq("en", "es", "de", "fr", "zh"))
+  }
+
   test("langId: stopword argmax with listed-order ties, und when no hits") {
     assert(one(TextFunctions.langId(col("t")), "the cat of the hat is it") == "en")
     assert(one(TextFunctions.langId(col("t")), "el que la de los y") == "es")
