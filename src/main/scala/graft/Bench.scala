@@ -17,7 +17,7 @@ object Bench {
     "q1_agg", "q3_join", "q_events_window", "q_events_sliding", "q_events_sessions",
     "q_running_count", "q_running_sum", "q_pipeline_training",
     "q_filter", "q_column_filter", "q_split_words",
-    "q_lang_id", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",
+    "q_lang_id", "q_lang_id_ngram", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",
     "q_split_assign", "q_token_budget",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed_lsh",
     "q_dedup_ngram_capped",

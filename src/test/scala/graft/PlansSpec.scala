@@ -52,6 +52,8 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(Layouts.countExchanges(
       SparkEntry.queries("q_lang_id")(spark, sf)) == 0)
     assert(Layouts.countExchanges(
+      SparkEntry.queries("q_lang_id_ngram")(spark, sf)) == 0)
+    assert(Layouts.countExchanges(
       SparkEntry.queries("q_sketches")(spark, sf)) == 0)
   }
 
