@@ -89,8 +89,12 @@ object TextFunctions {
     * = number of the text's trigram OCCURRENCES that hit the language's
     * profile (multiset — repetition is signal), argmax wins (ties -> listed
     * order), zero hits -> "und". Complements the word-level [[langId]]:
-    * n-grams survive unsegmented text (zh) and inflection. Fused native
-    * expression — see [[NgramLangId]]. */
+    * n-grams survive inflection and partial words. The built-in profiles are
+    * space-padded word trigrams, so they need space-delimited text (which is
+    * what the synthetic corpus provides, zh included); classifying
+    * UNSEGMENTED CJK requires profiles mined from unsegmented corpus text —
+    * swap [[trigramProfiles]] accordingly. Fused native expression — see
+    * [[NgramLangId]]. */
   def langIdNgram(text: Column): Column =
     GraftExpr.column(NgramLangId(
       GraftExpr.expression(lower(trim(text))), 3, trigramProfiles))

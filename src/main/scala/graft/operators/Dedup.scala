@@ -55,8 +55,11 @@ object Dedup {
       maxShingleDf: Option[Int] = None,
       maxShingleDfFraction: Option[Double] = None): DataFrame = {
     require(maxShingleDfFraction.forall(f => f > 0 && f <= 1), "fraction must be in (0, 1]")
-    val fractionCap = maxShingleDfFraction.map(f => math.ceil(f * docs.count()).toInt)
-    val cap = (maxShingleDf, fractionCap) match {
+    // Long arithmetic: ceil(f * count).toInt would saturate at Int.MaxValue
+    // for multi-billion-doc corpora, silently disabling the guard at exactly
+    // the scale it exists for
+    val fractionCap = maxShingleDfFraction.map(f => math.ceil(f * docs.count()).toLong)
+    val cap: Option[Long] = (maxShingleDf.map(_.toLong), fractionCap) match {
       case (Some(a), Some(b)) => Some(math.min(a, b))
       case (a, b) => a.orElse(b)
     }
@@ -78,14 +81,17 @@ object Dedup {
     val posts0 = sets.select(col("id"), col("sz"), explode_outer(col("sh")).as("shingle"))
     // document-frequency cap: one keyed aggregation over the postings, then
     // drop the hot shingles BEFORE the df² self-join. The join is an ANTI
-    // join against the shingles OVER the cap — by definition the small side
-    // (boilerplate), so it broadcasts, where joining against the kept set
-    // would shuffle the full postings against a shingle-sized build side.
+    // join against the shingles OVER the cap — usually the small side
+    // (boilerplate), so the planner/AQE broadcasts it from its actual
+    // runtime size. No broadcast() hint: a heavily-templated corpus (or a
+    // tight fractional cap) can push MOST distinct shingles over the cap,
+    // and a forced broadcast of that set would OOM the driver where the
+    // planner's shuffle anti-join fallback just works.
     val posts = cap.fold(posts0) { c =>
       val hot = posts0.groupBy("shingle").agg(count(lit(1)).as("__graft_df"))
         .filter(col("__graft_df") > c)
         .select("shingle")
-      posts0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      posts0.join(hot, Seq("shingle"), "left_anti")
     }
     val a = posts.select(col("id").as("a_id"), col("sz").as("a_sz"), col("shingle"))
     val b = posts.select(col("id").as("b_id"), col("sz").as("b_sz"), col("shingle"))
@@ -151,7 +157,12 @@ object Dedup {
     * pigeonhole band trick (split the 64 bits into `chunks` pieces — any pair
     * within hamming distance < chunks shares at least one exact piece), then
     * verified with an exact popcount <= maxHamming filter. Scales like
-    * MinHash-LSH (keyed bucket join). */
+    * MinHash-LSH (keyed bucket join).
+    *
+    * Precondition (all pair emitters here): `idCol` is unique. The
+    * filter-based candidate dedup keys on the id values, so duplicated ids
+    * (a re-ingested shard, an un-deduped union) emit their pairs once per
+    * row combination — run [[exact]] dedup or fix ids upstream first. */
   /** @param portable use the md5-derived engine-portable token hash
     *   (Sketches.SimHash64 scaladoc) so the output can be verified against
     *   an independent SQL oracle; default xxhash64 for throughput. */

@@ -17,14 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Trained IVF coarse quantizers, keyed by (canonical corpus plan, corpus
-    * row count, nlist, trainFraction) — see [[annIvf]]. The plan itself (not
-    * its hashCode) is the key, so equality is structural with no collision
-    * risk; the row count fingerprints the underlying data, catching a parquet
-    * file overwritten in place (same path, same canonical plan, new
-    * contents). Driver-side only; bounded. */
+  /** Trained IVF coarse quantizers, keyed by (semanticHash of the corpus
+    * plan, corpus row count, nlist, trainFraction) — see [[annIvf]]. The
+    * semantic hash alone could collide (the round-3 advice), but a collision
+    * must ALSO agree on the row-count fingerprint to be served — and the
+    * fingerprint is what catches a parquet file overwritten in place (same
+    * path and plan, new contents). Keying on the hash rather than the plan
+    * object keeps the cache from pinning whole analyzed plans (for a
+    * LocalRelation corpus that would be a full copy of the data) in driver
+    * memory. Bounded at 32 entries (cleared wholesale). */
   private val ivfModels = scala.collection.mutable.Map.empty[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int, Double),
+    (Int, Long, Int, Double),
     org.apache.spark.ml.clustering.KMeansModel]
 
   /** Exact top-k cosine neighbors for each query vector. Ranking key is the
@@ -114,8 +117,10 @@ object Similarity {
     // so a cache hit is observationally identical to a retrain.
     require(trainFraction > 0 && trainFraction <= 1.0)
     val trainSet = if (trainFraction < 1.0) c.sample(trainFraction, seed = 42) else c
-    // count() is a metadata-only scan on parquet — cheap even at scale, and
-    // it distinguishes same-path-new-contents corpora the plan alone cannot.
+    // The count is the data fingerprint (distinguishes same-path-new-contents
+    // corpora the plan alone cannot) and half the cache key. Metadata-only on
+    // a plain parquet corpus; a filtered/derived corpus pays a real count
+    // job per call — an index lookup cost, paid even on cache hits.
     val corpusCount = c.count()
     // an empty corpus has no cells to train — and no neighbors to return
     // (a fully partition-pruned scan must not crash the k-means fit)
@@ -124,7 +129,7 @@ object Similarity {
       return corpus.sparkSession.emptyDataset[(Long, Long, Long, Double)]
         .toDF("q_id", "n_id", "rank", "cos")
     }
-    val cacheKey = (c.queryExecution.analyzed.canonicalized, corpusCount, nlist, trainFraction)
+    val cacheKey = (c.queryExecution.analyzed.semanticHash(), corpusCount, nlist, trainFraction)
     val model = ivfModels.synchronized {
       if (ivfModels.size > 32) ivfModels.clear()
       ivfModels.getOrElseUpdate(cacheKey,

@@ -47,13 +47,16 @@ object Layouts {
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** Number of Exchange (shuffle/broadcast-exchange) nodes in the final
-    * physical plan — 0 on a co-bucketed join is the whole point. Unwraps
-    * AdaptiveSparkPlanExec (a LEAF node: the naive walk would report 0 for
-    * any AQE-wrapped plan regardless of its exchanges). */
+    * physical plan — 0 on a co-bucketed join is the whole point. Unwraps the
+    * AQE leaf wrappers: AdaptiveSparkPlanExec before execution, and the
+    * Shuffle/BroadcastQueryStageExec nodes a FINALIZED adaptive plan wraps
+    * every exchange in — both are leaves, so the naive walk reports a false
+    * 0 on exactly the plans with exchanges. */
   def countExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def walk(p: SparkPlan): Int = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
       case _ =>
         (if (p.isInstanceOf[Exchange]) 1 else 0) +
           p.children.map(walk).sum +

@@ -24,9 +24,18 @@ object Sinks {
     *
     * `targetFileMb` sizes output files from the actual input bytes —
     * `repartition(n)` (round-robin, balanced), NOT `coalesce(1)`, which
-    * would collapse the read into a single task. The rewrite goes through a
-    * temp dir + atomic-ish swap so a crash mid-compact never loses the
-    * original files. */
+    * would collapse the read into a single task. The input file set is
+    * SNAPSHOTTED up front: the rewrite reads exactly those files and the
+    * swap removes exactly those files, so a file appended concurrently with
+    * the compaction is neither folded in nor deleted — it simply survives
+    * to the next compaction. The rewrite goes through a temp dir + a
+    * backed-up swap so a crash mid-compact never loses the originals.
+    *
+    * Refuses a streaming file-sink directory (`_spark_metadata` present):
+    * its exactly-once transaction log enumerates the original files by
+    * name, and a compaction would silently orphan every committed batch.
+    * Compact streaming sinks from the sink side (fewer, larger
+    * micro-batches) or by rewriting to a NEW directory instead. */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -34,18 +43,24 @@ object Sinks {
     import java.io.File
     import java.nio.file.{Files, StandardCopyOption}
     val src = new File(dir)
-    val bytes = src.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    require(!new File(src, "_spark_metadata").exists(),
+      s"$dir is a streaming file-sink directory (_spark_metadata): compacting it " +
+        "would orphan every batch in the sink's transaction log")
+    // the snapshot: everything after this line operates on exactly this set
+    val snapshot = src.listFiles().filter(_.getName.endsWith(".parquet"))
+    if (snapshot.isEmpty) return
+    val bytes = snapshot.map(_.length()).sum
     val nOut = math.max(1, math.ceil(bytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
     val tmp = Files.createTempDirectory(src.getParentFile.toPath, ".compact_").toFile
-    spark.read.parquet(dir).repartition(nOut)
+    spark.read.parquet(snapshot.map(_.toString).toIndexedSeq: _*).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     val bak = Files.createTempDirectory(src.getParentFile.toPath, ".compact_bak_").toFile
-    src.listFiles().foreach { f =>
+    snapshot.foreach { f =>
       Files.move(f.toPath, new File(bak, f.getName).toPath,
         StandardCopyOption.REPLACE_EXISTING)
     }
     tmp.listFiles().foreach { f =>
-      if (f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
+      if (f.getName.endsWith(".parquet"))
         Files.move(f.toPath, new File(src, f.getName).toPath,
           StandardCopyOption.REPLACE_EXISTING)
     }

@@ -67,10 +67,13 @@ object StreamingPipeline {
     * result types): sum of an integral field accumulates in long (exact past
     * 2^53, where a double accumulator silently loses integer exactness), sum
     * of a decimal in BigDecimal with Spark's widened sum precision, sum of a
-    * float/double in double; max/min preserve the field's own type. One op
+    * float/double in double; max/min preserve the field's own type, with
+    * strings compared in Spark's UTF8String (code-point) order. One op
     * descriptor therefore yields the same output schema and the same values
-    * whether it is run batch or streaming. Same sharding semantics as
-    * [[runningCount]]. */
+    * whether it is run batch or streaming. One deliberate divergence:
+    * AGGREGATE:sum over a non-numeric field throws here, where the batch
+    * compile inherits Spark's implicit string-to-double cast — rejecting the
+    * descriptor beats silently summing parsed strings. */
   def runningAgg(
       df: DataFrame,
       valueCol: String,
@@ -122,6 +125,14 @@ object StreamingPipeline {
           case DoubleType =>
             Ordering.by[Any, Double](_.asInstanceOf[Number].doubleValue())(
               Ordering.Double.TotalOrdering)
+          case StringType =>
+            // Spark orders strings as UTF8String (UTF-8 byte order == code
+            // points); java String.compareTo is UTF-16 code-UNIT order and
+            // ranks supplementary characters differently — use Spark's so
+            // batch and streaming max/min agree on every input
+            (x: Any, y: Any) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(x.asInstanceOf[String])
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y.asInstanceOf[String]))
           case _ => (x: Any, y: Any) => x.asInstanceOf[Comparable[Any]].compareTo(y)
         }
         if (kind == Kind.Max) (a, b) => ord.max(a, b) else (a, b) => ord.min(a, b)

@@ -57,6 +57,15 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       SparkEntry.queries("q_sketches")(spark, sf)) == 0)
   }
 
+  test("countExchanges sees exchanges inside a FINALIZED adaptive plan") {
+    import graft.sources.Layouts
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // finalize: AQE wraps each exchange in a QueryStageExec leaf
+    assert(Layouts.countExchanges(df) >= 1,
+      s"executed aggregate plan must show its shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
   test("simhash banded self-join reuses ONE exchange for both sides at runtime") {
     val df = SparkEntry.queries("q_dedup_simhash")(spark, sf)
     df.collect() // AQE finalizes the plan only on execution

@@ -91,6 +91,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming running max on strings uses Spark's UTF8String order like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ops = Seq(graft.ops.StreamOp.parseUnsafe("AGGREGATE:max:v"))
+    val ctx = OpCompiler.Ctx(None, Seq("id"))
+    val out = StreamingPipeline.pipeline(ops, ctx)(mem.toDF().toDF("id", "v"))
+    val q = out.writeStream.format("memory").queryName("rm_str")
+      .outputMode("append").start()
+    try {
+      // U+FFFF vs U+1F600: UTF-16 code-unit order ranks them opposite to
+      // Spark's UTF-8 byte order — the supplementary char must win
+      mem.addData((1L, "￿"), (2L, "😀"))
+      q.processAllAvailable()
+      val streamMax = spark.table("rm_str").orderBy("id").collect().last.getString(2)
+      val batchMax = Seq("￿", "😀").toDF("v")
+        .agg(max(col("v"))).first().getString(0)
+      assert(streamMax == batchMax)
+      assert(streamMax == "😀")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicate content across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
