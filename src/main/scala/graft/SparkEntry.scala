@@ -281,6 +281,15 @@ object SparkEntry {
       Curation.profile(t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"))),
 
+    // Quality selection: the 5 longest (by ws-token count) docs per source,
+    // deterministic tiebreak on doc_id.
+    "q_top_docs" -> ((s, dir) =>
+      Curation.topKPerGroup(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq("source"), col("n_tokens"), col("doc_id"), k = 5)),
+
     // The full training-data curation pipeline in ONE Catalyst plan:
     // lang-ID filter -> quality gate (token count + stopword ratio, ratio
     // compared in exact integer arithmetic) -> exact dedup keeping the
@@ -608,6 +617,15 @@ object SparkEntry {
         |SELECT source, lang_pred, count(*) AS n_docs,
         |  CAST(SUM(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS n_tokens
         |FROM lang GROUP BY source, lang_pred""".stripMargin,
+
+    "q_top_docs" ->
+      """SELECT doc_id, source, n_tokens, rank FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rank
+        |  FROM (SELECT doc_id, source,
+        |          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |        FROM documents))
+        |WHERE rank <= 5""".stripMargin,
 
     "q_profile" ->
       """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,

@@ -73,6 +73,25 @@ object Curation {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Keep the top `k` rows per group by `rankBy` (descending; ties broken by
+    * `tieBy` ascending for determinism) — the quality-selection step ("best
+    * k documents per source"). One keyed shuffle; each group ranks
+    * independently, so it scales with group count, not corpus size. For
+    * heavy single groups at extreme scale, pre-filter with an approximate
+    * per-group threshold before the exact window. */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      rankBy: Column,
+      tieBy: Column,
+      k: Int,
+      rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(rankBy.desc, tieBy.asc)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Mixture accounting: document and (estimated) token counts per group —
     * the numbers a data-mixture weighting step consumes. Partial aggregation
     * means only one tiny (groups-sized) shuffle at any scale. */

@@ -63,6 +63,18 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(("s", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
   }
 
+  test("topKPerGroup keeps the k best per group with deterministic ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 7L)).toDF("id", "g", "score")
+    val got = Curation.topKPerGroup(df, Seq("g"), col("score"), col("id"), k = 2)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSeq
+    // tie at 30 broken by ascending id: 2 before 3; 10 drops out of a's top 2
+    assert(got == Seq(("a", 2L, 1L), ("a", 3L, 2L), ("b", 5L, 1L)))
+  }
+
   test("tokenBudget counts docs and tokens per group") {
     import spark.implicits._
     val docs = Seq(
