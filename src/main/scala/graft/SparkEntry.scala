@@ -140,6 +140,15 @@ object SparkEntry {
         Seq(col("o_orderkey")), "running_max")
         .select(col("o_orderkey"), col("running_max"))),
 
+    // AGGREGATE:min:field — the last §2-surface variant, under the same
+    // windowed oracle shape as max (comparison-only, engine-exact).
+    "q_running_min" -> ((s, dir) =>
+      RunningCount.withRunningAgg(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        col("o_totalprice"), RunningCount.Kind.Min,
+        Seq(col("o_orderkey")), "running_min")
+        .select(col("o_orderkey"), col("running_min"))),
+
     // The canonical reference job shape: op1 -> op2 chain (FILTER then
     // AGGREGATE, Node.java:1106-1160) in ONE Catalyst plan.
     "q_pipeline_filter_count" -> ((s, dir) => {
@@ -356,9 +365,10 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), threshold = 0.4)),
 
-    // LSH-bucketed scale path for embedding near-dups (rows-only check:
-    // bucketing is engine-internal; exact-cosine parity vs the brute-force
-    // path is covered by DedupSpec).
+    // LSH-bucketed scale path for embedding near-dups. Full oracle: the
+    // hyperplane signatures are a pure function of the seeded planes, so
+    // the candidate set is exactly {pairs with sig-hamming <= 2} — the SQL
+    // reproduces the planes as literals and the bucketing as bit tests.
     "q_dedup_embed_lsh" -> ((s, dir) =>
       Dedup.embeddingCosinePairsLsh(t(s, dir, "embeddings"), threshold = 0.4)),
 
@@ -371,8 +381,10 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     }),
 
-    // ANN paths (no SQL oracle — rows-only; recall vs brute force is covered
-    // by SimilaritySpec).
+    // ANN paths under full oracles: annLsh candidates are exactly
+    // {sig-hamming(q, n) <= 1} (one-sided multi-probe over seeded planes);
+    // annIvf reproduces the trained centroids as SQL literals via
+    // Similarity.lastIvfRun. Recall vs brute force stays in SimilaritySpec.
     "q_sim_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.annLsh(emb.filter(col("vec_id") < 10), emb, k = 5, nPlanes = 6, dim = 64)
@@ -428,9 +440,67 @@ object SparkEntry {
   // Spark column names exactly (the driver sorts columns by name and hashes).
   // -------------------------------------------------------------------------
 
+  /** A Scala double array as a DuckDB list literal. `Double.toString` is the
+    * shortest round-tripping decimal, so DuckDB parses back the exact same
+    * IEEE value the Spark expression holds. */
+  private def sqlDoubles(xs: Array[Double]): String =
+    xs.map(_.toString).mkString("[", ", ", "]")
+
+  /** Sign-bit LSH bucket as SQL over column `e` (array<double>): bit p set
+    * iff e · plane_p >= 0 — mirrors [[graft.functions.HyperplaneBucket]]'s
+    * left-fold dot (DuckDB `list_sum` accumulates in the same array order,
+    * the bit-exactness contract every cosine oracle here relies on). */
+  private def sqlLshBucket(planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (plane, p) =>
+      s"(CASE WHEN list_sum(list_transform(list_zip(e, ${sqlDoubles(plane)}), " +
+        s"z -> z[1] * z[2])) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Left-fold cosine between `a.e` and `b.e`, identical accumulation to
+    * [[graft.functions.CosineSimilarity]] (same fragment as q_dedup_embed /
+    * q_sim_topk, which hash-match). */
+  private def sqlCos(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a.e, $b.e), z -> z[1] * z[2])) / " +
+      s"(sqrt(list_sum(list_transform($a.e, x -> x * x))) * " +
+      s"sqrt(list_sum(list_transform($b.e, x -> x * x))))"
+
+  /** The q_sim_ivf oracle can only exist AFTER the engine trained its coarse
+    * quantizer — the centroids are seed-pinned but data-dependent. Verify
+    * runs every query before dumping oracle_sql.json, so by dump time
+    * [[Similarity.lastIvfRun]] holds the exact centroids q_sim_ivf used;
+    * the SQL re-derives cell assignment (argmin of the same left-fold
+    * Σ(v−c)², ties to the lower cell — [[graft.functions.NearestCells]]),
+    * the nprobe probe cells, and the exact-cosine top-k. Absent a run, the
+    * entry is omitted and the driver falls back to its rows-only check. */
+  private def ivfOracleEntry: Map[String, String] =
+    Similarity.lastIvfRun.map { run =>
+      val cellDists = run.centroids.zipWithIndex.map { case (ctr, i) =>
+        s"""  SELECT vec_id, $i AS cell, list_sum(list_transform(list_zip(e, ${sqlDoubles(ctr)}),
+           |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d FROM v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      "q_sim_ivf" ->
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |cd AS (
+           |$cellDists),
+           |rnk AS (SELECT vec_id, cell,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM cd),
+           |asg AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+           |pr AS (SELECT vec_id, cell FROM rnk WHERE rn <= ${run.nprobe} AND vec_id < 10),
+           |sc AS (
+           |  SELECT p.vec_id AS q_id, a.vec_id AS n_id, ${sqlCos("q", "c")} AS cos
+           |  FROM pr p JOIN asg a ON p.cell = a.cell AND p.vec_id != a.vec_id
+           |  JOIN v q ON q.vec_id = p.vec_id
+           |  JOIN v c ON c.vec_id = a.vec_id)
+           |SELECT q_id, n_id, rank, cos FROM (
+           |  SELECT q_id, n_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM sc)
+           |WHERE rank <= ${run.k}""".stripMargin
+    }.toMap
+
   /** Shared SQL fragments (kept inline per-query so each entry is a
     * self-contained ANSI statement for the driver). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = ivfOracleEntry ++ Map(
     "q_filter" ->
       "SELECT doc_id, text FROM documents WHERE contains(lower(text), 'window')",
 
@@ -469,6 +539,11 @@ object SparkEntry {
     "q_running_max" ->
       """SELECT o_orderkey,
         |  MAX(o_totalprice) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS running_max
+        |FROM orders""".stripMargin,
+
+    "q_running_min" ->
+      """SELECT o_orderkey,
+        |  MIN(o_totalprice) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS running_min
         |FROM orders""".stripMargin,
 
     "q_pipeline_filter_count" ->
@@ -786,6 +861,40 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2])) /
         |    (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
         |     sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4""".stripMargin,
+
+    // Candidate set of the one-sided multi-probe LSH: corpus rows keep their
+    // own signature bucket, queries probe theirs + all hamming-1 flips, so a
+    // pair joins iff the two signatures differ in <= 1 plane bit. The planes
+    // are the engine's own seeded constants (VectorFunctions.makePlanes).
+    "q_sim_ann" -> {
+      val planes = graft.functions.VectorFunctions.makePlanes(6, 64)
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, ${sqlLshBucket(planes)} AS bucket FROM v),
+         |sc AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${sqlCos("q", "c")} AS cos
+         |  FROM b q JOIN b c ON q.vec_id != c.vec_id
+         |    AND bit_count(xor(q.bucket, c.bucket)) <= 1
+         |  WHERE q.vec_id < 10)
+         |SELECT q_id, n_id, rank, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5""".stripMargin
+    },
+
+    // Two-sided multi-probe: both members probe own bucket + hamming-1
+    // flips, so the candidate set is exactly {pairs with sig-hamming <= 2};
+    // the engine's minimum-meeting-bucket filter is pure dedup and needs no
+    // SQL counterpart.
+    "q_dedup_embed_lsh" -> {
+      val planes = graft.functions.VectorFunctions.makePlanes(8, 64)
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, ${sqlLshBucket(planes)} AS bucket FROM v)
+         |SELECT a.vec_id AS a_id, c.vec_id AS b_id, ${sqlCos("a", "c")} AS cos
+         |FROM b a JOIN b c ON a.vec_id < c.vec_id
+         |  AND bit_count(xor(a.bucket, c.bucket)) <= 2
+         |WHERE ${sqlCos("a", "c")} >= 0.4""".stripMargin
+    },
 
     "q_sim_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

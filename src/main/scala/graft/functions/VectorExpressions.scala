@@ -151,3 +151,81 @@ case class HyperplaneBucket(
       c: org.apache.spark.sql.catalyst.expressions.Expression): HyperplaneBucket =
     copy(child = c)
 }
+
+/** The `n` nearest centroid indices for a vector, ordered by (squared
+  * euclidean distance, index) — the IVF coarse-quantizer assignment (n=1 for
+  * corpus cells) and probe list (n=nprobe for queries) in ONE traversal.
+  *
+  * Replaces Spark ML's `model.transform` for assignment on purpose: ML uses
+  * `fastSquaredDistance` (norm-cached ‖a‖²−2a·b+‖b‖² with a precision
+  * fallback), whose rounding near cell boundaries an independent SQL oracle
+  * cannot reproduce. Here the distance is the plain left-fold
+  * Σ(v_i−c_i)² in array order — bit-identical to DuckDB's
+  * `list_sum(list_transform(list_zip(e, ctr), z -> (z[1]-z[2])*(z[1]-z[2])))`
+  * — so cell assignment, probe sets, and therefore the whole IVF result are
+  * verifiable cross-engine. Ties break toward the smaller index, matching
+  * `ORDER BY d, cell` in the oracle. */
+case class NearestCells(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroids: Array[Array[Double]],
+    n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val dim = if (centroids.isEmpty) 0 else centroids(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cells needs array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len != dim)
+      throw new IllegalArgumentException(
+        s"nearestCells: vector dim != centroid dim $dim (size=$len)")
+    val v = new Array[Double](len)
+    var i = 0
+    while (i < len) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val k = centroids.length
+    val d = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ctr = centroids(c)
+      var acc = 0.0
+      var j = 0
+      while (j < len) { val x = v(j) - ctr(j); acc += x * x; j += 1 }
+      d(c) = acc
+      c += 1
+    }
+    // stable ascending sort of indices by distance (ties keep index order)
+    val order = Array.range(0, k).sortWith { (a, b) =>
+      java.lang.Double.compare(d(a), d(b)) match {
+        case 0 => a < b
+        case cmp => cmp < 0
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.take(math.min(n, k)).map(Int.box))
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): NearestCells =
+    copy(child = c)
+}

@@ -43,6 +43,14 @@ object VectorFunctions {
     GraftExpr.column(HyperplaneBucket(GraftExpr.expression(v), planes.toArray))
   }
 
+  /** The `n` nearest centroid indices by (squared euclidean, index) — fused
+    * native expression ([[NearestCells]]); one traversal for all centroids,
+    * left-fold accumulation matching the DuckDB oracle bit-for-bit. */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(NearestCells(GraftExpr.expression(v), centroids, n))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (xorshift from a fixed
     * seed — no java.util.Random so results never depend on JVM version). */
   def makePlanes(nPlanes: Int, dim: Int, seed: Long = 0x5DEECE66DL): Seq[Array[Double]] = {

@@ -28,7 +28,17 @@ object Similarity {
     * memory. Bounded at 32 entries (cleared wholesale). */
   private val ivfModels = scala.collection.mutable.Map.empty[
     (Int, Long, Int, Double),
-    org.apache.spark.ml.clustering.KMeansModel]
+    scala.concurrent.Promise[org.apache.spark.ml.clustering.KMeansModel]]
+
+  /** Trained centroids + params of the most recent successful [[annIvf]]
+    * call — the verification hook `SparkEntry.oracleSql` reads to emit a
+    * DuckDB oracle with the SAME centroid literals the query used (the fit
+    * is seed-pinned but data-dependent, so the oracle cannot be a static
+    * string; `Verify` runs every query before dumping the SQL, so the stash
+    * is always populated when it matters). */
+  final case class IvfRun(centroids: Array[Array[Double]], nlist: Int, nprobe: Int, k: Int)
+  @volatile private var lastIvf: Option[IvfRun] = None
+  def lastIvfRun: Option[IvfRun] = lastIvf
 
   /** Exact top-k cosine neighbors for each query vector. Ranking key is the
     * cosine with id tiebreak; accumulation order is fixed (array order), so
@@ -110,13 +120,13 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
-      .withColumn("features", array_to_vector(col("n_v").cast("array<double>")))
     // The coarse quantizer is an INDEX: built once per (corpus, nlist) and
     // reused across queries, like any vector store. Keyed by the canonical
     // logical plan, so a changed corpus retrains; deterministic (fixed seed)
     // so a cache hit is observationally identical to a retrain.
     require(trainFraction > 0 && trainFraction <= 1.0)
-    val trainSet = if (trainFraction < 1.0) c.sample(trainFraction, seed = 42) else c
+    val trainSet = (if (trainFraction < 1.0) c.sample(trainFraction, seed = 42) else c)
+      .withColumn("features", array_to_vector(col("n_v").cast("array<double>")))
     // The count is the data fingerprint (distinguishes same-path-new-contents
     // corpora the plan alone cannot) and half the cache key. Metadata-only on
     // a plain parquet corpus; a filtered/derived corpus pays a real count
@@ -130,33 +140,47 @@ object Similarity {
         .toDF("q_id", "n_id", "rank", "cos")
     }
     val cacheKey = (c.queryExecution.analyzed.semanticHash(), corpusCount, nlist, trainFraction)
-    val model = ivfModels.synchronized {
+    // Per-key promise: the k-means fit runs OUTSIDE the map lock, so an
+    // unrelated cache hit never blocks behind another corpus's training
+    // (round-5 advice). Exactly one caller owns the fit; latecomers await
+    // the same promise. A failed fit evicts its promise so a retry retrains.
+    val (promise, owns) = ivfModels.synchronized {
       if (ivfModels.size > 32) ivfModels.clear()
-      ivfModels.getOrElseUpdate(cacheKey,
-        new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(trainSet))
+      ivfModels.get(cacheKey) match {
+        case Some(p) => (p, false)
+        case None =>
+          val p = scala.concurrent.Promise[org.apache.spark.ml.clustering.KMeansModel]()
+          ivfModels(cacheKey) = p
+          (p, true)
+      }
     }
-    val cells = model.transform(c)
-      .select(col("n_id"), col("n_v"), col("prediction").as("cell"))
+    val model =
+      if (owns) {
+        try {
+          val m = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(trainSet)
+          promise.success(m)
+          m
+        } catch {
+          case e: Throwable =>
+            promise.failure(e)
+            ivfModels.synchronized { ivfModels.remove(cacheKey) }
+            throw e
+        }
+      } else {
+        scala.concurrent.Await.result(promise.future, scala.concurrent.duration.Duration.Inf)
+      }
 
-    // nlist centroid literals; per query: squared-euclidean to each centroid,
-    // take the nprobe nearest cells (array sort on a tiny nlist-length array)
+    // Cell assignment and probe lists share ONE exact-distance expression
+    // ([[graft.functions.NearestCells]]) instead of ML's model.transform:
+    // plain left-fold Σ(v−c)² in array order, reproducible bit-for-bit by
+    // the DuckDB oracle (ML's fastSquaredDistance shortcut is not).
     val centroids = model.clusterCenters.map(_.toArray)
-    def sqDist(v: org.apache.spark.sql.Column, ctr: Array[Double]) =
-      aggregate(
-        zip_with(v, array(ctr.map(lit).toSeq: _*), (x, y) => {
-          val d = x.cast("double") - y; d * d
-        }),
-        lit(0.0), (acc, x) => acc + x)
-    val probeCells = slice(
-      transform(
-        array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
-          struct(sqDist(col("q_v"), ctr).as("d"), lit(i).as("cell"))
-        }.toSeq: _*)),
-        s => s.getField("cell")),
-      1, nprobe)
+    lastIvf = Some(IvfRun(centroids, nlist, nprobe, k))
+    val cells = c.withColumn(
+      "cell", element_at(nearestCells(col("n_v"), centroids, 1), 1))
 
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-      .withColumn("cell", explode(probeCells))
+      .withColumn("cell", explode(nearestCells(col("q_v"), centroids, nprobe)))
 
     val scored = cells.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

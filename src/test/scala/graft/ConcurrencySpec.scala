@@ -33,4 +33,20 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
       assert(concurrent == serial)
     }
   }
+
+  test("cold-cache concurrent annIvf calls agree (single promise-owned fit)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // a corpus plan this JVM has never fit on -> fresh cache key; every
+    // concurrent caller must resolve through the same promise and see the
+    // same trained quantizer
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") % 7 =!= 3)
+    val queries = emb.filter(col("vec_id") < 5)
+    def run(): Set[(Long, Long, Long)] =
+      Similarity.annIvf(queries, emb, k = 3, nlist = 4, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val results = Await.result(
+      Future.traverse(1 to 4)(_ => Future(run())), 5.minutes)
+    assert(results.toSet.size == 1, "concurrent IVF results diverged")
+  }
 }

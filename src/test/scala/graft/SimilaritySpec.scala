@@ -78,6 +78,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall below floor")
   }
 
+  test("annIvf stashes its trained centroids for the oracle generator") {
+    import org.apache.spark.sql.functions.col
+    Similarity.annIvf(corpus.filter(col("vec_id") < 5), corpus,
+      k = 3, nlist = 8, nprobe = 2).count()
+    val run = Similarity.lastIvfRun.getOrElse(fail("no IvfRun stashed"))
+    assert(run.nlist == 8 && run.nprobe == 2 && run.k == 3)
+    assert(run.centroids.length == 8 && run.centroids.forall(_.length == dim))
+  }
+
+  test("nearestCells orders cells by (distance, index) with lower-index ties") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.nearestCells
+    import org.apache.spark.sql.functions.col
+    // centroids 1 and 2 are equidistant from the probe; 0 is nearest
+    val centroids = Array(Array(0.0, 0.0), Array(2.0, 0.0), Array(-2.0, 0.0))
+    val got = Seq(Tuple1(Array(0.0f, 1.0f))).toDF("v")
+      .select(nearestCells(col("v"), centroids, 3).as("c"))
+      .first().getSeq[Int](0)
+    assert(got == Seq(0, 1, 2))
+  }
+
   test("cosine_similarity fails fast on ragged array lengths") {
     import spark.implicits._
     import graft.functions.VectorFunctions.cosineSimilarity
