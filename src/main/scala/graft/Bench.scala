@@ -48,11 +48,24 @@ object Bench {
     // Streaming drains reported under their own key: the batch "value" total
     // stays comparable across rounds, and a stream's time includes the whole
     // micro-batch lifecycle (listing, state store, commit log), not a plan.
-    val sp = Seq(streamPass(spark, sfDir), streamPass(spark, sfDir))
-    val streams = sp.head.keys.toSeq.sorted
-      .map(k => "\"" + k + "\":" + f"${sp.map(_(k)).min}%.3f")
+    // One UNTIMED warmup drain first (state-store provider classes, stream
+    // codegen, file-index caches all load lazily on the first stream of a
+    // JVM), then three timed passes reporting the min — same jitter defense
+    // as the batch side (single-pass stream numbers once showed a false 20x
+    // "regression" that a driver re-run of identical binaries dissolved).
+    streamPass(spark, sfDir)
+    val sp = Seq(streamPass(spark, sfDir), streamPass(spark, sfDir), streamPass(spark, sfDir))
+    val streamNames = sp.head.keys.toSeq.sorted
+    val streams = streamNames
+      .map(k => "\"" + k + "\":" + f"${sp.map(_(k)._1).min}%.3f")
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streams":$streams,"sf":"$sfDir"}""")
+    // per-batch triggerExecution millis of each stream's fastest pass — the
+    // drain decomposed, so a slow number is attributable to a batch, not a vibe
+    val batches = streamNames.map { k =>
+      val best = sp.minBy(_(k)._1)(Ordering.Double.TotalOrdering)
+      "\"" + k + "\":" + best(k)._2.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":3,"stream":3},"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -62,8 +75,8 @@ object Bench {
     * q_stream_pipeline = FILTER + sharded stateful running count over
     * documents; q_stream_window = watermarked tumbling-window counts over
     * events. */
-  def streamPass(spark: SparkSession, sfDir: String): Map[String, Double] = {
-    def drain(mode: OutputMode)(df: DataFrame): Double = {
+  def streamPass(spark: SparkSession, sfDir: String): Map[String, (Double, Seq[Long])] = {
+    def drain(mode: OutputMode)(df: DataFrame): (Double, Seq[Long]) = {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
       // State-store partition count = shuffle partitions at the query's
       // first batch. These workloads hold dozens-to-hundreds of state keys,
@@ -78,7 +91,12 @@ object Bench {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        // per-micro-batch triggerExecution: how the drain decomposes — gaps
+        // between Σbatch and wall are scheduler/startup, not the plan
+        val perBatch = q.recentProgress.toSeq.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+        (wall, perBatch)
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     // The file-stream source needs a DIRECTORY of arriving files; stage the
