@@ -87,11 +87,25 @@ object Dedup {
     // tight fractional cap) can push MOST distinct shingles over the cap,
     // and a forced broadcast of that set would OOM the driver where the
     // planner's shuffle anti-join fallback just works.
+    //
+    // The df branch and the anti-join probe both consume the postings, and
+    // exchange reuse CANNOT merge them (column pruning narrows the df branch
+    // to [shingle] and the probe's join-key constraint pushes an
+    // isnotnull(id) filter into its scan — canonically different subtrees),
+    // so unpinned they each evaluate scan -> shingle -> explode over the
+    // whole corpus. At 100 TB that second evaluation re-reads and
+    // re-shingles 100 TB. The eager localCheckpoint (the quantileBuckets
+    // pattern) materializes the postings ONCE, already spread over `parts`
+    // partitions; both branches then read pinned blocks. Storage is one
+    // postings copy — the same volume the self-join's shuffle writes anyway.
+    // Scoped to the capped path: uncapped, the postings have one consumer
+    // per join side and ReuseExchange already dedups them.
     val posts = cap.fold(posts0) { c =>
-      val hot = posts0.groupBy("shingle").agg(count(lit(1)).as("__graft_df"))
+      val pinned = posts0.localCheckpoint(true)
+      val hot = pinned.groupBy("shingle").agg(count(lit(1)).as("__graft_df"))
         .filter(col("__graft_df") > c)
         .select("shingle")
-      posts0.join(hot, Seq("shingle"), "left_anti")
+      pinned.join(hot, Seq("shingle"), "left_anti")
     }
     val a = posts.select(col("id").as("a_id"), col("sz").as("a_sz"), col("shingle"))
     val b = posts.select(col("id").as("b_id"), col("sz").as("b_sz"), col("shingle"))

@@ -1,9 +1,12 @@
 package graft.tools
 
 import graft.operators.Dedup
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Scratch: does the simhash banded self-join reuse its shuffle at runtime? */
+/** Scratch: do the dedup self-joins reuse their shuffles at runtime?
+  * Prints, per query, the final AQE plan's ReusedExchange / Exchange /
+  * parquet-scan / Generate counts — SCANS and GENERATES are the direct
+  * evidence of whether the shingle subtree executes once or N times. */
 object ReuseCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -13,11 +16,17 @@ object ReuseCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
-    pairs.collect()
-    val plan = pairs.queryExecution.executedPlan.toString
-    println("REUSED_EXCHANGE_COUNT=" + "ReusedExchange".r.findAllIn(plan).length)
-    println("EXCHANGE_COUNT=" + "Exchange".r.findAllIn(plan).length)
+
+    def report(name: String, df: DataFrame): Unit = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      def n(re: String) = re.r.findAllIn(plan).length
+      println(s"[$name] REUSED_EXCHANGE=${n("ReusedExchange")} " +
+        s"EXCHANGE=${n("Exchange")} SCANS=${n("Scan parquet")} GENERATES=${n("Generate")}")
+    }
+    report("simhash", Dedup.simhashPairs(docs, maxHamming = 6))
+    report("ngram_capped", Dedup.ngramJaccardPairs(docs, threshold = 0.5, maxShingleDf = Some(5)))
+    report("minhash", Dedup.minhashLsh(docs, threshold = 0.5))
     spark.stop()
   }
 }
