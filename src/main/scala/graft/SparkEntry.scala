@@ -171,6 +171,16 @@ object SparkEntry {
         OpCompiler.Ctx(None, Seq("OBJECTID")))(signs)
     }),
 
+    // The full console surface in one line: the reference's actual UX is a
+    // single `RAINSTORM <op1> <op2> <file> <numTasks> <flag>` command
+    // (RainStorm.java:846-877, Node.java:289-300) — tokenize, parse, pick
+    // the source by extension, set parallelism, run both ops as one plan.
+    "q_console" -> ((s, _) => {
+      graft.ops.Console.run(s,
+        "RAINSTORM \"COLUMN_FILTER:Category:Warning\" AGGREGATE " +
+          "/root/reference/file_system/data_storage/local_file/Traffic_Signs_1000.csv 3 false")
+    }),
+
     // The compatibility mode: the reference's NAIVE split(",") semantics
     // (quoted commas shift columns, Operators.java:174) — byte-parity with
     // its outputs. The oracle reproduces the same naive split with
@@ -553,6 +563,18 @@ object SparkEntry {
     // DuckDB reads the same reference CSV directly (RFC-4180 both sides).
     "q_traffic_pipeline" ->
       ("""SELECT OBJECTID, Sign_Type
+        |FROM read_csv('/root/reference/file_system/data_storage/local_file/Traffic_Signs_1000.csv',
+        |  header=false, columns={""".stripMargin +
+        graft.sources.Tables.trafficSignsSchema.fieldNames
+          .map(n => s"'$n': 'VARCHAR'").mkString(", ") +
+        """})
+        |WHERE trim(Category) = 'Warning'""".stripMargin),
+
+    // Console command line: COLUMN_FILTER then the running count, numbered in
+    // OBJECTID order over the filtered rows (window evaluates after WHERE).
+    // All 19 columns ride through, as the reference's results log would show.
+    "q_console" ->
+      ("""SELECT *, CAST(row_number() OVER (ORDER BY OBJECTID) AS BIGINT) AS running_count
         |FROM read_csv('/root/reference/file_system/data_storage/local_file/Traffic_Signs_1000.csv',
         |  header=false, columns={""".stripMargin +
         graft.sources.Tables.trafficSignsSchema.fieldNames
