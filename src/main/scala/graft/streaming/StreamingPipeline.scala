@@ -181,10 +181,62 @@ object StreamingPipeline {
     spark.readStream.text(dir).withColumn("file", input_file_name())
 
   /** Socket source (BASELINE.json spark_approach: "Structured Streaming +
-    * Kafka/socket source"; no Kafka connector ships in this environment). */
+    * Kafka/socket source"). */
   def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
+
+  /** Option plumbing for the Kafka source — pure, so it is unit-testable
+    * without the connector jar (spark-sql-kafka is a separate artifact not
+    * shipped in this sandbox; on a cluster `--packages
+    * org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>` provides
+    * it). Keys are the connector's documented option names. */
+  def kafkaOptions(
+      bootstrapServers: String,
+      topics: Seq[String],
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true,
+      extra: Map[String, String] = Map.empty): Map[String, String] = {
+    require(bootstrapServers.nonEmpty, "kafka.bootstrap.servers is required")
+    require(topics.nonEmpty, "at least one topic is required")
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++
+      extra
+  }
+
+  /** Decode a Kafka-schema frame to the engine's line model: UTF-8 value
+    * bytes as `value`, with (topic, partition, offset) as the lineage
+    * identity — the unbounded analog of [[graft.sources.Tables.lines]]'s
+    * (file, line_no). Pure projection over the connector's fixed schema
+    * (key/value binary, topic, partition, offset, ...), so it is testable
+    * on a batch frame of the same shape. */
+  def decodeKafka(df: DataFrame): DataFrame =
+    df.select(
+      col("value").cast("string").as("value"),
+      col("topic"), col("partition"), col("offset"))
+
+  /** Kafka line source: `format("kafka")` behind the same source API as
+    * [[fileLines]]/[[socketLines]]. Resolution of the `kafka` format happens
+    * at `load()` — absent the connector jar this throws Spark's
+    * missing-data-source error, which is the documented gate here. */
+  def kafkaLines(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topics: Seq[String],
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true,
+      extra: Map[String, String] = Map.empty): DataFrame =
+    decodeKafka(
+      spark.readStream.format("kafka")
+        .options(kafkaOptions(bootstrapServers, topics, startingOffsets,
+          maxOffsetsPerTrigger, failOnDataLoss, extra))
+        .load())
 
   /** Event-time tumbling-window counts with a watermark — the windowed-agg
     * surface the reference lacks entirely (SURVEY.md §2.3: no event time, no
