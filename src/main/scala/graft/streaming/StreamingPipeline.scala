@@ -47,7 +47,7 @@ object StreamingPipeline {
           val out = rows.map { r => c += 1; Row.fromSeq(r.toSeq :+ c) }.toVector
           state.update(CountState(c))
           out.iterator
-      }(Encoders.kryo[CountState], outEnc)
+      }(Encoders.product[CountState], outEnc)
   }
 
   /** Shard key extractor: first column's hash (stable across retries for the
@@ -55,10 +55,81 @@ object StreamingPipeline {
   private def usableShardCol(df: DataFrame): Row => Int =
     r => if (r.isNullAt(0)) 0 else r.get(0).hashCode()
 
-  /** State for the streaming running sum/max/min: None until the first
-    * non-null value (SQL window semantics). The accumulator representation is
-    * type-directed (see [[runningAgg]]). */
-  final case class AggAcc(acc: Option[Any])
+  /** State for the streaming running sum/max/min: a typed, tagged product —
+    * at most one slot populated, `tag` naming the value's original flavor so
+    * the checkpoint is self-describing and columnar (schema-stable across
+    * library versions, unlike an opaque kryo blob; tag 0 = no value seen
+    * yet, SQL window semantics). Decimals ride the string slot in exact
+    * textual form — the running accumulator may exceed any fixed DecimalType
+    * precision internally (the emit side clamps, the state must not).
+    * Date/timestamp flavors store epoch days / epoch micros (timestamps are
+    * micros-precision in Spark, so this is exact) and restore the same
+    * java.sql / java.time class that arrived, which is session-constant
+    * (spark.sql.datetime.java8API.enabled). */
+  final case class AggState(
+      tag: Int,
+      l: Option[Long],
+      d: Option[Double],
+      s: Option[String])
+
+  object AggState {
+    val Empty = AggState(0, None, None, None)
+    // tag per original flavor, so decode is total without plan-side context
+    private val TByte = 1; private val TShort = 2; private val TInt = 3
+    private val TLong = 4; private val TFloat = 5; private val TDouble = 6
+    private val TJavaDec = 7; private val TScalaDec = 8; private val TString = 9
+    private val TSqlDate = 10; private val TLocalDate = 11
+    private val TSqlTs = 12; private val TInstant = 13
+
+    def encode(v: Any): AggState = v match {
+      case x: java.lang.Byte => AggState(TByte, Some(x.longValue), None, None)
+      case x: java.lang.Short => AggState(TShort, Some(x.longValue), None, None)
+      case x: java.lang.Integer => AggState(TInt, Some(x.longValue), None, None)
+      case x: java.lang.Long => AggState(TLong, Some(x), None, None)
+      case x: java.lang.Float => AggState(TFloat, None, Some(x.doubleValue), None)
+      case x: java.lang.Double => AggState(TDouble, None, Some(x), None)
+      case x: java.math.BigDecimal => AggState(TJavaDec, None, None, Some(x.toString))
+      case x: BigDecimal => AggState(TScalaDec, None, None, Some(x.toString))
+      case x: String => AggState(TString, None, None, Some(x))
+      case x: java.sql.Timestamp => // order matters: Timestamp extends java.util.Date
+        AggState(TSqlTs, Some(timestampMicros(x)), None, None)
+      case x: java.sql.Date =>
+        AggState(TSqlDate, Some(x.toLocalDate.toEpochDay), None, None)
+      case x: java.time.LocalDate => AggState(TLocalDate, Some(x.toEpochDay), None, None)
+      case x: java.time.Instant =>
+        AggState(TInstant, Some(x.getEpochSecond * 1000000L + x.getNano / 1000), None, None)
+      case other => throw new IllegalArgumentException(
+        s"unsupported streaming aggregate value: ${other.getClass.getName}")
+    }
+
+    def decode(st: AggState): Option[Any] = st.tag match {
+      case 0 => None
+      case TByte => Some(java.lang.Byte.valueOf(st.l.get.toByte))
+      case TShort => Some(java.lang.Short.valueOf(st.l.get.toShort))
+      case TInt => Some(java.lang.Integer.valueOf(st.l.get.toInt))
+      case TLong => Some(java.lang.Long.valueOf(st.l.get))
+      case TFloat => Some(java.lang.Float.valueOf(st.d.get.toFloat))
+      case TDouble => Some(java.lang.Double.valueOf(st.d.get))
+      case TJavaDec => Some(new java.math.BigDecimal(st.s.get))
+      case TScalaDec => Some(BigDecimal(st.s.get))
+      case TString => Some(st.s.get)
+      case TSqlDate => Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(st.l.get)))
+      case TLocalDate => Some(java.time.LocalDate.ofEpochDay(st.l.get))
+      case TSqlTs =>
+        val m = st.l.get
+        val ts = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+        Some(ts)
+      case TInstant =>
+        val m = st.l.get
+        Some(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L))
+      case other => throw new IllegalStateException(s"unknown AggState tag: $other")
+    }
+
+    private def timestampMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  }
 
   /** Streaming `AGGREGATE:sum|max|min:field` (graft.ops.RunningCount.Kind):
     * per-shard running aggregate of a numeric field, one output per input.
@@ -73,7 +144,20 @@ object StreamingPipeline {
     * whether it is run batch or streaming. One deliberate divergence:
     * AGGREGATE:sum over a non-numeric field throws here, where the batch
     * compile inherits Spark's implicit string-to-double cast — rejecting the
-    * descriptor beats silently summing parsed strings. */
+    * descriptor beats silently summing parsed strings.
+    *
+    * Overflow matches the batch window sum under the session's ANSI setting
+    * (captured when the plan is built): ANSI on (the Spark 4 default) raises
+    * an arithmetic error the moment a prefix exceeds the result type — long
+    * sums past Long.MaxValue, decimal sums past the widened precision; ANSI
+    * off emits null for the overflowing row and RESTARTS accumulation from
+    * the next value, which is exactly what Spark's ANSI-off Sum does (the
+    * nulled buffer is indistinguishable from "no values yet", so the next
+    * value starts a fresh sum — verified against the batch compile).
+    *
+    * Max/min accept numeric, decimal, string, date and timestamp fields —
+    * the orderable types the batch window accepts. State is the typed
+    * product [[AggState]] (kryo-free checkpoints). */
   def runningAgg(
       df: DataFrame,
       valueCol: String,
@@ -93,8 +177,20 @@ object StreamingPipeline {
         case other => throw new IllegalArgumentException(
           s"AGGREGATE:sum needs a numeric field, got $other")
       }
-      case _ => inType
+      case _ =>
+        inType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+               DoubleType | StringType | DateType | TimestampType => ()
+          case _: DecimalType => ()
+          case other => throw new IllegalArgumentException(
+            s"AGGREGATE:${kind.toString.toLowerCase} needs an orderable " +
+              s"numeric/decimal/string/date/timestamp field, got $other")
+        }
+        inType
     }
+    // Overflow semantics follow the session's ANSI mode, like the batch
+    // window sum (captured here at plan time; see scaladoc).
+    val ansi = df.sparkSession.conf.get("spark.sql.ansi.enabled", "true").toBoolean
     // (promote incoming value to accumulator repr, combine) — the repr is
     // also the value emitted, so it must encode as `outType`.
     val promote: Any => Any = (kind, inType) match {
@@ -110,7 +206,9 @@ object StreamingPipeline {
     }
     val step: (Any, Any) => Any = kind match {
       case Kind.Sum => (a, b) => (a, b) match {
-        case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.valueOf(x + y)
+        case (x: java.lang.Long, y: java.lang.Long) =>
+          // ANSI long sum raises on overflow like batch; ANSI-off wraps
+          java.lang.Long.valueOf(if (ansi) Math.addExact(x, y) else x + y)
         case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.valueOf(x + y)
         case (x: BigDecimal, y: BigDecimal) => x + y
         case other => sys.error(s"unreachable sum reprs: $other")
@@ -137,25 +235,40 @@ object StreamingPipeline {
         }
         if (kind == Kind.Max) (a, b) => ord.max(a, b) else (a, b) => ord.min(a, b)
     }
+    // decimal sums clamp each prefix to the widened result precision
+    val decimalBounds: Option[(Int, Int)] = (kind, outType) match {
+      case (Kind.Sum, d: DecimalType) => Some((d.precision, d.scale))
+      case _ => None
+    }
     val outSchema: StructType = df.schema.add(outputCol, outType, nullable = true)
     val outEnc = Encoders.row(outSchema)
     val shardCol = usableShardCol(df)
     val vIdx = df.schema.fieldIndex(valueCol)
     df.groupByKey { r: Row => math.floorMod(shardCol(r), shards) }(Encoders.scalaInt)
-      .flatMapGroupsWithState[AggAcc, Row](
+      .flatMapGroupsWithState[AggState, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, rows: Iterator[Row], state: GroupState[AggAcc]) =>
-          var acc = state.getOption.flatMap(_.acc)
+        (_: Int, rows: Iterator[Row], state: GroupState[AggState]) =>
+          var acc = state.getOption.flatMap(AggState.decode)
           val out = rows.map { r =>
             if (!r.isNullAt(vIdx)) {
               val v = promote(r.get(vIdx))
-              acc = Some(acc.fold(v)(step(_, v)))
+              val cand = acc.fold(v)(step(_, v))
+              acc = decimalBounds match {
+                case Some((p, sc)) =>
+                  val dec = org.apache.spark.sql.types.Decimal(cand.asInstanceOf[BigDecimal])
+                  if (dec.changePrecision(p, sc)) Some(cand)
+                  else if (ansi) throw new ArithmeticException(
+                    s"$cand cannot be represented as Decimal($p, $sc) " +
+                      "(running decimal sum overflow; ANSI mode)")
+                  else None // batch parity: null row, accumulation restarts
+                case None => Some(cand)
+              }
             }
             Row.fromSeq(r.toSeq :+ acc.orNull)
           }.toVector
-          state.update(AggAcc(acc))
+          state.update(acc.fold(AggState.Empty)(AggState.encode))
           out.iterator
-      }(Encoders.kryo[AggAcc], outEnc)
+      }(Encoders.product[AggState], outEnc)
   }
 
   /** Compile a reference op chain onto a (possibly streaming) DataFrame.

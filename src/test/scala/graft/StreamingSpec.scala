@@ -113,6 +113,89 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decimal sum overflow matches the ANSI-off batch window sum: null then restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val big = "9" + "0" * 37 // 9e37: two of these need 39 digits at scale 0
+      val mem = MemoryStream[(Long, String)]
+      val toDec = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("v", col("v").cast("decimal(38,0)"))
+      val ops = Seq(graft.ops.StreamOp.parseUnsafe("AGGREGATE:sum:v"))
+      val ctx = OpCompiler.Ctx(None, Seq("id"))
+      val out = StreamingPipeline.pipeline(ops, ctx)(toDec(mem.toDF().toDF("id", "v")))
+      val q = out.writeStream.format("memory").queryName("rs_dec_of")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, big), (2L, big))
+        q.processAllAvailable()
+        // overflow happened last batch; state must have restarted, like batch
+        mem.addData((3L, "-" + big))
+        q.processAllAvailable()
+        val got = spark.table("rs_dec_of").orderBy("id").collect()
+          .map(r => Option(r.getDecimal(2)).map(_.toPlainString))
+        val batch = graft.ops.Pipeline(ops, ctx)(
+          toDec(Seq((1L, big), (2L, big), (3L, "-" + big)).toDF("id", "v")))
+          .orderBy("id").collect()
+          .map(r => Option(r.getDecimal(2)).map(_.toPlainString))
+        assert(got.toSeq == batch.toSeq)
+        assert(got.toSeq == Seq(Some(big), None, Some("-" + big)))
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
+  test("streaming decimal sum overflow raises under ANSI like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val big = "9" + "0" * 37
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.pipeline(
+      Seq(graft.ops.StreamOp.parseUnsafe("AGGREGATE:sum:v")),
+      OpCompiler.Ctx(None, Seq("id")))(
+      mem.toDF().toDF("id", "v").withColumn("v", col("v").cast("decimal(38,0)")))
+    val q = out.writeStream.format("memory").queryName("rs_dec_ansi")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, big), (2L, big))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+        s"expected an ArithmeticException in: ${causes(e).map(_.getClass.getName)}")
+    } finally q.stop()
+  }
+
+  test("streaming running max of timestamps carries typed state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-03-01 08:$m%02d:07")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val ops = Seq(graft.ops.StreamOp.parseUnsafe("AGGREGATE:max:v"))
+    val ctx = OpCompiler.Ctx(None, Seq("id"))
+    val out = StreamingPipeline.pipeline(ops, ctx)(mem.toDF().toDF("id", "v"))
+    val q = out.writeStream.format("memory").queryName("rm_ts")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(30)), (2L, ts(10)))
+      q.processAllAvailable()
+      // the max must survive a state round-trip into the next micro-batch
+      mem.addData((3L, ts(20)), (4L, ts(45)))
+      q.processAllAvailable()
+      val got = spark.table("rm_ts").orderBy("id").collect()
+        .map(r => r.getTimestamp(2))
+      assert(got.toSeq == Seq(ts(30), ts(30), ts(30), ts(45)))
+      val batch = graft.ops.Pipeline(ops, ctx)(
+        Seq((1L, ts(30)), (2L, ts(10)), (3L, ts(20)), (4L, ts(45))).toDF("id", "v"))
+        .orderBy("id").collect().map(r => r.getTimestamp(2))
+      assert(got.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicate content across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
