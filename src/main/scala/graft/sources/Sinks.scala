@@ -28,8 +28,20 @@ object Sinks {
     * SNAPSHOTTED up front: the rewrite reads exactly those files and the
     * swap removes exactly those files, so a file appended concurrently with
     * the compaction is neither folded in nor deleted — it simply survives
-    * to the next compaction. The rewrite goes through a temp dir + a
-    * backed-up swap so a crash mid-compact never loses the originals.
+    * to the next compaction.
+    *
+    * Crash recovery: the swap is a manifest + marker commit protocol, with
+    * the scratch dirs INSIDE the target as dot-prefixed children (hidden
+    * from Spark's readers). A manifest naming every original and every
+    * replacement file is persisted before the first move; a `committed`
+    * marker lands only after the last move. The next compact() call
+    * deterministically finishes the story: committed → scrub leftovers,
+    * uncommitted → roll the originals back and drop the partial
+    * replacements. A crash at ANY instant therefore loses no appended row.
+    * (Readers racing a compaction may transiently see a mixed file set —
+    * same as any multi-file swap on a plain filesystem; crash safety, not
+    * reader isolation, is the contract here, matching the reference's
+    * MergeData.) A missing or not-yet-created directory is a no-op.
     *
     * Refuses a streaming file-sink directory (`_spark_metadata` present):
     * its exactly-once transaction log enumerates the original files by
@@ -43,29 +55,72 @@ object Sinks {
     import java.io.File
     import java.nio.file.{Files, StandardCopyOption}
     val src = new File(dir)
+    if (!src.isDirectory) return // nothing has been appended yet
     require(!new File(src, "_spark_metadata").exists(),
       s"$dir is a streaming file-sink directory (_spark_metadata): compacting it " +
         "would orphan every batch in the sink's transaction log")
+    recoverInterrupted(src)
     // the snapshot: everything after this line operates on exactly this set
-    val snapshot = src.listFiles().filter(_.getName.endsWith(".parquet"))
+    val snapshot = src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
     if (snapshot.isEmpty) return
     val bytes = snapshot.map(_.length()).sum
     val nOut = math.max(1, math.ceil(bytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
-    val tmp = Files.createTempDirectory(src.getParentFile.toPath, ".compact_").toFile
+    val tmp = Files.createTempDirectory(src.toPath, TmpPrefix).toFile
     spark.read.parquet(snapshot.map(_.toString).toIndexedSeq: _*).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = Files.createTempDirectory(src.getParentFile.toPath, ".compact_bak_").toFile
+    val replacements = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+    val bak = Files.createTempDirectory(src.toPath, BakPrefix).toFile
+    // the manifest makes every later step replayable: first the full plan...
+    val manifest =
+      replacements.map(f => s"new\t${f.getName}") ++ snapshot.map(f => s"old\t${f.getName}")
+    Files.write(new File(bak, ManifestName).toPath,
+      java.util.Arrays.asList(manifest: _*))
+    // ...then the moves it describes
     snapshot.foreach { f =>
       Files.move(f.toPath, new File(bak, f.getName).toPath,
         StandardCopyOption.REPLACE_EXISTING)
     }
-    tmp.listFiles().foreach { f =>
-      if (f.getName.endsWith(".parquet"))
-        Files.move(f.toPath, new File(src, f.getName).toPath,
-          StandardCopyOption.REPLACE_EXISTING)
+    replacements.foreach { f =>
+      Files.move(f.toPath, new File(src, f.getName).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
     }
+    Files.createFile(new File(bak, CommittedName).toPath) // the commit point
     org.apache.commons.io.FileUtils.deleteDirectory(bak)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  private val TmpPrefix = ".compact_tmp_"
+  private val BakPrefix = ".compact_bak_"
+  private val ManifestName = "manifest"
+  private val CommittedName = "committed"
+
+  /** Finish or roll back a compaction interrupted by a crash, using the
+    * scratch dirs it left inside `src`. Committed bak → the swap finished,
+    * scrub it; uncommitted bak with a manifest → delete the replacement
+    * files named by the manifest (some may have landed) and restore every
+    * original; bak without a manifest → nothing was moved yet. Leftover tmp
+    * dirs are always safe to drop once baks are resolved. */
+  private def recoverInterrupted(src: java.io.File): Unit = {
+    import java.io.File
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val children = src.listFiles()
+    children.filter(d => d.isDirectory && d.getName.startsWith(BakPrefix)).foreach { bak =>
+      val committed = new File(bak, CommittedName).exists()
+      val manifestFile = new File(bak, ManifestName)
+      if (!committed && manifestFile.exists()) {
+        val lines = Files.readAllLines(manifestFile.toPath).asScala
+        val newNames = lines.collect { case l if l.startsWith("new\t") => l.drop(4) }
+        newNames.foreach(n => Files.deleteIfExists(new File(src, n).toPath))
+        bak.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          Files.move(f.toPath, new File(src, f.getName).toPath,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(bak)
+    }
+    children.filter(d => d.isDirectory && d.getName.startsWith(TmpPrefix))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
   }
 
   /** Write the results log and, when lineage columns are present, the

@@ -73,6 +73,65 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == 110)
   }
 
+  test("compact on a missing directory is a no-op") {
+    Sinks.compact(spark, "/tmp/graft_no_such_dir_anywhere/t")
+  }
+
+  test("compact recovers an UNCOMMITTED crashed swap: originals restored, partial replacements dropped") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    val dir = F.createTempDirectory("graft_crash1").resolve("t").toString
+    (0L until 200L).toDF("v").repartition(4).write.parquet(dir)
+    val originals = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(originals.length == 4)
+
+    // what a compaction's rewrite would produce: one file with ALL the rows
+    val scratch = F.createTempDirectory("graft_crash1_scratch").resolve("c").toString
+    (0L until 200L).toDF("v").repartition(1).write.parquet(scratch)
+    val replacement = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+
+    // freeze the crash instant mid-swap: manifest written, two of four
+    // originals moved out, the replacement moved in, NO committed marker
+    val bak = Paths.get(dir, ".compact_bak_crashed")
+    F.createDirectory(bak)
+    F.write(bak.resolve("manifest"), java.util.Arrays.asList(
+      (s"new\t${replacement.getName}" +: originals.map(f => s"old\t${f.getName}").toSeq): _*))
+    originals.take(2).foreach(f =>
+      F.move(f.toPath, bak.resolve(f.getName), StandardCopyOption.REPLACE_EXISTING))
+    F.copy(replacement.toPath, Paths.get(dir, replacement.getName))
+
+    // without recovery this reads 200 (replacement) + 100 (2 remaining
+    // originals) = 300 rows; recovery must restore exactly the originals
+    Sinks.compact(spark, dir)
+    val got = spark.read.parquet(dir).as[Long].collect().sorted
+    assert(got.toSeq == (0L until 200L).toSeq, "every original row exactly once")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".compact_")),
+      "scratch dirs scrubbed")
+  }
+
+  test("compact scrubs a COMMITTED crashed swap without resurrecting old files") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths}
+    val dir = F.createTempDirectory("graft_crash2").resolve("t").toString
+    (0L until 50L).toDF("v").repartition(1).write.parquet(dir)
+
+    // a completed swap that crashed before cleanup: bak still holds the
+    // pre-compaction originals plus the committed marker
+    val bak = Paths.get(dir, ".compact_bak_done")
+    F.createDirectory(bak)
+    F.write(bak.resolve("manifest"), java.util.Arrays.asList("old\tstale.parquet"))
+    F.write(bak.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+    F.createFile(bak.resolve("committed"))
+    // plus a stray tmp dir from the same crash
+    F.createDirectory(Paths.get(dir, ".compact_tmp_leftover"))
+
+    Sinks.compact(spark, dir)
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq == (0L until 50L).toSeq)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".compact_")))
+  }
+
   test("naive CSV compatibility mode reproduces split(\",\") misparsing") {
     assume(available)
     import scala.jdk.CollectionConverters._
