@@ -288,6 +288,22 @@ object SparkEntry {
       Curation.withSplit(t(s, dir, "documents").select(col("doc_id")), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
 
+    // Deterministic Bernoulli sample: membership is a pure function of
+    // (doc_id, salt) — rerun/engine/partitioning-stable, zero shuffles.
+    "q_sample" -> ((s, dir) =>
+      Curation.sampleFraction(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", 0.25, salt = "s1")),
+
+    // Mixture weighting: per-source keep rates (down-weight bulk sources,
+    // keep curated ones) — the salted-bucket compare against a CASE chain
+    // of thresholds; null/unlisted sources take the default rate.
+    "q_mixture" -> ((s, dir) =>
+      Curation.mixtureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Seq("src1" -> 0.5, "src2" -> 0.1, "src3" -> 0.0), defaultRate = 0.8)),
+
     // Mixture accounting: docs + estimated tokens per (source, language) —
     // the aggregate a data-mixture weighting step consumes. One tiny
     // groups-sized shuffle after partial aggregation.
@@ -692,6 +708,20 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000 AS BIGINT) AS b
         |      FROM documents)""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 15))::UBIGINT
+        |           % 10000 AS BIGINT) < 2500""".stripMargin,
+
+    "q_mixture" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mixture'), 1, 15))::UBIGINT
+        |         % 10000 AS BIGINT) AS b
+        |  FROM documents)
+        |WHERE b < CASE source WHEN 'src1' THEN 5000 WHEN 'src2' THEN 1000
+        |                      WHEN 'src3' THEN 0 ELSE 8000 END""".stripMargin,
 
     "q_token_budget" ->
       """WITH s AS (

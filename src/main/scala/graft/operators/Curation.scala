@@ -52,6 +52,58 @@ object Curation {
     df.withColumn(outputCol, expr)
   }
 
+  /** Salted variant of [[hashBucket]]: bucket of md5("<id>:<salt>"). Each
+    * distinct salt draws an independent bucket assignment, so stacked
+    * per-row decisions (split assignment, sampling, mixture weighting)
+    * don't correlate — sampling 10% with the UNsalted bucket would take
+    * the sample entirely out of the train split's low-bucket range.
+    * DuckDB: `('0x' || substr(md5(CAST(id AS VARCHAR) || ':<salt>'), 1,
+    * 15))::UBIGINT % n`. */
+  def hashBucketSalted(id: Column, salt: String, buckets: Int = SplitBuckets): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 15), 16, 10)
+      .cast("long"), lit(buckets))
+
+  /** Deterministic Bernoulli sample: keep a row iff its salted hash bucket
+    * lands below `fraction`. Unlike `df.sample`, membership is a PURE
+    * FUNCTION of (id, salt): reruns, repartitions and engines agree row by
+    * row, a grown corpus never flips an existing row's membership, and the
+    * filter is a codegen'd per-row expression on the scan — zero shuffles
+    * at any scale. Rows with a null id are dropped (no identity to hash). */
+  def sampleFraction(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      salt: String = "sample"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    df.filter(hashBucketSalted(col(idCol), salt) < math.round(fraction * SplitBuckets))
+  }
+
+  /** Mixture weighting: per-group keep rates — THE down/up-weighting step a
+    * training-data mixture applies per source ("keep 10% of crawl, all of
+    * reference text"). `rates` maps group values to keep fractions; groups
+    * not listed (and null groups) keep `defaultRate`. Same purity and
+    * zero-shuffle shape as [[sampleFraction]]: the rate lookup is a
+    * codegen'd CASE chain, the keep decision a salted-bucket compare, so
+    * the mixture is reproducible at 100 TB and composes with [[withSplit]]
+    * (different salts decorrelate). Upsampling (>1) is out of scope here —
+    * that's a generator (explode by replication count), not a filter. */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double = 1.0,
+      salt: String = "mixture"): DataFrame = {
+    require(rates.nonEmpty, "need at least one (group, rate)")
+    (rates.map(_._2) :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"keep rate out of [0,1]: $r"))
+    val threshold = rates.foldRight(lit(math.round(defaultRate * SplitBuckets)): Column) {
+      case ((group, rate), acc) =>
+        when(col(groupCol) === group, lit(math.round(rate * SplitBuckets))).otherwise(acc)
+    }
+    df.filter(hashBucketSalted(col(idCol), salt) < threshold)
+  }
+
   /** One-pass column profile: row count plus per-column null and EXACT
     * distinct counts, one output row per profiled column. Catalyst plans the
     * multi-distinct as a single Expand + aggregate — the scan runs once and

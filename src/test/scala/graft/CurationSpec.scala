@@ -31,6 +31,62 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got("test") / n.toDouble - 0.1) < 0.01)
   }
 
+  test("sampleFraction: deterministic, partition-invariant, near the target rate") {
+    import spark.implicits._
+    val n = 20000L
+    val df = (0L until n).toDF("id")
+    val a = Curation.sampleFraction(df.repartition(3), "id", 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleFraction(df.repartition(13), "id", 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership must be a pure function of (id, salt)")
+    assert(math.abs(a.size / n.toDouble - 0.25) < 0.02)
+    // growing the corpus never flips an existing row's membership
+    val grown = Curation.sampleFraction((0L until 2 * n).toDF("id"), "id", 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(grown.filter(_ < n) == a)
+    assert(Curation.sampleFraction(df, "id", 0.0).count() == 0)
+    assert(Curation.sampleFraction(df, "id", 1.0).count() == n)
+  }
+
+  test("sampleFraction: distinct salts draw independent samples; null ids drop") {
+    import spark.implicits._
+    val df = (0L until 5000L).toDF("id")
+    val s1 = Curation.sampleFraction(df, "id", 0.5, salt = "a")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Curation.sampleFraction(df, "id", 0.5, salt = "b")
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (s1 & s2).size / 5000.0
+    // independent 50% draws overlap ~25%; identical draws would overlap 50%
+    assert(math.abs(overlap - 0.25) < 0.03, s"salts correlate: overlap=$overlap")
+    val withNull = Seq[java.lang.Long](1L, null, 3L).toDF("id")
+    assert(Curation.sampleFraction(withNull, "id", 1.0).count() == 2)
+  }
+
+  test("mixtureSample applies per-group keep rates; unlisted and null groups take the default") {
+    import spark.implicits._
+    val rows = (0L until 30000L).map(i => (i, i % 3 match {
+      case 0 => "keep_all"; case 1 => "downsample"; case _ => "drop"
+    })).toDF("id", "src")
+      .union(Seq((100000L, null.asInstanceOf[String])).toDF("id", "src"))
+    val out = Curation.mixtureSample(rows, "id", "src",
+      Seq("keep_all" -> 1.0, "downsample" -> 0.1, "drop" -> 0.0), defaultRate = 1.0)
+    val byGroup = out.groupBy("src").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byGroup(Some("keep_all")) == 10000L)
+    assert(!byGroup.contains(Some("drop")))
+    assert(math.abs(byGroup(Some("downsample")) / 10000.0 - 0.1) < 0.02)
+    assert(byGroup(None) == 1L, "null group keeps the default rate")
+    // the kept set must agree with an explicit salted-bucket filter
+    val manual = rows.filter(
+      Curation.hashBucketSalted(col("id"), "mixture") <
+        when(col("src") === "keep_all", 10000)
+          .when(col("src") === "downsample", 1000)
+          .when(col("src") === "drop", 0).otherwise(10000))
+      .collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet == manual)
+  }
+
   test("withSplit matches an independent md5 bucket reimplementation") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 42L, 9999L, 123456789L)
