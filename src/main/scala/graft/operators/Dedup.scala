@@ -322,4 +322,69 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
+
+  /** Resolve near-duplicate PAIRS into clusters: every id appearing in
+    * `pairs` gets the smallest id reachable through the pair graph
+    * (connected components) as its `cluster_id` — the step that turns any
+    * of the pair generators above into an actual dedup decision.
+    *
+    * Iterative min-label propagation over keyed joins: each round every
+    * vertex takes the min of its own label and its neighbors' labels;
+    * convergence needs component-diameter rounds, and near-dup components
+    * (mirror sets, boilerplate template families) have tiny diameters. All
+    * per-round work is (id, label)-keyed shuffles — nothing but the round
+    * counter and a change COUNT touch the driver, so the loop holds on a
+    * 1000-executor cluster; each round's frame is pinned with an eager
+    * localCheckpoint so the iterated plan stays constant-size instead of
+    * doubling (swap in reliable `checkpoint` dirs for multi-hour jobs where
+    * executor loss mid-loop matters). For adversarial long-chain graphs the
+    * large-star/small-star variant drops in with the same round structure;
+    * dedup graphs don't need it. */
+  def clusters(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxRounds: Int = 50): DataFrame = {
+    // evaluate the (possibly expensive: LSH, postings joins) pair plan once
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
+    val undirected = edges.union(edges.select(col("t"), col("s")))
+      .localCheckpoint(true)
+    var labels = undirected.select(col("s").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val msgs = undirected.join(labels, col("s") === col("id"))
+        .groupBy(col("t").as("mid")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(msgs, col("id") === col("mid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
+      round += 1
+    }
+    require(changed == 0,
+      s"clusters did not converge in $maxRounds rounds — component diameter " +
+        "exceeds the bound; raise maxRounds or use a star-contraction variant")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Keep one document per near-dup cluster: drop every row whose id sits in
+    * a cluster under a smaller id (the deterministic min-id survivor rule —
+    * swap the pair generator to taste). Ids absent from `pairs` are
+    * untouched. One anti-join against the (tiny: ids-in-pairs-sized) loser
+    * set; the planner broadcasts it when it fits. */
+  def survivors(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    val losers = clusters(pairs, aCol, bCol)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -145,4 +145,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(simPairs.distinct.size == simPairs.size,
       "simhash emitted duplicate pairs")
   }
+
+  test("clusters: connected components with min-id labels, multi-round chains included") {
+    import spark.implicits._
+    // component {1..5} as a CHAIN (diameter 4 -> several propagation
+    // rounds), component {10,11} as a pair, plus a self-contained triangle
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), // chain, mixed orientations
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)). // triangle
+      toDF("a_id", "b_id")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("survivors keeps one doc per cluster and every unpaired doc") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val kept = Dedup.survivors(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // clusters {1,2,3}->1 and {5,6}->5; 4,7,8 never appeared in pairs
+    assert(kept == Seq(1L, 4L, 5L, 7L, 8L))
+  }
 }
