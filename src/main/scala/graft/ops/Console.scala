@@ -107,4 +107,36 @@ object Console {
     val (src, ctx) = sourceFor(spark, cmd.file)
     Pipeline(cmd.ops, ctx)(src.repartition(cmd.numTasks))
   }
+
+  /** The same console line driven as a Structured-Streaming job — the
+    * reference's jobs ARE stream jobs (tuples pipelined between stages,
+    * results appended to the job log as they arrive). The file argument is
+    * read as a DIRECTORY watched for new files, the streaming analog of
+    * chunk files appearing in HyDFS; results land in `outDir` exactly-once
+    * through the checkpointed file sink. Here `numTasks` maps to the
+    * sharded running-count state — which reproduces the reference's ACTUAL
+    * deployed AGGREGATE semantics of N interleaved per-worker counters
+    * (numTasks stage-2 tasks each kept their own count; SURVEY.md §2.1 O9
+    * caveat). Pass a 1-task command for the single global counter. */
+  def runStream(
+      spark: SparkSession,
+      line: String,
+      outDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.StreamingPipeline
+    val cmd = parse(line).fold(msg => throw new IllegalArgumentException(msg), identity)
+    val (src, ctx) =
+      if (cmd.file.toLowerCase.endsWith(".csv"))
+        (spark.readStream.schema(Tables.trafficSignsSchema)
+          .option("header", "false").option("quote", "\"").option("escape", "\"")
+          .csv(cmd.file), OpCompiler.Ctx(None, Seq("OBJECTID")))
+      else
+        (StreamingPipeline.fileLines(spark, cmd.file),
+          OpCompiler.Ctx(Some("value"), Seq("file")))
+    val out = StreamingPipeline.pipeline(cmd.ops, ctx, shards = cmd.numTasks)(src)
+    StreamingPipeline.startFileSink(out, outDir, checkpointDir, trigger)
+  }
 }

@@ -71,6 +71,46 @@ class ConsoleSpec extends AnyFunSuite with SparkSpec {
     assert(out.rdd.getNumPartitions == 5)
   }
 
+  test("runStream drives the same command as a streaming job with checkpointed state") {
+    val in = java.nio.file.Files.createTempDirectory("console_stream_in").toString
+    val out = java.nio.file.Files.createTempDirectory("console_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("console_stream_ckpt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/chunk1.txt"),
+      java.util.Arrays.asList("keep alpha", "drop", "keep beta"))
+    val cmdLine = s"""RAINSTORM FILTER:keep "TRANSFORM:uppercase" $in 1 false"""
+    val q1 = Console.runStream(spark, cmdLine, out, ckpt)
+    q1.awaitTermination(60000)
+    assert(!q1.isActive)
+    // a second chunk lands (the reference: new HyDFS chunk files) and the
+    // restarted query processes ONLY it — exactly-once from the checkpoint
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/chunk2.txt"),
+      java.util.Arrays.asList("keep gamma"))
+    val q2 = Console.runStream(spark, cmdLine, out, ckpt)
+    q2.awaitTermination(60000)
+    val vals = spark.read.parquet(out).select("value")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(vals == Seq("KEEP ALPHA", "KEEP BETA", "KEEP GAMMA"))
+  }
+
+  test("runStream AGGREGATE: numTasks shards the counter like the reference's N workers") {
+    val in = java.nio.file.Files.createTempDirectory("console_agg_in").toString
+    val out = java.nio.file.Files.createTempDirectory("console_agg_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("console_agg_ckpt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/chunk1.txt"),
+      java.util.Arrays.asList("a", "b", "c", "d", "e"))
+    val q = Console.runStream(spark,
+      s"""RAINSTORM FILTER:"" AGGREGATE $in 2 false""", out, ckpt)
+    q.awaitTermination(60000)
+    val counts = spark.read.parquet(out).select("running_count")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 2 shards: each keeps its own 1,2,... (the reference's interleaved
+    // partial counters); together they cover all 5 rows
+    assert(counts.length == 5)
+    assert(counts.groupBy(identity).forall { case (v, occ) => occ.length <= 2 && v >= 1 })
+    val byShardMax = counts.max
+    assert(byShardMax <= 5)
+  }
+
   test("text files run through the line-tuple source with lineage order") {
     val dir = java.nio.file.Files.createTempDirectory("console_txt_").toFile
     val f = new java.io.File(dir, "log.txt")
