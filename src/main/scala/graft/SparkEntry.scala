@@ -221,6 +221,35 @@ object SparkEntry {
         .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
     }),
 
+    // TPC-H Q5 shape: the multi-way join ladder. Region->nation->supplier
+    // collapse into ONE broadcast against the fact scan; orders (date-
+    // filtered) and customer join on their keys — the only data-sized
+    // shuffles. The local-supplier predicate (c_nationkey = s_nationkey)
+    // rides the customer join.
+    "q5_join" -> ((s, dir) => {
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val nat = t(s, dir, "nation")
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+    }),
+
     // Event-time tumbling window aggregation (streaming-compatible shape).
     "q_events_window" -> ((s, dir) => {
       ev(s, dir)
@@ -624,6 +653,20 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
 
     "q3_join" ->
       """SELECT l_orderkey,

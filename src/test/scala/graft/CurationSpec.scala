@@ -47,6 +47,11 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(grown.filter(_ < n) == a)
     assert(Curation.sampleFraction(df, "id", 0.0).count() == 0)
     assert(Curation.sampleFraction(df, "id", 1.0).count() == n)
+    // fractions nest: raising the rate only ADDS rows (monotone thresholds
+    // over the same buckets), so a 10% sample is a subset of the 25% one
+    val small = Curation.sampleFraction(df, "id", 0.10)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a), "samples at growing fractions must nest")
   }
 
   test("sampleFraction: distinct salts draw independent samples; null ids drop") {
