@@ -91,7 +91,10 @@ object SparkEntry {
     // into one stage (the reference hand-fused it, Operators.java:87-91).
     "q_filtered_transform" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      Pipeline.fromDescriptors(Seq("FILTER:table", "TRANSFORM:uppercase"),
+      // the FUSED descriptor (Operators.java:87-91) — semantically identical
+      // to the FILTER + TRANSFORM chain, and Catalyst compiles both to the
+      // same two nodes
+      Pipeline.fromDescriptors(Seq("FILTERED_TRANSFORM:table:uppercase"),
         OpCompiler.Ctx(Some("text"), Seq("doc_id")))(docs)
     }),
 

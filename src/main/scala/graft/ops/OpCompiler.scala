@@ -53,6 +53,17 @@ object OpCompiler {
           .withColumnRenamed("col", "word")
       }, newCtx)
 
+    case FilteredTransform(pattern, kind) =>
+      // one fused op = the same two Catalyst nodes the chain form produces
+      // (Operators.java:87-91: predicate guard, then the scalar transform)
+      val p = pattern.toLowerCase
+      val f: Column => Column = kind match {
+        case Uppercase => upper
+        case Lowercase => lower
+        case TrimLine  => trim
+      }
+      (df => mapStringCols(df.filter(lower(lineOf(df, ctx)).contains(p)), ctx, f), ctx)
+
     case Select(columns) =>
       val newCtx = ctx.copy(orderCols = ctx.orderCols.filter(columns.contains))
       (df => df.select(columns.map(col): _*), newCtx)

@@ -38,6 +38,16 @@ object StreamOp {
     * Node.java:438-474). */
   final case class Select(columns: Seq[String]) extends StreamOp
 
+  /** O8 — the fused filter-then-transform op (Operators.java:87-91: one
+    * operator holding both a predicate and a scalar transform; its
+    * constructor takes Function<String,String>, so only the whole-line
+    * transforms fuse — not select/splitintowords). The console prompt
+    * advertises the descriptor `FILTERED_TRANSFORM:pattern:operation`
+    * (RainStorm.java:884-887) but validateOperation has no case for it
+    * (RainStorm.java:939-979) — declared-but-unreachable surface, same
+    * story as AGGREGATE:sum/max/min, given its declared semantics here. */
+  final case class FilteredTransform(pattern: String, kind: TransformKind) extends StreamOp
+
   /** O9 — stateful global running count: every input row emits the count so
     * far, 1,2,3,... (Operators.java:57-63, :93-100). The reference's state was
     * per-worker (interleaved partial counts); we implement the intended
@@ -75,6 +85,9 @@ object StreamOp {
       case "TRANSFORM" :: "lowercase" :: Nil         => Right(Transform(Lowercase))
       case "TRANSFORM" :: "trim" :: Nil              => Right(Transform(TrimLine))
       case "TRANSFORM" :: "splitintowords" :: Nil    => Right(SplitIntoWords)
+      case "FILTERED_TRANSFORM" :: pat :: op :: Nil  =>
+        scalarTransform(op.trim).map(FilteredTransform(unquote(pat), _))
+          .toRight(s"FILTERED_TRANSFORM needs uppercase|lowercase|trim, got: $op")
       case "TRANSFORM" :: "select" :: cols :: Nil    =>
         val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (cs.isEmpty) Left(s"TRANSFORM:select needs at least one column: $descriptor")
@@ -87,6 +100,13 @@ object StreamOp {
       case "AGGREGATE" :: _                          => Right(Aggregate)
       case _ => Left(s"unrecognized operator descriptor: $descriptor")
     }
+  }
+
+  private def scalarTransform(name: String): Option[TransformKind] = name match {
+    case "uppercase" => Some(Uppercase)
+    case "lowercase" => Some(Lowercase)
+    case "trim"      => Some(TrimLine)
+    case _           => None
   }
 
   def parseUnsafe(descriptor: String): StreamOp =

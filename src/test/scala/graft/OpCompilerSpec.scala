@@ -25,6 +25,14 @@ class OpCompilerSpec extends AnyFunSuite with SparkSpec {
     assert(out.select("n").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("FILTERED_TRANSFORM (fused O8) equals the FILTER + TRANSFORM chain") {
+    val fused = Pipeline.fromDescriptors(Seq("FILTERED_TRANSFORM:error:uppercase"),
+      Ctx(Some("line"), Seq("id")))(lines).collect().map(_.toSeq).toSet
+    val chain = Pipeline.fromDescriptors(Seq("FILTER:error", "TRANSFORM:uppercase"),
+      Ctx(Some("line"), Seq("id")))(lines).collect().map(_.toSeq).toSet
+    assert(fused.nonEmpty && fused == chain)
+  }
+
   test("TRANSFORM upper/lower/trim hit every string column when structured") {
     import spark.implicits._
     val df = Seq((" a ", 1)).toDF("s", "n")

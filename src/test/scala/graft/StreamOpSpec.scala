@@ -32,4 +32,15 @@ class StreamOpSpec extends AnyFunSuite {
     assert(StreamOp.parse("TRANSFORM:select:").isLeft)
     intercept[IllegalArgumentException](StreamOp.parseUnsafe("NOPE"))
   }
+
+  test("FILTERED_TRANSFORM: the fused O8 descriptor (Operators.java:87-91)") {
+    assert(StreamOp.parse("FILTERED_TRANSFORM:error:uppercase") ==
+      Right(FilteredTransform("error", Uppercase)))
+    assert(StreamOp.parse("FILTERED_TRANSFORM:\"two words\":trim") ==
+      Right(FilteredTransform("two words", TrimLine)))
+    // only the scalar line transforms fuse (the reference constructor takes
+    // Function<String,String>) — generators and projections don't
+    assert(StreamOp.parse("FILTERED_TRANSFORM:x:splitintowords").isLeft)
+    assert(StreamOp.parse("FILTERED_TRANSFORM:x:select:a,b").isLeft)
+  }
 }
