@@ -59,6 +59,30 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("clusters equals an in-memory union-find on random pair graphs") {
+    import spark.implicits._
+    val pairGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+        .map(_.filter { case (a, b) => a != b })
+    for (seed <- 1L to 4L) {
+      val pairs = sample(pairGen, seed)
+      // reference: path-compressing union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.operators.Dedup.clusters(pairs.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed pairs=$pairs")
+    }
+  }
+
   test("shingle sets are invariant under extra whitespace") {
     import spark.implicits._
     for (seed <- 1L to 6L) {
