@@ -39,8 +39,20 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(Similarity.annIvf(q, emptyEmb, 5).count() == 0)
   }
 
+  test("cluster resolution handles empty and no-op pair sets") {
+    import spark.implicits._
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(graft.operators.Dedup.clusters(emptyPairs).count() == 0)
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    // no pairs -> every doc survives untouched
+    assert(graft.operators.Dedup.survivors(docs, emptyPairs).count() == 2)
+  }
+
   test("curation and multimodal handle empty input") {
     assert(Curation.withSplit(emptyDocs, "doc_id", Seq("a" -> 1.0)).count() == 0)
+    assert(Curation.sampleFraction(emptyDocs, "doc_id", 0.5).count() == 0)
+    assert(Curation.mixtureSample(emptyDocs.withColumn("source", col("text")),
+      "doc_id", "source", Seq("a" -> 0.5)).count() == 0)
     assert(Curation.tokenBudget(emptyDocs, Seq(col("doc_id"))).count() == 0)
     assert(Curation.profile(emptyDocs, Seq("text")).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == Seq((0L, 0L, 0L)))
