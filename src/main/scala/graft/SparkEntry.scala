@@ -336,6 +336,15 @@ object SparkEntry {
         "doc_id", "source",
         Seq("src1" -> 0.5, "src2" -> 0.1, "src3" -> 0.0), defaultRate = 0.8)),
 
+    // Mixture weights ABOVE 1: floor(w) copies per row plus a salted-bucket
+    // fractional copy — 2.5x a source deterministically. The copy index
+    // rides along; generate_series reproduces the generator in SQL.
+    "q_mixture_up" -> ((s, dir) =>
+      Curation.mixtureUpsample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Seq("src1" -> 2.5, "src2" -> 0.5), defaultWeight = 1.0)),
+
     // Mixture accounting: docs + estimated tokens per (source, language) —
     // the aggregate a data-mixture weighting step consumes. One tiny
     // groups-sized shuffle after partial aggregation.
@@ -774,6 +783,18 @@ object SparkEntry {
         |  FROM documents)
         |WHERE b < CASE source WHEN 'src1' THEN 5000 WHEN 'src2' THEN 1000
         |                      WHEN 'src3' THEN 0 ELSE 8000 END""".stripMargin,
+
+    "q_mixture_up" ->
+      """SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy FROM (
+        |  SELECT doc_id, source,
+        |    CAST(floor(w) AS BIGINT) +
+        |      CASE WHEN b < round((w - floor(w)) * 10000) THEN 1 ELSE 0 END AS copies
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mixture'), 1, 15))::UBIGINT
+        |           % 10000 AS BIGINT) AS b,
+        |      CASE source WHEN 'src1' THEN 2.5 WHEN 'src2' THEN 0.5 ELSE 1.0 END AS w
+        |    FROM documents))""".stripMargin,
 
     "q_token_budget" ->
       """WITH s AS (

@@ -104,6 +104,40 @@ object Curation {
     df.filter(hashBucketSalted(col(idCol), salt) < threshold)
   }
 
+  /** Mixture weighting with weights ABOVE 1: each row is replicated
+    * `floor(w)` times plus one more copy iff its salted bucket lands under
+    * the fractional part — so a 2.5-weighted source yields exactly 2 or 3
+    * copies per row (deterministically, by id), averaging 2.5×. For w <= 1
+    * this degenerates to [[mixtureSample]]'s membership rule with a `copy`
+    * column of 1, so one weight table drives both directions. The copy
+    * index (1..k) rides along so downstream shuffles and split assignment
+    * can tell copies apart. A generator (explode of a per-row sequence),
+    * still zero shuffles and scan-bound: output volume is the weighted
+    * volume, the only cost that matters at 100 TB. */
+  def mixtureUpsample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0,
+      salt: String = "mixture",
+      copyCol: String = "copy"): DataFrame = {
+    require(weights.nonEmpty, "need at least one (group, weight)")
+    (weights.map(_._2) :+ defaultWeight).foreach(w =>
+      require(w >= 0.0, s"weight must be >= 0: $w"))
+    val w = weights.foldRight(lit(defaultWeight): Column) {
+      case ((group, wt), acc) => when(col(groupCol) === group, lit(wt)).otherwise(acc)
+    }
+    val whole = floor(w).cast("long")
+    val fracThreshold = round((w - floor(w)) * SplitBuckets).cast("long")
+    val copies = whole +
+      when(hashBucketSalted(col(idCol), salt) < fracThreshold, 1L).otherwise(0L)
+    // CaseWhen branches evaluate lazily, so sequence(1, 0) is never built
+    df.withColumn(copyCol,
+      explode(when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** One-pass column profile: row count plus per-column null and EXACT
     * distinct counts, one output row per profiled column. Catalyst plans the
     * multi-distinct as a single Expand + aggregate — the scan runs once and

@@ -92,6 +92,42 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSet == manual)
   }
 
+  test("mixtureUpsample replicates by weight: whole copies exact, fractional deterministic") {
+    import spark.implicits._
+    val rows = (0L until 9000L).map(i => (i, i % 3 match {
+      case 0 => "triple"; case 1 => "half"; case _ => "keep"
+    })).toDF("id", "src")
+    val out = Curation.mixtureUpsample(rows, "id", "src",
+      Seq("triple" -> 3.0, "half" -> 0.5), defaultWeight = 1.0)
+    val byGroup = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup("triple") == 9000L, "integer weight = exact replication")
+    assert(byGroup("keep") == 3000L)
+    assert(math.abs(byGroup("half") / 3000.0 - 0.5) < 0.04)
+    // copy indices are 1..k per id
+    val copies = out.filter(col("src") === "triple" && col("id") === 0L)
+      .select("copy").collect().map(_.getLong(0)).sorted.toSeq
+    assert(copies == Seq(1L, 2L, 3L))
+    // fractional copies are deterministic under repartitioning
+    val again = Curation.mixtureUpsample(rows.repartition(7), "id", "src",
+      Seq("triple" -> 3.0, "half" -> 0.5), defaultWeight = 1.0)
+      .select("id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == out.select("id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("mixtureUpsample at w <= 1 degenerates to mixtureSample's membership") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val weights = Seq("a" -> 0.3, "b" -> 0.7)
+    val up = Curation.mixtureUpsample(rows, "id", "src", weights)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val sampled = Curation.mixtureSample(rows, "id", "src", weights)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(up == sampled, "one weight table must drive both directions")
+  }
+
   test("withSplit matches an independent md5 bucket reimplementation") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 42L, 9999L, 123456789L)
