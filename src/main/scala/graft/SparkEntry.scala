@@ -428,6 +428,12 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5))),
 
+    // ...and the user-facing result: the corpus with one doc kept per
+    // cluster (min-id survivor), everything unpaired untouched.
+    "q_dedup_survivors" -> ((s, dir) =>
+      Dedup.survivors(t(s, dir, "documents").select("doc_id", "source"),
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5))),
+
     // SimHash banding (no SQL oracle — rows-only check).
     // Portable hash => the whole banded-join + hamming pipeline is verified
     // against a from-scratch SQL simhash (rows-only before round 4).
@@ -915,6 +921,25 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
+
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pp AS (SELECT a_id, b_id FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pp UNION SELECT b_id, a_id FROM pp),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |lab AS (SELECT src AS id, MIN(dst) AS root FROM reach GROUP BY src)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> root)""".stripMargin,
 
     "q_dedup_ngram_capped" ->
       """WITH s AS (
