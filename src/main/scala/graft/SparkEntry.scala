@@ -352,6 +352,15 @@ object SparkEntry {
       Curation.tokenBudget(t(s, dir, "documents"),
         Seq(col("source"), TextFunctions.langId(col("text")).as("lang_pred")))),
 
+    // Sequence packing: docs assigned to fixed token-budget training
+    // sequences by exclusive-prefix-sum offset in doc_id order — the
+    // two-phase distributed prefix sum, not a single global window.
+    "q_pack" -> ((s, dir) =>
+      Curation.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        TextFunctions.tokenCount(col("text")), Seq(col("doc_id")), 2048L)
+        .select("doc_id", "seq_id")),
+
     // One-pass column profiling (count / nulls / exact distinct per column).
     "q_profile" -> ((s, dir) =>
       Curation.profile(t(s, dir, "orders"),
@@ -851,6 +860,13 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_len,
         |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS n_stop
         |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
+
+    "q_pack" ->
+      """SELECT doc_id, CAST((cum - t) // 2048 AS BIGINT) AS seq_id FROM (
+        |  SELECT doc_id, t, SUM(t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id,
+        |          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+        |        FROM documents))""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

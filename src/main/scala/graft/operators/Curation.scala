@@ -159,6 +159,34 @@ object Curation {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Pack documents into fixed token-budget training sequences: doc d (in
+    * `orderCols` order) lands in sequence `floor(exclusive_prefix_tokens /
+    * seqTokens)` — the standard contiguous-packing-by-offset rule (each
+    * sequence is then the concatenation of its docs, split at the budget
+    * boundary; a doc straddling a boundary starts in its assigned sequence).
+    * Built on the scalable prefix-sum machinery
+    * ([[graft.ops.RunningCount.withRunningAgg]]): two-phase bucketed window,
+    * no global single-partition sort, no driver round-trip — the assignment
+    * holds on a 1000-executor cluster. Deterministic given a unique order
+    * key. */
+  def packSequences(
+      docs: DataFrame,
+      tokenCol: Column,
+      orderCols: Seq[Column],
+      seqTokens: Long,
+      outputCol: String = "seq_id"): DataFrame = {
+    require(seqTokens > 0, s"sequence budget must be positive: $seqTokens")
+    val tok = "__graft_tok"
+    val cum = "__graft_cum"
+    val withTok = docs.withColumn(tok, tokenCol.cast("long"))
+    graft.ops.RunningCount.withRunningAgg(
+      withTok, col(tok), graft.ops.RunningCount.Kind.Sum, orderCols, cum)
+      // integer div, not double floor: cumulative token counts on a 100 TB
+      // corpus pass 2^53, where double division starts mis-assigning
+      .withColumn(outputCol, expr(s"($cum - $tok) div ${seqTokens}L"))
+      .drop(tok, cum)
+  }
+
   /** Keep the top `k` rows per group by `rankBy` (descending; ties broken by
     * `tieBy` ascending for determinism) — the quality-selection step ("best
     * k documents per source"). One keyed shuffle; each group ranks

@@ -128,6 +128,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(up == sampled, "one weight table must drive both directions")
   }
 
+  test("packSequences assigns docs to token-budget bins by exclusive prefix offset") {
+    import spark.implicits._
+    // tokens: 5, 5, 5, 5 with budget 12 -> offsets 0,5,10,15 -> bins 0,0,0,1
+    val docs = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("id", "n")
+    val got = Curation.packSequences(docs, col("n"), Seq(col("id")), 12L)
+      .orderBy("id").collect().map(r => r.getAs[Long]("seq_id")).toSeq
+    assert(got == Seq(0L, 0L, 0L, 1L))
+    // partition-invariant: the same assignment from a different layout
+    val again = Curation.packSequences(docs.repartition(3), col("n"), Seq(col("id")), 12L)
+      .orderBy("id").collect().map(r => r.getAs[Long]("seq_id")).toSeq
+    assert(again == got)
+    // every sequence's docs are contiguous in the order key
+    val big = (0L until 500L).map(i => (i, 1L + i % 7)).toDF("id", "n")
+    val rows = Curation.packSequences(big, col("n"), Seq(col("id")), 64L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getAs[Long]("seq_id")))
+    assert(rows.map(_._2).sliding(2).forall(p => p(1) - p(0) >= 0 && p(1) - p(0) <= 1),
+      "seq_id must be non-decreasing and gapless over the order key")
+  }
+
   test("withSplit matches an independent md5 bucket reimplementation") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 42L, 9999L, 123456789L)
