@@ -352,6 +352,15 @@ object SparkEntry {
       Curation.tokenBudget(t(s, dir, "documents"),
         Seq(col("source"), TextFunctions.langId(col("text")).as("lang_pred")))),
 
+    // Ordered funnel per user: earliest view, then click strictly after it,
+    // then purchase strictly after that — every stage keyed on user_id so
+    // one hash partitioning serves the whole ladder. Epoch-micros output
+    // for cross-engine hashing.
+    "q_funnel" -> ((s, dir) =>
+      operators.Funnel.funnelTimes(ev(s, dir), Seq("view", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("t1")).as("t1"),
+          unix_micros(col("t2")).as("t2"), unix_micros(col("t3")).as("t3"))),
+
     // Sequence packing: docs assigned to fixed token-budget training
     // sequences by exclusive-prefix-sum offset in doc_id order — the
     // two-phase distributed prefix sum, not a single global window.
@@ -860,6 +869,17 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_len,
         |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS n_stop
         |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, CAST(epoch_us(t1) AS BIGINT) AS t1,
+        |       CAST(epoch_us(t2) AS BIGINT) AS t2, CAST(epoch_us(t3) AS BIGINT) AS t3
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     "q_pack" ->
       """SELECT doc_id, CAST((cum - t) // 2048 AS BIGINT) AS seq_id FROM (

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analytics over an event stream: for each user, the
+  * earliest time they completed step 1, then step 2 STRICTLY AFTER step 1,
+  * and so on — the sequential-conversion query behind every "view → click →
+  * purchase" dashboard. No reference analog (its AGGREGATE is a row
+  * counter); included as part of the events-analytics surface next to the
+  * window aggregates.
+  *
+  * Scale shape: one user-keyed aggregation per step plus a user-keyed join
+  * back — every stage keys on the SAME column, and each step's event scan
+  * pushes its own `event_type` predicate to the source (plan-verified). The
+  * per-step aggregated frames shrink monotonically (funnel survivors), so
+  * AQE broadcasts them against the event scans where they fit and falls
+  * back to same-key sort-merge where they don't; per-user event lists are
+  * never collected (no collect_list funnel — per-user history can be
+  * unbounded at 100 TB). Dropped-off users keep null step times via left
+  * joins. */
+object Funnel {
+
+  /** One row per user who completed step 1, with nullable `t1..tk` epoch
+    * columns: `t(i)` = min event time of `steps(i)` strictly after
+    * `t(i-1)`. */
+  def funnelTimes(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    steps.drop(1).zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t${i + 1}"
+      val cur = s"t${i + 2}"
+      val nxt = events.filter(col(typeCol) === step)
+        .join(acc.select(col(userCol), col(prev)).filter(col(prev).isNotNull), Seq(userCol))
+        .filter(col(tsCol) > col(prev))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
+      acc.join(nxt, Seq(userCol), "left")
+    }
+  }
+
+  /** Step-wise conversion counts: one row per step with the number of users
+    * whose funnel reached it. A funnel summary is a handful of rows at any
+    * scale — the per-user frame never leaves the cluster un-aggregated. */
+  def conversion(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val times = funnelTimes(events, steps, userCol, tsCol, typeCol)
+    val counts = times.agg(
+      count(lit(1)).as("t1_reached"),
+      steps.indices.drop(1).map(i =>
+        count(col(s"t${i + 1}")).as(s"t${i + 1}_reached")): _*)
+    val entries = steps.indices.map(i => struct(
+      lit(i + 1).cast("long").as("step"), lit(steps(i)).as("event_type"),
+      col(s"t${i + 1}_reached").as("n_users")))
+    counts.select(explode(array(entries: _*)).as("s")).select("s.*")
+  }
+}

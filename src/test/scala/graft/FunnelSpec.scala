@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Funnel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunnelSpec extends AnyFunSuite with SparkSpec {
+  import java.sql.Timestamp
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  private lazy val events = {
+    import spark.implicits._
+    Seq(
+      // user 1: full funnel in order
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // user 2: clicked BEFORE viewing — the click must not count; the
+      // later click does, but there is no purchase after it
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(8), "click"),
+      // user 3: view only
+      (3L, ts(4), "view"),
+      // user 4: never viewed — not in the funnel at all
+      (4L, ts(0), "click"), (4L, ts(1), "purchase"),
+      // user 5: two full passes; earliest valid times win
+      (5L, ts(3), "view"), (5L, ts(4), "click"), (5L, ts(6), "purchase"),
+      (5L, ts(7), "view"), (5L, ts(8), "click"), (5L, ts(9), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+  }
+
+  test("funnelTimes: strictly-ordered earliest step times per user") {
+    val got = Funnel.funnelTimes(events, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some(ts(0)), Some(ts(5)), Some(ts(9))),
+      (2L, Some(ts(2)), Some(ts(8)), None),
+      (3L, Some(ts(4)), None, None),
+      (5L, Some(ts(3)), Some(ts(4)), Some(ts(6)))))
+  }
+
+  test("conversion: per-step user counts") {
+    val got = Funnel.conversion(events, Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "view", 4L), (2L, "click", 3L), (3L, "purchase", 2L)))
+  }
+}
