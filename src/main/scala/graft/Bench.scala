@@ -14,7 +14,8 @@ object Bench {
   /** Scale-appropriate headliners (every one holds at 100TB-style plans:
     * keyed shuffles, broadcasts, LSH bucketing — no all-pairs joins). */
   val headliners: Seq[String] = Seq(
-    "q1_agg", "q3_join", "q5_join", "q_events_window", "q_events_sliding", "q_events_sessions",
+    "q1_agg", "q3_join", "q5_join", "q_funnel",
+    "q_events_window", "q_events_sliding", "q_events_sessions",
     "q_running_count", "q_running_sum", "q_pipeline_training",
     "q_filter", "q_column_filter", "q_split_words",
     "q_lang_id", "q_lang_id_ngram", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",

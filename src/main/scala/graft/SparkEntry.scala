@@ -313,6 +313,14 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fp"))
     }),
 
+    // Canonical normalization (dedup preprocessing): lowercase + whitespace
+    // collapse, and the punctuation-stripped canon.
+    "q_normalize" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalizeText(col("text")).as("norm"),
+        TextFunctions.normalizeText(col("text"), stripPunct = true).as("canon"))
+    }),
+
     // Reproducible train/val/test assignment: a pure per-row function of the
     // id (portable md5 bucket), zero shuffles, stable across reruns and
     // scale — the curation-pipeline replacement for randomSplit.
@@ -896,6 +904,13 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS canon
+        |FROM documents""".stripMargin,
 
     "q_pipeline_training" ->
       """WITH s AS (

@@ -121,6 +121,21 @@ object TextFunctions {
     * locality-sensitive fingerprint see [[graft.functions.Sketches.simhash64]]. */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Canonical normalization for dedup preprocessing: lowercase, collapse
+    * whitespace runs to single spaces, trim; with `stripPunct` every
+    * non-letter/digit/space becomes a space first (so "don't" -> "don t",
+    * matching the usual near-dup canon). Pure per-row codegen'd primitives,
+    * RE2-compatible patterns — the DuckDB oracle computes the identical
+    * string. Normalize BEFORE shingling/minhash so trivial formatting
+    * differences stop defeating near-dup detection. */
+  def normalizeText(text: Column, stripPunct: Boolean = false): Column = {
+    val lowered = lower(text)
+    val base =
+      if (stripPunct) regexp_replace(lowered, "[^\\p{L}\\p{N}\\s]", " ")
+      else lowered
+    trim(regexp_replace(base, "\\s+", " "))
+  }
+
   /** BPE-ish token estimate: one token per alphanumeric run plus one per
     * non-space punctuation character — the usual regex proxy for subword
     * tokenizers. Uses regexp_extract_all (RE2-compatible pattern, no

@@ -90,4 +90,21 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(one(TextFunctions.bpeTokenEstimate(col("t")), "hello world") == 2)
     assert(one(TextFunctions.bpeTokenEstimate(col("t")), "don't stop") == 4)
   }
+
+  test("normalizeText lowercases, collapses whitespace, optionally strips punctuation") {
+    assert(one(TextFunctions.normalizeText(col("t")), "  The   QUICK\t\nfox  ") ==
+      "the quick fox")
+    assert(one(TextFunctions.normalizeText(col("t"), stripPunct = true),
+      "Don't  stop -- EVER!") == "don t stop ever")
+    // punctuation kept by default
+    assert(one(TextFunctions.normalizeText(col("t")), "A, b!") == "a, b!")
+    // normalized twins shingle identically (the dedup preprocessing point)
+    import spark.implicits._
+    val r = Seq(("The quick  brown fox", "the QUICK brown\tfox"))
+      .toDF("a", "b").select(
+        TextFunctions.shingleSet(TextFunctions.normalizeText(col("a")), 2).as("sa"),
+        TextFunctions.shingleSet(TextFunctions.normalizeText(col("b")), 2).as("sb"))
+      .selectExpr("array_sort(sa) = array_sort(sb) AS eq").first()
+    assert(r.getBoolean(0))
+  }
 }
