@@ -369,6 +369,10 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("t1")).as("t1"),
           unix_micros(col("t2")).as("t2"), unix_micros(col("t3")).as("t3"))),
 
+    // ...and the funnel reduced to per-step conversion counts.
+    "q_funnel_conv" -> ((s, dir) =>
+      operators.Funnel.conversion(ev(s, dir), Seq("view", "click", "purchase"))),
+
     // Sequence packing: docs assigned to fixed token-budget training
     // sequences by exclusive-prefix-sum offset in doc_id order — the
     // two-phase distributed prefix sum, not a single global window.
@@ -888,6 +892,21 @@ object SparkEntry {
         |SELECT s1.user_id, CAST(epoch_us(t1) AS BIGINT) AS t1,
         |       CAST(epoch_us(t2) AS BIGINT) AS t2, CAST(epoch_us(t3) AS BIGINT) AS t3
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_funnel_conv" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |         (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin,
 
     "q_pack" ->
       """SELECT doc_id, CAST((cum - t) // 2048 AS BIGINT) AS seq_id FROM (
