@@ -373,6 +373,11 @@ object SparkEntry {
     "q_funnel_conv" -> ((s, dir) =>
       operators.Funnel.conversion(ev(s, dir), Seq("view", "click", "purchase"))),
 
+    // Weekly cohort retention: distinct active users per (first-activity
+    // week, weeks-since-first) — exact integer date arithmetic.
+    "q_retention" -> ((s, dir) =>
+      operators.Funnel.retention(ev(s, dir), periodDays = 7)),
+
     // Sequence packing: docs assigned to fixed token-budget training
     // sequences by exclusive-prefix-sum offset in doc_id order — the
     // two-phase distributed prefix sum, not a single global window.
@@ -907,6 +912,15 @@ object SparkEntry {
         |  SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL
         |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(t0 AS DATE)) // 7 AS BIGINT) AS cohort,
+        |  CAST(datediff('day', CAST(t0 AS DATE), CAST(ts AS DATE)) // 7 AS BIGINT) AS period_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_pack" ->
       """SELECT doc_id, CAST((cum - t) // 2048 AS BIGINT) AS seq_id FROM (

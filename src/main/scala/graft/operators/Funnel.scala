@@ -44,6 +44,32 @@ object Funnel {
     }
   }
 
+  /** Cohort retention: users bucketed by the period of their FIRST event
+    * (cohort = epoch-period index of min ts), then distinct active users
+    * counted per (cohort, periods-since-first). All integer date
+    * arithmetic — day diffs and integer division — so the result is exact
+    * and engine-portable. Scale shape: one user-keyed aggregation, one
+    * same-key join back (first-event frame ≤ one row per user; AQE
+    * broadcasts it when it fits), then a distinct-count shuffle keyed by
+    * (cohort, offset, user) with partial aggregation — the output is
+    * cohorts × offsets rows, tiny at any scale. */
+  def retention(
+      events: DataFrame,
+      periodDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(periodDays > 0, s"periodDays must be positive: $periodDays")
+    val first = events.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    events.join(first, Seq(userCol))
+      .select(col(userCol),
+        expr(s"datediff(CAST(__t0 AS DATE), DATE '1970-01-01') div $periodDays")
+          .cast("long").as("cohort"),
+        expr(s"datediff(CAST($tsCol AS DATE), CAST(__t0 AS DATE)) div $periodDays")
+          .cast("long").as("period_offset"))
+      .groupBy("cohort", "period_offset")
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
   /** Step-wise conversion counts: one row per step with the number of users
     * whose funnel reached it. A funnel summary is a handful of rows at any
     * scale — the per-user frame never leaves the cluster un-aggregated. */

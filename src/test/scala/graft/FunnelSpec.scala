@@ -39,6 +39,27 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
       (5L, Some(ts(3)), Some(ts(4)), Some(ts(6)))))
   }
 
+  test("retention: cohorts by first-activity week, distinct users per offset") {
+    import spark.implicits._
+    def at(day: Int) = Timestamp.valueOf(f"2026-01-${day + 1}%02d 12:00:00")
+    // user 1 first active day 0, returns day 8 (offset week 1) twice;
+    // user 2 first active day 7 (next cohort), returns day 7 again (offset 0)
+    val ev = Seq(
+      (1L, at(0), "view"), (1L, at(8), "click"), (1L, at(8), "view"),
+      (2L, at(7), "view"), (2L, at(7), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.retention(ev, periodDays = 7)
+      .orderBy("cohort", "period_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val c1 = got.filter(_._3 > 0)
+    // two cohorts (2026-01-01 and 2026-01-08 land in different epoch weeks),
+    // user 1 appears at offsets 0 and 1, user 2 only at offset 0
+    assert(c1.length == 3)
+    val byCohort = got.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byCohort.size == 2)
+    assert(byCohort.values.toSet == Set(Set((0L, 1L), (1L, 1L)), Set((0L, 1L))))
+  }
+
   test("conversion: per-step user counts") {
     val got = Funnel.conversion(events, Seq("view", "click", "purchase"))
       .orderBy("step").collect()
