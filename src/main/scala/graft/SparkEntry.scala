@@ -212,13 +212,24 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
-    // TPC-H Q3 shape: broadcast the small filtered dim, shuffle only the fact.
+    // TPC-H Q3 shape: broadcast the small filtered dim into orders, then a
+    // SHUFFLED hash join between the two fact-sized sides on orderkey,
+    // building on the (customer-filtered, so smaller) orders side. The hint
+    // matters twice over: (1) without it the static planner broadcasts the
+    // PRUNED lineitem scan — file size x selected-column ratio drops the
+    // fact table under the 10 MB threshold at small SF, a plan that is
+    // catastrophic at real scale and costs a driver-side HashedRelation
+    // build per run (profiled: the r06 1.54 s regression; see SCALE.md);
+    // (2) the join's hash partitioning on orderkey is exactly the
+    // downstream groupBy key, so the aggregation runs exchange-free — two
+    // total shuffles, both data-sized, a shape that holds at 100 TB.
     "q3_join" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+            .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-SHAPE regression tests: the scale properties SCALE.md claims
@@ -32,10 +32,21 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       "expected partial+final HashAggregate")
   }
 
-  test("q3_join: the dimension side broadcasts") {
+  test("q3_join: customer broadcasts; the fact join shuffles, never broadcasting lineitem") {
     val p = sparkPlan("q3_join")
     assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
       s"no broadcast join in:\n$p")
+    // The static planner sizes a pruned scan as file-bytes x column ratio,
+    // which at small SF drops LINEITEM under the broadcast threshold and
+    // plans a fact-table broadcast (the r06 bench regression; SCALE.md).
+    // The shuffle_hash hint pins the scale-correct shape instead.
+    val shj = p.collect { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"expected a ShuffledHashJoin for lineitem x orders:\n$p")
+    val bcastScans = p.collect { case b: BroadcastHashJoinExec =>
+      scans(if (b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) b.left else b.right)
+    }.flatten
+    assert(!bcastScans.exists(_.output.exists(_.name == "l_orderkey")),
+      s"lineitem scan sits on a broadcast build side:\n$p")
   }
 
   test("q_select and q_column_filter: scans read only the projected columns") {
