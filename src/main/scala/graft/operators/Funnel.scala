@@ -62,9 +62,14 @@ object Funnel {
     val first = events.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
     events.join(first, Seq(userCol))
       .select(col(userCol),
-        expr(s"datediff(CAST(__t0 AS DATE), DATE '1970-01-01') div $periodDays")
+        // floor division, not `div`: `div` truncates toward zero, so a
+        // pre-1970 first event (negative days-since-epoch) would merge the
+        // epoch-adjacent cohorts and diverge from DuckDB's flooring `//`.
+        // datediff is an int (±2.4M days at timestamp range), exact in the
+        // double floor.
+        expr(s"floor(datediff(CAST(__t0 AS DATE), DATE '1970-01-01') / $periodDays)")
           .cast("long").as("cohort"),
-        expr(s"datediff(CAST($tsCol AS DATE), CAST(__t0 AS DATE)) div $periodDays")
+        expr(s"floor(datediff(CAST($tsCol AS DATE), CAST(__t0 AS DATE)) / $periodDays)")
           .cast("long").as("period_offset"))
       .groupBy("cohort", "period_offset")
       .agg(count_distinct(col(userCol)).as("n_users"))

@@ -85,9 +85,19 @@ object StreamOp {
       case "TRANSFORM" :: "lowercase" :: Nil         => Right(Transform(Lowercase))
       case "TRANSFORM" :: "trim" :: Nil              => Right(Transform(TrimLine))
       case "TRANSFORM" :: "splitintowords" :: Nil    => Right(SplitIntoWords)
-      case "FILTERED_TRANSFORM" :: pat :: op :: Nil  =>
-        scalarTransform(op.trim).map(FilteredTransform(unquote(pat), _))
-          .toRight(s"FILTERED_TRANSFORM needs uppercase|lowercase|trim, got: $op")
+      // the operation is split off the LAST ':' so a colon-bearing pattern
+      // parses (FILTERED_TRANSFORM:a:b:uppercase filters on "a:b") — the
+      // same tolerance FILTER's p1:p2 rejoin gives its grammar
+      case "FILTERED_TRANSFORM" :: rest if rest.nonEmpty =>
+        val tail = rest.mkString(":")
+        val cut = tail.lastIndexOf(':')
+        if (cut < 0)
+          Left(s"FILTERED_TRANSFORM needs <pattern>:<operation>: $descriptor")
+        else {
+          val (pat, op) = (tail.substring(0, cut), tail.substring(cut + 1))
+          scalarTransform(op.trim).map(FilteredTransform(unquote(pat), _))
+            .toRight(s"FILTERED_TRANSFORM needs uppercase|lowercase|trim, got: $op")
+        }
       case "TRANSFORM" :: "select" :: cols :: Nil    =>
         val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (cs.isEmpty) Left(s"TRANSFORM:select needs at least one column: $descriptor")

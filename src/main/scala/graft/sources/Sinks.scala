@@ -37,11 +37,21 @@ object Sinks {
     * marker lands only after the last move. The next compact() call
     * deterministically finishes the story: committed → scrub leftovers,
     * uncommitted → roll the originals back and drop the partial
-    * replacements. A crash at ANY instant therefore loses no appended row.
-    * (Readers racing a compaction may transiently see a mixed file set —
-    * same as any multi-file swap on a plain filesystem; crash safety, not
-    * reader isolation, is the contract here, matching the reference's
-    * MergeData.) A missing or not-yet-created directory is a no-op.
+    * replacements. The manifest (and the directories it lives in) are
+    * fsynced before the first move, so the protocol holds across OS/power
+    * crashes, not just process crashes: no ordering of persisted renames
+    * can surface a replacement file the manifest doesn't name. A crash at
+    * ANY instant therefore loses no appended row. (Readers racing a
+    * compaction may transiently see a mixed file set — same as any
+    * multi-file swap on a plain filesystem; crash safety, not reader
+    * isolation, is the contract here, matching the reference's MergeData.)
+    * A missing or not-yet-created directory is a no-op.
+    *
+    * Concurrency: an exclusive lock file (`.compact.lock`, advisory OS
+    * file lock) serializes compactions of one directory — two concurrent
+    * compact() calls would otherwise destroy each other (the second's
+    * recovery pass rolls back the first's in-flight swap). The second
+    * caller blocks, then sees the first's committed result.
     *
     * Refuses a streaming file-sink directory (`_spark_metadata` present):
     * its exactly-once transaction log enumerates the original files by
@@ -53,46 +63,88 @@ object Sinks {
       dir: String,
       targetFileMb: Int = 128): Unit = {
     import java.io.File
-    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
     val src = new File(dir)
     if (!src.isDirectory) return // nothing has been appended yet
     require(!new File(src, "_spark_metadata").exists(),
       s"$dir is a streaming file-sink directory (_spark_metadata): compacting it " +
         "would orphan every batch in the sink's transaction log")
-    recoverInterrupted(src)
-    // the snapshot: everything after this line operates on exactly this set
-    val snapshot = src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    if (snapshot.isEmpty) return
-    val bytes = snapshot.map(_.length()).sum
-    val nOut = math.max(1, math.ceil(bytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
-    val tmp = Files.createTempDirectory(src.toPath, TmpPrefix).toFile
-    spark.read.parquet(snapshot.map(_.toString).toIndexedSeq: _*).repartition(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val replacements = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
-    val bak = Files.createTempDirectory(src.toPath, BakPrefix).toFile
-    // the manifest makes every later step replayable: first the full plan...
-    val manifest =
-      replacements.map(f => s"new\t${f.getName}") ++ snapshot.map(f => s"old\t${f.getName}")
-    Files.write(new File(bak, ManifestName).toPath,
-      java.util.Arrays.asList(manifest: _*))
-    // ...then the moves it describes
-    snapshot.foreach { f =>
-      Files.move(f.toPath, new File(bak, f.getName).toPath,
-        StandardCopyOption.REPLACE_EXISTING)
+    // in-process monitor first (same-JVM overlap on an OS file lock throws
+    // OverlappingFileLockException rather than blocking), then the OS lock
+    // for cross-process exclusion
+    val monitor = jvmLocks.computeIfAbsent(src.getCanonicalPath, _ => new Object)
+    monitor.synchronized {
+    val lockCh = java.nio.channels.FileChannel.open(new File(src, LockName).toPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = lockCh.lock() // exclusive; a second compactor process blocks here
+    try {
+      recoverInterrupted(src)
+      // the snapshot: everything after this line operates on exactly this set
+      val snapshot = src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (snapshot.isEmpty) return
+      val bytes = snapshot.map(_.length()).sum
+      val nOut = math.max(1, math.ceil(bytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
+      val tmp = Files.createTempDirectory(src.toPath, TmpPrefix).toFile
+      spark.read.parquet(snapshot.map(_.toString).toIndexedSeq: _*).repartition(nOut)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val replacements = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+      val bak = Files.createTempDirectory(src.toPath, BakPrefix).toFile
+      // the manifest makes every later step replayable: first the full plan,
+      // forced to disk (file contents + its directory entry) so no persisted
+      // ordering of the renames below can outrun it...
+      val manifest =
+        replacements.map(f => s"new\t${f.getName}") ++ snapshot.map(f => s"old\t${f.getName}")
+      Files.write(new File(bak, ManifestName).toPath,
+        java.util.Arrays.asList(manifest: _*))
+      fsyncFile(new File(bak, ManifestName))
+      fsyncDir(bak)
+      fsyncDir(src)
+      // ...then the moves it describes
+      snapshot.foreach { f =>
+        Files.move(f.toPath, new File(bak, f.getName).toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      replacements.foreach { f =>
+        Files.move(f.toPath, new File(src, f.getName).toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.createFile(new File(bak, CommittedName).toPath) // the commit point
+      org.apache.commons.io.FileUtils.deleteDirectory(bak)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    } finally {
+      lock.release()
+      lockCh.close()
     }
-    replacements.foreach { f =>
-      Files.move(f.toPath, new File(src, f.getName).toPath,
-        StandardCopyOption.REPLACE_EXISTING)
     }
-    Files.createFile(new File(bak, CommittedName).toPath) // the commit point
-    org.apache.commons.io.FileUtils.deleteDirectory(bak)
-    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
+
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private val TmpPrefix = ".compact_tmp_"
   private val BakPrefix = ".compact_bak_"
   private val ManifestName = "manifest"
   private val CommittedName = "committed"
+  private val LockName = ".compact.lock"
+
+  /** fsync a file's contents. */
+  private def fsyncFile(f: java.io.File): Unit = {
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+  }
+
+  /** fsync a directory so its entries (new files, renames) are durable.
+    * Some filesystems refuse to open a directory for sync — crash
+    * durability degrades to the filesystem's rename-ordering there, which
+    * is the pre-fsync behavior, so best-effort is strictly an improvement. */
+  private def fsyncDir(d: java.io.File): Unit = {
+    try {
+      val ch = java.nio.channels.FileChannel.open(d.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => }
+  }
 
   /** Finish or roll back a compaction interrupted by a crash, using the
     * scratch dirs it left inside `src`. Committed bak → the swap finished,

@@ -59,7 +59,14 @@ object StreamingPipeline {
     * at most one slot populated, `tag` naming the value's original flavor so
     * the checkpoint is self-describing and columnar (schema-stable across
     * library versions, unlike an opaque kryo blob; tag 0 = no value seen
-    * yet, SQL window semantics). Decimals ride the string slot in exact
+    * yet, SQL window semantics).
+    *
+    * COMPATIBILITY: the kryo → product encoder switch changed the
+    * checkpointed state schema. A query restarted from a checkpoint written
+    * by a pre-switch build fails Spark's state-schema compatibility check;
+    * there is no migration path — drain the old query and restart with a
+    * fresh checkpoint directory. Acceptable pre-release; recorded here so
+    * the failure mode is a documented one. Decimals ride the string slot in exact
     * textual form — the running accumulator may exceed any fixed DecimalType
     * precision internally (the emit side clamps, the state must not).
     * Date/timestamp flavors store epoch days / epoch micros (timestamps are

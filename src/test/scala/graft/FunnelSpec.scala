@@ -60,6 +60,19 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(byCohort.values.toSet == Set(Set((0L, 1L), (1L, 1L)), Set((0L, 1L))))
   }
 
+  test("retention: pre-1970 first events floor into the earlier cohort (not truncate toward zero)") {
+    import spark.implicits._
+    // days -3 and +3 around the epoch with periodDays=7: floor(-3/7) = -1
+    // and floor(3/7) = 0 — truncation would merge both into cohort 0
+    val ev = Seq(
+      (1L, Timestamp.valueOf("1969-12-29 12:00:00"), "view"), // day -3
+      (2L, Timestamp.valueOf("1970-01-04 12:00:00"), "view")) // day +3
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.retention(ev, periodDays = 7)
+      .orderBy("cohort").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((-1L, 0L, 1L), (0L, 0L, 1L)))
+  }
+
   test("conversion: per-step user counts") {
     val got = Funnel.conversion(events, Seq("view", "click", "purchase"))
       .orderBy("step").collect()

@@ -43,6 +43,25 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("concurrent compact() calls on one directory serialize (lock) and lose nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_clock").resolve("t").toString
+    for (w <- 0 until 4)
+      (w * 100L until w * 100L + 100L).toDF("v")
+        .repartition(3).write.mode("append").parquet(dir)
+    // two racing compactors: without the exclusive lock the second's
+    // recovery pass rolls back the first's in-flight swap mid-move
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val both = Future.sequence(Seq(
+      Future(Sinks.compact(spark, dir)), Future(Sinks.compact(spark, dir))))
+    Await.result(both, 120.seconds)
+    val got = spark.read.parquet(dir).as[Long].collect().sorted
+    assert(got.toSeq == (0L until 400L))
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("compact refuses streaming-sink dirs; a file landing mid-compact survives") {
     import spark.implicits._
     // refusal: _spark_metadata marks a streaming file sink's transaction log

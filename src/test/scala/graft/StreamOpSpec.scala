@@ -43,4 +43,12 @@ class StreamOpSpec extends AnyFunSuite {
     assert(StreamOp.parse("FILTERED_TRANSFORM:x:splitintowords").isLeft)
     assert(StreamOp.parse("FILTERED_TRANSFORM:x:select:a,b").isLeft)
   }
+
+  test("FILTERED_TRANSFORM pattern may itself contain a colon (op split off the LAST ':')") {
+    assert(StreamOp.parse("FILTERED_TRANSFORM:a:b:uppercase") ==
+      Right(FilteredTransform("a:b", Uppercase)))
+    assert(StreamOp.parse("FILTERED_TRANSFORM:\"x:y\":trim") ==
+      Right(FilteredTransform("x:y", TrimLine)))
+    assert(StreamOp.parse("FILTERED_TRANSFORM:nocolon").isLeft)
+  }
 }
