@@ -337,9 +337,11 @@ object Dedup {
     * 1000-executor cluster; each round's frame is pinned with an eager
     * localCheckpoint so the iterated plan stays constant-size instead of
     * doubling (swap in reliable `checkpoint` dirs for multi-hour jobs where
-    * executor loss mid-loop matters). For adversarial long-chain graphs the
-    * large-star/small-star variant drops in with the same round structure;
-    * dedup graphs don't need it. */
+    * executor loss mid-loop matters). If the graph turns out adversarially
+    * deep (diameter > `maxRounds` — a path, not a near-dup family), the
+    * loop hands the CURRENT partially-contracted edge set to
+    * [[starContraction]], which finishes in O(log n) rounds on any shape
+    * instead of failing. */
   def clusters(
       pairs: DataFrame,
       aCol: String = "a_id",
@@ -365,10 +367,77 @@ object Dedup {
       labels = next.drop("chg")
       round += 1
     }
-    require(changed == 0,
-      s"clusters did not converge in $maxRounds rounds — component diameter " +
-        "exceeds the bound; raise maxRounds or use a star-contraction variant")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    if (changed > 0) {
+      // diameter > maxRounds: an adversarially deep graph (paths, long
+      // chains), not a near-dup family. Finish with star contraction —
+      // O(log n) rounds on any shape — seeded with the original edges PLUS
+      // the (id -> current label) shortcuts the propagation already earned
+      // (a label is always a same-component vertex, so connectivity is
+      // unchanged and the head start is free).
+      val shortcuts = labels.filter(col("id") =!= col("lbl"))
+        .select(col("id").as("s"), col("lbl").as("t"))
+      starContraction(undirected.union(shortcuts), "s", "t")
+    } else labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): large-star hangs every larger neighbor of a vertex onto its
+    * minimum neighbor; small-star re-hangs the smaller ones. Both are
+    * (vertex)-keyed aggregations + joins — the same distributed shape as
+    * the propagation loop — and the edge set provably converges to stars
+    * (every vertex pointing at its component minimum) in O(log n) rounds
+    * REGARDLESS of diameter, where min-label propagation needs
+    * diameter-many. The cost is a groupBy keyed by the star center, which
+    * concentrates a whole component's edges on one key late in the run —
+    * AQE skew-split absorbs it (the value payload is one long per edge);
+    * that skew is why this is the fallback rather than the default.
+    *
+    * `pairs` are edges in either or both orientations; self-loops
+    * tolerated. Returns (doc_id, cluster_id) for every vertex. */
+  def starContraction(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxRounds: Int = 120): DataFrame = {
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
+    val vertices = edges.select(col("s").as("id"))
+      .union(edges.select(col("t").as("id"))).distinct().localCheckpoint(true)
+    var cur = edges.filter(col("s") =!= col("t"))
+      .select(greatest(col("s"), col("t")).as("s"), least(col("s"), col("t")).as("t"))
+      .distinct().localCheckpoint(true)
+    var curCount = cur.count()
+    var stable = false
+    var round = 0
+    while (!stable && curCount > 0 && round < maxRounds) {
+      // large-star: Γ(u) over both orientations; m = min(Γ(u) ∪ {u});
+      // every neighbor v > u re-hangs onto m
+      val both = cur.union(cur.select(col("t").as("s"), col("s").as("t")))
+      val lsMin = both.groupBy("s").agg(min(col("t")).as("mn"))
+        .select(col("s"), least(col("s"), col("mn")).as("m"))
+      val ls = both.join(lsMin, "s").filter(col("t") > col("s"))
+        .select(col("t").as("s"), col("m").as("t"))
+        .filter(col("s") =!= col("t")).distinct()
+      // small-star: key every edge by its LARGER endpoint; m = min smaller
+      // neighbor; all other smaller neighbors re-hang onto m, u keeps (u, m)
+      val ssMin = ls.groupBy("s").agg(min(col("t")).as("m"))
+      val joined = ls.join(ssMin, "s")
+      val next = joined.filter(col("t") =!= col("m"))
+        .select(col("t").as("s"), col("m").as("t"))
+        .union(ssMin.select(col("s"), col("m").as("t")))
+        .filter(col("s") =!= col("t")).distinct().localCheckpoint(true)
+      val nextCount = next.count()
+      stable = nextCount == curCount && next.except(cur).count() == 0
+      cur = next
+      curCount = nextCount
+      round += 1
+    }
+    require(stable || curCount == 0,
+      s"star contraction did not converge in $maxRounds rounds (impossible " +
+        "below 2^60 vertices — indicates non-deterministic ids in the input)")
+    // converged edges are stars: s (non-root) -> t (component min)
+    vertices.join(cur.select(col("s").as("id"), col("t").as("root")), Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   /** Keep one document per near-dup cluster: drop every row whose id sits in

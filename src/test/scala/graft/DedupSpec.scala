@@ -163,6 +163,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("starContraction: path of diameter 200 resolves in O(log n) rounds; matches propagation on random graphs") {
+    import spark.implicits._
+    // a single path 0-1-2-...-200 (diameter 200, ids shuffled so the min
+    // isn't adjacent to everything) — min-label propagation would need 200
+    // rounds; star contraction must finish well inside its 120-round bound
+    val perm = new scala.util.Random(7).shuffle((0L to 200L).toVector)
+    val path = perm.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("a_id", "b_id")
+    val got = Dedup.starContraction(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 201 && got.values.forall(_ == 0L))
+
+    // random sparse graph: star contraction and min-label propagation must
+    // produce the identical component map
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    val pairs = edges.toDF("a_id", "b_id")
+    val viaStars = Dedup.starContraction(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = Dedup.clusters(pairs, maxRounds = 200).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == viaProp)
+  }
+
+  test("clusters falls back to star contraction past maxRounds instead of failing") {
+    import spark.implicits._
+    val path = (0L until 60L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("a_id", "b_id")
+    // diameter 59 > maxRounds=5: the propagation loop can't converge and
+    // must hand off; the result is still the full component under id 0
+    val got = Dedup.clusters(path, maxRounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60 && got.values.forall(_ == 0L))
+  }
+
   test("survivors keeps one doc per cluster and every unpaired doc") {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
