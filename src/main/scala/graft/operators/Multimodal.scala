@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   * the Scala analog of `mapInPandas` batching: one JVM object stream per
   * partition, no per-row driver round-trips, no shuffle).
   *
-  * The actual codec step is STUBBED (this environment has no image/audio
-  * libraries): [[StubCodec]] derives deterministic fake dimensions/features
-  * from the payload bytes. The Spark-side contract — schema, binary transport,
-  * partition batching, explode of variable-length frame output — is real and
-  * is what matters at 100 TB (payload bytes never pass through the driver and
-  * never get re-encoded between operators).
+  * The codec is pluggable ([[MediaCodec]]): [[RealCodec]] decodes actual
+  * PNG/JPEG/GIF/BMP payloads with `javax.imageio` (JDK-only, zero added
+  * dependencies); [[StubCodec]] derives deterministic fake
+  * dimensions/features from the payload bytes — it remains the DEFAULT
+  * because its pure arithmetic is what the SQL correctness oracle can
+  * reproduce (audio/video codecs aren't in this environment, so beyond
+  * still images the stub is also the stand-in). The Spark-side contract —
+  * schema, binary transport, partition batching, explode of variable-length
+  * frame output — is identical under either codec and is what matters at
+  * 100 TB (payload bytes never pass through the driver and never get
+  * re-encoded between operators).
   */
 object Multimodal {
 
@@ -44,10 +49,21 @@ object Multimodal {
     * into [[Similarity]] / [[Dedup.embeddingCosinePairsLsh]]. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])
 
-  /** Deterministic fake decoder — stands in for a real codec (???): every
-    * derived field is pure arithmetic on payload length/bytes, so tests and
-    * the SQL oracle can verify the pipeline end-to-end. */
-  object StubCodec {
+  /** The codec contract every pipeline stage is generic over. Implementations
+    * must be serializable singletons/values — they ride into mapPartitions
+    * closures. */
+  trait MediaCodec extends Serializable {
+    def decode(r: MediaRecord): DecodedMedia
+    def frameHash(payload: Array[Byte], idx: Int): Long
+    def resize(r: MediaRecord, w: Int, h: Int): ResizedMedia
+    def features(r: MediaRecord, dim: Int): MediaFeatures
+  }
+
+  /** Deterministic fake decoder — stands in for the codecs this environment
+    * lacks (audio/video): every derived field is pure arithmetic on payload
+    * length/bytes, so tests and the SQL oracle can verify the pipeline
+    * end-to-end. Default codec for the oracle-gated q_media_* queries. */
+  object StubCodec extends MediaCodec {
     def decode(r: MediaRecord): DecodedMedia = {
       val n = r.payload.length.toLong
       DecodedMedia(
@@ -99,6 +115,95 @@ object Multimodal {
     }
   }
 
+  /** Real still-image codec on `javax.imageio` (in the JDK — PNG, JPEG, GIF,
+    * BMP; no added dependencies). Decode reads only the header for
+    * dimensions and counts frames through the reader (animated GIFs are
+    * multi-frame); resize is a bilinear raster scale re-encoded as PNG;
+    * features are a dim×1 grayscale thumbnail normalized to [-1, 1) — the
+    * classic cheap perceptual embedding, directly consumable by the
+    * similarity/dedup operators; frameHash is a polynomial over the decoded
+    * frame's pixels (codec-stable: equal rasters hash equal even if the
+    * compressed bytes differ). An undecodable payload throws
+    * `IllegalArgumentException` — wrap with your skip/fail policy upstream
+    * when corrupt rows are expected. */
+  object RealCodec extends MediaCodec {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    def decode(r: MediaRecord): DecodedMedia = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"undecodable image payload (doc ${r.doc_id})")
+        val reader = readers.next()
+        reader.setInput(iis, false, true) // random access: frame counting needs it
+        try {
+          val n = try reader.getNumImages(true) catch { case _: java.io.IOException => 1 }
+          DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
+            reader.getWidth(0), reader.getHeight(0), math.max(n, 1))
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    def frameHash(payload: Array[Byte], idx: Int): Long = {
+      val img = readFrame(payload, idx)
+      var h = idx.toLong
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { h = h * 1000003L + (img.getRGB(x, y) & 0xffffff); x += 1 }
+        y += 1
+      }
+      h
+    }
+
+    def resize(r: MediaRecord, w: Int, h: Int): ResizedMedia =
+      ResizedMedia(r.doc_id, r.media_type, encodePng(scaled(readFrame(r.payload, 0), w, h)), w, h)
+
+    def features(r: MediaRecord, dim: Int): MediaFeatures = {
+      val strip = scaled(readFrame(r.payload, 0), dim, 1)
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        val rgb = strip.getRGB(j, 0)
+        val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        out(j) = (gray - 128) / 128.0f
+        j += 1
+      }
+      MediaFeatures(r.doc_id, out)
+    }
+
+    private def readFrame(payload: Array[Byte], idx: Int): BufferedImage = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "undecodable image payload")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try reader.read(idx) finally reader.dispose()
+      } finally iis.close()
+    }
+
+    private def scaled(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+
+    private def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Wrap a text table as a media table (test harness: payload = UTF-8 bytes).
     * In production the payload column comes straight from parquet binary. */
   def asMediaTable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -108,39 +213,42 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"))
 
   /** Decode stage: partition-local batch map (mapInPandas-shaped). */
-  def decode(media: DataFrame): Dataset[DecodedMedia] = {
+  def decode(media: DataFrame, codec: MediaCodec = StubCodec): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map(StubCodec.decode))
+    media.as[MediaRecord].mapPartitions(_.map(codec.decode))
   }
 
   /** Frame sampling: every `step`-th frame of each decoded video/image burst,
     * exploded to one row per sampled frame. Variable-length generator output —
     * the mapInPandas "N rows in, M rows out" batch shape. */
-  def sampleFrames(media: DataFrame, step: Int = 2): Dataset[Frame] = {
+  def sampleFrames(media: DataFrame, step: Int = 2,
+      codec: MediaCodec = StubCodec): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.flatMap { r =>
-      val d = StubCodec.decode(r)
-      (0 until d.n_frames by step).map(i => Frame(r.doc_id, i, StubCodec.frameHash(r.payload, i)))
+      val d = codec.decode(r)
+      (0 until d.n_frames by step).map(i => Frame(r.doc_id, i, codec.frameHash(r.payload, i)))
     })
   }
 
   /** Resize stage: binary payload in, binary payload out, partition-local.
     * The payload never round-trips the driver and never re-encodes between
     * stages — chain decode/resize/features in one mapPartitions pipeline. */
-  def resize(media: DataFrame, width: Int = 224, height: Int = 224): Dataset[ResizedMedia] = {
+  def resize(media: DataFrame, width: Int = 224, height: Int = 224,
+      codec: MediaCodec = StubCodec): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map(StubCodec.resize(_, width, height)))
+    media.as[MediaRecord].mapPartitions(_.map(codec.resize(_, width, height)))
   }
 
   /** Feature-extraction stage: payload -> fixed-dim float vector. The output
     * feeds the similarity/dedup operators directly (same `Array[Float]`
     * embedding shape as the embeddings table). */
-  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame, dim: Int = 16,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map(StubCodec.features(_, dim)))
+    media.as[MediaRecord].mapPartitions(_.map(codec.features(_, dim)))
   }
 }

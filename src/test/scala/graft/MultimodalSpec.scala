@@ -58,6 +58,82 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f1(0).features.toSeq == want)
   }
 
+  // --- RealCodec: actual javax.imageio decode over generated PNG/JPEG ---
+
+  /** A w×h image with a deterministic two-tone pattern, encoded as `fmt`. */
+  private def makeImage(w: Int, h: Int, fmt: String, seed: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x + y + seed) % 2 == 0) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private lazy val realMedia = {
+    import spark.implicits._
+    Seq(
+      (1L, "image", makeImage(12, 8, "png", 0)),
+      (2L, "image", makeImage(30, 20, "jpg", 1)),
+      (3L, "image", makeImage(5, 5, "bmp", 0)))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  test("RealCodec.decode reads true dimensions from PNG/JPEG/BMP payloads") {
+    val d = Multimodal.decode(realMedia, Multimodal.RealCodec).collect().sortBy(_.doc_id)
+    assert(d.map(x => (x.doc_id, x.width, x.height, x.n_frames)).toSeq ==
+      Seq((1L, 12, 8, 1), (2L, 30, 20, 1), (3L, 5, 5, 1)))
+    assert(d.forall(x => x.byte_len > 0))
+  }
+
+  test("RealCodec.resize emits a PNG that decodes to exactly the target box") {
+    val r = Multimodal.resize(realMedia, width = 7, height = 3, codec = Multimodal.RealCodec)
+      .collect().sortBy(_.doc_id)
+    assert(r.forall(x => x.width == 7 && x.height == 3))
+    for (x <- r) {
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(x.payload))
+      assert(back != null && back.getWidth == 7 && back.getHeight == 3,
+        s"resized payload of doc ${x.doc_id} is not a 7x3 image")
+    }
+  }
+
+  test("RealCodec.features are a grayscale strip in [-1,1), deterministic, dedup-compatible") {
+    val f1 = Multimodal.extractFeatures(realMedia, dim = 16, codec = Multimodal.RealCodec)
+      .collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(realMedia.repartition(5), dim = 16,
+        codec = Multimodal.RealCodec).collect().sortBy(_.doc_id)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(_.features.length == 16))
+    assert(f1.forall(_.features.forall(v => v >= -1.0f && v < 1.0f)))
+    // the two-tone checkerboards average mid-gray; a feature strip must not
+    // be all-equal to the zero vector (i.e., it actually read pixels)
+    assert(f1.exists(_.features.exists(_ != f1.head.features.head)) ||
+      f1.head.features.exists(_ != 0f))
+  }
+
+  test("RealCodec.sampleFrames: single-frame stills emit frame 0; equal rasters hash equal") {
+    import spark.implicits._
+    // same raster encoded twice as PNG: compressed bytes may differ, the
+    // decoded-pixel hash must not
+    val twice = Seq(
+      (1L, "image", makeImage(9, 9, "png", 3)),
+      (2L, "image", makeImage(9, 9, "png", 3)))
+      .toDF("doc_id", "media_type", "payload")
+    val f = Multimodal.sampleFrames(twice, step = 1, codec = Multimodal.RealCodec).collect()
+    assert(f.map(_.frame_idx).toSeq == Seq(0, 0))
+    assert(f.map(_.frame_hash).distinct.length == 1)
+  }
+
+  test("RealCodec rejects an undecodable payload with a clear error") {
+    import spark.implicits._
+    val junk = Seq((1L, "image", Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media_type", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(junk, Multimodal.RealCodec).collect()
+    }
+    assert(Option(e.getMessage).exists(_.nonEmpty))
+  }
+
   test("features flow into the embedding dedup path (identical payloads pair up)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
