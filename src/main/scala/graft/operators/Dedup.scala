@@ -269,51 +269,67 @@ object Dedup {
     * in at most one plane meets in some bucket), then exact-cosine verify of
     * candidates only. A high-cosine pair disagrees on a given plane with
     * probability θ/π — at threshold 0.99 (θ≈8°) a pair survives all 8
-    * default planes' agreement-or-one-flip with p > 0.95; run with two
-    * plane seeds for a tighter miss bound. Keyed shuffle — never n². */
+    * default planes' agreement-or-one-flip with p > 0.95. For a tighter
+    * miss bound pass several `seeds`: candidates are unioned across
+    * independently-seeded plane sets before ONE exact-cosine verify, so a
+    * pair is missed only if EVERY seed's planes cut it — miss rates
+    * multiply (p_miss^k for k seeds) while the verify cost grows only by
+    * the (deduplicated) extra candidates. Keyed shuffle — never n². */
   def embeddingCosinePairsLsh(
       embeddings: DataFrame,
       threshold: Double,
       nPlanes: Int = 8,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      seeds: Seq[Long] = Seq(0x5DEECE66DL)): DataFrame = {
     import graft.functions.VectorFunctions._
+    require(seeds.nonEmpty, "need at least one plane seed")
     val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
-    val planes = makePlanes(nPlanes, dim)
     val v = embeddings.repartition(parts)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-    // multi-probe: own bucket + every hamming-1 neighbor — bare
-    // (id, bucket0, bucket) rows only; the vectors stay out of the bucket
-    // join entirely
-    val probed = v
-      .withColumn("bucket0", hyperplaneBucket(col("v"), planes))
-      .select(col("id"), col("bucket0"), explode(array(
-        (col("bucket0") +: (0 until nPlanes).map(i =>
-          col("bucket0").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
 
-    // Multi-probe on both sides makes a pair meet in EVERY shared probe
-    // bucket (up to 2 planes of signature disagreement). The meeting set is
-    // a pure function of the two base signatures, so keeping a pair only in
-    // its MINIMUM meeting bucket dedups candidates with a scalar filter —
-    // no distinct shuffle of the (quadratic) candidate set. With
-    // D = a0 xor b0: w=0 meets in a0 and all its flips; w=1 in {a0, b0};
-    // w=2 in {a0^low(D), a0^high(D)}; w>2 never joins.
-    val d = col("a_b0").bitwiseXOR(col("b_b0"))
-    val w = bit_count(d)
-    val lowBit = d.bitwiseAND(-d)
-    val highBit = d.bitwiseXOR(lowBit)
-    val minMeet =
-      when(w === 0, least(
-        (col("a_b0") +: (0 until nPlanes).map(i =>
-          col("a_b0").bitwiseXOR(lit(1 << i)))): _*))
-        .when(w === 1, least(col("a_b0"), col("b_b0")))
-        .when(w === 2, least(col("a_b0").bitwiseXOR(lowBit), col("a_b0").bitwiseXOR(highBit)))
-    val candidates = probed.toDF("a_id", "a_b0", "bucket")
-      .join(probed.toDF("b_id", "b_b0", "bucket"), Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(col("bucket") === minMeet)
-      .select("a_id", "b_id")
+    // Candidate id-pairs under one seed's plane set. Multi-probe: own
+    // bucket + every hamming-1 neighbor — bare (id, bucket0, bucket) rows
+    // only; the vectors stay out of the bucket join entirely.
+    def candidatesFor(seed: Long): DataFrame = {
+      val planes = makePlanes(nPlanes, dim, seed)
+      val probed = v
+        .withColumn("bucket0", hyperplaneBucket(col("v"), planes))
+        .select(col("id"), col("bucket0"), explode(array(
+          (col("bucket0") +: (0 until nPlanes).map(i =>
+            col("bucket0").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
+
+      // Multi-probe on both sides makes a pair meet in EVERY shared probe
+      // bucket (up to 2 planes of signature disagreement). The meeting set is
+      // a pure function of the two base signatures, so keeping a pair only in
+      // its MINIMUM meeting bucket dedups candidates with a scalar filter —
+      // no distinct shuffle of the (quadratic) candidate set. With
+      // D = a0 xor b0: w=0 meets in a0 and all its flips; w=1 in {a0, b0};
+      // w=2 in {a0^low(D), a0^high(D)}; w>2 never joins.
+      val d = col("a_b0").bitwiseXOR(col("b_b0"))
+      val w = bit_count(d)
+      val lowBit = d.bitwiseAND(-d)
+      val highBit = d.bitwiseXOR(lowBit)
+      val minMeet =
+        when(w === 0, least(
+          (col("a_b0") +: (0 until nPlanes).map(i =>
+            col("a_b0").bitwiseXOR(lit(1 << i)))): _*))
+          .when(w === 1, least(col("a_b0"), col("b_b0")))
+          .when(w === 2, least(col("a_b0").bitwiseXOR(lowBit), col("a_b0").bitwiseXOR(highBit)))
+      probed.toDF("a_id", "a_b0", "bucket")
+        .join(probed.toDF("b_id", "b_b0", "bucket"), Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(col("bucket") === minMeet)
+        .select("a_id", "b_id")
+    }
+
+    // Each seed dedups its own candidates via the min-meeting-bucket rule;
+    // across seeds the same pair CAN recur, so multi-seed runs add one
+    // id-pair distinct (16-byte rows, post-LSH volume). Single-seed keeps
+    // the distinct-free plan unchanged.
+    val unioned = seeds.map(candidatesFor).reduce(_ union _)
+    val candidates = if (seeds.size == 1) unioned else unioned.distinct()
 
     candidates
       .join(v.toDF("a_id", "a_v"), "a_id")

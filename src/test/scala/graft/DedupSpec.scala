@@ -104,6 +104,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((4L, 100L)))
   }
 
+  test("multi-seed LSH recovers pairs a single seed's planes miss; recall never drops") {
+    import spark.implicits._
+    // many moderate-angle near-dup pairs at many orientations: with 16
+    // planes the expected signature disagreement exceeds the 2-plane
+    // multi-probe reach for a fair share of pairs, so ONE plane set misses
+    // some — a second, independently-seeded set looks from a different
+    // angle and must recover part of them (miss rates multiply)
+    val rnd = new scala.util.Random(42)
+    val pairsPlanted = (0L until 40L).map { i =>
+      val v = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val norm = math.sqrt(v.map(x => x * x).sum).toFloat
+      val u = v.map(_ / norm)
+      // rotate by a small random perturbation: cos ~ 0.93-0.99
+      val w = u.map(x => x + (rnd.nextFloat() - 0.5f) * 0.3f)
+      (i, u, i + 1000L, w)
+    }
+    val emb = pairsPlanted.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+      .toDF("vec_id", "embedding")
+    val threshold = 0.93
+    def recall(seeds: Seq[Long]): Set[(Long, Long)] =
+      Dedup.embeddingCosinePairsLsh(emb, threshold, nPlanes = 16, dim = 16, seeds = seeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingCosinePairs(emb, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = recall(Seq(0x5DEECE66DL))
+    val two = recall(Seq(0x5DEECE66DL, 777L))
+    assert(one.subsetOf(exact) && two.subsetOf(exact), "LSH invented a pair")
+    assert(one.subsetOf(two), "adding a seed dropped a previously-found pair")
+    assert(one.size < exact.size, "single seed missed nothing — test data too easy to show recovery")
+    assert(two.size > one.size,
+      s"second seed recovered nothing: exact=${exact.size} one=${one.size} two=${two.size}")
+  }
+
   test("fractional df-cap equals the equivalent absolute cap") {
     val n = docs.count()
     // fraction chosen so ceil(f * n) lands on an absolute cap that actually
