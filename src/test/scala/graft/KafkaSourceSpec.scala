@@ -8,7 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The config-gated Kafka source: option plumbing and value decode are pure
   * and tested here; `load()` needs the spark-sql-kafka connector jar, which
   * this sandbox doesn't ship — the last test pins the exact failure mode so
-  * the gate is visible rather than silent. */
+  * the gate is visible rather than silent.
+  *
+  * End-to-end (real broker) attempted round 7 and provably environmental:
+  * adding `spark-sql-kafka-0-10 % 4.1.2` and `kafka % 3.9.0` (embedded
+  * broker) to Test scope fails resolution under COURSIER_MODE=offline —
+  * `sbt update` → "Error downloading org.apache.spark:
+  * spark-sql-kafka-0-10_2.13:4.1.2 / Not found" (and the same for
+  * org.apache.kafka:kafka_2.13); the pre-warmed cache holds only
+  * scalatest/scalacheck/log4j, /opt/spark/jars has no kafka artifact, and
+  * the environment has zero egress. On a normal deployment the connector
+  * ships via `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`
+  * and [[StreamingPipeline.kafkaLines]] runs unchanged. */
 class KafkaSourceSpec extends AnyFunSuite with SparkSpec {
 
   test("kafkaOptions: documented connector keys, multi-topic subscribe") {
