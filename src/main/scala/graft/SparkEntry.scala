@@ -389,6 +389,23 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       operators.Funnel.retention(ev(s, dir), periodDays = 7)),
 
+    // As-of join: each purchase picks the user's most recent view at or
+    // before it (point-in-time feature lookup). One keyed shuffle via the
+    // union+window composition — no range-join explosion. Views are
+    // pre-deduped to unique (user, ts) so the latest-match is total-order
+    // deterministic on both engines.
+    "q_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      operators.AsOfJoin.asofJoin(purchases, views, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("asof_view_value").as("view_value"),
+          unix_micros(col("asof_ts")).as("view_ts_us"))
+    }),
+
     // Sequence packing: docs assigned to fixed token-budget training
     // sequences by exclusive-prefix-sum offset in doc_id order — the
     // two-phase distributed prefix sum, not a single global window.
@@ -923,6 +940,16 @@ object SparkEntry {
         |  SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL
         |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin,
+
+    "q_asof" ->
+      """WITH v AS (SELECT user_id, ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |       v.view_value AS view_value, epoch_us(v.ts) AS view_ts_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
     "q_retention" ->
       """WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id)
