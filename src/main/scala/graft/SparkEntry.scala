@@ -332,6 +332,43 @@ object SparkEntry {
         TextFunctions.normalizeText(col("text"), stripPunct = true).as("canon"))
     }),
 
+    // PII scrub: emails / IPv4s / card-length digit runs / phone shapes ->
+    // typed placeholders. The gate INJECTS deterministic PII derived from
+    // doc_id into the text on both engines, so the oracle exercises every
+    // pattern for real rather than hashing an identity rewrite.
+    "q_redact" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@example.com from 10.0."),
+        (col("doc_id") % 255).cast("string"), lit(".9 card 4111222233334444 call 555-123-4567"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.redactPii(injected).as("redacted"))
+    }),
+
+    // Repetition quality signals (Gopher/MassiveText filters): duplicate
+    // token fraction + the most-frequent-bigram share. Both pure per-row
+    // (sorted-run fold, no explode/shuffle).
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.duplicateTokenFraction(col("text")).as("dup_token_frac"),
+        TextFunctions.topBigramFraction(col("text")).as("top_bigram_frac"))),
+
+    // Benchmark decontamination: distinct-3-gram overlap of every doc
+    // against the deterministic pseudo-benchmark (doc_id % 97 = 0).
+    "q_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
+
+    // Corpus bigram frequency table: the top-100 2-grams with counts
+    // (contamination scans, boilerplate discovery). Deterministic total
+    // order (count desc, gram asc) so LIMIT is engine-portable.
+    "q_ngram_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(100)),
+
     // Reproducible train/val/test assignment: a pure per-row function of the
     // id (portable md5 bucket), zero shuffles, stable across reruns and
     // scale — the curation-pipeline replacement for randomSplit.
@@ -982,6 +1019,49 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
         |       '\s+', ' ', 'g')) AS canon
         |FROM documents""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact u' || doc_id || '@example.com from 10.0.'
+        |         || (doc_id % 255) || '.9 card 4111222233334444 call 555-123-4567',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{12,19}\b', '<LONGNUM>', 'g'),
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+        |      FROM c GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CASE WHEN len(toks) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |       ELSE 0.0 END AS dup_token_frac,
+        |  coalesce(m.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM t LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "q_decontam" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, count(*) AS n_shingles, count(b.sh) AS n_hit
+        |FROM s LEFT JOIN b USING (sh)
+        |GROUP BY 1""".stripMargin,
+
+    "q_ngram_freq" ->
+      """SELECT gram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))
+        |GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 100""".stripMargin,
 
     "q_pipeline_training" ->
       """WITH s AS (

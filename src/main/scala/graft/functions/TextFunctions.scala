@@ -154,4 +154,56 @@ object TextFunctions {
       "sum_token_len" -> aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
       "n_stop" -> stopwordCount(text).cast("long"))
   }
+
+  /** PII redaction patterns, applied in order (email first — it contains
+    * digit runs the later patterns would otherwise mangle). RE2-compatible
+    * (no lookaround/backrefs) so Spark's codegen'd regexp_replace and the
+    * DuckDB oracle (regexp_replace with the 'g' flag) rewrite identically.
+    * The list is the policy surface: extend it per deployment. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{12,19}\\b" -> "<LONGNUM>",
+    "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** Scrub PII spans (emails, IPv4s, card-length digit runs, phone shapes)
+    * to typed placeholder tokens — the standard pre-training scrub pass.
+    * Pure per-row regexp_replace chain: codegen'd, scan-bound, zero
+    * shuffles at any scale. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, token)) =>
+      regexp_replace(c, re, token)
+    }
+
+  /** Fraction of token occurrences that are repeats of an earlier token:
+    * `1 - distinct/total` — the cheap Gopher-style repetition signal
+    * (templated/spun text scores high). Exact double (int/int division),
+    * 0.0 for the empty document. */
+  def duplicateTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of bigram occurrences taken by the single most frequent bigram —
+    * the other MassiveText repetition filter (a high value means one phrase
+    * dominates the document). Computed per-row with a sorted-run fold
+    * (sort_array + aggregate HOF): no explode, no shuffle, scan-bound.
+    * 0.0 when the document has fewer than 2 tokens. */
+  def topBigramFraction(text: Column): Column = {
+    val grams = sort_array(shingles(text, 2))
+    val folded = aggregate(
+      grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("total")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("total") + 1L).as("total"))
+      })
+    when(folded.getField("total") > 0,
+      folded.getField("best").cast("double") / folded.getField("total").cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

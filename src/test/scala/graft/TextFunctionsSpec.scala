@@ -107,4 +107,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .selectExpr("array_sort(sa) = array_sort(sb) AS eq").first()
     assert(r.getBoolean(0))
   }
+
+  test("redactPii scrubs emails, IPs, card numbers and phone shapes; plain text untouched") {
+    def red(s: String) = one(TextFunctions.redactPii(col("t")), s)
+    assert(red("mail jane.doe+x@sub.example.co.uk now") == "mail <EMAIL> now")
+    assert(red("host 192.168.1.254 down") == "host <IP> down")
+    assert(red("card 4111222233334444 declined") == "card <LONGNUM> declined")
+    assert(red("call 555-123-4567 or 555.1234.5678") == "call <PHONE> or <PHONE>")
+    // order: the email pattern wins over the digit patterns inside it
+    assert(red("a12345678901234@b.com") == "<EMAIL>")
+    // non-PII digits survive: years, short ids, versions
+    assert(red("v2.1 in 2024 build 1234567") == "v2.1 in 2024 build 1234567")
+    assert(red("no pii here at all") == "no pii here at all")
+  }
+
+  test("duplicateTokenFraction: 0 for all-unique, rises with repeats, 0 for empty") {
+    assert(one(TextFunctions.duplicateTokenFraction(col("t")), "a b c d") == 0.0)
+    assert(one(TextFunctions.duplicateTokenFraction(col("t")), "a a a a") == 0.75)
+    assert(one(TextFunctions.duplicateTokenFraction(col("t")), "a b a b") == 0.5)
+    assert(one(TextFunctions.duplicateTokenFraction(col("t")), "") == 0.0)
+  }
+
+  test("topBigramFraction: dominant phrase share, exact on crafted docs") {
+    // "x y" appears 3 times of 5 bigrams: x y x y x y
+    assert(one(TextFunctions.topBigramFraction(col("t")), "x y x y x y") == 0.6)
+    // all bigrams distinct -> 1/3
+    assert(one(TextFunctions.topBigramFraction(col("t")), "a b c d") ==
+      1.0 / 3.0)
+    // short docs have no bigrams
+    assert(one(TextFunctions.topBigramFraction(col("t")), "solo") == 0.0)
+    assert(one(TextFunctions.topBigramFraction(col("t")), "") == 0.0)
+  }
 }
