@@ -18,17 +18,46 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Trained IVF coarse quantizers, keyed by (semanticHash of the corpus
-    * plan, corpus row count, nlist, trainFraction) — see [[annIvf]]. The
+    * plan, data fingerprint, nlist, trainFraction) — see [[annIvf]]. The
     * semantic hash alone could collide (the round-3 advice), but a collision
-    * must ALSO agree on the row-count fingerprint to be served — and the
-    * fingerprint is what catches a parquet file overwritten in place (same
-    * path and plan, new contents). Keying on the hash rather than the plan
+    * must ALSO agree on the data fingerprint to be served. For file-backed
+    * corpora the fingerprint is a hash of the (path, size, modTime) listing —
+    * metadata-only (the driver's FileIndex already holds it, NO job even for
+    * a filtered/derived file scan) and it catches a parquet file overwritten
+    * in place even at the same row count, which the former count()
+    * fingerprint missed; non-file corpora (LocalRelation, cached frames)
+    * fall back to a count() job. Keying on the hash rather than the plan
     * object keeps the cache from pinning whole analyzed plans (for a
     * LocalRelation corpus that would be a full copy of the data) in driver
     * memory. Bounded at 32 entries (cleared wholesale). */
   private val ivfModels = scala.collection.mutable.Map.empty[
     (Int, Long, Int, Double),
     scala.concurrent.Promise[org.apache.spark.ml.clustering.KMeansModel]]
+
+  /** File-metadata fingerprint of a plan whose leaves are all file scans:
+    * hash over the sorted (path, length, modificationTime) listing. None
+    * when any leaf is not a file relation — the caller falls back to
+    * count(). */
+  private def fileFingerprint(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val rels = leaves.map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fs)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (rels.isEmpty || rels.exists(_.isEmpty)) None
+    else Some {
+      val listing = rels.flatten
+        .flatMap(_.location.listFiles(Nil, Nil))
+        .flatMap(_.files)
+        .map(f => s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
+        .sorted
+      scala.util.hashing.MurmurHash3.orderedHash(listing).toLong
+    }
+  }
 
   /** Trained centroids + params of the most recent successful [[annIvf]]
     * call — the verification hook `SparkEntry.oracleSql` reads to emit a
@@ -127,19 +156,23 @@ object Similarity {
     require(trainFraction > 0 && trainFraction <= 1.0)
     val trainSet = (if (trainFraction < 1.0) c.sample(trainFraction, seed = 42) else c)
       .withColumn("features", array_to_vector(col("n_v").cast("array<double>")))
-    // The count is the data fingerprint (distinguishes same-path-new-contents
-    // corpora the plan alone cannot) and half the cache key. Metadata-only on
-    // a plain parquet corpus; a filtered/derived corpus pays a real count
-    // job per call — an index lookup cost, paid even on cache hits.
-    val corpusCount = c.count()
+    // The data fingerprint (half the cache key) distinguishes
+    // same-path-new-contents corpora the plan alone cannot. File-backed
+    // plans get it free from the driver's file listing — no job, even on
+    // cache hits of filtered/derived file scans; anything else pays a
+    // count() job (an index-lookup cost).
+    val (fingerprint, corpusEmpty) = fileFingerprint(c) match {
+      case Some(h) => (h, c.isEmpty) // limit-1 probe, not a full count
+      case None => val n = c.count(); (n, n == 0)
+    }
     // an empty corpus has no cells to train — and no neighbors to return
     // (a fully partition-pruned scan must not crash the k-means fit)
-    if (corpusCount == 0) {
+    if (corpusEmpty) {
       import corpus.sparkSession.implicits._
       return corpus.sparkSession.emptyDataset[(Long, Long, Long, Double)]
         .toDF("q_id", "n_id", "rank", "cos")
     }
-    val cacheKey = (c.queryExecution.analyzed.semanticHash(), corpusCount, nlist, trainFraction)
+    val cacheKey = (c.queryExecution.analyzed.semanticHash(), fingerprint, nlist, trainFraction)
     // Per-key promise: the k-means fit runs OUTSIDE the map lock, so an
     // unrelated cache hit never blocks behind another corpus's training
     // (round-5 advice). Exactly one caller owns the fit; latecomers await

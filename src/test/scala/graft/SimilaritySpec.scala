@@ -87,6 +87,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(run.centroids.length == 8 && run.centroids.forall(_.length == dim))
   }
 
+  test("annIvf retrains when a file-backed corpus is overwritten IN PLACE at the same row count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(3)
+    def mkData(shift: Float) =
+      (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextFloat() + shift)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_fp").resolve("c").toString
+    mkData(0f).toDF("vec_id", "embedding").repartition(2).write.parquet(dir)
+    def run(): Array[Array[Double]] = {
+      val c = spark.read.parquet(dir)
+      Similarity.annIvf(c.filter(col("vec_id") < 3), c, k = 2, nlist = 4, nprobe = 2).count()
+      Similarity.lastIvfRun.get.centroids
+    }
+    val first = run()
+    // same data again: cache hit, identical centroids (and no count job —
+    // the fingerprint comes from the driver's file listing)
+    assert(run().map(_.toSeq).toSeq == first.map(_.toSeq).toSeq)
+    // overwrite in place: SAME row count, shifted contents. A row-count
+    // fingerprint would serve the stale quantizer; the file-metadata
+    // fingerprint (sizes/mtimes changed) must retrain.
+    mkData(10f).toDF("vec_id", "embedding").repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    val retrained = run()
+    assert(retrained.map(_.toSeq).toSeq != first.map(_.toSeq).toSeq,
+      "stale quantizer served after an in-place overwrite")
+  }
+
   test("nearestCells orders cells by (distance, index) with lower-index ties") {
     import spark.implicits._
     import graft.functions.VectorFunctions.nearestCells
