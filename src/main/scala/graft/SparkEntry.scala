@@ -426,6 +426,14 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       operators.Funnel.retention(ev(s, dir), periodDays = 7)),
 
+    // Gap-based batch sessionization: label every event with its user-scoped
+    // session ordinal (30-minute inactivity gap) — the labeling counterpart
+    // of the streaming session-window aggregate. One keyed shuffle.
+    "q_sessionize" -> ((s, dir) =>
+      operators.Funnel.sessionize(ev(s, dir), gap = "30 minutes")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("session_idx"))),
+
     // As-of join: each purchase picks the user's most recent view at or
     // before it (point-in-time feature lookup). One keyed shuffle via the
     // union+window composition — no range-join explosion. Views are
@@ -508,6 +516,11 @@ object SparkEntry {
 
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5)),
+
+    // Asymmetric containment: |A∩B| / min(|A|,|B|) — catches a document
+    // embedded inside a longer one, which Jaccard structurally misses.
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), threshold = 0.8)),
 
     // LSH path; oracle = the same brute-force pair SQL (LSH misses at
     // j>=0.5 with 32x4 bands are verified-absent on this data locally).
@@ -978,6 +991,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin,
 
+    "q_sessionize" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CASE WHEN gap_new THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_idx
+        |FROM (SELECT event_id, user_id, ts,
+        |        epoch_us(ts) - LAG(epoch_us(ts))
+        |          OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 AS gap_new
+        |      FROM events)""".stripMargin,
+
     "q_asof" ->
       """WITH v AS (SELECT user_id, ts, max(value) AS view_value
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
@@ -1106,6 +1128,18 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+
+    "q_dedup_containment" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(i AS DOUBLE) / least(la, lb) AS containment
+        |FROM p WHERE CAST(i AS DOUBLE) / least(la, lb) >= 0.8""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE s AS (

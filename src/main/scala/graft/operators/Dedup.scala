@@ -53,7 +53,44 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxShingleDf: Option[Int] = None,
-      maxShingleDfFraction: Option[Double] = None): DataFrame = {
+      maxShingleDfFraction: Option[Double] = None): DataFrame =
+    ngramPairCounts(docs, ngram, textCol, idCol, maxShingleDf, maxShingleDfFraction)
+      // raw double division of exact int counts — deterministic and
+      // bit-identical to the DuckDB oracle (no rounding needed)
+      .withColumn("jac", col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+
+  /** Asymmetric near-dup pairs by CONTAINMENT: |A∩B| / min(|A|, |B|) — the
+    * signal Jaccard structurally under-reports when one document embeds
+    * another (a quote inside a long article has tiny Jaccard but
+    * containment ~1). Same postings machinery, df-caps and plan shape as
+    * [[ngramJaccardPairs]]; only the final ratio differs. */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      threshold: Double,
+      ngram: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxShingleDf: Option[Int] = None,
+      maxShingleDfFraction: Option[Double] = None): DataFrame =
+    ngramPairCounts(docs, ngram, textCol, idCol, maxShingleDf, maxShingleDfFraction)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("a_sz"), col("b_sz")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+
+  /** Shared core of the n-gram pair generators: distinct-shingle postings
+    * (df-capped when asked) self-joined by shingle, aggregated to one row
+    * per candidate pair carrying (a_sz, b_sz, inter). */
+  private def ngramPairCounts(
+      docs: DataFrame,
+      ngram: Int,
+      textCol: String,
+      idCol: String,
+      maxShingleDf: Option[Int],
+      maxShingleDfFraction: Option[Double]): DataFrame = {
     require(maxShingleDfFraction.forall(f => f > 0 && f <= 1), "fraction must be in (0, 1]")
     // Long arithmetic: ceil(f * count).toInt would saturate at Int.MaxValue
     // for multi-billion-doc corpora, silently disabling the guard at exactly
@@ -113,12 +150,6 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id", "a_sz", "b_sz")
       .agg(count(lit(1)).as("inter"))
-      // raw double division of exact int counts — deterministic and
-      // bit-identical to the DuckDB oracle (no rounding needed)
-      .withColumn("jac", col("inter").cast("double") /
-        (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
-      .filter(col("jac") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jac"))
   }
 
   /** MinHash-LSH near-dup pairs, verified: shingle -> k-minhash signature

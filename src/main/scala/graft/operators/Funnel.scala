@@ -75,6 +75,31 @@ object Funnel {
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
 
+  /** Gap-based batch sessionization: events more than `gap` apart start a
+    * new session; `session_idx` is the user-scoped ordinal (0-based) — the
+    * batch analog of the streaming session window (which aggregates; this
+    * LABELS, so downstream work can group arbitrarily). One keyed shuffle:
+    * a per-user window computing lag + a running sum of session starts —
+    * both incremental frames, O(1) window state, no event buffering.
+    * Integer epoch-micros arithmetic throughout, engine-exact. */
+  def sessionize(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0 && iv.days == 0,
+      s"gap must be a sub-day duration (got '$gap')")
+    val gapMicros = iv.microseconds
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc)
+    val tUs = unix_micros(col(tsCol))
+    val isNew = when(
+      tUs - lag(tUs, 1).over(w) > lit(gapMicros), 1L).otherwise(0L)
+    events.withColumn("session_idx", sum(isNew).over(w))
+  }
+
   /** Step-wise conversion counts: one row per step with the number of users
     * whose funnel reached it. A funnel summary is a handful of rows at any
     * scale — the per-user frame never leaves the cluster un-aggregated. */

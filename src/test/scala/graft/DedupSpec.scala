@@ -137,6 +137,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"second seed recovered nothing: exact=${exact.size} one=${one.size} two=${two.size}")
   }
 
+  test("containment catches an embedded document that Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = ("padding" +: (1 to 40).map(i => s"w$i")).mkString(" ") + " " + short
+    val docs = Seq((1L, short), (2L, long), (3L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(cont.head._3 == 1.0) // every shingle of the short doc is in the long one
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    assert(jac.isEmpty, "Jaccard should structurally miss the embedded doc")
+  }
+
   test("fractional df-cap equals the equivalent absolute cap") {
     val n = docs.count()
     // fraction chosen so ceil(f * n) lands on an absolute cap that actually

@@ -73,6 +73,33 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((-1L, 0L, 1L), (0L, 0L, 1L)))
   }
 
+  test("sessionize: gap starts a new session, ordinal per user, ties share a session") {
+    import spark.implicits._
+    def at(m: Int, s: Int = 0) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
+    val ev = Seq(
+      // user 1: two events 5m apart (one session), then a 45m silence
+      (10L, 1L, at(0)), (11L, 1L, at(5)), (12L, 1L, at(50)),
+      // user 2: single event
+      (20L, 2L, at(7)),
+      // user 3: tied timestamps after a long gap — both land in session 1
+      (30L, 3L, at(0)), (31L, 3L, at(59)), (32L, 3L, at(59)))
+      .toDF("event_id", "user_id", "ts")
+    val got = Funnel.sessionize(ev, gap = "30 minutes")
+      .select("event_id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      10L -> 0L, 11L -> 0L, 12L -> 1L,
+      20L -> 0L,
+      30L -> 0L, 31L -> 1L, 32L -> 1L))
+  }
+
+  test("sessionize rejects month/day gaps (calendar-dependent)") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    intercept[IllegalArgumentException](Funnel.sessionize(ev, gap = "1 day").collect())
+  }
+
   test("conversion: per-step user counts") {
     val got = Funnel.conversion(events, Seq("view", "click", "purchase"))
       .orderBy("step").collect()
