@@ -73,5 +73,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.catalyst.expressions._
         Contains(Lower(args(0)), Lower(args(1)))
       }))
+
+    // Column-composition functions (built-in chains, no custom Expression
+    // class) register through the same bridge: compose on a Column wrapper,
+    // hand back the underlying expression tree.
+    import org.apache.spark.sql.GraftExpr
+    def composed(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : Seq[Expression] => Expression =
+      args => GraftExpr.catalystExpression(f(GraftExpr.column(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("redact_pii"),
+      info("redact_pii",
+        "redact_pii(text) - scrub emails/IPv4s/card-length digit runs/phone shapes to typed placeholders"),
+      composed(TextFunctions.redactPii)))
+
+    ext.injectFunction((FunctionIdentifier("dup_token_fraction"),
+      info("dup_token_fraction",
+        "dup_token_fraction(text) - fraction of token occurrences repeating an earlier token"),
+      composed(TextFunctions.duplicateTokenFraction)))
+
+    ext.injectFunction((FunctionIdentifier("top_bigram_fraction"),
+      info("top_bigram_fraction",
+        "top_bigram_fraction(text) - share of bigram occurrences taken by the most frequent bigram"),
+      composed(TextFunctions.topBigramFraction)))
+
+    ext.injectFunction((FunctionIdentifier("lang_id"),
+      info("lang_id", "lang_id(text) - stopword-hit language guess (en/es/de/fr/zh/und)"),
+      composed(TextFunctions.langId)))
   }
 }

@@ -12,6 +12,16 @@ object GraftExpr {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode -> catalyst conversion. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper that only converts when a Dataset
+    * analysis pass visits it — an expression handed straight to the
+    * analyzer through a FunctionRegistry builder never gets that visit and
+    * dies Unevaluable at codegen. This converter runs the same translation
+    * immediately; nested `UnresolvedFunction`s in the result resolve
+    * normally once the tree is in the plan. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Unwrap a sort-order Column (`col(k).desc`, `asc_nulls_last`, ...) into
     * (bare key column, descending?, nullsFirst?). In Spark 4 the Column holds
     * an `internal.SortOrder` ColumnNode (catalyst conversion is deferred), so

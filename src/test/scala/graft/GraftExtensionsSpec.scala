@@ -31,6 +31,17 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getInt(5) == 16)
       assert(r.getInt(6) == 8)
       assert(r.getBoolean(7))
+      val r2 = s.sql(
+        """SELECT
+          |  redact_pii('mail a@b.co from 10.0.0.1') AS red,
+          |  dup_token_fraction('a a b') AS dup,
+          |  top_bigram_fraction('x y x y x y') AS top,
+          |  lang_id('the cat is in the hat') AS lang
+          |""".stripMargin).first()
+      assert(r2.getString(0) == "mail <EMAIL> from <IP>")
+      assert(r2.getDouble(1) == 1.0 - 2.0 / 3.0)
+      assert(r2.getDouble(2) == 0.6)
+      assert(r2.getString(3) == "en")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
