@@ -15,10 +15,12 @@ object Bench {
     * keyed shuffles, broadcasts, LSH bucketing — no all-pairs joins). */
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "q_funnel", "q_funnel_conv", "q_retention",
+    "q_asof", "q_sessionize",
     "q_events_window", "q_events_sliding", "q_events_sessions",
     "q_running_count", "q_running_sum", "q_pipeline_training",
     "q_filter", "q_column_filter", "q_split_words",
     "q_lang_id", "q_lang_id_ngram", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",
+    "q_redact", "q_repetition", "q_decontam", "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_pack",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed_lsh",
     "q_dedup_ngram_capped",

@@ -364,7 +364,7 @@ object SparkEntry {
     // order (count desc, gram asc) so LIMIT is engine-portable.
     "q_ngram_freq" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(explode(TextFunctions.shingles(col("text"), 2)).as("gram"))
+        .select(explode(TextFunctions.shinglesNative(col("text"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram").asc)
         .limit(100)),

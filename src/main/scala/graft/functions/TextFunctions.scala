@@ -41,6 +41,15 @@ object TextFunctions {
     GraftExpr.column(WordShingles(GraftExpr.expression(text), n, distinctOut = true))
   }
 
+  /** Occurrence-preserving shingles via the same native expression —
+    * element-identical to [[shingles]] (which stays as the composed
+    * reference implementation); use this on hot paths that count
+    * occurrences (n-gram frequency tables, repetition stats). */
+  def shinglesNative(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(WordShingles(GraftExpr.expression(text), n, distinctOut = false))
+  }
+
   /** Exact Jaccard similarity of two string arrays (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -23,6 +23,16 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .asInstanceOf[scala.collection.Seq[String]].isEmpty)
   }
 
+  test("shinglesNative is element-identical to the composed shingles") {
+    import spark.implicits._
+    val texts = Seq("a b c d e", "x x x", "one two", "solo", "", "  p  q  r  ")
+    val df = texts.toDF("t")
+    val both = df.select(
+      TextFunctions.shingles(col("t"), 2).as("hof"),
+      TextFunctions.shinglesNative(col("t"), 2).as("native")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("jaccard of identical sets is 1.0, disjoint is 0.0") {
     import spark.implicits._
     val df = Seq(("x y z", "x y z"), ("a b c", "d e f")).toDF("l", "r")
