@@ -46,12 +46,21 @@ object AsOfJoin {
         lit(1).as("__side"),
         struct(leftCols.map(col): _*).as("__l"),
         lit(null).cast(structType(right, valueCols :+ rightTsCol)).as("__r")): _*)
-    val rTagged = right.select(
-      keyCols.map(col) ++ Seq(
-        col(rightTsCol).as("__t"),
-        lit(0).as("__side"),
-        lit(null).cast(structType(left, leftCols)).as("__l"),
-        struct((valueCols :+ rightTsCol).map(col): _*).as("__r")): _*)
+    // SQL join semantics: a null key or null ts on the right can never
+    // match anything (`=` and `>=` are never true against null) — drop
+    // those rows BEFORE the union, or the window would group null keys
+    // together and hand null-key left rows a match a real join would not.
+    // Null-key/ts LEFT rows keep flowing and get a null match: their
+    // partition holds no right rows (null keys) or they sort before every
+    // right row (null ts, asc_nulls_first).
+    val rTagged = right
+      .filter((keyCols :+ rightTsCol).map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTsCol).as("__t"),
+          lit(0).as("__side"),
+          lit(null).cast(structType(left, leftCols)).as("__l"),
+          struct((valueCols :+ rightTsCol).map(col): _*).as("__r")): _*)
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)

@@ -40,6 +40,47 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!got.head.schema.fieldNames.contains("asof_extra"))
   }
 
+  test("asofJoin: null keys/ts never match (SQL join semantics), left rows survive") {
+    import spark.implicits._
+    val l = Seq(
+      (Option(1L), Option(10L), "k-match"),
+      (Option.empty[Long], Option(10L), "null-key"),
+      (Option(1L), Option.empty[Long], "null-ts"))
+      .toDF("k", "ts", "tag")
+    val r = Seq(
+      (Option(1L), Option(5L), "real"),
+      (Option.empty[Long], Option(5L), "null-key-right"), // can never match anything
+      (Option(1L), Option.empty[Long], "null-ts-right"))  // can never match anything
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.asofJoin(l, r, Seq("k"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got == Map(
+      "k-match" -> Some("real"),
+      "null-key" -> None,
+      "null-ts" -> None))
+  }
+
+  test("asofJoin matches a brute-force reference on random data (property)") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.fill(80)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
+      val right = Seq.fill(60)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+        // unique (k, ts) so the reference's argmax is unambiguous
+        .groupBy(t => (t._1, t._2)).map { case ((k, ts), g) => (k, ts, g.map(_._3).max) }.toSeq
+      val got = AsOfJoin.asofJoin(
+          left.toDF("k", "ts"), right.toDF("k", "ts", "v"), Seq("k"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Int])))
+        .sorted.toSeq
+      val want = left.map { case (k, ts) =>
+        val m = right.filter(q => q._1 == k && q._2 <= ts)
+        (k, ts, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.sorted
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("asofJoin plans exactly one exchange (the key shuffle) — no join explosion") {
     import spark.implicits._
     import graft.sources.Layouts
