@@ -428,6 +428,65 @@ object StreamingPipeline {
       .drop(fp)
   }
 
+  /** State for the streaming sessionizer: the user's last-seen event time
+    * (epoch micros) and current session ordinal. */
+  final case class SessionState(lastTs: Long, idx: Long)
+
+  /** Streaming gap-based sessionization — the labeling counterpart of
+    * [[graft.operators.Funnel.sessionize]] (and of [[sessionCounts]], which
+    * aggregates): every event gains the user's current session ordinal,
+    * carried across micro-batches in keyed state. Events inside one
+    * micro-batch are processed in event-time order (an in-memory sort of
+    * that user's slice); ACROSS batches the state is monotone — an event
+    * arriving in a later batch with an earlier timestamp is labeled against
+    * the session state already advanced past it (it cannot retract labels
+    * already emitted). Bound late arrivals with an upstream watermark +
+    * `dropLateEvents` when that matters; with in-order sources (file replay,
+    * per-key-ordered Kafka partitions) the labels equal the batch
+    * operator's. State is one (long, long) per user. */
+  def sessionize(
+      df: DataFrame,
+      gap: String = "30 minutes",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      outputCol: String = "session_idx"): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0 && iv.days == 0,
+      s"gap must be a sub-day duration (got '$gap')")
+    val gapMicros = iv.microseconds
+    val userIdx = df.schema.fieldIndex(userCol)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val outSchema: StructType = df.schema.add(outputCol, LongType, nullable = false)
+    val outEnc = Encoders.row(outSchema)
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant => org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+    // key = the user VALUE (string-encoded; a hash would collide two users
+    // onto one session counter), null marked distinctly from the "null" string
+    df.groupByKey { r: Row =>
+        if (r.isNullAt(userIdx)) "0" else "1:" + r.get(userIdx)
+      }(Encoders.STRING)
+      .flatMapGroupsWithState[SessionState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = rows.toVector.sortBy(micros).map { r =>
+            val t = micros(r)
+            if (st.lastTs != Long.MinValue && t - st.lastTs > gapMicros)
+              st = SessionState(t, st.idx + 1)
+            else
+              st = SessionState(math.max(st.lastTs, t), st.idx)
+            Row.fromSeq(r.toSeq :+ st.idx)
+          }
+          state.update(st)
+          out.iterator
+      }(Encoders.product[SessionState], outEnc)
+  }
+
   /** Results sink: append files + checkpoint — the analog of the reference's
     * job<k>_results.log with exactly-once instead of at-least-once. */
   def startFileSink(

@@ -238,6 +238,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize equals the batch operator on an in-order stream across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts")
+    val out = StreamingPipeline.sessionize(stream, gap = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has a session, user 2 starts one
+      mem.addData((1L, 1L, ts(0)), (2L, 1L, ts(5)), (3L, 2L, ts(1)))
+      q.processAllAvailable()
+      // batch 2: user 1's gap (25m since ts(5)) starts session 1 — state
+      // must carry the last ts across the batch boundary; user 2 continues
+      mem.addData((4L, 1L, ts(30)), (5L, 2L, ts(8)), (6L, 1L, ts(33)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("session_idx")))
+      assert(got.toSeq == Seq(
+        (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 0L), (6L, 1L)))
+
+      // batch reference over the union of both micro-batches
+      val batch = Seq((1L, 1L, ts(0)), (2L, 1L, ts(5)), (3L, 2L, ts(1)),
+        (4L, 1L, ts(30)), (5L, 2L, ts(8)), (6L, 1L, ts(33)))
+        .toDF("event_id", "user_id", "ts")
+      val want = graft.operators.Funnel.sessionize(batch, gap = "10 minutes")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("session_idx")))
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize sorts within a micro-batch by event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 11:$m%02d:00")
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts")
+    val out = StreamingPipeline.sessionize(stream, gap = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_order")
+      .outputMode("append").start()
+    try {
+      // arrival order scrambled INSIDE one batch: 20, 0, 21 — the sorter
+      // must label 0 first (session 0), then 20/21 (session 1)
+      mem.addData((1L, 7L, ts(20)), (2L, 7L, ts(0)), (3L, 7L, ts(21)))
+      q.processAllAvailable()
+      val got = spark.table("sess_order").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("session_idx"))).toSeq
+      assert(got == Seq((1L, 1L), (2L, 0L), (3L, 1L)))
+    } finally q.stop()
+  }
+
   test("socket source drives the op pipeline end-to-end (localhost)") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val port = server.getLocalPort
