@@ -440,10 +440,11 @@ object StreamingPipeline {
     * that user's slice); ACROSS batches the state is monotone — an event
     * arriving in a later batch with an earlier timestamp is labeled against
     * the session state already advanced past it (it cannot retract labels
-    * already emitted). Bound late arrivals with an upstream watermark +
-    * `dropLateEvents` when that matters; with in-order sources (file replay,
-    * per-key-ordered Kafka partitions) the labels equal the batch
-    * operator's. State is one (long, long) per user. */
+    * already emitted). Filter late arrivals upstream (e.g. a watermarked
+    * dedup/aggregation stage, or an explicit ts >= low-water filter) when
+    * that matters; with in-order sources (file replay, per-key-ordered
+    * Kafka partitions) the labels equal the batch operator's. State is one
+    * (long, long) per user. */
   def sessionize(
       df: DataFrame,
       gap: String = "30 minutes",

@@ -49,6 +49,20 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       s"lineitem scan sits on a broadcast build side:\n$p")
   }
 
+  test("q5_join: lineitem streams through every join — never a build side") {
+    val p = sparkPlan("q5_join")
+    // dims/orders/customer may broadcast at small SF (stats-driven, correct
+    // at any scale since TB-sized inputs blow the threshold); the fact scan
+    // must always be the streamed side
+    val buildScans = p.collect { case b: BroadcastHashJoinExec =>
+      scans(if (b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) b.left else b.right)
+    }.flatten ++ p.collect { case j: ShuffledHashJoinExec =>
+      scans(if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) j.left else j.right)
+    }.flatten
+    assert(!buildScans.exists(_.output.exists(_.name == "l_suppkey")),
+      s"lineitem scan sits on a join build side:\n$p")
+  }
+
   test("q_select and q_column_filter: scans read only the projected columns") {
     assert(scans(sparkPlan("q_select")).head.output.map(_.name).toSet ==
       Set("p_partkey", "p_name"))
