@@ -434,6 +434,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("session_idx"))),
 
+    // Forward as-of: each view picks the user's EARLIEST purchase at or
+    // after it (time-to-convert lookups). Same machinery, reversed walk.
+    "q_asof_fwd" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+      operators.AsOfJoin.asofJoin(views, purchases, Seq("user_id"), direction = "forward")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("asof_p_value").as("p_value"),
+          unix_micros(col("asof_ts")).as("p_ts_us"))
+    }),
+
     // As-of join: each purchase picks the user's most recent view at or
     // before it (point-in-time feature lookup). One keyed shuffle via the
     // union+window composition — no range-join explosion. Views are
@@ -999,6 +1013,16 @@ object SparkEntry {
         |        epoch_us(ts) - LAG(epoch_us(ts))
         |          OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 AS gap_new
         |      FROM events)""".stripMargin,
+
+    "q_asof_fwd" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |v AS (SELECT event_id, user_id, ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+        |       p.p_value AS p_value, epoch_us(p.ts) AS p_ts_us
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts <= p.ts""".stripMargin,
 
     "q_asof" ->
       """WITH v AS (SELECT user_id, ts, max(value) AS view_value

@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * state is one payload struct per partition-frame, not a buffered list.
   *
   * Left rows keep all their columns; matched right columns arrive as
-  * `asof_<col>` (null where no right row precedes). */
+  * `asof_<col>` (null where no right row precedes).
+  *
+  * `direction`: "backward" (default) matches the most recent right row with
+  * `rightTs <= leftTs`; "forward" matches the EARLIEST right row with
+  * `rightTs >= leftTs` (pandas merge_asof's directions; same-instant rows
+  * match in both). Forward is the same window walked in reverse time. */
 object AsOfJoin {
 
   def asofJoin(
@@ -30,8 +35,11 @@ object AsOfJoin {
       keyCols: Seq[String],
       leftTsCol: String = "ts",
       rightTsCol: String = "ts",
-      rightValueCols: Seq[String] = Nil): DataFrame = {
+      rightValueCols: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward: $direction")
     val valueCols =
       if (rightValueCols.nonEmpty) rightValueCols
       else right.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTsCol)
@@ -62,9 +70,15 @@ object AsOfJoin {
           lit(null).cast(structType(left, leftCols)).as("__l"),
           struct((valueCols :+ rightTsCol).map(col): _*).as("__r")): _*)
 
+    // both directions order right rows (side 0) before left rows at equal
+    // ts, so a same-instant match is visible; forward just walks time
+    // backwards. Nulls-first under .desc keeps null-ts LEFT rows ahead of
+    // every right row in either direction (they must not match).
+    val tOrder = if (direction == "backward") col("__t").asc
+                 else col("__t").desc_nulls_first
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(tOrder, col("__side").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

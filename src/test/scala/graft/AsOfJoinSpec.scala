@@ -60,24 +60,27 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       "null-ts" -> None))
   }
 
-  test("asofJoin matches a brute-force reference on random data (property)") {
+  test("asofJoin matches a brute-force reference on random data (property, both directions)") {
     import spark.implicits._
-    for (seed <- 1 to 3) {
+    for (seed <- 1 to 3; dir <- Seq("backward", "forward")) {
       val rnd = new scala.util.Random(seed)
       val left = Seq.fill(80)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
       val right = Seq.fill(60)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000)))
         // unique (k, ts) so the reference's argmax is unambiguous
         .groupBy(t => (t._1, t._2)).map { case ((k, ts), g) => (k, ts, g.map(_._3).max) }.toSeq
       val got = AsOfJoin.asofJoin(
-          left.toDF("k", "ts"), right.toDF("k", "ts", "v"), Seq("k"))
+          left.toDF("k", "ts"), right.toDF("k", "ts", "v"), Seq("k"), direction = dir)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Int])))
         .sorted.toSeq
       val want = left.map { case (k, ts) =>
-        val m = right.filter(q => q._1 == k && q._2 <= ts)
-        (k, ts, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+        val m =
+          if (dir == "backward") right.filter(q => q._1 == k && q._2 <= ts)
+          else right.filter(q => q._1 == k && q._2 >= ts)
+        (k, ts, if (m.isEmpty) None
+          else Some((if (dir == "backward") m.maxBy(_._2) else m.minBy(_._2))._3))
       }.sorted
-      assert(got == want, s"seed=$seed")
+      assert(got == want, s"seed=$seed dir=$dir")
     }
   }
 
