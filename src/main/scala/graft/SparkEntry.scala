@@ -421,6 +421,14 @@ object SparkEntry {
     "q_funnel_conv" -> ((s, dir) =>
       operators.Funnel.conversion(ev(s, dir), Seq("view", "click", "purchase"))),
 
+    // The funnel bounded to complete within one hour of the first step —
+    // later steps past t1 + 1h no longer count.
+    "q_funnel_window" -> ((s, dir) =>
+      operators.Funnel.funnelTimes(ev(s, dir), Seq("view", "click", "purchase"),
+          within = Some("1 hour"))
+        .select(col("user_id"), unix_micros(col("t1")).as("t1"),
+          unix_micros(col("t2")).as("t2"), unix_micros(col("t3")).as("t3"))),
+
     // Weekly cohort retention: distinct active users per (first-activity
     // week, weeks-since-first) — exact integer date arithmetic.
     "q_retention" -> ((s, dir) =>
@@ -986,6 +994,23 @@ object SparkEntry {
         |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, CAST(epoch_us(t1) AS BIGINT) AS t1,
+        |       CAST(epoch_us(t2) AS BIGINT) AS t2, CAST(epoch_us(t3) AS BIGINT) AS t3
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1 AS t1w, MIN(e.ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND epoch_us(e.ts) <= epoch_us(s1.t1) + 3600000000
+        |       GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND epoch_us(e.ts) <= epoch_us(s2.t1w) + 3600000000
+        |       GROUP BY e.user_id)
         |SELECT s1.user_id, CAST(epoch_us(t1) AS BIGINT) AS t1,
         |       CAST(epoch_us(t2) AS BIGINT) AS t2, CAST(epoch_us(t3) AS BIGINT) AS t3
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,

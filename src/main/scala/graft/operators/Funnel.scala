@@ -23,22 +23,41 @@ object Funnel {
 
   /** One row per user who completed step 1, with nullable `t1..tk` epoch
     * columns: `t(i)` = min event time of `steps(i)` strictly after
-    * `t(i-1)`. */
+    * `t(i-1)`.
+    *
+    * `within` bounds the WHOLE funnel: later steps count only at or before
+    * `t1 + within` (the "converted within an hour" constraint every funnel
+    * dashboard has). Note the min times are greedy per step — earliest
+    * step-2 first, then earliest step-3 after it — which is the standard
+    * dashboard semantics, not a search over all event combinations. */
   def funnelTimes(
       events: DataFrame,
       steps: Seq[String],
       userCol: String = "user_id",
       tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      within: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
+    val withinMicros = within.map { w =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      require(iv.months == 0 && iv.days == 0,
+        s"within must be a sub-day duration (got '$w')")
+      iv.microseconds
+    }
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
     steps.drop(1).zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
       val prev = s"t${i + 1}"
       val cur = s"t${i + 2}"
+      val carried = if (prev == "t1") Seq(col(userCol), col(prev))
+                    else Seq(col(userCol), col(prev), col("t1"))
+      val windowOk = withinMicros.fold(lit(true)) { m =>
+        unix_micros(col(tsCol)) <= unix_micros(col("t1")) + lit(m)
+      }
       val nxt = events.filter(col(typeCol) === step)
-        .join(acc.select(col(userCol), col(prev)).filter(col(prev).isNotNull), Seq(userCol))
-        .filter(col(tsCol) > col(prev))
+        .join(acc.select(carried: _*).filter(col(prev).isNotNull), Seq(userCol))
+        .filter(col(tsCol) > col(prev) && windowOk)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
       acc.join(nxt, Seq(userCol), "left")
     }

@@ -73,6 +73,28 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((-1L, 0L, 1L), (0L, 0L, 1L)))
   }
 
+  test("funnelTimes with `within`: steps past t1 + window no longer count") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes inside 10 minutes — full funnel
+      (1L, ts(0), "view"), (1L, ts(4), "click"), (1L, ts(9), "purchase"),
+      // user 2 clicks at +12m (outside): t2 null, so t3 null even though
+      // a purchase exists
+      (2L, ts(0), "view"), (2L, ts(12), "click"), (2L, ts(13), "purchase"),
+      // user 3 clicks in time, purchases late: only t3 null
+      (3L, ts(0), "view"), (3L, ts(5), "click"), (3L, ts(20), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelTimes(ev, Seq("view", "click", "purchase"),
+        within = Some("10 minutes"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)).isDefined,
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+    assert(got.toSeq == Seq(
+      (1L, true, Some(ts(4)), Some(ts(9))),
+      (2L, true, None, None),
+      (3L, true, Some(ts(5)), None)))
+  }
+
   test("sessionize: gap starts a new session, ordinal per user, ties share a session") {
     import spark.implicits._
     def at(m: Int, s: Int = 0) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
