@@ -519,6 +519,25 @@ object SparkEntry {
           col("n_dups"))
     }),
 
+    // The round-7 curation pass composed into ONE plan: redact PII, drop
+    // repetitive docs (Gopher-style), drop benchmark-contaminated docs,
+    // then a deterministic split assignment — scrub -> filter -> filter ->
+    // label, all scan-bound except the decontamination postings join.
+    "q_pipeline_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val contaminated = operators.Decontaminate.overlap(docs, bench)
+        .filter(col("n_hit") * 2 > col("n_shingles")) // > half the shingles hit
+        .select("doc_id")
+      val kept = docs
+        .filter(TextFunctions.duplicateTokenFraction(col("text")) <= 0.8)
+        .filter(TextFunctions.topBigramFraction(col("text")) <= 0.2)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      Curation.withSplit(
+        kept.select(col("doc_id"), TextFunctions.redactPii(col("text")).as("clean")),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+    }),
+
     // Native Catalyst sketch expressions (no SQL oracle — rows-only check).
     // Portable-hash variants so both sketches are DuckDB-reproducible
     // (md5-derived 60-bit simhash; rolling hash = mod-2^64 byte fold the
@@ -902,6 +921,42 @@ object SparkEntry {
          |  END AS lang_pred
          |FROM s""".stripMargin
     },
+
+    "q_pipeline_curation" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tbf
+        |      FROM c GROUP BY 1),
+        |rep AS (SELECT t.doc_id,
+        |          CASE WHEN len(toks) > 0
+        |               THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |               ELSE 0.0 END AS dtf,
+        |          coalesce(m.tbf, 0.0) AS tbf
+        |        FROM t LEFT JOIN m USING (doc_id)),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+        |      FROM t),
+        |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0),
+        |cont AS (SELECT s.doc_id FROM s LEFT JOIN b USING (sh)
+        |         GROUP BY s.doc_id HAVING count(b.sh) * 2 > count(*)),
+        |kept AS (SELECT d.doc_id, d.text FROM documents d
+        |         JOIN rep USING (doc_id)
+        |         WHERE rep.dtf <= 0.8 AND rep.tbf <= 0.2
+        |           AND d.doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{12,19}\b', '<LONGNUM>', 'g'),
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+        |            % 10000 AS BIGINT) < 9000
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM kept""".stripMargin,
 
     "q_split_assign" ->
       """SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
