@@ -473,6 +473,16 @@ object SparkEntry {
           unix_micros(col("asof_ts")).as("view_ts_us"))
     }),
 
+    // Context-window chunking: 32-token windows, 8 tokens of overlap —
+    // per-row generator, scan-bound.
+    "q_chunk" -> ((s, dir) =>
+      Curation.chunkDocuments(t(s, dir, "documents"), maxTokens = 32, overlap = 8)),
+
+    // Deterministic global shuffle order (md5 order, two-phase prefix
+    // count — no single-reducer row_number at scale).
+    "q_shuffle_order" -> ((s, dir) =>
+      Curation.withShuffleOrder(t(s, dir, "documents").select("doc_id"), "doc_id")),
+
     // Sequence packing: docs assigned to fixed token-budget training
     // sequences by exclusive-prefix-sum offset in doc_id order — the
     // two-phase distributed prefix sum, not a single global window.
@@ -1122,6 +1132,19 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_chunk" ->
+      """SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+        |       array_to_string(toks[s:s+31], ' ') AS chunk,
+        |       CAST(len(toks[s:s+31]) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |     UNNEST(range(1, greatest(len(toks), 1) + 1, 24)) AS u(s)""".stripMargin,
+
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
 
     "q_pack" ->
       """SELECT doc_id, CAST((cum - t) // 2048 AS BIGINT) AS seq_id FROM (

@@ -217,4 +217,48 @@ object Curation {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(TextFunctions.bpeTokenEstimate(col(textCol)).cast("long")).as("n_tokens"))
+
+  /** Split long documents into fixed-size token windows with `overlap`
+    * tokens of context carried between consecutive chunks — the
+    * context-window chunking step every pretraining/RAG pipeline runs.
+    * Pure per-row generator (posexplode over the chunk starts + an array
+    * slice): scan-bound, zero shuffles, output rows ∝ total tokens /
+    * stride. A document shorter than `maxTokens` yields itself as chunk 0.
+    * Chunk starts step by `maxTokens - overlap`; the final chunk may be
+    * shorter (no padding — the packer downstream owns that). */
+  def chunkDocuments(
+      docs: DataFrame,
+      maxTokens: Int,
+      overlap: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens): $overlap")
+    val step = maxTokens - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .withColumn("__toks", toks)
+      .select(col(idCol), posexplode(
+        sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(step)))
+        .as(Seq("chunk_idx", "__start")), col("__toks"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(maxTokens)))
+          .as("chunk"),
+        size(slice(col("__toks"), col("__start") + 1, lit(maxTokens)))
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Deterministic global shuffle order: every row gets its position in the
+    * md5(id) order — the corpus-wide randomization pass before training,
+    * reproducible across reruns/engines (no RNG state). Built on the same
+    * two-phase distributed prefix machinery as [[packSequences]]: a global
+    * `row_number()` window would funnel 100 TB through one reducer; this
+    * range-partitions on the hash and composes bucket offsets instead. */
+  def withShuffleOrder(
+      df: DataFrame,
+      idCol: String,
+      outputCol: String = "pos"): DataFrame =
+    graft.ops.RunningCount.withRunningCount(
+      df, Seq(md5(col(idCol).cast("string"))), outputCol)
 }

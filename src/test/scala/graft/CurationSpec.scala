@@ -202,4 +202,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("book", 1L, 1L), ("web", 2L, 5L)))
   }
+
+  test("chunkDocuments: windows cover every token, overlap carried, sizes bounded") {
+    import spark.implicits._
+    val words = (1 to 75).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "tiny doc")).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(docs, maxTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+    val d1 = chunks.filter(_._1 == 1L)
+    // starts step by 24: 0, 24, 48, 72 -> 4 chunks; sizes 32,32,27,3
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._4).toSeq == Seq(32L, 32L, 27L, 3L))
+    assert(d1.forall(_._4 <= 32))
+    // consecutive chunks share exactly the 8-token overlap
+    val c0 = d1(0)._3.split(" ")
+    val c1 = d1(1)._3.split(" ")
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+    // stitched back together (dropping each successor's overlap) = original
+    val stitched = d1.map(_._3.split(" ").toSeq).reduce((a, b) => a ++ b.drop(8))
+    assert(stitched == words)
+    // short doc: itself as chunk 0
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "tiny doc", 2L)))
+  }
+
+  test("withShuffleOrder: positions are the md5-order permutation") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("doc_id")
+    val got = Curation.withShuffleOrder(df, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).sorted.toSeq == (1L to 100L))
+    val want = (1L to 100L).sortBy(id =>
+      java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+        .map("%02x".format(_)).mkString)
+      .zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
+    assert(got.forall { case (id, pos) => want(id) == pos })
+  }
 }
