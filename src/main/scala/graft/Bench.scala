@@ -22,6 +22,7 @@ object Bench {
     "q_lang_id", "q_lang_id_ngram", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",
     "q_redact", "q_repetition", "q_decontam", "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_pack",
+    "q_chunk", "q_shuffle_order", "q_pipeline_curation",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed_lsh",
     "q_dedup_ngram_capped",
     "q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_media_decode", "q_media_frames")
@@ -32,15 +33,25 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL evaluation of the query's own plan: df.count() plans an
+    // Aggregate needing zero columns, so the optimizer prunes every
+    // projection — a pure-projection query (redact, fingerprints, quality)
+    // would be timed as a scan-count with none of its work done.
+    // toRdd.count() executes the optimized plan as-is, materializing every
+    // output column into UnsafeRows (discovered in r07: the HOF repetition
+    // signal "cost" 0.1 s under count() and 8.5 s when actually evaluated —
+    // see tools/CurationProbe).
+    def run(name: String): Long =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     // JVM/codegen warmup outside the timed region.
-    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    run("q1_agg")
     // Three timed passes, min per query: the host shows intermittent load
     // bursts (measured up to minutes) unrelated to the plan under test. The
     // passes are INTERLEAVED (all queries once, then all again) so a burst
     // must span multiple full passes to inflate a query's reported minimum.
     def pass(): Map[String, Double] = headliners.map { name =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      run(name)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val passes = Seq(pass(), pass(), pass())

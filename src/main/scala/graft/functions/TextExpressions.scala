@@ -65,6 +65,44 @@ case class WordShingles(child: Expression, n: Int, distinctOut: Boolean)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Fraction of word-n-gram occurrences taken by the single most frequent
+  * n-gram (MassiveText's repetition filter) — one pass: tokenize, count
+  * n-grams in a hash map, max/total. 0.0 below n tokens. Fused because the
+  * HOF formulation (sort_array + ArrayAggregate with a struct accumulator
+  * referenced three times) evaluates interpreted and re-runs the whole fold
+  * per reference — measured 1.8 ms/doc vs ~5 µs here (tools/CurationProbe,
+  * r07). */
+case class TopNgramFraction(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+    if (toks.length < n) return 0.0
+    val m = toks.length - n + 1
+    val counts = new java.util.HashMap[String, Int](m * 2)
+    var best = 0
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(16 * n)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toDouble / m.toDouble
+  }
+  override protected def withNewChildInternal(c: Expression): TopNgramFraction =
+    copy(child = c)
+}
+
 /** Native character n-grams (1-char step) over CODE POINTS — the unit both
   * Spark's `substring` and DuckDB's `substr` count, so the DuckDB oracle
   * `list_transform(range(1, greatest(length(t) - 1, 1)), i -> substr(t, i, 3))`

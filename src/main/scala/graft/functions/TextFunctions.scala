@@ -197,10 +197,21 @@ object TextFunctions {
 
   /** Share of bigram occurrences taken by the single most frequent bigram —
     * the other MassiveText repetition filter (a high value means one phrase
-    * dominates the document). Computed per-row with a sorted-run fold
-    * (sort_array + aggregate HOF): no explode, no shuffle, scan-bound.
-    * 0.0 when the document has fewer than 2 tokens. */
+    * dominates the document). Native one-pass expression
+    * ([[TopNgramFraction]]): no explode, no shuffle, scan-bound. The
+    * sorted-run HOF fold this replaces evaluated interpreted at ~1.8 ms/doc
+    * (and three times over when the CaseWhen referenced its accumulator) —
+    * 350x slower than the fused loop. 0.0 when the document has fewer than
+    * 2 tokens. */
   def topBigramFraction(text: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(TopNgramFraction(GraftExpr.expression(text), 2))
+  }
+
+  /** The HOF formulation of [[topBigramFraction]], kept as the slow
+    * reference implementation its spec checks the native expression
+    * against (same statistic via sort + run-length fold). */
+  private[graft] def topBigramFractionHof(text: Column): Column = {
     val grams = sort_array(shingles(text, 2))
     val folded = aggregate(
       grams,

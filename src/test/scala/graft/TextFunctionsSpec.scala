@@ -138,6 +138,18 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(one(TextFunctions.duplicateTokenFraction(col("t")), "") == 0.0)
   }
 
+  test("native topBigramFraction equals the HOF reference on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val words = Seq("a", "b", "c", "dd", "ee")
+    val docs = (Seq.fill(60)(Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+      .mkString(" ")) ++ Seq("", "solo", "  x  x  x  ")).toDF("t")
+    val both = docs.select(
+      TextFunctions.topBigramFraction(col("t")).as("native"),
+      TextFunctions.topBigramFractionHof(col("t")).as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("topBigramFraction: dominant phrase share, exact on crafted docs") {
     // "x y" appears 3 times of 5 bigrams: x y x y x y
     assert(one(TextFunctions.topBigramFraction(col("t")), "x y x y x y") == 0.6)
