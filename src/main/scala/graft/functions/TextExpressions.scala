@@ -6,6 +6,21 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+private[functions] object TextExpressions {
+  /** Strip leading/trailing ASCII SPACE only — the semantics of Spark's
+    * `trim()` and DuckDB's `trim()`. Java's `String.trim` strips every
+    * char <= U+0020 (tabs, newlines), which would silently diverge from
+    * the composed formulations and the SQL oracles on control-char-edged
+    * text. */
+  def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+}
+
 /** Native word n-gram shingling: trim -> whitespace-split -> n-gram join
   * (-> optional first-occurrence distinct) in one evaluation.
   *
@@ -26,7 +41,7 @@ case class WordShingles(child: Expression, n: Int, distinctOut: Boolean)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
+    val text = TextExpressions.trimSpaces(input.asInstanceOf[UTF8String].toString)
     val toks = text.split("\\s+", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val m = toks.length - n + 1
@@ -80,7 +95,8 @@ case class TopNgramFraction(child: Expression, n: Int)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+    val toks = TextExpressions.trimSpaces(input.asInstanceOf[UTF8String].toString)
+      .split("\\s+", -1)
     if (toks.length < n) return 0.0
     val m = toks.length - n + 1
     val counts = new java.util.HashMap[String, Int](m * 2)

@@ -25,7 +25,11 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
 
   test("shinglesNative is element-identical to the composed shingles") {
     import spark.implicits._
-    val texts = Seq("a b c d e", "x x x", "one two", "solo", "", "  p  q  r  ")
+    // "\tp q\n": Spark/DuckDB trim strips SPACES only, so the tab and
+    // newline survive into the token stream — the native expression must
+    // not Java-trim them away
+    val texts = Seq("a b c d e", "x x x", "one two", "solo", "", "  p  q  r  ",
+      "\tp q\n", " \t mixed edge \n ")
     val df = texts.toDF("t")
     val both = df.select(
       TextFunctions.shingles(col("t"), 2).as("hof"),
@@ -143,7 +147,8 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     val rnd = new scala.util.Random(5)
     val words = Seq("a", "b", "c", "dd", "ee")
     val docs = (Seq.fill(60)(Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size)))
-      .mkString(" ")) ++ Seq("", "solo", "  x  x  x  ")).toDF("t")
+      .mkString(" ")) ++ Seq("", "solo", "  x  x  x  ", "\ta b\n", " \t z z \n "))
+      .toDF("t")
     val both = docs.select(
       TextFunctions.topBigramFraction(col("t")).as("native"),
       TextFunctions.topBigramFractionHof(col("t")).as("hof")).collect()
