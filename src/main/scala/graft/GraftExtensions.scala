@@ -78,27 +78,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // class) register through the same bridge: compose on a Column wrapper,
     // hand back the underlying expression tree.
     import org.apache.spark.sql.GraftExpr
-    def composed(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+    def composed(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
         : Seq[Expression] => Expression =
-      args => GraftExpr.catalystExpression(f(GraftExpr.column(args(0))))
+      args => {
+        // explicit arity error: args(0) on empty would throw a raw
+        // IndexOutOfBounds, and EXTRA args would be silently discarded —
+        // a swapped-argument call would compute plausible wrong numbers
+        if (args.length != 1) throw new IllegalArgumentException(
+          s"$name takes exactly 1 argument, got ${args.length}")
+        GraftExpr.catalystExpression(f(GraftExpr.column(args.head)))
+      }
 
     ext.injectFunction((FunctionIdentifier("redact_pii"),
       info("redact_pii",
         "redact_pii(text) - scrub emails/IPv4s/card-length digit runs/phone shapes to typed placeholders"),
-      composed(TextFunctions.redactPii)))
+      composed("redact_pii", TextFunctions.redactPii)))
 
     ext.injectFunction((FunctionIdentifier("dup_token_fraction"),
       info("dup_token_fraction",
         "dup_token_fraction(text) - fraction of token occurrences repeating an earlier token"),
-      composed(TextFunctions.duplicateTokenFraction)))
+      composed("dup_token_fraction", TextFunctions.duplicateTokenFraction)))
 
     ext.injectFunction((FunctionIdentifier("top_bigram_fraction"),
       info("top_bigram_fraction",
         "top_bigram_fraction(text) - share of bigram occurrences taken by the most frequent bigram"),
-      composed(TextFunctions.topBigramFraction)))
+      composed("top_bigram_fraction", TextFunctions.topBigramFraction)))
 
     ext.injectFunction((FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - stopword-hit language guess (en/es/de/fr/zh/und)"),
-      composed(TextFunctions.langId)))
+      composed("lang_id", TextFunctions.langId)))
   }
 }

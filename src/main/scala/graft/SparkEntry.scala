@@ -1139,7 +1139,7 @@ object SparkEntry {
         |       CAST(len(toks[s:s+31]) AS BIGINT) AS n_tokens
         |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         |      FROM documents),
-        |     UNNEST(range(1, greatest(len(toks), 1) + 1, 24)) AS u(s)""".stripMargin,
+        |     UNNEST(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS u(s)""".stripMargin,
 
     "q_shuffle_order" ->
       """SELECT doc_id,

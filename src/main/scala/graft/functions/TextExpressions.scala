@@ -38,7 +38,15 @@ case class WordShingles(child: Expression, n: Int, distinctOut: Boolean)
   require(n >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullIntolerant: Boolean = true
+  // NULL text -> empty array, matching the composed formulation exactly
+  // (`when(size(split(trim(NULL))) >= n, ...)` falls to the otherwise([])
+  // branch) — the declared element-identity must include the null row.
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => new GenericArrayData(Array.empty[Any])
+      case v => nullSafeEval(v)
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val text = TextExpressions.trimSpaces(input.asInstanceOf[UTF8String].toString)
@@ -92,7 +100,17 @@ case class TopNgramFraction(child: Expression, n: Int)
   require(n >= 1, "ngram size must be >= 1")
 
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
+  // NULL text -> 0.0, matching the HOF reference (whose when() falls to the
+  // otherwise(0.0) branch on a null fold), the sibling
+  // duplicateTokenFraction, and the oracles' coalesce(tbf, 0.0) — a
+  // null-propagating variant would silently DROP null-text rows from
+  // filter(topBigramFraction <= x) pipelines the oracle keeps.
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => 0.0
+      case v => nullSafeEval(v)
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val toks = TextExpressions.trimSpaces(input.asInstanceOf[UTF8String].toString)

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * Left rows keep all their columns; matched right columns arrive as
   * `asof_<col>` (null where no right row precedes).
   *
+  * PRECONDITION: the right side should be unique per (key, ts) — two right
+  * rows tying on both leave `last()` picking whichever the shuffle ordered
+  * later, a payload-nondeterministic result (as in any engine's ASOF; the
+  * gate queries pre-aggregate with groupBy(key, ts) for exactly this
+  * reason). Duplicate LEFT rows are fine and each keeps its match.
+  *
   * `direction`: "backward" (default) matches the most recent right row with
   * `rightTs <= leftTs`; "forward" matches the EARLIEST right row with
   * `rightTs >= leftTs` (pandas merge_asof's directions; same-instant rows

@@ -224,8 +224,11 @@ object Curation {
     * Pure per-row generator (posexplode over the chunk starts + an array
     * slice): scan-bound, zero shuffles, output rows ∝ total tokens /
     * stride. A document shorter than `maxTokens` yields itself as chunk 0.
-    * Chunk starts step by `maxTokens - overlap`; the final chunk may be
-    * shorter (no padding — the packer downstream owns that). */
+    * Chunk starts step by `maxTokens - overlap` and stop once a start
+    * would add no NEW tokens (a tail of `overlap` or fewer leftover tokens
+    * is already covered by the previous chunk — emitting it would ship
+    * duplicate training tokens); the final chunk may be shorter (no
+    * padding — the packer downstream owns that). */
   def chunkDocuments(
       docs: DataFrame,
       maxTokens: Int,
@@ -240,7 +243,7 @@ object Curation {
     docs
       .withColumn("__toks", toks)
       .select(col(idCol), posexplode(
-        sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(step)))
+        sequence(lit(0), greatest(size(col("__toks")) - overlap - 1, lit(0)), lit(step)))
         .as(Seq("chunk_idx", "__start")), col("__toks"))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(maxTokens)))

@@ -38,13 +38,7 @@ object Funnel {
       typeCol: String = "event_type",
       within: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
-    val withinMicros = within.map { w =>
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(w))
-      require(iv.months == 0 && iv.days == 0,
-        s"within must be a sub-day duration (got '$w')")
-      iv.microseconds
-    }
+    val withinMicros = within.map(graft.ops.Intervals.subDayMicros)
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
     steps.drop(1).zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
@@ -106,11 +100,7 @@ object Funnel {
       gap: String = "30 minutes",
       userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    require(iv.months == 0 && iv.days == 0,
-      s"gap must be a sub-day duration (got '$gap')")
-    val gapMicros = iv.microseconds
+    val gapMicros = graft.ops.Intervals.subDayMicros(gap)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsCol).asc)
     val tUs = unix_micros(col(tsCol))

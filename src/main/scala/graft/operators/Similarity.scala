@@ -55,7 +55,12 @@ object Similarity {
         .flatMap(_.files)
         .map(f => s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
         .sorted
-      scala.util.hashing.MurmurHash3.orderedHash(listing).toLong
+      // full 64 bits of an md5 over the listing — a 32-bit hash birthday-
+      // collides across ~65k cached variants, weakening the overwrite
+      // guarantee the scaladoc makes
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.mkString("\n").getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d).getLong
     }
   }
 

@@ -451,11 +451,7 @@ object StreamingPipeline {
       userCol: String = "user_id",
       tsCol: String = "ts",
       outputCol: String = "session_idx"): DataFrame = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    require(iv.months == 0 && iv.days == 0,
-      s"gap must be a sub-day duration (got '$gap')")
-    val gapMicros = iv.microseconds
+    val gapMicros = graft.ops.Intervals.subDayMicros(gap)
     val userIdx = df.schema.fieldIndex(userCol)
     val tsIdx = df.schema.fieldIndex(tsCol)
     val outSchema: StructType = df.schema.add(outputCol, LongType, nullable = false)

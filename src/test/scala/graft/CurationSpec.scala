@@ -212,9 +212,11 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
 
     val d1 = chunks.filter(_._1 == 1L)
-    // starts step by 24: 0, 24, 48, 72 -> 4 chunks; sizes 32,32,27,3
-    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
-    assert(d1.map(_._4).toSeq == Seq(32L, 32L, 27L, 3L))
+    // starts step by 24: 0, 24, 48 — a start at 72 would cover only tokens
+    // 73..75, all already inside chunk 2 (tail <= overlap adds nothing and
+    // must NOT be emitted: duplicate training tokens)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_._4).toSeq == Seq(32L, 32L, 27L))
     assert(d1.forall(_._4 <= 32))
     // consecutive chunks share exactly the 8-token overlap
     val c0 = d1(0)._3.split(" ")

@@ -29,12 +29,14 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     // newline survive into the token stream — the native expression must
     // not Java-trim them away
     val texts = Seq("a b c d e", "x x x", "one two", "solo", "", "  p  q  r  ",
-      "\tp q\n", " \t mixed edge \n ")
+      "\tp q\n", " \t mixed edge \n ", null)
     val df = texts.toDF("t")
     val both = df.select(
       TextFunctions.shingles(col("t"), 2).as("hof"),
       TextFunctions.shinglesNative(col("t"), 2).as("native")).collect()
-    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    // includes the NULL row: both formulations yield an EMPTY array, not null
+    both.foreach(r => assert(!r.isNullAt(0) && !r.isNullAt(1) &&
+      r.getSeq[String](0) == r.getSeq[String](1), r.toString))
   }
 
   test("jaccard of identical sets is 1.0, disjoint is 0.0") {
@@ -147,12 +149,15 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     val rnd = new scala.util.Random(5)
     val words = Seq("a", "b", "c", "dd", "ee")
     val docs = (Seq.fill(60)(Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size)))
-      .mkString(" ")) ++ Seq("", "solo", "  x  x  x  ", "\ta b\n", " \t z z \n "))
+      .mkString(" ")) ++ Seq("", "solo", "  x  x  x  ", "\ta b\n", " \t z z \n ", null))
       .toDF("t")
     val both = docs.select(
       TextFunctions.topBigramFraction(col("t")).as("native"),
       TextFunctions.topBigramFractionHof(col("t")).as("hof")).collect()
-    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    // includes the NULL row: both yield 0.0 (matching duplicateTokenFraction
+    // and the oracles' coalesce) — a null-propagating native would silently
+    // drop null-text rows from threshold filters the oracle keeps
+    both.foreach(r => assert(!r.isNullAt(0) && r.getDouble(0) == r.getDouble(1), r.toString))
   }
 
   test("topBigramFraction: dominant phrase share, exact on crafted docs") {
