@@ -141,6 +141,10 @@ object Bench {
       // only output mode session aggregations support
       "q_stream_sessions" -> drain(OutputMode.Append)(
         StreamingPipeline.sessionCounts(evTs, gap = "30 minutes",
-          watermark = Some("2 hours"))))
+          watermark = Some("2 hours"))),
+      // per-event session LABELING (one (lastTs, idx) state per user) —
+      // complements the aggregate above
+      "q_stream_sessionize" -> drain(OutputMode.Append)(
+        StreamingPipeline.sessionize(evTs, gap = "30 minutes")))
   }
 }

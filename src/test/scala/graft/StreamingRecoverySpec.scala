@@ -53,6 +53,44 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(values == Set("keep one", "keep two", "keep three", "keep four"))
   }
 
+  test("sessionize resumes session ordinals and last-seen times from checkpoint") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sess_in").toString
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 09:$m%02d:00")
+
+    def writeBatch(name: String, rows: Seq[(Long, Long, Timestamp)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_sess_stage").resolve("w").toString
+      rows.toDF("event_id", "user_id", "ts").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    lazy val schema = spark.read.parquet(in).schema
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      StreamingPipeline.startFileSink(
+        StreamingPipeline.sessionize(src, gap = "10 minutes"), out, ckpt)
+    }
+
+    // pre-crash: user 1 in session 0 (last seen 09:05)
+    writeBatch("b1.parquet", Seq((1L, 1L, ts(0)), (2L, 1L, ts(5))))
+    val q1 = startQuery()
+    q1.awaitTermination(60000)
+    assert(!q1.isActive)
+
+    // post-restart: 09:30 is 25m after the checkpointed last-seen 09:05 —
+    // the restarted query must know that and open session 1; 09:32 continues it
+    writeBatch("b2.parquet", Seq((3L, 1L, ts(30)), (4L, 1L, ts(32))))
+    val q2 = startQuery()
+    q2.awaitTermination(60000)
+
+    val got = spark.read.parquet(out).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("session_idx"))).toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
+
   test("streaming aggregate state is a typed product, not an opaque blob") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.types.BinaryType
