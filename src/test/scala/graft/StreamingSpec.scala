@@ -291,6 +291,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless curation ops (sample, split, redact, quality) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions
+    import graft.operators.Curation
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // the same Column/DataFrame transforms used in the batch gates — pure
+    // per-row, so Structured Streaming accepts them without state
+    val curated = Curation.withSplit(
+      Curation.sampleFraction(stream, "doc_id", 0.8)
+        .filter(TextFunctions.topBigramFraction(col("text")) <= 0.9)
+        .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("clean")),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+    val q = curated.writeStream.format("memory").queryName("cur_out")
+      .outputMode("append").start()
+    try {
+      val docs = (0L until 50L).map(i => (i, s"doc $i mail a$i@b.co body"))
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("cur_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // batch reference: identical decisions row by row (pure functions of id)
+      val want = Curation.withSplit(
+        Curation.sampleFraction(docs.toDF("doc_id", "text"), "doc_id", 0.8)
+          .filter(TextFunctions.topBigramFraction(col("text")) <= 0.9)
+          .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("clean")),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.1)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+      assert(got.forall(_._2.contains("<EMAIL>")))
+    } finally q.stop()
+  }
+
   test("socket source drives the op pipeline end-to-end (localhost)") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val port = server.getLocalPort
