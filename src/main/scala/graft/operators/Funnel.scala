@@ -117,8 +117,9 @@ object Funnel {
       steps: Seq[String],
       userCol: String = "user_id",
       tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
-    val times = funnelTimes(events, steps, userCol, tsCol, typeCol)
+      typeCol: String = "event_type",
+      within: Option[String] = None): DataFrame = {
+    val times = funnelTimes(events, steps, userCol, tsCol, typeCol, within)
     val counts = times.agg(
       count(lit(1)).as("t1_reached"),
       steps.indices.drop(1).map(i =>
