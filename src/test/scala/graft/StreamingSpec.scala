@@ -325,6 +325,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination runs stream-static: streaming docs against a static benchmark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox ate")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.Decontaminate.overlap(
+      mem.toDF().toDF("doc_id", "text"), bench)
+    // the per-doc count aggregation needs Update mode on a stream
+    val q = out.writeStream.format("memory").queryName("decon_out")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "the quick brown fox jumps"), (2L, "completely novel text here"))
+      q.processAllAvailable()
+      val got = spark.table("decon_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(got.toSeq == Seq((1L, 3L, 2L), (2L, 2L, 0L)))
+    } finally q.stop()
+  }
+
   test("socket source drives the op pipeline end-to-end (localhost)") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val port = server.getLocalPort
