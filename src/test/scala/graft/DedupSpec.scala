@@ -221,16 +221,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 201 && got.values.forall(_ == 0L))
 
-    // random sparse graph: star contraction and min-label propagation must
-    // produce the identical component map
-    val rnd = new scala.util.Random(11)
-    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
-    val pairs = edges.toDF("a_id", "b_id")
-    val viaStars = Dedup.starContraction(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val viaProp = Dedup.clusters(pairs, maxRounds = 200).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(viaStars == viaProp)
+    // random sparse graphs (several shapes/densities): star contraction and
+    // min-label propagation must produce the identical component map
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(80)
+      val edges = Seq.fill(n * 3 / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val pairs = edges.toDF("a_id", "b_id")
+      val viaStars = Dedup.starContraction(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaProp = Dedup.clusters(pairs, maxRounds = 200).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars == viaProp, s"seed=$seed n=$n")
+    }
   }
 
   test("clusters falls back to star contraction past maxRounds instead of failing") {

@@ -42,6 +42,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(r2.getDouble(1) == 1.0 - 2.0 / 3.0)
       assert(r2.getDouble(2) == 0.6)
       assert(r2.getString(3) == "en")
+      // arity errors are explicit, not raw IndexOutOfBounds / silent drops
+      val e = intercept[Exception](s.sql("SELECT redact_pii()").collect())
+      assert(e.getMessage.contains("exactly 1 argument"), e.getMessage)
+      val e2 = intercept[Exception](s.sql("SELECT lang_id('a', 'b')").collect())
+      assert(e2.getMessage.contains("exactly 1 argument"), e2.getMessage)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
