@@ -229,6 +229,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "tiny doc", 2L)))
   }
 
+  test("chunkDocuments output feeds packSequences (the full context-window pipeline)") {
+    import spark.implicits._
+    val docs = (1L to 10L)
+      .map(i => (i, (1 to 20 + (i % 5).toInt * 7).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(docs, maxTokens = 16, overlap = 0)
+    val packed = Curation.packSequences(
+      chunks, col("n_tokens"), Seq(col("doc_id"), col("chunk_idx")), seqTokens = 64L)
+      .select("doc_id", "chunk_idx", "n_tokens", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // exclusive-prefix-sum assignment reproduced independently
+    var cum = 0L
+    for ((_, _, n, seqId) <- packed) {
+      assert(seqId == cum / 64, packed.mkString(", "))
+      cum += n
+    }
+    // every chunk respects the window and no sequence exceeds ~budget+window
+    assert(packed.forall(_._3 <= 16))
+  }
+
   test("withShuffleOrder: positions are the md5-order permutation") {
     import spark.implicits._
     val df = (1L to 100L).toDF("doc_id")
