@@ -30,20 +30,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Explicit arity validation: args(i) on a short list throws a raw
+    * IndexOutOfBoundsException, and EXTRA arguments would be silently
+    * discarded — a swapped-argument call computing plausible wrong numbers
+    * with no error. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name takes exactly $n argument${if (n == 1) "" else "s"}, got ${args.length}")
+      build(args)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float/double arrays"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      arity("cosine_similarity", 2)(args => CosineSimilarity(args(0), args(1)))))
 
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-gram set"),
-      (args: Seq[Expression]) =>
-        WordShingles(args(0), intLit(args(1), "n"), distinctOut = true)))
+      arity("word_shingles", 2)(args =>
+        WordShingles(args(0), intLit(args(1), "n"), distinctOut = true))))
 
     ext.injectFunction((FunctionIdentifier("minhash_bands"),
       info("minhash_bands", "minhash_bands(shingles, bands, rows_per_band) - LSH band keys"),
-      (args: Seq[Expression]) => Sketches.MinHashBands(args(0),
-        intLit(args(1), "bands"), intLit(args(2), "rows_per_band"))))
+      arity("minhash_bands", 3)(args => Sketches.MinHashBands(args(0),
+        intLit(args(1), "bands"), intLit(args(2), "rows_per_band")))))
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64",
@@ -61,15 +73,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingles, k) - k-permutation MinHash"),
-      (args: Seq[Expression]) => Sketches.MinHashSignature(args(0), intLit(args(1), "k"))))
+      arity("minhash_signature", 2)(args =>
+        Sketches.MinHashSignature(args(0), intLit(args(1), "k")))))
 
     ext.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(text) - polynomial rolling content hash"),
-      (args: Seq[Expression]) => Sketches.RollingHash(args(0))))
+      arity("rolling_hash", 1)(args => Sketches.RollingHash(args(0)))))
 
     ext.injectFunction((FunctionIdentifier("graft_filter"),
       info("graft_filter", "graft_filter(line, pattern) - case-insensitive substring match"),
-      (args: Seq[Expression]) => {
+      arity("graft_filter", 2) { args =>
         import org.apache.spark.sql.catalyst.expressions._
         Contains(Lower(args(0)), Lower(args(1)))
       }))
@@ -80,14 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.GraftExpr
     def composed(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
         : Seq[Expression] => Expression =
-      args => {
-        // explicit arity error: args(0) on empty would throw a raw
-        // IndexOutOfBounds, and EXTRA args would be silently discarded —
-        // a swapped-argument call would compute plausible wrong numbers
-        if (args.length != 1) throw new IllegalArgumentException(
-          s"$name takes exactly 1 argument, got ${args.length}")
-        GraftExpr.catalystExpression(f(GraftExpr.column(args.head)))
-      }
+      arity(name, 1)(args => GraftExpr.catalystExpression(f(GraftExpr.column(args.head))))
 
     ext.injectFunction((FunctionIdentifier("redact_pii"),
       info("redact_pii",

@@ -57,10 +57,12 @@ object Similarity {
         .sorted
       // full 64 bits of an md5 over the listing — a 32-bit hash birthday-
       // collides across ~65k cached variants, weakening the overwrite
-      // guarantee the scaladoc makes
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(listing.mkString("\n").getBytes("UTF-8"))
-      java.nio.ByteBuffer.wrap(d).getLong
+      // guarantee the scaladoc makes. Entries stream into the digest: a
+      // million-file listing must not materialize as one joined string on
+      // the driver.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      listing.foreach { e => md.update(e.getBytes("UTF-8")); md.update('\n'.toByte) }
+      java.nio.ByteBuffer.wrap(md.digest()).getLong
     }
   }
 

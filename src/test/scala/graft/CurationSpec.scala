@@ -246,8 +246,15 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(seqId == cum / 64, packed.mkString(", "))
       cum += n
     }
-    // every chunk respects the window and no sequence exceeds ~budget+window
+    // every chunk respects the window...
     assert(packed.forall(_._3 <= 16))
+    // ...and no sequence collects more than budget + one straddling chunk
+    // (a chunk STARTING inside its sequence may overflow it by < maxTokens)
+    val perSeq = packed.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+    assert(perSeq.values.forall(_ <= 64 + 16), perSeq.toMap.toString)
+    // the packing is dense: every sequence except possibly the last opens
+    // only after its predecessor passed the budget boundary
+    assert(perSeq.keys.toSeq.sorted == (0L to perSeq.keys.max))
   }
 
   test("withShuffleOrder: positions are the md5-order permutation") {
