@@ -204,6 +204,47 @@ object Multimodal {
     }
   }
 
+  /** A decoded audio row: the typed metadata an audio curation pass filters
+    * on (sample-rate floors, duration buckets, mono/stereo splits). */
+  final case class DecodedAudio(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Double)
+
+  /** Real audio header decode via `javax.sound.sampled` (in the JDK — WAV,
+    * AIFF, AU; no added dependencies, mirroring [[RealCodec]] for still
+    * images). Header-only: the PCM payload is never decompressed, so the
+    * per-row cost is a few hundred bytes of parsing regardless of clip
+    * length. Same mapPartitions batch shape as the other stages — payload
+    * bytes stay on executors. An unparseable payload throws
+    * `IllegalArgumentException`; wrap with your skip/fail policy upstream
+    * when corrupt rows are expected. */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      import javax.sound.sampled.AudioSystem
+      val in = new java.io.ByteArrayInputStream(r.payload)
+      val fmt =
+        try AudioSystem.getAudioFileFormat(in)
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"unparseable audio payload (doc ${r.doc_id})", e)
+        }
+      val af = fmt.getFormat
+      val frames = fmt.getFrameLength.toLong
+      DecodedAudio(
+        doc_id = r.doc_id,
+        sample_rate = af.getSampleRate.toInt,
+        channels = af.getChannels,
+        n_frames = frames,
+        duration_ms = if (af.getSampleRate > 0) frames * 1000.0 / af.getSampleRate else 0.0)
+    })
+  }
+
   /** Wrap a text table as a media table (test harness: payload = UTF-8 bytes).
     * In production the payload column comes straight from parquet binary. */
   def asMediaTable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -125,6 +125,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f.map(_.frame_hash).distinct.length == 1)
   }
 
+  /** A real WAV: `n` frames of silence at `rate` Hz, 16-bit mono PCM. */
+  private def makeWav(n: Int, rate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio reads true sample rate / channels / frame count from WAV payloads") {
+    import spark.implicits._
+    val audio = Seq(
+      (1L, "audio", makeWav(8000, 8000f)),   // 1 s at 8 kHz
+      (2L, "audio", makeWav(22050, 44100f))) // 0.5 s at 44.1 kHz
+      .toDF("doc_id", "media_type", "payload")
+    val d = Multimodal.decodeAudio(audio).collect().sortBy(_.doc_id)
+    assert(d.map(x => (x.doc_id, x.sample_rate, x.channels, x.n_frames)).toSeq ==
+      Seq((1L, 8000, 1, 8000L), (2L, 44100, 1, 22050L)))
+    assert(d(0).duration_ms == 1000.0)
+    assert(d(1).duration_ms == 500.0)
+  }
+
+  test("decodeAudio rejects non-audio bytes with a clear error") {
+    import spark.implicits._
+    val junk = Seq((9L, "audio", "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(junk).collect()
+    }
+    assert(Option(e.getMessage).exists(_.nonEmpty))
+  }
+
   test("RealCodec rejects an undecodable payload with a clear error") {
     import spark.implicits._
     val junk = Seq((1L, "image", Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media_type", "payload")
