@@ -245,6 +245,58 @@ object Multimodal {
     })
   }
 
+  /** Real PCM feature extraction: the clip is decoded (JDK sound API),
+    * split into `dim` equal windows, and each window contributes its RMS
+    * energy normalized to [0, 1] — the cheap audio embedding (an energy
+    * envelope) that feeds [[Similarity]] / [[Dedup.embeddingCosinePairsLsh]]
+    * exactly like the image features. Requires 16-bit PCM (the common WAV
+    * case); mono/stereo both work (channels are interleaved into the same
+    * energy estimate). Unlike [[decodeAudio]] this DOES read the samples —
+    * cost ∝ clip length, still partition-local. */
+  def audioFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      import javax.sound.sampled.AudioSystem
+      val ais =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(r.payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"unparseable audio payload (doc ${r.doc_id})", e)
+        }
+      val af = ais.getFormat
+      require(af.getSampleSizeInBits == 16,
+        s"audioFeatures expects 16-bit PCM, got ${af.getSampleSizeInBits}-bit (doc ${r.doc_id})")
+      val bytes = ais.readAllBytes()
+      val nSamples = bytes.length / 2
+      val out = new Array[Float](dim)
+      if (nSamples > 0) {
+        val perBucket = math.max(1, (nSamples + dim - 1) / dim)
+        val sumSq = new Array[Double](dim)
+        val counts = new Array[Int](dim)
+        var i = 0
+        while (i < nSamples) {
+          // reassemble the 16-bit pattern, then reinterpret signed via toShort
+          val s =
+            (if (af.isBigEndian) ((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)
+             else ((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+          val b = math.min(dim - 1, i / perBucket)
+          sumSq(b) += s.toDouble * s.toDouble
+          counts(b) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < dim) {
+          if (counts(j) > 0)
+            out(j) = (math.sqrt(sumSq(j) / counts(j)) / 32768.0).toFloat
+          j += 1
+        }
+      }
+      MediaFeatures(r.doc_id, out)
+    })
+  }
+
   /** Wrap a text table as a media table (test harness: payload = UTF-8 bytes).
     * In production the payload column comes straight from parquet binary. */
   def asMediaTable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -149,6 +149,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(d(1).duration_ms == 500.0)
   }
 
+  test("audioFeatures: RMS energy envelope of real PCM, silence -> zeros, sine -> A/sqrt(2)") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // a full-scale-half sine (A = 16384) for the first half, silence after
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) {
+      val v = (16384 * math.sin(2 * math.Pi * 440 * i / 8000.0)).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong), AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((1L, "audio", bos.toByteArray)).toDF("doc_id", "media_type", "payload")
+
+    val f = Multimodal.audioFeatures(media, dim = 8).collect().head.features
+    assert(f.length == 8)
+    // sine buckets: RMS ~ A/sqrt(2)/32768 ~ 0.3536; silent buckets exactly 0
+    val expected = 16384.0 / math.sqrt(2) / 32768.0
+    assert(f.take(4).forall(v => math.abs(v - expected) < 0.01), f.toSeq.toString)
+    assert(f.drop(4).forall(_ == 0f), f.toSeq.toString)
+  }
+
   test("decodeAudio rejects non-audio bytes with a clear error") {
     import spark.implicits._
     val junk = Seq((9L, "audio", "not audio at all".getBytes("UTF-8")))
