@@ -434,6 +434,23 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       operators.Funnel.retention(ev(s, dir), periodDays = 7)),
 
+    // Skew levers under oracle: the salted inner join must be row-identical
+    // to the plain join (salting is a physical rewrite, not a semantic one),
+    // and the salted distinct count exactly equals the plain COUNT(DISTINCT).
+    "q_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_suppkey"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      graft.ops.Skew.saltedJoin(li, sup.withColumnRenamed("s_suppkey", "l_suppkey"),
+          Seq("l_suppkey"), salt = 8)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+    }),
+
+    "q_skew_distinct" -> ((s, dir) =>
+      graft.ops.Skew.saltedCountDistinct(
+        ev(s, dir), "event_type", "user_id", salt = 16, outputCol = "n_users")),
+
     // Gap-based batch sessionization: label every event with its user-scoped
     // session ordinal (30-minute inactivity gap) — the labeling counterpart
     // of the streaming session-window aggregate. One keyed shuffle.
@@ -1094,6 +1111,15 @@ object SparkEntry {
         |  SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL
         |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_suppkey, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "q_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_sessionize" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
