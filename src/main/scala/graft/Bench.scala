@@ -15,7 +15,7 @@ object Bench {
     * keyed shuffles, broadcasts, LSH bucketing — no all-pairs joins). */
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "q_funnel", "q_funnel_conv", "q_retention",
-    "q_asof", "q_sessionize",
+    "q_asof", "q_sessionize", "q_skew_join", "q_skew_distinct",
     "q_events_window", "q_events_sliding", "q_events_sessions",
     "q_running_count", "q_running_sum", "q_pipeline_training",
     "q_filter", "q_column_filter", "q_split_words",
