@@ -514,6 +514,22 @@ object SparkEntry {
       Curation.profile(t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"))),
 
+    // The HLL profile variant (the 100 TB path: fixed-size sketches, no
+    // value shuffle). HLL++ is deterministic for given data, so the gate
+    // pins the approx distinct inside a 4×rsd band of the exact count —
+    // computed in the same plan; the oracle asserts the band trivially
+    // against its own exact counts.
+    "q_profile_approx" -> ((s, dir) => {
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      val exact = Curation.profile(t(s, dir, "orders"), cols)
+      val apx = Curation.profile(t(s, dir, "orders"), cols, approx = true, rsd = 0.05)
+        .select(col("col_name"), col("n_distinct").as("__nd_apx"))
+      exact.join(apx, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+          (abs(col("__nd_apx") - col("n_distinct")) <=
+            greatest(round(col("n_distinct") * 0.2), lit(1L))).as("within_rsd"))
+    }),
+
     // Quality selection: the 5 longest (by ws-token count) docs per source,
     // deterministic tiebreak on doc_id.
     "q_top_docs" -> ((s, dir) =>
@@ -1060,6 +1076,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
         |  count(DISTINCT o_custkey) FROM orders""".stripMargin,
+
+    "q_profile_approx" ->
+      """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderstatus) AS n_null,
+        |  count(DISTINCT o_orderstatus) AS n_distinct, TRUE AS within_rsd
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), TRUE FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey), TRUE FROM orders""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id,

@@ -138,20 +138,32 @@ object Curation {
         .otherwise(array().cast("array<bigint>"))))
   }
 
-  /** One-pass column profile: row count plus per-column null and EXACT
-    * distinct counts, one output row per profiled column. Catalyst plans the
-    * multi-distinct as a single Expand + aggregate — the scan runs once and
-    * the shuffle carries only (column-tag, value) pairs. For columns whose
-    * distinct cardinality itself is shuffle-hostile at 100 TB, swap
-    * count_distinct for approx_count_distinct at the call site; the gate
-    * uses the exact form so the oracle can too. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** One-pass column profile: row count plus per-column null and distinct
+    * counts, one output row per profiled column.
+    *
+    * Exact mode (default): Catalyst plans the multi-distinct as a single
+    * Expand + aggregate — the scan runs once and the shuffle carries
+    * (column-tag, value) pairs. That shuffle is proportional to the summed
+    * distinct cardinalities, which on a 100 TB free-text column is the
+    * corpus itself — so `approx = true` switches every distinct to
+    * `approx_count_distinct` (HyperLogLog++, relative error `rsd`): partial
+    * HLL sketches merge map-side and the shuffle carries one fixed-size
+    * sketch per (column, partition) regardless of cardinality. That is the
+    * shape a real 100 TB profiling pass runs; the oracle gate covers the
+    * exact path hash-exact and pins the approx path within rsd of it. */
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      approx: Boolean = false,
+      rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    def distinctAgg(c: String): Column =
+      if (approx) approx_count_distinct(col(c), rsd) else count_distinct(col(c))
     // coalesce: SUM over zero rows is NULL, and the profile row must stay
     // non-null on an empty (e.g. fully partition-pruned) input
     val aggs = cols.flatMap(c => Seq(
       coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
-      count_distinct(col(c)).as(s"__nd_$c")))
+      distinctAgg(c).as(s"__nd_$c")))
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val entries = cols.map(c => struct(
       lit(c).as("col_name"), col("__n").as("n_rows"),
@@ -239,7 +251,12 @@ object Curation {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens): $overlap")
     val step = maxTokens - overlap
-    val toks = TextFunctions.tokens(col(textCol))
+    // null text behaves like empty text (one chunk, n_tokens 0) — the
+    // null-in → empty-out convention the sibling text ops follow; without
+    // the coalesce, size(null) = NULL would feed a NULL n_tokens into
+    // downstream packSequences prefix sums
+    val toks = coalesce(TextFunctions.tokens(col(textCol)),
+      array().cast("array<string>"))
     docs
       .withColumn("__toks", toks)
       .select(col(idCol), posexplode(

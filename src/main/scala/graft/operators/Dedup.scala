@@ -453,33 +453,43 @@ object Dedup {
     var cur = edges.filter(col("s") =!= col("t"))
       .select(greatest(col("s"), col("t")).as("s"), least(col("s"), col("t")).as("t"))
       .distinct().localCheckpoint(true)
-    var curCount = cur.count()
-    var stable = false
+    var stable = cur.isEmpty
     var round = 0
-    while (!stable && curCount > 0 && round < maxRounds) {
+    while (!stable && round < maxRounds) {
+      // Convergence is detected by a per-edge `chg` marker carried through
+      // both phases (true iff a re-hang produced the edge THIS round) — one
+      // count on the already-pinned frame, where an `except(cur)` would pay
+      // two extra edge-set-sized shuffles per round. moves == 0 ⟺ next ==
+      // cur exactly: no large-star move means every emission kept its old
+      // companion (ls = cur), and no small-star re-hang means every center
+      // kept its single smaller neighbor (next = ls); conversely the
+      // star-forest end state provably has zero moves, and Kiveris et al.'s
+      // fixed-point theorem says star forests are the ONLY fixed points, so
+      // the check cannot spin on a stable-but-marked set.
       // large-star: Γ(u) over both orientations; m = min(Γ(u) ∪ {u});
-      // every neighbor v > u re-hangs onto m
+      // every neighbor v > u re-hangs onto m (a move iff m < u)
       val both = cur.union(cur.select(col("t").as("s"), col("s").as("t")))
       val lsMin = both.groupBy("s").agg(min(col("t")).as("mn"))
         .select(col("s"), least(col("s"), col("mn")).as("m"))
       val ls = both.join(lsMin, "s").filter(col("t") > col("s"))
-        .select(col("t").as("s"), col("m").as("t"))
-        .filter(col("s") =!= col("t")).distinct()
+        .select(col("t").as("ns"), col("m").as("nt"), (col("m") =!= col("s")).as("chg"))
+        .filter(col("ns") =!= col("nt"))
+        .groupBy(col("ns").as("s"), col("nt").as("t")).agg(max("chg").as("chg"))
       // small-star: key every edge by its LARGER endpoint; m = min smaller
-      // neighbor; all other smaller neighbors re-hang onto m, u keeps (u, m)
-      val ssMin = ls.groupBy("s").agg(min(col("t")).as("m"))
-      val joined = ls.join(ssMin, "s")
-      val next = joined.filter(col("t") =!= col("m"))
-        .select(col("t").as("s"), col("m").as("t"))
-        .union(ssMin.select(col("s"), col("m").as("t")))
-        .filter(col("s") =!= col("t")).distinct().localCheckpoint(true)
-      val nextCount = next.count()
-      stable = nextCount == curCount && next.except(cur).count() == 0
-      cur = next
-      curCount = nextCount
+      // neighbor; all other smaller neighbors re-hang onto m (moves), u
+      // keeps (u, m) (inheriting that edge's large-star marker)
+      val ssMin = ls.groupBy("s").agg(min(struct(col("t"), col("chg"))).as("mn"))
+        .select(col("s"), col("mn.t").as("m"), col("mn.chg").as("mchg"))
+      val next = ls.join(ssMin, "s").filter(col("t") =!= col("m"))
+        .select(col("t").as("s"), col("m").as("t"), lit(true).as("chg"))
+        .union(ssMin.select(col("s"), col("m").as("t"), col("mchg").as("chg")))
+        .filter(col("s") =!= col("t"))
+        .groupBy("s", "t").agg(max("chg").as("chg")).localCheckpoint(true)
+      stable = next.filter(col("chg")).count() == 0L
+      cur = next.drop("chg")
       round += 1
     }
-    require(stable || curCount == 0,
+    require(stable,
       s"star contraction did not converge in $maxRounds rounds (impossible " +
         "below 2^60 vertices — indicates non-deterministic ids in the input)")
     // converged edges are stars: s (non-root) -> t (component min)

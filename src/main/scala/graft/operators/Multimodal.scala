@@ -49,6 +49,22 @@ object Multimodal {
     * into [[Similarity]] / [[Dedup.embeddingCosinePairsLsh]]. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])
 
+  /** Everything the per-stage pipeline derives, from ONE decode: metadata,
+    * the resized payload, the feature vector and the frame-0 content hash.
+    * Output row of [[processAll]]. */
+  final case class MediaAll(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      resized: Array[Byte],
+      r_width: Int,
+      r_height: Int,
+      features: Array[Float],
+      frame_hash: Long)
+
   /** The codec contract every pipeline stage is generic over. Implementations
     * must be serializable singletons/values — they ride into mapPartitions
     * closures. */
@@ -57,6 +73,19 @@ object Multimodal {
     def frameHash(payload: Array[Byte], idx: Int): Long
     def resize(r: MediaRecord, w: Int, h: Int): ResizedMedia
     def features(r: MediaRecord, dim: Int): MediaFeatures
+
+    /** Fused stage: every per-stage output in one call, CONTRACTUALLY equal
+      * to composing the four methods above. The default just composes them
+      * (right for [[StubCodec]], whose "decode" is free arithmetic); codecs
+      * with a real decode cost override it to decode once — see
+      * [[RealCodec.all]]. */
+    def all(r: MediaRecord, w: Int, h: Int, dim: Int): MediaAll = {
+      val d = decode(r)
+      val rz = resize(r, w, h)
+      val ft = features(r, dim)
+      MediaAll(r.doc_id, r.media_type, d.byte_len, d.width, d.height, d.n_frames,
+        rz.payload, rz.width, rz.height, ft.features, frameHash(r.payload, 0))
+    }
   }
 
   /** Deterministic fake decoder — stands in for the codecs this environment
@@ -147,8 +176,42 @@ object Multimodal {
       } finally iis.close()
     }
 
-    def frameHash(payload: Array[Byte], idx: Int): Long = {
-      val img = readFrame(payload, idx)
+    def frameHash(payload: Array[Byte], idx: Int): Long =
+      rasterHash(readFrame(payload, idx), idx)
+
+    def resize(r: MediaRecord, w: Int, h: Int): ResizedMedia =
+      ResizedMedia(r.doc_id, r.media_type, encodePng(scaled(readFrame(r.payload, 0), w, h)), w, h)
+
+    def features(r: MediaRecord, dim: Int): MediaFeatures =
+      MediaFeatures(r.doc_id, stripFeatures(readFrame(r.payload, 0), dim))
+
+    /** Fused override: ONE reader session decodes frame 0 once and derives
+      * all four per-stage outputs from that raster — a decode→resize→
+      * features→hash chain through the per-stage methods decodes the same
+      * compressed payload three times (the decode itself is header-only).
+      * Identical results by construction: the helpers ([[rasterHash]],
+      * [[stripFeatures]], [[scaled]]+[[encodePng]]) are the SAME code the
+      * per-stage methods run, spec-pinned in MultimodalSpec. */
+    override def all(r: MediaRecord, w: Int, h: Int, dim: Int): MediaAll = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"undecodable image payload (doc ${r.doc_id})")
+        val reader = readers.next()
+        reader.setInput(iis, false, true)
+        val (headW, headH, n, img) =
+          try {
+            val n = try reader.getNumImages(true) catch { case _: java.io.IOException => 1 }
+            (reader.getWidth(0), reader.getHeight(0), math.max(n, 1), reader.read(0))
+          } finally reader.dispose()
+        MediaAll(r.doc_id, r.media_type, r.payload.length.toLong,
+          headW, headH, n,
+          encodePng(scaled(img, w, h)), w, h,
+          stripFeatures(img, dim), rasterHash(img, 0))
+      } finally iis.close()
+    }
+
+    private def rasterHash(img: BufferedImage, idx: Int): Long = {
       var h = idx.toLong
       var y = 0
       while (y < img.getHeight) {
@@ -159,11 +222,8 @@ object Multimodal {
       h
     }
 
-    def resize(r: MediaRecord, w: Int, h: Int): ResizedMedia =
-      ResizedMedia(r.doc_id, r.media_type, encodePng(scaled(readFrame(r.payload, 0), w, h)), w, h)
-
-    def features(r: MediaRecord, dim: Int): MediaFeatures = {
-      val strip = scaled(readFrame(r.payload, 0), dim, 1)
+    private def stripFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+      val strip = scaled(img, dim, 1)
       val out = new Array[Float](dim)
       var j = 0
       while (j < dim) {
@@ -172,7 +232,7 @@ object Multimodal {
         out(j) = (gray - 128) / 128.0f
         j += 1
       }
-      MediaFeatures(r.doc_id, out)
+      out
     }
 
     private def readFrame(payload: Array[Byte], idx: Int): BufferedImage = {
@@ -343,5 +403,19 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.map(codec.features(_, dim)))
+  }
+
+  /** The fused media stage: metadata + resized payload + features + frame-0
+    * hash in ONE mapPartitions pass over the payload ([[MediaCodec.all]]) —
+    * what a real curation pipeline runs instead of chaining
+    * [[decode]]/[[resize]]/[[extractFeatures]]/[[sampleFrames]], which
+    * under [[RealCodec]] decompresses every image three times and under any
+    * codec scans the binary column once per stage. Results are contractually
+    * identical to the per-stage composition (spec-pinned). */
+  def processAll(media: DataFrame, width: Int = 224, height: Int = 224,
+      dim: Int = 16, codec: MediaCodec = StubCodec): Dataset[MediaAll] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(codec.all(_, width, height, dim)))
   }
 }

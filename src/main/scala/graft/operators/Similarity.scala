@@ -34,10 +34,21 @@ object Similarity {
     (Int, Long, Int, Double),
     scala.concurrent.Promise[org.apache.spark.ml.clustering.KMeansModel]]
 
+  /** Drop every cached IVF quantizer — the escape hatch for corpus files
+    * rewritten in place inside the fingerprint's mtime granularity (see
+    * [[fileFingerprint]]'s caveat). The next [[annIvf]] call retrains. */
+  def clearIvfCache(): Unit = ivfModels.synchronized { ivfModels.clear() }
+
   /** File-metadata fingerprint of a plan whose leaves are all file scans:
     * hash over the sorted (path, length, modificationTime) listing. None
     * when any leaf is not a file relation — the caller falls back to
-    * count(). */
+    * count(). Caveat: an in-place overwrite that lands the same byte
+    * length WITHIN the filesystem's mtime granularity (1 s on ext4 without
+    * ns timestamps, 2 s on FAT) — or one made by a tool that deliberately
+    * preserves mtime — is invisible to this fingerprint and serves the
+    * stale quantizer. Callers that rewrite corpus files in place rapidly
+    * should write to fresh paths (the Spark-native pattern: immutable
+    * part files, swap the directory) or call [[clearIvfCache]]. */
   private def fileFingerprint(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()

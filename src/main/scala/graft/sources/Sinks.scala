@@ -37,11 +37,17 @@ object Sinks {
     * marker lands only after the last move. The next compact() call
     * deterministically finishes the story: committed → scrub leftovers,
     * uncommitted → roll the originals back and drop the partial
-    * replacements. The manifest (and the directories it lives in) are
-    * fsynced before the first move, so the protocol holds across OS/power
-    * crashes, not just process crashes: no ordering of persisted renames
-    * can surface a replacement file the manifest doesn't name. A crash at
-    * ANY instant therefore loses no appended row. (Readers racing a
+    * replacements. Durability ordering for power crashes: the manifest (and
+    * the directories it lives in) is fsynced before the first move, so no
+    * persisted ordering of renames can surface a replacement file the
+    * manifest doesn't name; and every replacement's CONTENTS plus the
+    * target directory are fsynced before the `committed` marker is created,
+    * so recovery can never see `committed` while the replacement bytes are
+    * still volatile — a crash before the marker rolls back to the fsync'd
+    * originals, a crash after it has durable replacements. A crash at ANY
+    * instant therefore loses no appended row (modulo a filesystem that
+    * refuses directory fsync, where the guarantee degrades to its own
+    * rename-ordering promises — see [[fsyncDir]]). (Readers racing a
     * compaction may transiently see a mixed file set — same as any
     * multi-file swap on a plain filesystem; crash safety, not reader
     * isolation, is the contract here, matching the reference's MergeData.)
@@ -105,10 +111,13 @@ object Sinks {
           StandardCopyOption.REPLACE_EXISTING)
       }
       replacements.foreach { f =>
-        Files.move(f.toPath, new File(src, f.getName).toPath,
-          StandardCopyOption.REPLACE_EXISTING)
+        val dst = new File(src, f.getName)
+        Files.move(f.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+        fsyncFile(dst) // replacement CONTENTS durable before we can commit
       }
+      fsyncDir(src) // ...and their directory entries
       Files.createFile(new File(bak, CommittedName).toPath) // the commit point
+      fsyncDir(bak) // marker entry durable before the bak originals vanish
       org.apache.commons.io.FileUtils.deleteDirectory(bak)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     } finally {

@@ -444,13 +444,24 @@ object StreamingPipeline {
     * dedup/aggregation stage, or an explicit ts >= low-water filter) when
     * that matters; with in-order sources (file replay, per-key-ordered
     * Kafka partitions) the labels equal the batch operator's. State is one
-    * (long, long) per user. */
+    * (long, long) per user — but an unbounded USER universe still grows the
+    * store without bound, so `idleTimeout` (EVENT-time, requires a
+    * `withWatermark(tsCol, …)` upstream) drops the state of users whose
+    * last event sits that far behind the watermark. Event time, not wall
+    * clock, keeps the operator deterministic under replay — and a
+    * processing-time timeout would make the engine schedule batches forever
+    * (`shouldRunAnotherBatch` is unconditionally true for it), wedging
+    * `processAllAvailable()`-style quiescence. Choose it ≫ the gap: a
+    * dropped user who returns restarts at session_idx 0 (labels stay
+    * per-session consistent; only the ordinal resets — the trade every
+    * bounded-state sessionizer makes). None keeps state forever. */
   def sessionize(
       df: DataFrame,
       gap: String = "30 minutes",
       userCol: String = "user_id",
       tsCol: String = "ts",
-      outputCol: String = "session_idx"): DataFrame = {
+      outputCol: String = "session_idx",
+      idleTimeout: Option[String] = None): DataFrame = {
     val gapMicros = graft.ops.Intervals.subDayMicros(gap)
     val userIdx = df.schema.fieldIndex(userCol)
     val tsIdx = df.schema.fieldIndex(tsCol)
@@ -464,23 +475,42 @@ object StreamingPipeline {
     }
     // key = the user VALUE (string-encoded; a hash would collide two users
     // onto one session counter), null marked distinctly from the "null" string
+    val idleMillis = idleTimeout.map(graft.ops.Intervals.subDayMicros(_) / 1000L)
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     df.groupByKey { r: Row =>
         if (r.isNullAt(userIdx)) "0" else "1:" + r.get(userIdx)
       }(Encoders.STRING)
       .flatMapGroupsWithState[SessionState, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[Row], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          val out = rows.toVector.sortBy(micros).map { r =>
-            val t = micros(r)
-            if (st.lastTs != Long.MinValue && t - st.lastTs > gapMicros)
-              st = SessionState(t, st.idx + 1)
-            else
-              st = SessionState(math.max(st.lastTs, t), st.idx)
-            Row.fromSeq(r.toSeq :+ st.idx)
+          if (state.hasTimedOut) {
+            // user idle past the timeout: free the (long, long) slot; a
+            // return visit starts over at session_idx 0
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            val out = rows.toVector.sortBy(micros).map { r =>
+              val t = micros(r)
+              if (st.lastTs != Long.MinValue && t - st.lastTs > gapMicros)
+                st = SessionState(t, st.idx + 1)
+              else
+                st = SessionState(math.max(st.lastTs, t), st.idx)
+              Row.fromSeq(r.toSeq :+ st.idx)
+            }
+            state.update(st)
+            // deadline = last event + idle, clamped above the watermark
+            // (the engine rejects a deadline at or behind it — reachable
+            // when a user's newest event is already older than the idle
+            // window; such a user expires at the very next watermark move)
+            idleMillis.foreach { idle =>
+              state.setTimeoutTimestamp(
+                math.max(st.lastTs / 1000L + idle, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }(Encoders.product[SessionState], outEnc)
   }
 

@@ -179,6 +179,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(("s", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
   }
 
+  test("profile approx=true stays within the rsd band of exact and keeps exact counts/nulls") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, s"g${i % 7}", if (i % 10 == 0) null else s"v$i"))
+      .toDF("id", "g", "v")
+    val exact = Curation.profile(df, Seq("g", "v", "id"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val apx = Curation.profile(df, Seq("g", "v", "id"), approx = true, rsd = 0.05)
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // rows and nulls are exact aggregates in both modes
+    assert(exact.map(t => (t._1, t._2, t._3)).toSeq == apx.map(t => (t._1, t._2, t._3)).toSeq)
+    // HLL++ distinct within a generous 4×rsd of exact on every column
+    exact.zip(apx).foreach { case ((c, _, _, nd), (_, _, _, nda)) =>
+      assert(math.abs(nda - nd) <= math.max(1L, math.round(nd * 0.2)),
+        s"$c: approx $nda vs exact $nd")
+    }
+  }
+
+  test("chunkDocuments: null text behaves like empty text (one chunk, n_tokens 0)") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "real doc here"))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, maxTokens = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    // the null doc emits exactly one empty chunk with a ZERO (not null)
+    // token count — a NULL here would poison packSequences' prefix sums
+    assert(got == Seq((1L, 0L, "", 0L), (2L, 0L, "real doc here", 3L)))
+  }
+
   test("topKPerGroup keeps the k best per group with deterministic ties") {
     import spark.implicits._
     val df = Seq(

@@ -125,6 +125,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f.map(_.frame_hash).distinct.length == 1)
   }
 
+  test("processAll (fused, one decode) equals the per-stage composition under both codecs") {
+    for ((m, codec) <- Seq((media, Multimodal.StubCodec), (realMedia, Multimodal.RealCodec))) {
+      val fused = Multimodal.processAll(m, width = 7, height = 3, dim = 8, codec = codec)
+        .collect().sortBy(_.doc_id)
+      val dec = Multimodal.decode(m, codec).collect().sortBy(_.doc_id)
+      val rz = Multimodal.resize(m, width = 7, height = 3, codec = codec)
+        .collect().sortBy(_.doc_id)
+      val ft = Multimodal.extractFeatures(m, dim = 8, codec = codec)
+        .collect().sortBy(_.doc_id)
+      // step larger than any frame count -> exactly frame 0 per doc
+      val fh = Multimodal.sampleFrames(m, step = 1000, codec = codec).collect()
+        .map(f => f.doc_id -> f.frame_hash).toMap
+      assert(fused.map(x => (x.doc_id, x.media_type, x.byte_len, x.width, x.height, x.n_frames))
+        .toSeq == dec.map(x => (x.doc_id, x.media_type, x.byte_len, x.width, x.height, x.n_frames)).toSeq)
+      assert(fused.map(_.resized.toSeq).toSeq == rz.map(_.payload.toSeq).toSeq)
+      assert(fused.map(x => (x.r_width, x.r_height)).forall(_ == (7, 3)))
+      assert(fused.map(_.features.toSeq).toSeq == ft.map(_.features.toSeq).toSeq)
+      assert(fused.map(x => x.frame_hash).toSeq == fused.map(x => fh(x.doc_id)).toSeq)
+    }
+  }
+
   /** A real WAV: `n` frames of silence at `rate` Hz, 16-bit mono PCM. */
   private def makeWav(n: Int, rate: Float): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}

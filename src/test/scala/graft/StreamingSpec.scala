@@ -271,6 +271,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize event-time idle timeout drops state; a returning user restarts at 0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 12:$m%02d:00")
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+    val out = StreamingPipeline.sessionize(
+      stream, gap = "10 minutes", idleTimeout = Some("5 minutes"))
+    val q = out.writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 sessions 0 (ts 0) and 1 (ts 30, past the 10 min
+      // gap); idle deadline = 12:35
+      mem.addData((1L, 1L, ts(0)), (2L, 1L, ts(30)))
+      q.processAllAvailable()
+      // batch 2 advances the watermark to 12:30 (< deadline: state survives)
+      mem.addData((3L, 2L, ts(50)))
+      q.processAllAvailable()
+      // batch 3 runs with watermark 12:50 > 12:35: user 1's slot expires
+      mem.addData((4L, 3L, ts(51)))
+      q.processAllAvailable()
+      // user 1 returns: with state KEPT this would be session_idx 2
+      // (28 min > gap); with the slot freed the ordinal restarts at 0
+      mem.addData((5L, 1L, ts(58)))
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("session_idx"))).toSeq
+      assert(got == Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 0L), (5L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize sorts within a micro-batch by event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
