@@ -490,6 +490,22 @@ object SparkEntry {
           unix_micros(col("asof_ts")).as("view_ts_us"))
     }),
 
+    // The interval-ized as-of variant (the STREAMING feature-lookup path:
+    // snapshots become [ts, next_ts) validity windows, the join hits at
+    // most one). Pure DataFrame composition, so the gate drives the exact
+    // code a stream runs, against the same DuckDB ASOF oracle as q_asof.
+    "q_asof_iv" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      operators.AsOfJoin.asofJoinStreamStatic(purchases, views, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("asof_view_value").as("view_value"),
+          unix_micros(col("asof_ts")).as("view_ts_us"))
+    }),
+
     // Context-window chunking: 32-token windows, 8 tokens of overlap —
     // per-row generator, scan-bound.
     "q_chunk" -> ((s, dir) =>
@@ -1169,6 +1185,16 @@ object SparkEntry {
         |  ON v.user_id = p.user_id AND v.ts <= p.ts""".stripMargin,
 
     "q_asof" ->
+      """WITH v AS (SELECT user_id, ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |       v.view_value AS view_value, epoch_us(v.ts) AS view_ts_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    "q_asof_iv" ->
       """WITH v AS (SELECT user_id, ts, max(value) AS view_value
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |p AS (SELECT event_id, user_id, ts, value

@@ -96,6 +96,73 @@ object AsOfJoin {
         col("__m").getField(rightTsCol).as(s"asof_$rightTsCol"): _*)
   }
 
+  /** As-of join for a STREAMING left side against a static snapshot table —
+    * the streaming feature-lookup shape (events × slowly-changing profile
+    * snapshots). The union+window composition above can't run on a stream
+    * (no window functions over unbounded input), and the naive
+    * join-then-max-per-event needs a stateful post-join aggregation. This
+    * takes a different route with ZERO streaming state: one batch `lead()`
+    * window turns each snapshot into a half-open validity interval
+    * (backward: `[ts, next_ts)`; forward: `(prev_ts, ts]`), and the
+    * stream-static join condition `key match AND leftTs inside interval`
+    * then hits AT MOST ONE snapshot row per event. Stateless append-mode
+    * plan: no watermark needed, checkpoint recovery is the file-source
+    * offset log alone, and each micro-batch costs one hash join (the
+    * planner broadcasts the interval table when it fits — the common case
+    * for dimension snapshots; at 100 TB of stream the events never shuffle
+    * at all on that plan). Same null semantics, output layout
+    * (`asof_<col>`), same-instant `>=`/`<=` conventions and right-side
+    * (key, ts)-uniqueness precondition as [[asofJoin]]; parity is
+    * spec-pinned on in-order streams and oracle-gated in batch mode
+    * (`q_asof_iv` — the operator is pure DataFrame composition, so the
+    * same code path serves both).
+    *
+    * The static subplan (window included) re-executes every micro-batch:
+    * for long-running queries `.persist()` the snapshot frame first. */
+  def asofJoinStreamStatic(
+      events: DataFrame,
+      snapshots: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String = "ts",
+      rightTsCol: String = "ts",
+      rightValueCols: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward: $direction")
+    val valueCols =
+      if (rightValueCols.nonEmpty) rightValueCols
+      else snapshots.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTsCol)
+    require(valueCols.nonEmpty, "right side has no payload columns")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(rightTsCol).asc)
+    val boundCol =
+      if (direction == "backward") lead(col(rightTsCol), 1).over(w)
+      else lag(col(rightTsCol), 1).over(w)
+    // right-side rows with a null key or ts can never match (SQL join
+    // semantics) — drop them before the window, as the batch path does
+    val ivd = snapshots
+      .filter((keyCols :+ rightTsCol).map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__bound", boundCol)
+      .select(keyCols.map(k => col(k).as(s"__k_$k")) ++
+        valueCols.map(c => col(c).as(s"asof_$c")) ++ Seq(
+          col(rightTsCol).as(s"asof_$rightTsCol"), col("__bound")): _*)
+
+    val sameKey = keyCols.map(k => events(k) === ivd(s"__k_$k")).reduce(_ && _)
+    val inInterval =
+      if (direction == "backward")
+        events(leftTsCol) >= ivd(s"asof_$rightTsCol") &&
+          (ivd("__bound").isNull || events(leftTsCol) < ivd("__bound"))
+      else
+        events(leftTsCol) <= ivd(s"asof_$rightTsCol") &&
+          (ivd("__bound").isNull || events(leftTsCol) > ivd("__bound"))
+    keyCols.foldLeft(
+      events.join(ivd, sameKey && inInterval, "left_outer").drop("__bound")) {
+      (d, k) => d.drop(s"__k_$k")
+    }
+  }
+
   private def structType(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       cols.map(c => df.schema(c)))

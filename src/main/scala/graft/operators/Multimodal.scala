@@ -312,7 +312,13 @@ object Multimodal {
     * exactly like the image features. Requires 16-bit PCM (the common WAV
     * case); mono/stereo both work (channels are interleaved into the same
     * energy estimate). Unlike [[decodeAudio]] this DOES read the samples —
-    * cost ∝ clip length, still partition-local. */
+    * cost ∝ clip length, still partition-local. The decoded stream is
+    * consumed through a fixed 64 KiB window buffer, NOT buffered whole: the
+    * working set beyond the (already in-memory) compressed payload is
+    * O(window) even for a multi-hour clip whose decoded PCM would not fit
+    * a task. Window sizing comes from the container's frame count; a
+    * header that doesn't declare one (never WAV/AIFF/AU, whose headers do)
+    * falls back to buffering the decoded stream. */
   def audioFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -328,23 +334,39 @@ object Multimodal {
       val af = ais.getFormat
       require(af.getSampleSizeInBits == 16,
         s"audioFeatures expects 16-bit PCM, got ${af.getSampleSizeInBits}-bit (doc ${r.doc_id})")
-      val bytes = ais.readAllBytes()
-      val nSamples = bytes.length / 2
+      val declared = ais.getFrameLength // header frame count; bucket sizing
+      val stream: java.io.InputStream =
+        if (declared > 0) ais
+        else new java.io.ByteArrayInputStream(ais.readAllBytes())
+      val nSamples: Long =
+        if (declared > 0) declared * af.getChannels
+        else stream.available().toLong / 2
       val out = new Array[Float](dim)
       if (nSamples > 0) {
-        val perBucket = math.max(1, (nSamples + dim - 1) / dim)
+        val perBucket = math.max(1L, (nSamples + dim - 1) / dim)
         val sumSq = new Array[Double](dim)
-        val counts = new Array[Int](dim)
-        var i = 0
-        while (i < nSamples) {
-          // reassemble the 16-bit pattern, then reinterpret signed via toShort
-          val s =
-            (if (af.isBigEndian) ((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)
-             else ((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
-          val b = math.min(dim - 1, i / perBucket)
-          sumSq(b) += s.toDouble * s.toDouble
-          counts(b) += 1
-          i += 1
+        val counts = new Array[Long](dim)
+        // AudioInputStream.read delivers WHOLE frames, so a frame-aligned
+        // buffer (65536 = lcm of 2- and 4-byte frames × many) never splits
+        // a 16-bit sample across reads — no carry byte needed
+        val buf = new Array[Byte](1 << 16)
+        val big = af.isBigEndian
+        var i = 0L // global sample index
+        var read = stream.read(buf)
+        while (read > 0) {
+          var p = 0
+          while (p + 1 < read) {
+            // reassemble the 16-bit pattern, reinterpret signed via toShort
+            val s =
+              (if (big) ((buf(p) & 0xff) << 8) | (buf(p + 1) & 0xff)
+               else ((buf(p + 1) & 0xff) << 8) | (buf(p) & 0xff)).toShort
+            val b = math.min((dim - 1).toLong, i / perBucket).toInt
+            sumSq(b) += s.toDouble * s.toDouble
+            counts(b) += 1
+            i += 1
+            p += 2
+          }
+          read = stream.read(buf)
         }
         var j = 0
         while (j < dim) {

@@ -84,6 +84,46 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("asofJoinStreamStatic (interval form) equals asofJoin on random data, both directions") {
+    import spark.implicits._
+    for (seed <- 1 to 3; dir <- Seq("backward", "forward")) {
+      val rnd = new scala.util.Random(seed + 100)
+      val left = Seq.fill(80)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
+      val right = Seq.fill(60)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+        .groupBy(t => (t._1, t._2)).map { case ((k, ts), g) => (k, ts, g.map(_._3).max) }.toSeq
+      def render(df: org.apache.spark.sql.DataFrame) = df
+        .select("k", "ts", "asof_v", "asof_ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Int]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .sorted.toSeq
+      val l = left.toDF("k", "ts"); val r = right.toDF("k", "ts", "v")
+      assert(render(AsOfJoin.asofJoinStreamStatic(l, r, Seq("k"), direction = dir)) ==
+        render(AsOfJoin.asofJoin(l, r, Seq("k"), direction = dir)),
+        s"seed=$seed dir=$dir")
+    }
+  }
+
+  test("asofJoinStreamStatic: null keys/ts never match, null left rows survive") {
+    import spark.implicits._
+    val l = Seq(
+      (Option(1L), Option(10L), "k-match"),
+      (Option.empty[Long], Option(10L), "null-key"),
+      (Option(1L), Option.empty[Long], "null-ts"))
+      .toDF("k", "ts", "tag")
+    val r = Seq(
+      (Option(1L), Option(5L), "real"),
+      (Option.empty[Long], Option(5L), "null-key-right"),
+      (Option(1L), Option.empty[Long], "null-ts-right"))
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.asofJoinStreamStatic(l, r, Seq("k"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got == Map(
+      "k-match" -> Some("real"),
+      "null-key" -> None,
+      "null-ts" -> None))
+  }
+
   test("asofJoin plans exactly one exchange (the key shuffle) — no join explosion") {
     import spark.implicits._
     import graft.sources.Layouts

@@ -195,6 +195,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f.drop(4).forall(_ == 0f), f.toSeq.toString)
   }
 
+  test("audioFeatures streams clips larger than its 64 KiB window buffer, identical envelope") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 48000 samples = 96000 PCM bytes: the streaming loop must refill its
+    // 65536-byte buffer mid-clip, crossing a read boundary inside the data
+    val n = 48000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (12000 * math.sin(2 * math.Pi * 331 * i / 8000.0) +
+        7000 * math.sin(2 * math.Pi * 7 * i / 8000.0)).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong), AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((1L, "audio", bos.toByteArray)).toDF("doc_id", "media_type", "payload")
+
+    val dim = 8
+    val got = Multimodal.audioFeatures(media, dim = dim).collect().head.features
+    // buffered reference: same accumulation order and arithmetic over the
+    // whole little-endian PCM array -> results must be bit-identical
+    val perBucket = math.max(1L, (n.toLong + dim - 1) / dim)
+    val sumSq = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    for (i <- 0 until n) {
+      val s = (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort
+      val b = math.min((dim - 1).toLong, i / perBucket).toInt
+      sumSq(b) += s.toDouble * s.toDouble
+      counts(b) += 1
+    }
+    val want = (0 until dim).map(j =>
+      if (counts(j) > 0) (math.sqrt(sumSq(j) / counts(j)) / 32768.0).toFloat else 0f)
+    assert(got.toSeq == want)
+    assert(got.forall(v => v > 0f && v <= 1f)) // every window saw signal
+  }
+
   test("decodeAudio rejects non-audio bytes with a clear error") {
     import spark.implicits._
     val junk = Seq((9L, "audio", "not audio at all".getBytes("UTF-8")))

@@ -91,6 +91,45 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
   }
 
+  test("streaming as-of join recovers across a restart exactly-once (stateless: offset log only)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_asof_in").toString
+    val out = Files.createTempDirectory("graft_asof_out").toString
+    val ckpt = Files.createTempDirectory("graft_asof_ckpt").toString
+
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_asof_stage").resolve("w").toString
+      rows.toDF("event_id", "user_id", "ts").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    lazy val snapshots =
+      Seq((1L, 10L, "v1"), (1L, 20L, "v2")).toDF("user_id", "ts", "profile")
+    lazy val schema = spark.read.parquet(in).schema
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      StreamingPipeline.startFileSink(
+        graft.operators.AsOfJoin.asofJoinStreamStatic(src, snapshots, Seq("user_id")),
+        out, ckpt)
+    }
+
+    writeBatch("b1.parquet", Seq((1L, 1L, 12L)))
+    val q1 = startQuery()
+    q1.awaitTermination(60000)
+    assert(!q1.isActive)
+
+    // crash + restart: the pre-crash event must not re-emit; the post-crash
+    // event resolves against the later snapshot
+    writeBatch("b2.parquet", Seq((2L, 1L, 22L)))
+    val q2 = startQuery()
+    q2.awaitTermination(60000)
+
+    val got = spark.read.parquet(out).orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("asof_profile"))).toSeq
+    assert(got == Seq((1L, "v1"), (2L, "v2")))
+  }
+
   test("streaming aggregate state is a typed product, not an opaque blob") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.types.BinaryType

@@ -323,6 +323,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join (stream-static intervals) equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snapshots = Seq( // static dimension: user profile versions
+      (1L, 10L, "v1"), (1L, 20L, "v2"), (2L, 15L, "w1"))
+      .toDF("user_id", "ts", "profile")
+    val mem = MemoryStream[(Long, Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts")
+    val out = graft.operators.AsOfJoin.asofJoinStreamStatic(
+      stream, snapshots, Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 25L))
+      q.processAllAvailable()
+      mem.addData((4L, 2L, 14L), (5L, 2L, 16L), (6L, 3L, 99L))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").orderBy("event_id").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("asof_profile")),
+          Option(r.get(r.fieldIndex("asof_ts"))).map(_.asInstanceOf[Long])))
+      assert(got.toSeq == Seq(
+        (1L, None, None),             // before any snapshot
+        (2L, Some("v1"), Some(10L)),  // same-instant snapshot visible (>=)
+        (3L, Some("v2"), Some(20L)),  // latest preceding
+        (4L, None, None),
+        (5L, Some("w1"), Some(15L)),
+        (6L, None, None)))            // key absent from snapshots
+      // batch reference over the union of both micro-batches
+      val batch = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 25L),
+        (4L, 2L, 14L), (5L, 2L, 16L), (6L, 3L, 99L))
+        .toDF("event_id", "user_id", "ts")
+      val want = graft.operators.AsOfJoin.asofJoin(batch, snapshots, Seq("user_id"))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("asof_profile")),
+          Option(r.get(r.fieldIndex("asof_ts"))).map(_.asInstanceOf[Long])))
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
   test("stateless curation ops (sample, split, redact, quality) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
