@@ -15,16 +15,21 @@ object Bench {
     * keyed shuffles, broadcasts, LSH bucketing — no all-pairs joins). */
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "q_funnel", "q_funnel_conv", "q_retention",
-    "q_asof", "q_sessionize", "q_skew_join", "q_skew_distinct",
+    "q_asof", "q_asof_iv", "q_sessionize", "q_skew_join", "q_skew_distinct",
     "q_events_window", "q_events_sliding", "q_events_sessions",
     "q_running_count", "q_running_sum", "q_pipeline_training",
     "q_filter", "q_column_filter", "q_split_words",
     "q_lang_id", "q_lang_id_ngram", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",
     "q_redact", "q_repetition", "q_decontam", "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_pack",
-    "q_chunk", "q_shuffle_order", "q_pipeline_curation",
+    "q_chunk", "q_shuffle_order", "q_pipeline_curation", "q_profile_approx",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed_lsh",
     "q_dedup_ngram_capped",
+    // the iterative keyed-join loop (label propagation + min-id survivors):
+    // per-round localCheckpoint + one changed-count job each — the one
+    // operator family whose cost is rounds × edges, benched so regressions
+    // in the loop (plan growth, extra jobs per round) surface here
+    "q_dedup_clusters", "q_dedup_survivors",
     "q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_media_decode", "q_media_frames")
 
   def main(args: Array[String]): Unit = {
