@@ -490,6 +490,22 @@ object SparkEntry {
           unix_micros(col("asof_ts")).as("view_ts_us"))
     }),
 
+    // As-of with a staleness tolerance (pandas merge_asof parity): matches
+    // further than 1 h behind the purchase are nulled — sound as a
+    // post-filter because the as-of match is the closest candidate.
+    "q_asof_tol" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      operators.AsOfJoin.asofJoin(purchases, views, Seq("user_id"),
+          tolerance = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("asof_view_value").as("view_value"),
+          unix_micros(col("asof_ts")).as("view_ts_us"))
+    }),
+
     // The interval-ized as-of variant (the STREAMING feature-lookup path:
     // snapshots become [ts, next_ts) validity windows, the join hits at
     // most one). Pure DataFrame composition, so the gate drives the exact
@@ -1193,6 +1209,20 @@ object SparkEntry {
         |       v.view_value AS view_value, epoch_us(v.ts) AS view_ts_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    "q_asof_tol" ->
+      """WITH v AS (SELECT user_id, ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+        |             v.view_value, v.ts AS vts
+        |      FROM p ASOF LEFT JOIN v
+        |        ON p.user_id = v.user_id AND p.ts >= v.ts)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |  CASE WHEN ts - vts <= INTERVAL 1 HOUR THEN view_value END AS view_value,
+        |  CASE WHEN ts - vts <= INTERVAL 1 HOUR THEN epoch_us(vts) END AS view_ts_us
+        |FROM a""".stripMargin,
 
     "q_asof_iv" ->
       """WITH v AS (SELECT user_id, ts, max(value) AS view_value

@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   * match in both). Forward is the same window walked in reverse time. */
 object AsOfJoin {
 
+  /** `tolerance` (pandas merge_asof parity): a match further than this from
+    * the left timestamp is discarded (the row keeps flowing with a null
+    * match). Units: event-time MICROSECONDS for timestamp columns, the
+    * column's own units for numeric ts. Sound as a post-filter because the
+    * as-of match is the CLOSEST candidate — if it sits outside the
+    * tolerance, every other candidate sits further. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -42,10 +48,12 @@ object AsOfJoin {
       leftTsCol: String = "ts",
       rightTsCol: String = "ts",
       rightValueCols: Seq[String] = Nil,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward: $direction")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0: $t"))
     val valueCols =
       if (rightValueCols.nonEmpty) rightValueCols
       else right.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTsCol)
@@ -86,9 +94,20 @@ object AsOfJoin {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(tOrder, col("__side").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val carried = lTagged.unionByName(rTagged)
+    val carried0 = lTagged.unionByName(rTagged)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val carried = tolerance match {
+      case None => carried0
+      case Some(tol) =>
+        val mTs = col("__m").getField(rightTsCol)
+        val diff =
+          if (direction == "backward") tsDiff(col("__t"), mTs, right.schema(rightTsCol).dataType)
+          else tsDiff(mTs, col("__t"), right.schema(rightTsCol).dataType)
+        // null diff (no match / null left ts) falls through to null — the
+        // same "no match" the row already had
+        carried0.withColumn("__m", when(diff <= tol, col("__m")))
+    }
 
     carried.select(
       leftCols.map(c => col("__l").getField(c).as(c)) ++
@@ -126,10 +145,12 @@ object AsOfJoin {
       leftTsCol: String = "ts",
       rightTsCol: String = "ts",
       rightValueCols: Seq[String] = Nil,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward: $direction")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0: $t"))
     val valueCols =
       if (rightValueCols.nonEmpty) rightValueCols
       else snapshots.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTsCol)
@@ -157,10 +178,34 @@ object AsOfJoin {
       else
         events(leftTsCol) <= ivd(s"asof_$rightTsCol") &&
           (ivd("__bound").isNull || events(leftTsCol) > ivd("__bound"))
+    // tolerance rides in the ON clause: a stale interval hit fails the
+    // predicate and the left-outer join emits the same null match a
+    // post-filter would (sound for the same closest-candidate reason as
+    // the batch path)
+    val withinTol = tolerance match {
+      case None => lit(true)
+      case Some(tol) =>
+        val dt = snapshots.schema(rightTsCol).dataType
+        if (direction == "backward")
+          tsDiff(events(leftTsCol), ivd(s"asof_$rightTsCol"), dt) <= tol
+        else
+          tsDiff(ivd(s"asof_$rightTsCol"), events(leftTsCol), dt) <= tol
+    }
     keyCols.foldLeft(
-      events.join(ivd, sameKey && inInterval, "left_outer").drop("__bound")) {
+      events.join(ivd, sameKey && inInterval && withinTol, "left_outer").drop("__bound")) {
       (d, k) => d.drop(s"__k_$k")
     }
+  }
+
+  /** Elapsed "a - b" in the tolerance's units: event-time micros for
+    * timestamp columns, the column's own units otherwise. */
+  private def tsDiff(a: Column, b: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      // NTZ casts through the session zone; the DIFFERENCE is zone-invariant
+      unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))
+    case _ => a - b
   }
 
   private def structType(df: DataFrame, cols: Seq[String]) =

@@ -104,6 +104,36 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tolerance nulls stale matches in BOTH implementations (random data, both directions)") {
+    import spark.implicits._
+    for (seed <- 1 to 3; dir <- Seq("backward", "forward")) {
+      val rnd = new scala.util.Random(seed + 200)
+      val tol = 7L
+      val left = Seq.fill(80)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
+      val right = Seq.fill(60)((rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+        .groupBy(t => (t._1, t._2)).map { case ((k, ts), g) => (k, ts, g.map(_._3).max) }.toSeq
+      def render(df: org.apache.spark.sql.DataFrame) = df
+        .select("k", "ts", "asof_v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Int])))
+        .sorted.toSeq
+      val l = left.toDF("k", "ts"); val r = right.toDF("k", "ts", "v")
+      val gotUnion = render(AsOfJoin.asofJoin(
+        l, r, Seq("k"), direction = dir, tolerance = Some(tol)))
+      val gotIv = render(AsOfJoin.asofJoinStreamStatic(
+        l, r, Seq("k"), direction = dir, tolerance = Some(tol)))
+      // brute-force reference: closest candidate, then the tolerance test
+      val want = left.map { case (k, ts) =>
+        val m =
+          if (dir == "backward") right.filter(q => q._1 == k && q._2 <= ts && ts - q._2 <= tol)
+          else right.filter(q => q._1 == k && q._2 >= ts && q._2 - ts <= tol)
+        (k, ts, if (m.isEmpty) None
+          else Some((if (dir == "backward") m.maxBy(_._2) else m.minBy(_._2))._3))
+      }.sorted
+      assert(gotUnion == want, s"union+window seed=$seed dir=$dir")
+      assert(gotIv == want, s"interval seed=$seed dir=$dir")
+    }
+  }
+
   test("asofJoinStreamStatic: null keys/ts never match, null left rows survive") {
     import spark.implicits._
     val l = Seq(

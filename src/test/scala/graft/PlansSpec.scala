@@ -82,6 +82,22 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       SparkEntry.queries("q_sketches")(spark, sf)) == 0)
   }
 
+  test("q_asof_iv: events never shuffle — every exchange sits on the snapshot side") {
+    val p = sparkPlan("q_asof_iv")
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"interval as-of should broadcast the snapshot side:\n$p")
+    // the probe (events) side of the broadcast join must be exchange-free:
+    // at 100 TB of stream this is the difference between a per-micro-batch
+    // hash lookup and shuffling the corpus
+    val streamSide =
+      if (bhj.head.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft)
+        bhj.head.right else bhj.head.left
+    val streamExchanges = streamSide.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(streamExchanges.isEmpty,
+      s"events side of the interval as-of join shuffles:\n$p")
+  }
+
   test("countExchanges sees exchanges inside a FINALIZED adaptive plan") {
     import graft.sources.Layouts
     import org.apache.spark.sql.functions._
