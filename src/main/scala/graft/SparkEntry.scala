@@ -490,6 +490,24 @@ object SparkEntry {
           unix_micros(col("asof_ts")).as("view_ts_us"))
     }),
 
+    // Hot-key guard (the mitigation SCALE.md prescribes ahead of per-key
+    // total-order ops): drop users carrying more than 80 events. The hot
+    // set is one tiny keyed count; data anti-joins against it broadcast.
+    "q_skew_cap" -> ((s, dir) =>
+      graft.ops.Skew.dropHotKeys(
+        ev(s, dir).select(col("event_id"), col("user_id")), Seq("user_id"), 80L)),
+
+    // Incremental-ingest dedup: new docs anti-joined against a reference
+    // corpus's md5 fingerprint set (stream-static-capable shape; the
+    // "corpus" here is the doc_id%3==0 slice of the same table).
+    "q_dedup_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropExistingIn(
+        docs.select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 3 === 0).select(col("text")))
+        .select("doc_id")
+    }),
+
     // As-of with a staleness tolerance (pandas merge_asof parity): matches
     // further than 1 h behind the purchase are nulled — sound as a
     // post-filter because the as-of match is the closest candidate.
@@ -1209,6 +1227,22 @@ object SparkEntry {
         |       v.view_value AS view_value, epoch_us(v.ts) AS view_ts_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    "q_skew_cap" ->
+      """SELECT e.event_id, e.user_id
+        |FROM events e
+        |LEFT JOIN (SELECT user_id FROM events
+        |           GROUP BY user_id HAVING count(*) > 80) h
+        |  ON e.user_id IS NOT DISTINCT FROM h.user_id
+        |WHERE h.user_id IS NULL""".stripMargin,
+
+    "q_dedup_incr" ->
+      """SELECT d.doc_id
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT md5(text) AS fp FROM documents
+        |           WHERE doc_id % 3 = 0) c
+        |  ON md5(d.text) = c.fp
+        |WHERE c.fp IS NULL""".stripMargin,
 
     "q_asof_tol" ->
       """WITH v AS (SELECT user_id, ts, max(value) AS view_value

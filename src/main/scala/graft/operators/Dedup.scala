@@ -24,6 +24,29 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Drop documents whose exact content already exists in a REFERENCE
+    * corpus — the incremental-ingest dedup shape ("is this crawl batch new
+    * against the 100 TB we already have?"), complementing [[exact]]'s
+    * within-batch dedup. One anti-join on 16-byte md5 fingerprints: the
+    * corpus text never moves, only its fingerprint set, and the planner
+    * broadcasts that set when it fits. Works STREAM-STATIC as-is (stream
+    * left ⋈ static fingerprints; stateless, append mode) — the precedent
+    * shape as stream-static decontamination. Null-text docs carry a null
+    * fingerprint, which an anti-join never matches — they always pass
+    * through (same null-in → survives convention as the SQL join oracle's
+    * LEFT JOIN … IS NULL formulation). Within-batch duplicates are NOT
+    * collapsed here (both survive if absent from the corpus) — chain
+    * [[exact]]/[[survivors]] or the streaming
+    * [[graft.streaming.StreamingPipeline.dedupExact]] for that. */
+  def dropExistingIn(
+      docs: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      corpusTextCol: String = "text"): DataFrame = {
+    val fps = corpus.select(md5(col(corpusTextCol)).as("__corpus_fp")).distinct()
+    docs.join(fps, md5(col(textCol)) === col("__corpus_fp"), "left_anti")
+  }
+
   /** All pairs with exact n-gram-shingle Jaccard >= threshold, via a
     * postings-list join: explode distinct shingles, self-join on the shingle
     * (a keyed shuffle), count shared shingles per pair. Exact — the

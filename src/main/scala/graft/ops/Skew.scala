@@ -35,6 +35,29 @@ object Skew {
     left.join(right, keys :+ S, "inner").drop(S)
   }
 
+  /** Drop every row of keys carrying more than `maxRows` rows — the
+    * hot-key guard SCALE.md prescribes ahead of per-key total-order
+    * operators (sessionize, as-of join), where one bot user with 10⁹
+    * events funnels through a single window task that AQE cannot split.
+    * Cost: one partial-aggregated keyed count (tiny output: one row per
+    * key) + one anti-join against the HOT subset only — at any realistic
+    * skew that's a handful of keys, so the planner broadcasts it and the
+    * data never shuffles. Null keys group together like SQL GROUP BY: a
+    * null-key flood is dropped like any hot key (below the cap they
+    * survive — the anti-join's null-safe equality handles them). */
+  def dropHotKeys(df: DataFrame, keyCols: Seq[String], maxRows: Long): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(maxRows >= 1, s"maxRows must be >= 1: $maxRows")
+    val hot = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") > maxRows)
+      .select(keyCols.map(k => col(k).as(s"__hot_$k")): _*)
+    // null-SAFE equality: a hot null key must match its own rows (plain =
+    // would let a null-key flood through)
+    val cond = keyCols.map(k => df(k) <=> hot(s"__hot_$k")).reduce(_ && _)
+    df.join(hot, cond, "left_anti")
+  }
+
   /** Exact distinct count per key under value skew: values are pre-bucketed
     * by hash(value) % salt — buckets are DISJOINT value sets, so the
     * per-(key, bucket) distinct counts sum to the exact global count. Two

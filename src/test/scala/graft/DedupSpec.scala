@@ -30,6 +30,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(dups.forall(_.getAs[Long]("n_dups") == 2L))
   }
 
+  test("dropExistingIn keeps only docs absent from the corpus; null text always passes") {
+    import spark.implicits._
+    val corpus = Seq("known one", "known two").toDF("text")
+    val docs = Seq(
+      (1L, "known one"),          // exists -> dropped
+      (2L, "fresh content"),      // new -> kept
+      (3L, "known two"),          // exists -> dropped
+      (4L, null.asInstanceOf[String])) // null fp never matches -> kept
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dropExistingIn(docs, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 4L))
+  }
+
   test("minhash LSH finds exactly the brute-force pairs (verified candidates)") {
     val brute = Dedup.ngramJaccardPairs(docs, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -20,6 +20,23 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("dropHotKeys removes exactly the keys over the cap, including a null-key flood") {
+    import spark.implicits._
+    val df = (
+      (1 to 100).map(i => (Option(1L), i)) ++      // hot: 100 rows
+      (1 to 5).map(i => (Option(2L), i)) ++        // cold: 5 rows
+      (1 to 60).map(i => (Option.empty[Long], i))  // null-key flood: 60 rows
+    ).toDF("k", "v").repartition(8)
+    val got = Skew.dropHotKeys(df, Seq("k"), maxRows = 50L)
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getInt(1)))
+    // only the cold key survives: plain = (not <=>) would leak the null flood
+    assert(got.map(_._1).toSet == Set(Option(2L)))
+    assert(got.length == 5)
+    // below the cap, null keys survive like any other
+    val small = Seq((Option(1L), 1), (Option.empty[Long], 2)).toDF("k", "v")
+    assert(Skew.dropHotKeys(small, Seq("k"), maxRows = 50L).count() == 2)
+  }
+
   test("saltedCountDistinct is exact under a hot key") {
     import spark.implicits._
     val df = ((1 to 1000).map(i => (1L, i % 137)) ++ (1 to 50).map(i => (2L, i)))

@@ -362,6 +362,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dropExistingIn runs stream-static: streamed docs anti-join the corpus fingerprints") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("already ingested").toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dropExistingIn(stream, corpus)
+    val q = out.writeStream.format("memory").queryName("incr_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "already ingested"), (2L, "brand new"))
+      q.processAllAvailable()
+      mem.addData((3L, "also new"), (4L, "already ingested"))
+      q.processAllAvailable()
+      val got = spark.table("incr_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateless curation ops (sample, split, redact, quality) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
