@@ -138,6 +138,13 @@ object Bench {
     val ev = spark.readStream.schema(evSchema).parquet(evPath)
     val evTs = if (evSchema("ts").dataType == LongType)
       ev.withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) else ev
+    // static snapshot side for the stream-static as-of drain (same shape
+    // as the q_asof gate's right side)
+    val evBatch = spark.read.parquet(evPath)
+    val evBatchTs = if (evSchema("ts").dataType == LongType)
+      evBatch.withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) else evBatch
+    val snapshots = evBatchTs.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("view_value"))
     Map(
       "q_stream_pipeline" -> drain(OutputMode.Append)(pipe),
       "q_stream_window" -> drain(OutputMode.Update)(StreamingPipeline.windowedCounts(evTs)),
@@ -150,6 +157,11 @@ object Bench {
       // per-event session LABELING (one (lastTs, idx) state per user) —
       // complements the aggregate above
       "q_stream_sessionize" -> drain(OutputMode.Append)(
-        StreamingPipeline.sessionize(evTs, gap = "30 minutes")))
+        StreamingPipeline.sessionize(evTs, gap = "30 minutes")),
+      // stream-static interval as-of: ZERO streaming state, the snapshot
+      // side broadcasts — per-micro-batch cost is a hash lookup
+      "q_stream_asof" -> drain(OutputMode.Append)(
+        graft.operators.AsOfJoin.asofJoinStreamStatic(
+          evTs.filter(col("event_type") === "purchase"), snapshots, Seq("user_id"))))
   }
 }

@@ -87,6 +87,31 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(emptyDocs.select(TextFunctions.topBigramFraction(col("text"))).count() == 0)
   }
 
+  test("round-8 operators: tolerance 0, hot-key cap boundary, empty inputs") {
+    import spark.implicits._
+    // tolerance 0: ONLY same-instant matches survive, in both forms
+    val l = Seq((1L, 10L), (1L, 11L)).toDF("k", "ts")
+    val r = Seq((1L, 10L, "x")).toDF("k", "ts", "v")
+    for (df <- Seq(
+        graft.operators.AsOfJoin.asofJoin(l, r, Seq("k"), tolerance = Some(0L)),
+        graft.operators.AsOfJoin.asofJoinStreamStatic(l, r, Seq("k"), tolerance = Some(0L)))) {
+      val got = df.select("ts", "asof_v").collect()
+        .map(x => (x.getLong(0), Option(x.getString(1)))).sorted.toSeq
+      assert(got == Seq((10L, Some("x")), (11L, None)))
+    }
+    // hot-key cap: exactly maxRows rows survive; maxRows+1 drops
+    val at = (1 to 5).map(i => (1L, i)) ++ (1 to 6).map(i => (2L, i))
+    val capped = graft.ops.Skew.dropHotKeys(at.toDF("k", "v"), Seq("k"), maxRows = 5L)
+    assert(capped.select("k").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // empty inputs flow through the new ops
+    val emptyD = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.dropExistingIn(emptyD, emptyD).count() == 0)
+    assert(graft.ops.Skew.dropHotKeys(emptyD, Seq("doc_id"), 1L).count() == 0)
+    // dropExistingIn with an empty corpus keeps everything
+    val d2 = Seq((1L, "t")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.dropExistingIn(d2, emptyD).count() == 1)
+  }
+
   test("curation and multimodal handle empty input") {
     assert(Curation.withSplit(emptyDocs, "doc_id", Seq("a" -> 1.0)).count() == 0)
     assert(Curation.sampleFraction(emptyDocs, "doc_id", 0.5).count() == 0)

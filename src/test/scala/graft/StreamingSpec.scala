@@ -396,12 +396,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .filter(TextFunctions.topBigramFraction(col("text")) <= 0.9)
         .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("clean")),
       "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+    // chunking is a pure generator, so it streams too — prove it composes
+    val chunked = Curation.chunkDocuments(
+      stream, maxTokens = 4, idCol = "doc_id", textCol = "text")
     val q = curated.writeStream.format("memory").queryName("cur_out")
+      .outputMode("append").start()
+    val q2 = chunked.writeStream.format("memory").queryName("chunk_out")
       .outputMode("append").start()
     try {
       val docs = (0L until 50L).map(i => (i, s"doc $i mail a$i@b.co body"))
       mem.addData(docs: _*)
       q.processAllAvailable()
+      q2.processAllAvailable()
       val got = spark.table("cur_out").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       // batch reference: identical decisions row by row (pure functions of id)
@@ -413,7 +419,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
       assert(got.forall(_._2.contains("<EMAIL>")))
-    } finally q.stop()
+      // chunk generator on the stream = the batch chunker row for row
+      val gotChunks = spark.table("chunk_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val wantChunks = Curation.chunkDocuments(
+          docs.toDF("doc_id", "text"), maxTokens = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(gotChunks == wantChunks && gotChunks.nonEmpty)
+    } finally { q.stop(); q2.stop() }
   }
 
   test("decontamination runs stream-static: streaming docs against a static benchmark") {
