@@ -567,18 +567,14 @@ object SparkEntry {
     // The HLL profile variant (the 100 TB path: fixed-size sketches, no
     // value shuffle). HLL++ is deterministic for given data, so the gate
     // pins the approx distinct inside a 4×rsd band of the exact count —
-    // computed in the same plan; the oracle asserts the band trivially
-    // against its own exact counts.
-    "q_profile_approx" -> ((s, dir) => {
-      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
-      val exact = Curation.profile(t(s, dir, "orders"), cols)
-      val apx = Curation.profile(t(s, dir, "orders"), cols, approx = true, rsd = 0.05)
-        .select(col("col_name"), col("n_distinct").as("__nd_apx"))
-      exact.join(apx, "col_name")
+    // both computed in ONE Expand+agg pass (profileWithApprox); the
+    // oracle asserts the band trivially against its own exact counts.
+    "q_profile_approx" -> ((s, dir) =>
+      Curation.profileWithApprox(t(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority", "o_custkey"), rsd = 0.05)
         .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
-          (abs(col("__nd_apx") - col("n_distinct")) <=
-            greatest(round(col("n_distinct") * 0.2), lit(1L))).as("within_rsd"))
-    }),
+          (abs(col("n_distinct_approx") - col("n_distinct")) <=
+            greatest(round(col("n_distinct") * 0.2), lit(1L))).as("within_rsd"))),
 
     // Quality selection: the 5 longest (by ws-token count) docs per source,
     // deterministic tiebreak on doc_id.

@@ -171,6 +171,30 @@ object Curation {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** [[profile]] computing the exact AND the HLL distinct in ONE pass
+    * (same Expand + aggregate; the HLL sketch rides the same shuffle), one
+    * extra `n_distinct_approx` column per row. This is the calibration
+    * shape — measure the sketch against truth on a sample, then run
+    * `profile(approx = true)` alone at full scale — and it is what the
+    * q_profile_approx gate drives (half the scans of running the two
+    * profiles separately and joining). */
+  def profileWithApprox(
+      df: DataFrame,
+      cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"),
+      approx_count_distinct(col(c), rsd).as(s"__na_$c")))
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"), col("__n").as("n_rows"),
+      col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+      col(s"__na_$c").as("n_distinct_approx")))
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   /** Pack documents into fixed token-budget training sequences: doc d (in
     * `orderCols` order) lands in sequence `floor(exclusive_prefix_tokens /
     * seqTokens)` — the standard contiguous-packing-by-offset rule (each

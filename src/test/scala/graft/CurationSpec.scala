@@ -196,6 +196,13 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(nda - nd) <= math.max(1L, math.round(nd * 0.2)),
         s"$c: approx $nda vs exact $nd")
     }
+    // the one-pass combined profile agrees with both single-mode profiles
+    // column for column (same aggregates, one Expand pass)
+    val both = Curation.profileWithApprox(df, Seq("g", "v", "id"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(both.map(t => (t._1, t._2, t._3, t._4)).toSeq == exact.toSeq)
+    assert(both.map(t => (t._1, t._2, t._3, t._5)).toSeq == apx.toSeq)
   }
 
   test("chunkDocuments: null text behaves like empty text (one chunk, n_tokens 0)") {
