@@ -98,6 +98,14 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       s"events side of the interval as-of join shuffles:\n$p")
   }
 
+  test("q_skew_cap: the anti-join broadcasts the (tiny) hot-key set at runtime") {
+    val df = SparkEntry.queries("q_skew_cap")(spark, sf)
+    df.collect() // AQE finalizes: the hot side's true (rows-not-bytes-tiny) size is known
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin") && finalPlan.contains("LeftAnti"),
+      s"hot-key guard should anti-join via broadcast:\n$finalPlan")
+  }
+
   test("countExchanges sees exchanges inside a FINALIZED adaptive plan") {
     import graft.sources.Layouts
     import org.apache.spark.sql.functions._
