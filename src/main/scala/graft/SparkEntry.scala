@@ -490,6 +490,13 @@ object SparkEntry {
           unix_micros(col("asof_ts")).as("view_ts_us"))
     }),
 
+    // Numeric quantile profile (exact percentile = the oracle path;
+    // approx_percentile is the bounded-state 100 TB path, spec-pinned
+    // against this within rank error).
+    "q_quantiles" -> ((s, dir) =>
+      Curation.quantileProfile(t(s, dir, "orders"),
+        Seq("o_totalprice", "o_custkey"), Seq(0.25, 0.5, 0.75, 0.99))),
+
     // Hot-key guard (the mitigation SCALE.md prescribes ahead of per-key
     // total-order ops): drop users carrying more than 80 events. The hot
     // set is one tiny keyed count; data anti-joins against it broadcast.
@@ -1223,6 +1230,17 @@ object SparkEntry {
         |       v.view_value AS view_value, epoch_us(v.ts) AS view_ts_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT 'o_totalprice' AS col_name, 0.25 AS prob,
+        |  quantile_cont(o_totalprice, 0.25) AS value FROM orders
+        |UNION ALL SELECT 'o_totalprice', 0.5, quantile_cont(o_totalprice, 0.5) FROM orders
+        |UNION ALL SELECT 'o_totalprice', 0.75, quantile_cont(o_totalprice, 0.75) FROM orders
+        |UNION ALL SELECT 'o_totalprice', 0.99, quantile_cont(o_totalprice, 0.99) FROM orders
+        |UNION ALL SELECT 'o_custkey', 0.25, quantile_cont(o_custkey, 0.25) FROM orders
+        |UNION ALL SELECT 'o_custkey', 0.5, quantile_cont(o_custkey, 0.5) FROM orders
+        |UNION ALL SELECT 'o_custkey', 0.75, quantile_cont(o_custkey, 0.75) FROM orders
+        |UNION ALL SELECT 'o_custkey', 0.99, quantile_cont(o_custkey, 0.99) FROM orders""".stripMargin,
 
     "q_skew_cap" ->
       """SELECT e.event_id, e.user_id

@@ -195,6 +195,39 @@ object Curation {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** One-pass numeric quantile profile: each (column, prob) pair gets its
+    * linear-interpolated quantile, one output row per pair — the length /
+    * score / price distribution summary a curation pass reads before
+    * choosing filter thresholds. Exact mode uses `percentile`, which
+    * BUFFERS each column's values in the aggregation state: it is the
+    * correctness oracle, not the 100 TB path — there `approx = true`
+    * switches to `approx_percentile` (Greenwald-Khanna sketch, bounded
+    * state, mergeable map-side), the same exact-oracle/sketch-scale-path
+    * split as [[profile]]'s distincts. */
+  def quantileProfile(
+      df: DataFrame,
+      cols: Seq[String],
+      probs: Seq[Double],
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "quantileProfile needs at least one column")
+    require(probs.nonEmpty, "quantileProfile needs at least one probability")
+    probs.foreach(p => require(p >= 0.0 && p <= 1.0, s"prob out of [0,1]: $p"))
+    val probsArr = array(probs.map(lit): _*)
+    val aggs = cols.map { c =>
+      (if (approx) percentile_approx(col(c).cast("double"), probsArr, lit(accuracy))
+       else percentile(col(c), probsArr)).as(s"__q_$c")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c =>
+      struct(lit(c).as("col_name"), col(s"__q_$c").as("qs")))
+    one.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"),
+        posexplode(col("p.qs")).as(Seq("__i", "value")))
+      .withColumn("prob", element_at(probsArr, col("__i") + 1))
+      .select("col_name", "prob", "value")
+  }
+
   /** Pack documents into fixed token-budget training sequences: doc d (in
     * `orderCols` order) lands in sequence `floor(exclusive_prefix_tokens /
     * seqTokens)` — the standard contiguous-packing-by-offset rule (each

@@ -205,6 +205,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(both.map(t => (t._1, t._2, t._3, t._5)).toSeq == apx.toSeq)
   }
 
+  test("quantileProfile: exact interpolation; approx within one rank; partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "x").repartition(7)
+    val probs = Seq(0.25, 0.5, 0.99)
+    val exact = Curation.quantileProfile(df, Seq("x", "k"), probs)
+      .orderBy("col_name", "prob").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // linear interpolation over 1..100: q(p) = 1 + 99p, for both col types
+    val want = for (c <- Seq("k", "x"); p <- probs) yield (c, p, 1.0 + 99.0 * p)
+    assert(exact.toSeq == want)
+    // the sketch path returns a real element within one rank of the truth
+    val apx = Curation.quantileProfile(df, Seq("x"), probs, approx = true)
+      .orderBy("prob").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    apx.foreach { case (p, v) =>
+      assert(math.abs(v - (1.0 + 99.0 * p)) <= 1.0, s"p=$p got $v")
+    }
+  }
+
   test("chunkDocuments: null text behaves like empty text (one chunk, n_tokens 0)") {
     import spark.implicits._
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, "real doc here"))
