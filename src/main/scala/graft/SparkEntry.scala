@@ -490,6 +490,14 @@ object SparkEntry {
           unix_micros(col("asof_ts")).as("view_ts_us"))
     }),
 
+    // Stratified exact-N sampling: exactly 5 docs per source, drawn by
+    // salted-md5 rank — deterministic and engine-portable (the oracle
+    // ranks by the same md5 hex).
+    "q_sample_n" -> ((s, dir) =>
+      Curation.sampleNPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("source"), "doc_id", n = 5)),
+
     // Numeric quantile profile (exact percentile = the oracle path;
     // approx_percentile is the bounded-state 100 TB path, spec-pinned
     // against this within rank error).
@@ -1230,6 +1238,14 @@ object SparkEntry {
         |       v.view_value AS view_value, epoch_us(v.ts) AS view_ts_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    "q_sample_n" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':stratified'), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
 
     "q_quantiles" ->
       """SELECT 'o_totalprice' AS col_name, 0.25 AS prob,

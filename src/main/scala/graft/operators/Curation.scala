@@ -256,6 +256,33 @@ object Curation {
       .drop(tok, cum)
   }
 
+  /** Exactly `n` rows per group, drawn uniformly but DETERMINISTICALLY:
+    * rank rows inside each group by the salted md5 of their id (id
+    * tiebreak for absolute determinism) and keep the first `n` — the
+    * stratified-sample step ("exactly 10k eval docs per language") that
+    * [[sampleFraction]]'s Bernoulli form can't promise. Reruns, engines
+    * and partitionings agree row by row; distinct salts draw independent
+    * samples. One keyed shuffle (the per-group window); groups smaller
+    * than `n` keep everything. Same hot-key caveat as every per-key
+    * total-order op — a group's rows rank in one task
+    * ([[graft.ops.Skew.dropHotKeys]] is the guard). */
+  def sampleNPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      n: Int,
+      salt: String = "stratified"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(n >= 1, s"n must be >= 1: $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + salt))).asc,
+        col(idCol).asc)
+    df.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= n)
+      .drop("__graft_rk")
+  }
+
   /** Keep the top `k` rows per group by `rankBy` (descending; ties broken by
     * `tieBy` ascending for determinism) — the quality-selection step ("best
     * k documents per source"). One keyed shuffle; each group ranks

@@ -205,6 +205,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(both.map(t => (t._1, t._2, t._3, t._5)).toSeq == apx.toSeq)
   }
 
+  test("sampleNPerGroup: exactly n per group, deterministic, partition-invariant, salt-independent") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val s1 = Curation.sampleNPerGroup(df, Seq("g"), "id", n = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val s2 = Curation.sampleNPerGroup(df.repartition(13), Seq("g"), "id", n = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(s1 == s2, "partition layout must not change the sample")
+    assert(s1.groupBy(_._2).forall(_._2.size == 10))
+    // a different salt draws a different (but equally sized) sample
+    val s3 = Curation.sampleNPerGroup(df, Seq("g"), "id", n = 10, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(s3 != s1 && s3.groupBy(_._2).forall(_._2.size == 10))
+    // a group smaller than n keeps everything
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Curation.sampleNPerGroup(tiny, Seq("g"), "id", n = 10).count() == 3)
+  }
+
   test("quantileProfile: exact interpolation; approx within one rank; partition-invariant") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "x").repartition(7)
