@@ -46,6 +46,30 @@ object Layouts {
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Write `df` sorted for parquet DATA SKIPPING on `sortCols`:
+    * range-repartition (globally disjoint key ranges per output file) +
+    * sort-within-partitions, so every row group's min/max footer stats
+    * cover a narrow slice of the key space. A later scan with a pushed
+    * predicate on those columns then prunes whole row groups/files from
+    * the footer alone — at 100 TB this is the difference between reading
+    * the corpus and reading the slice (the same lever a clustered/Z-ordered
+    * table gives; one write-time range shuffle amortized over every later
+    * selective read). Complements [[writeBucketed]]: bucketing removes JOIN
+    * exchanges on the key, sorting removes SCAN volume under range/point
+    * predicates; LayoutsSpec measures the scan-row reduction. */
+  def writeSorted(
+      df: DataFrame,
+      dir: String,
+      sortCols: Seq[String],
+      partitions: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(sortCols.nonEmpty, "need at least one sort column")
+    require(partitions >= 1, s"partitions must be >= 1: $partitions")
+    df.repartitionByRange(partitions, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Number of Exchange (shuffle/broadcast-exchange) nodes in the final
     * physical plan — 0 on a co-bucketed join is the whole point. Unwraps the
     * AQE leaf wrappers: AdaptiveSparkPlanExec before execution, and the

@@ -44,6 +44,33 @@ class LayoutsSpec extends AnyFunSuite with SparkSpec {
     assert(Layouts.readTable(spark, "b_files").count() == 4000)
   }
 
+  test("writeSorted layout prunes row groups: a selective scan reads a fraction of the rows") {
+    import spark.implicits._
+    val n = 100000L
+    val rnd = new scala.util.Random(3)
+    // shuffled ids so the unsorted layout's files all span [1, n]
+    val rows = rnd.shuffle((1L to n).toVector).map(i => (i, s"payload$i"))
+    val unsortedDir = java.nio.file.Files.createTempDirectory("graft_unsorted").toString
+    val sortedDir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    rows.toDF("id", "v").repartition(8).write.mode("overwrite").parquet(unsortedDir)
+    Layouts.writeSorted(rows.toDF("id", "v"), sortedDir, Seq("id"), partitions = 8)
+
+    def scannedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter(col("id") <= 1000L)
+      assert(df.count() == 1000L) // correctness first
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      scan.metrics("numOutputRows").value
+    }
+    val unsortedScanned = scannedRows(unsortedDir)
+    val sortedScanned = scannedRows(sortedDir)
+    // unsorted: every file's min/max spans the range -> no pruning; sorted:
+    // only the file(s) whose range covers [1, 1000] are read
+    assert(sortedScanned * 4 <= unsortedScanned,
+      s"sorted layout should skip most row groups: sorted=$sortedScanned unsorted=$unsortedScanned")
+  }
+
   test("bucketed groupBy on the bucket key needs no exchange either") {
     import spark.implicits._
     val df = (0L until 3000L).map(i => (i % 500, i)).toDF("k", "v")
