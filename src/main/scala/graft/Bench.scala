@@ -23,8 +23,9 @@ object Bench {
     "q_redact", "q_repetition", "q_decontam", "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_pack",
     "q_chunk", "q_shuffle_order", "q_pipeline_curation", "q_profile_approx",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed_lsh",
-    "q_dedup_ngram_capped",
+    "q_quantiles", "q_sample_n", "q_skew_cap",
+    "q_dedup_exact", "q_dedup_incr", "q_dedup_spans", "q_dedup_minhash",
+    "q_dedup_simhash", "q_dedup_embed_lsh", "q_dedup_ngram_capped",
     // the iterative keyed-join loop (label propagation + min-id survivors):
     // per-round localCheckpoint + one changed-count job each — the one
     // operator family whose cost is rounds × edges, benched so regressions

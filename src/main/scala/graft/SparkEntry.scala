@@ -490,6 +490,16 @@ object SparkEntry {
           unix_micros(col("asof_ts")).as("view_ts_us"))
     }),
 
+    // C4-style span dedup: chunk every doc into 32-token spans, keep each
+    // distinct span's FIRST occurrence (by doc, then position) across the
+    // whole corpus — the sub-document dedup whole-doc md5 can't see.
+    "q_dedup_spans" -> ((s, dir) => {
+      val chunks = Curation.chunkDocuments(
+        t(s, dir, "documents"), maxTokens = 32, overlap = 0)
+      Dedup.firstOccurrence(chunks, col("chunk"), Seq(col("doc_id"), col("chunk_idx")))
+        .select("doc_id", "chunk_idx")
+    }),
+
     // Stratified exact-N sampling: exactly 5 docs per source, drawn by
     // salted-md5 rank — deterministic and engine-portable (the oracle
     // ranks by the same md5 hex).
@@ -1238,6 +1248,20 @@ object SparkEntry {
         |       v.view_value AS view_value, epoch_us(v.ts) AS view_ts_us
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_idx,
+        |         array_to_string(toks[s:s+31], ' ') AS chunk
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents),
+        |       UNNEST(range(1, greatest(len(toks) - 1, 0) + 2, 32)) AS u(s))
+        |SELECT doc_id, chunk_idx FROM (
+        |  SELECT doc_id, chunk_idx,
+        |    row_number() OVER (PARTITION BY md5(chunk)
+        |      ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM ch)
+        |WHERE rk = 1""".stripMargin,
 
     "q_sample_n" ->
       """SELECT doc_id, source FROM (

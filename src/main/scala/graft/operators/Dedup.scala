@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Sketches, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for training-data pipelines, sized for 100 TB:
@@ -45,6 +45,31 @@ object Dedup {
       corpusTextCol: String = "text"): DataFrame = {
     val fps = corpus.select(md5(col(corpusTextCol)).as("__corpus_fp")).distinct()
     docs.join(fps, md5(col(textCol)) === col("__corpus_fp"), "left_anti")
+  }
+
+  /** Cross-document SPAN dedup, C4-style: among all rows sharing a span's
+    * content, keep only the FIRST in `orderCols` order — the sub-document
+    * twin of [[exact]], for the "same boilerplate paragraph pasted into a
+    * million pages" case whole-document dedup can't see. `df` is the
+    * already-split spans (one row per paragraph / sentence / chunk — pair
+    * with `split`+`posexplode` or [[Curation.chunkDocuments]]); the window
+    * keys on the span's 16-byte md5, so the shuffle carries fingerprints,
+    * not text, and each fingerprint's occurrence list ranks in one task
+    * (content-hash keys are uniform — no hot key unless one span IS a
+    * meaningful fraction of the corpus, which is exactly a row a curator
+    * wants dropped; [[graft.ops.Skew.dropHotKeys]] on the fingerprint
+    * handles that). Null spans group together (SQL GROUP BY convention):
+    * the first null-span row survives, the rest drop. */
+  def firstOccurrence(
+      df: DataFrame,
+      spanCol: Column,
+      orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(spanCol)).orderBy(orderCols: _*)
+    df.withColumn("__graft_occ", row_number().over(w))
+      .filter(col("__graft_occ") === 1)
+      .drop("__graft_occ")
   }
 
   /** All pairs with exact n-gram-shingle Jaccard >= threshold, via a

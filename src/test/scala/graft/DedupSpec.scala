@@ -44,6 +44,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(2L, 4L))
   }
 
+  test("firstOccurrence: repeated paragraphs survive only in the earliest doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode, split => fsplit}
+    val docs = Seq(
+      (1L, "unique intro\n\nshared boilerplate\n\nmore text"),
+      (2L, "shared boilerplate\n\nsecond doc body"),
+      (3L, "third doc\n\nshared boilerplate"))
+      .toDF("doc_id", "text")
+    val paras = docs.select(col("doc_id"),
+      posexplode(fsplit(col("text"), "\n\n")).as(Seq("idx", "para")))
+    val kept = graft.operators.Dedup.firstOccurrence(
+        paras, col("para"), Seq(col("doc_id"), col("idx")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    // "shared boilerplate" kept ONLY at its first occurrence (doc 1, idx 1)
+    assert(kept.count(_._3 == "shared boilerplate") == 1)
+    assert(kept.contains((1L, 1, "shared boilerplate")))
+    // everything unique survives untouched
+    assert(kept.map(_._3).toSet == Set("unique intro", "shared boilerplate",
+      "more text", "second doc body", "third doc"))
+  }
+
   test("minhash LSH finds exactly the brute-force pairs (verified candidates)") {
     val brute = Dedup.ngramJaccardPairs(docs, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
