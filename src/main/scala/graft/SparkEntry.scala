@@ -515,6 +515,14 @@ object SparkEntry {
       Curation.quantileProfile(t(s, dir, "orders"),
         Seq("o_totalprice", "o_custkey"), Seq(0.25, 0.5, 0.75, 0.99))),
 
+    // Per-group quantiles: token-length p50/p99 per source — the length
+    // distribution a curation pass reads before choosing filters.
+    "q_quantiles_group" -> ((s, dir) =>
+      Curation.quantileProfile(
+        t(s, dir, "documents").select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq("n_tokens"), Seq(0.5, 0.99), groupCols = Seq("source"))),
+
     // Hot-key guard (the mitigation SCALE.md prescribes ahead of per-key
     // total-order ops): drop users carrying more than 80 events. The hot
     // set is one tiny keyed count; data anti-joins against it broadcast.
@@ -1281,6 +1289,16 @@ object SparkEntry {
         |UNION ALL SELECT 'o_custkey', 0.5, quantile_cont(o_custkey, 0.5) FROM orders
         |UNION ALL SELECT 'o_custkey', 0.75, quantile_cont(o_custkey, 0.75) FROM orders
         |UNION ALL SELECT 'o_custkey', 0.99, quantile_cont(o_custkey, 0.99) FROM orders""".stripMargin,
+
+    "q_quantiles_group" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, 'n_tokens' AS col_name, 0.5 AS prob,
+        |  quantile_cont(n_tokens, 0.5) AS value FROM t GROUP BY source
+        |UNION ALL
+        |SELECT source, 'n_tokens', 0.99, quantile_cont(n_tokens, 0.99)
+        |FROM t GROUP BY source""".stripMargin,
 
     "q_skew_cap" ->
       """SELECT e.event_id, e.user_id

@@ -204,12 +204,17 @@ object Curation {
     * switches to `approx_percentile` (Greenwald-Khanna sketch, bounded
     * state, mergeable map-side), the same exact-oracle/sketch-scale-path
     * split as [[profile]]'s distincts. */
+  /** @param groupCols non-empty → one quantile set PER GROUP ("token p99
+    *   per source"): the agg partial-combines map-side, so the shuffle
+    *   carries one sketch/buffer per (group, column), and output rows =
+    *   groups × columns × probs. Empty (default) = one global profile. */
   def quantileProfile(
       df: DataFrame,
       cols: Seq[String],
       probs: Seq[Double],
       approx: Boolean = false,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000,
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "quantileProfile needs at least one column")
     require(probs.nonEmpty, "quantileProfile needs at least one probability")
     probs.foreach(p => require(p >= 0.0 && p <= 1.0, s"prob out of [0,1]: $p"))
@@ -218,14 +223,16 @@ object Curation {
       (if (approx) percentile_approx(col(c).cast("double"), probsArr, lit(accuracy))
        else percentile(col(c), probsArr)).as(s"__q_$c")
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val entries = cols.map(c =>
       struct(lit(c).as("col_name"), col(s"__q_$c").as("qs")))
-    one.select(explode(array(entries: _*)).as("p"))
-      .select(col("p.col_name").as("col_name"),
-        posexplode(col("p.qs")).as(Seq("__i", "value")))
+    one.select(groupCols.map(col) :+ explode(array(entries: _*)).as("p"): _*)
+      .select(groupCols.map(col) ++ Seq(col("p.col_name").as("col_name"),
+        posexplode(col("p.qs")).as(Seq("__i", "value"))): _*)
       .withColumn("prob", element_at(probsArr, col("__i") + 1))
-      .select("col_name", "prob", "value")
+      .select(groupCols.map(col) ++ Seq(col("col_name"), col("prob"), col("value")): _*)
   }
 
   /** Pack documents into fixed token-budget training sequences: doc d (in

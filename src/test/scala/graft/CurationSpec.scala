@@ -239,6 +239,13 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     apx.foreach { case (p, v) =>
       assert(math.abs(v - (1.0 + 99.0 * p)) <= 1.0, s"p=$p got $v")
     }
+    // per-group: each group's quantiles computed over its own rows only
+    val grouped = (1 to 10).map(i => (i.toDouble, "a")) ++
+      (101 to 120).map(i => (i.toDouble, "b"))
+    val byG = Curation.quantileProfile(grouped.toDF("x", "g"), Seq("x"),
+        Seq(0.5), groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).sorted.toSeq
+    assert(byG == Seq(("a", 0.5, 5.5), ("b", 0.5, 110.5)))
   }
 
   test("chunkDocuments: null text behaves like empty text (one chunk, n_tokens 0)") {
