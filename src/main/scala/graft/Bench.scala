@@ -22,8 +22,9 @@ object Bench {
     "q_lang_id", "q_lang_id_ngram", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",
     "q_redact", "q_repetition", "q_decontam", "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_pack",
-    "q_chunk", "q_shuffle_order", "q_pipeline_curation", "q_profile_approx",
-    "q_quantiles", "q_sample_n", "q_skew_cap",
+    "q_chunk", "q_shuffle_order", "q_pipeline_curation", "q_pipeline_chunks",
+    "q_profile_approx",
+    "q_quantiles", "q_quantiles_group", "q_sample_n", "q_skew_cap",
     "q_dedup_exact", "q_dedup_incr", "q_dedup_spans", "q_dedup_minhash",
     "q_dedup_simhash", "q_dedup_embed_lsh", "q_dedup_ngram_capped",
     // the iterative keyed-join loop (label propagation + min-id survivors):

@@ -500,6 +500,21 @@ object SparkEntry {
         .select("doc_id", "chunk_idx")
     }),
 
+    // The context-window pipeline in one plan: chunk every doc into
+    // 32-token spans -> drop repeated spans (first occurrence wins) ->
+    // pack survivors into 2048-token training sequences. Chunking is a
+    // generator, dedup one fingerprint-keyed window, packing the two-phase
+    // prefix sum — three stages, no driver round-trips.
+    "q_pipeline_chunks" -> ((s, dir) => {
+      val chunks = Curation.chunkDocuments(
+        t(s, dir, "documents"), maxTokens = 32, overlap = 0)
+      val deduped = Dedup.firstOccurrence(
+        chunks, col("chunk"), Seq(col("doc_id"), col("chunk_idx")))
+      Curation.packSequences(deduped, col("n_tokens"),
+          Seq(col("doc_id"), col("chunk_idx")), seqTokens = 2048L)
+        .select(col("doc_id"), col("chunk_idx"), col("seq_id"))
+    }),
+
     // Stratified exact-N sampling: exactly 5 docs per source, drawn by
     // salted-md5 rank — deterministic and engine-portable (the oracle
     // ranks by the same md5 hex).
@@ -1270,6 +1285,25 @@ object SparkEntry {
         |      ORDER BY doc_id, chunk_idx) AS rk
         |  FROM ch)
         |WHERE rk = 1""".stripMargin,
+
+    "q_pipeline_chunks" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_idx,
+        |         array_to_string(toks[s:s+31], ' ') AS chunk,
+        |         CAST(len(toks[s:s+31]) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents),
+        |       UNNEST(range(1, greatest(len(toks) - 1, 0) + 2, 32)) AS u(s)),
+        |d AS (SELECT doc_id, chunk_idx, n_tokens FROM (
+        |  SELECT doc_id, chunk_idx, n_tokens,
+        |    row_number() OVER (PARTITION BY md5(chunk)
+        |      ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM ch) WHERE rk = 1)
+        |SELECT doc_id, chunk_idx, CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
+        |FROM (SELECT doc_id, chunk_idx, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)""".stripMargin,
 
     "q_sample_n" ->
       """SELECT doc_id, source FROM (
