@@ -118,7 +118,7 @@ object TextFunctions {
     * (Gopher/C4-style rules, public). */
   def qualitySignals(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
-    val sumTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val sumTokLen = sumTokenLength(text)
     Seq(
       "n_chars" -> length(text),
       "n_tokens" -> size(toks),
@@ -160,9 +160,18 @@ object TextFunctions {
     Seq(
       "n_chars" -> length(text).cast("long"),
       "n_tokens" -> size(toks).cast("long"),
-      "sum_token_len" -> aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
+      "sum_token_len" -> sumTokenLength(text).cast("long"),
       "n_stop" -> stopwordCount(text).cast("long"))
   }
+
+  /** Σ length(token) — identically the count of non-whitespace chars (every
+    * token char is a non-ws char of the original), so it compiles to one
+    * codegen'd regexp_replace + length instead of the interpreted
+    * `aggregate()` fold over the token array it replaces (the same
+    * HOF-interprets trap as topBigramFraction's old fold; `\s` is the
+    * same ASCII class `tokens`' split uses). */
+  private def sumTokenLength(text: Column): Column =
+    length(regexp_replace(text, "\\s", ""))
 
   /** PII redaction patterns, applied in order (email first — it contains
     * digit runs the later patterns would otherwise mangle). RE2-compatible
