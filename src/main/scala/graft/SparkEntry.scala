@@ -1276,7 +1276,8 @@ object SparkEntry {
       """WITH ch AS (
         |  SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_idx,
         |         array_to_string(toks[s:s+31], ' ') AS chunk
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM (SELECT doc_id,
+        |          coalesce(regexp_split_to_array(trim(text), '\s+'), []) AS toks
         |        FROM documents),
         |       UNNEST(range(1, greatest(len(toks) - 1, 0) + 2, 32)) AS u(s))
         |SELECT doc_id, chunk_idx FROM (
@@ -1291,7 +1292,8 @@ object SparkEntry {
         |  SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_idx,
         |         array_to_string(toks[s:s+31], ' ') AS chunk,
         |         CAST(len(toks[s:s+31]) AS BIGINT) AS n_tokens
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM (SELECT doc_id,
+        |          coalesce(regexp_split_to_array(trim(text), '\s+'), []) AS toks
         |        FROM documents),
         |       UNNEST(range(1, greatest(len(toks) - 1, 0) + 2, 32)) AS u(s)),
         |d AS (SELECT doc_id, chunk_idx, n_tokens FROM (
@@ -1334,13 +1336,17 @@ object SparkEntry {
         |SELECT source, 'n_tokens', 0.99, quantile_cont(n_tokens, 0.99)
         |FROM t GROUP BY source""".stripMargin,
 
+    // the TRUE marker (not h.user_id) carries the anti-join filter: for a
+    // hot NULL key the matched h.user_id is itself NULL, so `h.user_id IS
+    // NULL` would KEEP the flood — the opposite of dropHotKeys' null-safe
+    // `<=>` left_anti, which drops it
     "q_skew_cap" ->
       """SELECT e.event_id, e.user_id
         |FROM events e
-        |LEFT JOIN (SELECT user_id FROM events
+        |LEFT JOIN (SELECT user_id, TRUE AS hot FROM events
         |           GROUP BY user_id HAVING count(*) > 80) h
         |  ON e.user_id IS NOT DISTINCT FROM h.user_id
-        |WHERE h.user_id IS NULL""".stripMargin,
+        |WHERE h.hot IS NULL""".stripMargin,
 
     "q_dedup_incr" ->
       """SELECT d.doc_id

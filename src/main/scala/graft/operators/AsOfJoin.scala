@@ -136,8 +136,16 @@ object AsOfJoin {
     * (`q_asof_iv` — the operator is pure DataFrame composition, so the
     * same code path serves both).
     *
-    * The static subplan (window included) re-executes every micro-batch:
-    * for long-running queries `.persist()` the snapshot frame first. */
+    * By default the static subplan (snapshot scan + validity window)
+    * re-executes every micro-batch. `persistSnapshots = true` persists the
+    * derived INTERVAL table (MEMORY_AND_DISK) so batch 1 materializes it
+    * once and later batches read the cached blocks (spec-pinned: the
+    * snapshot rows are evaluated exactly once across batches). The cache
+    * holds the post-window interval rows — keys, payload, ts, bound — not
+    * the raw snapshot table; it lives until the session ends or the caller
+    * clears it (`spark.catalog.clearCache()` / unpersisting). Leave it off
+    * for one-shot batch use of this operator, where a cache is pure
+    * overhead. */
   def asofJoinStreamStatic(
       events: DataFrame,
       snapshots: DataFrame,
@@ -146,7 +154,8 @@ object AsOfJoin {
       rightTsCol: String = "ts",
       rightValueCols: Seq[String] = Nil,
       direction: String = "backward",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      persistSnapshots: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward: $direction")
@@ -163,12 +172,16 @@ object AsOfJoin {
       else lag(col(rightTsCol), 1).over(w)
     // right-side rows with a null key or ts can never match (SQL join
     // semantics) — drop them before the window, as the batch path does
-    val ivd = snapshots
+    val ivd0 = snapshots
       .filter((keyCols :+ rightTsCol).map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__bound", boundCol)
       .select(keyCols.map(k => col(k).as(s"__k_$k")) ++
         valueCols.map(c => col(c).as(s"asof_$c")) ++ Seq(
           col(rightTsCol).as(s"asof_$rightTsCol"), col("__bound")): _*)
+    val ivd =
+      if (persistSnapshots)
+        ivd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ivd0
 
     val sameKey = keyCols.map(k => events(k) === ivd(s"__k_$k")).reduce(_ && _)
     val inInterval =
@@ -191,9 +204,12 @@ object AsOfJoin {
         else
           tsDiff(ivd(s"asof_$rightTsCol"), events(leftTsCol), dt) <= tol
     }
+    // drop helper columns via the ivd-side REFERENCE, not the bare name: an
+    // events frame legitimately carrying a `__bound` (or `__k_*`) column of
+    // its own must keep it — drop-by-name would take both
     keyCols.foldLeft(
-      events.join(ivd, sameKey && inInterval && withinTol, "left_outer").drop("__bound")) {
-      (d, k) => d.drop(s"__k_$k")
+      events.join(ivd, sameKey && inInterval && withinTol, "left_outer").drop(ivd("__bound"))) {
+      (d, k) => d.drop(ivd(s"__k_$k"))
     }
   }
 

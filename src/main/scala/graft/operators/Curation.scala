@@ -337,7 +337,8 @@ object Curation {
       maxTokens: Int,
       overlap: Int = 0,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens): $overlap")
@@ -348,16 +349,20 @@ object Curation {
     // downstream packSequences prefix sums
     val toks = coalesce(TextFunctions.tokens(col(textCol)),
       array().cast("array<string>"))
+    // carryCols ride along unchanged (replicated onto every chunk of their
+    // document) — e.g. the event-time column a streaming caller needs for
+    // its watermark, or a source/split label the packer groups by
     docs
       .withColumn("__toks", toks)
-      .select(col(idCol), posexplode(
+      .select(col(idCol) +: carryCols.map(col) :+ posexplode(
         sequence(lit(0), greatest(size(col("__toks")) - overlap - 1, lit(0)), lit(step)))
-        .as(Seq("chunk_idx", "__start")), col("__toks"))
-      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        .as(Seq("chunk_idx", "__start")) :+ col("__toks"): _*)
+      .select(col(idCol) +: carryCols.map(col) :+
+        col("chunk_idx").cast("long").as("chunk_idx") :+
         concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(maxTokens)))
-          .as("chunk"),
+          .as("chunk") :+
         size(slice(col("__toks"), col("__start") + 1, lit(maxTokens)))
-          .cast("long").as("n_tokens"))
+          .cast("long").as("n_tokens"): _*)
   }
 
   /** Deterministic global shuffle order: every row gets its position in the

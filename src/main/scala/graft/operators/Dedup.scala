@@ -92,7 +92,10 @@ object Dedup {
     *   corpus size (cap = ceil(fraction * count)) — the scale-invariant form:
     *   "boilerplate" means a shingle in more than x% of documents, not more
     *   than an absolute count that a 10x corpus growth silently turns into
-    *   "drop everything". Costs one metadata-only count(). The tighter of
+    *   "drop everything". Costs one extra count() JOB over `docs` before the
+    *   main plan runs (metadata-only for a bare parquet scan; a real scan for
+    *   anything filtered/derived) — callers who already know the corpus size
+    *   should pass the absolute `maxShingleDf` instead. The tighter of
     *   the two caps wins when both are set. */
   def ngramJaccardPairs(
       docs: DataFrame,

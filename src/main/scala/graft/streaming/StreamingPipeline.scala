@@ -428,6 +428,41 @@ object StreamingPipeline {
       .drop(fp)
   }
 
+  /** Streaming span (C4-style) dedup — the ingest-time counterpart of
+    * [[graft.operators.Dedup.firstOccurrence]] over
+    * [[graft.operators.Curation.chunkDocuments]] chunks: each arriving
+    * document is chunked into `maxTokens`-token spans, and only the FIRST
+    * arrival of each distinct span passes; a span seen before (anywhere in
+    * the stream, any document) is dropped at ingest. Output rows are the
+    * surviving chunks `(idCol, tsCol, chunk_idx, chunk, n_tokens)` — ready
+    * for a downstream packer.
+    *
+    * Same state discipline as [[dedupExact]]: keyed by the span's 16-byte
+    * md5 (span text never enters the state store — state volume is
+    * 16 bytes x distinct spans in the window, independent of span length)
+    * and BOUNDED by the watermark: a duplicate span arriving later than
+    * `delay` after its original may pass again, the standard trade for
+    * unbounded crawls. On an in-order stream this equals the batch
+    * `firstOccurrence(chunks, md5(chunk), orderBy arrival)` result
+    * (parity + restart spec-pinned); null/empty text follows the batch
+    * convention (one empty chunk, deduped like any other span). */
+  def dedupSpans(
+      docs: DataFrame,
+      tsCol: String,
+      delay: String,
+      maxTokens: Int,
+      overlap: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fp = "__graft_fp"
+    graft.operators.Curation
+      .chunkDocuments(docs, maxTokens, overlap, idCol, textCol, carryCols = Seq(tsCol))
+      .withColumn(fp, md5(col("chunk")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
+
   /** State for the streaming sessionizer: the user's last-seen event time
     * (epoch micros) and current session ordinal. */
   final case class SessionState(lastTs: Long, idx: Long)

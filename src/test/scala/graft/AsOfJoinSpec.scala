@@ -154,6 +154,49 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       "null-ts" -> None))
   }
 
+  test("asofJoinStreamStatic keeps an events-side __bound column (helpers dropped by reference, not name)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val l = Seq((1L, 12L, 99L)).toDF("k", "ts", "__bound")
+    val r = Seq((1L, 10L, "v1")).toDF("k", "ts", "v")
+    val got = AsOfJoin.asofJoinStreamStatic(l, r, Seq("k"))
+    assert(got.columns.count(_ == "__bound") == 1)
+    val row = got.select(col("__bound"), col("asof_v")).collect().head
+    assert(row.getLong(0) == 99L && row.getString(1) == "v1")
+  }
+
+  test("persistSnapshots evaluates the snapshot rows once across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    implicit val sqlCtx = spark.sqlContext
+    AsOfJoinSpec.snapshotEvals.set(0)
+    val bump = udf((x: Long) => { AsOfJoinSpec.snapshotEvals.incrementAndGet(); x })
+      .asNondeterministic()
+    val snaps = Seq((1L, 10L, "v1"), (1L, 20L, "v2"), (2L, 15L, "w1"))
+      .toDF("user_id", "ts0", "profile")
+      .select(col("user_id"), bump(col("ts0")).as("ts"), col("profile"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val out = AsOfJoin.asofJoinStreamStatic(
+      mem.toDF().toDF("event_id", "user_id", "ts"), snaps, Seq("user_id"),
+      persistSnapshots = true)
+    val q = out.writeStream.format("memory").queryName("persist_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, 12L))
+      q.processAllAvailable()
+      val afterB1 = AsOfJoinSpec.snapshotEvals.get()
+      assert(afterB1 > 0, "batch 1 must materialize the snapshot subplan")
+      mem.addData((2L, 1L, 25L), (3L, 2L, 16L))
+      q.processAllAvailable()
+      // the cached interval table serves batch 2 — zero fresh evaluations
+      assert(AsOfJoinSpec.snapshotEvals.get() == afterB1,
+        s"snapshot subplan re-evaluated: $afterB1 -> ${AsOfJoinSpec.snapshotEvals.get()}")
+      val matches = spark.table("persist_out").orderBy("event_id")
+        .select("asof_profile").collect().map(_.getString(0)).toSeq
+      assert(matches == Seq("v1", "v2", "w1"))
+    } finally { q.stop(); spark.catalog.clearCache() }
+  }
+
   test("asofJoin plans exactly one exchange (the key shuffle) — no join explosion") {
     import spark.implicits._
     import graft.sources.Layouts
@@ -163,4 +206,11 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(Layouts.countExchanges(df) == 1,
       s"expected one exchange:\n${df.queryExecution.executedPlan}")
   }
+}
+
+/** Evaluation counter for the persistSnapshots spec — a static so the
+  * executor-side UDF instance and the asserting test share one cell
+  * (local mode: same JVM). */
+object AsOfJoinSpec {
+  val snapshotEvals = new java.util.concurrent.atomic.AtomicLong(0)
 }

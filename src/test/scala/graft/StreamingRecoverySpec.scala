@@ -220,6 +220,45 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(bySession.exists { case (s, _, n) => s.startsWith("2024-01-01 11:00:00") && n == 1L })
   }
 
+  test("streaming span dedup resumes its fingerprint state from checkpoint across a restart") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_spans_in").toString
+    val out = Files.createTempDirectory("graft_spans_out").toString
+    val ckpt = Files.createTempDirectory("graft_spans_ckpt").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+    def writeBatch(name: String, rows: Seq[(Timestamp, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_spans_stage").resolve("w").toString
+      rows.toDF("ts", "doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    lazy val schema = spark.read.parquet(in).schema
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      StreamingPipeline.startFileSink(
+        StreamingPipeline.dedupSpans(src, "ts", "10 minutes", maxTokens = 2),
+        out, ckpt)
+    }
+
+    // pre-crash: spans [a b] and [c d] enter the fingerprint state
+    writeBatch("b1.parquet", Seq((ts(0), 1L, "a b c d")))
+    val q1 = startQuery()
+    q1.awaitTermination(60000)
+    assert(!q1.isActive)
+
+    // post-restart: [a b] must still be known (state store, not just the
+    // offset log) and drop; [e f] is new and passes
+    writeBatch("b2.parquet", Seq((ts(2), 2L, "a b e f")))
+    val q2 = startQuery()
+    q2.awaitTermination(60000)
+
+    val got = spark.read.parquet(out).select("doc_id", "chunk")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "a b"), (1L, "c d"), (2L, "e f")))
+  }
+
   test("watermarked tumbling-window counts emit finalized windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

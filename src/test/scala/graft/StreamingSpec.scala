@@ -485,6 +485,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming span dedup equals batch firstOccurrence on an in-order stream, state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val out = StreamingPipeline.dedupSpans(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes", maxTokens = 2)
+    val q = out.writeStream.format("memory").queryName("spans_out")
+      .outputMode("append").start()
+    try {
+      // doc1 spans: [a b][c d]; doc2: [a b](dup within the batch) [x]
+      val b1 = Seq((ts(0), 1L, "a b c d"), (ts(1), 2L, "a b x"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      // doc3: [c d](dup from the PREVIOUS batch — state must carry) [e]
+      val b2 = Seq((ts(2), 3L, "c d e"))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+
+      val got = spark.table("spans_out")
+        .select("doc_id", "chunk_idx", "chunk", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      // batch twin on the concatenated input: chunk, then first occurrence
+      // of each distinct span in arrival (doc_id, chunk_idx) order
+      val batch = graft.operators.Dedup.firstOccurrence(
+          graft.operators.Curation.chunkDocuments(
+            (b1 ++ b2).toDF("ts", "doc_id", "text"), maxTokens = 2),
+          col("chunk"), Seq(col("doc_id"), col("chunk_idx")))
+        .select("doc_id", "chunk_idx", "chunk", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(got == batch)
+      assert(got.map(r => (r._1, r._3)) ==
+        Seq((1L, "a b"), (1L, "c d"), (2L, "x"), (3L, "e")))
+      // ts carried through the chunker for the watermark, then kept in output
+      assert(spark.table("spans_out").columns.toSeq ==
+        Seq("doc_id", "ts", "chunk_idx", "chunk", "n_tokens"))
+    } finally q.stop()
+  }
+
   test("sharded running count partitions the counter like the reference's N workers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
