@@ -32,7 +32,11 @@ object Bench {
     // operator family whose cost is rounds × edges, benched so regressions
     // in the loop (plan growth, extra jobs per round) surface here
     "q_dedup_clusters", "q_dedup_survivors",
-    "q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_media_decode", "q_media_frames")
+    "q_sim_topk", "q_sim_ann", "q_sim_ivf",
+    // all four media stages: resize + features carry the real per-row
+    // decode/compute cost under RealCodec — the two the fused stage exists
+    // to amortize
+    "q_media_decode", "q_media_frames", "q_media_resize", "q_media_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
