@@ -31,6 +31,37 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Deterministic decoration for the q_gopher gate: the synthetic corpus
+    * has no bullets/symbols/numerals, so each rule's trigger is planted on
+    * a doc_id schedule — identically in the oracle SQL (q_redact's
+    * injection pattern). %23: the whole doc becomes one bullet line
+    * (bullet-fraction rule); %9: a '#' symbol; %6: trailing '...'
+    * (symbol + ellipsis-line rules); %17: numeric tokens (alpha-fraction
+    * rule). */
+  private def gopherDecoratedText: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 23 === 0, lit("- ")).otherwise(lit("")),
+    when(col("doc_id") % 9 === 0, lit("# ")).otherwise(lit("")),
+    col("text"),
+    when(col("doc_id") % 6 === 0, lit(" ...")).otherwise(lit("")),
+    when(col("doc_id") % 17 === 0,
+      lit(" 123 456 789 000 111 222 333 444 555 666")).otherwise(lit("")))
+
+  /** Deterministic line structure for the q_c4_filter gate: sentence breaks
+    * after 'table'/'row' turn the single-line synthetic docs into
+    * multi-line pages whose last line lacks terminal punctuation; page- and
+    * line-level triggers (lorem ipsum, a too-short line, a javascript
+    * line, curly braces) planted on a doc_id schedule, identically in the
+    * oracle SQL. */
+  private def c4DerivedText: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 7 === 0,
+      lit("lorem ipsum filler text here.\n")).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0, lit("too short.\n")).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0,
+      lit("this page uses javascript heavily.\n")).otherwise(lit("")),
+    regexp_replace(col("text"), "(table|row) ", "$1.\n"),
+    when(col("doc_id") % 5 === 0,
+      lit("\nif (x) { return; }")).otherwise(lit("")))
+
   /** Exact decimal sum of a <=2dp double column, returned as double. */
   private def dsum(c: org.apache.spark.sql.Column, as: String) =
     sum(c.cast("decimal(20,4)")).cast("double").as(as)
@@ -351,6 +382,35 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.duplicateTokenFraction(col("text")).as("dup_token_frac"),
         TextFunctions.topBigramFraction(col("text")).as("top_bigram_frac"))),
+
+    // Gopher rule suite (Rae et al. 2021): exact integer signals + the keep
+    // decision as integer cross-multiplications. Like q_redact, the gate
+    // DECORATES the synthetic text deterministically on both engines
+    // (bullets, '#', '...', numeric runs) so every rule is exercised with
+    // non-trivial selectivity rather than hashing constant zeros.
+    "q_gopher" -> ((s, dir) => {
+      val g = gopherDecoratedText
+      t(s, dir, "documents").select(col("doc_id") +:
+        functions.QualityFilters.gopherCounts(g).map { case (n, c) => c.as(n) } :+
+        functions.QualityFilters.gopherKeep(g, minWords = 40)
+          .cast("long").as("keep"): _*)
+    }),
+
+    // C4 line/page filters (Raffel et al. 2020) via the fused native
+    // expression (one JVM pass per doc; parity with the composed HOF
+    // formulation is spec-pinned). The gate derives deterministic line
+    // structure (sentence breaks after table/row) and plants the page-level
+    // triggers (lorem ipsum, javascript lines, curly braces) on a doc_id
+    // schedule, identically on both engines.
+    "q_c4_filter" -> ((s, dir) => {
+      val t2 = c4DerivedText
+      val cols = functions.QualityFilters.c4Clean(t2, minLineWords = 3).toMap
+      t(s, dir, "documents").select(col("doc_id"),
+        cols("clean_text").as("clean_text"),
+        cols("n_kept_lines").as("n_kept_lines"),
+        functions.QualityFilters.c4DocKeep(t2, cols("n_kept_lines"), minKeptLines = 2)
+          .cast("long").as("keep"))
+    }),
 
     // Benchmark decontamination: distinct-3-gram overlap of every doc
     // against the deterministic pseudo-benchmark (doc_id % 97 = 0).
@@ -1451,6 +1511,65 @@ object SparkEntry {
         |       ELSE 0.0 END AS dup_token_frac,
         |  coalesce(m.top_bigram_frac, 0.0) AS top_bigram_frac
         |FROM t LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "q_gopher" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 23 = 0 THEN '- ' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 9 = 0 THEN '# ' ELSE '' END) ||
+        |    text ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN ' ...' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 17 = 0
+        |          THEN ' 123 456 789 000 111 222 333 444 555 666'
+        |          ELSE '' END) AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS sum_token_len,
+        |    CAST(len(regexp_extract_all(' ' || t, '\s\S*[A-Za-z]')) AS BIGINT) AS n_alpha_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS n_stop,
+        |    CAST((length(t) - length(replace(t, '#', '')))
+        |      + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(regexp_extract_all(chr(10) || t, chr(10) || '[-*•]')) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(regexp_extract_all(t || chr(10), '(\.\.\.|…)' || chr(10))) AS BIGINT) AS n_ellipsis_lines
+        |  FROM g)
+        |SELECT doc_id, n_tokens, sum_token_len, n_alpha_tokens, n_stop,
+        |  n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
+        |  CAST((n_tokens >= 40 AND n_tokens <= 100000
+        |    AND sum_token_len >= n_tokens * 3 AND sum_token_len <= n_tokens * 10
+        |    AND n_symbols * 10 <= n_tokens
+        |    AND n_bullet_lines * 10 <= n_lines * 9
+        |    AND n_ellipsis_lines * 10 <= n_lines * 3
+        |    AND n_alpha_tokens * 5 >= n_tokens * 4
+        |    AND n_stop >= 2) AS BIGINT) AS keep
+        |FROM c""".stripMargin,
+
+    "q_c4_filter" ->
+      """WITH t2 AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum filler text here.' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN 'too short.' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN 'this page uses javascript heavily.' || chr(10) ELSE '' END) ||
+        |    regexp_replace(text, '(table|row) ', '\1.' || chr(10), 'g') ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'if (x) { return; }' ELSE '' END) AS t
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"”]$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM t2)
+        |SELECT doc_id,
+        |  -- DuckDB array_to_string([]) is NULL; engine keeps '' for empty pages
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST((len(kept) >= 2 AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{')) AS BIGINT) AS keep
+        |FROM k""".stripMargin,
 
     "q_decontam" ->
       """WITH s AS (

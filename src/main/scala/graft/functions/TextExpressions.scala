@@ -234,3 +234,65 @@ case class NgramLangId(
   }
   override protected def withNewChildInternal(c: Expression): NgramLangId = copy(child = c)
 }
+
+/** Fused C4 line filter: split a page into lines, keep each line iff it
+  * ends in terminal punctuation (`.!?"”`), has at least `minLineWords`
+  * whitespace-tokens, and does not mention "javascript" (case-insensitive),
+  * then rejoin — one tight JVM pass per document, returning
+  * `struct(clean_text, n_kept_lines)`.
+  *
+  * Matches [[QualityFilters.c4CleanComposed]] exactly (spec-pinned): same
+  * `split(text, "\n")` semantics (limit -1 keeps trailing empty lines as
+  * candidates), same ASCII-space-only trim before the word count (empty
+  * lines count one empty token, like `split(trim(l), "\\s+")`), same
+  * terminal-punctuation set. The HOF formulation evaluates interpreted
+  * with a lambda frame per line — the same trap WordShingles /
+  * TopNgramFraction close; this is the gate/scale path. */
+case class C4LineFilter(child: Expression, minLineWords: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(minLineWords >= 1, s"minLineWords must be >= 1: $minLineWords")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_kept_lines", LongType, nullable = false)))
+  // null text -> ("", 0): callers coalesce, but be safe under direct use
+  override def nullable: Boolean = false
+
+  private def lineOk(l: String): Boolean = {
+    if (l.isEmpty) return false
+    val last = l.charAt(l.length - 1)
+    if (last != '.' && last != '!' && last != '?' && last != '"' && last != '”')
+      return false
+    if (TextExpressions.trimSpaces(l).split("\\s+", -1).length < minLineWords)
+      return false
+    !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+  }
+
+  private def result(cleanText: String, kept: Long): Any =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(cleanText), kept))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => result("", 0L)
+      case v => nullSafeEval(v)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val lines = input.asInstanceOf[UTF8String].toString.split("\n", -1)
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var i = 0
+    while (i < lines.length) {
+      if (lineOk(lines(i))) {
+        if (kept > 0) sb.append('\n')
+        sb.append(lines(i))
+        kept += 1
+      }
+      i += 1
+    }
+    result(sb.toString, kept)
+  }
+
+  override protected def withNewChildInternal(c: Expression): C4LineFilter = copy(child = c)
+}
