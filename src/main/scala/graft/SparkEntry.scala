@@ -412,6 +412,22 @@ object SparkEntry {
           .cast("long").as("keep"))
     }),
 
+    // Composed quality pipeline: C4 line clean -> page keep -> Gopher keep
+    // over the CLEANED text, one Catalyst plan (both filter suites are pure
+    // per-row projections, so the whole chain stays scan-bound — no
+    // shuffle at any scale). Same derived line structure as q_c4_filter.
+    "q_pipeline_quality" -> ((s, dir) => {
+      val t2 = c4DerivedText
+      val cols = functions.QualityFilters.c4Clean(t2, minLineWords = 3).toMap
+      t(s, dir, "documents")
+        .select(col("doc_id"), cols("clean_text").as("clean_text"),
+          functions.QualityFilters.c4DocKeep(t2, cols("n_kept_lines"), minKeptLines = 2)
+            .as("page_keep"))
+        .filter(col("page_keep"))
+        .filter(functions.QualityFilters.gopherKeep(col("clean_text"), minWords = 20))
+        .select(col("doc_id"), col("clean_text"))
+    }),
+
     // Benchmark decontamination: distinct-3-gram overlap of every doc
     // against the deterministic pseudo-benchmark (doc_id % 97 = 0).
     "q_decontam" -> ((s, dir) => {
@@ -1570,6 +1586,49 @@ object SparkEntry {
         |  CAST((len(kept) >= 2 AND NOT contains(lower(t), 'lorem ipsum')
         |    AND NOT contains(t, '{')) AS BIGINT) AS keep
         |FROM k""".stripMargin,
+
+    "q_pipeline_quality" ->
+      """WITH t2 AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum filler text here.' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN 'too short.' || chr(10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN 'this page uses javascript heavily.' || chr(10) ELSE '' END) ||
+        |    regexp_replace(text, '(table|row) ', '\1.' || chr(10), 'g') ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'if (x) { return; }' ELSE '' END) AS t
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"”]$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM t2),
+        |pages AS (
+        |  SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        |  FROM k
+        |  WHERE len(kept) >= 2 AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{')),
+        |c AS (
+        |  SELECT doc_id, clean_text,
+        |    CAST(len(regexp_split_to_array(trim(clean_text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(clean_text, '\s', '', 'g')) AS BIGINT) AS sum_token_len,
+        |    CAST(len(regexp_extract_all(' ' || clean_text, '\s\S*[A-Za-z]')) AS BIGINT) AS n_alpha_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(clean_text), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS n_stop,
+        |    CAST((length(clean_text) - length(replace(clean_text, '#', '')))
+        |      + (length(clean_text) - length(replace(clean_text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(string_split(clean_text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(regexp_extract_all(chr(10) || clean_text, chr(10) || '[-*•]')) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(regexp_extract_all(clean_text || chr(10), '(\.\.\.|…)' || chr(10))) AS BIGINT) AS n_ellipsis_lines
+        |  FROM pages)
+        |SELECT doc_id, clean_text FROM c
+        |WHERE n_tokens >= 20 AND n_tokens <= 100000
+        |  AND sum_token_len >= n_tokens * 3 AND sum_token_len <= n_tokens * 10
+        |  AND n_symbols * 10 <= n_tokens
+        |  AND n_bullet_lines * 10 <= n_lines * 9
+        |  AND n_ellipsis_lines * 10 <= n_lines * 3
+        |  AND n_alpha_tokens * 5 >= n_tokens * 4
+        |  AND n_stop >= 2""".stripMargin,
 
     "q_decontam" ->
       """WITH s AS (
