@@ -20,9 +20,9 @@ object Bench {
     "q_running_count", "q_running_sum", "q_pipeline_training",
     "q_filter", "q_column_filter", "q_split_words",
     "q_lang_id", "q_lang_id_ngram", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",
-    // document-quality suites: gopher is 8 regexp/replace counts per doc,
-    // c4 is the fused one-pass line filter — both pure scan-bound
-    "q_gopher", "q_c4_filter",
+    // document-quality suites (fused one-pass expressions) and the composed
+    // C4 -> Gopher pipeline — all pure scan-bound
+    "q_gopher", "q_c4_filter", "q_pipeline_quality",
     "q_redact", "q_repetition", "q_decontam", "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_pack",
     "q_chunk", "q_shuffle_order", "q_pipeline_curation", "q_pipeline_chunks",

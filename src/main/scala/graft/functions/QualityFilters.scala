@@ -25,12 +25,25 @@ object QualityFilters {
 
   private def txt(text: Column): Column = coalesce(text, lit(""))
 
-  /** The Gopher rule signals as exact longs. `n_symbols` counts `#`
+  /** The Gopher rule signals as exact longs, via the fused
+    * [[GopherSignals]] expression: one whitespace split + char scans per
+    * document instead of the composed form's eight regexp passes and
+    * interpreted per-token stopword lambda. Identical output —
+    * spec-pinned against [[gopherCountsComposed]]. */
+  def gopherCounts(text: Column): Seq[(String, Column)] = {
+    import org.apache.spark.sql.GraftExpr
+    val st = GraftExpr.column(
+      GopherSignals(GraftExpr.expression(txt(text)), TextFunctions.stopwords.head._2))
+    GopherSignals.fields.map(f => f -> st.getField(f))
+  }
+
+  /** The Gopher rule signals, COMPOSED reference implementation (backs the
+    * spec; the gate/scale path is [[gopherCounts]]). `n_symbols` counts `#`
     * characters plus `...` occurrences (the paper's "symbol" set);
     * `n_alpha_tokens` counts whitespace-tokens containing at least one
     * ASCII letter; bullet/ellipsis line counts follow the paper's
     * line-shape rules. */
-  def gopherCounts(text: Column): Seq[(String, Column)] = {
+  def gopherCountsComposed(text: Column): Seq[(String, Column)] = {
     val t = txt(text)
     val nHash = length(t) - length(replace(t, lit("#"), lit("")))
     val nDots = (length(t) - length(replace(t, lit("..."), lit("")))) / 3

@@ -296,3 +296,103 @@ case class C4LineFilter(child: Expression, minLineWords: Int)
 
   override protected def withNewChildInternal(c: Expression): C4LineFilter = copy(child = c)
 }
+
+/** Fused Gopher rule signals (Rae et al. 2021): all eight exact counts in
+  * ONE pass over the document — one whitespace split plus char scans —
+  * returning `struct(n_tokens, sum_token_len, n_alpha_tokens, n_stop,
+  * n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines)` as longs.
+  *
+  * Matches [[QualityFilters.gopherCountsComposed]] exactly (spec-pinned):
+  * token signals use `trimSpaces` + `split("\\s+", -1)` (the composed
+  * `tokens()` semantics — empty text yields one empty token), line signals
+  * use the RAW coalesced text, `n_symbols` counts `#` chars plus
+  * non-overlapping left-to-right `...` occurrences (the `replace`-identity
+  * the composed form uses), and an ellipsis line is one ending in `...` or
+  * `…`. The composed form pays eight regexp passes plus an interpreted
+  * per-token HOF lambda for the stopword count — the same trap WordShingles
+  * closes; this is the gate/scale path. */
+case class GopherSignals(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(
+    GopherSignals.fields.map(StructField(_, LongType, nullable = false)))
+  // null text behaves like empty text (the sibling ops' convention)
+  override def nullable: Boolean = false
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => nullSafeEval(UTF8String.EMPTY_UTF8)
+      case v => nullSafeEval(v)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    // token signals over the space-trimmed text
+    val toks = TextExpressions.trimSpaces(raw).split("\\s+", -1)
+    val nTokens = toks.length.toLong
+    var sumTokLen = 0L
+    var nAlpha = 0L
+    var nStop = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumTokLen += t.length
+      var j = 0
+      var hasAlpha = false
+      while (j < t.length && !hasAlpha) {
+        val c = t.charAt(j)
+        hasAlpha = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+        j += 1
+      }
+      if (hasAlpha) nAlpha += 1
+      if (stopSet.contains(t)) nStop += 1
+      i += 1
+    }
+    // char signals over the RAW text: '#' count, non-overlapping '...'
+    // (left-to-right, the replace() identity), line count
+    var nHash = 0L
+    var nDots = 0L
+    var nLines = 1L
+    i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '#') nHash += 1
+      if (c == '\n') nLines += 1
+      if (c == '.' && i + 2 < raw.length &&
+          raw.charAt(i + 1) == '.' && raw.charAt(i + 2) == '.') {
+        nDots += 1
+        i += 3
+      } else i += 1
+    }
+    // line-shape signals: bullet start, ellipsis end (both '...' and '…')
+    var nBullet = 0L
+    var nEllipsis = 0L
+    val lines = raw.split("\n", -1)
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.nonEmpty) {
+        val first = l.charAt(0)
+        if (first == '-' || first == '*' || first == '•') nBullet += 1
+        if (l.endsWith("...") || l.charAt(l.length - 1) == '…') nEllipsis += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, sumTokLen, nAlpha, nStop, nHash + nDots, nLines,
+        nBullet, nEllipsis))
+  }
+
+  override protected def withNewChildInternal(c: Expression): GopherSignals = copy(child = c)
+}
+
+object GopherSignals {
+  val fields: Seq[String] = Seq("n_tokens", "sum_token_len", "n_alpha_tokens",
+    "n_stop", "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines")
+}

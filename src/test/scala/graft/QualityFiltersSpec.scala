@@ -69,6 +69,22 @@ class QualityFiltersSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(true, false, false))
   }
 
+  test("GopherSignals fused counts are identical to the composed formulation") {
+    import spark.implicits._
+    val texts = edgeTexts ++ Seq(
+      "# ## ### .... ..... …\n…\n...",          // symbol/ellipsis pile-ups
+      "- dash line\n* star line\n• bullet line", // every bullet marker
+      "\tthe tab-edged a line of it \n",         // trim-vs-\s divergence edges
+      "the a of and to in is it the the")        // pure stopwords
+    val df = texts.toDF("t")
+    val rows = df.select(
+      QualityFilters.gopherCountsComposed(col("t")).map { case (n, c) => c.as("c_" + n) } ++
+        QualityFilters.gopherCounts(col("t")).map { case (n, c) => c.as("f_" + n) }: _*)
+      .collect()
+    for (r <- rows; f <- graft.functions.GopherSignals.fields)
+      assert(r.getAs[Long]("c_" + f) == r.getAs[Long]("f_" + f), s"$f in $r")
+  }
+
   private def gopherRow(text: String, minWords: Int = 5): Row = {
     import spark.implicits._
     Seq(text).toDF("t").select(
