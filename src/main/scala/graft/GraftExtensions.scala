@@ -16,7 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Registered: cosine_similarity(a, b), word_shingles(text, n),
   * minhash_bands(shingles, bands, rows_per_band), simhash64(tokens),
   * minhash_signature(shingles, k), rolling_hash(text),
-  * graft_filter(line, pattern) — the reference's FILTER predicate
+  * gopher_signals(text), gopher_keep(text[, min_words]), c4_clean(text[,
+  * min_line_words]), graft_filter(line, pattern) — the reference's FILTER predicate
   * (case-insensitive substring, Operators.java:121-144) as a SQL function.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -113,5 +114,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - stopword-hit language guess (en/es/de/fr/zh/und)"),
       composed("lang_id", TextFunctions.langId)))
+
+    ext.injectFunction((FunctionIdentifier("gopher_signals"),
+      info("gopher_signals",
+        "gopher_signals(text) - struct of the eight exact Gopher rule counts " +
+          "(n_tokens, sum_token_len, n_alpha_tokens, n_stop, n_symbols, " +
+          "n_lines, n_bullet_lines, n_ellipsis_lines)"),
+      arity("gopher_signals", 1)(args =>
+        GopherSignals(args.head, TextFunctions.stopwords.head._2))))
+
+    ext.injectFunction((FunctionIdentifier("gopher_keep"),
+      info("gopher_keep",
+        "gopher_keep(text[, min_words]) - Gopher rule-suite keep decision"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => GraftExpr.catalystExpression(
+          QualityFilters.gopherKeep(GraftExpr.column(t)))
+        case Seq(t, mw) => GraftExpr.catalystExpression(
+          QualityFilters.gopherKeep(GraftExpr.column(t),
+            minWords = intLit(mw, "min_words")))
+        case _ => throw new IllegalArgumentException("gopher_keep takes 1 or 2 arguments")
+      }))
+
+    ext.injectFunction((FunctionIdentifier("c4_clean"),
+      info("c4_clean",
+        "c4_clean(text[, min_line_words]) - C4 line filter: " +
+          "struct(clean_text, n_kept_lines)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => C4LineFilter(t, 3)
+        case Seq(t, mw) => C4LineFilter(t, intLit(mw, "min_line_words"))
+        case _ => throw new IllegalArgumentException("c4_clean takes 1 or 2 arguments")
+      }))
   }
 }

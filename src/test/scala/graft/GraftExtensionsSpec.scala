@@ -42,11 +42,28 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(r2.getDouble(1) == 1.0 - 2.0 / 3.0)
       assert(r2.getDouble(2) == 0.6)
       assert(r2.getString(3) == "en")
+      val r3 = s.sql(
+        """SELECT
+          |  gopher_signals('the cat sat # ...').n_tokens AS nt,
+          |  gopher_signals('the cat sat # ...').n_symbols AS ns,
+          |  gopher_keep('a b') AS keep_short,
+          |  gopher_keep('the quick brown foxes jumped over the lazy dogs today', 5) AS keep5,
+          |  c4_clean('good sentence with punctuation.' || chr(10) || 'no punct') AS c4,
+          |  c4_clean('one two.' || chr(10) || 'one two three.', 2).n_kept_lines AS k2
+          |""".stripMargin).first()
+      assert(r3.getLong(0) == 5L)
+      assert(r3.getLong(1) == 2L)
+      assert(!r3.getBoolean(2)) // 2 words < default 50
+      assert(r3.getBoolean(3))
+      assert(r3.getStruct(4).getAs[String]("clean_text") == "good sentence with punctuation.")
+      assert(r3.getLong(5) == 2L)
       // arity errors are explicit, not raw IndexOutOfBounds / silent drops
       val e = intercept[Exception](s.sql("SELECT redact_pii()").collect())
       assert(e.getMessage.contains("exactly 1 argument"), e.getMessage)
       val e2 = intercept[Exception](s.sql("SELECT lang_id('a', 'b')").collect())
       assert(e2.getMessage.contains("exactly 1 argument"), e2.getMessage)
+      val e3 = intercept[Exception](s.sql("SELECT gopher_keep()").collect())
+      assert(e3.getMessage.contains("1 or 2 arguments"), e3.getMessage)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

@@ -95,4 +95,36 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getBoolean(0), s"seed=$seed")
     }
   }
+
+  // Hostile-text generator for the fused quality expressions: words mixed
+  // with every char class the signals branch on (whitespace runs incl.
+  // tab/newline edges, bullets, dot runs, unicode ellipsis/quotes, braces,
+  // stopwords, digits, terminal punctuation).
+  private val hostileGen: Gen[String] = Gen.listOfN(40, Gen.frequency(
+    6 -> Gen.oneOf("word", "the", "a", "it", "Alpha", "b2", "123", "#tag"),
+    3 -> Gen.oneOf(" ", "  ", "\t", "\n", "\n\n", " \n "),
+    2 -> Gen.oneOf(".", "...", "....", "…", "!", "?", "\"", "”"),
+    1 -> Gen.oneOf("- ", "* ", "• ", "{", "}", "javascript", "Lorem ipsum")))
+    .map(_.mkString)
+
+  test("fused Gopher/C4 expressions match their composed formulations on hostile text") {
+    import graft.functions.QualityFilters
+    import spark.implicits._
+    val texts = (1L to 12L).map(sample(hostileGen, _))
+    val df = texts.toDF("t")
+    val gRows = df.select(
+      QualityFilters.gopherCountsComposed(col("t")).map { case (n, c) => c.as("c_" + n) } ++
+        QualityFilters.gopherCounts(col("t")).map { case (n, c) => c.as("f_" + n) }: _*)
+      .collect()
+    for (r <- gRows; f <- graft.functions.GopherSignals.fields)
+      assert(r.getAs[Long]("c_" + f) == r.getAs[Long]("f_" + f), s"$f in $r")
+    val cRows = df.select(
+      QualityFilters.c4CleanComposed(col("t"), 2).map { case (n, c) => c.as("c_" + n) } ++
+        QualityFilters.c4Clean(col("t"), 2).map { case (n, c) => c.as("f_" + n) }: _*)
+      .collect()
+    for (r <- cRows) {
+      assert(r.getAs[String]("c_clean_text") == r.getAs[String]("f_clean_text"), r.toString)
+      assert(r.getAs[Long]("c_n_kept_lines") == r.getAs[Long]("f_n_kept_lines"), r.toString)
+    }
+  }
 }
