@@ -16,7 +16,7 @@ object Bench {
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "q_funnel", "q_funnel_conv", "q_retention",
     "q_asof", "q_asof_iv", "q_sessionize", "q_skew_join", "q_skew_distinct",
-    "q_events_window", "q_events_sliding", "q_events_sessions",
+    "q_events_window", "q_events_sliding", "q_events_sessions", "q_events_props",
     "q_running_count", "q_running_sum", "q_pipeline_training",
     "q_filter", "q_column_filter", "q_split_words",
     "q_lang_id", "q_lang_id_ngram", "q_quality", "q_token_count", "q_fingerprint", "q_sketches",

@@ -323,6 +323,18 @@ object SparkEntry {
         .select(unix_micros(col("s_start")).as("s_start"),
           col("event_type"), col("n"))),
 
+    // Semi-structured event properties: JSON extraction (from_json with an
+    // explicit schema — one parse per row, scan-bound) feeding a keyed agg.
+    // Malformed/missing keys become nulls and are excluded from the
+    // aggregates but counted, the usual telemetry convention.
+    "q_events_props" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum(col("k")).cast("long").as("sum_k"), max(col("k")).as("max_k"))),
+
     // ---------------------------------------------------------------------
     // Text analysis (training-data pipeline ops).
     // ---------------------------------------------------------------------
@@ -1088,6 +1100,15 @@ object SparkEntry {
         |  FROM o)
         |SELECT min(t_us) AS s_start, event_type, count(*) AS n
         |FROM i GROUP BY event_type, sid""".stripMargin,
+
+    "q_events_props" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+        |FROM p GROUP BY event_type""".stripMargin,
 
     "q_lang_id" ->
       """WITH s AS (
