@@ -429,6 +429,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("quality filter chain (C4 clean -> page keep -> Gopher keep) streams unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.QualityFilters
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    def chain(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cols = QualityFilters.c4Clean(col("text"), minLineWords = 3).toMap
+      df.select(col("doc_id"), cols("clean_text").as("clean_text"),
+          QualityFilters.c4DocKeep(col("text"), cols("n_kept_lines"), minKeptLines = 1)
+            .as("page_keep"))
+        .filter(col("page_keep"))
+        .filter(QualityFilters.gopherKeep(col("clean_text"), minWords = 5))
+        .select(col("doc_id"), col("clean_text"))
+    }
+    val q = chain(stream).writeStream.format("memory").queryName("qual_out")
+      .outputMode("append").start()
+    try {
+      // mixed pages: a keeper, a brace page, a short page, a js-line page
+      val docs = Seq(
+        1L -> "the quick brown foxes jumped around today.\nit is quite a pleasant sunny day outside.",
+        2L -> "the quick brown foxes jumped around today.\ncode { goes here } now.",
+        3L -> "too short.",
+        4L -> "this one uses javascript heavily.\nthe cat sat on a mat today and it was good.")
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("qual_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val want = chain(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == want && got.nonEmpty)
+      assert(got.map(_._1).contains(1L) && !got.map(_._1).contains(2L))
+    } finally { q.stop() }
+  }
+
   test("decontamination runs stream-static: streaming docs against a static benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
