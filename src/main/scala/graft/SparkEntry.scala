@@ -588,6 +588,15 @@ object SparkEntry {
         .select("doc_id", "chunk_idx")
     }),
 
+    // Span dedup with reassembly (the C4 shape end-to-end): surviving
+    // 32-token spans rejoin into per-document cleaned text in position
+    // order — one fingerprint window + one doc-keyed agg.
+    "q_dedup_rebuild" -> ((s, dir) => {
+      val chunks = Curation.chunkDocuments(
+        t(s, dir, "documents"), maxTokens = 32, overlap = 0)
+      Dedup.rebuildFromSpans(chunks, "doc_id", "chunk_idx", "chunk")
+    }),
+
     // The context-window pipeline in one plan: chunk every doc into
     // 32-token spans -> drop repeated spans (first occurrence wins) ->
     // pack survivors into 2048-token training sequences. Chunking is a
@@ -1383,6 +1392,24 @@ object SparkEntry {
         |      ORDER BY doc_id, chunk_idx) AS rk
         |  FROM ch)
         |WHERE rk = 1""".stripMargin,
+
+    "q_dedup_rebuild" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_idx,
+        |         array_to_string(toks[s:s+31], ' ') AS chunk
+        |  FROM (SELECT doc_id,
+        |          coalesce(regexp_split_to_array(trim(text), '\s+'), []) AS toks
+        |        FROM documents),
+        |       UNNEST(range(1, greatest(len(toks) - 1, 0) + 2, 32)) AS u(s)),
+        |k AS (
+        |  SELECT doc_id, chunk_idx, chunk FROM (
+        |    SELECT doc_id, chunk_idx, chunk,
+        |      row_number() OVER (PARTITION BY md5(chunk)
+        |        ORDER BY doc_id, chunk_idx) AS rk
+        |    FROM ch)
+        |  WHERE rk = 1)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS rebuilt
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     "q_pipeline_chunks" ->
       """WITH ch AS (

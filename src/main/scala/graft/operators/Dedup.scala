@@ -72,6 +72,29 @@ object Dedup {
       .drop("__graft_occ")
   }
 
+  /** Span dedup with document reassembly — the C4 shape end-to-end: drop
+    * every later occurrence of each distinct span ([[firstOccurrence]]),
+    * then rebuild each document from its surviving spans in position
+    * order. Cost on top of the fingerprint window is ONE doc-keyed agg;
+    * span text crosses the wire exactly once, in that agg's shuffle. The
+    * per-group sort + join runs on one doc's span list (bounded by
+    * document length, not corpus size). A document whose every span
+    * occurred earlier disappears entirely, C4 semantics. */
+  def rebuildFromSpans(
+      spans: DataFrame,
+      idCol: String,
+      posCol: String,
+      spanCol: String,
+      sep: String = " ",
+      as: String = "rebuilt"): DataFrame =
+    firstOccurrence(spans, col(spanCol), Seq(col(idCol), col(posCol)))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(posCol), col(spanCol)))),
+          x => x.getField(spanCol)),
+        sep).as(as))
+
   /** All pairs with exact n-gram-shingle Jaccard >= threshold, via a
     * postings-list join: explode distinct shingles, self-join on the shingle
     * (a keyed shuffle), count shared shingles per pair. Exact — the

@@ -65,6 +65,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "more text", "second doc body", "third doc"))
   }
 
+  test("rebuildFromSpans reassembles survivors in position order; fully-duplicate docs vanish") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode, split => fsplit}
+    val docs = Seq(
+      (1L, "unique intro\n\nshared boilerplate\n\nmore text"),
+      (2L, "shared boilerplate\n\nsecond doc body"),
+      (3L, "shared boilerplate")) // every span already seen -> doc vanishes
+      .toDF("doc_id", "text")
+    val paras = docs.select(col("doc_id"),
+      posexplode(fsplit(col("text"), "\n\n")).as(Seq("idx", "para")))
+    val got = graft.operators.Dedup
+      .rebuildFromSpans(paras, "doc_id", "idx", "para", sep = "\n\n")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      1L -> "unique intro\n\nshared boilerplate\n\nmore text",
+      2L -> "second doc body"))
+  }
+
   test("minhash LSH finds exactly the brute-force pairs (verified candidates)") {
     val brute = Dedup.ngramJaccardPairs(docs, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
