@@ -635,6 +635,15 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         Seq("n_tokens"), Seq(0.5, 0.99), groupCols = Seq("source"))),
 
+    // Adaptive quality cut: keep docs at or above their OWN source's p25
+    // token count (per-group thresholds broadcast back; exact percentile =
+    // the oracle path, the GK-sketch default is the 100 TB path).
+    "q_quality_cut" -> ((s, dir) =>
+      Curation.keepAboveQuantile(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", 0.25, groupCols = Seq("source"), exact = true)),
+
     // Hot-key guard (the mitigation SCALE.md prescribes ahead of per-key
     // total-order ops): drop users carrying more than 80 events. The hot
     // set is one tiny keyed count; data anti-joins against it broadcast.
@@ -1459,6 +1468,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT source, 'n_tokens', 0.99, quantile_cont(n_tokens, 0.99)
         |FROM t GROUP BY source""".stripMargin,
+
+    "q_quality_cut" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |th AS (SELECT source, quantile_cont(n_tokens, 0.25) AS th
+        |       FROM t GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_tokens
+        |FROM t JOIN th USING (source)
+        |WHERE t.n_tokens >= th.th""".stripMargin,
 
     // the TRUE marker (not h.user_id) carries the anti-join filter: for a
     // hot NULL key the matched h.user_id is itself NULL, so `h.user_id IS

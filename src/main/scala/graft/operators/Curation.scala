@@ -235,6 +235,34 @@ object Curation {
       .select(groupCols.map(col) ++ Seq(col("col_name"), col("prob"), col("value")): _*)
   }
 
+  /** Adaptive quality threshold: keep rows whose score clears the
+    * prob-quantile of that score — globally, or within each group (the
+    * per-language / per-source cut real corpus curation runs, so a
+    * low-resource group is trimmed against its own distribution, not the
+    * majority's). The threshold frame is one row per group (an aggregate,
+    * partial-combined map-side) joined back broadcast: two passes over the
+    * data, no driver round-trip. `exact = true` uses the interpolated
+    * exact percentile (the oracle path — buffers a group's scores in agg
+    * state); the default GK sketch has bounded mergeable state, the only
+    * viable shape at 100 TB. Null scores never clear the threshold. */
+  def keepAboveQuantile(
+      df: DataFrame,
+      scoreCol: String,
+      prob: Double,
+      groupCols: Seq[String] = Nil,
+      exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(prob >= 0.0 && prob <= 1.0, s"prob out of [0,1]: $prob")
+    val th =
+      (if (exact) percentile(col(scoreCol), lit(prob))
+       else percentile_approx(col(scoreCol).cast("double"), lit(prob), lit(accuracy)))
+        .as("__graft_th")
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(df.agg(th)))
+      else df.join(broadcast(df.groupBy(groupCols.map(col): _*).agg(th)), groupCols)
+    joined.filter(col(scoreCol) >= col("__graft_th")).drop("__graft_th")
+  }
+
   /** Pack documents into fixed token-budget training sequences: doc d (in
     * `orderCols` order) lands in sequence `floor(exclusive_prefix_tokens /
     * seqTokens)` — the standard contiguous-packing-by-offset rule (each

@@ -248,6 +248,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(byG == Seq(("a", 0.5, 5.5), ("b", 0.5, 110.5)))
   }
 
+  test("keepAboveQuantile: per-group cuts against each group's own distribution") {
+    import spark.implicits._
+    // group a: 1..10 (p50 interpolates to 5.5 -> keeps 6..10);
+    // group b: 101..120 (p50 = 110.5 -> keeps 111..120) — a global cut
+    // would keep ALL of b and none of a
+    val df = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (101 to 120).map(i => (i.toLong, "b"))).toDF("x", "g").repartition(5)
+    val got = Curation.keepAboveQuantile(df, "x", 0.5,
+        groupCols = Seq("g"), exact = true)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("x"))).sorted.toSeq
+    assert(got == ((6 to 10).map(i => ("a", i.toLong)) ++
+      (111 to 120).map(i => ("b", i.toLong))).sorted.toSeq)
+    // global cut over the union; null scores never survive
+    val withNull = df.union(Seq((null.asInstanceOf[java.lang.Long], "a"))
+      .toDF("x", "g").select(col("x").cast("long"), col("g")))
+    val glob = Curation.keepAboveQuantile(withNull, "x", 0.9, exact = true)
+      .collect().map(_.getAs[Long]("x")).sorted.toSeq
+    // p90 over the 30 non-null values (1..10, 101..120) = 117.1 -> 118..120
+    assert(glob == Seq(118L, 119L, 120L))
+    // sketch path: a real element no more than one rank from the exact cut
+    val apx = Curation.keepAboveQuantile(df.filter(col("g") === "b"), "x", 0.5)
+      .collect().map(_.getAs[Long]("x")).min
+    assert(apx == 110L || apx == 111L, s"got min $apx")
+  }
+
   test("chunkDocuments: null text behaves like empty text (one chunk, n_tokens 0)") {
     import spark.implicits._
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, "real doc here"))
