@@ -831,6 +831,13 @@ object SparkEntry {
       Dedup.survivors(t(s, dir, "documents").select("doc_id", "source"),
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5))),
 
+    // ...or keep the BEST member of each cluster (here: longest doc,
+    // n_chars DESC with id tiebreak) — the survivor rule curation wants.
+    "q_dedup_best" -> ((s, dir) =>
+      Dedup.survivorsBy(t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5),
+        scoreCol = "n_chars")),
+
     // SimHash banding (no SQL oracle — rows-only check).
     // Portable hash => the whole banded-join + hamming pipeline is verified
     // against a from-scratch SQL simhash (rows-only before round 4).
@@ -1804,6 +1811,29 @@ object SparkEntry {
         |lab AS (SELECT src AS id, MIN(dst) AS root FROM reach GROUP BY src)
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> root)""".stripMargin,
+
+    "q_dedup_best" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pp AS (SELECT a_id, b_id FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pp UNION SELECT b_id, a_id FROM pp),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |lab AS (SELECT src AS id, MIN(dst) AS root FROM reach GROUP BY src),
+        |m AS (SELECT l.id, l.root, d.n_chars FROM lab l
+        |      JOIN documents d ON d.doc_id = l.id),
+        |r AS (SELECT id, row_number() OVER (PARTITION BY root
+        |        ORDER BY n_chars DESC, id) AS rk FROM m)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM r WHERE rk <> 1)""".stripMargin,
 
     "q_dedup_ngram_capped" ->
       """WITH s AS (

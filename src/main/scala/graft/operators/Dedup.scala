@@ -587,4 +587,31 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Keep the BEST document per near-dup cluster — the survivor rule real
+    * curation wants (highest quality score, longest text, freshest crawl),
+    * where [[survivors]]' min-id rule is only a deterministic default.
+    * Ranks each cluster by `scoreCol` DESC with an id tiebreak, so the
+    * choice is total and rerun-stable. Cost over [[survivors]]: the
+    * cluster map joins the (id, score) projection — never full text —
+    * and one window over clustered ids ranks members; docs outside any
+    * pair are untouched. */
+  def survivorsBy(
+      docs: DataFrame,
+      pairs: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id",
+      aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    val members = clusters(pairs, aCol, bCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__graft_s")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__graft_s").desc_nulls_last, col("doc_id"))
+    val losers = members
+      .withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") =!= 1)
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -308,4 +308,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // clusters {1,2,3}->1 and {5,6}->5; 4,7,8 never appeared in pairs
     assert(kept == Seq(1L, 4L, 5L, 7L, 8L))
   }
+
+  test("survivorsBy keeps the highest-scored member per cluster, id tiebreak") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // cluster {1,2,3}: 2 wins on score
+      (5L, 7L), (6L, 7L),              // cluster {5,6}: tie -> min id 5
+      (4L, 1L), (7L, 2L))              // unpaired, untouched
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val kept = Dedup.survivorsBy(docs, pairs, scoreCol = "score")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L, 7L))
+  }
 }
