@@ -489,6 +489,17 @@ object SparkEntry {
         "doc_id", "source",
         Seq("src1" -> 2.5, "src2" -> 0.5), defaultWeight = 1.0)),
 
+    // Declarative mixture: down-sample three sources to 50/30/20 TOKEN
+    // shares, rates derived in-plan from the corpus's own token masses
+    // (groups outside the spec drop; the binding group keeps rate 1).
+    "q_mixture_target" -> ((s, dir) =>
+      Curation.mixtureToTargets(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "source",
+        "n_tokens", Seq("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
+        .select("doc_id", "source", "n_tokens")),
+
     // Mixture accounting: docs + estimated tokens per (source, language) —
     // the aggregate a data-mixture weighting step consumes. One tiny
     // groups-sized shuffle after partial aggregation.
@@ -1238,6 +1249,22 @@ object SparkEntry {
         |  FROM documents)
         |WHERE b < CASE source WHEN 'src1' THEN 5000 WHEN 'src2' THEN 1000
         |                      WHEN 'src3' THEN 0 ELSE 8000 END""".stripMargin,
+
+    "q_mixture_target" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT * FROM (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2))
+        |      AS w(source, wt)),
+        |c AS (SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS c
+        |      FROM t GROUP BY source),
+        |m AS (SELECT c.source, c.c, w.wt FROM c JOIN w USING (source) WHERE c.c > 0),
+        |s AS (SELECT min(c / wt) AS S FROM m),
+        |r AS (SELECT source, S * wt / c AS rate FROM m, s)
+        |SELECT t.doc_id, t.source, t.n_tokens
+        |FROM t JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mixture'), 1, 15))::UBIGINT
+        |           % 10000 AS BIGINT) < rate * 10000""".stripMargin,
 
     "q_mixture_up" ->
       """SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy FROM (

@@ -104,6 +104,44 @@ object Curation {
     df.filter(hashBucketSalted(col(idCol), salt) < threshold)
   }
 
+  /** Rebalance a corpus to declared per-group TOKEN shares by
+    * down-sampling: each group's keep rate is derived IN-PLAN from the
+    * corpus's own token masses — `rate_g = S·w_g / c_g` with
+    * `S = min_g(c_g / w_g)`, the largest achievable total at the target
+    * mix, so the binding (scarcest-relative-to-target) group keeps rate 1
+    * and every other group trims to match it. Groups not in `targets`
+    * drop entirely (a declared mixture is a total spec). Shape at scale:
+    * one partial-combined agg for the masses (rows = groups), a one-row
+    * min, and the tiny rate table broadcast back onto the scan — the keep
+    * decision stays the salted-bucket compare of [[mixtureSample]]
+    * (expected token mass hits the targets; exactness is Bernoulli).
+    * Double math is kept in the same operation order as the SQL oracle so
+    * both engines derive bit-identical rates. */
+  def mixtureToTargets(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCol: String,
+      targets: Seq[(String, Double)],
+      salt: String = "mixture"): DataFrame = {
+    require(targets.nonEmpty, "need at least one (group, weight)")
+    targets.foreach { case (g, w) => require(w > 0.0, s"weight must be > 0: $g -> $w") }
+    val w = targets.foldRight(lit(null).cast("double")) { case ((g, wt), acc) =>
+      when(col(groupCol) === g, lit(wt)).otherwise(acc)
+    }
+    val masses = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("double").as("__c"))
+      .withColumn("__w", w)
+      .filter(col("__w").isNotNull && col("__c") > 0)
+    val s = masses.agg(min(col("__c") / col("__w")).as("__S"))
+    val rates = masses.crossJoin(broadcast(s))
+      .select(col(groupCol), (col("__S") * col("__w") / col("__c")).as("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucketSalted(col(idCol), salt).cast("double") <
+        col("__rate") * lit(SplitBuckets.toDouble))
+      .drop("__rate")
+  }
+
   /** Mixture weighting with weights ABOVE 1: each row is replicated
     * `floor(w)` times plus one more copy iff its salted bucket lands under
     * the fractional part — so a 2.5-weighted source yields exactly 2 or 3

@@ -248,6 +248,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(byG == Seq(("a", 0.5, 5.5), ("b", 0.5, 110.5)))
   }
 
+  test("mixtureToTargets: binding group keeps rate 1, shares land on target, untargeted drop") {
+    import spark.implicits._
+    // equal 10-token docs; masses a=30k, b=10k, c=20k tokens; targets
+    // 60/20 for a/b -> ratios c/w: a=50k, b=50k (tied binding), c dropped
+    val df = ((1 to 3000).map(i => (i.toLong, "a")) ++
+      (100001 to 101000).map(i => (i.toLong, "b")) ++
+      (200001 to 202000).map(i => (i.toLong, "c")))
+      .toDF("doc_id", "g").withColumn("n_tok", lit(10L)).repartition(7)
+    val kept = Curation.mixtureToTargets(df, "doc_id", "g", "n_tok",
+      Seq("a" -> 0.6, "b" -> 0.2)).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("doc_id")))
+    val byG = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    // both groups bind (rate exactly 1): every row of a and b survives
+    assert(byG == Map("a" -> 3000, "b" -> 1000))
+    assert(!kept.exists(_._1 == "c"))
+    // unequal binding: target 30/70 -> b binds (10k/0.7 < 30k/0.3),
+    // a trims to ~ (10k/0.7)*0.3/30k = 1/7 of its rows (Bernoulli)
+    val kept2 = Curation.mixtureToTargets(df, "doc_id", "g", "n_tok",
+      Seq("a" -> 0.3, "b" -> 0.7)).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("doc_id"))).toSeq
+    val n2 = kept2.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(n2("b") == 1000)
+    assert(math.abs(n2("a") - 3000.0 / 7.0) < 60, s"got ${n2("a")}")
+    // deterministic: same ids on a repartitioned rerun
+    val again = Curation.mixtureToTargets(df.repartition(3), "doc_id", "g", "n_tok",
+      Seq("a" -> 0.3, "b" -> 0.7)).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("doc_id"))).toSeq
+    assert(again.sorted == kept2.sorted)
+  }
+
   test("keepAboveQuantile: per-group cuts against each group's own distribution") {
     import spark.implicits._
     // group a: 1..10 (p50 interpolates to 5.5 -> keeps 6..10);
