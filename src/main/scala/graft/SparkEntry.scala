@@ -646,6 +646,12 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         Seq("n_tokens"), Seq(0.5, 0.99), groupCols = Seq("source"))),
 
+    // Corpus-relative token rarity: per doc, the count of its token
+    // occurrences plus sum/min of their corpus-wide frequencies — exact
+    // integers, the division-free form of a rarity score.
+    "q_token_rarity" -> ((s, dir) =>
+      Curation.tokenRarity(t(s, dir, "documents"))),
+
     // Adaptive quality cut: keep docs at or above their OWN source's p25
     // token count (per-group thresholds broadcast back; exact percentile =
     // the oracle path, the GK-sketch default is the 100 TB path).
@@ -1502,6 +1508,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT source, 'n_tokens', 0.99, quantile_cont(n_tokens, 0.99)
         |FROM t GROUP BY source""".stripMargin,
+
+    "q_token_rarity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(tf) AS BIGINT) AS sum_tf,
+        |  CAST(min(tf) AS BIGINT) AS min_tf
+        |FROM tk JOIN f USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     "q_quality_cut" ->
       """WITH t AS (SELECT doc_id, source,

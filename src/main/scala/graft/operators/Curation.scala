@@ -104,6 +104,30 @@ object Curation {
     df.filter(hashBucketSalted(col(idCol), salt) < threshold)
   }
 
+  /** Corpus-relative token rarity signals, all exact integers (so the
+    * cross-engine oracle hash-matches — a float logprob sum would be
+    * addition-order-dependent): per document, the count of its token
+    * occurrences plus the sum and min of their CORPUS-WIDE occurrence
+    * frequencies. Low `sum_tf/n_tok` = rare vocabulary (OCR noise,
+    * gibberish, code); high = boilerplate. Shape at scale: one exploded
+    * token agg (partial-combined, vocab-sized result), then a token-keyed
+    * join back — stopword tokens are hot probe-side keys, which is a JOIN
+    * (AQE skew-split applies), not a per-key window — and one doc-keyed
+    * agg. Text itself never shuffles, only (id, token) pairs. */
+  def tokenRarity(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+    toks.join(freq, Seq("__tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("__tf")).cast("long").as("sum_tf"),
+        min(col("__tf")).as("min_tf"))
+  }
+
   /** Rebalance a corpus to declared per-group TOKEN shares by
     * down-sampling: each group's keep rate is derived IN-PLAN from the
     * corpus's own token masses — `rate_g = S·w_g / c_g` with

@@ -248,6 +248,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(byG == Seq(("a", 0.5, 5.5), ("b", 0.5, 110.5)))
   }
 
+  test("tokenRarity: corpus-wide frequencies, exact integer signals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat"),        // the:3, cat:2
+      (2L, "the cat sat"),    // sat:1
+      (3L, "the"))
+      .toDF("doc_id", "text")
+    val got = Curation.tokenRarity(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 5L, 2L),   // the(3) + cat(2); rarest 2
+      (2L, 3L, 6L, 1L),   // 3 + 2 + 1; rarest 1
+      (3L, 1L, 3L, 3L)))
+  }
+
   test("mixtureToTargets: binding group keeps rate 1, shares land on target, untargeted drop") {
     import spark.implicits._
     // equal 10-token docs; masses a=30k, b=10k, c=20k tokens; targets
