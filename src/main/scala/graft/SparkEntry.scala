@@ -295,6 +295,64 @@ object SparkEntry {
         .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
     }),
 
+    // TPC-H Q6 shape: the pure pushdown query — every predicate (date
+    // range, discount band, quantity cap) reaches the parquet scan as a
+    // PushedFilter, then a scalar aggregate with map-side partials. At
+    // 100 TB this reads only the row groups whose min/max footers overlap
+    // the bands — the whole query is scan-bound with ZERO shuffled rows
+    // beyond one partial-agg row per partition.
+    "q6_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < lit(24.0))
+        .agg(dsum4(col("l_extendedprice") * col("l_discount"), "revenue"))
+    }),
+
+    // Semi-join shape (TPC-H Q4 family): orders with at least one returned
+    // line, counted by priority. LEFT SEMI shuffles only the join KEYS of
+    // the probe side and short-circuits on first match — no fact×fact
+    // row explosion, no payload duplication; the priority agg then runs on
+    // the (much smaller) matched orders.
+    "q_semi_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val ret = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      ord.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Anti-join shape (TPC-H Q22 family): customers with NO big-ticket
+    // order, rolled up by segment with an exact-decimal balance sum. LEFT
+    // ANTI is the scale-correct "NOT EXISTS": one keyed shuffle of
+    // (custkey) vs the filtered order custkeys — never a driver-side NOT
+    // IN list, and the price predicate is pushed to the orders scan.
+    "q_anti_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000).select("o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), "sum_bal"))
+    }),
+
+    // ROLLUP hierarchy profile: (priority, status) -> priority subtotals ->
+    // grand total in ONE pass — Spark expands grouping sets inside the same
+    // hash aggregate (one shuffle, partial-combined), vs three separate
+    // scans+aggs. Rolled-up levels surface as 'ALL' (coalesce) so the
+    // cross-engine hash sees identical sentinel rows, and because the
+    // grouping columns themselves are non-null the sentinel is unambiguous.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "sum_price"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_price"))),
+
     // Event-time tumbling window aggregation (streaming-compatible shape).
     "q_events_window" -> ((s, dir) => {
       ev(s, dir)
@@ -334,6 +392,42 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
           sum(col("k")).cast("long").as("sum_k"), max(col("k")).as("max_k"))),
+
+    // Pivot (long->wide): per-user event-type counts as columns. The
+    // EXPLICIT value list matters at scale: without it Spark runs an extra
+    // distinct job over the fact table just to discover the columns. With
+    // it, the pivot compiles to one hash agg keyed on user_id with
+    // per-column conditional partials — a single data-sized shuffle, and
+    // the wide row is exactly the feature-vector layout a training join
+    // wants (one row per user, no further reshaping).
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val wide = ev(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +:
+        types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+    }),
+
+    // Per-user ordered feature columns in ONE window pass: sequence number,
+    // previous value (lag), running exact-decimal total, and a 3-row
+    // rolling sum. All four ride the SAME (user_id, ts, event_id) sort, so
+    // Spark plans one Exchange + one Sort for the lot — at 100 TB that is
+    // one keyed shuffle of the events, the minimum any ordered per-user
+    // feature needs. Sums accumulate in decimal (exact at 2dp inputs), so
+    // frame order can't perturb the doubles the gate hashes.
+    "q_user_features" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val dv = col("value").cast("decimal(20,4)")
+      ev(s, dir).select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        row_number().over(w).as("seq"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sum(dv).over(w).cast("double").as("cum_value"),
+        sum(dv).over(w.rowsBetween(-2, 0)).cast("double").as("roll3_value"))
+    }),
 
     // ---------------------------------------------------------------------
     // Text analysis (training-data pipeline ops).
@@ -660,6 +754,22 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", 0.25, groupCols = Seq("source"), exact = true)),
+
+    // Per-source rank normalization of a quality signal: percent_rank and
+    // cume_dist put every source's docs on a comparable [0,1] scale (the
+    // right way to mix heterogeneous quality scores before a global cut).
+    // Both are exact small-integer ratios — (rank-1)/(n-1), peers/n — so
+    // the doubles hash identically across engines; ties share a rank, so
+    // row order within ties can't perturb the output. One keyed window
+    // pass: shuffle by source, sort by the score.
+    "q_norm_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_tokens")
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+    }),
 
     // Hot-key guard (the mitigation SCALE.md prescribes ahead of per-key
     // total-order ops): drop users carrying more than 80 events. The hot
@@ -1116,6 +1226,57 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey""".stripMargin,
 
+    "q6_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_user_features" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(row_number() OVER w AS INTEGER) AS seq,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER
+        |    (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER
+        |    (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
     "q_events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start, event_type,
         |  count(*) AS n,
@@ -1529,6 +1690,15 @@ object SparkEntry {
         |SELECT t.doc_id, t.source, t.n_tokens
         |FROM t JOIN th USING (source)
         |WHERE t.n_tokens >= th.th""".stripMargin,
+
+    "q_norm_rank" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM t WINDOW w AS (PARTITION BY source ORDER BY n_tokens)""".stripMargin,
 
     // the TRUE marker (not h.user_id) carries the anti-join filter: for a
     // hot NULL key the matched h.user_id is itself NULL, so `h.user_id IS
