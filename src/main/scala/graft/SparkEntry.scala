@@ -991,6 +991,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     }),
 
+    // Sparse retrieval: BM25 top-10 per query over the documents corpus —
+    // postings-style plan (only query-term tokens shuffle), broadcast
+    // corpus stats, map-side-limited top-k window. Terms are chosen with
+    // pairwise-distinct dfs inside each query so exact score ties can only
+    // come from identical tf-vectors (engine-independent, doc_id-broken);
+    // see Retrieval.bm25TopK on why rank+hits, not the raw score, is the
+    // cross-engine contract.
+    "q_bm25" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"), Seq(
+        "fast table scan" -> Seq("fast", "table", "scan"),
+        "join merge sort" -> Seq("join", "merge", "sort"),
+        "stream window agg" -> Seq("stream", "window", "agg")), k = 10)),
+
     // ANN paths under full oracles: annLsh candidates are exactly
     // {sig-hamming(q, n) <= 1} (one-sided multi-probe over seeded planes);
     // annIvf reproduces the trained centroids as SQL literals via
@@ -2170,6 +2183,44 @@ object SparkEntry {
          |  AND bit_count(xor(a.bucket, c.bucket)) <= 2
          |WHERE ${sqlCos("a", "c")} >= 0.4""".stripMargin
     },
+
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q(query_id, ti, term) AS (VALUES
+        |  ('fast table scan', 0, 'fast'), ('fast table scan', 1, 'table'),
+        |  ('fast table scan', 2, 'scan'),
+        |  ('join merge sort', 0, 'join'), ('join merge sort', 1, 'merge'),
+        |  ('join merge sort', 2, 'sort'),
+        |  ('stream window agg', 0, 'stream'), ('stream window agg', 1, 'window'),
+        |  ('stream window agg', 2, 'agg')),
+        |tdf AS (SELECT t.term, count(*) AS df
+        |        FROM (SELECT DISTINCT term FROM q) t
+        |        JOIN dl ON list_contains(dl.toks, t.term)
+        |        GROUP BY t.term),
+        |qi AS (SELECT q.query_id, q.ti, q.term,
+        |         ln((st.n_docs - coalesce(tdf.df, 0) + 0.5) /
+        |            (coalesce(tdf.df, 0) + 0.5) + 1.0) AS idf
+        |       FROM q LEFT JOIN tdf USING (term), st),
+        |c AS (SELECT qi.query_id, dl.doc_id, qi.ti,
+        |        CAST(len(list_filter(dl.toks, x -> x = qi.term)) AS DOUBLE) AS tf,
+        |        qi.idf * (CAST(len(list_filter(dl.toks, x -> x = qi.term)) AS DOUBLE) * 2.2) /
+        |          (CAST(len(list_filter(dl.toks, x -> x = qi.term)) AS DOUBLE) +
+        |           1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |      FROM dl, qi, st),
+        |s AS (SELECT query_id, doc_id,
+        |        list_sum(list(contrib ORDER BY ti)) AS score,
+        |        CAST(sum(tf) AS BIGINT) AS hits
+        |      FROM c GROUP BY query_id, doc_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS INTEGER) AS rnk,
+        |  doc_id, hits
+        |FROM s WHERE hits > 0
+        |QUALIFY rnk <= 10""".stripMargin,
 
     "q_sim_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

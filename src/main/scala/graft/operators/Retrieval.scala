@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (lexical) retrieval over a document corpus: BM25-scored top-k per
+  * query. The retrieval counterpart to [[Similarity]]'s dense ANN search —
+  * the pair a training-data pipeline uses for targeted data selection and
+  * eval-set mining.
+  *
+  * Scale shape (the small-query-set regime, the common one for data
+  * curation):
+  *   - ONE corpus scan feeds the posting explode; only tokens matching some
+  *     query term survive the filter, so the keyed shuffle carries
+  *     (id, dl, matched-token) rows — the text itself never shuffles and
+  *     non-matching documents exit the plan at the scan.
+  *   - Corpus statistics (N, avgdl) and per-term document frequencies are
+  *     aggregates that reduce to ONE row / one row per term; they re-enter
+  *     the plan via broadcast, never through the driver.
+  *   - Per-(doc, query) scoring folds over the query's term array in fixed
+  *     term order (sequential double accumulation — deterministic), and the
+  *     final top-k is a per-query window that Spark executes with a
+  *     map-side WindowGroupLimit: each shuffle partition forwards at most k
+  *     candidates per query.
+  *
+  * The emitted columns are rank + exact-integer hit counts, NOT the raw
+  * double score: the score's ln() is correctly-rounded to within an ulp on
+  * any engine, but an ulp is enough to flip a HASH on a float column while
+  * never flipping an ORDER between genuinely different scores. Exact score
+  * ties can only arise from identical (tf-vector, dl) pairs — which every
+  * engine scores identically — provided the per-query terms have pairwise
+  * distinct document frequencies; the doc-id tiebreak then makes the rank
+  * engine-independent. Callers who want the raw score can pass
+  * `emitScore = true` (the column is excluded from cross-engine gates).
+  */
+object Retrieval {
+
+  /** BM25 top-k per query. `queries` maps a query id to its ordered term
+    * list; k1/b are the standard BM25 free parameters. Documents that match
+    * no term of a query are not candidates for it (standard sparse
+    * retrieval: the posting list join produces only matching docs). */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      emitScore: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.forall(_._2.nonEmpty), "every query needs at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val toks = docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    // N and avgdl: one scan reduced to one row, broadcast back. avgdl as an
+    // explicit exact-integer-sum / count division (deterministic double).
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+    val allTerms = queries.flatMap(_._2).distinct
+    // Posting rows: (id, dl, tok) for query terms only. The isin filter is
+    // evaluated against the exploded token — everything else is pruned
+    // before the shuffle.
+    val posting = toks.select(col("id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(allTerms: _*))
+    // Matched-token bag per doc — the ONE data-sized keyed shuffle.
+    val matched = posting.groupBy("id", "dl")
+      .agg(collect_list(col("tok")).as("qtoks"))
+    // df per term (docs containing it) — at most |terms| rows.
+    val dfs = posting.select(col("id"), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // Per-query ordered (ti, term, idf) arrays. Terms absent from the
+    // corpus get df = 0 (maximum idf), like any BM25 implementation.
+    val qterms = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (tm, ti) => (qid, ti, tm) }
+    }.toDF("query_id", "ti", "term")
+    val qidf = qterms
+      .join(dfs.withColumnRenamed("tok", "term"), Seq("term"), "left")
+      .na.fill(0L, Seq("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("ti"), col("term"), col("idf")))).as("qarr"))
+
+    // Score every (matched doc, query) pair: fold the query's term array in
+    // ti order; tf comes from the doc's matched-token bag. The two
+    // broadcast(stats) exchanges share one identical child plan, so the
+    // stats subquery executes once (ReuseExchange).
+    val dlD = col("dl").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * dlD / col("avgdl"))
+    def tfOf(t: Column): Column =
+      size(filter(col("qtoks"), x => x === t.getField("term"))).cast("double")
+    val folded = aggregate(
+      col("qarr"),
+      struct(lit(0.0).as("s"), lit(0L).as("h")),
+      (acc, t) => {
+        val tf = tfOf(t)
+        struct(
+          (acc.getField("s") +
+            t.getField("idf") * (tf * lit(k1 + 1.0)) / (tf + norm)).as("s"),
+          (acc.getField("h") + tf.cast("long")).as("h"))
+      })
+
+    val scored = matched
+      .crossJoin(broadcast(qidf))
+      .crossJoin(broadcast(stats))
+      .withColumn("sh", folded)
+      .select(col("query_id"), col("id"),
+        col("sh.s").as("score"), col("sh.h").as("hits"))
+      .filter(col("hits") > 0)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
+    val ranked = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val out = Seq(col("query_id"), col("rnk"), col("id").as(idCol), col("hits")) ++
+      (if (emitScore) Seq(col("score")) else Nil)
+    ranked.select(out: _*)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Retrieval
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite with SparkSpec {
+
+  /** Plain-Scala BM25 for tiny corpora — the spec's reference formula. */
+  private def bm25Ref(
+      corpus: Seq[(Long, String)],
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): Map[Long, (Double, Long)] = {
+    val toks = corpus.map { case (id, tx) => id -> tx.trim.split("\\s+").toSeq }
+    val n = corpus.size.toDouble
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val dfs = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    toks.map { case (id, tk) =>
+      val dl = tk.size.toDouble
+      val perTerm = terms.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        val idf = math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1.0)
+        (idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)), tf.toLong)
+      }
+      id -> ((0.0 +: perTerm.map(_._1)).reduceLeft(_ + _), perTerm.map(_._2).sum)
+    }.toMap
+  }
+
+  test("bm25TopK: ranking matches the reference formula; zero-hit docs excluded") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "fast scan fast scan fast"),
+      (2L, "slow table walk"),
+      (3L, "fast table scan table"),
+      (4L, "nothing relevant here"),
+      (5L, "scan"),
+      (6L, "fast fast fast fast fast fast fast fast fast fast"))
+    val terms = Seq("fast", "table", "scan")
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+        Seq("q" -> terms), k = 10, emitScore = true)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+
+    val ref = bm25Ref(corpus, terms)
+    val expected = ref.toSeq
+      .filter(_._2._2 > 0)
+      .sortBy { case (id, (s, _)) => (-s, id) }
+      .zipWithIndex
+      .map { case ((id, (s, h)), i) => (i + 1, id, h, s) }
+    assert(got.toSeq == expected)
+    assert(!got.map(_._2).contains(4L)) // no query term -> not a candidate
+  }
+
+  test("bm25TopK: k truncates per query; multi-query independence") {
+    import spark.implicits._
+    val corpus = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) s"alpha ${"alpha " * (i.toInt % 5)}end" else "beta beta gamma"))
+    val df = corpus.toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(df,
+      Seq("qa" -> Seq("alpha"), "qb" -> Seq("beta", "gamma")), k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(out.count(_._1 == "qa") == 3)
+    assert(out.count(_._1 == "qb") == 3)
+    // every qa hit is an even doc, every qb hit odd
+    assert(out.filter(_._1 == "qa").forall(_._3 % 2 == 0))
+    assert(out.filter(_._1 == "qb").forall(_._3 % 2 == 1))
+    // ranks are 1..3 within each query
+    assert(out.filter(_._1 == "qa").map(_._2).sorted.toSeq == Seq(1, 2, 3))
+    assert(out.filter(_._1 == "qb").map(_._2).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("bm25TopK: corpus-absent term gets df=0 idf without error") {
+    import spark.implicits._
+    val df = Seq((1L, "x y z"), (2L, "x q")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(df, Seq("q" -> Seq("x", "zzz_absent")), k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // both docs contain x once; shorter doc scores higher
+    assert(out.toSeq == Seq((1, 2L, 1L), (2, 1L, 1L)))
+  }
+}
