@@ -982,6 +982,17 @@ object SparkEntry {
     "q_dedup_embed_lsh" -> ((s, dir) =>
       Dedup.embeddingCosinePairsLsh(t(s, dir, "embeddings"), threshold = 0.4)),
 
+    // Deterministic nearest-centroid bucketing (the SemDeDup partitioner):
+    // 8 seed centroids broadcast, assignment is a scan-local fold — zero
+    // corpus shuffle.
+    "q_cluster_assign" -> ((s, dir) =>
+      Similarity.assignToCentroids(t(s, dir, "embeddings"), k = 8)),
+
+    // SemDeDup: within-cluster near-twin drop — the pair space is keyed by
+    // cluster id, so the quadratic work is Σ|cluster|², never corpus².
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), k = 8, threshold = 0.4)),
+
     // ---------------------------------------------------------------------
     // Similarity search.
     // ---------------------------------------------------------------------
@@ -2183,6 +2194,42 @@ object SparkEntry {
          |  AND bit_count(xor(a.bucket, c.bucket)) <= 2
          |WHERE ${sqlCos("a", "c")} >= 0.4""".stripMargin
     },
+
+    "q_cluster_assign" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT v.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(v.e, c.ce), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS cos
+        |  FROM v, c)
+        |SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |  FROM a)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_dedup_semantic" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT v.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(v.e, c.ce), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS cos
+        |  FROM v, c),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |  FROM a) WHERE rn = 1),
+        |av AS (SELECT asg.vec_id, asg.cluster, v.e FROM asg JOIN v USING (vec_id))
+        |SELECT b.vec_id, b.cluster
+        |FROM av b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM av s
+        |  WHERE s.cluster = b.cluster AND s.vec_id < b.vec_id
+        |    AND list_sum(list_transform(list_zip(s.e, b.e), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(s.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4)""".stripMargin,
 
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

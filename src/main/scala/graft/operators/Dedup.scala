@@ -444,6 +444,41 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup: partition the corpus into `k` clusters
+    * by nearest centroid ([[Similarity.assignToCentroids]] — deterministic
+    * seed centroids), then within each cluster drop every vector that has a
+    * LOWER-id cluster-mate at cosine >= `threshold`. Returns the survivors
+    * as (id, cluster).
+    *
+    * This is the shape that makes embedding dedup tractable at corpus
+    * scale: the quadratic pair space is confined to each cluster (the
+    * cluster id keys the self-join, so pair work is Σ|cluster|² not
+    * corpus²), and the keep rule needs no iteration — "has an earlier
+    * near-twin in my cluster" is one EXISTS per vector, evaluated as a
+    * LEFT ANTI join over the in-cluster pairs. A pathologically hot
+    * cluster is a hot JOIN key: raise k, or run
+    * [[graft.ops.Skew.dropHotKeys]] on the assignment first. The exact
+    * within-threshold twins ACROSS clusters are intentionally out of scope
+    * (SemDeDup's recall trade) — [[embeddingCosinePairsLsh]] is the
+    * cluster-free alternative when recall matters more than cost. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      k: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val assigned = Similarity.assignWithVec(embeddings, k, idCol, vecCol)
+    val a = assigned.select(col("cluster"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = assigned.select(col("cluster"), col("id").as("b_id"), col("v").as("b_v"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosineSimilarity(col("a_v"), col("b_v")) >= threshold)
+      .select(col("b_id").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
   /** Resolve near-duplicate PAIRS into clusters: every id appearing in
     * `pairs` gets the smallest id reachable through the pair graph
     * (connected components) as its `cluster_id` — the step that turns any

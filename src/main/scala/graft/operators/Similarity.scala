@@ -87,6 +87,52 @@ object Similarity {
   @volatile private var lastIvf: Option[IvfRun] = None
   def lastIvfRun: Option[IvfRun] = lastIvf
 
+  /** Nearest-centroid cluster assignment with DETERMINISTIC centroids: the
+    * `k` lowest-id vectors seed the clusters (an engine-portable choice —
+    * no RNG, no iteration-order dependence — adequate for bucketing work
+    * like [[graft.operators.Dedup.semanticDedup]]; use [[annIvf]]'s trained
+    * quantizer when centroid QUALITY matters). Scale shape: the centroid
+    * array is one broadcast row; assignment is a scan-local fold over it in
+    * centroid-id order (strict `>` keeps the FIRST maximum, so cosine ties
+    * go to the lowest centroid id — the same total order the oracle's
+    * `ORDER BY cos DESC, cid` reproduces). No shuffle of the corpus at all.
+    * A zero vector has NaN cosine against every centroid and keeps the
+    * sentinel cluster -1 (NaN comparisons are false); callers on real data
+    * should filter such vectors out first. */
+  def assignToCentroids(
+      embeddings: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignWithVec(embeddings, k, idCol, vecCol)
+      .select(col("id").as(idCol), col("cluster"))
+
+  /** [[assignToCentroids]] keeping the vector column — internal to operators
+    * that immediately need it again (saves a rejoin against the corpus). */
+  private[operators] def assignWithVec(
+      embeddings: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    require(k > 0, s"need a positive cluster count: $k")
+    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // sort_array on struct(cid, cv) orders by cid, fixing the fold order.
+    val cents = v.orderBy(col("id")).limit(k)
+      .agg(sort_array(collect_list(struct(col("id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos")),
+        (acc, c) => {
+          val cos = cosineSimilarity(col("v"), c.getField("cv"))
+          when(cos > acc.getField("cos"),
+            struct(c.getField("cid").as("cid"), cos.as("cos")))
+            .otherwise(acc)
+        }))
+      .select(col("id"), col("v"), col("best.cid").as("cluster"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector. Ranking key is the
     * cosine with id tiebreak; accumulation order is fixed (array order), so
     * the ranking is fully deterministic and engine-portable. */

@@ -147,4 +147,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("dim"))
   }
+
+  test("assignToCentroids matches a driver-side argmax with lowest-cid ties") {
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (0L until 8L).map(c => c -> vecs(c))
+    val expected = vecs.map { case (id, v) =>
+      // strict > keeps the first (lowest-cid) maximum
+      id -> cents.foldLeft((-1L, Double.NegativeInfinity)) { case ((bc, bs), (c, cv)) =>
+        val s = cos(v, cv); if (s > bs) (c, s) else (bc, bs)
+      }._1
+    }
+    val got = Similarity.assignToCentroids(corpus, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // each centroid vector lands in its own cluster (cos(self) = 1)
+    (0L until 8L).foreach(c => assert(got(c) == c))
+  }
+
+  test("semanticDedup drops exactly the vectors with a lower-id in-cluster near-twin") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // two tight bundles + isolated vectors; centroids = ids 0,1
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e1b = Array(0.999f, 0.01f, 0.0f, 0.0f)   // near-twin of e1
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val e2b = Array(0.01f, 0.999f, 0.0f, 0.0f)   // near-twin of e2
+    val iso = Array(0.0f, 0.0f, 1.0f, 0.0f)      // own direction, survives
+    val df = Seq((0L, e1), (1L, e2), (2L, e1b), (3L, e2b), (4L, iso))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, k = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    // 2 duplicates 0 (cluster 0), 3 duplicates 1 (cluster 1); 4 is in some
+    // cluster but nothing is near it
+    assert(out == Seq(0L, 1L, 4L))
+  }
 }
