@@ -14,7 +14,10 @@ object Bench {
   /** Scale-appropriate headliners (every one holds at 100TB-style plans:
     * keyed shuffles, broadcasts, LSH bucketing — no all-pairs joins). */
   val headliners: Seq[String] = Seq(
-    "q1_agg", "q3_join", "q5_join", "q_funnel", "q_funnel_conv", "q_retention",
+    "q1_agg", "q3_join", "q5_join", "q6_agg", "q_semi_join", "q_anti_join",
+    "q_rollup", "q_pivot", "q_user_features", "q_norm_rank", "q_range_join",
+    "q_histogram",
+    "q_funnel", "q_funnel_conv", "q_retention",
     "q_asof", "q_asof_iv", "q_sessionize", "q_skew_join", "q_skew_distinct",
     "q_events_window", "q_events_sliding", "q_events_sessions", "q_events_props",
     "q_running_count", "q_running_sum", "q_pipeline_training",
@@ -36,6 +39,12 @@ object Bench {
     // operator family whose cost is rounds × edges, benched so regressions
     // in the loop (plan growth, extra jobs per round) surface here
     "q_dedup_clusters", "q_dedup_survivors",
+    // semantic (embedding-space) curation: token rarity is a corpus-join
+    // scoring pass; cluster-assign is the scan-local SemDeDup partitioner;
+    // the dedup itself adds the within-cluster pair join; bm25 is the
+    // postings-shaped sparse-retrieval plan
+    "q_token_rarity", "q_cluster_assign", "q_dedup_semantic",
+    "q_dedup_semantic_incr", "q_bm25",
     "q_sim_topk", "q_sim_ann", "q_sim_ivf",
     // all four media stages: resize + features carry the real per-row
     // decode/compute cost under RealCodec — the two the fused stage exists

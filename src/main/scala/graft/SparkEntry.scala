@@ -993,6 +993,43 @@ object SparkEntry {
     "q_dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(t(s, dir, "embeddings"), k = 8, threshold = 0.4)),
 
+    // Incremental semantic ingest: a new crawl batch (vec_id % 3 != 0)
+    // deduped against the kept corpus (vec_id % 3 = 0) — assignments are
+    // scan-local on BOTH sides, then one cluster-keyed new×corpus join.
+    "q_dedup_semantic_incr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedupAgainstCorpus(
+        emb.filter(col("vec_id") % 3 =!= 0),
+        emb.filter(col("vec_id") % 3 === 0),
+        k = 8, threshold = 0.4)
+    }),
+
+    // Range (non-equi) join: events banded into value tiers. The tier
+    // table is tiny and BROADCAST, so the band lookup is a scan-local
+    // nested-loop against 4 rows — the correct plan for banding/bucketing
+    // dimension tables at any fact scale (an equi-join can't express the
+    // interval predicate; a shuffle would be pure waste).
+    "q_range_join" -> ((s, dir) => {
+      val tiers = s.createDataFrame(Seq(
+        ("t0", 0.0, 50.0), ("t1", 50.0, 150.0),
+        ("t2", 150.0, 300.0), ("t3", 300.0, 1000.0)))
+        .toDF("tier", "lo", "hi")
+      ev(s, dir).join(broadcast(tiers),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), "sum_value"))
+    }),
+
+    // Fixed-width numeric histogram: bucket index is exact integer
+    // arithmetic (floor of a deterministic double division), one
+    // partial-combined hash agg — the numeric-distribution profile that
+    // complements the quantile sketches.
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))),
+
     // ---------------------------------------------------------------------
     // Similarity search.
     // ---------------------------------------------------------------------
@@ -2230,6 +2267,48 @@ object SparkEntry {
         |    AND list_sum(list_transform(list_zip(s.e, b.e), z -> z[1] * z[2])) /
         |      (sqrt(list_sum(list_transform(s.e, x -> x * x))) *
         |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4)""".stripMargin,
+
+    "q_dedup_semantic_incr" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |nw AS (SELECT * FROM v WHERE vec_id % 3 != 0),
+        |rf AS (SELECT * FROM v WHERE vec_id % 3 = 0),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM rf ORDER BY vec_id LIMIT 8),
+        |na AS (SELECT vec_id, cluster, e FROM (
+        |  SELECT nw.vec_id, c.cid AS cluster, nw.e,
+        |    row_number() OVER (PARTITION BY nw.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(nw.e, c.ce), z -> z[1] * z[2])) /
+        |        (sqrt(list_sum(list_transform(nw.e, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(c.ce, x -> x * x)))) DESC, c.cid) AS rn
+        |  FROM nw, c) WHERE rn = 1),
+        |ra AS (SELECT vec_id, cluster, e FROM (
+        |  SELECT rf.vec_id, c.cid AS cluster, rf.e,
+        |    row_number() OVER (PARTITION BY rf.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(rf.e, c.ce), z -> z[1] * z[2])) /
+        |        (sqrt(list_sum(list_transform(rf.e, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(c.ce, x -> x * x)))) DESC, c.cid) AS rn
+        |  FROM rf, c) WHERE rn = 1)
+        |SELECT b.vec_id, b.cluster
+        |FROM na b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM ra s
+        |  WHERE s.cluster = b.cluster
+        |    AND list_sum(list_transform(list_zip(s.e, b.e), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(s.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4)""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT t.tier, count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN (VALUES ('t0', 0.0, 50.0), ('t1', 50.0, 150.0),
+        |             ('t2', 150.0, 300.0), ('t3', 300.0, 1000.0)) t(tier, lo, hi)
+        |  ON e.value >= t.lo AND e.value < t.hi
+        |GROUP BY t.tier""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

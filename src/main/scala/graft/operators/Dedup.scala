@@ -479,6 +479,42 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"))
   }
 
+  /** Incremental SEMANTIC dedup: drop each new vector that has a near-twin
+    * (cosine >= `threshold`) in the existing REFERENCE corpus, comparing
+    * only within the same nearest-centroid cluster — the embedding-space
+    * counterpart of [[dropExistingIn]] for ingesting a new crawl batch
+    * against the training set already kept. Centroids are seeded from the
+    * CORPUS (its k lowest ids) so re-running with a grown corpus keeps
+    * assignments stable for unchanged seeds. Scale shape: both sides get a
+    * scan-local assignment (no shuffle), then ONE cluster-keyed join whose
+    * pair space is Σ |new_c|·|corpus_c| — never |new|·|corpus|; the corpus
+    * text/vectors are read but never re-written. Survivors keep their
+    * cluster id so the caller can route them straight into per-cluster
+    * storage. */
+  def semanticDedupAgainstCorpus(
+      newBatch: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val cents = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(k)
+      .agg(sort_array(collect_list(struct(col("id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    def assign(df: DataFrame, a: String, b: String): DataFrame =
+      Similarity.assignAgainst(df, cents, idCol, vecCol, a, b)
+    val nw = assign(newBatch, "n_id", "n_v")
+    val ref = assign(corpus, "r_id", "r_v")
+    val dropped = nw.join(ref, Seq("cluster"))
+      .filter(cosineSimilarity(col("n_v"), col("r_v")) >= threshold)
+      .select(col("n_id").as("id")).distinct()
+    nw.select(col("n_id").as("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
   /** Resolve near-duplicate PAIRS into clusters: every id appearing in
     * `pairs` gets the smallest id reachable through the pair graph
     * (connected components) as its `cluster_id` — the step that turns any

@@ -120,18 +120,34 @@ object Similarity {
     val cents = v.orderBy(col("id")).limit(k)
       .agg(sort_array(collect_list(struct(col("id").as("cid"), col("v").as("cv"))))
         .as("cents"))
-    v.crossJoin(broadcast(cents))
+    assignAgainst(embeddings, cents, idCol, vecCol, "id", "v")
+      .select(col("id"), col("v"), col("cluster"))
+  }
+
+  /** Nearest-centroid assignment against a PROVIDED one-row centroid frame
+    * (`cents`: array of (cid, cv) structs, cid-sorted) — lets several
+    * frames share the same centroids (e.g. a new batch assigned with the
+    * reference corpus's seeds). Same fold semantics as
+    * [[assignToCentroids]]; output columns are (outId, outVec, cluster). */
+  private[operators] def assignAgainst(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outId: String,
+      outVec: String): DataFrame =
+    embeddings.select(col(idCol).as(outId), col(vecCol).as(outVec))
+      .crossJoin(broadcast(cents))
       .withColumn("best", aggregate(
         col("cents"),
         struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos")),
         (acc, c) => {
-          val cos = cosineSimilarity(col("v"), c.getField("cv"))
+          val cos = cosineSimilarity(col(outVec), c.getField("cv"))
           when(cos > acc.getField("cos"),
             struct(c.getField("cid").as("cid"), cos.as("cos")))
             .otherwise(acc)
         }))
-      .select(col("id"), col("v"), col("best.cid").as("cluster"))
-  }
+      .select(col(outId), col(outVec), col("best.cid").as("cluster"))
 
   /** Exact top-k cosine neighbors for each query vector. Ranking key is the
     * cosine with id tiebreak; accumulation order is fixed (array order), so

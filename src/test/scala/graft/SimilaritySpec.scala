@@ -188,4 +188,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // cluster but nothing is near it
     assert(out == Seq(0L, 1L, 4L))
   }
+
+  test("semanticDedupAgainstCorpus drops only new vectors with a corpus twin in-cluster") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val corpus = Seq((0L, e1), (1L, e2)).toDF("vec_id", "embedding")
+    val nw = Seq(
+      (10L, Array(0.999f, 0.01f, 0.0f, 0.0f)),  // twin of corpus 0 -> dropped
+      (11L, Array(0.01f, 0.999f, 0.0f, 0.0f)),  // twin of corpus 1 -> dropped
+      (12L, Array(0.0f, 0.0f, 1.0f, 0.0f)),     // novel direction -> kept
+      (13L, Array(0.7f, 0.7f, 0.0f, 0.0f)))     // cos ~= 0.707 < 0.99 -> kept
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupAgainstCorpus(nw, corpus, k = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(out == Seq(12L, 13L))
+    // new-batch-internal twins are NOT the incremental operator's job
+    val twins = Seq((20L, e1), (21L, e1)).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedupAgainstCorpus(
+      twins, Seq((0L, e2)).toDF("vec_id", "embedding"), k = 1, threshold = 0.99)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(20L, 21L))
+  }
 }
