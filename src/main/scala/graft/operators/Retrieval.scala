@@ -72,9 +72,14 @@ object Retrieval {
     // Matched-token bag per doc — the ONE data-sized keyed shuffle.
     val matched = posting.groupBy("id", "dl")
       .agg(collect_list(col("tok")).as("qtoks"))
-    // df per term (docs containing it) — at most |terms| rows.
-    val dfs = posting.select(col("id"), col("tok")).distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // df per term (docs containing it) — at most |terms| rows. Derived from
+    // `matched`, NOT from `posting`: the subplan up to matched's exchange is
+    // then byte-identical to the scoring path's, so ReuseExchange serves
+    // both from ONE corpus scan + shuffle (plan-checked by tools/Bm25Probe;
+    // deriving from posting re-scanned and re-tokenized the corpus).
+    val dfs = matched
+      .select(explode(array_distinct(col("qtoks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
 
     // Per-query ordered (ti, term, idf) arrays. Terms absent from the
     // corpus get df = 0 (maximum idf), like any BM25 implementation.
@@ -82,7 +87,7 @@ object Retrieval {
       ts.zipWithIndex.map { case (tm, ti) => (qid, ti, tm) }
     }.toDF("query_id", "ti", "term")
     val qidf = qterms
-      .join(dfs.withColumnRenamed("tok", "term"), Seq("term"), "left")
+      .join(dfs, Seq("term"), "left")
       .na.fill(0L, Seq("df"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
