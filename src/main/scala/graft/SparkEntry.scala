@@ -393,21 +393,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
           sum(col("k")).cast("long").as("sum_k"), max(col("k")).as("max_k"))),
 
-    // Pivot (long->wide): per-user event-type counts as columns. The
-    // EXPLICIT value list matters at scale: without it Spark runs an extra
-    // distinct job over the fact table just to discover the columns. With
-    // it, the pivot compiles to one hash agg keyed on user_id with
-    // per-column conditional partials — a single data-sized shuffle, and
-    // the wide row is exactly the feature-vector layout a training join
-    // wants (one row per user, no further reshaping).
+    // Pivot (long->wide): per-user event-type counts as columns, written as
+    // EXPLICIT conditional aggregation rather than DataFrame.pivot. Both
+    // need the value list known up front (pivot without one runs an extra
+    // fact-table distinct just to discover the columns), but .pivot()
+    // ALWAYS compiles to two exchanges — count by (user, type), then a
+    // pivotfirst re-agg by user — while the conditional form is one hash
+    // agg with per-column partials: a single data-sized shuffle
+    // (plan-pinned in PlansSpec). The wide row is exactly the
+    // feature-vector layout a training join wants.
     "q_pivot" -> ((s, dir) => {
       val types = Seq("view", "click", "purchase", "signup", "error")
-      val wide = ev(s, dir)
-        .groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(count(lit(1)))
-      wide.select(col("user_id") +:
-        types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+      val aggs = types.map(tp =>
+        count(when(col("event_type") === tp, 1)).as(s"n_$tp"))
+      ev(s, dir).groupBy("user_id").agg(aggs.head, aggs.tail: _*)
     }),
 
     // Per-user ordered feature columns in ONE window pass: sequence number,

@@ -122,4 +122,75 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(finalPlan.contains("ReusedExchange"),
       s"banded self-join did not reuse its exchange:\n$finalPlan")
   }
+
+  test("q6_agg: every predicate reaches the scan; only the 4 used columns read") {
+    val p = sparkPlan("q6_agg")
+    val scan = scans(p).head
+    val pushed = scan.metadata("PushedFilters")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed"))
+    assert(scan.output.map(_.name).toSet ==
+      Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
+  }
+
+  test("q_semi_join / q_anti_join: keys-only semi/anti shapes, no payload join") {
+    val semi = sparkPlan("q_semi_join").toString
+    assert(semi.contains("LeftSemi"), s"expected a LEFT SEMI join:\n$semi")
+    val anti = sparkPlan("q_anti_join").toString
+    assert(anti.contains("LeftAnti"), s"expected a LEFT ANTI join:\n$anti")
+  }
+
+  test("q_range_join: the band table broadcasts — the fact side never shuffles") {
+    val df = SparkEntry.queries("q_range_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate should run as a broadcast nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join degenerated:\n$p")
+  }
+
+  /** Finalized adaptive plan text, truncated before the "Initial Plan"
+    * echo so node counts reflect what actually ran. */
+  private def finalPlanText(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("q_user_features: all four feature columns share ONE exchange + ONE sort") {
+    val s = finalPlanText("q_user_features")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"expected exactly one keyed exchange:\n$s")
+    assert("Sort \\[".r.findAllIn(s).size == 1,
+      s"expected exactly one sort for the shared window:\n$s")
+  }
+
+  test("q_pivot: no extra distinct job — one aggregate pair over the explicit value list") {
+    val s = finalPlanText("q_pivot")
+    // an implicit pivot adds a separate distinct aggregation on event_type
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"pivot should cost one keyed shuffle:\n$s")
+  }
+
+  test("q_bm25: df-aggregation reuses the matched exchange; top-k is group-limited map-side") {
+    val df = SparkEntry.queries("q_bm25")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"term-df path should reuse the matched shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k should run with a WindowGroupLimit:\n$p")
+  }
+
+  test("q_cluster_assign: zero corpus exchanges — assignment is scan-local") {
+    // the ONLY exchanges allowed are the one-row centroid build (limit +
+    // single-partition agg) and its broadcast — never a hash exchange of
+    // the corpus
+    val s = finalPlanText("q_cluster_assign")
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle for assignment:\n$s")
+    assert(s.contains("BroadcastExchange"), s"centroids should broadcast:\n$s")
+  }
 }
