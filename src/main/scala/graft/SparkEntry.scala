@@ -1051,6 +1051,29 @@ object SparkEntry {
         "join merge sort" -> Seq("join", "merge", "sort"),
         "stream window agg" -> Seq("stream", "window", "agg")), k = 10)),
 
+    // Hybrid retrieval: BM25 lexical ranks fused with dense cosine ranks by
+    // reciprocal-rank fusion (each query string paired with a probe vector
+    // via a broadcast literal map). The fused score is Σ 1/(60+rank) —
+    // exact-integer divisions folded in system order, so unlike the raw
+    // BM25 score it IS hashable cross-engine.
+    "q_hybrid_rank" -> ((s, dir) => {
+      val lex = graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"), Seq(
+        "fast table scan" -> Seq("fast", "table", "scan"),
+        "join merge sort" -> Seq("join", "merge", "sort"),
+        "stream window agg" -> Seq("stream", "window", "agg")), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val qmap = s.createDataFrame(Seq(
+        ("fast table scan", 0L), ("join merge sort", 1L),
+        ("stream window agg", 2L))).toDF("query_id", "probe_id")
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 20)
+        .join(broadcast(qmap), col("q_id") === col("probe_id"))
+        .select(col("query_id"), col("n_id").as("doc_id"),
+          col("rank").cast("int").as("rnk"))
+      graft.operators.Retrieval.reciprocalRankFusion(
+        Seq("dense" -> dense, "lexical" -> lex), k = 10)
+    }),
+
     // ANN paths under full oracles: annLsh candidates are exactly
     // {sig-hamming(q, n) <= 1} (one-sided multi-probe over seeded planes);
     // annIvf reproduces the trained centroids as SQL literals via
@@ -2346,6 +2369,71 @@ object SparkEntry {
         |  doc_id, hits
         |FROM s WHERE hits > 0
         |QUALIFY rnk <= 10""".stripMargin,
+
+    "q_hybrid_rank" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q(query_id, ti, term) AS (VALUES
+        |  ('fast table scan', 0, 'fast'), ('fast table scan', 1, 'table'),
+        |  ('fast table scan', 2, 'scan'),
+        |  ('join merge sort', 0, 'join'), ('join merge sort', 1, 'merge'),
+        |  ('join merge sort', 2, 'sort'),
+        |  ('stream window agg', 0, 'stream'), ('stream window agg', 1, 'window'),
+        |  ('stream window agg', 2, 'agg')),
+        |tdf AS (SELECT t.term, count(*) AS df
+        |        FROM (SELECT DISTINCT term FROM q) t
+        |        JOIN dl ON list_contains(dl.toks, t.term)
+        |        GROUP BY t.term),
+        |qi AS (SELECT q.query_id, q.ti, q.term,
+        |         ln((st.n_docs - coalesce(tdf.df, 0) + 0.5) /
+        |            (coalesce(tdf.df, 0) + 0.5) + 1.0) AS idf
+        |       FROM q LEFT JOIN tdf USING (term), st),
+        |c AS (SELECT qi.query_id, dl.doc_id, qi.ti,
+        |        CAST(len(list_filter(dl.toks, x -> x = qi.term)) AS DOUBLE) AS tf,
+        |        qi.idf * (CAST(len(list_filter(dl.toks, x -> x = qi.term)) AS DOUBLE) * 2.2) /
+        |          (CAST(len(list_filter(dl.toks, x -> x = qi.term)) AS DOUBLE) +
+        |           1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |      FROM dl, qi, st),
+        |lexs AS (SELECT query_id, doc_id,
+        |        list_sum(list(contrib ORDER BY ti)) AS score,
+        |        CAST(sum(tf) AS BIGINT) AS hits
+        |      FROM c GROUP BY query_id, doc_id),
+        |lex AS (SELECT query_id, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM lexs WHERE hits > 0
+        |  QUALIFY rnk <= 20),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |sc AS (
+        |  SELECT qv.vec_id AS q_id, cv.vec_id AS n_id,
+        |    list_sum(list_transform(list_zip(qv.e, cv.e), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(qv.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(cv.e, x -> x * x)))) AS cos
+        |  FROM v qv JOIN v cv ON qv.vec_id != cv.vec_id
+        |  WHERE qv.vec_id < 3),
+        |dense AS (SELECT
+        |    CASE q_id WHEN 0 THEN 'fast table scan'
+        |              WHEN 1 THEN 'join merge sort'
+        |              ELSE 'stream window agg' END AS query_id,
+        |    n_id AS doc_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id) AS INTEGER) AS rnk
+        |  FROM sc QUALIFY rnk <= 20),
+        |u AS (SELECT query_id, doc_id, 'dense' AS system, rnk FROM dense
+        |      UNION ALL
+        |      SELECT query_id, doc_id, 'lexical' AS system, rnk FROM lex),
+        |f AS (SELECT query_id, doc_id,
+        |        list_sum(list(1.0 / (60 + rnk) ORDER BY system)) AS score,
+        |        CAST(count(*) AS INTEGER) AS n_systems
+        |      FROM u GROUP BY query_id, doc_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS INTEGER) AS rnk,
+        |  doc_id, score, n_systems
+        |FROM f QUALIFY rnk <= 10""".stripMargin,
 
     "q_sim_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -127,4 +127,41 @@ object Retrieval {
       (if (emitScore) Seq(col("score")) else Nil)
     ranked.select(out: _*)
   }
+
+  /** Reciprocal-rank fusion of several per-query rankings (the standard way
+    * to combine lexical [[bm25TopK]] with dense [[Similarity.bruteForceTopK]]
+    * / ANN results — hybrid retrieval): fused score = Σ_systems
+    * 1 / (kRrf + rank), missing docs contribute nothing. Each input frame
+    * must carry (query_id, doc_id, rnk); `systems` names them (the fold that
+    * sums the score runs in SYSTEM-NAME order, so the double accumulation is
+    * engine-portable for any number of systems, not just the commutative
+    * two). Scale shape: inputs are top-k lists — already tiny relative to
+    * any corpus — so this is one union + one (query, doc)-keyed agg + one
+    * per-query window with the usual map-side group limit; the fused score
+    * is emitted (each addend is one exact-integer division, deterministic
+    * bit-for-bit, unlike BM25's ln). Ties (e.g. two docs with mirrored
+    * ranks across systems) break by doc id. */
+  def reciprocalRankFusion(
+      rankings: Seq[(String, DataFrame)],
+      k: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "system names must be distinct")
+    val tagged = rankings.map { case (sys, df) =>
+      // rnk normalized to int so inputs with long ranks union cleanly
+      df.select(col("query_id"), col("doc_id"), col("rnk").cast("int").as("rnk"),
+        lit(sys).as("system"))
+    }.reduce(_ unionByName _)
+    val fused = tagged.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("system"), col("rnk")))).as("rs"))
+      .withColumn("score", aggregate(col("rs"), lit(0.0),
+        (acc, r) => acc + lit(1.0) / (lit(kRrf) + r.getField("rnk"))))
+      .withColumn("n_systems", size(col("rs")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("score"), col("n_systems"))
+  }
 }

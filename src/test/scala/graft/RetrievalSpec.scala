@@ -69,6 +69,31 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(_._1 == "qb").map(_._2).sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("reciprocalRankFusion: doc in both systems outranks single-system docs; missing contributes 0") {
+    import spark.implicits._
+    val sysA = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3)).toDF("query_id", "doc_id", "rnk")
+    val sysB = Seq(("q", 2L, 1), ("q", 4L, 2)).toDF("query_id", "doc_id", "rnk")
+    val got = Retrieval.reciprocalRankFusion(Seq("a" -> sysA, "b" -> sysB), k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .sortBy(_._1)
+    // doc 2: 1/62 + 1/61 wins; then doc 1 (1/61), doc 4 (1/62), doc 3 (1/63)
+    val exp = Seq(
+      (1, 2L, 1.0 / 62 + 1.0 / 61, 2),
+      (2, 1L, 1.0 / 61, 1),
+      (3, 4L, 1.0 / 62, 1),
+      (4, 3L, 1.0 / 63, 1))
+    assert(got.toSeq == exp)
+  }
+
+  test("reciprocalRankFusion: mirrored ranks tie and break by doc id") {
+    import spark.implicits._
+    val sysA = Seq(("q", 10L, 1), ("q", 20L, 2)).toDF("query_id", "doc_id", "rnk")
+    val sysB = Seq(("q", 20L, 1), ("q", 10L, 2)).toDF("query_id", "doc_id", "rnk")
+    val got = Retrieval.reciprocalRankFusion(Seq("a" -> sysA, "b" -> sysB), k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1, 10L), (2, 20L)))
+  }
+
   test("bm25TopK: corpus-absent term gets df=0 idf without error") {
     import spark.implicits._
     val df = Seq((1L, "x y z"), (2L, "x q")).toDF("doc_id", "text")
