@@ -98,14 +98,29 @@ object Similarity {
     * `ORDER BY cos DESC, cid` reproduces). No shuffle of the corpus at all.
     * A zero vector has NaN cosine against every centroid and keeps the
     * sentinel cluster -1 (NaN comparisons are false); callers on real data
-    * should filter such vectors out first. */
+    * should filter such vectors out first.
+    *
+    * `centroidSource` (default: the input itself) supplies the seed
+    * vectors. Pass the kept CORPUS when assigning a different frame — in
+    * particular a STREAMING ingest: the centroid subplan is a static
+    * aggregate, so the operator runs unchanged as a stream-static broadcast
+    * (spec-pinned batch parity in StreamingSpec) and routes arriving
+    * vectors to stable clusters with zero streaming state. */
   def assignToCentroids(
       embeddings: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    assignWithVec(embeddings, k, idCol, vecCol)
+      vecCol: String = "embedding",
+      centroidSource: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"need a positive cluster count: $k")
+    val src = centroidSource.getOrElse(embeddings)
+    val cents = src.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(k)
+      .agg(sort_array(collect_list(struct(col("id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    assignAgainst(embeddings, cents, idCol, vecCol, "id", "v")
       .select(col("id").as(idCol), col("cluster"))
+  }
 
   /** [[assignToCentroids]] keeping the vector column — internal to operators
     * that immediately need it again (saves a rejoin against the corpus). */

@@ -382,6 +382,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("assignToCentroids routes a vector stream against static corpus seeds, batch-parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val arriving = (100L until 120L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.assignToCentroids(
+      stream, k = 4, centroidSource = Some(corpus))
+    val q = out.writeStream.format("memory").queryName("assign_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(arriving.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(arriving.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.table("assign_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Similarity.assignToCentroids(
+        arriving.toDF("vec_id", "embedding"), k = 4, centroidSource = Some(corpus))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch)
+      assert(got.size == 20 && got.values.forall(_ >= 0))
+    } finally q.stop()
+  }
+
   test("stateless curation ops (sample, split, redact, quality) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
