@@ -15,7 +15,7 @@ object Bench {
     * keyed shuffles, broadcasts, LSH bucketing — no all-pairs joins). */
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "q6_agg", "q_semi_join", "q_anti_join",
-    "q_rollup", "q_pivot", "q_user_features", "q_norm_rank", "q_range_join",
+    "q_rollup", "q_pivot", "q_user_features", "q_norm_rank", "q_range_join", "q_full_outer",
     "q_histogram",
     "q_funnel", "q_funnel_conv", "q_retention",
     "q_asof", "q_asof_iv", "q_sessionize", "q_skew_join", "q_skew_distinct",
@@ -43,7 +43,7 @@ object Bench {
     // scoring pass; cluster-assign is the scan-local SemDeDup partitioner;
     // the dedup itself adds the within-cluster pair join; bm25 is the
     // postings-shaped sparse-retrieval plan
-    "q_token_rarity", "q_cluster_assign", "q_dedup_semantic",
+    "q_token_rarity", "q_cluster_assign", "q_quantize", "q_dedup_semantic",
     "q_dedup_semantic_incr", "q_bm25", "q_hybrid_rank",
     "q_sim_topk", "q_sim_ann", "q_sim_ivf",
     // all four media stages: resize + features carry the real per-row

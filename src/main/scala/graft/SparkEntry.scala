@@ -339,6 +339,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), "sum_bal"))
     }),
 
+    // FULL OUTER join: positive-balance customers ⟗ big-ticket order
+    // aggregates — left-only rows (customers with no big order) AND
+    // right-only rows (big orders of negative-balance customers) both
+    // survive. One keyed shuffle each side; the agg side is partial-combined
+    // before the join, so the full-outer never sees raw fact rows.
+    "q_full_outer" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_acctbal") >= 0)
+        .select("c_custkey", "c_mktsegment")
+      val ord = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), "sum_price"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"), col("sum_price"))
+    }),
+
     // ROLLUP hierarchy profile: (priority, status) -> priority subtotals ->
     // grand total in ONE pass — Spark expands grouping sets inside the same
     // hash aggregate (one shuffle, partial-combined), vs three separate
@@ -987,6 +1003,16 @@ object SparkEntry {
     "q_cluster_assign" -> ((s, dir) =>
       Similarity.assignToCentroids(t(s, dir, "embeddings"), k = 8)),
 
+    // Int8 embedding quantization (storage prep for 100 TB vector tables):
+    // scan-local, zero shuffles; the quantized array is emitted as a CSV
+    // string so the cross-engine hash compares a scalar, not nested arrays.
+    "q_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("sq"))
+        .select(col("vec_id"), col("sq.scale").as("scale"),
+          concat_ws(",", transform(col("sq.q"), _.cast("string"))).as("q"))),
+
     // SemDeDup: within-cluster near-twin drop — the pair space is keyed by
     // cluster id, so the quadratic work is Σ|cluster|², never corpus².
     "q_dedup_semantic" -> ((s, dir) =>
@@ -1331,6 +1357,27 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal >= 0),
+        |o AS (SELECT o_custkey, count(*) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+        |      FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey)
+        |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.c_mktsegment, o.n_orders, o.sum_price
+        |FROM c FULL JOIN o ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "q_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  list_aggregate(list_transform(e, x -> abs(x)), 'max') AS scale FROM v)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN array_to_string(list_transform(e, x -> 0), ',')
+        |       ELSE array_to_string(list_transform(e,
+        |              x -> CAST(floor(x / scale * 127 + 0.5) AS INTEGER)), ',')
+        |  END AS q
+        |FROM s""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,

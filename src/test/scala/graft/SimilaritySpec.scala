@@ -189,6 +189,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(0L, 1L, 4L))
   }
 
+  test("quantizeInt8: max-abs lands on ±127, zero vector quantizes to zeros at scale 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.quantizeInt8
+    val df = Seq(
+      (1L, Array(2.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-4.0f, 4.0f, 2.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), quantizeInt8(col("embedding")).as("sq"))
+      .select(col("vec_id"), col("sq.scale"), col("sq.q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2).toSeq))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2.0, Seq(127, -63, 32, 0)),   // -1/2*127 = -63.5 -> floor(-63)= -63; 0.5/2*127=31.75 -> 32
+      (2L, 0.0, Seq(0, 0, 0, 0)),
+      (3L, 4.0, Seq(-127, 127, 64, -63))))
+  }
+
   test("semanticDedupAgainstCorpus drops only new vectors with a corpus twin in-cluster") {
     import spark.implicits._
     import graft.operators.Dedup
