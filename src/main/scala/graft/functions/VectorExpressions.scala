@@ -229,3 +229,148 @@ case class NearestCells(
       c: org.apache.spark.sql.catalyst.expressions.Expression): NearestCells =
     copy(child = c)
 }
+
+/** Nearest-centroid by COSINE against an in-plan centroid array — the
+  * native form of [[graft.operators.Similarity.assignToCentroids]]'s fold.
+  * `right` is the broadcast one-row `array<struct<cid: long, cv: array>>`
+  * (cid-sorted); the result is the cid of the first maximum cosine in
+  * array order (strict `>`, so ties keep the LOWEST cid, and an all-NaN
+  * row — e.g. a zero vector — returns the -1 sentinel), bit-matching the
+  * `aggregate` HOF formulation it replaces (kept as the spec's reference)
+  * and the DuckDB oracle's `ORDER BY cos DESC, cid`. Per-centroid cosine
+  * uses the same left-fold accumulation as [[CosineSimilarity]].
+  *
+  * Why native: the HOF fold evaluates interpreted with a lambda frame per
+  * centroid per row — measured 1.14 s / 200k rows at k=8 and linear in k
+  * (`tools/AssignProbe`); this loop does the whole row in one call. */
+case class NearestCentroid(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private lazy val vecIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val centIsFloat = right.dataType match {
+    case ArrayType(StructType(fields), _) if fields.length == 2 =>
+      fields(1).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def vecOk(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    right.dataType match {
+      case ArrayType(StructType(fields), _)
+          if fields.length == 2 && fields(0).dataType == LongType &&
+            vecOk(fields(1).dataType) && vecOk(left.dataType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "nearest_centroid needs (array<float|double>, " +
+            s"array<struct<bigint, array<float|double>>>), got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  // The centroid argument is a broadcast one-row array: every row of a
+  // partition reads the SAME underlying bytes, but each read wraps them in
+  // a fresh UnsafeArrayData, so the cache is keyed on (base object
+  // identity, offset, size) — stable across rows — with plain instance
+  // identity as the fallback for non-unsafe ArrayData. A key miss just
+  // re-decodes: pure caching, never a correctness dependence.
+  @transient private var cachedRef: AnyRef = _
+  @transient private var cachedOffset: Long = -1L
+  @transient private var cachedSize: Int = -1
+  @transient private var cachedIds: Array[Long] = _
+  @transient private var cachedVecs: Array[Array[Double]] = _
+  @transient private var cachedNorm2: Array[Double] = _
+
+  private def cacheHit(cents: ArrayData): Boolean = cents match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      (u.getBaseObject.asInstanceOf[AnyRef] eq cachedRef) &&
+        u.getBaseOffset == cachedOffset && u.getSizeInBytes == cachedSize
+    case other => other.asInstanceOf[AnyRef] eq cachedRef
+  }
+
+  private def decodeCents(cents: ArrayData): Unit = {
+    val k = cents.numElements()
+    val ids = new Array[Long](k)
+    val vecs = new Array[Array[Double]](k)
+    val n2 = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val st = cents.getStruct(c, 2)
+      ids(c) = st.getLong(0)
+      val cvArr = st.getArray(1)
+      val m = cvArr.numElements()
+      val cv = new Array[Double](m)
+      var j = 0
+      var acc = 0.0
+      while (j < m) {
+        cv(j) = if (centIsFloat) cvArr.getFloat(j).toDouble else cvArr.getDouble(j)
+        acc += cv(j) * cv(j)
+        j += 1
+      }
+      vecs(c) = cv; n2(c) = acc
+      c += 1
+    }
+    cents match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        cachedRef = u.getBaseObject.asInstanceOf[AnyRef]
+        cachedOffset = u.getBaseOffset; cachedSize = u.getSizeInBytes
+      case other =>
+        cachedRef = other.asInstanceOf[AnyRef]; cachedOffset = -1L; cachedSize = -1
+    }
+    cachedIds = ids; cachedVecs = vecs; cachedNorm2 = n2
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vArr = a.asInstanceOf[ArrayData]
+    val n = vArr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (vecIsFloat) vArr.getFloat(i).toDouble else vArr.getDouble(i)
+      i += 1
+    }
+    val cents = b.asInstanceOf[ArrayData]
+    if (!cacheHit(cents)) decodeCents(cents)
+    val ids = cachedIds; val vecs = cachedVecs; val n2 = cachedNorm2
+    val k = ids.length
+    var bestCid = -1L
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val cv = vecs(c)
+      if (cv.length != n)
+        throw new IllegalArgumentException(
+          s"nearest_centroid: vector dim $n != centroid dim ${cv.length} (cid=${ids(c)})")
+      var dot = 0.0; var na = 0.0
+      var j = 0
+      while (j < n) {
+        val xv = v(j)
+        dot += xv * cv(j); na += xv * xv
+        j += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(n2(c)))
+      if (cos > bestCos) { bestCos = cos; bestCid = ids(c) }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroid =
+    copy(left = l, right = r)
+}

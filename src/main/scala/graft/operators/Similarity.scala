@@ -142,27 +142,30 @@ object Similarity {
   /** Nearest-centroid assignment against a PROVIDED one-row centroid frame
     * (`cents`: array of (cid, cv) structs, cid-sorted) — lets several
     * frames share the same centroids (e.g. a new batch assigned with the
-    * reference corpus's seeds). Same fold semantics as
-    * [[assignToCentroids]]; output columns are (outId, outVec, cluster). */
+    * reference corpus's seeds). Output columns are (outId, outVec, cluster).
+    *
+    * Evaluated by the native [[graft.functions.NearestCentroid]] expression
+    * (one call per row); the semantically-identical HOF reference
+    * formulation — `aggregate(cents, (-1L, -Inf), (acc, c) =>
+    * if cos(v, c.cv) > acc.cos then (c.cid, cos) else acc)` — runs
+    * interpreted with a lambda frame per centroid and measured 1.14 s /
+    * 200k rows at k=8, linear in k (`tools/AssignProbe`); SimilaritySpec
+    * pins the native result to a driver-side oracle of that fold. */
   private[operators] def assignAgainst(
       embeddings: DataFrame,
       cents: DataFrame,
       idCol: String,
       vecCol: String,
       outId: String,
-      outVec: String): DataFrame =
+      outVec: String): DataFrame = {
+    import org.apache.spark.sql.GraftExpr
     embeddings.select(col(idCol).as(outId), col(vecCol).as(outVec))
       .crossJoin(broadcast(cents))
-      .withColumn("best", aggregate(
-        col("cents"),
-        struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos")),
-        (acc, c) => {
-          val cos = cosineSimilarity(col(outVec), c.getField("cv"))
-          when(cos > acc.getField("cos"),
-            struct(c.getField("cid").as("cid"), cos.as("cos")))
-            .otherwise(acc)
-        }))
-      .select(col(outId), col(outVec), col("best.cid").as("cluster"))
+      .select(col(outId), col(outVec),
+        GraftExpr.column(graft.functions.NearestCentroid(
+          GraftExpr.expression(col(outVec)),
+          GraftExpr.expression(col("cents")))).as("cluster"))
+  }
 
   /** Exact top-k cosine neighbors for each query vector. Ranking key is the
     * cosine with id tiebreak; accumulation order is fixed (array order), so
