@@ -469,13 +469,16 @@ object Dedup {
       vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
     val assigned = Similarity.assignWithVec(embeddings, k, idCol, vecCol)
-    val a = assigned.select(col("cluster"), col("id").as("a_id"), col("v").as("a_v"))
-    val b = assigned.select(col("cluster"), col("id").as("b_id"), col("v").as("b_v"))
-    val dropped = a.join(b, Seq("cluster"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(cosineSimilarity(col("a_v"), col("b_v")) >= threshold)
-      .select(col("b_id").as("id")).distinct()
-    assigned.join(dropped, Seq("id"), "left_anti")
+    val earlier = assigned
+      .select(col("cluster").as("e_cluster"), col("id").as("e_id"), col("v").as("e_v"))
+    // ONE cluster-keyed LEFT ANTI join: "no lower-id near-twin in my
+    // cluster" rides entirely in the join condition, so there is no
+    // materialized dropped-id set, no distinct, no second join — the anti
+    // join emits a survivor the moment its bucket shows no qualifying twin.
+    assigned.join(earlier,
+        col("cluster") === col("e_cluster") && col("e_id") < col("id") &&
+          cosineSimilarity(col("e_v"), col("v")) >= threshold,
+        "left_anti")
       .select(col("id").as(idCol), col("cluster"))
   }
 
@@ -503,16 +506,18 @@ object Dedup {
       .orderBy(col("id")).limit(k)
       .agg(sort_array(collect_list(struct(col("id").as("cid"), col("v").as("cv"))))
         .as("cents"))
-    def assign(df: DataFrame, a: String, b: String): DataFrame =
-      Similarity.assignAgainst(df, cents, idCol, vecCol, a, b)
-    val nw = assign(newBatch, "n_id", "n_v")
-    val ref = assign(corpus, "r_id", "r_v")
-    val dropped = nw.join(ref, Seq("cluster"))
-      .filter(cosineSimilarity(col("n_v"), col("r_v")) >= threshold)
-      .select(col("n_id").as("id")).distinct()
-    nw.select(col("n_id").as("id"), col("cluster"))
-      .join(dropped, Seq("id"), "left_anti")
-      .select(col("id").as(idCol), col("cluster"))
+    val nw = Similarity.assignAgainst(newBatch, cents, idCol, vecCol, "n_id", "n_v")
+    val ref = Similarity.assignAgainst(corpus, cents, idCol, vecCol, "r_id", "r_v")
+      .withColumnRenamed("cluster", "r_cluster")
+    // ONE cluster-keyed LEFT ANTI join with the twin test in the condition —
+    // no dropped-id set, no distinct, no rejoin; and because the corpus
+    // side is static, the same plan runs STREAM-STATIC for ingest-time
+    // semantic dedup (spec-pinned in StreamingSpec).
+    nw.join(ref,
+        col("cluster") === col("r_cluster") &&
+          cosineSimilarity(col("n_v"), col("r_v")) >= threshold,
+        "left_anti")
+      .select(col("n_id").as(idCol), col("cluster"))
   }
 
   /** Resolve near-duplicate PAIRS into clusters: every id appearing in

@@ -410,6 +410,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedupAgainstCorpus runs stream-static: arriving near-twins of the corpus are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val corpus = Seq((0L, e1), (1L, e2)).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup.semanticDedupAgainstCorpus(
+      stream, corpus, k = 2, threshold = 0.99)
+    val q = out.writeStream.format("memory").queryName("semdedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, Array(0.999f, 0.01f, 0.0f, 0.0f)),  // twin of corpus 0 -> dropped
+        (11L, Array(0.0f, 0.0f, 1.0f, 0.0f)))     // novel -> kept
+      q.processAllAvailable()
+      mem.addData(
+        (12L, Array(0.01f, 0.999f, 0.0f, 0.0f)),  // twin of corpus 1 -> dropped
+        (13L, Array(0.7f, 0.7f, 0.0f, 0.0f)))     // cos ~0.707 -> kept
+      q.processAllAvailable()
+      val got = spark.table("semdedup_out")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(11L, 13L))
+    } finally q.stop()
+  }
+
   test("stateless curation ops (sample, split, redact, quality) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
