@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Registered: cosine_similarity(a, b), word_shingles(text, n),
   * minhash_bands(shingles, bands, rows_per_band), simhash64(tokens),
   * minhash_signature(shingles, k), rolling_hash(text),
+  * nearest_centroid(vec, cents), quantize_int8(vec),
   * gopher_signals(text), gopher_keep(text[, min_words]), c4_clean(text[,
   * min_line_words]), graft_filter(line, pattern) — the reference's FILTER predicate
   * (case-insensitive substring, Operators.java:121-144) as a SQL function.
@@ -81,6 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash", "rolling_hash(text) - polynomial rolling content hash"),
       arity("rolling_hash", 1)(args => Sketches.RollingHash(args(0)))))
 
+    ext.injectFunction((FunctionIdentifier("nearest_centroid"),
+      info("nearest_centroid",
+        "nearest_centroid(vec, cents) - cid of the max-cosine centroid in an " +
+          "array<struct<cid bigint, cv array<float|double>>> (first max wins ties)"),
+      arity("nearest_centroid", 2)(args => NearestCentroid(args(0), args(1)))))
+
     ext.injectFunction((FunctionIdentifier("graft_filter"),
       info("graft_filter", "graft_filter(line, pattern) - case-insensitive substring match"),
       arity("graft_filter", 2) { args =>
@@ -95,6 +102,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def composed(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
         : Seq[Expression] => Expression =
       arity(name, 1)(args => GraftExpr.catalystExpression(f(GraftExpr.column(args.head))))
+
+    ext.injectFunction((FunctionIdentifier("quantize_int8"),
+      info("quantize_int8",
+        "quantize_int8(vec) - struct(scale, q): symmetric max-abs int8 quantization"),
+      composed("quantize_int8", VectorFunctions.quantizeInt8)))
 
     ext.injectFunction((FunctionIdentifier("redact_pii"),
       info("redact_pii",

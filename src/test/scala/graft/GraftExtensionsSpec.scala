@@ -57,6 +57,17 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(r3.getBoolean(3))
       assert(r3.getStruct(4).getAs[String]("clean_text") == "good sentence with punctuation.")
       assert(r3.getLong(5) == 2L)
+      val r4 = s.sql(
+        """SELECT
+          |  nearest_centroid(array(CAST(0.9 AS DOUBLE), 0.1D),
+          |    array(named_struct('cid', 7L, 'cv', array(1.0D, 0.0D)),
+          |          named_struct('cid', 9L, 'cv', array(0.0D, 1.0D)))) AS cid,
+          |  quantize_int8(array(CAST(2.0 AS FLOAT), CAST(-1.0 AS FLOAT))).scale AS sc,
+          |  quantize_int8(array(CAST(2.0 AS FLOAT), CAST(-1.0 AS FLOAT))).q AS q
+          |""".stripMargin).first()
+      assert(r4.getLong(0) == 7L)
+      assert(r4.getDouble(1) == 2.0)
+      assert(r4.getSeq[Int](2) == Seq(127, -63))
       // arity errors are explicit, not raw IndexOutOfBounds / silent drops
       val e = intercept[Exception](s.sql("SELECT redact_pii()").collect())
       assert(e.getMessage.contains("exactly 1 argument"), e.getMessage)
