@@ -12,8 +12,13 @@ import org.apache.spark.sql.SparkSession
   * - `spark.sql.files.maxPartitionBytes` kept at 128m so a 100 TB scan
   *   yields ~800k splits that stream through executors, each fitting
   *   comfortably in task memory;
-  * - nanos-timestamp parquet read enabled (the events table is
+  * - nanos-timestamp parquet read enabled (older events snapshots stored
   *   TIMESTAMP(NANOS), which Spark otherwise rejects);
+  * - NTZ inference off: parquet `timestamp[us]` columns without
+  *   isAdjustedToUTC (the current events table) read as plain TIMESTAMP in
+  *   the session zone instead of TIMESTAMP_NTZ, keeping `unix_micros` and
+  *   every other instant function applicable — identical epoch values
+  *   under the UTC session zone below;
   * - UTC session timezone (cross-engine timestamp determinism).
   */
 object GraftSession {
@@ -24,6 +29,7 @@ object GraftSession {
     .config("spark.sql.files.maxPartitionBytes", "128m")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // default 100 is small for a session running the whole query inventory;
     // eviction means re-running Janino on plans we just compiled
     .config("spark.sql.codegen.cache.maxEntries", "1000")

@@ -85,15 +85,21 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Events table with a usable `ts`: the parquet stores TIMESTAMP(NANOS),
-    * which Spark only reads as a nanos-since-epoch long (under
-    * spark.sql.legacy.parquet.nanosAsLong=true). Convert via integer
-    * division — double division would lose precision above 2^53 ns. */
+  /** Events table with a usable instant-typed `ts`, whatever the parquet
+    * snapshot stored:
+    *   - TIMESTAMP(NANOS) reads as a nanos-since-epoch long under
+    *     spark.sql.legacy.parquet.nanosAsLong=true — convert via integer
+    *     division (double division would lose precision above 2^53 ns);
+    *   - timestamp[us] without isAdjustedToUTC reads as TIMESTAMP_NTZ when
+    *     a session has NTZ inference on (GraftSession turns it off) — cast
+    *     to TIMESTAMP, a no-op on the wall-clock value under UTC. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val e = table(spark, sfDir, "events")
-    if (e.schema("ts").dataType == LongType)
-      e.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else e
+    e.schema("ts").dataType match {
+      case LongType => e.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => e.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => e
+    }
   }
 
   /** Register all tables as temp views (for spark.sql use). */
