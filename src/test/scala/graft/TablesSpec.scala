@@ -35,6 +35,38 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("events NTZ snapshot is epoch-preserving under a non-UTC session zone; registerAll exposes the typed ts") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toString
+    // A snapshot whose ts column is TIMESTAMP_NTZ holding UTC wall clock —
+    // the shape a timestamp[us] parquet without isAdjustedToUTC reads as
+    // when NTZ inference is on. 2024-01-01T12:00:00 UTC = 1704110400 s.
+    spark.range(1).select(
+      lit(7L).as("user_id"),
+      expr("make_timestamp_ntz(2024, 1, 1, 12, 0, 0.5)").as("ts"),
+      lit("view").as("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    withConf(
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+      "spark.sql.session.timeZone" -> "America/New_York") {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      assert(raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType,
+        "fixture must actually exercise the NTZ branch")
+      val got = Tables.events(spark, dir)
+      assert(got.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+      // unix_micros reads the instant, session-zone-independent: a bare
+      // cast would land 5h off here (12:00 EST = 17:00 UTC)
+      assert(got.select(expr("unix_micros(ts)")).head.getLong(0) == 1704110400500000L)
+    }
+    // registerAll needs every table present — use the real testdata dir,
+    // whose TIMESTAMP(NANOS) snapshot reads as a nanos long: the raw view
+    // would expose LongType where the contract promises an instant
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    assert(spark.sql("select ts from events").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    Tables.tableNames.foreach(spark.catalog.dropTempView(_))
+  }
+
   test("lines numbers each file of a multi-file glob independently from 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lines2").toFile
     for (k <- 1 to 3) {
