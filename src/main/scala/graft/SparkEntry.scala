@@ -761,6 +761,28 @@ object SparkEntry {
     "q_token_rarity" -> ((s, dir) =>
       Curation.tokenRarity(t(s, dir, "documents"))),
 
+    // Corpus-relative bigram rarity: the division-free MLE bigram-LM
+    // aggregate (exact integer numerators Σc(w1w2) and denominators
+    // Σc(w1)); min_bg = 1 flags transitions seen nowhere else.
+    "q_bigram_lm" -> ((s, dir) =>
+      Curation.bigramRarity(t(s, dir, "documents"))),
+
+    // Weight-proportional deterministic sample: keep P ∝ n_chars (longer
+    // docs survive more often), membership a pure function of (id, salt).
+    "q_sample_weighted" -> ((s, dir) =>
+      Curation.sampleWeighted(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", perUnitRate = 1.0 / 1024)),
+
+    // Z-order (Morton) key: the bit-interleave that clusters rows close in
+    // BOTH dimensions — the per-row half of writeZordered, gated exactly.
+    "q_zorder_key" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber"),
+        graft.sources.Layouts.zorderKey(
+          pmod(col("l_orderkey"), lit(256)), pmod(col("l_partkey"), lit(256)))
+          .as("zkey"))),
+
     // Adaptive quality cut: keep docs at or above their OWN source's p25
     // token count (per-group thresholds broadcast back; exact percentile =
     // the oracle path, the GK-sketch default is the 100 TB path).
@@ -1810,6 +1832,39 @@ object SparkEntry {
         |  CAST(min(tf) AS BIGINT) AS min_tf
         |FROM tk JOIN f USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+        |uf AS (SELECT tok, count(*) AS c1 FROM tk GROUP BY tok),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg
+        |  FROM arr),
+        |bf AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg)
+        |SELECT doc_id, count(*) AS n_bg,
+        |  CAST(sum(c2) AS BIGINT) AS sum_bg,
+        |  CAST(min(c2) AS BIGINT) AS min_bg,
+        |  CAST(sum(c1) AS BIGINT) AS sum_prefix
+        |FROM bg JOIN bf USING (bg)
+        |  JOIN uf ON split_part(bg.bg, ' ', 1) = uf.tok
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 15))::UBIGINT AS DOUBLE)
+        |        / 1152921504606846976.0
+        |      < CAST(n_chars AS DOUBLE) * (1.0 / 1024)""".stripMargin,
+
+    "q_zorder_key" -> {
+      def bits(c: String, off: Int) = (0 until 8)
+        .map(i => s"(((($c % 256) >> $i) & 1) << ${2 * i + off})")
+      val terms = (bits("l_orderkey", 0) ++ bits("l_partkey", 1)).mkString(" | ")
+      s"""SELECT l_orderkey, l_partkey, l_linenumber,
+         |  CAST($terms AS BIGINT) AS zkey
+         |FROM lineitem""".stripMargin
+    },
 
     "q_quality_cut" ->
       """WITH t AS (SELECT doc_id, source,

@@ -128,6 +128,77 @@ object Curation {
         min(col("__tf")).as("min_tf"))
   }
 
+  /** Corpus-relative BIGRAM rarity — the transition-level companion of
+    * [[tokenRarity]], and the division-free form of an MLE bigram language
+    * model score: per document, `n_bg` bigram occurrences, the sum and min
+    * of their corpus-wide bigram frequencies (`sum_bg`, `min_bg` — the
+    * numerators of Π c(w₁w₂)/c(w₁)), and the sum of the corpus unigram
+    * frequency of each bigram's FIRST token (`sum_prefix` — the
+    * denominators). A float logprob would be addition-order-dependent
+    * across engines; these exact integers hash-match, and the caller can
+    * form `ln(sum_bg) - ln(sum_prefix)`-style scores or flag documents
+    * whose `min_bg` is 1 (a transition seen nowhere else in the corpus —
+    * the bigram-level gibberish signal). Documents with fewer than two
+    * tokens have no transitions and are absent from the output.
+    *
+    * Shape at scale: bigrams come from a scan-local array zip (no shuffle
+    * — [[graft.functions.TextFunctions.shingles]] with n=2), then the same
+    * postings discipline as [[tokenRarity]]: two vocab-sized partial
+    * -combined aggs (bigram + unigram frequency), two token-keyed joins
+    * back, one doc-keyed agg. Text never shuffles; only (id, bigram)
+    * pairs do. */
+  def bigramRarity(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+    val uniFreq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
+    val bgs = df.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), 2)).as("__bg"))
+      // first token of the bigram = the conditional's context w₁; tokens
+      // are \s+-split so the single joining space is unambiguous
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+    val bgFreq = bgs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+    bgs.join(bgFreq, Seq("__bg"))
+      .join(uniFreq, col("__w1") === col("__tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bg"),
+        sum(col("__c2")).cast("long").as("sum_bg"),
+        min(col("__c2")).as("min_bg"),
+        sum(col("__c1")).cast("long").as("sum_prefix"))
+  }
+
+  /** Weight-proportional deterministic sample: keep a row with probability
+    * `min(1, weight × perUnitRate)` — e.g. `weightCol = n_chars,
+    * perUnitRate = 1/4000` keeps a 2000-char document with p=0.5 and every
+    * ≥4000-char document surely, the standard size-biased draw when longer
+    * documents should survive curation more often (they carry more
+    * tokens per row of overhead). Like [[sampleFraction]], membership is a
+    * PURE FUNCTION of (id, salt): the row's 60-bit salted-md5 uniform is
+    * compared against its own weight-scaled threshold, so reruns, engines,
+    * and corpus growth never flip a decision, and the whole thing is one
+    * codegen'd scan predicate — zero shuffles at any scale. The only
+    * floating-point ops are one exactly-rounded long→double conversion, one
+    * IEEE multiply and one compare, each bit-identical in any IEEE-754
+    * engine (no transcendental calls, whose last-ulp differences would make
+    * boundary rows engine-dependent). Null ids or weights drop (no identity
+    * to hash / no weight to scale). */
+  def sampleWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      perUnitRate: Double,
+      salt: String = "wsample"): DataFrame = {
+    require(perUnitRate > 0.0, s"perUnitRate must be > 0: $perUnitRate")
+    // 15 md5 hex chars = 60 bits: fits a positive long exactly, and
+    // 2^60 is exactly representable as a double
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))),
+      1, 15), 16, 10).cast("long").cast("double") / lit(1152921504606846976.0)
+    df.filter(u < col(weightCol).cast("double") * lit(perUnitRate))
+  }
+
   /** Rebalance a corpus to declared per-group TOKEN shares by
     * down-sampling: each group's keep rate is derived IN-PLAN from the
     * corpus's own token masses — `rate_g = S·w_g / c_g` with

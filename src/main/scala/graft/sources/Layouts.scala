@@ -70,6 +70,71 @@ object Layouts {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Bit-interleaved (Morton / Z-order) key of two non-negative `bits`-bit
+    * values: bit i of `x` lands at position 2i, bit i of `y` at 2i+1, so
+    * sorting by the key clusters rows that are close in BOTH dimensions.
+    * Pure shift/and/or chain over longs — codegen'd, no UDF. Callers must
+    * pass values already reduced to `bits` bits (bucket ids, `pmod`s);
+    * higher bits are ignored by construction. */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 8): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, s"bits out of [1,31]: $bits")
+    val xi = x.cast("long")
+    val yi = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(xi, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftrightunsigned(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` clustered for data skipping on TWO columns at once.
+    * [[writeSorted]] on `(a, b)` skips perfectly on `a` but not at all on a
+    * bare `b` predicate (every file spans b's full range); Z-ordering
+    * trades a little skipping on `a` for real skipping on BOTH — each
+    * output file covers a small rectangle of the (a, b) space, so either
+    * column's min/max footer stats stay narrow. The standard second
+    * clustering lever at 100 TB when two independent predicates are common
+    * (e.g. time AND tenant).
+    *
+    * Each column is first reduced to a 2^bits equi-depth bucket id via
+    * `percentile_approx` boundaries + the codegen'd [[graft.functions
+    * .BucketIndex]] search (rank-based like a range-partition id, so a
+    * skewed value distribution still fills all buckets — raw min/max bit
+    * slicing would collapse under skew), then the ids are bit-interleaved
+    * and the rows range-written on the z key. One boundary-sampling job +
+    * one range shuffle at write time, amortized over every later read. */
+  def writeZordered(
+      df: DataFrame,
+      dir: String,
+      c1: String,
+      c2: String,
+      partitions: Int,
+      bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftExpr
+    import graft.functions.BucketIndex
+    require(partitions >= 1, s"partitions must be >= 1: $partitions")
+    val nb = (1 << bits) - 1
+    val probs = (1 to nb).map(i => lit(i.toDouble / (nb + 1)))
+    // one tiny 1-row frame of 2 boundary arrays; eager localCheckpoint pins
+    // the approx draw so re-executions bucket identically
+    val bounds = df.agg(
+        percentile_approx(col(c1).cast("double"), array(probs: _*), lit(10000)).as("__b1"),
+        percentile_approx(col(c2).cast("double"), array(probs: _*), lit(10000)).as("__b2"))
+      .localCheckpoint(true)
+    def bucket(c: String, b: String) = GraftExpr.column(BucketIndex(
+      GraftExpr.expression(col(c).cast("double")),
+      GraftExpr.expression(col(b)), descending = false, nullsFirst = true))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__graft_z", zorderKey(bucket(c1, "__b1"), bucket(c2, "__b2"), bits))
+      .drop("__b1", "__b2")
+      .repartitionByRange(partitions, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Number of Exchange (shuffle/broadcast-exchange) nodes in the final
     * physical plan — 0 on a co-bucketed join is the whole point. Unwraps the
     * AQE leaf wrappers: AdaptiveSparkPlanExec before execution, and the

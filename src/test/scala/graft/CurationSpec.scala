@@ -264,6 +264,43 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       (3L, 1L, 3L, 3L)))
   }
 
+  test("bigramRarity: corpus bigram/prefix frequencies, exact integers; <2-token docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: "a b","b a","a b"
+      (2L, "a b"),       // bigram:  "a b"
+      (3L, "c"))         // no transition
+      .toDF("doc_id", "text")
+    // corpus: c("a b")=3, c("b a")=1; unigrams a:3, b:3, c:1
+    val got = Curation.bigramRarity(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 7L, 1L, 9L),   // Σc2 = 3+1+3; min 1 (unique "b a"); Σc1(w1) = 3+3+3
+      (2L, 1L, 3L, 3L, 3L)))
+  }
+
+  test("sampleWeighted: zero weight drops, huge weight keeps, monotone in rate, deterministic") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, i % 5)).toDF("doc_id", "w")
+    assert(Curation.sampleWeighted(df.withColumn("w", lit(0L)), "doc_id", "w", 0.5).count() == 0)
+    assert(Curation.sampleWeighted(df.withColumn("w", lit(10L)), "doc_id", "w", 0.5).count() == 2000)
+    val lo = Curation.sampleWeighted(df, "doc_id", "w", 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    val hi = Curation.sampleWeighted(df, "doc_id", "w", 0.10)
+      .select("doc_id").as[Long].collect().toSet
+    // same per-row uniform, higher threshold: membership only grows
+    assert(lo.subsetOf(hi), s"lost ${lo.diff(hi).size} rows when rate doubled")
+    assert(lo.size < hi.size)
+    // expected keep fraction ~ E[min(1, w*rate)] = mean(0,.05..,.2)=0.1 at rate=.05
+    assert(lo.size > 100 && lo.size < 320, s"keep count off: ${lo.size}")
+    // w=0 rows never pass regardless of hash
+    assert(!lo.exists(_ % 5 == 0))
+    val again = Curation.sampleWeighted(df.repartition(13), "doc_id", "w", 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == lo)
+  }
+
   test("mixtureToTargets: binding group keeps rate 1, shares land on target, untargeted drop") {
     import spark.implicits._
     // equal 10-token docs; masses a=30k, b=10k, c=20k tokens; targets

@@ -80,4 +80,47 @@ class LayoutsSpec extends AnyFunSuite with SparkSpec {
     assert(Layouts.countExchanges(agg) == 0,
       s"expected exchange-free agg:\n${agg.queryExecution.executedPlan}")
   }
+
+  test("zorderKey interleaves bits; writeZordered prunes on BOTH columns where single-sort can't") {
+    import spark.implicits._
+    // zorderKey(x=0b101, y=0b011): x bits at even positions, y at odd ->
+    // z = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    assert(spark.range(1).select(Layouts.zorderKey(lit(5), lit(3), 4))
+      .head.getLong(0) == 27L)
+
+    val n = 100000
+    val rnd = new scala.util.Random(7)
+    val rows = Vector.fill(n)((rnd.nextInt(10000), rnd.nextInt(10000)))
+    val df = rows.toDF("x", "y")
+    val xSortedDir = java.nio.file.Files.createTempDirectory("graft_xsort").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layouts.writeSorted(df, xSortedDir, Seq("x"), partitions = 16)
+    Layouts.writeZordered(df, zDir, "x", "y", partitions = 16)
+
+    def scanned(dir: String, pred: org.apache.spark.sql.Column, expect: Long): Long = {
+      val q = spark.read.parquet(dir).filter(pred)
+      // execute q's OWN physical plan (count() builds a column-pruned twin
+      // whose scan is a different node — its metrics, not q's, would fill)
+      assert(q.queryExecution.toRdd.count() == expect, s"$dir correctness first")
+      q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numOutputRows").value
+    }
+    val yPred = col("y") < 625 // a 1/16 slab on the column x-sort ignores
+    val expectY = rows.count(_._2 < 625).toLong
+    val xSortY = scanned(xSortedDir, yPred, expectY)
+    val zY = scanned(zDir, yPred, expectY)
+    // x-sorted files each span y's full range -> zero pruning on y (reads
+    // everything); z-ordered files cover (x, y) rectangles -> a y slab
+    // touches only the rectangles it crosses (one row of the grid)
+    assert(xSortY == n.toLong, s"x-sort should read everything on a y filter: $xSortY")
+    assert(zY * 2 <= xSortY,
+      s"z-order should prune on y where x-sort can't: z=$zY xsort=$xSortY")
+    // and the z layout still prunes on x too (the trade is less x
+    // resolution, not none)
+    val xPred = col("x") < 625
+    val expectX = rows.count(_._1 < 625).toLong
+    val zX = scanned(zDir, xPred, expectX)
+    assert(zX * 2 <= n.toLong, s"z-order should still prune on x: $zX of $n")
+  }
 }
