@@ -26,7 +26,7 @@ object Bench {
     // document-quality suites (fused one-pass expressions) and the composed
     // C4 -> Gopher pipeline — all pure scan-bound
     "q_gopher", "q_c4_filter", "q_pipeline_quality",
-    "q_redact", "q_repetition", "q_decontam", "q_ngram_freq",
+    "q_redact", "q_repetition", "q_decontam", "q_split_decontam", "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_mixture_target", "q_pack",
     "q_chunk", "q_shuffle_order", "q_pipeline_curation", "q_pipeline_chunks",
     "q_profile_approx",
@@ -125,7 +125,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"passes":{"batch":3,"stream":3},"sf":$sfNum,"note":"keys drop q_ prefix; full detail in BENCH_FULL.json"}"""
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum,"note":"keys drop q_ prefix; full detail in BENCH_FULL.json"}"""
     if (line.length > 1900)
       System.err.println(s"WARN bench line ${line.length} chars — trim keys or precision before the tail buffer (2000) truncates it")
     println(line)

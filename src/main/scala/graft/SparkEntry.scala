@@ -556,6 +556,18 @@ object SparkEntry {
       operators.Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0))
     }),
 
+    // Cross-split leakage audit: the full composed pipeline — deterministic
+    // hash split, then val+test docs scored for trigram overlap against the
+    // TRAIN corpus, all one Catalyst plan (the check a team runs before
+    // trusting its eval numbers; n_hit > 0 rows are the leaks).
+    "q_split_decontam" -> ((s, dir) => {
+      val split = Curation.withSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      operators.Decontaminate.overlap(
+        split.filter(col("split") =!= "train").select(col("doc_id"), col("text")),
+        split.filter(col("split") === "train").select(col("doc_id"), col("text")))
+    }),
+
     // Corpus bigram frequency table: the top-100 2-grams with counts
     // (contamination scans, boilerplate discovery). Deterministic total
     // order (count desc, gram asc) so LIMIT is engine-portable.
@@ -2111,6 +2123,23 @@ object SparkEntry {
         |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0)
         |SELECT s.doc_id, count(*) AS n_shingles, count(b.sh) AS n_hit
         |FROM s LEFT JOIN b USING (sh)
+        |GROUP BY 1""".stripMargin,
+
+    "q_split_decontam" ->
+      """WITH sp AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000 AS BIGINT) AS b
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+        |  FROM sp WHERE b >= 8000),
+        |tr AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+        |  FROM sp WHERE b < 8000)
+        |SELECT s.doc_id, count(*) AS n_shingles, count(tr.sh) AS n_hit
+        |FROM s LEFT JOIN tr USING (sh)
         |GROUP BY 1""".stripMargin,
 
     "q_ngram_freq" ->

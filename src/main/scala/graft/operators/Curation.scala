@@ -142,11 +142,15 @@ object Curation {
     * tokens have no transitions and are absent from the output.
     *
     * Shape at scale: bigrams come from a scan-local array zip (no shuffle
-    * — [[graft.functions.TextFunctions.shingles]] with n=2), then the same
-    * postings discipline as [[tokenRarity]]: two vocab-sized partial
-    * -combined aggs (bigram + unigram frequency), two token-keyed joins
-    * back, one doc-keyed agg. Text never shuffles; only (id, bigram)
-    * pairs do. */
+    * — [[graft.functions.TextFunctions.shingles]] with n=2); occurrences
+    * collapse to per-(doc, bigram) COUNTS before anything joins (map-side
+    * partial combine, so the shuffles carry distinct pairs, never the
+    * occurrence stream — a boilerplate bigram repeated 10⁶× in one page
+    * moves as one row). Both corpus frequencies land on the vocab-sized
+    * distinct-bigram table first (the unigram join probes distinct
+    * bigrams, not occurrences), leaving ONE postings-keyed join back and
+    * one doc-keyed agg, counts weighted by multiplicity. Text never
+    * shuffles; only (id, bigram, k) rows do. */
   def bigramRarity(
       df: DataFrame,
       idCol: String = "doc_id",
@@ -155,19 +159,21 @@ object Curation {
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("__tok"))
     val uniFreq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
-    val bgs = df.select(col(idCol),
-      explode(TextFunctions.shingles(col(textCol), 2)).as("__bg"))
-      // first token of the bigram = the conditional's context w₁; tokens
-      // are \s+-split so the single joining space is unambiguous
-      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
-    val bgFreq = bgs.groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
-    bgs.join(bgFreq, Seq("__bg"))
+    val docBg = df.select(col(idCol),
+      explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__k"))
+    val bgFreq = docBg.groupBy(col("__bg")).agg(sum(col("__k")).cast("long").as("__c2"))
+    // first token of the bigram = the conditional's context w₁; tokens are
+    // \s+-split so the single joining space is unambiguous
+    val enriched = bgFreq.withColumn("__w1", substring_index(col("__bg"), " ", 1))
       .join(uniFreq, col("__w1") === col("__tok"))
+      .select(col("__bg"), col("__c2"), col("__c1"))
+    docBg.join(enriched, Seq("__bg"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bg"),
-        sum(col("__c2")).cast("long").as("sum_bg"),
+      .agg(sum(col("__k")).cast("long").as("n_bg"),
+        sum(col("__k") * col("__c2")).cast("long").as("sum_bg"),
         min(col("__c2")).as("min_bg"),
-        sum(col("__c1")).cast("long").as("sum_prefix"))
+        sum(col("__k") * col("__c1")).cast("long").as("sum_prefix"))
   }
 
   /** Weight-proportional deterministic sample: keep a row with probability
