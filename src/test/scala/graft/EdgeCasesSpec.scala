@@ -123,4 +123,21 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decode(Multimodal.asMediaTable(emptyDocs)).count() == 0)
     assert(Multimodal.extractFeatures(Multimodal.asMediaTable(emptyDocs)).count() == 0)
   }
+
+  test("round-10 operators: null text/weight, empty input, single-token docs") {
+    import spark.implicits._
+    assert(Curation.bigramRarity(emptyDocs).count() == 0)
+    assert(Curation.sampleWeighted(emptyDocs.withColumn("w", lit(1L)),
+      "doc_id", "w", 0.5).count() == 0)
+    // null text and single-token docs have no transitions -> absent, like
+    // the DuckDB oracle's unnest of an empty/null bigram list
+    val docs = Seq((1L, "a b"), (2L, null: String), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val ids = Curation.bigramRarity(docs).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+    // null weight rows drop (comparison is null), like the oracle's WHERE
+    val w = Seq((1L, Some(1000000L)), (2L, None)).toDF("doc_id", "w")
+    assert(Curation.sampleWeighted(w, "doc_id", "w", 1.0)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
 }
