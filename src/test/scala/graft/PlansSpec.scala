@@ -184,6 +184,27 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       s"per-query top-k should run with a WindowGroupLimit:\n$p")
   }
 
+  test("q_bigram_lm: no join ever probes the raw occurrence stream") {
+    // the r10 first cut joined exploded bigram OCCURRENCES twice (6.7 s at
+    // sf0.1); the fixed plan collapses them to per-(doc,bigram) counts
+    // first, so every join input must pass through an aggregate before any
+    // Generate (explode) is reachable underneath
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec}
+    val p = sparkPlan("q_bigram_lm")
+    def generateAboveAgg(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => false
+      case _: GenerateExec => true
+      case other => other.children.exists(generateAboveAgg)
+    }
+    val joins = p.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    for (j <- joins; c <- j.children)
+      assert(!generateAboveAgg(c),
+        s"a join consumes raw exploded occurrences (no collapse before the join):\n$p")
+  }
+
   test("q_cluster_assign: zero corpus exchanges — assignment is scan-local") {
     // the ONLY exchanges allowed are the one-row centroid build (limit +
     // single-partition agg) and its broadcast — never a hash exchange of

@@ -83,6 +83,24 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("zorderKey is a bijection: both coordinates recover from the interleave") {
+    import spark.implicits._
+    val pairs = Gen.listOfN(300,
+      Gen.zip(Gen.choose(0, 255), Gen.choose(0, 255)))
+      .apply(Gen.Parameters.default, Seed(11)).get.distinct
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.sources.Layouts.zorderKey(col("x"), col("y"), 8).as("z"))
+      .collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val (x, y, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val xBack = (0 until 8).map(i => (((z >> (2 * i)) & 1L) << i).toInt).sum
+      val yBack = (0 until 8).map(i => (((z >> (2 * i + 1)) & 1L) << i).toInt).sum
+      assert(xBack == x && yBack == y, s"($x,$y) -> $z -> ($xBack,$yBack)")
+    }
+  }
+
   test("shingle sets are invariant under extra whitespace") {
     import spark.implicits._
     for (seed <- 1L to 6L) {
