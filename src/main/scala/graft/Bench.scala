@@ -43,7 +43,7 @@ object Bench {
     // scoring pass; cluster-assign is the scan-local SemDeDup partitioner;
     // the dedup itself adds the within-cluster pair join; bm25 is the
     // postings-shaped sparse-retrieval plan
-    "q_token_rarity", "q_bigram_lm", "q_sample_weighted", "q_zorder_key",
+    "q_token_rarity", "q_bigram_lm", "q_bigram_lm_incr", "q_sample_weighted", "q_zorder_key",
     "q_cluster_assign", "q_quantize", "q_dedup_semantic",
     "q_dedup_semantic_incr", "q_bm25", "q_hybrid_rank",
     "q_sim_topk", "q_sim_ann", "q_sim_ivf",

@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Registered: cosine_similarity(a, b), word_shingles(text, n),
   * minhash_bands(shingles, bands, rows_per_band), simhash64(tokens),
   * minhash_signature(shingles, k), rolling_hash(text),
-  * nearest_centroid(vec, cents), quantize_int8(vec),
+  * nearest_centroid(vec, cents), quantize_int8(vec), zorder_key(x, y, bits),
   * gopher_signals(text), gopher_keep(text[, min_words]), c4_clean(text[,
   * min_line_words]), graft_filter(line, pattern) — the reference's FILTER predicate
   * (case-insensitive substring, Operators.java:121-144) as a SQL function.
@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("quantize_int8",
         "quantize_int8(vec) - struct(scale, q): symmetric max-abs int8 quantization"),
       composed("quantize_int8", VectorFunctions.quantizeInt8)))
+
+    ext.injectFunction((FunctionIdentifier("zorder_key"),
+      info("zorder_key",
+        "zorder_key(x, y, bits) - bit-interleaved Morton key of two bits-bit values"),
+      arity("zorder_key", 3)(args => GraftExpr.catalystExpression(
+        graft.sources.Layouts.zorderKey(GraftExpr.column(args(0)),
+          GraftExpr.column(args(1)), intLit(args(2), "bits"))))))
 
     ext.injectFunction((FunctionIdentifier("redact_pii"),
       info("redact_pii",

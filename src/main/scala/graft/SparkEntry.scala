@@ -779,6 +779,16 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, dir) =>
       Curation.bigramRarity(t(s, dir, "documents"))),
 
+    // Ingest-time corpus-relative bigram scoring: new docs (doc_id % 5 = 0)
+    // scored against the static rest — novel transitions (n_bg - n_hit)
+    // are the OOD signal; corpus text aggregates once and never moves.
+    "q_bigram_lm_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.bigramRarityAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+    }),
+
     // Weight-proportional deterministic sample: keep P ∝ n_chars (longer
     // docs survive more often), membership a pure function of (id, salt).
     "q_sample_weighted" -> ((s, dir) =>
@@ -1861,6 +1871,28 @@ object SparkEntry {
         |  CAST(sum(c1) AS BIGINT) AS sum_prefix
         |FROM bg JOIN bf USING (bg)
         |  JOIN uf ON split_part(bg.bg, ' ', 1) = uf.tok
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_bigram_lm_incr" ->
+      """WITH cp AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |uf AS (SELECT tok, count(*) AS c1
+        |       FROM (SELECT unnest(a) AS tok FROM cp) GROUP BY tok),
+        |bf AS (SELECT bg, count(*) AS c2 FROM (
+        |  SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg
+        |  FROM cp) GROUP BY bg),
+        |en AS (SELECT bf.bg, bf.c2, uf.c1
+        |       FROM bf JOIN uf ON split_part(bf.bg, ' ', 1) = uf.tok),
+        |nd AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |        FROM documents WHERE doc_id % 5 = 0))
+        |SELECT doc_id, count(*) AS n_bg,
+        |  CAST(count(en.bg) AS BIGINT) AS n_hit,
+        |  CAST(sum(coalesce(en.c2, 0)) AS BIGINT) AS sum_bg,
+        |  CAST(sum(coalesce(en.c1, 0)) AS BIGINT) AS sum_prefix
+        |FROM nd LEFT JOIN en USING (bg)
         |GROUP BY doc_id""".stripMargin,
 
     "q_sample_weighted" ->

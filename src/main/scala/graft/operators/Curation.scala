@@ -176,6 +176,57 @@ object Curation {
         sum(col("__k") * col("__c1")).cast("long").as("sum_prefix"))
   }
 
+  /** Ingest-time twin of [[bigramRarity]] (precedent:
+    * [[graft.operators.Dedup.dropExistingIn]] /
+    * `semanticDedupAgainstCorpus`): score NEW documents' transitions
+    * against a STATIC reference corpus's frequencies — the corpus is
+    * aggregated to its vocab-sized (bigram, c2, c1) table once and its
+    * text never moves again. Transitions the corpus has never seen score
+    * frequency 0, so `n_bg - n_hit` is the per-document count of novel
+    * transitions (the OOD/gibberish signal at ingest) and the sums stay
+    * exact integers like the batch form. Shape at scale: the new batch
+    * collapses to per-(doc, bigram) counts scan-side, then ONE left join
+    * against the corpus stats (broadcast when they fit) + one doc-keyed
+    * agg. For a STREAMING `newDocs`, pass `collapseOccurrences = false`:
+    * the pre-collapse is a second stateful aggregation (chained streaming
+    * aggs are mode-restricted), and with it off the plan is a stateless
+    * generator + stream-static left join + exactly ONE stateful doc-keyed
+    * agg (update mode; state = docs-in-flight) — the per-micro-batch
+    * occurrence volume the collapse would save is small by construction
+    * (StreamingSpec pins batch parity). */
+  def bigramRarityAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      collapseOccurrences: Boolean = true): DataFrame = {
+    import graft.functions.TextFunctions
+    val uniFreq = corpus
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c1"))
+    val bgFreq = corpus
+      .select(explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
+      .groupBy(col("__bg")).agg(count(lit(1)).as("__c2"))
+    // a bigram in the corpus implies its first token is in the corpus
+    // vocabulary, so this join is inner without loss
+    val enriched = bgFreq.withColumn("__w1", substring_index(col("__bg"), " ", 1))
+      .join(uniFreq, col("__w1") === col("__tok"))
+      .select(col("__bg"), col("__c2"), col("__c1"))
+    val occurrences = newDocs.select(col(idCol),
+      explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
+    val docBg =
+      if (collapseOccurrences)
+        occurrences.groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__k"))
+      else occurrences.withColumn("__k", lit(1L))
+    docBg.join(enriched, Seq("__bg"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).cast("long").as("n_bg"),
+        sum(when(col("__c2").isNotNull, col("__k")).otherwise(lit(0L)))
+          .cast("long").as("n_hit"),
+        sum(col("__k") * coalesce(col("__c2"), lit(0L))).cast("long").as("sum_bg"),
+        sum(col("__k") * coalesce(col("__c1"), lit(0L))).cast("long").as("sum_prefix"))
+  }
+
   /** Weight-proportional deterministic sample: keep a row with probability
     * `min(1, weight × perUnitRate)` — e.g. `weightCol = n_chars,
     * perUnitRate = 1/4000` keeps a 2000-char document with p=0.5 and every

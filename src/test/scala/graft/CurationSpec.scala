@@ -280,6 +280,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       (2L, 1L, 3L, 3L, 3L)))
   }
 
+  test("bigramRarityAgainstCorpus: novel transitions score 0; collapse on/off identical") {
+    import spark.implicits._
+    val corpus = Seq((100L, "a b a b"), (101L, "b c")).toDF("doc_id", "text")
+    val fresh = Seq((1L, "a b z"), (2L, "z z"), (3L, "solo")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val got = rows(Curation.bigramRarityAgainstCorpus(fresh, corpus))
+    // doc 1: "a b" (c2=2, c1(a)=2) + novel "b z"; doc 2: novel only;
+    // doc 3: no transitions -> absent
+    assert(got == Seq((1L, 2L, 1L, 2L, 2L), (2L, 1L, 0L, 0L, 0L)))
+    assert(got == rows(Curation.bigramRarityAgainstCorpus(
+      fresh, corpus, collapseOccurrences = false)))
+  }
+
   test("sampleWeighted: zero weight drops, huge weight keeps, monotone in rate, deterministic") {
     import spark.implicits._
     val df = (1L to 2000L).map(i => (i, i % 5)).toDF("doc_id", "w")

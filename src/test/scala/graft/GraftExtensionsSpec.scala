@@ -68,6 +68,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(r4.getLong(0) == 7L)
       assert(r4.getDouble(1) == 2.0)
       assert(r4.getSeq[Int](2) == Seq(127, -63))
+      // zorder_key(5=0b101, 3=0b011, 4 bits) -> 1+2+8+16 = 27
+      assert(s.sql("SELECT zorder_key(5, 3, 4) AS z").first().getLong(0) == 27L)
       // arity errors are explicit, not raw IndexOutOfBounds / silent drops
       val e = intercept[Exception](s.sql("SELECT redact_pii()").collect())
       assert(e.getMessage.contains("exactly 1 argument"), e.getMessage)

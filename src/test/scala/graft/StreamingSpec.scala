@@ -538,6 +538,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("bigramRarityAgainstCorpus runs stream-static (collapse off), batch-parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus bigrams: "a b"x2, "b a", "b c"; unigrams a:2, b:3, c:1
+    val corpus = Seq((100L, "a b a b"), (101L, "b c")).toDF("doc_id", "text")
+    val arriving = Seq((1L, "a b z"), (2L, "z z"))
+    val mem = MemoryStream[(Long, String)]
+    // collapse OFF: stateless generator + stream-static left join + the ONE
+    // stateful doc agg (chained streaming aggs are mode-restricted)
+    val out = graft.operators.Curation.bigramRarityAgainstCorpus(
+      mem.toDF().toDF("doc_id", "text"), corpus, collapseOccurrences = false)
+    val q = out.writeStream.format("memory").queryName("bgr_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(arriving: _*)
+      q.processAllAvailable()
+      def five(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val got = spark.table("bgr_out").collect().map(five).sortBy(_._1).toSeq
+      val want = graft.operators.Curation.bigramRarityAgainstCorpus(
+        arriving.toDF("doc_id", "text"), corpus)
+        .collect().map(five).sortBy(_._1).toSeq
+      assert(got == want)
+      // doc 1: "a b" hits (c2=2, c1(a)=2), "b z" is novel -> (2,1,2,2);
+      // doc 2: all transitions novel -> zeros
+      assert(got == Seq((1L, 2L, 1L, 2L, 2L), (2L, 1L, 0L, 0L, 0L)))
+    } finally q.stop()
+  }
+
   test("socket source drives the op pipeline end-to-end (localhost)") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val port = server.getLocalPort
