@@ -125,7 +125,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum,"note":"keys drop q_ prefix; full detail in BENCH_FULL.json"}"""
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum,"note":"q_ prefix stripped; see BENCH_FULL.json"}"""
     if (line.length > 1900)
       System.err.println(s"WARN bench line ${line.length} chars — trim keys or precision before the tail buffer (2000) truncates it")
     println(line)
