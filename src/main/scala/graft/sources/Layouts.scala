@@ -77,15 +77,23 @@ object Layouts {
     * pass values already reduced to `bits` bits (bucket ids, `pmod`s);
     * higher bits are ignored by construction. */
   def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
-      bits: Int = 8): org.apache.spark.sql.Column = {
+      bits: Int = 8): org.apache.spark.sql.Column = zorderKeyN(Seq(x, y), bits)
+
+  /** N-dimensional Morton key — bit i of column j lands at position
+    * i*N + j (round-robin interleave), the clustering a table filtered
+    * independently on three-plus columns needs (time AND tenant AND
+    * language). Resolution per dimension falls as bits must share one
+    * long: `bits × N ≤ 62`. */
+  def zorderKeyN(cols: Seq[org.apache.spark.sql.Column], bits: Int = 8)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    require(bits >= 1 && bits <= 31, s"bits out of [1,31]: $bits")
-    val xi = x.cast("long")
-    val yi = y.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(xi, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftrightunsigned(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    val n = cols.size
+    require(n >= 2, s"need at least 2 columns, got $n")
+    require(bits >= 1 && bits * n <= 62, s"bits x cols must fit a long: $bits x $n")
+    val longs = cols.map(_.cast("long"))
+    (for { i <- 0 until bits; (c, j) <- longs.zipWithIndex } yield
+      shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ bitwiseOR _)
   }
 
   /** Write `df` clustered for data skipping on TWO columns at once.
@@ -110,6 +118,16 @@ object Layouts {
       c1: String,
       c2: String,
       partitions: Int,
+      bits: Int = 8): Unit =
+    writeZorderedN(df, dir, Seq(c1, c2), partitions, bits)
+
+  /** N-column form of [[writeZordered]] — same equi-depth bucketing per
+    * column, round-robin interleave via [[zorderKeyN]]. */
+  def writeZorderedN(
+      df: DataFrame,
+      dir: String,
+      cols: Seq[String],
+      partitions: Int,
       bits: Int = 8): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.GraftExpr
@@ -117,18 +135,24 @@ object Layouts {
     require(partitions >= 1, s"partitions must be >= 1: $partitions")
     val nb = (1 << bits) - 1
     val probs = (1 to nb).map(i => lit(i.toDouble / (nb + 1)))
-    // one tiny 1-row frame of 2 boundary arrays; eager localCheckpoint pins
-    // the approx draw so re-executions bucket identically
+    // one tiny 1-row frame of one boundary array per column; eager
+    // localCheckpoint pins the approx draw so re-executions bucket
+    // identically
+    val boundCols = cols.indices.map(i => s"__b$i")
     val bounds = df.agg(
-        percentile_approx(col(c1).cast("double"), array(probs: _*), lit(10000)).as("__b1"),
-        percentile_approx(col(c2).cast("double"), array(probs: _*), lit(10000)).as("__b2"))
+        percentile_approx(col(cols.head).cast("double"), array(probs: _*), lit(10000))
+          .as(boundCols.head),
+        cols.tail.zip(boundCols.tail).map { case (c, b) =>
+          percentile_approx(col(c).cast("double"), array(probs: _*), lit(10000)).as(b)
+        }: _*)
       .localCheckpoint(true)
     def bucket(c: String, b: String) = GraftExpr.column(BucketIndex(
       GraftExpr.expression(col(c).cast("double")),
       GraftExpr.expression(col(b)), descending = false, nullsFirst = true))
     df.crossJoin(broadcast(bounds))
-      .withColumn("__graft_z", zorderKey(bucket(c1, "__b1"), bucket(c2, "__b2"), bits))
-      .drop("__b1", "__b2")
+      .withColumn("__graft_z", zorderKeyN(
+        cols.zip(boundCols).map { case (c, b) => bucket(c, b) }, bits))
+      .drop(boundCols: _*)
       .repartitionByRange(partitions, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")

@@ -99,6 +99,20 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       val yBack = (0 until 8).map(i => (((z >> (2 * i + 1)) & 1L) << i).toInt).sum
       assert(xBack == x && yBack == y, s"($x,$y) -> $z -> ($xBack,$yBack)")
     }
+    // N-dim round-robin interleave: bit i of column j sits at i*N + j
+    val triples = Gen.listOfN(100,
+      Gen.zip(Gen.choose(0, 63), Gen.choose(0, 63), Gen.choose(0, 63)))
+      .apply(Gen.Parameters.default, Seed(13)).get.distinct
+    val got3 = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        graft.sources.Layouts.zorderKeyN(Seq(col("a"), col("b"), col("c")), 6).as("z"))
+      .collect()
+    for (r <- got3; j <- 0 until 3) {
+      val want = r.getInt(j)
+      val z = r.getLong(3)
+      val back = (0 until 6).map(i => (((z >> (3 * i + j)) & 1L) << i).toInt).sum
+      assert(back == want, s"dim $j: $want -> $z -> $back")
+    }
   }
 
   test("shingle sets are invariant under extra whitespace") {
