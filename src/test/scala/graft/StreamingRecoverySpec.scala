@@ -259,6 +259,53 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, "a b"), (1L, "c d"), (2L, "e f")))
   }
 
+  test("ingest bigram scoring resumes its doc-agg state across a restart (update mode)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_bgr_in").toString
+    val out = Files.createTempDirectory("graft_bgr_out").toString
+    val ckpt = Files.createTempDirectory("graft_bgr_ckpt").toString
+    // corpus "a b b c": unigrams a:1 b:2 c:1; bigrams "a b","b b","b c" x1
+    val corpus = Seq((100L, "a b b c")).toDF("doc_id", "text")
+
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_bgr_stage").resolve("w").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    writeBatch("b1.parquet", Seq((1L, "a b")))
+    lazy val schema = spark.read.parquet(in).schema
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      graft.operators.Curation
+        .bigramRarityAgainstCorpus(src, corpus, collapseOccurrences = false)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("__batch", lit(id)).write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    val q1 = startQuery(); q1.awaitTermination(60000); assert(!q1.isActive)
+    // post-restart: doc 1's agg state must RESUME (n_bg accumulates across
+    // the crash), doc 2 is fresh
+    writeBatch("b2.parquet", Seq((1L, "b c"), (2L, "x y")))
+    val q2 = startQuery(); q2.awaitTermination(60000)
+
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val latest = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._6) }.toSeq.sortBy(_._1)
+    // doc 1 final: "a b" + "b c" both hit -> n_bg 2, sum_bg 2, prefixes
+    // c1(a)+c1(b) = 3; doc 2: one novel transition
+    assert(latest == Seq((1L, 2L, 2L, 2L, 3L, 1L), (2L, 1L, 0L, 0L, 0L, 1L)),
+      s"got ${latest.mkString(",")}")
+    // and the pre-crash emission really was the partial state (1 bigram)
+    val doc1First = rows.filter(r => r._1 == 1L).minBy(_._6)
+    assert(doc1First._2 == 1L, s"pre-crash doc-1 row: $doc1First")
+  }
+
   test("watermarked tumbling-window counts emit finalized windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
