@@ -556,6 +556,18 @@ object SparkEntry {
       operators.Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0))
     }),
 
+    // Corpus-version diff: one row per id in either version with status
+    // added/removed/changed/unchanged — the "what did this recuration
+    // actually change" audit; fingerprints move, text never does.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Dedup.corpusDiff(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 2).withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))))
+    }),
+
     // Cross-split leakage audit: the full composed pipeline — deterministic
     // hash split, then val+test docs scored for trigram overlap against the
     // TRAIN corpus, all one Catalyst plan (the check a team runs before
@@ -2156,6 +2168,18 @@ object SparkEntry {
         |SELECT s.doc_id, count(*) AS n_shingles, count(b.sh) AS n_hit
         |FROM s LEFT JOIN b USING (sh)
         |GROUP BY 1""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH p AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |      FROM documents WHERE doc_id % 10 >= 2)
+        |SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN p.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id""".stripMargin,
 
     "q_split_decontam" ->
       """WITH sp AS (

@@ -47,6 +47,33 @@ object Dedup {
     docs.join(fps, md5(col(textCol)) === col("__corpus_fp"), "left_anti")
   }
 
+  /** Diff two corpus versions by id + content fingerprint — the ops view of
+    * an incremental pipeline ("what did this crawl/recuration actually
+    * change?"): one row per doc id present in either version, with
+    * `status` ∈ added (id only in `next`), removed (only in `prev`),
+    * changed (both, md5 differs), unchanged (both, md5 equal). Shape at
+    * scale: each side reduces to (id, 16-byte md5) scan-side — text never
+    * shuffles — then ONE full-outer keyed join; the output is id+status
+    * rows, so a 100 TB×2 diff moves fingerprints only. Null text
+    * fingerprints as null; two nulls compare unchanged (null-safe
+    * equality), null-vs-text is changed. */
+  def corpusDiff(
+      prev: DataFrame,
+      next: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val p = prev.select(col(idCol).as("__id"), md5(col(textCol)).as("__fp_prev"),
+      lit(1).as("__in_prev"))
+    val n = next.select(col(idCol).as("__id"), md5(col(textCol)).as("__fp_next"),
+      lit(1).as("__in_next"))
+    p.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__in_prev").isNull, lit("added"))
+          .when(col("__in_next").isNull, lit("removed"))
+          .when(col("__fp_prev") <=> col("__fp_next"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Cross-document SPAN dedup, C4-style: among all rows sharing a span's
     * content, keep only the FIRST in `orderCols` order — the sub-document
     * twin of [[exact]], for the "same boilerplate paragraph pasted into a

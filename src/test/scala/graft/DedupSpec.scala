@@ -44,6 +44,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(2L, 4L))
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged; null text is null-safe") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "same"), (2L, "old text"), (3L, "gone"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val next = Seq(
+      (1L, "same"), (2L, "new text"), (6L, "brand new"),
+      (4L, null.asInstanceOf[String]), (5L, "was null"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.corpusDiff(prev, next)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"),
+      (4L, "unchanged"),   // null <=> null
+      (5L, "changed"),     // null -> text
+      (6L, "added")))
+  }
+
   test("firstOccurrence: repeated paragraphs survive only in the earliest doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, posexplode, split => fsplit}
