@@ -16,7 +16,10 @@ object AssignProbe {
       .repartition(32)
       .localCheckpoint()
     println("rows=" + emb.count())
-    def time(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+    // by-name: a FRESH plan per call — rerunning one QueryExecution lets
+    // its shuffle stages (here the tiny centroid build) skip via map-output
+    // reuse, which is not an execution (see Bm25Probe)
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       df.queryExecution.toRdd.count() // warm
       val t0 = System.nanoTime()
       df.queryExecution.toRdd.count()
