@@ -15,7 +15,7 @@ object Bench {
     * keyed shuffles, broadcasts, LSH bucketing — no all-pairs joins). */
   val headliners: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "q6_agg", "q_semi_join", "q_anti_join",
-    "q_rollup", "q_pivot", "q_user_features", "q_norm_rank", "q_range_join", "q_full_outer",
+    "q_rollup", "q_cube", "q_pivot", "q_user_features", "q_norm_rank", "q_range_join", "q_full_outer",
     "q_histogram",
     "q_funnel", "q_funnel_conv", "q_retention",
     "q_asof", "q_asof_iv", "q_sessionize", "q_skew_join", "q_skew_distinct",

@@ -369,6 +369,17 @@ object SparkEntry {
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           col("n"), col("sum_price"))),
 
+    // CUBE: all 2^k grouping sets in the same single-shuffle Expand+agg
+    // shape as rollup — the one extra set here ((status) without
+    // (priority)) is exactly what ROLLUP's hierarchy can't express.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "sum_price"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_price"))),
+
     // Event-time tumbling window aggregation (streaming-compatible shape).
     "q_events_window" -> ((s, dir) => {
       ev(s, dir)
@@ -1442,6 +1453,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
