@@ -828,6 +828,16 @@ object SparkEntry {
           pmod(col("l_orderkey"), lit(256)), pmod(col("l_partkey"), lit(256)))
           .as("zkey"))),
 
+    // Winsorize: clamp order totals into their own priority class's
+    // [p5, p95] band — per-group thresholds broadcast back; exact
+    // percentile = the oracle path, the GK sketch is the 100 TB path.
+    "q_clip" -> ((s, dir) =>
+      Curation.clipToQuantiles(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+        "o_totalprice", 0.05, 0.95, groupCols = Seq("o_orderpriority"),
+        exact = true)),
+
     // Adaptive quality cut: keep docs at or above their OWN source's p25
     // token count (per-group thresholds broadcast back; exact percentile =
     // the oracle path, the GK-sketch default is the 100 TB path).
@@ -1940,6 +1950,17 @@ object SparkEntry {
          |  CAST($terms AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin
     },
+
+    "q_clip" ->
+      """WITH th AS (SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.05) AS lo,
+        |  quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o.o_totalprice IS NULL THEN NULL
+        |       ELSE least(greatest(o.o_totalprice, lo), hi) END AS o_totalprice,
+        |  o.o_totalprice AS o_totalprice_raw
+        |FROM orders o JOIN th USING (o_orderpriority)""".stripMargin,
 
     "q_quality_cut" ->
       """WITH t AS (SELECT doc_id, source,

@@ -453,6 +453,45 @@ object Curation {
     joined.filter(col(scoreCol) >= col("__graft_th")).drop("__graft_th")
   }
 
+  /** Winsorize: clamp `valueCol` into its own [pLo, pHi] quantile band —
+    * globally or per group — the standard outlier treatment before a
+    * numeric feature feeds normalization or training (a single corrupt
+    * 10⁹-token row otherwise owns the scale). Same derivation discipline
+    * as [[keepAboveQuantile]]: the thresholds come from one tiny
+    * (per-group) aggregate broadcast back onto the scan, so the data pays
+    * one read + zero data-sized shuffles; `exact = true` is the
+    * oracle-checkable `percentile` path, the default GK sketch
+    * (`approx_percentile`) is the bounded-state 100 TB path. Output
+    * replaces `valueCol` with the clamped value (null values pass through
+    * null; the original is available as `<valueCol>_raw`). */
+  def clipToQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      pLo: Double,
+      pHi: Double,
+      groupCols: Seq[String] = Nil,
+      exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo <= pHi, s"bad band: [$pLo, $pHi]")
+    def q(p: Double, as: String) =
+      (if (exact) percentile(col(valueCol), lit(p))
+       else percentile_approx(col(valueCol).cast("double"), lit(p), lit(accuracy)))
+        .as(as)
+    val ths = Seq(q(pLo, "__graft_lo"), q(pHi, "__graft_hi"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(df.agg(ths.head, ths.tail: _*)))
+      else df.join(
+        broadcast(df.groupBy(groupCols.map(col): _*).agg(ths.head, ths.tail: _*)),
+        groupCols)
+    joined
+      .withColumn(s"${valueCol}_raw", col(valueCol))
+      // greatest/least SKIP nulls (a null value would clamp to the lo
+      // bound) — guard so null stays null, matching SQL CASE semantics
+      .withColumn(valueCol, when(col(valueCol).isNull, lit(null))
+        .otherwise(least(greatest(col(valueCol), col("__graft_lo")), col("__graft_hi"))))
+      .drop("__graft_lo", "__graft_hi")
+  }
+
   /** Pack documents into fixed token-budget training sequences: doc d (in
     * `orderCols` order) lands in sequence `floor(exclusive_prefix_tokens /
     * seqTokens)` — the standard contiguous-packing-by-offset rule (each

@@ -280,6 +280,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       (2L, 1L, 3L, 3L, 3L)))
   }
 
+  test("clipToQuantiles: clamps into the band, nulls stay null, per-group thresholds, sketch close to exact") {
+    import spark.implicits._
+    // group a: 1..100 -> p10=10.9, p90=90.1 (linear interp); one null
+    val df = ((1 to 100).map(i => ("a", i.toDouble: java.lang.Double)) :+
+      ("a", null.asInstanceOf[java.lang.Double]) :+
+      ("b", 1000000.0: java.lang.Double))
+      .toDF("g", "v")
+    val got = Curation.clipToQuantiles(df, "v", 0.10, 0.90,
+      groupCols = Seq("g"), exact = true)
+    val a = got.filter(col("g") === "a").select("v", "v_raw").collect()
+    assert(a.length == 101)
+    // interior values untouched, tails clamped to the interpolated bounds
+    assert(a.filter(r => !r.isNullAt(1) && r.getDouble(1) == 50.0).head.getDouble(0) == 50.0)
+    assert(math.abs(a.filter(r => !r.isNullAt(1) && r.getDouble(1) == 1.0).head.getDouble(0) - 10.9) < 1e-9)
+    assert(math.abs(a.filter(r => !r.isNullAt(1) && r.getDouble(1) == 100.0).head.getDouble(0) - 90.1) < 1e-9)
+    // null value stays null (greatest/least would have clamped it to lo)
+    assert(a.filter(_.isNullAt(1)).head.isNullAt(0))
+    // group b's single value is its own band: unchanged
+    assert(got.filter(col("g") === "b").head.getDouble(1) == 1000000.0)
+    // sketch path lands within a tight rank band of exact on this data
+    val approx = Curation.clipToQuantiles(df, "v", 0.10, 0.90, groupCols = Seq("g"))
+      .filter(col("g") === "a" && col("v_raw") === 1.0).select("v").head.getDouble(0)
+    assert(approx >= 9.0 && approx <= 12.0, s"approx lo bound: $approx")
+  }
+
   test("bigramRarityAgainstCorpus: novel transitions score 0; collapse on/off identical") {
     import spark.implicits._
     val corpus = Seq((100L, "a b a b"), (101L, "b c")).toDF("doc_id", "text")
