@@ -117,7 +117,7 @@ object Bench {
     val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val streams2 = streamNames
-      .map(k => "\"" + short(k) + "\":" + f"${sp.map(_(k)._1).min}%.2f")
+      .map(k => "\"" + short(k).stripPrefix("stream_") + "\":" + f"${sp.map(_(k)._1).min}%.2f")
       .mkString("{", ",", "}")
     val sfNum = "0\\.[0-9]+|[0-9]+".r.findAllIn(
       sfDir.split('/').last.stripPrefix("sf")).toSeq.headOption.getOrElse("0")
@@ -125,7 +125,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum,"note":"q_ prefix stripped; see BENCH_FULL.json"}"""
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum,"note":"q_/stream_ prefixes stripped; see BENCH_FULL.json"}"""
     if (line.length > 1900)
       System.err.println(s"WARN bench line ${line.length} chars — trim keys or precision before the tail buffer (2000) truncates it")
     println(line)
