@@ -205,6 +205,39 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
         s"a join consumes raw exploded occurrences (no collapse before the join):\n$p")
   }
 
+  test("text never shuffles: no exchange carries the raw text column in the postings-family plans") {
+    // the SCALE.md claim, as an assertion: dedup/rarity/diff plans reduce
+    // rows to (ids, fingerprints/tokens) BEFORE any exchange — a refactor
+    // that lets the text column ride a shuffle fails here, not at 100 TB
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // exchanges exist only in the EXECUTED plan (EnsureRequirements), and a
+    // finalized adaptive plan wraps each in a leaf QueryStageExec — unwrap
+    // like Layouts.countExchanges
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+      def walk(n: SparkPlan): Seq[ShuffleExchangeLike] = (n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case e: ShuffleExchangeLike => Seq(e) ++ n.children.flatMap(walk)
+        case _ => n.children.flatMap(walk)
+      }) ++ n.subqueries.flatMap(walk)
+      walk(p)
+    }
+    val names = Seq("q_dedup_exact", "q_dedup_incr", "q_token_rarity",
+      "q_bigram_lm", "q_bigram_lm_incr", "q_corpus_diff", "q_dedup_spans")
+    var sawShuffle = 0
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val ex = shuffles(df.queryExecution.executedPlan)
+      sawShuffle += ex.size
+      for (e <- ex)
+        assert(!e.output.exists(_.name == "text"),
+          s"$name: an exchange carries raw text: ${e.output.map(_.name)}")
+    }
+    assert(sawShuffle > 5, s"pin lost its teeth: only $sawShuffle shuffles across ${names.size} plans")
+  }
+
   test("q_cluster_assign: zero corpus exchanges — assignment is scan-local") {
     // the ONLY exchanges allowed are the one-row centroid build (limit +
     // single-partition agg) and its broadcast — never a hash exchange of
