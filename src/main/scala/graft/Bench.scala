@@ -119,8 +119,12 @@ object Bench {
     val streams2 = streamNames
       .map(k => "\"" + short(k).stripPrefix("stream_") + "\":" + f"${sp.map(_(k)._1).min}%.2f")
       .mkString("{", ",", "}")
+    // stripSuffix first: a trailing slash would make `.last` empty and the
+    // record misreport sf as the fallback; when no number matches at all,
+    // fall back to the quoted full path rather than a fabricated 0
     val sfNum = "0\\.[0-9]+|[0-9]+".r.findAllIn(
-      sfDir.split('/').last.stripPrefix("sf")).toSeq.headOption.getOrElse("0")
+      sfDir.stripSuffix("/").split('/').last.stripPrefix("sf")).toSeq.headOption
+      .getOrElse("\"" + sfDir + "\"")
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":3,"stream":3},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))

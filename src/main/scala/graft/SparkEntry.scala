@@ -1956,11 +1956,12 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.05) AS lo,
         |  quantile_cont(o_totalprice, 0.95) AS hi
         |  FROM orders GROUP BY 1)
-        |SELECT o_orderkey, o_orderpriority,
+        |SELECT o.o_orderkey, o.o_orderpriority,
         |  CASE WHEN o.o_totalprice IS NULL THEN NULL
         |       ELSE least(greatest(o.o_totalprice, lo), hi) END AS o_totalprice,
         |  o.o_totalprice AS o_totalprice_raw
-        |FROM orders o JOIN th USING (o_orderpriority)""".stripMargin,
+        |FROM orders o JOIN th
+        |  ON o.o_orderpriority IS NOT DISTINCT FROM th.o_orderpriority""".stripMargin,
 
     "q_quality_cut" ->
       """WITH t AS (SELECT doc_id, source,
@@ -1969,7 +1970,7 @@ object SparkEntry {
         |th AS (SELECT source, quantile_cont(n_tokens, 0.25) AS th
         |       FROM t GROUP BY source)
         |SELECT t.doc_id, t.source, t.n_tokens
-        |FROM t JOIN th USING (source)
+        |FROM t JOIN th ON t.source IS NOT DISTINCT FROM th.source
         |WHERE t.n_tokens >= th.th""".stripMargin,
 
     "q_norm_rank" ->

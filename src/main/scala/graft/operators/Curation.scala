@@ -434,7 +434,10 @@ object Curation {
     * data, no driver round-trip. `exact = true` uses the interpolated
     * exact percentile (the oracle path — buffers a group's scores in agg
     * state); the default GK sketch has bounded mergeable state, the only
-    * viable shape at 100 TB. Null scores never clear the threshold. */
+    * viable shape at 100 TB. Null scores never clear the threshold. Rows
+    * whose GROUP key is null are a group of their own (SQL GROUP BY
+    * convention) and are cut against that group's threshold — the join
+    * back is null-safe, so they are not silently dropped. */
   def keepAboveQuantile(
       df: DataFrame,
       scoreCol: String,
@@ -447,11 +450,27 @@ object Curation {
       (if (exact) percentile(col(scoreCol), lit(prob))
        else percentile_approx(col(scoreCol).cast("double"), lit(prob), lit(accuracy)))
         .as("__graft_th")
-    val joined =
-      if (groupCols.isEmpty) df.crossJoin(broadcast(df.agg(th)))
-      else df.join(broadcast(df.groupBy(groupCols.map(col): _*).agg(th)), groupCols)
+    val joined = joinGroupStats(df,
+      if (groupCols.isEmpty) df.agg(th)
+      else df.groupBy(groupCols.map(col): _*).agg(th), groupCols)
     joined.filter(col(scoreCol) >= col("__graft_th")).drop("__graft_th")
   }
+
+  /** Broadcast a one-row-per-group stats frame back onto `df` NULL-SAFELY.
+    * `groupBy` forms a group for null keys, but a plain equi-join never
+    * matches them — rows with a null group key would silently vanish from
+    * operators documented as row-preserving. `<=>` (EqualNullSafe) is a
+    * valid hash-join key, so the join stays a broadcast hash join while
+    * the null group meets its own stats row. */
+  private def joinGroupStats(
+      df: DataFrame, stats: DataFrame, groupCols: Seq[String]): DataFrame =
+    if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+    else {
+      val renamed = groupCols.foldLeft(stats)(
+        (d, c) => d.withColumnRenamed(c, "__graft_g_" + c))
+      val cond = groupCols.map(c => col(c) <=> col("__graft_g_" + c)).reduce(_ && _)
+      df.join(broadcast(renamed), cond).drop(groupCols.map("__graft_g_" + _): _*)
+    }
 
   /** Winsorize: clamp `valueCol` into its own [pLo, pHi] quantile band —
     * globally or per group — the standard outlier treatment before a
@@ -462,8 +481,12 @@ object Curation {
     * one read + zero data-sized shuffles; `exact = true` is the
     * oracle-checkable `percentile` path, the default GK sketch
     * (`approx_percentile`) is the bounded-state 100 TB path. Output
-    * replaces `valueCol` with the clamped value (null values pass through
-    * null; the original is available as `<valueCol>_raw`). */
+    * replaces `valueCol` with the clamped value AS DOUBLE (both paths cast
+    * the value to double before the percentile and the clamp, so the
+    * output type never depends on which path ran; null values pass through
+    * null; the original, in its original type, is `<valueCol>_raw`). Rows
+    * with a null group key clamp against their own group's band — the
+    * join back is null-safe, so none are dropped. */
   def clipToQuantiles(
       df: DataFrame,
       valueCol: String,
@@ -474,21 +497,23 @@ object Curation {
       accuracy: Int = 10000): DataFrame = {
     require(pLo >= 0.0 && pHi <= 1.0 && pLo <= pHi, s"bad band: [$pLo, $pHi]")
     def q(p: Double, as: String) =
-      (if (exact) percentile(col(valueCol), lit(p))
+      (if (exact) percentile(col(valueCol).cast("double"), lit(p))
        else percentile_approx(col(valueCol).cast("double"), lit(p), lit(accuracy)))
         .as(as)
     val ths = Seq(q(pLo, "__graft_lo"), q(pHi, "__graft_hi"))
-    val joined =
-      if (groupCols.isEmpty) df.crossJoin(broadcast(df.agg(ths.head, ths.tail: _*)))
-      else df.join(
-        broadcast(df.groupBy(groupCols.map(col): _*).agg(ths.head, ths.tail: _*)),
-        groupCols)
+    val joined = joinGroupStats(df,
+      if (groupCols.isEmpty) df.agg(ths.head, ths.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(ths.head, ths.tail: _*),
+      groupCols)
     joined
       .withColumn(s"${valueCol}_raw", col(valueCol))
       // greatest/least SKIP nulls (a null value would clamp to the lo
-      // bound) — guard so null stays null, matching SQL CASE semantics
-      .withColumn(valueCol, when(col(valueCol).isNull, lit(null))
-        .otherwise(least(greatest(col(valueCol), col("__graft_lo")), col("__graft_hi"))))
+      // bound) — guard so null stays null, matching SQL CASE semantics.
+      // The double cast matches the threshold derivation, so the clamped
+      // column is DoubleType on every input type and both quantile paths.
+      .withColumn(valueCol, when(col(valueCol).isNull, lit(null).cast("double"))
+        .otherwise(least(greatest(col(valueCol).cast("double"), col("__graft_lo")),
+          col("__graft_hi"))))
       .drop("__graft_lo", "__graft_hi")
   }
 

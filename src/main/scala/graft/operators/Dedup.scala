@@ -56,16 +56,22 @@ object Dedup {
     * shuffles — then ONE full-outer keyed join; the output is id+status
     * rows, so a 100 TB×2 diff moves fingerprints only. Null text
     * fingerprints as null; two nulls compare unchanged (null-safe
-    * equality), null-vs-text is changed. */
+    * equality), null-vs-text is changed. If an id appears MORE than once
+    * within a version, that version's content is summarized as the min
+    * fingerprint (deterministic, order-independent) so the contract — ONE
+    * row per id — holds regardless; the keyed min-agg shuffles on the same
+    * key as the join, so AQE reuses the exchange and the dedup is free. */
   def corpusDiff(
       prev: DataFrame,
       next: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val p = prev.select(col(idCol).as("__id"), md5(col(textCol)).as("__fp_prev"),
-      lit(1).as("__in_prev"))
-    val n = next.select(col(idCol).as("__id"), md5(col(textCol)).as("__fp_next"),
-      lit(1).as("__in_next"))
+    val p = prev.select(col(idCol).as("__id"), md5(col(textCol)).as("__fp_prev"))
+      .groupBy("__id").agg(min("__fp_prev").as("__fp_prev"))
+      .withColumn("__in_prev", lit(1))
+    val n = next.select(col(idCol).as("__id"), md5(col(textCol)).as("__fp_next"))
+      .groupBy("__id").agg(min("__fp_next").as("__fp_next"))
+      .withColumn("__in_next", lit(1))
     p.join(n, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
         when(col("__in_prev").isNull, lit("added"))

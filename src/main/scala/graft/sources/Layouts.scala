@@ -133,6 +133,11 @@ object Layouts {
     import org.apache.spark.sql.GraftExpr
     import graft.functions.BucketIndex
     require(partitions >= 1, s"partitions must be >= 1: $partitions")
+    // fail fast, BEFORE the eager percentile-bounds job below — otherwise
+    // invalid (cols, bits) pay a full scan of df before zorderKeyN rejects
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits x cols must fit a long: $bits x ${cols.size}")
     val nb = (1 << bits) - 1
     val probs = (1 to nb).map(i => lit(i.toDouble / (nb + 1)))
     // one tiny 1-row frame of one boundary array per column; eager

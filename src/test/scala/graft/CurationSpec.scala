@@ -305,6 +305,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(approx >= 9.0 && approx <= 12.0, s"approx lo bound: $approx")
   }
 
+  test("clipToQuantiles / keepAboveQuantile: null GROUP keys form their own group, not dropped") {
+    import spark.implicits._
+    val df = (Seq.tabulate(10)(i => ("a", (i + 1).toDouble: java.lang.Double)) ++
+      Seq.tabulate(10)(i => (null.asInstanceOf[String], (100 + i).toDouble: java.lang.Double)))
+      .toDF("g", "v")
+    val clipped = Curation.clipToQuantiles(df, "v", 0.0, 0.5, groupCols = Seq("g"), exact = true)
+    // row-preserving clamp: every row survives, including the null group's
+    assert(clipped.count() == 20)
+    val nullG = clipped.filter(col("g").isNull)
+    assert(nullG.count() == 10)
+    // the null group clamps against ITS OWN band (p50 of 100..109 = 104.5),
+    // not group a's
+    assert(nullG.agg(max("v")).head.getDouble(0) == 104.5)
+    val kept = Curation.keepAboveQuantile(df, "v", 0.5, groupCols = Seq("g"), exact = true)
+    // null group cut against its own median, same as the named group
+    assert(kept.filter(col("g").isNull).count() == 5)
+    assert(kept.filter(col("g") === "a").count() == 5)
+  }
+
+  test("clipToQuantiles: clamped column is double on both paths regardless of input type") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => ("a", i)).toDF("g", "v")  // long input
+    for (exact <- Seq(true, false)) {
+      val out = Curation.clipToQuantiles(df, "v", 0.1, 0.9, groupCols = Seq("g"), exact = exact)
+      assert(out.schema("v").dataType == org.apache.spark.sql.types.DoubleType,
+        s"exact=$exact clamped type")
+      assert(out.schema("v_raw").dataType == org.apache.spark.sql.types.LongType)
+    }
+  }
+
   test("bigramRarityAgainstCorpus: novel transitions score 0; collapse on/off identical") {
     import spark.implicits._
     val corpus = Seq((100L, "a b a b"), (101L, "b c")).toDF("doc_id", "text")

@@ -63,6 +63,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (6L, "added")))
   }
 
+  test("corpusDiff: duplicate ids within a version collapse to ONE row per id") {
+    import spark.implicits._
+    // id 1 duplicated in prev (identical text), id 2 duplicated in next
+    // with CONFLICTING text — the min-fingerprint summary keeps the
+    // one-row-per-id contract deterministic either way
+    val prev = Seq((1L, "x"), (1L, "x"), (2L, "keep")).toDF("doc_id", "text")
+    val next = Seq((1L, "x"), (2L, "keep"), (2L, "zzz different")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.corpusDiff(prev, next).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), "exactly one row per id")
+    assert(got.head == (1L -> "unchanged"))
+    // id 2's next-side summary is min(md5("keep"), md5("zzz different")) —
+    // deterministic; the status is whatever that summary compares as, but
+    // crucially there is ONE status, reproducibly
+    val again = graft.operators.Dedup.corpusDiff(prev.repartition(5), next.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(again == got, "partitioning-invariant")
+  }
+
   test("firstOccurrence: repeated paragraphs survive only in the earliest doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, posexplode, split => fsplit}
