@@ -585,17 +585,31 @@ object Dedup {
       .withColumn("lbl", col("id")).localCheckpoint(true)
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val msgs = undirected.join(labels, col("s") === col("id"))
+    // One min-label hop. `chg` marks labels the hop improved.
+    def hop(lb: DataFrame): DataFrame = {
+      val msgs = undirected.join(lb, col("s") === col("id"))
         .groupBy(col("t").as("mid")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(msgs, col("id") === col("mid"), "left")
+      lb.join(msgs, col("id") === col("mid"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("chg"))
+    }
+    while (changed > 0 && round < maxRounds) {
+      // THREE hops per pin: the eager localCheckpoint (not the keyed
+      // shuffles) dominates round cost, and min-label propagation is
+      // monotone — batching cannot overshoot, trailing hops past the
+      // fixed point are idempotent no-ops. Convergence is still exact:
+      // a fixed point is reached iff a full hop changes nothing, and
+      // `changed` counts the LAST hop's improvements on the pinned frame
+      // — so a near-dup family (diameter ≤ 2) converges AND proves it in
+      // ONE pin, where pin-per-hop needed three. Deeper graphs just take
+      // ceil(diameter/3)+ pins; the O(log n) star-contraction fallback
+      // below still catches adversarial chains.
+      val next = hop(hop(hop(labels).drop("chg")).drop("chg"))
         .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
-      round += 1
+      round += 3
     }
     if (changed > 0) {
       // diameter > maxRounds: an adversarially deep graph (paths, long
