@@ -145,14 +145,14 @@ object Dedup {
     *   denominators, so reported Jaccard can only go DOWN — capped runs never
     *   invent pairs). None = exact.
     * @param maxShingleDfFraction like maxShingleDf but as a fraction of the
-    *   corpus size (cap = ceil(fraction * count)) — the scale-invariant form:
+    *   corpus size (cap = ceil(fraction * n_docs)) — the scale-invariant form:
     *   "boilerplate" means a shingle in more than x% of documents, not more
     *   than an absolute count that a 10x corpus growth silently turns into
-    *   "drop everything". Costs one extra count() JOB over `docs` before the
-    *   main plan runs (metadata-only for a bare parquet scan; a real scan for
-    *   anything filtered/derived) — callers who already know the corpus size
-    *   should pass the absolute `maxShingleDf` instead. The tighter of
-    *   the two caps wins when both are set. */
+    *   "drop everything". The corpus size is derived from the SAME pinned
+    *   postings the cap filters (a one-row broadcast branch inside the main
+    *   plan) — no separate count() job, so a filtered/derived 100 TB input
+    *   is scanned exactly once. The tighter of the two caps wins when both
+    *   are set. */
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double,
@@ -199,14 +199,7 @@ object Dedup {
       maxShingleDf: Option[Int],
       maxShingleDfFraction: Option[Double]): DataFrame = {
     require(maxShingleDfFraction.forall(f => f > 0 && f <= 1), "fraction must be in (0, 1]")
-    // Long arithmetic: ceil(f * count).toInt would saturate at Int.MaxValue
-    // for multi-billion-doc corpora, silently disabling the guard at exactly
-    // the scale it exists for
-    val fractionCap = maxShingleDfFraction.map(f => math.ceil(f * docs.count()).toLong)
-    val cap: Option[Long] = (maxShingleDf.map(_.toLong), fractionCap) match {
-      case (Some(a), Some(b)) => Some(math.min(a, b))
-      case (a, b) => a.orElse(b)
-    }
+    val capped = maxShingleDf.isDefined || maxShingleDfFraction.isDefined
     // spread the per-doc shingle computation: a single-file local scan is one
     // partition, which would serialize all expression work into one task
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -244,10 +237,26 @@ object Dedup {
     // postings copy — the same volume the self-join's shuffle writes anyway.
     // Scoped to the capped path: uncapped, the postings have one consumer
     // per join side and ReuseExchange already dedups them.
-    val posts = cap.fold(posts0) { c =>
+    val posts = if (!capped) posts0 else {
       val pinned = posts0.localCheckpoint(true)
-      val hot = pinned.groupBy("shingle").agg(count(lit(1)).as("__graft_df"))
-        .filter(col("__graft_df") > c)
+      val dfs = pinned.groupBy("shingle").agg(count(lit(1)).as("__graft_df"))
+      // Fraction cap denominator: the corpus size read off the SAME pinned
+      // postings (explode_outer keeps one row even for null/empty docs, so
+      // count(distinct id) IS the doc count) as a one-row broadcast branch
+      // — no separate docs.count() job, no second scan of a filtered
+      // input. ceil on doubles is fine to 2^53 docs; the cast to long (not
+      // int) keeps multi-billion-doc caps from saturating at Int.MaxValue
+      // and silently disabling the guard at exactly the scale it's for.
+      val withFrac = maxShingleDfFraction match {
+        case Some(f) =>
+          val n = pinned.agg(countDistinct("id").as("__graft_n"))
+          dfs.crossJoin(broadcast(n))
+            .withColumn("__graft_cap", ceil(lit(f) * col("__graft_n")).cast("long"))
+        case None => dfs.withColumn("__graft_cap", lit(Long.MaxValue))
+      }
+      val hot = withFrac
+        .filter(col("__graft_df") >
+          least(col("__graft_cap"), lit(maxShingleDf.map(_.toLong).getOrElse(Long.MaxValue))))
         .select("shingle")
       pinned.join(hot, Seq("shingle"), "left_anti")
     }

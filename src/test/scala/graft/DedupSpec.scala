@@ -259,6 +259,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(both == abs)
   }
 
+  test("fractional df-cap runs NO extra job: corpus size derived in-plan, not via docs.count()") {
+    // count Spark jobs fired while CONSTRUCTING the pair frame (the eager
+    // postings pin runs here; the old implementation also ran a
+    // docs.count() job here for the fraction form). Listener delivery is
+    // async — poll until the count is stable.
+    def jobsDuring(body: => Unit): Int = {
+      val c = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          c.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var prev = -1; var cur = c.get
+        while (cur != prev) { Thread.sleep(200); prev = cur; cur = c.get }
+        cur
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val absJobs = jobsDuring {
+      Dedup.ngramJaccardPairs(docs, 0.3, maxShingleDf = Some(3))
+    }
+    val fracJobs = jobsDuring {
+      Dedup.ngramJaccardPairs(docs, 0.3, maxShingleDfFraction = Some(0.3))
+    }
+    assert(fracJobs == absJobs,
+      s"fraction form fired $fracJobs construction jobs vs $absJobs for the absolute cap")
+  }
+
   test("LSH pair emitters never emit a pair twice (filter-dedup, no shuffle)") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
