@@ -69,16 +69,26 @@ object Retrieval {
     // before the shuffle.
     val posting = toks.select(col("id"), col("dl"), explode(col("toks")).as("tok"))
       .filter(col("tok").isin(allTerms: _*))
-    // Matched-token bag per doc — the ONE data-sized keyed shuffle.
-    val matched = posting.groupBy("id", "dl")
-      .agg(collect_list(col("tok")).as("qtoks"))
+    // Per-(doc, term) tf counts FIRST, then the per-doc bag. The tf
+    // aggregation is the data-sized keyed shuffle — and count() partial-
+    // aggregates map-side, so a pathological doc repeating one query term
+    // 10^9 times collapses to one row per map partition BEFORE the wire
+    // (the old collect_list bag carried every occurrence and bloated that
+    // doc's row). The second groupBy re-keys to (id, dl), but its input is
+    // at most |query terms| rows per doc — a shuffle of term-count rows,
+    // not data.
+    val matched = posting.groupBy("id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("id", "dl")
+      .agg(collect_list(struct(col("tok"), col("tf"))).as("qtfs"))
     // df per term (docs containing it) — at most |terms| rows. Derived from
-    // `matched`, NOT from `posting`: the subplan up to matched's exchange is
+    // `matched`, NOT from `posting`: the subplan up to matched's exchanges is
     // then byte-identical to the scoring path's, so ReuseExchange serves
     // both from ONE corpus scan + shuffle (plan-checked by tools/Bm25Probe;
     // deriving from posting re-scanned and re-tokenized the corpus).
     val dfs = matched
-      .select(explode(array_distinct(col("qtoks"))).as("term"))
+      .select(explode(col("qtfs")).as("e"))
+      .select(col("e.tok").as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
     // Per-query ordered (ti, term, idf) arrays. Terms absent from the
@@ -101,8 +111,13 @@ object Retrieval {
     // stats subquery executes once (ReuseExchange).
     val dlD = col("dl").cast("double")
     val norm = lit(k1) * (lit(1.0 - b) + lit(b) * dlD / col("avgdl"))
+    // tf lookup in the (tok, tf) bag — order-independent, so the
+    // collect_list's nondeterministic ordering can't reach the output
     def tfOf(t: Column): Column =
-      size(filter(col("qtoks"), x => x === t.getField("term"))).cast("double")
+      coalesce(
+        try_element_at(filter(col("qtfs"), x => x.getField("tok") === t.getField("term")),
+          lit(1)).getField("tf"),
+        lit(0L)).cast("double")
     val folded = aggregate(
       col("qarr"),
       struct(lit(0.0).as("s"), lit(0L).as("h")),
