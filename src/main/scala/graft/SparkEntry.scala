@@ -1229,6 +1229,23 @@ object SparkEntry {
         .select(col("doc_id"),
           col("feat_idx").cast("long").as("feat_idx"),
           col("feat").cast("double").as("feat"))),
+
+    // The REAL javax.imageio path under the gate (the other media gates run
+    // StubCodec): formula-pixel PNGs synthesized executor-side, then the
+    // fused RealCodec stage — header dims, frame count, and the frame-0
+    // raster hash are integer-predictable because PNG round-trips 24-bit
+    // RGB losslessly, so the oracle recomputes the exact polynomial over
+    // the formula pixels with no image library on its side.
+    "q_media_real" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+      Multimodal.processAll(Multimodal.synthesizePngs(ids).toDF(),
+          width = 8, height = 8, dim = 4, codec = Multimodal.RealCodec).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame_hash"))
+    }),
   )
 
   // -------------------------------------------------------------------------
@@ -2708,5 +2725,30 @@ object SparkEntry {
         |    END AS feat
         |  FROM m CROSS JOIN range(16) r(j))
         |SELECT doc_id, CAST(j AS BIGINT) AS feat_idx, feat FROM f""".stripMargin,
+
+    // rasterHash is h := h * 1000003 + rgb24 over row-major pixels in
+    // WRAPPING 64-bit arithmetic — reproduced here in HUGEINT with an
+    // explicit mod 2^64 per step, then reinterpreted as signed.
+    "q_media_real" ->
+      """WITH sel AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h), i ->
+        |      (((i % w) * 7 + (i // w) * 11 + doc_id) % 256) * 65536
+        |      + (((i % w) * 13 + (i // w) * 3 + 2 * doc_id) % 256) * 256
+        |      + ((i % w) + (i // w) * 5 + 3 * doc_id) % 256) AS pxs
+        |  FROM sel),
+        |hashed AS (
+        |  SELECT doc_id, w, h,
+        |    list_reduce(list_prepend(0::HUGEINT, list_transform(pxs, p -> p::HUGEINT)),
+        |      (acc, p) -> (acc * 1000003::HUGEINT + p) % 18446744073709551616::HUGEINT) AS hh
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+        |            THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS frame_hash
+        |FROM hashed""".stripMargin,
   )
 }

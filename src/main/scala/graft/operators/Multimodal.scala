@@ -379,6 +379,42 @@ object Multimodal {
     })
   }
 
+  /** Deterministic formula-pixel PNGs — the [[RealCodec]] correctness
+    * gate's input generator. Image (8 + id % 9) × (8 + id % 7); pixel
+    * (x, y) of doc d is explicit integer arithmetic (r = (7x + 11y + d)
+    * mod 256, g = (13x + 3y + 2d) mod 256, b = (x + 5y + 3d) mod 256).
+    * PNG is lossless 24-bit RGB, so the DECODED raster — and therefore
+    * RealCodec's header dimensions and frame-0 rasterHash — is exactly
+    * predictable by the SQL oracle with no image library on that side.
+    * Encode runs partition-local on executors (payload bytes never touch
+    * the driver), the same shape a pipeline materializing derived
+    * thumbnails has. */
+  def synthesizePngs(ids: DataFrame, idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 7 + y * 11 + id) % 256).toInt
+          val g = ((x * 13 + y * 3 + 2 * id) % 256).toInt
+          val b = ((x + y * 5 + 3 * id) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRecord(id, "image", bos.toByteArray)
+    })
+  }
+
   /** Wrap a text table as a media table (test harness: payload = UTF-8 bytes).
     * In production the payload column comes straight from parquet binary. */
   def asMediaTable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

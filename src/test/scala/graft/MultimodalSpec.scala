@@ -252,6 +252,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Option(e.getMessage).exists(_.nonEmpty))
   }
 
+  test("synthesizePngs: RealCodec decodes the formula dimensions and the exact pixel polynomial") {
+    import spark.implicits._
+    val ids = Seq(0L, 20L, 140L).toDF("doc_id")
+    val media = Multimodal.synthesizePngs(ids).toDF()
+    val got = Multimodal.processAll(media, width = 8, height = 8, dim = 4,
+        codec = Multimodal.RealCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(0L, 20L, 140L)) {
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      assert(got(id).width == w && got(id).height == h && got(id).n_frames == 1)
+      // the raster hash RealCodec computes from the DECODED png equals the
+      // polynomial over the formula pixels — png round-tripped losslessly
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ((x * 7 + y * 11 + id) % 256).toInt
+        val g = ((x * 13 + y * 3 + 2 * id) % 256).toInt
+        val b = ((x + y * 5 + 3 * id) % 256).toInt
+        exp = exp * 1000003L + ((r << 16) | (g << 8) | b)
+      }
+      assert(got(id).frame_hash == exp, s"doc $id raster hash")
+    }
+  }
+
   test("features flow into the embedding dedup path (identical payloads pair up)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
