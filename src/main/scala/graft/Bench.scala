@@ -49,8 +49,10 @@ object Bench {
     "q_sim_topk", "q_sim_ann", "q_sim_ivf",
     // all four media stages: resize + features carry the real per-row
     // decode/compute cost under RealCodec — the two the fused stage exists
-    // to amortize
-    "q_media_decode", "q_media_frames", "q_media_resize", "q_media_features")
+    // to amortize; q_media_real is the fused stage under the REAL
+    // javax.imageio codec (encode + full decode + raster hash per row)
+    "q_media_decode", "q_media_frames", "q_media_resize", "q_media_features",
+    "q_media_real")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,7 +131,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum,"note":"q_/stream_ prefixes stripped; see BENCH_FULL.json"}"""
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum,"note":"see BENCH_FULL.json"}"""
     if (line.length > 1900)
       System.err.println(s"WARN bench line ${line.length} chars — trim keys or precision before the tail buffer (2000) truncates it")
     println(line)
