@@ -28,7 +28,8 @@ object Bench {
     "q_gopher", "q_c4_filter", "q_pipeline_quality",
     "q_redact", "q_repetition", "q_decontam", "q_split_decontam", "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_mixture_target", "q_pack",
-    "q_chunk", "q_shuffle_order", "q_pipeline_curation", "q_pipeline_chunks",
+    "q_chunk", "q_shuffle_order", "q_sample_n_global", "q_length_batches",
+    "q_pipeline_curation", "q_pipeline_chunks",
     "q_profile_approx",
     "q_quantiles", "q_quantiles_group", "q_quality_cut", "q_clip", "q_sample_n", "q_skew_cap",
     "q_dedup_exact", "q_dedup_incr", "q_dedup_spans", "q_dedup_rebuild",
@@ -108,12 +109,15 @@ object Bench {
     // and parses the final JSON line from that tail. Round 9's full-precision
     // line (89 queries x ~23 chars) outgrew the buffer — the line's head
     // scrolled off and the round lost its perf record. So: the final stdout
-    // line is a COMPACT form (keys drop the uniform "q_" prefix, 2-decimal
-    // seconds, the shared fields unchanged), kept safely under the buffer,
-    // while the full-precision record — 3-decimal queries, stream_batch_ms,
-    // the full sf path — is written to BENCH_FULL.json in the working
-    // directory for humans and the judge.
+    // line is a COMPACT form (keys drop the uniform "q_" prefix and
+    // abbreviate family prefixes, 2-decimal seconds, the shared fields
+    // unchanged), kept safely under the buffer, while the full-precision
+    // record — full names, 3-decimal queries, stream_batch_ms, the full sf
+    // path — is written to BENCH_FULL.json for humans and the judge.
     def short(k: String): String = k.stripPrefix("q_")
+      .replace("dedup_", "dd_").replace("pipeline_", "pl_")
+      .replace("events_", "ev_").replace("media_", "md_")
+      .replace("sample_", "smp_").replace("mixture_", "mx_")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }

@@ -775,6 +775,24 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         Seq("source"), "doc_id", n = 5)),
 
+    // Exactly-N GLOBAL deterministic sample: salted-md5 rank realized via
+    // the two-phase distributed prefix count — no single-task global
+    // window at any corpus size (the trap sampleNPerGroup with a constant
+    // group would hit).
+    "q_sample_n_global" -> ((s, dir) =>
+      Curation.sampleNGlobal(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", n = 100)),
+
+    // Length-bucketed batch assignment (padding-efficiency step): bucket
+    // docs by token count, then 16-doc batches per bucket in salted-md5
+    // order; batch ids globally unique via bucket * 2^40 + index.
+    "q_length_batches" -> ((s, dir) =>
+      Curation.lengthBucketBatches(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        col("n_tokens"), "doc_id", Seq(40.0, 80.0, 120.0), batchSize = 16)),
+
     // Numeric quantile profile (exact percentile = the oracle path;
     // approx_percentile is the bounded-state 100 TB path, spec-pinned
     // against this within rank error).
@@ -1880,6 +1898,30 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':stratified'), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 5""".stripMargin,
+
+    "q_sample_n_global" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':global-n'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 100""".stripMargin,
+
+    // bucket = #(bounds <= n_tokens); per-bucket 0-based md5-order index;
+    // batch_id = bucket * 2^40 + index div 16 (BIGINT math via the literal)
+    "q_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |  (n_tokens >= 40)::INT + (n_tokens >= 80)::INT + (n_tokens >= 120)::INT AS len_bucket
+        |  FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY len_bucket
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':batch'), doc_id) - 1 AS i
+        |      FROM b)
+        |SELECT doc_id, n_tokens, CAST(len_bucket AS INT) AS len_bucket,
+        |  len_bucket * 1099511627776 + i // 16 AS batch_id
+        |FROM r""".stripMargin,
 
     "q_quantiles" ->
       """SELECT 'o_totalprice' AS col_name, 0.25 AS prob,

@@ -659,4 +659,79 @@ object Curation {
       outputCol: String = "pos"): DataFrame =
     graft.ops.RunningCount.withRunningCount(
       df, Seq(md5(col(idCol).cast("string"))), outputCol)
+
+  /** Exactly `n` rows GLOBALLY, drawn uniformly and DETERMINISTICALLY — the
+    * corpus-level twin of [[sampleNPerGroup]] ("exactly 100k eval docs from
+    * the whole corpus"). Rank is the salted md5 of the id (id tiebreak),
+    * realized through the two-phase distributed prefix count
+    * ([[graft.ops.RunningCount.withRunningCount]]) rather than a window:
+    * `sampleNPerGroup` with a constant group key would funnel the WHOLE
+    * corpus through one task's sort, while this global total order
+    * range-buckets on the hash and composes bucket offsets — the same
+    * machinery as [[withShuffleOrder]], so it holds on a 1000-executor
+    * cluster. Deterministic, partition-invariant, engine-portable (the
+    * oracle ranks by the same md5 hex); distinct salts draw independent
+    * samples; corpora smaller than `n` keep everything. */
+  def sampleNGlobal(
+      df: DataFrame,
+      idCol: String,
+      n: Long,
+      salt: String = "global-n"): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val pos = "__graft_gpos"
+    graft.ops.RunningCount.withRunningCount(df,
+      Seq(md5(concat(col(idCol).cast("string"), lit(":" + salt))), col(idCol)), pos)
+      .filter(col(pos) <= n).drop(pos)
+  }
+
+  /** Length-bucketed batch assignment — the padding-efficiency step before
+    * batched inference / packed training: docs are bucketed by token count
+    * (ascending `boundaries`; bucket = #(bounds <= len) via the codegen'd
+    * [[graft.functions.BucketIndex]] binary search), then batched
+    * `batchSize` docs at a time WITHIN each bucket in deterministic
+    * salted-md5 order, so every batch pads to its bucket's ceiling instead
+    * of the corpus maximum. Emits `len_bucket` and a globally unique
+    * `batch_id` = bucket · 2⁴⁰ + in-bucket batch index.
+    *
+    * Scale shape: bucketing is a per-row scan expression; the in-bucket
+    * index comes from ONE global two-phase prefix count ordered by
+    * (bucket, salted-md5) — the order key is the fixed-width concat of the
+    * zero-padded bucket and the md5 hex, so the range bucketing splits
+    * INSIDE large buckets rather than funneling each bucket through one
+    * task (the naive per-bucket window's hot-key failure: a corpus with 8
+    * length buckets would run on 8 tasks). Per-bucket positions are then
+    * the global position minus the bucket's broadcast min — a B-row
+    * aggregate join, zero data-sized shuffles beyond the prefix count's. */
+  def lengthBucketBatches(
+      df: DataFrame,
+      tokenCol: Column,
+      idCol: String,
+      boundaries: Seq[Double],
+      batchSize: Int,
+      salt: String = "batch",
+      bucketCol: String = "len_bucket",
+      batchCol: String = "batch_id"): DataFrame = {
+    require(boundaries.nonEmpty, "need at least one bucket boundary")
+    require(boundaries == boundaries.sorted, s"boundaries must ascend: $boundaries")
+    require(boundaries.size < 10000, "bucket space is padded to 4 digits")
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    import org.apache.spark.sql.GraftExpr
+    import graft.functions.BucketIndex
+    val pos = "__graft_gpos"
+    val off = "__graft_boff"
+    val bucketed = df.withColumn(bucketCol, GraftExpr.column(BucketIndex(
+      GraftExpr.expression(tokenCol.cast("double")),
+      GraftExpr.expression(array(boundaries.map(lit): _*)),
+      descending = false, nullsFirst = true)))
+    val counted = graft.ops.RunningCount.withRunningCount(bucketed,
+      Seq(concat(lpad(col(bucketCol).cast("string"), 4, "0"),
+          md5(concat(col(idCol).cast("string"), lit(":" + salt)))),
+        col(idCol)), pos)
+    val offsets = counted.groupBy(bucketCol).agg(min(col(pos)).as(off))
+    counted.join(broadcast(offsets), Seq(bucketCol))
+      .withColumn(batchCol,
+        col(bucketCol).cast("long") * (1L << 40) +
+          expr(s"($pos - $off) div ${batchSize}L"))
+      .drop(pos, off)
+  }
 }

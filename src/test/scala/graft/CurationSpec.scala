@@ -305,6 +305,47 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(approx >= 9.0 && approx <= 12.0, s"approx lo bound: $approx")
   }
 
+  test("sampleNGlobal: exactly n, deterministic, partition-invariant; small corpora keep all") {
+    import spark.implicits._
+    val df = (0L until 5000L).toDF("id")
+    val a = Curation.sampleNGlobal(df.repartition(3), "id", 250)
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleNGlobal(df.repartition(17), "id", 250)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 250 && a == b)
+    // independent draws under distinct salts
+    val c = Curation.sampleNGlobal(df, "id", 250, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(c.size == 250 && c != a)
+    assert(Curation.sampleNGlobal(df.limit(10).toDF("id"), "id", 250).count() == 10)
+  }
+
+  test("lengthBucketBatches: full batches within buckets, no cross-bucket batch, deterministic") {
+    import spark.implicits._
+    // 100 docs per synthetic length so bucket populations are known
+    val df = (0L until 300L).map(i => (i, 10L + 50L * (i % 3))).toDF("id", "n_tok")
+    val got = Curation.lengthBucketBatches(df, col("n_tok"), "id",
+      Seq(40.0, 90.0), batchSize = 8)
+    assert(got.count() == 300)
+    val rows = got.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Int]("len_bucket"), r.getAs[Long]("batch_id")))
+    // bucket = #(bounds <= len): 10 -> 0, 60 -> 1, 110 -> 2
+    assert(rows.forall { case (id, b, _) => b == ((10 + 50 * (id % 3)) match {
+      case 10 => 0; case 60 => 1; case _ => 2 }) })
+    // every batch lives inside one bucket (id encodes the bucket) and holds
+    // at most 8 docs; with 100 docs per bucket: 12 full batches + one of 4
+    val sizes = rows.groupBy(_._3).map { case (bid, g) =>
+      assert(g.map(_._2).distinct.size == 1, s"batch $bid spans buckets")
+      g.size
+    }.toSeq
+    assert(sizes.count(_ == 8) == 36 && sizes.count(_ == 4) == 3 && sizes.sum == 300)
+    // partition-invariant assignment
+    val again = Curation.lengthBucketBatches(df.repartition(13), col("n_tok"), "id",
+        Seq(40.0, 90.0), batchSize = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("batch_id"))).toMap
+    assert(rows.forall { case (id, _, bid) => again(id) == bid })
+  }
+
   test("clipToQuantiles / keepAboveQuantile: null GROUP keys form their own group, not dropped") {
     import spark.implicits._
     val df = (Seq.tabulate(10)(i => ("a", (i + 1).toDouble: java.lang.Double)) ++
