@@ -140,4 +140,22 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.sampleWeighted(w, "doc_id", "w", 1.0)
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("round-11 operators: empty input, null token counts, ascending-boundary guard") {
+    import spark.implicits._
+    val emptyIds = spark.emptyDataset[Long].toDF("id")
+    assert(Curation.sampleNGlobal(emptyIds, "id", 10).count() == 0)
+    assert(Curation.lengthBucketBatches(
+      emptyIds.withColumn("n", lit(1L)), col("n"), "id", Seq(5.0), 4).count() == 0)
+    // null token count: BucketIndex nullsFirst -> bucket 0 (a row always
+    // gets a batch; null length reads as "shortest")
+    val docs = Seq((1L, Some(3L)), (2L, None), (3L, Some(100L))).toDF("id", "n")
+    val got = Curation.lengthBucketBatches(docs, col("n"), "id", Seq(10.0), 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("len_bucket")).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1))
+    intercept[IllegalArgumentException] {
+      Curation.lengthBucketBatches(docs, col("n"), "id", Seq(10.0, 5.0), 4)
+    }
+    intercept[IllegalArgumentException] { Curation.sampleNGlobal(docs, "id", 0) }
+  }
 }
