@@ -28,7 +28,7 @@ object Bench {
     "q_gopher", "q_c4_filter", "q_pipeline_quality",
     "q_redact", "q_repetition", "q_decontam", "q_split_decontam", "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_mixture_target", "q_pack",
-    "q_chunk", "q_shuffle_order", "q_sample_n_global", "q_length_batches",
+    "q_chunk", "q_shuffle_order", "q_sample_n_global", "q_length_batches", "q_pack_text",
     "q_pipeline_curation", "q_pipeline_chunks",
     "q_profile_approx",
     "q_quantiles", "q_quantiles_group", "q_quality_cut", "q_clip", "q_sample_n", "q_skew_cap",

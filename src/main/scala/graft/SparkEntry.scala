@@ -950,6 +950,15 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")), Seq(col("doc_id")), 2048L)
         .select("doc_id", "seq_id")),
 
+    // The packed-FILE materialization: one row per training sequence with
+    // the member span and the concatenated text. The collect bag is
+    // bounded by the token budget itself, so the usual unbounded-row-width
+    // risk is structurally absent.
+    "q_pack_text" -> ((s, dir) =>
+      Curation.packedSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", TextFunctions.tokenCount(col("text")), 2048L)),
+
     // One-pass column profiling (count / nulls / exact distinct per column).
     "q_profile" -> ((s, dir) =>
       Curation.profile(t(s, dir, "orders"),
@@ -2113,6 +2122,19 @@ object SparkEntry {
         |  FROM (SELECT doc_id,
         |          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
         |        FROM documents))""".stripMargin,
+
+    "q_pack_text" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, CAST((cum - t) // 2048 AS BIGINT) AS seq_id FROM (
+        |    SELECT doc_id, text, t,
+        |      SUM(t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (SELECT doc_id, text,
+        |            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+        |          FROM documents)))
+        |SELECT seq_id, min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id,
+        |  count(*) AS n_docs,
+        |  string_agg(text, ' ' ORDER BY doc_id) AS text
+        |FROM a GROUP BY seq_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -545,6 +545,35 @@ object Curation {
       .drop(tok, cum)
   }
 
+  /** Materialize [[packSequences]]' assignment into the actual training
+    * sequences: one row per seq_id with the member doc ids' span, the docs'
+    * text concatenated in order, and exact token/doc counts — the step that
+    * turns the assignment into the packed file a trainer reads. The
+    * groupBy's collect_list bag — normally the unbounded-row-width red
+    * flag — is BOUNDED BY CONSTRUCTION here: a sequence holds at most
+    * `seqTokens` tokens' worth of docs plus the one straddling doc, so row
+    * width is capped by the caller's own budget no matter how the corpus
+    * is distributed. One keyed shuffle beyond packSequences' prefix sum;
+    * ordering inside the bag is by the pack order key, so the output is
+    * deterministic and engine-portable. */
+  def packedSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenCol: Column,
+      seqTokens: Long,
+      sep: String = " "): DataFrame = {
+    val assigned = packSequences(docs, tokenCol, Seq(col(idCol)), seqTokens)
+    assigned.groupBy("seq_id")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col(textCol).as("t")))).as("__graft_ds"))
+      .select(col("seq_id"),
+        element_at(col("__graft_ds"), 1).getField("id").as("first_doc_id"),
+        element_at(col("__graft_ds"), -1).getField("id").as("last_doc_id"),
+        size(col("__graft_ds")).cast("long").as("n_docs"),
+        concat_ws(sep, transform(col("__graft_ds"), d => d.getField("t"))).as("text"))
+  }
+
   /** Exactly `n` rows per group, drawn uniformly but DETERMINISTICALLY:
     * rank rows inside each group by the salted md5 of their id (id
     * tiebreak for absolute determinism) and keep the first `n` — the

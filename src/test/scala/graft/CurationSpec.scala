@@ -305,6 +305,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(approx >= 9.0 && approx <= 12.0, s"approx lo bound: $approx")
   }
 
+  test("packedSequences: ordered concat per sequence, budget-bounded membership") {
+    import spark.implicits._
+    // token counts 3 each, budget 7 -> docs per sequence: floor-offset rule
+    val docs = (1L to 9L).map(i => (i, s"w${i}a w${i}b w${i}c")).toDF("doc_id", "text")
+    val got = Curation.packedSequences(docs, "doc_id", "text",
+        graft.functions.TextFunctions.tokenCount(col("text")), 7L)
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("first_doc_id"),
+        r.getAs[Long]("last_doc_id"), r.getAs[Long]("n_docs"), r.getAs[String]("text")))
+      .sortBy(_._1)
+    // exclusive prefix: docs 1-3 (offsets 0,3,6) -> seq 0; 4-5 (9,12) ->
+    // seq 1; 6,7 (15,18) -> seq 2; 8,9 (21,24) -> seq 3
+    assert(got.map(g => (g._1, g._2, g._3, g._4)).toSeq ==
+      Seq((0L, 1L, 3L, 3L), (1L, 4L, 5L, 2L), (2L, 6L, 7L, 2L), (3L, 8L, 9L, 2L)))
+    assert(got.head._5 == "w1a w1b w1c w2a w2b w2c w3a w3b w3c")
+    // identical under repartitioning
+    val again = Curation.packedSequences(docs.repartition(7), "doc_id", "text",
+        graft.functions.TextFunctions.tokenCount(col("text")), 7L)
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[String]("text"))).toMap
+    assert(got.forall { case (sid, _, _, _, t) => again(sid) == t })
+  }
+
   test("sampleNGlobal: exactly n, deterministic, partition-invariant; small corpora keep all") {
     import spark.implicits._
     val df = (0L until 5000L).toDF("id")
