@@ -865,6 +865,16 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", 0.25, groupCols = Seq("source"), exact = true)),
 
+    // Per-source z-score standardization with exact integer stats:
+    // z = (n·x − S)/sqrt(n·Q − S²) — every float-op input is an exact
+    // integer, so the doubles hash cross-engine (unlike avg/stddev whose
+    // partial-sum order perturbs low bits).
+    "q_standardize" -> ((s, dir) =>
+      Curation.standardize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", groupCols = Seq("source"))),
+
     // Per-source rank normalization of a quality signal: percent_rank and
     // cume_dist put every source's docs on a comparable [0,1] scale (the
     // right way to mix heterogeneous quality scores before a global cut).
@@ -2040,6 +2050,20 @@ object SparkEntry {
         |SELECT t.doc_id, t.source, t.n_tokens
         |FROM t JOIN th ON t.source IS NOT DISTINCT FROM th.source
         |WHERE t.n_tokens >= th.th""".stripMargin,
+
+    "q_standardize" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, count(n_tokens) AS n, sum(n_tokens) AS sm,
+        |        sum(n_tokens * n_tokens) AS q
+        |      FROM t GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_tokens,
+        |  CASE WHEN t.n_tokens IS NULL THEN NULL
+        |       WHEN n * q - sm * sm = 0 THEN 0.0
+        |       ELSE CAST(n * t.n_tokens - sm AS DOUBLE)
+        |            / sqrt(CAST(n * q - sm * sm AS DOUBLE)) END AS z
+        |FROM t JOIN s ON t.source IS NOT DISTINCT FROM s.source""".stripMargin,
 
     "q_norm_rank" ->
       """WITH t AS (SELECT doc_id, source,

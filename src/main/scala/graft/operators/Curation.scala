@@ -574,6 +574,42 @@ object Curation {
         concat_ws(sep, transform(col("__graft_ds"), d => d.getField("t"))).as("text"))
   }
 
+  /** Per-group z-score standardization — the feature-normalization step
+    * before numeric signals feed mixing or training — with EXACT integer
+    * statistics: z = (n·x − S) / sqrt(n·Q − S²) where S = Σx and Q = Σx²
+    * are integer aggregates. Every input to the two float ops (one
+    * correctly-rounded sqrt, one division) is an exactly-represented
+    * integer, so unlike avg()/stddev() — whose partial-sum ORDER perturbs
+    * low bits across engines and partitionings — the result is
+    * bit-identical everywhere: hashable under the cross-engine gate, like
+    * the exact-ratio trick rank normalization uses. Stats are one tiny
+    * (per-group) aggregate broadcast back null-safely ([[joinGroupStats]]);
+    * the data pays one scan + zero data-sized shuffles. Null values pass
+    * through null (and are excluded from the stats); a zero-variance group
+    * standardizes to 0. Exact while n·max(x)² < 2⁶³ (e.g. a trillion docs
+    * at ≤ 3000 tokens) — shard the group key or move S/Q to decimal past
+    * that. Integral value columns only for the portability guarantee. */
+  def standardize(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil,
+      outputCol: String = "z"): DataFrame = {
+    val v = col(valueCol)
+    val aggs = Seq(count(v).as("__graft_n"), sum(v).as("__graft_s"),
+      sum(v * v).as("__graft_q"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val num = col("__graft_n") * v - col("__graft_s")
+    val den2 = col("__graft_n") * col("__graft_q") - col("__graft_s") * col("__graft_s")
+    joinGroupStats(df, stats, groupCols)
+      .withColumn(outputCol,
+        when(v.isNull, lit(null).cast("double"))
+          .when(den2 === 0, lit(0.0))
+          .otherwise(num.cast("double") / sqrt(den2.cast("double"))))
+      .drop("__graft_n", "__graft_s", "__graft_q")
+  }
+
   /** Exactly `n` rows per group, drawn uniformly but DETERMINISTICALLY:
     * rank rows inside each group by the salted md5 of their id (id
     * tiebreak for absolute determinism) and keep the first `n` — the

@@ -305,6 +305,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(approx >= 9.0 && approx <= 12.0, s"approx lo bound: $approx")
   }
 
+  test("standardize: exact-integer z-scores, null pass-through, zero-variance -> 0, null groups kept") {
+    import spark.implicits._
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L), ("b", 5L)) ++
+      Seq((null.asInstanceOf[String], 10L), (null.asInstanceOf[String], 20L)))
+      .toDF("g", "v")
+      .union(Seq(("a", null.asInstanceOf[java.lang.Long])).toDF("g", "v"))
+    val got = Curation.standardize(df, "v", Seq("g"))
+    assert(got.count() == 8)
+    val a = got.filter(col("g") === "a" && col("v") === 2L).head.getAs[Double]("z")
+    assert(a == 0.0, "the mean standardizes to exactly 0")
+    // group a: n=3, S=6, Q=14 -> z(3) = (9-6)/sqrt(42-36) = 3/sqrt(6)
+    val a3 = got.filter(col("g") === "a" && col("v") === 3L).head.getAs[Double]("z")
+    assert(a3 == 3.0 / math.sqrt(6.0), "bit-exact against the direct formula")
+    assert(got.filter(col("g") === "b").collect().forall(_.getAs[Double]("z") == 0.0),
+      "zero-variance group -> 0")
+    assert(got.filter(col("g").isNull).count() == 2, "null group standardizes in its own group")
+    assert(got.filter(col("v").isNull).head.isNullAt(got.schema.fieldIndex("z")))
+    // partition-invariant bit-for-bit (the property avg/stddev lack)
+    val again = Curation.standardize(df.repartition(7), "v", Seq("g"))
+      .filter(col("v").isNotNull)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == got.filter(col("v").isNotNull)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("packedSequences: ordered concat per sequence, budget-bounded membership") {
     import spark.implicits._
     // token counts 3 each, budget 7 -> docs per sequence: floor-offset rule
