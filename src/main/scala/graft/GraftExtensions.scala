@@ -163,5 +163,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t, mw) => C4LineFilter(t, intLit(mw, "min_line_words"))
         case _ => throw new IllegalArgumentException("c4_clean takes 1 or 2 arguments")
       }))
+
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(text[, form]) - UAX #15 normalization; " +
+          "form in ('NFC','NFD','NFKC','NFKD'), default NFC"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => UnicodeNormalize(t, "NFC")
+        case Seq(t, f) => UnicodeNormalize(t, f match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"form must be a string literal, got $other")
+        })
+        case _ => throw new IllegalArgumentException(
+          "unicode_normalize takes 1 or 2 arguments")
+      }))
   }
 }

@@ -875,6 +875,18 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", groupCols = Seq("source"))),
 
+    // Unicode canonicalization gate: append a DECOMPOSED accent (e +
+    // combining U+0301) to every doc and NFC-normalize — the composed
+    // output is one char shorter, and DuckDB's nfc_normalize computes the
+    // identical bytes, so the full normalized string sits under the hash.
+    "q_unicode_norm" -> ((s, dir) => {
+      def raw = concat(col("text"), lit(" fiance\u0301"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalizeUnicode(raw).as("text_nfc"),
+        length(raw).cast("long").as("len_raw"),
+        length(TextFunctions.normalizeUnicode(raw)).cast("long").as("len_nfc"))
+    }),
+
     // Per-source rank normalization of a quality signal: percent_rank and
     // cume_dist put every source's docs on a comparable [0,1] scale (the
     // right way to mix heterogeneous quality scores before a global cut).
@@ -2050,6 +2062,13 @@ object SparkEntry {
         |SELECT t.doc_id, t.source, t.n_tokens
         |FROM t JOIN th ON t.source IS NOT DISTINCT FROM th.source
         |WHERE t.n_tokens >= th.th""".stripMargin,
+
+    "q_unicode_norm" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' fiance' || chr(769)) AS text_nfc,
+        |  CAST(length(text || ' fiance' || chr(769)) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(text || ' fiance' || chr(769))) AS BIGINT) AS len_nfc
+        |FROM documents""".stripMargin,
 
     "q_standardize" ->
       """WITH t AS (SELECT doc_id, source,

@@ -396,3 +396,31 @@ object GopherSignals {
   val fields: Seq[String] = Seq("n_tokens", "sum_token_len", "n_alpha_tokens",
     "n_stop", "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines")
 }
+
+/** Unicode normalization (UAX #15) — the canonicalization pass BEFORE
+  * fingerprinting/shingling/exact dedup: visually identical strings that
+  * differ only in composition (é as U+00E9 vs e + combining U+0301, ﬁ
+  * ligatures under NFKC) hash to different md5s and defeat shingle
+  * equality, silently deflating duplicate recall on multilingual corpora.
+  * `java.text.Normalizer` is the JDK's UAX #15 implementation; DuckDB's
+  * `nfc_normalize` implements the same NFC mapping, so the NFC form is
+  * oracle-gateable byte-for-byte. Per-row, no shuffle; null -> null.
+  * `form` ∈ NFC | NFD | NFKC | NFKD (validated at construction). */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  // fail at plan time, not per row mid-job, on a typo'd form
+  private val nf = java.text.Normalizer.Form.valueOf(form)
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // the common case is already-normalized ASCII/NFC text: isNormalized
+    // is a cheap scan that skips the allocating normalize pass for it
+    if (java.text.Normalizer.isNormalized(s, nf)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, nf))
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+}

@@ -145,6 +145,17 @@ object TextFunctions {
     trim(regexp_replace(base, "\\s+", " "))
   }
 
+  /** Unicode canonicalization ([[UnicodeNormalize]], UAX #15): run BEFORE
+    * [[fingerprint]]/[[shingleSet]] so composed-vs-decomposed text stops
+    * defeating exact and near dedup. NFC is the oracle-gated form (DuckDB
+    * `nfc_normalize` computes the identical bytes); NFKC additionally folds
+    * compatibility characters (ligatures, full-width forms) — the usual
+    * choice for training-corpus canon. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(UnicodeNormalize(GraftExpr.expression(text), form))
+  }
+
   /** BPE-ish token estimate: one token per alphanumeric run plus one per
     * non-space punctuation character — the usual regex proxy for subword
     * tokenizers. Uses regexp_extract_all (RE2-compatible pattern, no

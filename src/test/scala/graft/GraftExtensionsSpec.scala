@@ -70,6 +70,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(r4.getSeq[Int](2) == Seq(127, -63))
       // zorder_key(5=0b101, 3=0b011, 4 bits) -> 1+2+8+16 = 27
       assert(s.sql("SELECT zorder_key(5, 3, 4) AS z").first().getLong(0) == 27L)
+      // unicode_normalize: decomposed e+U+0301 composes under NFC (2 chars
+      // -> 1); NFKC additionally folds the fi ligature
+      val un = s.sql("SELECT length(unicode_normalize('é')) AS a, " +
+        "unicode_normalize('ﬁsh', 'NFKC') AS b").first()
+      assert(un.getInt(0) == 1)
+      assert(un.getString(1) == "fish")
+      val e4 = intercept[Exception](
+        s.sql("SELECT unicode_normalize('x', 'BOGUS')").collect())
+      assert(e4.getMessage.contains("BOGUS"), e4.getMessage)
       // arity errors are explicit, not raw IndexOutOfBounds / silent drops
       val e = intercept[Exception](s.sql("SELECT redact_pii()").collect())
       assert(e.getMessage.contains("exactly 1 argument"), e.getMessage)
