@@ -887,6 +887,19 @@ object SparkEntry {
         length(TextFunctions.normalizeUnicode(raw)).cast("long").as("len_nfc"))
     }),
 
+    // Ingest-time z-scoring vs a static corpus (drift check on arriving
+    // batches): new docs (doc_id % 5 = 0) scored against the rest's
+    // per-source stats; corpus aggregates once and never moves —
+    // stream-static capable.
+    "q_standardize_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.standardizeAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "n_tokens", groupCols = Seq("source"))
+    }),
+
     // Per-source rank normalization of a quality signal: percent_rank and
     // cume_dist put every source's docs on a comparable [0,1] scale (the
     // right way to mix heterogeneous quality scores before a global cut).
@@ -2062,6 +2075,21 @@ object SparkEntry {
         |SELECT t.doc_id, t.source, t.n_tokens
         |FROM t JOIN th ON t.source IS NOT DISTINCT FROM th.source
         |WHERE t.n_tokens >= th.th""".stripMargin,
+
+    "q_standardize_incr" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, count(n_tokens) AS n, sum(n_tokens) AS sm,
+        |        sum(n_tokens * n_tokens) AS q
+        |      FROM t WHERE doc_id % 5 <> 0 GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_tokens,
+        |  CASE WHEN t.n_tokens IS NULL OR n IS NULL THEN NULL
+        |       WHEN n * q - sm * sm = 0 THEN 0.0
+        |       ELSE CAST(n * t.n_tokens - sm AS DOUBLE)
+        |            / sqrt(CAST(n * q - sm * sm AS DOUBLE)) END AS z
+        |FROM t LEFT JOIN s ON t.source IS NOT DISTINCT FROM s.source
+        |WHERE t.doc_id % 5 = 0""".stripMargin,
 
     "q_unicode_norm" ->
       """SELECT doc_id,

@@ -461,15 +461,19 @@ object Curation {
     * matches them — rows with a null group key would silently vanish from
     * operators documented as row-preserving. `<=>` (EqualNullSafe) is a
     * valid hash-join key, so the join stays a broadcast hash join while
-    * the null group meets its own stats row. */
+    * the null group meets its own stats row. `joinType = "left"` keeps
+    * rows whose group has no stats row (stats columns null) — the shape
+    * the against-a-reference-corpus operators need. */
   private def joinGroupStats(
-      df: DataFrame, stats: DataFrame, groupCols: Seq[String]): DataFrame =
+      df: DataFrame, stats: DataFrame, groupCols: Seq[String],
+      joinType: String = "inner"): DataFrame =
     if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
     else {
       val renamed = groupCols.foldLeft(stats)(
         (d, c) => d.withColumnRenamed(c, "__graft_g_" + c))
       val cond = groupCols.map(c => col(c) <=> col("__graft_g_" + c)).reduce(_ && _)
-      df.join(broadcast(renamed), cond).drop(groupCols.map("__graft_g_" + _): _*)
+      df.join(broadcast(renamed), cond, joinType)
+        .drop(groupCols.map("__graft_g_" + _): _*)
     }
 
   /** Winsorize: clamp `valueCol` into its own [pLo, pHi] quantile band —
@@ -605,6 +609,39 @@ object Curation {
     joinGroupStats(df, stats, groupCols)
       .withColumn(outputCol,
         when(v.isNull, lit(null).cast("double"))
+          .when(den2 === 0, lit(0.0))
+          .otherwise(num.cast("double") / sqrt(den2.cast("double"))))
+      .drop("__graft_n", "__graft_s", "__graft_q")
+  }
+
+  /** Ingest-time twin of [[standardize]]: z-score a NEW batch against a
+    * STATIC reference corpus's statistics — the drift check a pipeline
+    * runs on every arriving crawl ("how far is this batch's length/quality
+    * distribution from the corpus we trained on"). Same exact-integer
+    * formula, but S/Q/n aggregate over `corpus` once and never move again,
+    * so the identical plan runs STREAM-STATIC for ingest scoring (the
+    * [[bigramRarityAgainstCorpus]] pattern; StreamingSpec pins parity).
+    * Groups absent from the corpus score null rather than dropping (left
+    * join) — an unseen group is a signal the caller must see, not a row to
+    * lose. A zero-variance corpus group scores 0 like [[standardize]]. */
+  def standardizeAgainstCorpus(
+      df: DataFrame,
+      corpus: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil,
+      outputCol: String = "z"): DataFrame = {
+    val v = col(valueCol)
+    val cv = col(valueCol)
+    val aggs = Seq(count(cv).as("__graft_n"), sum(cv).as("__graft_s"),
+      sum(cv * cv).as("__graft_q"))
+    val stats =
+      if (groupCols.isEmpty) corpus.agg(aggs.head, aggs.tail: _*)
+      else corpus.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val num = col("__graft_n") * v - col("__graft_s")
+    val den2 = col("__graft_n") * col("__graft_q") - col("__graft_s") * col("__graft_s")
+    joinGroupStats(df, stats, groupCols, joinType = "left")
+      .withColumn(outputCol,
+        when(v.isNull || col("__graft_n").isNull, lit(null).cast("double"))
           .when(den2 === 0, lit(0.0))
           .otherwise(num.cast("double") / sqrt(den2.cast("double"))))
       .drop("__graft_n", "__graft_s", "__graft_q")

@@ -567,6 +567,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("standardizeAgainstCorpus runs stream-static, batch-parity; unseen group scores null") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus group a: n=3, S=6, Q=14 -> z(5) = (15-6)/sqrt(42-36)
+    val corpus = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 7L), ("b", 7L))
+      .toDF("g", "v")
+    val arriving = Seq(("a", 5L), ("b", 9L), ("new", 4L))
+    val mem = MemoryStream[(String, Long)]
+    val out = graft.operators.Curation.standardizeAgainstCorpus(
+      mem.toDF().toDF("g", "v"), corpus, "v", Seq("g"))
+    val q = out.writeStream.format("memory").queryName("std_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(arriving: _*)
+      q.processAllAvailable()
+      def row(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      val got = spark.table("std_out").collect().map(row).sortBy(_._1).toSeq
+      val want = graft.operators.Curation.standardizeAgainstCorpus(
+        arriving.toDF("g", "v"), corpus, "v", Seq("g"))
+        .collect().map(row).sortBy(_._1).toSeq
+      assert(got == want, "stream-static must equal the batch operator")
+      assert(got == Seq(
+        ("a", 5L, Some(9.0 / math.sqrt(6.0))),
+        ("b", 9L, Some(0.0)),              // zero-variance corpus group
+        ("new", 4L, None)))                // unseen group: null, not dropped
+    } finally q.stop()
+  }
+
   test("socket source drives the op pipeline end-to-end (localhost)") {
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val port = server.getLocalPort
