@@ -120,6 +120,8 @@ object Bench {
       .replace("dedup_", "dd_").replace("pipeline_", "pl_")
       .replace("events_", "ev_").replace("media_", "md_")
       .replace("sample_", "smp_").replace("mixture_", "mx_")
+      .replace("standardize", "std").replace("transform_", "tf_")
+      .replace("running_", "run_").replace("quantiles", "qtl")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
