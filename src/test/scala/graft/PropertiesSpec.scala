@@ -59,6 +59,43 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sampleNGlobal draws min(n, |corpus|) rows, equal to an in-memory md5 sort") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (seed <- 1L to 3L) {
+      val ids = sample(Gen.listOfN(80, Gen.chooseNum(0L, 1000000L)), seed).distinct
+      val n = 1 + (seed * 17 % 40)
+      val got = graft.operators.Curation.sampleNGlobal(
+          ids.toDF("id").repartition(5), "id", n)
+        .collect().map(_.getLong(0)).toSet
+      val want = ids.sortBy(i => (md5hex(s"$i:global-n"), i)).take(math.min(n.toInt, ids.size)).toSet
+      assert(got == want, s"seed=$seed n=$n")
+    }
+  }
+
+  test("lengthBucketBatches: every batch is bucket-pure and at most batchSize on random inputs") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(120, Gen.zip(
+        Gen.chooseNum(0L, 1000000L), Gen.chooseNum(0L, 300L))), seed)
+        .distinctBy(_._1)
+      val bs = 1 + (seed % 9).toInt
+      val got = graft.operators.Curation.lengthBucketBatches(
+          rows.toDF("id", "n").repartition(7), col("n"), "id",
+          Seq(50.0, 150.0, 250.0), bs)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("len_bucket"),
+          r.getAs[Long]("batch_id")))
+      assert(got.length == rows.size, s"seed=$seed row-preserving")
+      got.groupBy(_._3).foreach { case (bid, g) =>
+        assert(g.length <= bs, s"seed=$seed batch $bid overfull: ${g.length} > $bs")
+        assert(g.map(_._2).distinct.length == 1, s"seed=$seed batch $bid spans buckets")
+        assert(bid >> 40 == g.head._2, s"seed=$seed batch id encodes the bucket")
+      }
+    }
+  }
+
   test("clusters equals an in-memory union-find on random pair graphs") {
     import spark.implicits._
     val pairGen: Gen[List[(Long, Long)]] =
