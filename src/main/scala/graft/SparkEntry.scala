@@ -923,6 +923,16 @@ object SparkEntry {
       graft.ops.Skew.dropHotKeys(
         ev(s, dir).select(col("event_id"), col("user_id")), Seq("user_id"), 80L)),
 
+    // Corpus hygiene report: per-source row count, distinct content
+    // fingerprints, exact-duplicate rows — the per-crawl dashboard a
+    // curation team watches. One keyed agg over (source, 16-byte md5):
+    // text reduces to fingerprints scan-side and never shuffles.
+    "q_dedup_report" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_rows"))),
+
     // Incremental-ingest dedup: new docs anti-joined against a reference
     // corpus's md5 fingerprint set (stream-static-capable shape; the
     // "corpus" here is the doc_id%3==0 slice of the same table).
@@ -2361,6 +2371,12 @@ object SparkEntry {
         |SELECT s.doc_id, count(*) AS n_shingles, count(b.sh) AS n_hit
         |FROM s LEFT JOIN b USING (sh)
         |GROUP BY 1""".stripMargin,
+
+    "q_dedup_report" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH p AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),
