@@ -26,7 +26,7 @@ object Bench {
     // document-quality suites (fused one-pass expressions) and the composed
     // C4 -> Gopher pipeline — all pure scan-bound
     "q_gopher", "q_c4_filter", "q_pipeline_quality",
-    "q_redact", "q_repetition", "q_unicode_norm", "q_decontam", "q_split_decontam",
+    "q_redact", "q_repetition", "q_unicode_norm", "q_compress_signal", "q_decontam", "q_split_decontam",
     "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_mixture_target", "q_pack",
     "q_chunk", "q_shuffle_order", "q_sample_n_global", "q_length_batches", "q_pack_text",

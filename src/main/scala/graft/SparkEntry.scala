@@ -875,6 +875,14 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", groupCols = Seq("source"))),
 
+    // Compression-ratio quality signal (rows-only gate BY DESIGN: DuckDB
+    // has no zlib surface, so no oracleSql entry exists — the driver
+    // records the weaker rows>0 check; the signal's ORDER is spec-pinned).
+    "q_compress_signal" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        TextFunctions.deflateSize(col("text")).as("deflate_len"))),
+
     // Unicode canonicalization gate: append a DECOMPOSED accent (e +
     // combining U+0301) to every doc and NFC-normalize — the composed
     // output is one char shorter, and DuckDB's nfc_normalize computes the

@@ -397,6 +397,46 @@ object GopherSignals {
     "n_stop", "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines")
 }
 
+/** Deflate-compressed byte count of the UTF-8 text — the compression-ratio
+  * quality signal (the CCNet/Gopher-family gibberish detector): natural
+  * prose deflates to roughly 35–60% of raw, templated/repetitive text far
+  * below that, and random noise above ~100%, so deflate_len/byte_len
+  * separates all three with one cheap pass. Emits the raw COUNT
+  * (division-free — the caller forms the ratio), level = standard zlib
+  * 1..9. Per-row, scan-bound; the Deflater is reused per task thread via a
+  * ThreadLocal (allocating one per row would dominate the work).
+  *
+  * No SQL oracle exists (DuckDB has no zlib surface), so the gate is
+  * rows-only by design; exact byte counts depend on the zlib build, but
+  * the ORDER of the signal (repetitive < prose < noise) is what consumers
+  * threshold on and is stable — spec-pinned. Null -> null. */
+case class DeflateSize(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(level >= 1 && level <= 9, s"zlib level must be 1..9: $level")
+
+  @transient private lazy val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(level, true)
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  override protected def withNewChildInternal(c: Expression): DeflateSize =
+    copy(child = c)
+}
+
 /** Unicode normalization (UAX #15) — the canonicalization pass BEFORE
   * fingerprinting/shingling/exact dedup: visually identical strings that
   * differ only in composition (é as U+00E9 vs e + combining U+0301, ﬁ

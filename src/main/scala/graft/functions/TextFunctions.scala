@@ -156,6 +156,14 @@ object TextFunctions {
     GraftExpr.column(UnicodeNormalize(GraftExpr.expression(text), form))
   }
 
+  /** Deflate-compressed byte count ([[DeflateSize]]) — pair with
+    * `octet_length` for the compression-ratio quality signal; see the
+    * expression's scaladoc for the threshold semantics. */
+  def deflateSize(text: Column, level: Int = 6): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(DeflateSize(GraftExpr.expression(text), level))
+  }
+
   /** BPE-ish token estimate: one token per alphanumeric run plus one per
     * non-space punctuation character — the usual regex proxy for subword
     * tokenizers. Uses regexp_extract_all (RE2-compatible pattern, no

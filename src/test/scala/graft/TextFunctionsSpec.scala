@@ -137,6 +137,34 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(red("no pii here at all") == "no pii here at all")
   }
 
+  test("deflateSize: repetitive < prose < noise ordering, deterministic, null/empty sane") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(2000)((rnd.nextInt(94) + 33).toChar).mkString
+    val prose = ("the quick brown fox jumps over the lazy dog while carrying " +
+      "a surprisingly heavy basket of fresh garden vegetables ") * 18
+    val repetitive = "spam " * 400
+    val df = Seq((1L, repetitive), (2L, prose.take(2000)), (3L, noise),
+      (4L, ""), (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.deflateSize(col("text")).as("dl"),
+        octet_length(col("text")).cast("long").as("bl"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    def ratio(id: Long) = { val (d, b) = got(id).get; d.toDouble / b }
+    assert(ratio(1L) < ratio(2L) && ratio(2L) < ratio(3L),
+      s"ordering: ${ratio(1L)} ${ratio(2L)} ${ratio(3L)}")
+    assert(ratio(1L) < 0.05 && ratio(3L) > 0.8)
+    assert(got(4L).get._1 > 0L, "empty text still emits the deflate terminator")
+    assert(got(5L).isEmpty, "null -> null")
+    // partition-invariant and rerun-stable within one JVM
+    val again = df.repartition(4)
+      .select(col("id"), TextFunctions.deflateSize(col("text")).as("dl"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert((1L to 5L).forall(i => again(i) == got(i).map(_._1)))
+  }
+
   test("duplicateTokenFraction: 0 for all-unique, rises with repeats, 0 for empty") {
     assert(one(TextFunctions.duplicateTokenFraction(col("t")), "a b c d") == 0.0)
     assert(one(TextFunctions.duplicateTokenFraction(col("t")), "a a a a") == 0.75)
