@@ -30,6 +30,7 @@ object Bench {
     "q_ngram_freq",
     "q_split_assign", "q_token_budget", "q_mixture_up", "q_mixture_target", "q_pack",
     "q_chunk", "q_shuffle_order", "q_sample_n_global", "q_length_batches", "q_pack_text",
+    "q_mixture_quality",
     "q_pipeline_curation", "q_pipeline_chunks",
     "q_profile_approx",
     "q_quantiles", "q_quantiles_group", "q_quality_cut", "q_clip", "q_standardize",

@@ -875,6 +875,29 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", groupCols = Seq("source"))),
 
+    // Quality-temperature mixing, composed end-to-end in ONE plan: band
+    // docs by their source's exact token-count quartiles (tiny threshold
+    // agg broadcast back), then keep each band at its own deterministic
+    // salted-hash rate (higher band -> keep more) — the standard
+    // "sample by quality percentile" curation recipe.
+    "q_mixture_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val th = docs.groupBy("source").agg(
+        percentile(col("n_tokens"), lit(0.25)).as("p25"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50"),
+        percentile(col("n_tokens"), lit(0.75)).as("p75"))
+      docs.join(broadcast(th), Seq("source"))
+        .withColumn("band",
+          (col("n_tokens") > col("p25")).cast("int") +
+            (col("n_tokens") > col("p50")).cast("int") +
+            (col("n_tokens") > col("p75")).cast("int"))
+        .filter(Curation.hashBucketSalted(col("doc_id"), "qmix") <
+          element_at(array(lit(2500L), lit(5000L), lit(7500L), lit(10000L)),
+            col("band") + 1))
+        .select("doc_id", "source", "n_tokens", "band")
+    }),
+
     // Compression-ratio quality signal (rows-only gate BY DESIGN: DuckDB
     // has no zlib surface, so no oracleSql entry exists — the driver
     // records the weaker rows>0 check; the signal's ORDER is spec-pinned).
@@ -2108,6 +2131,25 @@ object SparkEntry {
         |            / sqrt(CAST(n * q - sm * sm AS DOUBLE)) END AS z
         |FROM t LEFT JOIN s ON t.source IS NOT DISTINCT FROM s.source
         |WHERE t.doc_id % 5 = 0""".stripMargin,
+
+    "q_mixture_quality" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |th AS (SELECT source, quantile_cont(n_tokens, 0.25) AS p25,
+        |        quantile_cont(n_tokens, 0.5) AS p50,
+        |        quantile_cont(n_tokens, 0.75) AS p75
+        |      FROM t GROUP BY source),
+        |b AS (SELECT t.doc_id, t.source, t.n_tokens,
+        |        (t.n_tokens > p25)::INT + (t.n_tokens > p50)::INT
+        |          + (t.n_tokens > p75)::INT AS band
+        |      FROM t JOIN th USING (source))
+        |SELECT doc_id, source, n_tokens, CAST(band AS INT) AS band
+        |FROM b
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':qmix'), 1, 15))::UBIGINT
+        |        % 10000 AS BIGINT)
+        |      < CASE band WHEN 0 THEN 2500 WHEN 1 THEN 5000
+        |                  WHEN 2 THEN 7500 ELSE 10000 END""".stripMargin,
 
     "q_unicode_norm" ->
       """SELECT doc_id,
