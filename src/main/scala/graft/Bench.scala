@@ -123,6 +123,9 @@ object Bench {
       .replace("sample_", "smp_").replace("mixture_", "mx_")
       .replace("standardize", "std").replace("transform_", "tf_")
       .replace("running_", "run_").replace("quantiles", "qtl")
+      .replace("compress_signal", "zratio").replace("split_", "sp_")
+      .replace("sessionize", "sessz").replace("sessions", "sess")
+      .replace("cluster_", "cl_").replace("length_", "len_")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
