@@ -34,7 +34,7 @@ object Bench {
     "q_pipeline_curation", "q_pipeline_chunks",
     "q_profile_approx",
     "q_quantiles", "q_quantiles_group", "q_quality_cut", "q_clip", "q_standardize",
-    "q_standardize_incr", "q_sample_n", "q_skew_cap",
+    "q_standardize_incr", "q_minmax_scale", "q_top_global", "q_sample_n", "q_skew_cap",
     "q_dedup_exact", "q_dedup_incr", "q_dedup_report", "q_dedup_spans", "q_dedup_rebuild",
     "q_dedup_minhash",
     "q_dedup_simhash", "q_dedup_embed_lsh", "q_dedup_ngram_capped",

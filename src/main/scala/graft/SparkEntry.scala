@@ -875,6 +875,25 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", groupCols = Seq("source"))),
 
+    // Per-source min-max scaling (standardize's bounded sibling, same
+    // exact-integer portability argument for the hashed doubles).
+    "q_minmax_scale" -> ((s, dir) =>
+      Curation.minMaxScale(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", groupCols = Seq("source"))),
+
+    // GLOBAL top-k by a quality signal WITHOUT a window (q_top_docs is the
+    // per-group form): orderBy + limit plans TakeOrderedAndProject —
+    // per-partition heaps + one k-row merge, the scalable global top-k
+    // shape (a row_number window would sort the corpus in one task).
+    // Deterministic via the id tiebreak.
+    "q_top_global" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+        .limit(50)),
+
     // Quality-temperature mixing, composed end-to-end in ONE plan: band
     // docs by their source's exact token-count quartiles (tiny threshold
     // agg broadcast back), then keep each band at its own deterministic
@@ -2131,6 +2150,26 @@ object SparkEntry {
         |            / sqrt(CAST(n * q - sm * sm AS DOUBLE)) END AS z
         |FROM t LEFT JOIN s ON t.source IS NOT DISTINCT FROM s.source
         |WHERE t.doc_id % 5 = 0""".stripMargin,
+
+    "q_minmax_scale" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, min(n_tokens) AS mn, max(n_tokens) AS mx
+        |      FROM t GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_tokens,
+        |  CASE WHEN t.n_tokens IS NULL THEN NULL
+        |       WHEN mx = mn THEN 0.0
+        |       ELSE CAST(t.n_tokens - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+        |  END AS scaled
+        |FROM t JOIN s ON t.source IS NOT DISTINCT FROM s.source""".stripMargin,
+
+    "q_top_global" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents
+        |ORDER BY n_tokens DESC, doc_id ASC
+        |LIMIT 50""".stripMargin,
 
     "q_mixture_quality" ->
       """WITH t AS (SELECT doc_id, source,

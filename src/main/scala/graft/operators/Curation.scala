@@ -614,6 +614,33 @@ object Curation {
       .drop("__graft_n", "__graft_s", "__graft_q")
   }
 
+  /** Per-group min-max scaling to [0, 1] — [[standardize]]'s bounded
+    * sibling, same exact-integer portability argument: scaled =
+    * (x − min) / (max − min) where min/max are exact integer aggregates,
+    * so the single division's inputs are exactly represented and the
+    * output doubles hash identically across engines and partitionings.
+    * Constant groups scale to 0; nulls pass through; the per-group stats
+    * frame broadcasts back null-safely. Integral value columns only for
+    * the portability guarantee. */
+  def minMaxScale(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil,
+      outputCol: String = "scaled"): DataFrame = {
+    val v = col(valueCol)
+    val aggs = Seq(min(v).as("__graft_mn"), max(v).as("__graft_mx"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    joinGroupStats(df, stats, groupCols)
+      .withColumn(outputCol,
+        when(v.isNull, lit(null).cast("double"))
+          .when(col("__graft_mx") === col("__graft_mn"), lit(0.0))
+          .otherwise((v - col("__graft_mn")).cast("double") /
+            (col("__graft_mx") - col("__graft_mn")).cast("double")))
+      .drop("__graft_mn", "__graft_mx")
+  }
+
   /** Ingest-time twin of [[standardize]]: z-score a NEW batch against a
     * STATIC reference corpus's statistics — the drift check a pipeline
     * runs on every arriving crawl ("how far is this batch's length/quality

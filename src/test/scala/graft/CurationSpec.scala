@@ -305,6 +305,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(approx >= 9.0 && approx <= 12.0, s"approx lo bound: $approx")
   }
 
+  test("minMaxScale: [0,1] per group, constant group -> 0, nulls through, bit-stable") {
+    import spark.implicits._
+    val df = (Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 7L), ("b", 7L)))
+      .toDF("g", "v")
+      .union(Seq(("a", null.asInstanceOf[java.lang.Long])).toDF("g", "v"))
+    val got = Curation.minMaxScale(df, "v", Seq("g"))
+    val a = got.filter(col("g") === "a" && col("v").isNotNull)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("scaled")).toMap
+    assert(a == Map(10L -> 0.0, 20L -> 0.5, 30L -> 1.0))
+    assert(got.filter(col("g") === "b").collect().forall(_.getAs[Double]("scaled") == 0.0))
+    assert(got.filter(col("v").isNull).head.isNullAt(got.schema.fieldIndex("scaled")))
+    val again = Curation.minMaxScale(df.repartition(5), "v", Seq("g"))
+      .filter(col("v").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == got.filter(col("v").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("standardize: exact-integer z-scores, null pass-through, zero-variance -> 0, null groups kept") {
     import spark.implicits._
     val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L), ("b", 5L)) ++
