@@ -601,6 +601,21 @@ object SparkEntry {
         .orderBy(col("n").desc, col("gram").asc)
         .limit(100)),
 
+    // BPE trainer inner loop, round 1: adjacent-char pair counts weighted
+    // by word frequency — computed over the DISTINCT-WORD table, so the
+    // corpus-sized shuffle is paid once regardless of merge rounds.
+    "q_bpe_pairs" -> ((s, dir) =>
+      operators.Tokenizer.bpePairCounts(t(s, dir, "documents"), topK = 200)),
+
+    // One BPE merge applied to the vocab's symbol sequences: greedy
+    // leftmost non-overlapping fusion of ('t','h') -> "th", symbols joined
+    // with spaces ("t h e" -> "th e") so the merge structure survives. Pure per-row fold over the vocab table.
+    "q_bpe_merge" -> ((s, dir) =>
+      operators.Tokenizer.wordFrequencies(t(s, dir, "documents"))
+        .select(col("w"), col("wf"),
+          concat_ws(" ", operators.Tokenizer.applyMerge(
+            operators.Tokenizer.charSymbols(col("w")), "t", "h")).as("merged"))),
+
     // Reproducible train/val/test assignment: a pure per-row function of the
     // id (portable md5 bucket), zero shuffles, stable across reruns and
     // scale — the curation-pipeline replacement for randomSplit.
@@ -676,6 +691,17 @@ object SparkEntry {
     // week, weeks-since-first) — exact integer date arithmetic.
     "q_retention" -> ((s, dir) =>
       operators.Funnel.retention(ev(s, dir), periodDays = 7)),
+
+    // First-order Markov transition matrix over event types: consecutive
+    // same-user event pairs in (ts, event_id) order, counts + exact-IEEE
+    // transition probabilities. One user-keyed window shuffle.
+    "q_event_transitions" -> ((s, dir) =>
+      operators.Funnel.transitions(ev(s, dir))),
+
+    // ...bounded to within-session pairs: transitions more than 30 minutes
+    // apart don't count (no session labels materialized).
+    "q_event_transitions_gap" -> ((s, dir) =>
+      operators.Funnel.transitions(ev(s, dir), maxGap = Some("30 minutes"))),
 
     // Skew levers under oracle: the salted inner join must be row-identical
     // to the plain join (salting is a physical rewrite, not a semantic one),
@@ -2272,6 +2298,57 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM o
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n, n_from, n / n_from AS p
+        |FROM c JOIN f USING (from_type)""".stripMargin,
+
+    "q_event_transitions_gap" ->
+      """WITH o AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS gap_us
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM o
+        |      WHERE to_type IS NOT NULL AND gap_us <= 1800000000 GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n, n_from, n / n_from AS p
+        |FROM c JOIN f USING (from_type)""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT tok AS w, count(*) AS wf FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) >= 1 GROUP BY tok),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair, wf
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 200""".stripMargin,
+
+    "q_bpe_merge" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT tok AS w, count(*) AS wf FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) >= 1 GROUP BY tok),
+        |r AS (
+        |  SELECT w, wf,
+        |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
+        |  FROM w
+        |  UNION ALL
+        |  SELECT w, wf, replace(s, ' t h ', ' th ') FROM r
+        |  WHERE strpos(s, ' t h ') > 0)
+        |SELECT w, wf, trim(s) AS merged FROM r WHERE strpos(s, ' t h ') = 0""".stripMargin,
 
     "q_chunk" ->
       """SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,

@@ -109,6 +109,51 @@ object Funnel {
     events.withColumn("session_idx", sum(isNew).over(w))
   }
 
+  /** Event-transition matrix (first-order Markov chain over event types):
+    * for every consecutive pair of events BY THE SAME USER in time order,
+    * count `from_type -> to_type` transitions and the transition
+    * probability p = n / (transitions leaving from_type). The
+    * next-event-prediction summary that sits next to funnels and
+    * sessionization in every product-analytics suite.
+    *
+    * Determinism: the per-user order is (ts, orderCols...) so same-ts
+    * events resolve identically in any engine; ties beyond the order
+    * columns would be ambiguous, so pass a unique id (the default
+    * `event_id`). `maxGap` drops pairs further apart than the gap — the
+    * "within one session" variant — without materializing session labels.
+    *
+    * Scale shape: ONE user-keyed shuffle for the incremental lead() window
+    * (O(1) state per row, no per-user buffering), then partial aggregation
+    * collapses to |types|² rows map-side before a tiny final shuffle; the
+    * totals join is over |types| rows (AQE broadcasts it). p is an exact
+    * IEEE long/long division — engine-portable without rounding. Per-user
+    * event volume is the usual hot-key caveat (ops.Skew.dropHotKeys is the
+    * guard, as with sessionize). */
+  def transitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      orderCols: Seq[String] = Seq("event_id"),
+      maxGap: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc +: orderCols.map(col(_).asc): _*)
+    val gapOk = maxGap.fold(lit(true)) { g =>
+      unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)) <=
+        lit(graft.ops.Intervals.subDayMicros(g))
+    }
+    val pairs = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"), gapOk.as("__ok"))
+      .filter(col("to_type").isNotNull && col("__ok"))
+    val counts = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    counts.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+  }
+
   /** Step-wise conversion counts: one row per step with the number of users
     * whose funnel reached it. A funnel summary is a handful of rows at any
     * scale — the per-user frame never leaves the cluster un-aggregated. */

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training primitives: the BPE (byte-pair-encoding) inner loop
+  * re-expressed as Catalyst plans. No reference analog (the reference's only
+  * text op is splitintowords, Operators.java:165-167); this is part of the
+  * LLM-data-pipeline surface — a tokenizer is trained on exactly the corpora
+  * this library curates.
+  *
+  * The scale trick every real BPE trainer uses: pair statistics are computed
+  * over the DISTINCT-WORD frequency table, not the raw corpus. 100 TB of
+  * text collapses to a vocab-sized (word, count) table in one shuffle with
+  * map-side partial aggregation; every subsequent merge round runs over that
+  * tiny table. Text volume is paid ONCE.
+  */
+object Tokenizer {
+
+  /** Whitespace word-frequency table: one row per distinct word with its
+    * corpus count. The single corpus-sized shuffle in BPE training; empty
+    * tokens (empty/whitespace-only docs split to [""]) are dropped. */
+  def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+
+  /** Adjacent-symbol pair counts weighted by word frequency — the argmax
+    * candidate table of one BPE merge round, here over the initial
+    * character alphabet. Deterministic total order (n desc, pair asc) so
+    * LIMIT is engine-portable. Single-character words contribute no pairs.
+    *
+    * (End-of-word markers and byte fallback are orthogonal encoding choices
+    * layered on the same pair-count core; this computes the core.) */
+  def bpePairCounts(docs: DataFrame, textCol: String = "text",
+      topK: Int = 200): DataFrame = {
+    val words = wordFrequencies(docs, textCol).filter(length(col("w")) >= 2)
+    words
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("wf"))
+      .groupBy("pair").agg(sum(col("wf")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+  }
+
+  /** Split a word into its codepoint symbols — the starting state of BPE
+    * symbol sequences. Explicit substr enumeration (not `split(w, "")`,
+    * whose empty-trailing-element behavior is regex-engine lore); the word
+    * must be non-empty (sequence(1, 0) would run DESCENDING). */
+  def charSymbols(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** One BPE merge applied to a symbol sequence: scan left to right,
+    * fusing each adjacent (a, b) into `a+b`, leftmost-first and
+    * non-overlapping ("a a a" + merge(a,a) -> ["aa","a"]) — the classic
+    * greedy semantics. Pure per-row higher-order fold: zero shuffles,
+    * O(|word|²) immutable-array appends per word (words are short; the
+    * vocab table this runs over is tiny next to the corpus). */
+  def applyMerge(symbols: Column, a: String, b: String): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, s) =>
+        // try_element_at: ANSI-safe on the empty initial accumulator (null
+        // comparison falls through to the append branch)
+        when(try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Pair counts over an explicit (symbols, wf) vocab table — the
+    * mid-training form, after some merges have already been applied. */
+  def pairCountsFromSymbols(vocab: DataFrame,
+      symbolsCol: String = "symbols", wfCol: String = "wf"): DataFrame =
+    vocab.filter(size(col(symbolsCol)) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col(symbolsCol)) - 1),
+        i => struct(element_at(col(symbolsCol), i).as("a"),
+          element_at(col(symbolsCol), i + 1).as("b")))).as("p"), col(wfCol))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col(wfCol)).cast("long").as("n"))
+
+  /** Full BPE training loop: `numMerges` rounds of (count pairs -> argmax
+    * -> apply merge), returning the ordered merge list. Each round's pair
+    * aggregation is distributed over the vocab table; only the single
+    * argmax ROW crosses to the driver per round (ties resolve (n desc, a
+    * asc, b asc) — deterministic across engines and partitionings). The
+    * vocab is localCheckpoint-pinned every few rounds so the iterated plan
+    * stays constant-size (same discipline as Dedup.clusters). */
+  def trainBpe(docs: DataFrame, numMerges: Int, textCol: String = "text",
+      pinEvery: Int = 4): Seq[(String, String, Long)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
+    var vocab = wordFrequencies(docs, textCol)
+      .select(charSymbols(col("w")).as("symbols"), col("wf"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    while (i < numMerges) {
+      val top = pairCountsFromSymbols(vocab)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) { i = numMerges } // alphabet exhausted: stop early
+      else {
+        val r = top.head
+        val (a, b) = (r.getString(0), r.getString(1))
+        merges += ((a, b, r.getLong(2)))
+        vocab = vocab.select(applyMerge(col("symbols"), a, b).as("symbols"),
+          col("wf"))
+        i += 1
+        if (i % pinEvery == 0) vocab = vocab.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+}

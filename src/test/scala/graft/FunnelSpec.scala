@@ -129,4 +129,48 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq(
       (1L, "view", 4L), (2L, "click", 3L), (3L, "purchase", 2L)))
   }
+
+  private lazy val seqEvents = {
+    import spark.implicits._
+    Seq(
+      // user 1: view -> click -> view  (pairs: v->c, c->v)
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(5), "click"), (3L, 1L, ts(9), "view"),
+      // user 2: two same-ts events — event_id breaks the tie: click -> view
+      (4L, 2L, ts(3), "click"), (5L, 2L, ts(3), "view"),
+      // user 3: singleton, no transitions
+      (6L, 3L, ts(1), "view"),
+      // user 4: view -> view with a 40-minute gap (dropped by maxGap=30m)
+      (7L, 4L, ts(0), "view"), (8L, 4L, ts(40), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+  }
+
+  test("transitions: per-user consecutive pairs, exact probabilities") {
+    val got = Funnel.transitions(seqEvents)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // from view: v->c (u1), v->v (u4) => n_from 2; from click: c->v (u1, u2)
+    assert(got.toSeq == Seq(
+      ("click", "view", 2L, 2L, 1.0),
+      ("view", "click", 1L, 2L, 0.5),
+      ("view", "view", 1L, 2L, 0.5)))
+  }
+
+  test("transitions: maxGap drops distant pairs and renormalizes") {
+    val got = Funnel.transitions(seqEvents, maxGap = Some("30 minutes"))
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("click", "view", 2L, 2L, 1.0),
+      ("view", "click", 1L, 1L, 1.0)))
+  }
+
+  test("transitions: partitioning-invariant (one user never splits)") {
+    val a = Funnel.transitions(seqEvents.repartition(7)).orderBy("from_type", "to_type")
+      .collect().toSeq
+    val b = Funnel.transitions(seqEvents.repartition(1)).orderBy("from_type", "to_type")
+      .collect().toSeq
+    assert(a == b)
+  }
 }

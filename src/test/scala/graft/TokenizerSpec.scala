@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Tokenizer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenizerSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("wordFrequencies: corpus-wide counts, empty tokens dropped") {
+    val got = Tokenizer.wordFrequencies(docs("the cat the", "  ", "cat"))
+      .orderBy("w").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("cat", 2L), ("the", 2L)))
+  }
+
+  test("bpePairCounts: weighted by word frequency, deterministic order") {
+    // "aa" x3 and "ab" x1: pair "aa" weight 3, "ab" weight 1
+    val got = Tokenizer.bpePairCounts(docs("aa aa ab", "aa"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("aa", 3L), ("ab", 1L)))
+  }
+
+  test("bpePairCounts: single-char words contribute nothing") {
+    assert(Tokenizer.bpePairCounts(docs("a b c a")).collect().isEmpty)
+  }
+
+  test("charSymbols splits codepoints (unicode-safe)") {
+    val got = docs("naïve 中文")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .select(Tokenizer.charSymbols(col("w")).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got.map(_.mkString("|")).toSet == Set("n|a|ï|v|e", "中|文"))
+  }
+
+  test("applyMerge: greedy leftmost, non-overlapping on self-pairs") {
+    import spark.implicits._
+    val words = Seq("aaa", "aaaa", "baab", "ab", "a", "cc")
+      .toDF("w")
+      .select(col("w"), Tokenizer.charSymbols(col("w")).as("symbols"))
+    val got = words
+      .select(col("w"), Tokenizer.applyMerge(col("symbols"), "a", "a").as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).mkString(" "))
+      .toMap
+    assert(got == Map(
+      "aaa" -> "aa a", "aaaa" -> "aa aa", "baab" -> "b aa b",
+      "ab" -> "a b", "a" -> "a", "cc" -> "c c"))
+  }
+
+  test("applyMerge composes across rounds (merged symbols re-mergeable)") {
+    import spark.implicits._
+    val syms = Seq(Seq("t", "h", "e")).toDF("symbols")
+    val round1 = syms.select(Tokenizer.applyMerge(col("symbols"), "t", "h").as("symbols"))
+    val round2 = round1.select(Tokenizer.applyMerge(col("symbols"), "th", "e").as("symbols"))
+    assert(round2.collect().head.getSeq[String](0) == Seq("the"))
+  }
+
+  test("trainBpe: merges match the hand-computed greedy sequence") {
+    // corpus: "low low low lower" -> vocab {low:3, lower:1}
+    // round 1 pairs: lo:4, ow:4, we:1, er:1 -> argmax ties (lo, ow) -> 'l','o' (a asc)
+    // round 2: [lo w]x3 [lo w e r] -> (lo,w):4, (w,e):1, (e,r):1 -> 'lo','w'
+    // round 3: [low]x3 [low e r] -> (low,e):1, (e,r):1 -> tie resolves (e,r)? no:
+    //   n equal (1,1); a asc: "e" < "low" -> ('e','r')
+    val merges = Tokenizer.trainBpe(docs("low low low lower"), numMerges = 3)
+    assert(merges == Seq(("l", "o", 4L), ("lo", "w", 4L), ("e", "r", 1L)))
+  }
+
+  test("trainBpe stops early when no pairs remain") {
+    val merges = Tokenizer.trainBpe(docs("ab ab"), numMerges = 5)
+    assert(merges == Seq(("a", "b", 2L)))
+  }
+}
