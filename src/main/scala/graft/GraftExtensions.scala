@@ -18,7 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * minhash_signature(shingles, k), rolling_hash(text),
   * nearest_centroid(vec, cents), quantize_int8(vec), zorder_key(x, y, bits),
   * gopher_signals(text), gopher_keep(text[, min_words]), c4_clean(text[,
-  * min_line_words]), graft_filter(line, pattern) — the reference's FILTER predicate
+  * min_line_words]), bloom_filter_agg(hash[, items[, bits]]) /
+  * bloom_might_contain(bloom, hash) — Spark's runtime-filter Bloom pair,
+  * graft_filter(line, pattern) — the reference's FILTER predicate
   * (case-insensitive substring, Operators.java:121-144) as a SQL function.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -179,5 +181,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "unicode_normalize takes 1 or 2 arguments")
       }))
+
+    // Spark's runtime-filter Bloom machinery, surfaced to SQL: build with
+    // `bloom_filter_agg(xxhash64(k), items, bits)` in a scalar subquery,
+    // probe with `bloom_might_contain((SELECT ...), xxhash64(k))` — the
+    // might-contain side REQUIRES a constant/subquery bloom (Spark's own
+    // type check), which is exactly the shape that ships the bitmap with
+    // task binaries instead of joining it.
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64_value[, est_items[, num_bits]]) - " +
+          "aggregate long hashes into a Bloom-filter bitmap (binary)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        args match {
+          case Seq(h) => new BloomFilterAggregate(h,
+            org.apache.spark.sql.catalyst.expressions.Literal(4000000L))
+          case Seq(h, n) => new BloomFilterAggregate(h, n)
+          case Seq(h, n, b) => new BloomFilterAggregate(h, n, b)
+          case _ => throw new IllegalArgumentException(
+            "bloom_filter_agg takes 1 to 3 arguments")
+        }
+      }))
+
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, xxhash64_value) - membership probe; " +
+          "false positives possible, false negatives never"),
+      arity("bloom_might_contain", 2)(args =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1)))))
   }
 }

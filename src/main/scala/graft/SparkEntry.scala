@@ -567,6 +567,17 @@ object SparkEntry {
       operators.Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0))
     }),
 
+    // Bloom-screened decontamination: same contract as q_decontam (the
+    // bloom is a pre-filter + exact confirm, so the ORACLE IS THE EXACT
+    // PATH's), against a different pseudo-benchmark (doc_id % 89 = 0). The
+    // scale path for a reference corpus too big to join in full.
+    "q_decontam_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Decontaminate.overlapBloom(docs,
+        docs.filter(col("doc_id") % 89 === 0),
+        expectedItems = 200000L, fpp = 0.03)
+    }),
+
     // Corpus-version diff: one row per id in either version with status
     // added/removed/changed/unchanged — the "what did this recuration
     // actually change" audit; fingerprints move, text never does.
@@ -2534,6 +2545,16 @@ object SparkEntry {
         |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
         |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, count(*) AS n_shingles, count(b.sh) AS n_hit
+        |FROM s LEFT JOIN b USING (sh)
+        |GROUP BY 1""".stripMargin,
+
+    "q_decontam_bloom" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 89 = 0)
         |SELECT s.doc_id, count(*) AS n_shingles, count(b.sh) AS n_hit
         |FROM s LEFT JOIN b USING (sh)
         |GROUP BY 1""".stripMargin,

@@ -37,4 +37,67 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
   }
+
+  /** [[overlap]] with a Bloom-filter pre-filter — the shape for when the
+    * reference corpus is itself huge (decontaminating against a prior
+    * 100 TB crawl, not a megabyte benchmark). Result is IDENTICAL to
+    * [[overlap]]: the Bloom filter only PRE-SCREENS postings (false
+    * positives are removed by the exact confirm join; false negatives are
+    * impossible), so correctness never depends on the filter's tuning.
+    *
+    * Scale shape: the reference's distinct shingle hashes aggregate into
+    * ONE fixed-size Bloom bitmap (Spark's own `BloomFilterAggregate`, the
+    * engine's runtime-filter machinery) carried as a scalar subquery — the
+    * executors get the bitmap once with the task binaries, never a
+    * shingle set. The training-side postings then drop to ~fpp × volume
+    * BEFORE the shingle-keyed confirm shuffle, which is the expensive
+    * exchange the exact path pays in full. `n_shingles` comes from a
+    * doc-keyed partial-count that never shuffles by shingle at all.
+    *
+    * `expectedItems`/`fpp` size the bitmap (8 bits/item at fpp=1% → a
+    * 100M-shingle reference ≈ 120 MB, task-broadcast territory); both are
+    * capped by Spark's `spark.sql.optimizer.runtime.bloomFilter.*` maxima
+    * inside the aggregate itself. */
+  def overlapBloom(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 3,
+      expectedItems: Long = 4000000L,
+      fpp: Double = 0.03,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftExpr
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+
+    val bsh = bench
+      .select(explode(TextFunctions.shingleSet(col(textCol), n)).as("sh"))
+      .distinct()
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val bloomDf = bsh.agg(GraftExpr.column(
+      new BloomFilterAggregate(
+        GraftExpr.catalystExpression(xxhash64(col("sh"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+    // The bitmap rides as a scalar subquery (the only non-foldable form
+    // BloomFilterMightContain accepts): planned once, evaluated once,
+    // result shipped to tasks as a literal — exactly how Spark's own
+    // InjectRuntimeFilter carries its bloom.
+    val mightHit = GraftExpr.column(BloomFilterMightContain(
+      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      GraftExpr.catalystExpression(xxhash64(col("sh")))))
+
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.shingleSet(col(textCol), n)).as("sh"))
+    val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.filter(mightHit)
+      .join(bsh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    nsh.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
 }

@@ -31,4 +31,41 @@ class DecontaminateSpec extends AnyFunSuite with SparkSpec {
     val r = Decontaminate.overlap(docs, bench).first()
     assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
   }
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+  test("overlapBloom is row-identical to overlap (false positives confirmed away)") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, s"token$i shared common words plus unique$i tail$i end"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val exact = sorted(Decontaminate.overlap(docs, bench))
+    // a deliberately tiny, collision-prone bitmap: correctness must hold
+    // at ANY fpp because of the exact confirm join
+    val sloppy = sorted(Decontaminate.overlapBloom(docs, bench,
+      expectedItems = 4L, fpp = 0.5))
+    val tuned = sorted(Decontaminate.overlapBloom(docs, bench,
+      expectedItems = 10000L, fpp = 0.01))
+    assert(sloppy == exact)
+    assert(tuned == exact)
+  }
+
+  test("overlapBloom with an empty benchmark: all hits zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = sorted(Decontaminate.overlapBloom(docs,
+      docs.filter($"doc_id" < 0), expectedItems = 10L, fpp = 0.1))
+    assert(got == Seq((1L, 2L, 0L)))
+  }
+
+  test("overlapBloom rejects bad sizing parameters") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Decontaminate.overlapBloom(docs, docs, expectedItems = 0))
+    intercept[IllegalArgumentException](
+      Decontaminate.overlapBloom(docs, docs, fpp = 1.0))
+  }
 }

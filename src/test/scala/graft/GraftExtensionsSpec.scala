@@ -79,6 +79,21 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       val e4 = intercept[Exception](
         s.sql("SELECT unicode_normalize('x', 'BOGUS')").collect())
       assert(e4.getMessage.contains("BOGUS"), e4.getMessage)
+      // bloom: build over 0..99 in a scalar subquery, probe members (all
+      // true — no false negatives) and enough non-members that a 1% bitmap
+      // can't plausibly pass them all
+      s.range(100).createOrReplaceTempView("bloom_keys")
+      val bl = s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM bloom_keys WHERE bloom_might_contain(
+          |     (SELECT bloom_filter_agg(xxhash64(id), 100L, 960L) FROM bloom_keys),
+          |     xxhash64(id))) AS members_in,
+          |  (SELECT count(*) FROM range(1000, 3000) WHERE bloom_might_contain(
+          |     (SELECT bloom_filter_agg(xxhash64(id), 100L, 960L) FROM bloom_keys),
+          |     xxhash64(id))) AS strangers_in
+          |""".stripMargin).first()
+      assert(bl.getLong(0) == 100L) // every member passes
+      assert(bl.getLong(1) < 200L, s"fp count ${bl.getLong(1)}") // ~1% fpp
       // arity errors are explicit, not raw IndexOutOfBounds / silent drops
       val e = intercept[Exception](s.sql("SELECT redact_pii()").collect())
       assert(e.getMessage.contains("exactly 1 argument"), e.getMessage)
