@@ -845,6 +845,17 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         Seq("n_tokens"), Seq(0.5, 0.99), groupCols = Seq("source"))),
 
+    // Ingest-drift gate: PSI of the n_chars distribution, new batch
+    // (doc_id % 3 = 0) vs reference (the rest); 10 bins from the
+    // reference's own deciles, all bins present, Laplace-smoothed terms.
+    "q_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.populationStability(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "n_chars", bins = 10)
+    }),
+
     // Corpus-relative token rarity: per doc, the count of its token
     // occurrences plus sum/min of their corpus-wide frequencies — exact
     // integers, the division-free form of a rarity score.
@@ -2084,6 +2095,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT source, 'n_tokens', 0.99, quantile_cont(n_tokens, 0.99)
         |FROM t GROUP BY source""".stripMargin,
+
+    "q_psi" ->
+      """WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |           WHERE doc_id % 3 != 0 AND n_chars IS NOT NULL),
+        |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |      WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL),
+        |e AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges FROM r),
+        |rb AS (SELECT len(list_filter(e.edges, x -> v > x)) AS bin, count(*) AS nr
+        |       FROM r, e GROUP BY 1),
+        |cb AS (SELECT len(list_filter(e.edges, x -> v > x)) AS bin, count(*) AS nc
+        |       FROM c, e GROUP BY 1),
+        |j AS (SELECT b.bin, COALESCE(nr, 0) AS n_ref, COALESCE(nc, 0) AS n_cur
+        |      FROM (SELECT unnest(range(0, 10)) AS bin) b
+        |      LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+        |p AS (SELECT bin, n_ref, n_cur,
+        |        (n_ref + 0.5) / (sum(n_ref) OVER () + 5.0) AS p_ref,
+        |        (n_cur + 0.5) / (sum(n_cur) OVER () + 5.0) AS p_cur
+        |      FROM j)
+        |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+        |  round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS psi_term
+        |FROM p""".stripMargin,
 
     "q_token_rarity" ->
       """WITH tk AS (

@@ -863,4 +863,65 @@ object Curation {
           expr(s"($pos - $off) div ${batchSize}L"))
       .drop(pos, off)
   }
+
+  /** Population Stability Index between a reference distribution and the
+    * current batch — the standard ingest-drift gate (PSI < 0.1 stable,
+    * 0.1-0.25 drifting, > 0.25 investigate): bin edges from the
+    * REFERENCE's own quantiles, both sides histogrammed into those bins,
+    * psi_term = (p_cur − p_ref)·ln(p_cur / p_ref) per bin. Output is one
+    * row per bin (all `bins` bins present, empty ones at count 0) with
+    * counts, smoothed proportions, and the PSI term; total PSI is
+    * `sum(psi_term)`, one trivial agg away. Laplace smoothing (+0.5 per
+    * bin) keeps ln finite when a bin empties on one side — an empty bin IS
+    * the drift signal, not an error.
+    *
+    * Scale shape: two full scans (edges from ref, then each side's
+    * histogram), each collapsing map-side to ≤ `bins` partials before a
+    * bins-sized shuffle; the one-row edges frame rides broadcast. Nothing
+    * data-sized moves. `approx = true` swaps exact percentile edges for
+    * the bounded-state sketch (the 100 TB default; exact is the oracle
+    * path). Null values count on neither side. Bin rule: bin(v) = #edges
+    * strictly below v, so a value equal to an edge falls in the LOWER
+    * bin. */
+  def populationStability(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      bins: Int = 10,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    val probsArr = array((1 until bins).map(k => lit(k.toDouble / bins)): _*)
+    val v = col(valueCol).cast("double")
+    val edgesDf = ref.agg(
+      (if (approx) percentile_approx(v, probsArr, lit(accuracy))
+       else percentile(v, probsArr)).as("__edges"))
+    def histogram(df: DataFrame, out: String) =
+      df.select(v.as("__v")).where(col("__v").isNotNull)
+        .crossJoin(broadcast(edgesDf))
+        .select(size(filter(col("__edges"), e => col("__v") > e))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val joined = edgesDf
+      .select(explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+      .join(histogram(ref, "__nr"), Seq("bin"), "left")
+      .join(histogram(cur, "__nc"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    // Totals via an unpartitioned window: the frame is exactly `bins` rows
+    // at any data scale, so the single-partition window is constant work.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pRef = (col("n_ref") + lit(0.5)) / (sum(col("n_ref")).over(w) + lit(0.5 * bins))
+    val pCur = (col("n_cur") + lit(0.5)) / (sum(col("n_cur")).over(w) + lit(0.5 * bins))
+    joined
+      .withColumn("p_ref", pRef)
+      .withColumn("p_cur", pCur)
+      // round(12): ln is the one non-arithmetic primitive here, and libm vs
+      // JVM log differ by 1 ulp on some inputs — the counts and smoothed
+      // proportions stay bit-exact; only the final term is clipped to 12
+      // decimals (PSI thresholds live at the second decimal).
+      .withColumn("psi_term",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 12))
+  }
 }

@@ -633,4 +633,47 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
     assert(got.forall { case (id, pos) => want(id) == pos })
   }
+
+  test("populationStability: identical distributions -> every psi_term 0") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i % 100)).toDF("id", "v")
+    val rows = Curation.populationStability(df, df, "v", bins = 10)
+      .orderBy("bin").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getAs[Double]("psi_term") == 0.0))
+    assert(rows.map(_.getAs[Long]("n_ref")).sum == 1000L)
+    // p columns sum to 1 (smoothing preserves normalization)
+    assert(math.abs(rows.map(_.getAs[Double]("p_ref")).sum - 1.0) < 1e-12)
+  }
+
+  test("populationStability: a shifted batch drifts; empty bins survive ln") {
+    import spark.implicits._
+    val ref = (1L to 1000L).map(i => (i, i % 100)).toDF("id", "v")
+    val cur = (1L to 300L).map(i => (i, 200 + i % 10)).toDF("id", "v") // all past ref max
+    val rows = Curation.populationStability(ref, cur, "v", bins = 5)
+      .orderBy("bin").collect()
+    assert(rows.length == 5)
+    // every cur value lands in the top bin; lower bins are empty on the
+    // cur side yet keep finite terms
+    assert(rows.last.getAs[Long]("n_cur") == 300L)
+    assert(rows.forall(r => !r.getAs[Double]("psi_term").isNaN
+      && !r.getAs[Double]("psi_term").isInfinite))
+    val psi = rows.map(_.getAs[Double]("psi_term")).sum
+    assert(psi > 0.25, s"expected strong drift, got $psi")
+  }
+
+  test("populationStability: nulls count on neither side; approx path close to exact") {
+    import spark.implicits._
+    val ref = ((1L to 500L).map(i => (i, Some(i % 50))) :+ (0L, None))
+      .toDF("id", "v")
+    val exact = Curation.populationStability(ref, ref, "v", bins = 4)
+      .orderBy("bin").collect()
+    assert(exact.map(_.getAs[Long]("n_ref")).sum == 500L)
+    val approx = Curation.populationStability(ref, ref, "v", bins = 4, approx = true)
+      .orderBy("bin").collect()
+    assert(approx.length == 4)
+    assert(approx.forall(r => r.getAs[Double]("psi_term") == 0.0))
+    intercept[IllegalArgumentException](
+      Curation.populationStability(ref, ref, "v", bins = 1))
+  }
 }
