@@ -4,7 +4,7 @@ import graft.ops.{OpCompiler, StreamOp}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Structured-Streaming execution of the reference's job model
   * (SURVEY.md §2.3): the same compiled operator pipeline over an unbounded
@@ -466,6 +466,80 @@ object StreamingPipeline {
   /** State for the streaming sessionizer: the user's last-seen event time
     * (epoch micros) and current session ordinal. */
   final case class SessionState(lastTs: Long, idx: Long)
+
+  /** Last-event memory for the streaming transition matrix: micros + type
+    * of the user's most recent event ("has" distinguishes the empty state
+    * from a real event — an Option would break the product encoder's flat
+    * (long, string) slot). */
+  final case class TransitionState(lastTs: Long, lastType: String, has: Boolean)
+
+  /** Streaming form of [[graft.operators.Funnel.transitions]]: per-user
+    * consecutive event pairs emitted AS THE STREAM ARRIVES — one
+    * (user, from_type, to_type) row per transition, ready for any
+    * downstream aggregation (the count/probability rollup is one batch agg
+    * or windowed streaming agg away). O(1) state per user: (last ts, last
+    * type). Events are ordered (ts, then `orderCols`) WITHIN each
+    * micro-batch and chained across batches through the state — exact
+    * parity with the batch operator under per-user in-order arrival across
+    * batches (the CDC-shaped assumption every last-value streaming state
+    * makes; a cross-batch late event would need the batch operator's full
+    * re-sort). `maxGap` drops pairs further apart than the gap, same
+    * semantics as batch. */
+  def transitions(
+      df: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      orderCols: Seq[String] = Seq("event_id"),
+      maxGap: Option[String] = None): DataFrame = {
+    val gapMicros = maxGap.map(graft.ops.Intervals.subDayMicros)
+    val userIdx = df.schema.fieldIndex(userCol)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val typeIdx = df.schema.fieldIndex(typeCol)
+    val orderIdxs = orderCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(Seq(df.schema(userCol),
+      StructField("from_type", StringType), StructField("to_type", StringType)))
+    val outEnc = Encoders.row(outSchema)
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant => org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+    // (ts, orderCols...) comparison matching the batch window's orderBy —
+    // typed compares, NOT stringified (lexicographic "10" < "9" would
+    // diverge from the batch plan on same-ts ties)
+    val ord: Ordering[Row] = (a: Row, b: Row) => {
+      val c = java.lang.Long.compare(micros(a), micros(b))
+      if (c != 0) c
+      else orderIdxs.iterator.map { i =>
+        (a.get(i), b.get(i)) match {
+          case (null, null) => 0
+          case (null, _) => -1 // nulls first, Spark's asc default
+          case (_, null) => 1
+          case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
+        }
+      }.find(_ != 0).getOrElse(0)
+    }
+    df.groupByKey { r: Row =>
+        if (r.isNullAt(userIdx)) "0" else "1:" + r.get(userIdx)
+      }(Encoders.STRING)
+      .flatMapGroupsWithState[TransitionState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[TransitionState]) =>
+          var st = state.getOption.getOrElse(TransitionState(Long.MinValue, "", has = false))
+          val out = Vector.newBuilder[Row]
+          rows.toVector.sorted(ord).foreach { r =>
+            val t = micros(r)
+            val tp = r.get(typeIdx) match { case null => null; case v => v.toString }
+            if (st.has && gapMicros.forall(g => t - st.lastTs <= g))
+              out += Row(r.get(userIdx), st.lastType, tp)
+            st = TransitionState(t, tp, has = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }(Encoders.product[TransitionState], outEnc)
+  }
 
   /** Streaming gap-based sessionization — the labeling counterpart of
     * [[graft.operators.Funnel.sessionize]] (and of [[sessionCounts]], which

@@ -691,4 +691,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(counts.max <= 100 && counts.min == 1)
     } finally q.stop()
   }
+
+  test("streaming transitions equal the batch operator across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val out = StreamingPipeline.transitions(stream, maxGap = Some("20 minutes"))
+    val q = out.writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 view->click; user 2 two same-ts events (tie ->
+      // event_id order); batch 2 chains ACROSS the boundary via state
+      mem.addData((1L, 1L, ts(0), "view"), (2L, 1L, ts(5), "click"),
+        (4L, 2L, ts(3), "click"), (5L, 2L, ts(3), "view"))
+      q.processAllAvailable()
+      mem.addData((6L, 1L, ts(9), "purchase"), // click->purchase across batches
+        (7L, 2L, ts(40), "view")) // 37m > maxGap: dropped
+      q.processAllAvailable()
+      val got = spark.table("trans_out")
+        .groupBy("from_type", "to_type").count()
+        .orderBy("from_type", "to_type").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val batch = Seq((1L, 1L, ts(0), "view"), (2L, 1L, ts(5), "click"),
+        (4L, 2L, ts(3), "click"), (5L, 2L, ts(3), "view"),
+        (6L, 1L, ts(9), "purchase"), (7L, 2L, ts(40), "view"))
+        .toDF("event_id", "user_id", "ts", "event_type")
+      val want = graft.operators.Funnel
+        .transitions(batch, maxGap = Some("20 minutes"))
+        .orderBy("from_type", "to_type").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq)
+      assert(got.toSeq == Seq(("click", "purchase", 1L), ("click", "view", 1L),
+        ("view", "click", 1L)))
+    } finally q.stop()
+  }
 }
