@@ -942,6 +942,14 @@ object SparkEntry {
         .orderBy(col("n_tokens").desc, col("doc_id").asc)
         .limit(50)),
 
+    // Exactly-500 weighted sample without replacement (A-Res keys from the
+    // salted md5): longer docs proportionally likelier, membership still a
+    // pure function of (id, salt). TakeOrdered top-n, no global sort.
+    "q_sample_n_weighted" -> ((s, dir) =>
+      Curation.sampleNWeightedGlobal(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", n = 500)),
+
     // Quality-temperature mixing, composed end-to-end in ONE plan: band
     // docs by their source's exact token-count quartiles (tiny threshold
     // agg broadcast back), then keep each band at its own deterministic
@@ -2239,6 +2247,15 @@ object SparkEntry {
         |FROM documents
         |ORDER BY n_tokens DESC, doc_id ASC
         |LIMIT 50""".stripMargin,
+
+    "q_sample_n_weighted" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wres'), 1, 15))::UBIGINT AS DOUBLE)
+        |        / 1152921504606846976.0, 1.0 / CAST(n_chars AS DOUBLE)) AS k
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |ORDER BY k DESC, doc_id ASC
+        |LIMIT 500""".stripMargin,
 
     "q_mixture_quality" ->
       """WITH t AS (SELECT doc_id, source,

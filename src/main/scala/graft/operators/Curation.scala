@@ -813,6 +813,36 @@ object Curation {
       .filter(col(pos) <= n).drop(pos)
   }
 
+  /** Exactly-`n` WEIGHTED sample without replacement, deterministic — the
+    * Efraimidis–Spiliotis A-Res scheme with the randomness replaced by the
+    * salted-md5 uniform: key_i = u_i^(1/w_i), the global top-n keys win.
+    * Inclusion probability is proportional to weight (successively,
+    * without replacement), yet membership is a pure function of (id, salt,
+    * weights) — rerun/partitioning-stable like every sampler here.
+    * Rows with null or non-positive weight never qualify.
+    *
+    * Scale shape: the key is a per-row scan expression; orderBy+limit
+    * plans TakeOrderedAndProject (per-partition heaps of n, one n-row
+    * merge — no global sort, no window). n is driver-merge-sized by
+    * construction; for corpus-sized n use [[sampleNGlobal]]'s prefix-count
+    * machinery with a weight-bucketed order key instead. */
+  def sampleNWeightedGlobal(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      salt: String = "wres"): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val key = "__graft_wkey"
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))),
+      1, 15), 16, 10).cast("long").cast("double") / lit(1152921504606846976.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
+      .withColumn(key, pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col(key).desc, col(idCol).asc)
+      .limit(n)
+      .drop(key)
+  }
+
   /** Length-bucketed batch assignment — the padding-efficiency step before
     * batched inference / packed training: docs are bucketed by token count
     * (ascending `boundaries`; bucket = #(bounds <= len) via the codegen'd

@@ -634,6 +634,35 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall { case (id, pos) => want(id) == pos })
   }
 
+  test("sampleNWeightedGlobal: exact n, deterministic, weight-sensitive") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i <= 20) 1000000.0 else 1.0))
+      .toDF("id", "w")
+    val got = Curation.sampleNWeightedGlobal(df, "id", "w", n = 50)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.length == 50)
+    // u^(1/1e6) ~ 1 for any u: the 20 heavy rows always make a top-50 cut
+    assert((1L to 20L).forall(got.contains))
+    val again = Curation.sampleNWeightedGlobal(df.repartition(13), "id", "w", n = 50)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == got)
+    // a different salt draws a different light-row tail
+    val other = Curation.sampleNWeightedGlobal(df, "id", "w", n = 50, salt = "w2")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(other != got && (1L to 20L).forall(other.contains))
+  }
+
+  test("sampleNWeightedGlobal: non-positive/null weights excluded; small corpus kept whole") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-1.0)), (4L, None),
+      (5L, Some(0.1))).toDF("id", "w")
+    val got = Curation.sampleNWeightedGlobal(df, "id", "w", n = 10)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 5L))
+    intercept[IllegalArgumentException](
+      Curation.sampleNWeightedGlobal(df, "id", "w", n = 0))
+  }
+
   test("populationStability: identical distributions -> every psi_term 0") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, i % 100)).toDF("id", "v")
