@@ -48,6 +48,11 @@ object Bench {
     // the dedup itself adds the within-cluster pair join; bm25 is the
     // postings-shaped sparse-retrieval plan
     "q_token_rarity", "q_bigram_lm", "q_bigram_lm_incr", "q_sample_weighted", "q_zorder_key",
+    // r11 batch 2: sequence analytics (one lead-window shuffle), the BPE
+    // trainer core (distinct-word table), bloom-screened decontamination,
+    // the PSI drift gate, weighted top-n sampling
+    "q_event_transitions", "q_event_transitions_gap", "q_bpe_pairs", "q_bpe_merge",
+    "q_decontam_bloom", "q_psi", "q_sample_n_weighted",
     "q_cluster_assign", "q_quantize", "q_dedup_semantic",
     "q_dedup_semantic_incr", "q_bm25", "q_hybrid_rank",
     "q_sim_topk", "q_sim_ann", "q_sim_ivf",
@@ -126,6 +131,8 @@ object Bench {
       .replace("compress_signal", "zratio").replace("split_", "sp_")
       .replace("sessionize", "sessz").replace("sessions", "sess")
       .replace("cluster_", "cl_").replace("length_", "len_")
+      .replace("event_transitions", "etrans").replace("decontam_bloom", "decon_bl")
+      .replace("smp_n_weighted", "smp_nw")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
@@ -224,6 +231,9 @@ object Bench {
       // side broadcasts — per-micro-batch cost is a hash lookup
       "q_stream_asof" -> drain(OutputMode.Append)(
         graft.operators.AsOfJoin.asofJoinStreamStatic(
-          evTs.filter(col("event_type") === "purchase"), snapshots, Seq("user_id"))))
+          evTs.filter(col("event_type") === "purchase"), snapshots, Seq("user_id"))),
+      // per-user last-event state emitting transition pairs as they arrive
+      "q_stream_transitions" -> drain(OutputMode.Append)(
+        StreamingPipeline.transitions(evTs)))
   }
 }
