@@ -132,7 +132,17 @@ object Bench {
       .replace("sessionize", "sessz").replace("sessions", "sess")
       .replace("cluster_", "cl_").replace("length_", "len_")
       .replace("event_transitions", "etrans").replace("decontam_bloom", "decon_bl")
-      .replace("smp_n_weighted", "smp_nw")
+      .replace("smp_n_weighted", "smp_nw").replace("transitions", "trans")
+      .replace("funnel_conv", "fconv").replace("funnel_window", "fwin")
+      .replace("funnel", "fnl").replace("retention", "ret")
+      .replace("histogram", "hist").replace("fingerprint", "fp")
+      .replace("repetition", "rep").replace("user_features", "ufeat")
+      .replace("shuffle_order", "shord").replace("profile_approx", "prof_apx")
+      .replace("bigram_lm", "blm").replace("token_", "tk_")
+      .replace("quality", "qual").replace("decontam", "decon")
+      .replace("dd_semantic", "dd_sem").replace("hybrid_rank", "hyrank")
+      .replace("lang_id_ngram", "lid_ng").replace("lang_id", "lid")
+      .replace("unicode_norm", "uninorm").replace("column_filter", "colf")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
