@@ -567,6 +567,13 @@ object SparkEntry {
       operators.Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0))
     }),
 
+    // Blocked fuzzy near-dup pairs: lowercased 8-char-prefix blocks,
+    // length pre-filter, banded levenshtein <= 10 — the typo-level dedup
+    // signal the set-similarity family can't see. Block cap 80.
+    "q_dedup_fuzzy" -> ((s, dir) =>
+      operators.Dedup.fuzzyPairs(t(s, dir, "documents"), maxDist = 10,
+        blockPrefix = 8, maxBlockSize = Some(80))),
+
     // Bloom-screened decontamination: same contract as q_decontam (the
     // bloom is a pre-filter + exact confirm, so the ORACLE IS THE EXACT
     // PATH's), against a different pseudo-benchmark (doc_id % 89 = 0). The
@@ -2597,6 +2604,20 @@ object SparkEntry {
         |SELECT s.doc_id, count(*) AS n_shingles, count(b.sh) AS n_hit
         |FROM s LEFT JOIN b USING (sh)
         |GROUP BY 1""".stripMargin,
+
+    "q_dedup_fuzzy" ->
+      """WITH k AS (
+        |  SELECT doc_id, text, substr(lower(trim(text)), 1, 8) AS blk FROM documents
+        |  WHERE substr(lower(trim(text)), 1, 8) IS NOT NULL
+        |    AND len(substr(lower(trim(text)), 1, 8)) > 0),
+        |c AS (SELECT blk FROM (SELECT blk, count(*) AS n FROM k GROUP BY blk)
+        |      WHERE n <= 80),
+        |f AS (SELECT k.* FROM k JOIN c USING (blk))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE abs(len(a.text) - len(b.text)) <= 10
+        |  AND levenshtein(a.text, b.text) <= 10""".stripMargin,
 
     "q_decontam_bloom" ->
       """WITH s AS (

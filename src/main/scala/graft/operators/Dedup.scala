@@ -188,6 +188,51 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("a_id"), col("b_id"), col("containment"))
 
+  /** Blocked FUZZY near-dup pairs by edit distance: candidate pairs form
+    * only WITHIN a block (default: the lowercased 8-char prefix — the
+    * classic title/short-text blocker), then survive `levenshtein ≤
+    * maxDist`. The record-linkage complement of the set-similarity family:
+    * n-gram Jaccard misses single-character typos in short strings, edit
+    * distance is exactly that signal.
+    *
+    * Scale shape: the blocked self-join is Σ|block|² like the postings
+    * join, with the same two guards — `maxBlockSize` drops
+    * pathological blocks (empty-prefix boilerplate) via a tiny
+    * blocks-sized anti-join, and a |length difference| ≤ maxDist
+    * pre-filter (a levenshtein lower bound) kills most candidates before
+    * the O(len·maxDist) banded distance runs (Spark's threshold form
+    * early-abandons above maxDist). The capped frame is pinned so the cap
+    * branch and both join sides read ONE materialization — the
+    * ngramPairCounts discipline. Pairs are (a_id < b_id), one row each. */
+  def fuzzyPairs(
+      docs: DataFrame,
+      maxDist: Int,
+      blockPrefix: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBlockSize: Option[Int] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(blockPrefix >= 1, s"blockPrefix must be >= 1: $blockPrefix")
+    val keyed = docs.select(col(idCol).as("a_id"), col(textCol).as("__ta"),
+        substring(lower(trim(col(textCol))), 1, blockPrefix).as("__blk"))
+      .filter(col("__blk").isNotNull && length(col("__blk")) > 0)
+    val capped = maxBlockSize.fold(keyed) { cap =>
+      require(cap >= 2, s"maxBlockSize must be >= 2: $cap")
+      val hot = keyed.groupBy("__blk").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select("__blk")
+      keyed.join(hot, Seq("__blk"), "left_anti")
+    }.localCheckpoint(true)
+    val right = capped.select(col("__blk"), col("a_id").as("b_id"),
+      col("__ta").as("__tb"))
+    capped.join(right, Seq("__blk"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L) // threshold form returns -1 above maxDist
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** Shared core of the n-gram pair generators: distinct-shingle postings
     * (df-capped when asked) self-joined by shingle, aggregated to one row
     * per candidate pair carrying (a_sz, b_sz, inter). */

@@ -389,4 +389,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(2L, 4L, 5L, 7L))
   }
+
+  test("fuzzyPairs: typo-level pairs within a block, blocked apart otherwise") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumpz"),   // dist 1, same 8-prefix block
+      (3L, "the quick brown cat jumps"),   // dist 3 from doc 1
+      (4L, "zzz quick brown fox jumps"),   // near doc 1 but different block
+      (5L, "the quick totally different sentence entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(p => (p._1, p._2))
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 4L)).filter(_._3 <= 3))
+  }
+
+  test("fuzzyPairs: maxBlockSize drops a boilerplate block whole") {
+    import spark.implicits._
+    val hot = (1L to 10L).map(i => (i, s"same prefix here variant $i"))
+    val cold = Seq((100L, "cold block text one"), (101L, "cold block text onX"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(docs, maxDist = 3, maxBlockSize = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((100L, 101L)))
+    // uncapped, the hot block pairs freely
+    val un = Dedup.fuzzyPairs(docs, maxDist = 3)
+    assert(un.filter(un("a_id") <= 10L).count() > 0)
+  }
+
+  test("fuzzyPairs: length pre-filter and threshold agree with plain levenshtein") {
+    import spark.implicits._
+    // same block, lengths 11 apart: pre-filter must drop it before any
+    // distance call; threshold form would return -1 anyway
+    val docs = Seq((1L, "prefix12 a"), (2L, "prefix12 a plus eleven ch"))
+      .toDF("doc_id", "text")
+    assert(Dedup.fuzzyPairs(docs, maxDist = 10).collect().isEmpty)
+    intercept[IllegalArgumentException](Dedup.fuzzyPairs(docs, maxDist = -1))
+    intercept[IllegalArgumentException](
+      Dedup.fuzzyPairs(docs, maxDist = 1, maxBlockSize = Some(1)))
+  }
 }
