@@ -1265,6 +1265,13 @@ object SparkEntry {
     "q_cluster_assign" -> ((s, dir) =>
       Similarity.assignToCentroids(t(s, dir, "embeddings"), k = 8)),
 
+    // k-means M-step: per-(cluster, dim) fixed-point component sums over
+    // the nearest-centroid assignment — exact integers, so the vector
+    // accumulation is partition-order-independent and engine-portable
+    // (a float sum would differ run to run). Mean = sum_fp / (n*1e7).
+    "q_kmeans_step" -> ((s, dir) =>
+      Similarity.centroidUpdate(t(s, dir, "embeddings"), k = 8)),
+
     // Int8 embedding quantization (storage prep for 100 TB vector tables):
     // scan-local, zero shuffles; the quantized array is emitted as a CSV
     // string so the cross-engine hash compares a scalar, not nested arrays.
@@ -2920,6 +2927,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
         |  FROM a)
         |WHERE rn = 1""".stripMargin,
+
+    "q_kmeans_step" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT v.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(v.e, c.ce), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS cos
+        |  FROM v, c),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |  FROM a) WHERE rn = 1),
+        |av AS (SELECT asg.cluster, v.e FROM asg JOIN v USING (vec_id))
+        |SELECT cluster, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+        |  CAST(sum(CAST(round(e[i] * 10000000.0) AS BIGINT)) AS BIGINT) AS sum_fp
+        |FROM av, UNNEST(range(1, len(e) + 1)) AS t(i)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_semantic" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

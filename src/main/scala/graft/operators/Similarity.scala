@@ -167,6 +167,91 @@ object Similarity {
           GraftExpr.expression(col("cents")))).as("cluster"))
   }
 
+  /** One Lloyd M-step over the nearest-centroid assignment: per-(cluster,
+    * dimension) vector sums in FIXED-POINT — each component becomes
+    * round(v·10^fpDigits) as a long, so the sum is exact integer
+    * arithmetic: order-independent across partitions and bit-identical in
+    * any engine (a float sum would be partial-order-dependent even between
+    * two Spark runs). The new centroid mean is `sum_fp / (n·10^fpDigits)`,
+    * one division the caller ([[updatedCentroids]]) applies.
+    *
+    * Scale shape: assignment is scan-local against the broadcast seed row;
+    * the explode emits (cluster, dim, fp) rows that partial-aggregate
+    * map-side to k·dims rows — the only shuffle is that tiny frame.
+    * Overflow headroom: |fp| ≤ \|v\|·10^fpDigits, so ~10^8 per component at
+    * the default 7 digits — 10¹⁰ rows per cluster before nearing 2⁶³
+    * (ANSI mode raises rather than wrapping); drop fpDigits for extreme
+    * cluster sizes. Unassigned rows (cluster −1: zero vectors) are
+    * excluded. */
+  def centroidUpdate(
+      embeddings: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      fpDigits: Int = 7): DataFrame = {
+    require(fpDigits >= 1 && fpDigits <= 15, s"fpDigits out of [1,15]: $fpDigits")
+    val scale = math.pow(10, fpDigits) // exact in double up to 10^15
+    assignWithVec(embeddings, k, idCol, vecCol)
+      .filter(col("cluster") >= 0L)
+      .select(col("cluster"), posexplode(col("v")))
+      .select(col("cluster"), col("pos").cast("long").as("dim"),
+        round(col("col").cast("double") * lit(scale)).cast("long").as("__fp"))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("__fp")).as("sum_fp"))
+  }
+
+  /** The M-step stats reduced to next-iteration centroids: one row per
+    * cluster with the mean vector (dims in order). k·dims rows in, k rows
+    * out — driver never involved. */
+  def updatedCentroids(stats: DataFrame, fpDigits: Int = 7): DataFrame = {
+    val scale = math.pow(10, fpDigits)
+    stats
+      .withColumn("__mean",
+        col("sum_fp").cast("double") / (col("n").cast("double") * lit(scale)))
+      .groupBy("cluster")
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("__mean")))),
+        s => s.getField("__mean")).as("cv"))
+      .select(col("cluster").as("cid"), col("cv"))
+  }
+
+  /** Full Lloyd loop: `rounds` iterations of assign → fixed-point M-step →
+    * new centroids, seeded like [[assignToCentroids]] (first k by id).
+    * Returns the final (cid, cv) centroid frame. Each round's centroid
+    * frame is k·dims-sized and pinned eagerly (localCheckpoint) so the
+    * iterated plan stays constant-size — the Dedup.clusters discipline.
+    * Empty clusters drop out (SemDeDup-style k shrinks rather than
+    * reseeding — deterministic, and honest about a dead seed). */
+  def kmeansIterate(
+      embeddings: DataFrame,
+      k: Int,
+      rounds: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      fpDigits: Int = 7): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var cents = v.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), transform(col("v"),
+        x => x.cast("double")).as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val one = cents.agg(sort_array(collect_list(
+        struct(col("cid"), col("cv")))).as("cents"))
+      val assigned = assignAgainst(embeddings, one, idCol, vecCol, "id", "v")
+        .filter(col("cluster") >= 0L)
+      val scale = math.pow(10, fpDigits)
+      val stats = assigned
+        .select(col("cluster"), posexplode(col("v")))
+        .select(col("cluster"), col("pos").cast("long").as("dim"),
+          round(col("col").cast("double") * lit(scale)).cast("long").as("__fp"))
+        .groupBy("cluster", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("__fp")).as("sum_fp"))
+      cents = updatedCentroids(stats, fpDigits).localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Exact top-k cosine neighbors for each query vector. Ranking key is the
     * cosine with id tiebreak; accumulation order is fixed (array order), so
     * the ranking is fully deterministic and engine-portable. */

@@ -230,4 +230,56 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(20L, 21L))
   }
+
+  test("centroidUpdate: fixed-point sums are exact and partition-invariant") {
+    import spark.implicits._
+    // two obvious clusters on the axes; seeds = first 2 ids = one per axis
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)), (5L, Seq(0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidUpdate(df, k = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+    val got = stats(vecs)
+    // cluster 1 = {1,3,5}: dim0 sum = round(1e7)+round(.9f*1e7)+round(.8f*1e7)
+    def fp(f: Float) = math.round(f.toDouble * 1e7)
+    assert(got((1L, 0L)) == (3L, fp(1.0f) + fp(0.9f) + fp(0.8f)))
+    assert(got((1L, 1L)) == (3L, fp(0.0f) + fp(0.1f) + fp(0.0f)))
+    assert(got((2L, 0L)) == (2L, fp(0.0f) + fp(0.1f)))
+    assert(got((2L, 1L)) == (2L, fp(1.0f) + fp(0.9f)))
+    assert(stats(vecs.repartition(7)) == got)
+  }
+
+  test("updatedCentroids: means in dimension order; kmeansIterate converges") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)), (5L, Seq(0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansIterate(vecs, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(cents.keySet == Set(1L, 2L))
+    // cluster 1 mean ~ (0.9, 0.033), cluster 2 ~ (0.05, 0.95)
+    assert(math.abs(cents(1L)(0) - 0.9) < 1e-6)
+    assert(math.abs(cents(2L)(1) - 0.95) < 1e-6)
+    // rounds = 0 returns the seeds unchanged
+    val seeds = Similarity.kmeansIterate(vecs, k = 2, rounds = 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(seeds(1L) == Seq(1.0, 0.0) && seeds(2L) == Seq(0.0, 1.0))
+  }
+
+  test("kmeansIterate: a starved seed's cluster drops out instead of reseeding") {
+    import spark.implicits._
+    // seeds 1 and 2 point the SAME way: every cosine ties and the
+    // lowest-cid rule starves cluster 2 from round 1 on
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.9f, 0.1f)), (5L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansIterate(vecs, k = 3, rounds = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(cents == Set(1L, 3L))
+  }
 }
