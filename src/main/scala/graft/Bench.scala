@@ -53,6 +53,9 @@ object Bench {
     // the PSI drift gate, weighted top-n sampling
     "q_event_transitions", "q_event_transitions_gap", "q_bpe_pairs", "q_bpe_merge",
     "q_decontam_bloom", "q_psi", "q_sample_n_weighted",
+    // r11 batch 3: blocked-levenshtein fuzzy pairs (capped Σblock² join),
+    // the fixed-point k-means M-step (scan-local assign + k·dims agg)
+    "q_dedup_fuzzy", "q_kmeans_step",
     "q_cluster_assign", "q_quantize", "q_dedup_semantic",
     "q_dedup_semantic_incr", "q_bm25", "q_hybrid_rank",
     "q_sim_topk", "q_sim_ann", "q_sim_ivf",
@@ -143,6 +146,9 @@ object Bench {
       .replace("dd_semantic", "dd_sem").replace("hybrid_rank", "hyrank")
       .replace("lang_id_ngram", "lid_ng").replace("lang_id", "lid")
       .replace("unicode_norm", "uninorm").replace("column_filter", "colf")
+      .replace("kmeans_step", "kms").replace("etrans_gap", "etrgap")
+      .replace("decon_bl", "dbl").replace("zratio", "zr")
+      .replace("prof_apx", "papx").replace("hyrank", "hyr")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }

@@ -567,12 +567,16 @@ object SparkEntry {
       operators.Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0))
     }),
 
-    // Blocked fuzzy near-dup pairs: lowercased 8-char-prefix blocks,
-    // length pre-filter, banded levenshtein <= 10 — the typo-level dedup
-    // signal the set-similarity family can't see. Block cap 80.
+    // Blocked fuzzy near-dup pairs over a TITLE-like short field (first
+    // 64 chars): prefix blocks, length pre-filter, levenshtein <= 5 — the
+    // typo-level signal the set-similarity family can't see. Fuzzy
+    // matching is a short-string tool (cost is per-CHAR-pair); whole
+    // documents belong to the n-gram/minhash family.
     "q_dedup_fuzzy" -> ((s, dir) =>
-      operators.Dedup.fuzzyPairs(t(s, dir, "documents"), maxDist = 10,
-        blockPrefix = 8, maxBlockSize = Some(80))),
+      operators.Dedup.fuzzyPairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 64).as("title")),
+        maxDist = 5, blockPrefix = 8, textCol = "title", maxBlockSize = Some(80))),
 
     // Bloom-screened decontamination: same contract as q_decontam (the
     // bloom is a pre-filter + exact confirm, so the ORACLE IS THE EXACT
@@ -2613,18 +2617,19 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q_dedup_fuzzy" ->
-      """WITH k AS (
-        |  SELECT doc_id, text, substr(lower(trim(text)), 1, 8) AS blk FROM documents
-        |  WHERE substr(lower(trim(text)), 1, 8) IS NOT NULL
-        |    AND len(substr(lower(trim(text)), 1, 8)) > 0),
+      """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS title FROM documents),
+        |k AS (
+        |  SELECT doc_id, title, substr(lower(trim(title)), 1, 8) AS blk FROM d
+        |  WHERE substr(lower(trim(title)), 1, 8) IS NOT NULL
+        |    AND len(substr(lower(trim(title)), 1, 8)) > 0),
         |c AS (SELECT blk FROM (SELECT blk, count(*) AS n FROM k GROUP BY blk)
         |      WHERE n <= 80),
         |f AS (SELECT k.* FROM k JOIN c USING (blk))
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
         |FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE abs(len(a.text) - len(b.text)) <= 10
-        |  AND levenshtein(a.text, b.text) <= 10""".stripMargin,
+        |WHERE abs(len(a.title) - len(b.title)) <= 5
+        |  AND levenshtein(a.title, b.title) <= 5""".stripMargin,
 
     "q_decontam_bloom" ->
       """WITH s AS (
