@@ -247,4 +247,45 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       s"corpus must not shuffle for assignment:\n$s")
     assert(s.contains("BroadcastExchange"), s"centroids should broadcast:\n$s")
   }
+
+  test("q_event_transitions: the corpus shuffles ONCE, by user, for the window") {
+    // exchanges exist only after EnsureRequirements: use the executed plan
+    val df = SparkEntry.queries("q_event_transitions")(spark, sf)
+    df.collect() // finalize AQE
+    // look at the FINAL adaptive section only: the Initial Plan echo would
+    // double-count, and the totals branch must show as a ReusedExchange
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user-keyed exchange (the lead window):\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the totals branch should reuse the counts exchange:\n$p")
+    assert("Window ".r.findAllIn(p).size == 1, s"expected one window:\n$p")
+    // everything downstream aggregates types-squared rows: partial agg must
+    // sit map-side before the counts exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation after the window")
+  }
+
+  test("q_kmeans_step: assignment is scan-local — no exchange carries vectors") {
+    val df = SparkEntry.queries("q_kmeans_step")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    assert(exec.toString.contains("BroadcastExchange"),
+      s"centroid row should broadcast:\n$exec")
+    // the only shuffles carry (cluster, dim) partial sums — no array-typed
+    // attribute (the embedding) may cross a shuffle exchange
+    val arrayExchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) => e
+      case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+        if q.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) => q
+    }
+    assert(arrayExchanges.isEmpty, s"an exchange carries vectors:\n$exec")
+  }
+
+  test("q_decontam_bloom: the bloom probe reaches the postings filter as a subquery") {
+    val p = sparkPlan("q_decontam_bloom").toString
+    assert(p.contains("might_contain"), s"no bloom probe in plan:\n$p")
+    assert(p.contains("subquery"), s"bloom should ride a scalar subquery:\n$p")
+  }
 }
