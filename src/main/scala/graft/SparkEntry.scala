@@ -856,6 +856,29 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         Seq("n_tokens"), Seq(0.5, 0.99), groupCols = Seq("source"))),
 
+    // Corpus set algebra on sketches: |A|, |B|, overlap, diffs, union of
+    // the two halves' content fingerprints — no join, two theta-sketch
+    // binaries. Exact below 2^lgk distinct (this regime), estimate above.
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.corpusOverlap(
+        docs.filter(col("doc_id") % 2 === 0).select(md5(col("text")).as("fp")),
+        docs.filter(col("doc_id") % 2 === 1).select(md5(col("text")).as("fp")),
+        "fp", lgk = 14)
+    }),
+
+    // Mergeable per-source profiles: row counts + HLL distinct estimates
+    // (rows-only gate: sketch estimates are engine-specific; the merge
+    // soundness — union of shard sketches == sketch of union — is
+    // spec-pinned in CurationSpec).
+    "q_profile_sketch" -> ((s, dir) => {
+      val p = Curation.sketchProfiles(t(s, dir, "documents"),
+        Seq("source"), Seq("text", "lang"))
+      p.select(col("source"), col("n_rows"),
+        hll_sketch_estimate(col("text_sketch")).as("text_distinct_est"),
+        hll_sketch_estimate(col("lang_sketch")).as("lang_distinct_est"))
+    }),
+
     // Ingest-drift gate: PSI of the n_chars distribution, new batch
     // (doc_id % 3 = 0) vs reference (the rest); 10 bins from the
     // reference's own deciles, all bins present, Laplace-smoothed terms.
@@ -2121,6 +2144,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT source, 'n_tokens', 0.99, quantile_cont(n_tokens, 0.99)
         |FROM t GROUP BY source""".stripMargin,
+
+    "q_corpus_overlap" ->
+      """WITH a AS (SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id % 2 = 1)
+        |SELECT (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM a JOIN b USING (f)) AS n_common,
+        |  (SELECT count(*) FROM a ANTI JOIN b USING (f)) AS n_only_a,
+        |  (SELECT count(*) FROM b ANTI JOIN a USING (f)) AS n_only_b,
+        |  (SELECT count(*) FROM (SELECT f FROM a UNION SELECT f FROM b)) AS n_union""".stripMargin,
 
     "q_psi" ->
       """WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents

@@ -894,6 +894,70 @@ object Curation {
       .drop(pos, off)
   }
 
+  /** Sketch-based corpus set algebra: |A|, |B|, |A∩B|, |A∖B|, |B∖A|, |A∪B|
+    * of a key column across two corpora — WITHOUT any join. Theta sketches
+    * (Apache DataSketches, Spark built-ins) are mergeable AND closed under
+    * intersection/difference, which HLL is not; each side collapses to one
+    * ≤ 8·2^lgk-byte sketch (partial-merged map-side), and the whole set
+    * algebra then runs on two binaries. EXACT while each side's distinct
+    * count stays under ~2^lgk (the sketch retains raw hashes until then —
+    * the oracle gate runs in that regime); past it, estimates with
+    * ~1/√2^lgk relative error. This is the 100 TB planning query — "how
+    * much does crawl B add over what we have?" — at metadata cost: no
+    * shuffle ever carries more than sketch bytes. */
+  def corpusOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      keyCol: String,
+      lgk: Int = 20): DataFrame = {
+    require(lgk >= 4 && lgk <= 26, s"lgk out of [4,26]: $lgk")
+    val sa = a.agg(theta_sketch_agg(col(keyCol), lgk).as("__ska"))
+    val sb = b.agg(theta_sketch_agg(col(keyCol), lgk).as("__skb"))
+    sa.crossJoin(sb).select(
+      theta_sketch_estimate(col("__ska")).cast("long").as("n_a"),
+      theta_sketch_estimate(col("__skb")).cast("long").as("n_b"),
+      theta_sketch_estimate(theta_intersection(col("__ska"), col("__skb")))
+        .cast("long").as("n_common"),
+      theta_sketch_estimate(theta_difference(col("__ska"), col("__skb")))
+        .cast("long").as("n_only_a"),
+      theta_sketch_estimate(theta_difference(col("__skb"), col("__ska")))
+        .cast("long").as("n_only_b"),
+      theta_sketch_estimate(theta_union(col("__ska"), col("__skb"), lgk))
+        .cast("long").as("n_union"))
+  }
+
+  /** Per-group MERGEABLE distinct-count profiles: one row per group with
+    * the row count and an HLL sketch binary per column. The incremental
+    * twin of [[profileWithApprox]]: sketches union losslessly
+    * ([[mergeSketchProfiles]]), so per-shard / per-day profiles maintain
+    * corpus-wide stats WITHOUT rescanning history — the only viable stats
+    * discipline at 100 TB ingest. lgConfigK 12 ≈ 1.6% relative error at
+    * 4 KB per (group, column). */
+  def sketchProfiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      cols: Seq[String],
+      lgConfigK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to sketch")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.map(c => hll_sketch_agg(col(c), lgConfigK).as(s"${c}_sketch"))
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Union per-group sketch profiles to corpus-wide estimates: total rows
+    * plus an HLL distinct estimate per sketched column. Union is exact
+    * over the sketch state — merging shard profiles gives byte-identical
+    * estimates to sketching the union directly (spec-pinned), which is
+    * the property that makes incremental maintenance sound. */
+  def mergeSketchProfiles(profiles: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one sketched column")
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      cols.map(c => hll_sketch_estimate(hll_union_agg(col(s"${c}_sketch")))
+        .as(s"${c}_distinct_est"))
+    profiles.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Population Stability Index between a reference distribution and the
     * current batch — the standard ingest-drift gate (PSI < 0.1 stable,
     * 0.1-0.25 drifting, > 0.25 investigate): bin edges from the

@@ -663,6 +663,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       Curation.sampleNWeightedGlobal(df, "id", "w", n = 0))
   }
 
+  test("corpusOverlap: exact set algebra below the sketch threshold") {
+    import spark.implicits._
+    val a = (1L to 300L).map(i => s"key$i").toDF("fp")
+    val b = (201L to 500L).map(i => s"key$i").toDF("fp")
+    val r = Curation.corpusOverlap(a, b, "fp", lgk = 12).first()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (300L, 300L, 100L, 200L, 200L, 500L))
+    // disjoint and identical corners
+    val d = Curation.corpusOverlap(a, a.withColumn("fp", concat(lit("x"), $"fp")),
+      "fp", lgk = 12).first()
+    assert(d.getLong(2) == 0L && d.getLong(5) == 600L)
+    val i = Curation.corpusOverlap(a, a, "fp", lgk = 12).first()
+    assert(i.getLong(2) == 300L && i.getLong(3) == 0L && i.getLong(5) == 300L)
+    intercept[IllegalArgumentException](Curation.corpusOverlap(a, b, "fp", lgk = 2))
+  }
+
+  test("sketchProfiles merge: union of shard sketches == sketch of the union") {
+    import spark.implicits._
+    val docs = (1L to 900L).map(i => (i, s"shard${i % 3}", s"text${i % 77}"))
+      .toDF("doc_id", "source", "text")
+    val shards = Curation.sketchProfiles(docs, Seq("source"), Seq("text"))
+    assert(shards.count() == 3)
+    val merged = Curation.mergeSketchProfiles(shards, Seq("text")).first()
+    val whole = Curation.sketchProfiles(docs, Nil, Seq("text"))
+    val wholeEst = whole.select(hll_sketch_estimate(col("text_sketch"))).first().getLong(0)
+    assert(merged.getLong(0) == 900L)
+    // merge exactness: identical estimate, not merely close
+    assert(merged.getLong(1) == wholeEst)
+    // 77 distinct values: HLL at lgK 12 is exact-ish at this cardinality
+    assert(math.abs(merged.getLong(1) - 77L) <= 2L)
+  }
+
   test("populationStability: identical distributions -> every psi_term 0") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, i % 100)).toDF("id", "v")
