@@ -56,6 +56,8 @@ object Bench {
     // r11 batch 3: blocked-levenshtein fuzzy pairs (capped Σblock² join),
     // the fixed-point k-means M-step (scan-local assign + k·dims agg)
     "q_dedup_fuzzy", "q_kmeans_step",
+    // sketch algebra: corpus-overlap theta sketches, mergeable HLL profiles
+    "q_corpus_overlap", "q_profile_sketch",
     "q_cluster_assign", "q_quantize", "q_dedup_semantic",
     "q_dedup_semantic_incr", "q_bm25", "q_hybrid_rank",
     "q_sim_topk", "q_sim_ann", "q_sim_ivf",
@@ -149,6 +151,7 @@ object Bench {
       .replace("kmeans_step", "kms").replace("etrans_gap", "etrgap")
       .replace("decon_bl", "dbl").replace("zratio", "zr")
       .replace("prof_apx", "papx").replace("hyrank", "hyr")
+      .replace("corpus_overlap", "cov").replace("profile_sketch", "psk")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
