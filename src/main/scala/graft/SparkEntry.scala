@@ -623,6 +623,12 @@ object SparkEntry {
         .orderBy(col("n").desc, col("gram").asc)
         .limit(100)),
 
+    // Per-source distinctive vocabulary: top-20 terms per source ranked
+    // (group-df asc, tf desc, term asc) — all-integer c-TF-IDF-style
+    // ranking; df = 1 flags source-unique vocabulary.
+    "q_distinctive_terms" -> ((s, dir) =>
+      Curation.distinctiveTerms(t(s, dir, "documents"))),
+
     // BPE trainer inner loop, round 1: adjacent-char pair counts weighted
     // by word frequency — computed over the DISTINCT-WORD table, so the
     // corpus-sized shuffle is paid once regardless of merge rounds.
@@ -713,6 +719,12 @@ object SparkEntry {
     // week, weeks-since-first) — exact integer date arithmetic.
     "q_retention" -> ((s, dir) =>
       operators.Funnel.retention(ev(s, dir), periodDays = 7)),
+
+    // Top user journeys: whole-session event-type paths, counted and
+    // top-50'd — the journey-level rollup the pairwise transition matrix
+    // can't see. One user shuffle + vocab-sized aggs.
+    "q_session_paths" -> ((s, dir) =>
+      operators.Funnel.sessionPaths(ev(s, dir))),
 
     // First-order Markov transition matrix over event types: consecutive
     // same-user event pairs in (ts, event_id) order, counts + exact-IEEE
@@ -2409,6 +2421,36 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_session_paths" ->
+      """WITH lab AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CAST(SUM(CASE WHEN gap_new THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_idx
+        |  FROM (SELECT event_id, user_id, ts, event_type,
+        |          epoch_us(ts) - LAG(epoch_us(ts))
+        |            OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 AS gap_new
+        |        FROM events)),
+        |p AS (
+        |  SELECT user_id, session_idx,
+        |    array_to_string((list(event_type ORDER BY ts, event_id))[1:20], '>') AS path
+        |  FROM lab GROUP BY 1, 2)
+        |SELECT path, count(*) AS n FROM p
+        |GROUP BY path ORDER BY n DESC, path ASC LIMIT 50""".stripMargin,
+
+    "q_distinctive_terms" ->
+      """WITH tf AS (
+        |  SELECT source, tok AS term, count(*) AS tf FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) >= 1 GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT source, term, tf, df, rank FROM (
+        |  SELECT tf.source, tf.term, tf.tf, d.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.source
+        |      ORDER BY d.df ASC, tf.tf DESC, tf.term ASC) AS BIGINT) AS rank
+        |  FROM tf JOIN d USING (term))
+        |WHERE rank <= 20""".stripMargin,
 
     "q_event_transitions" ->
       """WITH o AS (

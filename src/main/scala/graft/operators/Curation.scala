@@ -894,6 +894,41 @@ object Curation {
       .drop(pos, off)
   }
 
+  /** Per-group distinctive vocabulary: for each group (source, language,
+    * shard…), the top-k terms ranked "rare across groups, frequent within"
+    * — order (group-df asc, tf desc, term asc), ALL integer keys, so the
+    * ranking is deterministic and engine-portable with no tf-idf float in
+    * sight (callers wanting a score form ln(S/df)·tf from the emitted
+    * integers). df = number of GROUPS containing the term; df = 1 marks
+    * vocabulary unique to the group — the c-TF-IDF-style signal that
+    * characterizes what a source is about.
+    *
+    * Scale shape: one (group, term) partial-combined agg (vocab-sized
+    * output), a term-keyed df agg + join back (both vocab-sized — document
+    * text is long gone), then a per-group window over that group's vocab
+    * rows only. */
+  def distinctiveTerms(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val tf = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) >= 1)
+      .groupBy("grp", "term").agg(count(lit(1)).as("tf"))
+    val dfAcross = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("df").asc, col("tf").desc, col("term").asc)
+    tf.join(dfAcross, Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("grp").as(groupCol), col("term"), col("tf"), col("df"),
+        col("rank"))
+  }
+
   /** Sketch-based corpus set algebra: |A|, |B|, |A∩B|, |A∖B|, |B∖A|, |A∪B|
     * of a key column across two corpora — WITHOUT any join. Theta sketches
     * (Apache DataSketches, Spark built-ins) are mergeable AND closed under

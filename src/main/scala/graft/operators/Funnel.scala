@@ -154,6 +154,43 @@ object Funnel {
         (col("n").cast("double") / col("n_from")).as("p"))
   }
 
+  /** Top user journeys: sessionize, render each session as its ordered
+    * event-type path ("view>click>purchase"), count identical paths, top-k
+    * by frequency. THE path-analysis rollup next to funnels and the
+    * transition matrix (which sees only pairwise steps; this sees whole
+    * journeys). `maxLen` truncates pathological sessions to their first N
+    * steps — it caps the OUTPUT string, and the per-session event list the
+    * agg buffers is already bounded by session length (the usual per-user
+    * hot-key caveat; `ops.Skew.dropHotKeys` upstream for bot traffic).
+    *
+    * Scale shape: the sessionize window's one user-keyed shuffle, then a
+    * (user, session)-keyed agg (same key prefix — the exchange is reused),
+    * then paths collapse map-side to distinct-path counts and
+    * TakeOrderedAndProject keeps k. Deterministic: in-session order is
+    * (ts, orderCols), path ties break lexicographically. */
+  def sessionPaths(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      orderCols: Seq[String] = Seq("event_id"),
+      maxLen: Int = 20,
+      topK: Int = 50): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1: $maxLen")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val labeled = sessionize(events, gap, userCol, tsCol)
+    val orderedTypes = transform(
+      array_sort(collect_list(
+        struct(col(tsCol) +: orderCols.map(col) :+ col(typeCol): _*))),
+      s => s.getField(typeCol))
+    labeled.groupBy(col(userCol), col("session_idx"))
+      .agg(concat_ws(">", slice(orderedTypes, 1, maxLen)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Step-wise conversion counts: one row per step with the number of users
     * whose funnel reached it. A funnel summary is a handful of rows at any
     * scale — the per-user frame never leaves the cluster un-aggregated. */

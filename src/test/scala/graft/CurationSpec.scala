@@ -663,6 +663,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       Curation.sampleNWeightedGlobal(df, "id", "w", n = 0))
   }
 
+  test("distinctiveTerms: rare-across frequent-within integer ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "alpha alpha alpha shared shared"),
+      (2L, "a", "alpha shared"),
+      (3L, "b", "beta shared shared"),
+      (4L, "b", "beta beta gamma shared"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.distinctiveTerms(docs, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._5))
+    // source a: alpha (df 1, tf 4) rank 1; shared (df 2) only other term
+    // source b: beta (df 1, tf 3), gamma (df 1, tf 1) both unique -> tf desc
+    assert(got.toSeq == Seq(
+      ("a", "alpha", 4L, 1L, 1L), ("a", "shared", 3L, 2L, 2L),
+      ("b", "beta", 3L, 1L, 1L), ("b", "gamma", 1L, 1L, 2L)))
+  }
+
   test("corpusOverlap: exact set algebra below the sketch threshold") {
     import spark.implicits._
     val a = (1L to 300L).map(i => s"key$i").toDF("fp")

@@ -130,6 +130,24 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
       (1L, "view", 4L), (2L, "click", 3L), (3L, "purchase", 2L)))
   }
 
+  test("sessionPaths: whole-journey strings, session split, maxLen truncation") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 session 0: view>click>purchase; session 1 (35m later): view
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(2), "click"), (3L, 1L, ts(4), "purchase"),
+      (4L, 1L, ts(39), "view"),
+      // user 2: same full journey as user 1's first session
+      (5L, 2L, ts(0), "view"), (6L, 2L, ts(1), "click"), (7L, 2L, ts(2), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.sessionPaths(ev, gap = "30 minutes")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("view>click>purchase", 2L), ("view", 1L)))
+    val truncated = Funnel.sessionPaths(ev, gap = "30 minutes", maxLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(truncated.toSeq == Seq(("view>click", 2L), ("view", 1L)))
+    intercept[IllegalArgumentException](Funnel.sessionPaths(ev, maxLen = 0))
+  }
+
   private lazy val seqEvents = {
     import spark.implicits._
     Seq(
