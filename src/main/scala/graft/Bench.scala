@@ -66,7 +66,11 @@ object Bench {
     // to amortize; q_media_real is the fused stage under the REAL
     // javax.imageio codec (encode + full decode + raster hash per row)
     "q_media_decode", "q_media_frames", "q_media_resize", "q_media_features",
-    "q_media_real")
+    "q_media_real",
+    // r11 batch 4: recency/alerting signals — decay is one partial-agg
+    // user-keyed shuffle; attribution rides the single user-keyed window
+    // sort; anomaly windows run over pre-aggregated bucket rows
+    "q_decay_score", "q_attribution", "q_anomaly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

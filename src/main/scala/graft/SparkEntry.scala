@@ -737,6 +737,27 @@ object SparkEntry {
     "q_event_transitions_gap" -> ((s, dir) =>
       operators.Funnel.transitions(ev(s, dir), maxGap = Some("30 minutes"))),
 
+    // Per-user exponential time-decay activity score (half-life 1 day,
+    // 30-day horizon) in division-free integer form: power-of-two weights,
+    // exact BIGINT numerator — one partial-aggregated user-keyed shuffle,
+    // no window. Ref instant: 2024-01-31T00:00:00Z (just past the corpus).
+    "q_decay_score" -> ((s, dir) =>
+      operators.EventSignals.decayScore(ev(s, dir),
+        refEpochUs = 1706659200000000L)),
+
+    // Last-touch attribution: every purchase attributed to the user's most
+    // recent preceding click (carry-forward last-ignoreNulls over the SAME
+    // single user-keyed sort as q_user_features; no-touch conversions kept
+    // with null touch_id).
+    "q_attribution" -> ((s, dir) =>
+      operators.EventSignals.attributeLastTouch(ev(s, dir))),
+
+    // Trailing-24-bucket anomaly flags on hourly per-type counts — the
+    // z-score test cross-multiplied into an exact integer inequality (no
+    // sqrt/division); events collapse to bucket rows BEFORE the window.
+    "q_anomaly" -> ((s, dir) =>
+      operators.EventSignals.anomalyBuckets(ev(s, dir))),
+
     // Skew levers under oracle: the salted inner join must be row-identical
     // to the plain join (salting is a physical rewrite, not a semantic one),
     // and the salted distinct count exactly equals the plain COUNT(DISTINCT).
@@ -2475,6 +2496,50 @@ object SparkEntry {
         |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, n, n_from, n / n_from AS p
         |FROM c JOIN f USING (from_type)""".stripMargin,
+
+    "q_decay_score" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN d BETWEEN 0 AND 30
+        |    THEN cents * (CAST(1 AS BIGINT) << (30 - d)) ELSE 0 END) AS BIGINT)
+        |    AS score_num,
+        |  max(ts_us) AS last_ts_us
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+        |        CAST(floor((1706659200000000 - epoch_us(ts)) / 86400000000.0)
+        |          AS INT) AS d,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events)
+        |GROUP BY user_id""".stripMargin,
+
+    "q_attribution" ->
+      """SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_ts_us,
+        |  touch_id, epoch_us(ts) - touch_ts_us AS gap_us, value
+        |FROM (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS touch_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+        |      IGNORE NULLS) OVER w AS touch_ts_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(coalesce(sum(n) OVER win, 0) AS BIGINT) AS s_prev,
+        |    CAST(coalesce(sum(n * n) OVER win, 0) AS BIGINT) AS ss_prev,
+        |    count(n) OVER win AS w_prev
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_us
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket_us, n, s_prev, ss_prev, w_prev,
+        |  (w_prev = 24 AND
+        |   (24 * n - s_prev) * (24 * n - s_prev) * 23 >
+        |     4 * 24 * (24 * ss_prev - s_prev * s_prev)) AS is_anomaly
+        |FROM w""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH w AS (

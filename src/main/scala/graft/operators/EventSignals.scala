@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-entity scoring signals over an event stream: exponential time-decay
+  * activity scores, last-touch attribution, and trailing-window anomaly
+  * flags. No reference analog (the reference's AGGREGATE is a row counter;
+  * see SURVEY §1.3) — these are the events-analytics companions a
+  * recency-weighted ranking / alerting layer needs on top of the window
+  * aggregates.
+  *
+  * Numeric policy (house rule, see SparkEntry's header): every hash-gated
+  * output here is an EXACT INTEGER. Decay weights are powers of two
+  * (exact in binary and in int arithmetic), the anomaly test is a
+  * cross-multiplied integer inequality (no sqrt, no division), and
+  * attribution emits ids + microsecond gaps. Floating formulations would
+  * be addition-order- and libm-dependent across engines; these hash-match
+  * DuckDB bit for bit. */
+object EventSignals {
+
+  /** Per-user exponentially-decayed activity score with a half-life of
+    * `halfLifeDays`, evaluated at `refEpochUs` (microseconds since epoch).
+    *
+    * Division-free integer form: each event contributes
+    * `cents * 2^(horizonDays - ageDays)` where `cents = round(value*100)`
+    * (the source carries <=2 decimal places) and
+    * `ageDays = floor((ref - ts)/1d) / halfLifeDays` half-life units —
+    * so the true score is `score_num / (100 * 2^horizonDays)`. Events
+    * older than the horizon (or after `ref`) contribute 0 — a truncated
+    * decay window, which is what bounds the weight to a long. Callers
+    * divide once at the end; the gate hashes the exact numerator.
+    *
+    * Scale shape: ONE user-keyed partial-aggregated shuffle — the weight
+    * is a per-row scan expression (no window, no sort), so map-side
+    * combine collapses each user's events before the wire. Overflow
+    * headroom: per-event term <= cents_max * 2^horizon; with horizon=30
+    * and 2-decimal values <= ~10^6 that is ~10^12, leaving ~10^6 events
+    * per user inside a long — raise to DECIMAL(38,0) accumulation via
+    * `sumDecimal = true` for corpora beyond that. */
+  def decayScore(
+      events: DataFrame,
+      refEpochUs: Long,
+      halfLifeDays: Int = 1,
+      horizonDays: Int = 30,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      sumDecimal: Boolean = false): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    require(horizonDays >= 0 && horizonDays <= 62,
+      s"horizonDays must fit a long shift: $horizonDays")
+    val ageDays = floor((lit(refEpochUs) - unix_micros(col(tsCol))) /
+      lit(86400000000L * halfLifeDays)).cast("long")
+    val cents = round(col(valueCol) * 100).cast("long")
+    // shiftleft is a codegen'd int op (call_function because the Scala
+    // shim only takes a literal shift); out-of-horizon (and future) events
+    // weight 0 via the when guard, keeping the shift argument in [0, 62].
+    val term = when(ageDays.between(0, horizonDays),
+      cents * call_function("shiftleft", lit(1L),
+        (lit(horizonDays) - ageDays).cast("int")))
+      .otherwise(lit(0L))
+    val scoreAgg =
+      if (sumDecimal) sum(term.cast("decimal(38,0)")).as("score_num")
+      else sum(term).cast("long").as("score_num")
+    events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        scoreAgg,
+        max(unix_micros(col(tsCol))).as("last_ts_us"))
+  }
+
+  /** Last-touch attribution: each `convType` event is attributed to the
+    * USER'S MOST RECENT PRECEDING `touchType` event (same-instant touches
+    * order before the conversion by event id, so they count). Conversions
+    * with no preceding touch keep a null `touch_id` — they are reported,
+    * not dropped, so attribution coverage is auditable.
+    *
+    * Scale shape: one user-keyed shuffle + sort carries BOTH the
+    * carry-forward columns (`last(_, ignoreNulls)` over unbounded
+    * preceding) — the same single-Exchange-single-Sort plan as the
+    * q_user_features window stack. Per-user history length never
+    * materializes anywhere (no collect_list); the known per-user hot-key
+    * funnel caveat applies as with every per-user window (Skew.dropHotKeys
+    * is the guard). */
+  def attributeLastTouch(
+      events: DataFrame,
+      convType: String = "purchase",
+      touchType: String = "click",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col(typeCol) === lit(touchType)
+    val touchId = last(when(isTouch, col(idCol)), ignoreNulls = true).over(w)
+    val touchTs = last(when(isTouch, unix_micros(col(tsCol))), ignoreNulls = true)
+      .over(w)
+    events
+      .withColumn("touch_id", touchId)
+      .withColumn("__touch_ts_us", touchTs)
+      .filter(col(typeCol) === lit(convType))
+      .select(col(idCol).as("conv_id"), col(userCol),
+        unix_micros(col(tsCol)).as("conv_ts_us"),
+        col("touch_id"),
+        (unix_micros(col(tsCol)) - col("__touch_ts_us")).as("gap_us"),
+        col(valueCol))
+  }
+
+  /** Trailing-window anomaly flags on per-(`keyCol`, hour) event counts:
+    * a bucket is anomalous when its count deviates from the mean of the
+    * previous `window` OBSERVED buckets by more than `sigmas` sample
+    * standard deviations.
+    *
+    * The test is the cross-multiplied INTEGER inequality
+    * `(w*n - s)^2 * (w-1) > sigmas^2 * w * (w*ss - s^2)` — algebraically
+    * `(n - mean)^2 > sigmas^2 * var` with `var = (ss - s^2/w)/(w-1)` —
+    * so there is no sqrt, no division, and no float anywhere: the flag
+    * hash-matches any engine doing the same integer arithmetic. Warm-up
+    * buckets (< `window` preceding observations) are emitted with
+    * `is_anomaly = false` and their `w_prev` count, so callers can mask
+    * them. "Previous observed buckets", not calendar hours: an
+    * all-quiet hour produces no bucket and does not dilute the window
+    * (document-level choice; densify with a calendar spine upstream if
+    * calendar semantics are wanted).
+    *
+    * Scale shape: the event-sized work is ONE keyed partial-aggregated
+    * shuffle down to (key, hour) counts; the window then runs over
+    * BUCKET rows — O(hours) per key, pre-shrunk by the aggregation, so
+    * the per-key sort is trivially small at any corpus size (the window
+    * never sees raw events). Counts, sums and sums-of-squares stay in
+    * longs: hourly counts up to ~10^6 keep `w*ss` under 10^15 for w=24. */
+  def anomalyBuckets(
+      events: DataFrame,
+      window: Int = 24,
+      sigmas: Int = 2,
+      keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(sigmas >= 1, s"sigmas must be >= 1: $sigmas")
+    val buckets = events
+      .groupBy(col(keyCol),
+        unix_micros(date_trunc("hour", col(tsCol))).as("bucket_us"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_us"))
+      .rowsBetween(-window, -1)
+    val s = sum(col("n")).over(w)
+    val ss = sum(col("n") * col("n")).over(w)
+    val wPrev = count(col("n")).over(w)
+    val wl = lit(window.toLong)
+    val dev = wl * col("n") - col("s_prev")
+    buckets
+      .withColumn("s_prev", s)
+      .withColumn("ss_prev", ss)
+      .withColumn("w_prev", wPrev)
+      .withColumn("is_anomaly",
+        col("w_prev") === wl &&
+          dev * dev * lit(window - 1L) >
+            lit(sigmas.toLong * sigmas) * wl *
+              (wl * col("ss_prev") - col("s_prev") * col("s_prev")))
+      .select(col(keyCol), col("bucket_us"), col("n"),
+        coalesce(col("s_prev"), lit(0L)).as("s_prev"),
+        coalesce(col("ss_prev"), lit(0L)).as("ss_prev"),
+        col("w_prev"), col("is_anomaly"))
+  }
+}

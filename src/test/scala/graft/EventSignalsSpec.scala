@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.EventSignals
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventSignalsSpec extends AnyFunSuite with SparkSpec {
+  import java.sql.Timestamp
+
+  private def ts(day: Int, h: Int = 0, m: Int = 0) =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+
+  // ref = 2024-01-31T00:00:00 in the session's UTC zone.
+  private val RefUs = {
+    val fmt = java.time.LocalDateTime.of(2024, 1, 31, 0, 0)
+    fmt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+  }
+
+  test("decayScore: power-of-two integer numerators, horizon clamp") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: 1.00 at age 0d (weight 2^30) + 2.00 at age 1d (2^29)
+      (1L, ts(30, 12), 1L, "view", 1.00),
+      (2L, ts(29, 12), 1L, "view", 2.00),
+      // user 2: value at age 31d -> outside the 30d horizon, weight 0
+      (3L, Timestamp.valueOf("2023-12-30 12:00:00"), 2L, "view", 5.00),
+      // user 2: 0.50 at age 2d (2^28)
+      (4L, ts(28, 12), 2L, "view", 0.50))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventSignals.decayScore(ev, RefUs)
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    val u1 = out(0)
+    assert(u1.getAs[Long]("n_events") == 2)
+    assert(u1.getAs[Long]("score_num") ==
+      100L * (1L << 30) + 200L * (1L << 29))
+    val u2 = out(1)
+    assert(u2.getAs[Long]("n_events") == 2) // out-of-horizon still counted
+    assert(u2.getAs[Long]("score_num") == 50L * (1L << 28))
+  }
+
+  test("decayScore: future events (after ref) contribute zero") {
+    import spark.implicits._
+    val ev = Seq((1L, Timestamp.valueOf("2024-02-01 00:00:00"), 1L, "x", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventSignals.decayScore(ev, RefUs).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("score_num") == 0L)
+  }
+
+  test("decayScore: decimal accumulation matches long at small scale") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(30), 1L, "v", 3.25), (2L, ts(29), 1L, "v", 1.75))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val a = EventSignals.decayScore(ev, RefUs).collect()(0).getAs[Long]("score_num")
+    val b = EventSignals.decayScore(ev, RefUs, sumDecimal = true)
+      .collect()(0).getAs[java.math.BigDecimal]("score_num")
+    assert(java.math.BigDecimal.valueOf(a).compareTo(b) == 0)
+  }
+
+  test("attributeLastTouch: most recent preceding click wins; no-touch kept") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click, click, purchase -> second click attributed
+      (10L, ts(5, 10, 0), 1L, "click", 0.0),
+      (11L, ts(5, 11, 0), 1L, "click", 0.0),
+      (12L, ts(5, 12, 0), 1L, "purchase", 40.0),
+      // user 1: later purchase still attributes to the same last click
+      (13L, ts(6, 9, 0), 1L, "purchase", 10.0),
+      // user 2: purchase with NO preceding click -> null touch, row kept
+      (20L, ts(5, 8, 0), 2L, "purchase", 7.0),
+      (21L, ts(5, 9, 0), 2L, "click", 0.0),
+      // user 3: same-instant click sorts before purchase by event_id
+      (30L, ts(7, 7, 0), 3L, "click", 0.0),
+      (31L, ts(7, 7, 0), 3L, "purchase", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventSignals.attributeLastTouch(ev)
+      .orderBy("conv_id").collect()
+    assert(out.map(_.getAs[Long]("conv_id")).toSeq == Seq(12L, 13L, 20L, 31L))
+    assert(out(0).getAs[Long]("touch_id") == 11L)
+    assert(out(0).getAs[Long]("gap_us") == 3600L * 1000000L)
+    assert(out(1).getAs[Long]("touch_id") == 11L)
+    assert(out(2).isNullAt(out(2).fieldIndex("touch_id")))
+    assert(out(3).getAs[Long]("touch_id") == 30L)
+    assert(out(3).getAs[Long]("gap_us") == 0L)
+  }
+
+  test("anomalyBuckets: integer inequality flags a planted spike, warm-up masked") {
+    import spark.implicits._
+    // key A: 24 calm hourly buckets of 10 events, then one 50-event spike.
+    val calm = (0 until 24).flatMap { h =>
+      (0 until 10).map(i => (h * 100L + i, ts(1, h, i % 60), 1L, "A", 0.0))
+    }
+    val spike = (0 until 50).map(i => (9000L + i, ts(2, 0, i % 60), 1L, "A", 0.0))
+    val ev = (calm ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumnRenamed("event_type", "et")
+      .withColumnRenamed("et", "event_type")
+    val out = EventSignals.anomalyBuckets(ev).orderBy("bucket_us").collect()
+    assert(out.length == 25)
+    // the 24 warm-up buckets never flag (w_prev < 24 for all of them)
+    assert(out.take(24).forall(!_.getAs[Boolean]("is_anomaly")))
+    val last = out.last
+    assert(last.getAs[Long]("n") == 50)
+    assert(last.getAs[Long]("s_prev") == 240)
+    assert(last.getAs[Long]("ss_prev") == 2400)
+    assert(last.getAs[Long]("w_prev") == 24)
+    assert(last.getAs[Boolean]("is_anomaly"))
+    // zero-variance window + equal count does NOT flag
+    val flat = (0 until 25).flatMap { h =>
+      (0 until 10).map(i => (h * 100L + i, ts(1 + h / 24, h % 24, i % 60),
+        1L, "B", 0.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out2 = EventSignals.anomalyBuckets(flat).orderBy("bucket_us").collect()
+    assert(out2.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
+
+  test("anomalyBuckets/decayScore: empty input yields empty, correct schema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventSignals.decayScore(empty, RefUs).count() == 0)
+    assert(EventSignals.anomalyBuckets(empty).count() == 0)
+    assert(EventSignals.attributeLastTouch(empty).count() == 0)
+  }
+}
