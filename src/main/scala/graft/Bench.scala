@@ -70,7 +70,10 @@ object Bench {
     // r11 batch 4: recency/alerting signals — decay is one partial-agg
     // user-keyed shuffle; attribution rides the single user-keyed window
     // sort; anomaly windows run over pre-aggregated bucket rows
-    "q_decay_score", "q_attribution", "q_anomaly")
+    "q_decay_score", "q_attribution", "q_anomaly",
+    // char-diversity profile is a fused one-pass scan expression; tfidf is
+    // the one-keyed-shuffle postings plan with ReuseExchange dfs
+    "q_char_entropy", "q_tfidf_terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

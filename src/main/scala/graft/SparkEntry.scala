@@ -1040,6 +1040,23 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "band")
     }),
 
+    // Char-entropy quality signal in its hash-gateable form: the one-pass
+    // code-point diversity profile's exact integers (total, distinct, top
+    // count, Simpson Σcnt² — Rényi-2 entropy = log2(n²/Σcnt²)). The
+    // Shannon double stays out of the gate (libm/order-dependent).
+    "q_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.charProfile(col("text")).as("p"))
+        .select(col("doc_id"), col("p.n_cp").as("n_cp"),
+          col("p.n_distinct").as("n_distinct"),
+          col("p.max_cnt").as("max_cnt"), col("p.sum_sq").as("sum_sq"))),
+
+    // Per-doc top-3 TF-IDF keywords: ONE (doc, term) keyed shuffle, df
+    // derived from that same exchange (ReuseExchange), N broadcast,
+    // map-side top-k window. Integers under the hash; ln only orders.
+    "q_tfidf_terms" -> ((s, dir) =>
+      graft.operators.Retrieval.tfidfTopTerms(t(s, dir, "documents"))),
+
     // Compression-ratio quality signal (rows-only gate BY DESIGN: DuckDB
     // has no zlib surface, so no oracleSql entry exists — the driver
     // records the weaker rows>0 check; the signal's ORDER is spec-pinned).
@@ -2627,6 +2644,32 @@ object SparkEntry {
         |    '\b\d{12,19}\b', '<LONGNUM>', 'g'),
         |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |           FROM documents),
+        |h AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_cp,
+        |  count(*) AS n_distinct,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+        |FROM h GROUP BY doc_id""".stripMargin,
+
+    "q_tfidf_terms" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score
+        |      FROM tf JOIN df USING (term), n)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS INTEGER) AS rnk,
+        |  term, tf, df
+        |FROM s QUALIFY rnk <= 3""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

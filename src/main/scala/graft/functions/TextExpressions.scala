@@ -464,3 +464,64 @@ case class UnicodeNormalize(child: Expression, form: String)
   override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
     copy(child = c)
 }
+
+/** Character(code-point)-level diversity profile in ONE pass: total code
+  * points, distinct code points, the top count, the Simpson collision
+  * numerator Σcnt² (Rényi-2 entropy = log2(n²/Σcnt²)), and Shannon entropy
+  * in bits. The integer fields are the hash-gateable form of a char-entropy
+  * quality signal — a float-only entropy would be addition-order- and
+  * libm-dependent across engines, while n/distinct/max/Σcnt² are exact and
+  * carry the same screening power (gibberish: low distinct or one dominant
+  * char; encrypted/random noise: near-uniform → Σcnt² ≈ n²/distinct). The
+  * entropy_bits double is the human-facing convenience, NOT part of any
+  * hash gate. Code points, not UTF-16 units, to match DuckDB's
+  * string_split(text, '') oracle on non-BMP input. Null behaves like empty
+  * text (zero profile) — the sibling ops' convention. */
+case class CharProfile(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cp", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_cnt", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => nullSafeEval(UTF8String.EMPTY_UTF8)
+      case v => nullSafeEval(v)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.HashMap[Integer, Array[Long]](64)
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Long](1))
+      slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var maxCnt = 0L
+    var sumSq = 0L
+    var entropy = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > maxCnt) maxCnt = c
+      sumSq += c * c
+      val p = c.toDouble / n.toDouble
+      entropy -= p * (Math.log(p) / Math.log(2.0))
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size.toLong, maxCnt, sumSq,
+        if (n == 0L) 0.0 else entropy))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharProfile =
+    copy(child = c)
+}

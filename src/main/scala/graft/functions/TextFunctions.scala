@@ -164,6 +164,16 @@ object TextFunctions {
     GraftExpr.column(DeflateSize(GraftExpr.expression(text), level))
   }
 
+  /** Code-point diversity profile ([[CharProfile]]): struct(n_cp,
+    * n_distinct, max_cnt, sum_sq, entropy_bits) in one pass — the integer
+    * fields are the hash-gateable char-entropy quality signal (Rényi-2
+    * entropy = log2(n_cp² / sum_sq)); entropy_bits is the Shannon
+    * convenience, not gate-safe. */
+  def charProfile(text: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(CharProfile(GraftExpr.expression(text)))
+  }
+
   /** BPE-ish token estimate: one token per alphanumeric run plus one per
     * non-space punctuation character — the usual regex proxy for subword
     * tokenizers. Uses regexp_extract_all (RE2-compatible pattern, no

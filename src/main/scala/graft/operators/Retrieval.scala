@@ -179,4 +179,49 @@ object Retrieval {
       .select(col("query_id"), col("rnk"), col("doc_id"),
         col("score"), col("n_systems"))
   }
+
+  /** Per-document top-`k` TF-IDF keywords — the metadata-enrichment pass
+    * that tags every document with its most distinctive terms (dedup
+    * explanations, cluster labeling, faceted corpus browsing). Smoothed
+    * sklearn-style idf: `ln((N+1)/(df+1)) + 1`, score = tf * idf.
+    *
+    * Scale shape: ONE data-sized keyed shuffle — the (doc, term) tf
+    * aggregation (map-side combined, so a term repeated 10⁶ times in one
+    * page crosses the wire once). The df table derives from THAT SAME
+    * aggregation (`tf.groupBy(term)`), so ReuseExchange serves the join's
+    * both sides from one materialization (the bm25 postings discipline);
+    * N broadcasts as a one-row frame. The per-doc top-k window gets the
+    * map-side WindowGroupLimit (rank <= k pushed partial). Text never
+    * shuffles — only (id, term, count) rows.
+    *
+    * Gate policy: the output is (doc_id, rnk, term, tf, df) — exact
+    * integers; the ln-bearing score only ORDERS (doc-local, term
+    * tiebreak), where an engine ulp cannot flip genuinely different
+    * scores, and identical (tf, df) pairs score identically in every
+    * engine — same contract as [[bm25TopK]]. `emitScore` adds the raw
+    * double for callers (excluded from cross-engine gates). */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      emitScore: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfs, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("term").asc)
+    val ranked = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val out = Seq(col("id").as(idCol), col("rnk"), col("term"), col("tf"),
+      col("df")) ++ (if (emitScore) Seq(col("score")) else Nil)
+    ranked.select(out: _*)
+  }
 }

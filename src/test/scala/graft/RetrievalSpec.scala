@@ -102,4 +102,46 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     // both docs contain x once; shorter doc scores higher
     assert(out.toSeq == Seq((1, 2L, 1L), (2, 1L, 1L)))
   }
+
+  test("tfidfTopTerms: rare terms outrank common ones, term tiebreak, k cap") {
+    import spark.implicits._
+    // 'rare' df=1, 'both' df=2, 'all' df=3 over N=3 docs
+    val docs = Seq(
+      (1L, "all both rare rare"),
+      (2L, "all both"),
+      (3L, "all")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopTerms(docs, k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk"),
+        r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // doc 1: rare (tf=2, df=1) first, then both (tf=1, df=2)
+    assert(out.filter(_._1 == 1L) ==
+      Seq((1L, 1, "rare", 2L, 1L), (1L, 2, "both", 1L, 2L)))
+    // doc 2: both before all (lower df wins at equal tf)
+    assert(out.filter(_._1 == 2L) ==
+      Seq((2L, 1, "both", 1L, 2L), (2L, 2, "all", 1L, 3L)))
+    // doc 3 has only one term; k=2 does not pad
+    assert(out.filter(_._1 == 3L) == Seq((3L, 1, "all", 1L, 3L)))
+  }
+
+  test("tfidfTopTerms: equal-score ties break by term ascending") {
+    import spark.implicits._
+    // identical tf and df for both terms in both docs -> same score;
+    // the rank must order alpha < beta deterministically
+    val docs = Seq((1L, "beta alpha"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopTerms(docs, k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk"),
+        r.getAs[String]("term"))).sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq((1L, 1, "alpha"), (1L, 2, "beta"),
+      (2L, 1, "alpha"), (2L, 2, "beta")))
+  }
+
+  test("tfidfTopTerms: emitScore column present only on request; empty input") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(!Retrieval.tfidfTopTerms(docs).columns.contains("score"))
+    assert(Retrieval.tfidfTopTerms(docs, emitScore = true).columns.contains("score"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Retrieval.tfidfTopTerms(empty).count() == 0)
+  }
 }

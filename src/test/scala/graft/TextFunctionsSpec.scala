@@ -198,4 +198,55 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(one(TextFunctions.topBigramFraction(col("t")), "solo") == 0.0)
     assert(one(TextFunctions.topBigramFraction(col("t")), "") == 0.0)
   }
+
+  test("charProfile: exact integer diversity stats, code-point units") {
+    import spark.implicits._
+    val r = Seq("aabbc").toDF("t")
+      .select(TextFunctions.charProfile(col("t")).as("p")).collect()(0)
+      .getStruct(0)
+    assert(r.getAs[Long]("n_cp") == 5)
+    assert(r.getAs[Long]("n_distinct") == 3)
+    assert(r.getAs[Long]("max_cnt") == 2)
+    assert(r.getAs[Long]("sum_sq") == 4 + 4 + 1)
+    // Shannon entropy of {2/5, 2/5, 1/5}
+    assert(math.abs(r.getAs[Double]("entropy_bits") - 1.5219280948873621) < 1e-12)
+    // non-BMP chars count ONCE (code points, not UTF-16 units): emoji is
+    // a surrogate pair in the JVM but one element in DuckDB's split
+    val emoji = Seq("\ud83d\ude00\ud83d\ude00x").toDF("t")
+      .select(TextFunctions.charProfile(col("t")).as("p")).collect()(0)
+      .getStruct(0)
+    assert(emoji.getAs[Long]("n_cp") == 3)
+    assert(emoji.getAs[Long]("n_distinct") == 2)
+    assert(emoji.getAs[Long]("max_cnt") == 2)
+  }
+
+  test("charProfile: null and empty behave as zero profile") {
+    import spark.implicits._
+    val rows = Seq(Some(""), None).toDF("t")
+      .select(TextFunctions.charProfile(col("t")).as("p")).collect()
+    rows.foreach { row =>
+      val p = row.getStruct(0)
+      assert(p.getAs[Long]("n_cp") == 0 && p.getAs[Long]("n_distinct") == 0 &&
+        p.getAs[Long]("max_cnt") == 0 && p.getAs[Long]("sum_sq") == 0 &&
+        p.getAs[Double]("entropy_bits") == 0.0)
+    }
+  }
+
+  test("charProfile: uniform text maximizes diversity (Renyi-2 relation)") {
+    import spark.implicits._
+    // uniform over 4 chars: Renyi-2 = log2(n^2/sum_sq) = log2(16/4) = 2 bits
+    val p = Seq("abcd").toDF("t")
+      .select(TextFunctions.charProfile(col("t")).as("p")).collect()(0)
+      .getStruct(0)
+    val renyi2 = math.log(
+      p.getAs[Long]("n_cp").toDouble * p.getAs[Long]("n_cp") /
+        p.getAs[Long]("sum_sq")) / math.log(2)
+    assert(renyi2 == 2.0)
+    assert(p.getAs[Double]("entropy_bits") == 2.0)
+    // repeated single char: zero entropy, sum_sq = n^2
+    val q = Seq("zzzz").toDF("t")
+      .select(TextFunctions.charProfile(col("t")).as("p")).collect()(0)
+      .getStruct(0)
+    assert(q.getAs[Long]("sum_sq") == 16 && q.getAs[Double]("entropy_bits") == 0.0)
+  }
 }
