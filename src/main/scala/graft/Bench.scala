@@ -73,7 +73,10 @@ object Bench {
     "q_decay_score", "q_attribution", "q_anomaly",
     // char-diversity profile is a fused one-pass scan expression; tfidf is
     // the one-keyed-shuffle postings plan with ReuseExchange dfs
-    "q_char_entropy", "q_tfidf_terms")
+    "q_char_entropy", "q_tfidf_terms",
+    // robust scale: broadcast quartiles back onto the scan; curriculum:
+    // banded two-phase prefix count (the withShuffleOrder machinery)
+    "q_robust_scale", "q_curriculum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

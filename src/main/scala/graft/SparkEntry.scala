@@ -998,6 +998,23 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", groupCols = Seq("source"))),
 
+    // Robust (median/IQR) scaling — the outlier-insensitive sibling:
+    // exact quartiles of integral inputs land on binary-exact .0/.25/
+    // .5/.75, so the division's doubles hash cross-engine.
+    "q_robust_scale" -> ((s, dir) =>
+      Curation.robustScale(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", groupCols = Seq("source"), exact = true)),
+
+    // Curriculum order: equal-depth difficulty bands (quartiles of
+    // n_chars), deterministic salted-md5 shuffle WITHIN each band, global
+    // position via the two-phase prefix count — no single-task sort.
+    "q_curriculum" -> ((s, dir) =>
+      Curation.curriculumOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", exact = true)),
+
     // GLOBAL top-k by a quality signal WITHOUT a window (q_top_docs is the
     // per-group form): orderBy + limit plans TakeOrderedAndProject —
     // per-partition heaps + one k-row merge, the scalable global top-k
@@ -2341,6 +2358,37 @@ object SparkEntry {
         |       ELSE CAST(t.n_tokens - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
         |  END AS scaled
         |FROM t JOIN s ON t.source IS NOT DISTINCT FROM s.source""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, quantile_cont(n_tokens, 0.5) AS med,
+        |        quantile_cont(n_tokens, 0.25) AS q1,
+        |        quantile_cont(n_tokens, 0.75) AS q3
+        |      FROM t GROUP BY source)
+        |SELECT t.doc_id, t.source, t.n_tokens,
+        |  CASE WHEN t.n_tokens IS NULL THEN NULL
+        |       WHEN q3 = q1 THEN 0.0
+        |       ELSE (t.n_tokens - med) / (q3 - q1)
+        |  END AS scaled
+        |FROM t JOIN s ON t.source IS NOT DISTINCT FROM s.source""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH t AS (SELECT doc_id, n_chars FROM documents),
+        |c AS (SELECT quantile_cont(n_chars, 0.25) AS c1,
+        |        quantile_cont(n_chars, 0.5) AS c2,
+        |        quantile_cont(n_chars, 0.75) AS c3 FROM t),
+        |b AS (SELECT doc_id, n_chars,
+        |        1 + (CASE WHEN n_chars > c1 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN n_chars > c2 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN n_chars > c3 THEN 1 ELSE 0 END) AS band
+        |      FROM t, c)
+        |SELECT doc_id, n_chars, CAST(band AS BIGINT) AS band,
+        |  CAST(row_number() OVER (ORDER BY band,
+        |    md5(CAST(doc_id AS VARCHAR) || ':curriculum'), doc_id) AS BIGINT)
+        |    AS pos
+        |FROM b""".stripMargin,
 
     "q_top_global" ->
       """SELECT doc_id,

@@ -641,6 +641,87 @@ object Curation {
       .drop("__graft_mn", "__graft_mx")
   }
 
+  /** Per-group ROBUST scaling: scaled = (x − median) / IQR — the
+    * outlier-insensitive sibling of [[standardize]] (a single corrupt
+    * 10⁹-token row shifts a mean and explodes a stddev but barely moves
+    * the quartiles). Same derivation discipline as [[clipToQuantiles]]:
+    * one tiny per-group percentile aggregate broadcast back onto the scan
+    * null-safely — zero data-sized shuffles; `exact = true` is the
+    * oracle-checkable `percentile` path, the default GK sketch the
+    * bounded-state 100 TB path. Portability: on integral inputs the
+    * linear-interpolated quartiles land on .0/.25/.5/.75 — exact in
+    * binary — so the single subtraction + division hashes cross-engine
+    * (same argument as minMaxScale). Zero-IQR groups scale to 0; nulls
+    * pass through null. */
+  def robustScale(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil,
+      outputCol: String = "scaled",
+      exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def q(p: Double, as: String) =
+      (if (exact) percentile(v, lit(p))
+       else percentile_approx(v, lit(p), lit(accuracy))).as(as)
+    val aggs = Seq(q(0.5, "__graft_med"), q(0.25, "__graft_q1"),
+      q(0.75, "__graft_q3"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    joinGroupStats(df, stats, groupCols)
+      .withColumn(outputCol,
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .when(col("__graft_q3") === col("__graft_q1"), lit(0.0))
+          .otherwise((v - col("__graft_med")) /
+            (col("__graft_q3") - col("__graft_q1"))))
+      .drop("__graft_med", "__graft_q1", "__graft_q3")
+  }
+
+  /** Curriculum ordering: a GLOBAL training order that presents documents
+    * easiest-band-first while shuffling deterministically WITHIN each
+    * difficulty band — the standard curriculum-learning data order
+    * (banded, not strictly sorted: a strict difficulty sort correlates
+    * adjacent batches; the within-band salted-md5 shuffle decorrelates
+    * them while keeping the curriculum envelope).
+    *
+    * Bands are equal-depth quantile cuts of `difficultyCol` (band b =
+    * 1 + #{thresholds < x} with thresholds at i/bands quantiles,
+    * `exact = true` for the oracle path, GK sketch at scale); the global
+    * position rides the two-phase distributed prefix count
+    * ([[graft.ops.RunningCount.withRunningCount]]) on the
+    * (band, salted-md5, id) key — no single-task global sort, the same
+    * machinery as [[withShuffleOrder]], so the order holds on a
+    * 1000-executor cluster. Deterministic and partition-invariant;
+    * distinct salts draw independent within-band orders. */
+  def curriculumOrder(
+      df: DataFrame,
+      difficultyCol: String,
+      idCol: String,
+      bands: Int = 4,
+      salt: String = "curriculum",
+      outputCol: String = "pos",
+      exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(bands >= 2, s"bands must be >= 2: $bands")
+    val v = col(difficultyCol).cast("double")
+    def q(p: Double, as: String) =
+      (if (exact) percentile(v, lit(p))
+       else percentile_approx(v, lit(p), lit(accuracy))).as(as)
+    val cuts = (1 until bands).map(i => q(i.toDouble / bands, s"__graft_c$i"))
+    val stats = df.agg(cuts.head, cuts.tail: _*)
+    val band = (1 until bands).foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(v > col(s"__graft_c$i"), 1L).otherwise(0L)
+    }
+    val banded = df.crossJoin(broadcast(stats))
+      .withColumn("band", band)
+      .drop((1 until bands).map(i => s"__graft_c$i"): _*)
+    graft.ops.RunningCount.withRunningCount(banded,
+      Seq(col("band"),
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))), col(idCol)),
+      outputCol)
+  }
+
   /** Ingest-time twin of [[standardize]]: z-score a NEW batch against a
     * STATIC reference corpus's statistics — the drift check a pipeline
     * runs on every arriving crawl ("how far is this batch's length/quality

@@ -756,4 +756,66 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       Curation.populationStability(ref, ref, "v", bins = 1))
   }
+
+  test("robustScale: hand-computed median/IQR, zero-IQR, nulls preserved") {
+    import spark.implicits._
+    // group a: values 1..5 -> med 3, q1 2, q3 4, IQR 2
+    val rows = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)),
+      ("a", Some(4L)), ("a", Some(5L)),
+      // group b: constant -> IQR 0 -> scaled 0
+      ("b", Some(7L)), ("b", Some(7L)),
+      // null value passes through null; null GROUP still gets its stats
+      ("a", None), (null, Some(9L)), (null, Some(11L)))
+      .toDF("g", "v")
+    val out = Curation.robustScale(rows, "v", groupCols = Seq("g"), exact = true)
+    val a = out.filter(col("g") === "a" && col("v").isNotNull)
+      .orderBy("v").collect().map(_.getAs[Double]("scaled")).toSeq
+    assert(a == Seq(-1.0, -0.5, 0.0, 0.5, 1.0))
+    assert(out.filter(col("g") === "b").collect()
+      .forall(_.getAs[Double]("scaled") == 0.0))
+    val nullV = out.filter(col("g") === "a" && col("v").isNull).collect()
+    assert(nullV.length == 1 && nullV(0).isNullAt(nullV(0).fieldIndex("scaled")))
+    // null-group rows are NOT dropped and scale against their own stats:
+    // med 10, IQR 1 -> -1 and +1... quartiles of {9,11}: q1 9.5, med 10, q3 10.5
+    val ng = out.filter(col("g").isNull).orderBy("v").collect()
+      .map(_.getAs[Double]("scaled")).toSeq
+    assert(ng == Seq(-1.0, 1.0))
+    assert(out.count() == rows.count())
+  }
+
+  test("curriculumOrder: bands ascend with position, within-band salted order") {
+    import spark.implicits._
+    val docs = (1L to 80L).map(i => (i, i)).toDF("id", "difficulty")
+    val out = Curation.curriculumOrder(docs, "difficulty", "id", bands = 4,
+      exact = true).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("band"),
+        r.getAs[Long]("id"))).sortBy(_._1)
+    assert(out.length == 80)
+    // positions are a permutation of 1..80 and bands are non-decreasing
+    assert(out.map(_._1).toSeq == (1L to 80L))
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    // equal-depth quartile cuts of 1..80: bands of 20 each
+    assert(out.map(_._2).groupBy(identity).view.mapValues(_.length).toMap ==
+      Map(1L -> 20, 2L -> 20, 3L -> 20, 4L -> 20))
+    // within band 1 (ids 1..20) the order is NOT the id order (salted md5)
+    val band1Ids = out.filter(_._2 == 1L).map(_._3).toSeq
+    assert(band1Ids.toSet == (1L to 20L).toSet && band1Ids != (1L to 20L))
+  }
+
+  test("curriculumOrder: partition-invariant and salt-independent") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, i % 7)).toDF("id", "difficulty")
+    def posMap(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Curation.curriculumOrder(df, "difficulty", "id", salt = salt,
+        exact = true).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("pos")).toMap
+    val p1 = posMap(docs.repartition(1), "s1")
+    val p8 = posMap(docs.repartition(8), "s1")
+    assert(p1 == p8)
+    val p2 = posMap(docs, "s2")
+    assert(p1 != p2) // different salt -> different within-band order
+    intercept[IllegalArgumentException] {
+      Curation.curriculumOrder(docs, "difficulty", "id", bands = 1)
+    }
+  }
 }
