@@ -76,7 +76,12 @@ object Bench {
     "q_char_entropy", "q_tfidf_terms",
     // robust scale: broadcast quartiles back onto the scan; curriculum:
     // banded two-phase prefix count (the withShuffleOrder machinery)
-    "q_robust_scale", "q_curriculum")
+    "q_robust_scale", "q_curriculum",
+    // experiment readout (per-user collapse + 2-row chi-square), calendar
+    // densify (spine join over pre-aggregated buckets), rolling distinct
+    // actives (collapsed user-day x window explode), vocab coverage
+    // (vocab-sized prefix sums)
+    "q_ab_lift", "q_resample", "q_rolling_active", "q_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -758,6 +758,24 @@ object SparkEntry {
     "q_anomaly" -> ((s, dir) =>
       operators.EventSignals.anomalyBuckets(ev(s, dir))),
 
+    // Two-variant experiment readout: per-user conversion collapse, 2x2
+    // chi-square significance as a DECIMAL(38,0) cross-multiplied integer
+    // inequality (alpha = 0.05) — no float in the gate.
+    "q_ab_lift" -> ((s, dir) =>
+      operators.EventSignals.abLift(ev(s, dir))),
+
+    // Calendar densification: hourly per-type counts on the FULL hour
+    // spine (quiet hours = 0) — spine is sequence() over broadcast
+    // bounds x the distinct key table, never a raw-event expansion.
+    "q_resample" -> ((s, dir) =>
+      operators.EventSignals.resampleHourly(ev(s, dir))),
+
+    // Rolling 7-day distinct active users: distinct (user, day) collapse,
+    // x7 window-day explode of the COLLAPSED table, partial-agg counts —
+    // the sliding-distinct shape no window aggregate can express.
+    "q_rolling_active" -> ((s, dir) =>
+      operators.EventSignals.rollingActiveUsers(ev(s, dir))),
+
     // Skew levers under oracle: the salted inner join must be row-identical
     // to the plain join (salting is a physical rewrite, not a semantic one),
     // and the salted distinct count exactly equals the plain COUNT(DISTINCT).
@@ -997,6 +1015,13 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", groupCols = Seq("source"))),
+
+    // Vocabulary coverage curve: frequency-ranked vocab with exact
+    // running occurrence totals via the two-phase prefix sum — the
+    // tokenizer-design table; coverage = cum_freq/total, one division
+    // away from the gated integers.
+    "q_vocab_coverage" -> ((s, dir) =>
+      Curation.vocabCoverage(t(s, dir, "documents"))),
 
     // Robust (median/IQR) scaling — the outlier-insensitive sibling:
     // exact quartiles of integral inputs land on binary-exact .0/.25/
@@ -2605,6 +2630,72 @@ object SparkEntry {
         |   (24 * n - s_prev) * (24 * n - s_prev) * 23 >
         |     4 * 24 * (24 * ss_prev - s_prev * s_prev)) AS is_anomaly
         |FROM w""".stripMargin,
+
+    "q_ab_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant, count(*) AS n_users,
+        |        CAST(sum(conv) AS BIGINT) AS n_conv
+        |      FROM pu GROUP BY 1),
+        |t AS (SELECT
+        |        CAST(sum(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n0,
+        |        CAST(sum(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT) AS c0,
+        |        CAST(sum(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS c1
+        |      FROM v),
+        |f AS (SELECT coalesce(
+        |        CAST(1000000 AS HUGEINT) * CAST(n0 + n1 AS HUGEINT) * d * d >
+        |        CAST(3841459 AS HUGEINT) * CAST(n0 AS HUGEINT)
+        |          * CAST(n1 AS HUGEINT) * CAST(c0 + c1 AS HUGEINT)
+        |          * CAST(n0 + n1 - c0 - c1 AS HUGEINT), FALSE) AS significant
+        |      FROM (SELECT *,
+        |              CAST(c0 AS HUGEINT) * CAST(n1 - c1 AS HUGEINT)
+        |                - CAST(c1 AS HUGEINT) * CAST(n0 - c0 AS HUGEINT) AS d
+        |            FROM t))
+        |SELECT v.variant, v.n_users, v.n_conv, f.significant FROM v, f""".stripMargin,
+
+    "q_resample" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM b),
+        |spine AS (
+        |  SELECT k.event_type, g.bucket_us
+        |  FROM (SELECT DISTINCT event_type FROM b) k,
+        |       (SELECT unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+        |        FROM bounds) g)
+        |SELECT s.event_type, s.bucket_us, CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM spine s LEFT JOIN b USING (event_type, bucket_us)""".stripMargin,
+
+    "q_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+        |x AS (SELECT u, unnest(generate_series(day, day + 6)) AS d FROM ud),
+        |c AS (SELECT d AS day, count(*) AS n_active
+        |      FROM (SELECT DISTINCT u, d FROM x) GROUP BY d),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b)
+        |SELECT spine.day, CAST(coalesce(n_active, 0) AS BIGINT) AS n_active
+        |FROM spine LEFT JOIN c USING (day)""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, count(*) AS freq FROM tk GROUP BY 1),
+        |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f),
+        |r AS (SELECT term, freq,
+        |        CAST(sum(freq) OVER (ORDER BY freq DESC, term
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+        |        CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+        |          AS rnk
+        |      FROM f)
+        |SELECT rnk, term, freq, cum_freq, total FROM r, t
+        |WHERE rnk <= 1000""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH w AS (

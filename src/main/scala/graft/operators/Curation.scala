@@ -722,6 +722,41 @@ object Curation {
       outputCol)
   }
 
+  /** Vocabulary coverage curve: the corpus's tokens ranked by frequency
+    * with an exact running occurrence total — the table a tokenizer/vocab
+    * design reads ("how many token occurrences do the top-k terms
+    * cover"; coverage fraction = cum_freq / total, one division away from
+    * the exact integers under the gate). `topK` bounds the output, NOT
+    * the computation: the full vocab table ranks distributed.
+    *
+    * Scale shape: explode → vocab-sized partial-combined frequency agg
+    * (the ONE data-sized shuffle — occurrences collapse map-side), then
+    * the two-phase distributed prefix sum over the (freq desc, term)
+    * total order on the VOCAB table ([[graft.ops.RunningCount]]
+    * machinery — no single-task global sort even for billion-term
+    * vocabularies), and a rank filter. Total occurrences ride a one-row
+    * broadcast. */
+  def vocabCoverage(
+      docs: DataFrame,
+      topK: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val freq = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).cast("long").as("total"))
+    val ranked = graft.ops.RunningCount.withRunningAgg(
+      freq, col("freq"), graft.ops.RunningCount.Kind.Sum,
+      Seq(col("freq").desc, col("term")), "cum_freq")
+    val pos = graft.ops.RunningCount.withRunningCount(
+      ranked, Seq(col("freq").desc, col("term")), "rnk")
+    pos.filter(col("rnk") <= topK)
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("term"), col("freq"),
+        col("cum_freq").cast("long").as("cum_freq"), col("total"))
+  }
+
   /** Ingest-time twin of [[standardize]]: z-score a NEW batch against a
     * STATIC reference corpus's statistics — the drift check a pipeline
     * runs on every arriving crawl ("how far is this batch's length/quality

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -107,6 +107,124 @@ object EventSignals {
         col("touch_id"),
         (unix_micros(col(tsCol)) - col("__touch_ts_us")).as("gap_us"),
         col(valueCol))
+  }
+
+  /** Two-variant experiment readout with an EXACT-ARITHMETIC significance
+    * flag: users split by a deterministic assignment (`variantOf`, default
+    * `user_id % 2`), a user "converts" when they have >= 1 `convType`
+    * event, and the 2×2 chi-square test (1 dof) is evaluated as a
+    * cross-multiplied integer inequality — `10⁶·N·(ad−bc)² >
+    * 3841459·n₀·n₁·c·(N−c)` with 3.841459 the α=0.05 critical value —
+    * through DECIMAL(38,0), so no float touches the gate (DuckDB runs the
+    * same products in HUGEINT). Exact to N ≈ 3·10⁹ users (N⁴/16 < 10³⁸);
+    * past that the products saturate the decimal — document-level bound,
+    * far beyond any single experiment.
+    *
+    * Output: one row per variant (variant, n_users, n_conv) with the
+    * shared `significant` flag. Scale shape: one user-keyed
+    * partial-aggregated shuffle (per-user conversion flag), then a
+    * 2-row variant aggregate joined to a 1-row broadcast total — the
+    * events never move twice. */
+  def abLift(
+      events: DataFrame,
+      convType: String = "purchase",
+      variants: Int = 2,
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(variants == 2, "chi-square 2x2 readout is defined for 2 variants")
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === lit(convType), 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("variant", pmod(col(userCol), lit(variants.toLong)))
+    val byVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).cast("long").as("n_conv"))
+    // 2x2 table from the two variant rows, via a pivot-free self-agg.
+    val tbl = byVariant.agg(
+      sum(when(col("variant") === 0, col("n_users"))).cast("long").as("n0"),
+      sum(when(col("variant") === 0, col("n_conv"))).cast("long").as("c0"),
+      sum(when(col("variant") === 1, col("n_users"))).cast("long").as("n1"),
+      sum(when(col("variant") === 1, col("n_conv"))).cast("long").as("c1"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val n = col("n0") + col("n1")
+    val conv = col("c0") + col("c1")
+    // ad - bc = c0*(n1-c1) - c1*(n0-c0)
+    val delta = d(col("c0")) * d(col("n1") - col("c1")) -
+      d(col("c1")) * d(col("n0") - col("c0"))
+    val lhs = d(lit(1000000L)) * d(n) * delta * delta
+    val rhs = d(lit(3841459L)) * d(col("n0")) * d(col("n1")) *
+      d(conv) * d(n - conv)
+    val flagged = tbl.withColumn("significant",
+      // a degenerate margin (all/none converted, or an empty variant)
+      // has zero chi-square by convention: rhs = 0 and lhs = 0 too, and
+      // 0 > 0 is false — no special case needed, but keep null-safety
+      // for the truly-empty-input frame
+      coalesce(lhs > rhs, lit(false)))
+    byVariant.crossJoin(broadcast(flagged.select(col("significant"))))
+  }
+
+  /** Densify per-(`keyCol`, hour) counts onto the FULL calendar spine
+    * between the corpus's first and last hour: quiet hours appear with
+    * n = 0 instead of being absent — the calendar-semantics companion of
+    * [[anomalyBuckets]] (whose trailing window deliberately skips quiet
+    * hours) and the shape every downstream time-series model expects.
+    *
+    * Scale shape: the data-sized work is the same ONE keyed partial-agg
+    * shuffle down to (key, hour) counts; the spine is `sequence()` over a
+    * broadcast 1-row global bounds frame × the distinct key table (both
+    * tiny aggregates of the bucket table, NOT of raw events), and the
+    * fill join is spine-sized — O(keys × hours), data-size-independent. */
+  def resampleHourly(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val buckets = events
+      .groupBy(col(keyCol),
+        unix_micros(date_trunc("hour", col(tsCol))).as("bucket_us"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = buckets.agg(min(col("bucket_us")).as("lo"),
+      max(col("bucket_us")).as("hi"))
+    val keys = buckets.select(col(keyCol)).distinct()
+    val spine = keys.crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), lit(3600000000L)))
+          .as("bucket_us"))
+    spine.join(buckets, Seq(keyCol, "bucket_us"), "left")
+      .select(col(keyCol), col("bucket_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Rolling `window`-day DISTINCT active users per day — the DAU/WAU
+    * metric. A distinct count over a sliding window is not
+    * window-aggregatable on any engine; the scalable shape is: collapse
+    * events to DISTINCT (user, day) rows (one keyed shuffle — the only
+    * data-sized step), EXPLODE each into the `window` spine days it
+    * contributes to (a ×window row expansion of the already-collapsed
+    * user-day table), and count per spine day — every stage
+    * partial-aggregates, nothing holds per-day user sets in memory.
+    * Days with no active users in their window appear with 0 via the
+    * dense calendar spine; spine days beyond the data's last day are not
+    * reported. Day = floor(epoch/86400) UTC. */
+  def rollingActiveUsers(
+      events: DataFrame,
+      window: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val userDays = events
+      .select(col(userCol).as("u"),
+        floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+          .as("day"))
+      .distinct()
+    val bounds = userDays.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val contrib = userDays
+      .select(col("u"),
+        explode(sequence(col("day"), col("day") + lit(window - 1).cast("long")))
+          .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_active"))
+    bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(contrib, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_active"), lit(0L)).as("n_active"))
   }
 
   /** Trailing-window anomaly flags on per-(`keyCol`, hour) event counts:

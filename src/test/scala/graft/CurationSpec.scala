@@ -818,4 +818,18 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       Curation.curriculumOrder(docs, "difficulty", "id", bands = 1)
     }
   }
+
+  test("vocabCoverage: frequency-ranked exact cumulative coverage") {
+    import spark.implicits._
+    val docs = Seq("a a a b b c", "a b x").toDF("text")
+    val out = Curation.vocabCoverage(docs, topK = 3).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("term"),
+        r.getAs[Long]("freq"), r.getAs[Long]("cum_freq"),
+        r.getAs[Long]("total"))).sortBy(_._1).toSeq
+    // freqs: a=4, b=3, c=1, x=1; total 9; ties break term-ascending
+    assert(out == Seq((1L, "a", 4L, 4L, 9L), (2L, "b", 3L, 7L, 9L),
+      (3L, "c", 1L, 8L, 9L)))
+    // topK larger than the vocab keeps everything
+    assert(Curation.vocabCoverage(docs, topK = 100).count() == 4)
+  }
 }

@@ -123,4 +123,63 @@ class EventSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(EventSignals.anomalyBuckets(empty).count() == 0)
     assert(EventSignals.attributeLastTouch(empty).count() == 0)
   }
+
+  test("abLift: planted lift flags significant; balanced split does not") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, ts(10), u, t, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // 100 users: evens (variant 0) convert 40/50, odds convert 5/50
+    val lifted = mk((0L until 100L).map { u =>
+      val converts = if (u % 2 == 0) u < 80 else u < 10
+      (u, if (converts) "purchase" else "view")
+    })
+    val out = EventSignals.abLift(lifted).orderBy("variant").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_users") == 50 && out(0).getAs[Long]("n_conv") == 40)
+    assert(out(1).getAs[Long]("n_users") == 50 && out(1).getAs[Long]("n_conv") == 5)
+    assert(out.forall(_.getAs[Boolean]("significant")))
+    // identical conversion in both variants -> chi-square 0 -> not significant
+    val flat = mk((0L until 100L).map(u => (u, if (u < 40) "purchase" else "view")))
+    assert(EventSignals.abLift(flat).collect()
+      .forall(!_.getAs[Boolean]("significant")))
+    // degenerate margins (everyone converts) -> 0 > 0 -> false, no error
+    val allConv = mk((0L until 10L).map(u => (u, "purchase")))
+    assert(EventSignals.abLift(allConv).collect()
+      .forall(!_.getAs[Boolean]("significant")))
+  }
+
+  test("resampleHourly: quiet hours filled with zero on the full spine") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(1, 0), 1L, "A", 0.0), (2L, ts(1, 0, 5), 1L, "A", 0.0),
+      // hour 1 quiet for A; hour 2 active again
+      (3L, ts(1, 2), 1L, "A", 0.0),
+      // B active only in hour 1 -> 0-filled at hours 0 and 2
+      (4L, ts(1, 1), 1L, "B", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventSignals.resampleHourly(ev)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("bucket_us"), r.getAs[Long]("n"))).sortBy(t => (t._1, t._2))
+    assert(out.length == 6) // 2 keys x 3 hours
+    assert(out.map(_._3).toSeq == Seq(2L, 0L, 1L, 0L, 1L, 0L))
+  }
+
+  test("rollingActiveUsers: window accumulates distinct users, gaps fill 0") {
+    import spark.implicits._
+    // user 1 active day 1; user 2 active days 1 and 2; user 3 active day 10
+    val ev = Seq(
+      (1L, ts(1), 1L, "v", 0.0), (2L, ts(1), 2L, "v", 0.0),
+      (3L, ts(2), 2L, "v", 0.0), (4L, ts(10), 3L, "v", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventSignals.rollingActiveUsers(ev)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_active"))
+      .sortBy(_._1)
+    assert(out.length == 10)
+    val counts = out.map(_._2).toSeq
+    // days 1-7 see users {1,2}; day 8 still sees user 2 (active day 2);
+    // day 9 sees nobody; day 10 sees user 3
+    assert(counts == Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 1L, 0L, 1L))
+  }
 }
