@@ -268,6 +268,10 @@ object Bench {
           evTs.filter(col("event_type") === "purchase"), snapshots, Seq("user_id"))),
       // per-user last-event state emitting transition pairs as they arrive
       "q_stream_transitions" -> drain(OutputMode.Append)(
-        StreamingPipeline.transitions(evTs)))
+        StreamingPipeline.transitions(evTs)),
+      // per-key O(window)-long ring state flagging hour buckets as later
+      // buckets close them — the ingest-time alerting path
+      "q_stream_anomaly" -> drain(OutputMode.Append)(
+        StreamingPipeline.anomalyFlags(evTs)))
   }
 }

@@ -4,7 +4,7 @@ import graft.ops.{OpCompiler, StreamOp}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Structured-Streaming execution of the reference's job model
   * (SURVEY.md §2.3): the same compiled operator pipeline over an unbounded
@@ -637,4 +637,97 @@ object StreamingPipeline {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .start()
+
+  /** Ring of the last `window` CLOSED hour buckets per key, plus the
+    * currently-accumulating open bucket. Parallel Seq[Long]s rather than a
+    * Seq of pairs keep the product encoder's state-store schema flat. */
+  final case class AnomalyState(
+      openBucket: Long, openN: Long, hasOpen: Boolean,
+      ringBuckets: Seq[Long], ringNs: Seq[Long])
+
+  /** Streaming form of [[graft.operators.EventSignals.anomalyBuckets]]:
+    * per-(key, hour) counts flagged against the trailing `window` closed
+    * buckets AS THE STREAM ARRIVES. A bucket is emitted when the first
+    * event of a LATER bucket for that key arrives (that closes it — the
+    * stream-native completion signal, no watermark clock needed); the
+    * still-open final bucket is never emitted, which is exactly the batch
+    * operator's output minus each key's last bucket (parity spec-pinned).
+    * The flag is the same cross-multiplied integer inequality — no float
+    * anywhere, so streaming and batch flags agree bit-for-bit.
+    *
+    * State is O(window) longs per key — two parallel rings plus the open
+    * bucket — independent of event volume. In-order-per-key arrival
+    * across micro-batches is assumed (the CDC-shaped assumption of every
+    * last-value state here); an event for an already-closed bucket is
+    * DROPPED (documented, counted nowhere) rather than silently
+    * corrupting a published flag — production ingest would add a
+    * watermark + delayed close for bounded lateness. */
+  def anomalyFlags(
+      events: DataFrame,
+      window: Int = 24,
+      sigmas: Int = 2,
+      keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(sigmas >= 1, s"sigmas must be >= 1: $sigmas")
+    val keyIdx = events.schema.fieldIndex(keyCol)
+    val tsIdx = events.schema.fieldIndex(tsCol)
+    val outSchema = StructType(Seq(events.schema(keyCol),
+      StructField("bucket_us", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("s_prev", LongType, nullable = false),
+      StructField("ss_prev", LongType, nullable = false),
+      StructField("w_prev", LongType, nullable = false),
+      StructField("is_anomaly", BooleanType, nullable = false)))
+    val outEnc = Encoders.row(outSchema)
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant => org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+    val hourUs = 3600000000L
+    events.groupByKey { r: Row =>
+        if (r.isNullAt(keyIdx)) "0" else "1:" + r.get(keyIdx)
+      }(Encoders.STRING)
+      .flatMapGroupsWithState[AnomalyState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(
+            AnomalyState(0L, 0L, hasOpen = false, Vector.empty, Vector.empty))
+          val out = Vector.newBuilder[Row]
+          var keyVal: Any = null
+          def close(): Unit = {
+            // flag the closed bucket against the ring, batch-identically
+            val w = st.ringNs.length.toLong
+            val s = st.ringNs.sum
+            val ss = st.ringNs.map(x => x * x).sum
+            val dev = window * st.openN - s
+            val flag = w == window &&
+              dev * dev * (window - 1L) >
+                sigmas.toLong * sigmas * window * (window * ss - s * s)
+            out += Row(keyVal, st.openBucket, st.openN, s, ss, w, flag)
+            val rb = (st.ringBuckets :+ st.openBucket).takeRight(window)
+            val rn = (st.ringNs :+ st.openN).takeRight(window)
+            st = AnomalyState(0L, 0L, hasOpen = false, rb, rn)
+          }
+          rows.toVector.sortBy(micros).foreach { r =>
+            keyVal = r.get(keyIdx)
+            val b = { val t = micros(r); t - java.lang.Math.floorMod(t, hourUs) }
+            if (!st.hasOpen) {
+              // a late event for an already-closed bucket is dropped (see
+              // scaladoc); "closed" = at or before the newest ring bucket
+              if (st.ringBuckets.isEmpty || b > st.ringBuckets.last)
+                st = st.copy(openBucket = b, openN = 1L, hasOpen = true)
+            } else if (b == st.openBucket) {
+              st = st.copy(openN = st.openN + 1L)
+            } else if (b > st.openBucket) {
+              close()
+              st = st.copy(openBucket = b, openN = 1L, hasOpen = true)
+            } // b < openBucket: late, dropped
+          }
+          state.update(st)
+          out.result().iterator
+      }(Encoders.product[AnomalyState], outEnc)
+  }
 }

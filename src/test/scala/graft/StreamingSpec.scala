@@ -727,4 +727,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         ("view", "click", 1L)))
     } finally q.stop()
   }
+
+  test("streaming anomaly flags equal batch minus each key's open bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def hts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // key A: hours 0..3 calm (2 events each), hour 4 spike (9 events),
+    // hour 5 opens (1 event, never emitted). window = 3.
+    val rows =
+      (0 until 4).flatMap(h => Seq((h * 10L, hts(h, 1), "A"), (h * 10L + 1, hts(h, 2), "A"))) ++
+      (0 until 9).map(i => (100L + i, hts(4, i + 1), "A")) ++
+      Seq((200L, hts(5, 0), "A")) ++
+      // key B: two buckets only -> one closed bucket, warm-up (w_prev=1 < 3)
+      Seq((300L, hts(0, 5), "B"), (301L, hts(1, 5), "B"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "event_type")
+    val out = StreamingPipeline.anomalyFlags(stream, window = 3)
+    val q = out.writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      // split MID-BUCKET (hour 4's spike spans both batches) so the open
+      // bucket accumulates across the micro-batch boundary through state
+      val (b1, b2) = rows.splitAt(12)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val got = spark.table("anom_out")
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("bucket_us"), r.getAs[Long]("n"),
+          r.getAs[Long]("s_prev"), r.getAs[Long]("ss_prev"),
+          r.getAs[Long]("w_prev"), r.getAs[Boolean]("is_anomaly")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val batch = rows.toDF("event_id", "ts", "event_type")
+      val want0 = graft.operators.EventSignals.anomalyBuckets(batch, window = 3)
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("bucket_us"), r.getAs[Long]("n"),
+          r.getAs[Long]("s_prev"), r.getAs[Long]("ss_prev"),
+          r.getAs[Long]("w_prev"), r.getAs[Boolean]("is_anomaly")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // batch minus each key's LAST (still-open in the stream) bucket
+      val want = want0.groupBy(_._1).toSeq
+        .flatMap { case (_, g) => g.init }.sortBy(t => (t._1, t._2))
+      assert(got == want)
+      // the spike bucket is flagged, everything else is not
+      assert(got.count(_._7) == 1)
+      val spike = got.find(_._7).get
+      assert(spike._3 == 9 && spike._6 == 3)
+    } finally q.stop()
+  }
 }
