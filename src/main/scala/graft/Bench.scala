@@ -81,7 +81,9 @@ object Bench {
     // densify (spine join over pre-aggregated buckets), rolling distinct
     // actives (collapsed user-day x window explode), vocab coverage
     // (vocab-sized prefix sums)
-    "q_ab_lift", "q_resample", "q_rolling_active", "q_vocab_coverage")
+    "q_ab_lift", "q_resample", "q_rolling_active", "q_vocab_coverage",
+    // distributed exact quantiles: (group, value) histogram + prefix ranks
+    "q_quantiles_dist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

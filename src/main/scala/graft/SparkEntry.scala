@@ -1016,6 +1016,16 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", groupCols = Seq("source"))),
 
+    // EXACT quantiles without the single-buffer percentile aggregate:
+    // (group, value) histogram -> distinct-value prefix ranks -> covering
+    // rows, interpolated bit-identically to percentile/quantile_cont —
+    // the distributed exact path for collapsing value domains.
+    "q_quantiles_dist" -> ((s, dir) =>
+      Curation.exactQuantilesDistributed(
+        t(s, dir, "documents").select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", Seq(0.25, 0.5, 0.75, 0.99), groupCols = Seq("source"))),
+
     // Vocabulary coverage curve: frequency-ranked vocab with exact
     // running occurrence totals via the two-phase prefix sum — the
     // tokenizer-design table; coverage = cum_freq/total, one division
@@ -2681,6 +2691,20 @@ object SparkEntry {
         |spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b)
         |SELECT spine.day, CAST(coalesce(n_active, 0) AS BIGINT) AS n_active
         |FROM spine LEFT JOIN c USING (day)""".stripMargin,
+
+    "q_quantiles_dist" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, 0.25 AS prob,
+        |  quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS value
+        |FROM t GROUP BY source
+        |UNION ALL SELECT source, 0.5,
+        |  quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) FROM t GROUP BY source
+        |UNION ALL SELECT source, 0.75,
+        |  quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) FROM t GROUP BY source
+        |UNION ALL SELECT source, 0.99,
+        |  quantile_cont(CAST(n_tokens AS DOUBLE), 0.99) FROM t GROUP BY source""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH tk AS (

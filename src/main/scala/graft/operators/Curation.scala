@@ -722,6 +722,72 @@ object Curation {
       outputCol)
   }
 
+  /** EXACT quantiles computed DISTRIBUTED — the 100 TB exact path that the
+    * single-buffer `percentile` aggregate (which materializes every value
+    * in one task's OpenHashMap) cannot take, for value domains that
+    * collapse well (integral lengths, counts, scores at fixed precision).
+    *
+    * Shape: the data-sized step is ONE (group, value) partial-aggregated
+    * count — the value histogram; the cumulative rank then runs over
+    * DISTINCT-VALUE rows only (two-phase distributed prefix sum
+    * [[graft.ops.RunningCount]] for the global case; a per-group window
+    * whose input is the per-group histogram, not raw data, for grouped
+    * quantiles), and each requested prob selects its 1-2 covering rows.
+    * Interpolation reproduces Spark's `percentile` bit-for-bit
+    * (`(ceil(pos)−pos)·lower + (pos−floor(pos))·higher`, pos = (n−1)·p,
+    * lower-at-floor / higher-at-ceil, degenerate cases → lower) — which
+    * DuckDB's `quantile_cont` matches on integral inputs (gate-proven) —
+    * so this IS `quantileProfile(exact = true)` without its driver-sized
+    * state. Nulls are ignored like `percentile`; a huge continuous value
+    * domain that does NOT collapse belongs to the GK-sketch path
+    * instead. */
+  def exactQuantilesDistributed(
+      df: DataFrame,
+      valueCol: String,
+      probs: Seq[Double],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(probs.nonEmpty, "need at least one prob")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), s"probs out of [0,1]: $probs")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cum =
+      if (groupCols.isEmpty)
+        graft.ops.RunningCount.withRunningAgg(
+          counts, col("__c"), graft.ops.RunningCount.Kind.Sum,
+          Seq(col("__v")), "__cum")
+          .crossJoin(broadcast(
+            counts.agg(sum(col("__c")).cast("long").as("__n"))))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+        val wAll = Window.partitionBy(groupCols.map(col): _*)
+        counts
+          .withColumn("__cum", sum(col("__c")).over(wOrd))
+          .withColumn("__n", sum(col("__c")).over(wAll))
+      }
+    val pos = (col("__n") - 1).cast("double") * col("__p")
+    val lo = floor(pos).cast("long")
+    val hi = ceil(pos).cast("long")
+    val c0 = col("__cum") - col("__c")
+    val coversLo = c0 <= lo && lo < col("__cum")
+    val coversHi = c0 <= hi && hi < col("__cum")
+    val agg = cum
+      .withColumn("__p", explode(array(probs.map(lit): _*)))
+      .filter(coversLo || coversHi)
+      .groupBy(groupCols.map(col) :+ col("__p").as("prob"): _*)
+      .agg(max(when(coversLo, col("__v"))).as("__vl"),
+        max(when(coversHi, col("__v"))).as("__vh"),
+        max(col("__n")).as("__n2"))
+    val pos2 = (col("__n2") - 1).cast("double") * col("prob")
+    val lo2 = floor(pos2)
+    val hi2 = ceil(pos2)
+    agg.withColumn("value",
+        when(hi2 === lo2 || col("__vh") <=> col("__vl"), col("__vl"))
+          .otherwise((hi2 - pos2) * col("__vl") + (pos2 - lo2) * col("__vh")))
+      .drop("__vl", "__vh", "__n2")
+  }
+
   /** Vocabulary coverage curve: the corpus's tokens ranked by frequency
     * with an exact running occurrence total — the table a tokenizer/vocab
     * design reads ("how many token occurrences do the top-k terms

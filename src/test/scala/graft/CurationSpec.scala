@@ -832,4 +832,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // topK larger than the vocab keeps everything
     assert(Curation.vocabCoverage(docs, topK = 100).count() == 4)
   }
+
+  test("exactQuantilesDistributed: bit-identical to the percentile aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy ties + nulls + a skewed tail, grouped and global
+    val rows = (1 to 400).map { i =>
+      val g = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else null
+      val v: Option[Long] =
+        if (i % 29 == 0) None else Some((rnd.nextInt(12) * rnd.nextInt(12)).toLong)
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val probs = Seq(0.0, 0.25, 0.5, 0.61, 0.75, 0.99, 1.0)
+    // grouped: compare against percentile() per group (null group included)
+    val got = Curation.exactQuantilesDistributed(df, "v", probs, Seq("g"))
+      .collect().map(r => (Option(r.getAs[String]("g")),
+        r.getAs[Double]("prob"), r.getAs[Double]("value"))).toSet
+    val aggExprs = probs.map(p =>
+      percentile(col("v").cast("double"), lit(p)).as(s"p$p"))
+    val want = df.groupBy("g")
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .collect().flatMap(r => probs.zipWithIndex.map { case (p, i) =>
+        (Option(r.getAs[String]("g")), p, r.getDouble(i + 1)) }).toSet
+    assert(got == want)
+    // global: same contract through the two-phase prefix machinery
+    val gotG = Curation.exactQuantilesDistributed(df, "v", probs)
+      .collect().map(r => (r.getAs[Double]("prob"), r.getAs[Double]("value"))).toSet
+    val wantG = df.agg(aggExprs.head, aggExprs.tail: _*)
+      .collect().flatMap(r => probs.zipWithIndex.map { case (p, i) =>
+        (p, r.getDouble(i)) }).toSet
+    assert(gotG == wantG)
+    // partition invariance
+    val got8 = Curation.exactQuantilesDistributed(df.repartition(8), "v", probs,
+      Seq("g")).collect().map(r => (Option(r.getAs[String]("g")),
+        r.getAs[Double]("prob"), r.getAs[Double]("value"))).toSet
+    assert(got8 == want)
+  }
 }
