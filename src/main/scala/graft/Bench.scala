@@ -83,7 +83,10 @@ object Bench {
     // (vocab-sized prefix sums)
     "q_ab_lift", "q_resample", "q_rolling_active", "q_vocab_coverage",
     // distributed exact quantiles: (group, value) histogram + prefix ranks
-    "q_quantiles_dist")
+    "q_quantiles_dist",
+    // contrastive mining: md5-ring negatives (prefix count + one pos-keyed
+    // join); hard negatives ride the sim_topk broadcast-BNLJ contract
+    "q_neg_samples", "q_hard_neg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1462,6 +1462,21 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     }),
 
+    // Contrastive mining: k deterministic uniform negatives per doc from
+    // the salted-md5 ring — integer arithmetic end to end, one pos-keyed
+    // join, payloads never expand.
+    "q_neg_samples" -> ((s, dir) =>
+      operators.Contrastive.ringNegatives(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")),
+
+    // ...and the top-5 nearest DIFFERENT-label neighbors per probe vector
+    // (hard negatives for a triplet loss) — the oracle-exact brute form
+    // of the ANN-bucketed scale path, q_sim_topk's cosine contract.
+    "q_hard_neg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Contrastive.hardNegatives(emb.filter(col("vec_id") < 10), emb)
+    }),
+
     // Sparse retrieval: BM25 top-10 per query over the documents corpus —
     // postings-style plan (only query-term tokens shuffle), broadcast
     // corpus stats, map-side-limited top-k window. Terms are chosen with
@@ -3476,6 +3491,39 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, cos FROM (
         |  SELECT q_id, n_id, cos,
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_neg_samples" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY
+        |    md5(CAST(doc_id AS VARCHAR) || ':negatives'), doc_id) AS BIGINT)
+        |    AS pos
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM r),
+        |e AS (SELECT r.doc_id, j, pos,
+        |        ((pos - 1 + j * greatest(n // 5, 1)) % n) + 1 AS neg_pos
+        |      FROM r, n, (SELECT unnest([1, 2, 3, 4]) AS j))
+        |SELECT e.doc_id, CAST(e.j AS BIGINT) AS j, r2.doc_id AS neg_doc_id
+        |FROM e JOIN r r2 ON r2.pos = e.neg_pos
+        |WHERE e.neg_pos <> e.pos""".stripMargin,
+
+    "q_hard_neg" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id,
+        |    c.label AS n_label,
+        |    list_sum(list_transform(list_zip(q.e, c.e), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
+        |  FROM v q JOIN v c ON q.vec_id != c.vec_id AND q.label != c.label
+        |  WHERE q.vec_id < 10)
+        |SELECT q_id, q_label, n_id, n_label, rank, cos FROM (
+        |  SELECT q_id, q_label, n_id, n_label, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM sc)
         |WHERE rank <= 5""".stripMargin,
 

@@ -282,4 +282,56 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(cents == Set(1L, 3L))
   }
+
+  test("ringNegatives: deterministic, uniform-ish, never self, k per row") {
+    import spark.implicits._
+    val docs = (1L to 50L).toDF("doc_id")
+    val out = graft.operators.Contrastive.ringNegatives(docs, "doc_id", k = 4)
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("j"), r.getAs[Long]("neg_doc_id")))
+    // every doc gets exactly k negatives (N=50 > k, step=10: no wraps to self)
+    assert(rows.length == 200)
+    assert(rows.forall { case (d, _, n) => d != n })
+    assert(rows.groupBy(_._1).forall(_._2.length == 4))
+    // each doc's negatives are distinct
+    assert(rows.groupBy(_._1).forall { case (_, g) => g.map(_._3).distinct.length == 4 })
+    // deterministic and partition-invariant
+    val again = graft.operators.Contrastive
+      .ringNegatives(docs.repartition(7), "doc_id", k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("j"),
+        r.getAs[Long]("neg_doc_id"))).toSet
+    assert(again == rows.toSet)
+    // a different salt draws a different set
+    val other = graft.operators.Contrastive
+      .ringNegatives(docs, "doc_id", k = 4, salt = "epoch2")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("j"),
+        r.getAs[Long]("neg_doc_id"))).toSet
+    assert(other != rows.toSet)
+  }
+
+  test("ringNegatives: tiny corpus (N <= k) filters wrap-around self pairs") {
+    import spark.implicits._
+    val docs = (1L to 3L).toDF("doc_id")
+    val rows = graft.operators.Contrastive.ringNegatives(docs, "doc_id", k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("neg_doc_id")))
+    assert(rows.nonEmpty && rows.forall { case (d, n) => d != n })
+  }
+
+  test("hardNegatives: only different-label neighbors, null labels never pair") {
+    import spark.implicits._
+    def v(seed: Int) = Array.tabulate(8)(i => (seed * (i + 1) % 7 - 3).toFloat)
+    val emb = Seq(
+      (1L, v(1), Some(0)), (2L, v(2), Some(0)), (3L, v(3), Some(1)),
+      (4L, v(4), Some(1)), (5L, v(5), Some(2)), (6L, v(6), None))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Contrastive
+      .hardNegatives(emb.filter($"vec_id" <= 2), emb, k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("n_label")))
+    // queries have label 0: candidates are only 3,4 (label 1) and 5 (label 2);
+    // vec 6 (null label) and same-label 1,2 never appear
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, n, _) => n >= 3 && n <= 5 })
+    assert(out.groupBy(_._1).forall(_._2.length == 3))
+  }
 }
