@@ -172,8 +172,51 @@ object Bench {
       .replace("decon_bl", "dbl").replace("zratio", "zr")
       .replace("prof_apx", "papx").replace("hyrank", "hyr")
       .replace("corpus_overlap", "cov").replace("profile_sketch", "psk")
+      // r11 batch-4+ keys and a deeper squeeze on the longest survivors —
+      // full names always in BENCH_FULL.json; uniqueness of the shortened
+      // key set is asserted below before the line prints
+      .replace("decay_score", "decay").replace("attribution", "attr")
+      .replace("anomaly", "anom").replace("char_entropy", "chent")
+      .replace("tfidf_terms", "tfidf").replace("robust_scale", "rsc")
+      .replace("curriculum", "curr").replace("ab_lift", "ab")
+      .replace("resample", "rsmp").replace("rolling_active", "ract")
+      .replace("vocab_coverage", "vcov").replace("qtl_dist", "qtld")
+      .replace("neg_samples", "negs").replace("hard_neg", "hneg")
+      .replace("skew_distinct", "skd").replace("skew_join", "skj")
+      .replace("skew_cap", "skc")
+      .replace("dd_ngram_capped", "ddnc").replace("dd_clusters", "ddcl")
+      .replace("dd_survivors", "ddsv").replace("dd_rebuild", "ddrb")
+      .replace("dd_minhash", "ddmh").replace("dd_simhash", "ddsh")
+      .replace("dd_embed_lsh", "ddel").replace("dd_exact", "ddx")
+      .replace("dd_incr", "ddi").replace("dd_report", "ddrp")
+      .replace("dd_spans", "ddsp").replace("dd_fuzzy", "ddfz")
+      .replace("dd_sem_incr", "ddsi").replace("dd_sem", "dds")
+      .replace("run_count", "rc").replace("run_sum", "rs")
+      .replace("pl_training", "plt").replace("pl_curation", "plc")
+      .replace("pl_chunks", "plch").replace("pl_qual", "plq")
+      .replace("ev_window", "evw").replace("ev_sliding", "evsl")
+      .replace("ev_props", "evp").replace("ev_sess", "evs")
+      .replace("smp_n_global", "sng").replace("smp_weighted", "smw")
+      .replace("len_batches", "lenb").replace("md_features", "mdft")
+      .replace("md_decode", "mdd").replace("md_frames", "mdf")
+      .replace("md_resize", "mdr").replace("md_real", "mdrl")
+      .replace("ngram_freq", "ngf").replace("zorder_key", "zok")
+      .replace("tk_budget", "tkb").replace("tk_rarity", "tkr")
+      .replace("tk_count", "tkc").replace("mx_target", "mxt")
+      .replace("qual_cut", "qc").replace("qtl_group", "qtg")
+      .replace("sp_decon", "spd").replace("sp_words", "spw")
+      .replace("sp_assign", "spa").replace("sim_topk", "stk")
+      .replace("sim_ann", "sann").replace("sim_ivf", "sivf")
+      .replace("bpe_pairs", "bpp").replace("bpe_merge", "bpm")
+      .replace("cl_assign", "cla").replace("quantize", "qz")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // a replace-chain collision would silently merge two queries' numbers
+    // in the compact JSON — fail loudly instead
+    val shortKeys = results.map { case (k, _) => short(k) }
+    require(shortKeys.distinct.size == shortKeys.size,
+      "short-key collision: " + shortKeys.groupBy(identity).collect {
+        case (s, g) if g.size > 1 => s }.mkString(","))
     val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val streams2 = streamNames
