@@ -147,68 +147,58 @@ object Bench {
     // unchanged), kept safely under the buffer, while the full-precision
     // record — full names, 3-decimal queries, stream_batch_ms, the full sf
     // path — is written to BENCH_FULL.json for humans and the judge.
-    def short(k: String): String = k.stripPrefix("q_")
-      .replace("dedup_", "dd_").replace("pipeline_", "pl_")
-      .replace("events_", "ev_").replace("media_", "md_")
-      .replace("sample_", "smp_").replace("mixture_", "mx_")
-      .replace("standardize", "std").replace("transform_", "tf_")
-      .replace("running_", "run_").replace("quantiles", "qtl")
-      .replace("compress_signal", "zratio").replace("split_", "sp_")
-      .replace("sessionize", "sessz").replace("sessions", "sess")
-      .replace("cluster_", "cl_").replace("length_", "len_")
-      .replace("event_transitions", "etrans").replace("decontam_bloom", "decon_bl")
-      .replace("smp_n_weighted", "smp_nw").replace("transitions", "trans")
-      .replace("funnel_conv", "fconv").replace("funnel_window", "fwin")
-      .replace("funnel", "fnl").replace("retention", "ret")
-      .replace("histogram", "hist").replace("fingerprint", "fp")
-      .replace("repetition", "rep").replace("user_features", "ufeat")
-      .replace("shuffle_order", "shord").replace("profile_approx", "prof_apx")
-      .replace("bigram_lm", "blm").replace("token_", "tk_")
-      .replace("quality", "qual").replace("decontam", "decon")
-      .replace("dd_semantic", "dd_sem").replace("hybrid_rank", "hyrank")
-      .replace("lang_id_ngram", "lid_ng").replace("lang_id", "lid")
-      .replace("unicode_norm", "uninorm").replace("column_filter", "colf")
-      .replace("kmeans_step", "kms").replace("etrans_gap", "etrgap")
-      .replace("decon_bl", "dbl").replace("zratio", "zr")
-      .replace("prof_apx", "papx").replace("hyrank", "hyr")
-      .replace("corpus_overlap", "cov").replace("profile_sketch", "psk")
-      // r11 batch-4+ keys and a deeper squeeze on the longest survivors —
-      // full names always in BENCH_FULL.json; uniqueness of the shortened
-      // key set is asserted below before the line prints
-      .replace("decay_score", "decay").replace("attribution", "attr")
-      .replace("anomaly", "anom").replace("char_entropy", "chent")
-      .replace("tfidf_terms", "tfidf").replace("robust_scale", "rsc")
-      .replace("curriculum", "curr").replace("ab_lift", "ab")
-      .replace("resample", "rsmp").replace("rolling_active", "ract")
-      .replace("vocab_coverage", "vcov").replace("qtl_dist", "qtld")
-      .replace("neg_samples", "negs").replace("hard_neg", "hneg")
-      .replace("skew_distinct", "skd").replace("skew_join", "skj")
-      .replace("skew_cap", "skc")
-      .replace("dd_ngram_capped", "ddnc").replace("dd_clusters", "ddcl")
-      .replace("dd_survivors", "ddsv").replace("dd_rebuild", "ddrb")
-      .replace("dd_minhash", "ddmh").replace("dd_simhash", "ddsh")
-      .replace("dd_embed_lsh", "ddel").replace("dd_exact", "ddx")
-      .replace("dd_incr", "ddi").replace("dd_report", "ddrp")
-      .replace("dd_spans", "ddsp").replace("dd_fuzzy", "ddfz")
-      .replace("dd_sem_incr", "ddsi").replace("dd_sem", "dds")
-      .replace("run_count", "rc").replace("run_sum", "rs")
-      .replace("pl_training", "plt").replace("pl_curation", "plc")
-      .replace("pl_chunks", "plch").replace("pl_qual", "plq")
-      .replace("ev_window", "evw").replace("ev_sliding", "evsl")
-      .replace("ev_props", "evp").replace("ev_sess", "evs")
-      .replace("smp_n_global", "sng").replace("smp_weighted", "smw")
-      .replace("len_batches", "lenb").replace("md_features", "mdft")
-      .replace("md_decode", "mdd").replace("md_frames", "mdf")
-      .replace("md_resize", "mdr").replace("md_real", "mdrl")
-      .replace("ngram_freq", "ngf").replace("zorder_key", "zok")
-      .replace("tk_budget", "tkb").replace("tk_rarity", "tkr")
-      .replace("tk_count", "tkc").replace("mx_target", "mxt")
-      .replace("qual_cut", "qc").replace("qtl_group", "qtg")
-      .replace("sp_decon", "spd").replace("sp_words", "spw")
-      .replace("sp_assign", "spa").replace("sim_topk", "stk")
-      .replace("sim_ann", "sann").replace("sim_ivf", "sivf")
-      .replace("bpe_pairs", "bpp").replace("bpe_merge", "bpm")
-      .replace("cl_assign", "cla").replace("quantize", "qz")
+    // Ordered abbreviation table (applied in sequence — order matters for
+    // overlapping names); folded rather than chained so scalac never sees
+    // one giant expression (a 60-deep call chain overflowed its stack).
+    // Full names always in BENCH_FULL.json; uniqueness of the shortened
+    // key set is asserted before the line prints.
+    val abbrev: Seq[(String, String)] = Seq(
+      ("dedup_", "dd_"), ("pipeline_", "pl_"), ("events_", "ev_"),
+      ("media_", "md_"), ("sample_", "smp_"), ("mixture_", "mx_"),
+      ("standardize", "std"), ("transform_", "tf_"), ("running_", "run_"),
+      ("quantiles", "qtl"), ("compress_signal", "zratio"), ("split_", "sp_"),
+      ("sessionize", "sessz"), ("sessions", "sess"), ("cluster_", "cl_"),
+      ("length_", "len_"), ("event_transitions", "etrans"),
+      ("decontam_bloom", "decon_bl"), ("smp_n_weighted", "smp_nw"),
+      ("transitions", "trans"), ("funnel_conv", "fconv"),
+      ("funnel_window", "fwin"), ("funnel", "fnl"), ("retention", "ret"),
+      ("histogram", "hist"), ("fingerprint", "fp"), ("repetition", "rep"),
+      ("user_features", "ufeat"), ("shuffle_order", "shord"),
+      ("profile_approx", "prof_apx"), ("bigram_lm", "blm"),
+      ("token_", "tk_"), ("quality", "qual"), ("decontam", "decon"),
+      ("dd_semantic", "dd_sem"), ("hybrid_rank", "hyrank"),
+      ("lang_id_ngram", "lid_ng"), ("lang_id", "lid"),
+      ("unicode_norm", "uninorm"), ("column_filter", "colf"),
+      ("kmeans_step", "kms"), ("etrans_gap", "etrgap"), ("decon_bl", "dbl"),
+      ("zratio", "zr"), ("prof_apx", "papx"), ("hyrank", "hyr"),
+      ("corpus_overlap", "cov"), ("profile_sketch", "psk"),
+      ("decay_score", "decay"), ("attribution", "attr"), ("anomaly", "anom"),
+      ("char_entropy", "chent"), ("tfidf_terms", "tfidf"),
+      ("robust_scale", "rsc"), ("curriculum", "curr"), ("ab_lift", "ab"),
+      ("resample", "rsmp"), ("rolling_active", "ract"),
+      ("vocab_coverage", "vcov"), ("qtl_dist", "qtld"),
+      ("neg_samples", "negs"), ("hard_neg", "hneg"),
+      ("skew_distinct", "skd"), ("skew_join", "skj"), ("skew_cap", "skc"),
+      ("dd_ngram_capped", "ddnc"), ("dd_clusters", "ddcl"),
+      ("dd_survivors", "ddsv"), ("dd_rebuild", "ddrb"),
+      ("dd_minhash", "ddmh"), ("dd_simhash", "ddsh"),
+      ("dd_embed_lsh", "ddel"), ("dd_exact", "ddx"), ("dd_incr", "ddi"),
+      ("dd_report", "ddrp"), ("dd_spans", "ddsp"), ("dd_fuzzy", "ddfz"),
+      ("dd_sem_incr", "ddsi"), ("dd_sem", "dds"), ("run_count", "rc"),
+      ("run_sum", "rs"), ("pl_training", "plt"), ("pl_curation", "plc"),
+      ("pl_chunks", "plch"), ("pl_qual", "plq"), ("ev_window", "evw"),
+      ("ev_sliding", "evsl"), ("ev_props", "evp"), ("ev_sess", "evs"),
+      ("smp_n_global", "sng"), ("smp_weighted", "smw"),
+      ("len_batches", "lenb"), ("md_features", "mdft"), ("md_decode", "mdd"),
+      ("md_frames", "mdf"), ("md_resize", "mdr"), ("md_real", "mdrl"),
+      ("ngram_freq", "ngf"), ("zorder_key", "zok"), ("tk_budget", "tkb"),
+      ("tk_rarity", "tkr"), ("tk_count", "tkc"), ("mx_target", "mxt"),
+      ("qual_cut", "qc"), ("qtl_group", "qtg"), ("sp_decon", "spd"),
+      ("sp_words", "spw"), ("sp_assign", "spa"), ("sim_topk", "stk"),
+      ("sim_ann", "sann"), ("sim_ivf", "sivf"), ("bpe_pairs", "bpp"),
+      ("bpe_merge", "bpm"), ("cl_assign", "cla"), ("quantize", "qz"))
+    def short(k: String): String =
+      abbrev.foldLeft(k.stripPrefix("q_")) { case (s, (a, b)) => s.replace(a, b) }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // a replace-chain collision would silently merge two queries' numbers
