@@ -86,7 +86,10 @@ object Bench {
     "q_quantiles_dist",
     // contrastive mining: md5-ring negatives (prefix count + one pos-keyed
     // join); hard negatives ride the sim_topk broadcast-BNLJ contract
-    "q_neg_samples", "q_hard_neg")
+    "q_neg_samples", "q_hard_neg",
+    // packing audit + the composed contrastive-prep pipeline (join ->
+    // SemDeDup -> ring negatives in one plan)
+    "q_pack_stats", "q_pipeline_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1237,6 +1237,13 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")), Seq(col("doc_id")), 2048L)
         .select("doc_id", "seq_id")),
 
+    // Packing-efficiency audit: per-sequence doc counts and exact token
+    // totals (fill rate / waste before committing the layout).
+    "q_pack_stats" -> ((s, dir) =>
+      Curation.packingStats(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        TextFunctions.tokenCount(col("text")), Seq(col("doc_id")), 2048L)),
+
     // The packed-FILE materialization: one row per training sequence with
     // the member span and the concatenated text. The collect bag is
     // bounded by the token budget itself, so the usual unbounded-row-width
@@ -1475,6 +1482,24 @@ object SparkEntry {
     "q_hard_neg" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       operators.Contrastive.hardNegatives(emb.filter(col("vec_id") < 10), emb)
+    }),
+
+    // End-to-end contrastive training prep in ONE composed plan: length
+    // gate on the text side -> modality join (doc_id = vec_id) ->
+    // SemDeDup survivors -> deterministic ring negatives over the
+    // deduped set. Join, scan-local assignment, one cluster-keyed anti
+    // join, prefix count, one pos-keyed join — no stage materializes.
+    "q_pipeline_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") >= 25)
+      val emb = t(s, dir, "embeddings")
+      val joined = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select(col("vec_id"), col("embedding"))
+      val survivors = Dedup.semanticDedup(joined, k = 8, threshold = 0.4)
+      operators.Contrastive.ringNegatives(
+        survivors.select(col("vec_id")), "vec_id", k = 2, salt = "pairs")
     }),
 
     // Sparse retrieval: BM25 top-10 per query over the documents corpus —
@@ -2783,6 +2808,16 @@ object SparkEntry {
         |          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
         |        FROM documents))""".stripMargin,
 
+    "q_pack_stats" ->
+      """SELECT seq_id, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT CAST((cum - t) // 2048 AS BIGINT) AS seq_id, t FROM (
+        |    SELECT t, SUM(t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (SELECT doc_id,
+        |            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+        |          FROM documents)))
+        |GROUP BY seq_id""".stripMargin,
+
     "q_pack_text" ->
       """WITH a AS (
         |  SELECT doc_id, text, CAST((cum - t) // 2048 AS BIGINT) AS seq_id FROM (
@@ -3526,6 +3561,42 @@ object SparkEntry {
         |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM sc)
         |WHERE rank <= 5""".stripMargin,
+
+    "q_pipeline_pairs" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 25),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |      FROM embeddings JOIN d ON vec_id = doc_id),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT v.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(v.e, c.ce), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS cos
+        |  FROM v, c),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |  FROM a) WHERE rn = 1),
+        |av AS (SELECT asg.vec_id, asg.cluster, v.e FROM asg JOIN v USING (vec_id)),
+        |surv AS (
+        |  SELECT b.vec_id FROM av b
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM av s
+        |    WHERE s.cluster = b.cluster AND s.vec_id < b.vec_id
+        |      AND list_sum(list_transform(list_zip(s.e, b.e), z -> z[1] * z[2])) /
+        |        (sqrt(list_sum(list_transform(s.e, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4)),
+        |r AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY
+        |        md5(CAST(vec_id AS VARCHAR) || ':pairs'), vec_id) AS BIGINT)
+        |        AS pos
+        |      FROM surv),
+        |n AS (SELECT count(*) AS n FROM r),
+        |ex AS (SELECT r.vec_id, j, pos,
+        |        ((pos - 1 + j * greatest(n // 3, 1)) % n) + 1 AS neg_pos
+        |      FROM r, n, (SELECT unnest([1, 2]) AS j))
+        |SELECT ex.vec_id, CAST(ex.j AS BIGINT) AS j, r2.vec_id AS neg_vec_id
+        |FROM ex JOIN r r2 ON r2.pos = ex.neg_pos
+        |WHERE ex.neg_pos <> ex.pos""".stripMargin,
 
     "q_media_decode" ->
       """SELECT doc_id, 'image' AS media_type,

@@ -578,6 +578,22 @@ object Curation {
         concat_ws(sep, transform(col("__graft_ds"), d => d.getField("t"))).as("text"))
   }
 
+  /** Packing-efficiency report over [[packSequences]]' assignment: one row
+    * per training sequence with its document count and exact token total —
+    * the fill-rate audit (waste = seqTokens − n_tokens for every sequence
+    * but the straddled ones) read before committing a packing layout. One
+    * keyed partial-agg shuffle beyond the assignment's prefix sum. */
+  def packingStats(
+      docs: DataFrame,
+      tokenCol: Column,
+      orderCols: Seq[Column],
+      seqTokens: Long): DataFrame =
+    packSequences(docs.withColumn("__graft_pt", tokenCol.cast("long")),
+      col("__graft_pt"), orderCols, seqTokens)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__graft_pt")).cast("long").as("n_tokens"))
+
   /** Per-group z-score standardization — the feature-normalization step
     * before numeric signals feed mixing or training — with EXACT integer
     * statistics: z = (n·x − S) / sqrt(n·Q − S²) where S = Σx and Q = Σx²

@@ -869,4 +869,18 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Double]("prob"), r.getAs[Double]("value"))).toSet
     assert(got8 == want)
   }
+
+  test("packingStats: per-sequence doc and token totals match the assignment") {
+    import spark.implicits._
+    // tokens: 5,5,5,5 with budget 8 -> seqs: [d1,d2)(cum 0,5), d2 starts at 5
+    // seq = (cum - t) div 8: d1->0, d2->0, d3->1, d4->1
+    val docs = Seq((1L, "a a a a a"), (2L, "b b b b b"),
+      (3L, "c c c c c"), (4L, "d d d d d")).toDF("doc_id", "text")
+    val out = Curation.packingStats(docs,
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      Seq(col("doc_id")), 8L)
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1).toSeq
+    assert(out == Seq((0L, 2L, 10L), (1L, 2L, 10L)))
+  }
 }
