@@ -117,4 +117,46 @@ object Tables {
       val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
+
+  /** JSONL (newline-delimited JSON) ingest with an explicit quarantine
+    * contract — the interchange format every crawl/annotation pipeline
+    * ships. Schema is REQUIRED (schema inference is a full extra pass over
+    * the data and is nondeterministic under corrupt rows — never acceptable
+    * at 100 TB). The read goes through the TEXT source + `from_json` with a
+    * corrupt-record field, NOT `spark.read.json`: the json scan forbids
+    * plans that touch only its corrupt column (SPARK-21610 — the documented
+    * workaround is caching, a second read, or exactly this formulation),
+    * while the text+from_json shape parses once, stays scan-bound with zero
+    * shuffles, never silently drops a row (DROPMALFORMED's failure mode)
+    * and never kills the job on one bad line (FAILFAST's). Malformed lines
+    * come back with null data fields and the raw line byte-exact in
+    * `corruptCol`. The same expression runs on `readStream.text` for
+    * ingest. */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already defines $corruptCol")
+    val withCorrupt = schema.add(StructField(corruptCol, StringType, nullable = true))
+    spark.read.text(path)
+      .select(from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)).as("__j"))
+      .select((schema.fieldNames.toSeq :+ corruptCol).map(n => col("__j." + n)): _*)
+  }
+
+  /** (good, quarantined) split of [[jsonl]]: good rows lose the corrupt
+    * column; quarantined rows keep their (null) data fields plus the raw
+    * line for a replay/fix-up sink. */
+  def jsonlSplit(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
+    val all = jsonl(spark, path, schema, corruptCol)
+    (all.filter(col(corruptCol).isNull).drop(corruptCol),
+      all.filter(col(corruptCol).isNotNull))
+  }
 }

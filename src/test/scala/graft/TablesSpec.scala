@@ -84,4 +84,34 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
       assert(sorted.map(_.getString(0)).toSeq == (0 until 10 * k).map(i => s"f$k-l$i"), s"file $file")
     }
   }
+
+  test("jsonl: schema-first read, corrupt lines quarantined byte-exact") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val f = dir.resolve("part0.jsonl")
+    val lines = Seq(
+      """{"id": 1, "text": "alpha", "score": 0.5}""",
+      """{"id": 2, "text": "beta"}""",              // missing field -> null
+      """{"id": "NOT_A_NUMBER", "text": "gamma"}""", // type clash -> corrupt
+      """this is not json at all""",
+      """{"id": 4, "text": "delta", "score": 2.0, "extra": "ignored"}""")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType), StructField("score", DoubleType)))
+    val (good, bad) = graft.sources.Tables.jsonlSplit(spark, dir.toString, schema)
+    val g = good.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("text")))
+      .sortBy(_._1).toSeq
+    assert(g == Seq((1L, "alpha"), (2L, "beta"), (4L, "delta")))
+    // quarantined rows carry the raw offending line byte-exact
+    val b = bad.collect().map(_.getAs[String]("_corrupt_record")).sorted.toSeq
+    assert(b == Seq("""{"id": "NOT_A_NUMBER", "text": "gamma"}""",
+      """this is not json at all""").sorted)
+    // no silent drops: good + quarantined == input lines
+    assert(good.count() + bad.count() == lines.length)
+    // schema collision on the corrupt column fails fast
+    intercept[IllegalArgumentException] {
+      graft.sources.Tables.jsonl(spark, dir.toString,
+        StructType(Seq(StructField("_corrupt_record", StringType))))
+    }
+  }
 }
