@@ -89,7 +89,9 @@ object Bench {
     "q_neg_samples", "q_hard_neg",
     // packing audit + the composed contrastive-prep pipeline (join ->
     // SemDeDup -> ring negatives in one plan)
-    "q_pack_stats", "q_pipeline_pairs")
+    "q_pack_stats", "q_pipeline_pairs",
+    // PMI collocations: scan-local pair generation + one pair-count shuffle
+    "q_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1026,6 +1026,13 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", Seq(0.25, 0.5, 0.75, 0.99), groupCols = Seq("source"))),
 
+    // PMI collocations: top-100 over-represented co-occurring term pairs
+    // — scan-local pair generation from sorted distinct-term arrays, one
+    // Σd² pair-count shuffle, vocab-sized df joins; the ratio double is
+    // one division of exact integers (bit-portable), ln is caller-side.
+    "q_collocations" -> ((s, dir) =>
+      Curation.collocations(t(s, dir, "documents"))),
+
     // Vocabulary coverage curve: frequency-ranked vocab with exact
     // running occurrence totals via the two-phase prefix sum — the
     // tokenizer-design table; coverage = cum_freq/total, one division
@@ -2745,6 +2752,26 @@ object SparkEntry {
         |  quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) FROM t GROUP BY source
         |UNION ALL SELECT source, 0.99,
         |  quantile_cont(CAST(n_tokens AS DOUBLE), 0.99) FROM t GROUP BY source""".stripMargin,
+
+    "q_collocations" ->
+      """WITH el AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    regexp_split_to_array(trim(text), '\s+'))) AS ts
+        |  FROM documents
+        |  WHERE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |    BETWEEN 2 AND 1000),
+        |tk AS (SELECT doc_id, unnest(ts) AS t FROM el),
+        |cx AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM el),
+        |p AS (SELECT a.t AS x, b.t AS y, count(*) AS c_xy
+        |      FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.t < b.t
+        |      GROUP BY 1, 2),
+        |s AS (SELECT x, y, c_xy, cx1.c AS c_x, cx2.c AS c_y,
+        |        CAST(c_xy * n AS DOUBLE) / (cx1.c * cx2.c) AS ratio
+        |      FROM p JOIN cx cx1 ON cx1.t = x JOIN cx cx2 ON cx2.t = y, n
+        |      WHERE c_xy >= 5)
+        |SELECT x, y, c_xy, c_x, c_y, ratio FROM s
+        |ORDER BY ratio DESC, x, y LIMIT 100""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH tk AS (

@@ -804,6 +804,63 @@ object Curation {
       .drop("__vl", "__vh", "__n2")
   }
 
+  /** PMI collocations: term pairs that co-occur in documents far more than
+    * chance — the corpus-level phrase/topic discovery pass (and the
+    * association signal behind word-graph features). PMI =
+    * ln(c_xy·N / (c_x·c_y)); the output carries the exact integer counts
+    * AND the `ratio` double — a single division of exactly-represented
+    * integers, so it is bit-portable (deterministic ordering and hashing)
+    * while the ln stays one caller-side call away. Pairs below
+    * `minPairCount` are noise and dropped before the ratio join.
+    *
+    * Scale shape: per-doc DISTINCT-term arrays form scan-locally
+    * (tokenize → distinct → sort, no shuffle), pairs generate scan-locally
+    * from the sorted array (x < y halves the space) and collapse
+    * map-side into (x, y) counts — the ONE data-sized shuffle is Σd²
+    * pair-count rows, the shingle-postings discipline. `maxDocTerms` is
+    * the Σd² guard: a pathological doc with 10⁶ distinct terms would
+    * contribute 10¹² pairs, so docs above the cap are EXCLUDED (the same
+    * honest-cap convention as the n-gram df caps; corpus-wide stop-term
+    * pruning composes upstream). Doc frequencies and N are vocab-sized /
+    * one-row broadcasts. Exact while c_xy·N < 2⁵³ (the double-exactness
+    * bound — a trillion-doc corpus needs the integers re-scaled). */
+  def collocations(
+      docs: DataFrame,
+      minPairCount: Long = 5,
+      maxDocTerms: Int = 1000,
+      topK: Int = 100,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
+    require(topK >= 1 && maxDocTerms >= 2, s"bad topK/maxDocTerms")
+    val terms = docs
+      .select(col(idCol),
+        array_sort(array_distinct(graft.functions.TextFunctions.tokens(col(textCol))))
+          .as("__ts"))
+      .filter(size(col("__ts")).between(2, maxDocTerms))
+    val pairs = terms
+      .select(explode(flatten(transform(col("__ts"), (x, i) =>
+        transform(slice(col("__ts"), i + lit(2), size(col("__ts"))),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minPairCount)
+    // every statistic (pair counts, doc frequencies, N) is over the SAME
+    // pair-eligible doc set, so the PMI ratio is self-consistent
+    val dfs = terms.select(explode(col("__ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val n = terms.agg(count(lit(1)).as("n"))
+    pairs
+      .join(dfs.select(col("t").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(dfs.select(col("t").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(n))
+      .withColumn("ratio",
+        (col("c_xy") * col("n")).cast("double") / (col("c_x") * col("c_y")))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"), col("ratio"))
+      .orderBy(col("ratio").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** Vocabulary coverage curve: the corpus's tokens ranked by frequency
     * with an exact running occurrence total — the table a tokenizer/vocab
     * design reads ("how many token occurrences do the top-k terms

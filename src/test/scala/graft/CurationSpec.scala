@@ -883,4 +883,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Long]("n_tokens"))).sortBy(_._1).toSeq
     assert(out == Seq((0L, 2L, 10L), (1L, 2L, 10L)))
   }
+
+  test("collocations: PMI ratio ranks always-together pairs above chance pairs") {
+    import spark.implicits._
+    // 'aa bb' always co-occur (4/4 docs); 'cc' floats independently
+    val docs = Seq(
+      (1L, "aa bb cc x1"), (2L, "aa bb x2 x3"), (3L, "aa bb cc x4"),
+      (4L, "aa bb x5 x6"), (5L, "cc x7 zz qq"), (6L, "cc x8 zz qq"))
+      .toDF("doc_id", "text")
+    val out = Curation.collocations(docs, minPairCount = 2, topK = 10)
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y"),
+        r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+        r.getAs[Double]("ratio")))
+    // (aa, bb): c_xy=4, c_x=c_y=4, N=6 -> ratio 24/16 = 1.5
+    val ab = out.find(t => t._1 == "aa" && t._2 == "bb").get
+    assert(ab._3 == 4 && ab._6 == 1.5)
+    // (aa, cc): 2 * 6 / (4 * 4) = 0.75 — below the perfect pair
+    val ac = out.find(t => t._1 == "aa" && t._2 == "cc").get
+    assert(ac._6 == 0.75)
+    assert(out.head._6 >= out.last._6) // ratio-descending
+    // zz/qq: perfect 2-doc pair -> 2*6/(2*2) = 3.0 tops the list
+    assert(out.head._1 == "qq" && out.head._2 == "zz" && out.head._6 == 3.0)
+    // pairs under minPairCount vanish
+    assert(!out.exists(t => t._1 == "x1" || t._2 == "x1"))
+  }
+
+  test("collocations: maxDocTerms cap excludes the pathological doc") {
+    import spark.implicits._
+    val wide = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, wide)).toDF("doc_id", "text")
+    val out = Curation.collocations(docs, minPairCount = 2, maxDocTerms = 10,
+      topK = 10).collect()
+    // the 40-term doc is excluded: N=2, only (aa, bb) survives
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("x") == "aa" && r.getAs[Long]("c_x") == 2 &&
+      r.getAs[Double]("ratio") == 1.0)
+  }
 }
