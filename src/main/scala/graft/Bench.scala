@@ -91,7 +91,10 @@ object Bench {
     // SemDeDup -> ring negatives in one plan)
     "q_pack_stats", "q_pipeline_pairs",
     // PMI collocations: scan-local pair generation + one pair-count shuffle
-    "q_collocations")
+    "q_collocations",
+    // user growth (first-day histogram + prefix sum), MAD (two distributed
+    // exact-quantile passes)
+    "q_user_growth", "q_mad")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -315,6 +318,17 @@ object Bench {
       // per-key O(window)-long ring state flagging hour buckets as later
       // buckets close them — the ingest-time alerting path
       "q_stream_anomaly" -> drain(OutputMode.Append)(
-        StreamingPipeline.anomalyFlags(evTs)))
+        StreamingPipeline.anomalyFlags(evTs)),
+      // two-live-streams interval join: watermark-bounded buffered state
+      // on both sides (purchase stream x click stream attribution)
+      "q_stream_join" -> drain(OutputMode.Append)(
+        StreamingPipeline.intervalJoin(
+          evTs.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("buy_id"), col("user_id"), col("ts")),
+          evTs.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("cts")),
+          Seq("user_id"), "ts", "cts",
+          within = "30 minutes", watermark = "2 hours")))
   }
 }

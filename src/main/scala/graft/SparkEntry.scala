@@ -770,6 +770,11 @@ object SparkEntry {
     "q_resample" -> ((s, dir) =>
       operators.EventSignals.resampleHourly(ev(s, dir))),
 
+    // User growth curve: first-day per user -> day histogram -> prefix
+    // sum — the exact distinct-users-over-time no window can express.
+    "q_user_growth" -> ((s, dir) =>
+      operators.EventSignals.userGrowth(ev(s, dir))),
+
     // Rolling 7-day distinct active users: distinct (user, day) collapse,
     // x7 window-day explode of the COLLAPSED table, partial-agg counts —
     // the sliding-distinct shape no window aggregate can express.
@@ -1025,6 +1030,15 @@ object SparkEntry {
         t(s, dir, "documents").select(col("source"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
         "n_tokens", Seq(0.25, 0.5, 0.75, 0.99), groupCols = Seq("source"))),
+
+    // Median absolute deviation per source — robust dispersion composing
+    // the distributed exact-quantile machinery twice (location pass, then
+    // |x - med| deviation pass); exact, no single-buffer percentile.
+    "q_mad" -> ((s, dir) =>
+      Curation.medianAbsDeviation(
+        t(s, dir, "documents").select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", groupCols = Seq("source"))),
 
     // PMI collocations: top-100 over-represented co-occurring term pairs
     // — scan-local pair generation from sorted distinct-term arrays, one
@@ -2752,6 +2766,26 @@ object SparkEntry {
         |  quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) FROM t GROUP BY source
         |UNION ALL SELECT source, 0.99,
         |  quantile_cont(CAST(n_tokens AS DOUBLE), 0.99) FROM t GROUP BY source""".stripMargin,
+
+    "q_user_growth" ->
+      """WITH fd AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        |            FROM events GROUP BY user_id),
+        |pd AS (SELECT day, count(*) AS n_new FROM fd GROUP BY day)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM pd""".stripMargin,
+
+    "q_mad" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT source, quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS med
+        |      FROM t GROUP BY source),
+        |d AS (SELECT t.source, abs(t.n_tokens - m.med) AS dev
+        |      FROM t JOIN m ON t.source IS NOT DISTINCT FROM m.source)
+        |SELECT source, quantile_cont(dev, 0.5) AS mad FROM d
+        |GROUP BY source""".stripMargin,
 
     "q_collocations" ->
       """WITH el AS (

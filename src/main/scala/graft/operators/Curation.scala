@@ -861,6 +861,28 @@ object Curation {
       .limit(topK)
   }
 
+  /** Median absolute deviation — the robust dispersion estimate paired
+    * with [[robustScale]]'s robust location: MAD = median(|x − median(x)|),
+    * per group or global. Composes [[exactQuantilesDistributed]] twice
+    * (location pass, then deviation pass over |x − med|), so the whole
+    * computation stays exact AND distributed: two (group, value) histogram
+    * shuffles, distinct-value prefix ranks, no single-buffer percentile
+    * anywhere. On integral inputs both medians land on .0/.5 — exact in
+    * binary — and |x − med| is exact, so the output doubles hash
+    * cross-engine. Nulls are ignored like every quantile here. */
+  def medianAbsDeviation(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val med = exactQuantilesDistributed(df, valueCol, Seq(0.5), groupCols)
+      .withColumnRenamed("value", "__graft_med").drop("prob")
+    val dev = joinGroupStats(df.filter(col(valueCol).isNotNull), med, groupCols)
+      .withColumn("__graft_dev",
+        abs(col(valueCol).cast("double") - col("__graft_med")))
+    exactQuantilesDistributed(dev, "__graft_dev", Seq(0.5), groupCols)
+      .drop("prob").withColumnRenamed("value", "mad")
+  }
+
   /** Vocabulary coverage curve: the corpus's tokens ranked by frequency
     * with an exact running occurrence total — the table a tokenizer/vocab
     * design reads ("how many token occurrences do the top-k terms

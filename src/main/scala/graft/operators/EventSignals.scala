@@ -227,6 +227,33 @@ object EventSignals {
       .select(col("day"), coalesce(col("n_active"), lit(0L)).as("n_active"))
   }
 
+  /** User growth curve: per day, the count of users whose FIRST-ever event
+    * falls on that day (`n_new`) and the cumulative unique-user total
+    * (`cum_users`) — the exact form of the "distinct users over time"
+    * curve, which naive COUNT(DISTINCT) OVER cannot express and HLL only
+    * estimates. Only days on which some user first appears are emitted
+    * (join [[resampleHourly]]-style spines upstream for calendar
+    * semantics).
+    *
+    * Scale shape: ONE user-keyed partial-agg shuffle (min event day per
+    * user), collapse to a DAY histogram (days-sized), then the two-phase
+    * distributed prefix sum over day order — no data-sized window, no
+    * driver state. Day = floor(epoch/1d) UTC. */
+  def userGrowth(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstDay = events
+      .groupBy(col(userCol))
+      .agg(min(floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long"))
+        .as("day"))
+    val perDay = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+    graft.ops.RunningCount.withRunningAgg(
+      perDay, col("n_new"), graft.ops.RunningCount.Kind.Sum,
+      Seq(col("day")), "cum_users")
+      .select(col("day"), col("n_new"), col("cum_users").cast("long").as("cum_users"))
+  }
+
   /** Trailing-window anomaly flags on per-(`keyCol`, hour) event counts:
     * a bucket is anomalous when its count deviates from the mean of the
     * previous `window` OBSERVED buckets by more than `sigmas` sample

@@ -730,4 +730,39 @@ object StreamingPipeline {
           out.result().iterator
       }(Encoders.product[AnomalyState], outEnc)
   }
+
+  /** STREAM-STREAM interval join — the two-live-streams shape
+    * (click-stream × purchase-stream attribution, impression × conversion)
+    * that the zero-state stream-STATIC as-of cannot cover: both sides
+    * arrive unbounded, so Spark buffers each side's recent rows in state
+    * and the interval condition + watermarks bound that state (rows older
+    * than `watermark` + `within` are evicted — without the time bound the
+    * state would grow forever and Spark rejects the plan in Append mode).
+    *
+    * Each left row joins right rows with the same `keyCols` whose
+    * `rightTs` lies in [leftTs − within, leftTs] — the "preceding touch
+    * within the window" semantics. Inner join: emission can wait for the
+    * watermark to pass (late-data correctness over latency, Spark's
+    * documented behavior). State is keyed by join key — the same per-key
+    * hot-spot caveat as every keyed stateful op. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      watermark: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one join key")
+    val l = left.withWatermark(leftTs, watermark)
+    val r0 = right.withWatermark(rightTs, watermark)
+    // disambiguate overlapping column names on the right side
+    val overlap = (left.columns.toSet intersect right.columns.toSet) -- keyCols
+    val r = overlap.foldLeft(r0)((d, c) => d.withColumnRenamed(c, "r_" + c))
+    val rTs = if (overlap.contains(rightTs)) "r_" + rightTs else rightTs
+    val cond = keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rTs) >= l(leftTs) - expr(s"INTERVAL $within") &&
+      r(rTs) <= l(leftTs)
+    keyCols.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
+  }
 }

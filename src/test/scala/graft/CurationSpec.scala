@@ -920,4 +920,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[String]("x") == "aa" && r.getAs[Long]("c_x") == 2 &&
       r.getAs[Double]("ratio") == 1.0)
   }
+
+  test("medianAbsDeviation: exact MAD per group and globally, nulls ignored") {
+    import spark.implicits._
+    // group a: {1,2,3,4,100} -> med 3, |dev| {2,1,0,1,97} -> MAD 1 (robust
+    // to the 100 outlier where stddev is not)
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)),
+      ("a", Some(4L)), ("a", Some(100L)), ("a", None),
+      ("b", Some(5L)), ("b", Some(9L))).toDF("g", "v")
+    val out = Curation.medianAbsDeviation(df, "v", Seq("g")).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("mad")).toMap
+    assert(out("a") == 1.0)
+    assert(out("b") == 2.0) // med 7, devs {2,2} -> 2
+    // global: {1,2,3,4,5,9,100} -> med 4, devs sorted {0,1,1,2,3,5,96}
+    // -> MAD 2
+    val g = Curation.medianAbsDeviation(df, "v").collect()
+    assert(g.length == 1 && g(0).getAs[Double]("mad") == 2.0)
+  }
 }

@@ -182,4 +182,17 @@ class EventSignalsSpec extends AnyFunSuite with SparkSpec {
     // day 9 sees nobody; day 10 sees user 3
     assert(counts == Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 1L, 0L, 1L))
   }
+
+  test("userGrowth: first-appearance counts and cumulative uniques") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(1), 1L, "v", 0.0), (2L, ts(1), 2L, "v", 0.0),
+      (3L, ts(2), 1L, "v", 0.0), // user 1 again: NOT new on day 2
+      (4L, ts(3), 3L, "v", 0.0), (5L, ts(3), 4L, "v", 0.0),
+      (6L, ts(9), 1L, "v", 0.0)) // still not new
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventSignals.userGrowth(ev).orderBy("day").collect()
+      .map(r => (r.getAs[Long]("n_new"), r.getAs[Long]("cum_users"))).toSeq
+    assert(out == Seq((2L, 2L), (2L, 4L))) // day 1: 2 new; day 3: 2 new
+  }
 }

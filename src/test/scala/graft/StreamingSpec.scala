@@ -774,4 +774,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(spike._3 == 9 && spike._6 == 3)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch join across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cdf = clicks.toDF().toDF("click_id", "user_id", "cts")
+    val bdf = buys.toDF().toDF("buy_id", "user_id", "ts")
+    val out = StreamingPipeline.intervalJoin(
+      bdf, cdf, Seq("user_id"), "ts", "cts",
+      within = "30 minutes", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // click arrives in batch 1; its purchase arrives in batch 2 — the
+      // join must match ACROSS the micro-batch boundary through state
+      clicks.addData((1L, 7L, ts(0)), (2L, 7L, ts(10)), (3L, 8L, ts(5)))
+      q.processAllAvailable()
+      buys.addData((10L, 7L, ts(20)), // joins clicks 1 (20m) and 2 (10m)
+        (11L, 8L, ts(50)),            // click 3 is 45m back: outside within
+        (12L, 9L, ts(30)))            // no click for user 9
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("buy_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((10L, 1L), (10L, 2L)))
+      // batch parity: the same rows through a plain batch interval join
+      val cb = Seq((1L, 7L, ts(0)), (2L, 7L, ts(10)), (3L, 8L, ts(5)))
+        .toDF("click_id", "user_id", "cts")
+      val bb = Seq((10L, 7L, ts(20)), (11L, 8L, ts(50)), (12L, 9L, ts(30)))
+        .toDF("buy_id", "user_id", "ts")
+      val want = bb.join(cb, bb("user_id") === cb("user_id") &&
+          cb("cts") >= bb("ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 minutes") &&
+          cb("cts") <= bb("ts"))
+        .select("buy_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
 }
