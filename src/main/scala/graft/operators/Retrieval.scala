@@ -185,14 +185,15 @@ object Retrieval {
     * explanations, cluster labeling, faceted corpus browsing). Smoothed
     * sklearn-style idf: `ln((N+1)/(df+1)) + 1`, score = tf * idf.
     *
-    * Scale shape: ONE data-sized keyed shuffle — the (doc, term) tf
-    * aggregation (map-side combined, so a term repeated 10⁶ times in one
-    * page crosses the wire once). The df table derives from THAT SAME
-    * aggregation (`tf.groupBy(term)`), so ReuseExchange serves the join's
-    * both sides from one materialization (the bm25 postings discipline);
-    * N broadcasts as a one-row frame. The per-doc top-k window gets the
-    * map-side WindowGroupLimit (rank <= k pushed partial). Text never
-    * shuffles — only (id, term, count) rows.
+    * Scale shape: ONE corpus scan — the (doc, term) tf aggregation
+    * (map-side combined, so a term repeated 10⁶ times in one page crosses
+    * the wire once) is PINNED by an eager localCheckpoint and both
+    * consumers (the scoring join and the df aggregation) read that one
+    * materialization; N broadcasts as a one-row frame. (ReuseExchange
+    * cannot serve the two branches here — see the inline note — so
+    * without the pin the corpus is scanned and tokenized twice.) The
+    * per-doc top-k window gets the map-side WindowGroupLimit (rank <= k
+    * pushed partial). Text never shuffles — only (id, term, count) rows.
     *
     * Gate policy: the output is (doc_id, rnk, term, tf, df) — exact
     * integers; the ln-bearing score only ORDERS (doc-local, term
@@ -207,9 +208,19 @@ object Retrieval {
       textCol: String = "text",
       emitScore: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // The tf table feeds BOTH the scoring join and the df aggregation.
+    // ReuseExchange can NOT serve them from one exchange here: the df
+    // branch never reads the count, so column pruning rewrites its partial
+    // aggregate to a countless distinct — the subplans stop being
+    // byte-identical and Spark silently re-scans and re-shuffles the whole
+    // corpus (found by the PlansSpec pin). The eager localCheckpoint pins
+    // the aggregated postings once instead — the Dedup capped-ngram
+    // discipline: both consumers read ONE materialization whose rows are
+    // (id, term, tf), already collapsed map-side, never the raw corpus.
     val tf = docs.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfs, Seq("term"))

@@ -288,4 +288,66 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("might_contain"), s"no bloom probe in plan:\n$p")
     assert(p.contains("subquery"), s"bloom should ride a scalar subquery:\n$p")
   }
+
+  // shared executed-plan shuffle collector for the r11 batch-4 pins
+  private def executedShuffles(name: String) = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(n: SparkPlan): Seq[ShuffleExchangeLike] = (n match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case e: ShuffleExchangeLike => Seq(e) ++ n.children.flatMap(walk)
+      case _ => n.children.flatMap(walk)
+    }) ++ n.subqueries.flatMap(walk)
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("q_tfidf_terms: one corpus scan (pinned postings); top-k limits map-side") {
+    val df = SparkEntry.queries("q_tfidf_terms")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // the postings pin means the only parquet scan left is the pruned
+    // zero-column N count — scoring and dfs both read the checkpoint
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(n: SparkPlan): Seq[FileSourceScanExec] = (n match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case _ => Seq.empty
+    }) ++ (n match {
+      case _: AdaptiveSparkPlanExec | _: QueryStageExec => Seq.empty
+      case _ => n.children.flatMap(fileScans)
+    }) ++ n.subqueries.flatMap(fileScans)
+    val fs = fileScans(p)
+    assert(fs.size == 1, s"expected 1 file scan (the N count), got ${fs.size}:\n$p")
+    assert(fs.head.output.isEmpty, s"the N count scan should read zero columns")
+    assert(p.toString.contains("WindowGroupLimit"),
+      s"per-doc top-k should get the map-side group limit:\n$p")
+  }
+
+  test("q_decay_score / q_attribution: exactly one data-sized shuffle each") {
+    assert(executedShuffles("q_decay_score").size == 1,
+      "decay score is one partial-aggregated user-keyed shuffle")
+    assert(executedShuffles("q_attribution").size == 1,
+      "attribution rides the single user-keyed window sort")
+  }
+
+  test("q_anomaly: raw events never shuffle — exchanges carry bucket rows only") {
+    val ex = executedShuffles("q_anomaly")
+    assert(ex.nonEmpty)
+    val leaked = ex.filter(_.output.exists(a =>
+      a.name == "event_id" || a.name == "value" || a.name == "user_id"))
+    assert(leaked.isEmpty,
+      s"an exchange carries raw event attributes: ${leaked.map(_.output.map(_.name))}")
+  }
+
+  test("q_collocations: pair generation is scan-local — no array crosses a shuffle") {
+    val ex = executedShuffles("q_collocations")
+    val arrayEx = ex.filter(_.output.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(arrayEx.isEmpty,
+      s"a term array rides an exchange: ${arrayEx.map(_.output.map(_.name))}")
+  }
 }
