@@ -94,7 +94,9 @@ object Bench {
     "q_collocations",
     // user growth (first-day histogram + prefix sum), MAD (two distributed
     // exact-quantile passes)
-    "q_user_growth", "q_mad")
+    "q_user_growth", "q_mad",
+    // association rules: sessionize window + sessions x |types| baskets
+    "q_assoc_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -737,6 +737,12 @@ object SparkEntry {
     "q_event_transitions_gap" -> ((s, dir) =>
       operators.Funnel.transitions(ev(s, dir), maxGap = Some("30 minutes"))),
 
+    // Association rules over sessions: directed event-type pairs with
+    // exact support counts + one-division confidence/lift doubles —
+    // market-basket analytics on the sessionizer's baskets.
+    "q_assoc_rules" -> ((s, dir) =>
+      operators.Funnel.associationRules(ev(s, dir))),
+
     // Per-user exponential time-decay activity score (half-life 1 day,
     // 30-day horizon) in division-free integer form: power-of-two weights,
     // exact BIGINT numerator — one partial-aggregated user-keyed shuffle,
@@ -2657,6 +2663,33 @@ object SparkEntry {
         |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, n, n_from, n / n_from AS p
         |FROM c JOIN f USING (from_type)""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH s AS (
+        |  SELECT *, CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS sid
+        |  FROM (SELECT user_id, ts, event_type,
+        |          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |            (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |          THEN 1 ELSE 0 END AS is_new
+        |        FROM events)),
+        |b AS (SELECT DISTINCT sid, event_type AS item FROM s),
+        |ic AS (SELECT item, count(*) AS c_item FROM b GROUP BY item),
+        |n AS (SELECT count(DISTINCT sid) AS n_sessions FROM b),
+        |p AS (SELECT a.item AS antecedent, c.item AS consequent,
+        |        count(*) AS c_both
+        |      FROM b a JOIN b c ON a.sid = c.sid AND a.item <> c.item
+        |      GROUP BY 1, 2
+        |      HAVING count(*) >= 2)
+        |SELECT antecedent, consequent, c_both,
+        |  ia.c_item AS c_ante, ic2.c_item AS c_cons, n_sessions,
+        |  CAST(c_both AS DOUBLE) / ia.c_item AS confidence,
+        |  CAST(c_both * n_sessions AS DOUBLE) / (ia.c_item * ic2.c_item)
+        |    AS lift
+        |FROM p
+        |JOIN ic ia ON ia.item = antecedent
+        |JOIN ic ic2 ON ic2.item = consequent, n""".stripMargin,
 
     "q_decay_score" ->
       """SELECT user_id, count(*) AS n_events,

@@ -211,4 +211,55 @@ object Funnel {
       col(s"t${i + 1}_reached").as("n_users")))
     counts.select(explode(array(entries: _*)).as("s")).select("s.*")
   }
+
+  /** Association rules over sessions (market-basket on event types): for
+    * every DIRECTED pair of event types co-occurring in a session,
+    * support count, the antecedent's session count, confidence
+    * c_xy / c_x and lift c_xy·N / (c_x·c_y) — the "users who did X in a
+    * session also did Y" readout. Confidence and lift are each ONE
+    * division of exactly-represented integers (bit-portable doubles, the
+    * collocations contract); `minSupport` prunes noise pairs before the
+    * count joins.
+    *
+    * Scale shape: sessionize's one user-keyed window shuffle, then
+    * DISTINCT (session, type) collapse — sessions × |types| rows at most —
+    * and a |types|²-sized pair aggregation via self-join on the session
+    * key (partial-aggregated; |types| is small by construction, this is
+    * the transactions-table discipline where the itemset alphabet is
+    * bounded). Item counts and N are tiny aggregates broadcast back. */
+  def associationRules(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      minSupport: Long = 2,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val baskets = sessionize(events, gap, userCol, tsCol)
+      .select(concat_ws(":", col(userCol), col("session_idx")).as("sid"),
+        col(typeCol).as("item"))
+      .distinct()
+    val itemCounts = baskets.groupBy("item").agg(count(lit(1)).as("c_item"))
+    val n = baskets.select("sid").distinct().agg(count(lit(1)).as("n_sessions"))
+    val pairs = baskets.join(
+        baskets.select(col("sid"), col("item").as("cons")), Seq("sid"))
+      .filter(col("item") =!= col("cons"))
+      .groupBy(col("item").as("antecedent"), col("cons").as("consequent"))
+      .agg(count(lit(1)).as("c_both"))
+      .filter(col("c_both") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("item").as("antecedent"),
+        col("c_item").as("c_ante")), Seq("antecedent"))
+      .join(itemCounts.select(col("item").as("consequent"),
+        col("c_item").as("c_cons")), Seq("consequent"))
+      .crossJoin(broadcast(n))
+      .withColumn("confidence",
+        col("c_both").cast("double") / col("c_ante"))
+      .withColumn("lift",
+        (col("c_both") * col("n_sessions")).cast("double") /
+          (col("c_ante") * col("c_cons")))
+      .select(col("antecedent"), col("consequent"), col("c_both"),
+        col("c_ante"), col("c_cons"), col("n_sessions"),
+        col("confidence"), col("lift"))
+  }
 }

@@ -191,4 +191,40 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("associationRules: hand-computed support/confidence/lift, direction matters") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // 3 sessions (users 1,2,3; all events within gap):
+    //   s1: {view, click}; s2: {view, click}; s3: {view}
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(1), "click"),
+      (2L, t(0), "view"), (2L, t(2), "click"),
+      (3L, t(0), "view"), (3L, t(1), "view")) // dup item collapses
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel.associationRules(ev, minSupport = 2)
+      .collect().map(r => ((r.getAs[String]("antecedent"),
+        r.getAs[String]("consequent")),
+        (r.getAs[Long]("c_both"), r.getAs[Long]("c_ante"),
+         r.getAs[Long]("c_cons"), r.getAs[Long]("n_sessions"),
+         r.getAs[Double]("confidence"), r.getAs[Double]("lift")))).toMap
+    assert(out.size == 2)
+    // view->click: 2/3 confidence; click->view: 2/2 = 1.0
+    assert(out(("view", "click")) == ((2L, 3L, 2L, 3L, 2.0 / 3.0, 1.0)))
+    assert(out(("click", "view")) == ((2L, 2L, 3L, 3L, 1.0, 1.0)))
+  }
+
+  test("associationRules: session gap splits baskets; minSupport prunes") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // user 1's purchase is 40m after the click: separate session, so
+    // click+purchase co-occur ZERO times
+    val ev = Seq((1L, t(0), "click"), (1L, t(40), "purchase"),
+      (2L, t(0), "click"), (2L, t(1), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel.associationRules(ev, minSupport = 1)
+      .collect().map(r => (r.getAs[String]("antecedent"), r.getAs[String]("consequent")))
+    assert(!out.contains(("click", "purchase")))
+    assert(out.toSet == Set(("click", "view"), ("view", "click")))
+  }
 }
