@@ -96,7 +96,9 @@ object Bench {
     // exact-quantile passes)
     "q_user_growth", "q_mad",
     // association rules: sessionize window + sessions x |types| baskets
-    "q_assoc_rules")
+    "q_assoc_rules",
+    // percentile rank vs reference: the union-prefix searchsorted
+    "q_pct_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1053,6 +1053,18 @@ object SparkEntry {
     "q_collocations" -> ((s, dir) =>
       Curation.collocations(t(s, dir, "documents"))),
 
+    // Percentile rank vs a reference corpus: the union-prefix searchsorted
+    // (one two-phase prefix-sum pass, no quantile table, no NxM join) —
+    // ingest docs scored against the kept corpus's length distribution.
+    "q_pct_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.percentileRankAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "n_tokens", "doc_id")
+    }),
+
     // Vocabulary coverage curve: frequency-ranked vocab with exact
     // running occurrence totals via the two-phase prefix sum — the
     // tokenizer-design table; coverage = cum_freq/total, one division
@@ -2839,6 +2851,18 @@ object SparkEntry {
         |      WHERE c_xy >= 5)
         |SELECT x, y, c_xy, c_x, c_y, ratio FROM s
         |ORDER BY ratio DESC, x, y LIMIT 100""".stripMargin,
+
+    "q_pct_rank" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+        |r AS (SELECT n_tokens FROM t WHERE doc_id % 5 <> 0),
+        |n AS (SELECT count(*) AS n_ref FROM r)
+        |SELECT q.doc_id, CAST(q.n_tokens AS DOUBLE) AS n_tokens,
+        |  (SELECT count(*) FROM r WHERE r.n_tokens <= q.n_tokens) AS n_le,
+        |  n_ref
+        |FROM q, n""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH tk AS (

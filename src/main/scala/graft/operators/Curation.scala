@@ -883,6 +883,50 @@ object Curation {
       .drop("prob").withColumnRenamed("value", "mad")
   }
 
+  /** Percentile rank of each row's value AGAINST A REFERENCE corpus —
+    * ingest-time scoring ("this crawl doc's length sits at the ref
+    * corpus's p87") without materializing the reference's quantiles at
+    * any fixed resolution. Output: each input row plus `n_le` = #reference
+    * values <= value and `n_ref` — exact integers; the percentile is the
+    * one division n_le / n_ref away (bit-portable if taken).
+    *
+    * The searchsorted is the UNION-PREFIX trick, fully distributed: tag
+    * reference rows 0 and query rows 1, run the two-phase distributed
+    * prefix SUM of the reference indicator over the (value, tag, id)
+    * total order — a query row's running sum IS the count of reference
+    * values at or below it (the tag tiebreak puts reference rows first at
+    * equal values, giving <= semantics). No broadcast quantile table, no
+    * per-row binary search against driver-collected boundaries, no
+    * Σ|query|·|ref| join — ONE prefix-sum pass over the union. Null
+    * values rank null. */
+  def percentileRankAgainst(
+      df: DataFrame,
+      ref: DataFrame,
+      valueCol: String,
+      idCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val tagged = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), v.as("__v"), lit(1).as("__tag"))
+      .unionByName(ref.filter(col(valueCol).isNotNull)
+        .select(lit(null).cast(df.schema(idCol).dataType).as("__id"),
+          v.as("__v"), lit(0).as("__tag")))
+    val counted = graft.ops.RunningCount.withRunningAgg(
+      tagged, when(col("__tag") === 0, 1L).otherwise(0L),
+      graft.ops.RunningCount.Kind.Sum,
+      Seq(col("__v"), col("__tag"), col("__id")), "__n_le")
+    val nRef = ref.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n_ref"))
+    val ranked = counted.filter(col("__tag") === 1)
+      .select(col("__id").as(idCol), col("__v").as(valueCol),
+        coalesce(col("__n_le"), lit(0L)).cast("long").as("n_le"))
+      .crossJoin(broadcast(nRef))
+    val nullRows = df.filter(col(valueCol).isNull)
+      .select(col(idCol), v.as(valueCol),
+        lit(null).cast("long").as("n_le"))
+      .crossJoin(broadcast(nRef))
+    ranked.unionByName(nullRows)
+  }
+
   /** Vocabulary coverage curve: the corpus's tokens ranked by frequency
     * with an exact running occurrence total — the table a tokenizer/vocab
     * design reads ("how many token occurrences do the top-k terms

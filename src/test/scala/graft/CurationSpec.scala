@@ -937,4 +937,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val g = Curation.medianAbsDeviation(df, "v").collect()
     assert(g.length == 1 && g(0).getAs[Double]("mad") == 2.0)
   }
+
+  test("percentileRankAgainst: searchsorted semantics incl. ties and nulls") {
+    import spark.implicits._
+    val ref = Seq(10L, 20L, 20L, 30L, 40L).map(Tuple1(_)).toDF("v")
+    val q = Seq((1L, Some(5L)), (2L, Some(20L)), (3L, Some(25L)),
+      (4L, Some(40L)), (5L, Some(99L)), (6L, None)).toDF("id", "v")
+    val out = Curation.percentileRankAgainst(q, ref, "v", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("n_le"))) -1L else r.getAs[Long]("n_le")))
+      .toMap
+    // <= semantics: 20 counts BOTH ref 20s; below-min -> 0; above-max -> all
+    assert(out == Map(1L -> 0L, 2L -> 3L, 3L -> 3L, 4L -> 5L, 5L -> 5L, 6L -> -1L))
+    // partition invariance through the two-phase machinery
+    val out8 = Curation.percentileRankAgainst(q.repartition(8),
+      ref.repartition(3), "v", "id").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("n_le"))) -1L else r.getAs[Long]("n_le")))
+      .toMap
+    assert(out8 == out)
+  }
 }

@@ -331,4 +331,58 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
       assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L)))
     } finally q.stop()
   }
+
+  test("anomaly flags resume the bucket ring from checkpoint across a restart") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_anom_in").toString
+    val out = Files.createTempDirectory("graft_anom_out").toString
+    val ckpt = Files.createTempDirectory("graft_anom_ckpt").toString
+    def hts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+    def writeBatch(name: String, rows: Seq[(Long, Timestamp, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_anom_stage").resolve("w").toString
+      rows.toDF("event_id", "ts", "event_type").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    lazy val schema = spark.read.parquet(in).schema
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      StreamingPipeline.startFileSink(
+        StreamingPipeline.anomalyFlags(src, window = 3), out, ckpt)
+    }
+
+    // pre-crash: three calm closed buckets (h0..h2 of 5 events; h3 opens)
+    val calm = (0 until 3).flatMap(h =>
+      (0 until 5).map(i => (h * 10L + i, hts(h, i + 1), "A"))) :+
+      (100L, hts(3, 1), "A")
+    writeBatch("b1.parquet", calm)
+    val q1 = startQuery()
+    q1.awaitTermination(60000)
+    assert(!q1.isActive)
+
+    // crash + restart: h3 fills calm (4 more events -> closes at n=5), then
+    // an h4 spike of 25 closes h3; h5 closes h4. The ring for h4's test is
+    // h1,h2,h3 — carried ACROSS the restart in state.
+    val post = (0 until 4).map(i => (200L + i, hts(3, 10 + i), "A")) ++
+      (0 until 25).map(i => (300L + i, hts(4, i + 1), "A")) :+
+      (400L, hts(5, 1), "A")
+    writeBatch("b2.parquet", post)
+    val q2 = startQuery()
+    q2.awaitTermination(60000)
+
+    val result = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("bucket_us"), r.getAs[Long]("n"),
+        r.getAs[Long]("w_prev"), r.getAs[Boolean]("is_anomaly")))
+      .sortBy(_._1).toSeq
+    // five closed buckets h0..h4; no duplicates from the pre-crash batch
+    assert(result.map(_._2) == Seq(5L, 5L, 5L, 5L, 25L))
+    // h3 closed post-restart with the PRE-crash buckets h0..h2 in its ring
+    assert(result(3)._3 == 3 && !result(3)._4)
+    // the h4 spike is flagged against the recovered calm ring
+    assert(result(4)._3 == 3 && result(4)._4)
+    // warm-up buckets (h0: 0-ring; h1: 1; h2: 2) unflagged
+    assert(result.take(3).forall(!_._4))
+  }
 }
