@@ -98,7 +98,9 @@ object Bench {
     // association rules: sessionize window + sessions x |types| baskets
     "q_assoc_rules",
     // percentile rank vs reference: the union-prefix searchsorted
-    "q_pct_rank")
+    "q_pct_rank",
+    // ingest-vs-corpus near-dup: cross-side postings join
+    "q_dedup_ngram_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1380,6 +1380,16 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5)),
 
+    // Ingest-vs-corpus NEAR-dup (the fuzzy dropExistingIn): new batch's
+    // shingle postings joined against the corpus's — Σ df_new·df_corpus
+    // pair space, never |new|x|corpus|; full-set-size Jaccard.
+    "q_dedup_ngram_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramJaccardAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), threshold = 0.5)
+    }),
+
     // Asymmetric containment: |A∩B| / min(|A|,|B|) — catches a document
     // embedded inside a longer one, which Jaccard structurally misses.
     "q_dedup_containment" -> ((s, dir) =>
@@ -3237,6 +3247,18 @@ object SparkEntry {
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
+        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+
+    "q_dedup_ngram_incr" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
         |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
 

@@ -188,6 +188,58 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("a_id"), col("b_id"), col("containment"))
 
+  /** N-gram Jaccard NEAR-dup pairs of an ingest batch AGAINST an existing
+    * corpus — the fuzzy counterpart of [[dropExistingIn]] (which only
+    * catches byte-exact duplicates): "is this crawl batch a near-rewrite
+    * of anything we already keep". One row per (new doc, corpus doc) pair
+    * at or above `threshold`; the caller's keep/drop policy composes on
+    * top (anti-join `newDocs` against the `a_id` set to drop).
+    *
+    * Scale shape: the postings discipline across two sides — each side
+    * collapses to (id, |set|, shingle) postings scan-locally, the ONE
+    * data-sized join is shingle-keyed new×corpus (Σ_sh df_new·df_corpus —
+    * never |new|·|corpus|), pairs aggregate partial. `maxShingleDf` caps
+    * the CORPUS-side document frequency (boilerplate lives in the
+    * corpus): over-cap shingles drop via a tiny anti-join before the
+    * cross join, with the corpus postings PINNED under the cap for the
+    * same reuse-breakage reason as [[ngramJaccardPairs]] (the df branch
+    * and the join probe cannot share an exchange). Jaccard uses FULL set
+    * sizes on both sides, so the cap prunes candidates, never distorts a
+    * surviving pair's score. */
+  def ngramJaccardAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      ngram: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    val parts = newDocs.sparkSession.sessionState.conf.numShufflePartitions
+    def postings(df: DataFrame, id: String, sz: String) =
+      df.repartition(parts).select(
+        col(idCol).as(id),
+        TextFunctions.shingleSet(col(textCol), ngram).as("sh"))
+        .withColumn(sz, coalesce(size(col("sh")), lit(0)))
+        .select(col(id), col(sz), explode_outer(col("sh")).as("shingle"))
+    val np = postings(newDocs, "a_id", "a_sz")
+    val cp0 = postings(corpus, "b_id", "b_sz")
+    val cp = maxShingleDf.fold(cp0) { cap =>
+      require(cap >= 1, s"maxShingleDf must be >= 1: $cap")
+      val pinned = cp0.localCheckpoint(true)
+      val hot = pinned.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap).select("shingle")
+      pinned.join(hot, Seq("shingle"), "left_anti")
+    }
+    np.join(cp, Seq("shingle"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
   /** Blocked FUZZY near-dup pairs by edit distance: candidate pairs form
     * only WITHIN a block (default: the lowercased 8-char prefix — the
     * classic title/short-text blocker), then survive `levenshtein ≤

@@ -428,4 +428,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.fuzzyPairs(docs, maxDist = 1, maxBlockSize = Some(1)))
   }
+
+  test("ngramJaccardAgainstCorpus: cross-side pairs only, cap prunes corpus boilerplate") {
+    import spark.implicits._
+    val newDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "totally different words here entirely now")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon eta"), // near-dup of 100
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact content twin
+      (3L, "unrelated content of its own kind")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardAgainstCorpus(newDocs, corpus, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jac"))).sortBy(t => (t._1, t._2))
+    // only new x corpus pairs; 100-2 is jac 1.0; 100-1 shares 3 of 4+4
+    // trigrams -> 3/5 = 0.6; 101 matches nothing
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((100L, 1L), (100L, 2L)))
+    assert(out(1)._3 == 1.0 && out(0)._3 == 0.6)
+    // corpus-side df cap: a boilerplate shingle present in every corpus doc
+    val boiler = Seq((10L, "x y z one"), (11L, "x y z two"), (12L, "x y z three"))
+      .toDF("doc_id", "text")
+    val probe = Seq((200L, "x y z one")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardAgainstCorpus(probe, boiler, 0.2)
+    val capped = Dedup.ngramJaccardAgainstCorpus(probe, boiler, 0.2,
+      maxShingleDf = Some(2))
+    // "x y z" (df 3) is dropped under the cap; the exact twin still pairs
+    // through its unique shingles, the others lose their only link
+    assert(uncapped.count() == 3)
+    val cappedPairs = capped.collect().map(r => r.getAs[Long]("b_id")).toSeq
+    assert(cappedPairs == Seq(10L))
+  }
 }
