@@ -100,7 +100,9 @@ object Bench {
     // percentile rank vs reference: the union-prefix searchsorted
     "q_pct_rank",
     // ingest-vs-corpus near-dup: cross-side postings join
-    "q_dedup_ngram_incr")
+    "q_dedup_ngram_incr",
+    // Pareto skyline: two-phase local-dominance filter
+    "q_skyline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

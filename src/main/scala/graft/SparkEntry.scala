@@ -1053,6 +1053,17 @@ object SparkEntry {
     "q_collocations" -> ((s, dir) =>
       Curation.collocations(t(s, dir, "documents"))),
 
+    // Pareto skyline on (token count, distinct-token count): the docs no
+    // other doc dominates on both richness axes — two-phase distributed
+    // dominance (local skylines -> one bounded final pass).
+    "q_skyline" -> ((s, dir) =>
+      Curation.skyline(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(array_distinct(TextFunctions.tokens(col("text"))))
+            .cast("long").as("n_distinct")),
+        Seq("n_tokens", "n_distinct"))),
+
     // Percentile rank vs a reference corpus: the union-prefix searchsorted
     // (one two-phase prefix-sum pass, no quantile table, no NxM join) —
     // ingest docs scored against the kept corpus's length distribution.
@@ -2861,6 +2872,17 @@ object SparkEntry {
         |      WHERE c_xy >= 5)
         |SELECT x, y, c_xy, c_x, c_y, ratio FROM s
         |ORDER BY ratio DESC, x, y LIMIT 100""".stripMargin,
+
+    "q_skyline" ->
+      """WITH t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents))
+        |SELECT doc_id, n_tokens, n_distinct FROM t a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM t b
+        |  WHERE b.n_tokens >= a.n_tokens AND b.n_distinct >= a.n_distinct
+        |    AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct))""".stripMargin,
 
     "q_pct_rank" ->
       """WITH t AS (SELECT doc_id,

@@ -927,6 +927,63 @@ object Curation {
     ranked.unionByName(nullRows)
   }
 
+  /** Distributed SKYLINE (Pareto frontier) over maximized criteria — the
+    * multi-objective data-selection shape ("docs not dominated on
+    * quality × rarity × length"): a row survives iff no other row is >=
+    * on every criterion and > on at least one. Ties/duplicate points all
+    * survive (neither dominates).
+    *
+    * Scale shape: the classic two-phase skyline — a per-partition local
+    * dominance filter first (mapPartitions; the skyline of a union equals
+    * the skyline of the union of local skylines, so partitioning cannot
+    * change the result), then the final filter over the UNION OF LOCAL
+    * SKYLINES in one task. Correct at any input size; the single final
+    * task bounds throughput by Σ|local skylines| — skylines over
+    * anti-correlated criteria can be large, so `maxCandidates` fails fast
+    * (loudly, not OOM) when the candidate set exceeds it; raising
+    * dimensions raises skyline size, the known skyline trade. Null
+    * criteria rows are excluded (dominance is undefined on null). */
+  def skyline(
+      df: DataFrame,
+      criteria: Seq[String],
+      maxCandidates: Int = 1000000): DataFrame = {
+    require(criteria.nonEmpty, "need at least one criterion")
+    require(maxCandidates >= 1, s"maxCandidates must be >= 1: $maxCandidates")
+    val idxs = criteria.map(df.schema.fieldIndex)
+    val clean = df.filter(criteria.map(col(_).isNotNull).reduce(_ && _))
+    def dominates(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Boolean = {
+      // a dominates b: >= everywhere, > somewhere (numeric widening-safe)
+      var ge = true; var gt = false
+      idxs.foreach { i =>
+        val x = a.get(i) match { case n: Number => n.doubleValue }
+        val y = b.get(i) match { case n: Number => n.doubleValue }
+        if (x < y) ge = false
+        if (x > y) gt = true
+      }
+      ge && gt
+    }
+    def localSkyline(it: Iterator[org.apache.spark.sql.Row]) = {
+      val keep = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      it.foreach { r =>
+        if (!keep.exists(k => dominates(k, r))) {
+          keep.filterInPlace(k => !dominates(r, k))
+          keep += r
+        }
+      }
+      keep.iterator
+    }
+    val enc = org.apache.spark.sql.Encoders.row(clean.schema)
+    val local = clean.mapPartitions(localSkyline)(enc)
+    val candidates = local.repartition(1)
+    candidates.mapPartitions { it =>
+      val rows = it.toVector
+      require(rows.size <= maxCandidates,
+        s"skyline candidate set ${rows.size} exceeds maxCandidates " +
+          s"$maxCandidates — anti-correlated criteria; raise the cap or cut dims")
+      localSkyline(rows.iterator)
+    }(enc)
+  }
+
   /** Vocabulary coverage curve: the corpus's tokens ranked by frequency
     * with an exact running occurrence total — the table a tokenizer/vocab
     * design reads ("how many token occurrences do the top-k terms

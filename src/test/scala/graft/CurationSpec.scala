@@ -957,4 +957,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(out8 == out)
   }
+
+  test("skyline: dominance filter keeps the Pareto frontier, ties survive") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 5L, 1L), (2L, 4L, 2L), (3L, 3L, 3L), // frontier
+      (4L, 3L, 2L), (5L, 1L, 1L),               // dominated
+      (6L, 3L, 3L),                             // tie of 3: both survive
+      (7L, 5L, 1L))                             // tie of 1: both survive
+      .toDF("id", "x", "y")
+    val out = Curation.skyline(pts, Seq("x", "y"))
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 6L, 7L))
+    // partition invariance of the two-phase filter
+    val out8 = Curation.skyline(pts.repartition(8), Seq("x", "y"))
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(out8 == out)
+    // null criteria rows are excluded
+    val withNull = pts.unionByName(Seq((9L, Option.empty[Long], Option(9L)))
+      .toDF("id", "x", "y"))
+    assert(!Curation.skyline(withNull, Seq("x", "y"))
+      .collect().map(_.getAs[Long]("id")).contains(9L))
+    // candidate cap fails loudly, not OOM
+    intercept[org.apache.spark.SparkException] {
+      Curation.skyline(pts, Seq("x", "y"), maxCandidates = 1).collect()
+    }
+  }
 }
