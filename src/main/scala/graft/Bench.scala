@@ -102,7 +102,9 @@ object Bench {
     // ingest-vs-corpus near-dup: cross-side postings join
     "q_dedup_ngram_incr",
     // Pareto skyline: two-phase local-dominance filter
-    "q_skyline")
+    "q_skyline",
+    // arbitrary grouping sets (single-shuffle Expand, like rollup/cube)
+    "q_grouping_sets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

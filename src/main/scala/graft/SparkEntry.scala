@@ -369,6 +369,21 @@ object SparkEntry {
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           col("n"), col("sum_price"))),
 
+    // Arbitrary GROUPING SETS with grouping_id: the asymmetric mix
+    // ((priority, status), (status), ()) neither ROLLUP's hierarchy nor
+    // CUBE's full lattice expresses — same single-shuffle Expand shape.
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "sum_price"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_price"), col("gid"))),
+
     // CUBE: all 2^k grouping sets in the same single-shuffle Expand+agg
     // shape as rollup — the one extra set here ((status) without
     // (priority)) is exactly what ROLLUP's hierarchy can't express.
@@ -1901,6 +1916,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderstatus), ())""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
