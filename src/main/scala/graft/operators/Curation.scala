@@ -1008,11 +1008,14 @@ object Curation {
         .as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
     val total = freq.agg(sum(col("freq")).cast("long").as("total"))
-    val ranked = graft.ops.RunningCount.withRunningAgg(
-      freq, col("freq"), graft.ops.RunningCount.Kind.Sum,
-      Seq(col("freq").desc, col("term")), "cum_freq")
-    val pos = graft.ops.RunningCount.withRunningCount(
-      ranked, Seq(col("freq").desc, col("term")), "rnk")
+    // rank AND cumulative total in ONE two-phase pass (shared bucketing,
+    // one window, one offsets rollup) — two sequential calls would each
+    // pay the full shuffle + sort over the vocab table
+    val pos = graft.ops.RunningCount.withRunningAggs(
+      freq,
+      Seq((col("freq"), graft.ops.RunningCount.Kind.Sum, "cum_freq"),
+        (lit(1L), graft.ops.RunningCount.Kind.Count, "rnk")),
+      Seq(col("freq").desc, col("term")))
     pos.filter(col("rnk") <= topK)
       .crossJoin(broadcast(total))
       .select(col("rnk"), col("term"), col("freq"),

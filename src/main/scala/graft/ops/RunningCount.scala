@@ -81,29 +81,29 @@ object RunningCount {
       prefix: WindowSpec => Column,       // exclusive prefix over totals
       combine: (Column, Column) => Column) // (bucket offset, within) -> out
 
-  private def aggFor(kind: Kind, v: Column): Agg = kind match {
+  private def aggFor(kind: Kind, v: Column, t: String = T): Agg = kind match {
     case Kind.Count => Agg(
       w => row_number().over(w).cast("long"),
-      count(lit(1)).as(T),
-      w => coalesce(sum(col(T)).over(w), lit(0L)),
+      count(lit(1)).as(t),
+      w => coalesce(sum(col(t)).over(w), lit(0L)),
       (off, in) => off + in)
     case Kind.Sum => Agg(
       w => sum(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-      sum(v).as(T),
-      w => sum(col(T)).over(w),
+      sum(v).as(t),
+      w => sum(col(t)).over(w),
       // null exactly when BOTH sides are null (no non-null value so far) —
       // matching SQL's SUM OVER semantics
       (off, in) => when(off.isNull, in).otherwise(
         when(in.isNull, off).otherwise(off + in)))
     case Kind.Max => Agg(
       w => max(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-      max(v).as(T),
-      w => max(col(T)).over(w),
+      max(v).as(t),
+      w => max(col(t)).over(w),
       (off, in) => greatest(off, in)) // greatest/least skip nulls
     case Kind.Min => Agg(
       w => min(v).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-      min(v).as(T),
-      w => min(col(T)).over(w),
+      min(v).as(t),
+      w => min(col(t)).over(w),
       (off, in) => least(off, in))
   }
 
@@ -123,7 +123,24 @@ object RunningCount {
       kind: Kind,
       orderCols0: Seq[Column],
       outputCol: String = "running_agg",
+      numPartitions: Option[Int] = None): DataFrame =
+    withRunningAggs(df, Seq((value, kind, outputCol)), orderCols0, numPartitions)
+
+  /** SEVERAL running aggregates over the SAME global order in ONE two-phase
+    * pass: one bucketing, one within-bucket window (Spark plans the
+    * same-spec window functions into a single Window node), one tiny
+    * offsets rollup, one broadcast join — where N separate
+    * [[withRunningAgg]] calls would each pay the full shuffle + sort.
+    * The rank-and-cumulative shape (`(lit(1), Count, "rnk")` beside
+    * `(v, Sum, "cum")`) is the common caller. */
+  def withRunningAggs(
+      df: DataFrame,
+      specs: Seq[(Column, Kind, String)],
+      orderCols0: Seq[Column],
       numPartitions: Option[Int] = None): DataFrame = {
+    require(specs.nonEmpty, "need at least one aggregate spec")
+    require(specs.map(_._3).distinct.size == specs.size,
+      s"duplicate output columns: ${specs.map(_._3)}")
     val arrivalCol = "__graft_arrival"
     // No order key (e.g. a Select dropped the lineage columns): fall back to
     // arrival order via monotonically_increasing_id — matching the
@@ -133,7 +150,9 @@ object RunningCount {
       else (df.withColumn(arrivalCol, monotonically_increasing_id()),
             Seq(col(arrivalCol)), Seq(arrivalCol))
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
-    val agg = aggFor(kind, value)
+    val aggs = specs.zipWithIndex.map { case ((v, kind, out), i) =>
+      (aggFor(kind, v, s"${T}_$i"), out)
+    }
 
     // The head key drives the bucketing; callers may hand us a SortOrder
     // (col(k).desc) — unwrap it and carry direction + null placement into
@@ -143,10 +162,10 @@ object RunningCount {
     val keyType = base.select(keyCol).schema.head.dataType
     val rankKey = toRankDouble(keyCol, keyType)
     val out =
-      if (parts <= 1) singlePartition(base, agg, orderCols, outputCol)
+      if (parts <= 1) singlePartition(base, aggs, orderCols)
       else if (rankKey.isDefined)
-        quantileBuckets(base, agg, rankKey.get, orderCols, descending, nullsFirst, outputCol, parts)
-      else rangeCheckpoint(base, agg, orderCols, outputCol, parts)
+        quantileBuckets(base, aggs, rankKey.get, orderCols, descending, nullsFirst, parts)
+      else rangeCheckpoint(base, aggs, orderCols, parts)
     out.drop(dropExtra: _*)
   }
 
@@ -164,17 +183,18 @@ object RunningCount {
 
   /** Degenerate single-partition case: the plain global window. */
   private def singlePartition(
-      df: DataFrame, agg: Agg, orderCols: Seq[Column], outputCol: String) =
-    df.withColumn(outputCol, agg.within(Window.orderBy(orderCols: _*)))
+      df: DataFrame, aggs: Seq[(Agg, String)], orderCols: Seq[Column]) = {
+    val w = Window.orderBy(orderCols: _*)
+    aggs.foldLeft(df) { case (d, (agg, out)) => d.withColumn(out, agg.within(w)) }
+  }
 
   private def quantileBuckets(
       df: DataFrame,
-      agg: Agg,
+      aggs: Seq[(Agg, String)],
       rankKey: Column,
       orderCols: Seq[Column],
       descending: Boolean,
       nullsFirst: Boolean,
-      outputCol: String,
       parts: Int): DataFrame = {
     val probs = (1 until parts).map(i => lit(i.toDouble / parts))
     // ONE row of ~parts doubles; the eager localCheckpoint pins the
@@ -193,11 +213,11 @@ object RunningCount {
         GraftExpr.expression(col("__graft_bounds")),
         descending, nullsFirst)))
       .drop("__graft_bounds")
-    prefixCombine(bucketed, agg, col(B), B, orderCols, outputCol)
+    prefixCombine(bucketed, aggs, col(B), B, orderCols)
   }
 
   private def rangeCheckpoint(
-      df: DataFrame, agg: Agg, orderCols: Seq[Column], outputCol: String,
+      df: DataFrame, aggs: Seq[(Agg, String)], orderCols: Seq[Column],
       parts: Int): DataFrame = {
     val pidCol = "__graft_pid"
     // Eager localCheckpoint pins the sampled range boundaries AND the
@@ -208,30 +228,39 @@ object RunningCount {
       .repartitionByRange(parts, orderCols: _*)
       .withColumn(pidCol, spark_partition_id())
       .localCheckpoint(true)
-    prefixCombine(ranged, agg, col(pidCol), pidCol, orderCols, outputCol)
+    prefixCombine(ranged, aggs, col(pidCol), pidCol, orderCols)
   }
 
-  /** Shared second phase: within-bucket running agg + tiny exclusive-prefix
-    * rollup over bucket totals, broadcast back and combined. */
+  /** Shared second phase: within-bucket running aggs (one Window node — all
+    * share the spec) + tiny exclusive-prefix rollup over bucket totals,
+    * broadcast back and combined per aggregate. */
   private def prefixCombine(
       bucketed: DataFrame,
-      agg: Agg,
+      aggs: Seq[(Agg, String)],
       bucket: Column,
       bucketName: String,
-      orderCols: Seq[Column],
-      outputCol: String): DataFrame = {
+      orderCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(bucket).orderBy(orderCols: _*)
-    val withIn = bucketed.withColumn("__graft_in", agg.within(w))
+    def in(i: Int) = s"__graft_in_$i"
+    def off(i: Int) = s"__graft_offset_$i"
+    val withIn = aggs.zipWithIndex.foldLeft(bucketed) {
+      case (d, ((agg, _), i)) => d.withColumn(in(i), agg.within(w))
+    }
 
     // numPartitions-row rollup: a single tiny window partition is fine.
-    val offsets = bucketed.groupBy(bucket)
-      .agg(agg.total)
-      .withColumn("__graft_offset", agg.prefix(
-        Window.orderBy(bucket).rowsBetween(Window.unboundedPreceding, -1)))
-      .select(bucket, col("__graft_offset"))
+    val totals = aggs.map { case (agg, _) => agg.total }
+    val ow = Window.orderBy(bucket).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = aggs.zipWithIndex.foldLeft(
+        bucketed.groupBy(bucket).agg(totals.head, totals.tail: _*)) {
+        case (d, ((agg, _), i)) => d.withColumn(off(i), agg.prefix(ow))
+      }
+      .select(bucket +: aggs.indices.map(i => col(off(i))): _*)
 
-    withIn.join(broadcast(offsets), bucketName)
-      .withColumn(outputCol, agg.combine(col("__graft_offset"), col("__graft_in")))
-      .drop(bucketName, "__graft_in", "__graft_offset")
+    val joined = withIn.join(broadcast(offsets), bucketName)
+    aggs.zipWithIndex.foldLeft(joined) {
+        case (d, ((agg, out), i)) =>
+          d.withColumn(out, agg.combine(col(off(i)), col(in(i))))
+      }
+      .drop(bucketName +: aggs.indices.flatMap(i => Seq(in(i), off(i))): _*)
   }
 }
