@@ -525,3 +525,48 @@ case class CharProfile(child: Expression)
   override protected def withNewChildInternal(c: Expression): CharProfile =
     copy(child = c)
 }
+
+/** All ordered pairs (a[i], a[j]) with i < j of a string array, as one
+  * array<struct<x, y>> — the collocation pair generator. One tight loop
+  * per row where the HOF formulation (indexed transform + nested transform
+  * + flatten) evaluates interpreted with a lambda frame per element pair.
+  * The caller passes a SORTED DISTINCT array so x < y lexicographically;
+  * this expression does not re-sort. Null input -> empty array. */
+case class ArrayPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("x", StringType, nullable = true),
+      StructField("y", StringType, nullable = true))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => new GenericArrayData(Array.empty[Any])
+      case v => nullSafeEval(v)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.getUTF8String(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](x, arr.getUTF8String(j)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ArrayPairs =
+    copy(child = c)
+}

@@ -838,10 +838,13 @@ object Curation {
         array_sort(array_distinct(graft.functions.TextFunctions.tokens(col(textCol))))
           .as("__ts"))
       .filter(size(col("__ts")).between(2, maxDocTerms))
+    // native pair generation ([[graft.functions.ArrayPairs]]): the HOF
+    // formulation (indexed transform + nested transform + flatten) runs
+    // interpreted per element pair
     val pairs = terms
-      .select(explode(flatten(transform(col("__ts"), (x, i) =>
-        transform(slice(col("__ts"), i + lit(2), size(col("__ts"))),
-          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .select(explode(org.apache.spark.sql.GraftExpr.column(
+        graft.functions.ArrayPairs(
+          org.apache.spark.sql.GraftExpr.expression(col("__ts"))))).as("p"))
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minPairCount)
