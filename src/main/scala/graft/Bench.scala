@@ -104,7 +104,10 @@ object Bench {
     // Pareto skyline: two-phase local-dominance filter
     "q_skyline",
     // arbitrary grouping sets (single-shuffle Expand, like rollup/cube)
-    "q_grouping_sets")
+    "q_grouping_sets",
+    // linear attribution (banded user-keyed join + conv-keyed split),
+    // per-group mode (histogram + top-1 window)
+    "q_attr_linear", "q_mode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

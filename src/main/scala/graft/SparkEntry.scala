@@ -773,6 +773,17 @@ object SparkEntry {
     "q_attribution" -> ((s, dir) =>
       operators.EventSignals.attributeLastTouch(ev(s, dir))),
 
+    // Multi-touch linear attribution: each purchase's cents split exactly
+    // across its window's clicks (div + remainder-to-most-recent — sums
+    // reconstruct the original); windowless conversions keep a null row.
+    "q_attr_linear" -> ((s, dir) =>
+      operators.EventSignals.attributeLinear(ev(s, dir), within = "24 hours")),
+
+    // Per-user modal event type, deterministic smallest-value tiebreak —
+    // counts + rank over the (group, value) histogram, never raw rows.
+    "q_mode" -> ((s, dir) =>
+      Curation.modePerGroup(ev(s, dir), "event_type", Seq("user_id"))),
+
     // Trailing-24-bucket anomaly flags on hourly per-type counts — the
     // z-score test cross-multiplied into an exact integer inequality (no
     // sqrt/division); events collapse to bucket rows BEFORE the window.
@@ -2774,6 +2785,38 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS UNBOUNDED PRECEDING))
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_attr_linear" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, event_id AS conv_id, epoch_us(ts) AS cts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS u, event_id AS touch_id, epoch_us(ts) AS tts
+        |        FROM events WHERE event_type = 'click'),
+        |m AS (SELECT conv.u, conv.conv_id, conv.cts, conv.cents,
+        |        tch.touch_id, tch.tts
+        |      FROM conv JOIN tch USING (u)
+        |      WHERE tts <= cts AND tts >= cts - 86400000000),
+        |sh AS (SELECT conv_id, u, cts, touch_id, cents,
+        |         count(*) OVER (PARTITION BY conv_id) AS n_touches,
+        |         row_number() OVER (PARTITION BY conv_id
+        |           ORDER BY tts DESC, touch_id DESC) AS rk
+        |       FROM m)
+        |SELECT conv_id, u AS user_id, cts AS conv_ts_us, touch_id, n_touches,
+        |  cents // n_touches +
+        |    (CASE WHEN rk = 1 THEN cents % n_touches ELSE 0 END) AS cents_share
+        |FROM sh
+        |UNION ALL
+        |SELECT conv_id, u, cts, NULL, 0, NULL FROM conv
+        |WHERE conv_id NOT IN (SELECT conv_id FROM m)""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type AS mode, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, event_type) AS rn FROM c)
+        |WHERE rn = 1""".stripMargin,
 
     "q_anomaly" ->
       """WITH b AS (

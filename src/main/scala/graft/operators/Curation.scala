@@ -930,6 +930,29 @@ object Curation {
     ranked.unionByName(nullRows)
   }
 
+  /** Per-group MODE with a DETERMINISTIC tiebreak (smallest value wins) —
+    * engines disagree on tied modes (Spark's `mode` picks arbitrarily
+    * unless asked, SQL MODE() is implementation-defined), so the portable
+    * form is counts + rank: one (group, value) partial-agg shuffle, then
+    * a per-group top-1 window over DISTINCT-VALUE rows (map-side
+    * WindowGroupLimit; the window never sees raw data — the
+    * exactQuantilesDistributed histogram discipline). Nulls excluded. */
+  def modePerGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("n").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumnRenamed(valueCol, "mode")
+  }
+
   /** Distributed SKYLINE (Pareto frontier) over maximized criteria — the
     * multi-objective data-selection shape ("docs not dominated on
     * quality × rarity × length"): a row survives iff no other row is >=

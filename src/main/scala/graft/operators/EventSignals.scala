@@ -109,6 +109,67 @@ object EventSignals {
         col(valueCol))
   }
 
+  /** Multi-touch LINEAR attribution — [[attributeLastTouch]]'s
+    * fair-share sibling: each `convType` event's value splits EQUALLY
+    * across ALL the user's `touchType` events within `within` before it
+    * (sub-day units only — epoch-micros arithmetic, the Intervals rule).
+    * The split is EXACT INTEGER cents: every touch gets
+    * `cents div n_touches` and the remainder goes to the MOST RECENT
+    * touch (deterministic, sums reconstruct the original exactly — a
+    * double split would neither hash nor audit). Conversions with no
+    * touch in the window are reported with a null touch (coverage stays
+    * auditable, the last-touch convention).
+    *
+    * Scale shape: one user-keyed interval join (conversions × their
+    * window's touches — per-user pair space bounded by touches-per-window,
+    * the same shape the streaming intervalJoin buffers), plus one
+    * conversion-keyed count window to learn n_touches. Touch rank comes
+    * from the SAME window sort. */
+  def attributeLinear(
+      events: DataFrame,
+      within: String = "24 hours",
+      convType: String = "purchase",
+      touchType: String = "click",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val withinUs = graft.ops.Intervals.subDayMicros(within)
+    val conv = events.filter(col(typeCol) === lit(convType))
+      .select(col(userCol).as("__u"), col(idCol).as("conv_id"),
+        unix_micros(col(tsCol)).as("conv_ts_us"),
+        round(col(valueCol) * 100).cast("long").as("__cents"))
+    val touch = events.filter(col(typeCol) === lit(touchType))
+      .select(col(userCol).as("__u"), col(idCol).as("touch_id"),
+        unix_micros(col(tsCol)).as("touch_ts_us"))
+    // band join INNER first; unmatched conversions re-enter via anti-join
+    // so "no touch in the window" is a reported null row, never a lost one
+    val matched = conv.join(touch, Seq("__u"))
+      .filter(col("touch_ts_us") <= col("conv_ts_us") &&
+        col("touch_ts_us") >= col("conv_ts_us") - lit(withinUs))
+    val w = Window.partitionBy(col("conv_id"))
+    val wOrd = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts_us").desc, col("touch_id").desc)
+    val shares = matched
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("__rk", row_number().over(wOrd))
+      // exact integer split: base share + the remainder on the most
+      // recent touch; Σ shares == cents by construction
+      .withColumn("cents_share",
+        expr("__cents div n_touches") +
+          when(col("__rk") === 1, pmod(col("__cents"), col("n_touches")))
+            .otherwise(0L))
+      .select(col("conv_id"), col("__u").as(userCol), col("conv_ts_us"),
+        col("touch_id"), col("n_touches"), col("cents_share"))
+    val unmatched = conv
+      .join(matched.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+      .select(col("conv_id"), col("__u").as(userCol), col("conv_ts_us"),
+        lit(null).cast("long").as("touch_id"), lit(0L).as("n_touches"),
+        lit(null).cast("long").as("cents_share"))
+    shares.unionByName(unmatched)
+  }
+
   /** Two-variant experiment readout with an EXACT-ARITHMETIC significance
     * flag: users split by a deterministic assignment (`variantOf`, default
     * `user_id % 2`), a user "converts" when they have >= 1 `convType`

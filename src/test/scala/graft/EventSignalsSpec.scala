@@ -195,4 +195,49 @@ class EventSignalsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[Long]("n_new"), r.getAs[Long]("cum_users"))).toSeq
     assert(out == Seq((2L, 2L), (2L, 4L))) // day 1: 2 new; day 3: 2 new
   }
+
+  test("attributeLinear: exact integer split, remainder to most recent, no-touch kept") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: 3 clicks in window, purchase of 1.00 -> 100 cents:
+      // 33 + 33 + 34(remainder to most recent click 12)
+      (10L, ts(5, 10, 0), 1L, "click", 0.0),
+      (11L, ts(5, 11, 0), 1L, "click", 0.0),
+      (12L, ts(5, 12, 0), 1L, "click", 0.0),
+      (13L, ts(5, 13, 0), 1L, "purchase", 1.00),
+      // user 2: click OUTSIDE the 1-hour window -> null-touch row
+      (20L, ts(6, 8, 0), 2L, "click", 0.0),
+      (21L, ts(6, 12, 0), 2L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventSignals.attributeLinear(ev, within = "1 hour")
+      .collect().map(r => (r.getAs[Long]("conv_id"),
+        Option(r.getAs[java.lang.Long]("touch_id")).map(_.toLong),
+        r.getAs[Long]("n_touches"),
+        Option(r.getAs[java.lang.Long]("cents_share")).map(_.toLong)))
+      .sortBy(t => (t._1, t._2.getOrElse(-1L)))
+    // wait: clicks 10,11 are 3h and 2h before the purchase -> outside 1h!
+    // only click 12 is within -> single touch takes all 100
+    assert(out.toSeq == Seq(
+      (13L, Some(12L), 1L, Some(100L)),
+      (21L, None, 0L, None)))
+    // widen the window: all three clicks share 33/33/34
+    val out2 = EventSignals.attributeLinear(ev, within = "4 hours")
+      .collect().filter(_.getAs[Long]("conv_id") == 13L)
+      .map(r => r.getAs[Long]("touch_id") -> r.getAs[Long]("cents_share"))
+      .toMap
+    assert(out2 == Map(10L -> 33L, 11L -> 33L, 12L -> 34L))
+    // shares always reconstruct the original cents exactly
+    assert(out2.values.sum == 100L)
+  }
+
+  test("modePerGroup: deterministic tiebreak, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(("u1", Some("b")), ("u1", Some("b")), ("u1", Some("a")),
+      ("u2", Some("z")), ("u2", Some("a")), // tie -> smallest value wins
+      ("u3", None)).toDF("g", "v")
+    val out = graft.operators.Curation.modePerGroup(df, "v", Seq("g"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[String]("mode"), r.getAs[Long]("n"))).toMap
+    assert(out == Map("u1" -> ("b", 2L), "u2" -> ("a", 1L)))
+  }
 }
