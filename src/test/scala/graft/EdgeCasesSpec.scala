@@ -158,4 +158,51 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     }
     intercept[IllegalArgumentException] { Curation.sampleNGlobal(docs, "id", 0) }
   }
+
+  test("r11 batch-4+ operators tolerate empty inputs") {
+    import spark.implicits._
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ed = emptyDocs
+    import graft.operators.{Contrastive, EventSignals, Funnel}
+    assert(EventSignals.abLift(emptyEvents).collect()
+      .forall(!_.getAs[Boolean]("significant"))) // 0 or 2 rows, never a throw
+    assert(EventSignals.resampleHourly(emptyEvents).count() == 0)
+    assert(EventSignals.rollingActiveUsers(emptyEvents).count() == 0)
+    assert(EventSignals.userGrowth(emptyEvents).count() == 0)
+    assert(EventSignals.attributeLinear(emptyEvents).count() == 0)
+    assert(Funnel.associationRules(emptyEvents).count() == 0)
+    assert(Curation.modePerGroup(emptyEvents, "event_type", Seq("user_id")).count() == 0)
+    assert(Curation.vocabCoverage(ed).count() == 0)
+    assert(Curation.collocations(ed).count() == 0)
+    assert(Curation.skyline(
+      Seq.empty[(Long, Long)].toDF("id", "x"), Seq("x")).count() == 0)
+    assert(Curation.exactQuantilesDistributed(
+      Seq.empty[(String, Long)].toDF("g", "v"), "v", Seq(0.5), Seq("g")).count() == 0)
+    assert(Curation.medianAbsDeviation(
+      Seq.empty[(String, Long)].toDF("g", "v"), "v", Seq("g")).count() == 0)
+    assert(Curation.robustScale(
+      Seq.empty[(String, Long)].toDF("g", "v"), "v", Seq("g")).count() == 0)
+    assert(Curation.packingStats(ed,
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      Seq(col("doc_id")), 64L).count() == 0)
+    assert(Contrastive.ringNegatives(
+      Seq.empty[Tuple1[Long]].toDF("doc_id"), "doc_id").count() == 0)
+    assert(graft.operators.Retrieval.tfidfTopTerms(ed).count() == 0)
+    // pct rank: empty query side, and empty REFERENCE side (n_ref 0)
+    val docs = Seq((1L, 5L)).toDF("id", "v")
+    val noQ = Curation.percentileRankAgainst(
+      Seq.empty[(Long, Long)].toDF("id", "v"), docs, "v", "id")
+    assert(noQ.count() == 0)
+    val noRef = Curation.percentileRankAgainst(docs,
+      Seq.empty[(Long, Long)].toDF("id", "v"), "v", "id").collect()
+    assert(noRef.length == 1 && noRef(0).getAs[Long]("n_le") == 0
+      && noRef(0).getAs[Long]("n_ref") == 0)
+  }
+
+  test("curriculumOrder empty input yields empty, not a percentile failure") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "difficulty")
+    assert(Curation.curriculumOrder(empty, "difficulty", "id").count() == 0)
+  }
 }
