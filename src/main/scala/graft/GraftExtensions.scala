@@ -166,6 +166,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("c4_clean takes 1 or 2 arguments")
       }))
 
+    ext.injectFunction((FunctionIdentifier("char_profile"),
+      info("char_profile",
+        "char_profile(text) - struct(n_cp, n_distinct, max_cnt, sum_sq, " +
+          "entropy_bits): one-pass code-point diversity profile " +
+          "(Renyi-2 entropy = log2(n_cp^2 / sum_sq))"),
+      arity("char_profile", 1)(args => CharProfile(args.head))))
+
+    ext.injectFunction((FunctionIdentifier("array_pairs"),
+      info("array_pairs",
+        "array_pairs(arr) - all ordered (i < j) element pairs of a string " +
+          "array as array<struct<x, y>> (collocation pair generator)"),
+      arity("array_pairs", 1)(args => ArrayPairs(args.head))))
+
     ext.injectFunction((FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize",
         "unicode_normalize(text[, form]) - UAX #15 normalization; " +

@@ -106,4 +106,28 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("char_profile and array_pairs are SQL-callable") {
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val p = s.sql("SELECT char_profile('aabbc') AS p").select("p.*").collect()(0)
+      assert(p.getAs[Long]("n_cp") == 5 && p.getAs[Long]("n_distinct") == 3 &&
+        p.getAs[Long]("sum_sq") == 9)
+      val pairs = s.sql(
+        "SELECT array_pairs(array('a','b','c')) AS ps").collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1)))
+      assert(pairs == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+      intercept[Exception] { s.sql("SELECT char_profile()").collect() }
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
 }
