@@ -107,7 +107,9 @@ object Bench {
     "q_grouping_sets",
     // linear attribution (banded user-keyed join + conv-keyed split),
     // per-group mode (histogram + top-1 window)
-    "q_attr_linear", "q_mode")
+    "q_attr_linear", "q_mode",
+    // quantile normalization: three prefix passes + two pos-keyed joins
+    "q_quantile_norm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1090,6 +1090,19 @@ object SparkEntry {
             .cast("long").as("n_distinct")),
         Seq("n_tokens", "n_distinct"))),
 
+    // Quantile normalization onto a reference corpus: each ingest doc's
+    // token count replaced by the reference value at the same percentile
+    // — full-resolution distribution matching via three prefix passes +
+    // two pos-keyed joins, no driver-side arrays.
+    "q_quantile_norm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.quantileNormalizeAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "n_tokens", "doc_id")
+    }),
+
     // Percentile rank vs a reference corpus: the union-prefix searchsorted
     // (one two-phase prefix-sum pass, no quantile table, no NxM join) —
     // ingest docs scored against the kept corpus's length distribution.
@@ -2951,6 +2964,32 @@ object SparkEntry {
         |  SELECT 1 FROM t b
         |  WHERE b.n_tokens >= a.n_tokens AND b.n_distinct >= a.n_distinct
         |    AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct))""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT doc_id, CAST(n_tokens AS DOUBLE) AS v FROM t WHERE doc_id % 5 = 0),
+        |r AS (SELECT CAST(n_tokens AS DOUBLE) AS rv FROM t WHERE doc_id % 5 <> 0),
+        |rp AS (SELECT rv, CAST(row_number() OVER (ORDER BY rv) AS BIGINT) AS pos FROM r),
+        |n AS (SELECT count(*) AS n FROM q),
+        |m AS (SELECT count(*) AS m FROM r),
+        |k AS (SELECT doc_id, v,
+        |        CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS rnk
+        |      FROM q),
+        |x AS (SELECT doc_id, v,
+        |        CASE WHEN n = 1 THEN 0.0
+        |             ELSE CAST(rnk - 1 AS DOUBLE) / (n - 1) END AS p
+        |      FROM k, n),
+        |y AS (SELECT doc_id, v, (m - 1) * p AS pos2,
+        |        CAST(floor((m - 1) * p) AS BIGINT) + 1 AS lo,
+        |        CAST(ceil((m - 1) * p) AS BIGINT) + 1 AS hi
+        |      FROM x, m)
+        |SELECT y.doc_id, y.v AS n_tokens,
+        |  CASE WHEN hi = lo OR h.rv = l.rv THEN l.rv
+        |       ELSE (hi - 1 - pos2) * l.rv + (pos2 - (lo - 1)) * h.rv
+        |  END AS mapped
+        |FROM y JOIN rp l ON l.pos = y.lo JOIN rp h ON h.pos = y.hi""".stripMargin,
 
     "q_pct_rank" ->
       """WITH t AS (SELECT doc_id,

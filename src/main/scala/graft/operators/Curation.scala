@@ -1010,6 +1010,65 @@ object Curation {
     }(enc)
   }
 
+  /** QUANTILE NORMALIZATION against a reference corpus — distribution
+    * matching: each row's value is replaced by the reference value at the
+    * SAME percentile, so the batch's distribution becomes the
+    * reference's (the cross-source score calibration trick: source B's
+    * "0.8 quality" maps to whatever value sits at B's-0.8's percentile in
+    * the reference). Percentile p = (rank−1)/(n−1) within the BATCH
+    * (average-free dense ranking by (value, id) — deterministic under
+    * ties), and the target is the reference's percentile-interpolated
+    * value at p: lower/upper reference order statistics joined by
+    * POSITION and combined with `percentile`'s exact formula.
+    *
+    * Scale shape: three prefix-machinery passes and two pos-keyed joins —
+    * batch ranks (two-phase prefix count), reference order statistics
+    * (ditto), then each row's floor/ceil reference positions resolve via
+    * joins against the (pos, value) reference table; n's broadcast as
+    * one-row frames. No driver-side sorted arrays, no quantile-table
+    * resolution loss — FULL-resolution mapping at any reference size.
+    * Nulls pass through null; a 1-row batch maps to the reference
+    * minimum (p = 0 by convention); an EMPTY reference yields no mapped
+    * rows (normalizing onto nothing is undefined). */
+  def quantileNormalizeAgainst(
+      df: DataFrame,
+      ref: DataFrame,
+      valueCol: String,
+      idCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val ranked = graft.ops.RunningCount.withRunningCount(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(idCol).as("__id"), v.as("__v")),
+      Seq(col("__v"), col("__id")), "__rank")
+    val nDf = df.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val refPos = graft.ops.RunningCount.withRunningCount(
+      ref.filter(col(valueCol).isNotNull).select(v.as("__rv")),
+      Seq(col("__rv"), monotonically_increasing_id()), "__pos")
+    val nRef = ref.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("__m"))
+    val withP = ranked.crossJoin(broadcast(nDf)).crossJoin(broadcast(nRef))
+      .withColumn("__p", when(col("__n") === 1, lit(0.0))
+        .otherwise((col("__rank") - 1).cast("double") / (col("__n") - 1)))
+      .withColumn("__pos", (col("__m") - 1).cast("double") * col("__p"))
+      .withColumn("__lo", floor(col("__pos")).cast("long") + 1)
+      .withColumn("__hi", ceil(col("__pos")).cast("long") + 1)
+    val lo = refPos.select(col("__pos").as("__lo"), col("__rv").as("__vlo"))
+    val hi = refPos.select(col("__pos").as("__hi"), col("__rv").as("__vhi"))
+    val mapped = withP.join(lo, Seq("__lo")).join(hi, Seq("__hi"))
+      // percentile's exact interpolation; degenerate cases -> lower
+      .withColumn("__mapped",
+        when(col("__hi") === col("__lo") || col("__vhi") <=> col("__vlo"),
+          col("__vlo"))
+          .otherwise((col("__hi") - 1 - col("__pos")) * col("__vlo") +
+            (col("__pos") - (col("__lo") - 1)) * col("__vhi")))
+      .select(col("__id").as(idCol), col("__v").as(valueCol),
+        col("__mapped").as("mapped"))
+    val nulls = df.filter(col(valueCol).isNull)
+      .select(col(idCol), v.as(valueCol), lit(null).cast("double").as("mapped"))
+    mapped.unionByName(nulls)
+  }
+
   /** Vocabulary coverage curve: the corpus's tokens ranked by frequency
     * with an exact running occurrence total — the table a tokenizer/vocab
     * design reads ("how many token occurrences do the top-k terms

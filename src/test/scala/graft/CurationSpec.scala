@@ -983,4 +983,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       Curation.skyline(pts, Seq("x", "y"), maxCandidates = 1).collect()
     }
   }
+
+  test("quantileNormalizeAgainst: maps the batch distribution onto the reference") {
+    import spark.implicits._
+    val ref = Seq(10L, 20L, 30L, 40L, 50L).map(Tuple1(_)).toDF("v")
+    // batch {1,2,3}: p = 0, 0.5, 1 -> mapped 10, 30, 50
+    val q = Seq((1L, Some(1L)), (2L, Some(2L)), (3L, Some(3L)),
+      (4L, None)).toDF("id", "v")
+    val out = Curation.quantileNormalizeAgainst(q, ref, "v", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("mapped"))) -1.0 else r.getAs[Double]("mapped")))
+      .toMap
+    assert(out == Map(1L -> 10.0, 2L -> 30.0, 3L -> 50.0, 4L -> -1.0))
+    // interpolation: batch of 2 over a ref of 4 -> p=0,1 -> min,max; batch
+    // of 5 hits quarters: p=0.25 with m=4 -> pos 0.75 -> 0.25*r1 + 0.75*r2
+    val ref4 = Seq(0L, 100L, 200L, 300L).map(Tuple1(_)).toDF("v")
+    val q5 = (1L to 5L).map(i => (i, i)).toDF("id", "v")
+    val out5 = Curation.quantileNormalizeAgainst(q5, ref4, "v", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("mapped")).toMap
+    assert(out5 == Map(1L -> 0.0, 2L -> 75.0, 3L -> 150.0, 4L -> 225.0,
+      5L -> 300.0))
+    // single-row batch maps to the reference minimum (p = 0)
+    val one = Curation.quantileNormalizeAgainst(
+      Seq((9L, 7L)).toDF("id", "v"), ref, "v", "id").collect()
+    assert(one.length == 1 && one(0).getAs[Double]("mapped") == 10.0)
+    // partition invariance
+    val outR = Curation.quantileNormalizeAgainst(q5.repartition(7),
+      ref4.repartition(3), "v", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("mapped")).toMap
+    assert(outR == out5)
+  }
 }
