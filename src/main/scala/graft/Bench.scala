@@ -219,7 +219,26 @@ object Bench {
       ("qual_cut", "qc"), ("qtl_group", "qtg"), ("sp_decon", "spd"),
       ("sp_words", "spw"), ("sp_assign", "spa"), ("sim_topk", "stk"),
       ("sim_ann", "sann"), ("sim_ivf", "sivf"), ("bpe_pairs", "bpp"),
-      ("bpe_merge", "bpm"), ("cl_assign", "cla"), ("quantize", "qz"))
+      ("bpe_merge", "bpm"), ("cl_assign", "cla"), ("quantize", "qz"),
+      // session-continuation batch (r11 cont.)
+      ("user_growth", "ugrow"), ("collocations", "colloc"),
+      ("pack_stats", "packst"), ("pl_pairs", "plpr"),
+      ("assoc_rules", "assoc"), ("pct_rank", "pctr"),
+      ("dd_ngram_incr", "ddni"), ("grouping_sets", "gsets"),
+      ("attr_linear", "attrl"), ("quantile_norm", "qnorm"),
+      ("semi_join", "smj"), ("anti_join", "antj"), ("range_join", "rgj"),
+      ("full_outer", "fout"), ("rolling_active", "ract"),
+      ("vocab_coverage", "vcov"), ("qtl_dist", "qtld"),
+      ("neg_samples", "negs"), ("hard_neg", "hneg"),
+      ("char_entropy", "chent"), ("tfidf_terms", "tfidf"),
+      ("robust_scale", "rsc"), ("curriculum", "curr"),
+      ("decay_score", "decay"), ("attribution", "attr"),
+      ("anomaly", "anom"), ("resample", "rsmp"), ("skyline", "skyl"),
+      ("minmax_scale", "mmsc"), ("top_global", "topg"), ("norm_rank", "nrk"),
+      ("c4_filter", "c4f"), ("pack_text", "pktxt"), ("sketches", "sk"),
+      ("std_incr", "stdi"), ("blm_incr", "blmi"), ("uninorm", "unin"),
+      ("mx_qual", "mxq"), ("etrans", "etr"), ("etrgap", "etg"),
+      ("smp_nw", "snw"), ("packst", "pkst"), ("colloc", "coll"))
     def short(k: String): String =
       abbrev.foldLeft(k.stripPrefix("q_")) { case (s, (a, b)) => s.replace(a, b) }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
