@@ -109,7 +109,9 @@ object Bench {
     // per-group mode (histogram + top-1 window)
     "q_attr_linear", "q_mode",
     // quantile normalization: three prefix passes + two pos-keyed joins
-    "q_quantile_norm")
+    "q_quantile_norm",
+    // BPE encode readout: distinct-word fold + one word-keyed join
+    "q_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -225,7 +227,7 @@ object Bench {
       ("pack_stats", "packst"), ("pl_pairs", "plpr"),
       ("assoc_rules", "assoc"), ("pct_rank", "pctr"),
       ("dd_ngram_incr", "ddni"), ("grouping_sets", "gsets"),
-      ("attr_linear", "attrl"), ("quantile_norm", "qnorm"),
+      ("attr_linear", "attrl"), ("quantile_norm", "qnorm"), ("bpe_encode", "bpenc"),
       ("semi_join", "smj"), ("anti_join", "antj"), ("range_join", "rgj"),
       ("full_outer", "fout"), ("rolling_active", "ract"),
       ("vocab_coverage", "vcov"), ("qtl_dist", "qtld"),

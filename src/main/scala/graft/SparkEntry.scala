@@ -1090,6 +1090,14 @@ object SparkEntry {
             .cast("long").as("n_distinct")),
         Seq("n_tokens", "n_distinct"))),
 
+    // BPE encode-side readout: per-doc subtoken counts under a fixed
+    // 3-merge list — the corpus pays the merge fold once per DISTINCT
+    // word, docs score through one word-keyed join.
+    "q_bpe_encode" -> ((s, dir) =>
+      graft.operators.Tokenizer.tokenCountsUnderMerges(
+        t(s, dir, "documents"),
+        Seq(("e", "r"), ("i", "n"), ("o", "w")))),
+
     // Quantile normalization onto a reference corpus: each ingest doc's
     // token count replaced by the reference value at the same percentile
     // — full-resolution distribution matching via three prefix passes +
@@ -3044,6 +3052,43 @@ object SparkEntry {
         |  SELECT w, wf, replace(s, ' t h ', ' th ') FROM r
         |  WHERE strpos(s, ' t h ') > 0)
         |SELECT w, wf, trim(s) AS merged FROM r WHERE strpos(s, ' t h ') = 0""".stripMargin,
+
+    "q_bpe_encode" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT tok AS w FROM (
+        |    SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) >= 1),
+        |r1 AS (
+        |  SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+        |    || ' ' AS s
+        |  FROM w
+        |  UNION ALL
+        |  SELECT w, replace(s, ' e r ', ' er ') FROM r1
+        |  WHERE strpos(s, ' e r ') > 0),
+        |f1 AS (SELECT w, s FROM r1 WHERE strpos(s, ' e r ') = 0),
+        |r2 AS (
+        |  SELECT w, s FROM f1
+        |  UNION ALL
+        |  SELECT w, replace(s, ' i n ', ' in ') FROM r2
+        |  WHERE strpos(s, ' i n ') > 0),
+        |f2 AS (SELECT w, s FROM r2 WHERE strpos(s, ' i n ') = 0),
+        |r3 AS (
+        |  SELECT w, s FROM f2
+        |  UNION ALL
+        |  SELECT w, replace(s, ' o w ', ' ow ') FROM r3
+        |  WHERE strpos(s, ' o w ') > 0),
+        |f3 AS (SELECT w, s FROM r3 WHERE strpos(s, ' o w ') = 0),
+        |enc AS (SELECT w,
+        |    CAST(len(regexp_split_to_array(trim(s), ' ')) AS BIGINT) AS n_sub
+        |  FROM f3),
+        |tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(n_sub) AS BIGINT) AS n_subtokens
+        |FROM tk JOIN enc USING (w)
+        |GROUP BY doc_id""".stripMargin,
 
     "q_chunk" ->
       """SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,

@@ -109,4 +109,35 @@ object Tokenizer {
     }
     merges.toSeq
   }
+
+  /** Per-document SUBTOKEN COUNTS under an ordered learned merge list —
+    * the encode-side readout of [[trainBpe]] ("how many BPE tokens is
+    * this corpus under my tokenizer", the budget every packing/mixture
+    * planner consumes). BPE encodes per WORD, so the corpus pays the
+    * merge fold exactly once per DISTINCT word: the word table folds
+    * `merges` in order (each step the greedy left-to-right
+    * [[applyMerge]]), collapses to (word, n_subtokens), and ONE
+    * word-keyed join + doc-keyed partial agg scores every document —
+    * documents never re-encode, text never shuffles (the tokenRarity
+    * postings discipline). */
+  def tokenCountsUnderMerges(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+    val encoded = merges.foldLeft(
+        words.select(col("w")).distinct()
+          .withColumn("symbols", charSymbols(col("w")))) {
+        case (v, (a, b)) => v.withColumn("symbols",
+          applyMerge(col("symbols"), a, b))
+      }
+      .select(col("w"), size(col("symbols")).cast("long").as("n_sub"))
+    words.join(encoded, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_subtokens"))
+  }
 }

@@ -72,4 +72,27 @@ class TokenizerSpec extends AnyFunSuite with SparkSpec {
     val merges = Tokenizer.trainBpe(docs("ab ab"), numMerges = 5)
     assert(merges == Seq(("a", "b", 2L)))
   }
+
+  test("tokenCountsUnderMerges: per-word fold, ordered merges compose") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab ab xy"), (2L, "abab abab")).toDF("doc_id", "text")
+    // merge 1 (a,b) -> ab; merge 2 (ab,ab) -> abab
+    val out1 = graft.operators.Tokenizer.tokenCountsUnderMerges(docs,
+      Seq(("a", "b"))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_subtokens"))).toMap
+    // "abab" -> [ab, ab] (2), "ab" -> [ab] (1), "xy" -> [x, y] (2)
+    assert(out1 == Map(1L -> ((3L, 5L)), 2L -> ((2L, 4L))))
+    val out2 = graft.operators.Tokenizer.tokenCountsUnderMerges(docs,
+      Seq(("a", "b"), ("ab", "ab"))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_subtokens"))).toMap
+    // "abab" -> [abab] (1) after the second merge
+    assert(out2 == Map(1L -> ((3L, 4L)), 2L -> ((2L, 2L))))
+    // no merges: plain per-word char counts
+    val out0 = graft.operators.Tokenizer.tokenCountsUnderMerges(docs, Seq.empty)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_subtokens"))
+      .toMap
+    assert(out0 == Map(1L -> 8L, 2L -> 8L))
+  }
 }
