@@ -1111,6 +1111,18 @@ object SparkEntry {
         "n_tokens", "doc_id")
     }),
 
+    // ...and per-SOURCE: each source's distribution calibrated onto the
+    // shared reference independently — within-group ranks from the global
+    // prefix count minus broadcast group offsets (no per-group window).
+    "q_quantile_norm_group" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.quantileNormalizeAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "n_tokens", "doc_id", groupCols = Seq("source"))
+    }),
+
     // Percentile rank vs a reference corpus: the union-prefix searchsorted
     // (one two-phase prefix-sum pass, no quantile table, no NxM join) —
     // ingest docs scored against the kept corpus's length distribution.
@@ -2994,6 +3006,34 @@ object SparkEntry {
         |        CAST(ceil((m - 1) * p) AS BIGINT) + 1 AS hi
         |      FROM x, m)
         |SELECT y.doc_id, y.v AS n_tokens,
+        |  CASE WHEN hi = lo OR h.rv = l.rv THEN l.rv
+        |       ELSE (hi - 1 - pos2) * l.rv + (pos2 - (lo - 1)) * h.rv
+        |  END AS mapped
+        |FROM y JOIN rp l ON l.pos = y.lo JOIN rp h ON h.pos = y.hi""".stripMargin,
+
+    "q_quantile_norm_group" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, CAST(n_tokens AS DOUBLE) AS v
+        |      FROM t WHERE doc_id % 5 = 0),
+        |r AS (SELECT CAST(n_tokens AS DOUBLE) AS rv FROM t WHERE doc_id % 5 <> 0),
+        |rp AS (SELECT rv, CAST(row_number() OVER (ORDER BY rv) AS BIGINT) AS pos FROM r),
+        |m AS (SELECT count(*) AS m FROM r),
+        |k AS (SELECT doc_id, source, v,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY v, doc_id) AS BIGINT) AS rnk
+        |      FROM q),
+        |ns AS (SELECT source, count(*) AS n FROM q GROUP BY source),
+        |x AS (SELECT k.doc_id, k.source, k.v,
+        |        CASE WHEN ns.n = 1 THEN 0.0
+        |             ELSE CAST(rnk - 1 AS DOUBLE) / (ns.n - 1) END AS p
+        |      FROM k JOIN ns ON k.source IS NOT DISTINCT FROM ns.source),
+        |y AS (SELECT doc_id, source, v, (m - 1) * p AS pos2,
+        |        CAST(floor((m - 1) * p) AS BIGINT) + 1 AS lo,
+        |        CAST(ceil((m - 1) * p) AS BIGINT) + 1 AS hi
+        |      FROM x, m)
+        |SELECT y.source, y.doc_id, y.v AS n_tokens,
         |  CASE WHEN hi = lo OR h.rv = l.rv THEN l.rv
         |       ELSE (hi - 1 - pos2) * l.rv + (pos2 - (lo - 1)) * h.rv
         |  END AS mapped

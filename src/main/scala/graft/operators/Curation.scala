@@ -1029,25 +1029,47 @@ object Curation {
     * resolution loss — FULL-resolution mapping at any reference size.
     * Nulls pass through null; a 1-row batch maps to the reference
     * minimum (p = 0 by convention); an EMPTY reference yields no mapped
-    * rows (normalizing onto nothing is undefined). */
+    * rows (normalizing onto nothing is undefined). With `groupCols`,
+    * ranks and n are WITHIN-GROUP (each source calibrated independently
+    * onto the shared reference) — computed from the global prefix count
+    * over (group, value, id) order minus broadcast per-group offsets, so
+    * no per-group data-sized window ever forms. */
   def quantileNormalizeAgainst(
       df: DataFrame,
       ref: DataFrame,
       valueCol: String,
-      idCol: String): DataFrame = {
+      idCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val v = col(valueCol).cast("double")
-    val ranked = graft.ops.RunningCount.withRunningCount(
+    val gcols = groupCols.map(col)
+    // WITHIN-GROUP ranks without per-group windows: the GLOBAL prefix
+    // count over (group..., value, id) order, minus each group's broadcast
+    // offset (its min global rank) — per-source calibration stays on the
+    // distributed machinery even when one source is 90% of the corpus.
+    val ranked0 = graft.ops.RunningCount.withRunningCount(
       df.filter(col(valueCol).isNotNull)
-        .select(col(idCol).as("__id"), v.as("__v")),
-      Seq(col("__v"), col("__id")), "__rank")
-    val nDf = df.filter(col(valueCol).isNotNull)
-      .agg(count(lit(1)).as("__n"))
+        .select(gcols :+ col(idCol).as("__id") :+ v.as("__v"): _*),
+      gcols ++ Seq(col("__v"), col("__id")), "__grank")
+    val (ranked, nDfJoin) =
+      if (groupCols.isEmpty)
+        (ranked0.withColumnRenamed("__grank", "__rank")
+           .crossJoin(broadcast(
+             df.filter(col(valueCol).isNotNull).agg(count(lit(1)).as("__n")))),
+         ())
+      else {
+        val stats = ranked0.groupBy(gcols: _*)
+          .agg(min(col("__grank")).as("__off"), count(lit(1)).as("__n"))
+        (joinGroupStats(ranked0, stats, groupCols)
+           .withColumn("__rank", col("__grank") - col("__off") + 1)
+           .drop("__grank", "__off"),
+         ())
+      }
     val refPos = graft.ops.RunningCount.withRunningCount(
       ref.filter(col(valueCol).isNotNull).select(v.as("__rv")),
       Seq(col("__rv"), monotonically_increasing_id()), "__pos")
     val nRef = ref.filter(col(valueCol).isNotNull)
       .agg(count(lit(1)).as("__m"))
-    val withP = ranked.crossJoin(broadcast(nDf)).crossJoin(broadcast(nRef))
+    val withP = ranked.crossJoin(broadcast(nRef))
       .withColumn("__p", when(col("__n") === 1, lit(0.0))
         .otherwise((col("__rank") - 1).cast("double") / (col("__n") - 1)))
       .withColumn("__pos", (col("__m") - 1).cast("double") * col("__p"))
@@ -1062,10 +1084,11 @@ object Curation {
           col("__vlo"))
           .otherwise((col("__hi") - 1 - col("__pos")) * col("__vlo") +
             (col("__pos") - (col("__lo") - 1)) * col("__vhi")))
-      .select(col("__id").as(idCol), col("__v").as(valueCol),
-        col("__mapped").as("mapped"))
+      .select(gcols :+ col("__id").as(idCol) :+ col("__v").as(valueCol) :+
+        col("__mapped").as("mapped"): _*)
     val nulls = df.filter(col(valueCol).isNull)
-      .select(col(idCol), v.as(valueCol), lit(null).cast("double").as("mapped"))
+      .select(gcols :+ col(idCol) :+ v.as(valueCol) :+
+        lit(null).cast("double").as("mapped"): _*)
     mapped.unionByName(nulls)
   }
 

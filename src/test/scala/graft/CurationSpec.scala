@@ -1013,4 +1013,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("mapped")).toMap
     assert(outR == out5)
   }
+
+  test("quantileNormalizeAgainst per group: each group calibrates independently") {
+    import spark.implicits._
+    val ref = Seq(0L, 100L).map(Tuple1(_)).toDF("v")
+    // group a: {1,2,3} -> p 0,.5,1 -> 0,50,100; group b: {10,20} -> 0,100
+    val q = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("b", 4L, 10L), ("b", 5L, 20L)).toDF("g", "id", "v")
+    val out = Curation.quantileNormalizeAgainst(q, ref, "v", "id", Seq("g"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("mapped")).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 50.0, 3L -> 100.0, 4L -> 0.0, 5L -> 100.0))
+    // group column survives in the output; partition invariance
+    val out8 = Curation.quantileNormalizeAgainst(q.repartition(5), ref, "v",
+      "id", Seq("g")).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+        r.getAs[Double]("mapped"))).toSet
+    assert(out8.map(t => t._2 -> t._3).toMap == out)
+    assert(out8.map(_._1) == Set("a", "b"))
+  }
 }
