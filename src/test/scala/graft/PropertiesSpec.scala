@@ -196,4 +196,65 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("c_n_kept_lines") == r.getAs[Long]("f_n_kept_lines"), r.toString)
     }
   }
+
+  test("withRunningAggs equals the single-agg calls, any kinds, any data") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(60,
+        Gen.zip(Gen.choose(0L, 20L), Gen.choose(-50L, 50L))), seed)
+        .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      val df = rows.toDF("id", "k", "v").repartition(5)
+      val ord = Seq(col("k"), col("id"))
+      val multi = RunningCount.withRunningAggs(df,
+        Seq((col("v"), RunningCount.Kind.Sum, "s"),
+          (lit(1L), RunningCount.Kind.Count, "c"),
+          (col("v"), RunningCount.Kind.Max, "mx")), ord)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("s"), r.getAs[Long]("c"), r.getAs[Long]("mx"))).toMap
+      val s1 = RunningCount.withRunningAgg(df, col("v"),
+        RunningCount.Kind.Sum, ord, "s").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("s")).toMap
+      val c1 = RunningCount.withRunningCount(df, ord, "c").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("c")).toMap
+      val m1 = RunningCount.withRunningAgg(df, col("v"),
+        RunningCount.Kind.Max, ord, "mx").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("mx")).toMap
+      assert(multi.map { case (id, t) => id -> t._1 } == s1)
+      assert(multi.map { case (id, t) => id -> t._2 } == c1)
+      assert(multi.map { case (id, t) => id -> t._3 } == m1)
+    }
+  }
+
+  test("quantile normalization onto the batch's own values is the near-identity") {
+    import spark.implicits._
+    // NOT exact identity: pos = ((r-1)/(n-1))*(n-1) can land an ulp off
+    // r-1, interpolating between neighbors — the same fp semantics as
+    // percentile/quantile_cont. The mapping must stay within an ulp-scale
+    // relative error of the original value.
+    for (seed <- 1L to 3L) {
+      val vals = sample(Gen.listOfN(40, Gen.choose(0L, 10000L)), seed).distinct
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val out = graft.operators.Curation.quantileNormalizeAgainst(
+        df, df, "v", "id").collect()
+      out.foreach { r =>
+        val v = r.getAs[Double]("v"); val m = r.getAs[Double]("mapped")
+        assert(math.abs(m - v) <= 1e-9 * math.max(1.0, math.abs(v)),
+          s"v=$v mapped=$m")
+      }
+    }
+  }
+
+  test("percentile rank against itself counts each value's own <= set") {
+    import spark.implicits._
+    for (seed <- 2L to 4L) {
+      val vals = sample(Gen.listOfN(50, Gen.choose(0L, 30L)), seed)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val out = graft.operators.Curation.percentileRankAgainst(df, df, "v", "id")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"),
+          r.getAs[Long]("n_le")))
+      out.foreach { case (_, v, nLe) =>
+        assert(nLe == vals.count(_ <= v.toLong))
+      }
+    }
+  }
 }
