@@ -14,7 +14,7 @@ import pandas as pd
 
 QUADRATIC_ORACLES = {
     "q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_containment",
-    "q_dedup_ngram_incr",
+    "q_dedup_ngram_incr", "q_dedup_cosine",
     "q_dedup_minhash", "q_dedup_embed", "q_dedup_embed_lsh",
     "q_dedup_clusters", "q_dedup_survivors", "q_dedup_best", "q_dedup_simhash",
 }

@@ -113,7 +113,9 @@ object Bench {
     // BPE encode readout: distinct-word fold + one word-keyed join
     "q_bpe_encode",
     // per-source calibration onto the shared reference (no per-group window)
-    "q_quantile_norm_group")
+    "q_quantile_norm_group",
+    // tf-weighted cosine pairs: integer-dot postings join
+    "q_dedup_cosine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -229,7 +231,7 @@ object Bench {
       ("pack_stats", "packst"), ("pl_pairs", "plpr"),
       ("assoc_rules", "assoc"), ("pct_rank", "pctr"),
       ("dd_ngram_incr", "ddni"), ("grouping_sets", "gsets"),
-      ("attr_linear", "attrl"), ("quantile_norm", "qnorm"), ("bpe_encode", "bpenc"), ("quantile_norm_group", "qnrmg"),
+      ("attr_linear", "attrl"), ("quantile_norm", "qnorm"), ("bpe_encode", "bpenc"), ("quantile_norm_group", "qnrmg"), ("dd_cosine", "ddcos"),
       ("semi_join", "smj"), ("anti_join", "antj"), ("range_join", "rgj"),
       ("full_outer", "fout"), ("rolling_active", "ract"),
       ("vocab_coverage", "vcov"), ("qtl_dist", "qtld"),

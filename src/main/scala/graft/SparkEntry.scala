@@ -1450,6 +1450,12 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5)),
 
+    // tf-weighted cosine near-dup pairs: the bag-of-words member of the
+    // set-similarity family (jaccard sees presence, this weighs
+    // repetition). Integer dot/norm evidence, two sqrts + one division.
+    "q_dedup_cosine" -> ((s, dir) =>
+      Dedup.tfCosinePairs(t(s, dir, "documents"), threshold = 0.9)),
+
     // Ingest-vs-corpus NEAR-dup (the fuzzy dropExistingIn): new batch's
     // shingle postings joined against the corpus's — Σ df_new·df_corpus
     // pair space, never |new|x|corpus|; full-set-size Jaccard.
@@ -3463,6 +3469,23 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+
+    "q_dedup_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |      FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT a_id, b_id, dot, na.n2 AS na2, nb.n2 AS nb2,
+        |        CAST(dot AS DOUBLE) /
+        |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |          AS cos
+        |      FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id)
+        |SELECT a_id, b_id, dot, na2, nb2, cos FROM c WHERE cos >= 0.9""".stripMargin,
 
     "q_dedup_ngram_incr" ->
       """WITH s AS (

@@ -240,6 +240,63 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac"))
   }
 
+  /** Bag-of-words COSINE near-dup pairs — the tf-WEIGHTED member of the
+    * set-similarity family: Jaccard sees only term PRESENCE (a page
+    * repeating one paragraph 50× and a page containing it once look
+    * identical), tf-cosine weighs repetition. cos = Σtf_a·tf_b /
+    * (√Σtf_a²·√Σtf_b²) over word counts — numerator and both norm²s are
+    * EXACT INTEGERS (per-(doc,term) counts), so the only float ops are
+    * two correctly-rounded sqrts, one multiply and one division:
+    * bit-portable across engines and partition orders, unlike an
+    * idf-weighted variant whose double partial sums would be
+    * order-dependent. Pairs are (a_id < b_id) with the exact integer
+    * evidence (dot, na2, nb2) alongside the cosine.
+    *
+    * Scale shape: the postings discipline — (id, term, tf) collapses
+    * map-side, per-doc norm² is a doc-keyed integer agg carried on the
+    * postings, the ONE data-sized join is term-keyed (Σ df² pair space),
+    * and per-pair dot products are order-free INTEGER sums. `maxTermDf`
+    * caps stopword-term df exactly like the shingle caps (candidates
+    * pruned, surviving scores computed from FULL norms — undistorted). */
+  def tfCosinePairs(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxTermDf: Option[Int] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val tf = docs.repartition(parts).select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // norm² rides the postings via a doc-keyed agg joined back — exact
+    // integers; pinned so the cap/df branch and the pair join share one
+    // materialization (the capped-shingle discipline)
+    val norms = tf.groupBy("id").agg(sum(col("tf") * col("tf"))
+      .cast("long").as("n2"))
+    val posts0 = tf.join(norms, Seq("id"))
+    val posts = maxTermDf.fold(posts0) { cap =>
+      require(cap >= 2, s"maxTermDf must be >= 2: $cap")
+      val pinned = posts0.localCheckpoint(true)
+      val hot = pinned.groupBy("term").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap).select("term")
+      pinned.join(hot, Seq("term"), "left_anti")
+    }
+    val a = posts.select(col("term"), col("id").as("a_id"),
+      col("tf").as("a_tf"), col("n2").as("na2"))
+    val b = posts.select(col("term"), col("id").as("b_id"),
+      col("tf").as("b_tf"), col("n2").as("nb2"))
+    a.join(b, Seq("term"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "na2", "nb2")
+      .agg(sum(col("a_tf") * col("b_tf")).cast("long").as("dot"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("dot"), col("na2"), col("nb2"),
+        col("cos"))
+  }
+
   /** Blocked FUZZY near-dup pairs by edit distance: candidate pairs form
     * only WITHIN a block (default: the lowercased 8-char prefix — the
     * classic title/short-text blocker), then survive `levenshtein ≤

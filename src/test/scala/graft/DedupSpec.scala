@@ -458,4 +458,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val cappedPairs = capped.collect().map(r => r.getAs[Long]("b_id")).toSeq
     assert(cappedPairs == Seq(10L))
   }
+
+  test("tfCosinePairs: repetition-weighted similarity jaccard cannot see") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),   // heavy repetition of 'spam'
+      (2L, "spam spam spam spam eggs"),  // same shape -> high cosine
+      (3L, "spam ham eggs toast jam"))   // same VOCAB overlap, flat tfs
+      .toDF("doc_id", "text")
+    val out = Dedup.tfCosinePairs(docs, threshold = 0.1)
+      .collect().map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        (r.getAs[Long]("dot"), r.getAs[Long]("na2"), r.getAs[Double]("cos"))))
+      .toMap
+    // 1-2: dot 16, norms 17 -> cos 16/17; 1-3: dot 4+1=5 over sqrt(17*5)
+    assert(out((1L, 2L))._1 == 16L && out((1L, 2L))._2 == 17L)
+    assert(math.abs(out((1L, 2L))._3 - 16.0 / 17.0) < 1e-15)
+    assert(out((1L, 2L))._3 > out((1L, 3L))._3)
+    // identical docs: dot == both norms; cos is EXACTLY dot/(sqrt*sqrt) —
+    // an ulp under 1.0, because sqrt(5)^2 != 5 in fp (and identically so
+    // in DuckDB, which is why the raw double sits under the gate)
+    val twins = Seq((1L, "a a b"), (2L, "a a b")).toDF("doc_id", "text")
+    val t = Dedup.tfCosinePairs(twins, 0.5).collect()(0)
+    assert(t.getAs[Long]("dot") == 5L)
+    assert(t.getAs[Double]("cos") == 5.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
+    // stopword cap prunes the only shared term -> no candidates
+    val boiler = Seq((1L, "the x"), (2L, "the y"), (3L, "the z"))
+      .toDF("doc_id", "text")
+    assert(Dedup.tfCosinePairs(boiler, 0.1, maxTermDf = Some(2)).count() == 0)
+    assert(Dedup.tfCosinePairs(boiler, 0.1).count() == 3)
+  }
 }
