@@ -1454,7 +1454,7 @@ object SparkEntry {
     // set-similarity family (jaccard sees presence, this weighs
     // repetition). Integer dot/norm evidence, two sqrts + one division.
     "q_dedup_cosine" -> ((s, dir) =>
-      Dedup.tfCosinePairs(t(s, dir, "documents"), threshold = 0.9)),
+      Dedup.tfCosinePairs(t(s, dir, "documents"), threshold = 0.9, ngram = 3)),
 
     // Ingest-vs-corpus NEAR-dup (the fuzzy dropExistingIn): new batch's
     // shingle postings joined against the corpus's — Σ df_new·df_corpus
@@ -3472,9 +3472,11 @@ object SparkEntry {
 
     "q_dedup_cosine" ->
       """WITH tf AS (
-        |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-        |    FROM documents) GROUP BY 1, 2),
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS term
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |          FROM documents)) GROUP BY 1, 2),
         |n AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        CAST(sum(a.tf * b.tf) AS BIGINT) AS dot

@@ -263,11 +263,22 @@ object Dedup {
       threshold: Double,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxTermDf: Option[Int] = None): DataFrame = {
+      maxTermDf: Option[Int] = None,
+      ngram: Int = 1): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    require(ngram >= 1, s"ngram must be >= 1: $ngram")
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // `ngram` is the SECOND Σdf² lever next to maxTermDf: unigram terms on
+    // a small-vocabulary corpus give every term a huge df (this corpus:
+    // ~50 words -> Σdf² quadratic in docs — measured 177 s at sf0.1 where
+    // the trigram form runs in ~2 s), while n-gram terms diversify the key
+    // space the same way the shingle family's keys do. Real Zipf corpora
+    // can run ngram = 1 with the stopword cap.
+    val termCol =
+      if (ngram == 1) explode(TextFunctions.tokens(col(textCol)))
+      else explode(TextFunctions.shingles(col(textCol), ngram))
     val tf = docs.repartition(parts).select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+        termCol.as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     // norm² rides the postings via a doc-keyed agg joined back — exact
     // integers; pinned so the cap/df branch and the pair join share one
