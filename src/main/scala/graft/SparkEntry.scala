@@ -666,6 +666,15 @@ object SparkEntry {
       Curation.withSplit(t(s, dir, "documents").select(col("doc_id")), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
 
+    // Leakage-safe temporal split: test from Jan 24, a 48 h embargo band
+    // labeled 'purged' (kept, not dropped) — exact epoch-microsecond
+    // comparisons on the scan, zero shuffles.
+    "q_purged_split" -> ((s, dir) =>
+      Curation.purgedTimeSplit(ev(s, dir), "ts",
+        testStartUs = 1706054400000000L, embargoUs = 172800000000L)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("split"))),
+
     // Deterministic Bernoulli sample: membership is a pure function of
     // (doc_id, salt) — rerun/engine/partitioning-stable, zero shuffles.
     "q_sample" -> ((s, dir) =>
@@ -789,6 +798,25 @@ object SparkEntry {
     // sqrt/division); events collapse to bucket rows BEFORE the window.
     "q_anomaly" -> ((s, dir) =>
       operators.EventSignals.anomalyBuckets(ev(s, dir))),
+
+    // Two-sided CUSUM drift detector on hourly per-type counts: the
+    // max(0, S+d) recursion in its prefix-sum/running-min closed form —
+    // exact integer arithmetic end to end, both cumulative windows share
+    // one sort over pre-shrunk bucket rows.
+    "q_cusum" -> ((s, dir) =>
+      operators.EventSignals.cusum(ev(s, dir), ref = 3L, threshold = 20L,
+        slack = 1L)),
+
+    // Fixed-point integer PageRank over the event-type transition graph
+    // (the crawl-frontier "rank sources by link structure" prior): 10
+    // power iterations, damping 85/100, ranks in 10^-12 units — every
+    // step integer multiply/div, bit-identical to the recursive-CTE
+    // oracle.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = operators.Funnel.transitions(ev(s, dir))
+        .select(col("from_type").as("src"), col("to_type").as("dst"), col("n"))
+      operators.Graph.pageRank(edges, iters = 10, weightCol = Some("n"))
+    }),
 
     // Two-variant experiment readout: per-user conversion collapse, 2x2
     // chi-square significance as a DECIMAL(38,0) cross-multiplied integer
@@ -1450,6 +1478,13 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5)),
 
+    // Per-doc duplicate-shingle fraction (the Dolma-style contamination
+    // score a curator thresholds BEFORE paying for pairwise dedup): no
+    // pair space at all — postings df join back on the same shingle key,
+    // exact integer counts + one division.
+    "q_dup_ngram_frac" -> ((s, dir) =>
+      Dedup.dupShingleStats(t(s, dir, "documents"))),
+
     // tf-weighted cosine near-dup pairs: the bag-of-words member of the
     // set-similarity family (jaccard sees presence, this weighs
     // repetition). Integer dot/norm evidence, two sqrts + one division.
@@ -1542,6 +1577,13 @@ object SparkEntry {
           graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("sq"))
         .select(col("vec_id"), col("sq.scale").as("scale"),
           concat_ws(",", transform(col("sq.q"), _.cast("string"))).as("q"))),
+
+    // Product-quantization encode: 64-dim vectors → 4 codes against
+    // first-16-by-id sub-codebooks (one broadcast row), L2 argmin with
+    // smallest-id tiebreak — scan-local, zero corpus shuffle; the
+    // compression layout a billion-vector ANN table stores.
+    "q_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(t(s, dir, "embeddings"), m = 4, k = 16, dim = 64)),
 
     // SemDeDup: within-cluster near-twin drop — the pair space is keyed by
     // cluster id, so the quadratic work is Σ|cluster|², never corpus².
@@ -1959,6 +2001,32 @@ object SparkEntry {
         |  END AS q
         |FROM s""".stripMargin,
 
+    // pq_encode: m=4 16-dim subspaces, codebook = first-16-by-id slices,
+    // L2 argmin (sequential left-fold sum == Spark aggregate HOF) with
+    // smallest-cid tiebreak via the (d2, cid) row_number order
+    "q_pq_encode" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |sub AS (SELECT v.vec_id, js.j, v.e[js.j*16+1 : js.j*16+16] AS se
+        |        FROM v CROSS JOIN js),
+        |cs AS (SELECT cb.cid, js.j, cb.ce[js.j*16+1 : js.j*16+16] AS ce
+        |       FROM cb CROSS JOIN js),
+        |d AS (SELECT s.vec_id, s.j, c.cid,
+        |        list_sum(list_transform(list_zip(s.se, c.ce),
+        |          z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+        |      FROM sub s JOIN cs c ON s.j = c.j),
+        |a AS (SELECT vec_id, j, cid,
+        |        row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+        |      FROM d)
+        |SELECT vec_id,
+        |  max(CASE WHEN j = 0 THEN cid END) AS code_0,
+        |  max(CASE WHEN j = 1 THEN cid END) AS code_1,
+        |  max(CASE WHEN j = 2 THEN cid END) AS code_2,
+        |  max(CASE WHEN j = 3 THEN cid END) AS code_3
+        |FROM a WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
     "q_rollup" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         |  coalesce(o_orderstatus, 'ALL') AS status,
@@ -2130,6 +2198,14 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000 AS BIGINT) AS b
         |      FROM documents)""".stripMargin,
+
+    // purged split: test >= 2024-01-24T00Z, 48 h embargo band 'purged'
+    "q_purged_split" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN epoch_us(ts) >= 1706054400000000 THEN 'test'
+        |       WHEN epoch_us(ts) < 1706054400000000 - 172800000000 THEN 'train'
+        |       WHEN ts IS NOT NULL THEN 'purged' END AS split
+        |FROM events""".stripMargin,
 
     "q_sample" ->
       """SELECT doc_id, source FROM documents
@@ -2772,6 +2848,44 @@ object SparkEntry {
         |SELECT c.from_type, c.to_type, n, n_from, n / n_from AS p
         |FROM c JOIN f USING (from_type)""".stripMargin,
 
+    // pagerank: the same transition edges, then 10 fixed-point integer
+    // power iterations in a recursive CTE — `//` is the exact BIGINT
+    // division matching Spark's `div`; the window-max carries the
+    // iteration counter through the grouped recursive step, and the
+    // NULL-iter guard terminates the recursion when p.iter = 10 empties
+    // the contribution join.
+    "q_pagerank" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT src, dst, count(*) AS w FROM pairs
+        |          WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |params AS (SELECT count(*) AS n, 1000000000000 // count(*) AS r0,
+        |                  (1000000000000 * 15) // (100 * count(*)) AS base
+        |           FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS iter, node, (SELECT r0 FROM params) AS rank FROM nodes
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT MAX(MAX(q.iter)) OVER () + 1 AS iter, d.node,
+        |      (SELECT base FROM params)
+        |        + (85 * COALESCE(SUM(q.contrib), 0)) // 100 AS rank
+        |    FROM nodes d
+        |    LEFT JOIN (
+        |      SELECT p.iter, e.dst, (p.rank * e.w) // ws.wsum AS contrib
+        |      FROM pr p JOIN edges e ON e.src = p.node
+        |        JOIN ws ON ws.src = p.node
+        |      WHERE p.iter < 10
+        |    ) q ON q.dst = d.node
+        |    GROUP BY d.node
+        |  ) WHERE iter IS NOT NULL)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10""".stripMargin,
+
     "q_assoc_rules" ->
       """WITH s AS (
         |  SELECT *, CAST(user_id AS VARCHAR) || ':' ||
@@ -2874,6 +2988,29 @@ object SparkEntry {
         |   (24 * n - s_prev) * (24 * n - s_prev) * 23 >
         |     4 * 24 * (24 * ss_prev - s_prev * s_prev)) AS is_anomaly
         |FROM w""".stripMargin,
+
+    // cusum: ref=3 slack=1 -> hi deltas n-4, lo deltas 2-n; S_t as prefix
+    // sum minus running min (the closed form of max(0, S+d)); thr 20.
+    "q_cusum" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT *,
+        |    CAST(sum(n - 4) OVER win AS BIGINT) AS p_hi,
+        |    CAST(sum(2 - n) OVER win AS BIGINT) AS p_lo
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_us
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT event_type, bucket_us, n,
+        |    p_hi - least(0, min(p_hi) OVER win) AS cusum_hi,
+        |    p_lo - least(0, min(p_lo) OVER win) AS cusum_lo
+        |  FROM p
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_us
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket_us, n, cusum_hi, cusum_lo,
+        |  (cusum_hi >= 20 OR cusum_lo >= 20) AS is_alarm
+        |FROM c""".stripMargin,
 
     "q_ab_lift" ->
       """WITH pu AS (
@@ -3469,6 +3606,25 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+
+    // dup_ngram_frac: per-doc duplicate-shingle stats; shingle-less docs
+    // keep a row (0 shingles, null fraction) via the left join back
+    "q_dup_ngram_frac" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |f AS (SELECT shingle, count(*) AS df FROM p GROUP BY shingle),
+        |d AS (SELECT p.doc_id, count(*) AS n_shingles,
+        |        count(CASE WHEN f.df >= 2 THEN 1 END) AS n_dup
+        |      FROM p JOIN f USING (shingle) GROUP BY p.doc_id)
+        |SELECT s.doc_id,
+        |  CAST(COALESCE(d.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CASE WHEN d.n_shingles > 0
+        |       THEN CAST(d.n_dup AS DOUBLE) / d.n_shingles END AS dup_frac
+        |FROM s LEFT JOIN d USING (doc_id)""".stripMargin,
 
     "q_dedup_cosine" ->
       """WITH tf AS (

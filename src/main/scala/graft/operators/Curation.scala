@@ -52,6 +52,36 @@ object Curation {
     df.withColumn(outputCol, expr)
   }
 
+  /** Leakage-safe TEMPORAL split with an embargo gap — the time-series
+    * counterpart of [[withSplit]] (whose hash assignment is exactly what a
+    * forecasting/recency-sensitive eval must NOT use: it interleaves
+    * train and test in time). Rows are labeled by timestamp against a
+    * fixed boundary: `test` at or after `testStartUs`, `train` strictly
+    * before `testStartUs - embargoUs`, and `purged` in between — the
+    * embargo band (Lopez de Prado's purged-split discipline) that keeps
+    * windowed/lagged features computed near the boundary from straddling
+    * it. Purged rows are KEPT AND LABELED rather than dropped: the
+    * operator is row-preserving (null timestamps label null), and the
+    * caller's `filter(col(outputCol) =!= "purged")` is one predicate away.
+    *
+    * Both comparisons are on exact epoch-microsecond integers — a pure
+    * per-row codegen'd expression on the scan: zero shuffles, reproducible
+    * on any engine/partitioning/scale, and new data never reassigns an
+    * existing row (the boundary is a constant, not a quantile). */
+  def purgedTimeSplit(
+      df: DataFrame,
+      tsCol: String,
+      testStartUs: Long,
+      embargoUs: Long,
+      outputCol: String = "split"): DataFrame = {
+    require(embargoUs >= 0, s"embargo must be >= 0: $embargoUs")
+    val us = unix_micros(col(tsCol))
+    df.withColumn(outputCol,
+      when(us >= testStartUs, lit("test"))
+        .when(us < testStartUs - embargoUs, lit("train"))
+        .when(us.isNotNull, lit("purged")))
+  }
+
   /** Salted variant of [[hashBucket]]: bucket of md5("<id>:<salt>"). Each
     * distinct salt draws an independent bucket assignment, so stacked
     * per-row decisions (split assignment, sampling, mixture weighting)

@@ -917,4 +917,47 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Per-document DUPLICATE-SHINGLE statistics — the Dolma/RefinedWeb-style
+    * "how much of this page is boilerplate the rest of the corpus also has"
+    * signal, as a per-doc score rather than pairs: for each doc, the count
+    * of its DISTINCT `ngram`-shingles, how many of those appear in at least
+    * `minDf` documents corpus-wide, and the resulting duplicate fraction.
+    * Unlike [[ngramJaccardPairs]] (who is near WHOM) this never forms a
+    * pair space at all — it is the cheap corpus-contamination score a
+    * curator thresholds BEFORE paying for pairwise dedup.
+    *
+    * Numerics: n_shingles / n_dup are exact integers; dup_frac is one
+    * double division of those integers (bit-portable); docs with zero
+    * shingles (fewer than `ngram` tokens) keep a row with n_shingles = 0
+    * and null dup_frac — the operator is row-preserving on ids.
+    *
+    * Scale shape: (id, shingle) postings collapse scan-side (distinct
+    * within doc via the native expression — no per-doc bag survives the
+    * exchange); df is a shingle-keyed count over those postings; the join
+    * back to postings is on the SAME shingle key, so AQE reuses the one
+    * exchange; the final per-doc agg is id-keyed. Two keyed shuffles of
+    * fingerprint-sized rows total, text never moves, no pair space. A df
+    * skew cap is unnecessary: over-represented shingles make df ROWS not
+    * df² pairs here. */
+  def dupShingleStats(
+      docs: DataFrame,
+      ngram: Int = 3,
+      minDf: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(ngram >= 1, s"ngram must be >= 1: $ngram")
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    val p = docs.select(col(idCol),
+      explode_outer(TextFunctions.shingleSet(col(textCol), ngram)).as("__sh"))
+    val df = p.filter(col("__sh").isNotNull)
+      .groupBy("__sh").agg(count(lit(1)).as("__df"))
+    p.join(df, Seq("__sh"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__sh")).as("n_shingles"),
+        count(when(col("__df") >= minDf, 1)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_shingles") > 0,
+          col("n_dup").cast("double") / col("n_shingles").cast("double")))
+  }
 }

@@ -371,4 +371,60 @@ object EventSignals {
         coalesce(col("ss_prev"), lit(0L)).as("ss_prev"),
         col("w_prev"), col("is_anomaly"))
   }
+
+  /** Two-sided CUSUM change-point scores on per-(`keyCol`, hour) event
+    * counts — the sequential drift detector that catches a SUSTAINED
+    * level shift (a source going quiet, a scraper ramping up) that
+    * [[anomalyBuckets]]' single-bucket z-test structurally cannot: each
+    * bucket's deviation from `ref` accumulates, decaying only when the
+    * signal returns inside the `slack` band.
+    *
+    * The textbook recursion `S_t = max(0, S_{t-1} + (n_t - ref - slack))`
+    * is not a window aggregate, but its closed form is: with
+    * `P_t = Σ_{i<=t} (n_i - ref - slack)`, `S_t = P_t - min(0, min_{i<=t}
+    * P_i)` (the clamp at zero is a running minimum of the prefix sums —
+    * provable by induction on t). Both the prefix sum and the running min
+    * are plain cumulative window aggregates over LONGs, so the whole
+    * detector is exact integer arithmetic: no recursion, no float, and
+    * bit-identical in any engine. The downward side mirrors with
+    * `ref - slack - n_t`. `is_alarm` fires when either side reaches
+    * `threshold`.
+    *
+    * `ref` (the in-control per-bucket mean) and `slack` (the half-width
+    * of the indifference band, classically k = δ/2 for a shift of size δ)
+    * come from the caller — typically last month's [[anomalyBuckets]]-style
+    * baseline — keeping the operator a pure function of its inputs.
+    *
+    * Scale shape: identical to [[anomalyBuckets]] — one keyed
+    * partial-aggregated shuffle collapses events to (key, hour) rows;
+    * both cumulative windows run over those pre-shrunk bucket rows in ONE
+    * sort (same partition/order spec), so raw events never enter a window
+    * and per-key state is O(hours). */
+  def cusum(
+      events: DataFrame,
+      ref: Long,
+      threshold: Long,
+      slack: Long = 0L,
+      keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0: $slack")
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    val buckets = events
+      .groupBy(col(keyCol),
+        unix_micros(date_trunc("hour", col(tsCol))).as("bucket_us"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("__p_hi", sum(col("n") - lit(ref + slack)).over(w))
+      .withColumn("__p_lo", sum(lit(ref - slack) - col("n")).over(w))
+      .withColumn("cusum_hi",
+        col("__p_hi") - least(lit(0L), min(col("__p_hi")).over(w)))
+      .withColumn("cusum_lo",
+        col("__p_lo") - least(lit(0L), min(col("__p_lo")).over(w)))
+      .withColumn("is_alarm",
+        col("cusum_hi") >= threshold || col("cusum_lo") >= threshold)
+      .select(col(keyCol), col("bucket_us"), col("n"),
+        col("cusum_hi"), col("cusum_lo"), col("is_alarm"))
+  }
 }

@@ -407,4 +407,66 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
+
+  /** Product-quantization ENCODE (Jégou et al. 2011): split each vector
+    * into `m` equal subspaces and replace each sub-vector with the id of
+    * its nearest codeword (L2, smallest-id tiebreak) from that subspace's
+    * `k`-entry codebook — the 64-dim float vector becomes `m` small codes,
+    * the compression that makes billion-vector ANN tables fit on disk
+    * (here: 256 bytes → `m` longs; with k ≤ 256, m bytes after a cast the
+    * writer applies). Codebooks follow the [[assignToCentroids]] seeding
+    * convention — the sliced sub-vectors of the first `k`
+    * `codebookSource` rows by id (k-means-refined codebooks drop in by
+    * passing a trained source; the encode plan is identical) — so the
+    * operator stays a pure, engine-checkable function of its inputs.
+    *
+    * Numerics: per-codeword distance is the sequential left-fold
+    * Σ(a−b)² in array order (Spark `aggregate` HOF == DuckDB `list_sum`,
+    * the established cross-engine-exact pattern) and the argmin keeps the
+    * FIRST strict improvement over cid-sorted codewords — deterministic on
+    * ties. A row too short for a subspace slice has null distances, which
+    * never beat the accumulator: it keeps the sentinel code -1 (the
+    * [[assignToCentroids]] convention for unassignable rows).
+    *
+    * Scale shape: the codebook is ONE broadcast row (m·k·subDim doubles);
+    * encoding is a scan-local per-row expression — zero shuffles of the
+    * corpus, the only viable shape at 10⁹ vectors. The codebook LIMIT is
+    * the only non-scan work and touches k rows. */
+  def pqEncode(
+      embeddings: DataFrame,
+      m: Int,
+      k: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      codebookSource: Option[DataFrame] = None): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(dim >= m && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    def dv(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val src = codebookSource.getOrElse(embeddings)
+    val cbCols = (0 until m).map { j =>
+      sort_array(collect_list(struct(col("id").as("cid"),
+        slice(col("v"), j * subDim + 1, subDim).as("cv")))).as(s"__cb_$j")
+    }
+    val cb = src.select(col(idCol).as("id"), dv(col(vecCol)).as("v"))
+      .orderBy(col("id")).limit(k)
+      .agg(cbCols.head, cbCols.tail: _*)
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val codes = (0 until m).map { j =>
+      val sub = slice(dv(col(vecCol)), j * subDim + 1, subDim)
+      aggregate(col(s"__cb_$j"),
+        struct(lit(-1L).as("cid"), lit(Double.PositiveInfinity).as("d")),
+        (acc, c) => {
+          val d = d2(c.getField("cv"), sub)
+          when(d < acc.getField("d"),
+            struct(c.getField("cid").cast("long").as("cid"), d.as("d")))
+            .otherwise(acc)
+        }).getField("cid").as(s"code_$j")
+    }
+    embeddings.crossJoin(broadcast(cb))
+      .select(col(idCol) +: codes: _*)
+  }
 }

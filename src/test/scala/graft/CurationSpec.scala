@@ -1031,4 +1031,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out8.map(t => t._2 -> t._3).toMap == out)
     assert(out8.map(_._1) == Set("a", "b"))
   }
+
+  test("purgedTimeSplit: exact boundaries, embargo band labeled not dropped") {
+    import spark.implicits._
+    val testStart = 1706054400000000L // 2024-01-24T00:00:00Z
+    val embargo = 172800000000L       // 48 h
+    def t(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val df = Seq(
+      (1L, t(testStart)),               // exactly at the boundary -> test
+      (2L, t(testStart - 1L)),          // 1 us before -> purged
+      (3L, t(testStart - embargo)),     // exactly at embargo start -> purged
+      (4L, t(testStart - embargo - 1L)),// 1 us earlier -> train
+      (5L, t(testStart + 999L)),        // after -> test
+      (6L, null.asInstanceOf[java.sql.Timestamp])) // null ts -> null label
+      .toDF("id", "ts")
+    val out = Curation.purgedTimeSplit(df, "ts", testStart, embargo)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("split"))).toMap
+    assert(out == Map(1L -> Some("test"), 2L -> Some("purged"),
+      3L -> Some("purged"), 4L -> Some("train"), 5L -> Some("test"),
+      6L -> None))
+    // row-preserving: every input row appears exactly once
+    assert(Curation.purgedTimeSplit(df, "ts", testStart, embargo).count() == 6)
+    // zero embargo degenerates to a plain temporal split
+    val noEmb = Curation.purgedTimeSplit(df, "ts", testStart, 0L)
+      .filter("split = 'purged'").count()
+    assert(noEmb == 0)
+  }
 }

@@ -487,4 +487,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.tfCosinePairs(boiler, 0.1, maxTermDf = Some(2)).count() == 0)
     assert(Dedup.tfCosinePairs(boiler, 0.1).count() == 3)
   }
+
+  test("dupShingleStats: per-doc duplicate fraction, row-preserving on short docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),      // shingles {a b c, b c d}
+      (2L, "a b c x"),      // shares "a b c" with doc 1
+      (3L, "p q r s"),      // all unique
+      (4L, "a b"),          // too short: zero shingles, row kept
+      (5L, null.asInstanceOf[String])) // null text: zero shingles, row kept
+      .toDF("doc_id", "text")
+    val out = Dedup.dupShingleStats(df, ngram = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup"),
+          Option(r.getAs[java.lang.Double]("dup_frac")).map(_.toDouble)))).toMap
+    assert(out(1L) == ((2L, 1L, Some(0.5))))
+    assert(out(2L) == ((2L, 1L, Some(0.5))))
+    assert(out(3L) == ((2L, 0L, Some(0.0))))
+    assert(out(4L) == ((0L, 0L, None)))
+    assert(out(5L) == ((0L, 0L, None)))
+    // a REPEATED shingle within one doc counts once (distinct per doc):
+    // "a b c a b c a" yields shingles {a b c, b c a, c a b} all df=1 here
+    val rep = Seq((9L, "a b c a b c a")).toDF("doc_id", "text")
+    val r9 = Dedup.dupShingleStats(rep, ngram = 3).collect().head
+    assert(r9.getAs[Long]("n_shingles") == 3L && r9.getAs[Long]("n_dup") == 0L)
+    // raising minDf tightens the bar
+    assert(Dedup.dupShingleStats(df, ngram = 3, minDf = 3)
+      .filter("n_dup > 0").count() == 0)
+  }
 }

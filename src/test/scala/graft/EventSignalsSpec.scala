@@ -230,6 +230,40 @@ class EventSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(out2.values.sum == 100L)
   }
 
+  test("cusum: closed form equals the max(0, S+d) recursion, both sides") {
+    import spark.implicits._
+    // key A: 10 calm hours of 10, then 5 hours of 15 (sustained +5 shift);
+    // key B: 5 calm hours of 10, then 8 hours of 2 (sustained drop).
+    def burst(key: String, hour: Int, n: Int, base: Long) =
+      (0 until n).map(i => (base + hour * 100L + i, ts(1 + hour / 24, hour % 24, i % 60), 1L, key, 0.0))
+    val evs = ((0 until 10).flatMap(h => burst("A", h, 10, 0L)) ++
+      (10 until 15).flatMap(h => burst("A", h, 15, 0L)) ++
+      (0 until 5).flatMap(h => burst("B", h, 10, 100000L)) ++
+      (5 until 13).flatMap(h => burst("B", h, 2, 100000L)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventSignals.cusum(evs, ref = 10L, threshold = 15L, slack = 2L)
+      .orderBy("event_type", "bucket_us").collect()
+    // driver-side reference: the textbook recursion per key
+    def refCusum(ns: Seq[Long], d: Long => Long): Seq[Long] =
+      ns.scanLeft(0L)((s, n) => math.max(0L, s + d(n))).tail
+    val aN = out.filter(_.getString(0) == "A").map(_.getAs[Long]("n")).toSeq
+    val bN = out.filter(_.getString(0) == "B").map(_.getAs[Long]("n")).toSeq
+    assert(aN == Seq.fill(10)(10L) ++ Seq.fill(5)(15L))
+    assert(out.filter(_.getString(0) == "A").map(_.getAs[Long]("cusum_hi")).toSeq ==
+      refCusum(aN, n => n - 12L))
+    assert(out.filter(_.getString(0) == "B").map(_.getAs[Long]("cusum_lo")).toSeq ==
+      refCusum(bN, n => 8L - n))
+    // upward alarm fires on A exactly when the accumulated shift reaches 15
+    val aAlarms = out.filter(r => r.getString(0) == "A" && r.getAs[Boolean]("is_alarm"))
+    assert(aAlarms.map(_.getAs[Long]("cusum_hi")).toSeq == Seq(15L))
+    // downward alarm on B from the third low hour (6, 12, 18 >= 15)
+    val bAlarms = out.filter(r => r.getString(0) == "B" && r.getAs[Boolean]("is_alarm"))
+    assert(bAlarms.map(_.getAs[Long]("cusum_lo")).toSeq == Seq(18L, 24L, 30L, 36L, 42L, 48L))
+    // calm stretches never accumulate (the prefix-min clamp works)
+    assert(out.filter(_.getString(0) == "A").take(10)
+      .forall(_.getAs[Long]("cusum_hi") == 0L))
+  }
+
   test("modePerGroup: deterministic tiebreak, nulls excluded") {
     import spark.implicits._
     val df = Seq(("u1", Some("b")), ("u1", Some("b")), ("u1", Some("a")),

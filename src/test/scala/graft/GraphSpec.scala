@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  /** Reference fixed-point PageRank on the driver — the same integer spec
+    * (floor division everywhere), evaluated over in-memory maps. */
+  private def refRanks(
+      edges: Seq[(String, String, Long)],
+      iters: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      redistribute: Boolean = false): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val wsum = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges
+        .map { case (s, d, w) => d -> (rank(s) * w) / wsum(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      val dsum = nodes.filterNot(wsum.contains).map(rank).sum
+      rank = nodes.map { nd =>
+        val r0 = base + (dampNum * in.getOrElse(nd, 0L)) / dampDen
+        nd -> (if (redistribute) r0 + (dampNum * dsum) / (dampDen * n) else r0)
+      }.toMap
+    }
+    rank
+  }
+
+  private def run(
+      edges: Seq[(String, String, Long)],
+      iters: Int,
+      redistribute: Boolean): Map[String, Long] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst", "w"), iters = iters,
+      weightCol = Some("w"), redistributeDangling = redistribute)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private val triangle = Seq( // a -> b -> c -> a plus a heavy a -> c edge
+    ("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L), ("a", "c", 3L))
+
+  test("pageRank matches the driver-side integer reference on a weighted cycle") {
+    assert(run(triangle, iters = 10, redistribute = false) ==
+      refRanks(triangle, iters = 10))
+  }
+
+  test("dangling sink: evaporating vs redistributed mass, both exact") {
+    val g = Seq(("a", "b", 1L), ("a", "sink", 1L), ("b", "sink", 2L))
+    val evap = run(g, iters = 5, redistribute = false)
+    val redist = run(g, iters = 5, redistribute = true)
+    assert(evap == refRanks(g, iters = 5))
+    assert(redist == refRanks(g, iters = 5, redistribute = true))
+    // the sink hoards mass; redistribution feeds it back into the graph
+    assert(redist("a") > evap("a"))
+    // total mass never exceeds scale, and floor-loss is bounded by
+    // (edges + nodes) units per iteration
+    val total = redist.values.sum
+    assert(total <= 1000000000000L)
+    assert(total >= 1000000000000L - 5L * (g.size + 3 + 1))
+  }
+
+  test("unweighted default: each edge row counts once") {
+    import spark.implicits._
+    val rows = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+    val got = Graph.pageRank(rows.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // duplicated (a,b) rows == weight-2 edge under the integer spec:
+    // wsum(a)=3 either way and contribs floor identically per unit weight
+    // only when grouped — so compare against the grouped weighted form
+    val grouped = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+    val ref = refRanks(grouped, iters = 3)
+    // per-row floor can lag the grouped floor by at most 1 unit per edge
+    // per iteration; on this graph the values land identically
+    assert(got.keySet == ref.keySet)
+    for ((k, v) <- got) assert((v - ref(k)).abs <= 3L, s"node $k: $v vs ${ref(k)}")
+  }
+
+  test("iteration count is exact: 1 iteration differs from 2") {
+    val r1 = run(triangle, iters = 1, redistribute = false)
+    val r2 = run(triangle, iters = 2, redistribute = false)
+    assert(r1 != r2)
+    assert(r1 == refRanks(triangle, iters = 1))
+    assert(r2 == refRanks(triangle, iters = 2))
+  }
+}

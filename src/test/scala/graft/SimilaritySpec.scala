@@ -334,4 +334,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.forall { case (_, n, _) => n >= 3 && n <= 5 })
     assert(out.groupBy(_._1).forall(_._2.length == 3))
   }
+
+  test("pqEncode: hand-checked codes, ties to smallest cid, short rows -1") {
+    import spark.implicits._
+    // dim 4, m 2 -> 2-dim subspaces. Codebook = first 2 vectors by id:
+    //   cid 1: [0,0 | 4,4]   cid 2: [3,3 | 0,0]
+    val emb = Seq(
+      (1L, Seq(0f, 0f, 4f, 4f)),
+      (2L, Seq(3f, 3f, 0f, 0f)),
+      (10L, Seq(1f, 0f, 1f, 1f)),  // sub0 d2: 1 vs 13 -> 1; sub1: 18 vs 2 -> 2
+      (11L, Seq(3f, 2f, 4f, 5f)),  // sub0: 13 vs 1 -> 2; sub1: 1 vs 41 -> 1
+      (12L, Seq(1.5f, 1.5f, 2f, 2f)), // equidistant both subspaces -> cid 1
+      (13L, Seq(9f, 9f))           // too short for subspace 1 -> -1 there
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.pqEncode(emb, m = 2, k = 2, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
+    assert(out(10L) == ((1L, 2L)))
+    assert(out(11L) == ((2L, 1L)))
+    assert(out(12L) == ((1L, 1L))) // exact tie keeps the first (smallest cid)
+    assert(out(1L) == ((1L, 1L)))
+    assert(out(2L) == ((2L, 2L)))
+    // short row: sub0 [9,9] is closer to cid 2; sub1 slice is empty -> -1
+    assert(out(13L) == ((2L, -1L)))
+    // encoding against a PROVIDED codebook source reproduces the same codes
+    val cbSrc = emb.filter($"vec_id" <= 2)
+    val out2 = graft.operators.Similarity
+      .pqEncode(emb, m = 2, k = 2, dim = 4, codebookSource = Some(cbSrc))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
+    assert(out2 == out)
+  }
 }
