@@ -115,7 +115,12 @@ object Bench {
     // per-source calibration onto the shared reference (no per-group window)
     "q_quantile_norm_group",
     // tf-weighted cosine pairs: integer-dot postings join
-    "q_dedup_cosine")
+    "q_dedup_cosine",
+    // r11 batch 5: oriented-wedge triangle count (O(m^1.5) wedge space),
+    // SCD2 run segmentation (one user-keyed exchange), max_by changelog
+    // compaction (no window sort), MG-pruned exact heavy hitters, exact
+    // integer trend slopes
+    "q_triangles", "q_scd2", "q_cdc_latest", "q_heavy_hitters", "q_trend")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -244,7 +249,10 @@ object Bench {
       ("c4_filter", "c4f"), ("pack_text", "pktxt"), ("sketches", "sk"),
       ("std_incr", "stdi"), ("blm_incr", "blmi"), ("uninorm", "unin"),
       ("mx_qual", "mxq"), ("etrans", "etr"), ("etrgap", "etg"),
-      ("smp_nw", "snw"), ("packst", "pkst"), ("colloc", "coll"))
+      ("smp_nw", "snw"), ("packst", "pkst"), ("colloc", "coll"),
+      // r11 batch 5
+      ("triangles", "tri"), ("cdc_latest", "cdc"),
+      ("heavy_hitters", "hh"))
     def short(k: String): String =
       abbrev.foldLeft(k.stripPrefix("q_")) { case (s, (a, b)) => s.replace(a, b) }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -818,6 +818,49 @@ object SparkEntry {
       operators.Graph.pageRank(edges, iters = 10, weightCol = Some("n"))
     }),
 
+    // Exact triangle count of the co-purchase graph (parts sharing an
+    // order) by degree-ordered orientation — wedge space O(m^1.5)
+    // regardless of skew, vs the oracle's naive three-way join.
+    "q_triangles" -> ((s, dir) =>
+      operators.Graph.triangleCount(
+        operators.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        // coOccurrenceEdges already emits distinct u<v pairs — skip the
+        // second full-edge dedup exchange
+        edgesCanonical = true)),
+
+    // SCD Type-2 history of each user's event_type runs: gaps-and-islands
+    // under ONE user-keyed exchange (run agg + lead window both reuse the
+    // window pass's hash partitioning).
+    "q_scd2" -> ((s, dir) => operators.History.scd2(ev(s, dir))),
+
+    // CDC-changelog compaction to latest surviving state: deterministic
+    // op schedule (event_id % 13 = tombstone), newest row per user wins
+    // via a partial-aggregable max_by — one keyed shuffle of one
+    // candidate row per (partition x key), no per-key sort.
+    "q_cdc_latest" -> ((s, dir) => {
+      val log = ev(s, dir).select(col("user_id"),
+        when(col("event_id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("value"), unix_micros(col("ts")).as("ts_us"),
+        col("ts"), col("event_id"))
+      operators.History.cdcLatest(log, keyCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"), payloadCols = Seq("value", "ts_us"))
+    }),
+
+    // Per-user activity trend: exact-integer least-squares slope fraction
+    // over (day, daily count) points — two partial-agg shuffles, zero
+    // windows, bit-exact where regr_slope's float accumulation is not.
+    "q_trend" -> ((s, dir) => operators.EventSignals.activityTrend(ev(s, dir))),
+
+    // Frequency-threshold heavy hitters at 0.1% of the token stream:
+    // per-partition Misra-Gries candidates (driver-bounded), then an
+    // exact count of ONLY candidates behind a broadcast semi-join — the
+    // shuffle shrinks from |corpus| to |candidate occurrences|, and the
+    // output is exact either way (the sketch prunes, never decides).
+    "q_heavy_hitters" -> ((s, dir) =>
+      Curation.heavyHittersByFraction(t(s, dir, "documents"),
+        fracNum = 1L, fracDen = 1000L)),
+
     // Two-variant experiment readout: per-user conversion collapse, 2x2
     // chi-square significance as a DECIMAL(38,0) cross-multiplied integer
     // inequality (alpha = 0.05) — no float in the gate.
@@ -2885,6 +2928,75 @@ object SparkEntry {
         |    GROUP BY d.node
         |  ) WHERE iter IS NOT NULL)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10""".stripMargin,
+
+    // Naive canonical-triangle enumeration (u < v < w via three joins of
+    // the u<v pair list) — the Spark side's oriented-wedge count must be
+    // exactly this number.
+    "q_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |nodes AS (SELECT u AS node FROM pairs UNION SELECT v FROM pairs)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs e1
+        |     JOIN pairs e2 ON e2.u = e1.v
+        |     JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    "q_scd2" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r),
+        |g AS (
+        |  SELECT user_id, run_id, min(event_type) AS state,
+        |    min(epoch_us(ts)) AS valid_from_us, count(*) AS n_events
+        |  FROM runs GROUP BY user_id, run_id)
+        |SELECT user_id, state, CAST(valid_from_us AS BIGINT) AS valid_from_us,
+        |  CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS BIGINT) AS valid_to_us,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM g""".stripMargin,
+
+    "q_cdc_latest" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT user_id, value, CAST(ts_us AS BIGINT) AS ts_us,
+        |  CAST(n_ops AS BIGINT) AS n_ops
+        |FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q_trend" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, day - (SELECT min(day) FROM d) AS x, y FROM d)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+        |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok WHERE token <> ''
+        |GROUP BY token
+        |HAVING count(*) >= greatest(1,
+        |  (SELECT count(*) FROM tok WHERE token <> '') // 1000)""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH s AS (

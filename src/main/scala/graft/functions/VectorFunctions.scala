@@ -60,6 +60,14 @@ object VectorFunctions {
     GraftExpr.column(HyperplaneBucket(GraftExpr.expression(v), planes.toArray))
   }
 
+  /** |A ∩ B| of two sorted `array<bigint>` columns — native two-pointer
+    * merge ([[SortedIntersectCount]]), the per-edge hot op of adjacency-
+    * intersection triangle counting. Callers own sortedness. */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(SortedIntersectCount(GraftExpr.expression(a), GraftExpr.expression(b)))
+  }
+
   /** The `n` nearest centroid indices by (squared euclidean, index) — fused
     * native expression ([[NearestCells]]); one traversal for all centroids,
     * left-fold accumulation matching the DuckDB oracle bit-for-bit. */

@@ -1572,4 +1572,108 @@ object Curation {
       .withColumn("psi_term",
         round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 12))
   }
+
+  /** Exact frequency-threshold heavy hitters over a token column: every
+    * token with global count >= `minCount`, with its EXACT count — the
+    * vocabulary-pruning / stopword-discovery primitive. Two passes:
+    *
+    * 1. A per-partition MISRA-GRIES pass (k = `counters` decrement
+    *    counters) produces a candidate set. MG's guarantee: any item a
+    *    partition undercounts loses at most (partition tokens)/k, so
+    *    summed over partitions the union of survivors is a SUPERSET of
+    *    every token with global count > N/k. The pass also returns N (the
+    *    exact global token count) for free.
+    * 2. An exact count of ONLY the candidates: broadcast the candidate
+    *    set, semi-join it onto the token stream BEFORE the shuffle, then
+    *    an ordinary partial-agg count + the `minCount` cut.
+    *
+    * If `minCount <= N / counters` the MG superset guarantee does not
+    * cover the threshold, and the operator falls back to the full exact
+    * groupBy — correctness never depends on the sketch. Output is
+    * IDENTICAL either way (MG only prunes, never decides), which is what
+    * makes a sketch-assisted operator oracle-gateable at all.
+    *
+    * Scale shape: the whole point is the exchange. A full token groupBy
+    * at 100 TB shuffles every (token, 1) pair — trillions of rows for a
+    * heavy-hitter query whose answer is a few thousand rows. Here pass 1
+    * is scan-local (a fixed 2k-entry hash map per partition, collected
+    * candidates are O(partitions x k) — driver-bounded by construction,
+    * NOT data-sized), and pass 2's shuffle carries only tokens that
+    * already survived a broadcast hash probe — the exchange shrinks from
+    * |corpus| to |candidate occurrences|. Two corpus scans is the honest
+    * floor (same as BM25's): the second pass must see every occurrence
+    * of every candidate. */
+  def heavyHitters(
+      docs: DataFrame,
+      minCount: Long,
+      counters: Int = 4096,
+      textCol: String = "text"): DataFrame =
+    heavyHittersImpl(docs, n => { val _ = n; minCount }, counters, textCol)
+
+  /** [[heavyHitters]] with a SCALE-INVARIANT threshold: count >=
+    * (N · fracNum) div fracDen, N = exact global token count (known for
+    * free from the MG pass). The form a growing corpus wants — "tokens
+    * above 0.1% of the stream" stays the same query at 10× the data,
+    * where an absolute count silently changes meaning. Integer floor
+    * division keeps the cut engine-exact. */
+  def heavyHittersByFraction(
+      docs: DataFrame,
+      fracNum: Long,
+      fracDen: Long,
+      counters: Int = 4096,
+      textCol: String = "text"): DataFrame = {
+    require(fracNum >= 1 && fracDen >= fracNum,
+      s"need 0 < fracNum/fracDen <= 1: $fracNum/$fracDen")
+    heavyHittersImpl(docs, n => math.max(1L, n * fracNum / fracDen),
+      counters, textCol)
+  }
+
+  private def heavyHittersImpl(
+      docs: DataFrame,
+      threshold: Long => Long,
+      counters: Int,
+      textCol: String): DataFrame = {
+    require(counters >= 1, s"counters must be >= 1: $counters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val perPart: Array[(Long, Array[String])] = toks.as[String].rdd
+      .mapPartitions { it =>
+        val counts = new scala.collection.mutable.HashMap[String, Long]
+        var n = 0L
+        it.foreach { tok =>
+          n += 1
+          counts.get(tok) match {
+            case Some(c) => counts.update(tok, c + 1)
+            case None =>
+              if (counts.size < counters) counts.update(tok, 1L)
+              else {
+                // decrement-all step; drop zeros (the classic MG step)
+                val dead = List.newBuilder[String]
+                counts.foreach { case (k, c) =>
+                  if (c == 1L) dead += k else counts.update(k, c - 1)
+                }
+                dead.result().foreach(counts.remove)
+              }
+          }
+        }
+        Iterator.single((n, counts.keys.toArray))
+      }
+      .collect()
+    val total = perPart.map(_._1).sum
+    val minCount = threshold(total)
+    require(minCount >= 1, s"threshold must be >= 1: $minCount")
+    if (minCount <= total / counters) {
+      // threshold below the sketch's guarantee — exact full path
+      toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= minCount)
+    } else {
+      val cands = perPart.flatMap(_._2).distinct.toSeq.toDF("token")
+      toks.join(broadcast(cands), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= minCount)
+    }
+  }
 }

@@ -427,4 +427,50 @@ object EventSignals {
       .select(col(keyCol), col("bucket_us"), col("n"),
         col("cusum_hi"), col("cusum_lo"), col("is_alarm"))
   }
+
+  /** Per-key activity TREND: the least-squares slope of (events per day)
+    * over (day) for each key, as an EXACT integer fraction —
+    * slope = slope_num / slope_den with
+    *   slope_num = n·Σxy − Σx·Σy,  slope_den = n·Σx² − (Σx)²
+    * over the key's (day, daily count) points. Integer sums of integer
+    * inputs are associative and engine-exact, so the fraction crosses a
+    * bit-exact gate where `regr_slope`'s streaming-covariance float
+    * accumulation (order-dependent partial sums) never could. A key seen
+    * on a single day reports slope_den = 0 — "no trend defined", left to
+    * the caller rather than smuggled into a fake 0 slope.
+    *
+    * Days are centered on the GLOBAL min day (one broadcast scalar) so
+    * the products stay small: with x < 10⁵ days of history and daily
+    * counts < 10⁹, n·Σxy < 10⁵·10⁵·10⁵·10⁹ overflows — centering keeps
+    * x in corpus-lifetime range (~10³-10⁴) where every term fits 2^63
+    * with orders of magnitude to spare.
+    *
+    * Scale shape: two partial-agg shuffles — (key, day) then (key) — both
+    * map-side combinable; the min-day scalar is a broadcast one-row
+    * cross join. No windows, no per-key sort. */
+  def activityTrend(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val day = floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+    val daily = events
+      .groupBy(col(keyCol), day.as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val minDay = daily.agg(min(col("__day")).as("__d0"))
+    daily
+      .crossJoin(broadcast(minDay))
+      .select(col(keyCol), (col("__day") - col("__d0")).as("__x"), col("__y"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sx2"))
+      .select(col(keyCol), col("n_days"),
+        (col("n_days") * col("__sxy") - col("__sx") * col("__sy"))
+          .as("slope_num"),
+        (col("n_days") * col("__sx2") - col("__sx") * col("__sx"))
+          .as("slope_den"))
+  }
 }

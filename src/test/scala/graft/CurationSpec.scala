@@ -1058,4 +1058,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .filter("split = 'purged'").count()
     assert(noEmb == 0)
   }
+
+  test("heavyHitters: sketch-pruned path equals exact path equals reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // zipfian-ish: token i appears ~ 400/i times
+    val toks = (1 to 40).flatMap(i => Seq.fill(400 / i)(s"tok$i"))
+    val docs = rnd.shuffle(toks).grouped(25)
+      .map(_.mkString(" ")).toSeq.toDF("text").repartition(6)
+    val ref = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 40L).toMap
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tiny counter budget -> MG pruned path (threshold 40 > N/16)
+    assert(asMap(Curation.heavyHitters(docs, minCount = 40L, counters = 16)) == ref)
+    // huge counter budget -> guarantee holds trivially, same answer
+    assert(asMap(Curation.heavyHitters(docs, minCount = 40L, counters = 100000)) == ref)
+    // threshold below N/counters -> exact fallback path, same contract
+    val n = toks.size.toLong
+    val lowCut = n / 16 // <= N/counters for counters=16
+    val refLow = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= math.max(1L, lowCut)).toMap
+    assert(asMap(Curation.heavyHitters(docs, minCount = math.max(1L, lowCut),
+      counters = 16)) == refLow)
+  }
+
+  test("heavyHittersByFraction: threshold derives from the exact stream count") {
+    import spark.implicits._
+    val docs = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ (1 to 10).map(i => s"r$i"))
+      .grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    // N = 100, frac 1/4 -> cut 25: only a (60) and b (30) survive
+    val out = Curation.heavyHittersByFraction(docs, 1L, 4L, counters = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 60L, "b" -> 30L))
+  }
 }

@@ -274,4 +274,21 @@ class EventSignalsSpec extends AnyFunSuite with SparkSpec {
         (r.getAs[String]("mode"), r.getAs[Long]("n"))).toMap
     assert(out == Map("u1" -> ("b", 2L), "u2" -> ("a", 1L)))
   }
+
+  test("activityTrend: exact integer slope fraction per user") {
+    import spark.implicits._
+    def ts(day: Long, k: Long) = new java.sql.Timestamp(day * 86400000L + k)
+    // u1: 1 event on day 0, 2 on day 1, 3 on day 2 -> slope exactly 1
+    // u2: single day -> slope_den 0 (no trend defined)
+    val events = (Seq.tabulate(1)(k => (1L, ts(0, k))) ++
+      Seq.tabulate(2)(k => (1L, ts(1, k))) ++
+      Seq.tabulate(3)(k => (1L, ts(2, k))) ++
+      Seq((2L, ts(1, 0)))).toDF("user_id", "ts")
+    val out = graft.operators.EventSignals.activityTrend(events)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // u1: n=3, x=(0,1,2), y=(1,2,3): num = 3*8 - 3*6 = 6, den = 3*5 - 9 = 6
+    assert(out(1L) == (3L, 6L, 6L))
+    assert(out(2L)._1 == 1L && out(2L)._3 == 0L)
+  }
 }

@@ -88,4 +88,57 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r1 == refRanks(triangle, iters = 1))
     assert(r2 == refRanks(triangle, iters = 2))
   }
+
+  // ---- triangleCount ----
+
+  private def countTris(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    import spark.implicits._
+    val r = Graph.triangleCount(edges.toDF("src", "dst")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Driver-side naive reference: canonical u<v edge set, count triples. */
+  private def refTris(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2))
+    val tris = (for {
+      (u, v) <- canon; (v2, w) <- canon
+      if v2 == v && canon((u, w))
+    } yield (u, v, w)).size
+    (nodes.size.toLong, canon.size.toLong, tris.toLong)
+  }
+
+  test("triangleCount: K4 has 4 triangles") {
+    val k4 = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    assert(countTris(k4) == (4L, 6L, 4L))
+  }
+
+  test("triangleCount: canonicalizes duplicates, reversals, self-loops") {
+    // one real triangle given twice in mixed orientations + a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 2L))
+    assert(countTris(messy) == (3L, 3L, 1L))
+  }
+
+  test("triangleCount: star graph (max skew) has zero triangles") {
+    val star = (1L to 20L).map(i => (0L, i))
+    assert(countTris(star) == (21L, 20L, 0L))
+  }
+
+  test("triangleCount matches naive reference on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    assert(countTris(edges) == refTris(edges))
+  }
+
+  test("coOccurrenceEdges: distinct sorted pairs per group, cross-group dedup") {
+    import spark.implicits._
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L), // dup member
+      (20L, 2L), (20L, 1L), // same pair as group 10
+      (30L, 9L)) // singleton group: no pairs
+      .toDF("grp", "id")
+    val got = Graph.coOccurrenceEdges(df, "grp", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }

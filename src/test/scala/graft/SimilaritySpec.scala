@@ -365,4 +365,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         ((r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
     assert(out2 == out)
   }
+
+  test("sortedIntersectCount: merge semantics on sorted long arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, size}
+    val df = Seq(
+      (1L, Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)), // -> 2
+      (2L, Seq.empty[Long], Seq(1L, 2L)), // empty side -> 0
+      (3L, Seq(2L, 4L), Seq(5L, 6L)), // disjoint -> 0
+      (4L, Seq(1L, 1L, 2L), Seq(1L, 2L, 2L)) // dups: min multiplicity
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", graft.functions.VectorFunctions
+      .sortedIntersectCount($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 2L))
+    // matches size(array_intersect) on set inputs (rows 1-3)
+    val hof = df.filter($"id" <= 3).select($"id",
+      size(array_intersect($"a", $"b")).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof == Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
+  }
 }
