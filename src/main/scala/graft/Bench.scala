@@ -120,7 +120,12 @@ object Bench {
     // SCD2 run segmentation (one user-keyed exchange), max_by changelog
     // compaction (no window sort), MG-pruned exact heavy hitters, exact
     // integer trend slopes
-    "q_triangles", "q_scd2", "q_cdc_latest", "q_heavy_hitters", "q_trend")
+    "q_triangles", "q_scd2", "q_cdc_latest", "q_heavy_hitters", "q_trend",
+    // OHLC bars (partial-agg min_by/max_by), readability (pure scan).
+    // q_kcore stays gate-only: ~10 s of pin-dominated peel rounds would
+    // swamp the bench total while the iterative-keyed-loop family's
+    // regression signal is already carried by q_dedup_clusters.
+    "q_ohlc", "q_readability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -852,6 +852,33 @@ object SparkEntry {
     // windows, bit-exact where regr_slope's float accumulation is not.
     "q_trend" -> ((s, dir) => operators.EventSignals.activityTrend(ev(s, dir))),
 
+    // OHLC hourly bars: open/close via partial-aggregable min_by/max_by
+    // (the exchange carries bars, not events), volume as exact cents.
+    "q_ohlc" -> ((s, dir) => operators.EventSignals.ohlcBars(ev(s, dir))),
+
+    // k-core of the co-purchase graph (k=80): iterative peel with pinned
+    // live edges, one degree shuffle + two node semi-joins per round,
+    // only a COUNT per round on the driver. The oracle runs the same
+    // peel unrolled to 8 rounds (> the measured convergence depth 5;
+    // peeling is confluent and idempotent past the fixed point).
+    "q_kcore" -> ((s, dir) =>
+      operators.Graph.kCore(
+        operators.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        k = 80, maxRounds = 12)),
+
+    // Flesch-Kincaid readability: sentence/word/vowel-group counts, all
+    // single codegen'd regexp passes. The synthetic corpus carries no
+    // terminal punctuation, so sentence boundaries are planted
+    // deterministically (every " value " becomes " value. ") identically
+    // in the oracle — the q_gopher/q_redact decoration pattern.
+    "q_readability" -> ((s, dir) => {
+      val decorated = expr("replace(text, ' value ', ' value. ')")
+      t(s, dir, "documents").select(
+        col("doc_id") +: TextFunctions.readabilitySignals(decorated)
+          .map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // Frequency-threshold heavy hitters at 0.1% of the token stream:
     // per-partition Misra-Gries candidates (driver-bounded), then an
     // exact count of ONLY candidates behind a broadcast semi-join — the
@@ -1884,6 +1911,33 @@ object SparkEntry {
 
   /** Shared SQL fragments (kept inline per-query so each entry is a
     * self-contained ANSI statement for the driver). */
+  /** q_kcore reference: the peel loop UNROLLED to a fixed round count —
+    * n_i = nodes whose degree within the subgraph induced by n_{i-1} is
+    * >= k. Peeling only filters, so rounds past the fixed point are
+    * no-ops: rounds >= the data's convergence depth ⟹ the unrolled form
+    * equals the converged k-core the engine's loop returns. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""n$i AS (SELECT e.node FROM ends e
+         |  JOIN n${i - 1} s ON e.o = s.node
+         |  JOIN n${i - 1} s2 ON e.node = s2.node
+         |  GROUP BY e.node HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |ends AS (SELECT u AS node, v AS o FROM pairs
+       |         UNION ALL SELECT v, u FROM pairs),
+       |n0 AS (SELECT DISTINCT node FROM ends),
+       |$peels
+       |SELECT e.node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM ends e
+       |  JOIN n$rounds s ON e.o = s.node
+       |  JOIN n$rounds s2 ON e.node = s2.node
+       |GROUP BY e.node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ivfOracleEntry ++ Map(
     "q_filter" ->
       "SELECT doc_id, text FROM documents WHERE contains(lower(text), 'window')",
@@ -2997,6 +3051,41 @@ object SparkEntry {
         |GROUP BY token
         |HAVING count(*) >= greatest(1,
         |  (SELECT count(*) FROM tok WHERE token <> '') // 1000)""".stripMargin,
+
+    "q_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, CAST(bucket_us AS BIGINT) AS bucket_us,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the peel unrolled: n_i = nodes of the subgraph induced by n_{i-1}
+    // with induced degree >= k; 8 rounds > the measured convergence
+    // depth (5 at sf0.01), and peeling is a no-op past the fixed point
+    "q_kcore" -> kcoreOracleSql(k = 80, rounds = 8),
+
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id, replace(text, ' value ', ' value. ') AS text
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+        |  round(0.39 * (CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |    + 11.8 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |          / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+        |    - 15.59, 12) AS fk_grade
+        |FROM t""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH s AS (

@@ -126,6 +126,31 @@ object TextFunctions {
       "stop_ratio" -> round(stopwordCount(text).cast("double") / size(toks), 4))
   }
 
+  /** Readability signals (Flesch–Kincaid grade): sentence count as
+    * terminal-punctuation runs (`[.!?]+`), word count as whitespace
+    * tokens, syllable count by the standard vowel-group heuristic
+    * (`[aeiouy]+` runs, case-folded) — each a single codegen'd
+    * regexp/split pass, zero shuffles, and each reproducible as the
+    * IDENTICAL RE2 pattern in the oracle engine. The grade is
+    *   0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    * with both denominators floored at 1 (a fragment with no terminal
+    * punctuation reads as one sentence — the convention real scorers
+    * use — and an empty doc must not divide by zero); the float result
+    * is rounded to 12 decimals: integer-ratio divisions and one linear
+    * combination are correctly-rounded IEEE ops both engines perform
+    * identically, the round only clips hypothetical last-ulp drift. */
+  def readabilitySignals(text: Column): Seq[(String, Column)] = {
+    val words = tokenCount(text).cast("long")
+    val sentences = size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long")
+    val syllables = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+    val grade = round(
+      lit(0.39) * (words.cast("double") / greatest(sentences, lit(1L)).cast("double")) +
+        lit(11.8) * (syllables.cast("double") / greatest(words, lit(1L)).cast("double")) -
+        lit(15.59), 12)
+    Seq("n_words" -> words, "n_sentences" -> sentences,
+      "n_syllables" -> syllables, "fk_grade" -> grade)
+  }
+
   /** Stable content fingerprint (md5 of the raw text). For a
     * locality-sensitive fingerprint see [[graft.functions.Sketches.simhash64]]. */
   def fingerprint(text: Column): Column = md5(text)

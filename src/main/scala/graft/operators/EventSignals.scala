@@ -448,6 +448,37 @@ object EventSignals {
     * Scale shape: two partial-agg shuffles — (key, day) then (key) — both
     * map-side combinable; the min-day scalar is a broadcast one-row
     * cross join. No windows, no per-key sort. */
+  /** OHLC time-bucket downsampling: per (key, hour) — open/close by
+    * min_by/max_by on the (ts, tie) order, high/low by plain min/max,
+    * volume as exact integer cents (the source carries ≤2 decimals; a
+    * float sum's order-dependent accumulation could never cross the
+    * bit-exact gate), and the bar's event count. The metrics-downsampling
+    * primitive: 10⁹ raw points per series become 24 bars/day.
+    *
+    * Scale shape: ONE partial-aggregable keyed shuffle — min_by/max_by
+    * reduce map-side to one candidate per (partition × bucket), so the
+    * exchange carries bars, not events. No windows, no per-key sort
+    * (contrast: the arg-min-via-row_number formulation shuffles every
+    * raw event). */
+  def ohlcBars(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val ord = struct(col(tsCol), col(tieCol))
+    events
+      .groupBy(col(keyCol),
+        unix_micros(date_trunc("hour", col(tsCol))).as("bucket_us"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        sum(round(col(valueCol) * lit(100)).cast("long")).as("volume_cents"),
+        count(lit(1)).as("n_events"))
+  }
+
   def activityTrend(
       events: DataFrame,
       keyCol: String = "user_id",

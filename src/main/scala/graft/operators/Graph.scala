@@ -196,6 +196,71 @@ object Graph {
     nN.crossJoin(broadcast(nE)).crossJoin(broadcast(nT))
   }
 
+  /** k-CORE decomposition by iterative peeling: repeatedly delete every
+    * node whose degree in the CURRENT subgraph is < k until none remains,
+    * returning the surviving nodes with their in-core degree — the
+    * standard "dense cohesive subgraph" extraction (Seidman 1983; the
+    * spam-farm / dense-community filter crawl pipelines run on link
+    * graphs). Peeling is confluent: the fixed point is unique regardless
+    * of deletion order, so any engine converging the same rule returns
+    * the identical core — what makes an iterative graph operator
+    * hash-gateable at all.
+    *
+    * `maxRounds` caps the loop (the gate sets it above the measured
+    * convergence depth). A cap-truncated run returns the partially peeled
+    * superset of the true core — monotone, never invents nodes — and is
+    * detectable: a `__converged` count is logged per round. Because each
+    * round only FILTERS, running extra rounds past the fixed point is a
+    * no-op, so a fixed-round reference (chained SQL peels) equals the
+    * converged answer whenever rounds ≥ convergence depth.
+    *
+    * Scale shape: the same loop discipline as [[pageRank]] /
+    * `Dedup.clusters` — the live edge set is pinned per round
+    * (localCheckpoint keeps the iterated plan constant-size), each round
+    * is one (node, 1) partial-agg degree shuffle + one broadcast-or-keyed
+    * semi-join of edges against surviving nodes; the only driver values
+    * are the per-round dropped-node COUNT (the convergence test). Work is
+    * O(live edges) per round and strictly shrinking. */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      maxRounds: Int = 30,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val raw = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    var live = raw.localCheckpoint(true)
+    var prev = live.count() // one edge COUNT per round is all the driver sees
+    var round = 0
+    var done = prev == 0L
+    while (round < maxRounds && !done) {
+      round += 1
+      val deg = live.select(col("u").as("node"))
+        .union(live.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // pinned: node-sized, and BOTH semi-joins consume it — unpinned,
+      // each would re-run the edge-sized degree aggregation
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+        .localCheckpoint(true)
+      val next = live
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val after = next.count()
+      done = after == prev
+      prev = after
+      live = next
+    }
+    live.select(col("u").as("node"))
+      .union(live.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Co-occurrence edge list from a grouped id column: all distinct
     * unordered (u < v) pairs of `idCol` values sharing a `groupCol` value
     * — e.g. parts co-purchased in one order. Pair generation is SCAN-LOCAL

@@ -765,4 +765,85 @@ object StreamingPipeline {
       r(rTs) <= l(leftTs)
     keyCols.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
   }
+
+  /** Streaming CDC latest-state view — the ingest-time counterpart of
+    * [[graft.operators.History.cdcLatest]]: keyed state holds each key's
+    * newest (by `(tsCol, tieCol)`) changelog row, and each micro-batch
+    * emits ONE row per key whose winning state CHANGED in that batch — an
+    * append-mode changelog OF THE VIEW (`op = deleteOp` rows are the
+    * tombstone notifications a downstream sink turns into deletes). A
+    * batch that only adds STALE rows for a key (older than its current
+    * winner) emits nothing: the view did not change. `n_ops` counts every
+    * log row ever seen for the key; on an in-order stream every batch
+    * touching a key also advances its winner, so the key's LAST emission
+    * carries the full count and (filtered of tombstones) the final
+    * emissions equal the batch operator's output — parity spec-pinned.
+    *
+    * State is one small fixed-shape row per key: (order_us, tie, op,
+    * payload, n_ops) — payload only, never the log. The unbounded-key
+    * caveat and the event-time-timeout remedy are exactly
+    * [[sessionize]]'s; here state is the VIEW itself, so dropping a key
+    * forgets its current value (only safe above a compacting sink). */
+  def cdcLatestStream(
+      df: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      opCol: String = "op",
+      deleteOp: String = "D",
+      payloadCols: Seq[String] = Seq("value")): DataFrame = {
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val tieIdx = df.schema.fieldIndex(tieCol)
+    val opIdx = df.schema.fieldIndex(opCol)
+    val payIdxs = payloadCols.map(df.schema.fieldIndex)
+    val stateSchema = StructType(Seq(
+      StructField("order_us", LongType), StructField("tie", LongType),
+      StructField("op", StringType),
+      StructField("payload", StructType(payloadCols.map(c => df.schema(c)))),
+      StructField("n_ops", LongType)))
+    val outSchema = StructType(
+      df.schema(keyCol) +: StructField("op", StringType) +:
+        payloadCols.map(df.schema(_)) :+ StructField("n_ops", LongType))
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant => org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+    df.groupByKey { r: Row =>
+        if (r.isNullAt(keyIdx)) "0" else "1:" + r.get(keyIdx)
+      }(Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val prior = state.getOption
+          var winUs = prior.map(_.getLong(0)).getOrElse(Long.MinValue)
+          var winTie = prior.map(_.getLong(1)).getOrElse(Long.MinValue)
+          var winOp = prior.map(_.getString(2)).orNull
+          var winPay = prior.map(_.getStruct(3)).orNull
+          var nOps = prior.map(_.getLong(4)).getOrElse(0L)
+          var keyVal: Any = null
+          var changed = false
+          rows.foreach { r =>
+            nOps += 1
+            keyVal = r.get(keyIdx)
+            val us = micros(r)
+            val tie = r.getLong(tieIdx)
+            // strict (order_us, tie) max — arrival order within the
+            // batch is irrelevant, matching the batch max_by
+            if (us > winUs || (us == winUs && tie > winTie)) {
+              winUs = us; winTie = tie
+              winOp = r.get(opIdx) match { case null => null; case v => v.toString }
+              winPay = Row(payIdxs.map(r.get): _*)
+              changed = true
+            }
+          }
+          state.update(Row(winUs, winTie, winOp, winPay, nOps))
+          if (changed)
+            Iterator.single(Row(keyVal +: winOp +:
+              winPay.toSeq :+ nOps: _*))
+          else Iterator.empty
+      }(Encoders.row(stateSchema), Encoders.row(outSchema))
+  }
 }

@@ -275,6 +275,26 @@ class EventSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map("u1" -> ("b", 2L), "u2" -> ("a", 1L)))
   }
 
+  test("ohlcBars: open/close by (ts, tie) order, exact cents volume") {
+    import spark.implicits._
+    def t(m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2026-03-01 10:$m%02d:$s%02d")
+    val events = Seq(
+      // bucket 10:00, type a: open 3.0 (earliest), close 1.5 (latest);
+      // ties at 10:05 broken by event_id: id 4 (2.25) is later than id 3
+      ("a", t(5), 3L, 9.0), ("a", t(0), 1L, 3.0), ("a", t(5), 4L, 2.25),
+      ("a", t(59), 5L, 1.5),
+      // type b: BOTH endpoints tied on ts — ids alone order open/close
+      ("b", t(10), 6L, 4.0), ("b", t(10), 7L, 6.5))
+      .toDF("event_type", "ts", "event_id", "value")
+    val out = graft.operators.EventSignals.ohlcBars(events)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(out("a") == ((3.0, 9.0, 1.5, 1.5, 1575L, 4L)))
+    assert(out("b") == ((4.0, 6.5, 4.0, 6.5, 1050L, 2L)))
+  }
+
   test("activityTrend: exact integer slope fraction per user") {
     import spark.implicits._
     def ts(day: Long, k: Long) = new java.sql.Timestamp(day * 86400000L + k)

@@ -131,6 +131,55 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(countTris(edges) == refTris(edges))
   }
 
+  // ---- kCore ----
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.kCore(edges.toDF("src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Driver-side peel reference. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    var adj = canon.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
+        case (m, (u, vs)) => vs.foldLeft(m)((m2, v) =>
+          m2.updated(u, m2(u) + v).updated(v, m2(v) + u))
+      }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, s) if s.size < k => n }.toSet
+      changed = drop.nonEmpty
+      adj = adj.collect { case (n, s) if !drop(n) => n -> (s -- drop) }
+        .filter(_._2.nonEmpty).toMap
+    }
+    adj.map { case (n, s) => n -> s.size.toLong }
+  }
+
+  test("kCore: K5 with a pendant chain peels down to exactly K5") {
+    val k5 = for { i <- 0L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    // chain 4-10-11-12: peeling 12 drops 11, then 10 — multi-round
+    val edges = k5 ++ Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val got = runKCore(edges, k = 4)
+    assert(got == (0L to 4L).map(_ -> 4L).toMap)
+    assert(got == refKCore(edges, 4))
+  }
+
+  test("kCore: k above the max degree empties the graph") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(runKCore(tri, k = 3).isEmpty)
+    assert(runKCore(tri, k = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore matches the driver reference on a seeded random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    for (k <- Seq(2, 5, 8))
+      assert(runKCore(edges, k) == refKCore(edges, k), s"k=$k")
+  }
+
   test("coOccurrenceEdges: distinct sorted pairs per group, cross-group dedup") {
     import spark.implicits._
     val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L), // dup member

@@ -249,4 +249,31 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .getStruct(0)
     assert(q.getAs[Long]("sum_sq") == 16 && q.getAs[Double]("entropy_bits") == 0.0)
   }
+
+  test("readabilitySignals: counts and FK grade on hand-checked text") {
+    import spark.implicits._
+    val df = Seq("The cat sat. It purred!? Good cat.").toDF("t")
+      .select(TextFunctions.readabilitySignals(col("t"))
+        .map { case (n, c) => c.as(n) }: _*)
+    val r = df.collect()(0)
+    // whitespace tokens (punctuation attaches): The|cat|sat.|It|purred!?|
+    // Good|cat. -> 7
+    assert(r.getAs[Long]("n_words") == 7)
+    assert(r.getAs[Long]("n_sentences") == 3) // "!?" is ONE terminal run
+    // vowel groups: The(1) cat(1) sat(1) It(1) purred(2: u, e) Good(1: oo)
+    // cat(1) -> 8
+    assert(r.getAs[Long]("n_syllables") == 8)
+    val grade = 0.39 * (7.0 / 3) + 11.8 * (8.0 / 7) - 15.59
+    assert(math.abs(r.getAs[Double]("fk_grade") - grade) < 1e-9)
+    // degenerate inputs: no punctuation -> 1-sentence floor; empty text
+    // -> split yields one empty token (the corpus-wide convention), no NaN
+    val e = Seq("", "no stops here").toDF("t")
+      .select(TextFunctions.readabilitySignals(col("t"))
+        .map { case (n, c) => c.as(n) }: _*).collect()
+    assert(e(0).getAs[Long]("n_sentences") == 0 && !e(0).getAs[Double]("fk_grade").isNaN)
+    assert(e(1).getAs[Long]("n_words") == 3)
+    // fk_grade is round(·, 12) — compare to the raw formula with tolerance
+    assert(math.abs(e(1).getAs[Double]("fk_grade") -
+      (0.39 * 3.0 + 11.8 * (4.0 / 3) - 15.59)) < 1e-9)
+  }
 }
