@@ -179,6 +179,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "array as array<struct<x, y>> (collocation pair generator)"),
       arity("array_pairs", 1)(args => ArrayPairs(args.head))))
 
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A ∩ B| of two SORTED bigint " +
+          "arrays by two-pointer merge (callers own sortedness)"),
+      arity("sorted_intersect_count", 2)(args =>
+        SortedIntersectCount(args(0), args(1)))))
+
     ext.injectFunction((FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize",
         "unicode_normalize(text[, form]) - UAX #15 normalization; " +

@@ -487,7 +487,10 @@ object EventSignals {
     val daily = events
       .groupBy(col(keyCol), day.as("__day"))
       .agg(count(lit(1)).as("__y"))
-    val minDay = daily.agg(min(col("__day")).as("__d0"))
+    // global min day from the RAW scan (ts column only — pruned), not from
+    // `daily`: an agg over `daily` would re-run the (key, day) shuffle for
+    // the scalar unless exchange reuse happens to fire
+    val minDay = events.agg(min(day).as("__d0"))
     daily
       .crossJoin(broadcast(minDay))
       .select(col(keyCol), (col("__day") - col("__d0")).as("__x"), col("__y"))

@@ -123,6 +123,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1)))
       assert(pairs == Seq(("a", "b"), ("a", "c"), ("b", "c")))
       intercept[Exception] { s.sql("SELECT char_profile()").collect() }
+      val ic = s.sql("SELECT sorted_intersect_count(array(1L, 3L, 5L), " +
+        "array(3L, 5L, 9L)) AS c").collect()(0).getLong(0)
+      assert(ic == 2L)
+      intercept[Exception] {
+        s.sql("SELECT sorted_intersect_count(array(1L))").collect()
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -350,4 +350,32 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(arrayEx.isEmpty,
       s"a term array rides an exchange: ${arrayEx.map(_.output.map(_.name))}")
   }
+
+  test("q_ohlc: one partial-aggregated shuffle, no window sort — the exchange carries bars") {
+    val ex = executedShuffles("q_ohlc")
+    assert(ex.size == 1, s"expected 1 exchange, got ${ex.size}")
+    val p = SparkEntry.queries("q_ohlc")(spark, sf).queryExecution.executedPlan
+    assert(!p.toString.contains("Window"), "OHLC must not plan a window sort")
+    // map-side reduction: partial + final aggregate around the exchange
+    assert("HashAggregate|SortAggregate".r.findAllIn(p.toString).size >= 2)
+  }
+
+  test("q_trend: two data-sized shuffles, no windows") {
+    val ex = executedShuffles("q_trend")
+    // (key, day) agg + (key) agg carry user rows; the third exchange is
+    // the global min-day SCALAR's single-partition collapse (one row per
+    // map task — constant at any data scale)
+    val dataSized = ex.filter(_.output.exists(_.name == "user_id"))
+    assert(dataSized.size == 2, s"expected 2 user-keyed exchanges:\n$ex")
+    val p = SparkEntry.queries("q_trend")(spark, sf).queryExecution.executedPlan
+    assert(!p.toString.contains("Window"))
+  }
+
+  test("q_heavy_hitters: the exact count probes a BROADCAST of the candidate set") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate prune must be a broadcast semi-join:\n$p")
+  }
 }
