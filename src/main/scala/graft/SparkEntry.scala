@@ -1655,6 +1655,15 @@ object SparkEntry {
     "q_pq_encode" -> ((s, dir) =>
       Similarity.pqEncode(t(s, dir, "embeddings"), m = 4, k = 16, dim = 64)),
 
+    // PQ-ADC search: the read side of pqEncode — per-query m×k distance
+    // tables (one broadcast row each), corpus scored by m map lookups on
+    // its CODES (the raw vectors never re-read), map-side-limited top-k.
+    "q_sim_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqSearch(emb.filter(col("vec_id") < 10), emb,
+        m = 4, k = 16, dim = 64, topK = 5)
+    }),
+
     // SemDeDup: within-cluster near-twin drop — the pair space is keyed by
     // cluster id, so the quadratic work is Σ|cluster|², never corpus².
     "q_dedup_semantic" -> ((s, dir) =>
@@ -2123,6 +2132,42 @@ object SparkEntry {
         |  max(CASE WHEN j = 2 THEN cid END) AS code_2,
         |  max(CASE WHEN j = 3 THEN cid END) AS code_3
         |FROM a WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
+    // ADC: the d CTE (every (vector, subspace, codeword) distance) serves
+    // BOTH sides — argmin rows are the corpus codes, query-id rows are the
+    // distance tables; the score is the explicit left-assoc 4-term chain
+    // the engine computes, then (distance, id) ranks.
+    "q_sim_pq" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |sub AS (SELECT v.vec_id, js.j, v.e[js.j*16+1 : js.j*16+16] AS se
+        |        FROM v CROSS JOIN js),
+        |cs AS (SELECT cb.cid, js.j, cb.ce[js.j*16+1 : js.j*16+16] AS ce
+        |       FROM cb CROSS JOIN js),
+        |d AS (SELECT s.vec_id, s.j, c.cid,
+        |        list_sum(list_transform(list_zip(s.se, c.ce),
+        |          z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+        |      FROM sub s JOIN cs c ON s.j = c.j),
+        |a AS (SELECT vec_id, j, cid,
+        |        row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+        |      FROM d),
+        |codes AS (SELECT vec_id, j, cid FROM a WHERE rn = 1),
+        |score AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    max(CASE WHEN c.j = 0 THEN q.d2 END)
+        |      + max(CASE WHEN c.j = 1 THEN q.d2 END)
+        |      + max(CASE WHEN c.j = 2 THEN q.d2 END)
+        |      + max(CASE WHEN c.j = 3 THEN q.d2 END) AS adc_d2
+        |  FROM codes c
+        |  JOIN d q ON q.j = c.j AND q.cid = c.cid AND q.vec_id < 10
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, adc_d2,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rank
+        |      FROM score)
+        |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, adc_d2
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,

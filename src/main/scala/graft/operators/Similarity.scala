@@ -445,16 +445,8 @@ object Similarity {
     require(dim >= m && dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     def dv(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
-    val src = codebookSource.getOrElse(embeddings)
-    val cbCols = (0 until m).map { j =>
-      sort_array(collect_list(struct(col("id").as("cid"),
-        slice(col("v"), j * subDim + 1, subDim).as("cv")))).as(s"__cb_$j")
-    }
-    val cb = src.select(col(idCol).as("id"), dv(col(vecCol)).as("v"))
-      .orderBy(col("id")).limit(k)
-      .agg(cbCols.head, cbCols.tail: _*)
-    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val cb = pqCodebook(codebookSource.getOrElse(embeddings),
+      m, k, subDim, idCol, vecCol)
     val codes = (0 until m).map { j =>
       val sub = slice(dv(col(vecCol)), j * subDim + 1, subDim)
       aggregate(col(s"__cb_$j"),
@@ -468,5 +460,98 @@ object Similarity {
     }
     embeddings.crossJoin(broadcast(cb))
       .select(col(idCol) +: codes: _*)
+  }
+
+  /** One-row codebook frame: per subspace j, the cid-sorted
+    * struct(cid, sub-vector) list of the first `k` source rows by id —
+    * shared by [[pqEncode]] (assignment) and [[pqSearch]] (distance
+    * tables), so both sides of the encode/search pair provably quantize
+    * against identical codewords. */
+  private def pqCodebook(
+      src: DataFrame,
+      m: Int,
+      k: Int,
+      subDim: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val cbCols = (0 until m).map { j =>
+      sort_array(collect_list(struct(col("id").as("cid"),
+        slice(col("v"), j * subDim + 1, subDim).as("cv")))).as(s"__cb_$j")
+    }
+    src.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .orderBy(col("id")).limit(k)
+      .agg(cbCols.head, cbCols.tail: _*)
+  }
+
+  /** Left-fold Σ(a−b)² in array order — DuckDB `list_sum ∘ list_zip`
+    * bit-for-bit. */
+  private def d2(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** PQ-ADC top-k search (Jégou et al. 2011, asymmetric distance): rank
+    * the PQ-ENCODED corpus against raw query vectors without decoding —
+    * per query, precompute one k-entry distance table per subspace
+    * (cid → ‖q_j − codeword‖², an m × k map), then score each corpus row
+    * as the FIXED-ORDER sum of m table lookups on its codes. The read
+    * side of the [[pqEncode]] compression: approximate distances over
+    * m longs per vector instead of `dim` floats.
+    *
+    * Determinism: tables are built with the same left-fold [[d2]] as the
+    * encoder; the score is an explicit j = 0…m−1 addition chain (no
+    * reduce-order ambiguity), ranks break ties by (distance, id) — every
+    * float op is a correctly-rounded IEEE step both engines replay
+    * identically, so even the raw doubles hash-gate. Rows carrying the
+    * encoder's −1 sentinel (too-short vectors) have no table entry and
+    * are EXCLUDED (null score), matching the unassignable convention.
+    *
+    * Scale shape: codebook + per-query tables are ONE broadcast row each
+    * (m·k doubles per query — KBs for curation-sized query sets, the
+    * [[bruteForceTopK]] contract); scoring is a scan-local
+    * broadcast-nested-loop over the CODES table (m longs per row, the
+    * compressed store — the raw vectors are never read), and the top-k
+    * window is map-side group-limited like every rank-k here. At 10⁹
+    * vectors this scans m·10⁹ longs where brute force scans dim·10⁹
+    * floats AND skips the decode — the entire point of PQ. */
+  def pqSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      m: Int,
+      k: Int,
+      dim: Int,
+      topK: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      codebookSource: Option[DataFrame] = None): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    require(m >= 1 && k >= 1 && dim >= m && dim % m == 0,
+      s"need m >= 1, k >= 1, m | dim: m=$m k=$k dim=$dim")
+    val subDim = dim / m
+    def dv(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val cb = pqCodebook(codebookSource.getOrElse(corpus),
+      m, k, subDim, idCol, vecCol)
+    val codes = pqEncode(corpus, m, k, dim, idCol, vecCol, codebookSource)
+    val tables = (0 until m).map { j =>
+      val qSub = slice(dv(col(vecCol)), j * subDim + 1, subDim)
+      map_from_entries(transform(col(s"__cb_$j"), c =>
+        struct(c.getField("cid").cast("long"), d2(c.getField("cv"), qSub))))
+        .as(s"__dt_$j")
+    }
+    val qt = queries
+      .select(col(idCol).as("q_id"), col(vecCol))
+      .crossJoin(broadcast(cb))
+      .select(col("q_id") +: tables: _*)
+    val score = (0 until m)
+      .map(j => element_at(col(s"__dt_$j"), col(s"code_$j")))
+      .reduceLeft(_ + _) // explicit left-to-right chain, NOT a reduce tree
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("n_id").asc)
+    codes.crossJoin(broadcast(qt))
+      .select(col("q_id"), col(idCol).as("n_id"), score.as("adc_d2"))
+      .where(col("adc_d2").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc_d2"))
   }
 }

@@ -366,6 +366,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out2 == out)
   }
 
+  test("pqSearch: ADC equals exact L2 ranking when every corpus vector is a codeword") {
+    import spark.implicits._
+    // 6 vectors, dim 4, m=2, k=6: the codebook contains EVERY corpus
+    // sub-vector, so encoding is lossless and ADC(q, x) = ‖q − x‖² exactly
+    val vecs = Seq(
+      0L -> Array(0f, 0f, 0f, 0f), 1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 2f, 0f, 0f), 3L -> Array(1f, 1f, 1f, 1f),
+      4L -> Array(3f, 0f, 1f, 0f), 5L -> Array(0f, 0f, 0f, 5f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .pqSearch(emb.filter($"vec_id" < 2), emb, m = 2, k = 6, dim = 4, topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def l2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val ref = for {
+      q <- vecs.take(2)
+      ranked = vecs.sortBy { case (id, v) => (l2(q._2, v), id) }.take(3)
+      ((id, v), i) <- ranked.zipWithIndex
+    } yield (q._1, id, (i + 1).toLong, l2(q._2, v))
+    assert(out.sortBy(r => (r._1, r._3)).toSeq == ref.toSeq)
+    // every query emits exactly topK rows
+    assert(out.groupBy(_._1).forall(_._2.length == 3))
+  }
+
   test("sortedIntersectCount: merge semantics on sorted long arrays") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{array_intersect, size}
