@@ -60,7 +60,7 @@ object Bench {
     "q_corpus_overlap", "q_profile_sketch",
     "q_cluster_assign", "q_quantize", "q_dedup_semantic",
     "q_dedup_semantic_incr", "q_bm25", "q_hybrid_rank",
-    "q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_sim_pq",
+    "q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_sim_pq", "q_ann_recall",
     // all four media stages: resize + features carry the real per-row
     // decode/compute cost under RealCodec — the two the fused stage exists
     // to amortize; q_media_real is the fused stage under the REAL

@@ -1798,6 +1798,17 @@ object SparkEntry {
       Similarity.annIvf(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // Recall@5 of the LSH ANN against brute force, as a GATED metric (not
+    // just a spec): the index-tuning readout, metric-sized joins only.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        Similarity.annLsh(emb.filter(col("vec_id") < 10), emb, k = 5,
+          nPlanes = 6, dim = 64),
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5),
+        k = 5)
+    }),
+
     // ---------------------------------------------------------------------
     // Multimodal columns (binary payload + typed metadata; stub codec).
     // ---------------------------------------------------------------------
@@ -4080,6 +4091,36 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
          |  FROM sc)
          |WHERE rank <= 5""".stripMargin
+    },
+
+    // Recall metric: both member oracles inlined as CTEs (the LSH
+    // candidate set and the brute-force ranking), hit-join, exact-integer
+    // counts, one IEEE division.
+    "q_ann_recall" -> {
+      val planes = graft.functions.VectorFunctions.makePlanes(6, 64)
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, ${sqlLshBucket(planes)} AS bucket FROM v),
+         |appx AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlCos("q", "c")} DESC, c.vec_id) AS rank
+         |    FROM b q JOIN b c ON q.vec_id != c.vec_id
+         |      AND bit_count(xor(q.bucket, c.bucket)) <= 1
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5),
+         |ex AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${sqlCos("q", "c")} DESC, c.vec_id) AS rank
+         |    FROM v q JOIN v c ON q.vec_id != c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5),
+         |j AS (SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM ex e LEFT JOIN appx a ON a.q_id = e.q_id AND a.n_id = e.n_id)
+         |SELECT q_id, CAST(sum(hit) AS BIGINT) AS hits,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+         |FROM j GROUP BY q_id""".stripMargin
     },
 
     // Two-sided multi-probe: both members probe own bucket + hamming-1

@@ -462,6 +462,33 @@ object Similarity {
       .select(col(idCol) +: codes: _*)
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * ANN evaluation metric every index tuning loop needs: per query,
+    * hits = |approx ∩ exact| over the exact set (n_exact, which is < k
+    * only when the corpus itself is smaller). Both inputs are top-k
+    * FRAMES (|Q|·k rows — the outputs of [[bruteForceTopK]] /
+    * [[annLsh]] / [[annIvf]] / [[pqSearch]]), so the join is
+    * metric-sized regardless of corpus scale; recall is the single
+    * IEEE division hits / n_exact of two exact integers. */
+  def recallAtK(
+      approx: DataFrame,
+      exact: DataFrame,
+      k: Int,
+      qCol: String = "q_id",
+      nCol: String = "n_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ap = approx.filter(col(rankCol) <= k)
+      .select(col(qCol), col(nCol)).withColumn("__hit", lit(1L))
+    exact.filter(col(rankCol) <= k).select(col(qCol), col(nCol))
+      .join(ap, Seq(qCol, nCol), "left")
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col(qCol), col("hits"), col("n_exact"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** One-row codebook frame: per subspace j, the cid-sorted
     * struct(cid, sub-vector) list of the first `k` source rows by id —
     * shared by [[pqEncode]] (assignment) and [[pqSearch]] (distance

@@ -205,4 +205,31 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id", "difficulty")
     assert(Curation.curriculumOrder(empty, "difficulty", "id").count() == 0)
   }
+
+  test("batch-5/6 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val tri = graft.operators.Graph.triangleCount(emptyEdges).collect()
+    assert(tri.length == 1 &&
+      tri(0).toSeq == Seq(0L, 0L, 0L)) // one all-zero summary row
+    assert(graft.operators.Graph.kCore(emptyEdges, k = 2).count() == 0)
+    assert(graft.operators.Graph.coOccurrenceEdges(
+      Seq.empty[(Long, Long)].toDF("g", "id"), "g", "id").count() == 0)
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(graft.operators.History.scd2(emptyEv).count() == 0)
+    assert(graft.operators.EventSignals.activityTrend(emptyEv).count() == 0)
+    val evV = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(graft.operators.EventSignals.ohlcBars(evV).count() == 0)
+    assert(Curation.heavyHitters(emptyDocs, minCount = 1).count() == 0)
+    // null keys: scd2 groups all-null users into one run stream; cdc
+    // keeps the null-key group's state too (null is a legal key value)
+    val nullKey = Seq((null.asInstanceOf[java.lang.Long],
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(graft.operators.History.scd2(nullKey).count() == 1)
+    assert(Similarity.pqSearch(emptyEmb, emptyEmb, m = 2, k = 4, dim = 4,
+      topK = 3).count() == 0)
+  }
 }

@@ -391,6 +391,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.length == 3))
   }
 
+  test("recallAtK: self-recall 1.0; disjoint result 0.0; partial overlap exact") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L))
+      .toDF("q_id", "n_id", "rank")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val self = m(graft.operators.Similarity.recallAtK(exact, exact, k = 3))
+    assert(self == Map(1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0))))
+    // approx misses one of q1's and all of q2's
+    val appx = Seq((1L, 10L, 1L), (1L, 12L, 2L), (1L, 99L, 3L),
+      (2L, 90L, 1L), (2L, 91L, 2L), (2L, 92L, 3L))
+      .toDF("q_id", "n_id", "rank")
+    val got = m(graft.operators.Similarity.recallAtK(appx, exact, k = 3))
+    assert(got == Map(1L -> ((2L, 3L, 2.0 / 3)), 2L -> ((0L, 3L, 0.0))))
+    // ranks beyond k on either side are ignored
+    val deep = m(graft.operators.Similarity.recallAtK(appx, exact, k = 2))
+    assert(deep(1L) == ((1L, 2L, 0.5)))
+  }
+
   test("sortedIntersectCount: merge semantics on sorted long arrays") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{array_intersect, size}
