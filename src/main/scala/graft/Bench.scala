@@ -60,7 +60,8 @@ object Bench {
     "q_corpus_overlap", "q_profile_sketch",
     "q_cluster_assign", "q_quantize", "q_dedup_semantic",
     "q_dedup_semantic_incr", "q_bm25", "q_hybrid_rank",
-    "q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_sim_pq", "q_ann_recall",
+    "q_sim_topk", "q_sim_ann", "q_sim_ivf", "q_sim_pq", "q_sim_ivfpq",
+    "q_ann_recall",
     // all four media stages: resize + features carry the real per-row
     // decode/compute cost under RealCodec — the two the fused stage exists
     // to amortize; q_media_real is the fused stage under the REAL
@@ -257,7 +258,24 @@ object Bench {
       ("smp_nw", "snw"), ("packst", "pkst"), ("colloc", "coll"),
       // r11 batch 5
       ("triangles", "tri"), ("cdc_latest", "cdc"),
-      ("heavy_hitters", "hh"))
+      ("heavy_hitters", "hh"),
+      // compact-line diet (applied LAST — earlier rules already rewrote
+      // the compound keys these could collide with): the 152-entry line
+      // must stay under the harness's 2000-char tail buffer
+      ("qnorm_group", "qng"), ("readability", "read"), ("ann_recall", "arec"),
+      ("sivfpq", "svpq"), ("sim_pq", "spq"),
+      ("q3_join", "q3"), ("q5_join", "q5"), ("q1_agg", "q1"), ("q6_agg", "q6"),
+      ("asof_iv", "aiv"), ("rollup", "rup"), ("filter", "flt"),
+      ("gopher", "gph"), ("redact", "rdt"), ("trend", "trd"),
+      ("ufeat", "uft"), ("fconv", "fcv"), ("sessz", "ssz"), ("decon", "dcn"),
+      ("chunk", "chk"), ("shord", "sho"), ("pktxt", "ptx"), ("smp_n", "sn"),
+      ("decay", "dcy"), ("chent", "che"), ("tfidf", "tfi"), ("ugrow", "ugr"),
+      ("assoc", "asc"), ("gsets", "gst"), ("attrl", "atl"), ("qnorm", "qnm"),
+      ("bpenc", "bpe"), ("ddcos", "dcs"), ("pivot", "pvt"), ("lid_ng", "lng"),
+      ("mx_up", "mxu"),
+      // stream drain keys (the "stream_" prefix is stripped at print)
+      ("pipeline", "pip"), ("window", "win"), ("sessions", "sss"),
+      ("transitions", "trs"))
     def short(k: String): String =
       abbrev.foldLeft(k.stripPrefix("q_")) { case (s, (a, b)) => s.replace(a, b) }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -268,11 +286,20 @@ object Bench {
     require(shortKeys.distinct.size == shortKeys.size,
       "short-key collision: " + shortKeys.groupBy(identity).collect {
         case (s, g) if g.size > 1 => s }.mkString(","))
-    val qs2 = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
-    val streams2 = streamNames
-      .map(k => "\"" + short(k).stripPrefix("stream_") + "\":" + f"${sp.map(_(k)._1).min}%.2f")
-      .mkString("{", ",", "}")
+    // trailing zeros stripped ("0.30" -> "0.3", "1.00" -> "1"): ~50 chars
+    // across 150 entries, and still valid JSON numbers
+    def fmt(decimals: Int)(v: Double): String = {
+      val t = String.format(s"%.${decimals}f", Double.box(v))
+        .reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
+    def compact(f: Double => String): (String, String) = (
+      results.map { case (k, v) => "\"" + short(k) + "\":" + f(v) }
+        .mkString("{", ",", "}"),
+      streamNames
+        .map(k => "\"" + short(k).stripPrefix("stream_") + "\":" + f(sp.map(_(k)._1).min))
+        .mkString("{", ",", "}"))
+    var (qs2, streams2) = compact(fmt(2))
     // stripSuffix first: a trailing slash would make `.last` empty and the
     // record misreport sf as the fallback; when no number matches at all,
     // fall back to the quoted full path rather than a fabricated 0
@@ -283,7 +310,16 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum,"note":"see BENCH_FULL.json"}"""
+    // no "note" field: full precision lives in BENCH_FULL.json (documented
+    // in SCALE.md/README) and the 29 chars matter against the tail buffer
+    def assemble = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum}"""
+    var line = assemble
+    if (line.length > 1900) {
+      // adaptive fallback: 1-decimal seconds still rank every query within
+      // measurement noise, and BENCH_FULL.json keeps the 3-decimal record
+      val t = compact(fmt(1)); qs2 = t._1; streams2 = t._2
+      line = assemble
+    }
     if (line.length > 1900)
       System.err.println(s"WARN bench line ${line.length} chars — trim keys or precision before the tail buffer (2000) truncates it")
     println(line)
@@ -372,6 +408,10 @@ object Bench {
       // buckets close them — the ingest-time alerting path
       "q_stream_anomaly" -> drain(OutputMode.Append)(
         StreamingPipeline.anomalyFlags(evTs)),
+      // watermarked windowed OHLC: min_by/max_by merge as partial aggs, so
+      // open-bar state is one candidate row per (key, hour), not events
+      "q_stream_ohlc" -> drain(OutputMode.Append)(
+        StreamingPipeline.ohlcBars(evTs)),
       // two-live-streams interval join: watermark-bounded buffered state
       // on both sides (purchase stream x click stream attribution)
       "q_stream_join" -> drain(OutputMode.Append)(

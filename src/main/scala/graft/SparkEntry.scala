@@ -1798,6 +1798,15 @@ object SparkEntry {
       Similarity.annIvf(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // IVF-PQ: the full FAISS-style composition — coarse cells route, ADC
+    // over codes ranks; one scan-local pass builds the (cell, codes)
+    // index frame, per-query work is nprobe/nlist of the corpus x m map
+    // lookups. Both quantizers first-rows-deterministic => static oracle.
+    "q_sim_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqSearch(emb.filter(col("vec_id") < 10), emb, topK = 5)
+    }),
+
     // Recall@5 of the LSH ANN against brute force, as a GATED metric (not
     // just a spec): the index-tuning readout, metric-sized joins only.
     "q_ann_recall" -> ((s, dir) => {
@@ -4092,6 +4101,51 @@ object SparkEntry {
          |  FROM sc)
          |WHERE rank <= 5""".stripMargin
     },
+
+    // IVF-PQ: cosine coarse assignment (cluster_assign's CTE, rn=1 for
+    // corpus cells / rn<=nprobe for query probes), PQ codes + distance
+    // tables from the shared `d` relation, cell-joined ADC score chain.
+    "q_sim_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |cent AS (SELECT vec_id AS ccid, e FROM v ORDER BY vec_id LIMIT 16),
+         |ca AS (SELECT v.vec_id, cent.ccid, ${sqlCos("v", "cent")} AS cos
+         |       FROM v, cent),
+         |cr AS (SELECT vec_id, ccid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ccid) AS rn
+         |       FROM ca),
+         |cells AS (SELECT vec_id, ccid AS cell FROM cr WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, ccid AS cell FROM cr
+         |           WHERE rn <= 4 AND vec_id < 10),
+         |cb AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+         |js AS (SELECT unnest(range(0, 4)) AS j),
+         |sub AS (SELECT v.vec_id, js.j, v.e[js.j*16+1 : js.j*16+16] AS se
+         |        FROM v CROSS JOIN js),
+         |cs AS (SELECT cb.cid, js.j, cb.ce[js.j*16+1 : js.j*16+16] AS ce
+         |       FROM cb CROSS JOIN js),
+         |d AS (SELECT s.vec_id, s.j, c.cid,
+         |        list_sum(list_transform(list_zip(s.se, c.ce),
+         |          z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+         |      FROM sub s JOIN cs c ON s.j = c.j),
+         |a AS (SELECT vec_id, j, cid,
+         |        row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+         |      FROM d),
+         |codes AS (SELECT vec_id, j, cid FROM a WHERE rn = 1),
+         |score AS (
+         |  SELECT p.q_id, n.vec_id AS n_id,
+         |    max(CASE WHEN c.j = 0 THEN q.d2 END)
+         |      + max(CASE WHEN c.j = 1 THEN q.d2 END)
+         |      + max(CASE WHEN c.j = 2 THEN q.d2 END)
+         |      + max(CASE WHEN c.j = 3 THEN q.d2 END) AS adc_d2
+         |  FROM probes p
+         |  JOIN cells n ON n.cell = p.cell AND n.vec_id != p.q_id
+         |  JOIN codes c ON c.vec_id = n.vec_id
+         |  JOIN d q ON q.vec_id = p.q_id AND q.j = c.j AND q.cid = c.cid
+         |  GROUP BY 1, 2),
+         |r AS (SELECT q_id, n_id, adc_d2,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rank
+         |      FROM score)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, adc_d2
+         |FROM r WHERE rank <= 5""".stripMargin,
 
     // Recall metric: both member oracles inlined as CTEs (the LSH
     // candidate set and the brute-force ranking), hit-join, exact-integer

@@ -447,8 +447,18 @@ object Similarity {
     def dv(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
     val cb = pqCodebook(codebookSource.getOrElse(embeddings),
       m, k, subDim, idCol, vecCol)
-    val codes = (0 until m).map { j =>
-      val sub = slice(dv(col(vecCol)), j * subDim + 1, subDim)
+    embeddings.crossJoin(broadcast(cb))
+      .select(col(idCol) +: pqCodeColumns(m, subDim, vecCol): _*)
+  }
+
+  /** The per-subspace argmin code columns (`code_0` … `code_{m−1}`) —
+    * evaluated against a frame already carrying the [[pqCodebook]] row.
+    * FIRST strict improvement over cid-sorted codewords: deterministic on
+    * ties; a too-short vector keeps the −1 sentinel. */
+  private def pqCodeColumns(m: Int, subDim: Int, vecCol: String) =
+    (0 until m).map { j =>
+      val sub = slice(transform(col(vecCol), _.cast("double")),
+        j * subDim + 1, subDim)
       aggregate(col(s"__cb_$j"),
         struct(lit(-1L).as("cid"), lit(Double.PositiveInfinity).as("d")),
         (acc, c) => {
@@ -458,8 +468,96 @@ object Similarity {
             .otherwise(acc)
         }).getField("cid").as(s"code_$j")
     }
-    embeddings.crossJoin(broadcast(cb))
-      .select(col(idCol) +: codes: _*)
+
+  /** IVF-PQ search — the full billion-scale composition: a coarse
+    * quantizer routes each corpus vector to ONE cell and each query to
+    * its `nprobe` best cells (cosine, the [[assignToCentroids]]
+    * convention), and within probed cells candidates are ranked by
+    * PQ-ADC distance over their codes — the FAISS `IVFx,PQy` index shape,
+    * kept fully deterministic: both quantizers default to the
+    * first-rows-by-id seeding (k-means-refined centroids/codebooks drop
+    * in via the two source parameters with an identical plan), so the
+    * whole index is a pure engine-checkable function of its inputs.
+    *
+    * Scale shape: ONE corpus pass builds the index frame — cell id
+    * (native [[graft.functions.NearestCentroid]]) + m code longs, all
+    * scan-local against two broadcast one-row frames; at 10⁹ vectors
+    * that frame is the only thing ever re-read by searches. Queries
+    * explode to nprobe probe rows, carry their m×k ADC table maps
+    * (KBs), and broadcast; the candidate join is cell-keyed against the
+    * index scan, per-candidate cost is m map lookups, and the top-k
+    * window is map-side group-limited. Per-query work is
+    * nprobe/nlist of the corpus × m lookups — the product of both
+    * prunings, vs annIvf's full-vector cosines on the same candidates.
+    * A corpus vector lives in exactly one cell, so a (q, n) pair meets
+    * in at most one probe — no dedup pass. */
+  def ivfPqSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      topK: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 4,
+      k: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidSource: Option[DataFrame] = None,
+      codebookSource: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.GraftExpr
+    require(topK >= 1 && nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, topK >= 1: nlist=$nlist nprobe=$nprobe topK=$topK")
+    require(m >= 1 && k >= 1 && dim >= m && dim % m == 0,
+      s"need m >= 1, k >= 1, m | dim: m=$m k=$k dim=$dim")
+    val subDim = dim / m
+    val cents = centroidSource.getOrElse(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(nlist)
+      .agg(sort_array(collect_list(struct(col("id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    val cb = pqCodebook(codebookSource.getOrElse(corpus),
+      m, k, subDim, idCol, vecCol)
+    // the index frame: one scan-local pass, cell + m codes per vector
+    val idx = corpus.crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
+      .select(col(idCol).as("n_id") +:
+        GraftExpr.column(graft.functions.NearestCentroid(
+          GraftExpr.expression(col(vecCol)),
+          GraftExpr.expression(col("cents")))).as("cell") +:
+        pqCodeColumns(m, subDim, vecCol): _*)
+    // queries: nprobe best cells by (cosine desc, cid asc), then the ADC
+    // distance-table maps — query-set-sized throughout
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cos").desc, col("cell").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("__qv"), explode(col("cents")).as("__c"))
+      .select(col("q_id"), col("__qv"), col("__c.cid").as("cell"),
+        graft.functions.VectorFunctions
+          .cosineSimilarity(col("__qv"), col("__c.cv")).as("__cos"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nprobe)
+    val tables = (0 until m).map { j =>
+      val qSub = slice(transform(col("__qv"), _.cast("double")),
+        j * subDim + 1, subDim)
+      map_from_entries(transform(col(s"__cb_$j"), c =>
+        struct(c.getField("cid").cast("long"), d2(c.getField("cv"), qSub))))
+        .as(s"__dt_$j")
+    }
+    val qt = probes.crossJoin(broadcast(cb))
+      .select(col("q_id") +: col("cell") +: tables: _*)
+    val score = (0 until m)
+      .map(j => element_at(col(s"__dt_$j"), col(s"code_$j")))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("n_id").asc)
+    idx.join(broadcast(qt), Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), score.as("adc_d2"))
+      .where(col("adc_d2").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc_d2"))
   }
 
   /** Recall@k of an approximate top-k result against the exact one — the

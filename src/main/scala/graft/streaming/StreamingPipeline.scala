@@ -766,6 +766,37 @@ object StreamingPipeline {
     keyCols.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
   }
 
+  /** Streaming OHLC bars — the watermarked windowed twin of
+    * [[graft.operators.EventSignals.ohlcBars]]: one bar per (key, hour),
+    * emitted when the watermark closes the window (Append — bars are
+    * immutable once emitted, the property a downstream metrics store
+    * wants). Identical aggregate shape to the batch operator: min_by /
+    * max_by on the (ts, tie) struct merge as PARTIAL aggregates, so
+    * streaming state per open bar is one candidate row — never the
+    * events — and volume cents stay exact integers. */
+  def ohlcBars(
+      events: DataFrame,
+      delay: String = "2 hours",
+      keyCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val ord = struct(col(tsCol), col(tieCol))
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        sum(round(col(valueCol) * lit(100)).cast("long")).as("volume_cents"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), unix_micros(col("window.start")).as("bucket_us"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume_cents"), col("n_events"))
+  }
+
   /** Streaming CDC latest-state view — the ingest-time counterpart of
     * [[graft.operators.History.cdcLatest]]: keyed state holds each key's
     * newest (by `(tsCol, tieCol)`) changelog row, and each micro-batch

@@ -391,6 +391,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.length == 3))
   }
 
+  test("ivfPqSearch: probing every cell equals pqSearch minus self-matches") {
+    import spark.implicits._
+    // no zero vector: cosine coarse assignment sends it to the -1
+    // unassignable cell, which no query probes (the documented convention)
+    val vecs = Seq(
+      0L -> Array(0f, 0f, 1f, 0f), 1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 2f, 0f, 0f), 3L -> Array(1f, 1f, 1f, 1f),
+      4L -> Array(3f, 0f, 1f, 0f), 5L -> Array(0f, 0f, 0f, 5f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 1L || $"vec_id" === 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // nprobe = nlist: the coarse layer prunes nothing, so the result is
+    // exactly the ADC ranking of the full corpus with self excluded
+    val got = rows(graft.operators.Similarity.ivfPqSearch(q, emb,
+      topK = 3, nlist = 3, nprobe = 3, m = 2, k = 6, dim = 4))
+    val want = rows(graft.operators.Similarity.pqSearch(q, emb,
+      m = 2, k = 6, dim = 4, topK = 4))
+      .filter { case (qid, nid, _, _) => qid != nid }
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(_._3).take(3).zipWithIndex
+          .map { case ((qid, nid, _, d), i) => (qid, nid, (i + 1).toLong, d) }
+      }.sortBy(t => (t._1, t._3))
+    assert(got == want)
+    // nprobe < nlist returns at most topK rows per query, ranks contiguous
+    val pruned = graft.operators.Similarity.ivfPqSearch(q, emb,
+      topK = 3, nlist = 3, nprobe = 1, m = 2, k = 6, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    pruned.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
   test("recallAtK: self-recall 1.0; disjoint result 0.0; partial overlap exact") {
     import spark.implicits._
     val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),

@@ -815,6 +815,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars equal the batch operator once the watermark closes the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-04-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val rows = Seq( // hour 10, key a: ties on open ts broken by id
+      ("a", ts(10, 0), 1L, 3.0), ("a", ts(10, 0), 2L, 7.0),
+      ("a", ts(10, 40), 3L, 1.5), ("b", ts(10, 5), 4L, 4.0))
+    val out = StreamingPipeline.ohlcBars(
+      mem.toDF().toDF("event_type", "ts", "event_id", "value"),
+      delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable() // hour-10 windows still open
+      // sentinels advance the watermark past 11:00 (watermark takes effect
+      // in the batch AFTER the data that moved it, hence two batches)
+      mem.addData(("a", ts(12, 30), 9L, 1.0))
+      q.processAllAvailable()
+      mem.addData(("a", ts(12, 45), 10L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ohlc_out").orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7)))
+      val want = graft.operators.EventSignals
+        .ohlcBars(rows.toDF("event_type", "ts", "event_id", "value"))
+        .orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7)))
+      assert(got.toSeq == want.toSeq) // identical bars, batch vs stream
+    } finally q.stop()
+  }
+
   test("cdcLatestStream: view changelog across batches equals batch cdcLatest on in-order replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
