@@ -834,6 +834,21 @@ object SparkEntry {
     // window pass's hash partitioning).
     "q_scd2" -> ((s, dir) => operators.History.scd2(ev(s, dir))),
 
+    // Point-in-time snapshot: every user's state AS OF 2024-01-15 UTC —
+    // the temporal read that reproduces a historical training snapshot.
+    "q_scd2_asof" -> ((s, dir) =>
+      operators.History.asOf(ev(s, dir), asOfUs = 1705276800000000L)),
+
+    // Deterministic synchronous LPA communities (3 fixed rounds, ties to
+    // the smallest label) over the high-quantity co-purchase graph — the
+    // sparser basket graph where community structure isn't one blob.
+    "q_lpa" -> ((s, dir) =>
+      operators.Graph.labelPropagation(
+        operators.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem").filter(col("l_quantity") >= 45),
+          "l_orderkey", "l_partkey"),
+        rounds = 3)),
+
     // CDC-changelog compaction to latest surviving state: deterministic
     // op schedule (event_id % 13 = tombstone), newest row per user wins
     // via a partial-aggregable max_by — one keyed shuffle of one
@@ -1946,25 +1961,54 @@ object SparkEntry {
     * no-ops: rounds >= the data's convergence depth ⟹ the unrolled form
     * equals the converged k-core the engine's loop returns. */
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: every n_i references n_{i-1} TWICE, so
+    // un-hinted CTE inlining duplicates the whole chain per reference —
+    // 2^rounds expansions (measured: 403 s plain vs 0.9 s materialized at
+    // sf0.01)
     val peels = (1 to rounds).map { i =>
-      s"""n$i AS (SELECT e.node FROM ends e
+      s"""n$i AS MATERIALIZED (SELECT e.node FROM ends e
          |  JOIN n${i - 1} s ON e.o = s.node
          |  JOIN n${i - 1} s2 ON e.node = s2.node
          |  GROUP BY e.node HAVING count(*) >= $k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-       |ends AS (SELECT u AS node, v AS o FROM pairs
+       |ends AS MATERIALIZED (SELECT u AS node, v AS o FROM pairs
        |         UNION ALL SELECT v, u FROM pairs),
-       |n0 AS (SELECT DISTINCT node FROM ends),
+       |n0 AS MATERIALIZED (SELECT DISTINCT node FROM ends),
        |$peels
        |SELECT e.node, CAST(count(*) AS BIGINT) AS core_deg
        |FROM ends e
        |  JOIN n$rounds s ON e.o = s.node
        |  JOIN n$rounds s2 ON e.node = s2.node
        |GROUP BY e.node""".stripMargin
+  }
+
+  /** q_lpa reference: the synchronous vote unrolled — l_i = per-node
+    * argmax (count desc, label asc) over neighbor labels from l_{i-1}. */
+  private def lpaOracleSql(rounds: Int): String = {
+    // MATERIALIZED for the same reason as the k-core oracle: protects the
+    // chained-CTE unroll from per-reference inlining blowup
+    val rs = (1 to rounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT e.node, l.label, count(*) AS c FROM ends e
+         |  JOIN l${i - 1} l ON e.o = l.node GROUP BY e.node, l.label),
+         |l$i AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |  FROM v$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |   AND a.l_quantity >= 45 AND b.l_quantity >= 45),
+       |ends AS MATERIALIZED (SELECT u AS node, v AS o FROM pairs
+       |         UNION ALL SELECT v, u FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM ends),
+       |$rs
+       |SELECT node, label FROM l$rounds""".stripMargin
   }
 
   def oracleSql: Map[String, String] = ivfOracleEntry ++ Map(
@@ -3052,7 +3096,7 @@ object SparkEntry {
     // the u<v pair list) — the Spark side's oriented-wedge count must be
     // exactly this number.
     "q_triangles" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -3084,6 +3128,32 @@ object SparkEntry {
         |    AS BIGINT) AS valid_to_us,
         |  CAST(n_events AS BIGINT) AS n_events
         |FROM g""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r),
+        |g AS (
+        |  SELECT user_id, run_id, min(event_type) AS state,
+        |    min(epoch_us(ts)) AS valid_from_us, count(*) AS n_events
+        |  FROM runs GROUP BY user_id, run_id),
+        |h AS (
+        |  SELECT user_id, state, CAST(valid_from_us AS BIGINT) AS valid_from_us,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+        |    CAST(n_events AS BIGINT) AS n_events
+        |  FROM g)
+        |SELECT user_id, state, valid_from_us, n_events FROM h
+        |WHERE valid_from_us <= 1705276800000000
+        |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)""".stripMargin,
+
+    "q_lpa" -> lpaOracleSql(rounds = 3),
 
     "q_cdc_latest" ->
       """WITH c AS (

@@ -261,6 +261,53 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007),
+    * made DETERMINISTIC: labels start as node ids; each round every node
+    * adopts the label that is most frequent among its NEIGHBORS, ties to
+    * the smallest label — no randomized visit order, so the result is a
+    * pure function of (graph, rounds) and cross-engine checkable.
+    * Synchronous updates can oscillate on bipartite structures, which is
+    * why `rounds` is part of the SPEC (fixed-iteration semantics, the
+    * [[pageRank]] convention) rather than a convergence loop.
+    *
+    * Labels must be non-negative (node ids): the argmax key is
+    * (count, −label), which needs the negation to stay in range.
+    *
+    * Scale shape: per round ONE (node, label) partial-agg count shuffle
+    * + ONE node-keyed argmax agg (max_by — no window sort), against the
+    * pinned direction-doubled edge list; labels are (node, long) rows.
+    * Work is O(edges) per round, the standard distributed LPA step. */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val ends = canon.select(col("u").as("node"), col("v").as("o"))
+      .union(canon.select(col("v").as("node"), col("u").as("o")))
+      .localCheckpoint(true)
+    var labels = ends.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = ends
+        .join(labels.select(col("node").as("o"), col("label")), Seq("o"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(max_by(col("label"),
+          struct(col("__c"), (-col("label")).as("__neg"))).as("label"))
+        .localCheckpoint(true)
+      labels = next
+    }
+    labels
+  }
+
   /** Co-occurrence edge list from a grouped id column: all distinct
     * unordered (u < v) pairs of `idCol` values sharing a `groupCol` value
     * — e.g. parts co-purchased in one order. Pair generation is SCAN-LOCAL

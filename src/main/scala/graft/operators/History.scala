@@ -66,6 +66,28 @@ object History {
         col("valid_to_us"), col("n_events"))
   }
 
+  /** Point-in-time (AS OF) snapshot from the [[scd2]] history: each key's
+    * state whose validity span covers `asOfUs` — the temporal-table read
+    * every backfill/repro job needs ("what did every user look like when
+    * the training snapshot was cut"). A key whose FIRST run opens after
+    * `asOfUs` is absent (it did not exist yet); the current run's open
+    * end (null valid_to) covers any later time.
+    *
+    * Scale shape: inherits [[scd2]]'s single keyed exchange; the span
+    * filter is a per-row predicate on the run rows (at most one run per
+    * key matches, by construction of the non-overlapping spans). */
+  def asOf(
+      events: DataFrame,
+      asOfUs: Long,
+      keyCol: String = "user_id",
+      stateCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame =
+    scd2(events, keyCol, stateCol, tsCol, tieCol)
+      .where(col("valid_from_us") <= asOfUs &&
+        (col("valid_to_us").isNull || col("valid_to_us") > asOfUs))
+      .select(col(keyCol), col("state"), col("valid_from_us"), col("n_events"))
+
   /** CDC-changelog compaction: reduce an (insert/update/delete) log to the
     * LATEST surviving state per key — the read side of a MERGE/upsert
     * pipeline. The newest row per key (by `orderCols`, last wins) decides:

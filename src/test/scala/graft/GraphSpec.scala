@@ -131,6 +131,47 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(countTris(edges) == refTris(edges))
   }
 
+  // ---- labelPropagation ----
+
+  private def runLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagation(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Driver-side synchronous vote with the same (count desc, label asc)
+    * argmax. */
+  private def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nbrs = (canon.toSeq ++ canon.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = nbrs.map { case (n, os) =>
+        val votes = os.map(labels).groupBy(identity).view.mapValues(_.size)
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: two bridged triangles settle into two communities") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val got = runLpa(edges, rounds = 3)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    assert(got == refLpa(edges, 3))
+  }
+
+  test("labelPropagation matches the driver reference on a seeded random graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    for (r <- Seq(1, 2, 4))
+      assert(runLpa(edges, r) == refLpa(edges, r), s"rounds=$r")
+  }
+
   // ---- kCore ----
 
   private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {

@@ -59,6 +59,21 @@ class HistorySpec extends AnyFunSuite with SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("asOf reconstructs the point-in-time state; unborn keys are absent") {
+    import spark.implicits._
+    val df = log.map { case (u, st, t0, e) => (u, st, ts(t0), e) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    // t = 35s: user 1 is mid-'click' run (30..40), user 2 'buy', user 3
+    // does not exist yet (first event at 50)
+    val at35 = History.asOf(df, asOfUs = 35L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at35 == Map(1L -> "click", 2L -> "buy"))
+    // t = 50s: user 3's tie-broken second run (click, id 7) is current
+    val at50 = History.asOf(df, asOfUs = 50L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at50 == Map(1L -> "view", 2L -> "buy", 3L -> "click"))
+  }
+
   private val cdcLog = Seq(
     // user 1: U then D — tombstoned
     (1L, "U", 1.0, 10L, 1L), (1L, "D", 0.0, 20L, 2L),
