@@ -123,10 +123,13 @@ object Bench {
     // integer trend slopes
     "q_triangles", "q_scd2", "q_cdc_latest", "q_heavy_hitters", "q_trend",
     // OHLC bars (partial-agg min_by/max_by), readability (pure scan).
-    // q_kcore stays gate-only: ~10 s of pin-dominated peel rounds would
-    // swamp the bench total while the iterative-keyed-loop family's
+    // q_kcore stays gate-only: ~4 s of pin-dominated peel rounds would be
+    // the slowest headliner while the iterative-keyed-loop family's
     // regression signal is already carried by q_dedup_clusters.
-    "q_ohlc", "q_readability")
+    "q_ohlc", "q_readability",
+    // LPA (3 vote rounds over the sparse basket graph) + the SCD2
+    // point-in-time read
+    "q_lpa", "q_scd2_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -412,6 +415,12 @@ object Bench {
       // open-bar state is one candidate row per (key, hour), not events
       "q_stream_ohlc" -> drain(OutputMode.Append)(
         StreamingPipeline.ohlcBars(evTs)),
+      // CDC latest-state view: one fixed-shape state row per key, emits
+      // only view changes (the q_cdc_latest gate's op schedule)
+      "q_stream_cdc" -> drain(OutputMode.Append)(
+        StreamingPipeline.cdcLatestStream(evTs.select(col("user_id"),
+          when(col("event_id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("value"), col("ts"), col("event_id")))),
       // two-live-streams interval join: watermark-bounded buffered state
       // on both sides (purchase stream x click stream attribution)
       "q_stream_join" -> drain(OutputMode.Append)(
