@@ -128,8 +128,8 @@ object Bench {
     // regression signal is already carried by q_dedup_clusters.
     "q_ohlc", "q_readability",
     // LPA (3 vote rounds over the sparse basket graph) + the SCD2
-    // point-in-time read
-    "q_lpa", "q_scd2_asof")
+    // point-in-time read + z-normalized subsequence pattern search
+    "q_lpa", "q_scd2_asof", "q_ts_pattern")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

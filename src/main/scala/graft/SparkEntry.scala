@@ -871,6 +871,13 @@ object SparkEntry {
     // (the exchange carries bars, not events), volume as exact cents.
     "q_ohlc" -> ((s, dir) => operators.EventSignals.ohlcBars(ev(s, dir))),
 
+    // Time-series subsequence search: top-10 z-normalized matches of a
+    // spike pattern across every user's value series — one keyed window
+    // sort, scan-local fold distances, two-level top-k.
+    "q_ts_pattern" -> ((s, dir) =>
+      operators.TimeSeries.patternTopK(ev(s, dir),
+        pattern = Array(0.0, 1.0, 3.0, 7.0, 3.0, 1.0), k = 10)),
+
     // k-core of the co-purchase graph (k=80): iterative peel with pinned
     // live edges, one degree shuffle + two node semi-joins per round,
     // only a COUNT per round on the driver. The oracle runs the same
@@ -1897,9 +1904,17 @@ object SparkEntry {
 
   /** A Scala double array as a DuckDB list literal. `Double.toString` is the
     * shortest round-tripping decimal, so DuckDB parses back the exact same
-    * IEEE value the Spark expression holds. */
+    * IEEE value the Spark expression holds — PROVIDED the literal actually
+    * parses as DOUBLE: a bare decimal like `1.9639610121239315` parses as
+    * DECIMAL first, and DuckDB's DECIMAL→DOUBLE conversion (int128 /
+    * 10^scale in floating point) can land 1 ulp off the correctly-rounded
+    * parse (measured on the q_ts_pattern literal). An exponent suffix
+    * forces the DOUBLE parse path, which is correctly rounded. */
   private def sqlDoubles(xs: Array[Double]): String =
-    xs.map(_.toString).mkString("[", ", ", "]")
+    xs.map { x =>
+      val s = x.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }.mkString("[", ", ", "]")
 
   /** Sign-bit LSH bucket as SQL over column `e` (array<double>): bit p set
     * iff e · plane_p >= 0 — mirrors [[graft.functions.HyperplaneBucket]]'s
@@ -3128,6 +3143,45 @@ object SparkEntry {
         |    AS BIGINT) AS valid_to_us,
         |  CAST(n_events AS BIGINT) AS n_events
         |FROM g""".stripMargin,
+
+    // z-normalization and distance as the identical list folds; the
+    // pattern is z-normalized in Scala and embedded as round-trip-exact
+    // double literals
+    "q_ts_pattern" -> {
+      val pattern = Array(0.0, 1.0, 3.0, 7.0, 3.0, 1.0)
+      val w = pattern.length
+      val mu0 = pattern.sum / w
+      val sd0 = math.sqrt(pattern.map(x => (x - mu0) * (x - mu0)).sum / w)
+      val qn = pattern.map(x => (x - mu0) / sd0)
+      s"""WITH wnd AS (
+         |  SELECT user_id, epoch_us(ts) AS end_ts_us,
+         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS arr
+         |  FROM events),
+         |c AS (SELECT user_id, end_ts_us, arr FROM wnd WHERE len(arr) = $w),
+         |m AS (SELECT user_id, end_ts_us, arr, list_sum(arr) / $w AS mu FROM c),
+         |sdev AS (SELECT user_id, end_ts_us, arr, mu,
+         |    sqrt(list_sum(list_transform(arr, x -> (x - mu) * (x - mu))) / $w) AS sd
+         |  FROM m),
+         |z AS (SELECT user_id, end_ts_us,
+         |    CASE WHEN sd = 0 THEN list_transform(arr, x -> 0.0)
+         |         ELSE list_transform(arr, x -> (x - mu) / sd) END AS zarr
+         |  FROM sdev),
+         |d AS (SELECT user_id, end_ts_us,
+         |    list_sum(list_transform(
+         |      list_zip(zarr, CAST(${sqlDoubles(qn)} AS DOUBLE[])),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+         |  FROM z),
+         |pk AS (SELECT user_id, end_ts_us, dist,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY dist, end_ts_us) AS rn
+         |  FROM d),
+         |g AS (SELECT user_id, end_ts_us, dist,
+         |    row_number() OVER (ORDER BY dist, user_id, end_ts_us) AS rank
+         |  FROM pk WHERE rn <= 10)
+         |SELECT user_id, CAST(end_ts_us AS BIGINT) AS end_ts_us, dist,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM g WHERE rank <= 10""".stripMargin
+    },
 
     "q_scd2_asof" ->
       """WITH r AS (

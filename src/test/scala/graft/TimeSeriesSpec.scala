@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("patternTopK: an exact planted shape ranks first with distance 0") {
+    import spark.implicits._
+    val pat = Array(1.0, 2.0, 5.0, 2.0)
+    // user 1 contains the exact pattern scaled x10 + offset 3 (z-norm
+    // invariant -> distance 0); user 2 is noise
+    val u1 = Seq(8.0, 13.0, 23.0, 53.0, 23.0, 4.0)
+    val u2 = Seq(1.0, 9.0, 2.0, 8.0, 3.0, 7.0)
+    val rows =
+      u1.zipWithIndex.map { case (v, i) => (1L, ts(i), i.toLong, v) } ++
+        u2.zipWithIndex.map { case (v, i) => (2L, ts(i), (10 + i).toLong, v) }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.patternTopK(df, pat, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val best = out.find(_._4 == 1L).get
+    // the planted window is u1 positions 1..4 (13, 23, 53, 23), ending at t=4s
+    assert(best._1 == 1L && best._2 == 4L * 1000000L)
+    assert(math.abs(best._3) < 1e-12)
+    // global ranks are contiguous and at most k
+    assert(out.map(_._4).sorted.toSeq == (1L to out.length).toSeq && out.length <= 3)
+  }
+
+  test("patternTopK: flat windows z-normalize to zeros, not NaN") {
+    import spark.implicits._
+    val rows = (0 until 4).map(i => (1L, ts(i), i.toLong, 7.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.patternTopK(df, Array(0.0, 1.0, 0.0, -1.0), k = 1)
+      .collect()
+    assert(out.length == 1 && !out(0).getDouble(2).isNaN)
+    // flat window z-norms to zeros, so dist = Σ q_i²; pattern [0,1,0,-1]
+    // has mu=0, sd=√0.5 -> q=[0,√2,0,-√2] -> Σ q_i² = 4
+    assert(math.abs(out(0).getDouble(2) - 4.0) < 1e-9)
+    // raw (znorm = false) distance is the plain euclidean
+    val raw = TimeSeries.patternTopK(df, Array(7.0, 7.0, 7.0, 7.0), k = 1,
+      znorm = false).collect()(0).getDouble(2)
+    assert(raw == 0.0)
+  }
+
+  test("patternTopK: per-key candidates cap the global sort input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = for (u <- 1L to 4L; i <- 0 until 20)
+      yield (u, ts(i), u * 100 + i, rnd.nextDouble() * 10)
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.patternTopK(df, Array(0.0, 1.0, 2.0), k = 5).collect()
+    assert(out.length == 5)
+    // ranks strictly follow (dist, key, ts)
+    val sorted = out.sortBy(r => (r.getDouble(2), r.getLong(0), r.getLong(1)))
+    assert(sorted.map(_.getLong(3)).toSeq == (1L to 5L).toSeq)
+  }
+}
