@@ -797,6 +797,100 @@ object StreamingPipeline {
         col("volume_cents"), col("n_events"))
   }
 
+  /** Streaming subsequence pattern match — the ingest-time twin of
+    * [[graft.operators.TimeSeries.patternTopK]]: per key, a rolling
+    * buffer of the last `pattern.length − 1` values rides in keyed state;
+    * every arriving event completes a window, its z-normalized euclidean
+    * distance to the pattern is computed IN ARRIVAL ORDER with exactly
+    * the batch operator's fold order (same IEEE steps ⇒ identical
+    * distances, parity spec-pinned), and windows at or under `threshold`
+    * are emitted as they happen — the live motif/anomaly-shape alarm.
+    * Events inside one micro-batch are processed in (ts, tie) order;
+    * cross-batch late events extend the buffer in arrival order (the
+    * [[sessionize]] monotone-state convention — bound with an upstream
+    * watermark when that matters).
+    *
+    * State is w−1 doubles per key — bounded by the PATTERN, not the
+    * stream. Threshold-emit (not top-k): a global top-k is not
+    * well-defined over an unbounded stream; rank downstream per window
+    * of interest. */
+  def patternMatch(
+      events: DataFrame,
+      pattern: Array[Double],
+      threshold: Double,
+      znorm: Boolean = true,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = pattern.length
+    require(w >= 2, s"pattern must have >= 2 points: $w")
+    val q: Array[Double] =
+      if (!znorm) pattern
+      else {
+        var mu = 0.0; pattern.foreach(mu += _); mu /= w
+        var sv = 0.0; pattern.foreach(x => sv += (x - mu) * (x - mu))
+        val sd = math.sqrt(sv / w)
+        if (sd == 0.0) Array.fill(w)(0.0) else pattern.map(x => (x - mu) / sd)
+      }
+    val keyIdx = events.schema.fieldIndex(keyCol)
+    val tsIdx = events.schema.fieldIndex(tsCol)
+    val tieIdx = events.schema.fieldIndex(tieCol)
+    val vIdx = events.schema.fieldIndex(valueCol)
+    val outSchema = StructType(Seq(events.schema(keyCol),
+      StructField("end_ts_us", LongType), StructField("dist", DoubleType)))
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant => org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+    // the batch operator's exact arithmetic, in the same order: left-fold
+    // sums, mean/std divisions, zero-variance -> all-zero window
+    def dist(win: Array[Double]): Double = {
+      val z =
+        if (!znorm) win
+        else {
+          var mu = 0.0; win.foreach(mu += _); mu /= w
+          var sv = 0.0; win.foreach(x => sv += (x - mu) * (x - mu))
+          val sd = math.sqrt(sv / w)
+          if (sd == 0.0) Array.fill(w)(0.0) else win.map(x => (x - mu) / sd)
+        }
+      var d = 0.0
+      var i = 0
+      while (i < w) { val t = z(i) - q(i); d += t * t; i += 1 }
+      d
+    }
+    val ord: Ordering[Row] = (a: Row, b: Row) => {
+      val c = java.lang.Long.compare(micros(a), micros(b))
+      if (c != 0) c else java.lang.Long.compare(a.getLong(tieIdx), b.getLong(tieIdx))
+    }
+    events.groupByKey { r: Row =>
+        if (r.isNullAt(keyIdx)) "0" else "1:" + r.get(keyIdx)
+      }(Encoders.STRING)
+      .flatMapGroupsWithState[PatternState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[PatternState]) =>
+          var buf = state.getOption.map(_.values.toArray).getOrElse(Array.empty[Double])
+          val out = Vector.newBuilder[Row]
+          rows.toVector.sorted(ord).foreach { r =>
+            val v = r.get(vIdx) match {
+              case null => Double.NaN
+              case n: java.lang.Number => n.doubleValue()
+            }
+            buf = (buf :+ v).takeRight(w)
+            if (buf.length == w) {
+              val d = dist(buf)
+              if (d <= threshold) out += Row(r.get(keyIdx), micros(r), d)
+            }
+          }
+          state.update(PatternState(buf.takeRight(w - 1).toSeq))
+          out.result().iterator
+      }(Encoders.product[PatternState], Encoders.row(outSchema))
+  }
+
+  final case class PatternState(values: Seq[Double])
+
   /** Streaming CDC latest-state view — the ingest-time counterpart of
     * [[graft.operators.History.cdcLatest]]: keyed state holds each key's
     * newest (by `(tsCol, tieCol)`) changelog row, and each micro-batch

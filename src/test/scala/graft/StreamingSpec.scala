@@ -815,6 +815,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("patternMatch: streamed distances equal the batch operator across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val pat = Array(1.0, 2.0, 5.0, 2.0)
+    val rows = Seq( // user 1 carries a scaled copy of the pattern mid-stream
+      (1L, ts(0), 1L, 8.0), (1L, ts(1), 2L, 13.0), (1L, ts(2), 3L, 23.0),
+      (1L, ts(3), 4L, 53.0), (1L, ts(4), 5L, 23.0), (1L, ts(5), 6L, 4.0),
+      (2L, ts(0), 7L, 1.0), (2L, ts(1), 8L, 9.0), (2L, ts(2), 9L, 2.0),
+      (2L, ts(3), 10L, 8.0), (2L, ts(4), 11L, 3.0))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val out = StreamingPipeline.patternMatch(
+      mem.toDF().toDF("user_id", "ts", "event_id", "value"),
+      pat, threshold = 2.0)
+    val q = out.writeStream.format("memory").queryName("pat_out")
+      .outputMode("append").start()
+    try {
+      // split MID-WINDOW: the state buffer must carry values across batches
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("pat_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.TimeSeries.patternTopK(
+        rows.toDF("user_id", "ts", "event_id", "value"), pat, k = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._3 <= 2.0).toSet
+      assert(got == batch) // bit-identical distances, same emitted windows
+      assert(got.exists { case (u, t, d) =>
+        u == 1L && t == 4000000L && math.abs(d) < 1e-12 }) // the planted copy
+    } finally q.stop()
+  }
+
   test("streaming OHLC bars equal the batch operator once the watermark closes the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
