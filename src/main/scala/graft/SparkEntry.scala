@@ -2241,6 +2241,7 @@ object SparkEntry {
         |      + max(CASE WHEN c.j = 3 THEN q.d2 END) AS adc_d2
         |  FROM codes c
         |  JOIN d q ON q.j = c.j AND q.cid = c.cid AND q.vec_id < 10
+        |    AND q.vec_id <> c.vec_id
         |  GROUP BY 1, 2),
         |r AS (SELECT q_id, n_id, adc_d2,
         |        row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rank

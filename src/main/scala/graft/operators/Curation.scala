@@ -1596,9 +1596,11 @@ object Curation {
     * Scale shape: the whole point is the exchange. A full token groupBy
     * at 100 TB shuffles every (token, 1) pair — trillions of rows for a
     * heavy-hitter query whose answer is a few thousand rows. Here pass 1
-    * is scan-local (a fixed 2k-entry hash map per partition, collected
-    * candidates are O(partitions x k) — driver-bounded by construction,
-    * NOT data-sized), and pass 2's shuffle carries only tokens that
+    * is scan-local (a fixed `counters`-entry hash map per partition,
+    * TREE-MERGED executor-side into one summary — the driver sees
+    * O(counters) strings at any partition count, see [[mgSketch]]; pass 1
+    * runs EAGERLY at call time because the candidate set steers the plan),
+    * and pass 2's shuffle carries only tokens that
     * already survived a broadcast hash probe — the exchange shrinks from
     * |corpus| to |candidate occurrences|. Two corpus scans is the honest
     * floor (same as BM25's): the second pass must see every occurrence
@@ -1628,18 +1630,24 @@ object Curation {
       counters, textCol)
   }
 
-  private def heavyHittersImpl(
-      docs: DataFrame,
-      threshold: Long => Long,
-      counters: Int,
-      textCol: String): DataFrame = {
-    require(counters >= 1, s"counters must be >= 1: $counters")
-    val spark = docs.sparkSession
+  /** One ≤`counters`-entry Misra-Gries summary of the whole token stream
+    * plus the exact global token count: per-partition MG passes
+    * TREE-MERGED executor-side (Agarwal et al., "Mergeable Summaries",
+    * PODS'12 — merge = add counters pointwise, then subtract the
+    * (counters+1)-th largest count and drop non-positives). The merged
+    * summary provably keeps every token with global count > N/(counters+1),
+    * so the superset guarantee survives merging, and the DRIVER holds
+    * O(counters) strings at ANY partition count — where collecting the raw
+    * per-partition survivor sets would hold partitions × counters (≈4×10⁸
+    * strings at 10⁵ tasks × 4096 counters). NOTE: runs EAGERLY (one full
+    * corpus scan) at call time — it is the candidate-discovery action, not
+    * a lazy plan. */
+  private[graft] def mgSketch(
+      toks: DataFrame,
+      counters: Int): (Long, Map[String, Long]) = {
+    val spark = toks.sparkSession
     import spark.implicits._
-    val toks = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .where(col("token") =!= "")
-    val perPart: Array[(Long, Array[String])] = toks.as[String].rdd
+    val perPart = toks.as[String].rdd
       .mapPartitions { it =>
         val counts = new scala.collection.mutable.HashMap[String, Long]
         var n = 0L
@@ -1659,10 +1667,41 @@ object Curation {
               }
           }
         }
-        Iterator.single((n, counts.keys.toArray))
+        Iterator.single((n, counts.toMap))
       }
-      .collect()
-    val total = perPart.map(_._1).sum
+    if (perPart.getNumPartitions == 0) (0L, Map.empty)
+    else perPart.treeReduce { (a, b) =>
+      val m = new scala.collection.mutable.HashMap[String, Long]
+      a._2.foreach { case (k, v) => m.update(k, v) }
+      b._2.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
+      if (m.size > counters) {
+        // subtract the (counters+1)-th largest count; ties with it hit 0
+        // and drop too, so at most `counters` survive
+        val sorted = m.values.toArray
+        java.util.Arrays.sort(sorted)
+        val dec = sorted(m.size - counters - 1)
+        val dead = List.newBuilder[String]
+        m.foreach { case (k, c) =>
+          if (c <= dec) dead += k else m.update(k, c - dec)
+        }
+        dead.result().foreach(m.remove)
+      }
+      (a._1 + b._1, m.toMap)
+    }
+  }
+
+  private def heavyHittersImpl(
+      docs: DataFrame,
+      threshold: Long => Long,
+      counters: Int,
+      textCol: String): DataFrame = {
+    require(counters >= 1, s"counters must be >= 1: $counters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val (total, sketch) = mgSketch(toks, counters)
     val minCount = threshold(total)
     require(minCount >= 1, s"threshold must be >= 1: $minCount")
     if (minCount <= total / counters) {
@@ -1670,7 +1709,7 @@ object Curation {
       toks.groupBy("token").agg(count(lit(1)).as("cnt"))
         .where(col("cnt") >= minCount)
     } else {
-      val cands = perPart.flatMap(_._2).distinct.toSeq.toDF("token")
+      val cands = sketch.keys.toSeq.toDF("token")
       toks.join(broadcast(cands), Seq("token"), "left_semi")
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .where(col("cnt") >= minCount)

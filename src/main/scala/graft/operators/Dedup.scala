@@ -775,21 +775,30 @@ object Dedup {
           (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("chg"))
     }
     while (changed > 0 && round < maxRounds) {
-      // THREE hops per pin: the eager localCheckpoint (not the keyed
-      // shuffles) dominates round cost, and min-label propagation is
-      // monotone — batching cannot overshoot, trailing hops past the
-      // fixed point are idempotent no-ops. Convergence is still exact:
-      // a fixed point is reached iff a full hop changes nothing, and
-      // `changed` counts the LAST hop's improvements on the pinned frame
-      // — so a near-dup family (diameter ≤ 2) converges AND proves it in
-      // ONE pin, where pin-per-hop needed three. Deeper graphs just take
-      // ceil(diameter/3)+ pins; the O(log n) star-contraction fallback
-      // below still catches adversarial chains.
-      val next = hop(hop(hop(labels).drop("chg")).drop("chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("chg")).count()
-      labels = next.drop("chg")
-      round += 3
+      // ADAPTIVE hop batching: the first two pins hop ONCE each — near-dup
+      // families (mirror sets, template clones) have diameter ≤ 2, so they
+      // converge and prove it in ≤ 3 single-hop pins with no wasted work.
+      // Only if the graph is still moving after two full hops (a deeper
+      // component) do we escalate to THREE hops per pin, which amortizes
+      // the eager localCheckpoint that dominates round cost. Min-label
+      // propagation is monotone, so batching cannot overshoot — trailing
+      // hops past the fixed point are idempotent no-ops — and convergence
+      // stays exact: `changed` counts the LAST hop's improvements on the
+      // pinned frame. Hops inside a batch are pinned individually too:
+      // hop() consumes its input TWICE (message build + label join), so a
+      // nested hop(hop(hop(.))) would re-execute the inner hops' join+agg
+      // 2–4× inside one action; per-hop pins keep each join+agg computed
+      // exactly once.
+      val batch = if (round < 2) 1 else 3
+      var cur = labels
+      var h = 0
+      while (h < batch) {
+        cur = hop(if (h == 0) cur else cur.drop("chg")).localCheckpoint(true)
+        h += 1
+      }
+      changed = cur.filter(col("chg")).count()
+      labels = cur.drop("chg")
+      round += batch
     }
     if (changed > 0) {
       // diameter > maxRounds: an adversarially deep graph (paths, long

@@ -428,26 +428,6 @@ object EventSignals {
         col("cusum_hi"), col("cusum_lo"), col("is_alarm"))
   }
 
-  /** Per-key activity TREND: the least-squares slope of (events per day)
-    * over (day) for each key, as an EXACT integer fraction —
-    * slope = slope_num / slope_den with
-    *   slope_num = n·Σxy − Σx·Σy,  slope_den = n·Σx² − (Σx)²
-    * over the key's (day, daily count) points. Integer sums of integer
-    * inputs are associative and engine-exact, so the fraction crosses a
-    * bit-exact gate where `regr_slope`'s streaming-covariance float
-    * accumulation (order-dependent partial sums) never could. A key seen
-    * on a single day reports slope_den = 0 — "no trend defined", left to
-    * the caller rather than smuggled into a fake 0 slope.
-    *
-    * Days are centered on the GLOBAL min day (one broadcast scalar) so
-    * the products stay small: with x < 10⁵ days of history and daily
-    * counts < 10⁹, n·Σxy < 10⁵·10⁵·10⁵·10⁹ overflows — centering keeps
-    * x in corpus-lifetime range (~10³-10⁴) where every term fits 2^63
-    * with orders of magnitude to spare.
-    *
-    * Scale shape: two partial-agg shuffles — (key, day) then (key) — both
-    * map-side combinable; the min-day scalar is a broadcast one-row
-    * cross join. No windows, no per-key sort. */
   /** OHLC time-bucket downsampling: per (key, hour) — open/close by
     * min_by/max_by on the (ts, tie) order, high/low by plain min/max,
     * volume as exact integer cents (the source carries ≤2 decimals; a
@@ -479,6 +459,26 @@ object EventSignals {
         count(lit(1)).as("n_events"))
   }
 
+  /** Per-key activity TREND: the least-squares slope of (events per day)
+    * over (day) for each key, as an EXACT integer fraction —
+    * slope = slope_num / slope_den with
+    *   slope_num = n·Σxy − Σx·Σy,  slope_den = n·Σx² − (Σx)²
+    * over the key's (day, daily count) points. Integer sums of integer
+    * inputs are associative and engine-exact, so the fraction crosses a
+    * bit-exact gate where `regr_slope`'s streaming-covariance float
+    * accumulation (order-dependent partial sums) never could. A key seen
+    * on a single day reports slope_den = 0 — "no trend defined", left to
+    * the caller rather than smuggled into a fake 0 slope.
+    *
+    * Days are centered on the GLOBAL min day (one broadcast scalar) so
+    * the products stay small: with x < 10⁵ days of history and daily
+    * counts < 10⁹, n·Σxy < 10⁵·10⁵·10⁵·10⁹ overflows — centering keeps
+    * x in corpus-lifetime range (~10³-10⁴) where every term fits 2^63
+    * with orders of magnitude to spare.
+    *
+    * Scale shape: two partial-agg shuffles — (key, day) then (key) — both
+    * map-side combinable; the min-day scalar is a broadcast one-row
+    * cross join. No windows, no per-key sort. */
   def activityTrend(
       events: DataFrame,
       keyCol: String = "user_id",

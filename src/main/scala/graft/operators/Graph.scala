@@ -270,8 +270,11 @@ object Graph {
     * why `rounds` is part of the SPEC (fixed-iteration semantics, the
     * [[pageRank]] convention) rather than a convergence loop.
     *
-    * Labels must be non-negative (node ids): the argmax key is
-    * (count, −label), which needs the negation to stay in range.
+    * The argmax is min_by over (−count, label): counts are always positive
+    * bigints so the negation is safe, and the label side is compared
+    * as-is — node ids of ANY orderable type (string urls, ints, longs)
+    * tie-break deterministically, where negating the label itself would
+    * have silently nulled out on non-numeric ids.
     *
     * Scale shape: per round ONE (node, label) partial-agg count shuffle
     * + ONE node-keyed argmax agg (max_by — no window sort), against the
@@ -300,8 +303,8 @@ object Graph {
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
         .groupBy(col("node"))
-        .agg(max_by(col("label"),
-          struct(col("__c"), (-col("label")).as("__neg"))).as("label"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("__negc"), col("label"))).as("label"))
         .localCheckpoint(true)
       labels = next
     }

@@ -630,6 +630,9 @@ object Similarity {
     * identically, so even the raw doubles hash-gate. Rows carrying the
     * encoder's −1 sentinel (too-short vectors) have no table entry and
     * are EXCLUDED (null score), matching the unassignable convention.
+    * Self-matches (q_id = n_id) are excluded like every other searcher
+    * here ([[bruteForceTopK]], [[annLsh]], [[annIvf]], [[ivfPqSearch]]),
+    * so [[recallAtK]] pairings compare like against like.
     *
     * Scale shape: codebook + per-query tables are ONE broadcast row each
     * (m·k doubles per query — KBs for curation-sized query sets, the
@@ -674,7 +677,7 @@ object Similarity {
       .orderBy(col("adc_d2").asc, col("n_id").asc)
     codes.crossJoin(broadcast(qt))
       .select(col("q_id"), col(idCol).as("n_id"), score.as("adc_d2"))
-      .where(col("adc_d2").isNotNull)
+      .where(col("adc_d2").isNotNull && col("q_id") =!= col("n_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("n_id"), col("rank"), col("adc_d2"))

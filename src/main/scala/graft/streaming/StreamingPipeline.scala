@@ -863,7 +863,7 @@ object StreamingPipeline {
     }
     val ord: Ordering[Row] = (a: Row, b: Row) => {
       val c = java.lang.Long.compare(micros(a), micros(b))
-      if (c != 0) c else java.lang.Long.compare(a.getLong(tieIdx), b.getLong(tieIdx))
+      if (c != 0) c else cmpOrderable(a.get(tieIdx), b.get(tieIdx))
     }
     events.groupByKey { r: Row =>
         if (r.isNullAt(keyIdx)) "0" else "1:" + r.get(keyIdx)
@@ -890,6 +890,21 @@ object StreamingPipeline {
   }
 
   final case class PatternState(values: Seq[Double])
+
+  /** Nulls-first comparison of two external-row values of one orderable
+    * type — so streaming tie columns accept whatever the batch twins
+    * ([[graft.operators.TimeSeries.patternTopK]],
+    * [[graft.operators.History.cdcLatest]]) order: int, bigint, string,
+    * timestamp — instead of hard-coding bigint and throwing
+    * ClassCastException on anything else. */
+  private def cmpOrderable(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case (x, _) => throw new IllegalArgumentException(
+      s"tie column value of unorderable type ${x.getClass.getName}")
+  }
 
   /** Streaming CDC latest-state view — the ingest-time counterpart of
     * [[graft.operators.History.cdcLatest]]: keyed state holds each key's
@@ -923,7 +938,10 @@ object StreamingPipeline {
     val opIdx = df.schema.fieldIndex(opCol)
     val payIdxs = payloadCols.map(df.schema.fieldIndex)
     val stateSchema = StructType(Seq(
-      StructField("order_us", LongType), StructField("tie", LongType),
+      StructField("order_us", LongType),
+      // tie keeps the INPUT column's type so any orderable tie column
+      // works, exactly as in the batch twin's max_by
+      StructField("tie", df.schema(tieCol).dataType),
       StructField("op", StringType),
       StructField("payload", StructType(payloadCols.map(c => df.schema(c)))),
       StructField("n_ops", LongType)))
@@ -944,7 +962,7 @@ object StreamingPipeline {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val prior = state.getOption
           var winUs = prior.map(_.getLong(0)).getOrElse(Long.MinValue)
-          var winTie = prior.map(_.getLong(1)).getOrElse(Long.MinValue)
+          var winTie: Any = prior.map(_.get(1)).orNull
           var winOp = prior.map(_.getString(2)).orNull
           var winPay = prior.map(_.getStruct(3)).orNull
           var nOps = prior.map(_.getLong(4)).getOrElse(0L)
@@ -954,10 +972,10 @@ object StreamingPipeline {
             nOps += 1
             keyVal = r.get(keyIdx)
             val us = micros(r)
-            val tie = r.getLong(tieIdx)
+            val tie = r.get(tieIdx)
             // strict (order_us, tie) max — arrival order within the
             // batch is irrelevant, matching the batch max_by
-            if (us > winUs || (us == winUs && tie > winTie)) {
+            if (us > winUs || (us == winUs && cmpOrderable(tie, winTie) > 0)) {
               winUs = us; winTie = tie
               winOp = r.get(opIdx) match { case null => null; case v => v.toString }
               winPay = Row(payIdxs.map(r.get): _*)

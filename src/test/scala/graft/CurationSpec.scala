@@ -1083,6 +1083,40 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       counters = 16)) == refLow)
   }
 
+  test("mgSketch: driver-side candidate volume is partition-count-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val toks = (1 to 60).flatMap(i => Seq.fill(300 / i)(s"tok$i"))
+    def sketchAt(parts: Int) = {
+      val tokDf = rnd.shuffle(toks).toDF("token").repartition(parts)
+      Curation.mgSketch(tokDf, counters = 16)
+    }
+    val at2 = sketchAt(2)
+    val at32 = sketchAt(32)
+    // the tree-merge folds per-partition summaries into ONE <= counters-entry
+    // map: the driver never sees partitions x counters candidates
+    assert(at2._2.size <= 16 && at32._2.size <= 16)
+    // exact global token count survives the merge at any partition count
+    assert(at2._1 == toks.size.toLong && at32._1 == toks.size.toLong)
+    // the mergeable-summaries superset guarantee: every token with global
+    // count > N/(counters+1) is present at any partition count
+    val ref = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cut = toks.size.toLong / 17
+    ref.filter(_._2 > cut).keys.foreach { t =>
+      assert(at2._2.contains(t), s"$t missing at 2 partitions")
+      assert(at32._2.contains(t), s"$t missing at 32 partitions")
+    }
+    // and the operator built on it returns identical rows either way
+    val docs2 = rnd.shuffle(toks).grouped(20).map(_.mkString(" ")).toSeq
+      .toDF("text").repartition(2)
+    val docs32 = rnd.shuffle(toks).grouped(20).map(_.mkString(" ")).toSeq
+      .toDF("text").repartition(32)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(asMap(Curation.heavyHitters(docs2, minCount = 60L, counters = 16)) ==
+      asMap(Curation.heavyHitters(docs32, minCount = 60L, counters = 16)))
+  }
+
   test("heavyHittersByFraction: threshold derives from the exact stream count") {
     import spark.implicits._
     val docs = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ (1 to 10).map(i => s"r$i"))

@@ -383,7 +383,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
     val ref = for {
       q <- vecs.take(2)
-      ranked = vecs.sortBy { case (id, v) => (l2(q._2, v), id) }.take(3)
+      // self-matches excluded, like every other searcher here
+      ranked = vecs.filter(_._1 != q._1)
+        .sortBy { case (id, v) => (l2(q._2, v), id) }.take(3)
       ((id, v), i) <- ranked.zipWithIndex
     } yield (q._1, id, (i + 1).toLong, l2(q._2, v))
     assert(out.sortBy(r => (r._1, r._3)).toSeq == ref.toSeq)

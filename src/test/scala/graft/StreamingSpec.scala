@@ -932,6 +932,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcLatestStream: accepts a STRING tie column, like its batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-02-03 09:$m%02d:00")
+    // ts ties broken by a string change-id — the batch twin's max_by
+    // orders any orderable type; the stream must match instead of
+    // ClassCastException-ing on a non-bigint tie
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_id", "op", "value")
+    val out = StreamingPipeline.cdcLatestStream(stream)
+    val q = out.writeStream.format("memory").queryName("cdc_str_tie")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "c-a", "U", 1.0), (1L, ts(0), "c-b", "U", 2.0),
+        (2L, ts(1), "c-x", "U", 7.0))
+      q.processAllAvailable()
+      // same instant: "c-b" > "c-a" lexicographically wins, as in batch
+      val b1 = spark.table("cdc_str_tie").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSet
+      assert(b1 == Set((1L, 2.0), (2L, 7.0)))
+      // a second batch with a SMALLER tie at the same ts changes nothing
+      mem.addData((1L, ts(0), "c-0", "U", 9.0))
+      q.processAllAvailable()
+      val all = spark.table("cdc_str_tie").collect().map(_.getLong(0))
+      assert(all.count(_ == 1L) == 1) // no new emission for u1
+    } finally q.stop()
+  }
+
   test("cdcLatestStream: state survives a checkpointed restart") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-02-02 09:$m%02d:00")
