@@ -68,6 +68,9 @@ object Bench {
     // javax.imageio codec (encode + full decode + raster hash per row)
     "q_media_decode", "q_media_frames", "q_media_resize", "q_media_features",
     "q_media_real",
+    // audio twin of q_media_real: WAV synth + header decode + PCM RMS
+    // envelope, all partition-local under the JDK sound API
+    "q_media_audio",
     // r11 batch 4: recency/alerting signals — decay is one partial-agg
     // user-keyed shuffle; attribution rides the single user-keyed window
     // sort; anomaly windows run over pre-aggregated bucket rows

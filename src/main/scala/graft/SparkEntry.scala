@@ -862,6 +862,58 @@ object SparkEntry {
         orderCols = Seq("ts", "event_id"), payloadCols = Seq("value", "ts_us"))
     }),
 
+    // The CDC drain END-TO-END UNDER THE HASH GATE: the changelog is split
+    // into 4 time-ordered segments, replayed through the real Structured
+    // Streaming path (file source, maxFilesPerTrigger=1 -> 4 micro-batches,
+    // flatMapGroupsWithState state store, commit log, parquet sink,
+    // AvailableNow), and the materialized sink is reduced to the final view
+    // (last emission per key = max n_ops, which strictly increases per key).
+    // On in-order replay that equals the BATCH twin exactly, so the oracle
+    // is q_cdc_latest's own SQL — the one execution mode that previously
+    // gated only by parity specs.
+    "q_stream_cdc_gate" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.expressions.Window
+      val log = ev(s, dir).select(col("user_id"),
+        when(col("event_id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("value"), unix_micros(col("ts")).as("ts_us"),
+        col("ts"), col("event_id"))
+      val base = Files.createTempDirectory("graft_stream_cdc").toString
+      val inDir = s"$base/in"
+      new java.io.File(inDir).mkdirs()
+      // time-ordered segments; the file source replays by (modification
+      // time, path), so stamp both in segment order
+      val bucketed = log.withColumn("__b",
+        ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+      for (b <- 1 to 4) {
+        val tmp = s"$base/tmp$b"
+        bucketed.filter(col("__b") === b).drop("__b")
+          .repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = Paths.get(inDir, f"seg-$b%03d.parquet")
+        Files.move(part.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+      }
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.streaming.StreamingPipeline.startFileSink(
+        graft.streaming.StreamingPipeline.cdcLatestStream(
+          src, payloadCols = Seq("value", "ts_us")),
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      val sink = s.read.parquet(s"$base/out")
+      sink.groupBy("user_id")
+        .agg(max_by(struct(col("op"), col("value"), col("ts_us")),
+          col("n_ops")).as("w"), max(col("n_ops")).as("n_ops"))
+        .where(col("w.op") =!= "D")
+        .select(col("user_id"), col("w.value").as("value"),
+          col("w.ts_us").cast("long").as("ts_us"),
+          col("n_ops").cast("long").as("n_ops"))
+    }),
+
     // Per-user activity trend: exact-integer least-squares slope fraction
     // over (day, daily count) points — two partial-agg shuffles, zero
     // windows, bit-exact where regr_slope's float accumulation is not.
@@ -1894,6 +1946,26 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
           col("frame_hash"))
+    }),
+
+    // Real audio path under the hash gate: formula-PCM WAVs synthesized
+    // executor-side, header fields read back through the JDK sound API
+    // (decodeAudio) and windowed RMS energies computed from the decoded
+    // PCM stream (audioFeatures) — one row per (clip, energy window).
+    // Payload bytes never leave executors; the oracle recomputes both
+    // header arithmetic and the exact integer Σs² -> IEEE energy chain.
+    "q_media_audio" -> ((s, dir) => {
+      val wavs = Multimodal.synthesizeWavs(
+        t(s, dir, "documents").filter(col("doc_id") % 25 === 0)).toDF()
+      val meta = Multimodal.decodeAudio(wavs).toDF()
+        .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"), col("duration_ms"))
+      val feats = Multimodal.audioFeatures(wavs, dim = 4).toDF()
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("long").as("win"),
+          col("col").cast("double").as("energy"))
+      meta.join(feats, Seq("doc_id"))
     }),
   )
 
@@ -3211,6 +3283,20 @@ object SparkEntry {
     "q_lpa" -> lpaOracleSql(rounds = 3),
 
     "q_cdc_latest" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT user_id, value, CAST(ts_us AS BIGINT) AS ts_us,
+        |  CAST(n_ops AS BIGINT) AS n_ops
+        |FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // the streamed drain reduces to the batch view on in-order replay, so
+    // the oracle IS the batch twin's
+    "q_stream_cdc_gate" ->
       """WITH c AS (
         |  SELECT user_id,
         |    CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
@@ -4654,5 +4740,39 @@ object SparkEntry {
         |  CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
         |            THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS frame_hash
         |FROM hashed""".stripMargin,
+
+    // Audio: header fields are pure integer formulas; energies replay the
+    // engine's exact chain — integer sum(s*s) (< 2^53, exact as DOUBLE),
+    // one correctly-rounded divide, sqrt, /2^15, then the double->REAL
+    // round-trip matching the engine's Float features.
+    "q_media_audio" ->
+      """WITH sel AS (
+        |  SELECT doc_id,
+        |    8000 + (doc_id % 5) * 1000 AS rate,
+        |    1 + (doc_id % 2) AS channels,
+        |    64 + (doc_id % 41) AS frames
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |params AS (
+        |  SELECT *, frames * channels AS n,
+        |    (frames * channels + 3) // 4 AS per_bucket
+        |  FROM sel),
+        |vals AS (
+        |  SELECT doc_id, rate, channels, frames,
+        |    least(3, i // per_bucket) AS win,
+        |    ((i * 37 + doc_id * 101) % 65536) - 32768 AS s
+        |  FROM (SELECT *, unnest(range(0, n)) AS i FROM params)),
+        |energies AS (
+        |  SELECT doc_id, rate, channels, frames, win,
+        |    sum(s * s) AS ssq, count(*) AS cnt
+        |  FROM vals GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  frames * 1000.0 / rate AS duration_ms,
+        |  CAST(win AS BIGINT) AS win,
+        |  CAST(CAST(sqrt(CAST(ssq AS DOUBLE) / cnt) / 32768.0 AS REAL) AS DOUBLE)
+        |    AS energy
+        |FROM energies""".stripMargin,
   )
 }

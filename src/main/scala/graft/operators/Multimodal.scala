@@ -415,6 +415,44 @@ object Multimodal {
     })
   }
 
+  /** Deterministic formula-PCM WAVs — the audio correctness gate's input
+    * generator, the [[synthesizePngs]] recipe for sound. Clip of doc d:
+    * sample rate 8000 + (d mod 5)·1000, channels 1 + (d mod 2), frames
+    * 64 + (d mod 41); interleaved 16-bit sample i is the explicit integer
+    * ((37·i + 101·d) mod 65536) − 32768. WAV is lossless PCM, so
+    * [[decodeAudio]]'s header fields and [[audioFeatures]]'s windowed RMS
+    * energies are exactly predictable by a SQL oracle with no audio
+    * library on that side (integer Σs² stays under 2^53, and every float
+    * op after it — divide, sqrt, ÷2^15, double→float — is one correctly
+    * rounded IEEE step both engines replay identically). Encode runs
+    * partition-local on executors via the JDK's own WAV writer, the codec
+    * [[decodeAudio]] parses back. */
+  def synthesizeWavs(ids: DataFrame, idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val rate = (8000 + (id % 5) * 1000).toInt
+      val channels = (1 + (id % 2)).toInt
+      val frames = (64 + (id % 41)).toInt
+      val n = frames * channels
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = ((i.toLong * 37 + id * 101) % 65536 - 32768).toShort
+        pcm(2 * i) = (s & 0xff).toByte // little-endian, the WAV byte order
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      MediaRecord(id, "audio", bos.toByteArray)
+    })
+  }
+
   /** Wrap a text table as a media table (test harness: payload = UTF-8 bytes).
     * In production the payload column comes straight from parquet binary. */
   def asMediaTable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
