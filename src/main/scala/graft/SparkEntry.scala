@@ -1892,6 +1892,38 @@ object SparkEntry {
         k = 5)
     }),
 
+    // The PQ quality KNOB under the gate: recall@5 of ADC search with a
+    // kmeansIterate-REFINED codebook vs the first-k-by-id seeded default,
+    // side by side per query. The refined centroid frame is k rows of
+    // driver-bounded metadata — collected once both to rebuild a literal
+    // codebook source (so the search provably consumes exactly the doubles
+    // the oracle embeds) and for the oracle entry (ivfOracleEntry pattern).
+    "q_ann_recall_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents: Array[(Long, Array[Double])] =
+        Similarity.pqTrainCodebooks(emb, m = 4, k = 16, dim = 64, rounds = 5)
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      refinedCents = Some(cents)
+      import s.implicits._
+      val cbSrc = cents.toSeq.toDF("vec_id", "embedding")
+      // 50 queries: at 10 the recall difference drowns in 0.2-step noise
+      // (measured in tools/PqTrainProbe: 50q recall 0.144 seeded ->
+      // 0.176 @ 5 rounds, distortion 1.059 -> 0.722)
+      val qs = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 5)
+      val refined = Similarity.pqSearch(qs, emb, m = 4, k = cents.length,
+        dim = 64, topK = 5, codebookSource = Some(cbSrc))
+      val seeded = Similarity.pqSearch(qs, emb, m = 4, k = 16, dim = 64,
+        topK = 5)
+      val rr = Similarity.recallAtK(refined, exact, k = 5)
+        .select(col("q_id"), col("hits").as("hits_refined"),
+          col("n_exact"), col("recall").as("recall_refined"))
+      val rs = Similarity.recallAtK(seeded, exact, k = 5)
+        .select(col("q_id"), col("hits").as("hits_seeded"),
+          col("recall").as("recall_seeded"))
+      rr.join(rs, Seq("q_id"))
+    }),
+
     // ---------------------------------------------------------------------
     // Multimodal columns (binary payload + typed metadata; stub codec).
     // ---------------------------------------------------------------------
@@ -2098,7 +2130,78 @@ object SparkEntry {
        |SELECT node, label FROM l$rounds""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = ivfOracleEntry ++ Map(
+  /** Refined centroids captured by q_ann_recall_refined (k rows of
+    * metadata) — the oracle embeds them verbatim, like [[ivfOracleEntry]]. */
+  @volatile private var refinedCents: Option[Array[(Long, Array[Double])]] = None
+
+  /** q_ann_recall_refined's oracle: the q_sim_pq ADC recipe twice — once
+    * against the first-k-by-id seeded codebook, once against the captured
+    * kmeans-refined codebook (a VALUES literal) — each recalled against
+    * the brute-force exact top-5, joined per query. Absent a run, omitted
+    * (driver falls back to rows-only). */
+  private def refinedRecallOracleEntry: Map[String, String] =
+    refinedCents.map { cents =>
+      val cbValues = cents
+        .map { case (cid, ce) => s"($cid, ${sqlDoubles(ce)})" }
+        .mkString(",\n    ")
+      def adc(cb: String, tag: String): String =
+        s"""cs_$tag AS (SELECT cid, js.j, ce[js.j*16+1 : js.j*16+16] AS ce
+           |  FROM $cb CROSS JOIN js),
+           |d_$tag AS (SELECT s.vec_id, s.j, c.cid,
+           |    list_sum(list_transform(list_zip(s.se, c.ce),
+           |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+           |  FROM sub s JOIN cs_$tag c ON s.j = c.j),
+           |codes_$tag AS (SELECT vec_id, j, cid FROM (
+           |    SELECT vec_id, j, cid,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+           |    FROM d_$tag) WHERE rn = 1),
+           |appx_$tag AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS rank
+           |    FROM (
+           |      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |        max(CASE WHEN c.j = 0 THEN q.d2 END)
+           |          + max(CASE WHEN c.j = 1 THEN q.d2 END)
+           |          + max(CASE WHEN c.j = 2 THEN q.d2 END)
+           |          + max(CASE WHEN c.j = 3 THEN q.d2 END) AS adc_d2
+           |      FROM codes_$tag c
+           |      JOIN d_$tag q ON q.j = c.j AND q.cid = c.cid
+           |        AND q.vec_id < 50 AND q.vec_id <> c.vec_id
+           |      GROUP BY 1, 2)) WHERE rank <= 5)""".stripMargin
+      "q_ann_recall_refined" ->
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |js AS (SELECT unnest(range(0, 4)) AS j),
+           |sub AS (SELECT v.vec_id, js.j, v.e[js.j*16+1 : js.j*16+16] AS se
+           |        FROM v CROSS JOIN js),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${sqlCos("q", "c")} DESC, c.vec_id) AS rank
+           |    FROM v q JOIN v c ON q.vec_id != c.vec_id
+           |    WHERE q.vec_id < 50) WHERE rank <= 5),
+           |cb_s AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+           |cb_r AS (SELECT * FROM (VALUES
+           |    $cbValues) AS t(cid, ce)),
+           |${adc("cb_s", "s")},
+           |${adc("cb_r", "r")},
+           |jr AS (SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |       FROM ex e LEFT JOIN appx_r a ON a.q_id = e.q_id AND a.n_id = e.n_id),
+           |rr AS (SELECT q_id, CAST(sum(hit) AS BIGINT) AS hits_refined,
+           |         CAST(count(*) AS BIGINT) AS n_exact,
+           |         CAST(sum(hit) AS DOUBLE) / count(*) AS recall_refined
+           |       FROM jr GROUP BY q_id),
+           |jv AS (SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |       FROM ex e LEFT JOIN appx_s a ON a.q_id = e.q_id AND a.n_id = e.n_id),
+           |rs AS (SELECT q_id, CAST(sum(hit) AS BIGINT) AS hits_seeded,
+           |         CAST(sum(hit) AS DOUBLE) / count(*) AS recall_seeded
+           |       FROM jv GROUP BY q_id)
+           |SELECT rr.q_id, hits_refined, n_exact, recall_refined,
+           |       hits_seeded, recall_seeded
+           |FROM rr JOIN rs ON rr.q_id = rs.q_id""".stripMargin
+    }.toMap
+
+  def oracleSql: Map[String, String] =
+    ivfOracleEntry ++ refinedRecallOracleEntry ++ Map(
     "q_filter" ->
       "SELECT doc_id, text FROM documents WHERE contains(lower(text), 'window')",
 

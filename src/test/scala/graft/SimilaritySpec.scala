@@ -427,6 +427,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pqTrainCodebooks: rounds=0 = seeds; training lowers distortion; dead cells keep codewords") {
+    import spark.implicits._
+    // subspace 0: two tight clusters around (0,0) and (10,10);
+    // subspace 1: ALL points near (5,5) -> seed cell 1 ([6,6]-ish) wins
+    // nothing after round 1 if its codeword drifts... constructed so seeds
+    // are (v0, v1) by id
+    val vecs = Seq(
+      0L -> Array(0f, 0f, 5f, 5f), 1L -> Array(10f, 10f, 20f, 20f),
+      2L -> Array(0.5f, 0.5f, 5f, 5f), 3L -> Array(10.5f, 10.5f, 5.1f, 5.1f),
+      4L -> Array(-0.5f, 0.5f, 4.9f, 5f), 5L -> Array(9.5f, 10f, 5f, 4.9f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val seeded = graft.operators.Similarity
+      .pqTrainCodebooks(emb, m = 2, k = 2, dim = 4, rounds = 0)
+    // rounds=0: exactly the first-k-by-id sub-vector concatenation
+    assert(seeded.map(_.toSeq).toSeq == Seq(
+      Seq(0.0, 0.0, 5.0, 5.0), Seq(10.0, 10.0, 20.0, 20.0)))
+    val trained = graft.operators.Similarity
+      .pqTrainCodebooks(emb, m = 2, k = 2, dim = 4, rounds = 3)
+    // shape is stable: k rows x dim, regardless of dead cells
+    assert(trained.length == 2 && trained.forall(_.length == 4))
+    // subspace 0 codewords converge to the two cluster means
+    assert(math.abs(trained(0)(0) - 0.0) < 0.5 && math.abs(trained(1)(0) - 10.0) < 0.5)
+    // subspace 1: every point is nearer seed 0's codeword region than
+    // (20,20) -> cell 1 dies; its codeword stays the ORIGINAL seed slice
+    assert(trained(1).slice(2, 4).toSeq == Seq(20.0, 20.0))
+    // training never raises total quantization distortion vs seeding
+    def distortion(cb: Array[Array[Double]]): Double =
+      vecs.map { case (_, v) =>
+        (0 until 2).map { j =>
+          val sub = v.slice(j * 2, j * 2 + 2).map(_.toDouble)
+          cb.map(c => c.slice(j * 2, j * 2 + 2).zip(sub)
+            .map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum
+    assert(distortion(trained) <= distortion(seeded))
+  }
+
   test("recallAtK: self-recall 1.0; disjoint result 0.0; partial overlap exact") {
     import spark.implicits._
     val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
