@@ -27,6 +27,41 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.events(s, dir)
 
+  /** Stage `log` as `n` time-ordered single-file parquet segments in a
+    * fresh temp dir for file-source replay: segment names AND modification
+    * times both increase in segment order (the two orderings
+    * FileStreamSource may use), so `maxFilesPerTrigger=1` replays the log
+    * in `orderCols` order as n micro-batches — the streaming-gate input
+    * shape. `extraLast` appends one more segment after the data (a
+    * watermark-flush sentinel). Returns (baseDir, inputDir). */
+  private def stageTimeSegments(
+      log: DataFrame,
+      n: Int,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      extraLast: Option[DataFrame] = None): (String, String) = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.expressions.Window
+    val base = Files.createTempDirectory("graft_stream_gate").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    val bucketed = log.withColumn("__b",
+      ntile(n).over(Window.orderBy(orderCols: _*)))
+    val segs: Seq[(Int, DataFrame)] =
+      (1 to n).map(b => b -> bucketed.filter(col("__b") === b).drop("__b")) ++
+        extraLast.map(df => (n + 1) -> df).toSeq
+    segs.foreach { case (b, df) =>
+      val tmp = s"$base/tmp$b"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dst = Paths.get(inDir, f"seg-$b%03d.parquet")
+      Files.move(part.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    (base, inDir)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -593,6 +628,29 @@ object SparkEntry {
           substring(col("text"), 1, 64).as("title")),
         maxDist = 5, blockPrefix = 8, textCol = "title", maxBlockSize = Some(80))),
 
+    // CCNet-style boilerplate line removal. The synthetic corpus is
+    // single-line, so the gate DECORATES it deterministically (the
+    // q_gopher pattern): body reshaped into 12-token lines, a cookie
+    // banner planted on doc_id % 3, a license footer on doc_id % 2 — the
+    // planted lines cross the minDocs census, body lines (mostly) don't,
+    // and both engines agree exactly either way.
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val body = transform(
+        sequence(lit(0L), floor((size(toks) - lit(1)) / lit(12)).cast("long")),
+        i => array_join(slice(toks, (i * lit(12) + lit(1)).cast("int"), lit(12)), " "))
+      val header = when(col("doc_id") % 3 === 0,
+        array(lit("COOKIE NOTICE ACCEPT ALL COOKIES")))
+        .otherwise(typedLit(Seq.empty[String]))
+      val footer = when(col("doc_id") % 2 === 0,
+        array(lit("copyright example corp all rights reserved")))
+        .otherwise(typedLit(Seq.empty[String]))
+      val lined = docs.select(col("doc_id"),
+        array_join(concat(header, body, footer), "\n").as("text"))
+      Dedup.stripBoilerplateLines(lined, minDocs = 50L)
+    }),
+
     // Bloom-screened decontamination: same contract as q_decontam (the
     // bloom is a pre-filter + exact confirm, so the ORACLE IS THE EXACT
     // PATH's), against a different pseudo-benchmark (doc_id % 89 = 0). The
@@ -872,30 +930,11 @@ object SparkEntry {
     // is q_cdc_latest's own SQL — the one execution mode that previously
     // gated only by parity specs.
     "q_stream_cdc_gate" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths}
-      import org.apache.spark.sql.expressions.Window
       val log = ev(s, dir).select(col("user_id"),
         when(col("event_id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
         col("value"), unix_micros(col("ts")).as("ts_us"),
         col("ts"), col("event_id"))
-      val base = Files.createTempDirectory("graft_stream_cdc").toString
-      val inDir = s"$base/in"
-      new java.io.File(inDir).mkdirs()
-      // time-ordered segments; the file source replays by (modification
-      // time, path), so stamp both in segment order
-      val bucketed = log.withColumn("__b",
-        ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
-      for (b <- 1 to 4) {
-        val tmp = s"$base/tmp$b"
-        bucketed.filter(col("__b") === b).drop("__b")
-          .repartition(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        val dst = Paths.get(inDir, f"seg-$b%03d.parquet")
-        Files.move(part.toPath, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
-      }
+      val (base, inDir) = stageTimeSegments(log, 4, Seq(col("ts"), col("event_id")))
       val schema = s.read.parquet(inDir).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -912,6 +951,39 @@ object SparkEntry {
         .select(col("user_id"), col("w.value").as("value"),
           col("w.ts_us").cast("long").as("ts_us"),
           col("n_ops").cast("long").as("n_ops"))
+    }),
+
+    // The WATERMARKED WINDOWED-AGG streaming mode under the hash gate —
+    // the other stateful-operator family (stateStoreSave, where the CDC
+    // gate exercises flatMapGroupsWithState). Hourly OHLC bars stream over
+    // 4 in-order segments plus a SENTINEL segment (one far-future row on a
+    // sentinel key) that pushes the global watermark past every real bar,
+    // so Append mode emits the complete bar set; Spark's no-data batch
+    // after the final watermark advance flushes the state. Each bar emits
+    // exactly once, so the sink (minus the sentinel's own forever-open
+    // bar, which never emits, and minus nothing else) IS the batch
+    // operator's output — the oracle is q_ohlc's own SQL.
+    "q_stream_ohlc_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinel = s.range(1).select(
+        lit("__wm_flush__").as("event_type"),
+        timestamp_micros(lit(maxTs + 4L * 3600L * 1000000L)).as("ts"),
+        lit(0.0).as("value"), lit(-1L).as("event_id"))
+      val (base, inDir) = stageTimeSegments(
+        events, 4, Seq(col("ts"), col("event_id")), extraLast = Some(sentinel))
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.streaming.StreamingPipeline.startFileSink(
+        graft.streaming.StreamingPipeline.ohlcBars(src),
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .where(col("event_type") =!= "__wm_flush__")
+        .select(col("event_type"), col("bucket_us"), col("open"), col("high"),
+          col("low"), col("close"), col("volume_cents"), col("n_events"))
     }),
 
     // Per-user activity trend: exact-integer least-squares slope fraction
@@ -1892,6 +1964,15 @@ object SparkEntry {
         k = 5)
     }),
 
+    // MMR diversified re-rank: greedy λ-tradeoff between query relevance
+    // and max similarity to already-selected results over a top-15
+    // candidate frame — everything metric-sized, k−1 keyed-agg rounds.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cand = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 15)
+      Similarity.mmrRerank(cand, emb, k = 5, lambda = 0.7)
+    }),
+
     // The PQ quality KNOB under the gate: recall@5 of ADC search with a
     // kmeansIterate-REFINED codebook vs the first-k-by-id seeded default,
     // side by side per query. The refined centroid frame is k rows of
@@ -2128,6 +2209,58 @@ object SparkEntry {
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM ends),
        |$rs
        |SELECT node, label FROM l$rounds""".stripMargin
+  }
+
+  /** q_mmr_rerank reference: the greedy selection UNROLLED to k rounds.
+    * Round 1 is pure λ·relevance; round r scores every unselected
+    * candidate as λ·cos − (1−λ)·max(sim to the r−1 already selected) and
+    * takes the (score DESC, n_id) winner — exactly the engine's min_by
+    * over (−score, id). λ and its IEEE complement are embedded as forced-
+    * DOUBLE literals so both engines subtract identical constants. */
+  private def mmrOracleSql(k: Int, lambda: Double, nCand: Int, nQ: Int): String = {
+    def d(x: Double): String = {
+      val s = x.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }
+    val L = d(lambda)
+    val MU = d(1.0 - lambda)
+    val rounds = (2 to k).map { r =>
+      val prev = s"selu${r - 1}"
+      s"""sel$r AS (SELECT q_id, n_id, $r AS rank, mmr FROM (
+         |  SELECT c.q_id, c.n_id,
+         |    $L * c.cos - $MU * coalesce(pen.m, 0.0e0) AS mmr,
+         |    row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY ($L * c.cos - $MU * coalesce(pen.m, 0.0e0)) DESC, c.n_id) AS rn
+         |  FROM cand c
+         |  LEFT JOIN (SELECT p.q_id, p.a_id, max(p.s) AS m
+         |             FROM p JOIN $prev s ON s.q_id = p.q_id AND s.n_id = p.b_id
+         |             GROUP BY 1, 2) pen
+         |    ON pen.q_id = c.q_id AND pen.a_id = c.n_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+         |                    WHERE s2.q_id = c.q_id AND s2.n_id = c.n_id))
+         |  WHERE rn = 1),
+         |selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |cand AS (SELECT q_id, n_id, cos FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${sqlCos("q", "c")} AS cos,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlCos("q", "c")} DESC, c.vec_id) AS rank
+       |    FROM v q JOIN v c ON q.vec_id != c.vec_id
+       |    WHERE q.vec_id < $nQ) WHERE rank <= $nCand),
+       |p AS (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+       |        ${sqlCos("va", "vb")} AS s
+       |      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+       |      JOIN v va ON va.vec_id = a.n_id
+       |      JOIN v vb ON vb.vec_id = b.n_id),
+       |sel1 AS (SELECT q_id, n_id, 1 AS rank, $L * cos AS mmr FROM (
+       |    SELECT q_id, n_id, cos,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ($L * cos) DESC, n_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |selu1 AS (SELECT * FROM sel1),
+       |$rounds
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, mmr FROM selu$k""".stripMargin
   }
 
   /** Refined centroids captured by q_ann_recall_refined (k rows of
@@ -3397,6 +3530,36 @@ object SparkEntry {
         |  CAST(n_ops AS BIGINT) AS n_ops
         |FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
+    "q_mmr_rerank" -> mmrOracleSql(k = 5, lambda = 0.7, nCand = 15, nQ = 10),
+
+    // boilerplate: decorate identically, census non-blank lines by
+    // distinct-doc count, drop >= 50-doc lines, reassemble in line order
+    "q_boilerplate" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_concat(list_concat(
+        |      CASE WHEN doc_id % 3 = 0
+        |           THEN ['COOKIE NOTICE ACCEPT ALL COOKIES']
+        |           ELSE [] END,
+        |      list_transform(range(0, (len(toks) - 1) // 12 + 1), i ->
+        |        array_to_string(toks[i*12+1 : i*12+12], ' '))),
+        |      CASE WHEN doc_id % 2 = 0
+        |           THEN ['copyright example corp all rights reserved']
+        |           ELSE [] END), chr(10)) AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |l AS (SELECT doc_id, i, ls[i] AS ln
+        |      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+        |           UNNEST(range(1, len(ls) + 1)) AS r(i)),
+        |bp AS (SELECT ln FROM (
+        |        SELECT ln, count(DISTINCT doc_id) AS df
+        |        FROM l WHERE trim(ln) <> '' GROUP BY ln)
+        |       WHERE df >= 50),
+        |kept AS (SELECT * FROM l WHERE ln NOT IN (SELECT ln FROM bp))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.ln, chr(10) ORDER BY k.i), '') AS text
+        |FROM lined d LEFT JOIN kept k USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
+
     // the streamed drain reduces to the batch view on in-order replay, so
     // the oracle IS the batch twin's
     "q_stream_cdc_gate" ->
@@ -3432,6 +3595,25 @@ object SparkEntry {
         |  (SELECT count(*) FROM tok WHERE token <> '') // 1000)""".stripMargin,
 
     "q_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, CAST(bucket_us AS BIGINT) AS bucket_us,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the streamed windowed-agg drain emits each watermark-closed bar
+    // exactly once, so with the sentinel flush the sink equals the batch
+    // twin — the oracle IS q_ohlc's
+    "q_stream_ohlc_gate" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us, value,
         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)

@@ -969,4 +969,45 @@ object Dedup {
         when(col("n_shingles") > 0,
           col("n_dup").cast("double") / col("n_shingles").cast("double")))
   }
+
+  /** CCNet-style boilerplate LINE removal: any non-blank line whose exact
+    * text appears in at least `minDocs` DISTINCT documents (cookie
+    * banners, nav bars, license footers — the lines a crawl repeats
+    * verbatim across a domain) is dropped from EVERY document; per-doc
+    * line order is preserved and documents are reassembled. Documents
+    * whose every line is boilerplate survive with empty text (the
+    * downstream length filter's decision, not a silent drop). Blank /
+    * whitespace-only lines are never boilerplate — stripping them would
+    * silently rewrite paragraph structure.
+    *
+    * Scale shape: the census shuffles ONLY (line-md5, doc_id) pairs —
+    * per-doc distinct then a partial-agg count, never the text; the drop
+    * is an md5-keyed left_anti against the (small: lines repeated across
+    * ≥ minDocs docs) boilerplate set, which the planner broadcasts when
+    * it fits; reassembly is the one unavoidable doc-keyed exchange of
+    * surviving line text (the same bytes any rewrite pass moves once). */
+  def stripBoilerplateLines(
+      docs: DataFrame,
+      minDocs: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("__pos", "__line")))
+    val hashed = lines.withColumn("__h", md5(col("__line")))
+    val common = hashed.where(trim(col("__line")) =!= "")
+      .select(col("__h"), col(idCol)).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__h"))
+    val kept = hashed.join(common, Seq("__h"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), sep).as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

@@ -625,6 +625,77 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("adc_d2"))
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): greedily select `k` results per query maximizing
+    * λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s) — the serving-time
+    * diversity pass that stops one near-dup cluster from filling the
+    * whole top-k. Input is a CANDIDATE frame (q_id, n_id, cos — any
+    * searcher's output at depth N > k); `vectors` supplies candidate
+    * embeddings for the pairwise term.
+    *
+    * Deterministic: candidate-candidate similarity is the same left-fold
+    * cosine as everywhere here; every round's argmax breaks ties toward
+    * the smaller n_id via min_by over (−score, n_id) — orderable for any
+    * float score; the 1−λ complement is computed ONCE so engine and
+    * oracle subtract the identical IEEE constant.
+    *
+    * Scale shape: everything is METRIC-sized (|Q|·N rows), never
+    * corpus-sized — candidates come pre-cut by the searcher. Pairwise
+    * sims are ONE self-join on q_id (Σ N² per query, computed once,
+    * pinned); each of the k−1 greedy rounds is a (q, candidate)-keyed
+    * partial-agg max + an argmax agg on those metric-sized frames, with
+    * the selected set pinned per round (the iterated-loop discipline).
+    * The driver sees nothing. */
+  def mmrRerank(
+      candidates: DataFrame,
+      vectors: DataFrame,
+      k: Int,
+      lambda: Double = 0.7,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    val mu = 1.0 - lambda // subtract the SAME IEEE constant as the oracle
+    val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val cand = candidates.select(col("q_id"), col("n_id"), col("cos"))
+      .join(v, col("n_id") === col("__vid")).drop("__vid")
+      .localCheckpoint(true)
+    val a = cand.select(col("q_id"), col("n_id").as("a_id"), col("__v").as("a_v"))
+    val b = cand.select(col("q_id"), col("n_id").as("b_id"), col("__v").as("b_v"))
+    val pairSims = a.join(b, Seq("q_id")).where(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        cosineSimilarity(col("a_v"), col("b_v")).as("s"))
+      .localCheckpoint(true)
+    // round 1: pure relevance
+    var selected = cand.groupBy("q_id")
+      .agg(min_by(struct(col("n_id"), (lit(lambda) * col("cos")).as("mmr")),
+        struct((-(lit(lambda) * col("cos"))).as("__neg"), col("n_id"))).as("w"))
+      .select(col("q_id"), col("w.n_id").as("n_id"), lit(1L).as("rank"),
+        col("w.mmr").as("mmr"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val pen = pairSims
+        .join(selected.select(col("q_id"), col("n_id").as("b_id")), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id")).agg(max(col("s")).as("__pen"))
+        .select(col("q_id").as("__pq"), col("a_id"), col("__pen"))
+      val remaining = cand
+        .join(selected.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+      val scored = remaining
+        .join(pen, col("n_id") === col("a_id") && col("q_id") === col("__pq"),
+          "left")
+        .select(col("q_id"), col("n_id"),
+          (lit(lambda) * col("cos") -
+            lit(mu) * coalesce(col("__pen"), lit(0.0))).as("mmr"))
+      val next = scored.groupBy("q_id")
+        .agg(min_by(struct(col("n_id"), col("mmr")),
+          struct((-col("mmr")).as("__neg"), col("n_id"))).as("w"))
+        .select(col("q_id"), col("w.n_id").as("n_id"), lit(r.toLong).as("rank"),
+          col("w.mmr").as("mmr"))
+      selected = selected.union(next).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * ANN evaluation metric every index tuning loop needs: per query,
     * hits = |approx ∩ exact| over the exact set (n_exact, which is < k

@@ -515,4 +515,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.dupShingleStats(df, ngram = 3, minDf = 3)
       .filter("n_dup > 0").count() == 0)
   }
+
+  test("stripBoilerplateLines: cross-doc lines drop, order keeps, blanks and rare lines survive") {
+    import spark.implicits._
+    val banner = "ACCEPT ALL COOKIES"
+    val docs = Seq(
+      1L -> s"$banner\nunique alpha\n\nunique beta",
+      2L -> s"$banner\nsecond doc body",
+      3L -> s"$banner\nthird doc body\n$banner", // repeated within one doc
+      4L -> "no banner here",
+      5L -> banner // ONLY boilerplate -> empty survivor
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // banner is in 4 distinct docs (doc 3 counts ONCE) -> stripped everywhere
+    assert(out(1L) == "unique alpha\n\nunique beta") // blank line survives
+    assert(out(2L) == "second doc body")
+    assert(out(3L) == "third doc body") // both copies stripped
+    assert(out(4L) == "no banner here")
+    assert(out(5L) == "") // all-boilerplate doc kept, empty
+    // minDocs above the banner's df -> nothing stripped
+    val loose = Dedup.stripBoilerplateLines(docs, minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) == s"$banner\nunique alpha\n\nunique beta")
+    // blank lines are NEVER boilerplate even at df >= minDocs
+    val blanky = Seq(1L -> "a\n\nb", 2L -> "c\n\nd", 3L -> "e\n\nf")
+      .toDF("doc_id", "text")
+    val kept = Dedup.stripBoilerplateLines(blanky, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "a\n\nb" && kept(3L) == "e\n\nf")
+  }
 }

@@ -427,6 +427,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mmrRerank: lambda=1 is pure relevance; diversity kicks a near-dup out of the top-k") {
+    import spark.implicits._
+    // q=0; candidates: 1 and 2 are near-identical high-relevance twins,
+    // 3 is orthogonal-ish lower relevance
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0.9f, 0.1f, 0f, 0f),
+      2L -> Array(0.9f, 0.11f, 0f, 0f),
+      3L -> Array(0.3f, 0f, 1f, 0f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cand = graft.operators.Similarity
+      .bruteForceTopK(emb.filter($"vec_id" === 0), emb, k = 3)
+    def ranks(lambda: Double, k: Int) = graft.operators.Similarity
+      .mmrRerank(cand, emb, k = k, lambda = lambda)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    // lambda=1: the relevance order 1, 2, 3 (cos desc) unchanged
+    assert(ranks(1.0, 3) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // balanced lambda: after picking 1, its twin 2 is penalized by ~1.0
+    // similarity while 3 is barely penalized -> 3 jumps to rank 2
+    assert(ranks(0.5, 2) == Map(1L -> 1L, 2L -> 3L))
+    // every query emits exactly k CONTIGUOUS ranks
+    val out = graft.operators.Similarity.mmrRerank(cand, emb, k = 3, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L)))
+  }
+
   test("pqTrainCodebooks: rounds=0 = seeds; training lowers distortion; dead cells keep codewords") {
     import spark.implicits._
     // subspace 0: two tight clusters around (0,0) and (10,10);
