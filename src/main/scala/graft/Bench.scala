@@ -132,7 +132,13 @@ object Bench {
     "q_ohlc", "q_readability",
     // LPA (3 vote rounds over the sparse basket graph) + the SCD2
     // point-in-time read + z-normalized subsequence pattern search
-    "q_lpa", "q_scd2_asof", "q_ts_pattern")
+    "q_lpa", "q_scd2_asof", "q_ts_pattern",
+    // r12: ExactSubstr span removal (md5-only window census), CCNet
+    // boilerplate line strip, MMR greedy diversity re-rank. The streaming
+    // gates and q_ann_recall_refined stay gate-only: their cost is the
+    // stream lifecycle / 20 tiny training jobs, not a plan this bench
+    // should track.
+    "q_dedup_substr", "q_boilerplate", "q_mmr_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -628,6 +628,14 @@ object SparkEntry {
           substring(col("text"), 1, 64).as("title")),
         maxDist = 5, blockPrefix = 8, textCol = "title", maxBlockSize = Some(80))),
 
+    // ExactSubstr repeated-span removal (Lee et al. 2022, windowed): any
+    // 12-token window occurring >= 2 times corpus-wide marks duplicated
+    // positions; overlapping windows merge into maximal spans, removed
+    // from every copy. The census shuffles md5s only.
+    "q_dedup_substr" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(t(s, dir, "documents"),
+        windowTokens = 12, minCount = 2)),
+
     // CCNet-style boilerplate line removal. The synthetic corpus is
     // single-line, so the gate DECORATES it deterministically (the
     // q_gopher pattern): body reshaped into 12-token lines, a cookie
@@ -3531,6 +3539,36 @@ object SparkEntry {
         |FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     "q_mmr_rerank" -> mmrOracleSql(k = 5, lambda = 0.7, nCand = 15, nQ = 10),
+
+    // repeated spans: window census on the window TEXT (equality on
+    // strings == equality on md5s), islands merge, index-aware rebuild
+    "q_dedup_substr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id, i, array_to_string(tk[i+1 : i+12], ' ') AS ws
+        |      FROM t, UNNEST(range(0, greatest(len(tk) - 11, 0))) r(i)),
+        |c AS (SELECT ws FROM (SELECT ws, count(*) AS n FROM w GROUP BY ws)
+        |      WHERE n >= 2),
+        |d AS (SELECT doc_id, i FROM w WHERE ws IN (SELECT ws FROM c)),
+        |g AS (SELECT doc_id, i,
+        |        sum(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY i
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |      FROM (SELECT doc_id, i,
+        |              max(i + 12) OVER (PARTITION BY doc_id ORDER BY i
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |            FROM d)),
+        |sp AS (SELECT doc_id, gid, min(i) AS s, max(i + 12) AS e
+        |       FROM g GROUP BY 1, 2),
+        |kp AS (SELECT t.doc_id, j, tk[j+1] AS tok
+        |       FROM t, UNNEST(range(0, len(tk))) r(j)
+        |       WHERE NOT EXISTS (SELECT 1 FROM sp
+        |                         WHERE sp.doc_id = t.doc_id
+        |                           AND j >= sp.s AND j < sp.e))
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(kp.tok, ' ' ORDER BY kp.j), '') AS text,
+        |  CAST(len(t.tk) - count(kp.j) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN kp ON kp.doc_id = t.doc_id
+        |GROUP BY t.doc_id, len(t.tk)""".stripMargin,
 
     // boilerplate: decorate identically, census non-blank lines by
     // distinct-doc count, drop >= 50-doc lines, reassemble in line order

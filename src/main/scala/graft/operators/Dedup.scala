@@ -970,6 +970,79 @@ object Dedup {
           col("n_dup").cast("double") / col("n_shingles").cast("double")))
   }
 
+  /** Exact repeated-substring removal (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — the ExactSubstr pass,
+    * windowed): every `windowTokens`-token window whose text occurs at
+    * least `minCount` times ACROSS THE CORPUS (all occurrences counted,
+    * including repeats inside one document) marks its positions
+    * duplicated; per document, overlapping/adjacent duplicated windows
+    * merge into maximal spans whose tokens are REMOVED, and the document
+    * is reassembled from the survivors. All copies go (the conservative
+    * cleanup); keep-one-copy semantics compose from [[firstOccurrence]]
+    * over the same spans. Documents shorter than the window pass through
+    * untouched. Returns (id, text, n_removed).
+    *
+    * Scale shape: window generation is SCAN-LOCAL (an md5 per start
+    * position — the text never re-shuffles for the census, only 16-byte
+    * hashes); the census is one hash-keyed partial-agg count; the
+    * duplicated-position set comes back through one semi-join; span
+    * merging is the classic islands pass on ONE (doc, pos) window sort;
+    * reassembly applies the merged spans as an index-aware filter on the
+    * already-held token array — doc-keyed, no extra text movement. The
+    * suffix-array machinery of the paper is replaced by fixed-width
+    * window hashing: O(tokens) windows instead of O(tokens) suffixes,
+    * same ≥ windowTokens-span guarantee, and every step is a keyed
+    * partial agg or broadcast-able join. */
+  def removeRepeatedSpans(
+      docs: DataFrame,
+      windowTokens: Int = 12,
+      minCount: Long = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2: $windowTokens")
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    val L = windowTokens
+    // LAZY pin (not an eager localCheckpoint — constructing the plan must
+    // not execute it): census + reassembly branches share one tokenize
+    // pass at first action; the context cleaner reclaims the block
+    val toked = docs.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = size(col("__t"))
+    // sequence(a, b) with b < a counts DOWN — guard short docs to empty
+    val starts = when(n >= lit(L),
+      sequence(lit(0L), (n - lit(L)).cast("long")))
+      .otherwise(typedLit(Seq.empty[Long]))
+    val wins = toked.select(col(idCol),
+      posexplode(transform(starts,
+        i => md5(array_join(slice(col("__t"), (i + 1).cast("int"), lit(L)), " ")))))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("__h"))
+    val dupHashes = wins.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount).select(col("__h"))
+    val dupPos = wins.join(dupHashes, Seq("__h"), "left_semi")
+    // islands: a window starts a new span iff it clears every prior
+    // window's end in (doc, pos) order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(L.toLong))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val gid = sum(when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val spans = dupPos.withColumn("__g", gid)
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + lit(L.toLong)).as("e"))
+    val spanArr = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    val kept = when(col("__spans").isNotNull,
+      filter(col("__t"), (_, i) => !exists(col("__spans"),
+        sp => i.cast("long") >= sp.getField("s") &&
+          i.cast("long") < sp.getField("e"))))
+      .otherwise(col("__t"))
+    toked.join(spanArr, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(kept, " ").as(textCol),
+        (n - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** CCNet-style boilerplate LINE removal: any non-blank line whose exact
     * text appears in at least `minDocs` DISTINCT documents (cookie
     * banners, nav bars, license footers — the lines a crawl repeats

@@ -516,6 +516,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .filter("n_dup > 0").count() == 0)
   }
 
+  test("removeRepeatedSpans: cross-doc spans go from all copies; overlaps merge; short docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "p q r a b c d s t u", // shares the 4-token run a b c d with 2
+      2L -> "a b c d x y z w m n", // windows "a b c" and "b c d" both dup -> ONE merged span [0,4)
+      3L -> "k l m k l m k l m n", // within-doc repeat: "k l m k"? windows repeat internally
+      4L -> "too short",           // < windowTokens -> untouched
+      5L -> "all unique tokens here nothing repeats at all ok"
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, windowTokens = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // "a b c" and "b c d" windows each occur twice corpus-wide -> both
+    // positions duplicated in both docs; islands merge them to one span
+    assert(out(1L) == (("p q r s t u", 4L)))
+    assert(out(2L) == (("x y z w m n", 4L)))
+    // doc 3: windows klm(0) lmk(1) mkl(2) klm(3) lmk(4) mkl(5) klm(6) kln? ->
+    // "k l m" x3, "l m k" x2, "m k l" x2 all >= 2 -> positions 0..6 covered,
+    // span [0, 9): only the trailing "n" survives
+    assert(out(3L) == (("n", 9L)))
+    assert(out(4L) == (("too short", 0L)))
+    assert(out(5L) == (("all unique tokens here nothing repeats at all ok", 0L)))
+  }
+
   test("stripBoilerplateLines: cross-doc lines drop, order keeps, blanks and rare lines survive") {
     import spark.implicits._
     val banner = "ACCEPT ALL COOKIES"
