@@ -732,6 +732,15 @@ object SparkEntry {
       Curation.withSplit(t(s, dir, "documents").select(col("doc_id")), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
 
+    // GROUP-aware leakage-safe split: hashing the USER id (not the row id)
+    // sends every event of a user to ONE split — per-entity features can
+    // never straddle train/test. Same zero-shuffle scan expression; the
+    // operator is withSplit with the group key as its id.
+    "q_split_group" -> ((s, dir) =>
+      Curation.withSplit(
+        ev(s, dir).select(col("event_id"), col("user_id")), "user_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
     // Leakage-safe temporal split: test from Jan 24, a 48 h embargo band
     // labeled 'purged' (kept, not dropped) — exact epoch-microsecond
     // comparisons on the scan, zero shuffles.
@@ -1743,6 +1752,16 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.5)),
 
+    // Dedup-quality readout: pair precision/recall of simhash@hamming<=6
+    // against exact bigram-Jaccard>=0.5 — the recallAtK of the dedup
+    // family, the number a banding/hamming parameter sweep optimizes.
+    "q_dedup_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.pairRecall(
+        Dedup.simhashPairs(docs, maxHamming = 6, portable = true),
+        Dedup.ngramJaccardPairs(docs, threshold = 0.5))
+    }),
+
     // Pairs -> dedup DECISION: connected components over the pair graph,
     // min-id canonical label per cluster (iterative label propagation;
     // oracle = recursive-CTE transitive closure over the same pairs).
@@ -2736,6 +2755,15 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000 AS BIGINT) AS b
         |      FROM documents)""".stripMargin,
+
+    "q_split_group" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT event_id, user_id,
+        |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT % 10000 AS BIGINT) AS b
+        |      FROM events)""".stripMargin,
 
     // purged split: test >= 2024-01-24T00Z, 48 h embargo band 'purged'
     "q_purged_split" ->
@@ -4554,6 +4582,42 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+
+    // pair precision/recall: the simhash and exact-jaccard oracles
+    // inlined, canonical (u, v) join, two scalar counts, two divisions
+    "q_dedup_recall" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |hv AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hv CROSS JOIN range(60) r(b)
+        |  GROUP BY doc_id, b),
+        |sigs AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |ap AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v,
+        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |ex AS (SELECT u, v FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5)
+        |SELECT
+        |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+        |  CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_approx,
+        |  CAST((SELECT count(*) FROM ex JOIN ap USING (u, v)) AS BIGINT) AS hits,
+        |  CAST((SELECT count(*) FROM ex JOIN ap USING (u, v)) AS DOUBLE)
+        |    / (SELECT count(*) FROM ex) AS recall,
+        |  CAST((SELECT count(*) FROM ex JOIN ap USING (u, v)) AS DOUBLE)
+        |    / (SELECT count(*) FROM ap) AS prec""".stripMargin,
 
     // From-scratch SQL simhash over the SAME portable 60-bit md5 token hash
     // (Sketches.md5Hash60): per (doc, bit) vote, sign -> signature, then the

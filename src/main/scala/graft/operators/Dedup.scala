@@ -970,6 +970,35 @@ object Dedup {
           col("n_dup").cast("double") / col("n_shingles").cast("double")))
   }
 
+  /** Pair-level precision/recall of an APPROXIMATE near-dup pair generator
+    * against an exact one — the dedup counterpart of
+    * [[Similarity.recallAtK]], the number an LSH/SimHash parameter sweep
+    * optimizes: one row with n_exact, n_approx, hits, recall
+    * (hits/n_exact) and prec (hits/n_approx; null when a side is empty
+    * rather than a fake 0). Pairs canonicalize to (min, max) and dedup
+    * first, so either orientation and duplicates on either side are fine.
+    *
+    * Scale shape: both inputs are PAIR frames (already the outputs of the
+    * bucketed generators — metric-sized next to the corpus); one
+    * (u, v)-keyed join + two single-row aggregates. */
+  def pairRecall(
+      approx: DataFrame,
+      exact: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+      least(col(aCol), col(bCol)).as("u"),
+      greatest(col(aCol), col(bCol)).as("v")).distinct()
+    val a = canon(approx)
+    val e = canon(exact)
+    val counted = e.join(a.withColumn("__hit", lit(1)), Seq("u", "v"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("hits"))
+    counted.crossJoin(a.agg(count(lit(1)).as("n_approx")))
+      .select(col("n_exact"), col("n_approx"), col("hits"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"),
+        (col("hits").cast("double") / col("n_approx")).as("prec"))
+  }
+
   /** Exact repeated-substring removal (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", ACL 2022 — the ExactSubstr pass,
     * windowed): every `windowTokens`-token window whose text occurs at

@@ -516,6 +516,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .filter("n_dup > 0").count() == 0)
   }
 
+  test("pairRecall: canonicalizes orientation and dupes; exact precision/recall") {
+    import spark.implicits._
+    // approx has (1,2) twice in both orientations (canonical dedup -> 1),
+    // (3,4) correct, (5,6) false positive; exact adds (7,8) missed
+    val approx = Seq((2L, 1L), (1L, 2L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val exact = Seq((1L, 2L), (4L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val r = Dedup.pairRecall(approx, exact).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 2.0 / 3 && r.getDouble(4) == 2.0 / 3)
+    // self-comparison is perfect
+    val self = Dedup.pairRecall(exact, exact).collect().head
+    assert(self.getDouble(3) == 1.0 && self.getDouble(4) == 1.0)
+  }
+
   test("removeRepeatedSpans: cross-doc spans go from all copies; overlaps merge; short docs pass") {
     import spark.implicits._
     val docs = Seq(
