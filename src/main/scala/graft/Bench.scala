@@ -138,7 +138,10 @@ object Bench {
     // gates and q_ann_recall_refined stay gate-only: their cost is the
     // stream lifecycle / 20 tiny training jobs, not a plan this bench
     // should track.
-    "q_dedup_substr", "q_boilerplate", "q_mmr_rerank")
+    "q_dedup_substr", "q_boilerplate", "q_mmr_rerank",
+    // fused 11-column feature export: ONE documents scan where separate
+    // signal queries pay four
+    "q_doc_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

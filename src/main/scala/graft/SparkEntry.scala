@@ -532,6 +532,23 @@ object SparkEntry {
         TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
     }),
 
+    // Fused per-document FEATURE EXPORT: every scan-bound signal family
+    // (quality counts, char-diversity profile, token counts, fingerprint)
+    // in ONE pass — one FileScan, one WholeStageCodegen span, eleven
+    // feature columns. Run separately these are 4 corpus scans; at 100 TB
+    // the fusion IS the operator.
+    "q_doc_features" -> ((s, dir) => {
+      val q = TextFunctions.qualityCounts(col("text")).map { case (n, c) => c.as(n) }
+      val p = TextFunctions.charProfile(col("text"))
+      t(s, dir, "documents").select((col("doc_id") +: q) ++ Seq(
+        p.getField("n_cp").as("n_cp"),
+        p.getField("n_distinct").as("n_distinct"),
+        p.getField("max_cnt").as("max_cnt"),
+        p.getField("sum_sq").as("sum_sq"),
+        TextFunctions.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"),
+        TextFunctions.fingerprint(col("text")).as("fp")): _*)
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
@@ -4152,6 +4169,37 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    // fused feature export: the member oracles combined — the ENGINE side
+    // is one scan; the oracle may join freely
+    "q_doc_features" ->
+      """WITH cp AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_cp,
+        |    count(*) AS n_distinct,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+        |  FROM (SELECT doc_id, ch, count(*) AS cnt
+        |        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |              FROM documents)
+        |        GROUP BY doc_id, ch) GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_len,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpe_tokens,
+        |    md5(text) AS fp
+        |  FROM (SELECT doc_id, text,
+        |          regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents))
+        |SELECT base.doc_id, n_chars, n_tokens, sum_token_len, n_stop,
+        |  coalesce(cp.n_cp, 0) AS n_cp,
+        |  coalesce(cp.n_distinct, 0) AS n_distinct,
+        |  coalesce(cp.max_cnt, 0) AS max_cnt,
+        |  coalesce(cp.sum_sq, 0) AS sum_sq,
+        |  n_bpe_tokens, fp
+        |FROM base LEFT JOIN cp USING (doc_id)""".stripMargin,
 
     "q_normalize" ->
       """SELECT doc_id,
