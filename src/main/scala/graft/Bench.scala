@@ -274,6 +274,10 @@ object Bench {
       // r11 batch 5
       ("triangles", "tri"), ("cdc_latest", "cdc"),
       ("heavy_hitters", "hh"),
+      // r12
+      ("dd_substr", "ddsu"), ("boilerplate", "boil"),
+      ("mmr_rerank", "mmr"), ("doc_features", "dfeat"),
+      ("md_audio", "mdau"),
       // compact-line diet (applied LAST — earlier rules already rewrote
       // the compound keys these could collide with): the 152-entry line
       // must stay under the harness's 2000-char tail buffer
