@@ -1951,6 +1951,16 @@ object SparkEntry {
         "join merge sort" -> Seq("join", "merge", "sort"),
         "stream window agg" -> Seq("stream", "window", "agg")), k = 10)),
 
+    // RM3 pseudo-relevance feedback: top-5 feedback docs per query, top-2
+    // integer-weighted expansion terms appended, BM25 re-run — two
+    // bm25TopK plans + a broadcast-feedback term census between them.
+    "q_bm25_rm3" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25WithFeedback(t(s, dir, "documents"), Seq(
+        "fast table scan" -> Seq("fast", "table", "scan"),
+        "join merge sort" -> Seq("join", "merge", "sort"),
+        "stream window agg" -> Seq("stream", "window", "agg")),
+        k = 10, kFb = 5, mExp = 2)),
+
     // Hybrid retrieval: BM25 lexical ranks fused with dense cosine ranks by
     // reciprocal-rank fusion (each query string paired with a probe vector
     // via a broadcast literal map). The fused score is Σ 1/(60+rank) —
@@ -4969,6 +4979,82 @@ object SparkEntry {
         |    ORDER BY score DESC, doc_id) AS INTEGER) AS rnk,
         |  doc_id, hits
         |FROM s WHERE hits > 0
+        |QUALIFY rnk <= 10""".stripMargin,
+
+    // RM3: round 1 = the q_bm25 pipeline cut to rnk<=5; expansion terms by
+    // integer count over the feedback docs (query's own terms anti-joined
+    // out); round 2 = the same scoring CTEs over the expanded term table
+    "q_bm25_rm3" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |st AS (SELECT count(*) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q(query_id, ti, term) AS (VALUES
+        |  ('fast table scan', 0, 'fast'), ('fast table scan', 1, 'table'),
+        |  ('fast table scan', 2, 'scan'),
+        |  ('join merge sort', 0, 'join'), ('join merge sort', 1, 'merge'),
+        |  ('join merge sort', 2, 'sort'),
+        |  ('stream window agg', 0, 'stream'), ('stream window agg', 1, 'window'),
+        |  ('stream window agg', 2, 'agg')),
+        |tdf AS (SELECT t.term, count(*) AS df
+        |        FROM (SELECT DISTINCT term FROM q) t
+        |        JOIN dl ON list_contains(dl.toks, t.term)
+        |        GROUP BY t.term),
+        |qi AS (SELECT q.query_id, q.ti, q.term,
+        |         ln((st.n_docs - coalesce(tdf.df, 0) + 0.5) /
+        |            (coalesce(tdf.df, 0) + 0.5) + 1.0) AS idf
+        |       FROM q LEFT JOIN tdf USING (term), st),
+        |c AS (SELECT qi.query_id, dl.doc_id, qi.ti,
+        |        CAST(len(list_filter(dl.toks, x -> x = qi.term)) AS DOUBLE) AS tf,
+        |        qi.idf * (CAST(len(list_filter(dl.toks, x -> x = qi.term)) AS DOUBLE) * 2.2) /
+        |          (CAST(len(list_filter(dl.toks, x -> x = qi.term)) AS DOUBLE) +
+        |           1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |      FROM dl, qi, st),
+        |s AS (SELECT query_id, doc_id,
+        |        list_sum(list(contrib ORDER BY ti)) AS score,
+        |        CAST(sum(tf) AS BIGINT) AS hits
+        |      FROM c GROUP BY query_id, doc_id),
+        |fb AS (SELECT query_id, doc_id FROM (
+        |        SELECT query_id, doc_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY score DESC, doc_id) AS rnk
+        |        FROM s WHERE hits > 0) WHERE rnk <= 5),
+        |tw AS (SELECT fb.query_id, t.tok, count(*) AS w
+        |       FROM fb JOIN (SELECT doc_id, unnest(toks) AS tok FROM dl) t
+        |         ON t.doc_id = fb.doc_id
+        |       WHERE NOT EXISTS (SELECT 1 FROM q
+        |                         WHERE q.query_id = fb.query_id AND q.term = t.tok)
+        |       GROUP BY 1, 2),
+        |ex AS (SELECT query_id, 2 + r AS ti, tok AS term FROM (
+        |        SELECT query_id, tok,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY w DESC, tok) AS r
+        |        FROM tw) WHERE r <= 2),
+        |q2 AS (SELECT * FROM q UNION ALL SELECT * FROM ex),
+        |tdf2 AS (SELECT t.term, count(*) AS df
+        |         FROM (SELECT DISTINCT term FROM q2) t
+        |         JOIN dl ON list_contains(dl.toks, t.term)
+        |         GROUP BY t.term),
+        |qi2 AS (SELECT q2.query_id, q2.ti, q2.term,
+        |          ln((st.n_docs - coalesce(tdf2.df, 0) + 0.5) /
+        |             (coalesce(tdf2.df, 0) + 0.5) + 1.0) AS idf
+        |        FROM q2 LEFT JOIN tdf2 USING (term), st),
+        |c2 AS (SELECT qi2.query_id, dl.doc_id, qi2.ti,
+        |        CAST(len(list_filter(dl.toks, x -> x = qi2.term)) AS DOUBLE) AS tf,
+        |        qi2.idf * (CAST(len(list_filter(dl.toks, x -> x = qi2.term)) AS DOUBLE) * 2.2) /
+        |          (CAST(len(list_filter(dl.toks, x -> x = qi2.term)) AS DOUBLE) +
+        |           1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |      FROM dl, qi2, st),
+        |s2 AS (SELECT query_id, doc_id,
+        |        list_sum(list(contrib ORDER BY ti)) AS score,
+        |        CAST(sum(tf) AS BIGINT) AS hits
+        |      FROM c2 GROUP BY query_id, doc_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS INTEGER) AS rnk,
+        |  doc_id, hits
+        |FROM s2 WHERE hits > 0
         |QUALIFY rnk <= 10""".stripMargin,
 
     "q_hybrid_rank" ->

@@ -995,8 +995,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("hits"))
     counted.crossJoin(a.agg(count(lit(1)).as("n_approx")))
       .select(col("n_exact"), col("n_approx"), col("hits"),
-        (col("hits").cast("double") / col("n_exact")).as("recall"),
-        (col("hits").cast("double") / col("n_approx")).as("prec"))
+        // explicit zero guards: ANSI mode raises on /0 where the contract
+        // is "null, not a fake 0" for an empty side
+        when(col("n_exact") > 0,
+          col("hits").cast("double") / col("n_exact")).as("recall"),
+        when(col("n_approx") > 0,
+          col("hits").cast("double") / col("n_approx")).as("prec"))
   }
 
   /** Exact repeated-substring removal (Lee et al., "Deduplicating Training

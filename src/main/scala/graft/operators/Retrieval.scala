@@ -143,6 +143,59 @@ object Retrieval {
     ranked.select(out: _*)
   }
 
+  /** Pseudo-relevance feedback (the RM3 recipe, integer-weighted): run
+    * [[bm25TopK]], take each query's top `kFb` documents as feedback, rank
+    * their terms by total occurrence count across the feedback set
+    * (excluding the query's own terms; ties to the smaller term — exact
+    * integers, so the expansion choice is engine-portable where RM1's
+    * float term weights would not be), append the top `mExp` expansion
+    * terms to the query, and re-run BM25 with the expanded queries — the
+    * classic lexical recall booster for targeted data selection.
+    *
+    * Scale shape: both retrieval rounds are the [[bm25TopK]] plan; the
+    * term census joins the TINY feedback list (|Q|·kFb ids, broadcast)
+    * against one token explode, then aggregates to (query, term) counts.
+    * Only the |Q|·mExp chosen expansion terms cross the driver — QUERY-SET
+    * metadata (the bm25 queries already live there), never data. */
+  def bm25WithFeedback(
+      docs: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      k: Int = 10,
+      kFb: Int = 5,
+      mExp: Int = 3,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(kFb >= 1, s"kFb must be >= 1: $kFb")
+    require(mExp >= 0, s"mExp must be >= 0: $mExp")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fb = bm25TopK(docs, queries, k = kFb, k1 = k1, b = b,
+      idCol = idCol, textCol = textCol)
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val fbDocs = fb.select(col("query_id"), col(idCol).as("id"))
+    val orig = queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "tok")
+    val termW = fbDocs.join(toks, Seq("id"))
+      .join(orig, Seq("query_id", "tok"), "left_anti")
+      .groupBy("query_id", "tok").agg(count(lit(1)).as("w"))
+    val wnd = Window.partitionBy("query_id")
+      .orderBy(col("w").desc, col("tok").asc)
+    val expRows = termW.withColumn("r", row_number().over(wnd))
+      .filter(col("r") <= mExp)
+      .select("query_id", "tok", "r").collect()
+    val expMap = expRows.groupBy(_.getString(0)).map { case (q, rs) =>
+      q -> rs.sortBy(_.getInt(2)).map(_.getString(1)).toSeq
+    }
+    val expanded = queries.map { case (q, ts) =>
+      q -> (ts ++ expMap.getOrElse(q, Seq.empty))
+    }
+    bm25TopK(docs, expanded, k = k, k1 = k1, b = b,
+      idCol = idCol, textCol = textCol)
+  }
+
   /** Reciprocal-rank fusion of several per-query rankings (the standard way
     * to combine lexical [[bm25TopK]] with dense [[Similarity.bruteForceTopK]]
     * / ANN results — hybrid retrieval): fused score = Σ_systems

@@ -232,4 +232,37 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(Similarity.pqSearch(emptyEmb, emptyEmb, m = 2, k = 4, dim = 4,
       topK = 3).count() == 0)
   }
+
+  test("r12 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    // span removal / boilerplate strip: empty corpora produce empty output
+    assert(Dedup.removeRepeatedSpans(emptyDocs).count() == 0)
+    assert(Dedup.stripBoilerplateLines(emptyDocs, minDocs = 2).count() == 0)
+    // single doc: nothing can repeat across docs; within-doc spans CAN
+    val one = Seq(1L -> "x y z").toDF("doc_id", "text")
+    val kept = Dedup.removeRepeatedSpans(one, windowTokens = 3, minCount = 2)
+      .collect().head
+    assert(kept.getString(1) == "x y z" && kept.getLong(2) == 0L)
+    // pairRecall with an empty side: recall/prec are NULL, not fake zeros
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val r1 = Dedup.pairRecall(noPairs, pairs).collect().head
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 0L && r1.getLong(2) == 0L)
+    assert(r1.getDouble(3) == 0.0 && r1.isNullAt(4)) // hits/0 -> null prec
+    val r2 = Dedup.pairRecall(pairs, noPairs).collect().head
+    assert(r2.getLong(0) == 0L && r2.isNullAt(3)) // recall null
+    // mmrRerank: k beyond the candidate depth emits what exists, ranks
+    // contiguous from 1
+    val vecs = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(1f, 1f)).toDF("vec_id", "embedding")
+    val cand = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 2)
+    val mmr = Similarity.mmrRerank(cand, vecs, k = 5, lambda = 0.7)
+      .collect().map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1)
+    assert(mmr.map(_._1).toSeq == Seq(1L, 2L))
+    // pqTrainCodebooks: corpus smaller than k shrinks the codebook
+    val tiny = Seq(0L -> Array(1f, 2f), 1L -> Array(3f, 4f))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.pqTrainCodebooks(tiny, m = 1, k = 8, dim = 2,
+      rounds = 2).length == 2)
+  }
 }

@@ -144,4 +144,27 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Retrieval.tfidfTopTerms(empty).count() == 0)
   }
+
+  test("bm25WithFeedback: expansion recalls docs sharing only feedback terms; mExp=0 = plain bm25") {
+    import spark.implicits._
+    // doc 1 matches the query and co-occurs with "alpha"; doc 2 contains
+    // ONLY "alpha" — invisible to the raw query, reachable after expansion
+    val docs = Seq(
+      (1L, "needle alpha alpha filler"),
+      (2L, "alpha body text here"),
+      (3L, "unrelated tokens entirely distinct")).toDF("doc_id", "text")
+    val q = Seq("find" -> Seq("needle"))
+    val plain = Retrieval.bm25TopK(docs, q, k = 10)
+      .collect().map(_.getLong(2)).toSet
+    assert(plain == Set(1L)) // only the direct match
+    val rm3 = Retrieval.bm25WithFeedback(docs, q, k = 10, kFb = 1, mExp = 1)
+      .collect().map(_.getLong(2)).toSet
+    // top feedback doc is 1; its most frequent non-query term is "alpha"
+    // (tf 2 beats filler's 1); doc 2 now matches through the expansion
+    assert(rm3 == Set(1L, 2L))
+    // mExp = 0 degenerates to the plain ranking
+    val zero = Retrieval.bm25WithFeedback(docs, q, k = 10, kFb = 1, mExp = 0)
+      .collect().map(_.getLong(2)).toSet
+    assert(zero == plain)
+  }
 }
