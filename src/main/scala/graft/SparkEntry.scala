@@ -753,6 +753,15 @@ object SparkEntry {
     // sends every event of a user to ONE split — per-entity features can
     // never straddle train/test. Same zero-shuffle scan expression; the
     // operator is withSplit with the group key as its id.
+    // Temperature rebalancing: domain shares follow n^(1/2) (T=2), rates
+    // derived IN-PLAN from measured counts — the multilingual resampling
+    // knob; decisions stay salted-integer-bucket pure.
+    "q_temp_sample" -> ((s, dir) =>
+      Curation.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        groupCol = "source", budget = 150L, temperature = 2.0)
+        .select(col("doc_id"), col("source"))),
+
     "q_split_group" -> ((s, dir) =>
       Curation.withSplit(
         ev(s, dir).select(col("event_id"), col("user_id")), "user_id",
@@ -2782,6 +2791,26 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000 AS BIGINT) AS b
         |      FROM documents)""".stripMargin,
+
+    // temperature rebalance: group-sorted sqrt-mass fold, in-plan rate,
+    // integer bucket compare — float steps written identically on both
+    // sides so the quantized thresholds agree bit-for-bit
+    "q_temp_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |           WHERE source IS NOT NULL GROUP BY source),
+        |m AS (SELECT list_reduce(
+        |        list_prepend(0.0e0,
+        |          list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+        |        (a, b) -> a + b) AS mass FROM c),
+        |t AS (SELECT c.source,
+        |        CAST(round(least(1.0e0,
+        |          (150.0e0 * (sqrt(CAST(c.n AS DOUBLE)) / m.mass))
+        |            / CAST(c.n AS DOUBLE)) * 10000) AS BIGINT) AS thr
+        |      FROM c, m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN t USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 15))::UBIGINT
+        |           % 10000 AS BIGINT) < t.thr""".stripMargin,
 
     "q_split_group" ->
       """SELECT event_id, user_id,

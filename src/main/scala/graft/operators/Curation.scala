@@ -108,6 +108,55 @@ object Curation {
     df.filter(hashBucketSalted(col(idCol), salt) < math.round(fraction * SplitBuckets))
   }
 
+  /** Temperature-based mixture REBALANCING (the multilingual/multi-domain
+    * p_d ∝ n_d^(1/T) resampling of Conneau–Lample / mT5): target domain
+    * shares follow n^(1/T) — T=1 keeps natural proportions, T→∞
+    * equalizes domains — and each domain gets keep rate
+    * min(1, budget·share_d / n_d), applied as the usual salted-bucket
+    * per-row decision. Unlike [[mixtureSample]] the rates are DERIVED
+    * IN-PLAN from the measured domain counts, so the operator self-tunes
+    * as the corpus grows.
+    *
+    * Determinism: the T-mass Σ n^(1/T) folds over the GROUP-SORTED count
+    * list (fixed order, each term one correctly-rounded step; T=2 uses
+    * sqrt, which is exactly rounded everywhere); the rate quantizes to
+    * round(rate·10⁴) and the keep compare is integer — the
+    * [[sampleFraction]] purity contract with a data-dependent threshold.
+    * Rows with null domains drop (no share to draw from).
+    *
+    * Scale shape: ONE domains-sized count agg; the (domain, threshold)
+    * table re-enters via broadcast; the keep decision is a codegen'd scan
+    * predicate — no data-sized shuffle anywhere. */
+  def temperatureSample(
+      df: DataFrame,
+      groupCol: String,
+      budget: Long,
+      temperature: Double = 2.0,
+      idCol: String = "doc_id",
+      salt: String = "temp"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(temperature >= 1.0, s"temperature must be >= 1: $temperature")
+    def tmass(c: Column): Column =
+      if (temperature == 2.0) sqrt(c.cast("double"))
+      else pow(c.cast("double"), lit(1.0 / temperature))
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val mass = counts
+      .agg(sort_array(collect_list(struct(col(groupCol).as("g"),
+        col("__n").as("n")))).as("__arr"))
+      .select(aggregate(col("__arr"), lit(0.0),
+        (acc, s) => acc + tmass(s.getField("n"))).as("__mass"))
+    val thresholds = counts.crossJoin(broadcast(mass))
+      .select(col(groupCol),
+        round(least(lit(1.0),
+          (lit(budget.toDouble) * (tmass(col("__n")) / col("__mass"))) /
+            col("__n").cast("double")) * lit(SplitBuckets))
+          .cast("long").as("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .where(hashBucketSalted(col(idCol), salt) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Mixture weighting: per-group keep rates — THE down/up-weighting step a
     * training-data mixture applies per source ("keep 10% of crawl, all of
     * reference text"). `rates` maps group values to keep fractions; groups

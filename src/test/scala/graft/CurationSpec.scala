@@ -68,6 +68,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.sampleFraction(withNull, "id", 1.0).count() == 2)
   }
 
+  test("temperatureSample: T>1 shifts share toward small domains; clamps; drops null groups; pure") {
+    import spark.implicits._
+    val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small")) ++
+      Seq((2000L, null.asInstanceOf[String]))).toDF("doc_id", "source")
+    val out = Curation.temperatureSample(docs, "source", budget = 150L)
+      .collect().map(r => r.getLong(1) -> r.getString(0))
+    // rates: mass = sqrt(900)+sqrt(100) = 40; big -> min(1, 150*(30/40)/900)
+    // = 0.125, small -> min(1, 150*(10/40)/100) = 0.375: the small domain
+    // keeps a ~3x higher fraction
+    val kept = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(kept("big").toDouble / 900 < kept("small").toDouble / 100)
+    assert(!kept.contains(null)) // null domains have no share
+    // deterministic: a rerun keeps the identical set
+    val again = Curation.temperatureSample(docs, "source", budget = 150L)
+      .collect().map(r => r.getLong(1) -> r.getString(0))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // budget >= corpus: every non-null row survives (rate clamps at 1)
+    assert(Curation.temperatureSample(docs, "source", budget = 10000L)
+      .count() == 1000)
+  }
+
   test("mixtureSample applies per-group keep rates; unlisted and null groups take the default") {
     import spark.implicits._
     val rows = (0L until 30000L).map(i => (i, i % 3 match {
