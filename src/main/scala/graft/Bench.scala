@@ -141,7 +141,12 @@ object Bench {
     "q_dedup_substr", "q_boilerplate", "q_mmr_rerank",
     // fused 11-column feature export: ONE documents scan where separate
     // signal queries pay four
-    "q_doc_features")
+    "q_doc_features",
+    // RM3 = two bm25 plans + a broadcast feedback term census; temperature
+    // rebalance + group split are zero-shuffle scan predicates.
+    // q_dedup_recall stays gate-only: its exact side is the quadratic
+    // oracle family the bench excludes by policy.
+    "q_bm25_rm3", "q_temp_sample", "q_split_group")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -277,7 +282,8 @@ object Bench {
       // r12
       ("dd_substr", "ddsu"), ("boilerplate", "boil"),
       ("mmr_rerank", "mmr"), ("doc_features", "dfeat"),
-      ("md_audio", "mdau"),
+      ("md_audio", "mdau"), ("bm25_rm3", "rm3"),
+      ("temp_sample", "tsmp"), ("sp_group", "spg"),
       // compact-line diet (applied LAST — earlier rules already rewrote
       // the compound keys these could collide with): the 152-entry line
       // must stay under the harness's 2000-char tail buffer
