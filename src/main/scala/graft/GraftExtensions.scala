@@ -117,6 +117,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.Layouts.zorderKey(GraftExpr.column(args(0)),
           GraftExpr.column(args(1)), intLit(args(2), "bits"))))))
 
+    ext.injectFunction((FunctionIdentifier("hilbert_key"),
+      info("hilbert_key",
+        "hilbert_key(x, y, bits) - 2-D Hilbert-curve index of two bits-bit values (tighter locality than zorder_key)"),
+      arity("hilbert_key", 3)(args =>
+        graft.functions.HilbertKey(args(0), args(1), intLit(args(2), "bits")))))
+
     ext.injectFunction((FunctionIdentifier("redact_pii"),
       info("redact_pii",
         "redact_pii(text) - scrub emails/IPv4s/card-length digit runs/phone shapes to typed placeholders"),

@@ -1303,6 +1303,16 @@ object SparkEntry {
           pmod(col("l_orderkey"), lit(256)), pmod(col("l_partkey"), lit(256)))
           .as("zkey"))),
 
+    // Hilbert-curve key: the space-filling sibling of q_zorder_key with
+    // tighter locality (unit steps, no Z-jumps) — native codegen'd walk;
+    // the oracle replays the same xy2d walk as a recursive CTE.
+    "q_hilbert_key" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber"),
+        graft.sources.Layouts.hilbertKey(
+          pmod(col("l_orderkey"), lit(256)), pmod(col("l_partkey"), lit(256)))
+          .as("hkey"))),
+
     // Winsorize: clamp order totals into their own priority class's
     // [p5, p95] band — per-group thresholds broadcast back; exact
     // percentile = the oracle path, the GK sketch is the 100 TB path.
@@ -3216,6 +3226,30 @@ object SparkEntry {
          |  CAST($terms AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin
     },
+
+    // the xy2d Hilbert walk replayed level by level (s = 128 .. 1), the
+    // rotation/reflection in the recursive step; s = 0 rows are done
+    "q_hilbert_key" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |    CAST(l_orderkey % 256 AS BIGINT) AS x,
+        |    CAST(l_partkey % 256 AS BIGINT) AS y,
+        |    CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END)
+        |         ELSE x END,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END)
+        |         ELSE y END,
+        |    d + s * s * xor(3 * rx, ry),
+        |    s // 2
+        |  FROM (SELECT *,
+        |          CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+        |          CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+        |        FROM h WHERE s > 0) AS step)
+        |SELECT l_orderkey, l_partkey, l_linenumber, d AS hkey
+        |FROM h WHERE s = 0""".stripMargin,
 
     "q_clip" ->
       """WITH th AS (SELECT o_orderpriority,

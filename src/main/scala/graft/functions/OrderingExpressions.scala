@@ -117,3 +117,100 @@ case class BucketIndex(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BucketIndex =
     copy(left = l, right = r)
 }
+
+/** 2-D Hilbert-curve index of two non-negative `bits`-bit values — the
+  * space-filling-curve clustering key with strictly better locality than
+  * the Morton/Z-order interleave ([[graft.sources.Layouts.zorderKey]]):
+  * every unit step along the Hilbert curve moves one cell in exactly one
+  * dimension (no Z-shape jumps), so range-written files cover tighter
+  * rectangles and min/max footer skipping prunes more under two-column
+  * predicates.
+  *
+  * The classic iterative xy2d walk (Hamilton's formulation): per level s =
+  * 2^(bits−1) … 1, quadrant id (3·rx) XOR ry accumulates s² cells, then
+  * the frame rotates/reflects. Pure integer compares/shifts in a tight
+  * generated loop — codegen'd like [[BucketIndex]], no HOF lambda frames.
+  * Callers pass values already reduced to `bits` bits (bucket ids,
+  * `pmod`s — the [[graft.sources.Layouts.zorderKeyN]] contract); higher
+  * bits are masked off by construction. The same walk is replayable as a
+  * recursive CTE, which is how the DuckDB oracle checks it. */
+case class HilbertKey(
+    left: Expression,
+    right: Expression,
+    bits: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (!(bits >= 1 && bits <= 31))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hilbert_key bits out of [1, 31]: $bits")
+    else if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hilbert_key needs integral inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val mask = (1L << bits) - 1
+    var x = toLong(a) & mask
+    var y = toLong(b) & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx"); val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      val mask = (1L << bits) - 1
+      s"""
+         |long $x = ((long) $a) & ${mask}L;
+         |long $y = ((long) $b) & ${mask}L;
+         |long $d = 0L;
+         |for (long $s = 1L << ${bits - 1}; $s > 0; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0) {
+         |    if ($rx == 1) { $x = $s - 1 - $x; $y = $s - 1 - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertKey =
+    copy(left = l, right = r)
+}

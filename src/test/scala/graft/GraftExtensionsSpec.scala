@@ -22,8 +22,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
           |  rolling_hash('abc') AS rh,
           |  size(minhash_signature(word_shingles('a b c d e', 2), 16)) AS sig_len,
           |  size(minhash_bands(word_shingles('a b c d e', 2), 8, 4)) AS n_bands,
-          |  graft_filter('The ERROR line', 'error') AS hit
+          |  graft_filter('The ERROR line', 'error') AS hit,
+          |  hilbert_key(0, 0, 3) AS h0,
+          |  hilbert_key(7, 0, 3) AS h63
           |""".stripMargin).first()
+      // hilbert walk of an 8x8 grid starts at (0,0) and ends at (7,0)
+      assert(r.getLong(8) == 0L && r.getLong(9) == 63L)
       assert(r.getDouble(0) == 1.0)
       assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
       assert((r.getLong(3) >>> 60) == 0L) // portable simhash is 60-bit

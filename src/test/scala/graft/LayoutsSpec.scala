@@ -123,4 +123,29 @@ class LayoutsSpec extends AnyFunSuite with SparkSpec {
     val zX = scanned(zDir, xPred, expectX)
     assert(zX * 2 <= n.toLong, s"z-order should still prune on x: $zX of $n")
   }
+
+  test("hilbertKey: a bijective walk whose consecutive cells are UNIT steps (z-order's are not)") {
+    import spark.implicits._
+    val bits = 3 // 8x8 grid, 64 cells
+    val grid = for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong)
+    val keyed = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.sources.Layouts.hilbertKey(col("x"), col("y"), bits).as("h"),
+        graft.sources.Layouts.zorderKey(col("x"), col("y"), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bijection onto 0..63
+    assert(keyed.map(_._3).sorted.toSeq == (0L until 64L))
+    // THE Hilbert property: every consecutive pair along the curve moves
+    // one cell in exactly one dimension
+    val walk = keyed.sortBy(_._3)
+    walk.sliding(2).foreach { case Array((x1, y1, _, _), (x2, y2, _, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step ($x1,$y1)->($x2,$y2)")
+    }
+    // ...which z-order provably lacks (its Z-jumps are > 1 apart)
+    val zWalk = keyed.sortBy(_._4)
+    assert(zWalk.sliding(2).exists { case Array((x1, y1, _, _), (x2, y2, _, _)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    })
+  }
 }
