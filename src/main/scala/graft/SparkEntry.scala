@@ -996,6 +996,40 @@ object SparkEntry {
           col("n_ops").cast("long").as("n_ops"))
     }),
 
+    // The STREAMING-DEDUPLICATE state family under the hash gate (the
+    // third stateful operator kind after flatMapGroupsWithState and
+    // stateStoreSave): documents replay as 4 in-order micro-batches
+    // through dropDuplicatesWithinWatermark keyed on the content md5.
+    // WHICH copy of a same-batch duplicate survives is operator-internal,
+    // so the readout groups the sink by fp — the gate asserts EXACTLY ONE
+    // survivor per distinct content came out of the real streaming state
+    // machinery (n_out folds any duplicate emission into a count the
+    // oracle's literal 1 would catch).
+    "q_stream_dedup_gate" -> ((s, dir) => {
+      // the corpus has no byte-identical texts, so PLANT late-arriving
+      // exact copies (every 10th doc re-ids at +100000 -> later ts ->
+      // later segments): the n_out = 1 check then PROVES the state
+      // machinery dropped 10% of the stream across micro-batches
+      val base0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = base0.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"))
+      val docs = base0.unionByName(dupes).select(col("doc_id"), col("text"),
+        timestamp_micros(lit(1700000000000000L) +
+          col("doc_id") * lit(1000000L)).as("ts"))
+      val (base, inDir) = stageTimeSegments(docs, 4, Seq(col("ts"), col("doc_id")))
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.streaming.StreamingPipeline.startFileSink(
+        graft.streaming.StreamingPipeline.dedupExact(src, "ts", "30 days"),
+        s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).cast("long").as("n_out"),
+          max(col("text")).as("text"))
+    }),
+
     // The WATERMARKED WINDOWED-AGG streaming mode under the hash gate —
     // the other stateful-operator family (stateStoreSave, where the CDC
     // gate exercises flatMapGroupsWithState). Hourly OHLC bars stream over
@@ -3765,6 +3799,12 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // streamed dedup: exactly one survivor per distinct content — the
+    // oracle's literal 1 catches any duplicate emission
+    "q_stream_dedup_gate" ->
+      """SELECT md5(text) AS fp, CAST(1 AS BIGINT) AS n_out, max(text) AS text
+        |FROM documents GROUP BY md5(text)""".stripMargin,
 
     // the streamed windowed-agg drain emits each watermark-closed bar
     // exactly once, so with the sentinel flush the sink equals the batch
