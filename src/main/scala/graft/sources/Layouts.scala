@@ -177,6 +177,47 @@ object Layouts {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** [[writeZordered]] with the HILBERT key: same equi-depth bucketing
+    * (rank-based, skew-proof) per column, but the bucket ids combine via
+    * the unit-step [[hilbertKey]] walk instead of the Morton interleave —
+    * each range-written file covers an even tighter (a, b) rectangle, so
+    * min/max footer skipping prunes at least as well on both columns.
+    * 2-D only (the curve's rotation structure is dimension-specific where
+    * Morton generalizes trivially — [[writeZorderedN]] remains the N-column
+    * tool). */
+  def writeHilbert(
+      df: DataFrame,
+      dir: String,
+      c1: String,
+      c2: String,
+      partitions: Int,
+      bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftExpr
+    import graft.functions.BucketIndex
+    require(partitions >= 1, s"partitions must be >= 1: $partitions")
+    require(bits >= 1 && bits <= 31, s"bits out of [1, 31]: $bits")
+    val nb = (1 << bits) - 1
+    val probs = (1 to nb).map(i => lit(i.toDouble / (nb + 1)))
+    val bounds = df.agg(
+        percentile_approx(col(c1).cast("double"), array(probs: _*), lit(10000))
+          .as("__b0"),
+        percentile_approx(col(c2).cast("double"), array(probs: _*), lit(10000))
+          .as("__b1"))
+      .localCheckpoint(true)
+    def bucket(c: String, b: String) = GraftExpr.column(BucketIndex(
+      GraftExpr.expression(col(c).cast("double")),
+      GraftExpr.expression(col(b)), descending = false, nullsFirst = true))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__graft_h",
+        hilbertKey(bucket(c1, "__b0"), bucket(c2, "__b1"), bits))
+      .drop("__b0", "__b1")
+      .repartitionByRange(partitions, col("__graft_h"))
+      .sortWithinPartitions("__graft_h")
+      .drop("__graft_h")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Number of Exchange (shuffle/broadcast-exchange) nodes in the final
     * physical plan — 0 on a co-bucketed join is the whole point. Unwraps the
     * AQE leaf wrappers: AdaptiveSparkPlanExec before execution, and the

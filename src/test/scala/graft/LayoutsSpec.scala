@@ -124,6 +124,29 @@ class LayoutsSpec extends AnyFunSuite with SparkSpec {
     assert(zX * 2 <= n.toLong, s"z-order should still prune on x: $zX of $n")
   }
 
+  test("writeHilbert prunes row groups on BOTH columns like writeZordered") {
+    import spark.implicits._
+    val n = 100000
+    val rnd = new scala.util.Random(11)
+    val rows = Vector.fill(n)((rnd.nextInt(10000), rnd.nextInt(10000)))
+    val df = rows.toDF("x", "y")
+    val hDir = java.nio.file.Files.createTempDirectory("graft_hilbert").toString
+    Layouts.writeHilbert(df, hDir, "x", "y", partitions = 16)
+    def scanned(pred: org.apache.spark.sql.Column, expect: Long): Long = {
+      val q = spark.read.parquet(hDir).filter(pred)
+      assert(q.queryExecution.toRdd.count() == expect, "correctness first")
+      q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numOutputRows").value
+    }
+    val expectY = rows.count(_._2 < 625).toLong
+    val hY = scanned(col("y") < 625, expectY)
+    assert(hY * 2 <= n.toLong, s"hilbert should prune on y: $hY of $n")
+    val expectX = rows.count(_._1 < 625).toLong
+    val hX = scanned(col("x") < 625, expectX)
+    assert(hX * 2 <= n.toLong, s"hilbert should prune on x: $hX of $n")
+  }
+
   test("hilbertKey: a bijective walk whose consecutive cells are UNIT steps (z-order's are not)") {
     import spark.implicits._
     val bits = 3 // 8x8 grid, 64 cells
