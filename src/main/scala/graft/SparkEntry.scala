@@ -996,6 +996,45 @@ object SparkEntry {
           col("n_ops").cast("long").as("n_ops"))
     }),
 
+    // THE REFERENCE'S OWN JOB under the streaming hash gate: the
+    // FILTER + AGGREGATE console pipeline (RAINSTORM op1 op2 file
+    // numTasks) replayed as 4 micro-batches with 8 sharded running
+    // counters — the deployed semantics of SURVEY §2.1 O9. Which doc
+    // receives which count inside a micro-batch is scheduler-order, so
+    // the readout checks the INVARIANTS that are exact: per shard, the
+    // emitted counts are exactly the sequence 1..n_s (min 1, max n_s,
+    // n_s distinct over n_s rows) and the member docs are exactly the
+    // filter's matches routed by the shard hash (sum of doc ids).
+    "q_stream_console_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (base, inDir) = stageTimeSegments(docs, 4, Seq(col("doc_id")))
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val piped = graft.streaming.StreamingPipeline.pipeline(
+        Seq(graft.ops.StreamOp.Filter("the"), graft.ops.StreamOp.Aggregate),
+        OpCompiler.Ctx(Some("text"), Seq("doc_id")), shards = 8)(src)
+      // 8 state-store partitions, not the session's 32: these drains hold
+      // 8 keys, and per-store open/load/commit × batches dominates
+      // otherwise (the Bench drain discipline)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamingPipeline.startFileSink(
+          piped, s"$base/out", s"$base/ckpt")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .select(pmod(col("doc_id"), lit(8)).as("shard"),
+          col("doc_id"), col("running_count"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"),
+          max(col("running_count")).as("max_rc"),
+          min(col("running_count")).as("min_rc"),
+          countDistinct(col("running_count")).as("n_rc"),
+          sum(col("doc_id")).cast("long").as("sum_doc_id"))
+    }),
+
     // The STREAMING-DEDUPLICATE state family under the hash gate (the
     // third stateful operator kind after flatMapGroupsWithState and
     // stateStoreSave): documents replay as 4 in-order micro-batches
@@ -3799,6 +3838,19 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the console pipeline's invariants per shard: counts are exactly
+    // 1..n_s over the filter's matches routed by doc_id % 8
+    "q_stream_console_gate" ->
+      """SELECT doc_id % 8 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS max_rc,
+        |  CAST(1 AS BIGINT) AS min_rc,
+        |  CAST(count(*) AS BIGINT) AS n_rc,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM documents
+        |WHERE contains(lower(text), 'the')
+        |GROUP BY 1""".stripMargin,
 
     // streamed dedup: exactly one survivor per distinct content — the
     // oracle's literal 1 catches any duplicate emission
