@@ -1376,6 +1376,18 @@ object SparkEntry {
           pmod(col("l_orderkey"), lit(256)), pmod(col("l_partkey"), lit(256)))
           .as("zkey"))),
 
+    // Pairwise correlation sufficient statistics in ONE scan: exact
+    // integer moments for every column pair — Pearson/covariance one
+    // division away, order-independent where corr()'s float accumulation
+    // is not. Sums cross the gate as DECIMAL-exact digit strings.
+    "q_corr_stats" -> ((s, dir) => {
+      val sums = Seq("sum_a", "sum_b", "sum_ab", "sum_a2", "sum_b2")
+      Curation.corrStats(t(s, dir, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .select(col("col_a") +: col("col_b") +: col("n") +:
+          sums.map(c => col(c).cast("string").as(c)): _*)
+    }),
+
     // Hilbert-curve key: the space-filling sibling of q_zorder_key with
     // tighter locality (unit steps, no Z-jumps) — native codegen'd walk;
     // the oracle replays the same xy2d walk as a recursive CTE.
@@ -2357,6 +2369,26 @@ object SparkEntry {
        |SELECT node, label FROM l$rounds""".stripMargin
   }
 
+  /** q_corr_stats reference: one UNION ALL block per column pair, exact
+    * integer sums stringified through HUGEINT (matching the engine's
+    * DECIMAL(38,0) → string digits at any magnitude). */
+  private def corrOracleSql(cols: Seq[String]): String = {
+    val pairs = for { (a, i) <- cols.zipWithIndex; b <- cols.drop(i) } yield (a, b)
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(CAST(sum(av) AS HUGEINT) AS VARCHAR) AS sum_a,
+         |  CAST(CAST(sum(bv) AS HUGEINT) AS VARCHAR) AS sum_b,
+         |  CAST(CAST(sum(av * bv) AS HUGEINT) AS VARCHAR) AS sum_ab,
+         |  CAST(CAST(sum(av * av) AS HUGEINT) AS VARCHAR) AS sum_a2,
+         |  CAST(CAST(sum(bv * bv) AS HUGEINT) AS VARCHAR) AS sum_b2
+         |FROM (SELECT CAST(round(CAST($a AS DOUBLE) * 100) AS BIGINT) AS av,
+         |             CAST(round(CAST($b AS DOUBLE) * 100) AS BIGINT) AS bv
+         |      FROM lineitem
+         |      WHERE $a IS NOT NULL AND $b IS NOT NULL)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** q_mmr_rerank reference: the greedy selection UNROLLED to k rounds.
     * Round 1 is pure λ·relevance; round r scores every unselected
     * candidate as λ·cos − (1−λ)·max(sim to the r−1 already selected) and
@@ -3299,6 +3331,9 @@ object SparkEntry {
          |  CAST($terms AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin
     },
+
+    "q_corr_stats" -> corrOracleSql(
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),
 
     // the xy2d Hilbert walk replayed level by level (s = 128 .. 1), the
     // rotation/reflection in the recursive step; s = 0 rows are done

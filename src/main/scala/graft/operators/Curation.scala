@@ -108,6 +108,58 @@ object Curation {
     df.filter(hashBucketSalted(col(idCol), salt) < math.round(fraction * SplitBuckets))
   }
 
+  /** Pairwise CORRELATION SUFFICIENT STATISTICS over numeric columns in
+    * ONE scan: for every unordered column pair (a ≤ b), the exact integer
+    * moments (n, Σa, Σb, Σab, Σa², Σb²) with values fixed-point scaled by
+    * `fpDigits` decimals — Pearson r, covariance, and slope are each one
+    * driver-side formula away, and because every stat is an
+    * order-independent integer sum the output hash-gates where `corr()`'s
+    * streaming float accumulation never could (the [[standardize]] /
+    * `activityTrend` discipline). Rows with a null in EITHER column of a
+    * pair are excluded from that pair (pairwise deletion, matching SQL
+    * corr semantics). Sums ride DECIMAL(38,0): Σa² of 10⁹ rows of 10⁷-
+    * scaled values is 10²³ — past 2⁶³, never past 38 digits.
+    *
+    * Scale shape: ONE scan emits the k(k+1)/2 pair statistics as a single
+    * partial-aggregable agg — no shuffle carries data rows, the exchange
+    * is k² stat rows. The feature-selection readout (which quality
+    * signals co-move / predict a label) at any corpus size. */
+  def corrStats(
+      df: DataFrame,
+      cols: Seq[String],
+      fpDigits: Int = 2): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns: ${cols.size}")
+    require(fpDigits >= 0 && fpDigits <= 9, s"fpDigits out of [0,9]: $fpDigits")
+    val scale = math.pow(10, fpDigits)
+    def fp(c: String) = round(col(c).cast("double") * lit(scale)).cast("long")
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex
+      b <- cols.drop(i)
+    } yield (a, b)
+    val stats = pairs.flatMap { case (a, b) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val av = when(both, fp(a)).otherwise(lit(null))
+      val bv = when(both, fp(b)).otherwise(lit(null))
+      val dec = "decimal(38,0)"
+      Seq(
+        count(av).as(s"__n_${a}_$b"),
+        sum(av.cast(dec)).as(s"__sa_${a}_$b"),
+        sum(bv.cast(dec)).as(s"__sb_${a}_$b"),
+        sum((av * bv).cast(dec)).as(s"__sab_${a}_$b"),
+        sum((av * av).cast(dec)).as(s"__saa_${a}_$b"),
+        sum((bv * bv).cast(dec)).as(s"__sbb_${a}_$b"))
+    }
+    val one = df.agg(stats.head, stats.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n_${a}_$b").as("n"),
+        col(s"__sa_${a}_$b").as("sum_a"), col(s"__sb_${a}_$b").as("sum_b"),
+        col(s"__sab_${a}_$b").as("sum_ab"),
+        col(s"__saa_${a}_$b").as("sum_a2"), col(s"__sbb_${a}_$b").as("sum_b2"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Temperature-based mixture REBALANCING (the multilingual/multi-domain
     * p_d ∝ n_d^(1/T) resampling of Conneau–Lample / mT5): target domain
     * shares follow n^(1/T) — T=1 keeps natural proportions, T→∞

@@ -68,6 +68,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.sampleFraction(withNull, "id", 1.0).count() == 2)
   }
 
+  test("corrStats: exact moments reconstruct Pearson; pairwise null deletion; self-pairs") {
+    import spark.implicits._
+    // y = 2x exactly -> r = 1; z decorrelates; one row has a null z
+    val df = Seq(
+      (1.0, 2.0, Some(5.0)), (2.0, 4.0, Some(1.0)),
+      (3.0, 6.0, None), (4.0, 8.0, Some(3.0)))
+      .toDF("x", "y", "z")
+    val out = Curation.corrStats(df, Seq("x", "y", "z"), fpDigits = 1)
+      .collect().map { r =>
+        (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDecimal(3).longValue, r.getDecimal(4).longValue,
+            r.getDecimal(5).longValue, r.getDecimal(6).longValue,
+            r.getDecimal(7).longValue))
+      }.toMap
+    // (x, y): scaled by 10 -> x = 10,20,30,40; y = 20,40,60,80
+    assert(out(("x", "y")) == ((4L, 100L, 200L, 6000L, 3000L, 12000L)))
+    def pearson(s: (Long, Long, Long, Long, Long, Long)): Double = {
+      val (n, sa, sb, sab, saa, sbb) = s
+      (n * sab - sa * sb).toDouble /
+        math.sqrt((n * saa - sa * sa).toDouble * (n * sbb - sb * sb).toDouble)
+    }
+    assert(pearson(out(("x", "y"))) == 1.0)
+    // (x, z): the null-z row is EXCLUDED from this pair only (n = 3)
+    assert(out(("x", "z"))._1 == 3L)
+    assert(out(("x", "y"))._1 == 4L && out(("x", "x"))._1 == 4L)
+    // self-pair: r = 1 trivially, variance via the same formula
+    assert(pearson(out(("y", "y"))) == 1.0)
+    // all pairs present: k(k+1)/2 = 6
+    assert(out.size == 6)
+  }
+
   test("temperatureSample: T>1 shifts share toward small domains; clamps; drops null groups; pure") {
     import spark.implicits._
     val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
