@@ -1376,6 +1376,25 @@ object SparkEntry {
           pmod(col("l_orderkey"), lit(256)), pmod(col("l_partkey"), lit(256)))
           .as("zkey"))),
 
+    // Unigram-LM (SentencePiece-style) tokenizer training: seed substring
+    // inventory, then EM rounds of integer-Viterbi segmentation over the
+    // DISTINCT-WORD table against the broadcast piece scores — the other
+    // real-world tokenizer family next to BPE, corpus shuffle paid once.
+    "q_unigram_seed" -> ((s, dir) =>
+      operators.Tokenizer.unigramSeed(t(s, dir, "documents"),
+        maxPieceLen = 4, minSeedCount = 2)),
+    "q_unigram_train" -> ((s, dir) =>
+      operators.Tokenizer.unigramTrain(t(s, dir, "documents"),
+        rounds = 2, maxPieceLen = 4, minSeedCount = 2)),
+    // encode readout: distinct words segment once under the trained
+    // inventory, one word-keyed join scores every document
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Tokenizer.tokenCountsUnderUnigram(docs,
+        operators.Tokenizer.unigramTrain(docs, rounds = 2, maxPieceLen = 4),
+        maxPieceLen = 4)
+    }),
+
     // Pairwise correlation sufficient statistics in ONE scan: exact
     // integer moments for every column pair — Pearson/covariance one
     // division away, order-independent where corr()'s float accumulation
@@ -2369,6 +2388,104 @@ object SparkEntry {
        |SELECT node, label FROM l$rounds""".stripMargin
   }
 
+  /** q_unigram_* references: the unigram-LM EM replayed in SQL. Each
+    * round is one integer-score CTE + a RECURSIVE Viterbi CTE carrying
+    * per-word (best, back) arrays one position per iteration (candidates
+    * = 4 piece-length LEFT JOINs; ties pick the largest length = the
+    * engine's smallest-start rule) + a back-pointer walk + the M-step
+    * count/prune. `mode` selects the readout: the final piece inventory
+    * (train), the seed table, or one extra segmentation pass joined back
+    * onto documents (encode). */
+  private def unigramOracleSql(
+      rounds: Int, maxLen: Int, minSeed: Long, mode: String): String = {
+    val NEG = "-4611686018427387904"
+    def scoreBlock(r: Int): String =
+      s"""s$r AS (SELECT piece,
+         |  CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM p${r - 1})) * 1000000)
+         |    AS BIGINT) AS sc
+         |  FROM p${r - 1})""".stripMargin
+    def viterbiBlock(r: Int): String = {
+      val cands = (1 to maxLen).map(d =>
+        s"""CASE WHEN v.j + 1 - $d >= 0 AND sd$d.sc IS NOT NULL
+           |             THEN bl[v.j + 2 - $d] + sd$d.sc ELSE NULL END AS cand$d""".stripMargin)
+        .mkString(",\n        ")
+      val joins = (1 to maxLen).map(d =>
+        s"  LEFT JOIN s$r sd$d ON v.j + 1 - $d >= 0 AND sd$d.piece = substr(v.w, v.j + 2 - $d, $d)")
+        .mkString("\n")
+      val greatest = (1 to maxLen).map(d => s"coalesce(cand$d, $NEG)").mkString(", ")
+      val backcase = (maxLen to 2 by -1).map(d =>
+        s"      WHEN cand$d IS NOT NULL AND cand$d = best THEN j + 1 - $d")
+        .mkString("\n")
+      val candList = (1 to maxLen).map(d => s"cand$d").mkString(", ")
+      s"""vit$r AS (
+         |  SELECT w, wf, 0 AS j, [CAST(0 AS BIGINT)] AS bl, CAST([] AS INT[]) AS kl
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT w, wf, j + 1, list_append(bl, best),
+         |    list_append(kl, CAST(
+         |      CASE
+         |$backcase
+         |      ELSE j END AS INT))
+         |  FROM (
+         |    SELECT w, wf, j, bl, kl, greatest($greatest) AS best,
+         |      $candList
+         |    FROM (
+         |      SELECT v.w, v.wf, v.j, v.bl, v.kl,
+         |        $cands
+         |      FROM vit$r v
+         |$joins
+         |      WHERE v.j < length(v.w)) c) g),
+         |vfin$r AS (SELECT w, wf, kl FROM vit$r WHERE j = length(w)),
+         |walk$r AS (
+         |  SELECT w, wf, length(w) AS pos, kl FROM vfin$r
+         |  UNION ALL
+         |  SELECT w, wf, kl[pos] AS pos, kl FROM walk$r WHERE pos > 0)""".stripMargin
+    }
+    def mStep(r: Int): String =
+      s"""used$r AS (
+         |  SELECT substr(w, kl[pos] + 1, pos - kl[pos]) AS piece,
+         |    CAST(sum(wf) AS BIGINT) AS cnt
+         |  FROM walk$r WHERE pos > 0 GROUP BY 1),
+         |p$r AS (
+         |  SELECT pr.piece,
+         |    CAST(CASE WHEN length(pr.piece) = 1 THEN greatest(coalesce(u.cnt, 0), 1)
+         |         ELSE u.cnt END AS BIGINT) AS cnt
+         |  FROM p${r - 1} pr LEFT JOIN used$r u USING (piece)
+         |  WHERE length(pr.piece) = 1 OR coalesce(u.cnt, 0) > 0)""".stripMargin
+    val base =
+      s"""WITH RECURSIVE wf AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+         |  WHERE length(w) >= 1 GROUP BY w),
+         |p0 AS (
+         |  SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, wf
+         |    FROM wf,
+         |         UNNEST(range(1, length(w) + 1)) r(i),
+         |         UNNEST(range(1, least($maxLen, length(w) - i + 1) + 1)) r2(l))
+         |  GROUP BY piece
+         |  HAVING length(piece) = 1 OR sum(wf) >= $minSeed)""".stripMargin
+    if (mode == "seed") return base + "\nSELECT piece, cnt FROM p0"
+    val roundBlocks = (1 to rounds)
+      .map(r => scoreBlock(r) + ",\n" + viterbiBlock(r) + ",\n" + mStep(r))
+      .mkString(",\n")
+    if (mode == "train")
+      base + ",\n" + roundBlocks + s"\nSELECT piece, cnt FROM p$rounds"
+    else { // encode: one more segmentation pass under the final scores
+      val r = rounds + 1
+      base + ",\n" + roundBlocks + ",\n" +
+        scoreBlock(r) + ",\n" + viterbiBlock(r) + ",\n" +
+        s"""nsub AS (SELECT w, CAST(count(*) AS BIGINT) AS n_sub
+           |         FROM walk$r WHERE pos > 0 GROUP BY w),
+           |docw AS (SELECT doc_id, w FROM (
+           |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           |    FROM documents) WHERE length(w) >= 1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(n_sub) AS BIGINT) AS n_subtokens
+           |FROM docw JOIN nsub USING (w) GROUP BY doc_id""".stripMargin
+    }
+  }
+
   /** q_corr_stats reference: one UNION ALL block per column pair, exact
     * integer sums stringified through HUGEINT (matching the engine's
     * DECIMAL(38,0) → string digits at any magnitude). */
@@ -3331,6 +3448,10 @@ object SparkEntry {
          |  CAST($terms AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin
     },
+
+    "q_unigram_seed" -> unigramOracleSql(2, 4, 2, "seed"),
+    "q_unigram_train" -> unigramOracleSql(2, 4, 2, "train"),
+    "q_unigram_encode" -> unigramOracleSql(2, 4, 2, "encode"),
 
     "q_corr_stats" -> corrOracleSql(
       Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),

@@ -140,4 +140,168 @@ object Tokenizer {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).cast("long").as("n_subtokens"))
   }
+
+  // -------------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) training: the OTHER real-world
+  // tokenizer family next to BPE. Same scale discipline: the corpus
+  // collapses to the distinct-word frequency table ONCE; every EM round
+  // runs over that table against the broadcast piece vocabulary (the
+  // artifact being trained — driver-sized by definition, like a codebook).
+  // Determinism: piece scores are INTEGER fixed-point log-probs
+  // (round(ln(cnt/total)·10⁶)), so Viterbi compares exact integers and
+  // ties resolve structurally (highest score, then the longest final
+  // piece) — the segmentation is a pure function of (word, vocab) that a
+  // SQL oracle replays move for move.
+  // -------------------------------------------------------------------------
+
+  /** Seed piece inventory: every substring of length ≤ `maxPieceLen` of
+    * every distinct word, counted PER OCCURRENCE (overlaps count) and
+    * weighted by word frequency. Single-character pieces always survive
+    * (the coverage floor Viterbi needs for reachability); longer pieces
+    * need `minSeedCount`. Substring generation is scan-local over the
+    * vocab table; one piece-keyed partial agg. */
+  def unigramSeed(
+      docs: DataFrame,
+      maxPieceLen: Int = 4,
+      minSeedCount: Long = 2,
+      textCol: String = "text"): DataFrame =
+    unigramSeedFromWords(wordFrequencies(docs, textCol), maxPieceLen, minSeedCount)
+
+  private def unigramSeedFromWords(
+      words: DataFrame,
+      maxPieceLen: Int,
+      minSeedCount: Long): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    require(minSeedCount >= 1, s"minSeedCount must be >= 1: $minSeedCount")
+    val subs = words.select(col("wf"), explode(flatten(
+      transform(sequence(lit(1), length(col("w"))), i =>
+        transform(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - i + 1)),
+          l => col("w").substr(i, l))))).as("piece"))
+    subs.groupBy("piece").agg(sum(col("wf")).cast("long").as("cnt"))
+      .where(length(col("piece")) === 1 || col("cnt") >= minSeedCount)
+  }
+
+  /** Integer-Viterbi segmentation of one word under a piece->score map:
+    * maximize the sum of piece scores; ties prefer the longest final
+    * piece at each position (in the forward loop: ascending start index
+    * with strict improvement keeps the SMALLEST start). Single-character
+    * coverage is the caller's contract (unigramSeed guarantees it). */
+  private[graft] def segmentViterbi(
+      w: String,
+      score: collection.Map[String, Long],
+      maxPieceLen: Int): List[String] = {
+    val L = w.length
+    if (L == 0) return Nil
+    val NEG = Long.MinValue / 4
+    val best = Array.fill(L + 1)(NEG)
+    val back = Array.fill(L + 1)(-1)
+    best(0) = 0L
+    var j = 1
+    while (j <= L) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (best(i) > NEG) {
+          score.get(w.substring(i, j)) match {
+            case Some(s) =>
+              val cand = best(i) + s
+              if (cand > best(j)) { best(j) = cand; back(j) = i }
+            case None => ()
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    require(back(L) >= 0, s"unigram vocab cannot segment '$w' (missing char coverage)")
+    var out = List.empty[String]
+    var k = L
+    while (k > 0) { val i = back(k); out = w.substring(i, k) :: out; k = i }
+    out
+  }
+
+  /** The integer score table for a piece inventory: round(ln(cnt/total)·10⁶)
+    * per piece — computed driver-side from the (vocab-sized) collected
+    * counts with the exact float steps a SQL replica takes (one divide,
+    * one ln, one multiply, one round). */
+  private def unigramScores(pieces: Array[(String, Long)]): Map[String, Long] = {
+    val total = pieces.map(_._2).sum.toDouble
+    pieces.map { case (p, c) =>
+      p -> math.round(math.log(c.toDouble / total) * 1e6)
+    }.toMap
+  }
+
+  /** SentencePiece-style unigram-LM EM: seed inventory → `rounds` of
+    * (integer-Viterbi E-step over the distinct-word table, piece-count
+    * M-step, prune). Pruning drops multi-character pieces that no
+    * segmentation used; single characters persist with a count floor of 1
+    * (coverage). Returns the final (piece, cnt) inventory.
+    *
+    * Scale shape: the corpus-sized shuffle happens once
+    * ([[wordFrequencies]]); each round is a scan of the VOCAB table
+    * against the broadcast score map (every segmentation is per-word
+    * local) plus one piece-keyed partial agg; the piece inventory — the
+    * tokenizer itself, ≤ 10⁵ rows — crosses the driver per round, the
+    * [[trainBpe]] metadata discipline scaled from one argmax row to the
+    * artifact being trained. */
+  def unigramTrain(
+      docs: DataFrame,
+      rounds: Int = 2,
+      maxPieceLen: Int = 4,
+      minSeedCount: Long = 2,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordFrequencies(docs, textCol).localCheckpoint(true)
+    var pieces: Array[(String, Long)] =
+      unigramSeedFromWords(words, maxPieceLen, minSeedCount)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    for (_ <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(unigramScores(pieces))
+      val maxL = maxPieceLen
+      val used = words.as[(String, Long)]
+        .flatMap { case (w, wf) =>
+          segmentViterbi(w, bc.value, maxL).map(p => (p, wf))
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect().toMap
+      pieces = pieces.flatMap { case (p, _) =>
+        val c = used.getOrElse(p, 0L)
+        if (p.length == 1) Some(p -> math.max(c, 1L))
+        else if (c > 0L) Some(p -> c) else None
+      }.sortBy(_._1)
+    }
+    pieces.toSeq.toDF("piece", "cnt")
+  }
+
+  /** Per-document subtoken counts under a TRAINED unigram inventory — the
+    * encode-side readout ([[tokenCountsUnderMerges]]'s sibling for the
+    * unigram family): each DISTINCT word segments once by integer
+    * Viterbi, then one word-keyed join + doc-keyed partial agg scores the
+    * corpus. `pieces` is the (piece, cnt) frame [[unigramTrain]]
+    * returns. */
+  def tokenCountsUnderUnigram(
+      docs: DataFrame,
+      pieces: DataFrame,
+      maxPieceLen: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inv = pieces.select(col("piece"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(unigramScores(inv))
+    val maxL = maxPieceLen
+    val words = docs.select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+    val encoded = words.select(col("w")).distinct().as[String]
+      .map(w => (w, segmentViterbi(w, bc.value, maxL).length.toLong))
+      .toDF("w", "n_sub")
+    words.join(encoded, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_subtokens"))
+  }
 }

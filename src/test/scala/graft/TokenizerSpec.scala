@@ -95,4 +95,53 @@ class TokenizerSpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(out0 == Map(1L -> 8L, 2L -> 8L))
   }
+
+  test("unigramSeed: occurrence-weighted substrings; singles always survive; minSeed prunes") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab cd cd")).toDF("doc_id", "text")
+    val seed = Tokenizer.unigramSeed(docs, maxPieceLen = 2, minSeedCount = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seed == Map("a" -> 3L, "b" -> 3L, "ab" -> 3L,
+      "c" -> 3L, "d" -> 3L, "cd" -> 3L))
+    // overlapping occurrences count: "aaa" has "aa" at 2 positions
+    val rep = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val s2 = Tokenizer.unigramSeed(rep, maxPieceLen = 2, minSeedCount = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 == Map("a" -> 3L, "aa" -> 2L))
+    // a rare multi-char piece is pruned, its chars stay
+    val rare = Seq((1L, "xy zz zz")).toDF("doc_id", "text")
+    val s3 = Tokenizer.unigramSeed(rare, maxPieceLen = 2, minSeedCount = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!s3.contains("xy") && s3("x") == 1L && s3("zz") == 2L)
+  }
+
+  test("segmentViterbi: integer argmax, tie keeps the longest FINAL piece") {
+    // equal-score tie: [a,aa] vs [aa,a] sum identically; the forward loop
+    // keeps the smallest start index = longest last piece -> [a, aa]
+    val score = Map("a" -> -510826L, "aa" -> -916291L)
+    assert(Tokenizer.segmentViterbi("aaa", score, 2) == List("a", "aa"))
+    // higher-probability long piece wins outright
+    val score2 = Map("a" -> -2000000L, "ab" -> -1000000L, "b" -> -2000000L)
+    assert(Tokenizer.segmentViterbi("abab", score2, 2) == List("ab", "ab"))
+    // missing coverage fails fast
+    intercept[IllegalArgumentException] {
+      Tokenizer.segmentViterbi("aq", Map("a" -> -1L), 2)
+    }
+  }
+
+  test("unigramTrain: EM prunes unused multi-char pieces, floors singles; encode readout") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab cd cd")).toDF("doc_id", "text")
+    val inv = Tokenizer.unigramTrain(docs, rounds = 2, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every word segments as its whole-word piece; chars floor at 1
+    assert(inv == Map("a" -> 1L, "b" -> 1L, "ab" -> 3L,
+      "c" -> 1L, "d" -> 1L, "cd" -> 3L))
+    val enc = Tokenizer.tokenCountsUnderUnigram(docs,
+        Tokenizer.unigramTrain(docs, rounds = 2, maxPieceLen = 2),
+        maxPieceLen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 3 words per doc, each one piece
+    assert(enc == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L))))
+  }
 }
