@@ -146,7 +146,11 @@ object Bench {
     // rebalance + group split are zero-shuffle scan predicates.
     // q_dedup_recall stays gate-only: its exact side is the quadratic
     // oracle family the bench excludes by policy.
-    "q_bm25_rm3", "q_temp_sample", "q_split_group")
+    "q_bm25_rm3", "q_temp_sample", "q_split_group",
+    // unigram-LM trainer (vocab-table EM, corpus shuffle paid once) +
+    // encode readout; hilbert key = one codegen'd scan; corr stats = one
+    // scan into 60 decimal partial aggs
+    "q_unigram_train", "q_unigram_encode", "q_hilbert_key", "q_corr_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -284,6 +288,8 @@ object Bench {
       ("mmr_rerank", "mmr"), ("doc_features", "dfeat"),
       ("md_audio", "mdau"), ("bm25_rm3", "rm3"),
       ("temp_sample", "tsmp"), ("sp_group", "spg"),
+      ("unigram_train", "ugt"), ("unigram_encode", "uge"),
+      ("hilbert_key", "hilb"), ("corr_stats", "corr"),
       // compact-line diet (applied LAST — earlier rules already rewrote
       // the compound keys these could collide with): the 152-entry line
       // must stay under the harness's 2000-char tail buffer
@@ -301,8 +307,33 @@ object Bench {
       // stream drain keys (the "stream_" prefix is stripped at print)
       ("pipeline", "pip"), ("window", "win"), ("sessions", "sss"),
       ("transitions", "trs"))
-    def short(k: String): String =
-      abbrev.foldLeft(k.stripPrefix("q_")) { case (s, (a, b)) => s.replace(a, b) }
+    // FINAL exact-key diet applied after the rule chain: every remaining
+    // >=4-char short key maps to a unique <=3-char code (generated from
+    // the r12 key census; the uniqueness require below still guards the
+    // whole composition). Exact-match only — no substring risks.
+    val diet: Map[String, String] =
+    Map(
+      "anom" -> "an1", "antj" -> "ant", "arec" -> "arc", "asof" -> "as1",
+      "attr" -> "att", "blmi" -> "bl1", "bm25" -> "bm2", "boil" -> "bl",
+      "clip" -> "clp", "colf" -> "clf", "coll" -> "cll", "corr" -> "crr",
+      "cube" -> "cb", "curr" -> "cr1", "ddcl" -> "ddc", "ddel" -> "ddl",
+      "ddfz" -> "ddf", "ddmh" -> "ddm", "ddnc" -> "ddn", "ddni" -> "dd1",
+      "ddrb" -> "ddr", "ddrp" -> "dd2", "ddsh" -> "dd3", "ddsi" -> "dd4",
+      "ddsp" -> "dd5", "ddsu" -> "dd6", "ddsv" -> "dd7", "dfeat" -> "dft",
+      "evsl" -> "ev1", "fout" -> "ft", "hilb" -> "hlb", "hist" -> "hst",
+      "hneg" -> "hng", "join" -> "jn", "lenb" -> "lnb", "mdau" -> "md",
+      "mdft" -> "md1", "mdrl" -> "md2", "mmsc" -> "mms", "mode" -> "md3",
+      "negs" -> "ngs", "ohlc" -> "oh1", "pack" -> "pck", "papx" -> "ppx",
+      "pctr" -> "pct", "pkst" -> "pks", "plch" -> "pl1", "plpr" -> "plp",
+      "qtld" -> "qt1", "qual" -> "ql", "ract" -> "rct", "read" -> "rd",
+      "rsmp" -> "rsm", "sann" -> "snn", "scd2" -> "scd", "scd2_asof" -> "sc1",
+      "sess" -> "sss", "sivf" -> "svf", "skyl" -> "sky", "stdi" -> "st1",
+      "svpq" -> "svp", "topg" -> "tpg", "trans" -> "trn", "ts_pattern" -> "tsp",
+      "tsmp" -> "tsm", "unin" -> "unn", "vcov" -> "vcv")
+    def short(k: String): String = {
+      val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
+      diet.getOrElse(s, s)
+    }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // a replace-chain collision would silently merge two queries' numbers

@@ -131,15 +131,20 @@ object Curation {
     require(cols.size >= 2, s"need at least 2 columns: ${cols.size}")
     require(fpDigits >= 0 && fpDigits <= 9, s"fpDigits out of [0,9]: $fpDigits")
     val scale = math.pow(10, fpDigits)
-    def fp(c: String) = round(col(c).cast("double") * lit(scale)).cast("long")
     val pairs = for {
       (a, i) <- cols.zipWithIndex
       b <- cols.drop(i)
     } yield (a, b)
+    // scale each column ONCE in a pre-projection (null-propagating), so
+    // the 6·k(k+1)/2 aggregates below do cheap null masks + integer
+    // products instead of re-rounding per pair (10 pairs re-rounding cost
+    // 3.5 s at sf0.1; this shape costs the 4 rounds per row once)
+    val scaled = df.select(cols.map(c =>
+      round(col(c).cast("double") * lit(scale)).cast("long").as(s"__v_$c")): _*)
     val stats = pairs.flatMap { case (a, b) =>
-      val both = col(a).isNotNull && col(b).isNotNull
-      val av = when(both, fp(a)).otherwise(lit(null))
-      val bv = when(both, fp(b)).otherwise(lit(null))
+      val va = col(s"__v_$a"); val vb = col(s"__v_$b")
+      val av = when(vb.isNotNull, va)
+      val bv = when(va.isNotNull, vb)
       val dec = "decimal(38,0)"
       Seq(
         count(av).as(s"__n_${a}_$b"),
@@ -149,7 +154,7 @@ object Curation {
         sum((av * av).cast(dec)).as(s"__saa_${a}_$b"),
         sum((bv * bv).cast(dec)).as(s"__sbb_${a}_$b"))
     }
-    val one = df.agg(stats.head, stats.tail: _*)
+    val one = scaled.agg(stats.head, stats.tail: _*)
     val rows = pairs.map { case (a, b) =>
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
         col(s"__n_${a}_$b").as("n"),
