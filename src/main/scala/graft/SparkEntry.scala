@@ -44,8 +44,11 @@ object SparkEntry {
     val base = Files.createTempDirectory("graft_stream_gate").toString
     val inDir = s"$base/in"
     new java.io.File(inDir).mkdirs()
+    // pinned: each segment write filters this frame, and without the pin
+    // every write re-executes the global ntile sort
     val bucketed = log.withColumn("__b",
       ntile(n).over(Window.orderBy(orderCols: _*)))
+      .localCheckpoint(true)
     val segs: Seq[(Int, DataFrame)] =
       (1 to n).map(b => b -> bucketed.filter(col("__b") === b).drop("__b")) ++
         extraLast.map(df => (n + 1) -> df).toSeq
@@ -1025,7 +1028,12 @@ object SparkEntry {
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(s"$base/out")
-        .select(pmod(col("doc_id"), lit(8)).as("shard"),
+        // shard replayed EXACTLY as usableShardCol routes it: Long.hashCode
+        // = (x ^ (x >>> 32)).toInt, and since 8 divides 2^32 the int wrap
+        // cannot change the low 3 bits — pmod of the long xor is identical
+        // for every doc_id, not just those below 2^32
+        .select(pmod(col("doc_id").bitwiseXOR(
+            shiftrightunsigned(col("doc_id"), 32)), lit(8)).as("shard"),
           col("doc_id"), col("running_count"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n"),
@@ -3998,7 +4006,7 @@ object SparkEntry {
     // the console pipeline's invariants per shard: counts are exactly
     // 1..n_s over the filter's matches routed by doc_id % 8
     "q_stream_console_gate" ->
-      """SELECT doc_id % 8 AS shard,
+      """SELECT xor(doc_id, doc_id >> 32) % 8 AS shard,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(*) AS BIGINT) AS max_rc,
         |  CAST(1 AS BIGINT) AS min_rc,

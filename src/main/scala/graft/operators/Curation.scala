@@ -141,26 +141,31 @@ object Curation {
     // 3.5 s at sf0.1; this shape costs the 4 rounds per row once)
     val scaled = df.select(cols.map(c =>
       round(col(c).cast("double") * lit(scale)).cast("long").as(s"__v_$c")): _*)
-    val stats = pairs.flatMap { case (a, b) =>
+    val stats = pairs.zipWithIndex.flatMap { case ((a, b), x) =>
       val va = col(s"__v_$a"); val vb = col(s"__v_$b")
-      val av = when(vb.isNotNull, va)
-      val bv = when(va.isNotNull, vb)
       val dec = "decimal(38,0)"
+      // cast BEFORE multiplying: a long product of 10^10-scaled values
+      // overflows 2^63 where the decimal product has 38-digit headroom
+      // (ANSI mode would raise; non-ANSI would silently wrap)
+      val av = when(vb.isNotNull, va).cast(dec)
+      val bv = when(va.isNotNull, vb).cast(dec)
+      // aliases keyed by PAIR INDEX, not joined column names — names
+      // containing underscores could alias-collide
       Seq(
-        count(av).as(s"__n_${a}_$b"),
-        sum(av.cast(dec)).as(s"__sa_${a}_$b"),
-        sum(bv.cast(dec)).as(s"__sb_${a}_$b"),
-        sum((av * bv).cast(dec)).as(s"__sab_${a}_$b"),
-        sum((av * av).cast(dec)).as(s"__saa_${a}_$b"),
-        sum((bv * bv).cast(dec)).as(s"__sbb_${a}_$b"))
+        count(av).as(s"__n_$x"),
+        sum(av).as(s"__sa_$x"), sum(bv).as(s"__sb_$x"),
+        sum(av * bv).as(s"__sab_$x"),
+        sum(av * av).as(s"__saa_$x"), sum(bv * bv).as(s"__sbb_$x"))
     }
     val one = scaled.agg(stats.head, stats.tail: _*)
-    val rows = pairs.map { case (a, b) =>
+    val rows = pairs.zipWithIndex.map { case ((a, b), x) =>
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        col(s"__n_${a}_$b").as("n"),
-        col(s"__sa_${a}_$b").as("sum_a"), col(s"__sb_${a}_$b").as("sum_b"),
-        col(s"__sab_${a}_$b").as("sum_ab"),
-        col(s"__saa_${a}_$b").as("sum_a2"), col(s"__sbb_${a}_$b").as("sum_b2"))
+        col(s"__n_$x").as("n"),
+        col(s"__sa_$x").cast("decimal(38,0)").as("sum_a"),
+        col(s"__sb_$x").cast("decimal(38,0)").as("sum_b"),
+        col(s"__sab_$x").cast("decimal(38,0)").as("sum_ab"),
+        col(s"__saa_$x").cast("decimal(38,0)").as("sum_a2"),
+        col(s"__sbb_$x").cast("decimal(38,0)").as("sum_b2"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }

@@ -780,7 +780,8 @@ object Dedup {
       // converge and prove it in ≤ 3 single-hop pins with no wasted work.
       // Only if the graph is still moving after two full hops (a deeper
       // component) do we escalate to THREE hops per pin, which amortizes
-      // the eager localCheckpoint that dominates round cost. Min-label
+      // the per-pin changed-count job (each hop is still individually
+      // pinned — see below — so checkpoint cost is per hop). Min-label
       // propagation is monotone, so batching cannot overshoot — trailing
       // hops past the fixed point are idempotent no-ops — and convergence
       // stays exact: `changed` counts the LAST hop's improvements on the

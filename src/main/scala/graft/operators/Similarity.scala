@@ -642,7 +642,9 @@ object Similarity {
     * Scale shape: everything is METRIC-sized (|Q|·N rows), never
     * corpus-sized — candidates come pre-cut by the searcher. Pairwise
     * sims are ONE self-join on q_id (Σ N² per query, computed once,
-    * pinned); each of the k−1 greedy rounds is a (q, candidate)-keyed
+    * pinned); candidates must be a SUBSET of `vectors` ids — a candidate
+    * with no vector row drops out before round 1 (inner join), shortening
+    * that query's top-k; each of the k−1 greedy rounds is a (q, candidate)-keyed
     * partial-agg max + an argmax agg on those metric-sized frames, with
     * the selected set pinned per round (the iterated-loop discipline).
     * The driver sees nothing. */
