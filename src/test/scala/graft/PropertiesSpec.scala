@@ -257,4 +257,47 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("hilbertKey is a bijection with unit steps at every bit width 1..5") {
+    import spark.implicits._
+    for (bits <- 1 to 5) {
+      val side = 1 << bits
+      val grid = for { x <- 0 until side; y <- 0 until side } yield (x.toLong, y.toLong)
+      val keyed = grid.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.sources.Layouts.hilbertKey(col("x"), col("y"), bits).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(keyed.map(_._3).sorted.toSeq == (0L until side.toLong * side))
+      keyed.sortBy(_._3).sliding(2).foreach {
+        case Array((x1, y1, _), (x2, y2, _)) =>
+          assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+        case _ => ()
+      }
+    }
+  }
+
+  test("pairRecall is bounded in [0,1] and symmetric under perfect agreement on random pair sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 3) {
+      val mk = () => Seq.fill(40)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }
+      val ap = mk().toDF("a_id", "b_id")
+      val ex = mk().toDF("a_id", "b_id")
+      val r = graft.operators.Dedup.pairRecall(ap, ex).collect().head
+      val n_e = r.getLong(0); val n_a = r.getLong(1); val hits = r.getLong(2)
+      assert(hits <= n_e && hits <= n_a)
+      if (n_e > 0) assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      if (n_a > 0) assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("temperatureSample kept count grows monotonically with budget") {
+    import spark.implicits._
+    val docs = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (1001 to 1100).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val counts = Seq(50L, 150L, 300L, 600L).map(b =>
+      graft.operators.Curation.temperatureSample(docs, "source", budget = b).count())
+    assert(counts == counts.sorted)
+  }
 }
