@@ -794,7 +794,10 @@ object Dedup {
       var cur = labels
       var h = 0
       while (h < batch) {
-        cur = hop(if (h == 0) cur else cur.drop("chg")).localCheckpoint(true)
+        // LAZY pins: each hop's checkpoint materializes inside the round's
+        // single count job (lineage still truncates after materialization),
+        // so a batch costs ONE job instead of one per hop plus the count
+        cur = hop(if (h == 0) cur else cur.drop("chg")).localCheckpoint(false)
         h += 1
       }
       changed = cur.filter(col("chg")).count()

@@ -245,12 +245,16 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("deg"))
       // pinned: node-sized, and BOTH semi-joins consume it — unpinned,
       // each would re-run the edge-sized degree aggregation
+      // LAZY pins: keep and next materialize inside the round's single
+      // count job (keep's blocks shared by both semi-joins through the
+      // block manager; lineage truncates after materialization) — one job
+      // per round instead of three
       val keep = deg.where(col("deg") >= k).select(col("node"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val next = live
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val after = next.count()
       done = after == prev
       prev = after
@@ -305,7 +309,10 @@ object Graph {
         .groupBy(col("node"))
         .agg(min_by(col("label"),
           struct((-col("__c")).as("__negc"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        // LAZY pin: rounds are fixed (no per-round action), so the final
+        // action materializes the short chain once; lineage still
+        // truncates per round instead of nesting the full join tree
+        .localCheckpoint(false)
       labels = next
     }
     labels
