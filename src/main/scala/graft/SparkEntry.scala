@@ -2312,7 +2312,12 @@ object SparkEntry {
     * Σ(v−c)², ties to the lower cell — [[graft.functions.NearestCells]]),
     * the nprobe probe cells, and the exact-cosine top-k. Absent a run, the
     * entry is omitted and the driver falls back to its rows-only check. */
-  private def ivfOracleEntry: Map[String, String] =
+  private def ivfOracleEntry: Map[String, String] = {
+    if (Similarity.lastIvfRun.isEmpty)
+      System.err.println(
+        "WARN oracleSql: q_sim_ivf oracle OMITTED — no IVF run in this JVM " +
+          "(run the q_sim_ivf query before reading oracleSql); the gate " +
+          "degrades to rows-only")
     Similarity.lastIvfRun.map { run =>
       val cellDists = run.centroids.zipWithIndex.map { case (ctr, i) =>
         s"""  SELECT vec_id, $i AS cell, list_sum(list_transform(list_zip(e, ${sqlDoubles(ctr)}),
@@ -2337,6 +2342,7 @@ object SparkEntry {
            |  FROM sc)
            |WHERE rank <= ${run.k}""".stripMargin
     }.toMap
+  }
 
   /** Shared SQL fragments (kept inline per-query so each entry is a
     * self-contained ANSI statement for the driver). */
@@ -2575,7 +2581,12 @@ object SparkEntry {
     * kmeans-refined codebook (a VALUES literal) — each recalled against
     * the brute-force exact top-5, joined per query. Absent a run, omitted
     * (driver falls back to rows-only). */
-  private def refinedRecallOracleEntry: Map[String, String] =
+  private def refinedRecallOracleEntry: Map[String, String] = {
+    if (refinedCents.isEmpty)
+      System.err.println(
+        "WARN oracleSql: q_ann_recall_refined oracle OMITTED — refinedCents " +
+          "unset (run the q_ann_recall_refined query in this JVM before " +
+          "reading oracleSql); the gate degrades to rows-only")
     refinedCents.map { cents =>
       val cbValues = cents
         .map { case (cid, ce) => s"($cid, ${sqlDoubles(ce)})" }
@@ -2635,6 +2646,7 @@ object SparkEntry {
            |       hits_seeded, recall_seeded
            |FROM rr JOIN rs ON rr.q_id = rs.q_id""".stripMargin
     }.toMap
+  }
 
   def oracleSql: Map[String, String] =
     ivfOracleEntry ++ refinedRecallOracleEntry ++ Map(
@@ -3043,9 +3055,9 @@ object SparkEntry {
         |          list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
         |        (a, b) -> a + b) AS mass FROM c),
         |t AS (SELECT c.source,
-        |        CAST(round(least(1.0e0,
+        |        greatest(1, CAST(round(least(1.0e0,
         |          (150.0e0 * (sqrt(CAST(c.n AS DOUBLE)) / m.mass))
-        |            / CAST(c.n AS DOUBLE)) * 10000) AS BIGINT) AS thr
+        |            / CAST(c.n AS DOUBLE)) * 10000) AS BIGINT)) AS thr
         |      FROM c, m)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN t USING (source)

@@ -208,12 +208,17 @@ object Curation {
         col("__n").as("n")))).as("__arr"))
       .select(aggregate(col("__arr"), lit(0.0),
         (acc, s) => acc + tmass(s.getField("n"))).as("__mass"))
+    // A positive budget floors every domain's threshold at 1 bucket: a
+    // tiny domain whose derived rate rounds below 0.5/SplitBuckets would
+    // otherwise drop ENTIRELY — the exact small-domain starvation the
+    // n^(1/T) rebalancing exists to prevent. budget = 0 keeps nothing.
+    val rawThr = round(least(lit(1.0),
+      (lit(budget.toDouble) * (tmass(col("__n")) / col("__mass"))) /
+        col("__n").cast("double")) * lit(SplitBuckets))
+      .cast("long")
     val thresholds = counts.crossJoin(broadcast(mass))
       .select(col(groupCol),
-        round(least(lit(1.0),
-          (lit(budget.toDouble) * (tmass(col("__n")) / col("__mass"))) /
-            col("__n").cast("double")) * lit(SplitBuckets))
-          .cast("long").as("__thr"))
+        (if (budget == 0L) rawThr else greatest(lit(1L), rawThr)).as("__thr"))
     df.join(broadcast(thresholds), Seq(groupCol))
       .where(hashBucketSalted(col(idCol), salt) < col("__thr"))
       .drop("__thr")

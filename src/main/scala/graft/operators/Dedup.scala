@@ -1029,7 +1029,16 @@ object Dedup {
     * suffix-array machinery of the paper is replaced by fixed-width
     * window hashing: O(tokens) windows instead of O(tokens) suffixes,
     * same ≥ windowTokens-span guarantee, and every step is a keyed
-    * partial agg or broadcast-able join. */
+    * partial agg or broadcast-able join.
+    *
+    * Cache lifetime: the tokenized frame is persisted LAZILY
+    * (MEMORY_AND_DISK) so the census and reassembly branches share one
+    * tokenize pass; the blocks live as long as the RETURNED DataFrame is
+    * reachable and are reclaimed by the context cleaner only after the
+    * caller drops its reference (plan construction must not execute, so
+    * this method cannot unpersist for you). Long-lived sessions invoking
+    * this repeatedly while holding results should materialize and release
+    * each result before the next call. */
   def removeRepeatedSpans(
       docs: DataFrame,
       windowTokens: Int = 12,

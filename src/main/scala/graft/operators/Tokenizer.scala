@@ -223,11 +223,16 @@ object Tokenizer {
   /** The integer score table for a piece inventory: round(ln(cnt/total)·10⁶)
     * per piece — computed driver-side from the (vocab-sized) collected
     * counts with the exact float steps a SQL replica takes (one divide,
-    * one ln, one multiply, one round). */
+    * one ln, one multiply, one round). The round is HALF_UP (ties away
+    * from zero), matching SQL round() in Spark and DuckDB — log-probs are
+    * always negative, where `math.round` would break an exact-.5 tie
+    * toward +∞ (-2.5 → -2) and desync the Viterbi scores from the
+    * oracle's (-2.5 → -3). */
   private def unigramScores(pieces: Array[(String, Long)]): Map[String, Long] = {
     val total = pieces.map(_._2).sum.toDouble
     pieces.map { case (p, c) =>
-      p -> math.round(math.log(c.toDouble / total) * 1e6)
+      p -> BigDecimal(math.log(c.toDouble / total) * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
     }.toMap
   }
 
@@ -243,20 +248,32 @@ object Tokenizer {
     * local) plus one piece-keyed partial agg; the piece inventory — the
     * tokenizer itself, ≤ 10⁵ rows — crosses the driver per round, the
     * [[trainBpe]] metadata discipline scaled from one argmax row to the
-    * artifact being trained. */
+    * artifact being trained. `maxInventory` is the fail-fast guard on
+    * that driver traffic (the [[graft.operators.Dedup.fuzzyPairs]]
+    * maxBlockSize discipline): a pathological (maxPieceLen, minSeedCount,
+    * corpus) combination that would seed millions of pieces aborts with a
+    * sizing message instead of OOMing the driver mid-collect — the limit
+    * bounds what the collect can pull before the check runs. */
   def unigramTrain(
       docs: DataFrame,
       rounds: Int = 2,
       maxPieceLen: Int = 4,
       minSeedCount: Long = 2,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxInventory: Int = 200000): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    require(maxInventory >= 1, s"maxInventory must be >= 1: $maxInventory")
     val spark = docs.sparkSession
     import spark.implicits._
     val words = wordFrequencies(docs, textCol).localCheckpoint(true)
     var pieces: Array[(String, Long)] =
       unigramSeedFromWords(words, maxPieceLen, minSeedCount)
+        .limit(maxInventory + 1)
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(pieces.length <= maxInventory,
+      s"unigram seed inventory exceeds maxInventory=$maxInventory pieces — " +
+        s"raise minSeedCount (=$minSeedCount), lower maxPieceLen " +
+        s"(=$maxPieceLen), or raise maxInventory for this corpus")
     for (_ <- 1 to rounds) {
       val bc = spark.sparkContext.broadcast(unigramScores(pieces))
       val maxL = maxPieceLen

@@ -121,6 +121,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .count() == 1000)
   }
 
+  test("temperatureSample: tiny-rate domain floors at one bucket; zero budget keeps nothing") {
+    import spark.implicits._
+    // budget 1 over a 140k corpus: the 'rare' domain's derived rate
+    // (~6e-6) rounds to threshold 0 out of 10000 buckets — pre-floor it
+    // starved ENTIRELY; the floor keeps threshold 1, so the ~1/10000 of
+    // its ids whose salted bucket is 0 still survive (deterministic: the
+    // md5 bucket is a pure function of doc_id)
+    val docs = ((1L to 40000L).map(i => (i, "big")) ++
+      (100001L to 200000L).map(i => (i, "rare"))).toDF("doc_id", "source")
+    val kept = Curation.temperatureSample(docs, "source", budget = 1L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("rare", 0L) >= 1L,
+      s"rare domain starved despite positive budget: $kept")
+    // budget 0 keeps nothing anywhere (the floor must NOT resurrect rows)
+    assert(Curation.temperatureSample(docs, "source", budget = 0L).count() == 0L)
+  }
+
   test("mixtureSample applies per-group keep rates; unlisted and null groups take the default") {
     import spark.implicits._
     val rows = (0L until 30000L).map(i => (i, i % 3 match {

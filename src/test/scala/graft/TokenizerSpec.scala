@@ -144,4 +144,22 @@ class TokenizerSpec extends AnyFunSuite with SparkSpec {
     // 3 words per doc, each one piece
     assert(enc == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L))))
   }
+
+  test("unigramTrain: maxInventory fail-fast guards the driver collect") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab cd cd")).toDF("doc_id", "text")
+    // this corpus seeds 6 pieces (a b c d ab cd); a cap of 3 must abort
+    // with the sizing message, not OOM-collect
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.unigramTrain(docs, rounds = 1, maxPieceLen = 2,
+        maxInventory = 3)
+    }
+    assert(e.getMessage.contains("maxInventory"))
+    // a cap at exactly the inventory size passes and trains identically
+    val inv = Tokenizer.unigramTrain(docs, rounds = 2, maxPieceLen = 2,
+        maxInventory = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inv == Map("a" -> 1L, "b" -> 1L, "ab" -> 3L,
+      "c" -> 1L, "d" -> 1L, "cd" -> 3L))
+  }
 }
