@@ -74,11 +74,32 @@ object Retrieval {
     // aggregates map-side, so a pathological doc repeating one query term
     // 10^9 times collapses to one row per map partition BEFORE the wire
     // (the old collect_list bag carried every occurrence and bloated that
-    // doc's row). The second groupBy re-keys to (id, dl), but its input is
-    // at most |query terms| rows per doc — a shuffle of term-count rows,
-    // not data.
-    val matched = posting.groupBy("id", "dl", "tok")
+    // doc's row).
+    val matchedTf = posting.groupBy("id", "dl", "tok")
       .agg(count(lit(1)).as("tf"))
+    scoreMatchedTf(matchedTf, stats, queries, k, k1, b, idCol, emitScore)
+  }
+
+  /** BM25 scoring from an already term-filtered (id, dl, tok, tf) postings
+    * frame plus a one-row (n_docs, avgdl) stats frame — the shared back
+    * half of [[bm25TopK]] and both retrieval rounds of
+    * [[bm25WithFeedback]] (which feeds a PINNED full-term census through
+    * here so the corpus tokenizes once). Callers guarantee `matchedTf`
+    * holds only tokens of some query term (no nulls). */
+  private def scoreMatchedTf(
+      matchedTf: DataFrame,
+      stats: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      k: Int,
+      k1: Double,
+      b: Double,
+      idCol: String,
+      emitScore: Boolean): DataFrame = {
+    val spark = matchedTf.sparkSession
+    import spark.implicits._
+    // The per-doc bag: re-keys to (id, dl), but its input is at most
+    // |query terms| rows per doc — a shuffle of term-count rows, not data.
+    val matched = matchedTf
       .groupBy("id", "dl")
       .agg(collect_list(struct(col("tok"), col("tf"))).as("qtfs"))
     // df per term (docs containing it) — at most |terms| rows. Derived from
@@ -152,11 +173,17 @@ object Retrieval {
     * terms to the query, and re-run BM25 with the expanded queries — the
     * classic lexical recall booster for targeted data selection.
     *
-    * Scale shape: both retrieval rounds are the [[bm25TopK]] plan; the
-    * term census joins the TINY feedback list (|Q|·kFb ids, broadcast)
-    * against one token explode, then aggregates to (query, term) counts.
-    * Only the |Q|·mExp chosen expansion terms cross the driver — QUERY-SET
-    * metadata (the bm25 queries already live there), never data. */
+    * Scale shape: the corpus tokenizes ONCE — the full (id, dl, term, tf)
+    * census is PINNED by an eager localCheckpoint (the [[tfidfTopTerms]]
+    * discipline) and all three consumers read that one materialization:
+    * the round-1 scoring pass (term-filtered postings), the feedback term
+    * census (joined against the TINY |Q|·kFb feedback list), and the
+    * round-2 scoring pass under the expanded terms. Corpus stats
+    * (n_docs, avgdl) also derive from the pin (empty documents survive as
+    * a null-term census row, so N and avgdl count them exactly as a
+    * direct scan would). Only the |Q|·mExp chosen expansion terms cross
+    * the driver — QUERY-SET metadata (the bm25 queries already live
+    * there), never data. */
   def bm25WithFeedback(
       docs: DataFrame,
       queries: Seq[(String, Seq[String])],
@@ -171,16 +198,38 @@ object Retrieval {
     require(mExp >= 0, s"mExp must be >= 0: $mExp")
     val spark = docs.sparkSession
     import spark.implicits._
-    val fb = bm25TopK(docs, queries, k = kFb, k1 = k1, b = b,
-      idCol = idCol, textCol = textCol)
-    val toks = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    // ONE tokenize scan: the full-term census, (id, dl, tok, tf) with one
+    // (id, dl, null, 1) row per zero-token document (explode_outer), pinned
+    // eagerly — this method already executes at construction (the expansion
+    // terms collect below), so the eager pin adds no new laziness break.
+    val tfAll = docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("id"), col("dl"), explode_outer(col("toks")).as("tok"))
+      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    // N and avgdl from the pin: collapse to one row per doc first (every
+    // census row of a doc carries its dl; empty docs have their null-term
+    // row), then the same exact-integer-sum / count division as bm25TopK.
+    val stats = tfAll.groupBy("id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    def matchedFor(qs: Seq[(String, Seq[String])]): DataFrame = {
+      val terms = qs.flatMap(_._2).distinct
+      tfAll.filter(col("tok").isin(terms: _*))
+    }
+    val fb = scoreMatchedTf(matchedFor(queries), stats, queries,
+      k = kFb, k1 = k1, b = b, idCol = idCol, emitScore = false)
     val fbDocs = fb.select(col("query_id"), col(idCol).as("id"))
     val orig = queries.flatMap { case (q, ts) => ts.map(q -> _) }
       .toDF("query_id", "tok")
-    val termW = fbDocs.join(toks, Seq("id"))
+    // Census weights from the pin: sum of tf = total occurrences across
+    // the feedback set (what the per-occurrence count aggregated before).
+    // The null-term rows of empty docs are excluded explicitly — a LEFT
+    // ANTI join passes null keys through rather than dropping them.
+    val termW = fbDocs.join(tfAll.where(col("tok").isNotNull), Seq("id"))
       .join(orig, Seq("query_id", "tok"), "left_anti")
-      .groupBy("query_id", "tok").agg(count(lit(1)).as("w"))
+      .groupBy("query_id", "tok").agg(sum(col("tf")).as("w"))
     val wnd = Window.partitionBy("query_id")
       .orderBy(col("w").desc, col("tok").asc)
     val expRows = termW.withColumn("r", row_number().over(wnd))
@@ -192,8 +241,8 @@ object Retrieval {
     val expanded = queries.map { case (q, ts) =>
       q -> (ts ++ expMap.getOrElse(q, Seq.empty))
     }
-    bm25TopK(docs, expanded, k = k, k1 = k1, b = b,
-      idCol = idCol, textCol = textCol)
+    scoreMatchedTf(matchedFor(expanded), stats, expanded,
+      k = k, k1 = k1, b = b, idCol = idCol, emitScore = false)
   }
 
   /** Reciprocal-rank fusion of several per-query rankings (the standard way

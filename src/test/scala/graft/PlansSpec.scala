@@ -327,6 +327,30 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       s"per-doc top-k should get the map-side group limit:\n$p")
   }
 
+  test("q_bm25_rm3: one tokenize scan — both rounds + census read the pinned term table") {
+    // bm25WithFeedback pins the full (id, dl, term, tf) census once; the
+    // round-2 plan this returns must contain NO parquet scan reading text
+    // (scoring, dfs, and stats all read the checkpoint). The pin itself is
+    // the session's single tokenize pass.
+    val df = SparkEntry.queries("q_bm25_rm3")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(n: SparkPlan): Seq[FileSourceScanExec] = (n match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case _ => Seq.empty
+    }) ++ (n match {
+      case _: AdaptiveSparkPlanExec | _: QueryStageExec => Seq.empty
+      case _ => n.children.flatMap(fileScans)
+    }) ++ n.subqueries.flatMap(fileScans)
+    val fs = fileScans(df.queryExecution.executedPlan)
+    val textScans = fs.filter(_.output.exists(_.name == "text"))
+    assert(textScans.isEmpty,
+      s"round-2 RM3 plan re-reads the corpus text (${fs.size} file scans):\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("q_decay_score / q_attribution: exactly one data-sized shuffle each") {
     assert(executedShuffles("q_decay_score").size == 1,
       "decay score is one partial-aggregated user-keyed shuffle")
