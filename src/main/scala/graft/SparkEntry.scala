@@ -1110,6 +1110,63 @@ object SparkEntry {
           col("low"), col("close"), col("volume_cents"), col("n_events"))
     }),
 
+    // The streaming SESSIONIZER under the hash gate (5th stateful family:
+    // per-event labeling through flatMapGroupsWithState keyed state, where
+    // the CDC gate emits per-key views and the dedup gate drops rows):
+    // events replay as 4 time-ordered micro-batches; each event gains its
+    // user's session ordinal, chained across batches through the
+    // (lastTs, idx) state. On in-order replay the labels equal the batch
+    // operator's, so the oracle is q_sessionize's own SQL.
+    "q_stream_sessionize_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val (base, inDir) = stageTimeSegments(events, 4, Seq(col("ts"), col("event_id")))
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamingPipeline.startFileSink(
+          graft.streaming.StreamingPipeline.sessionize(src, gap = "30 minutes"),
+          s"$base/out", s"$base/ckpt")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("session_idx"))
+    }),
+
+    // The streaming TRANSITION EMITTER under the hash gate (6th family):
+    // per-user (last ts, last type) state emits consecutive event-type
+    // pairs as the stream arrives; the sink then rolls up to the Markov
+    // matrix with the exact aggregation the batch operator uses, so the
+    // oracle is q_event_transitions' own SQL.
+    "q_stream_transitions_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val (base, inDir) = stageTimeSegments(events, 4, Seq(col("ts"), col("event_id")))
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamingPipeline.startFileSink(
+          graft.streaming.StreamingPipeline.transitions(src),
+          s"$base/out", s"$base/ckpt")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val pairs = s.read.parquet(s"$base/out")
+        .filter(col("to_type").isNotNull)
+      val counts = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+      counts.join(totals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          (col("n").cast("double") / col("n_from")).as("p"))
+    }),
+
     // Per-user activity trend: exact-integer least-squares slope fraction
     // over (day, daily count) points — two partial-agg shuffles, zero
     // windows, bit-exact where regr_slope's float accumulation is not.
@@ -4052,6 +4109,30 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the streamed sessionizer labels every event with the batch ordinal
+    // on in-order replay — the oracle IS q_sessionize's
+    "q_stream_sessionize_gate" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CASE WHEN gap_new THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_idx
+        |FROM (SELECT event_id, user_id, ts,
+        |        epoch_us(ts) - LAG(epoch_us(ts))
+        |          OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 AS gap_new
+        |      FROM events)""".stripMargin,
+
+    // the streamed transition pairs roll up to the batch Markov matrix on
+    // in-order replay — the oracle IS q_event_transitions'
+    "q_stream_transitions_gate" ->
+      """WITH o AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM o
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n, n_from, n / n_from AS p
+        |FROM c JOIN f USING (from_type)""".stripMargin,
 
     // the peel unrolled: n_i = nodes of the subgraph induced by n_{i-1}
     // with induced degree >= k; 8 rounds > the measured convergence
