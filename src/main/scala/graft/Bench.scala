@@ -168,18 +168,41 @@ object Bench {
     // see tools/CurationProbe).
     def run(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+    // 1-minute /proc/loadavg — the drift-protocol evidence for reconciling
+    // driver-run vs builder-run numbers (r12's only ambiguous signal was a
+    // ~12% uniform skew between two runs of IDENTICAL binaries, pure host
+    // load). Sampled BEFORE the warmup (later samples mostly measure this
+    // bench's own 32-way saturation, recorded as context only).
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = load1()
     // JVM/codegen warmup outside the timed region.
     run("q1_agg")
     // Three timed passes, min per query: the host shows intermittent load
     // bursts (measured up to minutes) unrelated to the plan under test. The
     // passes are INTERLEAVED (all queries once, then all again) so a burst
     // must span multiple full passes to inflate a query's reported minimum.
-    def pass(): Map[String, Double] = headliners.map { name =>
-      val t0 = System.nanoTime()
-      run(name)
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val passes = Seq(pass(), pass(), pass())
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def pass(): Map[String, Double] = {
+      passLoads += load1()
+      headliners.map { name =>
+        val t0 = System.nanoTime()
+        run(name)
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val first3 = Seq(pass(), pass(), pass())
+    // Load-robustness guard: min-of-3 becomes min-of-5 when either (a) the
+    // host was already loaded before this JVM started working (external
+    // load that poisons EVERY pass the same way — the r12 drift mode), or
+    // (b) the three pass totals disagree by >10% between best and
+    // second-best (a burst that spanned whole passes). Two more passes
+    // give the minimum two more chances to land in a quiet window.
+    val totals3 = first3.map(_.values.sum).sorted
+    val loaded = loadStart > 8.0 || totals3(1) > totals3(0) * 1.10
+    val passes = if (loaded) first3 ++ Seq(pass(), pass()) else first3
     val results = headliners.map(n => n -> passes.map(_(n)).min)
     val total = results.map(_._2).sum
     // Streaming drains reported under their own key: the batch "value" total
@@ -362,13 +385,15 @@ object Bench {
     val sfNum = "0\\.[0-9]+|[0-9]+".r.findAllIn(
       sfDir.stripSuffix("/").split('/').last.stripPrefix("sf")).toSeq.headOption
       .getOrElse("\"" + sfDir + "\"")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":3,"stream":3},"sf":"$sfDir"}"""
+    val loadJson = "{\"start\":" + fmt(2)(loadStart) + ",\"passes\":[" +
+      passLoads.map(fmt(2)).mkString(",") + "]}"
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":${passes.size},"stream":3},"loadavg":$loadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
     // no "note" field: full precision lives in BENCH_FULL.json (documented
     // in SCALE.md/README) and the 29 chars matter against the tail buffer
-    def assemble = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"sf":$sfNum}"""
+    def assemble = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"streams":$streams2,"load":$loadJson,"sf":$sfNum}"""
     var line = assemble
     if (line.length > 1900) {
       // adaptive fallback: 1-decimal seconds still rank every query within
