@@ -1167,6 +1167,76 @@ object SparkEntry {
           (col("n").cast("double") / col("n_from")).as("p"))
     }),
 
+    // The SESSION-WINDOW AGGREGATION streaming mode under the hash gate
+    // (7th stateful family: sessionWindowStateStore — merging-window
+    // state, distinct from the fixed-window stateStoreSave the OHLC gate
+    // covers): per-type session counts stream over 4 in-order segments
+    // plus the OHLC gate's sentinel segment (far-future row pushing the
+    // watermark past every real session, so Append emits the complete
+    // session set; the sentinel's own forever-open session never emits).
+    // The oracle is q_events_sessions' own SQL.
+    "q_stream_sessions_gate" -> ((s, dir) => {
+      val events = ev(s, dir).select(col("event_type"), col("ts"), col("event_id"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinel = s.range(1).select(
+        lit("__wm_flush__").as("event_type"),
+        timestamp_micros(lit(maxTs + 4L * 3600L * 1000000L)).as("ts"),
+        lit(-1L).as("event_id"))
+      val (base, inDir) = stageTimeSegments(
+        events, 4, Seq(col("ts"), col("event_id")), extraLast = Some(sentinel))
+      val schema = s.read.parquet(inDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamingPipeline.startFileSink(
+          graft.streaming.StreamingPipeline.sessionCounts(
+            src, gap = "30 minutes", watermark = Some("2 hours")),
+          s"$base/out", s"$base/ckpt")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .where(col("event_type") =!= "__wm_flush__")
+        .select(unix_micros(col("s_start")).as("s_start"),
+          col("event_type"), col("n"))
+    }),
+
+    // The STREAM-STREAM INTERVAL JOIN under the hash gate (8th stateful
+    // family: symmetricHashJoin — watermark-bounded buffered state on
+    // BOTH sides): the purchase and click streams read the SAME 4
+    // in-order segments through two independent file sources; each
+    // purchase joins that user's clicks in the preceding 30 minutes.
+    // Inner-join matches emit as found, and in-order replay means no row
+    // is ever late against the pair watermark, so the sink equals the
+    // batch interval join — the oracle is plain SQL over events.
+    "q_stream_join_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val (base, inDir) = stageTimeSegments(events, 4, Seq(col("ts"), col("event_id")))
+      val schema = s.read.parquet(inDir).schema
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val joined = graft.streaming.StreamingPipeline.intervalJoin(
+        src.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("user_id"), col("ts")),
+        src.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("cts")),
+        Seq("user_id"), "ts", "cts",
+        within = "30 minutes", watermark = "2 hours")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamingPipeline.startFileSink(
+          joined, s"$base/out", s"$base/ckpt")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .select(col("buy_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"), unix_micros(col("cts")).as("cts_us"))
+    }),
+
     // Per-user activity trend: exact-integer least-squares slope fraction
     // over (day, daily count) points — two partial-agg shuffles, zero
     // windows, bit-exact where regr_slope's float accumulation is not.
@@ -4133,6 +4203,33 @@ object SparkEntry {
         |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, n, n_from, n / n_from AS p
         |FROM c JOIN f USING (from_type)""".stripMargin,
+
+    // the streamed session-window aggregate with the sentinel flush emits
+    // the complete session set — the oracle IS q_events_sessions'
+    "q_stream_sessions_gate" ->
+      """WITH u AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
+        |o AS (
+        |  SELECT event_type, t_us,
+        |    CASE WHEN t_us - lag(t_us) OVER (PARTITION BY event_type ORDER BY t_us) < 1800000000
+        |         THEN 0 ELSE 1 END AS new_s
+        |  FROM u),
+        |i AS (
+        |  SELECT event_type, t_us,
+        |    SUM(new_s) OVER (PARTITION BY event_type ORDER BY t_us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT min(t_us) AS s_start, event_type, count(*) AS n
+        |FROM i GROUP BY event_type, sid""".stripMargin,
+
+    // the streamed two-sided interval join emits every in-window
+    // (purchase, preceding click) pair exactly once on in-order replay —
+    // the oracle is the plain batch interval join
+    "q_stream_join_gate" ->
+      """SELECT p.event_id AS buy_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  c.event_id AS click_id, epoch_us(c.ts) AS cts_us
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
 
     // the peel unrolled: n_i = nodes of the subgraph induced by n_{i-1}
     // with induced degree >= k; 8 rounds > the measured convergence
