@@ -81,11 +81,9 @@ object Retrieval {
   }
 
   /** BM25 scoring from an already term-filtered (id, dl, tok, tf) postings
-    * frame plus a one-row (n_docs, avgdl) stats frame — the shared back
-    * half of [[bm25TopK]] and both retrieval rounds of
-    * [[bm25WithFeedback]] (which feeds a PINNED full-term census through
-    * here so the corpus tokenizes once). Callers guarantee `matchedTf`
-    * holds only tokens of some query term (no nulls). */
+    * frame plus a one-row (n_docs, avgdl) stats frame — [[bm25TopK]]'s
+    * back half. Callers guarantee `matchedTf` holds only tokens of some
+    * query term (no nulls). */
   private def scoreMatchedTf(
       matchedTf: DataFrame,
       stats: DataFrame,
@@ -95,13 +93,32 @@ object Retrieval {
       b: Double,
       idCol: String,
       emitScore: Boolean): DataFrame = {
-    val spark = matchedTf.sparkSession
-    import spark.implicits._
     // The per-doc bag: re-keys to (id, dl), but its input is at most
     // |query terms| rows per doc — a shuffle of term-count rows, not data.
     val matched = matchedTf
       .groupBy("id", "dl")
       .agg(collect_list(struct(col("tok"), col("tf"))).as("qtfs"))
+    scoreMatched(matched, stats, queries, k, k1, b, idCol, emitScore)
+  }
+
+  /** BM25 scoring from the per-doc matched-term bag (id, dl,
+    * qtfs: array<struct<tok,tf>> — only docs matching ≥ 1 query term,
+    * only matching terms in the bag) plus the one-row stats frame — the
+    * shared back half of [[bm25TopK]] (whose bag arrives through the
+    * postings shuffle) and both [[bm25WithFeedback]] rounds (whose bag is
+    * computed SCAN-LOCALLY over the pinned token arrays — zero shuffle
+    * before the rank window). */
+  private def scoreMatched(
+      matched: DataFrame,
+      stats: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      k: Int,
+      k1: Double,
+      b: Double,
+      idCol: String,
+      emitScore: Boolean): DataFrame = {
+    val spark = matched.sparkSession
+    import spark.implicits._
     // df per term (docs containing it) — at most |terms| rows. Derived from
     // `matched`, NOT from `posting`: the subplan up to matched's exchanges is
     // then byte-identical to the scoring path's, so ReuseExchange serves
@@ -173,17 +190,21 @@ object Retrieval {
     * terms to the query, and re-run BM25 with the expanded queries — the
     * classic lexical recall booster for targeted data selection.
     *
-    * Scale shape: the corpus tokenizes ONCE — the full (id, dl, term, tf)
-    * census is PINNED by an eager localCheckpoint (the [[tfidfTopTerms]]
-    * discipline) and all three consumers read that one materialization:
-    * the round-1 scoring pass (term-filtered postings), the feedback term
-    * census (joined against the TINY |Q|·kFb feedback list), and the
-    * round-2 scoring pass under the expanded terms. Corpus stats
-    * (n_docs, avgdl) also derive from the pin (empty documents survive as
-    * a null-term census row, so N and avgdl count them exactly as a
-    * direct scan would). Only the |Q|·mExp chosen expansion terms cross
-    * the driver — QUERY-SET metadata (the bm25 queries already live
-    * there), never data. */
+    * Scale shape: the corpus tokenizes ONCE — the per-doc TOKEN-ARRAY
+    * frame (id, toks, dl) is PINNED by an eager localCheckpoint
+    * (partition-LOCAL: no network movement, unlike a corpus-wide term
+    * census shuffle) and all four consumers read that one
+    * materialization: corpus stats (a direct no-shuffle agg), the two
+    * scoring rounds (explode → query-term filter → the usual
+    * term-filtered postings shuffle), and the feedback term census (the
+    * TINY |Q|·kFb feedback list joins the pin BEFORE the explode, so
+    * only feedback documents ever explode). Only the |Q|·mExp chosen
+    * expansion terms cross the driver — QUERY-SET metadata (the bm25
+    * queries already live there), never data. The remaining wall cost is
+    * the two scoring rounds THEMSELVES (each ≈ a standalone bm25TopK's
+    * broadcast/window machinery, measured ~1.2 s at sf0.1 against a
+    * 0.15 s pin and 0.25 s postings pass) — inherent to pseudo-relevance
+    * feedback's two sequential retrievals. */
   def bm25WithFeedback(
       docs: DataFrame,
       queries: Seq[(String, Seq[String])],
@@ -198,38 +219,47 @@ object Retrieval {
     require(mExp >= 0, s"mExp must be >= 0: $mExp")
     val spark = docs.sparkSession
     import spark.implicits._
-    // ONE tokenize scan: the full-term census, (id, dl, tok, tf) with one
-    // (id, dl, null, 1) row per zero-token document (explode_outer), pinned
-    // eagerly — this method already executes at construction (the expansion
-    // terms collect below), so the eager pin adds no new laziness break.
-    val tfAll = docs.select(col(idCol).as("id"),
+    // ONE tokenize scan: the per-doc token arrays, pinned eagerly — this
+    // method already executes at construction (the expansion terms
+    // collect below), so the eager pin adds no new laziness break. The
+    // pin is partition-local (localCheckpoint writes each task's rows
+    // where they sit); the alternative — pinning an exploded corpus-wide
+    // (id, term, tf) census — pays a full term-keyed SHUFFLE of every
+    // token for rows the query set mostly never touches (measured 2.8 s
+    // vs this shape at sf0.1; the filtered postings shuffles below carry
+    // only query-term rows).
+    val pinned = docs.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-      .select(col("id"), col("dl"), explode_outer(col("toks")).as("tok"))
-      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    // N and avgdl from the pin: collapse to one row per doc first (every
-    // census row of a doc carries its dl; empty docs have their null-term
-    // row), then the same exact-integer-sum / count division as bm25TopK.
-    val stats = tfAll.groupBy("id").agg(first(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // N and avgdl: a direct no-shuffle agg over the pin — same
+    // exact-integer-sum / count division as bm25TopK's stats.
+    val stats = pinned.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // Term-filtered postings from the pin — bm25TopK's exact shape, the
+    // tokenize replaced by the pin read. (A scan-local per-doc HOF
+    // term-count fold was measured here too: |terms| filter() passes per
+    // row allocate |terms| arrays and ran ~1 s SLOWER per round than this
+    // explode + map-side-combined count at sf0.1 — the postings shuffle
+    // carries only query-term rows and is not the bottleneck.)
     def matchedFor(qs: Seq[(String, Seq[String])]): DataFrame = {
       val terms = qs.flatMap(_._2).distinct
-      tfAll.filter(col("tok").isin(terms: _*))
+      pinned.select(col("id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
     }
     val fb = scoreMatchedTf(matchedFor(queries), stats, queries,
       k = kFb, k1 = k1, b = b, idCol = idCol, emitScore = false)
     val fbDocs = fb.select(col("query_id"), col(idCol).as("id"))
     val orig = queries.flatMap { case (q, ts) => ts.map(q -> _) }
       .toDF("query_id", "tok")
-    // Census weights from the pin: sum of tf = total occurrences across
-    // the feedback set (what the per-occurrence count aggregated before).
-    // The null-term rows of empty docs are excluded explicitly — a LEFT
-    // ANTI join passes null keys through rather than dropping them.
-    val termW = fbDocs.join(tfAll.where(col("tok").isNotNull), Seq("id"))
+    // Census: join the TINY feedback list BEFORE the explode, so only
+    // feedback documents' arrays ever explode; per-occurrence counts.
+    val termW = fbDocs
+      .join(pinned.select(col("id"), col("toks")), Seq("id"))
+      .select(col("query_id"), explode(col("toks")).as("tok"))
       .join(orig, Seq("query_id", "tok"), "left_anti")
-      .groupBy("query_id", "tok").agg(sum(col("tf")).as("w"))
+      .groupBy("query_id", "tok").agg(count(lit(1)).as("w"))
     val wnd = Window.partitionBy("query_id")
       .orderBy(col("w").desc, col("tok").asc)
     val expRows = termW.withColumn("r", row_number().over(wnd))
