@@ -1237,6 +1237,30 @@ object SparkEntry {
           col("click_id"), unix_micros(col("cts")).as("cts_us"))
     }),
 
+    // Training-shard export END-TO-END under the hash gate: the corpus is
+    // written as deterministic ~256 KiB JSONL shards (salted-md5
+    // assignment, shard count from the portable byte estimator), then the
+    // SHARDS THEMSELVES are read back — so JSON escaping fidelity, the
+    // partitioned layout, and the in-plan shard derivation are all inside
+    // the oracle compare (a text byte lost to serialization flips the
+    // hash).
+    "q_export_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+      graft.sources.Sinks.exportShardedJsonl(docs, out, "doc_id",
+        maxShardBytes = 256L * 1024)
+      s.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.LongType))))
+        .json(out)
+        .select(col("doc_id"), col("text"), col("shard"))
+    }),
+
     // Per-user activity trend: exact-integer least-squares slope fraction
     // over (day, daily count) points — two partial-agg shuffles, zero
     // windows, bit-exact where regr_slope's float accumulation is not.
@@ -4219,6 +4243,18 @@ object SparkEntry {
         |  FROM o)
         |SELECT min(t_us) AS s_start, event_type, count(*) AS n
         |FROM i GROUP BY event_type, sid""".stripMargin,
+
+    // the exported shards read back: identity on (doc_id, text) — JSON
+    // round-trip byte fidelity — plus the in-plan shard id, re-derived
+    // from the same byte estimator + ceil-div + salted-md5 mod
+    "q_export_shards" ->
+      """WITH p AS (SELECT coalesce(octet_length(encode(CAST(text AS VARCHAR))), 0)
+        |    + octet_length(encode(CAST(doc_id AS VARCHAR))) + 32 AS rb FROM documents),
+        |n AS (SELECT CAST(greatest(1, (SUM(rb) + 262143) // 262144) AS UBIGINT) AS ns FROM p)
+        |SELECT d.doc_id, d.text,
+        |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':shard'), 1, 15))::UBIGINT
+        |       % (SELECT ns FROM n) AS BIGINT) AS shard
+        |FROM documents d""".stripMargin,
 
     // the streamed two-sided interval join emits every in-window
     // (purchase, preceding click) pair exactly once on in-order replay —

@@ -184,6 +184,51 @@ object Sinks {
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
   }
 
+  /** Deterministic sharded JSONL export — the training-shard writer at the
+    * END of a curation pipeline (the artifact a trainer's data loader
+    * consumes: N line-delimited-JSON shards of roughly `maxShardBytes`
+    * each, membership a PURE FUNCTION of the row id so re-exports, added
+    * executors, and engine swaps produce byte-identical shard membership).
+    *
+    * Shard count: one aggregate sums an EXPLICIT per-row byte estimator —
+    * `octet_length(text columns) + octet_length(id) + rowOverhead`, exact
+    * integers both engines — and nShards = ceil(total / maxShardBytes)
+    * (integer ceil-div). Estimated bytes, not serialized bytes, by design:
+    * the estimator is engine-portable (a DuckDB oracle derives the SAME
+    * shard count and assignment), while to_json's exact formatting is not.
+    * Assignment: the [[graft.operators.Curation.hashBucketSalted]] salted
+    * md5 mod nShards — the split/sample discipline.
+    *
+    * Scale shape: one estimator agg (partial-combined) + the one
+    * data-sized exchange ANY export pays (repartition on the shard id, so
+    * each shard is written by exactly one task as exactly one file) + the
+    * streaming JSON writer. Hash collisions may co-locate two shards in
+    * one task; each still writes its own file under its `shard=` dir.
+    * Returns the shard count. */
+  def exportShardedJsonl(
+      df: DataFrame,
+      outDir: String,
+      idCol: String,
+      maxShardBytes: Long,
+      rowOverhead: Int = 32,
+      salt: String = "shard"): Int = {
+    require(maxShardBytes >= 1, s"maxShardBytes must be >= 1: $maxShardBytes")
+    val textBytes = df.columns.filter(_ != idCol)
+      .map(c => coalesce(octet_length(col(c).cast("string")), lit(0)))
+      .foldLeft(octet_length(col(idCol).cast("string")).cast("long"))(_ + _)
+    val total = df.agg(sum(textBytes + lit(rowOverhead)).cast("long"))
+      .collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val nShards = math.max(1L, (total + maxShardBytes - 1) / maxShardBytes).toInt
+    df.withColumn("shard",
+        graft.operators.Curation.hashBucketSalted(col(idCol), salt, nShards))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
+    nShards
+  }
+
   /** Write the results log and, when lineage columns are present, the
     * tuple/lineage log next to it. */
   def writeResultsWithLineage(

@@ -3,6 +3,7 @@ package graft
 import graft.ops.{OpCompiler, Pipeline}
 import graft.sources.{Sinks, Tables}
 import java.nio.file.Files
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 class SinksSpec extends AnyFunSuite with SparkSpec {
@@ -164,5 +165,51 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     val proper = Tables.trafficSigns(spark, s"$dataDir/Traffic_Signs_1000.csv")
       .select("Size_").collect().map(_.getString(0)).toSeq.sorted
     assert(got != proper)
+  }
+
+  test("exportShardedJsonl: deterministic shards, one file each, hostile-text round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // hostile content: newlines, quotes, backslashes, unicode, tabs, empty
+    val rows = (0L until 400L).map { i =>
+      (i, i % 7 match {
+        case 0 => s"""line one\nline "two" \\ end $i"""
+        case 1 => s"café 日本語 😀 $i"
+        case 2 => s"tab\there\t$i"
+        case 3 => ""
+        case _ => ("the quick brown fox " * 10) + i
+      })
+    }
+    val df = rows.toDF("doc_id", "text")
+    val out = Files.createTempDirectory("graft_export_spec").toString
+    val n = Sinks.exportShardedJsonl(df, out, "doc_id", maxShardBytes = 4096)
+    assert(n >= 2, s"fixture should span multiple shards, got $n")
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.nonEmpty && shardDirs.length <= n)
+    // exactly one data file per shard dir (one task wrote each shard)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} files")
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("shard", LongType)))
+    val back = spark.read.schema(schema).json(out)
+      .select("doc_id", "text", "shard")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // byte-exact round trip of every row, no loss, no duplication
+    assert(back.map(t => (t._1, t._2)).sorted.toSeq == rows.sorted)
+    // shard ids in range and consistent with the salted bucket
+    assert(back.forall(t => t._3 >= 0 && t._3 < n))
+    // determinism: a second export (fresh dir) assigns identical shards
+    val out2 = Files.createTempDirectory("graft_export_spec2").toString
+    assert(Sinks.exportShardedJsonl(df, out2, "doc_id", maxShardBytes = 4096) == n)
+    val back2 = spark.read.schema(schema).json(out2)
+      .select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(back2.toSeq == back.map(t => (t._1, t._3)).sorted.toSeq)
+    // empty frame: one shard, no crash
+    assert(Sinks.exportShardedJsonl(df.filter(lit(false)), Files
+      .createTempDirectory("graft_export_spec3").toString, "doc_id", 4096) == 1)
   }
 }
