@@ -484,14 +484,22 @@ object StreamingPipeline {
     * batches (the CDC-shaped assumption every last-value streaming state
     * makes; a cross-batch late event would need the batch operator's full
     * re-sort). `maxGap` drops pairs further apart than the gap, same
-    * semantics as batch. */
+    * semantics as batch. An unbounded USER universe grows the store one
+    * (lastTs, lastType) row per user — `idleTimeout` (EVENT-time,
+    * requires an upstream `withWatermark(tsCol, …)`, same contract as
+    * [[sessionize]]) frees the state of users whose last event sits that
+    * far behind the watermark; a returning user's first event emits no
+    * pair (the empty-state behavior — exactly the bounded-state trade,
+    * and with `maxGap` ≤ `idleTimeout` no VALID pair is ever lost, since
+    * any pair the timeout could suppress is already beyond the gap). */
   def transitions(
       df: DataFrame,
       userCol: String = "user_id",
       typeCol: String = "event_type",
       tsCol: String = "ts",
       orderCols: Seq[String] = Seq("event_id"),
-      maxGap: Option[String] = None): DataFrame = {
+      maxGap: Option[String] = None,
+      idleTimeout: Option[String] = None): DataFrame = {
     val gapMicros = maxGap.map(graft.ops.Intervals.subDayMicros)
     val userIdx = df.schema.fieldIndex(userCol)
     val tsIdx = df.schema.fieldIndex(tsCol)
@@ -521,23 +529,41 @@ object StreamingPipeline {
         }
       }.find(_ != 0).getOrElse(0)
     }
+    val idleMillis = idleTimeout.map(graft.ops.Intervals.subDayMicros(_) / 1000L)
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     df.groupByKey { r: Row =>
         if (r.isNullAt(userIdx)) "0" else "1:" + r.get(userIdx)
       }(Encoders.STRING)
       .flatMapGroupsWithState[TransitionState, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[Row], state: GroupState[TransitionState]) =>
-          var st = state.getOption.getOrElse(TransitionState(Long.MinValue, "", has = false))
-          val out = Vector.newBuilder[Row]
-          rows.toVector.sorted(ord).foreach { r =>
-            val t = micros(r)
-            val tp = r.get(typeIdx) match { case null => null; case v => v.toString }
-            if (st.has && gapMicros.forall(g => t - st.lastTs <= g))
-              out += Row(r.get(userIdx), st.lastType, tp)
-            st = TransitionState(t, tp, has = true)
+          if (state.hasTimedOut) {
+            // user idle past the timeout: free the (long, string) slot; a
+            // return visit starts pairless (empty-state semantics)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(TransitionState(Long.MinValue, "", has = false))
+            val out = Vector.newBuilder[Row]
+            rows.toVector.sorted(ord).foreach { r =>
+              val t = micros(r)
+              val tp = r.get(typeIdx) match { case null => null; case v => v.toString }
+              if (st.has && gapMicros.forall(g => t - st.lastTs <= g))
+                out += Row(r.get(userIdx), st.lastType, tp)
+              st = TransitionState(t, tp, has = true)
+            }
+            state.update(st)
+            // deadline clamped above the watermark (same contract as
+            // sessionize: a user whose newest event already trails the
+            // idle window expires at the next watermark move)
+            idleMillis.foreach { idle =>
+              state.setTimeoutTimestamp(
+                math.max(st.lastTs / 1000L + idle, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }(Encoders.product[TransitionState], outEnc)
   }
 

@@ -303,6 +303,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions event-time idle timeout drops state; a returning user emits no stale pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 12:$m%02d:00")
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+      .withWatermark("ts", "0 seconds")
+    val out = StreamingPipeline.transitions(
+      stream, idleTimeout = Some("5 minutes"))
+    val q = out.writeStream.format("memory").queryName("trans_timeout")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 a->b pair; idle deadline = 12:35
+      mem.addData((1L, 1L, "a", ts(0)), (2L, 1L, "b", ts(30)))
+      q.processAllAvailable()
+      // batch 2: watermark 12:30 < deadline — state survives
+      mem.addData((3L, 2L, "x", ts(50)))
+      q.processAllAvailable()
+      // batch 3: watermark 12:50 > 12:35 — user 1's slot expires
+      mem.addData((4L, 3L, "y", ts(51)))
+      q.processAllAvailable()
+      // user 1 returns: with state KEPT this would emit (b -> c); with
+      // the slot freed the return is pairless
+      mem.addData((5L, 1L, "c", ts(58)))
+      q.processAllAvailable()
+      val got = spark.table("trans_timeout")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(got == Seq((1L, "a", "b")))
+      // control: without the timeout the same replay emits the b->c pair
+      val mem2 = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+      val out2 = StreamingPipeline.transitions(
+        mem2.toDF().toDF("event_id", "user_id", "event_type", "ts"))
+      val q2 = out2.writeStream.format("memory").queryName("trans_keep")
+        .outputMode("append").start()
+      try {
+        mem2.addData((1L, 1L, "a", ts(0)), (2L, 1L, "b", ts(30)))
+        q2.processAllAvailable()
+        mem2.addData((5L, 1L, "c", ts(58)))
+        q2.processAllAvailable()
+        assert(spark.table("trans_keep").count() == 2)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming sessionize sorts within a micro-batch by event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
