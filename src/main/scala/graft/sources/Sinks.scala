@@ -204,28 +204,42 @@ object Sinks {
     * each shard is written by exactly one task as exactly one file) + the
     * streaming JSON writer. Hash collisions may co-locate two shards in
     * one task; each still writes its own file under its `shard=` dir.
-    * Returns the shard count. */
+    * Returns the shard count.
+    *
+    * Incremental delivery: pass `fixedShards = Some(n)` (the count a
+    * previous full export returned) and `append = true` — the new batch
+    * lands as ONE additional file per touched `shard=` dir, membership
+    * identical to what the full export would assign (it is a pure
+    * function of (id, salt, n)), and the estimator agg is skipped. The
+    * standard daily-increment shape; re-balance by re-running the full
+    * export when drift warrants. */
   def exportShardedJsonl(
       df: DataFrame,
       outDir: String,
       idCol: String,
       maxShardBytes: Long,
       rowOverhead: Int = 32,
-      salt: String = "shard"): Int = {
+      salt: String = "shard",
+      fixedShards: Option[Int] = None,
+      append: Boolean = false): Int = {
     require(maxShardBytes >= 1, s"maxShardBytes must be >= 1: $maxShardBytes")
-    val textBytes = df.columns.filter(_ != idCol)
-      .map(c => coalesce(octet_length(col(c).cast("string")), lit(0)))
-      .foldLeft(octet_length(col(idCol).cast("string")).cast("long"))(_ + _)
-    val total = df.agg(sum(textBytes + lit(rowOverhead)).cast("long"))
-      .collect()(0) match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    val nShards = math.max(1L, (total + maxShardBytes - 1) / maxShardBytes).toInt
+    fixedShards.foreach(n => require(n >= 1, s"fixedShards must be >= 1: $n"))
+    val nShards = fixedShards.getOrElse {
+      val textBytes = df.columns.filter(_ != idCol)
+        .map(c => coalesce(octet_length(col(c).cast("string")), lit(0)))
+        .foldLeft(octet_length(col(idCol).cast("string")).cast("long"))(_ + _)
+      val total = df.agg(sum(textBytes + lit(rowOverhead)).cast("long"))
+        .collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      math.max(1L, (total + maxShardBytes - 1) / maxShardBytes).toInt
+    }
     df.withColumn("shard",
         graft.operators.Curation.hashBucketSalted(col(idCol), salt, nShards))
       .repartition(nShards, col("shard"))
-      .write.mode("overwrite").partitionBy("shard").json(outDir)
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("shard").json(outDir)
     nShards
   }
 

@@ -212,4 +212,41 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(Sinks.exportShardedJsonl(df.filter(lit(false)), Files
       .createTempDirectory("graft_export_spec3").toString, "doc_id", 4096) == 1)
   }
+
+  test("exportShardedJsonl incremental append: same membership, one extra file per touched shard") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = (0L until 200L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("graft_export_incr").toString
+    val n = Sinks.exportShardedJsonl(base, out, "doc_id", maxShardBytes = 1024)
+    val filesBefore = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.startsWith("part-"))).toMap
+    // the increment: new ids appended under the ORIGINAL shard count
+    val incr = (200L until 260L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    assert(Sinks.exportShardedJsonl(incr, out, "doc_id", maxShardBytes = 1024,
+      fixedShards = Some(n), append = true) == n)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("shard", LongType)))
+    val back = spark.read.schema(schema).json(out)
+    assert(back.count() == 260)
+    // membership of the increment equals what one full export over the
+    // union would assign AT THE SAME SHARD COUNT (pure function of id)
+    val unionOut = Files.createTempDirectory("graft_export_union").toString
+    Sinks.exportShardedJsonl(base.unionByName(incr), unionOut, "doc_id",
+      maxShardBytes = 1024, fixedShards = Some(n))
+    val a = back.select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = spark.read.schema(schema).json(unionOut).select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+    // append added at most one new file per shard dir, rewrote none
+    new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+      .foreach { d =>
+        val now = d.listFiles().count(_.getName.startsWith("part-"))
+        val before = filesBefore.getOrElse(d.getName, 0)
+        assert(now >= before && now <= before + 1,
+          s"${d.getName}: $before -> $now files")
+      }
+  }
 }
