@@ -150,7 +150,11 @@ object Bench {
     // unigram-LM trainer (vocab-table EM, corpus shuffle paid once) +
     // encode readout; hilbert key = one codegen'd scan; corr stats = one
     // scan into 60 decimal partial aggs
-    "q_unigram_train", "q_unigram_encode", "q_hilbert_key", "q_corr_stats")
+    "q_unigram_train", "q_unigram_encode", "q_hilbert_key", "q_corr_stats",
+    // r13: the training-shard export END-TO-END (estimator agg + shard
+    // exchange + JSONL write + shard readback) — the one headliner with
+    // real write I/O, which is exactly what an export's number should carry
+    "q_export_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -313,6 +317,7 @@ object Bench {
       ("temp_sample", "tsmp"), ("sp_group", "spg"),
       ("unigram_train", "ugt"), ("unigram_encode", "uge"),
       ("hilbert_key", "hilb"), ("corr_stats", "corr"),
+      ("export_shards", "exs"),
       // compact-line diet (applied LAST — earlier rules already rewrote
       // the compound keys these could collide with): the 152-entry line
       // must stay under the harness's 2000-char tail buffer
