@@ -656,6 +656,20 @@ object SparkEntry {
       Dedup.removeRepeatedSpans(t(s, dir, "documents"),
         windowTokens = 12, minCount = 2)),
 
+    // Span-level decontamination (cross-corpus ExactSubstr): a 12-token
+    // benchmark sentence is PLANTED at the end of every 9th doc (the
+    // q_gopher decorate pattern), the reference corpus is that sentence,
+    // and the operator must strip exactly the planted window from exactly
+    // those docs — surrounding prose survives.
+    "q_decontam_spans" -> ((s, dir) => {
+      val bench = "the quick brown fox jumps over the lazy dog again and again"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + bench)))
+          .otherwise(col("text")).as("text"))
+      val ref = s.range(1).select(lit(bench).as("text"))
+      Dedup.removeSpansMatching(docs, ref, windowTokens = 12)
+    }),
+
     // CCNet-style boilerplate line removal. The synthetic corpus is
     // single-line, so the gate DECORATES it deterministically (the
     // q_gopher pattern): body reshaped into 12-token lines, a cookie
@@ -4075,6 +4089,39 @@ object SparkEntry {
         |              max(i + 12) OVER (PARTITION BY doc_id ORDER BY i
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
         |            FROM d)),
+        |sp AS (SELECT doc_id, gid, min(i) AS s, max(i + 12) AS e
+        |       FROM g GROUP BY 1, 2),
+        |kp AS (SELECT t.doc_id, j, tk[j+1] AS tok
+        |       FROM t, UNNEST(range(0, len(tk))) r(j)
+        |       WHERE NOT EXISTS (SELECT 1 FROM sp
+        |                         WHERE sp.doc_id = t.doc_id
+        |                           AND j >= sp.s AND j < sp.e))
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(kp.tok, ' ' ORDER BY kp.j), '') AS text,
+        |  CAST(len(t.tk) - count(kp.j) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN kp ON kp.doc_id = t.doc_id
+        |GROUP BY t.doc_id, len(t.tk)""".stripMargin,
+
+    // span decontamination: decorate identically, mark windows equal to
+    // the planted benchmark sentence, islands-merge, rebuild
+    "q_decontam_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |         THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+        |w AS (SELECT doc_id, i FROM t, UNNEST(range(0, greatest(len(tk) - 11, 0))) r(i)
+        |      WHERE array_to_string(tk[i+1 : i+12], ' ')
+        |            = 'the quick brown fox jumps over the lazy dog again and again'),
+        |g AS (SELECT doc_id, i,
+        |        sum(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY i
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |      FROM (SELECT doc_id, i,
+        |              max(i + 12) OVER (PARTITION BY doc_id ORDER BY i
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |            FROM w)),
         |sp AS (SELECT doc_id, gid, min(i) AS s, max(i + 12) AS e
         |       FROM g GROUP BY 1, 2),
         |kp AS (SELECT t.doc_id, j, tk[j+1] AS tok

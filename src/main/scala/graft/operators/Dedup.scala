@@ -1048,26 +1048,82 @@ object Dedup {
     require(windowTokens >= 2, s"windowTokens must be >= 2: $windowTokens")
     require(minCount >= 2, s"minCount must be >= 2: $minCount")
     val L = windowTokens
-    // LAZY pin (not an eager localCheckpoint — constructing the plan must
-    // not execute it): census + reassembly branches share one tokenize
-    // pass at first action; the context cleaner reclaims the block
-    val toked = docs.select(col(idCol), split(col(textCol), " ").as("__t"))
+    val toked = spanTokenize(docs, idCol, textCol)
+    val wins = spanWindows(toked, L, idCol)
+    val dupHashes = wins.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount).select(col("__h"))
+    val dupPos = wins.join(dupHashes, Seq("__h"), "left_semi")
+    removeSpansAt(toked, dupPos, L, idCol, textCol)
+  }
+
+  /** Cross-corpus span DECONTAMINATION — [[removeRepeatedSpans]]'s other
+    * half: every `windowTokens`-token window of a document whose text
+    * occurs ANYWHERE in `reference` (a benchmark/eval corpus) marks its
+    * positions; overlapping windows merge into maximal spans whose tokens
+    * are removed. The span-level upgrade of document-level
+    * [[Decontaminate]] overlap gates: a training page QUOTING a benchmark
+    * question keeps its own prose and loses exactly the quoted span.
+    * Returns (id, text, n_removed).
+    *
+    * Scale shape: reference windows collapse to a DISTINCT 16-byte hash
+    * set (one partial-agg shuffle of the reference, typically tiny next
+    * to the corpus — the planner broadcasts the semi-join side when it
+    * fits); everything else is [[removeRepeatedSpans]]'s machinery — the
+    * corpus census is scan-local md5s, span merging one (doc, pos)
+    * window, reassembly an index-aware filter on the pinned token
+    * arrays. Same cache-lifetime note as [[removeRepeatedSpans]]. */
+  def removeSpansMatching(
+      docs: DataFrame,
+      reference: DataFrame,
+      windowTokens: Int = 12,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      refTextCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2: $windowTokens")
+    val L = windowTokens
+    val toked = spanTokenize(docs, idCol, textCol)
+    val wins = spanWindows(toked, L, idCol)
+    val refToked = reference.select(lit(0L).as("__rid"),
+      split(col(refTextCol), " ").as("__t"))
+    val refWins = spanWindows(refToked, L, "__rid")
+      .select(col("__h")).distinct()
+    val dupPos = wins.join(refWins, Seq("__h"), "left_semi")
+    removeSpansAt(toked, dupPos, L, idCol, textCol)
+  }
+
+  /** LAZY pin (not an eager localCheckpoint — constructing the plan must
+    * not execute it): census + reassembly branches share one tokenize
+    * pass at first action; the context cleaner reclaims the block. */
+  private def spanTokenize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** All (id, start pos, window md5) rows of the `__t` token arrays;
+    * docs shorter than the window produce none. */
+  private def spanWindows(toked: DataFrame, L: Int, idCol: String): DataFrame = {
     val n = size(col("__t"))
     // sequence(a, b) with b < a counts DOWN — guard short docs to empty
     val starts = when(n >= lit(L),
       sequence(lit(0L), (n - lit(L)).cast("long")))
       .otherwise(typedLit(Seq.empty[Long]))
-    val wins = toked.select(col(idCol),
+    toked.select(col(idCol),
       posexplode(transform(starts,
         i => md5(array_join(slice(col("__t"), (i + 1).cast("int"), lit(L)), " ")))))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("__h"))
-    val dupHashes = wins.groupBy("__h").agg(count(lit(1)).as("__n"))
-      .where(col("__n") >= minCount).select(col("__h"))
-    val dupPos = wins.join(dupHashes, Seq("__h"), "left_semi")
+  }
+
+  /** Merge marked window positions into maximal spans (islands) and
+    * reassemble each document from the surviving tokens. */
+  private def removeSpansAt(
+      toked: DataFrame,
+      dupPos: DataFrame,
+      L: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
     // islands: a window starts a new span iff it clears every prior
     // window's end in (doc, pos) order
     import org.apache.spark.sql.expressions.Window
+    val n = size(col("__t"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevEnd = max(col("pos") + lit(L.toLong))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))

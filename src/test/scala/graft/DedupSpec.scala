@@ -553,6 +553,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) == (("all unique tokens here nothing repeats at all ok", 0L)))
   }
 
+  test("removeSpansMatching: reference spans strip from quoting docs; prose survives; no self-census") {
+    import spark.implicits._
+    val ref = Seq("alpha beta gamma delta", "one two three")
+      .toDF("text")
+    val docs = Seq(
+      // quotes ref mid-document: windows of the quote match, span [2,6)
+      1L -> "intro words alpha beta gamma delta closing words",
+      // quotes BOTH ref docs back to back -> two spans (non-adjacent)
+      2L -> "x alpha beta gamma delta y one two three z",
+      // repeats ITS OWN phrase twice — within-corpus duplication must NOT
+      // trigger removal (no self-census in the cross-corpus form)
+      3L -> "p q r s p q r s",
+      4L -> "tiny",
+      // partial overlap with ref (only 2 consecutive ref tokens) — no
+      // full 3-token window of the reference appears
+      5L -> "alpha beta epsilon more text here"
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSpansMatching(docs, ref, windowTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1: windows "alpha beta gamma"/"beta gamma delta" (ref windows)
+    // at 2 and 3 -> merged span [2,6)
+    assert(out(1L) == (("intro words closing words", 4L)))
+    // doc 2: span [1,5) from ref1, span [6,9) from ref2 ("one two three")
+    assert(out(2L) == (("x y z", 7L)))
+    assert(out(3L) == (("p q r s p q r s", 0L)))
+    assert(out(4L) == (("tiny", 0L)))
+    assert(out(5L) == (("alpha beta epsilon more text here", 0L)))
+  }
+
   test("stripBoilerplateLines: cross-doc lines drop, order keeps, blanks and rare lines survive") {
     import spark.implicits._
     val banner = "ACCEPT ALL COOKIES"
