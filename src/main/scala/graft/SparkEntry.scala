@@ -656,6 +656,18 @@ object SparkEntry {
       Dedup.removeRepeatedSpans(t(s, dir, "documents"),
         windowTokens = 12, minCount = 2)),
 
+    // Model-based quality filter (the fastText-classifier APPLY step):
+    // every token md5-hashes to one of 64 buckets, the margin is the
+    // in-order sum of fixed-point bucket weights + bias, keep = margin>0.
+    // Pure scan expression; margins hash bit-exact (correctly-rounded
+    // adds in document token order, weights stated as decimal literals
+    // on both engines).
+    "q_quality_model" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.hashedBowMargin(
+            col("text"), bowWeights, bias = 0.05).as("margin"))
+        .withColumn("keep", col("margin") > 0.0)),
+
     // Span-level decontamination (cross-corpus ExactSubstr): a 12-token
     // benchmark sentence is PLANTED at the end of every 9th doc (the
     // q_gopher decorate pattern), the reference corpus is that sentence,
@@ -2737,6 +2749,13 @@ object SparkEntry {
        |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, mmr FROM selu$k""".stripMargin
   }
 
+  /** The q_quality_model demo weight vector: 64 fixed-point (k/10⁶)
+    * bucket weights from a deterministic formula — a stand-in for a
+    * trained fastText-style artifact, stated as identical decimal
+    * literals in the engine plan and the oracle SQL. */
+  private[graft] def bowWeights: Seq[Double] =
+    (0 until 64).map(b => ((b * 2654435761L) % 2001 - 1000) / 1e6)
+
   /** Refined centroids captured by q_ann_recall_refined (k rows of
     * metadata) — the oracle embeds them verbatim, like [[ivfOracleEntry]]. */
   @volatile private var refinedCents: Option[Array[(Long, Array[Double])]] = None
@@ -4101,6 +4120,20 @@ object SparkEntry {
         |  CAST(len(t.tk) - count(kp.j) AS BIGINT) AS n_removed
         |FROM t LEFT JOIN kp ON kp.doc_id = t.doc_id
         |GROUP BY t.doc_id, len(t.tk)""".stripMargin,
+
+    // model filter: same md5 bucket, same decimal weight literals, same
+    // in-order fold
+    "q_quality_model" -> {
+      val wList = bowWeights.map(_.toString).mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |           FROM documents)
+         |SELECT doc_id, margin, margin > 0 AS keep FROM (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(0.05e0, list_transform(tk, t ->
+         |      ($wList)[CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT % 64 AS INT) + 1])),
+         |      (a, b) -> a + b) AS margin
+         |  FROM t)""".stripMargin
+    },
 
     // span decontamination: decorate identically, mark windows equal to
     // the planted benchmark sentence, islands-merge, rebuild

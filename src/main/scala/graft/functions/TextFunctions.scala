@@ -289,4 +289,29 @@ object TextFunctions {
       folded.getField("best").cast("double") / folded.getField("total").cast("double"))
       .otherwise(lit(0.0))
   }
+
+  /** Hashed bag-of-words LINEAR SCORE — the apply step of a
+    * fastText-style text classifier (the model-based quality / language
+    * filter the CCNet and LLaMA data pipelines run over every crawl
+    * page): each token hashes to one of `weights.length` buckets by the
+    * engine's portable md5 trick, and the margin is bias + the IN-ORDER
+    * sum of bucket weights. The weight vector is the trained artifact
+    * (driver-sized by definition — a hashed linear model IS an array);
+    * training happens wherever the labels live.
+    *
+    * Determinism contract: token order is document order and every
+    * addition is a correctly-rounded IEEE step, so margins are bit-exact
+    * on any engine when the weights are bit-equal doubles — pass weights
+    * as small-decimal values (e.g. fixed-point n/10⁶) so a SQL replica
+    * can state them literally. Scale shape: pure per-row scan expression,
+    * zero shuffles — an md5 + array lookup per token. */
+  def hashedBowMargin(text: Column, weights: Seq[Double], bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "need at least one bucket weight")
+    val w = array(weights.map(lit): _*)
+    val b = lit(weights.length)
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), b)
+    aggregate(tokens(text), lit(bias),
+      (acc, t) => acc + element_at(w, (bucket(t) + 1).cast("int")))
+  }
 }

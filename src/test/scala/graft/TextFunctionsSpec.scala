@@ -276,4 +276,31 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(e(1).getAs[Double]("fk_grade") -
       (0.39 * 3.0 + 11.8 * (4.0 / 3) - 15.59)) < 1e-9)
   }
+
+  test("hashedBowMargin: bit-equals an independent replay of the md5-bucket fold") {
+    import spark.implicits._
+    val weights = (0 until 16).map(b => ((b * 7919) % 201 - 100) / 1e6)
+    // independent reference: JDK MessageDigest md5 -> first 15 hex chars
+    // -> decimal -> mod buckets, folded in token order
+    def bucket(tok: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(d.substring(0, 15), 16) % weights.length).toInt
+    }
+    def expected(text: String, bias: Double): Double =
+      text.trim.split("\\s+", -1).foldLeft(bias)((acc, t) => acc + weights(bucket(t)))
+    val docs = Seq("the quick brown fox", "a a a repeated tokens a",
+      "single", "  padded   whitespace  ", "ünïcôde tökens")
+      .toDF("text")
+    val got = docs.select(col("text"),
+        TextFunctions.hashedBowMargin(col("text"), weights, bias = 0.25).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    docs.collect().map(_.getString(0)).foreach { t =>
+      assert(got(t) == expected(t, 0.25), s"margin mismatch for '$t'")
+    }
+    // filter semantics: keep iff margin > 0 (a pure scan predicate)
+    val kept = docs.filter(
+      TextFunctions.hashedBowMargin(col("text"), weights, bias = 0.25) > 0.0).count()
+    assert(kept == docs.collect().count(r => expected(r.getString(0), 0.25) > 0.0))
+  }
 }
