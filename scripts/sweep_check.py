@@ -17,6 +17,11 @@ QUADRATIC_ORACLES = {
     "q_dedup_ngram_incr", "q_dedup_cosine",
     "q_dedup_minhash", "q_dedup_embed", "q_dedup_embed_lsh",
     "q_dedup_clusters", "q_dedup_survivors", "q_dedup_best", "q_dedup_simhash",
+    # the recursive-CTE Viterbi replays: DuckDB re-walks every word's
+    # best/back arrays per CTE level — >10 CPU-hours at sf0.1's vocab
+    # (measured r13), same oracle-cost-only class as the pair oracles;
+    # the engine side runs these fine and both gate at sf0.01
+    "q_unigram_train", "q_unigram_encode",
 }
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:

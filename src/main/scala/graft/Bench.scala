@@ -153,8 +153,11 @@ object Bench {
     "q_unigram_train", "q_unigram_encode", "q_hilbert_key", "q_corr_stats",
     // r13: the training-shard export END-TO-END (estimator agg + shard
     // exchange + JSONL write + shard readback) — the one headliner with
-    // real write I/O, which is exactly what an export's number should carry
-    "q_export_shards")
+    // real write I/O, which is exactly what an export's number should
+    // carry; the model-based quality filter (md5-bucket BoW margin, pure
+    // scan); span-level decontamination (reference-window semi-join over
+    // the substr machinery)
+    "q_export_shards", "q_quality_model", "q_decontam_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,6 +185,35 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = load1()
+    // Host-speed CALIBRATION: loadavg only sees processes on THIS vm —
+    // r13 measured two same-binaries totals 20% apart, both at idle
+    // loadavg (hypervisor-level throttling / noisy neighbors). A fixed
+    // integer-spin microbenchmark, serial + all-cores, gives records a
+    // load-independent denominator: totals from two runs reconcile by
+    // their calib ratio. ~1 s total, run before and after the passes.
+    def spin(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= x >>> 33; i += 1
+      }
+      x
+    }
+    def calibrate(): (Double, Double) = {
+      spin(20000000L) // JIT warm
+      val t0 = System.nanoTime()
+      val r1 = spin(400000000L)
+      val serial = (System.nanoTime() - t0) / 1e6
+      val n = Runtime.getRuntime.availableProcessors()
+      val t1 = System.nanoTime()
+      val ts = (1 to n).map(_ => new Thread { var out = 0L
+        override def run(): Unit = out = spin(400000000L / n) })
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val par = (System.nanoTime() - t1) / 1e6
+      if ((r1 | ts.map(_.out).reduce(_ | _)) == 42L) System.err.print("")
+      (serial, par)
+    }
+    val calibBefore = calibrate()
     // JVM/codegen warmup outside the timed region.
     run("q1_agg")
     // Three timed passes, min per query: the host shows intermittent load
@@ -357,7 +389,10 @@ object Bench {
       "rsmp" -> "rsm", "sann" -> "snn", "scd2" -> "scd", "scd2_asof" -> "sc1",
       "sess" -> "sss", "sivf" -> "svf", "skyl" -> "sky", "stdi" -> "st1",
       "svpq" -> "svp", "topg" -> "tpg", "trans" -> "trn", "ts_pattern" -> "tsp",
-      "tsmp" -> "tsm", "unin" -> "unn", "vcov" -> "vcv")
+      "tsmp" -> "tsm", "unin" -> "unn", "vcov" -> "vcv",
+      // r13 (post-chain exact forms: "quality"->"qual", "decontam"->"decon"
+      // already rewrote the prefixes by the time the diet applies)
+      "qual_model" -> "qmd", "dcn_spans" -> "dsp", "decon_spans" -> "dsp")
     def short(k: String): String = {
       val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
       diet.getOrElse(s, s)
@@ -390,8 +425,11 @@ object Bench {
     val sfNum = "0\\.[0-9]+|[0-9]+".r.findAllIn(
       sfDir.stripSuffix("/").split('/').last.stripPrefix("sf")).toSeq.headOption
       .getOrElse("\"" + sfDir + "\"")
+    val calibAfter = calibrate()
     val loadJson = "{\"start\":" + fmt(2)(loadStart) + ",\"passes\":[" +
-      passLoads.map(fmt(2)).mkString(",") + "]}"
+      passLoads.map(fmt(2)).mkString(",") + "],\"calib_ms\":[[" +
+      fmt(0)(calibBefore._1) + "," + fmt(0)(calibBefore._2) + "],[" +
+      fmt(0)(calibAfter._1) + "," + fmt(0)(calibAfter._2) + "]]}"
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":${passes.size},"stream":3},"loadavg":$loadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))
