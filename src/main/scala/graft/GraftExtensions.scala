@@ -230,6 +230,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
 
+    ext.injectFunction((FunctionIdentifier("hashed_bow_margin"),
+      info("hashed_bow_margin",
+        "hashed_bow_margin(text, weights_array, bias) - fastText-style " +
+          "hashed bag-of-words linear margin (portable md5 buckets, " +
+          "in-order fold; buckets = size of the weight array)"),
+      arity("hashed_bow_margin", 3)(args => GraftExpr.catalystExpression(
+        TextFunctions.hashedBowMarginDyn(GraftExpr.column(args(0)),
+          GraftExpr.column(args(1)), GraftExpr.column(args(2)))))))
+
     ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
       info("bloom_might_contain",
         "bloom_might_contain(bloom, xxhash64_value) - membership probe; " +

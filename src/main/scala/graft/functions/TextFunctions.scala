@@ -307,11 +307,17 @@ object TextFunctions {
     * zero shuffles — an md5 + array lookup per token. */
   def hashedBowMargin(text: Column, weights: Seq[Double], bias: Double = 0.0): Column = {
     require(weights.nonEmpty, "need at least one bucket weight")
-    val w = array(weights.map(lit): _*)
-    val b = lit(weights.length)
+    hashedBowMarginDyn(text, array(weights.map(lit): _*), lit(bias))
+  }
+
+  /** [[hashedBowMargin]] with the weight vector as a COLUMN (any
+    * array<double> expression — the SQL-callable form, `hashed_bow_margin`
+    * in [[graft.GraftExtensions]]): bucket count = the array's size. */
+  def hashedBowMarginDyn(text: Column, weights: Column, bias: Column): Column = {
     def bucket(t: Column): Column =
-      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), b)
-    aggregate(tokens(text), lit(bias),
-      (acc, t) => acc + element_at(w, (bucket(t) + 1).cast("int")))
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        size(weights).cast("long"))
+    aggregate(tokens(text), bias.cast("double"),
+      (acc, t) => acc + element_at(weights, (bucket(t) + 1).cast("int")))
   }
 }

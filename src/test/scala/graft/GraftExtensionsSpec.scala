@@ -140,4 +140,32 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("hashed_bow_margin is SQL-callable and equals the Column API") {
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      val weights = (0 until 8).map(b => ((b * 37) % 21 - 10) / 1e6)
+      val wSql = weights.mkString("array(", ", ", ")")
+      val got = s.sql(
+        s"SELECT hashed_bow_margin('the quick brown fox', $wSql, 0.25e0) AS m")
+        .collect()(0).getDouble(0)
+      val want = Seq("the quick brown fox").toDF("t")
+        .select(graft.functions.TextFunctions
+          .hashedBowMargin(org.apache.spark.sql.functions.col("t"), weights, 0.25))
+        .collect()(0).getDouble(0)
+      assert(got == want)
+      intercept[Exception] { s.sql("SELECT hashed_bow_margin('x')").collect() }
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
 }
