@@ -649,6 +649,40 @@ object StreamingPipeline {
       }(Encoders.product[SessionState], outEnc)
   }
 
+  /** Streaming TRAINING-SHARD delivery: every micro-batch lands through
+    * [[graft.sources.Sinks.exportShardedJsonl]]'s incremental mode — at
+    * most one new JSONL file per touched `shard=` dir per batch, shard
+    * membership a pure function of the row id under the FIXED `nShards`
+    * (identical to what one batch export of the whole stream would
+    * assign). The continuous form of the export a trainer's loader
+    * tails.
+    *
+    * Delivery contract: foreachBatch re-runs a failed batch, and a blind
+    * append is not idempotent — so this sink is AT-LEAST-ONCE on crash
+    * (the reference's own delivery level for its results log, SURVEY
+    * §1.4); the deterministic row ids make downstream dedup trivial
+    * (`dropDuplicates(idCol)` at read, or [[graft.operators.Dedup]]).
+    * Exactly-once file delivery is [[startFileSink]]'s parquet path. */
+  def startShardedJsonlSink(
+      df: DataFrame,
+      outDir: String,
+      idCol: String,
+      nShards: Int,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        // maxShardBytes is unused under fixedShards; 1 satisfies the guard
+        graft.sources.Sinks.exportShardedJsonl(batch.toDF(), outDir, idCol,
+          maxShardBytes = 1L, fixedShards = Some(nShards), append = true)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Results sink: append files + checkpoint — the analog of the reference's
     * job<k>_results.log with exactly-once instead of at-least-once. */
   def startFileSink(

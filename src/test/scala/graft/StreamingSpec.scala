@@ -347,6 +347,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sharded JSONL sink: batches append per-shard files; membership equals the batch export") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_shards").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_shards_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.startShardedJsonlSink(
+      mem.toDF().toDF("doc_id", "text"), out, "doc_id", nShards = 4,
+      checkpointDir = ckpt, trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData((0L until 50L).map(i => (i, s"doc $i")): _*)
+      q.processAllAvailable()
+      mem.addData((50L until 80L).map(i => (i, s"doc $i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("shard", LongType)))
+    val streamed = spark.read.schema(schema).json(out)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed.map(_._1) == (0L until 80L))
+    // membership identical to one batch export at the same shard count
+    val batchOut = java.nio.file.Files.createTempDirectory("graft_batch_shards").toString
+    graft.sources.Sinks.exportShardedJsonl(
+      (0L until 80L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      batchOut, "doc_id", maxShardBytes = 1L, fixedShards = Some(4))
+    val batch = spark.read.schema(schema).json(batchOut)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch)
+    // each shard dir accreted at most one file per micro-batch (2 batches)
+    new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+      .foreach { d =>
+        val n = d.listFiles().count(_.getName.startsWith("part-"))
+        assert(n >= 1 && n <= 2, s"${d.getName}: $n files")
+      }
+  }
+
   test("streaming sessionize sorts within a micro-batch by event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
