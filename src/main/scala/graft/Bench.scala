@@ -157,7 +157,9 @@ object Bench {
     // carry; the model-based quality filter (md5-bucket BoW margin, pure
     // scan); span-level decontamination (reference-window semi-join over
     // the substr machinery)
-    "q_export_shards", "q_quality_model", "q_decontam_spans")
+    "q_export_shards", "q_quality_model", "q_decontam_spans",
+    // the composed filter->split->export capstone (one plan + the write)
+    "q_pipeline_export")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -389,7 +391,7 @@ object Bench {
       "rsmp" -> "rsm", "sann" -> "snn", "scd2" -> "scd", "scd2_asof" -> "sc1",
       "sess" -> "sss", "sivf" -> "svf", "skyl" -> "sky", "stdi" -> "st1",
       "svpq" -> "svp", "topg" -> "tpg", "trans" -> "trn", "ts_pattern" -> "tsp",
-      "tsmp" -> "tsm", "unin" -> "unn", "vcov" -> "vcv",
+      "tsmp" -> "tsm", "unin" -> "unn", "vcov" -> "vcv", "pl_export" -> "plx",
       // r13 (post-chain exact forms: "quality"->"qual", "decontam"->"decon"
       // already rewrote the prefixes by the time the diet applies)
       "qual_model" -> "qmd", "dcn_spans" -> "dsp", "decon_spans" -> "dsp")

@@ -668,6 +668,34 @@ object SparkEntry {
             col("text"), bowWeights, bias = 0.05).as("margin"))
         .withColumn("keep", col("margin") > 0.0)),
 
+    // The curation pipeline CAPSTONE, end-to-end under one hash gate:
+    // model-based quality filter -> leakage-safe train split -> sharded
+    // JSONL training export -> the WRITTEN shards read back. Three
+    // operators composed exactly as a production pipeline chains them;
+    // one mis-serialized byte or one mis-assigned row anywhere flips the
+    // hash.
+    "q_pipeline_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val kept = docs.where(graft.functions.TextFunctions.hashedBowMargin(
+        col("text"), bowWeights, bias = 0.05) > 0.0)
+      val train = Curation.withSplit(kept, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .where(col("split") === "train").select(col("doc_id"), col("text"))
+      val out = java.nio.file.Files.createTempDirectory("graft_pipe_export").toString
+      graft.sources.Sinks.exportShardedJsonl(train, out, "doc_id",
+        maxShardBytes = 128L * 1024)
+      s.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.LongType))))
+        .json(out)
+        .select(col("doc_id"), col("text"), col("shard"))
+    }),
+
     // Span-level decontamination (cross-corpus ExactSubstr): a 12-token
     // benchmark sentence is PLANTED at the end of every 9th doc (the
     // q_gopher decorate pattern), the reference corpus is that sentence,
@@ -4133,6 +4161,31 @@ object SparkEntry {
          |      ($wList)[CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT % 64 AS INT) + 1])),
          |      (a, b) -> a + b) AS margin
          |  FROM t)""".stripMargin
+    },
+
+    // pipeline capstone: margin filter -> unsalted split bucket < 8000 ->
+    // byte-estimator shard count over the SURVIVORS -> salted shard id
+    "q_pipeline_export" -> {
+      val wList = bowWeights.map(_.toString).mkString("[", ", ", "]")
+      s"""WITH kept AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      list_reduce(list_prepend(0.05e0,
+         |        list_transform(regexp_split_to_array(trim(text), '\\s+'), t ->
+         |          ($wList)[CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT % 64 AS INT) + 1])),
+         |        (a, b) -> a + b) AS margin
+         |    FROM documents)
+         |  WHERE margin > 0),
+         |tr AS (SELECT doc_id, text FROM kept
+         |       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+         |                  % 10000 AS BIGINT) < 8000),
+         |p AS (SELECT coalesce(octet_length(encode(CAST(text AS VARCHAR))), 0)
+         |        + octet_length(encode(CAST(doc_id AS VARCHAR))) + 32 AS rb FROM tr),
+         |n AS (SELECT CAST(greatest(1, (SUM(rb) + 131071) // 131072) AS UBIGINT) AS ns FROM p)
+         |SELECT tr.doc_id, tr.text,
+         |  CAST(('0x' || substr(md5(CAST(tr.doc_id AS VARCHAR) || ':shard'), 1, 15))::UBIGINT
+         |       % (SELECT ns FROM n) AS BIGINT) AS shard
+         |FROM tr""".stripMargin
     },
 
     // span decontamination: decorate identically, mark windows equal to
