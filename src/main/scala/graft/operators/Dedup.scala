@@ -1078,7 +1078,10 @@ object Dedup {
       windowTokens: Int = 12,
       idCol: String = "doc_id",
       textCol: String = "text",
-      refTextCol: String = "text"): DataFrame = {
+      refTextCol: String = "text",
+      bloomScreen: Boolean = false,
+      bloomExpectedItems: Long = 4000000L,
+      bloomFpp: Double = 0.03): DataFrame = {
     require(windowTokens >= 2, s"windowTokens must be >= 2: $windowTokens")
     val L = windowTokens
     val toked = spanTokenize(docs, idCol, textCol)
@@ -1087,7 +1090,34 @@ object Dedup {
       split(col(refTextCol), " ").as("__t"))
     val refWins = spanWindows(refToked, L, "__rid")
       .select(col("__h")).distinct()
-    val dupPos = wins.join(refWins, Seq("__h"), "left_semi")
+    // bloomScreen: the 100 TB shape when the REFERENCE is itself large
+    // (every benchmark + eval suite + held-out shard — too many windows
+    // to broadcast). The reference windows fold into one fixed-size
+    // Bloom bitmap riding a scalar subquery ([[Decontaminate
+    // .overlapBloom]]'s discipline); the corpus-sized wins frame filters
+    // MAP-SIDE to ~fpp·|wins| + true hits before the exact semi-join —
+    // which stays, so false positives die there and results are exact
+    // at any fpp. Costs one extra reference pass (the bitmap agg).
+    val screened = if (!bloomScreen) wins else {
+      import org.apache.spark.sql.GraftExpr
+      import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      require(bloomExpectedItems > 0,
+        s"bloomExpectedItems must be positive: $bloomExpectedItems")
+      require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp must be in (0, 1): $bloomFpp")
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(bloomExpectedItems, bloomFpp)
+      val bloomDf = refWins.agg(GraftExpr.column(
+        new BloomFilterAggregate(
+          GraftExpr.catalystExpression(xxhash64(col("__h"))),
+          Literal(bloomExpectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+      val mightHit = GraftExpr.column(BloomFilterMightContain(
+        ScalarSubquery(bloomDf.queryExecution.analyzed),
+        GraftExpr.catalystExpression(xxhash64(col("__h")))))
+      wins.filter(mightHit)
+    }
+    val dupPos = screened.join(refWins, Seq("__h"), "left_semi")
     removeSpansAt(toked, dupPos, L, idCol, textCol)
   }
 

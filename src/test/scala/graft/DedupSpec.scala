@@ -580,6 +580,12 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == (("p q r s p q r s", 0L)))
     assert(out(4L) == (("tiny", 0L)))
     assert(out(5L) == (("alpha beta epsilon more text here", 0L)))
+    // bloom pre-screen parity: EXACT same results at any fpp (false
+    // positives die in the confirm semi-join, false negatives don't exist)
+    val bloomed = Dedup.removeSpansMatching(docs, ref, windowTokens = 3,
+        bloomScreen = true, bloomExpectedItems = 100L, bloomFpp = 0.2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(bloomed == out)
   }
 
   test("stripBoilerplateLines: cross-doc lines drop, order keeps, blanks and rare lines survive") {
