@@ -681,7 +681,10 @@ object SparkEntry {
       val train = Curation.withSplit(kept, "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .where(col("split") === "train").select(col("doc_id"), col("text"))
-      val out = java.nio.file.Files.createTempDirectory("graft_pipe_export").toString
+      // pid-scoped stable dir, overwritten per invocation (q_export_shards'
+      // disk discipline)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_pipe_export_gate_" +
+        ProcessHandle.current().pid()
       graft.sources.Sinks.exportShardedJsonl(train, out, "doc_id",
         maxShardBytes = 128L * 1024)
       s.read
@@ -1300,7 +1303,11 @@ object SparkEntry {
     // hash).
     "q_export_shards" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+      // ONE stable dir per JVM (pid-scoped), overwritten each invocation:
+      // bench passes re-build this query 3-5x per run, and a fresh temp
+      // dir each time accretes corpus-sized JSONL copies until /tmp fills
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_gate_" +
+        ProcessHandle.current().pid()
       graft.sources.Sinks.exportShardedJsonl(docs, out, "doc_id",
         maxShardBytes = 256L * 1024)
       s.read
@@ -2517,12 +2524,19 @@ object SparkEntry {
     * Σ(v−c)², ties to the lower cell — [[graft.functions.NearestCells]]),
     * the nprobe probe cells, and the exact-cosine top-k. Absent a run, the
     * entry is omitted and the driver falls back to its rows-only check. */
+  /** oracleSql is a def rebuilt per call — warn ONCE per JVM, not once
+    * per lookup (a per-query oracle loop would otherwise spam stderr). */
+  @volatile private var warnedIvfOmitted = false
+  @volatile private var warnedRefinedOmitted = false
+
   private def ivfOracleEntry: Map[String, String] = {
-    if (Similarity.lastIvfRun.isEmpty)
+    if (Similarity.lastIvfRun.isEmpty && !warnedIvfOmitted) {
+      warnedIvfOmitted = true
       System.err.println(
         "WARN oracleSql: q_sim_ivf oracle OMITTED — no IVF run in this JVM " +
           "(run the q_sim_ivf query before reading oracleSql); the gate " +
           "degrades to rows-only")
+    }
     Similarity.lastIvfRun.map { run =>
       val cellDists = run.centroids.zipWithIndex.map { case (ctr, i) =>
         s"""  SELECT vec_id, $i AS cell, list_sum(list_transform(list_zip(e, ${sqlDoubles(ctr)}),
@@ -2794,11 +2808,13 @@ object SparkEntry {
     * the brute-force exact top-5, joined per query. Absent a run, omitted
     * (driver falls back to rows-only). */
   private def refinedRecallOracleEntry: Map[String, String] = {
-    if (refinedCents.isEmpty)
+    if (refinedCents.isEmpty && !warnedRefinedOmitted) {
+      warnedRefinedOmitted = true
       System.err.println(
         "WARN oracleSql: q_ann_recall_refined oracle OMITTED — refinedCents " +
           "unset (run the q_ann_recall_refined query in this JVM before " +
           "reading oracleSql); the gate degrades to rows-only")
+    }
     refinedCents.map { cents =>
       val cbValues = cents
         .map { case (cid, ce) => s"($cid, ${sqlDoubles(ce)})" }

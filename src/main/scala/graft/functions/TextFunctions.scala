@@ -317,7 +317,14 @@ object TextFunctions {
     def bucket(t: Column): Column =
       pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
         size(weights).cast("long"))
-    aggregate(tokens(text), bias.cast("double"),
+    val margin = aggregate(tokens(text), bias.cast("double"),
       (acc, t) => acc + element_at(weights, (bucket(t) + 1).cast("int")))
+    // an empty weight array would make every bucket null (pmod by 0) and
+    // every margin null — a margin>0 filter would then silently drop the
+    // whole corpus; fail the row loudly instead (the Column-API overload
+    // rejects it at build time)
+    when(size(weights) > 0, margin)
+      .otherwise(raise_error(lit(
+        "hashed_bow_margin: weights array must be non-empty")))
   }
 }

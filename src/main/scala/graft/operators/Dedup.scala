@@ -1108,6 +1108,25 @@ object Dedup {
       require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp must be in (0, 1): $bloomFpp")
       val numBits = org.apache.spark.util.sketch.BloomFilter
         .optimalNumOfBits(bloomExpectedItems, bloomFpp)
+      // BloomFilterAggregate type-checks its literals against Spark's
+      // runtime-bloom caps; pre-validate with an actionable message
+      // instead of the aggregate's opaque conf error — for references
+      // past the defaults, RAISE these session confs.
+      val conf = docs.sparkSession.conf
+      val maxItems = conf.getOption(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+        .map(_.toLong).getOrElse(4000000L)
+      val maxBits = conf.getOption(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+        .map(_.toLong).getOrElse(67108864L)
+      require(bloomExpectedItems <= maxItems,
+        s"bloomExpectedItems=$bloomExpectedItems exceeds " +
+          s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems — " +
+          "raise that conf for a reference this large")
+      require(numBits <= maxBits,
+        s"optimal bits $numBits (items=$bloomExpectedItems, fpp=$bloomFpp) " +
+          s"exceed spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits — " +
+          "raise that conf or loosen fpp")
       val bloomDf = refWins.agg(GraftExpr.column(
         new BloomFilterAggregate(
           GraftExpr.catalystExpression(xxhash64(col("__h"))),

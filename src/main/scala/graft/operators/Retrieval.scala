@@ -217,6 +217,11 @@ object Retrieval {
       textCol: String = "text"): DataFrame = {
     require(kFb >= 1, s"kFb must be >= 1: $kFb")
     require(mExp >= 0, s"mExp must be >= 0: $mExp")
+    // the same fail-fast contract bm25TopK enforced when this method
+    // delegated to it — a term-less query would otherwise silently
+    // vanish from the result instead of erroring
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.forall(_._2.nonEmpty), "every query needs at least one term")
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE tokenize scan: the per-doc token arrays, pinned eagerly — this

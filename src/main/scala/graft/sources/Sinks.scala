@@ -233,7 +233,13 @@ object Sinks {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
-      math.max(1L, (total + maxShardBytes - 1) / maxShardBytes).toInt
+      val n = math.max(1L, (total + maxShardBytes - 1) / maxShardBytes)
+      // fail fast, never wrap: a silent .toInt truncation here would break
+      // the pure-function membership contract (engine vs oracle vs rerun)
+      require(n <= Int.MaxValue,
+        s"shard count $n exceeds Int.MaxValue — raise maxShardBytes " +
+          s"(=$maxShardBytes) for this ${total}B corpus")
+      n.toInt
     }
     df.withColumn("shard",
         graft.operators.Curation.hashBucketSalted(col(idCol), salt, nShards))
