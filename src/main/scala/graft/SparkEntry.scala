@@ -65,6 +65,33 @@ object SparkEntry {
     (base, inDir)
   }
 
+  /** Shared streaming-gate scaffold (all q_stream_*_gate entries): stage
+    * `staged` as 4 in-order segments (+ optional sentinel), hand `build`
+    * a FACTORY of file-stream sources over them (the interval-join gate
+    * opens two), drain through the checkpointed parquet sink under 8
+    * state-store partitions (these drains hold few keys; 32 stores is
+    * pure per-store open/load/commit overhead — the Bench discipline),
+    * and return the materialized sink for the gate's readout. */
+  private def runStreamGate(
+      s: SparkSession,
+      staged: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      extraLast: Option[DataFrame] = None)(
+      build: (() => DataFrame) => DataFrame): DataFrame = {
+    val (base, inDir) = stageTimeSegments(staged, 4, orderCols, extraLast)
+    val schema = s.read.parquet(inDir).schema
+    def src(): DataFrame = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.StreamingPipeline.startFileSink(
+        build(() => src()), s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(s"$base/out")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1037,16 +1064,10 @@ object SparkEntry {
         when(col("event_id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
         col("value"), unix_micros(col("ts")).as("ts_us"),
         col("ts"), col("event_id"))
-      val (base, inDir) = stageTimeSegments(log, 4, Seq(col("ts"), col("event_id")))
-      val schema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val q = graft.streaming.StreamingPipeline.startFileSink(
+      val sink = runStreamGate(s, log, Seq(col("ts"), col("event_id"))) { src =>
         graft.streaming.StreamingPipeline.cdcLatestStream(
-          src, payloadCols = Seq("value", "ts_us")),
-        s"$base/out", s"$base/ckpt")
-      q.awaitTermination()
-      val sink = s.read.parquet(s"$base/out")
+          src(), payloadCols = Seq("value", "ts_us"))
+      }
       sink.groupBy("user_id")
         .agg(max_by(struct(col("op"), col("value"), col("ts_us")),
           col("n_ops")).as("w"), max(col("n_ops")).as("n_ops"))
@@ -1067,24 +1088,11 @@ object SparkEntry {
     // filter's matches routed by the shard hash (sum of doc ids).
     "q_stream_console_gate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (base, inDir) = stageTimeSegments(docs, 4, Seq(col("doc_id")))
-      val schema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val piped = graft.streaming.StreamingPipeline.pipeline(
-        Seq(graft.ops.StreamOp.Filter("the"), graft.ops.StreamOp.Aggregate),
-        OpCompiler.Ctx(Some("text"), Seq("doc_id")), shards = 8)(src)
-      // 8 state-store partitions, not the session's 32: these drains hold
-      // 8 keys, and per-store open/load/commit × batches dominates
-      // otherwise (the Bench drain discipline)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamingPipeline.startFileSink(
-          piped, s"$base/out", s"$base/ckpt")
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(s"$base/out")
+      runStreamGate(s, docs, Seq(col("doc_id"))) { src =>
+        graft.streaming.StreamingPipeline.pipeline(
+          Seq(graft.ops.StreamOp.Filter("the"), graft.ops.StreamOp.Aggregate),
+          OpCompiler.Ctx(Some("text"), Seq("doc_id")), shards = 8)(src())
+      }
         // shard replayed EXACTLY as usableShardCol routes it: Long.hashCode
         // = (x ^ (x >>> 32)).toInt, and since 8 divides 2^32 the int wrap
         // cannot change the low 3 bits — pmod of the long xor is identical
@@ -1120,15 +1128,9 @@ object SparkEntry {
       val docs = base0.unionByName(dupes).select(col("doc_id"), col("text"),
         timestamp_micros(lit(1700000000000000L) +
           col("doc_id") * lit(1000000L)).as("ts"))
-      val (base, inDir) = stageTimeSegments(docs, 4, Seq(col("ts"), col("doc_id")))
-      val schema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val q = graft.streaming.StreamingPipeline.startFileSink(
-        graft.streaming.StreamingPipeline.dedupExact(src, "ts", "30 days"),
-        s"$base/out", s"$base/ckpt")
-      q.awaitTermination()
-      s.read.parquet(s"$base/out")
+      runStreamGate(s, docs, Seq(col("ts"), col("doc_id"))) { src =>
+        graft.streaming.StreamingPipeline.dedupExact(src(), "ts", "30 days")
+      }
         .groupBy(md5(col("text")).as("fp"))
         .agg(count(lit(1)).cast("long").as("n_out"),
           max(col("text")).as("text"))
@@ -1152,16 +1154,10 @@ object SparkEntry {
         lit("__wm_flush__").as("event_type"),
         timestamp_micros(lit(maxTs + 4L * 3600L * 1000000L)).as("ts"),
         lit(0.0).as("value"), lit(-1L).as("event_id"))
-      val (base, inDir) = stageTimeSegments(
-        events, 4, Seq(col("ts"), col("event_id")), extraLast = Some(sentinel))
-      val schema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val q = graft.streaming.StreamingPipeline.startFileSink(
-        graft.streaming.StreamingPipeline.ohlcBars(src),
-        s"$base/out", s"$base/ckpt")
-      q.awaitTermination()
-      s.read.parquet(s"$base/out")
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinel)) { src =>
+        graft.streaming.StreamingPipeline.ohlcBars(src())
+      }
         .where(col("event_type") =!= "__wm_flush__")
         .select(col("event_type"), col("bucket_us"), col("open"), col("high"),
           col("low"), col("close"), col("volume_cents"), col("n_events"))
@@ -1177,19 +1173,9 @@ object SparkEntry {
     "q_stream_sessionize_gate" -> ((s, dir) => {
       val events = ev(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"))
-      val (base, inDir) = stageTimeSegments(events, 4, Seq(col("ts"), col("event_id")))
-      val schema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamingPipeline.startFileSink(
-          graft.streaming.StreamingPipeline.sessionize(src, gap = "30 minutes"),
-          s"$base/out", s"$base/ckpt")
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(s"$base/out")
+      runStreamGate(s, events, Seq(col("ts"), col("event_id"))) { src =>
+        graft.streaming.StreamingPipeline.sessionize(src(), gap = "30 minutes")
+      }
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("session_idx"))
     }),
@@ -1202,19 +1188,9 @@ object SparkEntry {
     "q_stream_transitions_gate" -> ((s, dir) => {
       val events = ev(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      val (base, inDir) = stageTimeSegments(events, 4, Seq(col("ts"), col("event_id")))
-      val schema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamingPipeline.startFileSink(
-          graft.streaming.StreamingPipeline.transitions(src),
-          s"$base/out", s"$base/ckpt")
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val pairs = s.read.parquet(s"$base/out")
+      val pairs = runStreamGate(s, events, Seq(col("ts"), col("event_id"))) { src =>
+        graft.streaming.StreamingPipeline.transitions(src())
+      }
         .filter(col("to_type").isNotNull)
       val counts = pairs.groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
@@ -1239,21 +1215,11 @@ object SparkEntry {
         lit("__wm_flush__").as("event_type"),
         timestamp_micros(lit(maxTs + 4L * 3600L * 1000000L)).as("ts"),
         lit(-1L).as("event_id"))
-      val (base, inDir) = stageTimeSegments(
-        events, 4, Seq(col("ts"), col("event_id")), extraLast = Some(sentinel))
-      val schema = s.read.parquet(inDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamingPipeline.startFileSink(
-          graft.streaming.StreamingPipeline.sessionCounts(
-            src, gap = "30 minutes", watermark = Some("2 hours")),
-          s"$base/out", s"$base/ckpt")
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(s"$base/out")
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinel)) { src =>
+        graft.streaming.StreamingPipeline.sessionCounts(
+          src(), gap = "30 minutes", watermark = Some("2 hours"))
+      }
         .where(col("event_type") =!= "__wm_flush__")
         .select(unix_micros(col("s_start")).as("s_start"),
           col("event_type"), col("n"))
@@ -1270,26 +1236,16 @@ object SparkEntry {
     "q_stream_join_gate" -> ((s, dir) => {
       val events = ev(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      val (base, inDir) = stageTimeSegments(events, 4, Seq(col("ts"), col("event_id")))
-      val schema = s.read.parquet(inDir).schema
-      def src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-      val joined = graft.streaming.StreamingPipeline.intervalJoin(
-        src.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("buy_id"), col("user_id"), col("ts")),
-        src.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"),
-            col("ts").as("cts")),
-        Seq("user_id"), "ts", "cts",
-        within = "30 minutes", watermark = "2 hours")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamingPipeline.startFileSink(
-          joined, s"$base/out", s"$base/ckpt")
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(s"$base/out")
+      runStreamGate(s, events, Seq(col("ts"), col("event_id"))) { src =>
+        graft.streaming.StreamingPipeline.intervalJoin(
+          src().filter(col("event_type") === "purchase")
+            .select(col("event_id").as("buy_id"), col("user_id"), col("ts")),
+          src().filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("cts")),
+          Seq("user_id"), "ts", "cts",
+          within = "30 minutes", watermark = "2 hours")
+      }
         .select(col("buy_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("click_id"), unix_micros(col("cts")).as("cts_us"))
     }),
