@@ -92,6 +92,28 @@ object SparkEntry {
     s.read.parquet(s"$base/out")
   }
 
+  /** Shared export-gate back half: write `docs` (doc_id, text) as
+    * deterministic JSONL shards into ONE pid-scoped dir (overwritten per
+    * invocation — bench passes re-build these queries 3-5× per run, and
+    * a fresh temp dir each time would accrete corpus copies until /tmp
+    * fills) and read the WRITTEN shards back, so serialization fidelity,
+    * layout, and the shard derivation all sit inside the oracle compare. */
+  private def exportAndReadShards(
+      s: SparkSession,
+      docs: DataFrame,
+      dirName: String,
+      maxShardBytes: Long): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val out = s"${System.getProperty("java.io.tmpdir")}/$dirName" +
+      ProcessHandle.current().pid()
+    graft.sources.Sinks.exportShardedJsonl(docs, out, "doc_id", maxShardBytes)
+    s.read
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("shard", LongType))))
+      .json(out)
+      .select(col("doc_id"), col("text"), col("shard"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -708,22 +730,8 @@ object SparkEntry {
       val train = Curation.withSplit(kept, "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .where(col("split") === "train").select(col("doc_id"), col("text"))
-      // pid-scoped stable dir, overwritten per invocation (q_export_shards'
-      // disk discipline)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_pipe_export_gate_" +
-        ProcessHandle.current().pid()
-      graft.sources.Sinks.exportShardedJsonl(train, out, "doc_id",
+      exportAndReadShards(s, train, "graft_pipe_export_gate_",
         maxShardBytes = 128L * 1024)
-      s.read
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("shard",
-            org.apache.spark.sql.types.LongType))))
-        .json(out)
-        .select(col("doc_id"), col("text"), col("shard"))
     }),
 
     // Span-level decontamination (cross-corpus ExactSubstr): a 12-token
@@ -1257,26 +1265,10 @@ object SparkEntry {
     // partitioned layout, and the in-plan shard derivation are all inside
     // the oracle compare (a text byte lost to serialization flips the
     // hash).
-    "q_export_shards" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      // ONE stable dir per JVM (pid-scoped), overwritten each invocation:
-      // bench passes re-build this query 3-5x per run, and a fresh temp
-      // dir each time accretes corpus-sized JSONL copies until /tmp fills
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_gate_" +
-        ProcessHandle.current().pid()
-      graft.sources.Sinks.exportShardedJsonl(docs, out, "doc_id",
-        maxShardBytes = 256L * 1024)
-      s.read
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("shard",
-            org.apache.spark.sql.types.LongType))))
-        .json(out)
-        .select(col("doc_id"), col("text"), col("shard"))
-    }),
+    "q_export_shards" -> ((s, dir) =>
+      exportAndReadShards(s,
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "graft_export_gate_", maxShardBytes = 256L * 1024)),
 
     // Per-user activity trend: exact-integer least-squares slope fraction
     // over (day, daily count) points — two partial-agg shuffles, zero
