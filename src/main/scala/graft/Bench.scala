@@ -201,18 +201,33 @@ object Bench {
       }
       x
     }
+    // MEDIAN of 3 timed repeats per figure: this host's clock has been
+    // observed jumping under the hypervisor (one bench run recorded 9 ms
+    // for the 400M-iteration serial spin that measures ~880 ms standalone,
+    // every time — a nanoTime discontinuity, not JIT magic). A single
+    // sample can therefore be wrong in EITHER direction, and records
+    // reconcile runs BY the calib ratio, so the median — robust to one bad
+    // sample — is the right estimator. ~6 s total across before+after.
     def calibrate(): (Double, Double) = {
       spin(20000000L) // JIT warm
-      val t0 = System.nanoTime()
-      val r1 = spin(400000000L)
-      val serial = (System.nanoTime() - t0) / 1e6
+      def med3(f: () => Double): Double =
+        Seq(f(), f(), f()).sorted.apply(1)
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val serial = med3 { () =>
+        val t0 = System.nanoTime()
+        sink.addAndGet(spin(400000000L))
+        (System.nanoTime() - t0) / 1e6
+      }
       val n = Runtime.getRuntime.availableProcessors()
-      val t1 = System.nanoTime()
-      val ts = (1 to n).map(_ => new Thread { var out = 0L
-        override def run(): Unit = out = spin(400000000L / n) })
-      ts.foreach(_.start()); ts.foreach(_.join())
-      val par = (System.nanoTime() - t1) / 1e6
-      if ((r1 | ts.map(_.out).reduce(_ | _)) == 42L) System.err.print("")
+      val par = med3 { () =>
+        val t1 = System.nanoTime()
+        val ts = (1 to n).map(_ => new Thread { var out = 0L
+          override def run(): Unit = out = spin(400000000L / n) })
+        ts.foreach(_.start()); ts.foreach(_.join())
+        sink.addAndGet(ts.map(_.out).reduce(_ | _))
+        (System.nanoTime() - t1) / 1e6
+      }
+      if (sink.get == 42L) System.err.print("")
       (serial, par)
     }
     val calibBefore = calibrate()
@@ -231,16 +246,33 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
-    val first3 = Seq(pass(), pass(), pass())
-    // Load-robustness guard: min-of-3 becomes min-of-5 when either (a) the
-    // host was already loaded before this JVM started working (external
-    // load that poisons EVERY pass the same way — the r12 drift mode), or
-    // (b) the three pass totals disagree by >10% between best and
-    // second-best (a burst that spanned whole passes). Two more passes
-    // give the minimum two more chances to land in a quiet window.
-    val totals3 = first3.map(_.values.sum).sorted
-    val loaded = loadStart > 8.0 || totals3(1) > totals3(0) * 1.10
-    val passes = if (loaded) first3 ++ Seq(pass(), pass()) else first3
+    val passBuf = scala.collection.mutable.ArrayBuffer(pass(), pass(), pass())
+    def totalOfMins(ps: Seq[Map[String, Double]]): Double =
+      headliners.map(n => ps.map(_(n)).min).sum
+    // Escalation guards, in order of evidence strength:
+    //  (a) start load > 8 (a quarter of the cores busy before we began —
+    //      external/leftover load skewing every pass the same way, the
+    //      r12 drift mode): go straight to 5 passes;
+    //  (b) pass totals disagree >10% best-to-second (a burst spanning
+    //      whole passes): same;
+    //  (c) CONVERGENCE — keep sampling while the last pass still improved
+    //      the total-of-mins by >2% (cap 6). Under invisible hypervisor
+    //      contention (idle loadavg, slow calib) per-pass noise is large
+    //      and the minimum keeps dropping with samples: the same binaries
+    //      measured 108 s min-of-3 and 88.9 s min-of-5 in one r13 window,
+    //      a gap rule (c) closes without any loadavg signal at all.
+    val totals3 = passBuf.map(_.values.sum).sorted
+    if (loadStart > 8.0 || totals3(1) > totals3(0) * 1.10) {
+      passBuf += pass(); passBuf += pass()
+    }
+    var prevTotal = totalOfMins(passBuf.toSeq.dropRight(1))
+    var curTotal = totalOfMins(passBuf.toSeq)
+    while (passBuf.size < 6 && curTotal < prevTotal * 0.98) {
+      passBuf += pass()
+      prevTotal = curTotal
+      curTotal = totalOfMins(passBuf.toSeq)
+    }
+    val passes = passBuf.toSeq
     val results = headliners.map(n => n -> passes.map(_(n)).min)
     val total = results.map(_._2).sum
     // Streaming drains reported under their own key: the batch "value" total
