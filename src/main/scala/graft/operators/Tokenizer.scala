@@ -292,6 +292,116 @@ object Tokenizer {
     pieces.toSeq.toDF("piece", "cnt")
   }
 
+  // -------------------------------------------------------------------------
+  // WordPiece (BERT-style) encode: the THIRD real-world tokenizer family.
+  // Unlike BPE (ordered merges) and unigram-LM (Viterbi over scores),
+  // WordPiece inference is GREEDY LONGEST-MATCH-FIRST over a fixed vocab,
+  // with word-start pieces distinguished from continuation ("##") pieces.
+  // Greedy matching is memoryless — the piece chosen at a position depends
+  // only on (word, position), never on the path — which is what makes the
+  // segmentation a pure function of (word, vocab) that a SQL oracle can
+  // replay from a static longest-match table. Same scale discipline as the
+  // other two: the corpus collapses to the distinct-word table once; the
+  // vocab (the artifact) is driver-sized by definition.
+  // -------------------------------------------------------------------------
+
+  /** WordPiece vocab census: every substring of every distinct word,
+    * counted per occurrence weighted by word frequency, ROLE-SPLIT into
+    * word-start pieces (offset 1) vs continuation pieces (offset > 1) —
+    * BERT's "##" distinction, carried as a boolean instead of a marker
+    * prefix so piece strings stay raw. Single-character pieces always
+    * survive IN THEIR OBSERVED ROLE (the coverage floor greedy matching
+    * needs: any position can always consume one character); longer pieces
+    * need `minCount`. One piece-keyed partial agg over the vocab table. */
+  def wordpieceVocab(
+      docs: DataFrame,
+      maxPieceLen: Int = 4,
+      minCount: Long = 2,
+      textCol: String = "text"): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val words = wordFrequencies(docs, textCol)
+    val subs = words.select(col("wf"), explode(flatten(
+      transform(sequence(lit(1), length(col("w"))), i =>
+        transform(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - i + 1)),
+          l => struct(col("w").substr(i, l).as("piece"),
+            (i > lit(1)).as("is_cont")))))).as("s"))
+    subs.groupBy(col("s.piece").as("piece"), col("s.is_cont").as("is_cont"))
+      .agg(sum(col("wf")).cast("long").as("cnt"))
+      .where(length(col("piece")) === 1 || col("cnt") >= minCount)
+  }
+
+  /** Greedy longest-match-first segmentation of one word: at each
+    * position take the LONGEST vocab piece whose role matches (word-start
+    * at offset 0, continuation past it). Continuation pieces render with
+    * the conventional "##" prefix. The census contract ([[wordpieceVocab]]
+    * keeps every single character in its observed role) guarantees
+    * progress; a foreign vocab that cannot cover the word fails fast. */
+  private[graft] def segmentWordpiece(
+      w: String,
+      startPieces: collection.Set[String],
+      contPieces: collection.Set[String],
+      maxPieceLen: Int): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = 0
+    while (pos < w.length) {
+      val inWord = pos > 0
+      val vocab = if (inWord) contPieces else startPieces
+      var len = math.min(maxPieceLen, w.length - pos)
+      while (len > 0 && !vocab.contains(w.substring(pos, pos + len))) len -= 1
+      require(len > 0,
+        s"wordpiece vocab cannot segment '$w' at offset $pos (missing char coverage)")
+      val piece = w.substring(pos, pos + len)
+      out += (if (inWord) "##" + piece else piece)
+      pos += len
+    }
+    out.toList
+  }
+
+  /** Per-document subtoken counts under a WordPiece vocab — the
+    * encode-side readout for the greedy family ([[tokenCountsUnderMerges]]
+    * / [[tokenCountsUnderUnigram]]'s sibling): each DISTINCT word segments
+    * once, then one word-keyed join + doc-keyed partial agg scores the
+    * corpus; documents never re-segment, text never shuffles. `vocab` is
+    * the (piece, is_cont, cnt) frame [[wordpieceVocab]] returns;
+    * `maxInventory` is the driver-traffic fail-fast guard (the
+    * [[unigramTrain]] discipline — the vocab IS the tokenizer, so a
+    * million-piece collect signals a sizing bug, not a big corpus). */
+  def tokenCountsUnderWordpiece(
+      docs: DataFrame,
+      vocab: DataFrame,
+      maxPieceLen: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxInventory: Int = 200000): DataFrame = {
+    require(maxInventory >= 1, s"maxInventory must be >= 1: $maxInventory")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inv = vocab.select(col("piece"), col("is_cont"))
+      .limit(maxInventory + 1)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    require(inv.length <= maxInventory,
+      s"wordpiece vocab exceeds maxInventory=$maxInventory pieces — raise " +
+        s"minCount / lower maxPieceLen in wordpieceVocab, or raise maxInventory")
+    val bcStart = spark.sparkContext.broadcast(
+      inv.collect { case (p, false) => p }.toSet)
+    val bcCont = spark.sparkContext.broadcast(
+      inv.collect { case (p, true) => p }.toSet)
+    val maxL = maxPieceLen
+    val words = docs.select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+    val encoded = words.select(col("w")).distinct().as[String]
+      .map(w => (w,
+        segmentWordpiece(w, bcStart.value, bcCont.value, maxL).length.toLong))
+      .toDF("w", "n_sub")
+    words.join(encoded, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_subtokens"))
+  }
+
   /** Per-document subtoken counts under a TRAINED unigram inventory — the
     * encode-side readout ([[tokenCountsUnderMerges]]'s sibling for the
     * unigram family): each DISTINCT word segments once by integer

@@ -162,4 +162,57 @@ class TokenizerSpec extends AnyFunSuite with SparkSpec {
     assert(inv == Map("a" -> 1L, "b" -> 1L, "ab" -> 3L,
       "c" -> 1L, "d" -> 1L, "cd" -> 3L))
   }
+
+  test("wordpieceVocab: role-split census, single-char floor per role") {
+    // corpus: "abc" x2, "bc" x1. Word-start pieces: a, ab, abc, b, bc;
+    // continuation: b, c, bc, c(from abc pos3). minCount=2 prunes
+    // multi-char pieces seen once per role, chars always survive.
+    val got = Tokenizer.wordpieceVocab(docs("abc abc bc"),
+        maxPieceLen = 3, minCount = 2)
+      .collect().map(r => ((r.getString(0), r.getBoolean(1)), r.getLong(2))).toMap
+    assert(got(("a", false)) == 2L)     // word-start char
+    assert(got(("b", true)) == 2L)      // continuation char (inside abc x2)
+    assert(got(("c", true)) == 3L)      // inside abc x2 + inside bc x1
+    assert(got(("abc", false)) == 2L)   // multi-char meets minCount
+    assert(got(("bc", true)) == 2L)     // continuation bigram inside abc x2
+    assert(!got.contains(("bc", false)))  // word-start "bc" seen once: pruned
+    assert(got(("b", false)) == 1L)     // word-start char floor (bc x1)
+  }
+
+  test("segmentWordpiece: greedy longest-match-first with ## continuations") {
+    val start = Set("un", "u", "n", "r", "e", "l", "a", "t", "d", "unrelat")
+    val cont = Set("related", "relat", "ed", "e", "d", "r", "l", "a", "t", "n")
+    // longest start piece "unrelat" wins over "un"; then "ed" continues
+    assert(Tokenizer.segmentWordpiece("unrelated", start, cont, 8)
+      == List("unrelat", "##ed"))
+    // bounded by maxPieceLen: cap 2 forces "un" then greedy continuations
+    assert(Tokenizer.segmentWordpiece("unrelated", start, cont, 2)
+      == List("un", "##r", "##e", "##l", "##a", "##t", "##ed"))
+    // missing coverage fails fast, not silently
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.segmentWordpiece("xy", Set("x"), Set.empty, 2)
+    }
+    assert(e.getMessage.contains("cannot segment"))
+  }
+
+  test("tokenCountsUnderWordpiece: census vocab covers its own corpus; " +
+      "greedy counts via one word-keyed join") {
+    val d = docs("abab ab", "abab cd cd")
+    val vocab = Tokenizer.wordpieceVocab(d, maxPieceLen = 2, minCount = 2)
+    val got = Tokenizer.tokenCountsUnderWordpiece(d, vocab, maxPieceLen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // vocab: start {a,ab,c,cd}, cont {b,ab,d,a(from abab)...}; greedy:
+    // "abab" -> ab + ##ab (2), "ab" -> ab (1), "cd" -> cd (1)
+    assert(got == Map(0L -> ((2L, 3L)), 1L -> ((3L, 4L))))
+  }
+
+  test("tokenCountsUnderWordpiece: maxInventory fail-fast") {
+    val d = docs("ab ab cd cd")
+    val vocab = Tokenizer.wordpieceVocab(d, maxPieceLen = 2, minCount = 1)
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.tokenCountsUnderWordpiece(d, vocab, maxPieceLen = 2,
+        maxInventory = 2)
+    }
+    assert(e.getMessage.contains("maxInventory"))
+  }
 }
