@@ -1258,6 +1258,52 @@ object SparkEntry {
           col("click_id"), unix_micros(col("cts")).as("cts_us"))
     }),
 
+    // The streaming ANOMALY DETECTOR under the hash gate (9th family —
+    // the ingest-time alerting path: per-key ring state of the trailing
+    // 24 closed hour buckets, flagged by the cross-multiplied integer
+    // z-test). A bucket only emits when a LATER bucket arrives for the
+    // same key, so a far-future sentinel event PER KEY closes every real
+    // bucket (the OHLC sentinel idea, per-key because this state is
+    // per-key, not watermark-driven); the sentinel's own forever-open
+    // bucket never emits. On in-order replay the sink IS the batch
+    // detector's output — the oracle is q_anomaly's own SQL.
+    "q_stream_anomaly_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinels = events.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          timestamp_micros(lit(maxTs + 48L * 3600L * 1000000L)).as("ts"),
+          lit(-1L).as("event_id"))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinels)) { src =>
+        graft.streaming.StreamingPipeline.anomalyFlags(src())
+      }
+        .select(col("event_type"), col("bucket_us"), col("n"), col("s_prev"),
+          col("ss_prev"), col("w_prev"), col("is_anomaly"))
+    }),
+
+    // The STREAM-STATIC AS-OF JOIN under the hash gate (the zero-state
+    // streaming path: the snapshot side broadcasts as validity intervals,
+    // each micro-batch is a stateless hash lookup): purchases replay as 4
+    // micro-batches against the static view-snapshot frame — the exact
+    // composition q_asof_iv gates in batch mode, now executed by the real
+    // streaming engine. Stateless ⇒ the sink equals the batch join row
+    // for row; the oracle is q_asof_iv's own DuckDB ASOF SQL.
+    "q_stream_asof_gate" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      runStreamGate(s, purchases, Seq(col("ts"), col("event_id"))) { src =>
+        operators.AsOfJoin.asofJoinStreamStatic(src(), views, Seq("user_id"))
+      }
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("asof_view_value").as("view_value"),
+          unix_micros(col("asof_ts")).as("view_ts_us"))
+    }),
+
     // Training-shard export END-TO-END under the hash gate: the corpus is
     // written as deterministic ~256 KiB JSONL shards (salted-md5
     // assignment, shard count from the portable byte estimator), then the
@@ -1560,6 +1606,22 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       operators.Tokenizer.tokenCountsUnderUnigram(docs,
         operators.Tokenizer.unigramTrain(docs, rounds = 2, maxPieceLen = 4),
+        maxPieceLen = 4)
+    }),
+
+    // WordPiece (BERT-style) greedy longest-match tokenizer — the THIRD
+    // real tokenizer family next to BPE merges and unigram Viterbi:
+    // role-split substring census (word-start vs "##" continuation), then
+    // each DISTINCT word consumes greedily under the broadcast vocab.
+    // Greedy is memoryless, so the oracle replays it from a static
+    // per-(word, offset) longest-match table instead of a path search.
+    "q_wordpiece_vocab" -> ((s, dir) =>
+      operators.Tokenizer.wordpieceVocab(t(s, dir, "documents"),
+        maxPieceLen = 4, minCount = 2)),
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Tokenizer.tokenCountsUnderWordpiece(docs,
+        operators.Tokenizer.wordpieceVocab(docs, maxPieceLen = 4, minCount = 2),
         maxPieceLen = 4)
     }),
 
@@ -2196,6 +2258,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     }),
 
+    // Johnson–Lindenstrauss ±1 sign projection (Achlioptas): 64-d float
+    // embeddings shrink to 8 exact fixed-point coordinates in one pure
+    // scan — the pre-LSH/pre-SemDeDup width cut. Integer end to end
+    // (components quantize to round(x·1000) before the signed sums), so
+    // the gate is bit-exact, not rounded-double; the sign matrix is the
+    // engine's own seeded constants embedded in the oracle (the
+    // makePlanes discipline).
+    "q_rand_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), outDims = 8, dim = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "y")))),
+
     // Contrastive mining: k deterministic uniform negatives per doc from
     // the salted-md5 ring — integer arithmetic end to end, one pos-keyed
     // join, payloads never expand.
@@ -2665,6 +2738,68 @@ object SparkEntry {
            |  CAST(sum(n_sub) AS BIGINT) AS n_subtokens
            |FROM docw JOIN nsub USING (w) GROUP BY doc_id""".stripMargin
     }
+  }
+
+  /** q_wordpiece_* reference: the same role-split census, then the greedy
+    * longest-match walk replayed from a STATIC per-(word, offset)
+    * longest-match table — greedy is memoryless, so no path search; the
+    * recursion only advances the cursor. */
+  private def wordpieceOracleSql(maxLen: Int, minCount: Long, mode: String): String = {
+    val base =
+      s"""WITH RECURSIVE wf AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+         |  WHERE length(w) >= 1 GROUP BY w),
+         |voc AS (
+         |  SELECT piece, is_cont, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |           i > 1 AS is_cont, wf
+         |    FROM wf,
+         |         UNNEST(range(1, length(w) + 1)) r(i),
+         |         UNNEST(range(1, least($maxLen, length(w) - i + 1) + 1)) r2(l))
+         |  GROUP BY piece, is_cont
+         |  HAVING length(piece) = 1 OR sum(wf) >= $minCount)""".stripMargin
+    if (mode == "vocab") base + "\nSELECT piece, is_cont, cnt FROM voc"
+    else base + s""",
+       |best AS (
+       |  SELECT w, pos, max(len) AS len FROM (
+       |    SELECT c.w, c.pos, length(v.piece) AS len
+       |    FROM (SELECT wf.w, CAST(p.pos AS INT) AS pos
+       |          FROM wf, UNNEST(range(0, length(wf.w))) p(pos)) c
+       |    JOIN voc v ON v.is_cont = (c.pos > 0)
+       |      AND substr(c.w, c.pos + 1, length(v.piece)) = v.piece)
+       |  GROUP BY w, pos),
+       |walk AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS n_sub FROM wf
+       |  UNION ALL
+       |  SELECT s.w, s.pos + CAST(b.len AS INT), s.n_sub + 1
+       |  FROM walk s JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |  WHERE s.pos < length(s.w)),
+       |nsub AS (SELECT w, n_sub FROM walk WHERE pos = length(w)),
+       |docw AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) WHERE length(w) >= 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subtokens
+       |FROM docw JOIN nsub USING (w) GROUP BY doc_id""".stripMargin
+  }
+
+  /** q_rand_project reference: the engine's seeded ±1 sign matrix embedded
+    * as VALUES literals (the makePlanes constants-in-both-engines
+    * discipline); the projection itself is exact integer arithmetic on the
+    * shared round(x·1000) quantization, so no rounding band is needed. */
+  private def randProjectOracleSql(outDims: Int, dim: Int, seed: Long): String = {
+    val signs = graft.functions.VectorFunctions.makeSigns(outDims, dim, seed)
+    val values = signs.zipWithIndex
+      .map { case (row, j) => s"($j, [${row.mkString(",")}])" }
+      .mkString(",\n       ")
+    s"""WITH s(dim, sg) AS (VALUES $values),
+       |q AS (SELECT vec_id, list_transform(embedding,
+       |        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |      FROM embeddings)
+       |SELECT q.vec_id, CAST(s.dim AS INT) AS dim,
+       |  CAST(list_sum(list_transform(list_zip(q.qe, s.sg), z -> z[1] * z[2])) AS BIGINT) AS y
+       |FROM q, s""".stripMargin
   }
 
   /** q_corr_stats reference: one UNION ALL block per column pair, exact
@@ -3648,6 +3783,9 @@ object SparkEntry {
     "q_unigram_seed" -> unigramOracleSql(2, 4, 2, "seed"),
     "q_unigram_train" -> unigramOracleSql(2, 4, 2, "train"),
     "q_unigram_encode" -> unigramOracleSql(2, 4, 2, "encode"),
+    "q_wordpiece_vocab" -> wordpieceOracleSql(4, 2, "vocab"),
+    "q_wordpiece_encode" -> wordpieceOracleSql(4, 2, "encode"),
+    "q_rand_project" -> randProjectOracleSql(8, 64, 0xA5F152EDL),
 
     "q_corr_stats" -> corrOracleSql(
       Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),
@@ -4363,6 +4501,39 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+
+    // the per-key sentinel closes every real bucket, so the streamed
+    // detector's sink is the complete batch output — the oracle IS
+    // q_anomaly's
+    "q_stream_anomaly_gate" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(coalesce(sum(n) OVER win, 0) AS BIGINT) AS s_prev,
+        |    CAST(coalesce(sum(n * n) OVER win, 0) AS BIGINT) AS ss_prev,
+        |    count(n) OVER win AS w_prev
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_us
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket_us, n, s_prev, ss_prev, w_prev,
+        |  (w_prev = 24 AND
+        |   (24 * n - s_prev) * (24 * n - s_prev) * 23 >
+        |     4 * 24 * (24 * ss_prev - s_prev * s_prev)) AS is_anomaly
+        |FROM w""".stripMargin,
+
+    // the stateless stream-static as-of emits the batch join row for row
+    // — the oracle IS q_asof_iv's
+    "q_stream_asof_gate" ->
+      """WITH v AS (SELECT user_id, ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |       v.view_value AS view_value, epoch_us(v.ts) AS view_ts_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
     // the peel unrolled: n_i = nodes of the subgraph induced by n_{i-1}
     // with induced degree >= k; 8 rounds > the measured convergence

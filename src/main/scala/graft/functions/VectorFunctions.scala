@@ -86,4 +86,39 @@ object VectorFunctions {
     }
     Seq.fill(nPlanes)(Array.fill(dim)(next()))
   }
+
+  /** Deterministic ±1 sign matrix for Johnson–Lindenstrauss sign projection
+    * (the dense ±1 member of Achlioptas 2003's database-friendly family) —
+    * same xorshift generator as [[makePlanes]], signs from the stream's
+    * parity bit. Shared verbatim with any oracle SQL ([[makePlanes]]'s
+    * constants-in-both-engines discipline). */
+  def makeSigns(outDims: Int, dim: Int, seed: Long = 0xA5F152EDL): Seq[Array[Long]] = {
+    var s = if (seed == 0L) 1L else seed // xorshift fixed point at 0
+    def next(): Long = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      if ((s & 1L) == 0L) 1L else -1L
+    }
+    Seq.fill(outDims)(Array.fill(dim)(next()))
+  }
+
+  /** Exact fixed-point JL projection: components quantize ONCE to
+    * `round(x·1000)` longs, then every output dimension is a ±1-signed
+    * INTEGER sum — no float accumulation anywhere, so the result is
+    * bit-identical in any engine and any evaluation order (stronger than
+    * the cosine gates' rounded-double parity). A vector whose length does
+    * not match the sign rows fails fast (a null-padded zip would silently
+    * zero the tail). */
+  def projectSignsQuantized(v: Column, signs: Seq[Array[Long]]): Column = {
+    require(signs.nonEmpty, "projectSignsQuantized: empty sign matrix")
+    val dim = signs.head.length
+    require(signs.forall(_.length == dim),
+      "projectSignsQuantized: ragged sign matrix")
+    val qv = transform(v, x => round(x.cast("double") * 1000).cast("long"))
+    val proj = array(signs.map(row =>
+      aggregate(zip_with(qv, typedLit(row.toSeq), (x, s) => x * s),
+        lit(0L), (a, x) => a + x)): _*)
+    when(size(v) === lit(dim), proj).otherwise(raise_error(concat(
+      lit(s"projectSignsQuantized: vector dim != sign dim $dim (size="),
+      size(v).cast("string"), lit(")"))))
+  }
 }

@@ -375,6 +375,33 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
+  /** Johnson–Lindenstrauss dimensionality reduction by deterministic ±1
+    * sign projection (Achlioptas 2003): each of `outDims` output
+    * coordinates is a signed sum of the input components, signs from the
+    * seeded [[graft.functions.VectorFunctions.makeSigns]] stream. The JL
+    * lemma keeps pairwise geometry to within ε for outDims = O(ln n / ε²)
+    * — the standard pre-shrink before LSH bucketing / SemDeDup when the
+    * raw embedding width dominates storage or shuffle volume.
+    *
+    * Determinism: components quantize once to round(x·1000) fixed-point,
+    * so every output is an exact INTEGER — reproducible across engines,
+    * partitionings, and evaluation orders (cosine on the projected ints
+    * approximates cosine on the raw vectors; the 1000× scale cancels).
+    *
+    * Scale shape: a pure per-row codegen'd scan expression — zero
+    * shuffles, zero driver traffic; the sign matrix is outDims × dim plan
+    * literals (a few KiB). At 100 TB this runs at scan speed and cuts
+    * every downstream exchange by dim/outDims. */
+  def randomProject(
+      vecs: DataFrame,
+      outDims: Int = 8,
+      dim: Int = 64,
+      seed: Long = 0xA5F152EDL,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol),
+      projectSignsQuantized(col(vecCol), makeSigns(outDims, dim, seed)).as("proj"))
+
   /** IVF (inverted-file) ANN: k-means cells over the corpus; each query
     * probes its `nprobe` nearest cells and ranks candidates by exact cosine.
     * The classic coarse-quantizer scale path — per-query work is

@@ -529,4 +529,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hof == Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
   }
+
+  test("randomProject: exact integer ±sums matching a driver-side replay") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.makeSigns
+    // dyadic components: x*1000 quantizes exactly, so the expected values
+    // are computable without any float tolerance
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-0.125f, 1.5f, -2.5f, 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val signs = makeSigns(outDims = 3, dim = 4)
+    val got = graft.operators.Similarity
+      .randomProject(df, outDims = 3, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = vecs.map { case (id, v) =>
+      id -> signs.map(row =>
+        v.zip(row).map { case (x, s) => math.round(x.toDouble * 1000) * s }.sum).toSeq
+    }.toMap
+    assert(got == want)
+    // zero vector projects to the origin under any signs
+    assert(got(2L) == Seq(0L, 0L, 0L))
+    // determinism: same seed -> same matrix; the generator never emits 0
+    assert(makeSigns(3, 4).map(_.toSeq) == signs.map(_.toSeq))
+    assert(signs.flatten.forall(s => s == 1L || s == -1L))
+  }
+
+  test("randomProject: dimension mismatch fails fast, not null-padded") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.operators.Similarity.randomProject(df, outDims = 2, dim = 3).collect()
+    }
+    assert(e.getMessage.contains("vector dim != sign dim"))
+  }
 }
