@@ -717,6 +717,31 @@ object SparkEntry {
             col("text"), bowWeights, bias = 0.05).as("margin"))
         .withColumn("keep", col("margin") > 0.0)),
 
+    // In-engine linear-classifier TRAINING — the step that produces what
+    // q_quality_model consumes: 3 full-batch perceptron epochs over the
+    // hashed-BoW postings (lang='en' vs rest as the demo task). Integer
+    // end to end (counts, margins, gradients, weights), so the trained
+    // artifact hash-matches the oracle's epoch-unrolled replay exactly;
+    // driver traffic per epoch = the weight vector. (The synthetic corpus
+    // draws tokens INDEPENDENT of lang, so ~56% here IS the Bayes rate —
+    // the gate checks the training machinery, not the fixture's
+    // learnability; ClassifierSpec proves convergence to 100% and a
+    // zero-gradient fixed point on a separable corpus.)
+    "q_train_perceptron" -> ((s, dir) =>
+      operators.Classifier.trainPerceptron(t(s, dir, "documents"),
+        when(col("lang") === "en", 1L).otherwise(-1L),
+        buckets = 64, epochs = 3)),
+    // the apply readout under the weights just trained: per-doc integer
+    // margin + correctness (the fit's own training accuracy surface)
+    "q_train_margins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val label = when(col("lang") === "en", 1L).otherwise(-1L)
+      operators.Classifier.marginsUnder(docs,
+        operators.Classifier.trainPerceptron(docs, label,
+          buckets = 64, epochs = 3),
+        label, buckets = 64)
+    }),
+
     // The curation pipeline CAPSTONE, end-to-end under one hash gate:
     // model-based quality filter -> leakage-safe train split -> sharded
     // JSONL training export -> the WRITTEN shards read back. Three
@@ -2784,6 +2809,47 @@ object SparkEntry {
        |FROM docw JOIN nsub USING (w) GROUP BY doc_id""".stripMargin
   }
 
+  /** q_train_perceptron / q_train_margins reference: the full-batch
+    * perceptron UNROLLED epoch for epoch — postings (+ bias bucket −1),
+    * ±1 labels, then per epoch the integer margin pass, the
+    * misclassified-docs (y·m ≤ 0) subgradient, and the weight update.
+    * Pure integer arithmetic: no tolerance anywhere. */
+  private def perceptronOracleSql(
+      buckets: Int, epochs: Int, mode: String): String = {
+    val base =
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT % $buckets AS BIGINT) AS b,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM tk WHERE length(t) >= 1 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+         |y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |      FROM documents),
+         |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM p)""".stripMargin
+    val rounds = (1 to epochs).map { r =>
+      s"""m$r AS (SELECT p.doc_id, CAST(sum(p.x * w${r - 1}.w) AS BIGINT) AS m
+         |        FROM p JOIN w${r - 1} USING (b) GROUP BY 1),
+         |g$r AS (SELECT p.b, CAST(sum(y.y * p.x) AS BIGINT) AS g
+         |        FROM p JOIN m$r USING (doc_id) JOIN y USING (doc_id)
+         |        WHERE y.y * m$r.m <= 0 GROUP BY 1),
+         |w$r AS (SELECT w${r - 1}.b, w${r - 1}.w + coalesce(g$r.g, 0) AS w
+         |        FROM w${r - 1} LEFT JOIN g$r USING (b))""".stripMargin
+    }.mkString(",\n")
+    if (mode == "weights")
+      base + ",\n" + rounds + s"\nSELECT b, CAST(w AS BIGINT) AS w FROM w$epochs"
+    else
+      base + ",\n" + rounds + s""",
+         |mf AS (SELECT p.doc_id, CAST(sum(p.x * w$epochs.w) AS BIGINT) AS margin
+         |       FROM p JOIN w$epochs USING (b) GROUP BY 1)
+         |SELECT mf.doc_id, mf.margin, CAST(y.y AS BIGINT) AS y,
+         |  y.y * mf.margin > 0 AS correct
+         |FROM mf JOIN y USING (doc_id)""".stripMargin
+  }
+
   /** q_rand_project reference: the engine's seeded ±1 sign matrix embedded
     * as VALUES literals (the makePlanes constants-in-both-engines
     * discipline); the projection itself is exact integer arithmetic on the
@@ -3786,6 +3852,8 @@ object SparkEntry {
     "q_wordpiece_vocab" -> wordpieceOracleSql(4, 2, "vocab"),
     "q_wordpiece_encode" -> wordpieceOracleSql(4, 2, "encode"),
     "q_rand_project" -> randProjectOracleSql(8, 64, 0xA5F152EDL),
+    "q_train_perceptron" -> perceptronOracleSql(64, 3, "weights"),
+    "q_train_margins" -> perceptronOracleSql(64, 3, "margins"),
 
     "q_corr_stats" -> corrOracleSql(
       Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),
