@@ -159,7 +159,12 @@ object Bench {
     // the substr machinery)
     "q_export_shards", "q_quality_model", "q_decontam_spans",
     // the composed filter->split->export capstone (one plan + the write)
-    "q_pipeline_export")
+    "q_pipeline_export",
+    // r13 batch 2: WordPiece greedy encode (distinct-word fold + one
+    // word-keyed join), JL ±1 sign projection (pure integer scan), and
+    // the 3-epoch perceptron trainer (postings pinned once, per-epoch
+    // broadcast-weights join + two partial aggs)
+    "q_wordpiece_encode", "q_rand_project", "q_train_perceptron")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -426,7 +431,10 @@ object Bench {
       "tsmp" -> "tsm", "unin" -> "unn", "vcov" -> "vcv", "pl_export" -> "plx",
       // r13 (post-chain exact forms: "quality"->"qual", "decontam"->"decon"
       // already rewrote the prefixes by the time the diet applies)
-      "qual_model" -> "qmd", "dcn_spans" -> "dsp", "decon_spans" -> "dsp")
+      "qual_model" -> "qmd", "dcn_spans" -> "dsp", "decon_spans" -> "dsp",
+      // r13 batch 2
+      "wordpiece_encode" -> "wpe", "rand_project" -> "rpj",
+      "train_perceptron" -> "tpn")
     def short(k: String): String = {
       val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
       diet.getOrElse(s, s)

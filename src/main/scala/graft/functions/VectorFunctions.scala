@@ -105,20 +105,17 @@ object VectorFunctions {
     * `round(x·1000)` longs, then every output dimension is a ±1-signed
     * INTEGER sum — no float accumulation anywhere, so the result is
     * bit-identical in any engine and any evaluation order (stronger than
-    * the cosine gates' rounded-double parity). A vector whose length does
-    * not match the sign rows fails fast (a null-padded zip would silently
-    * zero the tail). */
+    * the cosine gates' rounded-double parity). Fused native expression
+    * ([[SignProject]] — the HOF `zip_with`+`aggregate` form re-quantized
+    * per output dim, ~180 µs/row at dim 64 × k 8); fails fast on a
+    * dimension mismatch (a null-padded zip would silently zero the
+    * tail). */
   def projectSignsQuantized(v: Column, signs: Seq[Array[Long]]): Column = {
     require(signs.nonEmpty, "projectSignsQuantized: empty sign matrix")
     val dim = signs.head.length
     require(signs.forall(_.length == dim),
       "projectSignsQuantized: ragged sign matrix")
-    val qv = transform(v, x => round(x.cast("double") * 1000).cast("long"))
-    val proj = array(signs.map(row =>
-      aggregate(zip_with(qv, typedLit(row.toSeq), (x, s) => x * s),
-        lit(0L), (a, x) => a + x)): _*)
-    when(size(v) === lit(dim), proj).otherwise(raise_error(concat(
-      lit(s"projectSignsQuantized: vector dim != sign dim $dim (size="),
-      size(v).cast("string"), lit(")"))))
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(SignProject(GraftExpr.expression(v), signs.toArray))
   }
 }
