@@ -239,6 +239,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextFunctions.hashedBowMarginDyn(GraftExpr.column(args(0)),
           GraftExpr.column(args(1)), GraftExpr.column(args(2)))))))
 
+    ext.injectFunction((FunctionIdentifier("strip_markup"),
+      info("strip_markup",
+        "strip_markup(text) - HTML/markup strip (script/style/comment " +
+          "bodies dropped, tags flattened, standard entities decoded, " +
+          "whitespace collapsed) - the CommonCrawl text-extraction step"),
+      arity("strip_markup", 1)(args => GraftExpr.catalystExpression(
+        TextFunctions.stripMarkup(GraftExpr.column(args(0)))))))
+
     ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
       info("bloom_might_contain",
         "bloom_might_contain(bloom, xxhash64_value) - membership probe; " +

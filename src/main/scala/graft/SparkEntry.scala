@@ -1599,6 +1599,39 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0))
     }),
 
+    // Kneser-Ney bigram-LM sufficient statistics: the smoothed LM's exact
+    // integer moments (c2, cpre, N1+ fwd/back, type count) in the
+    // corrStats "one division away" discipline — the occurrence volume
+    // collapses in ONE bigram-keyed agg, everything after is model-table
+    // sized. Top-200 by (c2 desc, w1, w2) keeps the readout bounded.
+    "q_bigram_kn" -> ((s, dir) =>
+      Curation.kneserNeyStats(t(s, dir, "documents"), topK = 200)),
+
+    // HTML/markup strip (the CommonCrawl text-extraction step): the
+    // corpus gains deterministic doc_id-scheduled markup — script/style
+    // bodies, comments, tags, the five standard entities (the q_redact
+    // injection pattern) — and the fixed regexp chain must recover clean
+    // prose; script/comment CONTENT must vanish, entity text must decode.
+    "q_strip_markup" -> ((s, dir) => {
+      val deco = concat(
+        lit("<html><body>"),
+        when(col("doc_id") % 7 === 0,
+          lit("<script type=\"text/js\">var x = 1 < 2;</script>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("<!-- tracking "), col("doc_id"), lit(" -->")))
+          .otherwise(lit("")),
+        lit("<p class=\"main\">"), col("text"), lit("</p>"),
+        when(col("doc_id") % 5 === 0,
+          lit("<p>5 &lt; 6 &amp;&amp; &quot;q&#39;s&quot;&nbsp;ok</p>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("<style>p { color: red; }</style>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.stripMarkup(deco).as("clean"))
+    }),
+
     // Weight-proportional deterministic sample: keep P ∝ n_chars (longer
     // docs survive more often), membership a pure function of (id, salt).
     "q_sample_weighted" -> ((s, dir) =>
@@ -2850,6 +2883,30 @@ object SparkEntry {
          |FROM mf JOIN y USING (doc_id)""".stripMargin
   }
 
+  /** q_strip_markup reference: the decoration stated in SQL, then the
+    * strip chain GENERATED from the engine's own
+    * [[graft.functions.TextFunctions.markupSteps]] — patterns shared
+    * verbatim (the redactPii discipline), so the two engines can only
+    * agree by running the same rules in the same order. */
+  private def stripMarkupOracleSql: String = {
+    val deco =
+      """('<html><body>'
+        |  || CASE WHEN doc_id % 7 = 0 THEN '<script type="text/js">var x = 1 < 2;</script>' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN '<!-- tracking ' || doc_id || ' -->' ELSE '' END
+        |  || '<p class="main">' || text || '</p>'
+        |  || CASE WHEN doc_id % 5 = 0 THEN '<p>5 &lt; 6 &amp;&amp; &quot;q&#39;s&quot;&nbsp;ok</p>' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN '<style>p { color: red; }</style>' ELSE '' END
+        |  || '</body></html>')""".stripMargin
+    def q(s: String) = s.replace("'", "''")
+    val chain = graft.functions.TextFunctions.markupSteps.foldLeft(deco) {
+      case (acc, (true, re, rep)) =>
+        s"regexp_replace($acc, '${q(re)}', '${q(rep)}', 'g')"
+      case (acc, (false, l, rep)) =>
+        s"replace($acc, '${q(l)}', '${q(rep)}')"
+    }
+    s"SELECT doc_id, trim($chain) AS clean FROM documents"
+  }
+
   /** q_rand_project reference: the engine's seeded ±1 sign matrix embedded
     * as VALUES literals (the makePlanes constants-in-both-engines
     * discipline); the projection itself is exact integer arithmetic on the
@@ -3854,6 +3911,26 @@ object SparkEntry {
     "q_rand_project" -> randProjectOracleSql(8, 64, 0xA5F152EDL),
     "q_train_perceptron" -> perceptronOracleSql(64, 3, "weights"),
     "q_train_margins" -> perceptronOracleSql(64, 3, "margins"),
+    "q_strip_markup" -> stripMarkupOracleSql,
+
+    // Kneser-Ney sufficient stats: the same one-shuffle bigram census,
+    // then model-table-sized joins; every column an exact integer
+    "q_bigram_kn" ->
+      """WITH arr AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(a)),
+        |         i -> a[i] || ' ' || a[i+1])) AS bg FROM arr),
+        |c AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+        |        CAST(count(*) AS BIGINT) AS c2
+        |      FROM bg GROUP BY 1, 2),
+        |pre AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cpre,
+        |          CAST(count(*) AS BIGINT) AS n1fwd FROM c GROUP BY 1),
+        |back AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1back FROM c GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c)
+        |SELECT w1, w2, c2, cpre, n1fwd, n1back,
+        |  (SELECT n_types FROM t) AS n_types
+        |FROM c JOIN pre USING (w1) JOIN back USING (w2)
+        |ORDER BY c2 DESC, w1, w2 LIMIT 200""".stripMargin,
 
     "q_corr_stats" -> corrOracleSql(
       Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),

@@ -247,6 +247,38 @@ object TextFunctions {
       regexp_replace(c, re, token)
     }
 
+  /** Markup-stripping steps shared VERBATIM with the oracle SQL — each is
+    * (isRegex, pattern, replacement), applied in order. RE2-safe subset
+    * (no backreferences, no lookaround), so Java regex and DuckDB RE2
+    * agree; script/style/comment bodies go first (their content must not
+    * survive as "text"), then remaining tags become spaces, then the five
+    * standard entities decode (&amp; LAST so freshly decoded text cannot
+    * double-decode), then whitespace collapses. */
+  private[graft] val markupSteps: Seq[(Boolean, String, String)] = Seq(
+    (true, "(?is)<script[^>]*>.*?</script>", " "),
+    (true, "(?is)<style[^>]*>.*?</style>", " "),
+    (true, "(?s)<!--.*?-->", " "),
+    (true, "<[^>]+>", " "),
+    (false, "&lt;", "<"),
+    (false, "&gt;", ">"),
+    (false, "&quot;", "\""),
+    (false, "&#39;", "'"),
+    (false, "&nbsp;", " "),
+    (false, "&amp;", "&"),
+    (true, "\\s+", " "))
+
+  /** HTML/markup strip — the CommonCrawl-style text-extraction step:
+    * drop script/style/comment bodies, flatten remaining tags to spaces,
+    * decode the five standard entities, collapse whitespace, trim. A
+    * fixed regexp_replace/replace chain (codegen'd, scan-bound, zero
+    * shuffles at any scale); NOT an HTML parser by design — malformed
+    * nesting degrades to extra whitespace, never to dropped prose. */
+  def stripMarkup(text: Column): Column =
+    trim(markupSteps.foldLeft(text) {
+      case (c, (true, re, rep)) => regexp_replace(c, re, rep)
+      case (c, (false, lit_, rep)) => replace(c, lit(lit_), lit(rep))
+    })
+
   /** Fraction of token occurrences that are repeats of an earlier token:
     * `1 - distinct/total` — the cheap Gopher-style repetition signal
     * (templated/spun text scores high). Exact double (int/int division),

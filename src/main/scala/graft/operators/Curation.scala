@@ -373,6 +373,45 @@ object Curation {
         sum(col("__k") * coalesce(col("__c1"), lit(0L))).cast("long").as("sum_prefix"))
   }
 
+  /** Kneser–Ney bigram-LM sufficient statistics — the smoothed sibling of
+    * [[bigramRarity]]'s MLE counts, in the [[corrStats]] discipline: emit
+    * the EXACT INTEGER moments and leave the one division to the
+    * consumer, so the model table hash-gates where any in-engine float
+    * smoothing could not. Per bigram (w1, w2), interpolated KN needs
+    * exactly: c2 = c(w1 w2), cpre = Σ_w c(w1 w) (the conditional's
+    * denominator), n1fwd = N₁₊(w1 •) (distinct continuations — the
+    * back-off weight's numerator), n1back = N₁₊(• w2) (distinct
+    * predecessors — the continuation probability's numerator), and
+    * n_types = N₁₊(• •); then for any discount D,
+    * P_KN(w2|w1) = max(c2−D,0)/cpre + D·n1fwd/cpre · n1back/n_types.
+    *
+    * Scale shape: ONE bigram-keyed partial agg over the corpus (the
+    * occurrence volume is paid exactly once); everything after runs on
+    * the MODEL table — two keyed aggs over bigram types, a one-row type
+    * count broadcast back, deterministic (c2 desc, w1, w2) top-K for the
+    * bounded readout. */
+  def kneserNeyStats(
+      df: DataFrame,
+      topK: Int = 200,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val c = df
+      .select(explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
+      .select(substring_index(col("__bg"), " ", 1).as("w1"),
+        substring_index(col("__bg"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c2"))
+    val pre = c.groupBy("w1").agg(sum(col("c2")).cast("long").as("cpre"),
+      count(lit(1)).cast("long").as("n1fwd"))
+    val back = c.groupBy("w2").agg(count(lit(1)).cast("long").as("n1back"))
+    val types = c.agg(count(lit(1)).cast("long").as("n_types"))
+    c.join(pre, Seq("w1")).join(back, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select("w1", "w2", "c2", "cpre", "n1fwd", "n1back", "n_types")
+  }
+
   /** Weight-proportional deterministic sample: keep a row with probability
     * `min(1, weight × perUnitRate)` — e.g. `weightCol = n_chars,
     * perUnitRate = 1/4000` keeps a 2000-char document with p=0.5 and every

@@ -1197,4 +1197,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("a" -> 60L, "b" -> 30L))
   }
+
+  test("kneserNeyStats: exact integer moments on a hand corpus") {
+    import spark.implicits._
+    // "a b a b c": bigrams = (a b) x2, (b a), (b c)
+    val d = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val got = Curation.kneserNeyStats(d, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 2L, 1L, 1L, 3L)),
+      ("b", "a") -> ((1L, 2L, 2L, 1L, 3L)),
+      ("b", "c") -> ((1L, 2L, 2L, 1L, 3L))))
+    // the stats ARE a normalized model: for any discount D, interpolated
+    // KN over the full vocab sums to exactly 1 per context. Context "b"
+    // with D = 0.75 (all terms dyadic, so the doubles are exact):
+    //   P(a|b) = max(1-.75,0)/2 + .75*(2/2)*(1/3) = 0.375
+    //   P(c|b) = 0.375, P(b|b) = 0 + .75*(2/2)*(1/3) = 0.25
+    val D = 0.75
+    val (cpreB, n1fwdB, types) = (2L, 2L, 3L)
+    def pKn(c2: Long, n1back: Long): Double =
+      math.max(c2 - D, 0.0) / cpreB +
+        D * n1fwdB / cpreB * (n1back.toDouble / types)
+    val vocabP = pKn(1L, 1L) + pKn(1L, 1L) + pKn(0L, 1L) // a, c, unseen b
+    assert(vocabP == 1.0)
+  }
+
+  test("kneserNeyStats: deterministic (c2 desc, w1, w2) top-K cut") {
+    import spark.implicits._
+    val d = Seq((1L, "x y x y z w z w")).toDF("doc_id", "text")
+    val got = Curation.kneserNeyStats(d, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // (x y) and (z w) tie at c2=2: w1 breaks the tie, c2=1 rows cut
+    assert(got.toSeq == Seq(("x", "y", 2L), ("z", "w", 2L)))
+  }
 }

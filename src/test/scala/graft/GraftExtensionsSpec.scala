@@ -161,6 +161,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         .collect()(0).getDouble(0)
       assert(got == want)
       intercept[Exception] { s.sql("SELECT hashed_bow_margin('x')").collect() }
+      // strip_markup rides the same registry: SQL == Column API
+      val html = "<p>keep</p><!-- drop --> 5 &lt; 6"
+      val gotSm = s.sql(s"SELECT strip_markup('$html') AS c")
+        .collect()(0).getString(0)
+      val wantSm = Seq(html).toDF("t")
+        .select(graft.functions.TextFunctions
+          .stripMarkup(org.apache.spark.sql.functions.col("t")))
+        .collect()(0).getString(0)
+      assert(gotSm == wantSm && gotSm == "keep 5 < 6")
+      intercept[Exception] { s.sql("SELECT strip_markup('x', 'y')").collect() }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -303,4 +303,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       TextFunctions.hashedBowMargin(col("text"), weights, bias = 0.25) > 0.0).count()
     assert(kept == docs.collect().count(r => expected(r.getString(0), 0.25) > 0.0))
   }
+
+  test("stripMarkup: script/style/comment bodies vanish, tags flatten, " +
+      "entities decode, whitespace collapses") {
+    import spark.implicits._
+    val html = "<html><body><script type=\"t\">var x = 1 < 2;</script>" +
+      "<!-- secret -->  <p class=\"main\">Hello   <b>world</b></p>" +
+      "<style>p { color: red; }</style>5 &lt; 6 &amp;&amp; &quot;q&#39;s&quot;&nbsp;ok</body></html>"
+    val got = Seq(html).toDF("text")
+      .select(TextFunctions.stripMarkup(col("text")).as("c"))
+      .collect().head.getString(0)
+    assert(got == "Hello world 5 < 6 && \"q's\" ok")
+    // script/comment CONTENT must not leak as text
+    assert(!got.contains("secret") && !got.contains("var x"))
+  }
+
+  test("stripMarkup: &amp; decodes LAST, so decoded text cannot double-decode") {
+    import spark.implicits._
+    val got = Seq("literal &amp;lt; stays").toDF("text")
+      .select(TextFunctions.stripMarkup(col("text")).as("c"))
+      .collect().head.getString(0)
+    // "&amp;lt;" -> "&lt;" (the literal five chars), NOT "<"
+    assert(got == "literal &lt; stays")
+  }
+
+  test("stripMarkup: malformed nesting degrades to whitespace, never drops prose") {
+    import spark.implicits._
+    val got = Seq("<p>keep <b>this</p> text</i> too").toDF("text")
+      .select(TextFunctions.stripMarkup(col("text")).as("c"))
+      .collect().head.getString(0)
+    assert(got == "keep this text too")
+  }
 }
