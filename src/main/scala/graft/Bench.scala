@@ -167,7 +167,10 @@ object Bench {
     "q_wordpiece_encode", "q_rand_project", "q_train_perceptron",
     // Kneser-Ney sufficient stats (one bigram-keyed census, model-table
     // joins after) + the markup-strip scan (pure regexp chain)
-    "q_bigram_kn", "q_strip_markup")
+    "q_bigram_kn", "q_strip_markup",
+    // CM sketch build+probe (one keyed partial agg, sketch broadcast) and
+    // the k-center coreset loop (k-1 broadcast-center scans)
+    "q_countmin", "q_kcenter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -443,7 +446,7 @@ object Bench {
       // r13 batch 2
       "wordpiece_encode" -> "wpe", "rand_project" -> "rpj",
       "train_perceptron" -> "tpn", "bigram_kn" -> "bkn",
-      "strip_markup" -> "smk")
+      "strip_markup" -> "smk", "countmin" -> "cmn", "kcenter" -> "kctr")
     def short(k: String): String = {
       val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
       diet.getOrElse(s, s)

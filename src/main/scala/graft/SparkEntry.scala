@@ -1599,6 +1599,25 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0))
     }),
 
+    // Count-Min frequency sketch: the mergeable third member of the
+    // sketch-algebra family (theta = set ops, HLL = distinct, CM =
+    // frequency). Exact integer counters over portable md5 buckets, so
+    // the whole sketch replays in SQL; the readout probes the top-50
+    // exact tokens and carries the CM overestimate guarantee
+    // (cm_est >= n_exact) as a gated column.
+    "q_countmin" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 1)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).cast("long").as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok").asc).limit(50)
+      val sk = Curation.countMinSketch(toks, "tok", depth = 4, width = 256)
+      Curation.countMinEstimate(sk, exact, "tok", depth = 4, width = 256)
+        .join(exact, Seq("tok"))
+        .select(col("tok"), col("n_exact"), col("cm_est"),
+          (col("cm_est") >= col("n_exact")).as("bound_ok"))
+    }),
+
     // Kneser-Ney bigram-LM sufficient statistics: the smoothed LM's exact
     // integer moments (c2, cpre, N1+ fwd/back, type count) in the
     // corrStats "one division away" discipline — the occurrence volume
@@ -2316,6 +2335,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     }),
 
+    // Greedy k-center coreset (Gonzalez farthest-first): 8 maximally
+    // spread representatives of the embedding corpus — the diversity
+    // PRUNING selector (vs MMR's candidate re-rank); d2 carries the
+    // covering-radius progression. k-1 broadcast-center scans, 1-row
+    // argmax per round.
+    "q_kcenter" -> ((s, dir) =>
+      Similarity.kCenterGreedy(t(s, dir, "embeddings"), k = 8)),
+
     // Johnson–Lindenstrauss ±1 sign projection (Achlioptas): 64-d float
     // embeddings shrink to 8 exact fixed-point coordinates in one pure
     // scan — the pre-LSH/pre-SemDeDup width cut. Integer end to end
@@ -2905,6 +2932,32 @@ object SparkEntry {
         s"replace($acc, '${q(l)}', '${q(rep)}')"
     }
     s"SELECT doc_id, trim($chain) AS clean FROM documents"
+  }
+
+  /** q_kcenter reference: Gonzalez farthest-first UNROLLED to k rounds
+    * over the full pairwise distance table (the mmr oracle's discipline) —
+    * round r takes the (min-dist-to-selected DESC, id) winner among the
+    * unselected; distances are the same left-fold Σ(v−c)² the IVF gates
+    * already pin bit-identical across engines. */
+  private def kcenterOracleSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""sel$r AS (SELECT i AS vec_id, $r AS rank, md AS d2 FROM (
+         |  SELECT c.i, c.md, row_number() OVER (ORDER BY c.md DESC, c.i) AS rn FROM (
+         |    SELECT d.i, min(d.d2) AS md
+         |    FROM d JOIN selu${r - 1} s ON d.j = s.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} x WHERE x.vec_id = d.i)
+         |    GROUP BY d.i) c) WHERE rn = 1),
+         |selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |d AS (SELECT a.vec_id AS i, b.vec_id AS j,
+       |        list_sum(list_transform(list_zip(a.e, b.e), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT CAST(min(vec_id) AS BIGINT) AS vec_id, 1 AS rank,
+       |           CAST(NULL AS DOUBLE) AS d2 FROM v),
+       |selu1 AS (SELECT * FROM sel1),
+       |$rounds
+       |SELECT vec_id, CAST(rank AS INT) AS rank, d2 FROM selu$k""".stripMargin
   }
 
   /** q_rand_project reference: the engine's seeded ±1 sign matrix embedded
@@ -3909,9 +3962,31 @@ object SparkEntry {
     "q_wordpiece_vocab" -> wordpieceOracleSql(4, 2, "vocab"),
     "q_wordpiece_encode" -> wordpieceOracleSql(4, 2, "encode"),
     "q_rand_project" -> randProjectOracleSql(8, 64, 0xA5F152EDL),
+    "q_kcenter" -> kcenterOracleSql(8),
     "q_train_perceptron" -> perceptronOracleSql(64, 3, "weights"),
     "q_train_margins" -> perceptronOracleSql(64, 3, "margins"),
     "q_strip_markup" -> stripMarkupOracleSql,
+
+    // Count-Min replay: same salted-md5 buckets, exact integer counters,
+    // min over the depth rows; the overestimate bound rides as a column
+    "q_countmin" ->
+      """WITH tok AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents) WHERE length(tok) >= 1),
+        |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tok
+        |       GROUP BY 1 ORDER BY n_exact DESC, tok LIMIT 50),
+        |sk AS (SELECT hr, bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT r.hr,
+        |    CAST(('0x' || substr(md5(r.hr || ':' || tok), 1, 15))::UBIGINT % 256 AS BIGINT) AS bucket
+        |  FROM tok, UNNEST(range(0, 4)) r(hr)) GROUP BY 1, 2),
+        |pr AS (SELECT e.tok, r.hr,
+        |  CAST(('0x' || substr(md5(r.hr || ':' || e.tok), 1, 15))::UBIGINT % 256 AS BIGINT) AS bucket
+        |  FROM ex e, UNNEST(range(0, 4)) r(hr)),
+        |m AS (SELECT pr.tok, CAST(min(sk.n) AS BIGINT) AS cm_est
+        |      FROM pr JOIN sk USING (hr, bucket) GROUP BY 1)
+        |SELECT e.tok, e.n_exact, m.cm_est, m.cm_est >= e.n_exact AS bound_ok
+        |FROM ex e JOIN m USING (tok)""".stripMargin,
 
     // Kneser-Ney sufficient stats: the same one-shuffle bigram census,
     // then model-table-sized joins; every column an exact integer

@@ -373,6 +373,66 @@ object Curation {
         sum(col("__k") * coalesce(col("__c1"), lit(0L))).cast("long").as("sum_prefix"))
   }
 
+  /** Count-Min sketch over a key column — the mergeable FREQUENCY sketch
+    * next to the family's theta (set intersection) and HLL (distinct
+    * count) members: `depth` independent md5-derived hash rows × `width`
+    * integer counters, built in ONE keyed partial agg (the sketch is
+    * additive, so map-side combine IS the merge — partition count can
+    * never change a counter). Returns the (row, bucket, n) counter table,
+    * d·w rows, broadcast-sized by construction.
+    *
+    * Unlike probabilistic-estimate sketches, every counter is an exact
+    * integer and the hash is the engine-portable md5 bucket
+    * ([[graft.operators.Classifier]]'s discipline, salted per row), so
+    * the WHOLE sketch hash-gates against a SQL replay — and the classic
+    * CM guarantee (estimate = min over rows ≥ true count) is assertable
+    * exactly. */
+  def countMinSketch(
+      df: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1: $depth")
+    require(width >= 1, s"width must be >= 1: $width")
+    val rows = explode(array((0 until depth).map(lit): _*)).as("row")
+    // additivity again: collapse to the (key, count) table FIRST (one
+    // keyed partial agg pays the stream volume — the distinct-word
+    // discipline), then hash only DISTINCT keys ×depth. The naive
+    // hash-every-occurrence form measured 21 s at sf1 (160M md5 calls);
+    // this is the same counters from a vocab-sized explode.
+    df.select(col(keyCol).cast("string").as("__k")).where(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).cast("long").as("__c"))
+      .select(col("__k"), col("__c"), rows)
+      .select(col("__c"), pmod(conv(substring(
+          md5(concat(col("row").cast("string"), lit(":"), col("__k"))),
+          1, 15), 16, 10).cast("long"), lit(width.toLong)).as("bucket"),
+        col("row"))
+      .groupBy("row", "bucket").agg(sum(col("__c")).cast("long").as("n"))
+  }
+
+  /** Point estimates from a [[countMinSketch]] for the keys of `probes`:
+    * est = min over the sketch's depth rows of the counter each hash row
+    * sends the key to — the broadcast-sized sketch joins the probe set,
+    * never the corpus. CM guarantees est ≥ the true count (equality when
+    * no collision), which the gate asserts alongside the exact values. */
+  def countMinEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val rows = explode(array((0 until depth).map(lit): _*)).as("row")
+    probes.select(col(keyCol), col(keyCol).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+      .select(col(keyCol), col("__k"), rows)
+      .select(col(keyCol), col("row"), pmod(conv(substring(
+          md5(concat(col("row").cast("string"), lit(":"), col("__k"))),
+          1, 15), 16, 10).cast("long"), lit(width.toLong)).as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col(keyCol))
+      .agg(min(col("n")).cast("long").as("cm_est"))
+  }
+
   /** Kneser–Ney bigram-LM sufficient statistics — the smoothed sibling of
     * [[bigramRarity]]'s MLE counts, in the [[corrStats]] discipline: emit
     * the EXACT INTEGER moments and leave the one division to the

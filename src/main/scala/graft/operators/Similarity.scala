@@ -402,6 +402,67 @@ object Similarity {
     vecs.select(col(idCol),
       projectSignsQuantized(col(vecCol), makeSigns(outDims, dim, seed)).as("proj"))
 
+  /** Greedy k-center coreset selection (Gonzalez farthest-first — the
+    * classic 2-approximation to the k-center cover): seed with the
+    * smallest id, then k−1 rounds of "the point farthest from everything
+    * selected so far". The d2 column carries each selection's distance to
+    * the previously selected set — a non-increasing sequence that IS the
+    * covering-radius progression, so the caller reads the coreset quality
+    * straight off the result. Ties break to the smallest id; the seed's
+    * d2 is null. The diversity-pruning selector for training data: unlike
+    * top-k-by-score it provably spreads over the embedding space, and
+    * unlike [[mmrRerank]] it runs on the CORPUS, not a candidate list.
+    *
+    * Scale shape: k−1 corpus scans, each a pure per-row fold against ONE
+    * broadcast center (the newest; the running min folds previous rounds
+    * into a pinned column) + a 1-row argmax to the driver per round — the
+    * [[graft.operators.Dedup.clusters]] pin discipline, driver traffic =
+    * the selected points themselves. Distances are the same left-fold
+    * Σ(v−c)² as the IVF assignment, bit-identical to the oracle's
+    * list_sum replay. */
+  def kCenterGreedy(
+      vecs: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def sqDistTo(center: Array[Double]): org.apache.spark.sql.Column =
+      aggregate(zip_with(transform(col("__v"), x => x.cast("double")),
+        typedLit(center.toSeq), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+    val seedRow = vecs.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol).asc).limit(1).collect()
+    require(seedRow.nonEmpty, "kCenterGreedy: empty input")
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+    var center = vecOf(seedRow.head)
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Int, Option[Double])](
+      (seedRow.head.getLong(0), 1, None))
+    var state = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        lit(Double.MaxValue).as("__md"))
+      .filter(col("__id") =!= lit(selected.head._1))
+      .localCheckpoint(true)
+    var r = 2
+    while (r <= k && !state.isEmpty) {
+      state = state.select(col("__id"), col("__v"),
+          least(col("__md"), sqDistTo(center)).as("__md"))
+        .localCheckpoint(true)
+      val win = state.orderBy(col("__md").desc, col("__id").asc).limit(1)
+        .select(col("__id"), col("__v"), col("__md")).collect().head
+      selected += ((win.getLong(0), r, Some(win.getDouble(2))))
+      center = vecOf(win)
+      state = state.filter(col("__id") =!= lit(win.getLong(0)))
+      r += 1
+    }
+    selected.toSeq.map { case (id, rank, d2) => (id, rank, d2) }
+      .toDF(idCol, "rank", "d2")
+  }
+
   /** IVF (inverted-file) ANN: k-means cells over the corpus; each query
     * probes its `nprobe` nearest cells and ranks candidates by exact cosine.
     * The classic coarse-quantizer scale path — per-query work is

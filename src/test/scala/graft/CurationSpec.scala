@@ -1224,6 +1224,29 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(vocabP == 1.0)
   }
 
+  test("countMinSketch: additive counters — partition-count invariant; " +
+      "estimates exact when width beats the vocab, bounded always") {
+    import spark.implicits._
+    val keys = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val df = keys.toDF("k")
+    def m(sk: org.apache.spark.sql.DataFrame) = sk.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wide = Curation.countMinSketch(df, "k", depth = 3, width = 1024)
+    // merge = sum: the sketch is a pure function of the multiset
+    assert(m(wide) == m(Curation.countMinSketch(df.repartition(7), "k", 3, 1024)))
+    val est = Curation.countMinEstimate(wide,
+        Seq("a", "b", "c").toDF("k"), "k", depth = 3, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 5L, "b" -> 3L, "c" -> 1L)) // no collisions at 1024
+    // width 1: total collision — every estimate is the stream length,
+    // the CM overestimate bound at its worst
+    val tiny = Curation.countMinSketch(df, "k", depth = 2, width = 1)
+    val estT = Curation.countMinEstimate(tiny,
+        Seq("a", "c").toDF("k"), "k", depth = 2, width = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estT == Map("a" -> 9L, "c" -> 9L))
+  }
+
   test("kneserNeyStats: deterministic (c2 desc, w1, w2) top-K cut") {
     import spark.implicits._
     val d = Seq((1L, "x y x y z w z w")).toDF("doc_id", "text")

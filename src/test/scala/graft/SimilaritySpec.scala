@@ -556,6 +556,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(signs.flatten.forall(s => s == 1L || s == -1L))
   }
 
+  test("kCenterGreedy: farthest-first order on a hand line, radius " +
+      "progression non-increasing, k past n stops early") {
+    import spark.implicits._
+    // points on a line: 0, 1, 10, 4 — seed is the smallest id (vec 0),
+    // then farthest-first picks 10 (d²=100), 4 (min(16,36)=16), 1 (d²=1)
+    val vecs = Seq(
+      (1L, Array(0.0f)), (2L, Array(1.0f)), (3L, Array(10.0f)), (4L, Array(4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.kCenterGreedy(vecs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1, -1.0), (3L, 2, 100.0), (4L, 3, 16.0),
+      (2L, 4, 1.0)))
+    // the d2 sequence is the covering-radius progression: non-increasing
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    // k beyond the corpus stops at n rows
+    assert(graft.operators.Similarity.kCenterGreedy(vecs, k = 10).count() == 4)
+  }
+
   test("randomProject: dimension mismatch fails fast, not null-padded") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
