@@ -168,9 +168,10 @@ object Bench {
     // Kneser-Ney sufficient stats (one bigram-keyed census, model-table
     // joins after) + the markup-strip scan (pure regexp chain)
     "q_bigram_kn", "q_strip_markup",
-    // CM sketch build+probe (one keyed partial agg, sketch broadcast) and
-    // the k-center coreset loop (k-1 broadcast-center scans)
-    "q_countmin", "q_kcenter")
+    // CM sketch build+probe (one keyed partial agg, sketch broadcast),
+    // the k-center coreset loop (k-1 broadcast-center scans), URL
+    // extraction/canonicalization (pure regexp scan)
+    "q_countmin", "q_kcenter", "q_urls")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -212,16 +213,15 @@ object Bench {
       }
       x
     }
-    // MEDIAN of 3 timed repeats per figure, with a PHYSICS floor on the
-    // serial figure: the spin is 400M iterations of a loop-carried
-    // multiply chain (≥3-cycle latency), so anything under ~200 ms is an
-    // impossible reading — yet this host has produced 9 ms and 89 ms
-    // serial samples (in runs where the PARALLEL figure stayed sane, so
-    // not clock dilation; whatever the hypervisor artifact is, it follows
-    // single-core timed regions). Records reconcile runs BY the calib
-    // ratio, so impossible samples are re-drawn (up to 6 tries) and a
-    // window that never yields a plausible read records -1, loudly
-    // unmeasurable rather than quietly 10× off. ~6 s total.
+    // MEDIAN of 3 timed repeats per figure, with a PHYSICS floor: the
+    // spin is 400M iterations of a loop-carried multiply chain (≥3-cycle
+    // latency), so a serial read under ~200 ms cannot be a real
+    // measurement. (The "9 ms"/"89 ms" readings in earlier r13 records
+    // that motivated this were ultimately the fmt(0) trailing-zero print
+    // bug mangling 900/890 — see the `ms` formatter below — but the
+    // median + floor stay: they cost ~6 s and make the calib figure
+    // robust to any genuine scheduler/clock outlier, and a window that
+    // never yields a plausible read records -1, loudly unmeasurable.)
     def calibrate(): (Double, Double) = {
       spin(20000000L) // JIT warm
       def med3(floorMs: Double)(f: () => Double): Double = {
@@ -480,10 +480,15 @@ object Bench {
       sfDir.stripSuffix("/").split('/').last.stripPrefix("sf")).toSeq.headOption
       .getOrElse("\"" + sfDir + "\"")
     val calibAfter = calibrate()
+    // calib values print as PLAIN INTEGERS — fmt(0) strips trailing zeros
+    // meant for decimal fractions, so 900 printed as "9" and 890 as "89":
+    // every "physically impossible" calib reading in the r13 records was
+    // this print bug, not the hypervisor (the measurements were sane)
+    def ms(v: Double): String = v.round.toString
     val loadJson = "{\"start\":" + fmt(2)(loadStart) + ",\"passes\":[" +
       passLoads.map(fmt(2)).mkString(",") + "],\"calib_ms\":[[" +
-      fmt(0)(calibBefore._1) + "," + fmt(0)(calibBefore._2) + "],[" +
-      fmt(0)(calibAfter._1) + "," + fmt(0)(calibAfter._2) + "]]}"
+      ms(calibBefore._1) + "," + ms(calibBefore._2) + "],[" +
+      ms(calibAfter._1) + "," + ms(calibAfter._2) + "]]}"
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":${passes.size},"stream":3},"loadavg":$loadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))

@@ -1599,6 +1599,28 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0))
     }),
 
+    // URL extraction + canonicalization (the CommonCrawl link-pipeline
+    // step): planted URLs exercise case-folding host/scheme, default-port
+    // strip (:80/:443), fragment drop, trailing-slash drop, and the
+    // domain key for per-domain caps — all pure scan regexp/CASE steps
+    // stated identically in the oracle.
+    "q_urls" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" see HTTP://Example.COM:80/Path/index.html?q=1#frag"),
+        when(col("doc_id") % 3 === 0, lit(" https://Secure.NET:443/"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" http://plain.org/a/b/ and http://h"),
+            (col("doc_id") % 7).cast("string"), lit(".example.org/x#y")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.extractUrls(injected)).as("url"))
+        .select(col("doc_id"), col("url"),
+          TextFunctions.canonicalizeUrl(col("url")).as("canon"),
+          TextFunctions.urlDomain(col("url")).as("domain"))
+    }),
+
     // Count-Min frequency sketch: the mergeable third member of the
     // sketch-algebra family (theta = set ops, HLL = distinct, CM =
     // frequency). Exact integer counters over portable md5 buckets, so
@@ -2934,6 +2956,34 @@ object SparkEntry {
     s"SELECT doc_id, trim($chain) AS clean FROM documents"
   }
 
+  /** q_urls reference: the URL pattern taken verbatim from the engine's
+    * [[graft.functions.TextFunctions.urlPattern]]; canonicalization as
+    * the same lower/CASE/anchored-regexp steps (group substitutions are
+    * avoided in both engines — Spark spells them $1, RE2 \1). */
+  private def urlsOracleSql: String = {
+    val re = graft.functions.TextFunctions.urlPattern.replace("'", "''")
+    s"""WITH t AS (SELECT doc_id,
+       |    text || ' see HTTP://Example.COM:80/Path/index.html?q=1#frag'
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' https://Secure.NET:443/' ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0 THEN ' http://plain.org/a/b/ and http://h'
+       |            || (doc_id % 7) || '.example.org/x#y' ELSE '' END AS tx
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(regexp_extract_all(tx, '$re', 0)) AS url FROM t),
+       |c AS (SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+://[^/#?]*)', 1)) AS pre0
+       |  FROM u)
+       |SELECT doc_id, url,
+       |  (CASE WHEN pre0 LIKE 'http://%' AND pre0 LIKE '%:80'
+       |        THEN left(pre0, length(pre0) - 3)
+       |        WHEN pre0 LIKE 'https://%' AND pre0 LIKE '%:443'
+       |        THEN left(pre0, length(pre0) - 4)
+       |        ELSE pre0 END)
+       |  || regexp_replace(regexp_replace(substr(url, length(pre0) + 1),
+       |       '#.*$$', ''), '/$$', '') AS canon,
+       |  regexp_extract(lower(url), '^[a-z]+://([^/:#?]*)', 1) AS domain
+       |FROM c""".stripMargin
+  }
+
   /** q_kcenter reference: Gonzalez farthest-first UNROLLED to k rounds
     * over the full pairwise distance table (the mmr oracle's discipline) —
     * round r takes the (min-dist-to-selected DESC, id) winner among the
@@ -3966,6 +4016,7 @@ object SparkEntry {
     "q_train_perceptron" -> perceptronOracleSql(64, 3, "weights"),
     "q_train_margins" -> perceptronOracleSql(64, 3, "margins"),
     "q_strip_markup" -> stripMarkupOracleSql,
+    "q_urls" -> urlsOracleSql,
 
     // Count-Min replay: same salted-md5 buckets, exact integer counters,
     // min over the depth rows; the overestimate bound rides as a column

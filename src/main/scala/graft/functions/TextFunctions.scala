@@ -247,6 +247,41 @@ object TextFunctions {
       regexp_replace(c, re, token)
     }
 
+  /** URL shape (RE2-safe, case-insensitive scheme/host via inline (?i)):
+    * http(s) scheme, host, optional port, optional path/query/fragment up
+    * to whitespace or a quote/angle delimiter. Shared verbatim with the
+    * oracle SQL. */
+  private[graft] val urlPattern =
+    "(?i)https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s\"'<>]*)?"
+
+  /** All URLs in a document, in order — `array<string>`, raw form. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** Canonical URL form for dedup/domain statistics: scheme+host+port
+    * lowercase (path case preserved — it is significant), fragment
+    * dropped, default ports (:80 http, :443 https) dropped, one trailing
+    * slash dropped. Pure scan expression; every step states the SAME
+    * lower/CASE/regexp logic a SQL replica can — group-substitution
+    * replacements are avoided on purpose (Spark spells them $1, RE2 \\1,
+    * so a shared chain could not use them). */
+  def canonicalizeUrl(u: Column): Column = {
+    val pre0 = lower(regexp_extract(u, "^([A-Za-z]+://[^/#?]*)", 1))
+    val pre = when(pre0.startsWith("http://") && pre0.endsWith(":80"),
+        pre0.substr(lit(1), length(pre0) - 3))
+      .when(pre0.startsWith("https://") && pre0.endsWith(":443"),
+        pre0.substr(lit(1), length(pre0) - 4))
+      .otherwise(pre0)
+    val rest = regexp_replace(regexp_replace(
+      u.substr(length(pre0) + 1, length(u)), "#.*$", ""), "/$", "")
+    concat(pre, rest)
+  }
+
+  /** The registrable host of a URL (lowercase, port stripped) — the key
+    * for domain-level corpus statistics and per-domain caps. */
+  def urlDomain(u: Column): Column =
+    regexp_extract(lower(u), "^[a-z]+://([^/:#?]*)", 1)
+
   /** Markup-stripping steps shared VERBATIM with the oracle SQL — each is
     * (isRegex, pattern, replacement), applied in order. RE2-safe subset
     * (no backreferences, no lookaround), so Java regex and DuckDB RE2

@@ -327,6 +327,26 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got == "literal &lt; stays")
   }
 
+  test("extractUrls + canonicalizeUrl + urlDomain: case fold, default " +
+      "ports, fragments, trailing slash") {
+    import spark.implicits._
+    val text = "x HTTP://Ex.COM:80/A/?q=1#f y https://S.NET:443/ z " +
+      "http://a.org:8080/p/ w http://plain.io"
+    val got = Seq(text).toDF("text")
+      .select(explode(TextFunctions.extractUrls(col("text"))).as("u"))
+      .select(col("u"), TextFunctions.canonicalizeUrl(col("u")).as("c"),
+        TextFunctions.urlDomain(col("u")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      // :80 stripped for http, host folded, fragment dropped, path case kept
+      ("HTTP://Ex.COM:80/A/?q=1#f", "http://ex.com/A/?q=1", "ex.com"),
+      // :443 stripped for https, bare trailing slash dropped
+      ("https://S.NET:443/", "https://s.net", "s.net"),
+      // non-default port SURVIVES (8080 is not 80, endswith cannot confuse)
+      ("http://a.org:8080/p/", "http://a.org:8080/p", "a.org"),
+      ("http://plain.io", "http://plain.io", "plain.io")))
+  }
+
   test("stripMarkup: malformed nesting degrades to whitespace, never drops prose") {
     import spark.implicits._
     val got = Seq("<p>keep <b>this</p> text</i> too").toDF("text")
