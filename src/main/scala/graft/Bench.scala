@@ -171,7 +171,9 @@ object Bench {
     // CM sketch build+probe (one keyed partial agg, sketch broadcast),
     // the k-center coreset loop (k-1 broadcast-center scans), URL
     // extraction/canonicalization (pure regexp scan)
-    "q_countmin", "q_kcenter", "q_urls")
+    "q_countmin", "q_kcenter", "q_urls",
+    // weighted quantiles: histogram agg + per-group prefix window
+    "q_quantile_weighted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -446,7 +448,8 @@ object Bench {
       // r13 batch 2
       "wordpiece_encode" -> "wpe", "rand_project" -> "rpj",
       "train_perceptron" -> "tpn", "bigram_kn" -> "bkn",
-      "strip_markup" -> "smk", "countmin" -> "cmn", "kcenter" -> "kctr")
+      "strip_markup" -> "smk", "countmin" -> "cmn", "kcenter" -> "kctr",
+      "quantile_weighted" -> "qtw")
     def short(k: String): String = {
       val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
       diet.getOrElse(s, s)

@@ -1621,6 +1621,15 @@ object SparkEntry {
           TextFunctions.urlDomain(col("url")).as("domain"))
     }),
 
+    // Exact weighted quantiles: the token-mass cutoff primitive ("the
+    // length below which 90% of the corpus's QUANTITY lives") — integer
+    // thresholds against integer prefix sums over the (value, Σweight)
+    // histogram, per-group.
+    "q_quantile_weighted" -> ((s, dir) =>
+      Curation.weightedQuantiles(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.9, 0.99),
+        groupCols = Seq("l_returnflag"))),
+
     // Count-Min frequency sketch: the mergeable third member of the
     // sketch-algebra family (theta = set ops, HLL = distinct, CM =
     // frequency). Exact integer counters over portable md5 buckets, so
@@ -4017,6 +4026,26 @@ object SparkEntry {
     "q_train_margins" -> perceptronOracleSql(64, 3, "margins"),
     "q_strip_markup" -> stripMarkupOracleSql,
     "q_urls" -> urlsOracleSql,
+
+    // weighted quantiles: integer prefix sums over the weight histogram,
+    // threshold = max(1, ceil(p * total)) — the same one-multiply float
+    "q_quantile_weighted" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM h),
+        |p AS (SELECT unnest([0.25e0, 0.5e0, 0.9e0, 0.99e0]) AS prob)
+        |SELECT c.l_returnflag, p.prob, min(c.v) AS value
+        |FROM p JOIN c
+        |  ON c.cum - c.w < greatest(1, CAST(ceil(p.prob * c.tot) AS BIGINT))
+        | AND greatest(1, CAST(ceil(p.prob * c.tot) AS BIGINT)) <= c.cum
+        |GROUP BY 1, 2""".stripMargin,
 
     // Count-Min replay: same salted-md5 buckets, exact integer counters,
     // min over the depth rows; the overestimate bound rides as a column

@@ -433,6 +433,54 @@ object Curation {
       .agg(min(col("n")).cast("long").as("cm_est"))
   }
 
+  /** Exact WEIGHTED quantiles — the "value cutoff covering p of the total
+    * MASS" primitive ([[exactQuantilesDistributed]]'s sibling where each
+    * row counts `weightCol` times): e.g. the document-length cutoff below
+    * which 90% of the corpus's TOKENS live, the per-domain size cap
+    * covering 99% of bytes. Left-continuous inverted CDF: the smallest
+    * value whose cumulative weight reaches max(1, ceil(p·totalWeight)) —
+    * integer thresholds against integer cumulative sums, so the answer is
+    * engine-exact (the only float op is the one IEEE multiply p·total,
+    * identical everywhere).
+    *
+    * Scale shape: the row volume collapses to the (value, Σweight)
+    * histogram in one keyed partial agg; the prefix sum runs over
+    * HISTOGRAM rows (two-phase distributed when ungrouped, per-group
+    * window otherwise) — the exactQuantilesDistributed discipline. */
+  def weightedQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      probs: Seq[Double],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(probs.nonEmpty, "need at least one prob")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), s"probs out of [0,1]: $probs")
+    val hist = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val cum =
+      if (groupCols.isEmpty)
+        graft.ops.RunningCount.withRunningAgg(
+          hist, col("__w"), graft.ops.RunningCount.Kind.Sum,
+          Seq(col("__v")), "__cum")
+          .crossJoin(broadcast(
+            hist.agg(sum(col("__w")).cast("long").as("__n"))))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+        val wAll = Window.partitionBy(groupCols.map(col): _*)
+        hist
+          .withColumn("__cum", sum(col("__w")).over(wOrd))
+          .withColumn("__n", sum(col("__w")).over(wAll))
+      }
+    val thr = greatest(lit(1L),
+      ceil(col("__p") * col("__n").cast("double")).cast("long"))
+    cum.withColumn("__p", explode(array(probs.map(lit): _*)))
+      .filter(col("__cum") - col("__w") < thr && thr <= col("__cum"))
+      .groupBy(groupCols.map(col) :+ col("__p").as("prob"): _*)
+      .agg(min(col("__v")).as("value"))
+  }
+
   /** Kneser–Ney bigram-LM sufficient statistics — the smoothed sibling of
     * [[bigramRarity]]'s MLE counts, in the [[corrStats]] discipline: emit
     * the EXACT INTEGER moments and leave the one division to the

@@ -1224,6 +1224,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(vocabP == 1.0)
   }
 
+  test("weightedQuantiles: mass-threshold cutoffs on a hand histogram; " +
+      "zero-weight values never picked") {
+    import spark.implicits._
+    // mass: 10 x3, 20 x1, 30 x6 (total 10); 15 carries no weight
+    val d = Seq((10, 3L), (20, 1L), (30, 6L), (15, 0L)).toDF("v", "w")
+    def q(ps: Seq[Double]) = Curation.weightedQuantiles(d, "v", "w", ps)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // thresholds: ceil(p*10) -> 10 covers cum<=3, 20 covers 4, 30 covers 5..10
+    assert(q(Seq(0.0, 0.3, 0.31, 0.4, 0.5, 1.0)) ==
+      Map(0.0 -> 10.0, 0.3 -> 10.0, 0.31 -> 20.0, 0.4 -> 20.0,
+        0.5 -> 30.0, 1.0 -> 30.0))
+    // grouped: each group gets its own CDF
+    val g = Seq(("a", 1, 1L), ("a", 2, 1L), ("b", 5, 9L), ("b", 9, 1L))
+      .toDF("grp", "v", "w")
+    val got = Curation.weightedQuantiles(g, "v", "w", Seq(0.5), Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(got == Map("a" -> 1.0, "b" -> 5.0))
+  }
+
   test("countMinSketch: additive counters — partition-count invariant; " +
       "estimates exact when width beats the vocab, bounded always") {
     import spark.implicits._
