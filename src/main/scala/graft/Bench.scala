@@ -173,7 +173,9 @@ object Bench {
     // extraction/canonicalization (pure regexp scan)
     "q_countmin", "q_kcenter", "q_urls",
     // weighted quantiles: histogram agg + per-group prefix window
-    "q_quantile_weighted")
+    "q_quantile_weighted",
+    // the composed web-ingest capstone (strip -> filter -> dedup -> split)
+    "q_pipeline_web")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -449,7 +451,7 @@ object Bench {
       "wordpiece_encode" -> "wpe", "rand_project" -> "rpj",
       "train_perceptron" -> "tpn", "bigram_kn" -> "bkn",
       "strip_markup" -> "smk", "countmin" -> "cmn", "kcenter" -> "kctr",
-      "quantile_weighted" -> "qtw")
+      "quantile_weighted" -> "qtw", "pl_web" -> "plw")
     def short(k: String): String = {
       val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
       diet.getOrElse(s, s)

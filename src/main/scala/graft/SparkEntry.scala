@@ -1621,6 +1621,43 @@ object SparkEntry {
           TextFunctions.urlDomain(col("url")).as("domain"))
     }),
 
+    // The WEB-CORPUS pipeline capstone, end-to-end under one hash gate:
+    // markup strip -> model-based quality filter -> exact dedup (planted
+    // +100000 re-id copies of every 10th CLEANED doc — dedup must drop
+    // them across the filter) -> leakage-safe split. The r13 extraction
+    // ops composed exactly as a crawl-ingest pipeline chains them.
+    "q_pipeline_web" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // the strip chain (11 regex passes) runs ONCE per source row: the
+      // planted +100000 copies come out of a conditional-array explode,
+      // and the generator doubles as a materialization barrier so
+      // CollapseProject cannot inline the chain into the margin filter
+      // AND the dedup key AND the output column (4 evaluations measured
+      // 11.8 s at sf1 in the union + decision-join formulation; this one
+      // plan is 5.3 s — the strip + margin per-row floor, cf. their
+      // standalone 1.6 + 3.0)
+      val row = struct(col("doc_id"), col("clean"))
+      val shifted = struct((col("doc_id") + lit(100000L)).as("doc_id"),
+        col("clean"))
+      val all = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.stripMarkup(webMarkupDecoration).as("clean"))
+        .select(explode(when(col("doc_id") % 10 === 0, array(row, shifted))
+          .otherwise(array(row))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.clean").as("clean"))
+      val kept = all.where(TextFunctions.hashedBowMargin(
+        col("clean"), bowWeights, bias = 0.05) > 0.0)
+      // min-id survivor per distinct cleaned content — ONE content-keyed
+      // exchange (Dedup.exact's decision rule in its windowed in-pipeline
+      // form; the standalone decision table would self-join the plan)
+      val surv = kept.withColumn("__keep",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("clean")))))
+        .where(col("doc_id") === col("__keep")).drop("__keep")
+      Curation.withSplit(surv, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("clean"), col("split"))
+    }),
+
     // Exact weighted quantiles: the token-mass cutoff primitive ("the
     // length below which 90% of the corpus's QUANTITY lives") — integer
     // thresholds against integer prefix sums over the (value, Σweight)
@@ -1662,25 +1699,9 @@ object SparkEntry {
     // bodies, comments, tags, the five standard entities (the q_redact
     // injection pattern) — and the fixed regexp chain must recover clean
     // prose; script/comment CONTENT must vanish, entity text must decode.
-    "q_strip_markup" -> ((s, dir) => {
-      val deco = concat(
-        lit("<html><body>"),
-        when(col("doc_id") % 7 === 0,
-          lit("<script type=\"text/js\">var x = 1 < 2;</script>"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 11 === 0,
-          concat(lit("<!-- tracking "), col("doc_id"), lit(" -->")))
-          .otherwise(lit("")),
-        lit("<p class=\"main\">"), col("text"), lit("</p>"),
-        when(col("doc_id") % 5 === 0,
-          lit("<p>5 &lt; 6 &amp;&amp; &quot;q&#39;s&quot;&nbsp;ok</p>"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 3 === 0, lit("<style>p { color: red; }</style>"))
-          .otherwise(lit("")),
-        lit("</body></html>"))
+    "q_strip_markup" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.stripMarkup(deco).as("clean"))
-    }),
+        TextFunctions.stripMarkup(webMarkupDecoration).as("clean"))),
 
     // Weight-proportional deterministic sample: keep P ∝ n_chars (longer
     // docs survive more often), membership a pure function of (id, salt).
@@ -2941,12 +2962,32 @@ object SparkEntry {
          |FROM mf JOIN y USING (doc_id)""".stripMargin
   }
 
-  /** q_strip_markup reference: the decoration stated in SQL, then the
-    * strip chain GENERATED from the engine's own
+  /** The deterministic doc_id-scheduled markup decoration shared by
+    * q_strip_markup and the q_pipeline_web capstone (the q_redact
+    * injection pattern): script body, comment, tags, entity cluster,
+    * style body — each planted on its own modulus. */
+  private def webMarkupDecoration: org.apache.spark.sql.Column = concat(
+    lit("<html><body>"),
+    when(col("doc_id") % 7 === 0,
+      lit("<script type=\"text/js\">var x = 1 < 2;</script>"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit("<!-- tracking "), col("doc_id"), lit(" -->")))
+      .otherwise(lit("")),
+    lit("<p class=\"main\">"), col("text"), lit("</p>"),
+    when(col("doc_id") % 5 === 0,
+      lit("<p>5 &lt; 6 &amp;&amp; &quot;q&#39;s&quot;&nbsp;ok</p>"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 3 === 0, lit("<style>p { color: red; }</style>"))
+      .otherwise(lit("")),
+    lit("</body></html>"))
+
+  /** SQL spelling of [[webMarkupDecoration]] followed by the strip chain
+    * GENERATED from the engine's own
     * [[graft.functions.TextFunctions.markupSteps]] — patterns shared
     * verbatim (the redactPii discipline), so the two engines can only
     * agree by running the same rules in the same order. */
-  private def stripMarkupOracleSql: String = {
+  private def strippedCleanSql: String = {
     val deco =
       """('<html><body>'
         |  || CASE WHEN doc_id % 7 = 0 THEN '<script type="text/js">var x = 1 < 2;</script>' ELSE '' END
@@ -2962,8 +3003,11 @@ object SparkEntry {
       case (acc, (false, l, rep)) =>
         s"replace($acc, '${q(l)}', '${q(rep)}')"
     }
-    s"SELECT doc_id, trim($chain) AS clean FROM documents"
+    s"trim($chain)"
   }
+
+  private def stripMarkupOracleSql: String =
+    s"SELECT doc_id, $strippedCleanSql AS clean FROM documents"
 
   /** q_urls reference: the URL pattern taken verbatim from the engine's
     * [[graft.functions.TextFunctions.urlPattern]]; canonicalization as
@@ -4026,6 +4070,35 @@ object SparkEntry {
     "q_train_margins" -> perceptronOracleSql(64, 3, "margins"),
     "q_strip_markup" -> stripMarkupOracleSql,
     "q_urls" -> urlsOracleSql,
+
+    // web capstone: clean both id streams, margin-filter, min-id dedup on
+    // the cleaned content, hash split — every stage its gated oracle form
+    "q_pipeline_web" -> {
+      val wList = bowWeights.map(_.toString).mkString("[", ", ", "]")
+      // flattened to one line: the OUTER stripMargin runs after
+      // interpolation and would eat the leading | of embedded "||" lines
+      val cleanSql = strippedCleanSql.replace("\n", " ")
+      s"""WITH c0 AS (SELECT doc_id, $cleanSql AS clean FROM documents),
+         |allr AS (SELECT doc_id, clean FROM c0
+         |         UNION ALL
+         |         SELECT doc_id + 100000, clean FROM c0 WHERE doc_id % 10 = 0),
+         |kept AS (SELECT doc_id, clean FROM allr
+         |  WHERE list_reduce(list_prepend(0.05e0,
+         |      list_transform(regexp_split_to_array(trim(clean), '\\s+'), t ->
+         |        ($wList)[CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT % 64 AS INT) + 1])),
+         |      (a, b) -> a + b) > 0),
+         |surv AS (SELECT doc_id, clean FROM (
+         |    SELECT doc_id, clean,
+         |      min(doc_id) OVER (PARTITION BY md5(clean)) AS keep_id
+         |    FROM kept) WHERE doc_id = keep_id)
+         |SELECT doc_id, clean,
+         |  CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, clean,
+         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+         |             % 10000 AS BIGINT) AS bk
+         |      FROM surv)""".stripMargin
+    },
 
     // weighted quantiles: integer prefix sums over the weight histogram,
     // threshold = max(1, ceil(p * total)) — the same one-multiply float
