@@ -175,7 +175,9 @@ object Bench {
     // weighted quantiles: histogram agg + per-group prefix window
     "q_quantile_weighted",
     // the composed web-ingest capstone (strip -> filter -> dedup -> split)
-    "q_pipeline_web")
+    "q_pipeline_web",
+    // WordPiece-objective merge training (6 rounds over the vocab table)
+    "q_wordpiece_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -451,7 +453,8 @@ object Bench {
       "wordpiece_encode" -> "wpe", "rand_project" -> "rpj",
       "train_perceptron" -> "tpn", "bigram_kn" -> "bkn",
       "strip_markup" -> "smk", "countmin" -> "cmn", "kcenter" -> "kctr",
-      "quantile_weighted" -> "qtw", "pl_web" -> "plw")
+      "quantile_weighted" -> "qtw", "pl_web" -> "plw",
+      "wordpiece_train" -> "wpt")
     def short(k: String): String = {
       val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
       diet.getOrElse(s, s)

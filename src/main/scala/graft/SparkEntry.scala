@@ -1744,6 +1744,19 @@ object SparkEntry {
     // each DISTINCT word consumes greedily under the broadcast vocab.
     // Greedy is memoryless, so the oracle replays it from a static
     // per-(word, offset) longest-match table instead of a path search.
+    // WordPiece-objective merge TRAINING: argmax by the likelihood score
+    // ln c(ab) - ln c(a) - ln c(b) (quantized to round(·10⁶) integers, the
+    // unigram discipline) instead of BPE's raw count — the third trainer
+    // next to trainBpe and unigramTrain; the oracle DERIVES each round's
+    // winner and replays the merge, nothing is hardcoded.
+    "q_wordpiece_train" -> ((s, dir) => {
+      import s.implicits._
+      operators.Tokenizer.trainWordpieceMerges(
+          t(s, dir, "documents"), numMerges = 6)
+        .zipWithIndex.map { case ((a, b, n, sq), i) => (i + 1, a, b, n, sq) }
+        .toDF("rank", "a", "b", "n", "score_q")
+    }),
+
     "q_wordpiece_vocab" -> ((s, dir) =>
       operators.Tokenizer.wordpieceVocab(t(s, dir, "documents"),
         maxPieceLen = 4, minCount = 2)),
@@ -3009,6 +3022,54 @@ object SparkEntry {
   private def stripMarkupOracleSql: String =
     s"SELECT doc_id, $strippedCleanSql AS clean FROM documents"
 
+  /** q_wordpiece_train reference: every round DERIVES the argmax-score
+    * pair from the current symbol state (pair + symbol counts → quantized
+    * ln-score), then applies it by repeat-replace on the space-delimited
+    * form (the q_bpe_merge replay, with the merge as a VALUE from the
+    * 1-row winner CTE instead of a hardcoded literal). */
+  private def wordpieceTrainOracleSql(rounds: Int): String = {
+    val roundBlocks = (1 to rounds).map { r =>
+      s"""cs$r AS (SELECT sym, CAST(sum(wf) AS BIGINT) AS c1 FROM (
+         |    SELECT unnest(string_split(trim(s), ' ')) AS sym, wf FROM f${r - 1})
+         |  GROUP BY 1),
+         |pc$r AS (SELECT a, b, CAST(sum(wf) AS BIGINT) AS n FROM (
+         |    SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b, wf
+         |    FROM (SELECT string_split(trim(s), ' ') AS l, wf FROM f${r - 1}) t,
+         |         UNNEST(range(1, len(l))) r(i))
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT a, b, n,
+         |    CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(na AS DOUBLE))
+         |      - ln(CAST(nb AS DOUBLE))) * 1000000) AS BIGINT) AS score_q
+         |  FROM (SELECT pc.a, pc.b, pc.n, ca.c1 AS na, cb.c1 AS nb
+         |        FROM pc$r pc JOIN cs$r ca ON ca.sym = pc.a
+         |        JOIN cs$r cb ON cb.sym = pc.b)
+         |  ORDER BY score_q DESC, a, b LIMIT 1),
+         |rr$r AS (
+         |  SELECT w, wf, s FROM f${r - 1}
+         |  UNION ALL
+         |  SELECT rr.w, rr.wf,
+         |    replace(rr.s, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')
+         |  FROM rr$r rr, m$r m
+         |  WHERE strpos(rr.s, ' ' || m.a || ' ' || m.b || ' ') > 0),
+         |f$r AS MATERIALIZED (SELECT rr.w, rr.wf, rr.s FROM rr$r rr, m$r m
+         |        WHERE strpos(rr.s, ' ' || m.a || ' ' || m.b || ' ') = 0)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS rank, a, b, n, score_q FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE w AS MATERIALIZED (
+       |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE len(tok) >= 1 GROUP BY tok),
+       |f0 AS MATERIALIZED (SELECT w, wf,
+       |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
+       |  FROM w),
+       |$roundBlocks
+       |SELECT CAST(rank AS INT) AS rank, a, b, n, score_q FROM (
+       |$out)""".stripMargin
+  }
+
   /** q_urls reference: the URL pattern taken verbatim from the engine's
     * [[graft.functions.TextFunctions.urlPattern]]; canonicalization as
     * the same lower/CASE/anchored-regexp steps (group substitutions are
@@ -4064,6 +4125,7 @@ object SparkEntry {
     "q_unigram_encode" -> unigramOracleSql(2, 4, 2, "encode"),
     "q_wordpiece_vocab" -> wordpieceOracleSql(4, 2, "vocab"),
     "q_wordpiece_encode" -> wordpieceOracleSql(4, 2, "encode"),
+    "q_wordpiece_train" -> wordpieceTrainOracleSql(6),
     "q_rand_project" -> randProjectOracleSql(8, 64, 0xA5F152EDL),
     "q_kcenter" -> kcenterOracleSql(8),
     "q_train_perceptron" -> perceptronOracleSql(64, 3, "weights"),

@@ -332,6 +332,56 @@ object Tokenizer {
       .where(length(col("piece")) === 1 || col("cnt") >= minCount)
   }
 
+  /** WordPiece-objective merge training: like [[trainBpe]] but each round
+    * merges the pair maximizing the LIKELIHOOD score
+    * ln c(ab) − ln c(a) − ln c(b) (the WordPiece objective up to the
+    * per-round constant ln N, which cannot change the argmax) instead of
+    * the raw pair count — rare-symbol pairs that always co-occur win over
+    * frequent-but-independent ones. Scores quantize to round(·10⁶)
+    * integers before comparison (the [[unigramTrain]] discipline: the ln
+    * inputs are exact integers, so both engines compute the same double
+    * and the same rounded score; ties resolve (score desc, a, b)).
+    *
+    * Scale shape: identical to [[trainBpe]] — the corpus collapses to the
+    * distinct-word table once; each round is two vocab-sized partial aggs
+    * (pair counts + symbol counts), a 3-way model-table join, and ONE
+    * argmax row to the driver. */
+  def trainWordpieceMerges(
+      docs: DataFrame,
+      numMerges: Int,
+      textCol: String = "text",
+      pinEvery: Int = 4): Seq[(String, String, Long, Long)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
+    var vocab = wordFrequencies(docs, textCol)
+      .select(charSymbols(col("w")).as("symbols"), col("wf"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    var i = 0
+    while (i < numMerges) {
+      val cs = vocab.select(explode(col("symbols")).as("sym"), col("wf"))
+        .groupBy("sym").agg(sum(col("wf")).cast("long").as("c1"))
+      val top = pairCountsFromSymbols(vocab)
+        .join(cs.select(col("sym").as("a"), col("c1").as("na")), Seq("a"))
+        .join(cs.select(col("sym").as("b"), col("c1").as("nb")), Seq("b"))
+        .withColumn("score_q", round((log(col("n").cast("double"))
+          - log(col("na").cast("double")) - log(col("nb").cast("double")))
+          * lit(1e6)).cast("long"))
+        .orderBy(col("score_q").desc, col("a").asc, col("b").asc)
+        .limit(1).select("a", "b", "n", "score_q").collect()
+      if (top.isEmpty) { i = numMerges } // alphabet exhausted: stop early
+      else {
+        val r = top.head
+        val (a, b) = (r.getString(0), r.getString(1))
+        merges += ((a, b, r.getLong(2), r.getLong(3)))
+        vocab = vocab.select(applyMerge(col("symbols"), a, b).as("symbols"),
+          col("wf"))
+        i += 1
+        if (i % pinEvery == 0) vocab = vocab.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Greedy longest-match-first segmentation of one word: at each
     * position take the LONGEST vocab piece whose role matches (word-start
     * at offset 0, continuation past it). Continuation pieces render with

@@ -163,6 +163,24 @@ class TokenizerSpec extends AnyFunSuite with SparkSpec {
       "c" -> 1L, "d" -> 1L, "cd" -> 3L))
   }
 
+  test("trainWordpieceMerges: likelihood argmax differs from BPE's count " +
+      "argmax — rare-but-dependent beats frequent-but-independent") {
+    // qu x2 (q, u occur nowhere else: ln2-ln2-ln2 = -0.69) vs th/ta/ha x5
+    // each (t, h, a each occur 10x: ln5-ln10-ln10 = -3.0)
+    val d = docs("qu qu th th th th th ta ta ta ta ta ha ha ha ha ha")
+    val wp = Tokenizer.trainWordpieceMerges(d, numMerges = 1)
+    assert(wp.head._1 == "q" && wp.head._2 == "u" && wp.head._3 == 2L)
+    assert(wp.head._4 == math.round(
+      (math.log(2) - math.log(2) - math.log(2)) * 1e6))
+    // BPE on the same corpus takes a count-5 pair (ties to 'h a')
+    val bpe = Tokenizer.trainBpe(d, numMerges = 1)
+    assert(bpe.head._3 == 5L && (bpe.head._1, bpe.head._2) == (("h", "a")))
+    // merges compose: after (q, u) the pair is gone, scores re-derive
+    val wp2 = Tokenizer.trainWordpieceMerges(d, numMerges = 2)
+    assert(wp2.map(m => (m._1, m._2)).head == (("q", "u")))
+    assert(wp2(1)._1 != "q")
+  }
+
   test("wordpieceVocab: role-split census, single-char floor per role") {
     // corpus: "abc" x2, "bc" x1. Word-start pieces: a, ab, abc, b, bc;
     // continuation: b, c, bc, c(from abc pos3). minCount=2 prunes
