@@ -402,4 +402,47 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"candidate prune must be a broadcast semi-join:\n$p")
   }
+
+  test("r13 batch-2 scans: rand_project and strip_markup plan ZERO " +
+      "exchanges; the projection is the fused native expression") {
+    import graft.sources.Layouts
+    val rp = SparkEntry.queries("q_rand_project")(spark, sf)
+    assert(Layouts.countExchanges(rp) == 0,
+      s"JL projection must be a pure scan:\n${rp.queryExecution.sparkPlan}")
+    assert(rp.queryExecution.optimizedPlan.toString.contains("signproject"),
+      "expected the fused SignProject expression, not the HOF chain")
+    assert(Layouts.countExchanges(
+      SparkEntry.queries("q_strip_markup")(spark, sf)) == 0)
+    assert(Layouts.countExchanges(
+      SparkEntry.queries("q_urls")(spark, sf)) == 0)
+  }
+
+  test("q_countmin: the sketch build collapses to the vocab FIRST — no " +
+      "depth-times-occurrence explosion crosses an exchange") {
+    // plan shape: tokens aggregate to (key, cnt) before the xdepth explode,
+    // so the explode's generator input is the collapsed table (a generator
+    // ABOVE the first aggregate, never below it)
+    val p = sparkPlan("q_countmin").toString
+    val genIdx = p.indexOf("Generate explode")
+    assert(genIdx >= 0, s"expected the depth explode:\n$p")
+    // the build-side explode must sit above a HashAggregate (the collapse)
+    val after = p.substring(genIdx)
+    assert(after.contains("HashAggregate"),
+      s"explode must consume the collapsed (key, cnt) table:\n$p")
+  }
+
+  test("q_pipeline_web: the strip chain is evaluated once — exactly one " +
+      "documents scan, one content-keyed window exchange downstream") {
+    val df = SparkEntry.queries("q_pipeline_web")(spark, sf)
+    val p = df.queryExecution.sparkPlan
+    assert(scans(p).size == 1, s"expected ONE documents scan:\n$p")
+    // regexp_replace must appear in one Project only (the explode barrier
+    // keeps CollapseProject from inlining the chain into filter + key)
+    val s = p.toString
+    val stripSites = "regexp_replace".r.findAllIn(s).size
+    // the 7 regex steps of the chain, in exactly one projection site: the
+    // count equals the per-chain total, not a multiple of it
+    assert(stripSites <= graft.functions.TextFunctions.markupSteps.count(_._1),
+      s"strip chain inlined into $stripSites sites:\n$s")
+  }
 }
