@@ -177,7 +177,9 @@ object Bench {
     // the composed web-ingest capstone (strip -> filter -> dedup -> split)
     "q_pipeline_web",
     // WordPiece-objective merge training (6 rounds over the vocab table)
-    "q_wordpiece_train")
+    "q_wordpiece_train",
+    // per-domain cap: first-URL domain scan + one domain-keyed window
+    "q_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -454,7 +456,7 @@ object Bench {
       "train_perceptron" -> "tpn", "bigram_kn" -> "bkn",
       "strip_markup" -> "smk", "countmin" -> "cmn", "kcenter" -> "kctr",
       "quantile_weighted" -> "qtw", "pl_web" -> "plw",
-      "wordpiece_train" -> "wpt")
+      "wordpiece_train" -> "wpt", "domain_cap" -> "dcap")
     def short(k: String): String = {
       val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
       diet.getOrElse(s, s)

@@ -1196,6 +1196,28 @@ object SparkEntry {
           col("low"), col("close"), col("volume_cents"), col("n_events"))
     }),
 
+    // The plain TUMBLING-WINDOW streaming aggregate under the hash gate —
+    // the single most common streaming query, same sentinel-flush recipe
+    // as the OHLC gate (watermarked stateStoreSave, Append emits each
+    // window once when the watermark passes it): the sink minus the
+    // sentinel's forever-open window IS the batch hourly count table.
+    "q_stream_window_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinel = s.range(1).select(
+        lit("__wm_flush__").as("event_type"),
+        timestamp_micros(lit(maxTs + 4L * 3600L * 1000000L)).as("ts"),
+        lit(-1L).as("event_id"))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinel)) { src =>
+        graft.streaming.StreamingPipeline.windowedCounts(src())
+      }
+        .where(col("event_type") =!= "__wm_flush__")
+        .select(unix_timestamp(col("w_start")).as("w_start"),
+          col("event_type"), col("n"))
+    }),
+
     // The streaming SESSIONIZER under the hash gate (5th stateful family:
     // per-event labeling through flatMapGroupsWithState keyed state, where
     // the CDC gate emits per-key views and the dedup gate drops rows):
@@ -1666,6 +1688,21 @@ object SparkEntry {
       Curation.weightedQuantiles(t(s, dir, "lineitem"),
         "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.9, 0.99),
         groupCols = Seq("l_returnflag"))),
+
+    // Per-domain document cap — the crawl-curation policy ("no domain
+    // contributes more than N docs"): each doc's primary domain comes off
+    // its first extracted URL (planted, case-folding exercised), then the
+    // deterministic stratified cap keeps ≤N per domain. Composition of
+    // the two gated pieces in one plan.
+    "q_domain_cap" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" http://D"), (col("doc_id") % 7).cast("string"),
+        lit(".Site.ORG/p/"), col("doc_id").cast("string"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.urlDomain(
+          element_at(TextFunctions.extractUrls(injected), 1)).as("domain"))
+      Curation.sampleNPerGroup(docs, Seq("domain"), "doc_id", n = 20)
+    }),
 
     // Count-Min frequency sketch: the mergeable third member of the
     // sketch-algebra family (theta = set ops, HLL = distinct, CM =
@@ -4133,6 +4170,21 @@ object SparkEntry {
     "q_strip_markup" -> stripMarkupOracleSql,
     "q_urls" -> urlsOracleSql,
 
+    // per-domain cap: the domain derives directly from the planted URL
+    // (the corpus text contains no URLs of its own — extraction parity is
+    // q_urls' job), then the stratified salted rank caps each domain
+    "q_domain_cap" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_extract(lower('http://d' || (doc_id % 7) || '.site.org/p/' || doc_id),
+        |    '^[a-z]+://([^/:#?]*)', 1) AS domain
+        |  FROM documents)
+        |SELECT doc_id, domain FROM (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':stratified'), doc_id) AS rk
+        |  FROM d)
+        |WHERE rk <= 20""".stripMargin,
+
     // web capstone: clean both id streams, margin-filter, min-id dedup on
     // the cleaned content, hash split — every stage its gated oracle form
     "q_pipeline_web" -> {
@@ -4936,6 +4988,13 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+
+    // the sentinel flush emits every real hourly window once — the
+    // tumbling-count twin of the OHLC gate's oracle
+    "q_stream_window_gate" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // the per-key sentinel closes every real bucket, so the streamed
     // detector's sink is the complete batch output — the oracle IS
