@@ -1218,6 +1218,28 @@ object SparkEntry {
           col("event_type"), col("n"))
     }),
 
+    // The SLIDING-WINDOW variant under the hash gate: each event lands in
+    // windowLen/slide = 2 overlapping windows; the sentinel (placed past
+    // watermark + the longest window) flushes every real window. Oracle =
+    // q_events_sliding's own SQL.
+    "q_stream_sliding_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinel = s.range(1).select(
+        lit("__wm_flush__").as("event_type"),
+        timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts"),
+        lit(-1L).as("event_id"))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinel)) { src =>
+        graft.streaming.StreamingPipeline.slidingCounts(
+          src(), windowLen = "2 hours", slide = "1 hour")
+      }
+        .where(col("event_type") =!= "__wm_flush__")
+        .select(unix_timestamp(col("w_start")).as("w_start"),
+          col("event_type"), col("n"))
+    }),
+
     // The streaming SESSIONIZER under the hash gate (5th stateful family:
     // per-event labeling through flatMapGroupsWithState keyed state, where
     // the CDC gate emits per-key views and the dedup gate drops rows):
@@ -1721,6 +1743,24 @@ object SparkEntry {
         .join(exact, Seq("tok"))
         .select(col("tok"), col("n_exact"), col("cm_est"),
           (col("cm_est") >= col("n_exact")).as("bound_ok"))
+    }),
+
+    // Count-Min MERGEABILITY under the hash gate: two half-corpus sketches
+    // (doc_id parity shards) merge by elementwise counter addition, and
+    // the merged sketch must equal the whole-corpus build bit for bit —
+    // the distributed-ingest property (shard sketches on executors, merge
+    // anywhere, never re-scan). The oracle is the whole-corpus sketch.
+    "q_countmin_merge" -> ((s, dir) => {
+      def toks(d: DataFrame) = d
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 1)
+      val docs = t(s, dir, "documents")
+      val even = Curation.countMinSketch(
+        toks(docs.filter(col("doc_id") % 2 === 0)), "tok", 4, 256)
+      val odd = Curation.countMinSketch(
+        toks(docs.filter(col("doc_id") % 2 =!= 0)), "tok", 4, 256)
+      even.unionByName(odd)
+        .groupBy("row", "bucket").agg(sum(col("n")).cast("long").as("n"))
     }),
 
     // Kneser-Ney bigram-LM sufficient statistics: the smoothed LM's exact
@@ -4214,6 +4254,18 @@ object SparkEntry {
          |      FROM surv)""".stripMargin
     },
 
+    // the merged parity-shard sketches must equal the WHOLE-corpus build:
+    // the oracle builds it from everything in one pass
+    "q_countmin_merge" ->
+      """WITH tok AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents) WHERE length(tok) >= 1)
+        |SELECT CAST(hr AS INT) AS row, bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT r.hr,
+        |    CAST(('0x' || substr(md5(r.hr || ':' || tok), 1, 15))::UBIGINT % 256 AS BIGINT) AS bucket
+        |  FROM tok, UNNEST(range(0, 4)) r(hr)) GROUP BY 1, 2""".stripMargin,
+
     // weighted quantiles: integer prefix sums over the weight histogram,
     // threshold = max(1, ceil(p * total)) — the same one-multiply float
     "q_quantile_weighted" ->
@@ -4988,6 +5040,15 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+
+    // overlapping 2h/1h windows flushed by the far sentinel — the oracle
+    // IS q_events_sliding's
+    "q_stream_sliding_gate" ->
+      """SELECT w_start, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 * unnest([0, 1]) AS w_start
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
 
     // the sentinel flush emits every real hourly window once — the
     // tumbling-count twin of the OHLC gate's oracle
