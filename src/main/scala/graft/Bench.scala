@@ -179,7 +179,9 @@ object Bench {
     // WordPiece-objective merge training (6 rounds over the vocab table)
     "q_wordpiece_train",
     // per-domain cap: first-URL domain scan + one domain-keyed window
-    "q_domain_cap")
+    "q_domain_cap",
+    // blocklist safety filter: pure token-membership scan
+    "q_blocklist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -456,7 +458,8 @@ object Bench {
       "train_perceptron" -> "tpn", "bigram_kn" -> "bkn",
       "strip_markup" -> "smk", "countmin" -> "cmn", "kcenter" -> "kctr",
       "quantile_weighted" -> "qtw", "pl_web" -> "plw",
-      "wordpiece_train" -> "wpt", "domain_cap" -> "dcap")
+      "wordpiece_train" -> "wpt", "domain_cap" -> "dcap",
+      "blocklist" -> "bkl")
     def short(k: String): String = {
       val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
       diet.getOrElse(s, s)

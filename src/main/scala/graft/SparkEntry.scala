@@ -1745,6 +1745,24 @@ object SparkEntry {
           (col("cm_est") >= col("n_exact")).as("bound_ok"))
     }),
 
+    // Safety blocklist filter: planted lexicon words on a doc_id schedule
+    // (the redact pattern); n_hits counts whole-token lowercase matches
+    // (an embedded substring never trips), keep = hits ≤ 5% of tokens by
+    // integer cross-product — division-free, scan-bound.
+    "q_blocklist" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" BadWord1 badword2")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" badword1 badword1 badword1 badword1")).otherwise(lit("")),
+        // substring trap: must NOT count ("xbadword1x" is not a hit)
+        when(col("doc_id") % 9 === 0, lit(" xbadword1x")).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(injected).cast("long").as("n_tokens"),
+          TextFunctions.blocklistHits(injected,
+            Seq("badword1", "badword2", "zzzznever")).cast("long").as("n_hits"))
+        .withColumn("keep", col("n_hits") * 20 <= col("n_tokens"))
+    }),
+
     // Count-Min MERGEABILITY under the hash gate: two half-corpus sketches
     // (doc_id parity shards) merge by elementwise counter addition, and
     // the merged sketch must equal the whole-corpus build bit for bit —
@@ -4253,6 +4271,27 @@ object SparkEntry {
          |             % 10000 AS BIGINT) AS bk
          |      FROM surv)""".stripMargin
     },
+
+    // blocklist: whole-token lowercase membership over the same decorated
+    // text; keep by the 5% integer cross-product
+    "q_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' BadWord1 badword2' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0
+        |            THEN ' badword1 badword1 badword1 badword1' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' xbadword1x' ELSE '' END AS tx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(tx), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(tx), '\s+'),
+        |    x -> list_contains(['badword1', 'badword2', 'zzzznever'], lower(x))))
+        |    AS BIGINT) AS n_hits,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(tx), '\s+'),
+        |    x -> list_contains(['badword1', 'badword2', 'zzzznever'], lower(x))))
+        |    AS BIGINT) * 20
+        |  <= CAST(len(regexp_split_to_array(trim(tx), '\s+')) AS BIGINT) AS keep
+        |FROM t""".stripMargin,
 
     // the merged parity-shard sketches must equal the WHOLE-corpus build:
     // the oracle builds it from everything in one pass

@@ -247,6 +247,21 @@ object TextFunctions {
       regexp_replace(c, re, token)
     }
 
+  /** Blocklist hit counting — the safety/toxicity-lexicon filter step:
+    * n_hits = token occurrences whose LOWERCASE form is in the list
+    * (whole-token match, so "class" never trips an embedded substring —
+    * the classic substring-blocklist false positive). Keep decisions
+    * compare integer cross-products (n_hits·den ≤ num·n_tokens), never a
+    * float division. In-expression membership is right for lexicon-sized
+    * lists (plan literals, one scan); a huge lexicon becomes a broadcast
+    * anti/semi-join on the token postings instead — the
+    * [[graft.operators.Dedup.dropExistingIn]] shape. */
+  def blocklistHits(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "blocklistHits: empty blocklist")
+    val lst = typedLit(blocklist.map(_.toLowerCase))
+    size(filter(tokens(text), t => array_contains(lst, lower(t))))
+  }
+
   /** URL shape (RE2-safe, case-insensitive scheme/host via inline (?i)):
     * http(s) scheme, host, optional port, optional path/query/fragment up
     * to whitespace or a quote/angle delimiter. Shared verbatim with the

@@ -327,6 +327,26 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got == "literal &lt; stays")
   }
 
+  test("blocklistHits: whole-token lowercase matches only — embedded " +
+      "substrings and case variants behave correctly") {
+    import spark.implicits._
+    val bl = Seq("bad", "worse")
+    val got = Seq(
+      ("bad BAD Bad fine", 3L),       // case-folded whole tokens
+      ("xbadx badx xbad", 0L),        // substrings never trip
+      ("worse bad worse", 3L),
+      ("", 0L)).toDF("text", "want")
+      .select(col("want"), TextFunctions.blocklistHits(col("text"), bl)
+        .cast("long").as("got"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (want, g) => assert(g == want) }
+    // list is lowercased on entry: mixed-case lexicons still match
+    val up = Seq(("bad", 1L)).toDF("text", "want")
+      .select(TextFunctions.blocklistHits(col("text"), Seq("BAD")).cast("long"))
+      .collect()(0).getLong(0)
+    assert(up == 1L)
+  }
+
   test("extractUrls + canonicalizeUrl + urlDomain: case fold, default " +
       "ports, fragments, trailing slash") {
     import spark.implicits._
