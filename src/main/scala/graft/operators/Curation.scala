@@ -413,8 +413,11 @@ object Curation {
   /** Point estimates from a [[countMinSketch]] for the keys of `probes`:
     * est = min over the sketch's depth rows of the counter each hash row
     * sends the key to — the broadcast-sized sketch joins the probe set,
-    * never the corpus. CM guarantees est ≥ the true count (equality when
-    * no collision), which the gate asserts alongside the exact values. */
+    * never the corpus. An ABSENT sketch row is a zero counter (LEFT join
+    * + coalesce — an inner join would silently drop the empty bucket and
+    * overestimate a never-seen key, or lose it entirely). CM guarantees
+    * est ≥ the true count (equality when no collision), which the gate
+    * asserts alongside the exact values. */
   def countMinEstimate(
       sketch: DataFrame,
       probes: DataFrame,
@@ -428,9 +431,9 @@ object Curation {
       .select(col(keyCol), col("row"), pmod(conv(substring(
           md5(concat(col("row").cast("string"), lit(":"), col("__k"))),
           1, 15), 16, 10).cast("long"), lit(width.toLong)).as("bucket"))
-      .join(broadcast(sketch), Seq("row", "bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("n")).cast("long").as("cm_est"))
+      .agg(min(coalesce(col("n"), lit(0L))).cast("long").as("cm_est"))
   }
 
   /** Exact WEIGHTED quantiles — the "value cutoff covering p of the total
@@ -455,9 +458,16 @@ object Curation {
       groupCols: Seq[String] = Nil): DataFrame = {
     require(probs.nonEmpty, "need at least one prob")
     require(probs.forall(p => p >= 0.0 && p <= 1.0), s"probs out of [0,1]: $probs")
+    // a negative weight would make the prefix CDF non-monotonic and the
+    // thresholds meaningless — fail the ROW loudly, in-plan (the check
+    // rides the weight expression itself, so pruning can't drop it)
+    val w0 = col(weightCol).cast("long")
+    val wSafe = when(w0 < 0, raise_error(concat(
+        lit("weightedQuantiles: negative weight "), w0.cast("string")))
+      .cast("long")).otherwise(w0)
     val hist = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(groupCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .agg(sum(wSafe).as("__w"))
     val cum =
       if (groupCols.isEmpty)
         graft.ops.RunningCount.withRunningAgg(

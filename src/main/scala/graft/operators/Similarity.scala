@@ -432,7 +432,8 @@ object Similarity {
       aggregate(zip_with(transform(col("__v"), x => x.cast("double")),
         typedLit(center.toSeq), (x, c) => (x - c) * (x - c)),
         lit(0.0), (acc, x) => acc + x)
-    val seedRow = vecs.select(col(idCol), col(vecCol))
+    val nonNull = vecs.filter(col(vecCol).isNotNull)
+    val seedRow = nonNull.select(col(idCol), col(vecCol))
       .orderBy(col(idCol).asc).limit(1).collect()
     require(seedRow.nonEmpty, "kCenterGreedy: empty input")
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
@@ -443,7 +444,7 @@ object Similarity {
     var center = vecOf(seedRow.head)
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Int, Option[Double])](
       (seedRow.head.getLong(0), 1, None))
-    var state = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    var state = nonNull.select(col(idCol).as("__id"), col(vecCol).as("__v"),
         lit(Double.MaxValue).as("__md"))
       .filter(col("__id") =!= lit(selected.head._1))
       .localCheckpoint(true)

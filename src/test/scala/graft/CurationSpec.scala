@@ -1264,6 +1264,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         Seq("a", "c").toDF("k"), "k", depth = 2, width = 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(estT == Map("a" -> 9L, "c" -> 9L))
+    // a NEVER-SEEN key whose buckets happen to be empty estimates 0: the
+    // absent sketch row IS a zero counter (an inner join would silently
+    // overestimate or drop the probe)
+    val estU = Curation.countMinEstimate(wide,
+        Seq("zzz_unseen").toDF("k"), "k", depth = 3, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estU == Map("zzz_unseen" -> 0L))
+  }
+
+  test("weightedQuantiles: a negative weight fails the row loudly") {
+    import spark.implicits._
+    val d = Seq((1, 2L), (2, -1L)).toDF("v", "w")
+    val e = intercept[Exception] {
+      Curation.weightedQuantiles(d, "v", "w", Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("negative weight"))
   }
 
   test("kneserNeyStats: deterministic (c2 desc, w1, w2) top-K cut") {

@@ -574,6 +574,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
     // k beyond the corpus stops at n rows
     assert(graft.operators.Similarity.kCenterGreedy(vecs, k = 10).count() == 4)
+    // null vectors are not candidates (and cannot seed)
+    val withNull = vecs.unionByName(
+      Seq((0L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val got2 = graft.operators.Similarity.kCenterGreedy(withNull, k = 2)
+      .collect().map(_.getLong(0))
+    assert(got2.toSeq == Seq(1L, 3L))
   }
 
   test("randomProject: dimension mismatch fails fast, not null-padded") {
