@@ -181,7 +181,9 @@ object Bench {
     // per-domain cap: first-URL domain scan + one domain-keyed window
     "q_domain_cap",
     // blocklist safety filter: pure token-membership scan
-    "q_blocklist")
+    "q_blocklist",
+    // code-switch audit: chunk explode + two fused langid scans + rollup
+    "q_lang_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -459,7 +461,7 @@ object Bench {
       "strip_markup" -> "smk", "countmin" -> "cmn", "kcenter" -> "kctr",
       "quantile_weighted" -> "qtw", "pl_web" -> "plw",
       "wordpiece_train" -> "wpt", "domain_cap" -> "dcap",
-      "blocklist" -> "bkl")
+      "blocklist" -> "bkl", "lang_mix" -> "lmx")
     def short(k: String): String = {
       val s = abbrev.foldLeft(k.stripPrefix("q_")) { case (acc, (a, b)) => acc.replace(a, b) }
       diet.getOrElse(s, s)

@@ -1745,6 +1745,29 @@ object SparkEntry {
           (col("cm_est") >= col("n_exact")).as("bound_ok"))
     }),
 
+    // Mixed-language (code-switching) audit: 32-token chunks each get the
+    // n-gram language ID; a doc whose chunks disagree with its own doc-
+    // level language beyond 20% is flagged. German-profile text planted
+    // on %4 docs lands in the tail chunks, so the disagreement is real;
+    // the 20% test is an integer cross-product. Composes chunkDocuments
+    // with the fused NgramLangId — both already gated standalone.
+    "q_lang_mix" -> ((s, dir) => {
+      val deco = concat(col("text"), when(col("doc_id") % 4 === 0,
+        lit(" der die und das ein ist nicht zu der die und das ein ist"))
+        .otherwise(lit("")))
+      val docs = t(s, dir, "documents").select(col("doc_id"), deco.as("text"))
+      val dLang = docs.select(col("doc_id"),
+        TextFunctions.langIdNgram(col("text")).as("doc_lang"))
+      Curation.chunkDocuments(docs, maxTokens = 32, overlap = 0)
+        .select(col("doc_id"), TextFunctions.langIdNgram(col("chunk")).as("c_lang"))
+        .join(dLang, Seq("doc_id"))
+        .groupBy(col("doc_id"), col("doc_lang"))
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum(when(col("c_lang") =!= col("doc_lang"), 1L).otherwise(0L))
+            .cast("long").as("n_foreign"))
+        .withColumn("mixed", col("n_foreign") * 5 >= col("n_chunks"))
+    }),
+
     // Safety blocklist filter: planted lexicon words on a doc_id schedule
     // (the redact pattern); n_hits counts whole-token lowercase matches
     // (an embedded substring never trips), keep = hits ≤ 5% of tokens by
@@ -3165,6 +3188,53 @@ object SparkEntry {
        |$out)""".stripMargin
   }
 
+  /** q_lang_mix reference: the q_lang_id_ngram scoring (profile constants
+    * shared with the engine) applied twice — to the decorated doc and to
+    * each 32-token chunk (the q_chunk slicing at overlap 0) — then the
+    * disagreement rollup with the integer 20% cross-product. */
+  private def langMixOracleSql: String = {
+    def sqlList(xs: Seq[String]) =
+      xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
+    val profiles = TextFunctions.trigramProfiles
+    val scoreCols = profiles.map { case (lang, ps) =>
+      s"len(list_filter(tris, x -> list_contains(${sqlList(ps)}, x))) AS s_$lang"
+    }.mkString(",\n    ")
+    val gAll = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val cases = profiles.map { case (lang, _) =>
+      s"WHEN s_$lang = $gAll THEN '$lang'"
+    }.mkString("\n  ")
+    def langOf(src: String, textCol: String, out: String): String =
+      s"""(SELECT doc_id, CASE
+         |  WHEN $gAll = 0 THEN 'und'
+         |  $cases
+         |  END AS $out FROM (
+         |  SELECT doc_id,
+         |    $scoreCols
+         |  FROM (SELECT doc_id, list_transform(range(1, greatest(length(t) - 1, 1)),
+         |          i -> substr(t, CAST(i AS INTEGER), 3)) AS tris
+         |        FROM (SELECT doc_id, lower(trim($textCol)) AS t FROM $src))))""".stripMargin
+    s"""WITH d AS (SELECT doc_id,
+       |    text || CASE WHEN doc_id % 4 = 0
+       |      THEN ' der die und das ein ist nicht zu der die und das ein ist'
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |ck AS (SELECT doc_id, array_to_string(toks[s:s+31], ' ') AS chunk
+       |       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |             FROM d),
+       |            UNNEST(range(1, greatest(len(toks), 1) + 1, 32)) AS u(s)),
+       |ld AS ${langOf("d", "text", "doc_lang")},
+       |lc AS ${langOf("ck", "chunk", "c_lang")}
+       |SELECT doc_id, doc_lang, n_chunks, n_foreign,
+       |  n_foreign * 5 >= n_chunks AS mixed
+       |FROM (
+       |  SELECT ld.doc_id, ld.doc_lang,
+       |    CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(CASE WHEN lc.c_lang <> ld.doc_lang THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_foreign
+       |  FROM lc JOIN ld USING (doc_id)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** q_urls reference: the URL pattern taken verbatim from the engine's
     * [[graft.functions.TextFunctions.urlPattern]]; canonicalization as
     * the same lower/CASE/anchored-regexp steps (group substitutions are
@@ -4227,6 +4297,7 @@ object SparkEntry {
     "q_train_margins" -> perceptronOracleSql(64, 3, "margins"),
     "q_strip_markup" -> stripMarkupOracleSql,
     "q_urls" -> urlsOracleSql,
+    "q_lang_mix" -> langMixOracleSql,
 
     // per-domain cap: the domain derives directly from the planted URL
     // (the corpus text contains no URLs of its own — extraction parity is
