@@ -92,6 +92,24 @@ object SparkEntry {
     s.read.parquet(s"$base/out")
   }
 
+  /** JVM-exit cleanup for gate temp dirs: registered once per distinct
+    * path (idempotent under the bench's 3-5 rebuilds per run), deletes
+    * the tree on shutdown so repeated bench JVMs don't accrete one
+    * corpus-sized export per pid into java.io.tmpdir. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerTempDirCleanup(path: String): Unit =
+    if (cleanupRegistered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+
   /** Shared export-gate back half: write `docs` (doc_id, text) as
     * deterministic JSONL shards into ONE pid-scoped dir (overwritten per
     * invocation — bench passes re-build these queries 3-5× per run, and
@@ -106,6 +124,10 @@ object SparkEntry {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val out = s"${System.getProperty("java.io.tmpdir")}/$dirName" +
       ProcessHandle.current().pid()
+    // pid scoping prevents cross-JVM collisions and the per-invocation
+    // overwrite prevents within-JVM accretion; the shutdown hook closes
+    // the remaining leak (one corpus-sized dir left per bench JVM run)
+    registerTempDirCleanup(out)
     graft.sources.Sinks.exportShardedJsonl(docs, out, "doc_id", maxShardBytes)
     s.read
       .schema(StructType(Seq(StructField("doc_id", LongType),

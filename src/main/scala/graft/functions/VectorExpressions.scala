@@ -389,10 +389,7 @@ case class NearestCentroid(
 case class SignProject(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
     signs: Array[Array[Long]])
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  private val dim = if (signs.isEmpty) 0 else signs(0).length
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -411,8 +408,31 @@ case class SignProject(
           s"sign_project needs array<float|double>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SignProject.project(input.asInstanceOf[ArrayData], signs, isFloat)
+
+  // genuine whole-stage participation (not CodegenFallback's per-row
+  // interpreted eval + boxing): the generated code calls one static
+  // compiled kernel, keeping the surrounding stage fused
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignProject.project($c, $signsRef, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): SignProject =
+    copy(child = c)
+}
+
+object SignProject {
+  /** The projection kernel, shared by interpreted eval and generated
+    * code: quantize once to round(x·1000) fixed-point (Spark
+    * Round(double, 0) semantics exactly — decimal HALF_UP on the shortest
+    * string form via BigDecimal.valueOf, not binary rint), then each
+    * output coordinate is a signed integer sum. */
+  def project(arr: ArrayData, signs: Array[Array[Long]], isFloat: Boolean): ArrayData = {
+    val dim = if (signs.isEmpty) 0 else signs(0).length
     val n = arr.numElements()
     if (n != dim)
       throw new IllegalArgumentException(
@@ -421,8 +441,6 @@ case class SignProject(
     var i = 0
     while (i < n) {
       val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      // Spark Round(double, 0) semantics exactly: decimal HALF_UP on the
-      // shortest string form (BigDecimal.valueOf), not binary rint
       q(i) = java.math.BigDecimal.valueOf(x * 1000.0)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
       i += 1
@@ -440,10 +458,6 @@ case class SignProject(
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(
-      c: org.apache.spark.sql.catalyst.expressions.Expression): SignProject =
-    copy(child = c)
 }
 
 /** |A ∩ B| of two SORTED long arrays by two-pointer merge — O(|A|+|B|)

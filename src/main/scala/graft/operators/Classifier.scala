@@ -70,8 +70,17 @@ object Classifier {
       buckets: Int = 64,
       epochs: Int = 3,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxBuckets: Int = 1 << 22): DataFrame = {
     require(epochs >= 0, s"epochs must be >= 0: $epochs")
+    // the per-epoch driver round-trip is the weight vector (<= buckets+1
+    // rows) and the broadcast back is the same table — the tokenizers'
+    // maxInventory discipline: a pathological bucket count must fail
+    // loudly here, not OOM the driver mid-epoch
+    require(buckets <= maxBuckets,
+      s"trainPerceptron: buckets=$buckets exceeds maxBuckets=$maxBuckets — " +
+        "the weight table is driver-resident and broadcast per epoch; " +
+        "lower buckets or raise maxBuckets if the driver can hold it")
     val spark = docs.sparkSession
     import spark.implicits._
     // corpus-sized work happens once; every epoch runs over these pins

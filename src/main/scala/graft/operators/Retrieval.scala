@@ -204,7 +204,15 @@ object Retrieval {
     * the two scoring rounds THEMSELVES (each ≈ a standalone bm25TopK's
     * broadcast/window machinery, measured ~1.2 s at sf0.1 against a
     * 0.15 s pin and 0.25 s postings pass) — inherent to pseudo-relevance
-    * feedback's two sequential retrievals. */
+    * feedback's two sequential retrievals.
+    *
+    * Cache lifetime: the pin is EAGER (this method already executes at
+    * construction — the expansion terms collect here) and the returned
+    * DataFrame still reads it, so it cannot be unpersisted for you; the
+    * blocks are reclaimed by the context cleaner once the caller drops
+    * the result — the [[graft.operators.Dedup.removeRepeatedSpans]]
+    * convention. Long-lived sessions invoking this repeatedly should
+    * materialize and release each result before the next call. */
   def bm25WithFeedback(
       docs: DataFrame,
       queries: Seq[(String, Seq[String])],

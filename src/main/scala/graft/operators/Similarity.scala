@@ -424,8 +424,18 @@ object Similarity {
       vecs: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxK: Int = 4096): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // cost contract: k−1 full scans of the candidate pool, each re-pinning
+    // the (id, vector, running-min) state (one pinned copy retained at a
+    // time — the previous round's pin is released as soon as the new one
+    // materializes). The operator is built for CORESET-sized k; a
+    // pathological k must fail loudly before scheduling thousands of scans
+    require(k <= maxK,
+      s"kCenterGreedy: k=$k exceeds maxK=$maxK — the selection runs k-1 " +
+        "corpus scans (one per center); for large k use IVF cells or " +
+        "raise maxK deliberately")
     val spark = vecs.sparkSession
     import spark.implicits._
     def sqDistTo(center: Array[Double]): org.apache.spark.sql.Column =
@@ -444,15 +454,22 @@ object Similarity {
     var center = vecOf(seedRow.head)
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Int, Option[Double])](
       (seedRow.head.getLong(0), 1, None))
-    var state = nonNull.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    var pinned = nonNull.select(col(idCol).as("__id"), col(vecCol).as("__v"),
         lit(Double.MaxValue).as("__md"))
       .filter(col("__id") =!= lit(selected.head._1))
       .localCheckpoint(true)
+    var state = pinned
     var r = 2
     while (r <= k && !state.isEmpty) {
-      state = state.select(col("__id"), col("__v"),
+      // eager checkpoint materializes the new round's state FIRST; only
+      // then release the previous pin, so at most one corpus-sized copy
+      // (plus the one being built) is ever resident
+      val next = state.select(col("__id"), col("__v"),
           least(col("__md"), sqDistTo(center)).as("__md"))
         .localCheckpoint(true)
+      pinned.unpersist()
+      pinned = next
+      state = next
       val win = state.orderBy(col("__md").desc, col("__id").asc).limit(1)
         .select(col("__id"), col("__v"), col("__md")).collect().head
       selected += ((win.getLong(0), r, Some(win.getDouble(2))))
@@ -460,6 +477,7 @@ object Similarity {
       state = state.filter(col("__id") =!= lit(win.getLong(0)))
       r += 1
     }
+    pinned.unpersist()
     selected.toSeq.map { case (id, rank, d2) => (id, rank, d2) }
       .toDF(idCol, "rank", "d2")
   }

@@ -224,6 +224,11 @@ object Sinks {
       append: Boolean = false): Int = {
     require(maxShardBytes >= 1, s"maxShardBytes must be >= 1: $maxShardBytes")
     fixedShards.foreach(n => require(n >= 1, s"fixedShards must be >= 1: $n"))
+    // withColumn REPLACES by name — a pre-existing 'shard' column would be
+    // silently overwritten, changing the exported payload without warning
+    require(!df.columns.contains("shard"),
+      "exportShardedJsonl: input already has a 'shard' column — rename it " +
+        "(the export derives its own shard id and would silently replace it)")
     val nShards = fixedShards.getOrElse {
       val textBytes = df.columns.filter(_ != idCol)
         .map(c => coalesce(octet_length(col(c).cast("string")), lit(0)))

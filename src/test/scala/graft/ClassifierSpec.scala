@@ -47,6 +47,17 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(m(w5) == m(w8))
   }
 
+  test("trainPerceptron: buckets above maxBuckets fails fast (driver-resident " +
+      "weight table), at the bound it trains") {
+    val d = docs((1L, "a b", 1L), (2L, "c d", -1L))
+    val e = intercept[IllegalArgumentException] {
+      Classifier.trainPerceptron(d, col("y"), buckets = 9, epochs = 1, maxBuckets = 8)
+    }
+    assert(e.getMessage.contains("exceeds maxBuckets"))
+    assert(Classifier.trainPerceptron(d, col("y"), buckets = 8, epochs = 1,
+      maxBuckets = 8).count() >= 1)
+  }
+
   test("trainPerceptron: epoch-1 gradient is the full label-weighted count " +
       "(all-zero weights misclassify everything)") {
     val d = docs((1L, "t t", 1L), (2L, "t", -1L))

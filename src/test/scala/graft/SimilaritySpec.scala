@@ -590,4 +590,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("vector dim != sign dim"))
   }
+
+  test("kCenterGreedy: k above maxK fails fast before any scan is scheduled") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(0.0f)), (2L, Array(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.kCenterGreedy(vecs, k = 3, maxK = 2)
+    }
+    assert(e.getMessage.contains("exceeds maxK"))
+    // at the bound it still runs
+    assert(graft.operators.Similarity.kCenterGreedy(vecs, k = 2, maxK = 2).count() == 2)
+  }
 }

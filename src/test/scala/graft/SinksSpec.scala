@@ -167,6 +167,17 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(got != proper)
   }
 
+  test("exportShardedJsonl: a pre-existing 'shard' column fails fast instead of " +
+      "being silently replaced") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 0L)).toDF("doc_id", "text", "shard")
+    val out = Files.createTempDirectory("graft_export_collide").toString
+    val e = intercept[IllegalArgumentException] {
+      Sinks.exportShardedJsonl(df, out, "doc_id", maxShardBytes = 4096)
+    }
+    assert(e.getMessage.contains("'shard' column"))
+  }
+
   test("exportShardedJsonl: deterministic shards, one file each, hostile-text round-trip") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
