@@ -1834,6 +1834,25 @@ object SparkEntry {
     "q_bigram_kn" -> ((s, dir) =>
       Curation.kneserNeyStats(t(s, dir, "documents"), topK = 200)),
 
+    // KN perplexity quality filter (CCNet's wiki-LM step) — the apply
+    // side kneserNeyStats exists to serve: per-doc mean bigram
+    // log-probability under the corpus-trained interpolated-KN model,
+    // thresholded keep/drop. Per-bigram-TYPE ln quantizes to 1e-6
+    // fixed point (the unigram-LM gate's discipline); the per-doc
+    // readout and the threshold compare are exact integers.
+    "q_perplexity_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.perplexityFilter(docs, docs, minMeanLpMicros = -3400000L)
+    }),
+
+    // Cross-corpus perplexity: score EVERY doc under a model trained on
+    // the doc_id%3 reference slice — exercises the unseen-bigram uniform
+    // fallback ln(1/n_types) that same-corpus scoring never takes.
+    "q_perplexity_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.perplexityScore(docs, docs.filter(col("doc_id") % 3 === 0))
+    }),
+
     // HTML/markup strip (the CommonCrawl text-extraction step): the
     // corpus gains deterministic doc_id-scheduled markup — script/style
     // bodies, comments, tags, the five standard entities (the q_redact
@@ -2909,6 +2928,50 @@ object SparkEntry {
 
   /** q_lpa reference: the synchronous vote unrolled — l_i = per-node
     * argmax (count desc, label asc) over neighbor labels from l_{i-1}. */
+  /** q_perplexity_* references: the interpolated-KN scorer replayed in
+    * SQL — the engine's exact bigram derivation (q_bigram_kn's), the
+    * same double op order inside the ln, per-TYPE 1e-6 fixed point,
+    * integer rollup. `refWhere` selects the model corpus; `thrMicros`
+    * adds the filter's integer keep compare. */
+  private def perplexityOracleSql(
+      refWhere: String, thrMicros: Option[Long]): String = {
+    val keepCol = thrMicros.map(t =>
+      s""",
+         |  coalesce(sc.sum_lp_q, 0) >= $t * coalesce(sc.n_bigrams, 0) AS keep"""
+        .stripMargin).getOrElse("")
+    s"""WITH arr AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |bgd AS (SELECT doc_id, unnest(list_transform(range(1, len(a)),
+       |          i -> a[i] || ' ' || a[i+1])) AS bg FROM arr),
+       |occ AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+       |          split_part(bg, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM bgd GROUP BY 1, 2, 3),
+       |rbg AS (SELECT unnest(list_transform(range(1, len(a)),
+       |          i -> a[i] || ' ' || a[i+1])) AS bg
+       |        FROM arr WHERE $refWhere),
+       |c AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+       |        CAST(count(*) AS BIGINT) AS c2 FROM rbg GROUP BY 1, 2),
+       |pre AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cpre,
+       |          CAST(count(*) AS BIGINT) AS n1fwd FROM c GROUP BY 1),
+       |bk AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1back FROM c GROUP BY 1),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+       |lp AS (SELECT c.w1, c.w2, CAST(round(ln(
+       |          greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / CAST(cpre AS DOUBLE)
+       |          + ((0.75 * CAST(n1fwd AS DOUBLE)) / CAST(cpre AS DOUBLE))
+       |            * (CAST(n1back AS DOUBLE) / CAST(ty.n_types AS DOUBLE)))
+       |          * 1000000.0) AS BIGINT) AS lp_q
+       |       FROM c JOIN pre USING (w1) JOIN bk USING (w2) CROSS JOIN ty),
+       |fb AS (SELECT CAST(round(ln(1.0 / CAST(n_types AS DOUBLE)) * 1000000.0)
+       |          AS BIGINT) AS lp_unseen FROM ty),
+       |sc AS (SELECT occ.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(cnt * coalesce(lp.lp_q, fb.lp_unseen)) AS BIGINT) AS sum_lp_q
+       |       FROM occ LEFT JOIN lp USING (w1, w2) CROSS JOIN fb GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.sum_lp_q, 0) AS sum_lp_q$keepCol
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
   private def lpaOracleSql(rounds: Int): String = {
     // MATERIALIZED for the same reason as the k-core oracle: protects the
     // chained-CTE unroll from per-reference inlining blowup
@@ -4457,6 +4520,17 @@ object SparkEntry {
         |  (SELECT n_types FROM t) AS n_types
         |FROM c JOIN pre USING (w1) JOIN back USING (w2)
         |ORDER BY c2 DESC, w1, w2 LIMIT 200""".stripMargin,
+
+    // KN perplexity: the same bigram census twice (occurrences keep
+    // doc_id, the model collapses the reference to types), per-TYPE
+    // fixed-point ln, integer per-doc rollup, integer threshold compare
+    "q_perplexity_filter" -> perplexityOracleSql(
+      refWhere = "TRUE", thrMicros = Some(-3400000L)),
+
+    // cross-corpus scoring: model from the doc_id%3 slice; bigrams absent
+    // from it take the uniform ln(1/n_types) fallback
+    "q_perplexity_cross" -> perplexityOracleSql(
+      refWhere = "doc_id % 3 = 0", thrMicros = None),
 
     "q_corr_stats" -> corrOracleSql(
       Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),

@@ -512,8 +512,18 @@ object Curation {
       df: DataFrame,
       topK: Int = 200,
       textCol: String = "text"): DataFrame = {
-    import graft.functions.TextFunctions
     require(topK >= 1, s"topK must be >= 1: $topK")
+    knModel(df, textCol)
+      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select("w1", "w2", "c2", "cpre", "n1fwd", "n1back", "n_types")
+  }
+
+  /** The FULL KN bigram model table [[kneserNeyStats]] reads its top-K
+    * from: one bigram-keyed partial agg over the corpus, then
+    * model-table-sized joins — every column an exact integer. */
+  private def knModel(df: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
     val c = df
       .select(explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
       .select(substring_index(col("__bg"), " ", 1).as("w1"),
@@ -525,10 +535,105 @@ object Curation {
     val types = c.agg(count(lit(1)).cast("long").as("n_types"))
     c.join(pre, Seq("w1")).join(back, Seq("w2"))
       .crossJoin(broadcast(types))
-      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
-      .limit(topK)
-      .select("w1", "w2", "c2", "cpre", "n1fwd", "n1back", "n_types")
   }
+
+  /** Per-document Kneser–Ney bigram LOG-PROBABILITY under a model trained
+    * on `reference` — the CCNet-style perplexity quality signal
+    * ([[kneserNeyStats]]'s apply step): a page whose token transitions
+    * look nothing like the reference corpus (boilerplate, gibberish,
+    * wrong language) scores far below the corpus norm. Returns
+    * `(id, n_bigrams, sum_lp_q)` for EVERY input document, where
+    * `sum_lp_q` is the exact integer sum over the document's bigram
+    * occurrences of `round(ln(P_KN(w2|w1)) · 10⁶)` — per-bigram-TYPE
+    * fixed-point quantization (the unigram-LM gate's `ln`-rounding
+    * discipline), so the per-document readout is pure integer arithmetic
+    * and hash-gates across engines. Documents with < 2 tokens score
+    * (0, 0) — no evidence either way; thresholding is the caller's
+    * policy ([[perplexityFilter]]).
+    *
+    * `P_KN(w2|w1) = max(c2−D,0)/cpre + (D·n1fwd/cpre)·(n1back/n_types)`,
+    * interpolated KN with a single discount `D` (pass an exactly-
+    * representable double — 0.75, 0.5 — so a SQL replica can state it
+    * literally). Bigrams ABSENT from the reference fall back to the
+    * uniform continuation `ln(1/n_types)` (KN's zero-count numerator
+    * would otherwise send the log to −∞ on any out-of-reference pair);
+    * same-corpus scoring (reference = docs) never takes the fallback. A
+    * reference with NO bigrams has no model — every document scores
+    * (n_bigrams, 0) with nothing to compare against, so this fails fast
+    * instead.
+    *
+    * Scale shape: the reference collapses to the bigram-TYPE model in
+    * one keyed partial agg; scoring is one (id, w1, w2)-keyed partial
+    * agg over the corpus (occurrence volume paid once, map-side
+    * combined) + one join against the model on (w1, w2) — broadcast
+    * when the model fits, shuffle-on-key otherwise, either way bigram
+    * TYPES not occurrences cross the wire — + one id-keyed integer
+    * rollup. Zero driver traffic beyond the 1-row fallback scalar. */
+  def perplexityScore(
+      docs: DataFrame,
+      reference: DataFrame,
+      discount: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1): $discount")
+    val model = knModel(reference, textCol)
+    // ONE ln per bigram TYPE, every double op in a fixed order both
+    // engines replay: greatest/÷/·/+ on exact-integer-valued doubles
+    val prob =
+      greatest(col("c2").cast("double") - lit(discount), lit(0.0)) /
+        col("cpre").cast("double") +
+      ((lit(discount) * col("n1fwd").cast("double")) / col("cpre").cast("double")) *
+        (col("n1back").cast("double") / col("n_types").cast("double"))
+    val lp = model.select(col("w1"), col("w2"),
+      round(log(prob) * lit(1000000.0)).cast("long").as("__lp_q"))
+    // always exactly ONE row (ungrouped agg): __nt is null on a
+    // bigram-less reference, and the fallback expression below raises
+    // IN-PLAN if such a "model" is ever consulted — lazy fail-fast, no
+    // construction-time job
+    val fallback = model.agg(max(col("n_types")).as("__nt"))
+    val lpUnseen = when(col("__nt").isNull,
+        raise_error(lit("perplexityScore: reference corpus has no bigrams — " +
+          "no model to score under")).cast("long"))
+      .otherwise(round(log(lit(1.0) / col("__nt").cast("double")) *
+        lit(1000000.0)).cast("long"))
+    val occ = docs
+      .select(col(idCol), explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
+      .select(col(idCol), substring_index(col("__bg"), " ", 1).as("w1"),
+        substring_index(col("__bg"), " ", -1).as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("__cnt"))
+    val scored = occ.join(lp, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(fallback))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).cast("long").as("n_bigrams"),
+        sum(col("__cnt") * coalesce(col("__lp_q"), lpUnseen))
+          .cast("long").as("sum_lp_q"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_lp_q"), lit(0L)).as("sum_lp_q"))
+  }
+
+  /** [[perplexityScore]] thresholded into the keep/drop decision — the
+    * model-based perplexity FILTER: keep a document iff its MEAN
+    * per-bigram log-probability clears `minMeanLpMicros` (micro-log
+    * units, e.g. -7_500_000 ≈ mean ln P ≥ −7.5 ≈ perplexity ≤ e^7.5).
+    * The compare is `sum_lp_q ≥ minMeanLpMicros · n_bigrams` — pure
+    * integer arithmetic, no division, exact on any engine. Documents
+    * with no bigrams keep vacuously (0 ≥ 0): too short to convict;
+    * compose with a length floor when shortness itself should drop. */
+  def perplexityFilter(
+      docs: DataFrame,
+      reference: DataFrame,
+      minMeanLpMicros: Long,
+      discount: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    perplexityScore(docs, reference, discount, idCol, textCol)
+      .withColumn("keep",
+        col("sum_lp_q") >= lit(minMeanLpMicros) * col("n_bigrams"))
 
   /** Weight-proportional deterministic sample: keep a row with probability
     * `min(1, weight × perUnitRate)` — e.g. `weightCol = n_chars,

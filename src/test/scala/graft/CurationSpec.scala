@@ -1224,6 +1224,49 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(vocabP == 1.0)
   }
 
+  test("perplexityScore/Filter: hand-LM fixed-point logprobs, unseen " +
+      "fallback, bigram-less docs, empty-reference fail-fast") {
+    import spark.implicits._
+    // corpus: doc1 "a b a b" -> (a b)x2 (b a)x1; doc2 "b c"; doc3 "x"
+    // model (same corpus): c2 (a,b)=2 (b,a)=1 (b,c)=1; cpre a=2 b=2;
+    // n1fwd a=1 b=2; n1back a=1 b=1 c=1; n_types=3; D=0.75 (dyadic):
+    //   P(b|a) = 1.25/2 + (.75*1/2)*(1/3) = 0.75
+    //   P(a|b) = 0.25/2 + (.75*2/2)*(1/3) = 0.375 = P(c|b)
+    val d = Seq((1L, "a b a b"), (2L, "b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val lpAB = math.round(math.log(0.75) * 1e6)   // -287682
+    val lpBA = math.round(math.log(0.375) * 1e6)  // -980829
+    assert(lpAB == -287682L && lpBA == -980829L)
+    val got = Curation.perplexityScore(d, d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2 * lpAB + lpBA)),
+      2L -> ((1L, lpBA)),
+      3L -> ((0L, 0L)))) // single token: no bigrams, no evidence
+    // cross-corpus: model from doc1 only; doc2's one bigram (b,c) is
+    // unseen -> the uniform fallback ln(1/n_types), n_types = 2
+    val lpUnseen = math.round(math.log(1.0 / 2) * 1e6)
+    val cross = Curation.perplexityScore(d, d.filter($"doc_id" === 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cross(2L) == lpUnseen)
+    // doc1 under its own model: P(b|a) = 1.25/2 + (.75*1/2)*(1/2) =
+    // 0.8125; P(a|b) = 0.25/1 + (.75*1/1)*(1/2) = 0.625 (context b has
+    // ONE bigram in doc1: cpre = n1fwd = 1)
+    assert(cross(1L) ==
+      2 * math.round(math.log(0.8125) * 1e6) + math.round(math.log(0.625) * 1e6))
+    assert(cross(3L) == 0L)
+    // filter: mean-lp threshold splits doc1 (mean -518731) from doc2
+    // (-980829); doc3 keeps vacuously (0 >= 0)
+    val kept = Curation.perplexityFilter(d, d, minMeanLpMicros = -600000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> true))
+    // reference with no bigrams: fails loudly in-plan, not silent zeros
+    val e = intercept[Exception] {
+      Curation.perplexityScore(d, d.filter($"doc_id" === 3L)).collect()
+    }
+    assert(e.getMessage.contains("no bigrams"))
+  }
+
   test("weightedQuantiles: mass-threshold cutoffs on a hand histogram; " +
       "zero-weight values never picked") {
     import spark.implicits._
