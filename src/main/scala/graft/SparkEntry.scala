@@ -76,19 +76,24 @@ object SparkEntry {
       s: SparkSession,
       staged: DataFrame,
       orderCols: Seq[org.apache.spark.sql.Column],
-      extraLast: Option[DataFrame] = None)(
+      extraLast: Option[DataFrame] = None,
+      confs: Map[String, String] = Map.empty)(
       build: (() => DataFrame) => DataFrame): DataFrame = {
     val (base, inDir) = stageTimeSegments(staged, 4, orderCols, extraLast)
     val schema = s.read.parquet(inDir).schema
     def src(): DataFrame = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val overrides = confs + ("spark.sql.shuffle.partitions" -> "8")
+    val prev = overrides.keys.map(k => k -> s.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val q = graft.streaming.StreamingPipeline.startFileSink(
         build(() => src()), s"$base/out", s"$base/ckpt")
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
     s.read.parquet(s"$base/out")
   }
 
@@ -1189,6 +1194,74 @@ object SparkEntry {
         .groupBy(md5(col("text")).as("fp"))
         .agg(count(lit(1)).cast("long").as("n_out"),
           max(col("text")).as("text"))
+    }),
+
+    // STREAMING SPAN DEDUP under the hash gate — dedupExact's
+    // sub-document twin (dedupSpans = chunk at ingest, first arrival of
+    // each distinct 32-token span passes, state = 16-byte md5 per span):
+    // the same planted late-arriving duplicate docs, whose EVERY span must
+    // be dropped by the cross-micro-batch state. WHICH copy of a
+    // same-batch duplicate span survives is operator-internal, so the
+    // readout groups the sink by span fingerprint — exactly one survivor
+    // per distinct span, membership = the batch chunker's distinct spans.
+    "q_stream_spandedup_gate" -> ((s, dir) => {
+      val base0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = base0.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"))
+      val docs = base0.unionByName(dupes).select(col("doc_id"), col("text"),
+        timestamp_micros(lit(1700000000000000L) +
+          col("doc_id") * lit(1000000L)).as("ts"))
+      runStreamGate(s, docs, Seq(col("ts"), col("doc_id"))) { src =>
+        graft.streaming.StreamingPipeline.dedupSpans(
+          src(), "ts", "30 days", maxTokens = 32)
+      }
+        .groupBy(md5(col("chunk")).as("fp"))
+        .agg(count(lit(1)).cast("long").as("n_out"),
+          max(col("chunk")).as("chunk"))
+    }),
+
+    // STREAMING SUBSEQUENCE PATTERN MATCH under the hash gate — the
+    // live-motif twin of q_ts_pattern (flatMapGroupsWithState carrying a
+    // w-1 value rolling buffer per user): every arriving event completes
+    // a window, z-normalized distance in the batch operator's exact fold
+    // order, threshold-emit. In-order replay makes the sink EQUAL the
+    // batch sliding-window distances at dist <= 1.0 — the oracle is
+    // q_ts_pattern's own CTE chain with the top-k cut swapped for the
+    // threshold.
+    "q_stream_pattern_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id"))) { src =>
+        graft.streaming.StreamingPipeline.patternMatch(src(),
+          pattern = Array(0.0, 1.0, 3.0, 7.0, 3.0, 1.0), threshold = 1.0)
+      }
+        .select(col("user_id"), col("end_ts_us"), col("dist"))
+    }),
+
+    // The CDC streaming gate UNDER THE ROCKSDB STATE-STORE PROVIDER —
+    // provider parity as a CORRECTNESS row, not just a probe: the same
+    // flatMapGroupsWithState drain with every state read/write going
+    // through RocksDB (the 10⁹-key deployment config) must produce the
+    // identical materialized view, byte for byte under the oracle hash.
+    "q_stream_cdc_rocksdb_gate" -> ((s, dir) => {
+      val log = ev(s, dir).select(col("user_id"),
+        when(col("event_id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("value"), unix_micros(col("ts")).as("ts_us"),
+        col("ts"), col("event_id"))
+      val sink = runStreamGate(s, log, Seq(col("ts"), col("event_id")),
+          confs = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        src =>
+          graft.streaming.StreamingPipeline.cdcLatestStream(
+            src(), payloadCols = Seq("value", "ts_us"))
+      }
+      sink.groupBy("user_id")
+        .agg(max_by(struct(col("op"), col("value"), col("ts_us")),
+          col("n_ops")).as("w"), max(col("n_ops")).as("n_ops"))
+        .where(col("w.op") =!= "D")
+        .select(col("user_id"), col("w.value").as("value"),
+          col("w.ts_us").cast("long").as("ts_us"),
+          col("n_ops").cast("long").as("n_ops"))
     }),
 
     // The WATERMARKED WINDOWED-AGG streaming mode under the hash gate —
@@ -5164,6 +5237,68 @@ object SparkEntry {
     "q_stream_dedup_gate" ->
       """SELECT md5(text) AS fp, CAST(1 AS BIGINT) AS n_out, max(text) AS text
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // streamed span dedup: exactly one survivor per distinct 32-token
+    // span of the duplicate-decorated corpus (the batch chunker's span
+    // derivation, q_dedup_spans' own CTE)
+    "q_stream_spandedup_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |ch AS (
+        |  SELECT array_to_string(toks[s:s+31], ' ') AS chunk
+        |  FROM (SELECT doc_id,
+        |          coalesce(regexp_split_to_array(trim(text), '\s+'), []) AS toks
+        |        FROM d),
+        |       UNNEST(range(1, greatest(len(toks) - 1, 0) + 2, 32)) AS u(s))
+        |SELECT md5(chunk) AS fp, CAST(1 AS BIGINT) AS n_out, max(chunk) AS chunk
+        |FROM ch GROUP BY md5(chunk)""".stripMargin,
+
+    // streamed pattern match: q_ts_pattern's exact CTE chain with the
+    // top-k cut swapped for the threshold emit
+    "q_stream_pattern_gate" -> {
+      val pattern = Array(0.0, 1.0, 3.0, 7.0, 3.0, 1.0)
+      val w = pattern.length
+      val mu0 = pattern.sum / w
+      val sd0 = math.sqrt(pattern.map(x => (x - mu0) * (x - mu0)).sum / w)
+      val qn = pattern.map(x => (x - mu0) / sd0)
+      s"""WITH wnd AS (
+         |  SELECT user_id, epoch_us(ts) AS end_ts_us,
+         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS arr
+         |  FROM events),
+         |c AS (SELECT user_id, end_ts_us, arr FROM wnd WHERE len(arr) = $w),
+         |m AS (SELECT user_id, end_ts_us, arr, list_sum(arr) / $w AS mu FROM c),
+         |sdev AS (SELECT user_id, end_ts_us, arr, mu,
+         |    sqrt(list_sum(list_transform(arr, x -> (x - mu) * (x - mu))) / $w) AS sd
+         |  FROM m),
+         |z AS (SELECT user_id, end_ts_us,
+         |    CASE WHEN sd = 0 THEN list_transform(arr, x -> 0.0)
+         |         ELSE list_transform(arr, x -> (x - mu) / sd) END AS zarr
+         |  FROM sdev),
+         |d AS (SELECT user_id, end_ts_us,
+         |    list_sum(list_transform(
+         |      list_zip(zarr, CAST(${sqlDoubles(qn)} AS DOUBLE[])),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+         |  FROM z)
+         |SELECT user_id, CAST(end_ts_us AS BIGINT) AS end_ts_us, dist
+         |FROM d WHERE dist <= 1.0""".stripMargin
+    },
+
+    // the RocksDB-provider drain must equal the default-provider view —
+    // the oracle IS q_stream_cdc_gate's
+    "q_stream_cdc_rocksdb_gate" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT user_id, value, CAST(ts_us AS BIGINT) AS ts_us,
+        |  CAST(n_ops AS BIGINT) AS n_ops
+        |FROM c WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     // the streamed windowed-agg drain emits each watermark-closed bar
     // exactly once, so with the sentinel flush the sink equals the batch
