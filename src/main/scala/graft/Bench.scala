@@ -501,7 +501,16 @@ object Bench {
       passLoads.map(fmt(2)).mkString(",") + "],\"calib_ms\":[[" +
       ms(calibBefore._1) + "," + ms(calibBefore._2) + "],[" +
       ms(calibAfter._1) + "," + ms(calibAfter._2) + "]]}"
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":${passes.size},"stream":3},"loadavg":$loadJson,"sf":"$sfDir"}"""
+    // Calib-normalized total: project the measured total onto the r13
+    // reference host speed (calib_serial 885 ms) so round-over-round
+    // comparison is ONE number — a slow window (calib 900) deflates
+    // value_norm, a fast one inflates it: value_norm = value × 885/calib.
+    // Uses the faster (less contended) of the two serial calib readings;
+    // null when neither window yielded a plausible read.
+    val calibSerials = Seq(calibBefore._1, calibAfter._1).filter(_ > 0)
+    val valueNorm = if (calibSerials.isEmpty) "null"
+      else f"${total * 885.0 / calibSerials.min}%.3f"
+    val full = f"""{"metric":"total","value":$total%.3f,"value_norm":$valueNorm,"calib_ref_ms":885,"unit":"sec","queries":$qsFull,"streams":$streams,"stream_batch_ms":$batches,"passes":{"batch":${passes.size},"stream":3},"loadavg":$loadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
