@@ -1926,6 +1926,18 @@ object SparkEntry {
       Curation.perplexityScore(docs, docs.filter(col("doc_id") % 3 === 0))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): per-doc sum of hashed-
+    // bigram log-ratios ln p_T − ln p_S (target = lang='en', Laplace
+    // smoothing over 256 md5 buckets) — one tokenize scan, a 256-row
+    // broadcast model, integer per-doc rollup under the hash.
+    "q_dsir_weights" -> ((s, dir) =>
+      Curation.dsirLogRatios(t(s, dir, "documents"), col("lang") === "en")),
+
+    // The DSIR selection: keep docs whose mean per-feature log-ratio is
+    // >= 0 — "more target-like than source-like", integer compare.
+    "q_dsir_sample" -> ((s, dir) =>
+      Curation.dsirFilter(t(s, dir, "documents"), col("lang") === "en")),
+
     // HTML/markup strip (the CommonCrawl text-extraction step): the
     // corpus gains deterministic doc_id-scheduled markup — script/style
     // bodies, comments, tags, the five standard entities (the q_redact
@@ -3042,6 +3054,44 @@ object SparkEntry {
        |       FROM occ LEFT JOIN lp USING (w1, w2) CROSS JOIN fb GROUP BY 1)
        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
        |  coalesce(sc.sum_lp_q, 0) AS sum_lp_q$keepCol
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
+  /** q_dsir_* references: the hashed-bigram importance-weight replay —
+    * the engine's exact feature derivation (bigrams to 256 md5 buckets),
+    * Laplace-smoothed per-bucket log-ratio at 1e-6 fixed point, integer
+    * per-doc rollup; `thrMicros` adds the mean-log-ratio keep compare. */
+  private def dsirOracleSql(thrMicros: Option[Long]): String = {
+    val keepCol = thrMicros.map(t =>
+      s""",
+         |  coalesce(sc.score_q, 0) >= $t * coalesce(sc.n_feats, 0) AS keep"""
+        .stripMargin).getOrElse("")
+    s"""WITH arr AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |bgd AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(a)),
+       |          i -> a[i] || ' ' || a[i+1])) AS bg FROM arr),
+       |f AS (SELECT doc_id, lang,
+       |        CAST(('0x' || substr(md5(bg), 1, 15))::UBIGINT % 256 AS BIGINT) AS b
+       |      FROM bgd),
+       |pd AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM f GROUP BY 1, 2, 3),
+       |cen AS (SELECT b,
+       |          CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT) AS ct,
+       |          CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE cnt END) AS BIGINT) AS cs
+       |        FROM pd GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+       |          CAST(sum(cs) AS BIGINT) AS ns FROM cen),
+       |lr AS (SELECT b, CAST(round((
+       |          ln(CAST(ct + 1 AS DOUBLE) / (CAST(nt AS DOUBLE) + 256.0))
+       |          - ln(CAST(cs + 1 AS DOUBLE) / (CAST(ns AS DOUBLE) + 256.0)))
+       |          * 1000000.0) AS BIGINT) AS lr_q
+       |       FROM cen CROSS JOIN tot),
+       |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+       |         CAST(sum(cnt * lr_q) AS BIGINT) AS score_q
+       |       FROM pd JOIN lr USING (b) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+       |  coalesce(sc.score_q, 0) AS score_q$keepCol
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
@@ -4604,6 +4654,11 @@ object SparkEntry {
     // from it take the uniform ln(1/n_types) fallback
     "q_perplexity_cross" -> perplexityOracleSql(
       refWhere = "doc_id % 3 = 0", thrMicros = None),
+
+    // DSIR: same bigram census, md5-bucket features, per-bucket
+    // fixed-point log-ratio with Laplace smoothing, integer rollup
+    "q_dsir_weights" -> dsirOracleSql(thrMicros = None),
+    "q_dsir_sample" -> dsirOracleSql(thrMicros = Some(0L)),
 
     "q_corr_stats" -> corrOracleSql(
       Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),

@@ -616,6 +616,82 @@ object Curation {
         coalesce(col("sum_lp_q"), lit(0L)).as("sum_lp_q"))
   }
 
+  /** DSIR importance log-ratios (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-bigram features are under the TARGET
+    * feature distribution than under the SOURCE one —
+    * `score = Σ_f count_f · (ln p̂_T(f) − ln p̂_S(f))` with Laplace
+    * smoothing `p̂(b) = (c_b + 1)/(N + B)` over `buckets` portable md5
+    * feature buckets ([[graft.operators.Classifier]]'s derivation, on
+    * bigrams). `targetPred` partitions the corpus into target/source —
+    * typically a high-quality slice (wiki, curated) vs the raw crawl.
+    * Returns `(id, n_feats, score_q)` for every document; `score_q` is
+    * the exact integer sum of per-bucket-TYPE fixed-point log-ratios
+    * (round(lr·10⁶) — [[perplexityScore]]'s ln discipline), so the
+    * readout hash-gates across engines. Documents with no bigrams score
+    * (0, 0).
+    *
+    * Scale shape: ONE tokenize scan to (id, tgt, bucket, cnt) partial
+    * aggs (map-side combined; tgt is id-functional so the key adds
+    * nothing); the census re-agg collapses that to `buckets` rows whose
+    * log-ratio table broadcasts back onto the per-doc counts; one
+    * id-keyed integer rollup. The feature space is FIXED (B buckets) —
+    * at 100 TB the model is still a few KiB and the only corpus-sized
+    * costs are the scan and the (id, bucket) combine. */
+  def dsirLogRatios(
+      docs: DataFrame,
+      targetPred: Column,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val b = pmod(conv(substring(md5(col("__bg")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val perDoc = docs
+      .select(col(idCol), targetPred.as("__tgt"),
+        explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
+      .select(col(idCol), col("__tgt"), b.as("__b"))
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).cast("long").as("__cnt"))
+    val census = perDoc.groupBy(col("__b"))
+      .agg(sum(when(col("__tgt"), col("__cnt")).otherwise(0L)).cast("long").as("__ct"),
+        sum(when(col("__tgt"), 0L).otherwise(col("__cnt"))).cast("long").as("__cs"))
+    val totals = census.agg(sum(col("__ct")).cast("long").as("__nt"),
+      sum(col("__cs")).cast("long").as("__ns"))
+    val lr = census.crossJoin(broadcast(totals)).select(col("__b"),
+      round((log((col("__ct") + lit(1L)).cast("double") /
+          (col("__nt").cast("double") + lit(buckets.toDouble))) -
+        log((col("__cs") + lit(1L)).cast("double") /
+          (col("__ns").cast("double") + lit(buckets.toDouble)))) *
+        lit(1000000.0)).cast("long").as("__lr_q"))
+    val scored = perDoc.join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).cast("long").as("n_feats"),
+        sum(col("__cnt") * col("__lr_q")).cast("long").as("score_q"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score_q"), lit(0L)).as("score_q"))
+  }
+
+  /** [[dsirLogRatios]] thresholded into the selection — keep a document
+    * iff its MEAN per-feature log-ratio clears `minMeanLrMicros`
+    * (micro-log units; 0 = "more target-like than source-like", the
+    * natural DSIR cut). Integer compare, no division; featureless
+    * documents keep vacuously (0 ≥ 0) — compose with a length floor when
+    * shortness should drop. */
+  def dsirFilter(
+      docs: DataFrame,
+      targetPred: Column,
+      minMeanLrMicros: Long = 0L,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    dsirLogRatios(docs, targetPred, buckets, idCol, textCol)
+      .withColumn("keep",
+        col("score_q") >= lit(minMeanLrMicros) * col("n_feats"))
+
   /** [[perplexityScore]] thresholded into the keep/drop decision — the
     * model-based perplexity FILTER: keep a document iff its MEAN
     * per-bigram log-probability clears `minMeanLpMicros` (micro-log

@@ -1267,6 +1267,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("no bigrams"))
   }
 
+  test("dsirLogRatios/Filter: disjoint-vocab hand corpus — exact smoothed " +
+      "log-ratios, featureless docs, threshold split") {
+    import spark.implicits._
+    // target (en) and source (de) use disjoint vocab: 2 docs x 4 'good
+    // good' bigrams each side -> NT = NS = 8, one bucket per side with
+    // (ct, cs) = (8, 0) / (0, 8); Laplace over 256 buckets
+    val d = Seq(
+      (1L, "good good good good good", "en"),
+      (2L, "good good good good good", "en"),
+      (3L, "bad bad bad bad bad", "de"),
+      (4L, "bad bad bad bad bad", "de"),
+      (5L, "solo", "en")).toDF("doc_id", "text", "lang")
+    val lrGood = math.round(
+      (math.log(9.0 / 264.0) - math.log(1.0 / 264.0)) * 1e6) // ln 9
+    val lrBad = math.round(
+      (math.log(1.0 / 264.0) - math.log(9.0 / 264.0)) * 1e6) // -ln 9
+    val got = Curation.dsirLogRatios(d, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 4 * lrGood)), 2L -> ((4L, 4 * lrGood)),
+      3L -> ((4L, 4 * lrBad)), 4L -> ((4L, 4 * lrBad)),
+      5L -> ((0L, 0L)))) // single token: no bigram features
+    // the natural cut at 0: target-vocab docs keep, source-vocab drop,
+    // featureless keeps vacuously
+    val kept = Curation.dsirFilter(d, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true))
+  }
+
   test("weightedQuantiles: mass-threshold cutoffs on a hand histogram; " +
       "zero-weight values never picked") {
     import spark.implicits._
