@@ -2644,6 +2644,18 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk / CCMatrix): best
+    // cross-side match per even-id vector against the odd-id side by the
+    // ratio margin cos/(Σtopk_x/2k + Σtopk_y/2k), with the mutual-best
+    // flag. Cosines quantize to 1e12 integers so neighborhood sums are
+    // order-free exact; the margin is 1e-6 fixed point under the hash.
+    "q_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMarginMine(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4)
+    }),
+
     // Greedy k-center coreset (Gonzalez farthest-first): 8 maximally
     // spread representatives of the embedding corpus — the diversity
     // PRUNING selector (vs MMR's candidate re-rank); d2 carries the
@@ -6900,6 +6912,54 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM sc)
         |WHERE rank <= 5""".stripMargin,
+
+    // bitext margin mining: quantized-cosine neighborhoods both ways,
+    // exact integer sums, the fixed-order margin expression, winners by
+    // (margin DESC NULLS LAST, id) both sides, mutual-best join
+    "q_bitext_margin" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |sc AS (
+        |  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+        |    CAST(round((list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(x.e, t -> t * t))) *
+        |       sqrt(list_sum(list_transform(y.e, t -> t * t)))))
+        |      * 1000000000000.0) AS BIGINT) AS cos_q
+        |  FROM v x JOIN v y ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+        |candx AS (SELECT x_id, y_id, cos_q FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos_q DESC, y_id) AS rn
+        |  FROM sc) WHERE rn <= 4),
+        |candy AS (SELECT x_id, y_id, cos_q FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY cos_q DESC, x_id) AS rn
+        |  FROM sc) WHERE rn <= 4),
+        |sx AS (SELECT x_id, CAST(sum(cos_q) AS BIGINT) AS sx_q,
+        |         CAST(count(*) AS BIGINT) AS nx FROM candx GROUP BY 1),
+        |sy AS (SELECT y_id, CAST(sum(cos_q) AS BIGINT) AS sy_q,
+        |         CAST(count(*) AS BIGINT) AS ny FROM candy GROUP BY 1),
+        |mx AS (SELECT c.x_id, c.y_id, c.cos_q,
+        |    CASE WHEN CAST(sx_q AS DOUBLE) / (2.0 * nx)
+        |            + CAST(sy_q AS DOUBLE) / (2.0 * ny) > 0
+        |         THEN CAST(round(CAST(c.cos_q AS DOUBLE) /
+        |              (CAST(sx_q AS DOUBLE) / (2.0 * nx)
+        |               + CAST(sy_q AS DOUBLE) / (2.0 * ny)) * 1000000.0) AS BIGINT)
+        |    END AS margin_fp
+        |  FROM candx c JOIN sx USING (x_id) JOIN sy USING (y_id)),
+        |my AS (SELECT c.x_id, c.y_id,
+        |    CASE WHEN CAST(sx_q AS DOUBLE) / (2.0 * nx)
+        |            + CAST(sy_q AS DOUBLE) / (2.0 * ny) > 0
+        |         THEN CAST(round(CAST(c.cos_q AS DOUBLE) /
+        |              (CAST(sx_q AS DOUBLE) / (2.0 * nx)
+        |               + CAST(sy_q AS DOUBLE) / (2.0 * ny)) * 1000000.0) AS BIGINT)
+        |    END AS margin_fp
+        |  FROM candy c JOIN sx USING (x_id) JOIN sy USING (y_id)),
+        |bx AS (SELECT x_id, y_id, cos_q, margin_fp FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY x_id
+        |    ORDER BY margin_fp DESC NULLS LAST, y_id) AS rm FROM mx) WHERE rm = 1),
+        |byy AS (SELECT y_id, x_id AS bx_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY y_id
+        |    ORDER BY margin_fp DESC NULLS LAST, x_id) AS rm FROM my) WHERE rm = 1)
+        |SELECT b.x_id, b.y_id, b.cos_q, b.margin_fp,
+        |  coalesce(byy.bx_id = b.x_id, FALSE) AS mutual
+        |FROM bx b LEFT JOIN byy ON byy.y_id = b.y_id""".stripMargin,
 
     "q_neg_samples" ->
       """WITH r AS (

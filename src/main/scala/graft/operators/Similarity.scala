@@ -340,6 +340,80 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the CCMatrix /
+    * LASER parallel-corpus miner): for every x in `xs`, its best y in
+    * `ys` by the RATIO MARGIN `cos(x,y) / (Σtopk(x)/2k + Σtopk(y)/2k)` —
+    * raw cosine normalized by both points' neighborhood density, which
+    * kills the hub vectors that plain cosine mining pairs with
+    * everything. Emits one row per x: `(x_id, y_id, cos_q, margin_fp,
+    * mutual)`, where `mutual` marks pairs that are ALSO y's best x — the
+    * bidirectional filter CCMatrix keeps.
+    *
+    * Determinism: cosines quantize once to `round(cos·10¹²)` integers, so
+    * the k-neighborhood sums are order-free exact integer sums, and the
+    * margin is one fixed-order double expression over those integers
+    * rounded to 1e-6 fixed point — hash-gateable on any engine. Ties
+    * break (cos_q desc, id asc) for neighborhoods and (margin desc, id
+    * asc) for winners; a non-positive denominator yields a null margin
+    * (sorted last). Sides with fewer than k candidates use their actual
+    * neighborhood size.
+    *
+    * Scale shape: this is the BRUTE-pair baseline (|X|·|Y| scored once,
+    * broadcast X) — at corpus scale generate candidates with [[annLsh]] /
+    * [[annIvf]] buckets first and feed the candidate pairs through the
+    * same margin normalization; the margin math itself is two keyed
+    * integer sums + one broadcast-able join, never quadratic. */
+  def bitextMarginMine(
+      xs: DataFrame,
+      ys: DataFrame,
+      k: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val x = xs.select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
+    val parts = ys.sparkSession.sessionState.conf.numShufflePartitions
+    val y = ys.select(col(idCol).as("y_id"), col(vecCol).as("y_v"))
+      .repartition(parts)
+    val scored = y.join(broadcast(x), lit(true))
+      .select(col("x_id"), col("y_id"),
+        round(cosineSimilarity(col("x_v"), col("y_v")) *
+          lit(1000000000000.0)).cast("long").as("cos_q"))
+    val wx = Window.partitionBy(col("x_id"))
+      .orderBy(col("cos_q").desc, col("y_id").asc)
+    val wy = Window.partitionBy(col("y_id"))
+      .orderBy(col("cos_q").desc, col("x_id").asc)
+    val candX = scored.withColumn("__rn", row_number().over(wx))
+      .filter(col("__rn") <= k).drop("__rn")
+    val candY = scored.withColumn("__rn", row_number().over(wy))
+      .filter(col("__rn") <= k).drop("__rn")
+    val sx = candX.groupBy("x_id").agg(sum(col("cos_q")).cast("long").as("sx_q"),
+      count(lit(1)).cast("long").as("nx"))
+    val sy = candY.groupBy("y_id").agg(sum(col("cos_q")).cast("long").as("sy_q"),
+      count(lit(1)).cast("long").as("ny"))
+    val denom = col("sx_q").cast("double") / (lit(2.0) * col("nx").cast("double")) +
+      col("sy_q").cast("double") / (lit(2.0) * col("ny").cast("double"))
+    val marginFp = when(denom > 0,
+      round(col("cos_q").cast("double") / denom * lit(1000000.0)).cast("long"))
+    val mx = candX.join(sx, Seq("x_id")).join(sy, Seq("y_id"))
+      .withColumn("margin_fp", marginFp)
+    val bestX = mx.withColumn("__rm", row_number().over(
+        Window.partitionBy(col("x_id"))
+          .orderBy(col("margin_fp").desc_nulls_last, col("y_id").asc)))
+      .filter(col("__rm") === 1)
+      .select(col("x_id"), col("y_id"), col("cos_q"), col("margin_fp"))
+    val bestY = candY.join(sx, Seq("x_id")).join(sy, Seq("y_id"))
+      .withColumn("margin_fp", marginFp)
+      .withColumn("__rm", row_number().over(
+        Window.partitionBy(col("y_id"))
+          .orderBy(col("margin_fp").desc_nulls_last, col("x_id").asc)))
+      .filter(col("__rm") === 1)
+      .select(col("y_id").as("__by_id"), col("x_id").as("__bx_id"))
+    bestX.join(bestY, bestX("y_id") === bestY("__by_id"), "left")
+      .withColumn("mutual", coalesce(col("__bx_id") === col("x_id"), lit(false)))
+      .select(col("x_id"), col("y_id"), col("cos_q"), col("margin_fp"),
+        col("mutual"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: corpus vectors are bucketed
     * by sign-bit signature; queries probe their bucket and all hamming-1
     * buckets (multi-probe) to recover near-misses on a single flipped plane.

@@ -591,6 +591,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("vector dim != sign dim"))
   }
 
+  test("bitextMarginMine: hand 2-D geometry — exact fixed-point margins, " +
+      "mutual-best flag, tie and zero-denominator handling") {
+    import spark.implicits._
+    // xs: x0=(1,0), x2=(0,1); ys: y1=(1,0), y3=(-1,0); k=1
+    // cos: (x0,y1)=1, (x0,y3)=-1, (x2,y1)=0, (x2,y3)=0
+    val xs = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ys = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.bitextMarginMine(xs, ys, k = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // x0 -> y1: sums sx=sy=1e12, denom=1e12, margin=1.0 -> 1000000; y1's
+    // best x is x0 -> mutual. x2 -> y1 (cos 0 ties break to smaller
+    // y_id): denom = 0/2 + 1e12/2, margin 0; y1's best is x0 -> not
+    // mutual.
+    assert(got == Map(
+      0L -> ((1L, 1000000000000L, 1000000L, true)),
+      2L -> ((1L, 0L, 0L, false))))
+  }
+
   test("kCenterGreedy: k above maxK fails fast before any scan is scheduled") {
     import spark.implicits._
     val vecs = Seq((1L, Array(0.0f)), (2L, Array(1.0f))).toDF("vec_id", "embedding")
