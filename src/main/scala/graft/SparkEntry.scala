@@ -2644,6 +2644,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
     }),
 
+    // Prototype cluster pruning (Sorscher et al. / SemDeDup keep policy):
+    // seeded LSH cells, exact integer centroids over round(x*1000)
+    // components, fixed-order d2 fold, per-cell rank, integer keep cut
+    // at 50% closest-first.
+    "q_proto_prune" -> ((s, dir) =>
+      Similarity.prototypeScores(t(s, dir, "embeddings"),
+        nPlanes = 4, dim = 64, keepPct = 50)),
+
     // Margin-based bitext mining (Artetxe & Schwenk / CCMatrix): best
     // cross-side match per even-id vector against the odd-id side by the
     // ratio margin cos/(Σtopk_x/2k + Σtopk_y/2k), with the mutual-best
@@ -6912,6 +6920,35 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM sc)
         |WHERE rank <= 5""".stripMargin,
+
+    // prototype pruning: the engine's own seeded planes, the same
+    // quantize/centroid/fold chain, integer keep cut
+    "q_proto_prune" -> {
+      val planes = graft.functions.VectorFunctions.makePlanes(4, 64)
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings WHERE embedding IS NOT NULL),
+         |b AS (SELECT vec_id, CAST(${sqlLshBucket(planes)} AS BIGINT) AS bucket,
+         |        list_transform(e, x -> CAST(round(x * 1000.0) AS BIGINT)) AS q
+         |      FROM v),
+         |comp AS (SELECT vec_id, bucket, i, q[i] AS x
+         |         FROM b, UNNEST(range(1, len(q) + 1)) r(i)),
+         |cent AS (SELECT bucket, i, CAST(sum(x) AS BIGINT) AS s,
+         |           CAST(count(*) AS BIGINT) AS n
+         |         FROM comp GROUP BY 1, 2),
+         |ca AS (SELECT bucket, max(n) AS n,
+         |         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS c
+         |       FROM cent GROUP BY bucket),
+         |d AS (SELECT b.vec_id, b.bucket, ca.n,
+         |        list_sum(list_transform(list_zip(b.q, ca.c),
+         |          z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))) AS d2
+         |      FROM b JOIN ca USING (bucket)),
+         |r AS (SELECT vec_id, bucket, d2, n,
+         |        row_number() OVER (PARTITION BY bucket ORDER BY d2, vec_id) AS rank
+         |      FROM d)
+         |SELECT vec_id, bucket, d2, CAST(rank AS BIGINT) AS rank,
+         |  (rank - 1) * 100 < 50 * n AS keep
+         |FROM r""".stripMargin
+    },
 
     // bitext margin mining: quantized-cosine neighborhoods both ways,
     // exact integer sums, the fixed-order margin expression, winners by

@@ -340,6 +340,72 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
+  /** Prototype-based cluster pruning (Sorscher et al. 2022 "Beyond neural
+    * scaling laws" / SemDeDup's keep-policy sibling): bucket the corpus by
+    * the seeded sign-bit LSH cells, rank every vector WITHIN its cell by
+    * squared distance to the cell centroid, and keep the top `keepPct`% —
+    * closest-first (`keepClosest = true`, the prototypical core) or
+    * farthest-first (false, the hard-example slice the paper keeps when
+    * data is plentiful). Returns `(id, bucket, d2, rank, keep)` for every
+    * non-null vector.
+    *
+    * Determinism: components quantize once to round(x·1000) integers (the
+    * [[randomProject]] discipline), so the per-cell centroid is an exact
+    * integer sum divided once per coordinate (one IEEE divide), and d2 is
+    * a FIXED-ORDER left fold over the coordinate array — bit-identical on
+    * any engine, partitioning, or row order; the keep cut
+    * `(rank−1)·100 < keepPct·n` is pure integers (= rank ≤ ⌈pct·n/100⌉).
+    *
+    * Scale shape: one scan to (bucket, coordinate) integer partial aggs
+    * (2^nPlanes × dim rows — KiBs), centroid arrays broadcast back onto
+    * the scan for the fold, one per-cell window for the rank. The window
+    * shuffles the corpus once on bucket; at 100 TB size cells via nPlanes
+    * so the per-cell sort fits an executor (the usual LSH-granularity
+    * lever). */
+  def prototypeScores(
+      vecs: DataFrame,
+      nPlanes: Int = 4,
+      dim: Int = 64,
+      keepPct: Int = 50,
+      keepClosest: Boolean = true,
+      seed: Long = 0x5DEECE66DL,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct must be in [0,100]: $keepPct")
+    val planes = makePlanes(nPlanes, dim, seed)
+    // nPlanes = 0 is the legitimate degenerate: ONE cell, the global
+    // centroid — the whole-corpus prototypicality ranking
+    val bucketCol = if (planes.isEmpty) lit(0L)
+      else hyperplaneBucket(col(vecCol), planes).cast("long")
+    val q = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        bucketCol.as("bucket"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * lit(1000.0)).cast("long")).as("__q"))
+    val comp = q.select(col(idCol), col("bucket"),
+      posexplode(col("__q")).as(Seq("__i", "__x")))
+    val cent = comp.groupBy(col("bucket"), col("__i"))
+      .agg(sum(col("__x")).cast("long").as("__s"),
+        count(lit(1)).cast("long").as("__n"))
+    val ca = cent.groupBy(col("bucket"))
+      .agg(max(col("__n")).as("__n"),
+        transform(sort_array(collect_list(struct(col("__i"), col("__s")))),
+          e => e.getField("__s").cast("double")).as("__sa"))
+      .select(col("bucket"), col("__n"),
+        transform(col("__sa"), s => s / col("__n").cast("double")).as("__c"))
+    val d = q.join(broadcast(ca), Seq("bucket"))
+      .withColumn("d2", aggregate(
+        zip_with(transform(col("__q"), x => x.cast("double")), col("__c"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, t) => acc + t))
+    val ord = if (keepClosest) col("d2").asc else col("d2").desc
+    d.withColumn("rank", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(ord, col(idCol).asc)).cast("long"))
+      .withColumn("keep",
+        (col("rank") - lit(1L)) * lit(100L) < lit(keepPct.toLong) * col("__n"))
+      .select(col(idCol), col("bucket"), col("d2"), col("rank"), col("keep"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the CCMatrix /
     * LASER parallel-corpus miner): for every x in `xs`, its best y in
     * `ys` by the RATIO MARGIN `cos(x,y) / (Σtopk(x)/2k + Σtopk(y)/2k)` —

@@ -591,6 +591,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("vector dim != sign dim"))
   }
 
+  test("prototypeScores: hand centroid geometry in one cell — exact d2, " +
+      "rank ties, integer keep cut, farthest-first mode") {
+    import spark.implicits._
+    // nPlanes = 0 -> every vector lands in cell 0; centroid of the
+    // round(x*1000) quantized points (1000,0),(-1000,0),(0,1000),
+    // (0,-1000),(2000,0) is (400,0)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f)),
+      (5L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .prototypeScores(df, nPlanes = 0, dim = 2, keepPct = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 360000.0, 1L, true)),   // (1000-400)^2
+      3L -> ((0L, 1160000.0, 2L, true)),  // 400^2 + 1000^2; tie -> id
+      4L -> ((0L, 1160000.0, 3L, false)),
+      2L -> ((0L, 1960000.0, 4L, false)),
+      5L -> ((0L, 2560000.0, 5L, false))))
+    // keep count = ceil(40% of 5) = 2
+    assert(got.values.count(_._4) == 2)
+    // farthest-first inverts the ranking: hard examples first
+    val far = graft.operators.Similarity
+      .prototypeScores(df, nPlanes = 0, dim = 2, keepPct = 20,
+        keepClosest = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(far == Map(5L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 1L -> 5L))
+  }
+
   test("bitextMarginMine: hand 2-D geometry — exact fixed-point margins, " +
       "mutual-best flag, tie and zero-denominator handling") {
     import spark.implicits._
