@@ -653,6 +653,46 @@ object SparkEntry {
         TextFunctions.redactPii(injected).as("redacted"))
     }),
 
+    // Luhn checksum gate for card-shaped digit runs — the validator the
+    // \d{12,19} redaction pattern lacks (a random 16-digit run passes the
+    // regexp but fails Luhn 90% of the time). Every doc plants a 16-digit
+    // number whose check digit the ENGINE derives (append-zero trick);
+    // doc_id%3 tampers it — valid must flip exactly there, with the raw
+    // mod-10 residue under the hash.
+    "q_pii_luhn" -> ((s, dir) => {
+      val base = lpad((col("doc_id") % 100000000000000L).cast("string"), 15, "4")
+      val cd = TextFunctions.luhnCheckDigit(base)
+      val digit = when(col("doc_id") % 3 === 0, pmod(cd + 1, lit(10))).otherwise(cd)
+      val cc = concat(base, digit.cast("string"))
+      t(s, dir, "documents").select(col("doc_id"), cc.as("cc"),
+        TextFunctions.luhnValid(cc).as("valid"),
+        pmod(TextFunctions.luhnChecksum(cc), lit(10)).cast("long").as("mod10"))
+    }),
+
+    // Rule-based code detection (the Stack-vs-prose corpus router):
+    // integer-weighted punctuation/keyword counts over replace()
+    // length-differences, threshold as an integer cross-product (5 per
+    // mille). doc_id%7 docs gain a JS snippet; is_code must fire exactly
+    // there.
+    "q_code_detect" -> ((s, dir) => {
+      val decorated = when(col("doc_id") % 7 === 0, concat(col("text"),
+        lit(" function update(x) { var t = x + 1; return t; } if (t) { t = t + 2; }")))
+        .otherwise(col("text"))
+      val score = TextFunctions.codeScore(decorated).cast("long")
+      t(s, dir, "documents").select(col("doc_id"), score.as("score"),
+        length(decorated).cast("long").as("n_chars"),
+        (score * lit(1000L) >= lit(5L) * length(decorated)).as("is_code"))
+    }),
+
+    // Mass-balanced training shards: snake allocation over the global
+    // token-mass ranking — the equal-token shard layout hash sharding
+    // can't promise; rank, shard, and masses all exact integers.
+    "q_shard_balance" -> ((s, dir) =>
+      Curation.balancedShards(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", nShards = 8)),
+
     // Repetition quality signals (Gopher/MassiveText filters): duplicate
     // token fraction + the most-frequent-bigram share. Both pure per-row
     // (sorted-run fold, no explode/shuffle).
@@ -5960,6 +6000,76 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // Luhn: the same HOF checksum (double every second from the right,
+    // overflow −9), the engine's append-zero check-digit derivation
+    "q_pii_luhn" -> {
+      def lsum(s: String): String =
+        s"list_sum(list_transform(range(1, length($s) + 1), i -> " +
+          s"CASE WHEN (length($s) - i) % 2 = 1 THEN " +
+          s"CASE WHEN 2 * CAST(substr($s, i, 1) AS INT) > 9 " +
+          s"THEN 2 * CAST(substr($s, i, 1) AS INT) - 9 " +
+          s"ELSE 2 * CAST(substr($s, i, 1) AS INT) END " +
+          s"ELSE CAST(substr($s, i, 1) AS INT) END))"
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    lpad(CAST(doc_id % 100000000000000 AS VARCHAR), 15, '4') AS base
+         |  FROM documents),
+         |cd AS (SELECT doc_id, base,
+         |         (10 - (${lsum("(base || '0')")} % 10)) % 10 AS d0
+         |       FROM b),
+         |cc AS (SELECT doc_id,
+         |         base || CAST(CASE WHEN doc_id % 3 = 0 THEN (d0 + 1) % 10
+         |                           ELSE d0 END AS VARCHAR) AS cc
+         |       FROM cd)
+         |SELECT doc_id, cc,
+         |  length(cc) >= 2 AND regexp_matches(cc, '^[0-9]+$$')
+         |    AND ${lsum("cc")} % 10 = 0 AS valid,
+         |  CAST(${lsum("cc")} % 10 AS BIGINT) AS mod10
+         |FROM cc""".stripMargin
+    },
+
+    // code detection: replace() length-difference counts, integer weights,
+    // per-mille cross-product threshold; the planted snippet is stated
+    // verbatim
+    "q_code_detect" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text ||
+        |      ' function update(x) { var t = x + 1; return t; } if (t) { t = t + 2; }'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, length(text) AS n_chars,
+        |    (length(text) - length(replace(text, '{', ''))
+        |     + length(text) - length(replace(text, '}', ''))) * 3
+        |    + (length(text) - length(replace(text, ';', ''))) * 3
+        |    + (length(text) - length(replace(text, '=', ''))) * 2
+        |    + (length(text) - length(replace(text, '(', '')))
+        |    + (length(text) - length(replace(text, ')', '')))
+        |    + ((length(text) - length(replace(text, 'function', ''))) // 8
+        |       + (length(text) - length(replace(text, 'return ', ''))) // 7
+        |       + (length(text) - length(replace(text, ' var ', ''))) // 5) * 5
+        |    AS score
+        |  FROM d)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  score * 1000 >= 5 * n_chars AS is_code
+        |FROM s""".stripMargin,
+
+    // snake sharding: global mass rank, boustrophedon shard expression
+    "q_shard_balance" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        CAST(row_number() OVER (ORDER BY n_tokens DESC NULLS LAST, doc_id)
+        |          AS BIGINT) AS rank
+        |      FROM t)
+        |SELECT doc_id, n_tokens, rank,
+        |  CASE WHEN (rank - 1) % 16 < 8 THEN (rank - 1) % 16
+        |       ELSE 15 - (rank - 1) % 16 END AS shard
+        |FROM r""".stripMargin,
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",

@@ -247,6 +247,57 @@ object TextFunctions {
       regexp_replace(c, re, token)
     }
 
+  /** Luhn mod-10 checksum of a digit string (ISO/IEC 7812) — doubling
+    * every second digit from the RIGHT (subtracting 9 on overflow) and
+    * summing. The validator the card-shaped `\d{12,19}` redaction
+    * pattern lacks: a random 16-digit run passes the regexp but fails
+    * Luhn 90% of the time, so checksum-gating digit runs before
+    * redaction/flagging kills the false-positive mass. Pure integer HOF
+    * over the string's own length — scan-local, engine-portable. Null on
+    * non-digit input (cast failure → null sum), which [[luhnValid]]
+    * treats as invalid. */
+  def luhnChecksum(digits: Column): Column = {
+    val n = length(digits)
+    aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("int")
+        val dd = d * 2
+        acc + when(pmod(n - i, lit(2)) === 1,
+          when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+      })
+  }
+
+  /** True iff the digit string carries a valid Luhn check digit. */
+  def luhnValid(digits: Column): Column =
+    length(digits) >= 2 && digits.rlike("^[0-9]+$") &&
+      pmod(luhnChecksum(digits), lit(10)) === 0
+
+  /** The check digit that makes `base || digit` Luhn-valid — computed by
+    * the standard append-zero trick (the zero occupies the undoubled
+    * rightmost slot, putting every base digit in its final parity). */
+  def luhnCheckDigit(base: Column): Column =
+    pmod(lit(10) - pmod(luhnChecksum(concat(base, lit("0"))), lit(10)), lit(10))
+
+  /** Rule-based CODE detection score — the corpus-routing signal that
+    * separates source code from prose before language-specific pipelines
+    * (the Stack vs web-text split): an integer-weighted count of code
+    * punctuation (braces ×3, semicolons ×3, equals ×2, parens ×1) and
+    * keyword hits ("function", "return ", " var " ×5). Every count is a
+    * length-difference over replace() — exact, portable, one codegen'd
+    * scan expression, no regex engine in the hot path. Threshold as an
+    * integer cross-product against the text length (score·1000 ≥
+    * thr‰·n_chars), never a float division. */
+  def codeScore(text: Column): Column = {
+    def cnt(s: String): Column =
+      length(text) - length(replace(text, lit(s), lit("")))
+    def cntKw(kw: String): Column = cnt(kw) / kw.length
+    (cnt("{") + cnt("}")) * 3 + cnt(";") * 3 + cnt("=") * 2 +
+      cnt("(") + cnt(")") +
+      (cntKw("function") + cntKw("return ") + cntKw(" var ")) * 5
+  }
+
   /** Blocklist hit counting — the safety/toxicity-lexicon filter step:
     * n_hits = token occurrences whose LOWERCASE form is in the list
     * (whole-token match, so "class" never trips an embedded substring —

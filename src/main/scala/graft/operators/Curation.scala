@@ -616,6 +616,36 @@ object Curation {
         coalesce(col("sum_lp_q"), lit(0L)).as("sum_lp_q"))
   }
 
+  /** Mass-balanced shard assignment by SNAKE (boustrophedon) allocation:
+    * rank documents by `massCol` descending (ties to the smaller id) and
+    * deal rank r to shard `snake(r, n)` — 0,1,…,n−1,n−1,…,1,0,0,1,… —
+    * the deterministic one-pass cousin of LPT greedy bin packing. Two
+    * adjacent snake passes hand each shard one heavy + one light item, so
+    * shard masses stay within one item's mass of each other on sorted
+    * input — the equal-token training-shard layout hash sharding
+    * ([[graft.sources.Sinks.exportShardedJsonl]]) cannot promise, at the
+    * cost of a global sort. Returns `(id, massCol, rank, shard)`.
+    *
+    * Scale shape: one global rank (total-order window — Spark range-
+    * partitions the sort; the per-partition row_number + offset two-phase
+    * is [[graft.ops.RunningCount]]'s discipline) and a pure integer
+    * expression for the shard — no second shuffle. Null masses rank last
+    * (nulls-last desc), still assigned. */
+  def balancedShards(
+      df: DataFrame,
+      massCol: String,
+      nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(massCol).desc_nulls_last, col(idCol).asc)
+    val r0 = pmod(col("rank") - lit(1L), lit(2L * nShards))
+    df.select(col(idCol), col(massCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("shard",
+        when(r0 < nShards, r0).otherwise(lit(2L * nShards - 1) - r0))
+  }
+
   /** DSIR importance log-ratios (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much more likely its hashed-bigram features are under the TARGET

@@ -1267,6 +1267,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("no bigrams"))
   }
 
+  test("balancedShards: snake allocation on a hand mass list — near-equal " +
+      "shard masses, deterministic ties") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 9L), (3L, 8L), (4L, 7L), (5L, 6L), (6L, 5L))
+      .toDF("doc_id", "m")
+    val got = Curation.balancedShards(d, "m", nShards = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // ranks 1..6 by mass desc; snake over 2 shards: 0,1,1,0,0,1
+    assert(got == Map(1L -> ((1L, 0L)), 2L -> ((2L, 1L)), 3L -> ((3L, 1L)),
+      4L -> ((4L, 0L)), 5L -> ((5L, 0L)), 6L -> ((6L, 1L))))
+    // masses: shard0 = 10+7+6 = 23, shard1 = 9+8+5 = 22 — within one item
+    val masses = Curation.balancedShards(d, "m", 2)
+      .groupBy("shard").agg(sum("m").as("mass"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(masses == Map(0L -> 23L, 1L -> 22L))
+  }
+
   test("dsirLogRatios/Filter: disjoint-vocab hand corpus — exact smoothed " +
       "log-ratios, featureless docs, threshold split") {
     import spark.implicits._

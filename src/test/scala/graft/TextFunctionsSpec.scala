@@ -374,4 +374,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getString(0)
     assert(got == "keep this text too")
   }
+
+  test("luhn: known card numbers, check-digit derivation, non-digit and " +
+      "short inputs invalid") {
+    import spark.implicits._
+    val df = Seq("4111111111111111", "4111111111111112", "79927398713",
+      "4111-1111", "7").toDF("cc")
+    val got = df.select(col("cc"), TextFunctions.luhnValid(col("cc")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(
+      "4111111111111111" -> true,   // the classic Visa test number
+      "4111111111111112" -> false,  // one-digit tamper
+      "79927398713" -> true,        // the textbook Luhn example
+      "4111-1111" -> false,         // non-digit
+      "7" -> false))                // too short
+    // check digit of 7992739871 is 3 (completes the textbook number)
+    val cd = Seq("7992739871").toDF("base")
+      .select(TextFunctions.luhnCheckDigit(col("base"))).collect().head.getInt(0)
+    assert(cd == 3)
+  }
+
+  test("codeScore: exact weighted counts on a hand snippet; prose scores 0") {
+    import spark.implicits._
+    // 1x'{' 1x'}' (x3) + 2x';' (x3) + 2x'=' (x2) + 2x'(' 2x')' +
+    // 1 function + 1 'return ' + 1 ' var ' (x5)
+    val snippet = "function f(x) { var y = x; return y; } (z = 1)"
+    val got = Seq(snippet, "plain prose with no symbols at all")
+      .toDF("text").select(TextFunctions.codeScore(col("text")).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    // braces: (1+1)x3 = 6; ';' x2 -> 6; '=' x2 -> 4; parens 2+2 -> 4; kw 3x5=15
+    assert(got == Seq(6 + 6 + 4 + 4 + 15, 0))
+  }
 }
