@@ -684,6 +684,13 @@ object SparkEntry {
         (score * lit(1000L) >= lit(5L) * length(decorated)).as("is_code"))
     }),
 
+    // T5 span corruption (Raffel et al. masked-LM objective data): salted
+    // deterministic mask spans -> numbered sentinels in the input, target
+    // = sentinels + hidden tokens + final sentinel. Islands merge before
+    // numbering; ~15% density at 3/20.
+    "q_span_corrupt" -> ((s, dir) =>
+      Curation.spanCorrupt(t(s, dir, "documents"), startEvery = 20, spanLen = 3)),
+
     // Mass-balanced training shards: snake allocation over the global
     // token-mass ranking — the equal-token shard layout hash sharding
     // can't promise; rank, shard, and masses all exact integers.
@@ -6055,6 +6062,45 @@ object SparkEntry {
         |  CAST(n_chars AS BIGINT) AS n_chars,
         |  score * 1000 >= 5 * n_chars AS is_code
         |FROM s""".stripMargin,
+
+    // span corruption: same salted start predicate, interval union via
+    // the lag-gap island window, sentinel numbering by island order,
+    // both rebuilds ordered string_aggs (nulls drop mid-island slots)
+    "q_span_corrupt" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |            FROM documents),
+        |pos AS (SELECT doc_id, len(t) AS n, p, t[p+1] AS tok
+        |        FROM tk, UNNEST(range(0, len(t))) r(p)),
+        |st AS (SELECT doc_id, p, n FROM pos
+        |       WHERE ('0x' || substr(md5(doc_id || ':' || p || ':corrupt'), 1, 15))::UBIGINT
+        |             % 20 = 0),
+        |cov AS (SELECT DISTINCT doc_id, c
+        |        FROM st, UNNEST(range(p, least(p + 3, n))) r(c)),
+        |g AS (SELECT doc_id, c,
+        |        CASE WHEN c - lag(c) OVER (PARTITION BY doc_id ORDER BY c) = 1
+        |             THEN 0 ELSE 1 END AS neww
+        |      FROM cov),
+        |gg AS (SELECT doc_id, c, neww,
+        |        sum(neww) OVER (PARTITION BY doc_id ORDER BY c
+        |          ROWS UNBOUNDED PRECEDING) - 1 AS gid
+        |       FROM g),
+        |m AS (SELECT pos.doc_id, pos.p, pos.tok, gg.neww, gg.gid
+        |      FROM pos LEFT JOIN gg ON gg.doc_id = pos.doc_id AND gg.c = pos.p),
+        |agg AS (SELECT doc_id,
+        |    string_agg(CASE WHEN gid IS NULL THEN tok
+        |                    WHEN neww = 1 THEN '<extra_id_' || gid || '>' END,
+        |      ' ' ORDER BY p) AS input,
+        |    string_agg(CASE WHEN gid IS NOT NULL THEN
+        |        (CASE WHEN neww = 1 THEN '<extra_id_' || gid || '> ' ELSE '' END) || tok
+        |      END, ' ' ORDER BY p) AS tgt,
+        |    CAST(count(gid) AS BIGINT) AS n_masked,
+        |    max(gid) + 1 AS ns
+        |  FROM m GROUP BY doc_id)
+        |SELECT doc_id, coalesce(input, '') AS input,
+        |  CASE WHEN n_masked > 0 THEN tgt || ' <extra_id_' || ns || '>'
+        |       ELSE '' END AS target,
+        |  n_masked
+        |FROM agg""".stripMargin,
 
     // snake sharding: global mass rank, boustrophedon shard expression
     "q_shard_balance" ->

@@ -616,6 +616,82 @@ object Curation {
         coalesce(col("sum_lp_q"), lit(0L)).as("sum_lp_q"))
   }
 
+  /** T5-style SPAN CORRUPTION training-example construction (Raffel et
+    * al. 2020 §3.1.4): deterministic masked spans become numbered
+    * sentinels in the input, and the target is each sentinel followed by
+    * the tokens it hides, closed by one final sentinel — the
+    * masked-LM / denoising objective's data layout, built in-engine. A
+    * span STARTS at token position p iff the salted md5 of (id, p) lands
+    * in bucket 0 of `startEvery` (membership a pure function of (id, p,
+    * salt) — the split/sample discipline: reruns, engines, and corpus
+    * growth never move a mask), runs `spanLen` tokens (truncated at the
+    * document end), and overlapping/adjacent spans merge into maximal
+    * islands before numbering, so sentinel ids are dense in position
+    * order. Expected noise density ≈ spanLen/startEvery (T5's 15% at
+    * 3/20). Returns `(id, input, target, n_masked)`; the input is
+    * whitespace-normalized (tokens rejoined with single spaces);
+    * documents with no masked span emit the normalized text, an empty
+    * target, and n_masked = 0.
+    *
+    * Scale shape: one tokenize scan feeds both the mask census (the
+    * start predicate is a scan-local hash) and reassembly; islands are
+    * one (doc, pos) window over MASKED positions only; both string
+    * rebuilds are the [[graft.operators.Dedup.rebuildFromSpans]]
+    * sorted-collect per doc. Zero driver traffic, no corpus-sized
+    * shuffle beyond the id-keyed rollup any per-doc rebuild pays. */
+  def spanCorrupt(
+      docs: DataFrame,
+      startEvery: Int = 20,
+      spanLen: Int = 3,
+      salt: String = "corrupt",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    require(startEvery >= 1, s"startEvery must be >= 1: $startEvery")
+    require(spanLen >= 1, s"spanLen must be >= 1: $spanLen")
+    val pos = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("__n"),
+        posexplode(col("__t")).as(Seq("__p", "__tok")))
+    val isStart = pmod(conv(substring(md5(concat_ws(":",
+        col(idCol), col("__p"), lit(salt))), 1, 15), 16, 10),
+      lit(startEvery.toLong)) === 0
+    val covered = pos.filter(isStart)
+      .select(col(idCol), explode(sequence(col("__p"),
+        least(col("__p") + lit(spanLen - 1), col("__n") - 1))).as("__c"))
+      .distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__c"))
+    val gid = covered
+      .withColumn("__new",
+        when(col("__c") - lag(col("__c"), 1).over(w) === 1, 0L).otherwise(1L))
+      .withColumn("__gid",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+    val marked = pos.join(
+      gid.select(col(idCol), col("__c").as("__p"), col("__new"), col("__gid")),
+      Seq(idCol, "__p"), "left")
+    val sentinel = concat(lit("<extra_id_"), col("__gid"), lit(">"))
+    val inPiece = when(col("__gid").isNull, col("__tok"))
+      .when(col("__new") === 1L, sentinel) // null (dropped) mid-island
+    val tgtPiece = when(col("__gid").isNotNull, concat(
+      when(col("__new") === 1L, concat(sentinel, lit(" "))).otherwise(lit("")),
+      col("__tok")))
+    def joined(piece: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(transform(filter(
+        sort_array(collect_list(struct(col("__p"), piece.as("__s")))),
+        e => e.getField("__s").isNotNull), e => e.getField("__s")), " ")
+    marked.groupBy(col(idCol))
+      .agg(joined(inPiece).as("input"),
+        joined(tgtPiece).as("__tgt"),
+        count(col("__gid")).cast("long").as("n_masked"),
+        (max(col("__gid")) + 1L).as("__ns"))
+      .select(col(idCol), col("input"),
+        when(col("n_masked") > 0,
+            concat(col("__tgt"), lit(" <extra_id_"), col("__ns"), lit(">")))
+          .otherwise(lit("")).as("target"),
+        col("n_masked"))
+  }
+
   /** Mass-balanced shard assignment by SNAKE (boustrophedon) allocation:
     * rank documents by `massCol` descending (ties to the smaller id) and
     * deal rank r to shard `snake(r, n)` — 0,1,…,n−1,n−1,…,1,0,0,1,… —

@@ -1267,6 +1267,47 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("no bigrams"))
   }
 
+  test("spanCorrupt: input+target reconstruct the original text exactly; " +
+      "sentinels dense and terminal; density near spanLen/startEvery") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 80).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.spanCorrupt(docs, startEvery = 5, spanLen = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 30)
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinelRe = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, input, target, nMasked) =>
+      // parse target into sentinel -> hidden tokens
+      val tks = target.split(" ").filter(_.nonEmpty)
+      val spans = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      tks.foreach {
+        case sentinelRe(k) => cur = k.toInt; spans.getOrElseUpdate(cur, Vector())
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      if (nMasked > 0) {
+        // terminal sentinel closes the target and hides nothing
+        val maxK = spans.keys.max
+        assert(spans(maxK).isEmpty)
+        assert(spans.keys.toSeq.sorted == (0 to maxK)) // dense numbering
+        assert(spans.values.map(_.size).sum == nMasked)
+      } else assert(target == "")
+      // splice the hidden spans back over the input's sentinels
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap {
+        case sentinelRe(k) => spans(k.toInt)
+        case tok => Seq(tok)
+      }.mkString(" ")
+      assert(rebuilt == original(id), s"doc $id failed round-trip")
+    }
+    // density: expected ~3/5 = 60% at this aggressive setting; just check
+    // masking actually happened and didn't swallow everything
+    val frac = out.map(_._4).sum.toDouble / (30 * 80)
+    assert(frac > 0.3 && frac < 0.9, s"mask fraction $frac out of range")
+  }
+
   test("balancedShards: snake allocation on a hand mass list — near-equal " +
       "shard masses, deterministic ties") {
     import spark.implicits._
