@@ -2923,6 +2923,27 @@ object SparkEntry {
           col("feat_idx").cast("long").as("feat_idx"),
           col("feat").cast("double").as("feat"))),
 
+    // Perceptual image dedup (dHash) on the REAL decode path: formula
+    // PNGs with PLANTED duplicates (image seed = doc_id % 100, so each of
+    // 5 distinct images appears 5x), nearest-neighbor 9x8 luminance
+    // sampling, gradient bits — equal-seed docs MUST collide to one
+    // 64-bit hash, and the oracle recomputes every hash from the pixel
+    // formula with no image library.
+    "q_media_dhash" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), (col("doc_id") % 100).as("seed"))
+      val hashes = Multimodal.dHashes(
+        Multimodal.synthesizePngs(
+          docs.select(col("seed").as("doc_id")).distinct()).toDF(),
+        Multimodal.RealCodec).toDF()
+        .select(col("doc_id").as("seed"), col("dhash"))
+      docs.join(hashes, Seq("seed"))
+        .withColumn("n_same", count(lit(1))
+          .over(Window.partitionBy(col("dhash"))).cast("long"))
+        .select(col("doc_id"), col("seed"), col("dhash"), col("n_same"))
+    }),
+
     // The REAL javax.imageio path under the gate (the other media gates run
     // StubCodec): formula-pixel PNGs synthesized executor-side, then the
     // fused RealCodec stage — header dims, frame count, and the frame-0
@@ -7253,6 +7274,42 @@ object SparkEntry {
         |    END AS feat
         |  FROM m CROSS JOIN range(16) r(j))
         |SELECT doc_id, CAST(j AS BIGINT) AS feat_idx, feat FROM f""".stripMargin,
+
+    // dHash replay: the pixel formula sampled at the engine's exact
+    // nearest-neighbor grid, integer 601 luminance, gradient bits folded
+    // high-to-low in HUGEINT, reinterpreted as signed 64-bit
+    "q_media_dhash" ->
+      """WITH d AS (SELECT doc_id, doc_id % 100 AS seed FROM documents
+        |           WHERE doc_id % 20 = 0),
+        |sel AS (SELECT DISTINCT seed, 8 + seed % 9 AS w, 8 + seed % 7 AS h FROM d),
+        |grid AS (SELECT seed, x, y,
+        |           (x * w) // 9 AS px0, ((x + 1) * w) // 9 AS px1,
+        |           (y * h) // 8 AS py
+        |         FROM sel, UNNEST(range(0, 8)) rx(x), UNNEST(range(0, 8)) ry(y)),
+        |gr AS (SELECT seed, x, y,
+        |    (299 * ((7 * px0 + 11 * py + seed) % 256)
+        |     + 587 * ((13 * px0 + 3 * py + 2 * seed) % 256)
+        |     + 114 * ((px0 + 5 * py + 3 * seed) % 256)) // 1000 AS g0,
+        |    (299 * ((7 * px1 + 11 * py + seed) % 256)
+        |     + 587 * ((13 * px1 + 3 * py + 2 * seed) % 256)
+        |     + 114 * ((px1 + 5 * py + 3 * seed) % 256)) // 1000 AS g1
+        |  FROM grid),
+        |bits AS (SELECT seed,
+        |           list(CASE WHEN g1 > g0 THEN 1 ELSE 0 END ORDER BY y DESC, x DESC) AS bl
+        |         FROM gr GROUP BY seed),
+        |hs AS (SELECT seed,
+        |    list_reduce(list_prepend(0::HUGEINT, list_transform(bl, b -> b::HUGEINT)),
+        |      (acc, b) -> acc * 2::HUGEINT + b) AS hraw
+        |  FROM bits),
+        |hsx AS (SELECT seed,
+        |    CAST(CASE WHEN hraw >= 9223372036854775808::HUGEINT
+        |              THEN hraw - 18446744073709551616::HUGEINT
+        |              ELSE hraw END AS BIGINT) AS dhash
+        |  FROM hs),
+        |j AS (SELECT d.doc_id, d.seed, hsx.dhash FROM d JOIN hsx USING (seed))
+        |SELECT doc_id, seed, dhash,
+        |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+        |FROM j""".stripMargin,
 
     // rasterHash is h := h * 1000003 + rgb24 over row-major pixels in
     // WRAPPING 64-bit arithmetic — reproduced here in HUGEINT with an

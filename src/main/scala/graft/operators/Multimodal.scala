@@ -74,6 +74,15 @@ object Multimodal {
     def resize(r: MediaRecord, w: Int, h: Int): ResizedMedia
     def features(r: MediaRecord, dim: Int): MediaFeatures
 
+    /** 64-bit perceptual DIFFERENCE HASH (dHash) of frame 0 — the
+      * image-dedup fingerprint: bit (y·8+x) is set iff the sampled
+      * luminance brightens left-to-right at grid cell (x, y) of a 9×8
+      * nearest-neighbor sample. Unlike [[frameHash]] (equal rasters ⇒
+      * equal hash, one pixel flips everything), dHash is STABLE under
+      * re-encoding, mild resizing, and brightness shifts — hamming
+      * distance on it is the standard near-duplicate image signal. */
+    def dhash(payload: Array[Byte]): Long
+
     /** Fused stage: every per-stage output in one call, CONTRACTUALLY equal
       * to composing the four methods above. The default just composes them
       * (right for [[StubCodec]], whose "decode" is free arithmetic); codecs
@@ -124,6 +133,27 @@ object Multimodal {
         while (i < target) { out(i) = r.payload((i * stride).toInt); i += 1 }
       }
       ResizedMedia(r.doc_id, r.media_type, out, w, h)
+    }
+
+    /** Fake dHash: the 9×8 "luminance" grid samples payload bytes by the
+      * [[features]] stride trick (byte at (k·2654435761) mod n for grid
+      * cell k), gradient bits over it — the real operator's exact shape
+      * with arithmetic a SQL oracle can replay. Empty payload -> 0. */
+    def dhash(payload: Array[Byte]): Long = {
+      val n = payload.length
+      if (n == 0) return 0L
+      def gray(k: Int): Int = payload(((k.toLong * 2654435761L) % n).toInt.abs) & 0xff
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(y * 9 + x + 1) > gray(y * 9 + x)) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hash
     }
 
     /** Fake feature extractor: `dim` floats from strided payload bytes, each
@@ -184,6 +214,36 @@ object Multimodal {
 
     def features(r: MediaRecord, dim: Int): MediaFeatures =
       MediaFeatures(r.doc_id, stripFeatures(readFrame(r.payload, 0), dim))
+
+    /** Real dHash over the decoded frame-0 raster: NEAREST-NEIGHBOR 9×8
+      * sampling (px = x·w/9, py = y·h/8 in integer division — not the
+      * bilinear [[scaled]], whose kernel no SQL oracle could replay),
+      * integer ITU-R 601 luminance (299r + 587g + 114b)/1000, gradient
+      * bits left-to-right. Works for any w, h ≥ 1 (the sample index never
+      * reaches w). */
+    def dhash(payload: Array[Byte]): Long = {
+      val img = readFrame(payload, 0)
+      val w = img.getWidth
+      val h = img.getHeight
+      def gray(px: Int, py: Int): Int = {
+        val rgb = img.getRGB(px, py)
+        (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+      }
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        val py = y * h / 8
+        var x = 0
+        while (x < 8) {
+          if (gray((x + 1) * w / 9, py) > gray(x * w / 9, py))
+            hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
 
     /** Fused override: ONE reader session decodes frame 0 once and derives
       * all four per-stage outputs from that raster — a decode→resize→
@@ -466,6 +526,16 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.map(codec.decode))
+  }
+
+  /** Per-document perceptual hash row — [[MediaCodec.dhash]] lifted to the
+    * table: the image-dedup fingerprint pass (group or hamming-bucket the
+    * hashes downstream exactly like the text SimHash family). */
+  final case class MediaHash(doc_id: Long, dhash: Long)
+  def dHashes(media: DataFrame, codec: MediaCodec = StubCodec): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(r => MediaHash(r.doc_id, codec.dhash(r.payload))))
   }
 
   /** Frame sampling: every `step`-th frame of each decoded video/image burst,

@@ -289,4 +289,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("dhash: stable across lossless re-encodes (PNG vs BMP of one " +
+      "raster), equal formula images collide, stub handles empty") {
+    import spark.implicits._
+    // one deterministic raster, two encodings — dHash is raster-derived,
+    // so the compressed-byte difference must not move a single bit
+    val img = new java.awt.image.BufferedImage(
+      20, 14, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 14; x <- 0 until 20)
+      img.setRGB(x, y, ((x * 37 + y * 11) % 256 << 16) |
+        ((x * 5 + y * 3) % 256 << 8) | ((x + y) % 256))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val hPng = Multimodal.RealCodec.dhash(enc("png"))
+    val hBmp = Multimodal.RealCodec.dhash(enc("bmp"))
+    assert(hPng == hBmp)
+    // equal-seed formula images collide through the whole table op
+    val recs = Multimodal.synthesizePngs(Seq(5L, 5L + 0L).toDF("doc_id")
+      .unionByName(Seq(7L).toDF("doc_id"))).toDF()
+    val hs = Multimodal.dHashes(recs, Multimodal.RealCodec)
+      .collect().map(m => m.doc_id -> m.dhash).toMap
+    val again = Multimodal.dHashes(
+      Multimodal.synthesizePngs(Seq(5L).toDF("doc_id")).toDF(),
+      Multimodal.RealCodec).collect().head.dhash
+    assert(hs(5L) == again) // deterministic
+    // stub: empty payload -> 0, non-empty deterministic
+    assert(Multimodal.StubCodec.dhash(Array.empty[Byte]) == 0L)
+    val b = Array.tabulate[Byte](100)(i => (i * 7 % 256).toByte)
+    assert(Multimodal.StubCodec.dhash(b) == Multimodal.StubCodec.dhash(b.clone()))
+  }
 }
