@@ -183,7 +183,26 @@ object Bench {
     // blocklist safety filter: pure token-membership scan
     "q_blocklist",
     // code-switch audit: chunk explode + two fused langid scans + rollup
-    "q_lang_mix")
+    "q_lang_mix",
+    // r14: KN perplexity filter (bigram census paid once, model-table
+    // joins after) — same- and cross-corpus model paths
+    "q_perplexity_filter", "q_perplexity_cross",
+    // DSIR importance weights: one tokenize scan, 256-row broadcast model
+    "q_dsir_weights",
+    // T5 span corruption: scan-local mask census + island window + two
+    // sorted-collect rebuilds
+    "q_span_corrupt",
+    // pure scan expressions: Luhn HOF checksum, replace()-count code
+    // router; snake sharding = one global-rank window
+    "q_pii_luhn", "q_code_detect", "q_shard_balance",
+    // prototype pruning: quantized centroid aggs + broadcast fold + one
+    // per-cell window
+    "q_proto_prune",
+    // real-decode perceptual hashing over the synthesized PNG set
+    "q_media_dhash")
+    // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
+    // quadratic-baseline family the bench excludes by policy (the scale
+    // path composes the margin math over LSH/IVF candidates).
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

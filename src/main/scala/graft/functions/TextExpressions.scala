@@ -95,6 +95,67 @@ case class WordShingles(child: Expression, n: Int, distinctOut: Boolean)
   * referenced three times) evaluates interpreted and re-runs the whole fold
   * per reference — measured 1.8 ms/doc vs ~5 µs here (tools/CurationProbe,
   * r07). */
+/** Native Luhn mod-10 checksum base (ISO 7812): the sum over the digit
+  * string of each digit, doubling every second from the RIGHT (overflow
+  * −9). Null on empty or non-digit input — the validator treats those as
+  * invalid. One tight generated loop per row; the `aggregate(sequence(…))`
+  * HOF formulation this replaces evaluated interpreted with a per-position
+  * substr + cast Column tree and ran ~1 ms/row (5.3 s for the sf0.1
+  * documents scan, the slowest query in the whole bench) — ~20× the cost
+  * of every other pure-scan signal. */
+case class LuhnSum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"luhn_sum needs string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    LuhnSum.sum(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Integer ${ev.value}Box = graft.functions.LuhnSum.sum($c);
+      if (${ev.value}Box == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Box.intValue(); }
+    """)
+
+  override protected def withNewChildInternal(c: Expression): LuhnSum =
+    copy(child = c)
+}
+
+object LuhnSum {
+  /** The checksum kernel, shared by interpreted eval and generated code:
+    * boxed Integer so "non-digit/empty -> null" survives the JVM call. */
+  def sum(s: UTF8String): java.lang.Integer = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b < '0' || b > '9') return null
+      val d = b - '0'
+      // position from the right is n-1-i; double when it is odd
+      acc += (if (((n - i) & 1) == 0) { val dd = d * 2; if (dd > 9) dd - 9 else dd }
+              else d)
+      i += 1
+    }
+    acc
+  }
+}
+
 case class TopNgramFraction(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "ngram size must be >= 1")

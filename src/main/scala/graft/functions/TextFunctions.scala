@@ -256,9 +256,17 @@ object TextFunctions {
     * over the string's own length — scan-local, engine-portable. Null on
     * non-digit input (cast failure → null sum), which [[luhnValid]]
     * treats as invalid. */
-  def luhnChecksum(digits: Column): Column = {
+  def luhnChecksum(digits: Column): Column =
+    GraftExpr.column(LuhnSum(GraftExpr.expression(digits)))
+
+  /** The HOF formulation of [[luhnChecksum]], kept as the slow reference
+    * its spec checks the native expression against (measured ~1 ms/row
+    * interpreted — the bench's slowest scan before [[LuhnSum]]). Unlike
+    * the native form it folds a null into the sum on non-digit chars via
+    * the failed cast — same null result, different route. */
+  private[graft] def luhnChecksumHof(digits: Column): Column = {
     val n = length(digits)
-    aggregate(
+    when(n >= 1, aggregate(
       sequence(lit(1), n),
       lit(0),
       (acc, i) => {
@@ -266,13 +274,15 @@ object TextFunctions {
         val dd = d * 2
         acc + when(pmod(n - i, lit(2)) === 1,
           when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
-      })
+      }))
   }
 
-  /** True iff the digit string carries a valid Luhn check digit. */
-  def luhnValid(digits: Column): Column =
-    length(digits) >= 2 && digits.rlike("^[0-9]+$") &&
-      pmod(luhnChecksum(digits), lit(10)) === 0
+  /** True iff the digit string carries a valid Luhn check digit; null
+    * checksum (empty / non-digit input) is invalid. */
+  def luhnValid(digits: Column): Column = {
+    val s = luhnChecksum(digits)
+    length(digits) >= 2 && s.isNotNull && pmod(s, lit(10)) === 0
+  }
 
   /** The check digit that makes `base || digit` Luhn-valid — computed by
     * the standard append-zero trick (the zero occupies the undoubled

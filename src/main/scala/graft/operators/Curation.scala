@@ -702,24 +702,30 @@ object Curation {
     * ([[graft.sources.Sinks.exportShardedJsonl]]) cannot promise, at the
     * cost of a global sort. Returns `(id, massCol, rank, shard)`.
     *
-    * Scale shape: one global rank (total-order window — Spark range-
-    * partitions the sort; the per-partition row_number + offset two-phase
-    * is [[graft.ops.RunningCount]]'s discipline) and a pure integer
-    * expression for the shard — no second shuffle. Null masses rank last
-    * (nulls-last desc), still assigned. */
+    * Scale shape: the global rank is the TWO-PHASE distributed prefix
+    * count ([[graft.ops.RunningCount.withRunningCount]] — range-bucket on
+    * the sort key, per-bucket row_number, bucket offsets composed), NOT a
+    * partition-less window (which Spark executes on ONE task — the
+    * WindowExec single-partition warning this operator must never emit
+    * at 100 TB); the shard is then a pure integer expression, no second
+    * shuffle. Descending mass rides the negated key; null masses rank
+    * last (Long.MaxValue key), still assigned. */
   def balancedShards(
       df: DataFrame,
       massCol: String,
       nShards: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(massCol).desc_nulls_last, col(idCol).asc)
+    // (mass desc nulls last, id asc) as an ascending key: masses are
+    // non-negative counts, so -mass ascends exactly as mass descends
+    val sortKey = coalesce(lit(0L) - col(massCol).cast("long"),
+      lit(Long.MaxValue))
+    val ranked = graft.ops.RunningCount.withRunningCount(
+      df.select(col(idCol), col(massCol)),
+      Seq(sortKey, col(idCol)), "rank")
     val r0 = pmod(col("rank") - lit(1L), lit(2L * nShards))
-    df.select(col(idCol), col(massCol))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("shard",
-        when(r0 < nShards, r0).otherwise(lit(2L * nShards - 1) - r0))
+    ranked.withColumn("shard",
+      when(r0 < nShards, r0).otherwise(lit(2L * nShards - 1) - r0))
   }
 
   /** DSIR importance log-ratios (Xie et al. 2023, "Data Selection for

@@ -392,6 +392,14 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     val cd = Seq("7992739871").toDF("base")
       .select(TextFunctions.luhnCheckDigit(col("base"))).collect().head.getInt(0)
     assert(cd == 3)
+    // native LuhnSum == the HOF reference on digit strings (null routes
+    // differ on non-digits: kernel fail-fast vs folded cast-null)
+    val digitCases = Seq("4111111111111111", "79927398713", "0", "99", "1234567890")
+    val parity = digitCases.toDF("cc").select(
+        TextFunctions.luhnChecksum(col("cc")).as("native"),
+        TextFunctions.luhnChecksumHof(col("cc")).as("hof"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    parity.foreach { case (n, h) => assert(n == h) }
   }
 
   test("codeScore: exact weighted counts on a hand snippet; prose scores 0") {
