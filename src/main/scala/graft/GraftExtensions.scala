@@ -254,5 +254,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("bloom_might_contain", 2)(args =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args(0), args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("luhn_checksum"),
+      info("luhn_checksum",
+        "luhn_checksum(digits) - ISO 7812 mod-10 checksum base (double " +
+          "every second digit from the right, overflow -9); NULL on " +
+          "empty or non-digit input"),
+      arity("luhn_checksum", 1)(args => LuhnSum(args(0)))))
+
+    ext.injectFunction((FunctionIdentifier("luhn_valid"),
+      info("luhn_valid",
+        "luhn_valid(digits) - true iff the digit string carries a valid " +
+          "Luhn check digit (the card-number validator the \\d{12,19} " +
+          "redaction pattern lacks)"),
+      arity("luhn_valid", 1)(args => GraftExpr.catalystExpression(
+        TextFunctions.luhnValid(GraftExpr.column(args(0)))))))
+
+    ext.injectFunction((FunctionIdentifier("code_score"),
+      info("code_score",
+        "code_score(text) - integer-weighted code-punctuation/keyword " +
+          "score (the Stack-vs-prose corpus router); threshold as " +
+          "score * 1000 >= permille * length(text)"),
+      arity("code_score", 1)(args => GraftExpr.catalystExpression(
+        TextFunctions.codeScore(GraftExpr.column(args(0)))))))
   }
 }

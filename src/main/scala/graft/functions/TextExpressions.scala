@@ -107,6 +107,10 @@ case class LuhnSum(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  // null OUT even on non-null input (empty / non-digit strings) — the
+  // child-derived default would let the optimizer assume non-null and
+  // read garbage through the row writer
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

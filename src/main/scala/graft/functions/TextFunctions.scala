@@ -302,7 +302,9 @@ object TextFunctions {
   def codeScore(text: Column): Column = {
     def cnt(s: String): Column =
       length(text) - length(replace(text, lit(s), lit("")))
-    def cntKw(kw: String): Column = cnt(kw) / kw.length
+    // the removed length is always an exact multiple of the keyword
+    // length, so the divide is exact; cast keeps the score INTEGER
+    def cntKw(kw: String): Column = (cnt(kw) / kw.length).cast("int")
     (cnt("{") + cnt("}")) * 3 + cnt(";") * 3 + cnt("=") * 2 +
       cnt("(") + cnt(")") +
       (cntKw("function") + cntKw("return ") + cntKw(" var ")) * 5

@@ -171,6 +171,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         .collect()(0).getString(0)
       assert(gotSm == wantSm && gotSm == "keep 5 < 6")
       intercept[Exception] { s.sql("SELECT strip_markup('x', 'y')").collect() }
+      // r14 registrations: luhn_checksum / luhn_valid / code_score
+      val luhn = s.sql(
+        "SELECT luhn_checksum('79927398713') AS c, luhn_valid('79927398713') AS v, " +
+          "luhn_valid('79927398710') AS w, luhn_checksum('12x') AS n").collect()(0)
+      assert(luhn.getInt(0) % 10 == 0 && luhn.getBoolean(1) && !luhn.getBoolean(2))
+      assert(luhn.isNullAt(3))
+      val cs = s.sql("SELECT code_score('function f(x) { var y = x; return y; } (z = 1)') AS c")
+        .collect()(0).getInt(0)
+      assert(cs == 35)
+      intercept[Exception] { s.sql("SELECT luhn_valid()").collect() }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
