@@ -631,7 +631,10 @@ object Curation {
     * 3/20). Returns `(id, input, target, n_masked)`; the input is
     * whitespace-normalized (tokens rejoined with single spaces);
     * documents with no masked span emit the normalized text, an empty
-    * target, and n_masked = 0.
+    * target, and n_masked = 0. T5's own contract applies: sentinel
+    * strings (`<extra_id_k>`) must not occur as corpus tokens, or the
+    * input/target splice is ambiguous — run the vocabulary check (or a
+    * blocklist pass) upstream when corpora are adversarial.
     *
     * Scale shape: one tokenize scan feeds both the mask census (the
     * start predicate is a scan-local hash) and reassembly; islands are
@@ -716,10 +719,15 @@ object Curation {
       nShards: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    // a negative "mass" is a caller bug (masses are token/byte counts) —
+    // fail the ROW loudly in-plan, the weightedQuantiles discipline
+    val m0 = col(massCol).cast("long")
+    val mSafe = when(m0 < 0, raise_error(concat(
+        lit("balancedShards: negative mass "), m0.cast("string")))
+      .cast("long")).otherwise(m0)
     // (mass desc nulls last, id asc) as an ascending key: masses are
     // non-negative counts, so -mass ascends exactly as mass descends
-    val sortKey = coalesce(lit(0L) - col(massCol).cast("long"),
-      lit(Long.MaxValue))
+    val sortKey = coalesce(lit(0L) - mSafe, lit(Long.MaxValue))
     val ranked = graft.ops.RunningCount.withRunningCount(
       df.select(col(idCol), col(massCol)),
       Seq(sortKey, col(idCol)), "rank")

@@ -361,7 +361,9 @@ object Similarity {
     * the scan for the fold, one per-cell window for the rank. The window
     * shuffles the corpus once on bucket; at 100 TB size cells via nPlanes
     * so the per-cell sort fits an executor (the usual LSH-granularity
-    * lever). */
+    * lever). Vectors must share one dimensionality: with nPlanes ≥ 1 a
+    * ragged vector fails fast in the bucketer; the nPlanes = 0 global
+    * cell has no bucketer to catch it, so validate width upstream. */
   def prototypeScores(
       vecs: DataFrame,
       nPlanes: Int = 4,
@@ -436,9 +438,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val x = xs.select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
+    // null vectors carry no geometry: dropping them here keeps every
+    // neighborhood sum over real cosines (a null cos would otherwise be
+    // skipped by sum but counted by count, skewing the margin denominator)
+    val x = xs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
     val parts = ys.sparkSession.sessionState.conf.numShufflePartitions
-    val y = ys.select(col(idCol).as("y_id"), col(vecCol).as("y_v"))
+    val y = ys.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("y_id"), col(vecCol).as("y_v"))
       .repartition(parts)
     val scored = y.join(broadcast(x), lit(true))
       .select(col("x_id"), col("y_id"),

@@ -1323,6 +1323,12 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .groupBy("shard").agg(sum("m").as("mass"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(masses == Map(0L -> 23L, 1L -> 22L))
+    // a negative mass is a caller bug: the row fails loudly in-plan
+    val e = intercept[Exception] {
+      Curation.balancedShards(
+        Seq((1L, -5L)).toDF("doc_id", "m"), "m", 2).collect()
+    }
+    assert(e.getMessage.contains("negative mass"))
   }
 
   test("dsirLogRatios/Filter: disjoint-vocab hand corpus — exact smoothed " +

@@ -640,6 +640,14 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(
       0L -> ((1L, 1000000000000L, 1000000L, true)),
       2L -> ((1L, 0L, 0L, false))))
+    // null vectors carry no geometry: excluded from both sides, results
+    // over the real vectors unchanged
+    val withNull = xs.unionByName(
+      Seq((9L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val got2 = graft.operators.Similarity.bitextMarginMine(withNull, ys, k = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got2 == got)
   }
 
   test("kCenterGreedy: k above maxK fails fast before any scan is scheduled") {
