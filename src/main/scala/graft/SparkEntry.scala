@@ -2711,6 +2711,36 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1), k = 4)
     }),
 
+    // The bitext scale path: the same margin chain over LSH candidate
+    // pairs (y keeps its bucket, x multi-probes hamming-1) — shuffle
+    // volume = candidates, never |X|·|Y|.
+    "q_bitext_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMarginMineLsh(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4, nPlanes = 4)
+    }),
+
+    // Agreement readout: for each x, does the LSH-candidate winner equal
+    // the brute winner? The gated price of pruning: the synthetic
+    // embeddings are RANDOM (no cluster structure — LSH's worst case), so
+    // hamming<=1 at 4 planes (5/16 of pairs scored) keeps 119/250 winners
+    // (nPlanes=2 keeps 205/250 at 3/4 of pairs — tools/BitextProbe); real
+    // embeddings cluster, which is the regime the bucket path exists for.
+    // The gate hashes the exact agreement SET, not a summary.
+    "q_bitext_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val xsS = emb.filter(col("vec_id") % 2 === 0)
+      val ysS = emb.filter(col("vec_id") % 2 === 1)
+      val brute = Similarity.bitextMarginMine(xsS, ysS, k = 4)
+        .select(col("x_id"), col("y_id").as("y_brute"))
+      val lsh = Similarity.bitextMarginMineLsh(xsS, ysS, k = 4, nPlanes = 4)
+        .select(col("x_id"), col("y_id").as("y_lsh"))
+      brute.join(lsh, Seq("x_id"))
+        .select(col("x_id"), col("y_brute"), col("y_lsh"),
+          (col("y_brute") === col("y_lsh")).as("agree"))
+    }),
+
     // Greedy k-center coreset (Gonzalez farthest-first): 8 maximally
     // spread representatives of the embedding corpus — the diversity
     // PRUNING selector (vs MMR's candidate re-rank); d2 carries the
@@ -3005,9 +3035,9 @@ object SparkEntry {
     * iff e · plane_p >= 0 — mirrors [[graft.functions.HyperplaneBucket]]'s
     * left-fold dot (DuckDB `list_sum` accumulates in the same array order,
     * the bit-exactness contract every cosine oracle here relies on). */
-  private def sqlLshBucket(planes: Seq[Array[Double]]): String =
+  private def sqlLshBucket(planes: Seq[Array[Double]], e: String = "e"): String =
     planes.zipWithIndex.map { case (plane, p) =>
-      s"(CASE WHEN list_sum(list_transform(list_zip(e, ${sqlDoubles(plane)}), " +
+      s"(CASE WHEN list_sum(list_transform(list_zip($e, ${sqlDoubles(plane)}), " +
         s"z -> z[1] * z[2])) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -3143,6 +3173,63 @@ object SparkEntry {
        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
        |  coalesce(sc.sum_lp_q, 0) AS sum_lp_q$keepCol
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
+  /** q_bitext_* references: the ratio-margin winners-per-x relation —
+    * quantized cosines over the candidate pair set (brute cross join, or
+    * bucket-hamming ≤ 1 when `lshCand = Some(nPlanes)` — the engine's
+    * one-sided multi-probe as a bit_count condition), per-side top-k
+    * integer neighborhood sums, the fixed-order margin, winners both
+    * sides, mutual flag. */
+  private def bitextWinnersSql(lshCand: Option[Int]): String = {
+    val candCond = lshCand.map { nPlanes =>
+      val planes = graft.functions.VectorFunctions.makePlanes(nPlanes, 64)
+      s"AND bit_count(xor(${sqlLshBucket(planes, "x.e")}, " +
+        s"${sqlLshBucket(planes, "y.e")})) <= 1"
+    }.getOrElse("")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |sc AS (
+       |  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+       |    CAST(round((list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2])) /
+       |      (sqrt(list_sum(list_transform(x.e, t -> t * t))) *
+       |       sqrt(list_sum(list_transform(y.e, t -> t * t)))))
+       |      * 1000000000000.0) AS BIGINT) AS cos_q
+       |  FROM v x JOIN v y ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1 $candCond),
+       |candx AS (SELECT x_id, y_id, cos_q FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos_q DESC, y_id) AS rn
+       |  FROM sc) WHERE rn <= 4),
+       |candy AS (SELECT x_id, y_id, cos_q FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY cos_q DESC, x_id) AS rn
+       |  FROM sc) WHERE rn <= 4),
+       |sx AS (SELECT x_id, CAST(sum(cos_q) AS BIGINT) AS sx_q,
+       |         CAST(count(*) AS BIGINT) AS nx FROM candx GROUP BY 1),
+       |sy AS (SELECT y_id, CAST(sum(cos_q) AS BIGINT) AS sy_q,
+       |         CAST(count(*) AS BIGINT) AS ny FROM candy GROUP BY 1),
+       |mx AS (SELECT c.x_id, c.y_id, c.cos_q,
+       |    CASE WHEN CAST(sx_q AS DOUBLE) / (2.0 * nx)
+       |            + CAST(sy_q AS DOUBLE) / (2.0 * ny) > 0
+       |         THEN CAST(round(CAST(c.cos_q AS DOUBLE) /
+       |              (CAST(sx_q AS DOUBLE) / (2.0 * nx)
+       |               + CAST(sy_q AS DOUBLE) / (2.0 * ny)) * 1000000.0) AS BIGINT)
+       |    END AS margin_fp
+       |  FROM candx c JOIN sx USING (x_id) JOIN sy USING (y_id)),
+       |my AS (SELECT c.x_id, c.y_id,
+       |    CASE WHEN CAST(sx_q AS DOUBLE) / (2.0 * nx)
+       |            + CAST(sy_q AS DOUBLE) / (2.0 * ny) > 0
+       |         THEN CAST(round(CAST(c.cos_q AS DOUBLE) /
+       |              (CAST(sx_q AS DOUBLE) / (2.0 * nx)
+       |               + CAST(sy_q AS DOUBLE) / (2.0 * ny)) * 1000000.0) AS BIGINT)
+       |    END AS margin_fp
+       |  FROM candy c JOIN sx USING (x_id) JOIN sy USING (y_id)),
+       |bx AS (SELECT x_id, y_id, cos_q, margin_fp FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY x_id
+       |    ORDER BY margin_fp DESC NULLS LAST, y_id) AS rm FROM mx) WHERE rm = 1),
+       |byy AS (SELECT y_id, x_id AS bx_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY y_id
+       |    ORDER BY margin_fp DESC NULLS LAST, x_id) AS rm FROM my) WHERE rm = 1)
+       |SELECT b.x_id, b.y_id, b.cos_q, b.margin_fp,
+       |  coalesce(byy.bx_id = b.x_id, FALSE) AS mutual
+       |FROM bx b LEFT JOIN byy ON byy.y_id = b.y_id""".stripMargin
   }
 
   /** q_dsir_* references: the hashed-bigram importance-weight replay —
@@ -7130,50 +7217,19 @@ object SparkEntry {
     // bitext margin mining: quantized-cosine neighborhoods both ways,
     // exact integer sums, the fixed-order margin expression, winners by
     // (margin DESC NULLS LAST, id) both sides, mutual-best join
-    "q_bitext_margin" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |sc AS (
-        |  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
-        |    CAST(round((list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2])) /
-        |      (sqrt(list_sum(list_transform(x.e, t -> t * t))) *
-        |       sqrt(list_sum(list_transform(y.e, t -> t * t)))))
-        |      * 1000000000000.0) AS BIGINT) AS cos_q
-        |  FROM v x JOIN v y ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
-        |candx AS (SELECT x_id, y_id, cos_q FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos_q DESC, y_id) AS rn
-        |  FROM sc) WHERE rn <= 4),
-        |candy AS (SELECT x_id, y_id, cos_q FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY cos_q DESC, x_id) AS rn
-        |  FROM sc) WHERE rn <= 4),
-        |sx AS (SELECT x_id, CAST(sum(cos_q) AS BIGINT) AS sx_q,
-        |         CAST(count(*) AS BIGINT) AS nx FROM candx GROUP BY 1),
-        |sy AS (SELECT y_id, CAST(sum(cos_q) AS BIGINT) AS sy_q,
-        |         CAST(count(*) AS BIGINT) AS ny FROM candy GROUP BY 1),
-        |mx AS (SELECT c.x_id, c.y_id, c.cos_q,
-        |    CASE WHEN CAST(sx_q AS DOUBLE) / (2.0 * nx)
-        |            + CAST(sy_q AS DOUBLE) / (2.0 * ny) > 0
-        |         THEN CAST(round(CAST(c.cos_q AS DOUBLE) /
-        |              (CAST(sx_q AS DOUBLE) / (2.0 * nx)
-        |               + CAST(sy_q AS DOUBLE) / (2.0 * ny)) * 1000000.0) AS BIGINT)
-        |    END AS margin_fp
-        |  FROM candx c JOIN sx USING (x_id) JOIN sy USING (y_id)),
-        |my AS (SELECT c.x_id, c.y_id,
-        |    CASE WHEN CAST(sx_q AS DOUBLE) / (2.0 * nx)
-        |            + CAST(sy_q AS DOUBLE) / (2.0 * ny) > 0
-        |         THEN CAST(round(CAST(c.cos_q AS DOUBLE) /
-        |              (CAST(sx_q AS DOUBLE) / (2.0 * nx)
-        |               + CAST(sy_q AS DOUBLE) / (2.0 * ny)) * 1000000.0) AS BIGINT)
-        |    END AS margin_fp
-        |  FROM candy c JOIN sx USING (x_id) JOIN sy USING (y_id)),
-        |bx AS (SELECT x_id, y_id, cos_q, margin_fp FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY x_id
-        |    ORDER BY margin_fp DESC NULLS LAST, y_id) AS rm FROM mx) WHERE rm = 1),
-        |byy AS (SELECT y_id, x_id AS bx_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY y_id
-        |    ORDER BY margin_fp DESC NULLS LAST, x_id) AS rm FROM my) WHERE rm = 1)
-        |SELECT b.x_id, b.y_id, b.cos_q, b.margin_fp,
-        |  coalesce(byy.bx_id = b.x_id, FALSE) AS mutual
-        |FROM bx b LEFT JOIN byy ON byy.y_id = b.y_id""".stripMargin,
+    "q_bitext_margin" -> s"${bitextWinnersSql(lshCand = None)}",
+
+    // the LSH-candidate scale path: same margin chain over bucket-hamming
+    // <= 1 pairs (annLsh's multi-probe as a bit_count condition)
+    "q_bitext_lsh" -> s"${bitextWinnersSql(lshCand = Some(4))}",
+
+    // agreement readout: per-x winner under LSH candidates vs brute
+    "q_bitext_recall" ->
+      s"""WITH brute AS (${bitextWinnersSql(lshCand = None)}),
+         |lsh AS (${bitextWinnersSql(lshCand = Some(4))})
+         |SELECT b.x_id, b.y_id AS y_brute, l.y_id AS y_lsh,
+         |  b.y_id = l.y_id AS agree
+         |FROM brute b JOIN lsh l USING (x_id)""".stripMargin,
 
     "q_neg_samples" ->
       """WITH r AS (

@@ -451,6 +451,56 @@ object Similarity {
       .select(col("x_id"), col("y_id"),
         round(cosineSimilarity(col("x_v"), col("y_v")) *
           lit(1000000000000.0)).cast("long").as("cos_q"))
+    marginOverPairs(scored, k)
+  }
+
+  /** [[bitextMarginMine]]'s 100 TB path: the SAME ratio-margin math over
+    * LSH CANDIDATE pairs instead of the brute |X|·|Y| scan — y keeps its
+    * sign-bit bucket, x probes its own bucket plus every hamming-1
+    * neighbor ([[annLsh]]'s multi-probe), so the candidate set is exactly
+    * the bucket-hamming ≤ 1 pairs and the join is keyed on bucket
+    * (shuffle volume = candidates, never n²). Neighborhood sums — the
+    * margin's density normalizer — run over each point's top-k
+    * CANDIDATES, the standard mined-bitext approximation; nPlanes = 0
+    * degenerates to one bucket = the exact brute result (spec-pinned). */
+  def bitextMarginMineLsh(
+      xs: DataFrame,
+      ys: DataFrame,
+      k: Int = 4,
+      nPlanes: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val planes = makePlanes(nPlanes, dim)
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      if (planes.isEmpty) lit(0) else hyperplaneBucket(v, planes)
+    val parts = ys.sparkSession.sessionState.conf.numShufflePartitions
+    val y = ys.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("y_id"), col(vecCol).as("y_v"))
+      .withColumn("bucket", bucketOf(col("y_v")))
+      .repartition(parts)
+    val x = xs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
+      .withColumn("bucket0", bucketOf(col("x_v")))
+      .withColumn("bucket", explode(array(
+        (col("bucket0") +: (0 until nPlanes).map(i =>
+          col("bucket0").bitwiseXOR(lit(1 << i)))): _*)))
+      .select(col("x_id"), col("x_v"), col("bucket"))
+    // each (x, y) pair joins at most once: y keeps its single own bucket
+    // and x's 1+nPlanes probe values are pairwise distinct (annLsh's
+    // one-sided-probe argument)
+    val scored = y.join(broadcast(x), Seq("bucket"))
+      .select(col("x_id"), col("y_id"),
+        round(cosineSimilarity(col("x_v"), col("y_v")) *
+          lit(1000000000000.0)).cast("long").as("cos_q"))
+    marginOverPairs(scored, k)
+  }
+
+  /** The margin core shared by the brute and LSH miners: per-side top-k
+    * neighborhoods over `(x_id, y_id, cos_q)` pairs, order-free integer
+    * sums, the fixed-order margin expression, winners + mutual flag. */
+  private def marginOverPairs(scored: DataFrame, k: Int): DataFrame = {
     val wx = Window.partitionBy(col("x_id"))
       .orderBy(col("cos_q").desc, col("y_id").asc)
     val wy = Window.partitionBy(col("y_id"))

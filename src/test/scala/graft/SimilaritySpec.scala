@@ -648,6 +648,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(got2 == got)
+    // the LSH path at nPlanes = 0 is ONE bucket = all pairs = exact brute
+    val lsh0 = graft.operators.Similarity
+      .bitextMarginMineLsh(xs, ys, k = 1, nPlanes = 0, dim = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(lsh0 == got)
   }
 
   test("kCenterGreedy: k above maxK fails fast before any scan is scheduled") {
