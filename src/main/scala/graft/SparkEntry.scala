@@ -2974,6 +2974,20 @@ object SparkEntry {
         .select(col("doc_id"), col("seed"), col("dhash"), col("n_same"))
     }),
 
+    // Image NEAR-dup pairs: the dHash fingerprints through the banded
+    // hamming join (exact at maxHamming=7 < chunks=8 by pigeonhole) — the
+    // image twin of simhash text dedup, on the real decode path. Seed
+    // space doc_id%40 over the %5 doc slice gives 40 distinct images;
+    // planted equal seeds plus the monotone-luminance all-ones family
+    // produce real pairs.
+    "q_media_neardup" -> ((s, dir) => {
+      val seeds = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") % 40).as("doc_id")).distinct()
+      val hashes = Multimodal.dHashes(
+        Multimodal.synthesizePngs(seeds).toDF(), Multimodal.RealCodec).toDF()
+      operators.Dedup.hammingPairs(hashes, "dhash", maxHamming = 7)
+    }),
+
     // The REAL javax.imageio path under the gate (the other media gates run
     // StubCodec): formula-pixel PNGs synthesized executor-side, then the
     // fused RealCodec stage — header dims, frame count, and the frame-0
@@ -7330,6 +7344,41 @@ object SparkEntry {
         |    END AS feat
         |  FROM m CROSS JOIN range(16) r(j))
         |SELECT doc_id, CAST(j AS BIGINT) AS feat_idx, feat FROM f""".stripMargin,
+
+    // image near-dup: the dHash formula replay per seed, then the direct
+    // hamming<=7 pair filter (the banded join is EXACT at 7 < 8 chunks)
+    "q_media_neardup" ->
+      """WITH d AS (SELECT DISTINCT doc_id % 40 AS seed FROM documents
+        |           WHERE doc_id % 5 = 0),
+        |sel AS (SELECT seed, 8 + seed % 9 AS w, 8 + seed % 7 AS h FROM d),
+        |grid AS (SELECT seed, x, y,
+        |           (x * w) // 9 AS px0, ((x + 1) * w) // 9 AS px1,
+        |           (y * h) // 8 AS py
+        |         FROM sel, UNNEST(range(0, 8)) rx(x), UNNEST(range(0, 8)) ry(y)),
+        |gr AS (SELECT seed, x, y,
+        |    (299 * ((7 * px0 + 11 * py + seed) % 256)
+        |     + 587 * ((13 * px0 + 3 * py + 2 * seed) % 256)
+        |     + 114 * ((px0 + 5 * py + 3 * seed) % 256)) // 1000 AS g0,
+        |    (299 * ((7 * px1 + 11 * py + seed) % 256)
+        |     + 587 * ((13 * px1 + 3 * py + 2 * seed) % 256)
+        |     + 114 * ((px1 + 5 * py + 3 * seed) % 256)) // 1000 AS g1
+        |  FROM grid),
+        |bits AS (SELECT seed,
+        |           list(CASE WHEN g1 > g0 THEN 1 ELSE 0 END ORDER BY y DESC, x DESC) AS bl
+        |         FROM gr GROUP BY seed),
+        |hs AS (SELECT seed,
+        |    list_reduce(list_prepend(0::HUGEINT, list_transform(bl, b -> b::HUGEINT)),
+        |      (acc, b) -> acc * 2::HUGEINT + b) AS hraw
+        |  FROM bits),
+        |hsx AS (SELECT seed,
+        |    CAST(CASE WHEN hraw >= 9223372036854775808::HUGEINT
+        |              THEN hraw - 18446744073709551616::HUGEINT
+        |              ELSE hraw END AS BIGINT) AS dhash
+        |  FROM hs)
+        |SELECT a.seed AS a_id, b.seed AS b_id,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM hsx a JOIN hsx b ON a.seed < b.seed
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7""".stripMargin,
 
     // dHash replay: the pixel formula sampled at the engine's exact
     // nearest-neighbor grid, integer 601 luminance, gradient bits folded

@@ -556,6 +556,50 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Near-dup pairs under ANY 64-bit signature column by the banded
+    * hamming join — [[simhashPairs]]' candidate machinery factored over a
+    * caller-provided signature (perceptual image dHash, an external
+    * simhash, a feature fingerprint): chunk the signature into `chunks`
+    * bands, join on (band, key), keep each pair once via the
+    * first-matching-band predicate, verify `bit_count(xor) <= maxHamming`.
+    * EXACT (not approximate) when `maxHamming < chunks` — pigeonhole: a
+    * pair within that distance must agree on some whole band — which is
+    * why the default pairing (7, 8) is a complete hamming-7 join. Null
+    * signatures drop. Shuffle volume is the banded corpus + candidates,
+    * never n². */
+  def hammingPairs(
+      df: DataFrame,
+      sigCol: String,
+      maxHamming: Int = 7,
+      chunks: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    val bits = 64 / chunks
+    val withSig = df.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
+    val banded = withSig.select(
+      col("id"), col("sig"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("band"),
+          shiftrightunsigned(col("sig"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("key"))
+      }: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
+    val xorSig = col("a_sig").bitwiseXOR(col("b_sig"))
+    val chunkMask = lit((1L << bits) - 1)
+    val firstMatchingBand = (0 until chunks).reverse.foldLeft(lit(-1)) { (acc, c) =>
+      when(shiftrightunsigned(xorSig, c * bits).bitwiseAND(chunkMask) === 0L, lit(c))
+        .otherwise(acc)
+    }
+    banded.toDF("a_id", "a_sig", "band", "key")
+      .join(banded.toDF("b_id", "b_sig", "band", "key"), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("band") === firstMatchingBand)
+      .withColumn("hamming", bit_count(xorSig).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold. Brute-force pair space —
     * use [[Similarity.annLsh]] bucketing for the scale path; this exact
     * variant is the oracle. Cosine is computed in double with

@@ -617,4 +617,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kept(1L) == "a\n\nb" && kept(3L) == "e\n\nf")
   }
+
+  test("hammingPairs: exact hamming<=7 join at 8 chunks (pigeonhole), " +
+      "each pair once, nulls drop") {
+    import spark.implicits._
+    // sigs 0, 1, 255, 127: hammings (1,2)=1 (1,3)=8 (1,4)=7 (2,3)=7
+    // (2,4)=6 (3,4)=1 — everything but (1,3) is within 7
+    val d = Seq((1L, 0L), (2L, 1L), (3L, 255L), (4L, 127L))
+      .toDF("doc_id", "sig")
+      .unionByName(Seq((9L, Option.empty[Long])).toDF("doc_id", "sig"))
+    val got = graft.operators.Dedup.hammingPairs(d, "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 4L) -> 7L, (2L, 3L) -> 7L,
+      (2L, 4L) -> 6L, (3L, 4L) -> 1L))
+    // identical signatures pair at hamming 0 exactly once despite
+    // colliding in every band (first-matching-band dedup)
+    val eq = graft.operators.Dedup.hammingPairs(
+      Seq((1L, -1L), (2L, -1L)).toDF("doc_id", "sig"), "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(eq.toSeq == Seq((1L, 2L, 0L)))
+  }
 }
