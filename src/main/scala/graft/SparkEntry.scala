@@ -1536,6 +1536,12 @@ object SparkEntry {
     // (the exchange carries bars, not events), volume as exact cents.
     "q_ohlc" -> ((s, dir) => operators.EventSignals.ohlcBars(ev(s, dir))),
 
+    // Holt double-exponential smoothing: per-user daily-count level +
+    // trend + 7-day forecast — a fixed-order left fold over exact integer
+    // counts with dyadic alpha/beta, so the doubles hash bit-exact.
+    "q_holt_forecast" -> ((s, dir) =>
+      operators.TimeSeries.holtForecast(ev(s, dir))),
+
     // Time-series subsequence search: top-10 z-normalized matches of a
     // spike pattern across every user's value series — one keyed window
     // sort, scan-local fold distances, two-level top-k.
@@ -5242,6 +5248,32 @@ object SparkEntry {
          |  CAST(rank AS BIGINT) AS rank
          |FROM g WHERE rank <= 10""".stripMargin
     },
+
+    // Holt recurrence replayed as a RECURSIVE CTE stepping the day-sorted
+    // series (NOT a list_reduce struct lambda: DuckDB 1.0 computes the
+    // second accumulator field of a struct_pack fold incorrectly —
+    // verified on a 3-element hand series where l folds right and b does
+    // not). Same seed (l = y0, b = 0), dyadic literals, one step order.
+    "q_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT user_id, CAST(y AS DOUBLE) AS y,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY day) AS i
+        |        FROM daily),
+        |n AS (SELECT user_id, max(i) AS n_days FROM ser GROUP BY 1),
+        |h AS (
+        |  SELECT user_id, i, y AS l, 0.0e0 AS b FROM ser WHERE i = 1
+        |  UNION ALL
+        |  SELECT h.user_id, s.i,
+        |    0.5e0 * s.y + 0.5e0 * (h.l + h.b) AS l,
+        |    0.25e0 * ((0.5e0 * s.y + 0.5e0 * (h.l + h.b)) - h.l)
+        |      + 0.75e0 * h.b AS b
+        |  FROM h JOIN ser s ON s.user_id = h.user_id AND s.i = h.i + 1)
+        |SELECT h.user_id, CAST(n.n_days AS BIGINT) AS n_days,
+        |  h.l AS level, h.b AS trend, h.l + 7.0e0 * h.b AS forecast
+        |FROM h JOIN n ON n.user_id = h.user_id AND h.i = n.n_days""".stripMargin,
 
     "q_scd2_asof" ->
       """WITH r AS (

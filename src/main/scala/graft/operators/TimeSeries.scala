@@ -13,6 +13,57 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Holt double-exponential smoothing (level + trend, no seasonality)
+    * over each key's DAILY EVENT COUNTS — the classic short-horizon
+    * activity forecast ("is this user/source ramping up or churning"):
+    * `l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}`, seeded `l_0 = y_0, b_0 = 0`;
+    * returns `(key, n_days, level, trend, forecast = level + h·trend)`.
+    * Deterministic and engine-portable: the series values are exact
+    * integer counts, α/β should be dyadic (0.5, 0.25 — stateable
+    * literals), and the recurrence is a FIXED-ORDER left fold over the
+    * day-sorted series, so every double is the same correctly-rounded
+    * IEEE sequence on any engine or partitioning. The fold runs over
+    * OBSERVED days only — densify with [[graft.operators.EventSignals]]'
+    * calendar resample first when gaps should decay the trend.
+    *
+    * Scale shape: one (key, day) partial-agg collapse (the calendar is
+    * tiny next to the event volume), then one key-keyed sorted-collect
+    * fold — per-key state is the day series (bounded by the calendar,
+    * the sessionize-style per-key assumption), never the raw events. */
+  def holtForecast(
+      events: DataFrame,
+      alpha: Double = 0.5,
+      beta: Double = 0.25,
+      horizon: Int = 7,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    require(horizon >= 0, s"horizon must be >= 0: $horizon")
+    val daily = events
+      .groupBy(col(keyCol),
+        floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long").as("__day"))
+      .agg(count(lit(1)).cast("long").as("__y"))
+    val series = daily.groupBy(col(keyCol))
+      .agg(transform(sort_array(collect_list(struct(col("__day"), col("__y")))),
+        e => e.getField("__y").cast("double")).as("__ys"))
+    def lNew(acc: Column, y: Column): Column =
+      lit(alpha) * y + lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b"))
+    val folded = series.withColumn("__st", aggregate(
+      slice(col("__ys"), lit(2), greatest(size(col("__ys")) - 1, lit(0))),
+      struct(element_at(col("__ys"), 1).as("l"), lit(0.0).as("b")),
+      (acc, y) => struct(
+        lNew(acc, y).as("l"),
+        (lit(beta) * (lNew(acc, y) - acc.getField("l")) +
+          lit(1.0 - beta) * acc.getField("b")).as("b"))))
+    folded.select(col(keyCol),
+      size(col("__ys")).cast("long").as("n_days"),
+      col("__st.l").as("level"),
+      col("__st.b").as("trend"),
+      (col("__st.l") + lit(horizon.toDouble) * col("__st.b")).as("forecast"))
+  }
+
   /** Top-k best-matching sliding windows against `pattern`, by
     * z-NORMALIZED euclidean distance (shape match — offset and amplitude
     * are normalized away; `znorm = false` compares raw values). Windows

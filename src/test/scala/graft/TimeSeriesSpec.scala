@@ -58,4 +58,25 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     val sorted = out.sortBy(r => (r.getDouble(2), r.getLong(0), r.getLong(1)))
     assert(sorted.map(_.getLong(3)).toSeq == (1L to 5L).toSeq)
   }
+
+  test("holtForecast: hand recurrence on daily counts (dyadic alpha/beta " +
+      "=> exact doubles), single-day seed, horizon extrapolation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: counts 1, 2, 3 on consecutive days; user 2: one day, 4 events
+    val day = 86400000000L
+    val rows =
+      (Seq.fill(1)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(3)(2L)).map(d => (1L, d * day)) ++
+        Seq.fill(4)((2L, 0L))
+    val events = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = TimeSeries.holtForecast(events)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // fold [1,2,3] at alpha .5 beta .25: l=1.5,b=.125 then l=2.3125,
+    // b=.25*(2.3125-1.5)+.75*.125 = .296875; forecast = l + 7b
+    assert(got(1L) == ((3L, 2.3125, 0.296875, 2.3125 + 7 * 0.296875)))
+    // single day: level = the count, trend 0, forecast = level
+    assert(got(2L) == ((1L, 4.0, 0.0, 4.0)))
+  }
 }
