@@ -199,7 +199,9 @@ object Bench {
     // per-cell window
     "q_proto_prune",
     // real-decode perceptual hashing over the synthesized PNG set
-    "q_media_dhash")
+    "q_media_dhash",
+    // Holt smoothing: one (key, day) collapse + one key-keyed sorted fold
+    "q_holt_forecast")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates).
