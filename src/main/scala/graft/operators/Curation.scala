@@ -521,7 +521,16 @@ object Curation {
 
   /** The FULL KN bigram model table [[kneserNeyStats]] reads its top-K
     * from: one bigram-keyed partial agg over the corpus, then
-    * model-table-sized joins — every column an exact integer. */
+    * model-table-sized joins — every column an exact integer.
+    *
+    * The census is persisted LAZILY (MEMORY_AND_DISK) so its four
+    * consumers (cpre/n1fwd, n1back, the type count, the probability
+    * readout) share ONE corpus scan + shuffle — unpinned, the plan
+    * re-derived it per consumer (16 parquet scans measured on
+    * q_perplexity_filter at sf0.1; ReuseExchange recovered only 4).
+    * Cache lifetime follows [[graft.operators.Dedup.removeRepeatedSpans]]:
+    * blocks live while the returned frame is reachable, reclaimed by the
+    * context cleaner after the caller drops its result. */
   private def knModel(df: DataFrame, textCol: String): DataFrame = {
     import graft.functions.TextFunctions
     val c = df
@@ -529,6 +538,7 @@ object Curation {
       .select(substring_index(col("__bg"), " ", 1).as("w1"),
         substring_index(col("__bg"), " ", -1).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pre = c.groupBy("w1").agg(sum(col("c2")).cast("long").as("cpre"),
       count(lit(1)).cast("long").as("n1fwd"))
     val back = c.groupBy("w2").agg(count(lit(1)).cast("long").as("n1back"))
@@ -768,12 +778,15 @@ object Curation {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val b = pmod(conv(substring(md5(col("__bg")), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
+    // persisted LAZILY: the census re-agg and the scoring join are two
+    // consumers of this one tokenize scan (same lifetime note as knModel)
     val perDoc = docs
       .select(col(idCol), targetPred.as("__tgt"),
         explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
       .select(col(idCol), col("__tgt"), b.as("__b"))
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).cast("long").as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val census = perDoc.groupBy(col("__b"))
       .agg(sum(when(col("__tgt"), col("__cnt")).otherwise(0L)).cast("long").as("__ct"),
         sum(when(col("__tgt"), 0L).otherwise(col("__cnt"))).cast("long").as("__cs"))
