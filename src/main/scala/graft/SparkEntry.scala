@@ -2747,6 +2747,26 @@ object SparkEntry {
           (col("y_brute") === col("y_lsh")).as("agree"))
     }),
 
+    // The multi-seed recall lever under the gate: THREE independent plane
+    // sets, candidates unioned (a pair is missed only if every seed cuts
+    // it), then the same margin chain. At nPlanes=4 on this random
+    // worst-case corpus agreement lifts 119/250 -> 205/250
+    // (tools/BitextProbe) while each seed still prunes to hamming<=1
+    // buckets — recall tuned WITHOUT widening buckets.
+    "q_bitext_recall_seeds" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val xsS = emb.filter(col("vec_id") % 2 === 0)
+      val ysS = emb.filter(col("vec_id") % 2 === 1)
+      val brute = Similarity.bitextMarginMine(xsS, ysS, k = 4)
+        .select(col("x_id"), col("y_id").as("y_brute"))
+      val lsh = Similarity.bitextMarginMineLsh(xsS, ysS, k = 4, nPlanes = 4,
+          seeds = bitextSeedPool)
+        .select(col("x_id"), col("y_id").as("y_lsh"))
+      brute.join(lsh, Seq("x_id"))
+        .select(col("x_id"), col("y_brute"), col("y_lsh"),
+          (col("y_brute") === col("y_lsh")).as("agree"))
+    }),
+
     // Greedy k-center coreset (Gonzalez farthest-first): 8 maximally
     // spread representatives of the embedding corpus — the diversity
     // PRUNING selector (vs MMR's candidate re-rank); d2 carries the
@@ -3201,11 +3221,24 @@ object SparkEntry {
     * one-sided multi-probe as a bit_count condition), per-side top-k
     * integer neighborhood sums, the fixed-order margin, winners both
     * sides, mutual flag. */
-  private def bitextWinnersSql(lshCand: Option[Int]): String = {
+  /** The q_bitext_recall_seeds seed pool: the default plane seed plus two
+    * independent ones (golden-ratio and xorshift constants — any distinct
+    * longs work; these match tools/BitextProbe's lift table). */
+  private val bitextSeedPool = Seq(0x5DEECE66DL, 0x9E3779B9L, 0x2545F491L)
+
+  private def bitextWinnersSql(
+      lshCand: Option[Int],
+      seeds: Seq[Long] = Seq(0x5DEECE66DL)): String = {
     val candCond = lshCand.map { nPlanes =>
-      val planes = graft.functions.VectorFunctions.makePlanes(nPlanes, 64)
-      s"AND bit_count(xor(${sqlLshBucket(planes, "x.e")}, " +
-        s"${sqlLshBucket(planes, "y.e")})) <= 1"
+      // multi-seed union = a pair is a candidate iff ANY seed's plane set
+      // leaves its two signatures within hamming 1 (the engine unions the
+      // per-seed candidate sets and distincts — same pair relation)
+      val conds = seeds.map { seed =>
+        val planes = graft.functions.VectorFunctions.makePlanes(nPlanes, 64, seed)
+        s"bit_count(xor(${sqlLshBucket(planes, "x.e")}, " +
+          s"${sqlLshBucket(planes, "y.e")})) <= 1"
+      }
+      s"AND (${conds.mkString(" OR ")})"
     }.getOrElse("")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |sc AS (
@@ -7273,6 +7306,14 @@ object SparkEntry {
     "q_bitext_recall" ->
       s"""WITH brute AS (${bitextWinnersSql(lshCand = None)}),
          |lsh AS (${bitextWinnersSql(lshCand = Some(4))})
+         |SELECT b.x_id, b.y_id AS y_brute, l.y_id AS y_lsh,
+         |  b.y_id = l.y_id AS agree
+         |FROM brute b JOIN lsh l USING (x_id)""".stripMargin,
+
+    // multi-seed agreement: candidates = union over three plane sets
+    "q_bitext_recall_seeds" ->
+      s"""WITH brute AS (${bitextWinnersSql(lshCand = None)}),
+         |lsh AS (${bitextWinnersSql(lshCand = Some(4), seeds = bitextSeedPool)})
          |SELECT b.x_id, b.y_id AS y_brute, l.y_id AS y_lsh,
          |  b.y_id = l.y_id AS agree
          |FROM brute b JOIN lsh l USING (x_id)""".stripMargin,

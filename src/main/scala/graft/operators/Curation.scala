@@ -507,7 +507,13 @@ object Curation {
     * occurrence volume is paid exactly once); everything after runs on
     * the MODEL table — two keyed aggs over bigram types, a one-row type
     * count broadcast back, deterministic (c2 desc, w1, w2) top-K for the
-    * bounded readout. */
+    * bounded readout.
+    *
+    * Cache lifetime: the bigram census behind the model is lazily
+    * persisted MEMORY_AND_DISK (one corpus scan shared by its four
+    * consumers — [[knModel]]); blocks are reclaimed by the context
+    * cleaner once the returned frame is dropped, so repeated calls in a
+    * long-lived session hold one cached census per reachable result. */
   def kneserNeyStats(
       df: DataFrame,
       topK: Int = 200,
@@ -578,7 +584,13 @@ object Curation {
     * combined) + one join against the model on (w1, w2) — broadcast
     * when the model fits, shuffle-on-key otherwise, either way bigram
     * TYPES not occurrences cross the wire — + one id-keyed integer
-    * rollup. Zero driver traffic beyond the 1-row fallback scalar. */
+    * rollup. Zero driver traffic beyond the 1-row fallback scalar.
+    *
+    * Cache lifetime: the reference's bigram census is lazily persisted
+    * MEMORY_AND_DISK inside the model ([[knModel]]); the context cleaner
+    * reclaims it once the caller drops the returned frame — score many
+    * corpora against ONE reference by reusing one returned model-scored
+    * frame per call, not by re-invoking in a tight driver loop. */
   def perplexityScore(
       docs: DataFrame,
       reference: DataFrame,
@@ -667,8 +679,12 @@ object Curation {
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
       .select(col(idCol), size(col("__t")).as("__n"),
         posexplode(col("__t")).as(Seq("__p", "__tok")))
+    // .cast("long") before pmod (the hashBucket pattern): without it the
+    // predicate is exact only under ANSI mode — with ansi.enabled=false
+    // pmod promotes the 60-bit hash STRING to double and the residue
+    // silently changes, so mask membership would depend on a session conf
     val isStart = pmod(conv(substring(md5(concat_ws(":",
-        col(idCol), col("__p"), lit(salt))), 1, 15), 16, 10),
+        col(idCol), col("__p"), lit(salt))), 1, 15), 16, 10).cast("long"),
       lit(startEvery.toLong)) === 0
     val covered = pos.filter(isStart)
       .select(col(idCol), explode(sequence(col("__p"),
@@ -767,7 +783,13 @@ object Curation {
     * log-ratio table broadcasts back onto the per-doc counts; one
     * id-keyed integer rollup. The feature space is FIXED (B buckets) —
     * at 100 TB the model is still a few KiB and the only corpus-sized
-    * costs are the scan and the (id, bucket) combine. */
+    * costs are the scan and the (id, bucket) combine.
+    *
+    * Cache lifetime: the (id, bucket) census is lazily persisted
+    * MEMORY_AND_DISK so both consumers share one tokenize scan; the
+    * blocks are reclaimed by the context cleaner once the caller drops
+    * the returned frame — a long-lived session issuing MANY independent
+    * calls holds one cached census per still-reachable result. */
   def dsirLogRatios(
       docs: DataFrame,
       targetPred: Column,

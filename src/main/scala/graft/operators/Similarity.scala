@@ -458,11 +458,34 @@ object Similarity {
     * LSH CANDIDATE pairs instead of the brute |X|·|Y| scan — y keeps its
     * sign-bit bucket, x probes its own bucket plus every hamming-1
     * neighbor ([[annLsh]]'s multi-probe), so the candidate set is exactly
-    * the bucket-hamming ≤ 1 pairs and the join is keyed on bucket
-    * (shuffle volume = candidates, never n²). Neighborhood sums — the
-    * margin's density normalizer — run over each point's top-k
-    * CANDIDATES, the standard mined-bitext approximation; nPlanes = 0
-    * degenerates to one bucket = the exact brute result (spec-pinned). */
+    * the bucket-hamming ≤ 1 pairs.
+    *
+    * Scale shape: NEITHER corpus is ever broadcast. The bucket join
+    * carries BARE (id, bucket) rows — vectors stay out of it entirely
+    * (the [[graft.operators.Dedup.embeddingCosinePairsLsh]] discipline) —
+    * and because 2^nPlanes bucket values are far fewer keys than a
+    * cluster has reducers, it runs bucket-SALTED ([[graft.ops.Skew]]'s
+    * salted-join lever): each y row routes to one of `salt` sub-keys by
+    * id hash, the x probe rows replicate over all of them, so reducer
+    * fan-out is 2^nPlanes·salt regardless of bucket skew. Replication
+    * cost = (1+nPlanes)·salt bare-id rows per x vector — pick
+    * salt ≈ cluster parallelism / 2^nPlanes. Vectors rejoin the
+    * candidate pairs on their own high-cardinality ids; total shuffle
+    * volume is candidates + the two id-keyed rejoins, never n² and never
+    * a resident corpus copy.
+    *
+    * Recall lever: pass several `seeds` — each seed buckets with an
+    * independent plane set, candidates union before ONE margin pass, so
+    * a true neighbor pair is missed only if EVERY seed's planes separate
+    * it by ≥ 2 bits (miss rates multiply, the multi-seed contract of
+    * [[graft.operators.Dedup.embeddingCosinePairsLsh]]). Multi-seed adds
+    * one (x_id, y_id) distinct over the post-LSH candidate volume;
+    * single-seed keeps the distinct-free plan (a pair meets at most once
+    * per seed: y holds one bucket, x's 1+nPlanes probe values are
+    * pairwise distinct). Neighborhood sums — the margin's density
+    * normalizer — run over each point's top-k CANDIDATES, the standard
+    * mined-bitext approximation; nPlanes = 0 degenerates to one bucket =
+    * the exact brute result (spec-pinned). */
   def bitextMarginMineLsh(
       xs: DataFrame,
       ys: DataFrame,
@@ -470,27 +493,37 @@ object Similarity {
       nPlanes: Int = 4,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      seeds: Seq[Long] = Seq(0x5DEECE66DL),
+      salt: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val planes = makePlanes(nPlanes, dim)
-    def bucketOf(v: org.apache.spark.sql.Column) =
-      if (planes.isEmpty) lit(0) else hyperplaneBucket(v, planes)
+    require(seeds.nonEmpty, "need at least one plane seed")
+    require(salt >= 1, s"salt must be >= 1: $salt")
     val parts = ys.sparkSession.sessionState.conf.numShufflePartitions
-    val y = ys.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("y_id"), col(vecCol).as("y_v"))
-      .withColumn("bucket", bucketOf(col("y_v")))
-      .repartition(parts)
     val x = xs.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
-      .withColumn("bucket0", bucketOf(col("x_v")))
-      .withColumn("bucket", explode(array(
-        (col("bucket0") +: (0 until nPlanes).map(i =>
-          col("bucket0").bitwiseXOR(lit(1 << i)))): _*)))
-      .select(col("x_id"), col("x_v"), col("bucket"))
-    // each (x, y) pair joins at most once: y keeps its single own bucket
-    // and x's 1+nPlanes probe values are pairwise distinct (annLsh's
-    // one-sided-probe argument)
-    val scored = y.join(broadcast(x), Seq("bucket"))
+    val y = ys.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("y_id"), col(vecCol).as("y_v"))
+      .repartition(parts)
+    // candidate id-pairs under one seed's plane set — bare ids only
+    def candidatesFor(seed: Long): DataFrame = {
+      val planes = makePlanes(nPlanes, dim, seed)
+      def bucketOf(v: org.apache.spark.sql.Column) =
+        if (planes.isEmpty) lit(0) else hyperplaneBucket(v, planes)
+      val yb = y.select(col("y_id"), bucketOf(col("y_v")).as("bucket"))
+        .withColumn("__s", pmod(hash(col("y_id")), lit(salt)))
+      val xb = x.select(col("x_id"), bucketOf(col("x_v")).as("bucket0"))
+        .select(col("x_id"), explode(array(
+          (col("bucket0") +: (0 until nPlanes).map(i =>
+            col("bucket0").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
+        .withColumn("__s", explode(array((0 until salt).map(lit): _*)))
+      yb.join(xb, Seq("bucket", "__s")).select(col("x_id"), col("y_id"))
+    }
+    val unioned = seeds.map(candidatesFor).reduce(_ union _)
+    val candidates = if (seeds.size == 1) unioned else unioned.distinct()
+    val scored = candidates
+      .join(x, Seq("x_id"))
+      .join(y.select(col("y_id"), col("y_v")), Seq("y_id"))
       .select(col("x_id"), col("y_id"),
         round(cosineSimilarity(col("x_v"), col("y_v")) *
           lit(1000000000000.0)).cast("long").as("cos_q"))
@@ -617,6 +650,20 @@ object Similarity {
     * the selected points themselves. Distances are the same left-fold
     * Σ(v−c)² as the IVF assignment, bit-identical to the oracle's
     * list_sum replay. */
+  /** Free the storage blocks behind an EAGERLY `localCheckpoint`ed frame.
+    * `Dataset.unpersist` is a no-op there — a checkpointed Dataset never
+    * registers in the CacheManager, so the blocks otherwise live until the
+    * ContextCleaner GCs the RDD reference. This walks the (leaf) plan to
+    * its LogicalRDD and unpersists the checkpoint RDD itself. Safe ONLY
+    * when nothing will read the frame again: a localCheckpoint has no
+    * lineage, so a released block cannot be recomputed. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   def kCenterGreedy(
       vecs: DataFrame,
       k: Int,
@@ -664,7 +711,7 @@ object Similarity {
       val next = state.select(col("__id"), col("__v"),
           least(col("__md"), sqDistTo(center)).as("__md"))
         .localCheckpoint(true)
-      pinned.unpersist()
+      releaseCheckpoint(pinned)
       pinned = next
       state = next
       val win = state.orderBy(col("__md").desc, col("__id").asc).limit(1)
@@ -674,7 +721,7 @@ object Similarity {
       state = state.filter(col("__id") =!= lit(win.getLong(0)))
       r += 1
     }
-    pinned.unpersist()
+    releaseCheckpoint(pinned)
     selected.toSeq.map { case (id, rank, d2) => (id, rank, d2) }
       .toDF(idCol, "rank", "d2")
   }

@@ -1308,6 +1308,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(frac > 0.3 && frac < 0.9, s"mask fraction $frac out of range")
   }
 
+  test("spanCorrupt: mask membership is ANSI-independent — identical " +
+      "output with spark.sql.ansi.enabled on and off (the pmod operand " +
+      "is cast to long BEFORE the mod, never string->double coerced)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 40).map(j => s"t${(i * 7 + j) % 30}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(): Map[Long, (String, String, Long)] =
+      Curation.spanCorrupt(docs, startEvery = 4, spanLen = 2).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+        .toMap
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    val withAnsi = run()
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      assert(run() == withAnsi,
+        "spanCorrupt output changed under ansi.enabled=false")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+    assert(withAnsi.values.map(_._3).sum > 0)
+  }
+
   test("balancedShards: snake allocation on a hand mass list — near-equal " +
       "shard masses, deterministic ties") {
     import spark.implicits._
