@@ -1267,6 +1267,25 @@ object SparkEntry {
           max(col("chunk")).as("chunk"))
     }),
 
+    // STREAM-STATIC SEMANTIC DEDUP under the hash gate: the incremental
+    // SemDeDup ingest (q_dedup_semantic_incr's exact plan — new crawl
+    // batch vs the static kept corpus, one cluster-keyed LEFT ANTI with
+    // the twin test in the condition) run through the REAL streaming
+    // engine as 4 in-order micro-batches. The join is stateless
+    // stream-static (corpus side never updates, zero streaming state), so
+    // the accumulated sink must hash-match the BATCH oracle row for row —
+    // which is precisely why the same plan is the 100 TB ingest-time
+    // semantic dedup: restart-safe via the checkpoint, no state store
+    // growth, corpus never rewritten.
+    "q_stream_semantic_gate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 3 === 0)
+      runStreamGate(s, emb.filter(col("vec_id") % 3 =!= 0),
+          Seq(col("vec_id"))) { src =>
+        Dedup.semanticDedupAgainstCorpus(src(), corpus, k = 8, threshold = 0.4)
+      }
+    }),
+
     // STREAMING SUBSEQUENCE PATTERN MATCH under the hash gate — the
     // live-motif twin of q_ts_pattern (flatMapGroupsWithState carrying a
     // w-1 value rolling buffer per user): every arriving event completes
@@ -3221,6 +3240,39 @@ object SparkEntry {
     * one-sided multi-probe as a bit_count condition), per-side top-k
     * integer neighborhood sums, the fixed-order margin, winners both
     * sides, mutual flag. */
+  /** q_dedup_semantic_incr AND q_stream_semantic_gate: the incremental
+    * SemDeDup relation — corpus-seeded centroids, nearest-centroid
+    * assignment both sides, NOT EXISTS twin test within the cluster. The
+    * stream gate shares it verbatim because the stream-static left anti
+    * is stateless: the accumulated micro-batch sink IS the batch result. */
+  private val semanticIncrSql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |nw AS (SELECT * FROM v WHERE vec_id % 3 != 0),
+      |rf AS (SELECT * FROM v WHERE vec_id % 3 = 0),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM rf ORDER BY vec_id LIMIT 8),
+      |na AS (SELECT vec_id, cluster, e FROM (
+      |  SELECT nw.vec_id, c.cid AS cluster, nw.e,
+      |    row_number() OVER (PARTITION BY nw.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(nw.e, c.ce), z -> z[1] * z[2])) /
+      |        (sqrt(list_sum(list_transform(nw.e, x -> x * x))) *
+      |         sqrt(list_sum(list_transform(c.ce, x -> x * x)))) DESC, c.cid) AS rn
+      |  FROM nw, c) WHERE rn = 1),
+      |ra AS (SELECT vec_id, cluster, e FROM (
+      |  SELECT rf.vec_id, c.cid AS cluster, rf.e,
+      |    row_number() OVER (PARTITION BY rf.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(rf.e, c.ce), z -> z[1] * z[2])) /
+      |        (sqrt(list_sum(list_transform(rf.e, x -> x * x))) *
+      |         sqrt(list_sum(list_transform(c.ce, x -> x * x)))) DESC, c.cid) AS rn
+      |  FROM rf, c) WHERE rn = 1)
+      |SELECT b.vec_id, b.cluster
+      |FROM na b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM ra s
+      |  WHERE s.cluster = b.cluster
+      |    AND list_sum(list_transform(list_zip(s.e, b.e), z -> z[1] * z[2])) /
+      |      (sqrt(list_sum(list_transform(s.e, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4)""".stripMargin
+
   /** The q_bitext_recall_seeds seed pool: the default plane seed plus two
     * independent ones (golden-ratio and xorshift constants — any distinct
     * longs work; these match tools/BitextProbe's lift table). */
@@ -7028,33 +7080,11 @@ object SparkEntry {
         |      (sqrt(list_sum(list_transform(s.e, x -> x * x))) *
         |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4)""".stripMargin,
 
-    "q_dedup_semantic_incr" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |nw AS (SELECT * FROM v WHERE vec_id % 3 != 0),
-        |rf AS (SELECT * FROM v WHERE vec_id % 3 = 0),
-        |c AS (SELECT vec_id AS cid, e AS ce FROM rf ORDER BY vec_id LIMIT 8),
-        |na AS (SELECT vec_id, cluster, e FROM (
-        |  SELECT nw.vec_id, c.cid AS cluster, nw.e,
-        |    row_number() OVER (PARTITION BY nw.vec_id ORDER BY
-        |      list_sum(list_transform(list_zip(nw.e, c.ce), z -> z[1] * z[2])) /
-        |        (sqrt(list_sum(list_transform(nw.e, x -> x * x))) *
-        |         sqrt(list_sum(list_transform(c.ce, x -> x * x)))) DESC, c.cid) AS rn
-        |  FROM nw, c) WHERE rn = 1),
-        |ra AS (SELECT vec_id, cluster, e FROM (
-        |  SELECT rf.vec_id, c.cid AS cluster, rf.e,
-        |    row_number() OVER (PARTITION BY rf.vec_id ORDER BY
-        |      list_sum(list_transform(list_zip(rf.e, c.ce), z -> z[1] * z[2])) /
-        |        (sqrt(list_sum(list_transform(rf.e, x -> x * x))) *
-        |         sqrt(list_sum(list_transform(c.ce, x -> x * x)))) DESC, c.cid) AS rn
-        |  FROM rf, c) WHERE rn = 1)
-        |SELECT b.vec_id, b.cluster
-        |FROM na b
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM ra s
-        |  WHERE s.cluster = b.cluster
-        |    AND list_sum(list_transform(list_zip(s.e, b.e), z -> z[1] * z[2])) /
-        |      (sqrt(list_sum(list_transform(s.e, x -> x * x))) *
-        |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4)""".stripMargin,
+    "q_dedup_semantic_incr" -> semanticIncrSql,
+
+    // the SAME relation out of the real streaming engine: stream-static
+    // left anti is stateless, so the accumulated sink equals the batch
+    "q_stream_semantic_gate" -> semanticIncrSql,
 
     "q_range_join" ->
       """SELECT t.tier, count(*) AS n,
