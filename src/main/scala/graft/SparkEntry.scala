@@ -1561,6 +1561,16 @@ object SparkEntry {
     "q_holt_forecast" -> ((s, dir) =>
       operators.TimeSeries.holtForecast(ev(s, dir))),
 
+    // Holt–Winters TRIPLE smoothing: weekly (p=7) ADDITIVE seasonality on
+    // top of level+trend — first-period seed (mean + residual slots),
+    // then the same fixed-order fold updating one seasonal slot per
+    // observed day; season/forecast read the slot horizon 3 lands on.
+    // Dyadic alpha/beta/gamma keep every double an exact IEEE replay of
+    // the recursive-CTE oracle.
+    "q_holt_winters" -> ((s, dir) =>
+      operators.TimeSeries.holtWinters(ev(s, dir), period = 7,
+        alpha = 0.5, beta = 0.25, gamma = 0.25, horizon = 3)),
+
     // Time-series subsequence search: top-10 z-normalized matches of a
     // spike pattern across every user's value series — one keyed window
     // sort, scan-local fold distances, two-level top-k.
@@ -5359,6 +5369,47 @@ object SparkEntry {
         |SELECT h.user_id, CAST(n.n_days AS BIGINT) AS n_days,
         |  h.l AS level, h.b AS trend, h.l + 7.0e0 * h.b AS forecast
         |FROM h JOIN n ON n.user_id = h.user_id AND h.i = n.n_days""".stripMargin,
+
+    // Holt–Winters replay: the same seed (first-week mean + residual
+    // slots) and the same one-slot-per-step list update, recursed in day
+    // order; slot(t) = ((t-1) % 7) + 1, prefix/suffix list slices around
+    // the written slot (s[1:0] / s[8:7] are empty at the edges)
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT user_id, CAST(y AS DOUBLE) AS y,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY day) AS i
+        |        FROM daily),
+        |n AS (SELECT user_id, max(i) AS n_days FROM ser GROUP BY 1
+        |      HAVING max(i) >= 7),
+        |l0 AS (SELECT user_id, sum(y) / 7.0e0 AS l0 FROM ser WHERE i <= 7
+        |       GROUP BY 1),
+        |s0 AS (SELECT ser.user_id, list(ser.y - l0.l0 ORDER BY ser.i) AS s
+        |       FROM ser JOIN l0 USING (user_id) WHERE ser.i <= 7
+        |       GROUP BY ser.user_id),
+        |h AS (
+        |  SELECT n.user_id, 7 AS t, l0.l0 AS l, 0.0e0 AS b, s0.s AS s
+        |  FROM n JOIN l0 USING (user_id) JOIN s0 USING (user_id)
+        |  UNION ALL
+        |  SELECT h.user_id, sr.i,
+        |    0.5e0 * (sr.y - h.s[((sr.i - 1) % 7) + 1])
+        |      + 0.5e0 * (h.l + h.b) AS l,
+        |    0.25e0 * ((0.5e0 * (sr.y - h.s[((sr.i - 1) % 7) + 1])
+        |      + 0.5e0 * (h.l + h.b)) - h.l) + 0.75e0 * h.b AS b,
+        |    list_concat(list_concat(
+        |      h.s[1:((sr.i - 1) % 7)],
+        |      [0.25e0 * (sr.y - (0.5e0 * (sr.y - h.s[((sr.i - 1) % 7) + 1])
+        |         + 0.5e0 * (h.l + h.b)))
+        |       + 0.75e0 * h.s[((sr.i - 1) % 7) + 1]]),
+        |      h.s[((sr.i - 1) % 7) + 2:7]) AS s
+        |  FROM h JOIN ser sr ON sr.user_id = h.user_id AND sr.i = h.t + 1)
+        |SELECT h.user_id, CAST(n.n_days AS BIGINT) AS n_days,
+        |  h.l AS level, h.b AS trend,
+        |  h.s[((n.n_days + 3 - 1) % 7) + 1] AS season,
+        |  h.l + 3.0e0 * h.b + h.s[((n.n_days + 3 - 1) % 7) + 1] AS forecast
+        |FROM h JOIN n ON n.user_id = h.user_id AND h.t = n.n_days""".stripMargin,
 
     "q_scd2_asof" ->
       """WITH r AS (

@@ -29,25 +29,26 @@ object TimeSeries {
     *
     * Scale shape: one (key, day) partial-agg collapse (the calendar is
     * tiny next to the event volume), then one key-keyed sorted-collect
-    * fold — per-key state is the day series (bounded by the calendar,
-    * the sessionize-style per-key assumption), never the raw events. */
+    * fold — per-key state is the day series: ONE double per OBSERVED day
+    * per key, so it is bounded by the calendar span (10 years of daily
+    * history = ~3.7k doubles = ~30 KB per key), never by the event
+    * volume. `maxDays` fail-fasts in-plan if a key's observed-day count
+    * exceeds that assumption (sub-daily keys misrouted here, a far-past
+    * garbage timestamp stretching the calendar) instead of silently
+    * building giant rows — re-bucket or split upstream. */
   def holtForecast(
       events: DataFrame,
       alpha: Double = 0.5,
       beta: Double = 0.25,
       horizon: Int = 7,
       keyCol: String = "user_id",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts",
+      maxDays: Int = 40000): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
     require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
     require(horizon >= 0, s"horizon must be >= 0: $horizon")
-    val daily = events
-      .groupBy(col(keyCol),
-        floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long").as("__day"))
-      .agg(count(lit(1)).cast("long").as("__y"))
-    val series = daily.groupBy(col(keyCol))
-      .agg(transform(sort_array(collect_list(struct(col("__day"), col("__y")))),
-        e => e.getField("__y").cast("double")).as("__ys"))
+    require(maxDays >= 1, s"maxDays must be >= 1: $maxDays")
+    val series = dailySeries(events, keyCol, tsCol, maxDays)
     def lNew(acc: Column, y: Column): Column =
       lit(alpha) * y + lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b"))
     val folded = series.withColumn("__st", aggregate(
@@ -62,6 +63,120 @@ object TimeSeries {
       col("__st.l").as("level"),
       col("__st.b").as("trend"),
       (col("__st.l") + lit(horizon.toDouble) * col("__st.b")).as("forecast"))
+  }
+
+  /** Shared (key, day) collapse + day-sorted per-key count series for the
+    * Holt family, with the in-plan `maxDays` guard: the per-key state
+    * contract is ONE double per observed day, so a key whose calendar
+    * exceeds `maxDays` raises inside the plan (zero cost on the healthy
+    * path — the predicate is one `size()` compare per key row). */
+  private def dailySeries(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      maxDays: Int): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol),
+        floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("long").as("__day"))
+      .agg(count(lit(1)).cast("long").as("__y"))
+    val ys = transform(sort_array(collect_list(struct(col("__day"), col("__y")))),
+      e => e.getField("__y").cast("double"))
+    daily.groupBy(col(keyCol))
+      .agg(ys.as("__ys0"))
+      .select(col(keyCol),
+        when(size(col("__ys0")) > maxDays,
+          raise_error(concat(
+            lit(s"holt: key "), col(keyCol).cast("string"),
+            lit(s" has more than maxDays=$maxDays observed days — the"),
+            lit(" per-key state contract is one double per observed day;"),
+            lit(" re-bucket sub-daily keys or split the calendar upstream"))))
+          .otherwise(col("__ys0")).as("__ys"))
+  }
+
+  /** Holt–Winters TRIPLE exponential smoothing — [[holtForecast]] plus an
+    * ADDITIVE seasonal component of period `p` over each key's daily
+    * event counts (the weekly-rhythm activity forecast):
+    * `l_t = α(y_t − s_{t−p}) + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`,
+    * `s_t = γ(y_t − l_t) + (1−γ)s_{t−p}`,
+    * seeded over the FIRST period: `l_p = (Σ_{i≤p} y_i)/p`, `b_p = 0`,
+    * `s_i = y_i − l_p` for `i = 1..p`; the fold then runs observations
+    * `p+1..n` in day order. Returns `(key, n_days, level, trend, season,
+    * forecast)` where `season` is the seasonal index of slot
+    * `((n+h−1) mod p)+1` — the slot horizon `h` lands on — and
+    * `forecast = level + h·trend + season`.
+    *
+    * Determinism: same contract as [[holtForecast]] — exact integer
+    * counts, dyadic α/β/γ recommended, and a FIXED-ORDER left fold (the
+    * seasonal array updates ONE slot per step), so every double is the
+    * same correctly-rounded IEEE sequence on any engine or partitioning;
+    * the seed mean's Σy is an exact integer sum (order-free) with one
+    * division. Keys with fewer than `p` observed days are DROPPED — not
+    * enough data to seed a seasonal model; densify with the calendar
+    * resample or fall back to [[holtForecast]] for them. The fold runs
+    * over OBSERVED days only, so gaps compress the season — resample
+    * first when true calendar periodicity matters.
+    *
+    * Scale shape: identical to [[holtForecast]] — one (key, day)
+    * partial-agg collapse, one key-keyed sorted-collect fold; per-key
+    * state adds only the p-slot seasonal array ([[dailySeries]]'s
+    * `maxDays` guard bounds the series itself). */
+  def holtWinters(
+      events: DataFrame,
+      period: Int = 7,
+      alpha: Double = 0.5,
+      beta: Double = 0.25,
+      gamma: Double = 0.25,
+      horizon: Int = 7,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      maxDays: Int = 40000): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1]: $gamma")
+    require(horizon >= 0, s"horizon must be >= 0: $horizon")
+    require(maxDays >= period, s"maxDays must be >= period: $maxDays")
+    val p = period
+    val series = dailySeries(events, keyCol, tsCol, maxDays)
+      .filter(size(col("__ys")) >= p)
+    // seed: exact-integer Σ over the first period, one division; seasonal
+    // slots are the first-period residuals against that mean
+    val seeded = series
+      .withColumn("__l0",
+        aggregate(slice(col("__ys"), 1, p), lit(0.0), (a, y) => a + y) /
+          lit(p.toDouble))
+      .withColumn("__s0", transform(slice(col("__ys"), 1, p), y => y - col("__l0")))
+    // one fold step: slot(t) = ((t-1) mod p) + 1 reads s_{t-p} (same slot,
+    // written p steps ago) and writes s_t back into that slot
+    def step(acc: Column, y: Column): Column = {
+      val t = acc.getField("t") + 1
+      val slot = pmod(t - 1, lit(p)) + 1
+      val sOld = element_at(acc.getField("s"), slot)
+      def lNew: Column =
+        lit(alpha) * (y - sOld) +
+          lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b"))
+      val bNew = lit(beta) * (lNew - acc.getField("l")) +
+        lit(1.0 - beta) * acc.getField("b")
+      val sVal = lit(gamma) * (y - lNew) + lit(1.0 - gamma) * sOld
+      val sNew = zip_with(acc.getField("s"),
+        sequence(lit(1), lit(p)),
+        (sv, i) => when(i === slot, sVal).otherwise(sv))
+      struct(lNew.as("l"), bNew.as("b"), sNew.as("s"), t.as("t"))
+    }
+    val folded = seeded.withColumn("__st", aggregate(
+      slice(col("__ys"), lit(p + 1), greatest(size(col("__ys")) - p, lit(0))),
+      struct(col("__l0").as("l"), lit(0.0).as("b"), col("__s0").as("s"),
+        lit(p).as("t")),
+      (acc, y) => step(acc, y)))
+    val hSlot = pmod(size(col("__ys")) + lit(horizon) - 1, lit(p)) + 1
+    folded.select(col(keyCol),
+      size(col("__ys")).cast("long").as("n_days"),
+      col("__st.l").as("level"),
+      col("__st.b").as("trend"),
+      element_at(col("__st.s"), hSlot).as("season"),
+      (col("__st.l") + lit(horizon.toDouble) * col("__st.b") +
+        element_at(col("__st.s"), hSlot)).as("forecast"))
   }
 
   /** Top-k best-matching sliding windows against `pattern`, by

@@ -79,4 +79,52 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     // single day: level = the count, trend 0, forecast = level
     assert(got(2L) == ((1L, 4.0, 0.0, 4.0)))
   }
+
+  test("holtForecast/holtWinters: maxDays fail-fast — a key exceeding the " +
+      "per-key observed-day contract raises in-plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    val events = (0L until 5L).map(d => (1L, d * day)).toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val e = intercept[Exception] {
+      TimeSeries.holtForecast(events, maxDays = 3).collect()
+    }
+    assert(e.getMessage.contains("maxDays"))
+    // within the bound it runs
+    assert(TimeSeries.holtForecast(events, maxDays = 5).count() == 1)
+  }
+
+  test("holtWinters: hand recurrence at p=2 (dyadic alpha/beta/gamma => " +
+      "exact doubles), seed-only key, under-seeded key dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    // user 1: counts 1,2,3,4,5 on consecutive days; user 2: 4 then 6;
+    // user 3: one day only (< p -> dropped)
+    val rows =
+      (0 until 5).flatMap(d => Seq.fill(d + 1)((1L, d.toLong * day))) ++
+        (Seq.fill(4)((2L, 0L)) ++ Seq.fill(6)((2L, day))) ++
+        Seq.fill(2)((3L, 0L))
+    val events = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = TimeSeries.holtWinters(events, period = 2, alpha = 0.5,
+        beta = 0.25, gamma = 0.5, horizon = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // user 1 by hand: seed l=1.5 b=0 s=[-0.5, 0.5]
+    // t=3 slot1: l=.5*(3+.5)+.5*1.5=2.5  b=.25*1=.25      s1=.5*.5+.5*-.5=0
+    // t=4 slot2: l=.5*3.5+.5*2.75=3.125  b=.25*.625+.75*.25=.34375
+    //            s2=.5*.875+.5*.5=.6875
+    // t=5 slot1: l=.5*5+.5*3.46875=4.234375
+    //            b=.25*1.109375+.75*.34375=.53515625  s1=.5*.765625=.3828125
+    // horizon 1 -> slot ((5+1-1)%2)+1 = 2 -> season .6875
+    assert(got(1L) == ((5L, 4.234375, 0.53515625, 0.6875,
+      4.234375 + 0.53515625 + 0.6875)))
+    // exactly p days: pure seed state — level = mean, trend 0, season =
+    // the slot residual; horizon 1 from n=2 lands on slot 1 -> -1.0
+    assert(got(2L) == ((2L, 5.0, 0.0, -1.0, 4.0)))
+  }
 }
