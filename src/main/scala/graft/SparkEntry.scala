@@ -2848,6 +2848,52 @@ object SparkEntry {
         survivors.select(col("vec_id")), "vec_id", k = 2, salt = "pairs")
     }),
 
+    // CROSS-MODAL PAIR-CURATION CAPSTONE (the LAION-shape image-text
+    // pipeline) — ONE composed plan over four already-gated members:
+    //   1. perceptual image dedup on the REAL javax.imageio decode path
+    //      (planted duplicate images, seed = doc_id % 100; RealCodec
+    //      dHash, q_media_dhash's formula) keeps the lowest doc per hash;
+    //   2. cross-modal gate: image-side features (the mapInPandas-shaped
+    //      media feature stage, q_media_features' formula) against the
+    //      first 16 components of the PAIRED text embedding — keep pairs
+    //      at cosine >= 0.05 (both sides fold in double, exact replay);
+    //   3. SemDeDup over the survivors' full text embeddings (cluster-
+    //      keyed LEFT ANTI, q_pipeline_pairs' member);
+    //   4. sharded-JSONL training export, READ BACK from the written
+    //      shards (q_export_shards' member) — serialization fidelity,
+    //      layout, and the shard derivation all sit under the hash.
+    "q_pipeline_multimodal" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // 1. image dedup: one decode per DISTINCT image (<= 100 PNGs), the
+      // hash join routes it back to every doc carrying that image
+      val seeds = docs.select((col("doc_id") % 100).as("doc_id")).distinct()
+      val hashes = Multimodal.dHashes(
+        Multimodal.synthesizePngs(seeds).toDF(), Multimodal.RealCodec).toDF()
+        .select(col("doc_id").as("seed"), col("dhash"))
+      val imgKept = docs.withColumn("seed", col("doc_id") % 100)
+        .join(hashes, Seq("seed"))
+        .withColumn("__keep_doc",
+          min(col("doc_id")).over(Window.partitionBy(col("dhash"))))
+        .filter(col("doc_id") === col("__keep_doc"))
+        .select(col("doc_id"), col("text"))
+      // 2. cross-modal cosine gate (image features x text embedding)
+      val feats = Multimodal.extractFeatures(
+        Multimodal.asMediaTable(imgKept), dim = 16, Multimodal.StubCodec).toDF()
+      val emb = t(s, dir, "embeddings")
+      val gated = feats.join(emb, feats("doc_id") === emb("vec_id"))
+        .filter(graft.functions.VectorFunctions.cosineSimilarity(
+          col("features"), slice(col("embedding"), 1, 16)) >= 0.05)
+        .select(col("vec_id"), col("embedding"))
+      // 3. semantic dedup of the kept pairs' text side
+      val surv = Dedup.semanticDedup(gated, k = 8, threshold = 0.4)
+      // 4. export the curated pair corpus as training shards; re-read
+      exportAndReadShards(s,
+        surv.join(docs, surv("vec_id") === docs("doc_id"))
+          .select(col("doc_id"), col("text")),
+        "graft_mm_gate_", maxShardBytes = 64L * 1024)
+    }),
+
     // Sparse retrieval: BM25 top-10 per query over the documents corpus —
     // postings-style plan (only query-term tokens shuffle), broadcast
     // corpus stats, map-side-limited top-k window. Terms are chosen with
@@ -7467,6 +7513,94 @@ object SparkEntry {
         |SELECT ex.vec_id, CAST(ex.j AS BIGINT) AS j, r2.vec_id AS neg_vec_id
         |FROM ex JOIN r r2 ON r2.pos = ex.neg_pos
         |WHERE ex.neg_pos <> ex.pos""".stripMargin,
+
+    // cross-modal capstone: the four member replays composed — RealCodec
+    // dHash formula (q_media_dhash) -> min-doc-per-hash keep; stub media
+    // features (q_media_features) x first-16 embedding cosine >= 0.05;
+    // SemDeDup NOT EXISTS (q_pipeline_pairs); shard derivation over the
+    // SURVIVOR byte volume at 64 KiB (q_export_shards)
+    "q_pipeline_multimodal" ->
+      """WITH sel AS (SELECT DISTINCT doc_id % 100 AS seed FROM documents),
+        |dims AS (SELECT seed, 8 + seed % 9 AS w, 8 + seed % 7 AS h FROM sel),
+        |grid AS (SELECT seed, x, y,
+        |           (x * w) // 9 AS px0, ((x + 1) * w) // 9 AS px1,
+        |           (y * h) // 8 AS py
+        |         FROM dims, UNNEST(range(0, 8)) rx(x), UNNEST(range(0, 8)) ry(y)),
+        |gr AS (SELECT seed, x, y,
+        |    (299 * ((7 * px0 + 11 * py + seed) % 256)
+        |     + 587 * ((13 * px0 + 3 * py + 2 * seed) % 256)
+        |     + 114 * ((px0 + 5 * py + 3 * seed) % 256)) // 1000 AS g0,
+        |    (299 * ((7 * px1 + 11 * py + seed) % 256)
+        |     + 587 * ((13 * px1 + 3 * py + 2 * seed) % 256)
+        |     + 114 * ((px1 + 5 * py + 3 * seed) % 256)) // 1000 AS g1
+        |  FROM grid),
+        |bits AS (SELECT seed,
+        |           list(CASE WHEN g1 > g0 THEN 1 ELSE 0 END ORDER BY y DESC, x DESC) AS bl
+        |         FROM gr GROUP BY seed),
+        |hs AS (SELECT seed,
+        |    list_reduce(list_prepend(0::HUGEINT, list_transform(bl, b -> b::HUGEINT)),
+        |      (acc, b) -> acc * 2::HUGEINT + b) AS hraw
+        |  FROM bits),
+        |hsx AS (SELECT seed,
+        |    CAST(CASE WHEN hraw >= 9223372036854775808::HUGEINT
+        |              THEN hraw - 18446744073709551616::HUGEINT
+        |              ELSE hraw END AS BIGINT) AS dhash
+        |  FROM hs),
+        |jd AS (SELECT d.doc_id, d.text, hsx.dhash
+        |       FROM documents d JOIN hsx ON hsx.seed = d.doc_id % 100),
+        |ik AS (SELECT doc_id, text FROM (
+        |         SELECT doc_id, text,
+        |           min(doc_id) OVER (PARTITION BY dhash) AS kd FROM jd)
+        |       WHERE doc_id = kd),
+        |m AS (SELECT doc_id, to_hex(encode(text)) AS hx,
+        |        octet_length(encode(text)) AS nb FROM ik),
+        |f AS (SELECT m.doc_id,
+        |        list(CASE WHEN m.nb = 0 THEN 0.0e0
+        |          ELSE (CAST(('0x' || substr(m.hx,
+        |            CAST(((ji * 2654435761) % m.nb) * 2 + 1 AS INTEGER),
+        |            2))::UBIGINT AS BIGINT) - 128) / 128.0e0 END
+        |          ORDER BY ji) AS feat
+        |      FROM m CROSS JOIN range(16) r(ji) GROUP BY m.doc_id),
+        |e16 AS (SELECT vec_id,
+        |          list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e
+        |        FROM embeddings),
+        |cg AS (SELECT f.doc_id FROM f JOIN e16 ON e16.vec_id = f.doc_id
+        |       WHERE list_sum(list_transform(list_zip(f.feat, e16.e),
+        |               z -> z[1] * z[2])) /
+        |         (sqrt(list_sum(list_transform(f.feat, x -> x * x))) *
+        |          sqrt(list_sum(list_transform(e16.e, x -> x * x)))) >= 0.05e0),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |      FROM embeddings JOIN cg ON vec_id = cg.doc_id),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT v.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(v.e, c.ce), z -> z[1] * z[2])) /
+        |      (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS cos
+        |  FROM v, c),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |  FROM a) WHERE rn = 1),
+        |av AS (SELECT asg.vec_id, asg.cluster, v.e FROM asg JOIN v USING (vec_id)),
+        |surv AS (
+        |  SELECT b.vec_id FROM av b
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM av s
+        |    WHERE s.cluster = b.cluster AND s.vec_id < b.vec_id
+        |      AND list_sum(list_transform(list_zip(s.e, b.e), z -> z[1] * z[2])) /
+        |        (sqrt(list_sum(list_transform(s.e, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4)),
+        |sd AS (SELECT d.doc_id, d.text FROM documents d
+        |       JOIN surv ON surv.vec_id = d.doc_id),
+        |pb AS (SELECT coalesce(octet_length(encode(CAST(text AS VARCHAR))), 0)
+        |         + octet_length(encode(CAST(doc_id AS VARCHAR))) + 32 AS rb
+        |       FROM sd),
+        |ns AS (SELECT CAST(greatest(1, (SUM(rb) + 65535) // 65536) AS UBIGINT) AS n
+        |       FROM pb)
+        |SELECT sd.doc_id, sd.text,
+        |  CAST(('0x' || substr(md5(CAST(sd.doc_id AS VARCHAR) || ':shard'), 1, 15))::UBIGINT
+        |       % (SELECT n FROM ns) AS BIGINT) AS shard
+        |FROM sd""".stripMargin,
 
     "q_media_decode" ->
       """SELECT doc_id, 'image' AS media_type,
