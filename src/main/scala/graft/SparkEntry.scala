@@ -97,6 +97,33 @@ object SparkEntry {
     s.read.parquet(s"$base/out")
   }
 
+  /** [[runStreamGate]]'s foreachBatch twin: same 4-segment staging and
+    * checkpointed drain, but each micro-batch lands through
+    * [[graft.streaming.StreamingPipeline.startScoredParquetSink]] — the
+    * batch relation `score` applied per arriving batch (the shape for
+    * stream-static scoring whose per-doc agg would force update mode). */
+  private def runStreamGateScored(
+      s: SparkSession,
+      staged: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column])(
+      score: DataFrame => DataFrame): DataFrame = {
+    val (base, inDir) = stageTimeSegments(staged, 4, orderCols, None)
+    val schema = s.read.parquet(inDir).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val prev = s.conf.getOption("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.StreamingPipeline.startScoredParquetSink(
+        src, score, s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
+      case None => s.conf.unset("spark.sql.shuffle.partitions")
+    }
+    s.read.parquet(s"$base/out")
+  }
+
   /** JVM-exit cleanup for gate temp dirs: registered once per distinct
     * path (idempotent under the bench's 3-5 rebuilds per run), deletes
     * the tree on shutdown so repeated bench JVMs don't accrete one
@@ -1286,6 +1313,42 @@ object SparkEntry {
       }
     }),
 
+    // STREAM-STATIC DRIFT Z-SCORING under the hash gate: arriving docs
+    // scored against the static corpus's per-source moments
+    // (q_standardize_incr's exact plan) — the stats side aggregates once
+    // and broadcasts, the stream side is a stateless join, so the
+    // append-mode sink equals the batch relation verbatim.
+    "q_stream_standardize_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      runStreamGate(s, docs.filter(col("doc_id") % 5 === 0),
+          Seq(col("doc_id"))) { src =>
+        Curation.standardizeAgainstCorpus(src(), corpus, "n_tokens",
+          groupCols = Seq("source"))
+      }
+    }),
+
+    // STREAM-STATIC BIGRAM-RARITY SCORING under the hash gate, through
+    // the foreachBatch SCORING sink: the per-doc rollup
+    // (q_bigram_lm_incr's plan) is a streaming AGGREGATION — update-mode
+    // only in one incremental plan, which no file sink accepts — but a
+    // doc's score depends only on its own row + the static corpus, so
+    // applying the batch relation PER MICRO-BATCH is semantically exact.
+    // Each arriving doc is scored against the static bigram/unigram
+    // censuses and appended; the accumulated sink hash-matches the batch
+    // oracle. (The in-plan update-mode execution stays pinned in
+    // StreamingSpec; this gates the deliverable-sink form.)
+    "q_stream_bigramlm_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      runStreamGateScored(s,
+          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
+          Seq(col("doc_id"))) { batch =>
+        Curation.bigramRarityAgainstCorpus(batch, corpus)
+      }
+    }),
+
     // STREAMING SUBSEQUENCE PATTERN MATCH under the hash gate — the
     // live-motif twin of q_ts_pattern (flatMapGroupsWithState carrying a
     // w-1 value rolling buffer per user): every arriving event completes
@@ -1545,6 +1608,19 @@ object SparkEntry {
       exportAndReadShards(s,
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "graft_export_gate_", maxShardBytes = 256L * 1024)),
+
+    // ORC source/sink ROUND TRIP under the hash gate: the documents table
+    // written as ORC (Spark's other built-in columnar format — the lake
+    // interchange case next to parquet/CSV/JSONL) and read back, while
+    // the oracle reads the PARQUET original — type mapping and value
+    // fidelity of the whole write+read cycle sit under the hash.
+    "q_source_orc" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_gate_" +
+        ProcessHandle.current().pid()
+      registerTempDirCleanup(out)
+      t(s, dir, "documents").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
 
     // Per-user activity trend: exact-integer least-squares slope fraction
     // over (day, daily count) points — two partial-agg shuffles, zero
@@ -2917,6 +2993,22 @@ object SparkEntry {
         "stream window agg" -> Seq("stream", "window", "agg")),
         k = 10, kFb = 5, mExp = 2)),
 
+    // ROUGE-2 overlap scoring (Lin 2004): each doc's planted "summary"
+    // (its first 12 tokens, plus a novel tail on doc_id%3) scored against
+    // the full text — clipped bigram-type match + totals as EXACT
+    // integers, precision/recall/f1 as single IEEE divisions of them.
+    // The corpus-scale eval step of a summarization/distillation
+    // pipeline.
+    "q_rouge2" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val cand = concat(concat_ws(" ", slice(toks, 1, 12)),
+        when(col("doc_id") % 3 === 0, lit(" novel summary tail tokens"))
+          .otherwise(lit("")))
+      graft.operators.Retrieval.rougeN(
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          cand.as("cand")), n = 2)
+    }),
+
     // Hybrid retrieval: BM25 lexical ranks fused with dense cosine ranks by
     // reciprocal-rank fusion (each query string paired with a probe vector
     // via a broadcast literal map). The fused score is Σ 1/(60+rank) —
@@ -3328,6 +3420,51 @@ object SparkEntry {
       |    AND list_sum(list_transform(list_zip(s.e, b.e), z -> z[1] * z[2])) /
       |      (sqrt(list_sum(list_transform(s.e, x -> x * x))) *
       |       sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.4)""".stripMargin
+
+  /** q_bigram_lm_incr AND q_stream_bigramlm_gate: ingest-time
+    * corpus-relative bigram scoring — static censuses, per-doc integer
+    * rollup. Shared because each doc's score depends only on its own row
+    * + the static corpus, so the per-micro-batch foreachBatch apply
+    * accumulates to exactly the batch relation. */
+  private val bigramIncrSql =
+    """WITH cp AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |uf AS (SELECT tok, count(*) AS c1
+      |       FROM (SELECT unnest(a) AS tok FROM cp) GROUP BY tok),
+      |bf AS (SELECT bg, count(*) AS c2 FROM (
+      |  SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg
+      |  FROM cp) GROUP BY bg),
+      |en AS (SELECT bf.bg, bf.c2, uf.c1
+      |       FROM bf JOIN uf ON split_part(bf.bg, ' ', 1) = uf.tok),
+      |nd AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |        FROM documents WHERE doc_id % 5 = 0))
+      |SELECT doc_id, count(*) AS n_bg,
+      |  CAST(count(en.bg) AS BIGINT) AS n_hit,
+      |  CAST(sum(coalesce(en.c2, 0)) AS BIGINT) AS sum_bg,
+      |  CAST(sum(coalesce(en.c1, 0)) AS BIGINT) AS sum_prefix
+      |FROM nd LEFT JOIN en USING (bg)
+      |GROUP BY doc_id""".stripMargin
+
+  /** q_standardize_incr AND q_stream_standardize_gate: drift z-scoring of
+    * the arriving slice against the static per-source moments — the
+    * stream form is a stateless stream-static join, so the sinks agree. */
+  private val standardizeIncrSql =
+    """WITH t AS (SELECT doc_id, source,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (SELECT source, count(n_tokens) AS n, sum(n_tokens) AS sm,
+      |        sum(n_tokens * n_tokens) AS q
+      |      FROM t WHERE doc_id % 5 <> 0 GROUP BY source)
+      |SELECT t.doc_id, t.source, t.n_tokens,
+      |  CASE WHEN t.n_tokens IS NULL OR n IS NULL THEN NULL
+      |       WHEN n * q - sm * sm = 0 THEN 0.0
+      |       ELSE CAST(n * t.n_tokens - sm AS DOUBLE)
+      |            / sqrt(CAST(n * q - sm * sm AS DOUBLE)) END AS z
+      |FROM t LEFT JOIN s ON t.source IS NOT DISTINCT FROM s.source
+      |WHERE t.doc_id % 5 = 0""".stripMargin
 
   /** The q_bitext_recall_seeds seed pool: the default plane seed plus two
     * independent ones (golden-ratio and xorshift constants — any distinct
@@ -4792,27 +4929,10 @@ object SparkEntry {
         |  JOIN uf ON split_part(bg.bg, ' ', 1) = uf.tok
         |GROUP BY doc_id""".stripMargin,
 
-    "q_bigram_lm_incr" ->
-      """WITH cp AS (
-        |  SELECT regexp_split_to_array(trim(text), '\s+') AS a
-        |  FROM documents WHERE doc_id % 5 <> 0),
-        |uf AS (SELECT tok, count(*) AS c1
-        |       FROM (SELECT unnest(a) AS tok FROM cp) GROUP BY tok),
-        |bf AS (SELECT bg, count(*) AS c2 FROM (
-        |  SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg
-        |  FROM cp) GROUP BY bg),
-        |en AS (SELECT bf.bg, bf.c2, uf.c1
-        |       FROM bf JOIN uf ON split_part(bf.bg, ' ', 1) = uf.tok),
-        |nd AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-        |        FROM documents WHERE doc_id % 5 = 0))
-        |SELECT doc_id, count(*) AS n_bg,
-        |  CAST(count(en.bg) AS BIGINT) AS n_hit,
-        |  CAST(sum(coalesce(en.c2, 0)) AS BIGINT) AS sum_bg,
-        |  CAST(sum(coalesce(en.c1, 0)) AS BIGINT) AS sum_prefix
-        |FROM nd LEFT JOIN en USING (bg)
-        |GROUP BY doc_id""".stripMargin,
+    "q_bigram_lm_incr" -> bigramIncrSql,
+
+    // the same relation out of the foreachBatch scoring sink
+    "q_stream_bigramlm_gate" -> bigramIncrSql,
 
     "q_sample_weighted" ->
       """SELECT doc_id, source, n_chars FROM documents
@@ -5045,20 +5165,11 @@ object SparkEntry {
         |FROM t JOIN th ON t.source IS NOT DISTINCT FROM th.source
         |WHERE t.n_tokens >= th.th""".stripMargin,
 
-    "q_standardize_incr" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |s AS (SELECT source, count(n_tokens) AS n, sum(n_tokens) AS sm,
-        |        sum(n_tokens * n_tokens) AS q
-        |      FROM t WHERE doc_id % 5 <> 0 GROUP BY source)
-        |SELECT t.doc_id, t.source, t.n_tokens,
-        |  CASE WHEN t.n_tokens IS NULL OR n IS NULL THEN NULL
-        |       WHEN n * q - sm * sm = 0 THEN 0.0
-        |       ELSE CAST(n * t.n_tokens - sm AS DOUBLE)
-        |            / sqrt(CAST(n * q - sm * sm AS DOUBLE)) END AS z
-        |FROM t LEFT JOIN s ON t.source IS NOT DISTINCT FROM s.source
-        |WHERE t.doc_id % 5 = 0""".stripMargin,
+    "q_standardize_incr" -> standardizeIncrSql,
+
+    // the same relation out of the real streaming engine (stateless
+    // stream-static join against the broadcast corpus moments)
+    "q_stream_standardize_gate" -> standardizeIncrSql,
 
     "q_minmax_scale" ->
       """WITH t AS (SELECT doc_id, source,
@@ -7601,6 +7712,56 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5(CAST(sd.doc_id AS VARCHAR) || ':shard'), 1, 15))::UBIGINT
         |       % (SELECT n FROM ns) AS BIGINT) AS shard
         |FROM sd""".stripMargin,
+
+    // ROUGE-2 replay: same candidate derivation, clipped-count match over
+    // shared bigram types, totals, and the engine's exact division order
+    // (p, r named in a layer so f1 reuses the identical doubles)
+    "q_rouge2" ->
+      """WITH pr AS (
+        |  SELECT doc_id,
+        |    array_to_string(regexp_split_to_array(trim(text), '\s+')[1:12], ' ')
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' novel summary tail tokens'
+        |              ELSE '' END AS cand,
+        |    text FROM documents),
+        |cgr AS (SELECT doc_id, bg, count(*) AS cc FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(a)),
+        |             i -> a[i] || ' ' || a[i+1])) AS bg
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(cand), '\s+') AS a
+        |          FROM pr)) GROUP BY 1, 2),
+        |rgr AS (SELECT doc_id, bg, count(*) AS rc FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(a)),
+        |             i -> a[i] || ' ' || a[i+1])) AS bg
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |          FROM pr)) GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(sum(least(cc, rc)) AS BIGINT) AS match_n
+        |      FROM cgr JOIN rgr USING (doc_id, bg) GROUP BY 1),
+        |ct AS (SELECT doc_id, CAST(sum(cc) AS BIGINT) AS cand_n FROM cgr GROUP BY 1),
+        |rt AS (SELECT doc_id, CAST(sum(rc) AS BIGINT) AS ref_n FROM rgr GROUP BY 1),
+        |base AS (SELECT d.doc_id,
+        |    coalesce(m.match_n, 0) AS match_n,
+        |    coalesce(ct.cand_n, 0) AS cand_n,
+        |    coalesce(rt.ref_n, 0) AS ref_n
+        |  FROM documents d
+        |  LEFT JOIN m USING (doc_id) LEFT JOIN ct USING (doc_id)
+        |  LEFT JOIN rt USING (doc_id)),
+        |sc AS (SELECT *,
+        |    CASE WHEN cand_n > 0
+        |         THEN CAST(match_n AS DOUBLE) / CAST(cand_n AS DOUBLE)
+        |         ELSE 0.0e0 END AS p,
+        |    CASE WHEN ref_n > 0
+        |         THEN CAST(match_n AS DOUBLE) / CAST(ref_n AS DOUBLE)
+        |         ELSE 0.0e0 END AS r
+        |  FROM base)
+        |SELECT doc_id, match_n, cand_n, ref_n,
+        |  p AS "precision", r AS recall,
+        |  CASE WHEN p + r > 0.0e0 THEN 2.0e0 * p * r / (p + r)
+        |       ELSE 0.0e0 END AS f1
+        |FROM sc""".stripMargin,
+
+    // byte/type fidelity of the ORC write+read cycle vs the parquet
+    // original
+    "q_source_orc" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_media_decode" ->
       """SELECT doc_id, 'image' AS media_type,

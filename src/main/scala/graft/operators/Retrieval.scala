@@ -380,4 +380,66 @@ object Retrieval {
       col("df")) ++ (if (emitScore) Seq(col("score")) else Nil)
     ranked.select(out: _*)
   }
+
+  /** ROUGE-N overlap between a CANDIDATE and a REFERENCE text column per
+    * row (Lin 2004) — the n-gram eval a summarization/distillation
+    * pipeline scores at corpus scale, and the pairwise member of the
+    * n-gram family ([[graft.operators.Dedup]] owns the corpus-wide ones):
+    * `match_n = Σ_g min(c_cand(g), c_ref(g))` over n-gram TYPES, plus the
+    * candidate/reference occurrence totals and the derived
+    * precision = match/cand_n, recall = match/ref_n,
+    * f1 = 2pr/(p+r). The three counts are EXACT integers (the hashable
+    * contract); the ratios are single IEEE divisions of those integers —
+    * deterministic on any engine. Rows whose side has fewer than n tokens
+    * (or null text) score (0, 0, 0) with zero ratios — define-away, not
+    * null, so downstream threshold cuts need no null policy.
+    *
+    * Scale shape: two tokenize scans of the pair table collapse map-side
+    * to (id, gram, count) partial aggs; the clipped-count match is ONE
+    * (id, gram)-keyed inner join (only SHARED gram types meet — the
+    * others influence nothing but the totals, which ride the same
+    * partial aggs); then id-keyed integer rollups joined back onto the
+    * id spine. Text never shuffles; everything keyed on the
+    * high-cardinality (id, gram). */
+  def rougeN(
+      pairs: DataFrame,
+      n: Int = 2,
+      idCol: String = "doc_id",
+      candCol: String = "cand",
+      refCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    def grams(c: Column, out: String): DataFrame = pairs
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.shinglesNative(c, n)).as("__g"))
+      .groupBy(col("__id"), col("__g"))
+      .agg(count(lit(1)).cast("long").as(out))
+    val cg = grams(col(candCol), "__cc")
+    val rg = grams(col(refCol), "__rc")
+    val matched = cg.join(rg, Seq("__id", "__g"))
+      .groupBy("__id")
+      .agg(sum(least(col("__cc"), col("__rc"))).cast("long").as("__m"))
+    val candTot = cg.groupBy("__id").agg(sum(col("__cc")).cast("long").as("__cn"))
+    val refTot = rg.groupBy("__id").agg(sum(col("__rc")).cast("long").as("__rn"))
+    val joined = pairs.select(col(idCol))
+      .join(candTot, col(idCol) === candTot("__id"), "left").drop("__id")
+      .join(refTot, col(idCol) === refTot("__id"), "left").drop("__id")
+      .join(matched, col(idCol) === matched("__id"), "left").drop("__id")
+      .select(col(idCol),
+        coalesce(col("__m"), lit(0L)).as("match_n"),
+        coalesce(col("__cn"), lit(0L)).as("cand_n"),
+        coalesce(col("__rn"), lit(0L)).as("ref_n"))
+    val p = when(col("cand_n") > 0,
+      col("match_n").cast("double") / col("cand_n").cast("double"))
+      .otherwise(lit(0.0))
+    val r = when(col("ref_n") > 0,
+      col("match_n").cast("double") / col("ref_n").cast("double"))
+      .otherwise(lit(0.0))
+    joined
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
 }

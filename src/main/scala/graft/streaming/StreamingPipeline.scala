@@ -683,6 +683,35 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Stream-static micro-batch SCORING sink: apply a full batch relation
+    * (`score` — aggregations, joins, window shapes the incremental
+    * engine's output-mode rules disallow inside one streaming plan) to
+    * EACH arriving micro-batch and append the scored rows as parquet.
+    * Semantically exact whenever a row's score depends only on its own
+    * micro-batch plus STATIC state (every input row arrives in exactly
+    * one batch) — the standard production shape for ingest-time
+    * corpus-relative scoring (bigram rarity, drift z-scores) whose
+    * per-doc aggregation would otherwise force update mode and lose the
+    * file sink. Delivery matches [[startShardedJsonlSink]]: foreachBatch
+    * re-runs a failed batch and a blind append is not idempotent, so
+    * crash delivery is AT-LEAST-ONCE — deterministic row ids make
+    * read-side dedup trivial; exactly-once is [[startFileSink]]'s
+    * in-plan path. */
+  def startScoredParquetSink(
+      df: DataFrame,
+      score: DataFrame => DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        score(batch.toDF()).write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Results sink: append files + checkpoint — the analog of the reference's
     * job<k>_results.log with exactly-once instead of at-least-once. */
   def startFileSink(

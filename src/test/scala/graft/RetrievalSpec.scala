@@ -167,4 +167,27 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(2)).toSet
     assert(zero == plain)
   }
+
+  test("rougeN: clipped bigram overlap by hand — repeated-gram min, " +
+      "short/null sides define-away to zeros") {
+    import spark.implicits._
+    val pairs = Seq(
+      // cand bigrams {ab, bc, cd}; ref {ab:2, bc, ca} -> match 2 (ab 1+bc 1)
+      (1L, "a b c d", "a b c a b"),
+      // repeated gram clipping: cand {xx:2}, ref {xx:1} -> match 1
+      (2L, "x x x", "x x"),
+      // cand too short for a bigram -> all-zero counts AND ratios
+      (3L, "solo", "a b c"),
+      // null candidate -> zeros, not nulls
+      (4L, null.asInstanceOf[String], "a b")).toDF("doc_id", "cand", "text")
+    val got = Retrieval.rougeN(pairs, n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val f1a = 2.0 * (2.0 / 3.0) * (2.0 / 4.0) / (2.0 / 3.0 + 2.0 / 4.0)
+    assert(got(1L) == ((2L, 3L, 4L, 2.0 / 3.0, 2.0 / 4.0, f1a)))
+    assert(got(2L) == ((1L, 2L, 1L, 0.5, 1.0, 2.0 * 0.5 * 1.0 / 1.5)))
+    assert(got(3L) == ((0L, 0L, 2L, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((0L, 0L, 1L, 0.0, 0.0, 0.0)))
+  }
 }
