@@ -270,6 +270,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("luhn_valid", 1)(args => GraftExpr.catalystExpression(
         TextFunctions.luhnValid(GraftExpr.column(args(0)))))))
 
+    ext.injectFunction((FunctionIdentifier("iban_mod97"),
+      info("iban_mod97",
+        "iban_mod97(iban) - ISO 13616 mod-97 residue of the rotated, " +
+          "letter-expanded IBAN (1 iff check digits verify); NULL on " +
+          "non-[0-9A-Z] chars or length < 5 (strict electronic format)"),
+      arity("iban_mod97", 1)(args => graft.functions.Mod97Sum(args(0)))))
+
+    ext.injectFunction((FunctionIdentifier("iban_valid"),
+      info("iban_valid",
+        "iban_valid(iban) - true iff iban_mod97(iban) = 1; malformed " +
+          "input is false, not NULL (checksum only - country lengths " +
+          "are a registry join)"),
+      arity("iban_valid", 1)(args => GraftExpr.catalystExpression(
+        TextFunctions.ibanValid(GraftExpr.column(args(0)))))))
+
     ext.injectFunction((FunctionIdentifier("code_score"),
       info("code_score",
         "code_score(text) - integer-weighted code-punctuation/keyword " +

@@ -696,6 +696,26 @@ object SparkEntry {
         pmod(TextFunctions.luhnChecksum(cc), lit(10)).cast("long").as("mod10"))
     }),
 
+    // IBAN mod-97 validation (ISO 13616) — the PII family's second
+    // checksum next to Luhn: synthetic German-format IBANs with check
+    // digits DERIVED in-engine (98 - residue of the zero-check form),
+    // then doc_id%4 tampered in the last BBAN digit; the native
+    // rotate+expand+fold residue must read exactly 1 on untampered rows
+    // and never on tampered ones (97 is prime: a single-digit delta can't
+    // cancel).
+    "q_pii_iban" -> ((s, dir) => {
+      val bban = lpad((col("doc_id") % 1000000000000000000L).cast("string"),
+        18, "0")
+      val cd = TextFunctions.ibanCheckDigits(lit("DE"), bban)
+      val tampered = concat(substring(bban, 1, 17),
+        pmod(substring(bban, 18, 1).cast("int") + 1, lit(10)).cast("string"))
+      val iban = concat(lit("DE"), cd,
+        when(col("doc_id") % 4 === 0, tampered).otherwise(bban))
+      t(s, dir, "documents").select(col("doc_id"), iban.as("iban"),
+        TextFunctions.ibanMod97(iban).cast("long").as("m97"),
+        TextFunctions.ibanValid(iban).as("valid"))
+    }),
+
     // Rule-based code detection (the Stack-vs-prose corpus router):
     // integer-weighted punctuation/keyword counts over replace()
     // length-differences, threshold as an integer cross-product (5 per
@@ -6481,6 +6501,43 @@ object SparkEntry {
          |    AND ${lsum("cc")} % 10 = 0 AS valid,
          |  CAST(${lsum("cc")} % 10 AS BIGINT) AS mod10
          |FROM cc""".stripMargin
+    },
+
+    // IBAN mod-97: rotate country+check to the end, expand A-Z to 10..35,
+    // fold (acc*10^k + v) % 97 left-to-right — the engine's exact
+    // incremental reduction; the check-digit derivation (98 - residue of
+    // the zero-check form) is replayed with the same fold
+    "q_pii_iban" -> {
+      // mod-97 residue of the ROTATED string s (rot = substr(s,5)||first4)
+      def m97(s: String): String = {
+        val rot = s"(substr($s, 5) || substr($s, 1, 4))"
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, length($rot) + 1), i -> " +
+          s"CASE WHEN substr($rot, i, 1) BETWEEN '0' AND '9' " +
+          s"THEN CAST(ascii(substr($rot, i, 1)) - 48 AS BIGINT) " +
+          s"WHEN substr($rot, i, 1) BETWEEN 'A' AND 'Z' " +
+          s"THEN CAST(ascii(substr($rot, i, 1)) - 55 AS BIGINT) END)), " +
+          s"(acc, v) -> CASE WHEN v < 10 THEN (acc * 10 + v) % 97 " +
+          s"ELSE (acc * 100 + v) % 97 END)"
+      }
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    lpad(CAST(doc_id % 1000000000000000000 AS VARCHAR), 18, '0') AS bban
+         |  FROM documents),
+         |cd AS (SELECT doc_id, bban,
+         |         lpad(CAST(98 - ${m97("('DE00' || bban)")} AS VARCHAR), 2, '0') AS cdg
+         |       FROM b),
+         |ib AS (SELECT doc_id,
+         |         'DE' || cdg ||
+         |           CASE WHEN doc_id % 4 = 0
+         |                THEN substr(bban, 1, 17) ||
+         |                  CAST((CAST(substr(bban, 18, 1) AS INT) + 1) % 10 AS VARCHAR)
+         |                ELSE bban END AS iban
+         |       FROM cd)
+         |SELECT doc_id, iban,
+         |  CAST(${m97("iban")} AS BIGINT) AS m97,
+         |  coalesce(${m97("iban")} = 1, FALSE) AS valid
+         |FROM ib""".stripMargin
     },
 
     // code detection: replace() length-difference counts, integer weights,

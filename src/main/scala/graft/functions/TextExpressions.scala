@@ -160,6 +160,73 @@ object LuhnSum {
   }
 }
 
+/** ISO 13616 IBAN mod-97 residue: rotate the first four characters
+  * (country + check digits) to the end, expand letters A–Z to 10–35, and
+  * fold the resulting decimal string modulo 97 incrementally — a valid
+  * IBAN's residue is exactly 1. Strict ELECTRONIC format: uppercase
+  * letters and digits only; any other character (incl. lowercase and the
+  * paper format's spaces), or fewer than 5 characters, yields null —
+  * strip/upcase upstream when parsing display forms. The incremental
+  * `(acc·10^k + v) mod 97` fold never exceeds 97·100 + 35, so the whole
+  * 34-char big-integer reduction runs in one int register per row
+  * (codegen'd, like [[LuhnSum]]). Checksum ONLY: country-specific LENGTH
+  * validation (the ISO registry table) is a separate broadcast-join
+  * concern. */
+case class Mod97Sum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  // null OUT even on non-null input (short / non-alnum strings) — see
+  // LuhnSum on why the child-derived default is unsafe here
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"iban_mod97 needs string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Mod97Sum.mod97(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Integer ${ev.value}Box = graft.functions.Mod97Sum.mod97($c);
+      if (${ev.value}Box == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Box.intValue(); }
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Mod97Sum =
+    copy(child = c)
+}
+
+object Mod97Sum {
+  /** The mod-97 kernel, shared by interpreted eval and generated code:
+    * boxed Integer so "invalid -> null" survives the JVM call. The
+    * rotation is an index remap — no string copy. */
+  def mod97(s: UTF8String): java.lang.Integer = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < 5) return null // 2 country + 2 check + at least 1 BBAN char
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes((i + 4) % n) // chars 4..n-1, then the leading 4
+      if (b >= '0' && b <= '9') acc = (acc * 10 + (b - '0')) % 97
+      else if (b >= 'A' && b <= 'Z') acc = (acc * 100 + (b - 'A' + 10)) % 97
+      else return null
+      i += 1
+    }
+    acc
+  }
+}
+
 case class TopNgramFraction(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "ngram size must be >= 1")

@@ -290,6 +290,28 @@ object TextFunctions {
   def luhnCheckDigit(base: Column): Column =
     pmod(lit(10) - pmod(luhnChecksum(concat(base, lit("0"))), lit(10)), lit(10))
 
+  /** ISO 13616 IBAN mod-97 residue ([[graft.functions.Mod97Sum]]): rotate
+    * the leading country+check block to the end, expand A–Z to 10–35,
+    * reduce the decimal expansion mod 97 — 1 iff the check digits are
+    * consistent. Null on the paper format (spaces), lowercase, other
+    * non-alnum, or length < 5 — strict electronic format by contract. */
+  def ibanMod97(iban: Column): Column =
+    GraftExpr.column(Mod97Sum(GraftExpr.expression(iban)))
+
+  /** True iff the IBAN's check digits verify (residue exactly 1); null
+    * residue (malformed input) is invalid, not null. Checksum only —
+    * join the ISO registry for country-length validation. */
+  def ibanValid(iban: Column): Column =
+    coalesce(ibanMod97(iban) === 1, lit(false))
+
+  /** The two check digits completing `country || "00" || bban` into a
+    * valid IBAN (ISO 13616 generation: 98 minus the residue of the
+    * zero-check form), zero-padded to width 2. Null propagates from
+    * malformed input. */
+  def ibanCheckDigits(country: Column, bban: Column): Column =
+    lpad((lit(98) - ibanMod97(concat(country, lit("00"), bban)))
+      .cast("string"), 2, "0")
+
   /** Rule-based CODE detection score — the corpus-routing signal that
     * separates source code from prose before language-specific pipelines
     * (the Stack vs web-text split): an integer-weighted count of code

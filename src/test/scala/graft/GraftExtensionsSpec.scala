@@ -181,6 +181,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
         .collect()(0).getInt(0)
       assert(cs == 35)
       intercept[Exception] { s.sql("SELECT luhn_valid()").collect() }
+      // r15 registrations: iban_mod97 / iban_valid
+      val iban = s.sql(
+        "SELECT iban_mod97('GB82WEST12345698765432') AS m, " +
+          "iban_valid('GB82WEST12345698765432') AS v, " +
+          "iban_valid('GB82WEST12345698765431') AS w, " +
+          "iban_mod97('gb82') AS n").collect()(0)
+      assert(iban.getInt(0) == 1 && iban.getBoolean(1) && !iban.getBoolean(2))
+      assert(iban.isNullAt(3))
+      intercept[Exception] { s.sql("SELECT iban_valid()").collect() }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -402,6 +402,43 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     parity.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("iban: known-valid vectors, tamper detection, check-digit " +
+      "derivation, strict-format nulls invalid") {
+    import spark.implicits._
+    val df = Seq(
+      "GB82WEST12345698765432",  // the ISO 13616 worked example
+      "DE89370400440532013000",  // the standard German sample
+      "GB82WEST12345698765431",  // last-digit tamper
+      "GB28WEST12345698765432",  // check-digit tamper
+      "gb82WEST12345698765432",  // lowercase: strict electronic only
+      "GB82 WEST 1234 5698 7654 32", // paper format (spaces)
+      "DE12").toDF("iban")       // too short
+    val got = df.select(col("iban"),
+        TextFunctions.ibanValid(col("iban")).as("v"),
+        TextFunctions.ibanMod97(col("iban")).as("m"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getInt(2)))))
+      .toMap
+    assert(got("GB82WEST12345698765432") == ((true, Some(1))))
+    assert(got("DE89370400440532013000") == ((true, Some(1))))
+    assert(got("GB82WEST12345698765431")._1 == false)
+    assert(got("GB28WEST12345698765432")._1 == false)
+    assert(got("gb82WEST12345698765432") == ((false, None)))
+    assert(got("GB82 WEST 1234 5698 7654 32") == ((false, None)))
+    assert(got("DE12") == ((false, None)))
+    // generation: deriving the check digits of a known IBAN's BBAN
+    // reproduces its published check digits, and the result validates
+    val rebuilt = Seq(("GB", "WEST12345698765432")).toDF("cc", "bban")
+      .select(concat(col("cc"),
+        TextFunctions.ibanCheckDigits(col("cc"), col("bban")),
+        col("bban")).as("iban"))
+      .select(col("iban"), TextFunctions.ibanValid(col("iban")).as("v"))
+      .collect().head
+    assert(rebuilt.getString(0) == "GB82WEST12345698765432")
+    assert(rebuilt.getBoolean(1))
+  }
+
   test("codeScore: exact weighted counts on a hand snippet; prose scores 0") {
     import spark.implicits._
     // 1x'{' 1x'}' (x3) + 2x';' (x3) + 2x'=' (x2) + 2x'(' 2x')' +
