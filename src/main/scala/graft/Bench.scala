@@ -201,7 +201,19 @@ object Bench {
     // real-decode perceptual hashing over the synthesized PNG set
     "q_media_dhash",
     // Holt smoothing: one (key, day) collapse + one key-keyed sorted fold
-    "q_holt_forecast")
+    "q_holt_forecast",
+    // r15: Holt-Winters adds the p-slot seasonal array to the same fold
+    "q_holt_winters",
+    // bitext LSH scale path (post-de-broadcast): salted bare-id bucket
+    // join + id-keyed vector rejoins + the margin chain
+    "q_bitext_lsh",
+    // ROUGE-2: two gram censuses + one (id, gram)-keyed clipped join
+    "q_rouge2",
+    // native Mod97Sum scan; ORC write+read round trip
+    "q_pii_iban", "q_source_orc",
+    // cross-modal capstone: real-codec dedup + cosine gate + SemDeDup +
+    // shard export/readback in one plan
+    "q_pipeline_multimodal")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates).

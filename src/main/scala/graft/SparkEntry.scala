@@ -1629,6 +1629,35 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "graft_export_gate_", maxShardBytes = 256L * 1024)),
 
+    // CSV sink/source ROUND TRIP under the hash gate (RFC-4180 fidelity):
+    // every payload gains the hazards that break naive writers — an
+    // embedded comma and a double-quoted token, plus a REAL newline on
+    // doc_id%5 — written with the RFC quote-doubling escape (escape =
+    // quote) and read back with multiLine quoted-newline parsing; the
+    // oracle recomputes the decorated payload from the parquet original,
+    // so quoting, escaping, and newline round-tripping all sit under the
+    // hash. Scale note: multiLine=true reads each FILE unsplit (the price
+    // of quoted newlines) — newline-bearing exports keep parallelism
+    // through file COUNT, which the write side's partitioning already
+    // provides.
+    "q_sink_csv" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val payload = concat(col("text"), lit(", \"quoted\" tail"),
+        when(col("doc_id") % 5 === 0, lit("\nsecond line")).otherwise(lit("")))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_gate_" +
+        ProcessHandle.current().pid()
+      registerTempDirCleanup(out)
+      t(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(out)
+      s.read.schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("payload", StringType))))
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(out)
+    }),
+
     // ORC source/sink ROUND TRIP under the hash gate: the documents table
     // written as ORC (Spark's other built-in columnar format — the lake
     // interchange case next to parquet/CSV/JSONL) and read back, while
@@ -7819,6 +7848,14 @@ object SparkEntry {
     // original
     "q_source_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // the decorated payload recomputed from the original: commas, a
+    // doubled-quote token, and a real newline must survive the CSV cycle
+    "q_sink_csv" ->
+      """SELECT doc_id, text || ', "quoted" tail' ||
+        |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'second line'
+        |       ELSE '' END AS payload
+        |FROM documents""".stripMargin,
 
     "q_media_decode" ->
       """SELECT doc_id, 'image' AS media_type,
