@@ -2133,6 +2133,16 @@ object SparkEntry {
       Curation.perplexityScore(docs, docs.filter(col("doc_id") % 3 === 0))
     }),
 
+    // TRIGRAM interpolated KN (one order below CCNet's KenLM): the full
+    // continuation-count cascade P3 -> P2 -> P1 with per-level backoff at
+    // score time — model from the doc_id%3 slice so unseen trigrams and
+    // unseen contexts both fire; every level an exact-integer model
+    // table, the readout Σ cnt·round(ln P · 1e6) under the hash.
+    "q_perplexity3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.perplexityScore3(docs, docs.filter(col("doc_id") % 3 === 0))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): per-doc sum of hashed-
     // bigram log-ratios ln p_T − ln p_S (target = lang='en', Laplace
     // smoothing over 256 md5 buckets) — one tokenize scan, a 256-row
@@ -3577,6 +3587,61 @@ object SparkEntry {
        |SELECT b.x_id, b.y_id, b.cos_q, b.margin_fp,
        |  coalesce(byy.bx_id = b.x_id, FALSE) AS mutual
        |FROM bx b LEFT JOIN byy ON byy.y_id = b.y_id""".stripMargin
+  }
+
+  /** q_perplexity3: the trigram interpolated-KN cascade replayed — one
+    * trigram census from the doc_id%3 reference slice, every model table
+    * derived from it, and the score-time CASE backoff in the engine's
+    * exact double op order (p1/p2 spliced as shared snippets so every
+    * branch states identical arithmetic). */
+  private val perplexity3Sql = {
+    val p1 = "CAST(coalesce(u3, 1) AS DOUBLE) / CAST(uu AS DOUBLE)"
+    val lam2 = "((0.75e0 * CAST(m2 AS DOUBLE)) / CAST(b2 AS DOUBLE))"
+    val p2 = s"CASE WHEN b23 IS NOT NULL THEN " +
+      s"greatest(CAST(b23 AS DOUBLE) - 0.75e0, 0.0e0) / CAST(b2 AS DOUBLE) " +
+      s"+ $lam2 * $p1 ELSE $lam2 * $p1 END"
+    val lam3 = "((0.75e0 * CAST(n12 AS DOUBLE)) / CAST(c12 AS DOUBLE))"
+    s"""WITH ref AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |rt AS (SELECT a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3
+       |       FROM ref, UNNEST(range(1, greatest(len(a) - 2, 0) + 1)) r(i)),
+       |cen AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS t3
+       |        FROM rt GROUP BY 1, 2, 3),
+       |cc12 AS (SELECT w1, w2, CAST(sum(t3) AS BIGINT) AS c12,
+       |           CAST(count(*) AS BIGINT) AS n12 FROM cen GROUP BY 1, 2),
+       |tt2 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS b23
+       |        FROM cen GROUP BY 1, 2),
+       |cc2 AS (SELECT w2, CAST(sum(b23) AS BIGINT) AS b2,
+       |          CAST(count(*) AS BIGINT) AS m2 FROM tt2 GROUP BY 1),
+       |uu1 AS (SELECT w3, CAST(count(*) AS BIGINT) AS u3 FROM tt2 GROUP BY 1),
+       |ut AS (SELECT CAST(count(*) AS BIGINT) AS uu FROM tt2),
+       |occ AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT doc_id, a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3
+       |              FROM (SELECT doc_id,
+       |                      regexp_split_to_array(trim(text), '\\s+') AS a
+       |                    FROM documents),
+       |                   UNNEST(range(1, greatest(len(a) - 2, 0) + 1)) r(i))
+       |        GROUP BY 1, 2, 3, 4),
+       |j AS (SELECT occ.doc_id, occ.cnt, cen.t3, cc12.c12, cc12.n12,
+       |        tt2.b23, cc2.b2, cc2.m2, uu1.u3, ut.uu
+       |      FROM occ LEFT JOIN cen USING (w1, w2, w3)
+       |      LEFT JOIN cc12 USING (w1, w2) LEFT JOIN tt2 USING (w2, w3)
+       |      LEFT JOIN cc2 USING (w2) LEFT JOIN uu1 USING (w3) CROSS JOIN ut),
+       |lp AS (SELECT doc_id, cnt, CAST(round(ln(
+       |    CASE WHEN t3 IS NOT NULL THEN
+       |           greatest(CAST(t3 AS DOUBLE) - 0.75e0, 0.0e0)
+       |             / CAST(c12 AS DOUBLE) + $lam3 * ($p2)
+       |         WHEN c12 IS NOT NULL THEN $lam3 * ($p2)
+       |         WHEN b2 IS NOT NULL THEN $p2
+       |         ELSE $p1 END) * 1000000.0e0) AS BIGINT) AS lp_q
+       |  FROM j),
+       |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+       |         CAST(sum(cnt * lp_q) AS BIGINT) AS sum_lp_q
+       |       FROM lp GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_trigrams, 0) AS n_trigrams,
+       |  coalesce(sc.sum_lp_q, 0) AS sum_lp_q
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
   /** q_dsir_* references: the hashed-bigram importance-weight replay —
@@ -5159,6 +5224,10 @@ object SparkEntry {
     // from it take the uniform ln(1/n_types) fallback
     "q_perplexity_cross" -> perplexityOracleSql(
       refWhere = "doc_id % 3 = 0", thrMicros = None),
+
+    // trigram interpolated KN: full continuation cascade + score-time
+    // backoff, replayed branch for branch
+    "q_perplexity3" -> perplexity3Sql,
 
     // DSIR: same bigram census, md5-bucket features, per-bucket
     // fixed-point log-ratio with Laplace smoothing, integer rollup

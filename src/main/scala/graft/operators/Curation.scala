@@ -638,6 +638,106 @@ object Curation {
         coalesce(col("sum_lp_q"), lit(0L)).as("sum_lp_q"))
   }
 
+  /** TRIGRAM interpolated Kneser–Ney log-probability per document — the
+    * higher-order sibling of [[perplexityScore]], one order below the
+    * 5-gram KenLM models CCNet ships but with the full KN structure:
+    * every level's distribution is built from CONTINUATION counts of the
+    * level above, and scoring backs off through the whole cascade.
+    * With D the single discount and, per trigram type (w1,w2,w3) of the
+    * REFERENCE (all exact integers from ONE trigram census):
+    *   t       = c(w1w2w3)                       (occurrences)
+    *   c12,n12 = Σ_w c(w1w2w), N₁₊(w1w2•)        (context totals)
+    *   b23     = N₁₊(•w2w3)                      (continuation "counts")
+    *   b2,m2   = Σ_w3 b23, N₁₊ of those          (middle-context totals)
+    *   u3,U    = N₁₊(• • w3) types, total (w2,w3) types
+    * then P1 = u3/U (unseen w3 → 1/U, the uniform-continuation fallback
+    * discipline of [[perplexityScore]]),
+    * P2 = max(b23−D,0)/b2 + (D·m2/b2)·P1,
+    * P3 = max(t−D,0)/c12 + (D·n12/c12)·P2,
+    * and an occurrence scores ln of: P3 when the trigram type is in the
+    * model; (D·n12/c12)·P2' when only its context is (P2' = P2 when the
+    * (w2,w3) continuation exists, else (D·m2/b2)·P1 — interpolated KN's
+    * own zero-numerator limit); P2' when only w2 is known as a middle
+    * word; P1 otherwise. Returns `(id, n_trigrams, sum_lp_q)` with
+    * `sum_lp_q = Σ cnt·round(ln P · 10⁶)` — the exact-integer readout
+    * that hash-gates; documents with < 3 tokens score (0, 0). A
+    * reference with no trigrams fails in-plan (same contract as the
+    * bigram scorer).
+    *
+    * Scale shape: ONE trigram-keyed census over the reference (persisted
+    * lazily — five consumers; [[knModel]]'s lifetime note applies) feeds
+    * every model table; scoring is one (id, w1, w2, w3) partial agg over
+    * the corpus + four model-table left joins on progressively shorter
+    * suffix keys (broadcast when the model fits, keyed shuffle otherwise
+    * — TYPE tables, never occurrence volume) + one id-keyed integer
+    * rollup. */
+  def perplexityScore3(
+      docs: DataFrame,
+      reference: DataFrame,
+      discount: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1): $discount")
+    def split3(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+
+        explode(TextFunctions.shinglesNative(col(textCol), 3)).as("__tg"): _*)
+      .select(keep :+
+        substring_index(col("__tg"), " ", 1).as("w1") :+
+        substring_index(substring_index(col("__tg"), " ", 2), " ", -1).as("w2") :+
+        substring_index(col("__tg"), " ", -1).as("w3"): _*)
+    val census = split3(reference, Nil)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).cast("long").as("t3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = census.groupBy("w1", "w2")
+      .agg(sum(col("t3")).cast("long").as("c12"),
+        count(lit(1)).cast("long").as("n12"))
+    val t2 = census.groupBy("w2", "w3")
+      .agg(count(lit(1)).cast("long").as("b23"))
+    val c2 = t2.groupBy("w2")
+      .agg(sum(col("b23")).cast("long").as("b2"),
+        count(lit(1)).cast("long").as("m2"))
+    val u1 = t2.groupBy("w3").agg(count(lit(1)).cast("long").as("u3"))
+    // exactly one row; null on a trigram-less reference -> in-plan raise
+    val uTot = t2.agg(count(lit(1)).cast("long").as("__u"))
+    val d = lit(discount)
+    val uu = when(col("__u") > 0, col("__u").cast("double"))
+      .otherwise(raise_error(lit("perplexityScore3: reference corpus has " +
+        "no trigrams — no model to score under")).cast("double"))
+    val p1 = coalesce(col("u3"), lit(1L)).cast("double") / uu
+    val lam2 = (d * col("m2").cast("double")) / col("b2").cast("double")
+    val p2full = greatest(col("b23").cast("double") - d, lit(0.0)) /
+      col("b2").cast("double") + lam2 * p1
+    val p2 = when(col("b23").isNotNull, p2full).otherwise(lam2 * p1)
+    val lam3 = (d * col("n12").cast("double")) / col("c12").cast("double")
+    val prob =
+      when(col("t3").isNotNull,
+        greatest(col("t3").cast("double") - d, lit(0.0)) /
+          col("c12").cast("double") + lam3 * p2)
+      .when(col("c12").isNotNull, lam3 * p2)
+      .when(col("b2").isNotNull, p2)
+      .otherwise(p1)
+    val occ = split3(docs, Seq(col(idCol)))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).cast("long").as("__cnt"))
+    val scored = occ
+      .join(census, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(t2, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(u1, Seq("w3"), "left")
+      .crossJoin(broadcast(uTot))
+      .withColumn("__lp_q", round(log(prob) * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).cast("long").as("n_trigrams"),
+        sum(col("__cnt") * col("__lp_q")).cast("long").as("sum_lp_q"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("sum_lp_q"), lit(0L)).as("sum_lp_q"))
+  }
+
   /** T5-style SPAN CORRUPTION training-example construction (Raffel et
     * al. 2020 §3.1.4): deterministic masked spans become numbered
     * sentinels in the input, and the target is each sentinel followed by

@@ -1267,6 +1267,54 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("no bigrams"))
   }
 
+  test("perplexityScore3: trigram KN cascade by hand — all four backoff " +
+      "branches, exact fixed-point sums, short docs, fail-fast") {
+    import spark.implicits._
+    // reference trigram census: (a b c):2, (a b d):1, (x y z):1
+    val ref = Seq((100L, "a b c"), (101L, "a b c"), (102L, "a b d"),
+      (103L, "x y z")).toDF("doc_id", "text")
+    // model moments: c12(a,b)=3 n12=2; t2(b,c)=1 (b,d)=1 (y,z)=1;
+    // c2(b): b2=2 m2=2; u1: c/d/z = 1 each; U=3; D=0.75
+    val D = 0.75
+    def p1(u3: Option[Long]) = u3.getOrElse(1L).toDouble / 3.0
+    def lam2 = (D * 2.0) / 2.0
+    def p2(b23: Option[Long], u3: Option[Long]) = b23 match {
+      case Some(b) => math.max(b.toDouble - D, 0.0) / 2.0 + lam2 * p1(u3)
+      case None => lam2 * p1(u3)
+    }
+    def lam3 = (D * 2.0) / 3.0
+    def q(p: Double): Long = math.round(math.log(p) * 1000000.0)
+    val docs = Seq(
+      (1L, "a b c"),  // branch 1: observed trigram
+      (2L, "a b e"),  // branch 2: context known, trigram + (b,e) unseen
+      (3L, "q b c"),  // branch 3: context unknown, (b,c) continuation known
+      (4L, "q q q"),  // branch 4: q never a middle word -> P1 fallback
+      (5L, "a b"))    // too short: (0, 0)
+    .toDF("doc_id", "text")
+    val got = Curation.perplexityScore3(docs, ref)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val e1 = q(math.max(2.0 - D, 0.0) / 3.0 + lam3 * p2(Some(1L), Some(1L)))
+    val e2 = q(lam3 * p2(None, None))
+    val e3 = q(p2(Some(1L), Some(1L)))
+    val e4 = q(p1(None))
+    assert(got == Map(1L -> ((1L, e1)), 2L -> ((1L, e2)), 3L -> ((1L, e3)),
+      4L -> ((1L, e4)), 5L -> ((0L, 0L))))
+    // KN telescoping: over the CONTINUATION vocab {w3 : u3 > 0} = {c,d,z}
+    // the interpolated distribution sums to exactly 1 per context —
+    // P1 sums to 1 there, so every level's discount mass telescopes
+    // (the uniform 1/U fallback for non-continuation words is EXTRA mass
+    // by design, like the bigram scorer's unseen fallback)
+    val pC = math.max(2.0 - D, 0.0) / 3.0 + lam3 * p2(Some(1L), Some(1L))
+    val pD = math.max(1.0 - D, 0.0) / 3.0 + lam3 * p2(Some(1L), Some(1L))
+    val pZ = lam3 * p2(None, Some(1L)) // (a,b,z) unseen, (b,z) unseen
+    assert(math.abs((pC + pD + pZ) - 1.0) < 1e-12)
+    // a reference with no trigrams has no model: in-plan fail-fast
+    val e = intercept[Exception] {
+      Curation.perplexityScore3(docs, ref.filter($"doc_id" === 999L)).collect()
+    }
+    assert(e.getMessage.contains("no trigrams"))
+  }
+
   test("spanCorrupt: input+target reconstruct the original text exactly; " +
       "sentinels dense and terminal; density near spanLen/startEvery") {
     import spark.implicits._
