@@ -836,15 +836,22 @@ object Dedup {
       // exactly once.
       val batch = if (round < 2) 1 else 3
       var cur = labels
+      val hopPins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var h = 0
       while (h < batch) {
         // LAZY pins: each hop's checkpoint materializes inside the round's
         // single count job (lineage still truncates after materialization),
         // so a batch costs ONE job instead of one per hop plus the count
         cur = hop(if (h == 0) cur else cur.drop("chg")).localCheckpoint(false)
+        hopPins += cur
         h += 1
       }
       changed = cur.filter(col("chg")).count()
+      // the count materialized the whole hop chain: the previous round's
+      // survivor pin and every intermediate hop are dead — only the LAST
+      // hop lives on as next round's labels (Pins contract)
+      graft.ops.Pins.releaseCheckpoint(labels)
+      hopPins.dropRight(1).foreach(graft.ops.Pins.releaseCheckpoint)
       labels = cur.drop("chg")
       round += batch
     }
@@ -857,8 +864,18 @@ object Dedup {
       // unchanged and the head start is free).
       val shortcuts = labels.filter(col("id") =!= col("lbl"))
         .select(col("id").as("s"), col("lbl").as("t"))
-      starContraction(undirected.union(shortcuts), "s", "t")
-    } else labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      // starContraction eagerly pins its own copy of the edge set at
+      // construction, so by the time it returns both the undirected pin
+      // and the final propagation labels are dead
+      val res = starContraction(undirected.union(shortcuts), "s", "t")
+      graft.ops.Pins.releaseCheckpoint(undirected)
+      graft.ops.Pins.releaseCheckpoint(labels)
+      res
+    } else {
+      // the returned plan reads ONLY the final labels pin
+      graft.ops.Pins.releaseCheckpoint(undirected)
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    }
   }
 
   /** Connected components by alternating large-star / small-star rounds
@@ -920,6 +937,9 @@ object Dedup {
         .filter(col("s") =!= col("t"))
         .groupBy("s", "t").agg(max("chg").as("chg")).localCheckpoint(true)
       stable = next.filter(col("chg")).count() == 0L
+      // next is an EAGER pin (materialized above): the previous round's
+      // edge pin is dead (Pins contract)
+      graft.ops.Pins.releaseCheckpoint(cur)
       cur = next.drop("chg")
       round += 1
     }

@@ -104,8 +104,15 @@ object Graph {
             .selectExpr("node", "__has_out",
               s"rank + (${dampNum}L * __dsum) div ${dampDen * n}L AS rank")
         }
+      val prevRanks = ranks
       ranks = next.localCheckpoint(true)
+      // the eager checkpoint above has materialized; the previous round's
+      // pin is dead (Pins contract: Dataset.unpersist is a no-op here)
+      graft.ops.Pins.releaseCheckpoint(prevRanks)
     }
+    // the returned plan reads ONLY the final ranks pin
+    graft.ops.Pins.releaseCheckpoint(en)
+    graft.ops.Pins.releaseCheckpoint(nodes)
     ranks.select(col("node"), col("rank"))
   }
 
@@ -258,6 +265,10 @@ object Graph {
       val after = next.count()
       done = after == prev
       prev = after
+      // the count materialized both lazy pins; the previous round's live
+      // set and this round's keep set are dead
+      graft.ops.Pins.releaseCheckpoint(live)
+      graft.ops.Pins.releaseCheckpoint(keep)
       live = next
     }
     live.select(col("u").as("node"))

@@ -650,19 +650,10 @@ object Similarity {
     * the selected points themselves. Distances are the same left-fold
     * Σ(v−c)² as the IVF assignment, bit-identical to the oracle's
     * list_sum replay. */
-  /** Free the storage blocks behind an EAGERLY `localCheckpoint`ed frame.
-    * `Dataset.unpersist` is a no-op there — a checkpointed Dataset never
-    * registers in the CacheManager, so the blocks otherwise live until the
-    * ContextCleaner GCs the RDD reference. This walks the (leaf) plan to
-    * its LogicalRDD and unpersists the checkpoint RDD itself. Safe ONLY
-    * when nothing will read the frame again: a localCheckpoint has no
-    * lineage, so a released block cannot be recomputed. */
+  /** See [[graft.ops.Pins.releaseCheckpoint]] — the shared release for
+    * eager localCheckpoint pins (Dataset.unpersist is a no-op on them). */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false): Unit
-      case _ => ()
-    }
+    graft.ops.Pins.releaseCheckpoint(df)
 
   def kCenterGreedy(
       vecs: DataFrame,

@@ -357,6 +357,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("clusters/starContraction: per-round checkpoint pins are RELEASED — " +
+      "the registry grows by at most the returned pins") {
+    import spark.implicits._
+    // diameter-4 chain: several propagation rounds, so several hop pins
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(Dedup.clusters(pairs).count() == 7)
+    // only the final labels pin may survive (undirected + every earlier
+    // round's pin released); the star-fallback path keeps vertices + the
+    // converged edge pin
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "clusters leaked per-round checkpoint pins")
+    val b2 = spark.sparkContext.getPersistentRDDs.size
+    val path = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("a_id", "b_id")
+    assert(Dedup.starContraction(path).count() == 40)
+    assert(spark.sparkContext.getPersistentRDDs.size <= b2 + 2,
+      "starContraction leaked per-round checkpoint pins")
+  }
+
   test("clusters falls back to star contraction past maxRounds instead of failing") {
     import spark.implicits._
     val path = (0L until 60L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("a_id", "b_id")

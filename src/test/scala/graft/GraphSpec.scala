@@ -221,6 +221,23 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       assert(runKCore(edges, k) == refKCore(edges, k), s"k=$k")
   }
 
+  test("pageRank/kCore: per-round checkpoint pins are RELEASED — the " +
+      "persistent-RDD registry grows by at most the one returned pin") {
+    import spark.implicits._
+    val edges = (for (u <- 1L to 30L; v <- 1L to 30L if u != v && (u + v) % 3 == 0)
+      yield (u, v)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(Graph.pageRank(edges, iters = 8).count() > 0)
+    // 8 iterations pinned 8 rank frames + edges + nodes; everything but
+    // the final ranks pin (which the returned plan reads) is released
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "pageRank leaked per-iteration checkpoint pins")
+    val b2 = spark.sparkContext.getPersistentRDDs.size
+    assert(Graph.kCore(edges, k = 2).count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= b2 + 1,
+      "kCore leaked per-round checkpoint pins")
+  }
+
   test("coOccurrenceEdges: distinct sorted pairs per group, cross-group dedup") {
     import spark.implicits._
     val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L), // dup member
