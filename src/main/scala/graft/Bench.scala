@@ -204,9 +204,9 @@ object Bench {
     "q_holt_forecast",
     // r15: Holt-Winters adds the p-slot seasonal array to the same fold
     "q_holt_winters",
-    // bitext LSH scale path (post-de-broadcast): salted bare-id bucket
-    // join + id-keyed vector rejoins + the margin chain
-    "q_bitext_lsh",
+    // bitext scale paths (post-de-broadcast): salted bare-id bucket/cell
+    // joins + id-keyed vector rejoins + the margin chain
+    "q_bitext_lsh", "q_bitext_ivf",
     // ROUGE-2: two gram censuses + one (id, gram)-keyed clipped join
     "q_rouge2",
     // native Mod97Sum scan; ORC write+read round trip

@@ -2891,6 +2891,19 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1), k = 4, nPlanes = 4)
     }),
 
+    // The bitext IVF scale path: the same margin chain over CO-CELL pairs
+    // from a deterministic lowest-id-seeded coarse quantizer (y keeps its
+    // nearest cell, x probes its 4 nearest of 16) — the structure-aware
+    // candidate generator for corpora that cluster, vs LSH's
+    // data-oblivious planes. Salted bare-id cell join, vectors rejoin on
+    // ids; driver traffic = the 16-row codebook.
+    "q_bitext_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMarginMineIvf(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4, nlist = 16, nprobe = 4)
+    }),
+
     // Agreement readout: for each x, does the LSH-candidate winner equal
     // the brute winner? The gated price of pruning: the synthetic
     // embeddings are RANDOM (no cluster structure — LSH's worst case), so
@@ -3530,22 +3543,24 @@ object SparkEntry {
     * longs work; these match tools/BitextProbe's lift table). */
   private val bitextSeedPool = Seq(0x5DEECE66DL, 0x9E3779B9L, 0x2545F491L)
 
+  /** The LSH candidate condition: a pair is a candidate iff ANY seed's
+    * plane set leaves its two signatures within hamming 1 (the engine
+    * unions the per-seed candidate sets and distincts — same relation). */
+  private def bitextLshCond(nPlanes: Int, seeds: Seq[Long]): String = {
+    val conds = seeds.map { seed =>
+      val planes = graft.functions.VectorFunctions.makePlanes(nPlanes, 64, seed)
+      s"bit_count(xor(${sqlLshBucket(planes, "x.e")}, " +
+        s"${sqlLshBucket(planes, "y.e")})) <= 1"
+    }
+    s"AND (${conds.mkString(" OR ")})"
+  }
+
   private def bitextWinnersSql(
-      lshCand: Option[Int],
-      seeds: Seq[Long] = Seq(0x5DEECE66DL)): String = {
-    val candCond = lshCand.map { nPlanes =>
-      // multi-seed union = a pair is a candidate iff ANY seed's plane set
-      // leaves its two signatures within hamming 1 (the engine unions the
-      // per-seed candidate sets and distincts — same pair relation)
-      val conds = seeds.map { seed =>
-        val planes = graft.functions.VectorFunctions.makePlanes(nPlanes, 64, seed)
-        s"bit_count(xor(${sqlLshBucket(planes, "x.e")}, " +
-          s"${sqlLshBucket(planes, "y.e")})) <= 1"
-      }
-      s"AND (${conds.mkString(" OR ")})"
-    }.getOrElse("")
+      candCond: String = "",
+      extraCtes: String = ""): String = {
+    val pre = if (extraCtes.isEmpty) "" else extraCtes + ",\n"
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-       |sc AS (
+       |${pre}sc AS (
        |  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
        |    CAST(round((list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2])) /
        |      (sqrt(list_sum(list_transform(x.e, t -> t * t))) *
@@ -7689,24 +7704,46 @@ object SparkEntry {
     // bitext margin mining: quantized-cosine neighborhoods both ways,
     // exact integer sums, the fixed-order margin expression, winners by
     // (margin DESC NULLS LAST, id) both sides, mutual-best join
-    "q_bitext_margin" -> s"${bitextWinnersSql(lshCand = None)}",
+    "q_bitext_margin" -> s"${bitextWinnersSql()}",
 
     // the LSH-candidate scale path: same margin chain over bucket-hamming
     // <= 1 pairs (annLsh's multi-probe as a bit_count condition)
-    "q_bitext_lsh" -> s"${bitextWinnersSql(lshCand = Some(4))}",
+    "q_bitext_lsh" ->
+      s"${bitextWinnersSql(bitextLshCond(4, Seq(0x5DEECE66DL)))}",
+
+    // the IVF-candidate scale path: deterministic lowest-id-seeded cells,
+    // y's nearest cell must sit in x's nprobe probe list — the same
+    // assignment replay as q_sim_ivf (rank by (d, cell) over the exact
+    // left-fold distances), with the centroids derived IN SQL
+    "q_bitext_ivf" -> s"${bitextWinnersSql(
+      candCond = """AND EXISTS (SELECT 1 FROM xprob p JOIN ycell yc
+        |    ON p.cell = yc.cell
+        |    WHERE p.vec_id = x.vec_id AND yc.vec_id = y.vec_id)""".stripMargin,
+      extraCtes = """cents AS (
+        |  SELECT e AS ce, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+        |  FROM (SELECT * FROM v WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16)),
+        |cd AS (SELECT v.vec_id, c.cell,
+        |         list_sum(list_transform(list_zip(v.e, c.ce),
+        |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+        |       FROM v, cents c),
+        |rnk AS (SELECT vec_id, cell,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |        FROM cd),
+        |ycell AS (SELECT vec_id, cell FROM rnk WHERE rn = 1 AND vec_id % 2 = 1),
+        |xprob AS (SELECT vec_id, cell FROM rnk WHERE rn <= 4 AND vec_id % 2 = 0)""".stripMargin)}",
 
     // agreement readout: per-x winner under LSH candidates vs brute
     "q_bitext_recall" ->
-      s"""WITH brute AS (${bitextWinnersSql(lshCand = None)}),
-         |lsh AS (${bitextWinnersSql(lshCand = Some(4))})
+      s"""WITH brute AS (${bitextWinnersSql()}),
+         |lsh AS (${bitextWinnersSql(bitextLshCond(4, Seq(0x5DEECE66DL)))})
          |SELECT b.x_id, b.y_id AS y_brute, l.y_id AS y_lsh,
          |  b.y_id = l.y_id AS agree
          |FROM brute b JOIN lsh l USING (x_id)""".stripMargin,
 
     // multi-seed agreement: candidates = union over three plane sets
     "q_bitext_recall_seeds" ->
-      s"""WITH brute AS (${bitextWinnersSql(lshCand = None)}),
-         |lsh AS (${bitextWinnersSql(lshCand = Some(4), seeds = bitextSeedPool)})
+      s"""WITH brute AS (${bitextWinnersSql()}),
+         |lsh AS (${bitextWinnersSql(bitextLshCond(4, bitextSeedPool))})
          |SELECT b.x_id, b.y_id AS y_brute, l.y_id AS y_lsh,
          |  b.y_id = l.y_id AS agree
          |FROM brute b JOIN lsh l USING (x_id)""".stripMargin,

@@ -530,6 +530,69 @@ object Similarity {
     marginOverPairs(scored, k)
   }
 
+  /** [[bitextMarginMine]]'s OTHER 100 TB path: candidates from an
+    * IVF-style coarse quantizer instead of random hyperplanes — the
+    * structure-aware pruning for corpora that CLUSTER (LSH's planes are
+    * data-oblivious; cells follow the data). y keeps its single nearest
+    * cell, x probes its `nprobe` nearest (exactly [[annIvf]]'s probe
+    * rule), so the candidate set is the co-cell pairs. Centroids are
+    * DETERMINISTIC — the `nlist` lowest-id y vectors, the
+    * [[assignToCentroids]] seeding convention — so the whole relation is
+    * a pure, engine-checkable function of its inputs; swap in
+    * [[annIvf]]'s trained quantizer when centroid quality matters (the
+    * scoring plan is identical, the [[pqEncode]] codebook convention).
+    * Same scale shape as [[bitextMarginMineLsh]]: the cell join carries
+    * BARE ids, cell-SALTED (nlist cells are few reducer keys), vectors
+    * rejoin on their own high-cardinality ids — neither corpus is ever
+    * broadcast or required resident; driver traffic is the nlist-row
+    * codebook. A pair meets at most once (y holds one cell; x's nprobe
+    * probe cells are distinct). nprobe = nlist degenerates to the exact
+    * brute result — every cell probed (spec-pinned). */
+  def bitextMarginMineIvf(
+      xs: DataFrame,
+      ys: DataFrame,
+      k: Int = 4,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      salt: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nlist >= 1, s"nlist must be >= 1: $nlist")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist]: $nprobe")
+    require(salt >= 1, s"salt must be >= 1: $salt")
+    val parts = ys.sparkSession.sessionState.conf.numShufflePartitions
+    val x = xs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
+    val y = ys.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("y_id"), col(vecCol).as("y_v"))
+      .repartition(parts)
+    // bounded codebook collect: nlist rows (the driver's index artifact)
+    val seedRows = y.orderBy(col("y_id").asc).limit(nlist).collect()
+    require(seedRows.nonEmpty, "bitextMarginMineIvf: empty y corpus")
+    val centroids = seedRows.sortBy(_.getLong(0)).map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val probes = math.min(nprobe, centroids.length)
+    val yb = y.select(col("y_id"),
+        element_at(nearestCells(col("y_v"), centroids, 1), 1).as("cell"))
+      .withColumn("__s", pmod(hash(col("y_id")), lit(salt)))
+    val xb = x.select(col("x_id"),
+        explode(nearestCells(col("x_v"), centroids, probes)).as("cell"))
+      .withColumn("__s", explode(array((0 until salt).map(lit): _*)))
+    val candidates = yb.join(xb, Seq("cell", "__s"))
+      .select(col("x_id"), col("y_id"))
+    val scored = candidates
+      .join(x, Seq("x_id"))
+      .join(y.select(col("y_id"), col("y_v")), Seq("y_id"))
+      .select(col("x_id"), col("y_id"),
+        round(cosineSimilarity(col("x_v"), col("y_v")) *
+          lit(1000000000000.0)).cast("long").as("cos_q"))
+    marginOverPairs(scored, k)
+  }
+
   /** The margin core shared by the brute and LSH miners: per-side top-k
     * neighborhoods over `(x_id, y_id, cos_q)` pairs, order-free integer
     * sums, the fixed-order margin expression, winners + mutual flag. */

@@ -30,11 +30,15 @@ object BitextProbe {
 
     // --- plan pin: zero BroadcastExchange under threshold = -1 ---
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val plan = Similarity.bitextMarginMineLsh(xs, ys, k = 4, nPlanes = 4)
-      .queryExecution.executedPlan.toString()
-    val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
-    println(s"broadcast_exchanges_with_threshold_off=$nBroadcast " +
-      s"(MUST be 0: all joins keyed shuffle, no corpus side resident)")
+    for ((name, df) <- Seq(
+        "lsh" -> Similarity.bitextMarginMineLsh(xs, ys, k = 4, nPlanes = 4),
+        "ivf" -> Similarity.bitextMarginMineIvf(xs, ys, k = 4,
+          nlist = 16, nprobe = 4))) {
+      val plan = df.queryExecution.executedPlan.toString()
+      val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
+      println(s"${name}_broadcast_exchanges_with_threshold_off=$nBroadcast " +
+        s"(MUST be 0: all joins keyed shuffle, no corpus side resident)")
+    }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     // --- recall: agreement vs brute across nPlanes and seed counts ---

@@ -703,4 +703,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lsh0 == brute)
   }
+
+  test("bitextMarginMineIvf: nprobe = nlist probes every cell = exact " +
+      "brute; pruned probes keep a sane fraction of winners") {
+    import org.apache.spark.sql.functions.col
+    val xs = corpus.filter(col("vec_id") % 2 === 0)
+    val ys = corpus.filter(col("vec_id") % 2 === 1)
+    val brute = Similarity.bitextMarginMine(xs, ys, k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    // every cell probed -> the candidate set is ALL pairs -> exact equality
+    // of the full relation, not just winners
+    val full = Similarity.bitextMarginMineIvf(xs, ys, k = 4,
+        nlist = 8, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(full == brute)
+    // pruning to 2 of 8 cells: one winner row per x survives, and on this
+    // random corpus a nontrivial share still agrees with brute
+    val pruned = Similarity.bitextMarginMineIvf(xs, ys, k = 4,
+        nlist = 8, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pruned.keySet == brute.keySet)
+    val agree = pruned.count { case (x, y) => brute(x)._1 == y }
+    assert(agree > pruned.size / 4, s"agreement too low: $agree/${pruned.size}")
+  }
 }
