@@ -42,9 +42,20 @@ object QualityPlanProbe {
     require(nMem >= 3,
       "perplexity census must be persisted and read by its consumers")
 
+    // r15: the TRIGRAM scorer's census must likewise be pinned — ONE
+    // trigram-keyed aggregation read by all five model-table consumers
+    // (c12, t2, c2, u1, U) plus the scoring join, never re-derived
+    val ppx3 = planOf("q_perplexity3")
+    val nMem3 = "InMemoryTableScan".r.findAllIn(ppx3).length
+    println(s"[qplan] q_perplexity3: in-memory census reads = $nMem3")
+    require(ppx3.contains("HashAggregate"),
+      "trigram census must partial-aggregate before its exchange")
+    require(nMem3 >= 4,
+      "trigram census must be persisted and read by its model-table consumers")
+
     // execution smoke at the probe SF so the pinned plans are the ones
     // that actually ran
-    Seq("q_dsir_weights", "q_perplexity_filter").foreach { n =>
+    Seq("q_dsir_weights", "q_perplexity_filter", "q_perplexity3").foreach { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[qplan] $n%-20s ran ${(System.nanoTime() - t0) / 1e9}%5.2f s")
