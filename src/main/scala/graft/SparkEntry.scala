@@ -2842,6 +2842,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), "sum_value"))
     }),
 
+    // Benford first-digit audit (the fabricated-numbers screen): exact
+    // leading-digit counts from the DECIMAL STRING rendering, observed
+    // share vs Benford's log10(1+1/d) expectation in micros — one scan to
+    // a <=9-row agg, total via a 9-row window.
+    "q_benford" -> ((s, dir) =>
+      Curation.benfordProfile(t(s, dir, "orders"), "o_totalprice")),
+
     // Fixed-width numeric histogram: bucket index is exact integer
     // arithmetic (floor of a deterministic double division), one
     // partial-combined hash agg — the numeric-distribution profile that
@@ -7477,6 +7484,25 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // Benford audit: identical digit extraction (first [1-9] of the
+    // decimal rendering), identical division order, and the SAME
+    // expectation literals the engine plans (generated from one source)
+    "q_benford" -> {
+      val expCase = graft.operators.Curation.benfordExpMicros
+        .map { case (d, m) => s"WHEN $d THEN CAST($m AS BIGINT)" }
+        .mkString(" ")
+      s"""WITH f AS (SELECT regexp_extract(CAST(o_totalprice AS VARCHAR),
+         |             '[1-9]', 0) AS fd FROM orders),
+         |g AS (SELECT CAST(fd AS INT) AS digit, CAST(count(*) AS BIGINT) AS n
+         |      FROM f WHERE fd <> '' GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+         |SELECT digit, n,
+         |  CAST(round(CAST(n AS DOUBLE) * 1000000.0e0 / CAST(nt AS DOUBLE))
+         |       AS BIGINT) AS share_micro,
+         |  CASE digit $expCase END AS exp_micro
+         |FROM g, t""".stripMargin
+    },
 
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

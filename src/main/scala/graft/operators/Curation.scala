@@ -638,6 +638,48 @@ object Curation {
         coalesce(col("sum_lp_q"), lit(0L)).as("sum_lp_q"))
   }
 
+  /** Benford first-significant-digit audit of a numeric column — the
+    * classic fabricated/corrupted-numbers screen for ingested tabular
+    * data (naturally-occurring multiplicative quantities follow
+    * P(d) = log₁₀(1+1/d); uniform or hand-typed values don't). Returns
+    * one row per observed leading digit: `(digit, n, share_micro,
+    * exp_micro)` — the exact count, the observed share in micros
+    * (round(n·10⁶/total), one deterministic division), and Benford's
+    * expected share in micros (a plan literal: both engines state
+    * round(log₁₀(1+1/d)·10⁶) identically). Zero/null values carry no
+    * leading digit and are excluded. The first digit is extracted from
+    * the value's DECIMAL STRING rendering — exact, where
+    * `floor(v/10^floor(log10 v))` misrounds at powers of ten.
+    *
+    * Scale shape: ONE scan to a ≤9-row hash agg (map-side combined); the
+    * total is a window over those ≤9 rows — no second pass, no driver
+    * traffic. Thresholding (χ², max deviation) is the caller's 9-row
+    * concern. */
+  def benfordProfile(
+      df: DataFrame,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fd = regexp_extract(col(valueCol).cast("string"), "[1-9]", 0)
+    val expMicro = (1 to 9).map(d =>
+      d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000.0)).toMap
+    val expCol = (1 to 9).foldLeft(lit(null).cast("long")) { (acc, d) =>
+      when(col("digit") === d, lit(expMicro(d))).otherwise(acc)
+    }
+    df.select(fd.as("__fd")).filter(col("__fd") =!= "")
+      .groupBy(col("__fd").cast("int").as("digit"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("__nt", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") * lit(1000000.0) /
+          col("__nt").cast("double")).cast("long").as("share_micro"),
+        expCol.as("exp_micro"))
+  }
+
+  /** The per-digit Benford expectations as micros — shared with the SQL
+    * oracle so both engines state identical literals. */
+  private[graft] def benfordExpMicros: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000.0))
+
   /** TRIGRAM interpolated Kneser–Ney log-probability per document — the
     * higher-order sibling of [[perplexityScore]], one order below the
     * 5-gram KenLM models CCNet ships but with the full KN structure:

@@ -1267,6 +1267,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("no bigrams"))
   }
 
+  test("benfordProfile: first digit from the decimal rendering (sub-1 " +
+      "values included), zeros/nulls excluded, exact micro shares") {
+    import spark.implicits._
+    val df = Seq[Option[Double]](Some(123.45), Some(0.0052), Some(900.0),
+      Some(0.0), None, Some(1999.99)).toDF("v")
+    val got = Curation.benfordProfile(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // digits: 1 (123.45, 1999.99), 5 (0.0052 — the sub-1 case the
+    // log10-floor formulation would misroute), 9 (900.0); total 4
+    assert(got == Map(
+      1 -> ((2L, 500000L, math.round(math.log10(2.0) * 1000000.0))),
+      5 -> ((1L, 250000L, math.round(math.log10(1.2) * 1000000.0))),
+      9 -> ((1L, 250000L, math.round(math.log10(10.0 / 9.0) * 1000000.0)))))
+  }
+
   test("perplexityScore3: trigram KN cascade by hand — all four backoff " +
       "branches, exact fixed-point sums, short docs, fail-fast") {
     import spark.implicits._
