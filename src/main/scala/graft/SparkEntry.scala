@@ -121,7 +121,9 @@ object SparkEntry {
       case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
       case None => s.conf.unset("spark.sql.shuffle.partitions")
     }
-    s.read.parquet(s"$base/out")
+    // _batch_id is the sink's exactly-once partition key (per-batch dynamic
+    // overwrite) — provenance, not part of the scored relation the gate pins
+    s.read.parquet(s"$base/out").drop("_batch_id")
   }
 
   /** JVM-exit cleanup for gate temp dirs: registered once per distinct

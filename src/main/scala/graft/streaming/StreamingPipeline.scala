@@ -692,11 +692,16 @@ object StreamingPipeline {
     * one batch) — the standard production shape for ingest-time
     * corpus-relative scoring (bigram rarity, drift z-scores) whose
     * per-doc aggregation would otherwise force update mode and lose the
-    * file sink. Delivery matches [[startShardedJsonlSink]]: foreachBatch
-    * re-runs a failed batch and a blind append is not idempotent, so
-    * crash delivery is AT-LEAST-ONCE — deterministic row ids make
-    * read-side dedup trivial; exactly-once is [[startFileSink]]'s
-    * in-plan path. */
+    * file sink.
+    *
+    * Delivery is EXACTLY-ONCE: each micro-batch lands in its own
+    * `_batch_id=<id>` partition via dynamic partition overwrite, so a
+    * foreachBatch re-run of a failed batch REPLACES its partition
+    * instead of double-appending (the idempotent-writer half of the
+    * checkpoint contract — same discipline as
+    * [[graft.sources.Sinks.compact]]'s marker). Readers see `_batch_id`
+    * as an extra partition column; drop it if batch provenance is not
+    * wanted. */
   def startScoredParquetSink(
       df: DataFrame,
       score: DataFrame => DataFrame,
@@ -704,13 +709,36 @@ object StreamingPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     df.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        score(batch.toDF()).write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        writeScoredBatch(batch.toDF(), score, outDir, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** The idempotent per-batch writer behind [[startScoredParquetSink]]:
+    * scores one micro-batch and overwrites ONLY the `_batch_id=<id>`
+    * partition (dynamic partitionOverwriteMode, scoped to this write
+    * and restored after). Calling it twice with the same batchId — the
+    * crash-replay case — leaves exactly one copy of the batch's rows. */
+  private[graft] def writeScoredBatch(
+      batch: DataFrame,
+      score: DataFrame => DataFrame,
+      outDir: String,
+      batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, "dynamic")
+    try
+      score(batch)
+        .withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("_batch_id").parquet(outDir)
+    finally prev match {
+      case Some(v) => sp.conf.set(key, v)
+      case None => sp.conf.unset(key)
+    }
+  }
 
   /** Results sink: append files + checkpoint — the analog of the reference's
     * job<k>_results.log with exactly-once instead of at-least-once. */

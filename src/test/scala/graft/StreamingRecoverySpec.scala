@@ -385,4 +385,63 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
     // warm-up buckets (h0: 0-ring; h1: 1; h2: 2) unflagged
     assert(result.take(3).forall(!_._4))
   }
+
+  test("scored parquet sink replaces a replayed batch instead of double-appending (exactly-once)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_score_out").toString
+    // the crash-replay case distilled: foreachBatch re-invokes the writer
+    // with the SAME batchId after a failure past the write
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    def double(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("score", length(col("v")) * 2)
+    StreamingPipeline.writeScoredBatch(b0, double, out, batchId = 0L)
+    StreamingPipeline.writeScoredBatch(b0, double, out, batchId = 0L) // replay
+    StreamingPipeline.writeScoredBatch(
+      Seq((3L, "c")).toDF("id", "v"), double, out, batchId = 1L)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3L, "replayed batch 0 must replace, not append")
+    assert(rows.select("_batch_id").distinct().as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L))
+  }
+
+  test("scored sink end-to-end: deleting the last checkpoint commit replays the batch without duplicates") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sps_in").toString
+    val out = Files.createTempDirectory("graft_sps_out").toString
+    val ckpt = Files.createTempDirectory("graft_sps_ckpt").toString
+
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_sps_stage").resolve("w").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    writeFile("b1.parquet", Seq((1L, "alpha"), (2L, "beta")))
+    writeFile("b2.parquet", Seq((3L, "gamma")))
+    lazy val schema = spark.read.parquet(in).schema
+    def startQuery() = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      StreamingPipeline.startScoredParquetSink(
+        src, b => b.withColumn("n_chars", length(col("text"))), out, ckpt)
+    }
+    val q1 = startQuery(); q1.awaitTermination(60000); assert(!q1.isActive)
+    assert(spark.read.parquet(out).count() == 3L)
+
+    // crash AFTER the batch-1 write but BEFORE its commit: drop the newest
+    // commit marker so the restarted query re-runs that micro-batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length == 2, s"expected 2 commits, got ${commits.length}")
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete()) // hadoop checksum sidecar
+    val q2 = startQuery(); q2.awaitTermination(60000)
+
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3L, "replayed micro-batch must not double-append")
+    assert(rows.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
 }
