@@ -2913,6 +2913,37 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1), k = 4, nlist = 16, nprobe = 4)
     }),
 
+    // The TRAINED-quantizer IVF path under the gate, as an agreement
+    // readout against the brute winners: 3 Lloyd rounds of kmeansIterate
+    // over the y side replace the deterministic lowest-id seeds at the
+    // SAME nlist/nprobe — data-following cells prune better at equal
+    // candidate budget (agreement 157/250 trained vs 113/250
+    // deterministic on this corpus — tools/BitextProbe pins the lift;
+    // rounds 1/3/5 give 158/157/160, so 3 is past the knee).
+    // The trained centroids are nlist rows of driver-bounded metadata,
+    // collected once to re-literal both the engine codebook and the
+    // oracle (the q_ann_recall_refined discipline).
+    "q_bitext_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val xsS = emb.filter(col("vec_id") % 2 === 0)
+      val ysS = emb.filter(col("vec_id") % 2 === 1)
+      val cents: Array[Array[Double]] =
+        Similarity.kmeansIterate(ysS, k = 16, rounds = 3)
+          .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      bitextTrainedCents = Some(cents)
+      import s.implicits._
+      val cb = cents.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "cv")
+      val brute = Similarity.bitextMarginMine(xsS, ysS, k = 4)
+        .select(col("x_id"), col("y_id").as("y_brute"))
+      val ivf = Similarity.bitextMarginMineIvf(xsS, ysS, k = 4, nlist = 16,
+          nprobe = 4, codebookSource = Some(cb))
+        .select(col("x_id"), col("y_id").as("y_ivf"))
+      brute.join(ivf, Seq("x_id"))
+        .select(col("x_id"), col("y_brute"), col("y_ivf"),
+          (col("y_brute") === col("y_ivf")).as("agree"))
+    }),
+
     // Agreement readout: for each x, does the LSH-candidate winner equal
     // the brute winner? The gated price of pruning: the synthetic
     // embeddings are RANDOM (no cluster structure — LSH's worst case), so
@@ -4283,8 +4314,52 @@ object SparkEntry {
     }.toMap
   }
 
+  /** Trained IVF centroids captured by q_bitext_ivf_trained (nlist rows of
+    * metadata) — the oracle embeds them verbatim, like [[ivfOracleEntry]]. */
+  @volatile private var bitextTrainedCents: Option[Array[Array[Double]]] = None
+  @volatile private var warnedBitextTrainedOmitted = false
+
+  /** q_bitext_ivf_trained's oracle: the q_bitext_ivf cell-assignment replay
+    * with the captured trained centroids as distance literals, joined per-x
+    * against the brute winners. Absent a run, omitted (rows-only). */
+  private def bitextTrainedOracleEntry: Map[String, String] = {
+    if (bitextTrainedCents.isEmpty && !warnedBitextTrainedOmitted) {
+      warnedBitextTrainedOmitted = true
+      System.err.println(
+        "WARN oracleSql: q_bitext_ivf_trained oracle OMITTED — " +
+          "bitextTrainedCents unset (run the q_bitext_ivf_trained query in " +
+          "this JVM before reading oracleSql); the gate degrades to rows-only")
+    }
+    bitextTrainedCents.map { cents =>
+      val cellDists = cents.zipWithIndex.map { case (ctr, i) =>
+        s"""  SELECT vec_id, $i AS cell, list_sum(list_transform(list_zip(e, ${sqlDoubles(ctr)}),
+           |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d FROM v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val probes = math.min(4, cents.length)
+      val extra =
+        s"""cd AS (
+           |$cellDists),
+           |rnk AS (SELECT vec_id, cell,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+           |        FROM cd),
+           |ycell AS (SELECT vec_id, cell FROM rnk WHERE rn = 1 AND vec_id % 2 = 1),
+           |xprob AS (SELECT vec_id, cell FROM rnk WHERE rn <= $probes AND vec_id % 2 = 0)""".stripMargin
+      val cand =
+        """AND EXISTS (SELECT 1 FROM xprob p JOIN ycell yc
+          |    ON p.cell = yc.cell
+          |    WHERE p.vec_id = x.vec_id AND yc.vec_id = y.vec_id)""".stripMargin
+      "q_bitext_ivf_trained" ->
+        s"""WITH brute AS (${bitextWinnersSql()}),
+           |ivf AS (${bitextWinnersSql(cand, extra)})
+           |SELECT b.x_id, b.y_id AS y_brute, i.y_id AS y_ivf,
+           |  b.y_id = i.y_id AS agree
+           |FROM brute b JOIN ivf i USING (x_id)""".stripMargin
+    }.toMap
+  }
+
   def oracleSql: Map[String, String] =
-    ivfOracleEntry ++ refinedRecallOracleEntry ++ Map(
+    ivfOracleEntry ++ refinedRecallOracleEntry ++
+      bitextTrainedOracleEntry ++ Map(
     "q_filter" ->
       "SELECT doc_id, text FROM documents WHERE contains(lower(text), 'window')",
 

@@ -394,6 +394,12 @@ object Retrieval {
     * (or null text) score (0, 0, 0) with zero ratios — define-away, not
     * null, so downstream threshold cuts need no null policy.
     *
+    * PRECONDITION: `idCol` must be unique in `pairs` (one candidate/
+    * reference pair per id — the per-doc contract shared with the other
+    * id-keyed scorers). Duplicate ids would pool gram counts across the
+    * duplicates while the un-deduplicated id spine repeats the merged
+    * score once per input row — silently wrong, not an error.
+    *
     * Scale shape: two tokenize scans of the pair table collapse map-side
     * to (id, gram, count) partial aggs; the clipped-count match is ONE
     * (id, gram)-keyed inner join (only SHARED gram types meet — the

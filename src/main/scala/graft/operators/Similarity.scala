@@ -538,9 +538,14 @@ object Similarity {
     * rule), so the candidate set is the co-cell pairs. Centroids are
     * DETERMINISTIC — the `nlist` lowest-id y vectors, the
     * [[assignToCentroids]] seeding convention — so the whole relation is
-    * a pure, engine-checkable function of its inputs; swap in
-    * [[annIvf]]'s trained quantizer when centroid quality matters (the
-    * scoring plan is identical, the [[pqEncode]] codebook convention).
+    * a pure, engine-checkable function of its inputs; pass
+    * `codebookSource` — a (cell_id, vector) frame, e.g.
+    * [[kmeansIterate]]'s (cid, cv) output — to swap in a TRAINED coarse
+    * quantizer when centroid quality matters (the scoring plan is
+    * identical; cells index by ascending cell_id). The codebook is
+    * BOUNDED METADATA — nlist rows, the driver's index artifact, same
+    * contract as [[pqSearch]]'s codebookSource — and caps at `nlist`
+    * lowest-cell_id rows.
     * Same scale shape as [[bitextMarginMineLsh]]: the cell join carries
     * BARE ids, cell-SALTED (nlist cells are few reducer keys), vectors
     * rejoin on their own high-cardinality ids — neither corpus is ever
@@ -556,7 +561,8 @@ object Similarity {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      salt: Int = 16): DataFrame = {
+      salt: Int = 16,
+      codebookSource: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(nlist >= 1, s"nlist must be >= 1: $nlist")
     require(nprobe >= 1 && nprobe <= nlist,
@@ -568,9 +574,13 @@ object Similarity {
     val y = ys.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("y_id"), col(vecCol).as("y_v"))
       .repartition(parts)
-    // bounded codebook collect: nlist rows (the driver's index artifact)
-    val seedRows = y.orderBy(col("y_id").asc).limit(nlist).collect()
-    require(seedRows.nonEmpty, "bitextMarginMineIvf: empty y corpus")
+    // bounded codebook collect: nlist rows (the driver's index artifact) —
+    // trained cells if a codebook frame is supplied, else the deterministic
+    // lowest-id y seeds
+    val cbSrc = codebookSource.getOrElse(y)
+    val seedRows = cbSrc.orderBy(col(cbSrc.columns.head).asc)
+      .limit(nlist).collect()
+    require(seedRows.nonEmpty, "bitextMarginMineIvf: empty codebook source")
     val centroids = seedRows.sortBy(_.getLong(0)).map(_.getSeq[Any](1).map {
       case f: Float => f.toDouble
       case d: Double => d
@@ -695,6 +705,11 @@ object Similarity {
     vecs.select(col(idCol),
       projectSignsQuantized(col(vecCol), makeSigns(outDims, dim, seed)).as("proj"))
 
+  /** See [[graft.ops.Pins.releaseCheckpoint]] — the shared release for
+    * eager localCheckpoint pins (Dataset.unpersist is a no-op on them). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    graft.ops.Pins.releaseCheckpoint(df)
+
   /** Greedy k-center coreset selection (Gonzalez farthest-first — the
     * classic 2-approximation to the k-center cover): seed with the
     * smallest id, then k−1 rounds of "the point farthest from everything
@@ -713,11 +728,6 @@ object Similarity {
     * the selected points themselves. Distances are the same left-fold
     * Σ(v−c)² as the IVF assignment, bit-identical to the oracle's
     * list_sum replay. */
-  /** See [[graft.ops.Pins.releaseCheckpoint]] — the shared release for
-    * eager localCheckpoint pins (Dataset.unpersist is a no-op on them). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    graft.ops.Pins.releaseCheckpoint(df)
-
   def kCenterGreedy(
       vecs: DataFrame,
       k: Int,

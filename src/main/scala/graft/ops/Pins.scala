@@ -18,12 +18,20 @@ import org.apache.spark.sql.DataFrame
   * cannot be recomputed — so release a pin ONLY once (a) the next round's
   * pin has MATERIALIZED (eager checkpoint, or a lazy one forced by an
   * action) and (b) no returned plan reads the released frame. Every call
-  * site must hold both. */
+  * site must hold both. Pass the CHECKPOINTED FRAME ITSELF, not a plan
+  * derived from several pins: the release unpersists EVERY LogicalRDD
+  * leaf it finds, so a join of two pinned frames would release a sibling
+  * pin that later reads still need — unrecoverable, since there is no
+  * lineage to recompute from. The leaf count is asserted. */
 object Pins {
-  def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false): Unit
-      case _ => ()
+  def releaseCheckpoint(df: DataFrame): Unit = {
+    val leaves = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
     }
+    require(leaves.size <= 1,
+      s"Pins.releaseCheckpoint: plan has ${leaves.size} LogicalRDD leaves — " +
+        "releasing would unpersist sibling pins with no lineage to recover " +
+        "from; pass the single checkpointed frame itself")
+    leaves.foreach(_.rdd.unpersist(blocking = false): Unit)
+  }
 }

@@ -4,19 +4,25 @@ import graft.operators.Similarity
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe for the bitext LSH path, two readouts:
+/** Scratch probe for the bitext scale paths, three readouts:
   *
   * 1. PLAN pin — with size-based broadcasts disabled
   *    (autoBroadcastJoinThreshold = -1) the physical plan of
-  *    `bitextMarginMineLsh` must contain ZERO BroadcastExchange nodes:
-  *    every join is keyed shuffle, so neither corpus side is ever
-  *    required to fit in executor memory. An explicit `broadcast()`
-  *    in the operator would survive the threshold and fail this pin
-  *    (the r14 finding: `y.join(broadcast(x), "bucket")` broadcast a
-  *    corpus-sized exploded probe frame).
+  *    `bitextMarginMineLsh` / `bitextMarginMineIvf` must contain ZERO
+  *    BroadcastExchange nodes: every join is keyed shuffle, so neither
+  *    corpus side is ever required to fit in executor memory. An
+  *    explicit `broadcast()` in the operator would survive the
+  *    threshold and fail this pin (the r14 finding:
+  *    `y.join(broadcast(x), "bucket")` broadcast a corpus-sized
+  *    exploded probe frame). ASSERTED, not just printed — a regression
+  *    aborts the probe (the QualityPlanProbe discipline).
   * 2. RECALL table — LSH-candidate winner agreement vs brute at several
   *    pruning levels and SEED COUNTS (multi-seed candidate union), the
   *    threshold-selection evidence for the q_bitext_recall* gates.
+  * 3. IVF TRAINED vs DETERMINISTIC — winner agreement vs brute for the
+  *    lowest-id-seeded cells and for kmeansIterate-trained cells at the
+  *    SAME nlist/nprobe, the evidence for q_bitext_ivf_trained
+  *    (trained cells must prune at least as well at equal budget).
   */
 object BitextProbe {
   def main(args: Array[String]): Unit = {
@@ -38,21 +44,42 @@ object BitextProbe {
       val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
       println(s"${name}_broadcast_exchanges_with_threshold_off=$nBroadcast " +
         s"(MUST be 0: all joins keyed shuffle, no corpus side resident)")
+      require(nBroadcast == 0,
+        s"$name: $nBroadcast BroadcastExchange nodes with size-based " +
+          "broadcasts off — a corpus side is being broadcast (r14 regression)")
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     // --- recall: agreement vs brute across nPlanes and seed counts ---
     val brute = Similarity.bitextMarginMine(xs, ys, k = 4)
       .select(col("x_id"), col("y_id").as("yb"))
-    val seedPool = Seq(0x5DEECE66DL, 0x9E3779B9L, 0x2545F491L)
-    for (n <- Seq(2, 4); nSeeds <- Seq(1, 2, 3)) {
-      val lsh = Similarity.bitextMarginMineLsh(xs, ys, k = 4, nPlanes = n,
-          seeds = seedPool.take(nSeeds))
-        .select(col("x_id"), col("y_id").as("yl"))
-      val a = brute.join(lsh, Seq("x_id"))
+    def agreement(approx: org.apache.spark.sql.DataFrame): (Any, Any) = {
+      val a = brute.join(approx.select(col("x_id"), col("y_id").as("yl")),
+          Seq("x_id"))
         .agg(sum(when(col("yb") === col("yl"), 1).otherwise(0)), count(lit(1)))
         .collect()(0)
-      println(s"nPlanes=$n seeds=$nSeeds agree=${a.get(0)}/${a.get(1)}")
+      (a.get(0), a.get(1))
+    }
+    val seedPool = Seq(0x5DEECE66DL, 0x9E3779B9L, 0x2545F491L)
+    for (n <- Seq(2, 4); nSeeds <- Seq(1, 2, 3)) {
+      val (ag, tot) = agreement(Similarity.bitextMarginMineLsh(
+        xs, ys, k = 4, nPlanes = n, seeds = seedPool.take(nSeeds)))
+      println(s"nPlanes=$n seeds=$nSeeds agree=$ag/$tot")
+    }
+
+    // --- IVF: deterministic lowest-id cells vs kmeansIterate-trained ---
+    val (agDet, totDet) = agreement(Similarity.bitextMarginMineIvf(
+      xs, ys, k = 4, nlist = 16, nprobe = 4))
+    println(s"ivf_deterministic nlist=16 nprobe=4 agree=$agDet/$totDet")
+    for (rounds <- Seq(1, 3, 5)) {
+      val cents = Similarity.kmeansIterate(ys, k = 16, rounds = rounds)
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      import spark.implicits._
+      val cb = cents.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "cv")
+      val (ag, tot) = agreement(Similarity.bitextMarginMineIvf(
+        xs, ys, k = 4, nlist = 16, nprobe = 4, codebookSource = Some(cb)))
+      println(s"ivf_trained rounds=$rounds nlist=16 nprobe=4 agree=$ag/$tot")
     }
     spark.stop()
   }

@@ -728,4 +728,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val agree = pruned.count { case (x, y) => brute(x)._1 == y }
     assert(agree > pruned.size / 4, s"agreement too low: $agree/${pruned.size}")
   }
+
+  test("bitextMarginMineIvf codebookSource: explicit lowest-id seeds reproduce " +
+      "the default; trained cells keep the one-winner-per-x contract") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val xs = corpus.filter(col("vec_id") % 2 === 0)
+    val ys = corpus.filter(col("vec_id") % 2 === 1)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    val default = keyed(Similarity.bitextMarginMineIvf(xs, ys, k = 4,
+      nlist = 8, nprobe = 2))
+    // rounds = 0 kmeans = the same lowest-id seeds, passed explicitly:
+    // the codebook path must reproduce the default relation exactly
+    val seeds = Similarity.kmeansIterate(ys, k = 8, rounds = 0)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val cbSeed = seeds.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "cv")
+    val explicit = keyed(Similarity.bitextMarginMineIvf(xs, ys, k = 4,
+      nlist = 8, nprobe = 2, codebookSource = Some(cbSeed)))
+    assert(explicit == default)
+    // trained cells: still exactly one winner per x, same x spine
+    val trained = Similarity.kmeansIterate(ys, k = 8, rounds = 2)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val cbTr = trained.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "cv")
+    val got = keyed(Similarity.bitextMarginMineIvf(xs, ys, k = 4,
+      nlist = 8, nprobe = 2, codebookSource = Some(cbTr)))
+    assert(got.keySet == default.keySet)
+  }
 }
