@@ -511,9 +511,9 @@ object Curation {
     *
     * Cache lifetime: the bigram census behind the model is lazily
     * persisted MEMORY_AND_DISK (one corpus scan shared by its four
-    * consumers — [[knModel]]); blocks are reclaimed by the context
-    * cleaner once the returned frame is dropped, so repeated calls in a
-    * long-lived session hold one cached census per reachable result. */
+    * consumers — [[knModel]]) under a SCOPED lifetime
+    * ([[graft.ops.Pins.scopedPersist]]): the next call releases the
+    * previous census, so a long-lived session holds at most one. */
   def kneserNeyStats(
       df: DataFrame,
       topK: Int = 200,
@@ -534,17 +534,17 @@ object Curation {
     * readout) share ONE corpus scan + shuffle — unpinned, the plan
     * re-derived it per consumer (16 parquet scans measured on
     * q_perplexity_filter at sf0.1; ReuseExchange recovered only 4).
-    * Cache lifetime follows [[graft.operators.Dedup.removeRepeatedSpans]]:
-    * blocks live while the returned frame is reachable, reclaimed by the
-    * context cleaner after the caller drops its result. */
+    * Cache lifetime is SCOPED via [[graft.ops.Pins.scopedPersist]]: the
+    * next knModel call releases this census's blocks, so a long-lived
+    * session holds at most one cached bigram census (a superseded census
+    * still referenced by an old result recomputes from lineage). */
   private def knModel(df: DataFrame, textCol: String): DataFrame = {
     import graft.functions.TextFunctions
-    val c = df
+    val c = graft.ops.Pins.scopedPersist("curation.knModel", df
       .select(explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
       .select(substring_index(col("__bg"), " ", 1).as("w1"),
         substring_index(col("__bg"), " ", -1).as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c2")))
     val pre = c.groupBy("w1").agg(sum(col("c2")).cast("long").as("cpre"),
       count(lit(1)).cast("long").as("n1fwd"))
     val back = c.groupBy("w2").agg(count(lit(1)).cast("long").as("n1back"))
@@ -587,10 +587,12 @@ object Curation {
     * rollup. Zero driver traffic beyond the 1-row fallback scalar.
     *
     * Cache lifetime: the reference's bigram census is lazily persisted
-    * MEMORY_AND_DISK inside the model ([[knModel]]); the context cleaner
-    * reclaims it once the caller drops the returned frame — score many
-    * corpora against ONE reference by reusing one returned model-scored
-    * frame per call, not by re-invoking in a tight driver loop. */
+    * MEMORY_AND_DISK inside the model ([[knModel]]) under a SCOPED
+    * lifetime ([[graft.ops.Pins.scopedPersist]] — the next call releases
+    * it); score many corpora against ONE reference by reusing one
+    * returned model-scored frame per call, not by re-invoking in a tight
+    * driver loop (each re-invocation un-caches the prior model's census,
+    * so interleaved use of old frames recomputes). */
   def perplexityScore(
       docs: DataFrame,
       reference: DataFrame,
@@ -729,9 +731,9 @@ object Curation {
         substring_index(col("__tg"), " ", 1).as("w1") :+
         substring_index(substring_index(col("__tg"), " ", 2), " ", -1).as("w2") :+
         substring_index(col("__tg"), " ", -1).as("w3"): _*)
-    val census = split3(reference, Nil)
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).cast("long").as("t3"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val census = graft.ops.Pins.scopedPersist("curation.trigramCensus",
+      split3(reference, Nil)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).cast("long").as("t3")))
     val c12 = census.groupBy("w1", "w2")
       .agg(sum(col("t3")).cast("long").as("c12"),
         count(lit(1)).cast("long").as("n12"))
@@ -928,10 +930,10 @@ object Curation {
     * costs are the scan and the (id, bucket) combine.
     *
     * Cache lifetime: the (id, bucket) census is lazily persisted
-    * MEMORY_AND_DISK so both consumers share one tokenize scan; the
-    * blocks are reclaimed by the context cleaner once the caller drops
-    * the returned frame — a long-lived session issuing MANY independent
-    * calls holds one cached census per still-reachable result. */
+    * MEMORY_AND_DISK so both consumers share one tokenize scan, under a
+    * SCOPED lifetime ([[graft.ops.Pins.scopedPersist]]) — the next dsir
+    * call releases the previous census, so a long-lived session issuing
+    * MANY independent calls holds at most one cached census. */
   def dsirLogRatios(
       docs: DataFrame,
       targetPred: Column,
@@ -942,15 +944,15 @@ object Curation {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val b = pmod(conv(substring(md5(col("__bg")), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
-    // persisted LAZILY: the census re-agg and the scoring join are two
-    // consumers of this one tokenize scan (same lifetime note as knModel)
-    val perDoc = docs
+    // persisted LAZILY under a SCOPED lifetime (Pins.scopedPersist — the
+    // next dsir call releases this one): the census re-agg and the scoring
+    // join are two consumers of this one tokenize scan
+    val perDoc = graft.ops.Pins.scopedPersist("curation.dsir", docs
       .select(col(idCol), targetPred.as("__tgt"),
         explode(TextFunctions.shinglesNative(col(textCol), 2)).as("__bg"))
       .select(col(idCol), col("__tgt"), b.as("__b"))
       .groupBy(col(idCol), col("__tgt"), col("__b"))
-      .agg(count(lit(1)).cast("long").as("__cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).cast("long").as("__cnt")))
     val census = perDoc.groupBy(col("__b"))
       .agg(sum(when(col("__tgt"), col("__cnt")).otherwise(0L)).cast("long").as("__ct"),
         sum(when(col("__tgt"), 0L).otherwise(col("__cnt"))).cast("long").as("__cs"))

@@ -1512,4 +1512,56 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // (x y) and (z w) tie at c2=2: w1 breaks the tie, c2=1 rows cut
     assert(got.toSeq == Seq(("x", "y", 2L), ("z", "w", 2L)))
   }
+
+  test("scoped census lifetime: re-registering a tag releases the previous " +
+      "census; a repeated entry-point call leaves at most one cached") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // registry mechanics: replace-on-reregister
+    val p1 = graft.ops.Pins.scopedPersist("spec.census",
+      Seq(1, 2).toDF("a").groupBy("a").count())
+    assert(p1.storageLevel != StorageLevel.NONE)
+    val p2 = graft.ops.Pins.scopedPersist("spec.census",
+      Seq(3, 4).toDF("a").groupBy("a").count())
+    assert(p1.storageLevel == StorageLevel.NONE,
+      "superseded census must be unpersisted")
+    assert(p2.storageLevel != StorageLevel.NONE)
+    // same-plan re-registration must NOT evict (Spark's cache is keyed by
+    // plan — unpersisting the old frame would drop the new one's entry too)
+    val p3 = graft.ops.Pins.scopedPersist("spec.census",
+      Seq(3, 4).toDF("a").groupBy("a").count())
+    assert(p2.storageLevel != StorageLevel.NONE)
+    assert(p3.storageLevel != StorageLevel.NONE)
+    p3.unpersist(blocking = false)
+
+    // entry-point balance: the previous knModel census must not survive a
+    // NEW perplexityScore call against a different reference
+    val docs = Seq((1L, "a b c a b"), (2L, "b c d b c")).toDF("doc_id", "text")
+    Curation.perplexityScore(docs, docs.filter($"doc_id" === 1L)).count(): Unit
+    val census1 = graft.ops.Pins.scopedEntry("curation.knModel").get
+    assert(census1.storageLevel != StorageLevel.NONE)
+    Curation.perplexityScore(docs, docs.filter($"doc_id" === 2L)).count(): Unit
+    assert(census1.storageLevel == StorageLevel.NONE,
+      "previous knModel census survived a new entry-point call")
+    val census2 = graft.ops.Pins.scopedEntry("curation.knModel").get
+    assert(census2.storageLevel != StorageLevel.NONE)
+    census2.unpersist(blocking = false)
+
+    // same balance for the dsir census
+    Curation.dsirLogRatios(docs, $"doc_id" === 1L, buckets = 16).count(): Unit
+    val d1 = graft.ops.Pins.scopedEntry("curation.dsir").get
+    Curation.dsirLogRatios(docs, $"doc_id" === 2L, buckets = 16).count(): Unit
+    assert(d1.storageLevel == StorageLevel.NONE,
+      "previous dsir census survived a new entry-point call")
+    graft.ops.Pins.scopedEntry("curation.dsir").get.unpersist(blocking = false)
+
+    // and the trigram census
+    Curation.perplexityScore3(docs, docs.filter($"doc_id" === 1L)).count(): Unit
+    val t1 = graft.ops.Pins.scopedEntry("curation.trigramCensus").get
+    Curation.perplexityScore3(docs, docs.filter($"doc_id" === 2L)).count(): Unit
+    assert(t1.storageLevel == StorageLevel.NONE,
+      "previous trigram census survived a new entry-point call")
+    graft.ops.Pins.scopedEntry("curation.trigramCensus").get
+      .unpersist(blocking = false)
+  }
 }
