@@ -1673,6 +1673,26 @@ object SparkEntry {
       s.read.orc(out)
     }),
 
+    // AVRO source/sink ROUND TRIP under the hash gate: the ROW-oriented
+    // interchange format (Kafka payloads, log shipping) next to the
+    // columnar ORC/parquet gates. This Spark 4.1.2 build ships
+    // AvroFileFormat inside spark-sql itself but does NOT register it in
+    // META-INF/services (the `avro` alias fails with the "deploy
+    // spark-avro" error even though the class is on the classpath), so
+    // the gate addresses the FileFormat by fully-qualified class name —
+    // the documented lookupDataSource fallback. Same contract as
+    // q_source_orc: write + read back while the oracle reads the parquet
+    // original, putting the Avro type mapping (long/string/int) and
+    // value fidelity under the hash.
+    "q_source_avro" -> ((s, dir) => {
+      val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_gate_" +
+        ProcessHandle.current().pid()
+      registerTempDirCleanup(out)
+      t(s, dir, "documents").write.mode("overwrite").format(avroFmt).save(out)
+      s.read.format(avroFmt).load(out)
+    }),
+
     // Per-user activity trend: exact-integer least-squares slope fraction
     // over (day, daily count) points — two partial-agg shuffles, zero
     // windows, bit-exact where regr_slope's float accumulation is not.
@@ -8056,6 +8076,10 @@ object SparkEntry {
     // byte/type fidelity of the ORC write+read cycle vs the parquet
     // original
     "q_source_orc" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // same contract for the Avro row-format cycle
+    "q_source_avro" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // the decorated payload recomputed from the original: commas, a
