@@ -97,6 +97,38 @@ object SparkEntry {
     s.read.parquet(s"$base/out")
   }
 
+  /** [[runStreamGate]] plus the operational LATE-DATA readout: returns the
+    * drained sink AND the total `numRowsDroppedByWatermark` summed over
+    * every micro-batch's StreamingQueryProgress state operators — the
+    * metric a production watermark pipeline alarms on. The caller plants
+    * late rows via `extraLast` (they arrive under the watermark the
+    * in-order segments established) and pins the count next to the
+    * kept-set hash. */
+  private def runStreamGateDrops(
+      s: SparkSession,
+      staged: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      extraLast: Option[DataFrame])(
+      build: (() => DataFrame) => DataFrame): (DataFrame, Long) = {
+    val (base, inDir) = stageTimeSegments(staged, 4, orderCols, extraLast)
+    val schema = s.read.parquet(inDir).schema
+    def src(): DataFrame = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val prev = s.conf.getOption("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val dropped = try {
+      val q = graft.streaming.StreamingPipeline.startFileSink(
+        build(() => src()), s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+      q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
+      case None => s.conf.unset("spark.sql.shuffle.partitions")
+    }
+    (s.read.parquet(s"$base/out"), dropped)
+  }
+
   /** [[runStreamGate]]'s foreachBatch twin: same 4-segment staging and
     * checkpointed drain, but each micro-batch lands through
     * [[graft.streaming.StreamingPipeline.startScoredParquetSink]] — the
@@ -1462,6 +1494,48 @@ object SparkEntry {
         .where(col("event_type") =!= "__wm_flush__")
         .select(unix_timestamp(col("w_start")).as("w_start"),
           col("event_type"), col("n"))
+    }),
+
+    // LATE-DATA ACCOUNTING under the hash gate: the tumbling-window drain
+    // with ~7.7% of the events withheld and replayed AFTER the in-order
+    // segments established the watermark. Spark drops a late row iff its
+    // window END ≤ the filter watermark (boundary pinned in
+    // StreamingRecoverySpec), and — the production subtlety this gate
+    // exists to pin — a watermark advance takes effect ONE TRIGGER LATER:
+    // the late batch (5th file) filters under the watermark planned from
+    // data through segment 3, not segment 4 (verified against the
+    // checkpoint offset log: batch 4 filtered at offsets/3's
+    // batchWatermarkMs). So W = max ts of the first 3 ntile segments −
+    // 2h; the kept set is main ∪ {late rows in windows ending after W},
+    // and the DROPPED count (summed numRowsDroppedByWatermark over every
+    // StreamingQueryProgress — the signal a production watermark pipeline
+    // alarms on) rides the same hash as a (-1, '__dropped__', n)
+    // accounting row. Second pinned subtlety: the metric counts rows
+    // dropped AT THE STATE STORE — i.e., after the map-side partial
+    // aggregation — so it is the number of dropped (window, key) GROUPS
+    // in the late batch, not raw input rows (561 groups over 575 rows
+    // here). The oracle restates all of it from the staging + watermark
+    // arithmetic alone (ntile replay + DISTINCT group count).
+    "q_stream_late_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"))
+      val main = events.filter(col("event_id") % 13 =!= 0)
+      val late = events.filter(col("event_id") % 13 === 0)
+      val maxTs = main.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinel = s.range(1).select(
+        lit("__wm_flush__").as("event_type"),
+        timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts"),
+        lit(-1L).as("event_id"))
+      val (sink, dropped) = runStreamGateDrops(s, main,
+          Seq(col("ts"), col("event_id")),
+          extraLast = Some(late.union(sentinel))) { src =>
+        graft.streaming.StreamingPipeline.windowedCounts(src())
+      }
+      sink.where(col("event_type") =!= "__wm_flush__")
+        .select(unix_timestamp(col("w_start")).as("w_start"),
+          col("event_type"), col("n"))
+        .union(s.range(1).select(lit(-1L).as("w_start"),
+          lit("__dropped__").as("event_type"), lit(dropped).as("n")))
     }),
 
     // The SLIDING-WINDOW variant under the hash gate: each event lands in
@@ -6203,6 +6277,29 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // late-data accounting: watermark = max main ts − 2h (ms floor, the
+    // engine's clock); a late row is dropped iff its hourly window END ≤
+    // watermark, kept rows merge into the tumbling counts, and the
+    // dropped total rides as the (-1, '__dropped__') accounting row
+    "q_stream_late_gate" ->
+      """WITH m AS (SELECT * FROM events WHERE event_id % 13 <> 0),
+        |l AS (SELECT * FROM events WHERE event_id % 13 = 0),
+        |seg AS (SELECT ts, ntile(4) OVER (ORDER BY ts, event_id) AS b FROM m),
+        |wm AS (SELECT epoch_ms(max(ts)) - 7200000 AS w FROM seg WHERE b <= 3),
+        |keptlate AS (
+        |  SELECT l.* FROM l, wm
+        |  WHERE epoch_ms(date_trunc('hour', l.ts)) + 3600000 > wm.w),
+        |kept AS (SELECT event_type, ts FROM m
+        |         UNION ALL SELECT event_type, ts FROM keptlate)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |  event_type, count(*) AS n
+        |FROM kept GROUP BY 1, 2
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), '__dropped__',
+        |  (SELECT count(DISTINCT (date_trunc('hour', l.ts), l.event_type))
+        |   FROM l, wm
+        |   WHERE epoch_ms(date_trunc('hour', l.ts)) + 3600000 <= wm.w)""".stripMargin,
 
     // the per-key sentinel closes every real bucket, so the streamed
     // detector's sink is the complete batch output — the oracle IS

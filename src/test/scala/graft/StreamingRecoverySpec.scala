@@ -386,6 +386,46 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(result.take(3).forall(!_._4))
   }
 
+  test("late-data accounting: rows behind the watermark are dropped, counted " +
+      "in numRowsDroppedByWatermark, and the kept set is exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val counted = StreamingPipeline.windowedCounts(
+      df, windowLen = "10 minutes", watermark = "5 minutes")
+    val q = counted.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      // batch 1: windows [00,10) x2 and [30,40) x1; max=35 -> watermark 30
+      mem.addData((t(0), "a"), (t(2), "a"), (t(35), "a"))
+      q.processAllAvailable()
+      // batch 2 runs under watermark 10:30:
+      //   t(5), t(6) window [00,10) end 10:10 <= 10:30 -> DROPPED (ONE
+      //     group: the metric counts state-store input rows, i.e. the
+      //     post-partial-agg (window, key) groups, not raw rows)
+      //   t(25) window [20,30) end 10:30 <= 10:30 -> DROPPED (boundary)
+      //   t(32) window [30,40) end 10:40 >  10:30 -> kept, merges
+      //   t(59) fresh window, raises max to 59 -> watermark 54
+      mem.addData((t(5), "a"), (t(6), "a"), (t(25), "a"), (t(32), "a"),
+        (t(59), "a"))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "a")) // flush
+      q.processAllAvailable()
+
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 2L,
+        s"expected 2 watermark-dropped GROUPS (3 raw rows), got $dropped")
+      val rows = spark.table("late_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", 2L))) // late t(5) NOT merged
+      assert(rows.contains(("2024-01-01 10:30:00.0", 2L))) // late t(32) merged
+      assert(!rows.exists(_._1 == "2024-01-01 10:20:00.0")) // t(25) dropped
+    } finally q.stop()
+  }
+
   test("scored parquet sink replaces a replayed batch instead of double-appending (exactly-once)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_score_out").toString
