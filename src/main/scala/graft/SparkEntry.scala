@@ -3038,6 +3038,25 @@ object SparkEntry {
           (col("y_brute") === col("y_ivf")).as("agree"))
     }),
 
+    // The PQ-ADC bitext candidate path — the third generator completing
+    // the mining-side ANN symmetry (LSH planes / IVF cells / PQ codes):
+    // co-cell pairs are ranked by asymmetric-distance table lookups over
+    // pqEncode codes and only each x's 8 ADC-best reach the exact
+    // cosine + margin verify — the FAISS IVFx,PQy read path applied to
+    // mining (both prunings multiply; exact scoring touches 8·|X| pairs).
+    // Honest price on THIS corpus: the synthetic embeddings are random —
+    // PQ's worst case like LSH's — so the noisy ADC cut keeps 49/250
+    // brute winners at cand=8 (63 at 16) where IVF's verify-every-co-cell
+    // keeps 113 (tools/BitextProbe); clustered real embeddings are the
+    // regime the code-space shortcut exists for, and cand is the dial.
+    "q_bitext_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMarginMinePq(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        k = 4, cand = 8, nlist = 16, nprobe = 4, m = 4, kCodes = 16, dim = 64)
+    }),
+
     // Agreement readout: for each x, does the LSH-candidate winner equal
     // the brute winner? The gated price of pruning: the synthetic
     // embeddings are RANDOM (no cluster structure — LSH's worst case), so
@@ -7951,6 +7970,62 @@ object SparkEntry {
         |        FROM cd),
         |ycell AS (SELECT vec_id, cell FROM rnk WHERE rn = 1 AND vec_id % 2 = 1),
         |xprob AS (SELECT vec_id, cell FROM rnk WHERE rn <= 4 AND vec_id % 2 = 0)""".stripMargin)}",
+
+    // the PQ-ADC candidate path: the q_bitext_ivf cell replay, plus the
+    // per-subspace argmin codes of the odd side (first-16-by-id codebook,
+    // ties to the lower cid), x's ADC distance tables, the co-cell pairs
+    // ranked by the fixed-order 4-term ADC sum, and the top-8-per-x cut
+    // feeding the margin chain
+    "q_bitext_pq" -> s"${bitextWinnersSql(
+      candCond = """AND EXISTS (SELECT 1 FROM adctop a
+        |    WHERE a.x_id = x.vec_id AND a.y_id = y.vec_id)""".stripMargin,
+      extraCtes = """cents AS (
+        |  SELECT e AS ce, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+        |  FROM (SELECT * FROM v WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16)),
+        |cdst AS (SELECT v.vec_id, c.cell,
+        |         list_sum(list_transform(list_zip(v.e, c.ce),
+        |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+        |       FROM v, cents c),
+        |crnk AS (SELECT vec_id, cell,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |        FROM cdst),
+        |ycell AS (SELECT vec_id, cell FROM crnk WHERE rn = 1 AND vec_id % 2 = 1),
+        |xprob AS (SELECT vec_id, cell FROM crnk WHERE rn <= 4 AND vec_id % 2 = 0),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |cb AS (SELECT vec_id AS cid, e AS ce FROM v
+        |       WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16),
+        |cs AS (SELECT cid, js.j, ce[js.j*16+1 : js.j*16+16] AS ce
+        |       FROM cb CROSS JOIN js),
+        |ysub AS (SELECT v.vec_id, js.j, v.e[js.j*16+1 : js.j*16+16] AS se
+        |         FROM v CROSS JOIN js WHERE v.vec_id % 2 = 1),
+        |yd AS (SELECT s.vec_id, s.j, c.cid,
+        |         list_sum(list_transform(list_zip(s.se, c.ce),
+        |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+        |       FROM ysub s JOIN cs c ON s.j = c.j),
+        |ycodes AS (SELECT vec_id, j, cid FROM (
+        |    SELECT vec_id, j, cid,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+        |    FROM yd) WHERE rn = 1),
+        |xd AS (SELECT s.vec_id, s.j, c.cid,
+        |         list_sum(list_transform(list_zip(s.se, c.ce),
+        |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+        |       FROM (SELECT v.vec_id, js.j, v.e[js.j*16+1 : js.j*16+16] AS se
+        |             FROM v CROSS JOIN js WHERE v.vec_id % 2 = 0) s
+        |       JOIN cs c ON s.j = c.j),
+        |adc AS (
+        |  SELECT p.vec_id AS x_id, yc2.vec_id AS y_id,
+        |    max(CASE WHEN q.j = 0 THEN q.d2 END)
+        |      + max(CASE WHEN q.j = 1 THEN q.d2 END)
+        |      + max(CASE WHEN q.j = 2 THEN q.d2 END)
+        |      + max(CASE WHEN q.j = 3 THEN q.d2 END) AS adc_d2
+        |  FROM xprob p JOIN ycell yc2 ON p.cell = yc2.cell
+        |  JOIN ycodes c ON c.vec_id = yc2.vec_id
+        |  JOIN xd q ON q.vec_id = p.vec_id AND q.j = c.j AND q.cid = c.cid
+        |  GROUP BY 1, 2),
+        |adctop AS (SELECT x_id, y_id FROM (
+        |  SELECT x_id, y_id,
+        |    row_number() OVER (PARTITION BY x_id ORDER BY adc_d2, y_id) AS rn
+        |  FROM adc) WHERE rn <= 8)""".stripMargin)}",
 
     // agreement readout: per-x winner under LSH candidates vs brute
     "q_bitext_recall" ->

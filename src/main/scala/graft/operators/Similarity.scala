@@ -603,6 +603,107 @@ object Similarity {
     marginOverPairs(scored, k)
   }
 
+  /** The THIRD bitext candidate generator, completing the mining-side ANN
+    * symmetry (LSH planes / IVF cells / PQ codes): candidates come from
+    * the SAME salted co-cell join as [[bitextMarginMineIvf]], but are
+    * then RANKED BY PQ-ADC DISTANCE (Jégou et al. 2011 — m table lookups
+    * over [[pqEncode]] codes, never the raw vectors) and only each x's
+    * `cand` best survive to the exact cosine + margin verify
+    * ([[marginOverPairs]]) — the FAISS `IVFx,PQy` read path applied to
+    * mining: both prunings multiply, and the expensive exact scoring
+    * touches cand·|X| pairs instead of every co-cell pair.
+    *
+    * Determinism: cells and codebooks are the first-rows-by-id seeds
+    * (the [[bitextMarginMineIvf]] / [[pqEncode]] conventions); ADC
+    * distances are the same left-fold [[d2]] doubles the oracle replays;
+    * the per-x cut orders (adc_d2 asc, y_id asc). Codes are the SEED IDS
+    * (pqCodebook's cid convention), so table lookups key exactly.
+    *
+    * Scale shape: the cell join carries (id, cell, m code longs) — codes
+    * are m·8 bytes, not vectors — cell-SALTED like the IVF path; x's ADC
+    * tables (m maps of kCodes doubles, KBs) rejoin the candidate pairs
+    * on their own high-cardinality x_id, exact vectors rejoin only the
+    * ADC survivors. Neither corpus is broadcast or resident; driver
+    * traffic is the nlist-row cell codebook + the kCodes-row PQ codebook. */
+  def bitextMarginMinePq(
+      xs: DataFrame,
+      ys: DataFrame,
+      k: Int = 4,
+      cand: Int = 8,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 4,
+      kCodes: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      salt: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(cand >= 1, s"cand must be >= 1: $cand")
+    require(nlist >= 1, s"nlist must be >= 1: $nlist")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist]: $nprobe")
+    require(m >= 1 && kCodes >= 1 && dim >= m && dim % m == 0,
+      s"need m >= 1, kCodes >= 1, m | dim: m=$m kCodes=$kCodes dim=$dim")
+    require(salt >= 1, s"salt must be >= 1: $salt")
+    val subDim = dim / m
+    val parts = ys.sparkSession.sessionState.conf.numShufflePartitions
+    val x = xs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("x_id"), col(vecCol).as("x_v"))
+    val y = ys.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("y_id"), col(vecCol).as("y_v"))
+      .repartition(parts)
+    // bounded metadata: the nlist cell seeds + the kCodes-row PQ codebook
+    val seedRows = y.orderBy(col("y_id").asc).limit(nlist).collect()
+    require(seedRows.nonEmpty, "bitextMarginMinePq: empty y corpus")
+    val centroids = seedRows.sortBy(_.getLong(0)).map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val probes = math.min(nprobe, centroids.length)
+    val cb = pqCodebook(y, m, kCodes, subDim, "y_id", "y_v")
+    // y side: cell + m code longs, one scan against two broadcast rows
+    val yb = y.crossJoin(broadcast(cb))
+      .select(col("y_id") +:
+        element_at(nearestCells(col("y_v"), centroids, 1), 1).as("cell") +:
+        pqCodeColumns(m, subDim, "y_v"): _*)
+      .withColumn("__s", pmod(hash(col("y_id")), lit(salt)))
+    val xb = x.select(col("x_id"),
+        explode(nearestCells(col("x_v"), centroids, probes)).as("cell"))
+      .withColumn("__s", explode(array((0 until salt).map(lit): _*)))
+    val pairs = yb.join(xb, Seq("cell", "__s"))
+      .select(col("x_id") +: col("y_id") +:
+        (0 until m).map(j => col(s"code_$j")): _*)
+    // x's ADC distance tables: cid -> ||x_j - codeword||^2, m maps per x
+    val tables = (0 until m).map { j =>
+      val xSub = slice(transform(col("x_v"), _.cast("double")),
+        j * subDim + 1, subDim)
+      map_from_entries(transform(col(s"__cb_$j"), c =>
+        struct(c.getField("cid").cast("long"), d2(c.getField("cv"), xSub))))
+        .as(s"__dt_$j")
+    }
+    val xt = x.crossJoin(broadcast(cb))
+      .select(col("x_id") +: tables: _*)
+    val adcScore = (0 until m)
+      .map(j => element_at(col(s"__dt_$j"), col(s"code_$j")))
+      .reduceLeft(_ + _)
+    val wCand = Window.partitionBy(col("x_id"))
+      .orderBy(col("adc_d2").asc, col("y_id").asc)
+    val shortlist = pairs.join(xt, Seq("x_id"))
+      .select(col("x_id"), col("y_id"), adcScore.as("adc_d2"))
+      .where(col("adc_d2").isNotNull)
+      .withColumn("__rn", row_number().over(wCand))
+      .filter(col("__rn") <= cand)
+      .select(col("x_id"), col("y_id"))
+    val scored = shortlist
+      .join(x, Seq("x_id"))
+      .join(y.select(col("y_id"), col("y_v")), Seq("y_id"))
+      .select(col("x_id"), col("y_id"),
+        round(cosineSimilarity(col("x_v"), col("y_v")) *
+          lit(1000000000000.0)).cast("long").as("cos_q"))
+    marginOverPairs(scored, k)
+  }
+
   /** The margin core shared by the brute and LSH miners: per-side top-k
     * neighborhoods over `(x_id, y_id, cos_q)` pairs, order-free integer
     * sums, the fixed-order margin expression, winners + mutual flag. */

@@ -35,6 +35,12 @@ object BitextProbe {
     val ys = emb.filter(col("vec_id") % 2 === 1)
 
     // --- plan pin: zero BroadcastExchange under threshold = -1 ---
+    // (the PQ path's two codebook broadcasts are bounded metadata and are
+    // excluded from the corpus-resident pin by construction: they are
+    // nlist/kCodes-row one-row aggregates, not corpus sides — still, the
+    // pin covers it: explicit broadcast() of METADATA frames under
+    // threshold -1 appears as BroadcastExchange, so the PQ path pins a
+    // KNOWN count of 2 instead of 0)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     for ((name, df) <- Seq(
         "lsh" -> Similarity.bitextMarginMineLsh(xs, ys, k = 4, nPlanes = 4),
@@ -47,6 +53,27 @@ object BitextProbe {
       require(nBroadcast == 0,
         s"$name: $nBroadcast BroadcastExchange nodes with size-based " +
           "broadcasts off — a corpus side is being broadcast (r14 regression)")
+    }
+    // PQ path: its codebook is a ONE-ROW aggregate cross-joined onto both
+    // scans (IdentityBroadcastMode — bounded metadata, replicated per
+    // reference of the shortlist subplan), so the corpus pin here is:
+    // ZERO keyed broadcasts (HashedRelationBroadcastMode — what the r14
+    // corpus-broadcast bug produced) and every BroadcastExchange an
+    // Identity one-row frame.
+    locally {
+      val df = Similarity.bitextMarginMinePq(xs, ys, k = 4, cand = 8,
+        nlist = 16, nprobe = 4)
+      val plan = df.queryExecution.executedPlan.toString()
+      val nTotal = "BroadcastExchange".r.findAllIn(plan).length
+      val nIdentity = "BroadcastExchange Identity".r.findAllIn(plan).length
+      val nHashed = "HashedRelationBroadcastMode".r.findAllIn(plan).length
+      println(s"pq_broadcast_exchanges_with_threshold_off=$nTotal " +
+        s"identity_one_row=$nIdentity hashed_keyed=$nHashed " +
+        "(hashed MUST be 0: a keyed broadcast means a corpus side)")
+      require(nHashed == 0 && nIdentity == nTotal,
+        s"pq: $nHashed keyed / ${nTotal - nIdentity} non-identity " +
+          "BroadcastExchange nodes with size-based broadcasts off — a " +
+          "corpus side is being broadcast (r14 regression)")
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
@@ -65,6 +92,13 @@ object BitextProbe {
       val (ag, tot) = agreement(Similarity.bitextMarginMineLsh(
         xs, ys, k = 4, nPlanes = n, seeds = seedPool.take(nSeeds)))
       println(s"nPlanes=$n seeds=$nSeeds agree=$ag/$tot")
+    }
+
+    // --- PQ-ADC shortlist: agreement vs brute at the gate's params ---
+    for (cand <- Seq(4, 8, 16)) {
+      val (ag, tot) = agreement(Similarity.bitextMarginMinePq(
+        xs, ys, k = 4, cand = cand, nlist = 16, nprobe = 4))
+      println(s"pq_adc cand=$cand nlist=16 nprobe=4 agree=$ag/$tot")
     }
 
     // --- IVF: deterministic lowest-id cells vs kmeansIterate-trained ---

@@ -729,6 +729,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(agree > pruned.size / 4, s"agreement too low: $agree/${pruned.size}")
   }
 
+  test("bitextMarginMinePq: every cell probed + uncut shortlist = exact " +
+      "brute; ADC-pruned shortlist keeps the one-winner-per-x contract") {
+    import org.apache.spark.sql.functions.col
+    val xs = corpus.filter(col("vec_id") % 2 === 0)
+    val ys = corpus.filter(col("vec_id") % 2 === 1)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    val brute = keyed(Similarity.bitextMarginMine(xs, ys, k = 4))
+    // nprobe = nlist -> candidates are ALL pairs; cand >= |Y| -> the ADC
+    // cut keeps them all: the full relation must equal brute exactly
+    val full = keyed(Similarity.bitextMarginMinePq(xs, ys, k = 4,
+      cand = 200, nlist = 8, nprobe = 8, m = 4, kCodes = 8, dim = dim))
+    assert(full == brute)
+    // real pruning: one winner per x on the brute x spine, sane agreement
+    val pruned = Similarity.bitextMarginMinePq(xs, ys, k = 4,
+        cand = 8, nlist = 8, nprobe = 2, m = 4, kCodes = 8, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pruned.keySet == brute.keySet)
+    val agree = pruned.count { case (x, y) => brute(x)._1 == y }
+    assert(agree > pruned.size / 4, s"agreement too low: $agree/${pruned.size}")
+  }
+
   test("bitextMarginMineIvf codebookSource: explicit lowest-id seeds reproduce " +
       "the default; trained cells keep the one-winner-per-x contract") {
     import org.apache.spark.sql.functions.col
