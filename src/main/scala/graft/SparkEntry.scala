@@ -2945,6 +2945,18 @@ object SparkEntry {
     "q_benford" -> ((s, dir) =>
       Curation.benfordProfile(t(s, dir, "orders"), "o_totalprice")),
 
+    // The first-TWO-digit Benford follow-up (Nigrini's two-digit test):
+    // joint-law expectations log10(1+1/(10·d1+d2)) over prefixes 10-99,
+    // extraction from the non-digit-stripped decimal rendering (sub-1
+    // values route right; single-significant-digit values excluded).
+    "q_benford2" -> ((s, dir) =>
+      Curation.benfordProfile2(t(s, dir, "orders"), "o_totalprice")),
+
+    // ...and the second-digit marginal (Σ_d1 of the joint law): the
+    // near-flat 12%->8.5% slope that survives unit changes.
+    "q_benford_second" -> ((s, dir) =>
+      Curation.benfordProfileSecond(t(s, dir, "orders"), "o_totalprice")),
+
     // Fixed-width numeric histogram: bucket index is exact integer
     // arithmetic (floor of a deterministic double division), one
     // partial-combined hash agg — the numeric-distribution profile that
@@ -7708,6 +7720,45 @@ object SparkEntry {
       s"""WITH f AS (SELECT regexp_extract(CAST(o_totalprice AS VARCHAR),
          |             '[1-9]', 0) AS fd FROM orders),
          |g AS (SELECT CAST(fd AS INT) AS digit, CAST(count(*) AS BIGINT) AS n
+         |      FROM f WHERE fd <> '' GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+         |SELECT digit, n,
+         |  CAST(round(CAST(n AS DOUBLE) * 1000000.0e0 / CAST(nt AS DOUBLE))
+         |       AS BIGINT) AS share_micro,
+         |  CASE digit $expCase END AS exp_micro
+         |FROM g, t""".stripMargin
+    },
+
+    // first-two-digit test: strip non-digits, first [1-9][0-9] match,
+    // joint-law literals from the same Scala source
+    "q_benford2" -> {
+      val expCase = graft.operators.Curation.benfordExp2Micros
+        .map { case (d, m) => s"WHEN $d THEN CAST($m AS BIGINT)" }
+        .mkString(" ")
+      s"""WITH f AS (SELECT regexp_extract(regexp_replace(
+         |             CAST(o_totalprice AS VARCHAR), '[^0-9]', '', 'g'),
+         |             '[1-9][0-9]', 0) AS fd FROM orders),
+         |g AS (SELECT CAST(fd AS INT) AS digit, CAST(count(*) AS BIGINT) AS n
+         |      FROM f WHERE fd <> '' GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+         |SELECT digit, n,
+         |  CAST(round(CAST(n AS DOUBLE) * 1000000.0e0 / CAST(nt AS DOUBLE))
+         |       AS BIGINT) AS share_micro,
+         |  CASE digit $expCase END AS exp_micro
+         |FROM g, t""".stripMargin
+    },
+
+    // second-digit marginal: same extraction, digit = the second char,
+    // summed-then-rounded expectation literals from the shared source
+    "q_benford_second" -> {
+      val expCase = graft.operators.Curation.benfordExpSecondMicros
+        .map { case (d, m) => s"WHEN $d THEN CAST($m AS BIGINT)" }
+        .mkString(" ")
+      s"""WITH f AS (SELECT regexp_extract(regexp_replace(
+         |             CAST(o_totalprice AS VARCHAR), '[^0-9]', '', 'g'),
+         |             '[1-9][0-9]', 0) AS fd FROM orders),
+         |g AS (SELECT CAST(substring(fd, 2, 1) AS INT) AS digit,
+         |        CAST(count(*) AS BIGINT) AS n
          |      FROM f WHERE fd <> '' GROUP BY 1),
          |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
          |SELECT digit, n,

@@ -682,6 +682,71 @@ object Curation {
   private[graft] def benfordExpMicros: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000.0))
 
+  /** FIRST-TWO-digit Benford audit — the standard forensic follow-up to
+    * [[benfordProfile]] (Nigrini's two-digit test: fabricators who get
+    * the first digit right rarely match the joint law
+    * P(d₁d₂) = log₁₀(1 + 1/(10·d₁+d₂))). One row per observed two-digit
+    * prefix 10–99 with the same `(digit, n, share_micro, exp_micro)`
+    * readout. Digits come from the decimal-string rendering with every
+    * non-digit stripped (sign/point), then the first `[1-9][0-9]` match —
+    * sub-1 values route right, and values with a SINGLE significant
+    * digit (no second digit exists) are excluded like zeros are in the
+    * first-digit test. Same one-scan shape: ≤90-row agg + window. */
+  def benfordProfile2(
+      df: DataFrame,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digits = regexp_replace(col(valueCol).cast("string"), "[^0-9]", "")
+    val d2s = regexp_extract(digits, "[1-9][0-9]", 0)
+    val expCol = benfordExp2Micros.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, m)) => when(col("digit") === d, lit(m)).otherwise(acc)
+    }
+    df.select(d2s.as("__d2")).filter(col("__d2") =!= "")
+      .groupBy(col("__d2").cast("int").as("digit"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("__nt", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") * lit(1000000.0) /
+          col("__nt").cast("double")).cast("long").as("share_micro"),
+        expCol.as("exp_micro"))
+  }
+
+  /** SECOND-digit Benford audit — the marginal of [[benfordProfile2]]:
+    * P(d₂) = Σ_{d₁=1..9} log₁₀(1 + 1/(10·d₁+d₂)), a near-flat 12%→8.5%
+    * slope that survives unit changes better than the first-digit law.
+    * Same extraction and exclusions as the two-digit test; ≤10 rows. */
+  def benfordProfileSecond(
+      df: DataFrame,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digits = regexp_replace(col(valueCol).cast("string"), "[^0-9]", "")
+    val d2s = regexp_extract(digits, "[1-9][0-9]", 0)
+    val expCol = benfordExpSecondMicros.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, m)) => when(col("digit") === d, lit(m)).otherwise(acc)
+    }
+    df.select(d2s.as("__d2")).filter(col("__d2") =!= "")
+      .groupBy(substring(col("__d2"), 2, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("__nt", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") * lit(1000000.0) /
+          col("__nt").cast("double")).cast("long").as("share_micro"),
+        expCol.as("exp_micro"))
+  }
+
+  /** First-two-digit Benford expectations as micros (10–99) — ONE Scala
+    * source for the engine literals and the SQL oracle. */
+  private[graft] def benfordExp2Micros: Seq[(Int, Long)] =
+    (10 to 99).map(n => n -> math.round(math.log10(1.0 + 1.0 / n) * 1000000.0))
+
+  /** Second-digit marginal expectations as micros (0–9), summed over the
+    * first digit before the single rounding — one Scala source. */
+  private[graft] def benfordExpSecondMicros: Seq[(Int, Long)] =
+    (0 to 9).map { d =>
+      val p = (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum
+      d -> math.round(p * 1000000.0)
+    }
+
   /** TRIGRAM interpolated Kneser–Ney log-probability per document — the
     * higher-order sibling of [[perplexityScore]], one order below the
     * 5-gram KenLM models CCNet ships but with the full KN structure:

@@ -1283,6 +1283,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       9 -> ((1L, 250000L, math.round(math.log10(10.0 / 9.0) * 1000000.0)))))
   }
 
+  test("benfordProfile2/Second: first-two digits across the decimal point, " +
+      "single-significant-digit values excluded, joint + marginal laws") {
+    import spark.implicits._
+    def exp2(n: Int) = math.round(math.log10(1.0 + 1.0 / n) * 1000000.0)
+    // 9.5 -> 95 (digits straddle the point); 0.0052 -> 52 (sub-1);
+    // 900.0 and 9.0 -> 90 (rendering zeros extend the digit string);
+    // 0.04 -> digits "004", no [1-9][0-9] match -> excluded, like 0/null
+    val df = Seq[Option[Double]](Some(9.5), Some(0.0052), Some(900.0),
+      Some(9.0), Some(0.04), Some(0.0), None, Some(1234.5)).toDF("v")
+    val two = Curation.benfordProfile2(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(two == Map(
+      95 -> ((1L, 200000L, exp2(95))),
+      52 -> ((1L, 200000L, exp2(52))),
+      90 -> ((2L, 400000L, exp2(90))),
+      12 -> ((1L, 200000L, exp2(12)))))
+    val second = Curation.benfordProfileSecond(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expS = Curation.benfordExpSecondMicros.toMap
+    assert(second == Map(
+      5 -> ((1L, 200000L, expS(5))),
+      2 -> ((2L, 400000L, expS(2))),
+      0 -> ((2L, 400000L, expS(0)))))
+    // the marginal literals really are the summed joint law
+    assert(expS(0) == math.round((1 to 9)
+      .map(k => math.log10(1.0 + 1.0 / (10 * k))).sum * 1000000.0))
+  }
+
   test("perplexityScore3: trigram KN cascade by hand — all four backoff " +
       "branches, exact fixed-point sums, short docs, fail-fast") {
     import spark.implicits._
