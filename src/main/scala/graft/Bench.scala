@@ -205,18 +205,23 @@ object Bench {
     // r15: Holt-Winters adds the p-slot seasonal array to the same fold
     "q_holt_winters",
     // bitext scale paths (post-de-broadcast): salted bare-id bucket/cell
-    // joins + id-keyed vector rejoins + the margin chain
-    "q_bitext_lsh", "q_bitext_ivf",
+    // joins + id-keyed vector rejoins + the margin chain; r16 adds the
+    // PQ-ADC shortlist path (co-cell pairs ranked by code lookups)
+    "q_bitext_lsh", "q_bitext_ivf", "q_bitext_pq",
     // ROUGE-2: two gram censuses + one (id, gram)-keyed clipped join
     "q_rouge2",
-    // native Mod97Sum scan; ORC write+read round trip
-    "q_pii_iban", "q_source_orc",
+    // native Mod97Sum scan; ORC and Avro write+read round trips
+    "q_pii_iban", "q_source_orc", "q_source_avro",
+    // Benford two-digit: one scan to a <=90-row agg
+    "q_benford2",
     // cross-modal capstone: real-codec dedup + cosine gate + SemDeDup +
     // shard export/readback in one plan
     "q_pipeline_multimodal")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
-    // path composes the margin math over LSH/IVF candidates).
+    // path composes the margin math over LSH/IVF candidates); the
+    // q_bitext_*recall*/_trained agreement READOUTS stay gate-only too —
+    // each contains the brute compare by construction.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
