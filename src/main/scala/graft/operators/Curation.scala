@@ -2391,6 +2391,106 @@ object Curation {
         round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 12))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    * test [[populationStability]]'s binned PSI coarsens away: D is the
+    * maximum ECDF gap sup|F_A − F_B|, here as the exact INTEGER numerator
+    * `d_num = max |cumA·n_B − cumB·n_A|` over distinct values (cross-
+    * multiplication, no division until the final readout — the A/B chi-
+    * square discipline), so the decision hash-gates on any engine; the
+    * `d` double is a single IEEE division of exact integers. `isB`
+    * partitions the frame into sample A (false) and B (true); nulls count
+    * on neither side. Either side empty fails fast — there is no
+    * two-sample test to run.
+    *
+    * Scale shape: ONE (value)-keyed partial agg collapses the data to the
+    * distinct-value histogram carrying both sides' counts; the cumulative
+    * sums run over HISTOGRAM rows via the two-phase distributed prefix
+    * machinery ([[graft.ops.RunningCount.withRunningAggs]] — both sums in
+    * one pass, never a single-partition window over raw data); the max is
+    * a 1-row agg. Ties are exact: aggregating per distinct value evaluates
+    * the ECDF gap exactly at each step of both step functions. */
+  def ksStatistic(
+      df: DataFrame,
+      valueCol: String,
+      isB: Column): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"), isB.as("__b"))
+      .groupBy("__v")
+      .agg(sum(when(col("__b"), 0L).otherwise(1L)).cast("long").as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).cast("long").as("__cb"))
+    val cum = graft.ops.RunningCount.withRunningAggs(counts,
+      Seq((col("__ca"), graft.ops.RunningCount.Kind.Sum, "__cuma"),
+        (col("__cb"), graft.ops.RunningCount.Kind.Sum, "__cumb")),
+      Seq(col("__v")))
+    val tot = counts.agg(
+      sum(col("__ca")).cast("long").as("n_a"),
+      sum(col("__cb")).cast("long").as("n_b"))
+    // empty-side fail-fast rides IN-PLAN on the 1-row totals (the
+    // perplexity scorers' raise_error convention — no construction-time job)
+    val nA = when(col("n_a") > 0, col("n_a")).otherwise(raise_error(
+      lit("ksStatistic: sample A is empty — no two-sample test to run"))
+      .cast("long"))
+    val nB = when(col("n_b") > 0, col("n_b")).otherwise(raise_error(
+      lit("ksStatistic: sample B is empty — no two-sample test to run"))
+      .cast("long"))
+    cum.crossJoin(broadcast(tot))
+      .select(abs(col("__cuma") * nB - col("__cumb") * nA).as("__dn"),
+        col("n_a"), col("n_b"))
+      .groupBy("n_a", "n_b")
+      .agg(max(col("__dn")).cast("long").as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("d"))
+  }
+
+  /** EXACT Mann–Whitney U (Wilcoxon rank-sum) — the rank-based two-sample
+    * location test on the same histogram + prefix machinery as
+    * [[ksStatistic]] (KS asks "same distribution?", U asks "is one
+    * stochastically larger?"). Ties take AVERAGE ranks; to stay in exact
+    * integers everything is DOUBLED: for a distinct value with counts
+    * (ca, cb) and `c0` items strictly below, the doubled rank-sum
+    * contribution of side A is `ca·(2·c0 + ca + cb + 1)` (each of the ca
+    * items takes the doubled average rank), so
+    * `u2_a = 2·R_A − n_a·(n_a+1)` is an exact integer =
+    * 2·U_A, and u2_b = 2·n_a·n_b − u2_a by the U-sum identity. The
+    * normal-approximation z (or the exact table) is the caller's one
+    * division away; both doubled statistics hash-gate. Nulls count on
+    * neither side; an empty side fails fast in-plan. */
+  def mannWhitneyU(
+      df: DataFrame,
+      valueCol: String,
+      isB: Column): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"), isB.as("__b"))
+      .groupBy("__v")
+      .agg(sum(when(col("__b"), 0L).otherwise(1L)).cast("long").as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).cast("long").as("__cb"))
+    val cum = graft.ops.RunningCount.withRunningAggs(counts,
+      Seq((col("__ca") + col("__cb"),
+        graft.ops.RunningCount.Kind.Sum, "__cumab")),
+      Seq(col("__v")))
+    val tot = counts.agg(
+      sum(col("__ca")).cast("long").as("n_a"),
+      sum(col("__cb")).cast("long").as("n_b"))
+    val nA = when(col("n_a") > 0, col("n_a")).otherwise(raise_error(
+      lit("mannWhitneyU: sample A is empty — no two-sample test to run"))
+      .cast("long"))
+    val nB = when(col("n_b") > 0, col("n_b")).otherwise(raise_error(
+      lit("mannWhitneyU: sample B is empty — no two-sample test to run"))
+      .cast("long"))
+    val c0 = col("__cumab") - col("__ca") - col("__cb")
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (col("__ca") * (lit(2L) * c0 + col("__ca") + col("__cb") + lit(1L)))
+          .as("__r2a"))
+      .groupBy("n_a", "n_b")
+      .agg(sum(col("__r2a")).cast("long").as("__r2"))
+      .select(col("n_a"), col("n_b"),
+        (col("__r2") - nA * (nA + lit(1L))).as("u2_a"),
+        (lit(2L) * nA * nB - (col("__r2") - nA * (nA + lit(1L))))
+          .as("u2_b"))
+  }
+
   /** Exact frequency-threshold heavy hitters over a token column: every
     * token with global count >= `minCount`, with its EXACT count — the
     * vocabulary-pruning / stopword-discovery primitive. Two passes:

@@ -706,8 +706,18 @@ object Similarity {
 
   /** The margin core shared by the brute and LSH miners: per-side top-k
     * neighborhoods over `(x_id, y_id, cos_q)` pairs, order-free integer
-    * sums, the fixed-order margin expression, winners + mutual flag. */
-  private def marginOverPairs(scored: DataFrame, k: Int): DataFrame = {
+    * sums, the fixed-order margin expression, winners + mutual flag.
+    *
+    * The pair frame is referenced SIX times downstream (two candidate
+    * windows, two neighborhood sums, two winner joins) — unpinned, each
+    * reference re-ran the whole candidate generation (measured: 12
+    * un-reused codebook broadcasts on the PQ path). It persists under the
+    * [[graft.ops.Pins.scopedPersist]] scope: bare (x_id, y_id, cos_q)
+    * rows — 24 B each, the smallest thing in the plan — with at most ONE
+    * cached pair frame alive across repeated mining calls (a superseded
+    * frame recomputes from lineage, never wrong). */
+  private def marginOverPairs(scored0: DataFrame, k: Int): DataFrame = {
+    val scored = graft.ops.Pins.scopedPersist("similarity.marginPairs", scored0)
     val wx = Window.partitionBy(col("x_id"))
       .orderBy(col("cos_q").desc, col("y_id").asc)
     val wy = Window.partitionBy(col("y_id"))
