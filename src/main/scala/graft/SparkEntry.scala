@@ -2771,6 +2771,51 @@ object SparkEntry {
         Sketches.rollingHash(col("text")).as("rolling_hash"))
     }),
 
+    // KMV distinct sketch per language: O(k) mergeable state under a
+    // PUBLIC hash, so unlike the HLL row in q_profile_sketch the sketch
+    // itself is oracle-exact (the k smallest distinct md5-60 values);
+    // the (k-1)/kth estimator replays bit-identically in fixed op order.
+    // fr has EXACTLY 64 distinct texts at sf0.01 — the just-full edge.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .groupBy(col("lang"))
+        .agg(Sketches.kmvSketch(col("text"), k).as("sk"))
+        .select(col("lang"),
+          size(col("sk")).cast("long").as("n_minima"),
+          element_at(col("sk"), least(size(col("sk")), lit(k))).as("kth"),
+          Sketches.kmvEstimate(col("sk"), k).as("est"))
+    }),
+
+    // KMV sketch ALGEBRA: estimate the shingle-vocabulary overlap of two
+    // crawl sources from their sketches alone — union = merge-and-
+    // truncate, intersection via shared minima inside the union's k-set
+    // (Beyer et al. 2007) — no shingle-level join between the sources.
+    "q_kmv_setops" -> ((s, dir) => {
+      val k = 256
+      val sh = t(s, dir, "documents")
+        .filter(col("source").isin("src1", "src2"))
+        .select(col("source"),
+          explode(TextFunctions.shingleSet(col("text"), 3)).as("shingle"))
+      val sk = sh.groupBy(col("source"))
+        .agg(Sketches.kmvSketch(col("shingle"), k).as("sk"))
+      val a = sk.filter(col("source") === "src1").select(col("sk").as("ska"))
+      val b = sk.filter(col("source") === "src2").select(col("sk").as("skb"))
+      a.crossJoin(b)
+        .withColumn("u", Sketches.kmvMerge(col("ska"), col("skb"), k))
+        .withColumn("common",
+          size(array_intersect(col("u"),
+            array_intersect(col("ska"), col("skb")))).cast("long"))
+        .withColumn("est_union", Sketches.kmvEstimate(col("u"), k))
+        .select(
+          size(col("u")).cast("long").as("n_union_minima"),
+          element_at(col("u"), least(size(col("u")), lit(k))).as("kth_union"),
+          col("common"),
+          col("est_union"),
+          (col("common").cast("double") / lit(k.toDouble) * col("est_union"))
+            .as("est_intersection"))
+    }),
+
     // ---------------------------------------------------------------------
     // Deduplication suite.
     // ---------------------------------------------------------------------
@@ -2779,6 +2824,14 @@ object SparkEntry {
 
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.5)),
+
+    // EXACT Jaccard-threshold pairs via PPJoin prefix filtering: the
+    // candidate join runs only over each doc's RAREST sz-ceil(tau*sz)+1
+    // shingles (ascending-df global order), so the hot boilerplate
+    // shingles that dominate the full postings join's sum-df^2 never
+    // generate candidates — same exact pair set, no df cap needed.
+    "q_dedup_ppjoin" -> ((s, dir) =>
+      Dedup.ppjoinPairs(t(s, dir, "documents"), threshold = 0.6)),
 
     // Per-doc duplicate-shingle fraction (the Dolma-style contamination
     // score a curator thresholds BEFORE paying for pairwise dedup): no
@@ -7282,6 +7335,20 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(i AS DOUBLE) / (la + lb - i) AS jac
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
 
+    // ppjoin is EXACT: the oracle is plain brute force at a higher tau
+    "q_dedup_ppjoin" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(i AS BIGINT) AS inter,
+        |  CAST(i AS DOUBLE) / (la + lb - i) AS jac
+        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.6""".stripMargin,
+
     // dup_ngram_frac: per-doc duplicate-shingle stats; shingle-less docs
     // keep a row (0 shingles, null fraction) via the left join back
     "q_dup_ngram_frac" ->
@@ -7515,6 +7582,50 @@ object SparkEntry {
         |      (h, b) -> (h * 1000003 + b) % 18446744073709551616::HUGEINT) AS u
         |    FROM documents))
         |SELECT s.doc_id, s.simhash, r.rolling_hash FROM sigs s JOIN roll r USING (doc_id)""".stripMargin,
+
+    // KMV sketch = the k smallest distinct md5-60 values: pure SQL replay.
+    // Estimator op order mirrors the engine: (k-1)·2^60 exact in double
+    // (6 significant bits), ONE division — bit-identical both sides.
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT) AS h60
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT lang, h60,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h60) AS rn FROM h),
+        |s AS (SELECT lang, count(*) AS n_minima, max(h60) AS kth
+        |      FROM r WHERE rn <= 64 GROUP BY lang)
+        |SELECT lang, n_minima, kth,
+        |  CASE WHEN n_minima < 64 THEN CAST(n_minima AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END AS est
+        |FROM s""".stripMargin,
+
+    "q_kmv_setops" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE source IN ('src1', 'src2')),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS h60
+        |  FROM (SELECT source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' ')))) AS s FROM d)),
+        |r AS (SELECT source, h60,
+        |        row_number() OVER (PARTITION BY source ORDER BY h60) AS rn FROM sh),
+        |mins AS (SELECT source, h60 FROM r WHERE rn <= 256),
+        |u AS (SELECT h60, count(*) AS n_sides FROM mins GROUP BY h60),
+        |ur AS (SELECT h60, n_sides, row_number() OVER (ORDER BY h60) AS rn FROM u),
+        |uk AS (SELECT h60, n_sides FROM ur WHERE rn <= 256),
+        |agg AS (SELECT count(*) AS n_union_minima, max(h60) AS kth_union,
+        |          CAST(count(*) FILTER (n_sides = 2) AS BIGINT) AS common
+        |        FROM uk),
+        |est AS (SELECT *,
+        |          CASE WHEN n_union_minima < 256 THEN CAST(n_union_minima AS DOUBLE)
+        |               ELSE 255.0 * 1152921504606846976.0 / CAST(kth_union AS DOUBLE)
+        |          END AS est_union
+        |        FROM agg)
+        |SELECT n_union_minima, kth_union, common, est_union,
+        |  CAST(common AS DOUBLE) / 256.0 * est_union AS est_intersection
+        |FROM est""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)

@@ -229,4 +229,111 @@ object Sketches {
 
   def minhashBands(shingles: Column, bands: Int, rowsPerBand: Int): Column =
     GraftExpr.column(MinHashBands(GraftExpr.expression(shingles), bands, rowsPerBand))
+
+  // ------------------------------------------------------------- KMV sketch
+
+  /** K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002,
+    * Beyer et al. SIGMOD 2007) as a one-pass MERGEABLE native aggregate.
+    *
+    * State is the k smallest DISTINCT [[md5Hash60]] values seen — O(k)
+    * regardless of input size, merged across partials by set-union +
+    * re-truncate, so partial (map-side) aggregation applies and the
+    * shuffle carries one k-long array per group, never the data. Unlike
+    * HLL, the sketch content is a pure function of the input SET under a
+    * public hash: an independent SQL engine reproduces it bit-exactly as
+    * `the k smallest distinct ('0x' || substr(md5(v),1,15))::UBIGINT` —
+    * which makes this the ORACLE-CHECKABLE member of the distinct-sketch
+    * family (q_profile_sketch's HLL row stays estimate-only by design).
+    *
+    * Returns the ascending LongArray of minima (size < k means the
+    * distinct count was exact = size). The standard readouts compose
+    * declaratively on top: estimate `(k-1)·2^60 / kth_min` when full,
+    * union = merge-and-truncate of two sketch arrays, intersection via
+    * the Jaccard of shared minima in the union's k-set. */
+  case class KmvSketch(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    require(k >= 2, s"k must be >= 2: $k")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    override def update(
+        buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = md5Hash60(v.asInstanceOf[UTF8String])
+        if (buf.size < k) { buf.add(h); () }
+        else if (h < buf.last()) { buf.add(h); if (buf.size > k) { buf.pollLast(); () } }
+      }
+      buf
+    }
+
+    override def merge(
+        buf: java.util.TreeSet[java.lang.Long],
+        other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      buf.addAll(other)
+      while (buf.size > k) buf.pollLast()
+      buf
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Any](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next().longValue())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): KmvSketch =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvSketch =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): KmvSketch =
+      copy(child = c)
+  }
+
+  /** [[KmvSketch]] as an aggregate Column: `kmvSketch(col("text"), 64)`. */
+  def kmvSketch(value: Column, k: Int): Column =
+    GraftExpr.column(KmvSketch(GraftExpr.expression(value), k).toAggregateExpression())
+
+  /** Merge two KMV sketch arrays declaratively (set-union of minima,
+    * re-truncated to k) — the union sketch, computable post-aggregation
+    * without touching the data again. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate of a KMV sketch array: exact size when the
+    * sketch never filled, else the standard (k-1)/kth-minimum estimator
+    * over the 60-bit hash space. Fixed double op order — an oracle
+    * reproducing the same order matches bit-exactly. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+        element_at(sketch, k).cast("double"))
 }

@@ -188,6 +188,83 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("a_id"), col("b_id"), col("containment"))
 
+  /** EXACT Jaccard-threshold pairs via PPJoin-style PREFIX FILTERING
+    * (Xiao et al., WWW 2008 / Chaudhuri et al., ICDE 2006) — the exact
+    * counterpart of the MinHash-LSH approximate path, and the scale
+    * upgrade over [[ngramJaccardPairs]]'s full Σdf² postings self-join.
+    *
+    * Under any GLOBAL total order of the shingle universe, two sets with
+    * Jaccard ≥ τ must share a shingle within each set's first
+    * `|s| − ceil(τ·|s|) + 1` elements (a pair needs overlap ≥ ceil(τ·|s|)
+    * with EACH side, so it cannot hide entirely in the suffix). Ordering
+    * by ASCENDING document frequency puts the RAREST shingles in the
+    * prefix, so the candidate join runs over Σ_prefix df² — the hot
+    * boilerplate shingles that dominate Σdf² sit in suffixes and never
+    * generate candidates. No df cap is needed and none is taken: unlike
+    * the capped family, the result is EXACTLY the brute-force pair set.
+    *
+    * Scale shape: one corpus scan builds the df-ordered distinct-shingle
+    * arrays, pinned under the scoped-persist discipline (tag
+    * `dedup.ppjoin` — at most one resident census per session); the
+    * candidate join carries BARE (shingle, id, |s|) prefix postings (the
+    * bucket-join discipline — no text, no arrays on the shuffle); exact
+    * verification rejoins the pinned arrays by high-cardinality id for
+    * `array_intersect` on candidate pairs only. The size filter
+    * τ·max(|a|,|b|) ≤ min(|a|,|b|) prunes at candidate time. Both the
+    * prefix-length ceil and the size filter round CONSERVATIVELY (an
+    * epsilon widens, never narrows), so float error can only admit an
+    * extra candidate for the exact verify to reject — never lose a pair.
+    *
+    * Pairs are (a_id < b_id); one row each with exact `inter` and the
+    * raw-double `jac` (bit-identical to the oracle's int division). */
+  def ppjoinPairs(
+      docs: DataFrame,
+      threshold: Double,
+      ngram: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sets = docs.repartition(parts).select(
+        col(idCol).as("id"),
+        TextFunctions.shingleSet(col(textCol), ngram).as("sh"))
+      .select(col("id"), col("sh"),
+        coalesce(size(col("sh")), lit(0)).cast("long").as("sz"))
+      .filter(col("sz") > 0)
+    val postings = sets.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
+    val dfs = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    // the df-ordered arrays: ONE census feeds prefix postings AND verify.
+    // array_sort on (df, tok) structs = the global rarest-first total
+    // order, ties broken by shingle text — deterministic on both engines.
+    val ordered = graft.ops.Pins.scopedPersist("dedup.ppjoin",
+      postings.join(dfs, Seq("tok"))
+        .groupBy("id", "sz")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+        .select(col("id"), col("sz"),
+          transform(col("ord"), s => s.getField("tok")).as("toks")))
+    // conservative ceil: the epsilon can only LENGTHEN the prefix
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) +
+      lit(1L)).cast("int")
+    val prefix = ordered.select(col("id"), col("sz"),
+      explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    val cand = prefix.select(col("tok"), col("id").as("a_id"), col("sz").as("a_sz"))
+      .join(prefix.select(col("tok"), col("id").as("b_id"), col("sz").as("b_sz")),
+        Seq("tok"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("b_sz").cast("double") >= lit(threshold) * col("a_sz") - lit(1e-9) &&
+        col("a_sz").cast("double") >= lit(threshold) * col("b_sz") - lit(1e-9))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(ordered.select(col("id").as("a_id"), col("toks").as("__a")), Seq("a_id"))
+      .join(ordered.select(col("id").as("b_id"), col("toks").as("__b"),
+        col("sz").as("b_sz")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("__a"), col("__b"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("__a")).cast("long") + col("b_sz") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jac"))
+  }
+
   /** N-gram Jaccard NEAR-dup pairs of an ingest batch AGAINST an existing
     * corpus — the fuzzy counterpart of [[dropExistingIn]] (which only
     * catches byte-exact duplicates): "is this crawl batch a near-rewrite

@@ -132,6 +132,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == brute)
   }
 
+  test("ppjoinPairs equals brute-force pairs exactly at several thresholds") {
+    for (tau <- Seq(0.3, 0.5, 0.7)) {
+      val brute = Dedup.ngramJaccardPairs(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pp = Dedup.ppjoinPairs(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(brute.nonEmpty, s"fixture should contain pairs at tau=$tau")
+      assert(pp == brute, s"tau=$tau")
+    }
+  }
+
+  test("ppjoinPairs: prefix-boundary sizes (set sizes where ceil(tau*sz) is integral)") {
+    import spark.implicits._
+    // 12 distinct shingles per doc at tau=0.75 -> prefix = 12-9+1 = 4;
+    // pairs engineered to overlap ONLY in rare suffix shingles must still
+    // be found when jaccard >= tau, and dropped when just below.
+    val a = (1 to 14).map(i => s"w$i").mkString(" ")              // shingles w1..w12
+    val b = (1 to 13).map(i => s"w$i").mkString(" ") + " x1 x2"   // 11 shared + 2 new
+    val df = Seq((1L, a), (2L, b), (3L, (20 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val brute = Dedup.ngramJaccardPairs(df, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pp = Dedup.ppjoinPairs(df, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp == brute)
+  }
+
   test("shingle df-cap drops boilerplate pairs, keeps real near-dups, never invents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat, lit}

@@ -89,4 +89,58 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     val r = df.select(Sketches.rollingHash(col("x")), Sketches.rollingHash(col("y"))).first()
     assert(r.getLong(0) != r.getLong(1))
   }
+
+  /** Independent md5-60 reimplementation (mirrors the portable-simhash
+    * test's): first 15 md5 hex chars as a long. */
+  private def h60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("kmvSketch: under k distinct values the sketch IS the distinct hash set") {
+    import spark.implicits._
+    val vals = Seq("a", "b", "c", "b", "a", "c", "d") // 4 distinct
+    val got = vals.toDF("v").agg(Sketches.kmvSketch(col("v"), 16))
+      .first().getSeq[Long](0)
+    assert(got == vals.distinct.map(h60).sorted)
+  }
+
+  test("kmvSketch: bounded at k, equals the k smallest brute-force hashes, merge-invariant") {
+    import spark.implicits._
+    val vals = (0 until 500).map(i => s"val_$i")
+    val expected = vals.map(h60).sorted.take(32)
+    val one = vals.toDF("v").coalesce(1)
+      .agg(Sketches.kmvSketch(col("v"), 32)).first().getSeq[Long](0)
+    // 8 partitions forces the serialize/merge path through partial aggs
+    val many = vals.toDF("v").repartition(8)
+      .agg(Sketches.kmvSketch(col("v"), 32)).first().getSeq[Long](0)
+    assert(one == expected)
+    assert(many == expected)
+  }
+
+  test("kmvSketch ignores nulls; estimate is exact below k and ~n above") {
+    import spark.implicits._
+    val vals = (0 until 2000).map(i => s"doc $i") :+ null
+    val df = vals.toDF("v")
+    val small = df.limit(10).agg(
+      Sketches.kmvEstimate(Sketches.kmvSketch(col("v"), 64), 64)).first().getDouble(0)
+    assert(small == 10.0) // 10 non-null distinct, under k: exact
+    val est = df.agg(
+      Sketches.kmvEstimate(Sketches.kmvSketch(col("v"), 64), 64)).first().getDouble(0)
+    assert(math.abs(est - 2000) / 2000.0 < 0.35, s"est=$est") // ~1/sqrt(k-2) rel err
+  }
+
+  test("kmvMerge of two group sketches equals the sketch of the unioned data") {
+    import spark.implicits._
+    val a = (0 until 300).map(i => ("a", s"x$i"))
+    val b = (150 until 450).map(i => ("b", s"x$i"))
+    val df = (a ++ b).toDF("g", "v")
+    val merged = df.groupBy("g").agg(Sketches.kmvSketch(col("v"), 24).as("sk"))
+      .agg(collect_list(col("sk")).as("sks"))
+      .select(Sketches.kmvMerge(element_at(col("sks"), 1), element_at(col("sks"), 2), 24))
+      .first().getSeq[Long](0)
+    val direct = df.agg(Sketches.kmvSketch(col("v"), 24)).first().getSeq[Long](0)
+    assert(merged == direct)
+  }
 }
