@@ -270,6 +270,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("luhn_valid", 1)(args => GraftExpr.catalystExpression(
         TextFunctions.luhnValid(GraftExpr.column(args(0)))))))
 
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1], byte-" +
+          "based, prefix boost above 0.7 (matches DuckDB's " +
+          "jaro_winkler_similarity bit-exactly)"),
+      arity("jaro_winkler", 2)(args =>
+        graft.functions.JaroWinkler(args(0), args(1)))))
+
     ext.injectFunction((FunctionIdentifier("iban_mod97"),
       info("iban_mod97",
         "iban_mod97(iban) - ISO 13616 mod-97 residue of the rotated, " +

@@ -852,6 +852,17 @@ object SparkEntry {
           substring(col("text"), 1, 64).as("title")),
         maxDist = 5, blockPrefix = 8, textCol = "title", maxBlockSize = Some(80))),
 
+    // Jaro-Winkler record linkage over the same TITLE field: the prefix-
+    // weighted matcher (native byte-based expression, codegen'd, bit-
+    // exact vs the oracle engine's jaro_winkler_similarity) — the raw
+    // similarity doubles go under the hash gate.
+    "q_link_jw" -> ((s, dir) =>
+      operators.Dedup.jaroWinklerPairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 64).as("title")),
+        threshold = 0.88, blockPrefix = 8, textCol = "title",
+        maxBlockSize = Some(80))),
+
     // ExactSubstr repeated-span removal (Lee et al. 2022, windowed): any
     // 12-token window occurring >= 2 times corpus-wide marks duplicated
     // positions; overlapping windows merge into maximal spans, removed
@@ -7239,6 +7250,20 @@ object SparkEntry {
         |FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE abs(len(a.title) - len(b.title)) <= 5
         |  AND levenshtein(a.title, b.title) <= 5""".stripMargin,
+
+    "q_link_jw" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS title FROM documents),
+        |k AS (
+        |  SELECT doc_id, title, substr(lower(trim(title)), 1, 8) AS blk FROM d
+        |  WHERE substr(lower(trim(title)), 1, 8) IS NOT NULL
+        |    AND len(substr(lower(trim(title)), 1, 8)) > 0),
+        |c AS (SELECT blk FROM (SELECT blk, count(*) AS n FROM k GROUP BY blk)
+        |      WHERE n <= 80),
+        |f AS (SELECT k.* FROM k JOIN c USING (blk))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  jaro_winkler_similarity(a.title, b.title) AS jw
+        |FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE jaro_winkler_similarity(a.title, b.title) >= 0.88""".stripMargin,
 
     "q_decontam_bloom" ->
       """WITH s AS (

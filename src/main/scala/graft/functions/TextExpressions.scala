@@ -702,3 +702,94 @@ case class ArrayPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): ArrayPairs =
     copy(child = c)
 }
+
+/** Jaro-Winkler similarity (Winkler 1990) of two strings, computed over
+  * UTF-8 BYTES — the semantics of DuckDB's `jaro_winkler_similarity`
+  * (RapidFuzz lineage), established empirically: byte-wise comparison,
+  * either side empty -> 0.0, transpositions integer-halved, the Winkler
+  * prefix boost (cap 4, weight 0.1) applied only when the Jaro score
+  * STRICTLY exceeds 0.7. Fixed float op order `((m/l1 + m/l2) +
+  * (m-t)/m) / 3` then `sim + (p*0.1)*(1-sim)` replays bit-identically in
+  * an IEEE engine evaluating the same order — which is what lets an
+  * independent SQL oracle hash-check the raw doubles. The matching pass
+  * is the standard windowed greedy (window = max(l1,l2)/2 - 1, floor 0).
+  *
+  * The record-linkage complement of levenshtein: edit distance counts
+  * ANY edits, Jaro-Winkler weighs agreement and rewards shared prefixes
+  * — the standard name/title matcher. Byte-based also means no decode:
+  * evaluation runs directly on the UTF8String buffer. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaro_winkler needs (string, string), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinkler.sim($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaroWinkler = copy(left = l, right = r)
+}
+
+object JaroWinkler {
+  /** The kernel, shared by interpreted eval and generated code. */
+  def sim(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.getBytes
+    val s2 = b.getBytes
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val w = math.max((if (l1 > l2) l1 else l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + w)
+      var j = math.max(0, i - w)
+      var matched = false
+      while (j <= hi && !matched) {
+        if (!m2(j) && s1(i) == s2(j)) { m1(i) = true; m2(j) = true; m += 1; matched = true }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (s1(i) != s2(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    t /= 2
+    var sim = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (sim > 0.7) {
+      val cap = math.min(4, math.min(l1, l2))
+      var p = 0
+      while (p < cap && s1(p) == s2(p)) p += 1
+      sim += p * 0.1 * (1.0 - sim)
+    }
+    sim
+  }
+}

@@ -290,6 +290,14 @@ object TextFunctions {
   def luhnCheckDigit(base: Column): Column =
     pmod(lit(10) - pmod(luhnChecksum(concat(base, lit("0"))), lit(10)), lit(10))
 
+  /** Jaro-Winkler similarity in [0, 1] ([[graft.functions.JaroWinkler]]):
+    * the prefix-weighted name/title matcher, byte-based and bit-identical
+    * to DuckDB's `jaro_winkler_similarity`. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(JaroWinkler(GraftExpr.expression(a), GraftExpr.expression(b)))
+  }
+
   /** ISO 13616 IBAN mod-97 residue ([[graft.functions.Mod97Sum]]): rotate
     * the leading country+check block to the end, expand A–Z to 10–35,
     * reduce the decimal expansion mod 97 — 1 iff the check digits are

@@ -436,6 +436,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  /** Blocked record-linkage pairs by JARO-WINKLER similarity — the
+    * prefix-weighted complement of [[fuzzyPairs]]'s edit distance: edit
+    * distance counts any edits equally, Jaro-Winkler weighs positional
+    * agreement and rewards shared prefixes, which is why it is the
+    * standard matcher for names/titles where the head of the string
+    * carries the identity. Same blocker and scale shape as
+    * [[fuzzyPairs]] (prefix blocks, Σ|block|² within-block pairs,
+    * `maxBlockSize` anti-join guard); SHORT FIELDS ONLY — the kernel is
+    * O(len²/window) per pair. Scoring is the native byte-based
+    * [[graft.functions.JaroWinkler]] expression (codegen'd, bit-exact
+    * vs DuckDB's jaro_winkler_similarity). Pairs are (a_id < b_id). */
+  def jaroWinklerPairs(
+      docs: DataFrame,
+      threshold: Double,
+      blockPrefix: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBlockSize: Option[Int] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(blockPrefix >= 1, s"blockPrefix must be >= 1: $blockPrefix")
+    val keyed = docs.select(col(idCol).as("a_id"), col(textCol).as("__ta"),
+        substring(lower(trim(col(textCol))), 1, blockPrefix).as("__blk"))
+      .filter(col("__blk").isNotNull && length(col("__blk")) > 0)
+    val capped = maxBlockSize.fold(keyed) { cap =>
+      require(cap >= 2, s"maxBlockSize must be >= 2: $cap")
+      val hot = keyed.groupBy("__blk").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select("__blk")
+      keyed.join(hot, Seq("__blk"), "left_anti")
+    }
+    val right = capped.select(col("__blk"), col("a_id").as("b_id"),
+      col("__ta").as("__tb"))
+    capped.join(right, Seq("__blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jw", TextFunctions.jaroWinkler(col("__ta"), col("__tb")))
+      .filter(col("jw") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jw"))
+  }
+
   /** Shared core of the n-gram pair generators: distinct-shingle postings
     * (df-capped when asked) self-joined by shingle, aggregated to one row
     * per candidate pair carrying (a_sz, b_sz, inter). */

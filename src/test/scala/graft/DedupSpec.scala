@@ -476,6 +476,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       Dedup.fuzzyPairs(docs, maxDist = 1, maxBlockSize = Some(1)))
   }
 
+  test("jaroWinklerPairs: prefix-weighted matches within blocks, threshold respected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "worldwide shipping company"),
+      (2L, "worldwide shipping compamy"),  // typo late in string: high JW
+      (3L, "worldwide logistics and freight"), // same block, below threshold
+      (4L, "acme corp"),                   // different block entirely
+      (5L, "acme corp")                    // exact dup of 4
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaroWinklerPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((4L, 5L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact dup scores exactly 1.0
+    val exact = Dedup.jaroWinklerPairs(df, threshold = 0.9)
+      .filter("a_id = 4").collect().head.getDouble(2)
+    assert(exact == 1.0)
+  }
+
   test("ngramJaccardAgainstCorpus: cross-side pairs only, cap prunes corpus boilerplate") {
     import spark.implicits._
     val newDocs = Seq(

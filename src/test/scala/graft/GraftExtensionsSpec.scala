@@ -190,6 +190,13 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(iban.getInt(0) == 1 && iban.getBoolean(1) && !iban.getBoolean(2))
       assert(iban.isNullAt(3))
       intercept[Exception] { s.sql("SELECT iban_valid()").collect() }
+      // r16 registration: jaro_winkler
+      val jw = s.sql(
+        "SELECT jaro_winkler('martha', 'marhta') AS a, " +
+          "jaro_winkler('a', CAST(NULL AS STRING)) AS b").collect()(0)
+      assert(jw.getDouble(0) == 0.9611111111111111)
+      assert(jw.isNullAt(1))
+      intercept[Exception] { s.sql("SELECT jaro_winkler('x')").collect() }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -450,4 +450,61 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     // braces: (1+1)x3 = 6; ';' x2 -> 6; '=' x2 -> 4; parens 2+2 -> 4; kw 3x5=15
     assert(got == Seq(6 + 6 + 4 + 4 + 15, 0))
   }
+
+  test("jaroWinkler: textbook values, boost threshold, prefix cap, byte semantics") {
+    import spark.implicits._
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // Winkler's own example
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("CRATE", "TRACE", 0.7333333333333334),     // jaro > 0.7 but prefix 0
+      ("abcdefgh", "abcdxxxx", 0.6666666666666666), // jaro <= 0.7: NO boost
+      ("aaaaaaaaaab", "aaaaaaaaaac", 0.9636363636363636), // prefix capped at 4
+      ("ab", "ba", 0.0),                          // window 0: no matches
+      ("", "", 0.0), ("a", "", 0.0), ("", "a", 0.0), // empty -> 0 by convention
+      ("abc", "abc", 1.0),
+      ("日本語", "日本誤", 0.9555555555555556))   // BYTE-based (9-byte strings)
+    val got = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(TextFunctions.jaroWinkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == cases.map(_._3))
+  }
+
+  test("jaroWinkler: agrees with an independent char-DP reference on ASCII fuzz") {
+    import spark.implicits._
+    // independent reimplementation (chars == bytes on ASCII)
+    def ref(s1: String, s2: String): Double = {
+      val (l1, l2) = (s1.length, s2.length)
+      if (l1 == 0 || l2 == 0) return 0.0
+      val w = math.max(math.max(l1, l2) / 2 - 1, 0)
+      val m1 = Array.fill(l1)(false); val m2 = Array.fill(l2)(false)
+      var m = 0
+      for (i <- 0 until l1; j <- math.max(0, i - w) to math.min(l2 - 1, i + w)
+           if !m1(i) && !m2(j) && s1(i) == s2(j)) { m1(i) = true; m2(j) = true; m += 1 }
+      if (m == 0) return 0.0
+      var t = 0; var j = 0
+      for (i <- 0 until l1 if m1(i)) {
+        while (!m2(j)) j += 1
+        if (s1(i) != s2(j)) t += 1
+        j += 1
+      }
+      t /= 2
+      var sim = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+      if (sim > 0.7) {
+        val p = s1.take(4).zip(s2.take(4)).takeWhile(c => c._1 == c._2).length
+        sim += p * 0.1 * (1.0 - sim)
+      }
+      sim
+    }
+    val rnd = new scala.util.Random(11)
+    val cases = (0 until 500).map { _ =>
+      def str = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      (str, str)
+    }
+    val got = cases.toDF("a", "b")
+      .select(TextFunctions.jaroWinkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == cases.map(c => ref(c._1, c._2)))
+  }
+
 }
