@@ -1778,6 +1778,29 @@ object SparkEntry {
       s.read.format(avroFmt).load(out)
     }),
 
+    // XML source/sink ROUND TRIP under the hash gate: the third
+    // interchange family (hierarchical/tag-delimited — feeds, sitemaps,
+    // API exports) next to columnar ORC and row-oriented Avro. Spark 4
+    // ships the XML source built in (SPARK-44265). An explicit read
+    // schema pins types (XML inference widens everything to long/
+    // string); escaping of &, <, > and value fidelity of the whole
+    // write+read cycle sit under the hash vs the parquet original.
+    "q_source_xml" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_gate_" +
+        ProcessHandle.current().pid()
+      registerTempDirCleanup(out)
+      t(s, dir, "documents").write.mode("overwrite")
+        .option("rowTag", "doc").format("xml").save(out)
+      s.read.schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("n_chars", LongType))))
+        // default=true TRIMS surrounding whitespace on read — fidelity
+        // first (probe: "  padded  " came back "padded" without this)
+        .option("ignoreSurroundingSpaces", "false")
+        .option("rowTag", "doc").format("xml").load(out)
+    }),
+
     // Per-user activity trend: exact-integer least-squares slope fraction
     // over (day, daily count) points — two partial-agg shuffles, zero
     // windows, bit-exact where regr_slope's float accumulation is not.
@@ -8439,6 +8462,9 @@ object SparkEntry {
 
     // same contract for the Avro row-format cycle
     "q_source_avro" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q_source_xml" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // the decorated payload recomputed from the original: commas, a

@@ -114,4 +114,28 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
         StructType(Seq(StructField("_corrupt_record", StringType))))
     }
   }
+
+  test("XML round trip preserves markup chars, whitespace, newlines, nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val nasty = Seq((1L, "a & b < c > d"), (2L, "line1\nline2\ttab"),
+      (3L, ""), (4L, null.asInstanceOf[String]), (5L, "  padded  "),
+      (6L, "unicode: 日本 ü é"), (7L, "]]> <![CDATA[x]]>"), (8L, "\"quotes' &amp;"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_spec").toString
+    try {
+      nasty.toDF("id", "txt").write.mode("overwrite")
+        .option("rowTag", "r").format("xml").save(dir)
+      val back = spark.read
+        .schema(StructType(Seq(StructField("id", LongType),
+          StructField("txt", StringType))))
+        .option("ignoreSurroundingSpaces", "false") // default TRIMS "  padded  "
+        .option("rowTag", "r").format("xml").load(dir)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .sortBy(_._1).toSeq
+      assert(back == nasty.sortBy(_._1))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
