@@ -1007,6 +1007,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("gram").asc)
         .limit(100)),
 
+    // Zipf rank-frequency exponent of the shingle vocabulary: ln-ln OLS
+    // over (two-phase-prefix global rank, frequency), quantized to the
+    // 2^-20 grid so the cross-engine StrictMath-vs-libm ln ulp never
+    // reaches the hash; decimal moment sums exact, slope/intercept one
+    // fixed-order double readout.
+    "q_zipf" -> ((s, dir) => Curation.zipfFit(t(s, dir, "documents"))),
+
+    // Heaps vocabulary-growth exponent: V(N) ~ K*N^beta over cumulative
+    // (tokens seen, distinct vocab) at every doc in id order — both
+    // running sums from ONE shared two-phase prefix pass.
+    "q_heaps" -> ((s, dir) => Curation.heapsFit(t(s, dir, "documents"))),
+
     // Per-source distinctive vocabulary: top-20 terms per source ranked
     // (group-df asc, tf desc, term asc) — all-integer c-TF-IDF-style
     // ranking; df = 1 flags source-unique vocabulary.
@@ -7338,6 +7350,64 @@ object SparkEntry {
         |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
         |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))
         |GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 100""".stripMargin,
+
+    // zipf/heaps: quantized-ln OLS — integer moments in HUGEINT, the
+    // slope/intercept doubles in the engine's exact op order
+    "q_zipf" ->
+      """WITH f AS (
+        |  SELECT sh, count(*) AS freq FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))
+        |  GROUP BY sh),
+        |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, sh) AS rank FROM f),
+        |pts AS (SELECT
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS y
+        |  FROM r),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM pts),
+        |s AS (SELECT n, CAST(sx AS DECIMAL(38,0)) AS sx, CAST(sy AS DECIMAL(38,0)) AS sy,
+        |    CAST(sxy AS DECIMAL(38,0)) AS sxy, CAST(sxx AS DECIMAL(38,0)) AS sxx,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM a)
+        |SELECT n, sx, sy, sxy, sxx, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        |FROM s""".stripMargin,
+
+    "q_heaps" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')) AS shs FROM d),
+        |perdoc AS (SELECT doc_id, len(shs) AS n_sh FROM s),
+        |firsts AS (SELECT sh, min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id, unnest(shs) AS sh FROM s) GROUP BY sh),
+        |nn AS (SELECT doc_id, count(*) AS n_new FROM firsts GROUP BY 1),
+        |j AS (SELECT p.doc_id, p.n_sh, COALESCE(nn.n_new, 0) AS n_new
+        |      FROM perdoc p LEFT JOIN nn USING (doc_id)),
+        |c AS (SELECT sum(n_sh) OVER (ORDER BY doc_id) AS cum_tokens,
+        |        sum(n_new) OVER (ORDER BY doc_id) AS cum_vocab FROM j),
+        |pts AS (SELECT
+        |    CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS y
+        |  FROM c WHERE cum_tokens > 0 AND cum_vocab > 0),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM pts),
+        |s2 AS (SELECT n, CAST(sx AS DECIMAL(38,0)) AS sx, CAST(sy AS DECIMAL(38,0)) AS sy,
+        |    CAST(sxy AS DECIMAL(38,0)) AS sxy, CAST(sxx AS DECIMAL(38,0)) AS sxx,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM a)
+        |SELECT n, sx, sy, sxy, sxx, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        |FROM s2""".stripMargin,
 
     "q_pipeline_training" ->
       """WITH s AS (

@@ -170,6 +170,101 @@ object Curation {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** ln quantized to the 2⁻²⁰ grid, as an exact integer: `floor(ln(x) ·
+    * 2²⁰ + 1/2)`. The two engines' ln differ by 1–2 ulp on ~2% of inputs
+    * (Spark evaluates StrictMath/fdlibm, the oracle its libm), so RAW ln
+    * doubles cannot sit under the hash gate; quantizing to ~1e-6 relative
+    * granularity makes a cross-engine flip need an input within 2 ulp of
+    * a grid boundary (~4e-9 probability per value) while losing nothing a
+    * scaling-law diagnostic can feel. The multiply by 2²⁰ is exact, the
+    * +0.5 and floor deterministic — downstream arithmetic is all integer.
+    */
+  private def qln(x: Column): Column =
+    floor(log(x.cast("double")) * lit(1048576.0) + lit(0.5)).cast("long")
+
+  /** Shared OLS readout over quantized-ln points: ONE partial-aggregable
+    * scan to exact DECIMAL(38,0) moment sums (engine-portable — the
+    * oracle accumulates the same integers), slope/intercept derived in a
+    * FIXED double op order from the exact components (each decimal→double
+    * cast and each of the 7 float ops is correctly rounded, so the
+    * doubles hash bit-exact). */
+  private def qlnRegress(pts: DataFrame): DataFrame = {
+    val d18 = "decimal(18,0)"
+    val agg = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d18)).cast("decimal(38,0)").as("sx"),
+      sum(col("y").cast(d18)).cast("decimal(38,0)").as("sy"),
+      sum(col("x").cast(d18) * col("y").cast(d18)).cast("decimal(38,0)").as("sxy"),
+      sum(col("x").cast(d18) * col("x").cast(d18)).cast("decimal(38,0)").as("sxx"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    agg
+      .withColumn("slope",
+        (nd * col("sxy").cast("double") - sxd * col("sy").cast("double")) /
+          (nd * col("sxx").cast("double") - sxd * sxd))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * sxd) / nd)
+  }
+
+  /** Zipf rank-frequency fit over the shingle vocabulary: ln-ln OLS of
+    * (rank, frequency) — slope ≈ −1 on natural text; a corpus whose
+    * exponent drifts (synthetic padding flattens it, template spam
+    * steepens it) fails the curation expectation. Frequencies are one
+    * occurrence-counting agg; the GLOBAL rank over (freq desc, shingle
+    * asc) comes from the two-phase prefix count ([[graft.ops
+    * .RunningCount]]) — no single-partition window anywhere, so the
+    * ranking holds on a 1000-executor vocabulary. Points are quantized
+    * ([[qln]]) into the exact-integer OLS ([[qlnRegress]]); one row out:
+    * n, the four decimal moment sums, slope, intercept. The slope is
+    * unit-free (the 2²⁰ scale cancels); the intercept is in qln units —
+    * divide by 2²⁰ for ln K. */
+  def zipfFit(
+      docs: DataFrame,
+      ngram: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val freq = docs.repartition(parts)
+      .select(explode(TextFunctions.shinglesNative(col(textCol), ngram)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("freq"))
+    val ranked = graft.ops.RunningCount.withRunningCount(freq,
+      Seq(col("freq").desc, col("sh")), "rank")
+    qlnRegress(ranked.select(qln(col("rank")).as("x"), qln(col("freq")).as("y")))
+  }
+
+  /** Heaps vocabulary-growth fit: ln-ln OLS of (cumulative tokens seen,
+    * cumulative distinct vocabulary) sampled at every document in id
+    * order — V(N) ≈ K·N^β, β ≈ 0.7 on natural text; a plateauing β says
+    * the corpus has stopped contributing new vocabulary (the dedup /
+    * diversity signal at ingest time). The census is two aggs (per-doc
+    * occurrence counts; min-doc-id per distinct shingle → new-vocab
+    * counts) + ONE shared two-phase prefix pass computing both running
+    * sums — nothing document-sized shuffles twice, no driver loop, no
+    * single-partition window. Same quantized exact-integer OLS readout
+    * as [[zipfFit]]. */
+  def heapsFit(
+      docs: DataFrame,
+      ngram: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = docs.repartition(parts).select(col(idCol).as("id"),
+      TextFunctions.shinglesNative(col(textCol), ngram).as("shs"))
+    val perDoc = toks.select(col("id"),
+      coalesce(size(col("shs")), lit(0)).cast("long").as("n_sh"))
+    val newPerDoc = toks.select(col("id"), explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(min(col("id")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_new"))
+    val joined = perDoc.join(newPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_sh"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val cum = graft.ops.RunningCount.withRunningAggs(joined,
+      Seq((col("n_sh"), graft.ops.RunningCount.Kind.Sum, "cum_tokens"),
+        (col("n_new"), graft.ops.RunningCount.Kind.Sum, "cum_vocab")),
+      Seq(col("id")))
+    qlnRegress(cum.filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
+      .select(qln(col("cum_tokens")).as("x"), qln(col("cum_vocab")).as("y")))
+  }
+
   /** Temperature-based mixture REBALANCING (the multilingual/multi-domain
     * p_d ∝ n_d^(1/T) resampling of Conneau–Lample / mT5): target domain
     * shares follow n^(1/T) — T=1 keeps natural proportions, T→∞

@@ -1594,4 +1594,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     graft.ops.Pins.scopedEntry("curation.trigramCensus").get
       .unpersist(blocking = false)
   }
+
+  test("zipfFit: equal-frequency vocabulary fits slope exactly 0, intercept = qln(freq)") {
+    import spark.implicits._
+    // 10 distinct single-shingle docs, each text repeated 7 times:
+    // every shingle has frequency 7 -> y constant -> OLS slope exactly 0
+    val docs = (for (i <- 0 until 10; r <- 0 until 7)
+      yield (i * 7L + r, s"w${i}a w${i}b w${i}c")).toDF("doc_id", "text")
+    val row = Curation.zipfFit(docs).collect().head
+    assert(row.getAs[Long]("n") == 10L)
+    assert(row.getAs[Double]("slope") == 0.0)
+    // qln(7) = floor(ln 7 * 2^20 + 1/2)
+    assert(row.getAs[Double]("intercept") == 2040435.0)
+  }
+
+  test("heapsFit: fully disjoint vocabulary fits slope exactly 1, intercept exactly 0") {
+    import spark.implicits._
+    // every doc contributes only new shingles and no within-doc repeats:
+    // cumulative tokens == cumulative vocab at every doc -> y = x exactly
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text")
+    val row = Curation.heapsFit(docs).collect().head
+    assert(row.getAs[Long]("n") == 40L)
+    assert(row.getAs[Double]("slope") == 1.0)
+    assert(row.getAs[Double]("intercept") == 0.0)
+  }
+
+  test("zipfFit/heapsFit: slopes on skewed vs uniform corpora order as expected") {
+    import spark.implicits._
+    // geometric repetition -> steeper (more negative) zipf slope than flat
+    val flat = (0 until 64).map(i => (i.toLong, s"a$i b$i c$i")).toDF("doc_id", "text")
+    val skew = (for (i <- 0 until 8; r <- 0 until (1 << i))
+      yield ((i * 1000 + r).toLong, s"a$i b$i c$i")).toDF("doc_id", "text")
+    val sFlat = Curation.zipfFit(flat).collect().head.getAs[Double]("slope")
+    val sSkew = Curation.zipfFit(skew).collect().head.getAs[Double]("slope")
+    assert(sFlat == 0.0)
+    assert(sSkew < -0.5, s"skewed corpus should have a steep slope: $sSkew")
+  }
 }
