@@ -1217,6 +1217,14 @@ object SparkEntry {
       operators.Graph.pageRank(edges, iters = 10, weightCol = Some("n"))
     }),
 
+    // TextRank keywords: pageRank over the word co-occurrence graph
+    // (window 2, undirected, count-weighted) — all-integer iterations, so
+    // the extraction replays exactly in the recursive oracle; (rank desc,
+    // word) total order makes the top-20 cut engine-portable.
+    "q_textrank" -> ((s, dir) =>
+      operators.Graph.textRank(t(s, dir, "documents"),
+        window = 2, iters = 10, topK = 20)),
+
     // Exact triangle count of the co-purchase graph (parts sharing an
     // order) by degree-ordered orientation — wedge space O(m^1.5)
     // regardless of skew, vs the oracle's naive three-way join.
@@ -5865,6 +5873,44 @@ object SparkEntry {
         |    GROUP BY d.node
         |  ) WHERE iter IS NOT NULL)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10""".stripMargin,
+
+    // q_pagerank's recursive replay over the word co-occurrence edges
+    "q_textrank" ->
+      """WITH RECURSIVE
+        |t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(ts)),
+        |    i -> list_transform(range(i+1, least(i+2, len(ts)) + 1),
+        |      j -> {'a': ts[i], 'b': ts[j]})))) AS pr
+        |  FROM t WHERE len(ts) >= 2),
+        |und AS (
+        |  SELECT least(pr.a, pr.b) AS x, greatest(pr.a, pr.b) AS y, count(*) AS w
+        |  FROM p WHERE pr.a <> pr.b GROUP BY 1, 2),
+        |edges AS (SELECT x AS src, y AS dst, w FROM und
+        |          UNION ALL SELECT y AS src, x AS dst, w FROM und),
+        |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |params AS (SELECT count(*) AS n, 1000000000000 // count(*) AS r0,
+        |                  (1000000000000 * 15) // (100 * count(*)) AS base
+        |           FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS iter, node, (SELECT r0 FROM params) AS rank FROM nodes
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT MAX(MAX(q.iter)) OVER () + 1 AS iter, d.node,
+        |      (SELECT base FROM params)
+        |        + (85 * COALESCE(SUM(q.contrib), 0)) // 100 AS rank
+        |    FROM nodes d
+        |    LEFT JOIN (
+        |      SELECT p2.iter, e.dst, (p2.rank * e.w) // ws.wsum AS contrib
+        |      FROM pr p2 JOIN edges e ON e.src = p2.node
+        |        JOIN ws ON ws.src = p2.node
+        |      WHERE p2.iter < 10
+        |    ) q ON q.dst = d.node
+        |    GROUP BY d.node
+        |  ) WHERE iter IS NOT NULL)
+        |SELECT node AS word, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10
+        |ORDER BY rank DESC, word LIMIT 20""".stripMargin,
 
     // Naive canonical-triangle enumeration (u < v < w via three joins of
     // the u<v pair list) — the Spark side's oriented-wedge count must be

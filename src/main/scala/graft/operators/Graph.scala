@@ -348,4 +348,51 @@ object Graph {
         explode(filter(col("__ids"), x => x > col("src"))).as("dst"))
       .distinct()
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): run
+    * [[pageRank]] over the word co-occurrence graph — an undirected edge
+    * between every pair of tokens within `window` positions of each
+    * other, weighted by corpus-wide co-occurrence count — and read the
+    * top-`topK` words by rank. Inherits pageRank's all-integer iteration,
+    * so the whole extraction replays exactly in a recursive SQL oracle.
+    *
+    * Scale shape: pair generation is a per-row HOF expression (window ·
+    * len pairs per doc, no join), collapsing scan-locally into the
+    * (x, y, w) vocabulary-sized edge list via one partial agg; the
+    * undirected edge list symmetrizes by a cheap union (edges are vocab²
+    * at worst, vanishing next to the corpus); iterations are pageRank's
+    * pinned per-round joins. `(rank desc, word)` makes the top-k cut a
+    * deterministic total order. Self-pairs (a repeated word inside the
+    * window) are dropped — a self-loop only feeds rank back to itself. */
+  def textRank(
+      docs: DataFrame,
+      window: Int = 2,
+      iters: Int = 10,
+      topK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val ts = col("ts")
+    val pairs = docs
+      .select(graft.functions.TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(ts) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(ts) - 2),
+        i => transform(
+          sequence(i + 1, least(i + lit(window), size(ts) - 1)),
+          j => struct(element_at(ts, i + 1).as("a"),
+            element_at(ts, j + 1).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val und = pairs
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+    val sym = und.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .unionAll(und.select(col("y").as("src"), col("x").as("dst"), col("w")))
+    pageRank(sym, iters = iters, weightCol = Some("w"))
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(topK)
+      .select(col("node").as("word"), col("rank"))
+  }
 }

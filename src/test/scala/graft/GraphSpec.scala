@@ -248,4 +248,31 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("textRank: a hub word co-occurring with everything ranks first; self-pairs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hub alpha hub beta hub gamma"),
+      (2L, "hub delta hub epsilon"),
+      (3L, "alpha beta"),
+      (4L, "solo solo solo")) // only self-pairs: contributes no edges
+      .toDF("doc_id", "text")
+    val got = Graph.textRank(docs, window = 2, iters = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head._1 == "hub")
+    assert(!got.map(_._1).contains("solo"))
+    // deterministic: a second run returns the identical ranking
+    val again = Graph.textRank(docs, window = 2, iters = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("textRank: window widens the edge set, never narrows it") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val w1 = Graph.textRank(docs, window = 1, iters = 3, topK = 50).count()
+    val w3 = Graph.textRank(docs, window = 3, iters = 3, topK = 50).count()
+    // same node set (all words appear in both graphs)
+    assert(w1 == 8 && w3 == 8)
+  }
 }
