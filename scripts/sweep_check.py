@@ -22,6 +22,9 @@ QUADRATIC_ORACLES = {
     # (measured r13), same oracle-cost-only class as the pair oracles;
     # the engine side runs these fine and both gate at sf0.01
     "q_unigram_train", "q_unigram_encode",
+    # ppjoin's oracle is the deliberate all-pairs brute force (the engine
+    # side is the prefix-filtered scale path; both gate at sf0.01)
+    "q_dedup_ppjoin",
 }
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:

