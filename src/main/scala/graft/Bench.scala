@@ -216,7 +216,18 @@ object Bench {
     "q_benford2",
     // cross-modal capstone: real-codec dedup + cosine gate + SemDeDup +
     // shard export/readback in one plan
-    "q_pipeline_multimodal")
+    "q_pipeline_multimodal",
+    // r16: exact prefix-filtered similarity join (flat rank-postings
+    // census, candidate-broadcast verify)
+    "q_dedup_ppjoin",
+    // r16: KMV distinct sketch (one-pass mergeable agg) + sketch algebra
+    "q_kmv_distinct", "q_kmv_setops",
+    // r16: Jaro-Winkler record linkage (native byte-based expression)
+    "q_link_jw",
+    // r16: XML round trip; scaling-law diagnostics; TextRank keywords
+    "q_source_xml", "q_zipf", "q_heaps", "q_gini", "q_textrank",
+    // r16: PCA — native CovMoments census + captured-component projection
+    "q_pca_cov", "q_pca_project")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -1019,6 +1019,11 @@ object SparkEntry {
     // running sums from ONE shared two-phase prefix pass.
     "q_heaps" -> ((s, dir) => Curation.heapsFit(t(s, dir, "documents"))),
 
+    // Gini concentration of shingle mass: the log-free companion readout
+    // (template/boilerplate domination signal) — tie-order-invariant
+    // rank-weighted sum, exact decimal moments, one double division.
+    "q_gini" -> ((s, dir) => Curation.giniIndex(t(s, dir, "documents"))),
+
     // Per-source distinctive vocabulary: top-20 terms per source ranked
     // (group-df asc, tf desc, term asc) — all-integer c-TF-IDF-style
     // ranking; df = 1 flags source-unique vocabulary.
@@ -3235,6 +3240,20 @@ object SparkEntry {
       Similarity.randomProject(t(s, dir, "embeddings"), outDims = 8, dim = 64)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "y")))),
 
+    // PCA's distributed half: the exact 10^-6-quantized covariance census
+    // (integer moments, 2080 upper-triangle rows at d=64) — what the
+    // driver-side eigensolve consumes; fully static-oracle-checkable.
+    "q_pca_cov" -> ((s, dir) =>
+      Similarity.pcaCovariance(t(s, dir, "embeddings"), dim = 64)),
+
+    // The fitted projection: Jacobi eigensolve on the collected census,
+    // top-2 sign-canonicalized components, one-scan left-fold dots —
+    // oracle embeds the captured component literals (IvfRun discipline).
+    "q_pca_project" -> ((s, dir) => {
+      val run = Similarity.pcaFit(t(s, dir, "embeddings"), dim = 64, k = 2)
+      Similarity.pcaProject(t(s, dir, "embeddings"), run)
+    }),
+
     // Contrastive mining: k deterministic uniform negatives per doc from
     // the salted-md5 ring — integer arithmetic end to end, one pos-keyed
     // join, payloads never expand.
@@ -4589,9 +4608,35 @@ object SparkEntry {
     }.toMap
   }
 
+  @volatile private var warnedPcaOmitted = false
+
+  /** q_pca_project's oracle: the per-component left-fold dot with the
+    * CAPTURED top-k components as literals ([[ivfOracleEntry]]
+    * discipline — the fit is deterministic but data-dependent). */
+  private def pcaOracleEntry: Map[String, String] = {
+    if (Similarity.lastPcaRun.isEmpty && !warnedPcaOmitted) {
+      warnedPcaOmitted = true
+      System.err.println(
+        "WARN oracleSql: q_pca_project oracle OMITTED — no PCA fit in this " +
+          "JVM (run the q_pca_project query before reading oracleSql); " +
+          "the gate degrades to rows-only")
+    }
+    Similarity.lastPcaRun.map { run =>
+      val pcs = run.components.zipWithIndex.map { case (c, i) =>
+        s"list_sum(list_transform(list_zip(e, ${sqlDoubles(c)}), " +
+          s"z -> z[1] * z[2])) AS pc${i + 1}"
+      }.mkString(",\n  ")
+      "q_pca_project" ->
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+           |SELECT vec_id,
+           |  $pcs
+           |FROM v""".stripMargin
+    }.toMap
+  }
+
   def oracleSql: Map[String, String] =
     ivfOracleEntry ++ refinedRecallOracleEntry ++
-      bitextTrainedOracleEntry ++ Map(
+      bitextTrainedOracleEntry ++ pcaOracleEntry ++ Map(
     "q_filter" ->
       "SELECT doc_id, text FROM documents WHERE contains(lower(text), 'window')",
 
@@ -5401,6 +5446,24 @@ object SparkEntry {
     "q_wordpiece_encode" -> wordpieceOracleSql(4, 2, "encode"),
     "q_wordpiece_train" -> wordpieceTrainOracleSql(6),
     "q_rand_project" -> randProjectOracleSql(8, 64, 0xA5F152EDL),
+
+    // the PCA covariance census: pure integer replay of the 10^-6
+    // quantizer + HUGEINT moments
+    "q_pca_cov" ->
+      """WITH v AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS q
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(q) + 1),
+        |    j -> list_transform(range(j, len(q) + 1),
+        |      k -> {'j': j - 1, 'k': k - 1, 'p': q[j] * q[k],
+        |            'qj': q[j], 'qk': q[k]})))) AS t
+        |  FROM v)
+        |SELECT CAST(t.j AS BIGINT) AS j, CAST(t.k AS BIGINT) AS k,
+        |  count(*) AS n,
+        |  CAST(count(*) * sum(t.p) - sum(t.qj) * sum(t.qk) AS DECIMAL(38,0)) AS cov_num
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "q_kcenter" -> kcenterOracleSql(8),
     "q_train_perceptron" -> perceptronOracleSql(64, 3, "weights"),
     "q_train_margins" -> perceptronOracleSql(64, 3, "margins"),
@@ -7424,6 +7487,23 @@ object SparkEntry {
         |SELECT n, sx, sy, sxy, sxx, slope,
         |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
         |FROM s""".stripMargin,
+
+    "q_gini" ->
+      """WITH f AS (
+        |  SELECT sh, count(*) AS x FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))
+        |  GROUP BY sh),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, sh) AS i FROM f),
+        |a AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sum_x,
+        |        sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS sum_ix FROM r)
+        |SELECT n, CAST(sum_x AS DECIMAL(38,0)) AS sum_x,
+        |  CAST(sum_ix AS DECIMAL(38,0)) AS sum_ix,
+        |  (2.0 * CAST(sum_ix AS DOUBLE) -
+        |    (CAST(n AS DOUBLE) + 1.0) * CAST(sum_x AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS gini
+        |FROM a""".stripMargin,
 
     "q_heaps" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

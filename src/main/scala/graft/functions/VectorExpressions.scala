@@ -521,3 +521,166 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       l: Expression, r: Expression): SortedIntersectCount =
     copy(left = l, right = r)
 }
+
+/** Exact covariance MOMENTS of a quantized (long) vector column, as a
+  * one-pass mergeable native aggregate — the scale shape for a PCA /
+  * correlation census. The composed formulation (per-row HOF generating
+  * d(d+1)/2 product structs, exploded through a keyed agg) pays the
+  * interpreted-lambda tax times d²/2 AND pushes n·d²/2 rows through the
+  * aggregate hashmap — measured 52 s at sf1 for d=64; this aggregate does
+  * ONE update call per vector, a tight j≤k product loop into a flat
+  * buffer.
+  *
+  * Exactness: Σqⱼqₖ accumulates in TWO'S-COMPLEMENT 128-BIT (hi, lo)
+  * pairs — products of quantized components bounded by |q| < 3.03e9
+  * (guarded per element, one check per component) fit a long; their SUM
+  * does not at petabyte row counts, and a double would forfeit the
+  * hash-gate contract. Σqⱼ rides plain longs (overflow needs ~10¹² rows
+  * in ONE partition). Output: one array of d(d+1)/2 structs
+  * (j, k, n, p = Σqⱼqₖ as DECIMAL(38,0), sj, sk) — explode and derive
+  * `cov_num = n·p − sj·sk` declaratively. Merged across partials by
+  * element-wise 128-bit addition, so map-side combine applies and the
+  * shuffle carries one census per partition, never rows. */
+case class CovMoments(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[CovMoments.State]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(dim >= 2 && dim <= 1024, s"dim in [2, 1024]: $dim")
+
+  private val tri = dim * (dim + 1) / 2
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("j", IntegerType, nullable = false),
+    StructField("k", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("p", DecimalType(38, 0), nullable = false),
+    StructField("sj", LongType, nullable = false),
+    StructField("sk", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): CovMoments.State =
+    new CovMoments.State(dim, tri)
+
+  override def update(st: CovMoments.State, input: org.apache.spark.sql.catalyst.InternalRow): CovMoments.State = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == dim,
+        s"cov_moments: vector length ${arr.numElements()} != dim $dim")
+      val q = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        val x = arr.getLong(i)
+        require(x > -3037000499L && x < 3037000499L,
+          s"cov_moments: |q|=$x too large — product would overflow a long")
+        q(i) = x
+        i += 1
+      }
+      st.n += 1
+      var j = 0
+      var t = 0
+      while (j < dim) {
+        st.s(j) += q(j)
+        val qj = q(j)
+        var k = j
+        while (k < dim) {
+          val p = qj * q(k)
+          // two's-complement 128-bit add of p into (hi(t), lo(t))
+          val lo0 = st.lo(t)
+          val lo1 = lo0 + p
+          val carry = ((lo0 & p) | ((lo0 | p) & ~lo1)) >>> 63
+          st.lo(t) = lo1
+          st.hi(t) += (p >> 63) + carry
+          k += 1
+          t += 1
+        }
+        j += 1
+      }
+    }
+    st
+  }
+
+  override def merge(a: CovMoments.State, b: CovMoments.State): CovMoments.State = {
+    a.n += b.n
+    var i = 0
+    while (i < dim) { a.s(i) += b.s(i); i += 1 }
+    var t = 0
+    while (t < tri) {
+      val lo0 = a.lo(t)
+      val lo1 = lo0 + b.lo(t)
+      val carry = ((lo0 & b.lo(t)) | ((lo0 | b.lo(t)) & ~lo1)) >>> 63
+      a.lo(t) = lo1
+      a.hi(t) += b.hi(t) + carry
+      t += 1
+    }
+    a
+  }
+
+  override def eval(st: CovMoments.State): Any = {
+    val out = new Array[Any](tri)
+    var j = 0
+    var t = 0
+    while (j < dim) {
+      var k = j
+      while (k < dim) {
+        val bytes = new Array[Byte](16)
+        var b = 0
+        while (b < 8) {
+          bytes(b) = (st.hi(t) >>> (56 - 8 * b)).toByte
+          bytes(b + 8) = (st.lo(t) >>> (56 - 8 * b)).toByte
+          b += 1
+        }
+        val dec = org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(new java.math.BigInteger(bytes)), 38, 0)
+        out(t) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](j, k, st.n, dec, st.s(j), st.s(k)))
+        k += 1
+        t += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(st: CovMoments.State): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * dim + 16 * tri)
+    bb.putLong(st.n)
+    var i = 0
+    while (i < dim) { bb.putLong(st.s(i)); i += 1 }
+    var t = 0
+    while (t < tri) { bb.putLong(st.hi(t)); bb.putLong(st.lo(t)); t += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CovMoments.State = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val st = new CovMoments.State(dim, tri)
+    st.n = bb.getLong
+    var i = 0
+    while (i < dim) { st.s(i) = bb.getLong; i += 1 }
+    var t = 0
+    while (t < tri) { st.hi(t) = bb.getLong; st.lo(t) = bb.getLong; t += 1 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CovMoments =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CovMoments =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CovMoments =
+    copy(child = c)
+}
+
+object CovMoments {
+  /** Flat moment buffer: n, per-dim Σq, per-pair 128-bit Σqq. */
+  final class State(dim: Int, tri: Int) {
+    var n: Long = 0L
+    val s: Array[Long] = new Array[Long](dim)
+    val hi: Array[Long] = new Array[Long](tri)
+    val lo: Array[Long] = new Array[Long](tri)
+  }
+}

@@ -118,4 +118,11 @@ object VectorFunctions {
     import org.apache.spark.sql.GraftExpr
     GraftExpr.column(SignProject(GraftExpr.expression(v), signs.toArray))
   }
+
+  /** [[CovMoments]] as an aggregate Column over a quantized long-array
+    * column: one update per vector, exact 128-bit product sums. */
+  def covMoments(q: Column, dim: Int): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(CovMoments(GraftExpr.expression(q), dim).toAggregateExpression())
+  }
 }

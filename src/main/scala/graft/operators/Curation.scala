@@ -265,6 +265,39 @@ object Curation {
       .select(qln(col("cum_tokens")).as("x"), qln(col("cum_vocab")).as("y")))
   }
 
+  /** Gini concentration of the shingle-frequency mass — "how much of the
+    * corpus is a few templates": 0 = every shingle equally frequent, →1 =
+    * all mass in a handful (boilerplate/spam domination). The companion
+    * readout to [[zipfFit]] that needs NO logs at all: with frequencies
+    * ranked ascending, Gini = (2·Σ(i·xᵢ) − (n+1)·Σxᵢ) / (n·Σxᵢ) — Σ(i·xᵢ)
+    * is invariant under tie order (equal values contribute equally at
+    * swapped ranks), so the two-phase prefix rank's arbitrary-but-
+    * consistent tie handling cannot move the result. All moments exact
+    * DECIMAL(38,0); the Gini itself is a fixed-order double readout, so
+    * the whole row hash-matches the oracle. One row: n, sum_x, sum_ix,
+    * gini. */
+  def giniIndex(
+      docs: DataFrame,
+      ngram: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val freq = docs.repartition(parts)
+      .select(explode(TextFunctions.shinglesNative(col(textCol), ngram)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("x"))
+    val ranked = graft.ops.RunningCount.withRunningCount(freq,
+      Seq(col("x"), col("sh")), "i")
+    val d18 = "decimal(18,0)"
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d18)).cast("decimal(38,0)").as("sum_x"),
+      sum(col("i").cast(d18) * col("x").cast(d18)).cast("decimal(38,0)").as("sum_ix"))
+    val nd = col("n").cast("double")
+    agg.withColumn("gini",
+      (lit(2.0) * col("sum_ix").cast("double") -
+        (nd + lit(1.0)) * col("sum_x").cast("double")) /
+        (nd * col("sum_x").cast("double")))
+  }
+
   /** Temperature-based mixture REBALANCING (the multilingual/multi-domain
     * p_d ∝ n_d^(1/T) resampling of Conneau–Lample / mT5): target domain
     * shares follow n^(1/T) — T=1 keeps natural proportions, T→∞

@@ -816,6 +816,154 @@ object Similarity {
     vecs.select(col(idCol),
       projectSignsQuantized(col(vecCol), makeSigns(outDims, dim, seed)).as("proj"))
 
+  // ------------------------------------------------------------------ PCA
+
+  /** Captured top-k principal components of the most recent [[pcaFit]] —
+    * the oracle hook ([[IvfRun]] discipline: the fit is deterministic but
+    * data-dependent, so the projection oracle embeds the SAME component
+    * literals the query used). */
+  final case class PcaRun(components: Array[Array[Double]], dim: Int, k: Int)
+  @volatile private var lastPca: Option[PcaRun] = None
+  def lastPcaRun: Option[PcaRun] = lastPca
+
+  /** EXACT covariance census of a vector column, the distributed half of
+    * PCA: components quantized to the 10⁻⁶ grid (`floor(x·10⁶ + ½)` — a
+    * float32 cast to double is exact, the quantizer deterministic, so the
+    * census is pure integer arithmetic an independent engine replays
+    * bit-for-bit), then one partial-aggregable pass to the d(d+1)/2
+    * upper-triangle moment rows. `cov_num(j,k) = n·Σqⱼqₖ − Σqⱼ·Σqₖ` —
+    * the UNnormalized covariance (scale does not move eigenvectors; the
+    * exact-decimal form is what the hash gate can hold).
+    *
+    * Scale shape: ONE update per vector into the native
+    * [[graft.functions.CovMoments]] aggregate (tight j≤k product loop,
+    * exact 128-bit sums, map-side partials — the shuffle carries one
+    * census buffer per partition). The composed per-row-HOF + keyed-agg
+    * formulation measured 52 s at sf1 for d=64; this shape runs the same
+    * census in ~1 s. */
+  def pcaCovariance(
+      vecs: DataFrame,
+      dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    val q = vecs.select(transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")).as("q"))
+    q.agg(graft.functions.VectorFunctions.covMoments(col("q"), dim).as("m"))
+      .select(explode(col("m")).as("t"))
+      .select(col("t.j").cast("long").as("j"), col("t.k").cast("long").as("k"),
+        col("t.n").as("n"),
+        (col("t.n").cast("decimal(38,0)") * col("t.p") -
+          col("t.sj").cast("decimal(38,0)") * col("t.sk").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("cov_num"))
+  }
+
+  /** PCA fit: collect the tiny covariance census (d(d+1)/2 rows — driver
+    * traffic is the CENSUS, never vectors), run a deterministic cyclic
+    * Jacobi eigensolve on the d×d matrix, return the top-k components
+    * ordered by eigenvalue desc, each sign-canonicalized (largest-|c|
+    * coordinate positive, first index on ties) so the fit is a pure
+    * function of the data. Stashes [[lastPcaRun]] for the oracle. */
+  def pcaFit(
+      vecs: DataFrame,
+      dim: Int,
+      k: Int = 2,
+      vecCol: String = "embedding"): PcaRun = {
+    require(k >= 1 && k <= dim, s"k in [1, $dim]: $k")
+    val rows = pcaCovariance(vecs, dim, vecCol).collect()
+    val a = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("j").toInt
+      val kk = r.getAs[Long]("k").toInt
+      val v = r.getAs[java.math.BigDecimal]("cov_num").doubleValue()
+      a(j)(kk) = v
+      a(kk)(j) = v
+    }
+    val (evals, evecs) = jacobiEigen(a, dim)
+    val order = (0 until dim).sortBy(i => (-evals(i), i)).take(k)
+    val comps = order.map { i =>
+      val c = Array.tabulate(dim)(r => evecs(r)(i))
+      val m = c.indices.maxBy(x => (math.abs(c(x)), -x))
+      if (c(m) < 0) c.map(x => -x) else c
+    }.toArray
+    val run = PcaRun(comps, dim, k)
+    lastPca = Some(run)
+    run
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — the
+    * textbook rotation sweep, deterministic (fixed pivot order, fixed
+    * convergence threshold), plenty for the d ≤ a-few-hundred covariance
+    * matrices PCA meets here. Returns (eigenvalues, eigenvector COLUMNS). */
+  private def jacobiEigen(a0: Array[Array[Double]], n: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) { var q = p + 1; while (q < n) { s += a(p)(q) * a(p)(q); q += 1 }; p += 1 }
+      s
+    }
+    val eps = 1e-24 * (0 until n).map(i => a(i)(i) * a(i)(i)).sum.max(Double.MinPositiveValue)
+    var sweep = 0
+    while (sweep < 64 && off() > eps) {
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          if (a(p)(q) != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta).max(-1.0).min(1.0) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s0  => s0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Project vectors onto fitted components: one scan, k left-fold dots
+    * per row against broadcast literals — the same accumulation order as
+    * every cosine oracle (`list_sum` replay), so the projection doubles
+    * hash bit-exact. */
+  def pcaProject(
+      vecs: DataFrame,
+      run: PcaRun,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol) +: run.components.zipWithIndex.map { case (c, i) =>
+      graft.functions.VectorFunctions.dot(col(vecCol),
+        array(c.map(lit).toIndexedSeq: _*)).as(s"pc${i + 1}")
+    }.toIndexedSeq: _*)
+
   /** See [[graft.ops.Pins.releaseCheckpoint]] — the shared release for
     * eager localCheckpoint pins (Dataset.unpersist is a no-op on them). */
   private def releaseCheckpoint(df: DataFrame): Unit =

@@ -1620,6 +1620,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Double]("intercept") == 0.0)
   }
 
+  test("giniIndex: equal frequencies give exactly 0; concentration raises it; hand case exact") {
+    import spark.implicits._
+    // every shingle exactly once -> perfectly equal mass -> gini 0.0 exactly
+    val uniform = (0 until 20).map(i => (i.toLong, s"u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val g0 = Curation.giniIndex(uniform).collect().head
+    assert(g0.getAs[Double]("gini") == 0.0)
+    // hand case: frequencies {1, 1, 6} ascending -> i*x = 1+2+18 = 21
+    // gini = (2*21 - 4*8) / (3*8) = 10/24
+    val skew = (Seq((100L, "a b c")) ++ (0 until 5).map(i => (i.toLong, "x y z")) ++
+      Seq((200L, "p q r"), (201L, "x y z"))).toDF("doc_id", "text")
+    val g1 = Curation.giniIndex(skew).collect().head
+    assert(g1.getAs[Long]("n") == 3L)
+    assert(g1.getAs[Double]("gini") == 10.0 / 24.0)
+    // partitioning (and therefore tie order within the prefix machinery)
+    // cannot move the result
+    val g2 = Curation.giniIndex(skew.repartition(7)).collect().head
+    assert(g2.getAs[Double]("gini") == g1.getAs[Double]("gini"))
+  }
+
   test("zipfFit/heapsFit: slopes on skewed vs uniform corpora order as expected") {
     import spark.implicits._
     // geometric repetition -> steeper (more negative) zipf slope than flat

@@ -781,4 +781,53 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       nlist = 8, nprobe = 2, codebookSource = Some(cbTr)))
     assert(got.keySet == default.keySet)
   }
+
+  test("pcaCovariance: hand-checked integer census on a 2-vector, 2-dim input") {
+    import spark.implicits._
+    // q = [1e6, 2e6] and [3e6, 4e6]; n=2
+    // cov_num(0,0) = 2*(1e12+9e12) - (4e6)^2 = 4e12
+    // cov_num(0,1) = 2*(2e12+12e12) - 4e6*6e6 = 4e12
+    // cov_num(1,1) = 2*(4e12+16e12) - (6e6)^2 = 4e12
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaCovariance(df, dim = 2).collect()
+      .map(r => ((r.getAs[Long]("j"), r.getAs[Long]("k")),
+        r.getAs[java.math.BigDecimal]("cov_num").longValueExact())).toMap
+    assert(got == Map((0L, 0L) -> 4000000000000L, (0L, 1L) -> 4000000000000L,
+      (1L, 1L) -> 4000000000000L))
+  }
+
+  test("pcaCovariance: merge path (8 partitions) equals single-partition census") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(6)((rnd.nextGaussian() * 1.5).toFloat))).toDF("vec_id", "embedding")
+    def census(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pcaCovariance(d, dim = 6).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          r.getAs[java.math.BigDecimal]("cov_num"))).toMap
+    assert(census(df.coalesce(1)) == census(df.repartition(8)))
+  }
+
+  test("pcaFit: rank-1 data recovers the generating direction; components orthonormal") {
+    import spark.implicits._
+    val dir4 = Array(0.5, -0.5, 0.5, 0.5) // unit vector
+    val pts = (1 to 50).map { i =>
+      val t = i * 0.1
+      (i.toLong, dir4.map(d => (d * t).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val run = Similarity.pcaFit(pts, dim = 4, k = 2)
+    val c1 = run.components(0)
+    // sign-canonical: the largest-|coordinate| is positive -> c1 = +-dir4
+    // with the first max-|c| coordinate positive (0.5 at index 0)
+    assert(math.abs(math.abs(c1.zip(dir4).map(p => p._1 * p._2).sum) - 1.0) < 1e-9)
+    assert(c1(0) > 0)
+    val c2 = run.components(1)
+    assert(math.abs(c1.zip(c2).map(p => p._1 * p._2).sum) < 1e-9, "orthogonal")
+    assert(math.abs(c1.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    // projection onto pc1 is proportional to t (monotone in i)
+    val proj = Similarity.pcaProject(pts, run).orderBy("vec_id")
+      .collect().map(_.getDouble(1))
+    assert(proj.zip(proj.tail).forall { case (a, b) => a < b })
+  }
 }
