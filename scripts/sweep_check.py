@@ -24,7 +24,7 @@ QUADRATIC_ORACLES = {
     "q_unigram_train", "q_unigram_encode",
     # ppjoin's oracle is the deliberate all-pairs brute force (the engine
     # side is the prefix-filtered scale path; both gate at sf0.01)
-    "q_dedup_ppjoin",
+    "q_dedup_ppjoin", "q_dedup_ppjoin_incr",
 }
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:

@@ -219,7 +219,7 @@ object Bench {
     "q_pipeline_multimodal",
     // r16: exact prefix-filtered similarity join (flat rank-postings
     // census, candidate-broadcast verify)
-    "q_dedup_ppjoin",
+    "q_dedup_ppjoin", "q_dedup_ppjoin_incr",
     // r16: KMV distinct sketch (one-pass mergeable agg) + sketch algebra
     "q_kmv_distinct", "q_kmv_setops",
     // r16: Jaro-Winkler record linkage (native byte-based expression)

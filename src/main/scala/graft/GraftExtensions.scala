@@ -270,6 +270,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("luhn_valid", 1)(args => GraftExpr.catalystExpression(
         TextFunctions.luhnValid(GraftExpr.column(args(0)))))))
 
+    ext.injectFunction((FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(value, k) - AGGREGATE: the k smallest distinct md5-60 " +
+          "hashes (mergeable KMV distinct sketch; oracle-reproducible)"),
+      arity("kmv_sketch", 2)(args =>
+        graft.functions.Sketches.KmvSketch(args(0), intLit(args(1), "k"))
+          .toAggregateExpression())))
+
     ext.injectFunction((FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler",
         "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1], byte-" +

@@ -2892,6 +2892,17 @@ object SparkEntry {
     "q_dedup_ppjoin" -> ((s, dir) =>
       Dedup.ppjoinPairs(t(s, dir, "documents"), threshold = 0.6)),
 
+    // Ingest-vs-corpus EXACT threshold pairs: prefixes cross-join under
+    // the CORPUS-df global order, so the corpus census is reusable
+    // across batches (the _incr discipline) and the result is exactly
+    // the brute-force cross-side pair set.
+    "q_dedup_ppjoin_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ppjoinAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), threshold = 0.5)
+    }),
+
     // Per-doc duplicate-shingle fraction (the Dolma-style contamination
     // score a curator thresholds BEFORE paying for pairwise dedup): no
     // pair space at all — postings df join back on the same shingle key,
@@ -7592,6 +7603,20 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(i AS BIGINT) AS inter,
         |  CAST(i AS DOUBLE) / (la + lb - i) AS jac
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.6""".stripMargin,
+
+    // cross-side brute force: batch docs against the corpus slice
+    "q_dedup_ppjoin_incr" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+        |SELECT a_id, b_id, CAST(i AS BIGINT) AS inter,
+        |  CAST(i AS DOUBLE) / (la + lb - i) AS jac
+        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
 
     // dup_ngram_frac: per-doc duplicate-shingle stats; shingle-less docs
     // keep a row (0 shingles, null fraction) via the left join back

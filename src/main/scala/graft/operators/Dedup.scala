@@ -268,6 +268,65 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("jac"))
   }
 
+  /** [[ppjoinPairs]]' ingest-vs-corpus form: the EXACT Jaccard-threshold
+    * (new doc, corpus doc) pair set under the same prefix-filter
+    * discipline — candidates join prefix-to-prefix ACROSS sides (the
+    * prefix theorem holds for any two sets under one shared total order,
+    * so a J ≥ τ pair must share a shingle within both sides' rarest
+    * prefixes). The global order is the CORPUS document frequency
+    * (batch-only shingles order as df 0 — rarest, which only lengthens
+    * reach), so the corpus census (tag `dedup.ppjoin.corpus`) is a pure
+    * function of the corpus and re-usable across ingest batches — the
+    * incremental story the `_incr` family shares. Verification counts
+    * intersections through both pinned posting sets with the candidate
+    * side broadcast, exactly as the self-join form. */
+  def ppjoinAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      ngram: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val parts = newDocs.sparkSession.sessionState.conf.numShufflePartitions
+    def postings(df: DataFrame) = df.repartition(parts).select(
+      col(idCol).as("id"),
+      explode(TextFunctions.shingleSet(col(textCol), ngram)).as("tok"))
+    val cPost = postings(corpus)
+    val dfs = cPost.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("tok"))
+    def ranked(p: DataFrame, tag: String) = graft.ops.Pins.scopedPersist(tag,
+      p.join(dfs, Seq("tok"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .select(col("id"), col("tok"),
+          row_number().over(w).as("rnk"),
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("id"))
+            .as("sz")))
+    val cR = ranked(cPost, "dedup.ppjoin.corpus")
+    val nR = ranked(postings(newDocs), "dedup.ppjoin.batch")
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) +
+      lit(1L)).cast("int")
+    def prefix(r: DataFrame) = r.filter(col("rnk") <= prefixLen)
+      .select(col("tok"), col("id"), col("sz"))
+    val cand = prefix(nR).select(col("tok"), col("id").as("a_id"), col("sz").as("a_sz"))
+      .join(prefix(cR).select(col("tok"), col("id").as("b_id"), col("sz").as("b_sz")),
+        Seq("tok"))
+      .filter(col("b_sz").cast("double") >= lit(threshold) * col("a_sz") - lit(1e-9) &&
+        col("a_sz").cast("double") >= lit(threshold) * col("b_sz") - lit(1e-9))
+      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz")).distinct()
+    cand
+      .join(nR.select(col("id").as("a_id"), col("tok")), Seq("a_id"))
+      .join(cR.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jac"))
+  }
+
   /** N-gram Jaccard NEAR-dup pairs of an ingest batch AGAINST an existing
     * corpus — the fuzzy counterpart of [[dropExistingIn]] (which only
     * catches byte-exact duplicates): "is this crawl batch a near-rewrite

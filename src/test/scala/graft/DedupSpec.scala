@@ -158,6 +158,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pp == brute)
   }
 
+  test("ppjoinAgainstCorpus equals brute-force cross-side pairs; batch-only shingles rank rarest") {
+    import spark.implicits._
+    val batch = docs.filter("doc_id % 3 = 0")
+    val corpus = docs.filter("doc_id % 3 <> 0")
+    val brute = Dedup.ngramJaccardAgainstCorpus(batch, corpus, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pp = Dedup.ppjoinAgainstCorpus(batch, corpus, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain cross-side pairs")
+    assert(pp == brute)
+    // a batch doc whose shingles are ALL absent from the corpus must not
+    // break ranking (df 0 everywhere) — and can never pair
+    val alien = Seq((999L, "xq1 xq2 xq3 xq4 xq5")).toDF("doc_id", "text")
+    val pp2 = Dedup.ppjoinAgainstCorpus(batch.unionAll(alien), corpus, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp2 == brute)
+  }
+
   test("shingle df-cap drops boilerplate pairs, keeps real near-dups, never invents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat, lit}

@@ -197,6 +197,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(jw.getDouble(0) == 0.9611111111111111)
       assert(jw.isNullAt(1))
       intercept[Exception] { s.sql("SELECT jaro_winkler('x')").collect() }
+      // r16 registration: kmv_sketch (SQL aggregate)
+      val kmv = s.sql(
+        "SELECT size(kmv_sketch(v, 8)) AS n FROM VALUES ('a'),('b'),('a'),('c') t(v)")
+        .collect()(0)
+      assert(kmv.getInt(0) == 3) // 3 distinct, under k -> exact
+      intercept[Exception] { s.sql("SELECT kmv_sketch('x')").collect() }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
