@@ -227,7 +227,9 @@ object Bench {
     // r16: XML round trip; scaling-law diagnostics; TextRank keywords
     "q_source_xml", "q_zipf", "q_heaps", "q_gini", "q_textrank",
     // r16: PCA — native CovMoments census + captured-component projection
-    "q_pca_cov", "q_pca_project")
+    "q_pca_cov", "q_pca_project",
+    // r16: exact two-sample tests (histogram + one prefix pass each)
+    "q_ks_drift", "q_mwu")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -1515,6 +1515,37 @@ object SparkEntry {
     // as the OHLC gate (watermarked stateStoreSave, Append emits each
     // window once when the watermark passes it): the sink minus the
     // sentinel's forever-open window IS the batch hourly count table.
+    // SKETCHING under the hash gate (20th streaming family): per-window
+    // distinct-user KMV sketches maintained by the mergeable
+    // TypedImperativeAggregate THROUGH THE STATE STORE across
+    // micro-batches — the streaming distinct-count dashboard, with the
+    // sketch content (k smallest distinct md5-60 hashes) and the fixed-
+    // order estimator hash-exact against the batch oracle. Sentinel-flush
+    // discipline of q_stream_window_gate.
+    "q_stream_kmv_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinel = s.range(1).select(
+        lit("__wm_flush__").as("event_type"),
+        timestamp_micros(lit(maxTs + 4L * 3600L * 1000000L)).as("ts"),
+        lit(-1L).as("event_id"),
+        lit(-1L).as("user_id"))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinel)) { src =>
+        src().withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(Sketches.kmvSketch(col("user_id").cast("string"), 32).as("sk"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            size(col("sk")).cast("long").as("n_minima"),
+            element_at(col("sk"), least(size(col("sk")), lit(32))).as("kth"),
+            Sketches.kmvEstimate(col("sk"), 32).as("est"))
+      }
+        .where(col("event_type") =!= "__wm_flush__")
+        .select(unix_timestamp(col("w_start")).as("w_start"),
+          col("event_type"), col("n_minima"), col("kth"), col("est"))
+    }),
+
     "q_stream_window_gate" -> ((s, dir) => {
       val events = ev(s, dir)
         .select(col("event_type"), col("ts"), col("event_id"))
@@ -2077,6 +2108,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0),
         "n_chars", bins = 10)
     }),
+
+    // Exact two-sample Kolmogorov-Smirnov: the unbinned drift test PSI
+    // coarsens away — D as the exact integer cross-multiplied ECDF-gap
+    // numerator over the distinct-value histogram (two-phase prefix
+    // sums), one division for the double readout. Cohorts: even vs odd
+    // user_id over event values.
+    "q_ks_drift" -> ((s, dir) =>
+      Curation.ksStatistic(ev(s, dir), "value", col("user_id") % 2 === 1)),
+
+    // Exact Mann-Whitney U on the same histogram+prefix machinery:
+    // average-rank ties stay integer by DOUBLING (u2 = 2U exactly).
+    "q_mwu" -> ((s, dir) =>
+      Curation.mannWhitneyU(ev(s, dir), "value", col("user_id") % 2 === 1)),
 
     // Corpus-relative token rarity: per doc, the count of its token
     // occurrences plus sum/min of their corpus-wide frequencies — exact
@@ -5380,6 +5424,42 @@ object SparkEntry {
         |  (SELECT count(*) FROM b ANTI JOIN a USING (f)) AS n_only_b,
         |  (SELECT count(*) FROM (SELECT f FROM a UNION SELECT f FROM b)) AS n_union""".stripMargin,
 
+    // KS: cross-multiplied integer ECDF-gap numerator over the distinct-
+    // value histogram; one exact-integer division for the double
+    "q_ks_drift" ->
+      """WITH c AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+        |          sum(cb) OVER (ORDER BY v) AS cumb FROM c),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM c)
+        |SELECT n_a, n_b,
+        |  CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cuma * n_b - cumb * n_a)) AS DOUBLE) /
+        |    CAST(n_a * n_b AS DOUBLE) AS d
+        |FROM cum, t GROUP BY n_a, n_b""".stripMargin,
+
+    // MWU: doubled average-rank sums stay exact integers
+    "q_mwu" ->
+      """WITH c AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT ca, cb,
+        |          CAST(sum(ca + cb) OVER (ORDER BY v) AS BIGINT) AS cumab FROM c),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+        |r AS (SELECT CAST(sum(ca * (2 * (cumab - ca - cb) + ca + cb + 1)) AS BIGINT) AS r2
+        |      FROM cum)
+        |SELECT n_a, n_b,
+        |  r2 - n_a * (n_a + 1) AS u2_a,
+        |  2 * n_a * n_b - (r2 - n_a * (n_a + 1)) AS u2_b
+        |FROM r, t""".stripMargin,
+
     "q_psi" ->
       """WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
         |           WHERE doc_id % 3 != 0 AND n_chars IS NOT NULL),
@@ -6527,6 +6607,24 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // streaming KMV: the batch replay of the per-(window, type) sketch —
+    // k smallest distinct md5-60 of the user-id decimal string
+    "q_stream_kmv_gate" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |    event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h60
+        |  FROM events),
+        |r AS (SELECT w_start, event_type, h60,
+        |        row_number() OVER (PARTITION BY w_start, event_type ORDER BY h60) AS rn
+        |      FROM h),
+        |s AS (SELECT w_start, event_type, count(*) AS n_minima, max(h60) AS kth
+        |      FROM r WHERE rn <= 32 GROUP BY 1, 2)
+        |SELECT w_start, event_type, n_minima, kth,
+        |  CASE WHEN n_minima < 32 THEN CAST(n_minima AS DOUBLE)
+        |       ELSE 31.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END AS est
+        |FROM s""".stripMargin,
 
     // late-data accounting: watermark = max main ts − 2h (ms floor, the
     // engine's clock); a late row is dropped iff its hourly window END ≤

@@ -1620,6 +1620,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Double]("intercept") == 0.0)
   }
 
+  test("ksStatistic: hand case exact; identical samples give D = 0; empty side fails fast") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {2,3,4}: ECDF gap numerator max |cumA*3 - cumB*3| = 3
+    val df = Seq((1.0, false), (2.0, false), (3.0, false),
+      (2.0, true), (3.0, true), (4.0, true)).toDF("x", "b")
+    val r = Curation.ksStatistic(df, "x", col("b")).collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("d_num") == 3L)
+    assert(r.getAs[Double]("d") == 3.0 / 9.0)
+    val same = Seq((1.0, false), (2.0, false), (1.0, true), (2.0, true)).toDF("x", "b")
+    assert(Curation.ksStatistic(same, "x", col("b")).collect().head.getAs[Long]("d_num") == 0L)
+    val err = intercept[Exception] {
+      Curation.ksStatistic(df.filter(!col("b")), "x", col("b")).collect()
+    }
+    assert(err.getMessage.contains("sample B is empty"))
+  }
+
+  test("mannWhitneyU: doubled U matches the average-rank hand computation") {
+    import spark.implicits._
+    // combined sorted [1,2,2,3,3,4]; R_A = 1 + 2.5 + 4.5 = 8 -> 2U_A = 2*8 - 3*4 = 4
+    val df = Seq((1.0, false), (2.0, false), (3.0, false),
+      (2.0, true), (3.0, true), (4.0, true)).toDF("x", "b")
+    val r = Curation.mannWhitneyU(df, "x", col("b")).collect().head
+    assert(r.getAs[Long]("u2_a") == 4L)
+    assert(r.getAs[Long]("u2_b") == 2L * 3L * 3L - 4L)
+    // no ties, clear separation: A all below B -> U_A = 0, U_B = n_a*n_b
+    val sep = Seq((1.0, false), (2.0, false), (10.0, true), (11.0, true)).toDF("x", "b")
+    val r2 = Curation.mannWhitneyU(sep, "x", col("b")).collect().head
+    assert(r2.getAs[Long]("u2_a") == 0L && r2.getAs[Long]("u2_b") == 8L)
+  }
+
   test("giniIndex: equal frequencies give exactly 0; concentration raises it; hand case exact") {
     import spark.implicits._
     // every shingle exactly once -> perfectly equal mass -> gini 0.0 exactly
