@@ -1538,7 +1538,10 @@ object SparkEntry {
           .agg(Sketches.kmvSketch(col("user_id").cast("string"), 32).as("sk"))
           .select(col("window.start").as("w_start"), col("event_type"),
             size(col("sk")).cast("long").as("n_minima"),
-            element_at(col("sk"), least(size(col("sk")), lit(32))).as("kth"),
+            // user_id is never null in this stream, but guard the empty
+            // sketch anyway (element_at(…, 0) would throw at runtime)
+            when(size(col("sk")) > 0,
+              element_at(col("sk"), least(size(col("sk")), lit(32)))).as("kth"),
             Sketches.kmvEstimate(col("sk"), 32).as("est"))
       }
         .where(col("event_type") =!= "__wm_flush__")
@@ -2886,7 +2889,11 @@ object SparkEntry {
         .agg(Sketches.kmvSketch(col("text"), k).as("sk"))
         .select(col("lang"),
           size(col("sk")).cast("long").as("n_minima"),
-          element_at(col("sk"), least(size(col("sk")), lit(k))).as("kth"),
+          // size(sk) > 0 holds here (inputs pre-filtered non-null), but the
+          // guard keeps an all-null group a NULL kth instead of an
+          // element_at(…, 0) runtime error
+          when(size(col("sk")) > 0,
+            element_at(col("sk"), least(size(col("sk")), lit(k)))).as("kth"),
           Sketches.kmvEstimate(col("sk"), k).as("est"))
     }),
 
@@ -2912,7 +2919,8 @@ object SparkEntry {
         .withColumn("est_union", Sketches.kmvEstimate(col("u"), k))
         .select(
           size(col("u")).cast("long").as("n_union_minima"),
-          element_at(col("u"), least(size(col("u")), lit(k))).as("kth_union"),
+          when(size(col("u")) > 0,
+            element_at(col("u"), least(size(col("u")), lit(k)))).as("kth_union"),
           col("common"),
           col("est_union"),
           (col("common").cast("double") / lit(k.toDouble) * col("est_union"))

@@ -260,6 +260,20 @@ object Sketches {
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
     require(k >= 2, s"k must be >= 2: $k")
 
+    // update() hashes the child as UTF8String; rejecting non-string
+    // children at analysis time keeps `kmv_sketch(user_id, 32)` on a
+    // numeric column an AnalysisException, never a runtime
+    // ClassCastException inside the aggregate (cast explicitly upstream)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"kmv_sketch needs a STRING child (cast explicitly), got $other")
+      }
+
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
     override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =

@@ -705,7 +705,11 @@ case class ArrayPairs(child: Expression)
 
 /** Jaro-Winkler similarity (Winkler 1990) of two strings, computed over
   * UTF-8 BYTES — the semantics of DuckDB's `jaro_winkler_similarity`
-  * (RapidFuzz lineage), established empirically: byte-wise comparison,
+  * (RapidFuzz lineage), established empirically AGAINST DuckDB 1.0.0
+  * (the oracle engine pinned in this container; a DuckDB upgrade could
+  * change its implementation details and flip the q_link_jw gate with
+  * zero code change here — diagnose a future gate failure against this
+  * pin first): byte-wise comparison,
   * either side empty -> 0.0, transpositions integer-halved, the Winkler
   * prefix boost (cap 4, weight 0.1) applied only when the Jaro score
   * STRICTLY exceeds 0.7. Fixed float op order `((m/l1 + m/l2) +

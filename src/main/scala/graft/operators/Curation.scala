@@ -232,9 +232,12 @@ object Curation {
     qlnRegress(ranked.select(qln(col("rank")).as("x"), qln(col("freq")).as("y")))
   }
 
-  /** Heaps vocabulary-growth fit: ln-ln OLS of (cumulative tokens seen,
-    * cumulative distinct vocabulary) sampled at every document in id
-    * order — V(N) ≈ K·N^β, β ≈ 0.7 on natural text; a plateauing β says
+  /** Heaps vocabulary-growth fit: ln-ln OLS of (cumulative SHINGLE
+    * OCCURRENCES seen, cumulative distinct shingle vocabulary) sampled at
+    * every document in id order — N here counts `ngram`-shingle
+    * occurrences (≈ len−ngram+1 per doc), NOT raw tokens; β is invariant
+    * to that linear reparameterization but K is in shingle units.
+    * V(N) ≈ K·N^β, β ≈ 0.7 on natural text; a plateauing β says
     * the corpus has stopped contributing new vocabulary (the dedup /
     * diversity signal at ingest time). The census is two aggs (per-doc
     * occurrence counts; min-doc-id per distinct shingle → new-vocab
@@ -798,6 +801,8 @@ object Curation {
     df.select(fd.as("__fd")).filter(col("__fd") =!= "")
       .groupBy(col("__fd").cast("int").as("digit"))
       .agg(count(lit(1)).cast("long").as("n"))
+      // unpartitioned window: runs on the ≤90-row POST-AGG digit frame,
+      // so the single-partition WindowExec warning is expected and benign
       .withColumn("__nt", sum(col("n")).over(Window.partitionBy()))
       .select(col("digit"), col("n"),
         round(col("n").cast("double") * lit(1000000.0) /
@@ -832,6 +837,8 @@ object Curation {
     df.select(d2s.as("__d2")).filter(col("__d2") =!= "")
       .groupBy(col("__d2").cast("int").as("digit"))
       .agg(count(lit(1)).cast("long").as("n"))
+      // unpartitioned window: runs on the ≤90-row POST-AGG digit frame,
+      // so the single-partition WindowExec warning is expected and benign
       .withColumn("__nt", sum(col("n")).over(Window.partitionBy()))
       .select(col("digit"), col("n"),
         round(col("n").cast("double") * lit(1000000.0) /
@@ -855,6 +862,8 @@ object Curation {
     df.select(d2s.as("__d2")).filter(col("__d2") =!= "")
       .groupBy(substring(col("__d2"), 2, 1).cast("int").as("digit"))
       .agg(count(lit(1)).cast("long").as("n"))
+      // unpartitioned window: runs on the ≤90-row POST-AGG digit frame,
+      // so the single-partition WindowExec warning is expected and benign
       .withColumn("__nt", sum(col("n")).over(Window.partitionBy()))
       .select(col("digit"), col("n"),
         round(col("n").cast("double") * lit(1000000.0) /

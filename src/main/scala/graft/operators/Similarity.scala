@@ -824,7 +824,8 @@ object Similarity {
     * literals the query used). */
   final case class PcaRun(components: Array[Array[Double]], dim: Int, k: Int)
   @volatile private var lastPca: Option[PcaRun] = None
-  def lastPcaRun: Option[PcaRun] = lastPca
+  @volatile private var lastPcaRead = true
+  def lastPcaRun: Option[PcaRun] = { lastPcaRead = true; lastPca }
 
   /** EXACT covariance census of a vector column, the distributed half of
     * PCA: components quantized to the 10⁻⁶ grid (`floor(x·10⁶ + ½)` — a
@@ -886,7 +887,21 @@ object Similarity {
       if (c(m) < 0) c.map(x => -x) else c
     }.toArray
     val run = PcaRun(comps, dim, k)
+    // the capture feeds the q_pca_project oracle: overwriting a run nobody
+    // has read yet with a DIFFERENT fit silently embeds the wrong component
+    // literals downstream — make that loud (same-fit refits stay quiet)
+    lastPca match {
+      case Some(prev) if !lastPcaRead &&
+          !(prev.dim == run.dim && prev.k == run.k &&
+            prev.components.corresponds(run.components)(_.sameElements(_))) =>
+        System.err.println(
+          "WARN pcaFit: overwriting an UNREAD captured PCA run with a " +
+            "different fit — an oracle read after this point embeds THIS " +
+            "fit's components, not the earlier query's")
+      case _ => ()
+    }
     lastPca = Some(run)
+    lastPcaRead = false
     run
   }
 
