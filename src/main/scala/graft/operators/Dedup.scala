@@ -220,6 +220,23 @@ object Dedup {
     * error can only admit an extra candidate for the exact count to
     * reject — never lose a pair.
     *
+    * POSITIONAL FILTER (the "PP" in Xiao et al. 2008 §3.2, relational
+    * adaptation): both sets rank their tokens under the SAME global
+    * (df asc, tok) order, so for a shared token at rank i of a and rank
+    * j of b, every OTHER shared token is either before it on both sides
+    * (≤ min(i,j)−1 of those can exist... counted WITH the token itself:
+    * ≤ min(i, j)) or after it on both sides (≤ min(|a|−i, |b|−j)). Hence
+    * overlap(a,b) ≤ min(i,j) + min(|a|−i, |b|−j) for EVERY shared prefix
+    * token — and a true J ≥ τ pair has overlap ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉, so
+    * every one of its candidate rows passes the bound: filtering rows,
+    * then keeping pairs whose TIGHTEST bound (min over surviving rows)
+    * meets the requirement, prunes candidates without ever losing a true
+    * pair. Exactness is preserved unconditionally — the verify join
+    * recomputes the true intersection for whatever survives. The bound
+    * replaces the bare `.distinct()` with an equivalent-shuffle groupBy
+    * (same keys), so the cut is free at plan level and pays off as fewer
+    * pairs entering the two verify joins.
+    *
     * Pairs are (a_id < b_id); one row each with exact `inter` and the
     * raw-double `jac` (bit-identical to the oracle's int division). */
   def ppjoinPairs(
@@ -229,6 +246,30 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val (ranked, cand) = ppjoinSelfCandidates(docs, threshold, ngram, textCol, idCol)
+    cand
+      .join(ranked.select(col("id").as("a_id"), col("tok")), Seq("a_id"))
+      .join(ranked.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jac"))
+  }
+
+  /** Candidate generation shared by [[ppjoinPairs]] and the plan probe
+    * ([[graft.tools.PpPlan]] measures the positional filter's cut by
+    * flipping `positional`). Returns (pinned rank-postings census,
+    * candidate pairs (a_id, b_id, a_sz, b_sz) after size filter +
+    * positional filter). */
+  private[graft] def ppjoinSelfCandidates(
+      docs: DataFrame,
+      threshold: Double,
+      ngram: Int,
+      textCol: String,
+      idCol: String,
+      positional: Boolean = true): (DataFrame, DataFrame) = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val postings = docs.repartition(parts).select(
         col(idCol).as("id"),
@@ -249,23 +290,35 @@ object Dedup {
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) +
       lit(1L)).cast("int")
     val prefix = ranked.filter(col("rnk") <= prefixLen)
-      .select(col("tok"), col("id"), col("sz"))
-    val cand = prefix.select(col("tok"), col("id").as("a_id"), col("sz").as("a_sz"))
-      .join(prefix.select(col("tok"), col("id").as("b_id"), col("sz").as("b_sz")),
+      .select(col("tok"), col("id"), col("rnk"), col("sz"))
+    val raw = prefix.select(col("tok"), col("id").as("a_id"),
+        col("rnk").as("a_rnk"), col("sz").as("a_sz"))
+      .join(prefix.select(col("tok"), col("id").as("b_id"),
+          col("rnk").as("b_rnk"), col("sz").as("b_sz")),
         Seq("tok"))
       .filter(col("a_id") < col("b_id"))
       .filter(col("b_sz").cast("double") >= lit(threshold) * col("a_sz") - lit(1e-9) &&
         col("a_sz").cast("double") >= lit(threshold) * col("b_sz") - lit(1e-9))
-      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz")).distinct()
-    cand
-      .join(ranked.select(col("id").as("a_id"), col("tok")), Seq("a_id"))
-      .join(ranked.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
-      .groupBy("a_id", "b_id", "a_sz", "b_sz")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jac", col("inter").cast("double") /
-        (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
-      .filter(col("jac") >= threshold)
-      .select(col("a_id"), col("b_id"), col("inter"), col("jac"))
+    val cand =
+      if (!positional)
+        raw.select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz")).distinct()
+      else {
+        // required overlap for J >= tau; conservative ceil (epsilon only
+        // LOWERS the requirement, so float error never drops a true pair)
+        val reqOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+          (col("a_sz") + col("b_sz")).cast("double") - lit(1e-9))
+        val bound = least(col("a_rnk"), col("b_rnk")).cast("long") +
+          least(col("a_sz") - col("a_rnk"), col("b_sz") - col("b_rnk"))
+        // per-row cut, then the TIGHTEST bound over a pair's surviving
+        // rows — same shuffle keys as the old .distinct(), strictly fewer
+        // pairs out
+        raw.filter(bound >= reqOverlap)
+          .groupBy("a_id", "b_id", "a_sz", "b_sz")
+          .agg(min(bound).as("__ub"))
+          .filter(col("__ub") >= reqOverlap)
+          .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      }
+    (ranked, cand)
   }
 
   /** [[ppjoinPairs]]' ingest-vs-corpus form: the EXACT Jaccard-threshold
@@ -309,13 +362,27 @@ object Dedup {
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) +
       lit(1L)).cast("int")
     def prefix(r: DataFrame) = r.filter(col("rnk") <= prefixLen)
-      .select(col("tok"), col("id"), col("sz"))
-    val cand = prefix(nR).select(col("tok"), col("id").as("a_id"), col("sz").as("a_sz"))
-      .join(prefix(cR).select(col("tok"), col("id").as("b_id"), col("sz").as("b_sz")),
+      .select(col("tok"), col("id"), col("rnk"), col("sz"))
+    // positional filter, cross-side form: a shared token's rank on each
+    // side is taken under the SAME (corpus-df asc, tok) global order, so
+    // the [[ppjoinSelfCandidates]] overlap bound
+    // min(i,j) + min(|a|-i, |b|-j) holds verbatim
+    val reqOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("a_sz") + col("b_sz")).cast("double") - lit(1e-9))
+    val bound = least(col("a_rnk"), col("b_rnk")).cast("long") +
+      least(col("a_sz") - col("a_rnk"), col("b_sz") - col("b_rnk"))
+    val cand = prefix(nR).select(col("tok"), col("id").as("a_id"),
+        col("rnk").as("a_rnk"), col("sz").as("a_sz"))
+      .join(prefix(cR).select(col("tok"), col("id").as("b_id"),
+          col("rnk").as("b_rnk"), col("sz").as("b_sz")),
         Seq("tok"))
       .filter(col("b_sz").cast("double") >= lit(threshold) * col("a_sz") - lit(1e-9) &&
         col("a_sz").cast("double") >= lit(threshold) * col("b_sz") - lit(1e-9))
-      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz")).distinct()
+      .filter(bound >= reqOverlap)
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(min(bound).as("__ub"))
+      .filter(col("__ub") >= reqOverlap)
+      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
     cand
       .join(nR.select(col("id").as("a_id"), col("tok")), Seq("a_id"))
       .join(cR.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))

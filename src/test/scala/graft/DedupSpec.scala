@@ -158,6 +158,50 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pp == brute)
   }
 
+  test("ppjoin positional filter: candidates shrink (never grow), no true pair pruned") {
+    for (tau <- Seq(0.3, 0.6)) {
+      val raw = Dedup.ppjoinSelfCandidates(docs, tau, 3, "text", "doc_id",
+          positional = false)._2
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pos = Dedup.ppjoinSelfCandidates(docs, tau, 3, "text", "doc_id",
+          positional = true)._2
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pos.subsetOf(raw), s"tau=$tau: positional must only PRUNE")
+      val brute = Dedup.ngramJaccardPairs(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(brute.subsetOf(pos),
+        s"tau=$tau: a true pair was pruned at candidate time")
+    }
+  }
+
+  test("ppjoin positional filter bites on rank-skewed pairs (strict cut, same result)") {
+    import spark.implicits._
+    // Docs 1 and 2 share token r1 (df 2) in BOTH prefixes but at ranks
+    // 1 vs 5 (doc 2 fronts four unique df-1 tokens; every c-filler has
+    // df >= 3 so r1 sorts FIRST in doc 1): bound = min(1,5) +
+    // min(10-1, 10-5) = 6 < required ceil(0.375*20) = 8, so the
+    // positional filter prunes the candidate the bare prefix join emits —
+    // and the true Jaccard 6/14 = 0.43 < 0.6 confirms nothing is lost.
+    val c = (1 to 9).map(i => s"c$i")                       // fillers, df >= 3
+    val docA = ("r1" +: c).mkString(" ")                    // {r1, c1..c9}
+    val docB = ((1 to 4).map(i => s"u$i") ++ Seq("r1") ++ c.take(5)).mkString(" ")
+    val docC = c.mkString(" ")                              // {c1..c9}
+    val docD = (c :+ "z1").mkString(" ")                    // {c1..c9, z1}
+    val df = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+    val raw = Dedup.ppjoinSelfCandidates(df, 0.6, 1, "text", "doc_id",
+        positional = false)._2
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pos = Dedup.ppjoinSelfCandidates(df, 0.6, 1, "text", "doc_id",
+        positional = true)._2
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw.contains((1L, 2L)), "fixture must produce the prefix candidate")
+    assert(!pos.contains((1L, 2L)), "positional filter must prune the rank-skewed pair")
+    // end result unchanged (the pair fails the threshold anyway)
+    assert(Dedup.ppjoinPairs(df, 0.6, ngram = 1).count() ==
+      Dedup.ngramJaccardPairs(df, 0.6, ngram = 1).count())
+  }
+
   test("ppjoinAgainstCorpus equals brute-force cross-side pairs; batch-only shingles rank rarest") {
     import spark.implicits._
     val batch = docs.filter("doc_id % 3 = 0")
