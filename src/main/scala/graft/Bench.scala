@@ -229,7 +229,9 @@ object Bench {
     // r16: PCA — native CovMoments census + captured-component projection
     "q_pca_cov", "q_pca_project",
     // r16: exact two-sample tests (histogram + one prefix pass each)
-    "q_ks_drift", "q_mwu")
+    "q_ks_drift", "q_mwu",
+    // r17: categorical chi-square drift (category histogram + ordered fold)
+    "q_chi2_drift")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

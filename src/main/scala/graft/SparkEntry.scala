@@ -1384,6 +1384,43 @@ object SparkEntry {
           max(col("chunk")).as("chunk"))
     }),
 
+    // CHAINED MULTI-STATEFUL streaming under the hash gate: content dedup
+    // (dropDuplicatesWithinWatermark, state store #1) THEN a tumbling
+    // hourly count per source (windowed agg, state store #2) in ONE
+    // streaming query — the production ingest shape none of the
+    // single-stateful gates exercises. The planted byte-identical copies
+    // ride in the 5th segment (a SEPARATE micro-batch, so which copy
+    // survives is never same-batch-nondeterministic): the dedup store,
+    // populated by batches 1-4, must drop all of them across the batch
+    // boundary, and the window store must therefore count ONLY the
+    // original rows. The far sentinel advances the final watermark past
+    // every real window end (its own forever-open window stays in state,
+    // never emitted). Oracle restates both stages declaratively:
+    // first-arrival survivor per distinct text, then the hourly rollup.
+    "q_stream_chained_gate" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text"))
+        .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
+          col("doc_id") * lit(1000000L)))
+      val dupes = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"), col("source"),
+          col("text"))
+        .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
+          col("doc_id") * lit(1000000L)))
+      val maxTs = dupes.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinel = s.range(1).select(lit(-1L).as("doc_id"),
+        lit("__wm_flush__").as("source"), lit("__wm_flush__").as("text"),
+        timestamp_micros(lit(maxTs + 31L * 86400L * 1000000L)).as("ts"))
+      runStreamGate(s, base, Seq(col("ts"), col("doc_id")),
+          extraLast = Some(dupes.unionByName(sentinel))) { src =>
+        graft.streaming.StreamingPipeline.dedupThenWindowCounts(
+          src(), "ts", "30 days", keyCol = "source")
+      }
+        .where(col("source") =!= "__wm_flush__")
+        .select(unix_timestamp(col("w_start")).as("w_start"), col("source"),
+          col("n"))
+    }),
+
     // STREAM-STATIC SEMANTIC DEDUP under the hash gate: the incremental
     // SemDeDup ingest (q_dedup_semantic_incr's exact plan — new crawl
     // batch vs the static kept corpus, one cluster-keyed LEFT ANTI with
@@ -1436,6 +1473,26 @@ object SparkEntry {
           docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
           Seq(col("doc_id"))) { batch =>
         Curation.bigramRarityAgainstCorpus(batch, corpus)
+      }
+    }),
+
+    // STREAMING INGEST PPJOIN under the hash gate: each arriving crawl
+    // micro-batch exact-Jaccard-joined against the static kept corpus
+    // through the foreachBatch scoring sink (a batch's pairs depend only
+    // on its own docs + the corpus, so per-batch application is
+    // semantically exact). The corpus-side rank-postings census is keyed
+    // by the CORPUS document frequencies alone, so `Pins.scopedPersist`'s
+    // sameResult guard keeps ONE cached census across all four
+    // micro-batches — the incremental discipline that makes this the
+    // 100 TB ingest-time exact near-dup check. Oracle: the batch
+    // cross-side brute force (q_dedup_ppjoin_incr's own SQL).
+    "q_stream_ppjoin_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      runStreamGateScored(s,
+          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
+          Seq(col("doc_id"))) { batch =>
+        Dedup.ppjoinAgainstCorpus(batch, corpus, threshold = 0.5)
       }
     }),
 
@@ -1713,6 +1770,83 @@ object SparkEntry {
           Seq("user_id"), "ts", "cts",
           within = "30 minutes", watermark = "2 hours")
       }
+        .select(col("buy_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"), unix_micros(col("cts")).as("cts_us"))
+    }),
+
+    // STREAM-STREAM LEFT OUTER interval join under the hash gate — the
+    // null-emission-on-watermark surface the inner gate can't exercise:
+    // every purchase emits exactly once, matched rows as they resolve,
+    // UNMATCHED rows only when the watermark proves no qualifying click
+    // can still arrive (held in state until then — late-data correctness
+    // over latency). One far sentinel PER SIDE (both pass their stream's
+    // filter, so both watermarks advance; distinct sentinel user_ids so
+    // they never join) drives the final watermark past every real
+    // purchase, flushing the null-matched remainder; the sentinels' own
+    // rows stay in state (nothing outranks them) and are filtered by id
+    // sign anyway. Oracle: the batch LEFT JOIN with the click predicates
+    // in the ON clause.
+    "q_stream_join_outer_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinels = s.range(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("purchase").as("event_type"),
+        timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts"))
+        .union(s.range(1).select(
+          lit(-2L).as("event_id"), lit(-2L).as("user_id"),
+          lit("click").as("event_type"),
+          timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts")))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinels)) { src =>
+        graft.streaming.StreamingPipeline.intervalJoin(
+          src().filter(col("event_type") === "purchase")
+            .select(col("event_id").as("buy_id"), col("user_id"), col("ts")),
+          src().filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("cts")),
+          Seq("user_id"), "ts", "cts",
+          within = "30 minutes", watermark = "2 hours",
+          joinType = "left_outer")
+      }
+        .where(col("buy_id") >= 0)
+        .select(col("buy_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"), unix_micros(col("cts")).as("cts_us"))
+    }),
+
+    // ...and the FULL OUTER form — the reconciliation shape ("which
+    // purchases had no touch AND which touches converted nothing"): both
+    // sides' unmatched rows emit with nulls once the watermark clears
+    // them; join keys COALESCE across sides so an unmatched click keeps
+    // its user_id. Same two per-side sentinels; the readout admits null
+    // ids (that is the point) and excludes only the negative sentinel ids.
+    "q_stream_join_full_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinels = s.range(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("purchase").as("event_type"),
+        timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts"))
+        .union(s.range(1).select(
+          lit(-2L).as("event_id"), lit(-2L).as("user_id"),
+          lit("click").as("event_type"),
+          timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts")))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinels)) { src =>
+        graft.streaming.StreamingPipeline.intervalJoin(
+          src().filter(col("event_type") === "purchase")
+            .select(col("event_id").as("buy_id"), col("user_id"), col("ts")),
+          src().filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("cts")),
+          Seq("user_id"), "ts", "cts",
+          within = "30 minutes", watermark = "2 hours",
+          joinType = "full_outer")
+      }
+        .where((col("buy_id").isNull || col("buy_id") >= 0) &&
+          (col("click_id").isNull || col("click_id") >= 0))
         .select(col("buy_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("click_id"), unix_micros(col("cts")).as("cts_us"))
     }),
@@ -2124,6 +2258,15 @@ object SparkEntry {
     // average-rank ties stay integer by DOUBLING (u2 = 2U exactly).
     "q_mwu" -> ((s, dir) =>
       Curation.mannWhitneyU(ev(s, dir), "value", col("user_id") % 2 === 1)),
+
+    // Exact chi-square homogeneity test — the CATEGORICAL member of the
+    // drift family (PSI binned numeric, KS/MWU unbinned numeric): per
+    // category one exact-integer deviation D = o_a*N - N_a*m shared by
+    // both sides, term = D^2/(N_a*N_b*m) as one double division of
+    // decimal-exact integers, total chi2 via the fixed-order fold.
+    "q_chi2_drift" -> ((s, dir) =>
+      Curation.chi2Drift(t(s, dir, "documents"), "source",
+        col("doc_id") % 3 === 0)),
 
     // Corpus-relative token rarity: per doc, the count of its token
     // occurrences plus sum/min of their corpus-wide frequencies — exact
@@ -3238,10 +3381,17 @@ object SparkEntry {
     // regime the code-space shortcut exists for, and cand is the dial.
     "q_bitext_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // r17 defaults from the BitextProbe knee: m=8/kCodes=32 ADC over the
+      // FULL cell fan-out (nprobe = nlist — on this random worst-case
+      // corpus the cells carry no structure, so the cheap table-lookup
+      // pass ranks everything and the EXACT verify stays at cand=16/x):
+      // agreement 129/250 vs brute — ABOVE the IVF path's 113/250, at
+      // ~1/4 of its exact-scoring budget (16 vs the ~62-pair co-cell pool)
       Similarity.bitextMarginMinePq(
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1),
-        k = 4, cand = 8, nlist = 16, nprobe = 4, m = 4, kCodes = 16, dim = 64)
+        k = 4, cand = 16, nlist = 16, nprobe = 16, m = 8, kCodes = 32,
+        dim = 64)
     }),
 
     // Agreement readout: for each x, does the LSH-candidate winner equal
@@ -3819,6 +3969,24 @@ object SparkEntry {
     * assignment both sides, NOT EXISTS twin test within the cluster. The
     * stream gate shares it verbatim because the stream-static left anti
     * is stateless: the accumulated micro-batch sink IS the batch result. */
+  /** q_dedup_ppjoin_incr AND q_stream_ppjoin_gate: the cross-side
+    * brute-force Jaccard pairs (batch docs vs corpus slice). The stream
+    * gate shares it verbatim because a micro-batch's pairs depend only on
+    * its own docs + the static corpus — the accumulated foreachBatch sink
+    * IS the batch relation. */
+  private val ppjoinIncrSql =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
+      |  FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+      |SELECT a_id, b_id, CAST(i AS BIGINT) AS inter,
+      |  CAST(i AS DOUBLE) / (la + lb - i) AS jac
+      |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin
+
   private val semanticIncrSql =
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
       |nw AS (SELECT * FROM v WHERE vec_id % 3 != 0),
@@ -5468,6 +5636,30 @@ object SparkEntry {
         |  2 * n_a * n_b - (r2 - n_a * (n_a + 1)) AS u2_b
         |FROM r, t""".stripMargin,
 
+    // chi2: per-category exact-integer deviation, one double division per
+    // term (HUGEINT products = Spark's DECIMAL(38,0)), ordered-fold total
+    "q_chi2_drift" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS category,
+        |    CAST(count(*) FILTER (doc_id % 3 <> 0) AS BIGINT) AS o_a,
+        |    CAST(count(*) FILTER (doc_id % 3 = 0) AS BIGINT) AS o_b
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(o_a) AS BIGINT) AS na,
+        |        CAST(sum(o_b) AS BIGINT) AS nb,
+        |        CAST(count(*) AS BIGINT) AS k FROM c),
+        |terms AS (
+        |  SELECT category, o_a, o_b,
+        |    CAST(o_a * (na + nb) - na * (o_a + o_b) AS BIGINT) AS d_num,
+        |    CAST(CAST(o_a * (na + nb) - na * (o_a + o_b) AS HUGEINT) *
+        |         CAST(o_a * (na + nb) - na * (o_a + o_b) AS HUGEINT) AS DOUBLE) /
+        |      CAST(CAST(na AS HUGEINT) * nb * (o_a + o_b) AS DOUBLE) AS term
+        |  FROM c, t),
+        |tot AS (SELECT list_sum(list(term ORDER BY category)) AS chi2 FROM terms)
+        |SELECT category, o_a, o_b, d_num, term, chi2,
+        |  (SELECT k - 1 FROM t) AS dof,
+        |  sqrt(chi2 / (SELECT CAST(na + nb AS DOUBLE) FROM t)) AS cramers_v
+        |FROM terms, tot""".stripMargin,
+
     "q_psi" ->
       """WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
         |           WHERE doc_id % 3 != 0 AND n_chars IS NOT NULL),
@@ -6473,6 +6665,22 @@ object SparkEntry {
         |SELECT md5(chunk) AS fp, CAST(1 AS BIGINT) AS n_out, max(chunk) AS chunk
         |FROM ch GROUP BY md5(chunk)""".stripMargin,
 
+    // chained dedup -> hourly windowed count, restated declaratively:
+    // survivors are the FIRST ARRIVAL (min doc_id = min ts) per distinct
+    // text over the duplicate-decorated corpus, then the tumbling rollup
+    // over survivor event times (ts = 1700000000 + doc_id seconds)
+    "q_stream_chained_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 10 = 0),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+        |  FROM d GROUP BY text)
+        |SELECT CAST((1700000000 + doc_id) // 3600 * 3600 AS BIGINT) AS w_start,
+        |  source, count(*) AS n
+        |FROM surv GROUP BY 1, 2""".stripMargin,
+
     // streamed pattern match: q_ts_pattern's exact CTE chain with the
     // top-k cut swapped for the threshold emit
     "q_stream_pattern_gate" -> {
@@ -6599,6 +6807,30 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+
+    // full outer: both sides' unmatched rows keep a null row; filters
+    // move INSIDE the join inputs so they don't eat the null sides
+    "q_stream_join_full_gate" ->
+      """SELECT p.event_id AS buy_id,
+        |  coalesce(p.user_id, c.user_id) AS user_id,
+        |  epoch_us(p.ts) AS ts_us, c.event_id AS click_id,
+        |  epoch_us(c.ts) AS cts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+
+    // left outer: every purchase row exactly once; the click predicates
+    // live in the ON clause so unmatched purchases keep their null row
+    "q_stream_join_outer_gate" ->
+      """SELECT p.event_id AS buy_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  c.event_id AS click_id, epoch_us(c.ts) AS cts_us
+        |FROM events p LEFT JOIN events c ON p.user_id = c.user_id
+        |  AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'""".stripMargin,
 
     // overlapping 2h/1h windows flushed by the far sentinel — the oracle
     // IS q_events_sliding's
@@ -7711,18 +7943,12 @@ object SparkEntry {
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.6""".stripMargin,
 
     // cross-side brute force: batch docs against the corpus slice
-    "q_dedup_ppjoin_incr" ->
-      """WITH s AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la, len(b.sh) AS lb
-        |  FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
-        |SELECT a_id, b_id, CAST(i AS BIGINT) AS inter,
-        |  CAST(i AS DOUBLE) / (la + lb - i) AS jac
-        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5""".stripMargin,
+    "q_dedup_ppjoin_incr" -> ppjoinIncrSql,
+
+    // the SAME relation drained through the foreachBatch scoring sink as
+    // four micro-batches: per-batch pairs depend only on the batch's own
+    // docs + the static corpus, so the accumulated sink equals the batch
+    "q_stream_ppjoin_gate" -> ppjoinIncrSql,
 
     // dup_ngram_frac: per-doc duplicate-shingle stats; shingle-less docs
     // keep a row (0 shingles, null fraction) via the left join back
@@ -8513,56 +8739,62 @@ object SparkEntry {
     // ties to the lower cid), x's ADC distance tables, the co-cell pairs
     // ranked by the fixed-order 4-term ADC sum, and the top-8-per-x cut
     // feeding the margin chain
-    "q_bitext_pq" -> s"${bitextWinnersSql(
-      candCond = """AND EXISTS (SELECT 1 FROM adctop a
-        |    WHERE a.x_id = x.vec_id AND a.y_id = y.vec_id)""".stripMargin,
-      extraCtes = """cents AS (
-        |  SELECT e AS ce, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
-        |  FROM (SELECT * FROM v WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16)),
-        |cdst AS (SELECT v.vec_id, c.cell,
-        |         list_sum(list_transform(list_zip(v.e, c.ce),
-        |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
-        |       FROM v, cents c),
-        |crnk AS (SELECT vec_id, cell,
-        |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        |        FROM cdst),
-        |ycell AS (SELECT vec_id, cell FROM crnk WHERE rn = 1 AND vec_id % 2 = 1),
-        |xprob AS (SELECT vec_id, cell FROM crnk WHERE rn <= 4 AND vec_id % 2 = 0),
-        |js AS (SELECT unnest(range(0, 4)) AS j),
-        |cb AS (SELECT vec_id AS cid, e AS ce FROM v
-        |       WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16),
-        |cs AS (SELECT cid, js.j, ce[js.j*16+1 : js.j*16+16] AS ce
-        |       FROM cb CROSS JOIN js),
-        |ysub AS (SELECT v.vec_id, js.j, v.e[js.j*16+1 : js.j*16+16] AS se
-        |         FROM v CROSS JOIN js WHERE v.vec_id % 2 = 1),
-        |yd AS (SELECT s.vec_id, s.j, c.cid,
-        |         list_sum(list_transform(list_zip(s.se, c.ce),
-        |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
-        |       FROM ysub s JOIN cs c ON s.j = c.j),
-        |ycodes AS (SELECT vec_id, j, cid FROM (
-        |    SELECT vec_id, j, cid,
-        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
-        |    FROM yd) WHERE rn = 1),
-        |xd AS (SELECT s.vec_id, s.j, c.cid,
-        |         list_sum(list_transform(list_zip(s.se, c.ce),
-        |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
-        |       FROM (SELECT v.vec_id, js.j, v.e[js.j*16+1 : js.j*16+16] AS se
-        |             FROM v CROSS JOIN js WHERE v.vec_id % 2 = 0) s
-        |       JOIN cs c ON s.j = c.j),
-        |adc AS (
-        |  SELECT p.vec_id AS x_id, yc2.vec_id AS y_id,
-        |    max(CASE WHEN q.j = 0 THEN q.d2 END)
-        |      + max(CASE WHEN q.j = 1 THEN q.d2 END)
-        |      + max(CASE WHEN q.j = 2 THEN q.d2 END)
-        |      + max(CASE WHEN q.j = 3 THEN q.d2 END) AS adc_d2
-        |  FROM xprob p JOIN ycell yc2 ON p.cell = yc2.cell
-        |  JOIN ycodes c ON c.vec_id = yc2.vec_id
-        |  JOIN xd q ON q.vec_id = p.vec_id AND q.j = c.j AND q.cid = c.cid
-        |  GROUP BY 1, 2),
-        |adctop AS (SELECT x_id, y_id FROM (
-        |  SELECT x_id, y_id,
-        |    row_number() OVER (PARTITION BY x_id ORDER BY adc_d2, y_id) AS rn
-        |  FROM adc) WHERE rn <= 8)""".stripMargin)}",
+    "q_bitext_pq" -> {
+      // parameterized to the gate's (m, kCodes, nprobe, cand) so a default
+      // change on the Spark side regenerates the identical oracle shape
+      val m = 8; val subDim = 64 / m; val kCodes = 32
+      val nprobe = 16; val cand = 16
+      val caseSum = (0 until m)
+        .map(j => s"max(CASE WHEN q.j = $j THEN q.d2 END)")
+        .mkString("\n      + ")
+      s"${bitextWinnersSql(
+        candCond = """AND EXISTS (SELECT 1 FROM adctop a
+          |    WHERE a.x_id = x.vec_id AND a.y_id = y.vec_id)""".stripMargin,
+        extraCtes = s"""cents AS (
+          |  SELECT e AS ce, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+          |  FROM (SELECT * FROM v WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16)),
+          |cdst AS (SELECT v.vec_id, c.cell,
+          |         list_sum(list_transform(list_zip(v.e, c.ce),
+          |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+          |       FROM v, cents c),
+          |crnk AS (SELECT vec_id, cell,
+          |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          |        FROM cdst),
+          |ycell AS (SELECT vec_id, cell FROM crnk WHERE rn = 1 AND vec_id % 2 = 1),
+          |xprob AS (SELECT vec_id, cell FROM crnk WHERE rn <= $nprobe AND vec_id % 2 = 0),
+          |js AS (SELECT unnest(range(0, $m)) AS j),
+          |cb AS (SELECT vec_id AS cid, e AS ce FROM v
+          |       WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT $kCodes),
+          |cs AS (SELECT cid, js.j, ce[js.j*$subDim+1 : js.j*$subDim+$subDim] AS ce
+          |       FROM cb CROSS JOIN js),
+          |ysub AS (SELECT v.vec_id, js.j, v.e[js.j*$subDim+1 : js.j*$subDim+$subDim] AS se
+          |         FROM v CROSS JOIN js WHERE v.vec_id % 2 = 1),
+          |yd AS (SELECT s.vec_id, s.j, c.cid,
+          |         list_sum(list_transform(list_zip(s.se, c.ce),
+          |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+          |       FROM ysub s JOIN cs c ON s.j = c.j),
+          |ycodes AS (SELECT vec_id, j, cid FROM (
+          |    SELECT vec_id, j, cid,
+          |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+          |    FROM yd) WHERE rn = 1),
+          |xd AS (SELECT s.vec_id, s.j, c.cid,
+          |         list_sum(list_transform(list_zip(s.se, c.ce),
+          |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+          |       FROM (SELECT v.vec_id, js.j, v.e[js.j*$subDim+1 : js.j*$subDim+$subDim] AS se
+          |             FROM v CROSS JOIN js WHERE v.vec_id % 2 = 0) s
+          |       JOIN cs c ON s.j = c.j),
+          |adc AS (
+          |  SELECT p.vec_id AS x_id, yc2.vec_id AS y_id,
+          |    $caseSum AS adc_d2
+          |  FROM xprob p JOIN ycell yc2 ON p.cell = yc2.cell
+          |  JOIN ycodes c ON c.vec_id = yc2.vec_id
+          |  JOIN xd q ON q.vec_id = p.vec_id AND q.j = c.j AND q.cid = c.cid
+          |  GROUP BY 1, 2),
+          |adctop AS (SELECT x_id, y_id FROM (
+          |  SELECT x_id, y_id,
+          |    row_number() OVER (PARTITION BY x_id ORDER BY adc_d2, y_id) AS rn
+          |  FROM adc) WHERE rn <= $cand)""".stripMargin)}"
+    },
 
     // agreement readout: per-x winner under LSH candidates vs brute
     "q_bitext_recall" ->

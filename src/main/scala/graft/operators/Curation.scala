@@ -2628,6 +2628,78 @@ object Curation {
           .as("u2_b"))
   }
 
+  /** EXACT χ² two-sample homogeneity test over a CATEGORICAL column — the
+    * member that completes the drift family (PSI = binned numeric,
+    * KS/MWU = unbinned numeric; a categorical column has no ordering for
+    * either). For category c with observed counts (o_a, o_b), totals
+    * (N_a, N_b), N = N_a+N_b, m = o_a+o_b, the two expected-deviation
+    * terms collapse algebraically to ONE fraction:
+    * (o_a−e_a)²/e_a + (o_b−e_b)²/e_b = (D/N)²·(N/(N_a·m) + N/(N_b·m))
+    * = `term_c = D² / (N_a·N_b·m)` with the exact integer
+    * D = o_a·N − N_a·m (both sides' deviations share |D|: o_b·N − N_b·m
+    * = −D identically). So each per-category term is a SINGLE division of
+    * exact integers — d_num = D fits a long to N ≈ 3·10⁹ rows, D² and the
+    * denominator ride DECIMAL(38,0) — and the total χ² sums those doubles
+    * in ONE FIXED ORDER (sort_array + left-fold `aggregate`, the
+    * list_sum-ordered-by oracle idiom), so the whole readout hash-gates
+    * cross-engine. Dof = (#categories − 1)·(2 − 1). Nulls count on
+    * neither side; an empty side fails fast in-plan (the [[ksStatistic]]
+    * convention).
+    *
+    * Scale shape: ONE category-keyed partial agg collapses the data to
+    * the category histogram carrying both sides' counts; the fold runs
+    * over |categories| rows collected into a single array (drift columns
+    * are low-cardinality by construction — language, source, label; for
+    * an unbounded column, bucket first). Output: one row per category
+    * (category, o_a, o_b, d_num, term) with the shared (chi2, dof,
+    * cramers_v) broadcast onto every row — the abLift readout shape.
+    * Cramér's V = √(χ²/(N·min(r−1, k−1))) = √(χ²/N) for the two-sample
+    * table (r = 2): the sample-size-free effect size that makes drift
+    * magnitudes comparable across corpora — one correctly-rounded sqrt,
+    * still hash-exact. */
+  def chi2Drift(
+      df: DataFrame,
+      catCol: String,
+      isB: Column): DataFrame = {
+    val counts = df.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("category"), isB.as("__b"))
+      .groupBy("category")
+      .agg(sum(when(col("__b"), 0L).otherwise(1L)).cast("long").as("o_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).cast("long").as("o_b"))
+    val tot = counts.agg(
+      sum(col("o_a")).cast("long").as("__na"),
+      sum(col("o_b")).cast("long").as("__nb"),
+      count(lit(1)).cast("long").as("__k"))
+    val nA = when(col("__na") > 0, col("__na")).otherwise(raise_error(
+      lit("chi2Drift: sample A is empty — no two-sample test to run"))
+      .cast("long"))
+    val nB = when(col("__nb") > 0, col("__nb")).otherwise(raise_error(
+      lit("chi2Drift: sample B is empty — no two-sample test to run"))
+      .cast("long"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = col("o_a") + col("o_b")
+    val dNum = col("o_a") * (nA + nB) - nA * m
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("d_num", dNum)
+      .withColumn("term",
+        (dec(col("d_num")) * dec(col("d_num"))).cast("double") /
+          (dec(nA) * dec(nB) * dec(m)).cast("double"))
+    val total = terms
+      .agg(sort_array(collect_list(struct(col("category").as("c"),
+        col("term").as("t")))).as("__arr"),
+        max(col("__k")).as("__k"),
+        max(col("__na") + col("__nb")).as("__n"))
+      .select(aggregate(col("__arr"), lit(0.0),
+        (acc, s) => acc + s.getField("t")).as("chi2"),
+        (col("__k") - lit(1L)).as("dof"),
+        col("__n"))
+      .select(col("chi2"), col("dof"),
+        sqrt(col("chi2") / col("__n").cast("double")).as("cramers_v"))
+    terms.select(col("category"), col("o_a"), col("o_b"), col("d_num"),
+        col("term"))
+      .crossJoin(broadcast(total))
+  }
+
   /** Exact frequency-threshold heavy hitters over a token column: every
     * token with global count >= `minCount`, with its EXACT count — the
     * vocabulary-pruning / stopword-discovery primitive. Two passes:

@@ -624,16 +624,26 @@ object Similarity {
     * tables (m maps of kCodes doubles, KBs) rejoin the candidate pairs
     * on their own high-cardinality x_id, exact vectors rejoin only the
     * ADC survivors. Neither corpus is broadcast or resident; driver
-    * traffic is the nlist-row cell codebook + the kCodes-row PQ codebook. */
+    * traffic is the nlist-row cell codebook + the kCodes-row PQ codebook.
+    *
+    * Parameter guidance (BitextProbe agreement-vs-brute table, random
+    * sf0.01 corpus): m=4/kCodes=16 ADC is nearly signal-free on random
+    * data (cand=8 keeps 49/250 winners, growing only linearly in cand);
+    * the r17 defaults m=8/kCodes=32/cand=16 rank far better, and with
+    * the full cell fan-out (nprobe = nlist — random data has no cell
+    * structure to prune) keep 129/250, ABOVE the IVF path's 113/250
+    * co-cell ceiling at ~1/4 of its exact-scoring budget. On clustered
+    * real embeddings keep nprobe < nlist: cells then prune honestly and
+    * the same ADC budget concentrates on real neighbors. */
   def bitextMarginMinePq(
       xs: DataFrame,
       ys: DataFrame,
       k: Int = 4,
-      cand: Int = 8,
+      cand: Int = 16,
       nlist: Int = 16,
       nprobe: Int = 4,
-      m: Int = 4,
-      kCodes: Int = 16,
+      m: Int = 8,
+      kCodes: Int = 32,
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",

@@ -463,6 +463,41 @@ object StreamingPipeline {
       .drop(fp)
   }
 
+  /** CHAINED MULTI-STATEFUL streaming: content dedup THEN a tumbling
+    * event-time count in ONE streaming query — the production ingest
+    * shape (dedup the crawl, then meter what survived per key per hour)
+    * that the reference's 2-op chain (`RainStorm.java:842-979` submits
+    * op1 -> op2 as one job, `Node.java:1106-1160`) expresses for its
+    * batch ops, upgraded to two WATERMARKED state stores back to back.
+    * Spark runs both stateful operators in one plan (supported
+    * stateful-after-stateful combination in Append mode since the
+    * multiple-stateful-operator work): the dedup store holds one
+    * 16-byte md5 per distinct content inside the watermark delay, the
+    * window store one count per open (window, key) — both bounded,
+    * both checkpointed, one restart domain.
+    *
+    * The single `withWatermark(tsCol, delay)` upstream governs BOTH
+    * stores: duplicates later than `delay` after their original may
+    * pass again, and a window flushes once the watermark passes its
+    * end. Output = finalized (w_start, keyCol, n) rows over the
+    * SURVIVING (first-arrival) documents. */
+  def dedupThenWindowCounts(
+      docs: DataFrame,
+      tsCol: String,
+      delay: String,
+      textCol: String = "text",
+      keyCol: String = "source",
+      windowLen: String = "1 hour"): DataFrame = {
+    val fp = "__graft_fp"
+    docs
+      .withColumn(fp, md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(fp)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col(keyCol), col("n"))
+  }
+
   /** State for the streaming sessionizer: the user's last-seen event time
     * (epoch micros) and current session ordinal. */
   final case class SessionState(lastTs: Long, idx: Long)
@@ -861,7 +896,20 @@ object StreamingPipeline {
     * within the window" semantics. Inner join: emission can wait for the
     * watermark to pass (late-data correctness over latency, Spark's
     * documented behavior). State is keyed by join key — the same per-key
-    * hot-spot caveat as every keyed stateful op. */
+    * hot-spot caveat as every keyed stateful op.
+    *
+    * `joinType = "left_outer"` adds the null-emission-on-watermark
+    * surface production attribution needs (every purchase row emits,
+    * matched or not): an unmatched left row is held in state until the
+    * watermark proves no qualifying right row can still arrive, then
+    * emits once with null right columns — which is why outer REQUIRES
+    * the time-bound condition (Spark rejects an unbounded outer
+    * stream-stream join: the null decision would never be safe).
+    * `"right_outer"` is the mirror; `"full_outer"` emits BOTH sides'
+    * unmatched rows — the reconciliation shape ("which purchases had no
+    * touch, and which touches converted nothing"). For the outer forms
+    * the key columns are COALESCED across sides, so an unmatched row
+    * from either side keeps its join key. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -869,8 +917,11 @@ object StreamingPipeline {
       leftTs: String,
       rightTs: String,
       within: String,
-      watermark: String): DataFrame = {
+      watermark: String,
+      joinType: String = "inner"): DataFrame = {
     require(keyCols.nonEmpty, "need at least one join key")
+    require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+      s"joinType must be inner/left_outer/right_outer/full_outer: $joinType")
     val l = left.withWatermark(leftTs, watermark)
     val r0 = right.withWatermark(rightTs, watermark)
     // disambiguate overlapping column names on the right side
@@ -880,7 +931,15 @@ object StreamingPipeline {
     val cond = keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rTs) >= l(leftTs) - expr(s"INTERVAL $within") &&
       r(rTs) <= l(leftTs)
-    keyCols.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
+    val joined = l.join(r, cond, joinType)
+    // inner/left keep the left key; the right-null-emitting forms need a
+    // coalesce or an unmatched right row loses its key
+    if (joinType == "right_outer" || joinType == "full_outer")
+      keyCols.foldLeft(joined)((d, k) =>
+        d.withColumn(s"__k_$k", coalesce(l(k), r(k)))
+          .drop(l(k)).drop(r(k)).withColumnRenamed(s"__k_$k", k))
+    else
+      keyCols.foldLeft(joined)((d, k) => d.drop(r(k)))
   }
 
   /** Streaming OHLC bars — the watermarked windowed twin of

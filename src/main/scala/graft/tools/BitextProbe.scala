@@ -94,11 +94,34 @@ object BitextProbe {
       println(s"nPlanes=$n seeds=$nSeeds agree=$ag/$tot")
     }
 
-    // --- PQ-ADC shortlist: agreement vs brute at the gate's params ---
-    for (cand <- Seq(4, 8, 16)) {
+    // --- PQ-ADC shortlist: agreement vs brute across the cand knee ---
+    // (the co-cell candidate pool at nprobe=4/nlist=16 is ~62 pairs/x;
+    // cand bounds the EXACT scorings, so agreement must approach the IVF
+    // path's own co-cell ceiling as cand grows — the readout below picks
+    // the default at the knee)
+    for (cand <- Seq(4, 8, 16, 24, 32, 48)) {
       val (ag, tot) = agreement(Similarity.bitextMarginMinePq(
         xs, ys, k = 4, cand = cand, nlist = 16, nprobe = 4))
-      println(s"pq_adc cand=$cand nlist=16 nprobe=4 agree=$ag/$tot")
+      println(s"pq_adc cand=$cand m=4 kCodes=16 nlist=16 nprobe=4 agree=$ag/$tot")
+    }
+    // finer subquantizers: better ADC ranking at the same cand budget
+    for (m <- Seq(8); cand <- Seq(8, 16)) {
+      val (ag, tot) = agreement(Similarity.bitextMarginMinePq(
+        xs, ys, k = 4, cand = cand, nlist = 16, nprobe = 4, m = m))
+      println(s"pq_adc cand=$cand m=$m kCodes=16 nlist=16 nprobe=4 agree=$ag/$tot")
+    }
+    // PQ's actual lever: widen nprobe with the CHEAP ADC (table lookups),
+    // keep the EXACT verify at cand pairs/x — the FAISS read-path shape.
+    // The IVF row above exact-scores the whole nprobe=4 co-cell pool
+    // (~62/x) for 113/250; these rows must beat it on agreement while
+    // exact-scoring 4-8x fewer pairs.
+    for ((np, m, kc, cand) <- Seq((8, 8, 16, 8), (8, 8, 16, 16),
+        (16, 8, 16, 8), (16, 8, 16, 16), (16, 8, 16, 24),
+        (16, 8, 32, 16))) {
+      val (ag, tot) = agreement(Similarity.bitextMarginMinePq(
+        xs, ys, k = 4, cand = cand, nlist = 16, nprobe = np, m = m,
+        kCodes = kc))
+      println(s"pq_adc cand=$cand m=$m kCodes=$kc nlist=16 nprobe=$np agree=$ag/$tot")
     }
 
     // --- IVF: deterministic lowest-id cells vs kmeansIterate-trained ---

@@ -1651,6 +1651,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(r2.getAs[Long]("u2_a") == 0L && r2.getAs[Long]("u2_b") == 8L)
   }
 
+  test("chi2Drift: 2x2 hand case exact; identical mixes give 0; empty side fails fast") {
+    import spark.implicits._
+    // A: {x:3, y:1}, B: {x:1, y:3} -> classic 2x2: chi2 = N(ad-bc)^2 /
+    // (r1 r2 c1 c2) = 8*64/256 = 2.0; per category D = 3*8-4*4 = +-8,
+    // term = 64/(4*4*4) = 1.0 each; dof = 1
+    val df = (Seq.fill(3)(("x", false)) ++ Seq(("y", false)) ++
+      Seq(("x", true)) ++ Seq.fill(3)(("y", true))).toDF("c", "b")
+    val rows = Curation.chi2Drift(df, "c", col("b")).collect()
+      .map(r => (r.getAs[String]("category"), r.getAs[Long]("o_a"),
+        r.getAs[Long]("o_b"), r.getAs[Long]("d_num"),
+        r.getAs[Double]("term"), r.getAs[Double]("chi2"),
+        r.getAs[Long]("dof"))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("x", 3L, 1L, 8L, 1.0, 2.0, 1L),
+      ("y", 1L, 3L, -8L, 1.0, 2.0, 1L)))
+    // Cramér's V = sqrt(chi2/N) for the 2-sample table: sqrt(2/8) = 0.5
+    assert(Curation.chi2Drift(df, "c", col("b")).collect()
+      .forall(_.getAs[Double]("cramers_v") == 0.5))
+    // identical category mixes -> every D = 0, chi2 = 0 exactly
+    val same = Seq(("x", false), ("y", false), ("x", true), ("y", true)).toDF("c", "b")
+    assert(Curation.chi2Drift(same, "c", col("b")).collect()
+      .forall(r => r.getAs[Double]("chi2") == 0.0 && r.getAs[Long]("d_num") == 0L))
+    // partitioning cannot move the fixed-order fold
+    val rep = Curation.chi2Drift(df.repartition(7), "c", col("b"))
+      .collect().head.getAs[Double]("chi2")
+    assert(rep == 2.0)
+    val err = intercept[Exception] {
+      Curation.chi2Drift(df.filter(col("b")), "c", col("b")).collect()
+    }
+    assert(err.getMessage.contains("sample A is empty"))
+  }
+
   test("giniIndex: equal frequencies give exactly 0; concentration raises it; hand case exact") {
     import spark.implicits._
     // every shingle exactly once -> perfectly equal mass -> gini 0.0 exactly

@@ -259,6 +259,51 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, "a b"), (1L, "c d"), (2L, "e f")))
   }
 
+  test("chained dedup->window resumes BOTH state stores across a restart") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_chain_in").toString
+    val out = Files.createTempDirectory("graft_chain_out").toString
+    val ckpt = Files.createTempDirectory("graft_chain_ckpt").toString
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+    def writeBatch(name: String, rows: Seq[(Timestamp, String, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_chain_stage").resolve("w").toString
+      rows.toDF("ts", "source", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    lazy val schema = spark.read.parquet(in).schema
+    def startQuery() = StreamingPipeline.startFileSink(
+      StreamingPipeline.dedupThenWindowCounts(
+        spark.readStream.schema(schema).parquet(in), "ts", "1 hour"),
+      out, ckpt)
+
+    // pre-crash: two docs enter the 10:00 window (nothing emits — the
+    // watermark 10:05-1h is far from the window end); dedup store holds
+    // both fingerprints, window store holds the open partial count
+    writeBatch("b1.parquet", Seq((ts(10, 0), "s1", "alpha"), (ts(10, 5), "s1", "beta")))
+    val q1 = startQuery()
+    q1.awaitTermination(60000)
+    assert(!q1.isActive)
+    assert(spark.read.schema(schema).parquet(out).isEmpty,
+      "no window may close before the watermark passes its end")
+
+    // post-restart: the replayed "alpha" must drop via the RESUMED dedup
+    // store (state, not offset log); "gamma" merges into the RESUMED open
+    // window; the 13:00 sentinel drives the final watermark to 12:00,
+    // flushing the 10:00 window with count 3 — not 4 (dup dropped), not 1
+    // (pre-crash partial lost)
+    writeBatch("b2.parquet", Seq((ts(10, 10), "s1", "alpha"),
+      (ts(10, 20), "s1", "gamma"), (ts(13, 0), "wm", "zzz")))
+    val q2 = startQuery()
+    q2.awaitTermination(60000)
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((ts(10, 0), "s1", 3L)))
+  }
+
   test("ingest bigram scoring resumes its doc-agg state across a restart (update mode)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_bgr_in").toString
