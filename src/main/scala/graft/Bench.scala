@@ -230,8 +230,10 @@ object Bench {
     "q_pca_cov", "q_pca_project",
     // r16: exact two-sample tests (histogram + one prefix pass each)
     "q_ks_drift", "q_mwu",
-    // r17: categorical chi-square drift (category histogram + ordered fold)
-    "q_chi2_drift")
+    // r17: categorical chi-square drift (category histogram + ordered
+    // fold) + Jensen-Shannon corpus divergence (one shingle-keyed
+    // histogram + order-free decimal entropy sums)
+    "q_chi2_drift", "q_jsd")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -1774,6 +1774,44 @@ object SparkEntry {
           col("click_id"), unix_micros(col("cts")).as("cts_us"))
     }),
 
+    // The SECOND chained multi-stateful shape: stream-stream interval
+    // JOIN (state stores buffering both sides) feeding a watermarked
+    // tumbling-window AGGREGATION (a third state store) in ONE streaming
+    // query — the attribution-rollup production shape ("attributed
+    // purchases per hour"). The same per-side sentinels advance both
+    // watermarks for the final window flush; they join nothing (distinct
+    // user_ids), so no readout filter is even needed. Oracle: the batch
+    // join + hourly rollup.
+    "q_stream_join_window_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinels = s.range(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("purchase").as("event_type"),
+        timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts"))
+        .union(s.range(1).select(
+          lit(-2L).as("event_id"), lit(-2L).as("user_id"),
+          lit("click").as("event_type"),
+          timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts")))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinels)) { src =>
+        graft.streaming.StreamingPipeline.intervalJoin(
+          src().filter(col("event_type") === "purchase")
+            .select(col("event_id").as("buy_id"), col("user_id"), col("ts")),
+          src().filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("cts")),
+          Seq("user_id"), "ts", "cts",
+          within = "30 minutes", watermark = "2 hours")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_attributed"))
+          .select(col("window.start").as("w_start"), col("n_attributed"))
+      }
+        .select(unix_timestamp(col("w_start")).as("w_start"),
+          col("n_attributed"))
+    }),
+
     // STREAM-STREAM LEFT OUTER interval join under the hash gate — the
     // null-emission-on-watermark surface the inner gate can't exercise:
     // every purchase emits exactly once, matched rows as they resolve,
@@ -2258,6 +2296,17 @@ object SparkEntry {
     // average-rank ties stay integer by DOUBLING (u2 = 2U exactly).
     "q_mwu" -> ((s, dir) =>
       Curation.mannWhitneyU(ev(s, dir), "value", col("user_id") % 2 === 1)),
+
+    // Jensen-Shannon divergence between two corpora's 3-gram shingle
+    // distributions — the bounded (0..ln 2) whole-distribution drift
+    // readout: 2^-20-grid-quantized lns, exact DECIMAL(38,0) entropy
+    // numerators (order-free integer sums), fixed-order double readout.
+    "q_jsd" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.jsDivergence(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+    }),
 
     // Exact chi-square homogeneity test — the CATEGORICAL member of the
     // drift family (PSI binned numeric, KS/MWU unbinned numeric): per
@@ -5636,6 +5685,55 @@ object SparkEntry {
         |  2 * n_a * n_b - (r2 - n_a * (n_a + 1)) AS u2_b
         |FROM r, t""".stripMargin,
 
+    // JSD: quantized-ln entropy numerators as exact HUGEINT sums
+    // (= Spark's DECIMAL(38,0)), readout doubles in the identical op order
+    "q_jsd" ->
+      """WITH ac AS (
+        |  SELECT sh, count(*) AS ca FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |          FROM documents WHERE doc_id % 3 <> 0))
+        |  GROUP BY sh),
+        |bc AS (
+        |  SELECT sh, count(*) AS cb FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |          FROM documents WHERE doc_id % 3 = 0))
+        |  GROUP BY sh),
+        |c AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM ac FULL JOIN bc USING (sh)),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS a_total,
+        |        CAST(sum(cb) AS BIGINT) AS b_total FROM c),
+        |q AS (SELECT ca, cb, a_total, b_total,
+        |    CAST(ca AS HUGEINT) * b_total + CAST(cb AS HUGEINT) * a_total AS nmix
+        |  FROM c, t),
+        |s AS (SELECT
+        |    sum(CASE WHEN ca > 0 THEN CAST(ca AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(ca AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(a_total AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))
+        |      ELSE 0 END) AS s_p,
+        |    sum(CASE WHEN cb > 0 THEN CAST(cb AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(cb AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(b_total AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))
+        |      ELSE 0 END) AS s_q,
+        |    sum(nmix *
+        |      (CAST(floor(ln(CAST(nmix AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(2 * CAST(a_total AS HUGEINT) * b_total AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))) AS s_m,
+        |    max(a_total) AS a_total, max(b_total) AS b_total
+        |  FROM q),
+        |r AS (SELECT a_total, b_total,
+        |    CAST(s_p AS DECIMAL(38,0)) AS s_p, CAST(s_q AS DECIMAL(38,0)) AS s_q,
+        |    CAST(s_m AS DECIMAL(38,0)) AS s_m,
+        |    -(CAST(s_p AS DOUBLE) / CAST(a_total AS DOUBLE)) / 1048576.0 AS h_p,
+        |    -(CAST(s_q AS DOUBLE) / CAST(b_total AS DOUBLE)) / 1048576.0 AS h_q,
+        |    -(CAST(s_m AS DOUBLE) / (2.0 * CAST(a_total AS DOUBLE) * CAST(b_total AS DOUBLE))) / 1048576.0 AS h_m
+        |  FROM s)
+        |SELECT a_total, b_total, s_p, s_q, s_m, h_p, h_q, h_m,
+        |  h_m - (h_p + h_q) / 2.0 AS jsd
+        |FROM r""".stripMargin,
+
     // chi2: per-category exact-integer deviation, one double division per
     // term (HUGEINT products = Spark's DECIMAL(38,0)), ordered-fold total
     "q_chi2_drift" ->
@@ -6807,6 +6905,17 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+
+    // join feeding a windowed rollup: the batch join + hourly count
+    "q_stream_join_window_gate" ->
+      """WITH j AS (
+        |  SELECT p.ts FROM events p JOIN events c ON p.user_id = c.user_id
+        |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |    AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        |    AND epoch_us(c.ts) <= epoch_us(p.ts))
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |  count(*) AS n_attributed
+        |FROM j GROUP BY 1""".stripMargin,
 
     // full outer: both sides' unmatched rows keep a null row; filters
     // move INSIDE the join inputs so they don't eat the null sides

@@ -2700,6 +2700,82 @@ object Curation {
       .crossJoin(broadcast(total))
   }
 
+  /** Jensen–Shannon divergence between two corpora's shingle
+    * distributions — the symmetric, bounded (0 … ln 2 nats) corpus-level
+    * drift readout the per-category tests don't give: "how far apart are
+    * these two crawls' token distributions as WHOLES". JSD(P,Q) =
+    * H(M) − (H(P)+H(Q))/2 with M = (P+Q)/2; unlike KL it is finite when
+    * one side has vocabulary the other lacks (the 0·ln 0 = 0 terms are
+    * skipped exactly).
+    *
+    * Engine-portable arithmetic (the [[zipfFit]] discipline): every ln is
+    * quantized to the 2⁻²⁰ grid (`floor(ln(x)·2²⁰ + ½)` — StrictMath-vs-
+    * libm ulps can't reach the hash), entropy numerators are EXACT
+    * DECIMAL(38,0) sums of per-shingle integer products (order-free, so
+    * no fold ordering is even needed):
+    *   S_P = Σ_{ca>0} ca·(qln(ca) − qln(A)),   H(P) = −S_P/(A·2²⁰)
+    *   n_i = ca·B + cb·A (M's numerator over denominator 2AB),
+    *   S_M = Σ n_i·(qln(n_i) − qln(2AB)),      H(M) = −S_M/(2AB·2²⁰)
+    * and the readout doubles derive in ONE FIXED op order from the exact
+    * components. Empty sides fail fast in-plan ([[ksStatistic]]
+    * convention).
+    *
+    * Scale shape: one shingle-keyed partial agg collapses both corpora to
+    * the joint histogram (side totals ride a 1-row broadcast); the sums
+    * are plain partial-aggregable decimal aggs — no windows, no driver
+    * loops, nothing vocabulary-sized leaves the executors. */
+  def jsDivergence(
+      a: DataFrame,
+      b: DataFrame,
+      ngram: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val g = 1048576.0
+    def qlnD(x: Column): Column =
+      floor(log(x.cast("double")) * lit(g) + lit(0.5)).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def shingles(df: DataFrame, side: Int) = df
+      .select(explode(TextFunctions.shinglesNative(col(textCol), ngram)).as("sh"))
+      .select(col("sh"), lit(side).as("__side"))
+    val counts = shingles(a, 0).unionByName(shingles(b, 1))
+      .groupBy("sh")
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).cast("long").as("ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).cast("long").as("cb"))
+    val tot = counts.agg(
+      sum(col("ca")).cast("long").as("a_total"),
+      sum(col("cb")).cast("long").as("b_total"))
+    val aT = when(col("a_total") > 0, col("a_total")).otherwise(raise_error(
+      lit("jsDivergence: corpus A has no shingles — no divergence to compute"))
+      .cast("long"))
+    val bT = when(col("b_total") > 0, col("b_total")).otherwise(raise_error(
+      lit("jsDivergence: corpus B has no shingles — no divergence to compute"))
+      .cast("long"))
+    // mixture numerator n_i = ca·B + cb·A over denominator 2AB: decimal
+    // products so 100 TB-scale counts never overflow a long
+    val nMix = dec(col("ca")) * dec(bT) + dec(col("cb")) * dec(aT)
+    val sums = counts.crossJoin(broadcast(tot)).agg(
+      sum(when(col("ca") > 0,
+        dec(col("ca")) * dec(qlnD(col("ca")) - qlnD(aT))).otherwise(dec(lit(0L))))
+        .cast("decimal(38,0)").as("s_p"),
+      sum(when(col("cb") > 0,
+        dec(col("cb")) * dec(qlnD(col("cb")) - qlnD(bT))).otherwise(dec(lit(0L))))
+        .cast("decimal(38,0)").as("s_q"),
+      sum(nMix * dec(qlnD(nMix) - qlnD(dec(lit(2L)) * dec(aT) * dec(bT))))
+        .cast("decimal(38,0)").as("s_m"),
+      max(col("a_total")).as("a_total"),
+      max(col("b_total")).as("b_total"))
+    // fixed double op order; each decimal->double cast correctly rounded
+    val aD = col("a_total").cast("double")
+    val bD = col("b_total").cast("double")
+    sums
+      .withColumn("h_p", -(col("s_p").cast("double") / aD) / lit(g))
+      .withColumn("h_q", -(col("s_q").cast("double") / bD) / lit(g))
+      .withColumn("h_m",
+        -(col("s_m").cast("double") / (lit(2.0) * aD * bD)) / lit(g))
+      .withColumn("jsd", col("h_m") - (col("h_p") + col("h_q")) / lit(2.0))
+      .select(col("a_total"), col("b_total"), col("s_p"), col("s_q"),
+        col("s_m"), col("h_p"), col("h_q"), col("h_m"), col("jsd"))
+  }
+
   /** Exact frequency-threshold heavy hitters over a token column: every
     * token with global count >= `minCount`, with its EXACT count — the
     * vocabulary-pruning / stopword-discovery primitive. Two passes:

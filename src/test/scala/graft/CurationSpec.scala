@@ -1683,6 +1683,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("sample A is empty"))
   }
 
+  test("jsDivergence: identical corpora ~0, disjoint corpora ~ln 2, bounds hold, empty side fails") {
+    import spark.implicits._
+    val a = (0 until 30).map(i => (i.toLong, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val b = (0 until 30).map(i => (i.toLong, s"p$i q$i r$i s$i")).toDF("doc_id", "text")
+    // identical distributions: only grid-quantization residue survives
+    val same = Curation.jsDivergence(a, a).collect().head
+    assert(math.abs(same.getAs[Double]("jsd")) < 1e-5,
+      s"identical corpora: ${same.getAs[Double]("jsd")}")
+    // disjoint vocabularies: JSD = ln 2 nats (up to the 2^-20 grid)
+    val dis = Curation.jsDivergence(a, b).collect().head
+    assert(math.abs(dis.getAs[Double]("jsd") - math.log(2.0)) < 1e-4,
+      s"disjoint corpora: ${dis.getAs[Double]("jsd")}")
+    // a skewed overlap lands strictly between
+    val mix = Curation.jsDivergence(a,
+      a.limit(15).unionByName(b.limit(15))).collect().head
+    val v = mix.getAs[Double]("jsd")
+    assert(v > 1e-3 && v < math.log(2.0) - 1e-3, s"mixed: $v")
+    // partitioning cannot move the order-free integer sums
+    val rep = Curation.jsDivergence(a.repartition(7), b.repartition(5))
+      .collect().head.getAs[Double]("jsd")
+    assert(rep == dis.getAs[Double]("jsd"))
+    val err = intercept[Exception] {
+      Curation.jsDivergence(a.filter(col("doc_id") < 0), b).collect()
+    }
+    assert(err.getMessage.contains("corpus A has no shingles"))
+  }
+
   test("giniIndex: equal frequencies give exactly 0; concentration raises it; hand case exact") {
     import spark.implicits._
     // every shingle exactly once -> perfectly equal mass -> gini 0.0 exactly
