@@ -233,7 +233,9 @@ object Bench {
     // r17: categorical chi-square drift (category histogram + ordered
     // fold) + Jensen-Shannon corpus divergence (one shingle-keyed
     // histogram + order-free decimal entropy sums)
-    "q_chi2_drift", "q_jsd")
+    "q_chi2_drift", "q_jsd",
+    // r17: G-test likelihood-ratio drift (chi2 histogram, order-free sum)
+    "q_gtest")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -2317,6 +2317,14 @@ object SparkEntry {
       Curation.chi2Drift(t(s, dir, "documents"), "source",
         col("doc_id") % 3 === 0)),
 
+    // G-test (likelihood ratio) on the same cohorts: ln(o/e) collapses to
+    // a ratio of integer products, each factor grid-quantized, terms
+    // exact integers in an order-free decimal sum; identical proportions
+    // contribute exactly zero.
+    "q_gtest" -> ((s, dir) =>
+      Curation.gTest(t(s, dir, "documents"), "source",
+        col("doc_id") % 3 === 0)),
+
     // Corpus-relative token rarity: per doc, the count of its token
     // occurrences plus sum/min of their corpus-wide frequencies — exact
     // integers, the division-free form of a rarity score.
@@ -5733,6 +5741,34 @@ object SparkEntry {
         |SELECT a_total, b_total, s_p, s_q, s_m, h_p, h_q, h_m,
         |  h_m - (h_p + h_q) / 2.0 AS jsd
         |FROM r""".stripMargin,
+
+    // G-test: integer-product log ratios on the chi2 histogram, order-free
+    // HUGEINT term sum, one fixed-order double readout
+    "q_gtest" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS category,
+        |    CAST(count(*) FILTER (doc_id % 3 <> 0) AS BIGINT) AS o_a,
+        |    CAST(count(*) FILTER (doc_id % 3 = 0) AS BIGINT) AS o_b
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(o_a) AS BIGINT) AS na,
+        |        CAST(sum(o_b) AS BIGINT) AS nb,
+        |        CAST(count(*) AS BIGINT) AS k FROM c),
+        |terms AS (
+        |  SELECT
+        |    CASE WHEN o_a > 0 THEN CAST(o_a AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(CAST(o_a AS HUGEINT) * (na + nb) AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(CAST(na AS HUGEINT) * (o_a + o_b) AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))
+        |    ELSE 0 END AS ta,
+        |    CASE WHEN o_b > 0 THEN CAST(o_b AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(CAST(o_b AS HUGEINT) * (na + nb) AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(CAST(nb AS HUGEINT) * (o_a + o_b) AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))
+        |    ELSE 0 END AS tb
+        |  FROM c, t),
+        |s AS (SELECT sum(ta + tb) AS s_g FROM terms)
+        |SELECT CAST(s_g AS DECIMAL(38,0)) AS s_g,
+        |  2.0 * CAST(s_g AS DOUBLE) / 1048576.0 AS g,
+        |  (SELECT k - 1 FROM t) AS dof
+        |FROM s""".stripMargin,
 
     // chi2: per-category exact-integer deviation, one double division per
     // term (HUGEINT products = Spark's DECIMAL(38,0)), ordered-fold total

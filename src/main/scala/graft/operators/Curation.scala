@@ -2700,6 +2700,54 @@ object Curation {
       .crossJoin(broadcast(total))
   }
 
+  /** G-TEST (likelihood-ratio) two-sample homogeneity — [[chi2Drift]]'s
+    * information-theoretic sibling: G = 2·Σ o·ln(o/e) over both sides'
+    * categories, the additive-in-data statistic preferred when any
+    * expected count is small (Pearson's χ² over-rejects there) and the
+    * one that decomposes exactly across nested partitions. With
+    * e_s,c = N_s·m_c/N the log collapses to a RATIO OF INTEGER PRODUCTS:
+    * ln(o/e) = ln(o·N) − ln(N_s·m) — each factor 2⁻²⁰-grid-quantized
+    * ([[zipfFit]] discipline), each term o·(qln(o·N) − qln(N_s·m)) an
+    * exact integer, the total an ORDER-FREE DECIMAL(38,0) sum; a
+    * category with identical proportions contributes EXACTLY zero
+    * (o·N = N_s·m ⇒ the quantized lns are equal, not approximately so).
+    * Readout G = 2·S/2²⁰ is one fixed-order double expression; 0·ln 0
+    * terms are skipped exactly. Same scale shape as [[chi2Drift]]: one
+    * category-keyed partial agg, a 1-row broadcast total, no windows. */
+  def gTest(
+      df: DataFrame,
+      catCol: String,
+      isB: Column): DataFrame = {
+    val counts = df.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("category"), isB.as("__b"))
+      .groupBy("category")
+      .agg(sum(when(col("__b"), 0L).otherwise(1L)).cast("long").as("o_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).cast("long").as("o_b"))
+    val tot = counts.agg(
+      sum(col("o_a")).cast("long").as("__na"),
+      sum(col("o_b")).cast("long").as("__nb"),
+      count(lit(1)).cast("long").as("__k"))
+    val nA = when(col("__na") > 0, col("__na")).otherwise(raise_error(
+      lit("gTest: sample A is empty — no two-sample test to run"))
+      .cast("long"))
+    val nB = when(col("__nb") > 0, col("__nb")).otherwise(raise_error(
+      lit("gTest: sample B is empty — no two-sample test to run"))
+      .cast("long"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val n = nA + nB
+    val m = col("o_a") + col("o_b")
+    def sideTerm(o: Column, ns: Column): Column =
+      when(o > 0, dec(o) * dec(qln(dec(o) * dec(n)) - qln(dec(ns) * dec(m))))
+        .otherwise(dec(lit(0L)))
+    counts.crossJoin(broadcast(tot))
+      .agg(sum(sideTerm(col("o_a"), nA) + sideTerm(col("o_b"), nB))
+        .cast("decimal(38,0)").as("s_g"),
+        max(col("__k")).as("__k"))
+      .select(col("s_g"),
+        (lit(2.0) * col("s_g").cast("double") / lit(1048576.0)).as("g"),
+        (col("__k") - lit(1L)).as("dof"))
+  }
+
   /** Jensen–Shannon divergence between two corpora's shingle
     * distributions — the symmetric, bounded (0 … ln 2 nats) corpus-level
     * drift readout the per-category tests don't give: "how far apart are

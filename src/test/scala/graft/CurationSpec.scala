@@ -1683,6 +1683,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("sample A is empty"))
   }
 
+  test("gTest: hand case within grid residue; identical proportions give EXACTLY 0") {
+    import spark.implicits._
+    // A: {x:3, y:1}, B: {x:1, y:3}, e = 2 everywhere:
+    // G = 2*(3 ln 1.5 + ln 0.5 + ln 0.5 + 3 ln 1.5) = 12 ln 1.5 - 4 ln 2
+    val df = (Seq.fill(3)(("x", false)) ++ Seq(("y", false)) ++
+      Seq(("x", true)) ++ Seq.fill(3)(("y", true))).toDF("c", "b")
+    val r = Curation.gTest(df, "c", col("b")).collect().head
+    val exact = 12.0 * math.log(1.5) - 4.0 * math.log(2.0)
+    assert(math.abs(r.getAs[Double]("g") - exact) < 1e-4,
+      s"g=${r.getAs[Double]("g")} exact=$exact")
+    assert(r.getAs[Long]("dof") == 1L)
+    // identical proportions: o*N = N_s*m for every cell, so the quantized
+    // lns are EQUAL and every term is exactly zero — not approximately
+    val same = Seq(("x", false), ("x", false), ("y", false),
+      ("x", true), ("x", true), ("y", true)).toDF("c", "b")
+    val r2 = Curation.gTest(same, "c", col("b")).collect().head
+    assert(r2.getAs[java.math.BigDecimal]("s_g").longValueExact() == 0L)
+    assert(r2.getAs[Double]("g") == 0.0)
+    val err = intercept[Exception] {
+      Curation.gTest(df.filter(col("b")), "c", col("b")).collect()
+    }
+    assert(err.getMessage.contains("sample A is empty"))
+  }
+
   test("jsDivergence: identical corpora ~0, disjoint corpora ~ln 2, bounds hold, empty side fails") {
     import spark.implicits._
     val a = (0 until 30).map(i => (i.toLong, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
