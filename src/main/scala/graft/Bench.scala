@@ -234,6 +234,8 @@ object Bench {
     // fold) + Jensen-Shannon corpus divergence (one shingle-keyed
     // histogram + order-free decimal entropy sums)
     "q_chi2_drift", "q_jsd",
+    // r17: exact Spearman (two histogram prefix rank passes + one moment agg)
+    "q_spearman",
     // r17: G-test likelihood-ratio drift (chi2 histogram, order-free sum)
     "q_gtest")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the

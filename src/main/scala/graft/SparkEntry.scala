@@ -1853,6 +1853,40 @@ object SparkEntry {
           col("click_id"), unix_micros(col("cts")).as("cts_us"))
     }),
 
+    // ...the RIGHT OUTER mirror — every click emits exactly once, the
+    // unconverted ones with null purchase columns once the watermark
+    // clears them (join keys coalesce, so an unmatched click keeps its
+    // user_id)...
+    "q_stream_join_right_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val sentinels = s.range(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("purchase").as("event_type"),
+        timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts"))
+        .union(s.range(1).select(
+          lit(-2L).as("event_id"), lit(-2L).as("user_id"),
+          lit("click").as("event_type"),
+          timestamp_micros(lit(maxTs + 8L * 3600L * 1000000L)).as("ts")))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id")),
+          extraLast = Some(sentinels)) { src =>
+        graft.streaming.StreamingPipeline.intervalJoin(
+          src().filter(col("event_type") === "purchase")
+            .select(col("event_id").as("buy_id"), col("user_id"), col("ts")),
+          src().filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("cts")),
+          Seq("user_id"), "ts", "cts",
+          within = "30 minutes", watermark = "2 hours",
+          joinType = "right_outer")
+      }
+        .where((col("buy_id").isNull || col("buy_id") >= 0) &&
+          col("click_id") >= 0)
+        .select(col("buy_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("click_id"), unix_micros(col("cts")).as("cts_us"))
+    }),
+
     // ...and the FULL OUTER form — the reconciliation shape ("which
     // purchases had no touch AND which touches converted nothing"): both
     // sides' unmatched rows emit with nulls once the watermark clears
@@ -2316,6 +2350,13 @@ object SparkEntry {
     "q_chi2_drift" -> ((s, dir) =>
       Curation.chi2Drift(t(s, dir, "documents"), "source",
         col("doc_id") % 3 === 0)),
+
+    // Exact Spearman rank correlation (Pearson on DOUBLED average ranks —
+    // the MWU tie discipline, so every moment is an exact decimal
+    // integer): quantity vs extended price over lineitem.
+    "q_spearman" -> ((s, dir) =>
+      Curation.spearman(t(s, dir, "lineitem"), "l_quantity",
+        "l_extendedprice")),
 
     // G-test (likelihood ratio) on the same cohorts: ln(o/e) collapses to
     // a ratio of integer products, each factor grid-quantized, terms
@@ -5742,6 +5783,33 @@ object SparkEntry {
         |  h_m - (h_p + h_q) / 2.0 AS jsd
         |FROM r""".stripMargin,
 
+    // Spearman: doubled average ranks from each column's histogram prefix,
+    // exact HUGEINT moments, one fixed-order double rho
+    "q_spearman" ->
+      """WITH rws AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |hx AS (SELECT x, count(*) AS c FROM rws GROUP BY x),
+        |rx AS (SELECT x, 2 * (sum(c) OVER (ORDER BY x) - c) + c + 1 AS r2x FROM hx),
+        |hy AS (SELECT y, count(*) AS c FROM rws GROUP BY y),
+        |ry AS (SELECT y, 2 * (sum(c) OVER (ORDER BY y) - c) + c + 1 AS r2y FROM hy),
+        |j AS (SELECT r2x, r2y FROM rws JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(r2x AS HUGEINT)) AS sx, sum(CAST(r2y AS HUGEINT)) AS sy,
+        |    sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sxx,
+        |    sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS syy,
+        |    sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sxy
+        |  FROM j)
+        |SELECT n, CAST(sx AS DECIMAL(38,0)) AS sx, CAST(sy AS DECIMAL(38,0)) AS sy,
+        |  CAST(sxx AS DECIMAL(38,0)) AS sxx, CAST(syy AS DECIMAL(38,0)) AS syy,
+        |  CAST(sxy AS DECIMAL(38,0)) AS sxy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+        |FROM m""".stripMargin,
+
     // G-test: integer-product log ratios on the chi2 histogram, order-free
     // HUGEINT term sum, one fixed-order double readout
     "q_gtest" ->
@@ -6952,6 +7020,18 @@ object SparkEntry {
         |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  count(*) AS n_attributed
         |FROM j GROUP BY 1""".stripMargin,
+
+    // right outer: every click exactly once; purchase predicates inside
+    // the left input so they don't eat the null side
+    "q_stream_join_right_gate" ->
+      """SELECT p.event_id AS buy_id, c.user_id AS user_id,
+        |  epoch_us(p.ts) AS ts_us, c.event_id AS click_id,
+        |  epoch_us(c.ts) AS cts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
 
     // full outer: both sides' unmatched rows keep a null row; filters
     // move INSIDE the join inputs so they don't eat the null sides

@@ -2748,6 +2748,69 @@ object Curation {
         (col("__k") - lit(1L)).as("dof"))
   }
 
+  /** EXACT Spearman rank correlation between two numeric columns — the
+    * rank-robust member of the correlation family ([[corrStats]] is
+    * Pearson on raw values; Spearman is Pearson ON AVERAGE RANKS, so
+    * monotone-but-nonlinear association and heavy tails stop hiding).
+    * Ties take average ranks; the [[mannWhitneyU]] DOUBLING keeps them
+    * exact integers: a value with `c` copies and `c0` items strictly
+    * below takes doubled rank `2·c0 + c + 1`. All five moment sums over
+    * (r2x, r2y) are exact DECIMAL(38,0) integers (order-free), and ρ is
+    * ONE fixed-order double expression over them — hash-exact
+    * cross-engine, no floating rank ever materializes.
+    *
+    * Scale shape: each column collapses to its distinct-value histogram
+    * (one partial agg each), doubled average ranks come from the
+    * two-phase prefix machinery over HISTOGRAM rows, rows re-acquire
+    * their ranks via two value-keyed joins (value keys:
+    * high-cardinality, never a hot partition), and the moments are one
+    * partial-aggregable decimal agg. Nulls in either column drop the
+    * row (complete-case, the standard convention); fewer than 2 rows
+    * fail fast in-plan. */
+  def spearman(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    def ranks(c: String): DataFrame = {
+      val h = rows.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      graft.ops.RunningCount.withRunningAggs(h,
+        Seq((col("__c"), graft.ops.RunningCount.Kind.Sum, "__cum")),
+        Seq(col(c)))
+        .select(col(c),
+          (lit(2L) * (col("__cum") - col("__c")) + col("__c") + lit(1L))
+            .as(s"__r2$c"))
+    }
+    val ranked = rows
+      .join(ranks("__x"), Seq("__x"))
+      .join(ranks("__y"), Seq("__y"))
+    val m = ranked.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(dec(col("__r2__x"))).cast("decimal(38,0)").as("sx"),
+      sum(dec(col("__r2__y"))).cast("decimal(38,0)").as("sy"),
+      sum(dec(col("__r2__x")) * dec(col("__r2__x"))).cast("decimal(38,0)").as("sxx"),
+      sum(dec(col("__r2__y")) * dec(col("__r2__y"))).cast("decimal(38,0)").as("syy"),
+      sum(dec(col("__r2__x")) * dec(col("__r2__y"))).cast("decimal(38,0)").as("sxy"))
+    val nOk = when(col("n") >= 2, col("n")).otherwise(raise_error(
+      lit("spearman: fewer than 2 complete rows — no correlation to compute"))
+      .cast("long"))
+    val nd = nOk.cast("double")
+    // fixed op order; each decimal->double cast correctly rounded. A
+    // zero-variance column (all ties) yields NaN (0/0) on both engines.
+    m.select(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+      col("sxy"),
+      ((nd * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((nd * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+          (nd * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))))
+        .as("rho"))
+  }
+
   /** Jensen–Shannon divergence between two corpora's shingle
     * distributions — the symmetric, bounded (0 … ln 2 nats) corpus-level
     * drift readout the per-category tests don't give: "how far apart are

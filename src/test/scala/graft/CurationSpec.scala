@@ -1707,6 +1707,32 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("sample A is empty"))
   }
 
+  test("spearman: monotone = exactly +-1, tie hand case exact, tiny input fails fast") {
+    import spark.implicits._
+    // monotone nonlinear: ranks align exactly -> rho = 1.0 EXACTLY
+    // (num = denom = 24, both exact in double)
+    val up = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0)).toDF("x", "y")
+    assert(Curation.spearman(up, "x", "y").collect().head.getAs[Double]("rho") == 1.0)
+    val down = Seq((1.0, 9.0), (2.0, 4.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Curation.spearman(down, "x", "y").collect().head.getAs[Double]("rho") == -1.0)
+    // tie case: x = [1,1,2] -> doubled avg ranks [3,3,6] (two ties at
+    // positions 1,2 average 1.5, doubled 3); y = [1,2,3] -> [2,4,6];
+    // rho = 18/sqrt(18*24) = sqrt(3)/2 in the fixed op order
+    val tie = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val r = Curation.spearman(tie, "x", "y").collect().head
+    assert(r.getAs[java.math.BigDecimal]("sxy").longValueExact() == 54L)
+    assert(r.getAs[Double]("rho") == (3.0 * 54.0 - 12.0 * 12.0) /
+      math.sqrt((3.0 * 54.0 - 12.0 * 12.0) * (3.0 * 56.0 - 12.0 * 12.0)))
+    // complete-case: a null row drops on either side
+    val withNull = Seq((Some(1.0), Some(1.0)), (Some(2.0), None),
+      (Some(3.0), Some(9.0)), (Some(4.0), Some(16.0))).toDF("x", "y")
+    assert(Curation.spearman(withNull, "x", "y").collect().head.getAs[Long]("n") == 3L)
+    val err = intercept[Exception] {
+      Curation.spearman(up.limit(1), "x", "y").collect()
+    }
+    assert(err.getMessage.contains("fewer than 2 complete rows"))
+  }
+
   test("jsDivergence: identical corpora ~0, disjoint corpora ~ln 2, bounds hold, empty side fails") {
     import spark.implicits._
     val a = (0 until 30).map(i => (i.toLong, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
