@@ -1496,6 +1496,27 @@ object SparkEntry {
       }
     }),
 
+    // STREAMING INGEST DRIFT MONITORING under the hash gate: each
+    // arriving micro-batch's Jensen-Shannon divergence against the
+    // static reference corpus through the foreachBatch scoring sink —
+    // ONE drift row per micro-batch (the alert a production ingest
+    // pipeline pages on), so unlike the per-row scoring gates the
+    // accumulated sink is a per-SEGMENT relation: the oracle replays the
+    // 4-way ntile staging and computes each segment's divergence with
+    // the same quantized-ln integer arithmetic. The corpus-side shingle
+    // histogram is a pure function of the static corpus (re-derived per
+    // batch inside one plan — each micro-batch is one corpus scan, the
+    // stream-static discipline).
+    "q_stream_jsd_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      runStreamGateScored(s,
+          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
+          Seq(col("doc_id"))) { batch =>
+        Curation.jsDivergence(batch, corpus)
+      }
+    }),
+
     // STREAMING SUBSEQUENCE PATTERN MATCH under the hash gate — the
     // live-motif twin of q_ts_pattern (flatMapGroupsWithState carrying a
     // w-1 value rolling buffer per user): every arriving event completes
@@ -5837,6 +5858,63 @@ object SparkEntry {
         |  2.0 * CAST(s_g AS DOUBLE) / 1048576.0 AS g,
         |  (SELECT k - 1 FROM t) AS dof
         |FROM s""".stripMargin,
+
+    // streamed per-batch JSD: replay the 4-way ntile staging, compute each
+    // segment's divergence vs the static corpus with the same quantized-ln
+    // integer arithmetic (one row per micro-batch, seg dropped — rows
+    // identify by their totals)
+    "q_stream_jsd_gate" ->
+      """WITH st AS (
+        |  SELECT doc_id, text, ntile(4) OVER (ORDER BY doc_id) AS seg
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |segs AS (SELECT DISTINCT seg FROM st),
+        |ac AS (
+        |  SELECT seg, sh, count(*) AS ca FROM (
+        |    SELECT seg, unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |    FROM (SELECT seg, regexp_split_to_array(trim(text), '\s+') AS toks
+        |          FROM st))
+        |  GROUP BY seg, sh),
+        |bc0 AS (
+        |  SELECT sh, count(*) AS cb FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |          FROM documents WHERE doc_id % 5 <> 0))
+        |  GROUP BY sh),
+        |bcs AS (SELECT seg, sh, cb FROM bc0 CROSS JOIN segs),
+        |c AS (SELECT coalesce(ac.seg, bcs.seg) AS seg,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM ac FULL JOIN bcs ON ac.seg = bcs.seg AND ac.sh = bcs.sh),
+        |t AS (SELECT seg, CAST(sum(ca) AS BIGINT) AS a_total,
+        |        CAST(sum(cb) AS BIGINT) AS b_total FROM c GROUP BY seg),
+        |q AS (SELECT c.seg, ca, cb, a_total, b_total,
+        |    CAST(ca AS HUGEINT) * b_total + CAST(cb AS HUGEINT) * a_total AS nmix
+        |  FROM c JOIN t ON c.seg = t.seg),
+        |s AS (SELECT seg,
+        |    sum(CASE WHEN ca > 0 THEN CAST(ca AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(ca AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(a_total AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))
+        |      ELSE 0 END) AS s_p,
+        |    sum(CASE WHEN cb > 0 THEN CAST(cb AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(cb AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(b_total AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))
+        |      ELSE 0 END) AS s_q,
+        |    sum(nmix *
+        |      (CAST(floor(ln(CAST(nmix AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(2 * CAST(a_total AS HUGEINT) * b_total AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))) AS s_m,
+        |    max(a_total) AS a_total, max(b_total) AS b_total
+        |  FROM q GROUP BY seg),
+        |r AS (SELECT a_total, b_total,
+        |    CAST(s_p AS DECIMAL(38,0)) AS s_p, CAST(s_q AS DECIMAL(38,0)) AS s_q,
+        |    CAST(s_m AS DECIMAL(38,0)) AS s_m,
+        |    -(CAST(s_p AS DOUBLE) / CAST(a_total AS DOUBLE)) / 1048576.0 AS h_p,
+        |    -(CAST(s_q AS DOUBLE) / CAST(b_total AS DOUBLE)) / 1048576.0 AS h_q,
+        |    -(CAST(s_m AS DOUBLE) / (2.0 * CAST(a_total AS DOUBLE) * CAST(b_total AS DOUBLE))) / 1048576.0 AS h_m
+        |  FROM s)
+        |SELECT a_total, b_total, s_p, s_q, s_m, h_p, h_q, h_m,
+        |  h_m - (h_p + h_q) / 2.0 AS jsd
+        |FROM r""".stripMargin,
 
     // chi2: per-category exact-integer deviation, one double division per
     // term (HUGEINT products = Spark's DECIMAL(38,0)), ordered-fold total
