@@ -237,7 +237,11 @@ object Bench {
     // r17: exact Spearman (two histogram prefix rank passes + one moment agg)
     "q_spearman",
     // r17: G-test likelihood-ratio drift (chi2 histogram, order-free sum)
-    "q_gtest")
+    "q_gtest",
+    // r17: Wasserstein-1 drift (KS prefix machinery + one rank self-join),
+    // Theil length inequality (two aggs), mutual information (one
+    // contingency agg + broadcast marginals)
+    "q_w1_drift", "q_theil", "q_mutual_info")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

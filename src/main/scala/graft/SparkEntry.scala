@@ -1024,6 +1024,19 @@ object SparkEntry {
     // rank-weighted sum, exact decimal moments, one double division.
     "q_gini" -> ((s, dir) => Curation.giniIndex(t(s, dir, "documents"))),
 
+    // Theil T inequality of document lengths: the entropy-based,
+    // subgroup-decomposable concentration readout next to Gini —
+    // grid-quantized lns, exact integer term sums, one double division.
+    "q_theil" -> ((s, dir) =>
+      Curation.theilIndex(t(s, dir, "documents"), "n_chars")),
+
+    // Mutual information source × lang: how much two categorical columns
+    // predict each other (feature redundancy / label leakage) — exact
+    // integer cell terms under the quantized ln, marginal entropies on
+    // the same scan, NMI readout.
+    "q_mutual_info" -> ((s, dir) =>
+      Curation.mutualInfo(t(s, dir, "documents"), "source", "lang")),
+
     // Per-source distinctive vocabulary: top-20 terms per source ranked
     // (group-df asc, tf desc, term asc) — all-integer c-TF-IDF-style
     // ranking; df = 1 flags source-unique vocabulary.
@@ -2351,6 +2364,13 @@ object SparkEntry {
     // average-rank ties stay integer by DOUBLING (u2 = 2U exactly).
     "q_mwu" -> ((s, dir) =>
       Curation.mannWhitneyU(ev(s, dir), "value", col("user_id") % 2 === 1)),
+
+    // Wasserstein-1 (earth-mover's) distance on the same cohorts: the
+    // AREA between the ECDFs in the column's own units — exact integer
+    // ECDF-gap numerators x 2^-20-grid-quantized value gaps, order-free
+    // decimal term sum, one fixed-order double readout.
+    "q_w1_drift" -> ((s, dir) =>
+      Curation.wasserstein1(ev(s, dir), "value", col("user_id") % 2 === 1)),
 
     // Jensen-Shannon divergence between two corpora's 3-gram shingle
     // distributions — the bounded (0..ln 2) whole-distribution drift
@@ -5737,6 +5757,27 @@ object SparkEntry {
         |    CAST(n_a * n_b AS DOUBLE) AS d
         |FROM cum, t GROUP BY n_a, n_b""".stripMargin,
 
+    // W1: exact integer ECDF-gap numerators x quantized value gaps,
+    // order-free HUGEINT term sum, one fixed-order double readout
+    "q_w1_drift" ->
+      """WITH c AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |          lead(v) OVER (ORDER BY v) AS vn
+        |        FROM c WINDOW w AS (ORDER BY v)),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+        |s AS (SELECT sum(CAST(abs(cuma * n_b - cumb * n_a) AS HUGEINT) *
+        |        CAST(floor((vn - v) * 1048576.0 + 0.5) AS HUGEINT)) AS s_w1
+        |      FROM cum, t WHERE vn IS NOT NULL)
+        |SELECT n_a, n_b, CAST(s_w1 AS DECIMAL(38,0)) AS s_w1,
+        |  CAST(s_w1 AS DOUBLE) /
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1048576.0) AS w1
+        |FROM s, t""".stripMargin,
+
     // MWU: doubled average-rank sums stay exact integers
     "q_mwu" ->
       """WITH c AS (
@@ -8156,6 +8197,57 @@ object SparkEntry {
         |    (CAST(n AS DOUBLE) + 1.0) * CAST(sum_x AS DOUBLE)) /
         |    (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS gini
         |FROM a""".stripMargin,
+
+    // Theil T: integer-product terms under the quantized ln, order-free
+    // HUGEINT sum, one fixed-order double readout
+    "q_theil" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        |           WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sum_x FROM v),
+        |s AS (SELECT sum(CAST(x AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(CAST(x AS HUGEINT) * n AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(sum_x AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))) AS s_t
+        |     FROM v, t)
+        |SELECT n, CAST(sum_x AS DECIMAL(38,0)) AS sum_x,
+        |  CAST(s_t AS DECIMAL(38,0)) AS s_t,
+        |  CAST(s_t AS DOUBLE) / (CAST(sum_x AS DOUBLE) * 1048576.0) AS theil
+        |FROM s, t""".stripMargin,
+
+    // MI: per-cell integer-product log-ratio terms vs the marginal
+    // product, entropies on the marginal histograms, NMI readout
+    "q_mutual_info" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS x, CAST(lang AS VARCHAR) AS y,
+        |    CAST(count(*) AS BIGINT) AS cxy
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM c GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS k FROM c),
+        |smi AS (SELECT sum(CAST(cxy AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(CAST(cxy AS HUGEINT) * n AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(CAST(cx AS HUGEINT) * cy AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))) AS s_mi
+        |  FROM c JOIN mx USING (x) JOIN my USING (y), t),
+        |shx AS (SELECT sum(CAST(cx AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(cx AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(n AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))) AS s_hx
+        |  FROM mx, t),
+        |shy AS (SELECT sum(CAST(cy AS HUGEINT) *
+        |      (CAST(floor(ln(CAST(cy AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |       - CAST(floor(ln(CAST(n AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))) AS s_hy
+        |  FROM my, t)
+        |SELECT n, k, CAST(s_mi AS DECIMAL(38,0)) AS s_mi,
+        |  CAST(s_hx AS DECIMAL(38,0)) AS s_hx,
+        |  CAST(s_hy AS DECIMAL(38,0)) AS s_hy,
+        |  CAST(s_mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mi,
+        |  -CAST(s_hx AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS h_x,
+        |  -CAST(s_hy AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS h_y,
+        |  2.0 * (CAST(s_mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)) /
+        |    ((-CAST(s_hx AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)) +
+        |     (-CAST(s_hy AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0))) AS nmi
+        |FROM smi, shx, shy, t""".stripMargin,
 
     "q_heaps" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

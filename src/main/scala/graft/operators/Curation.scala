@@ -2580,6 +2580,71 @@ object Curation {
           (col("n_a") * col("n_b")).cast("double")).as("d"))
   }
 
+  /** Wasserstein-1 (earth-mover's) distance between two numeric samples —
+    * the MAGNITUDE member of the drift family: [[ksStatistic]] reads the
+    * worst ECDF gap (shape, unitless), W₁ = ∫|F_A − F_B| dv reads the
+    * AREA between the ECDFs — "how far, in the column's own units, would
+    * mass have to move", which is what a threshold on numeric drift
+    * should be denominated in.
+    *
+    * Engine-portable arithmetic: over the sorted distinct-value histogram
+    * the integral is Σᵢ |F_A(vᵢ) − F_B(vᵢ)|·(vᵢ₊₁ − vᵢ); the ECDF gap
+    * numerator |cumaᵢ·n_b − cumbᵢ·n_a| is an exact integer (the KS
+    * machinery), and each GAP is quantized to the 2⁻²⁰ grid —
+    * `floor((vᵢ₊₁ − vᵢ)·2²⁰ + ½)`, exact because the ×2²⁰ is a
+    * power-of-two scale and the subtraction is correctly rounded
+    * identically in both engines (the [[qln]] rationale applied to
+    * lengths instead of logs). Terms are then order-free DECIMAL(38,0)
+    * integer products; ONE fixed-order double division reads out
+    * w1 = s_w1/(n_a·n_b·2²⁰). DECIMAL(38) bound: |D|·gapQ ≤
+    * n_a·n_b·range·2²⁰ — comfortably inside 38 digits to ~10⁹ rows per
+    * side (the [[chi2Drift]] d_num convention; divide-first beyond).
+    *
+    * Scale shape: the value-keyed partial agg + the [[ksStatistic]]
+    * two-phase prefix machinery, then ONE rank-keyed self-join (rank →
+    * rank+1) to pair each distinct value with its successor — no global
+    * window, no driver-side anything; the last value has no successor and
+    * correctly contributes no gap. */
+  def wasserstein1(
+      df: DataFrame,
+      valueCol: String,
+      isB: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"), isB.as("__b"))
+      .groupBy("__v")
+      .agg(sum(when(col("__b"), 0L).otherwise(1L)).cast("long").as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).cast("long").as("__cb"))
+    val cum = graft.ops.RunningCount.withRunningAggs(counts,
+      Seq((col("__ca"), graft.ops.RunningCount.Kind.Sum, "__cuma"),
+        (col("__cb"), graft.ops.RunningCount.Kind.Sum, "__cumb"),
+        (lit(1L), graft.ops.RunningCount.Kind.Sum, "__r")),
+      Seq(col("__v")))
+    val nxt = cum.select((col("__r") - 1L).as("__r"), col("__v").as("__vn"))
+    val tot = counts.agg(
+      sum(col("__ca")).cast("long").as("n_a"),
+      sum(col("__cb")).cast("long").as("n_b"))
+    val nA = when(col("n_a") > 0, col("n_a")).otherwise(raise_error(
+      lit("wasserstein1: sample A is empty — no two-sample distance"))
+      .cast("long"))
+    val nB = when(col("n_b") > 0, col("n_b")).otherwise(raise_error(
+      lit("wasserstein1: sample B is empty — no two-sample distance"))
+      .cast("long"))
+    val gapQ = floor((col("__vn") - col("__v")) * lit(1048576.0) + lit(0.5))
+      .cast("long")
+    cum.join(nxt, "__r")
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (dec(abs(col("__cuma") * nB - col("__cumb") * nA)) * dec(gapQ))
+          .as("__t"))
+      .groupBy("n_a", "n_b")
+      .agg(sum(col("__t")).cast("decimal(38,0)").as("s_w1"))
+      .select(col("n_a"), col("n_b"), col("s_w1"),
+        (col("s_w1").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            lit(1048576.0))).as("w1"))
+  }
+
   /** EXACT Mann–Whitney U (Wilcoxon rank-sum) — the rank-based two-sample
     * location test on the same histogram + prefix machinery as
     * [[ksStatistic]] (KS asks "same distribution?", U asks "is one
@@ -3002,6 +3067,120 @@ object Curation {
       }
       (a._1 + b._1, m.toMap)
     }
+  }
+
+  /** Theil T inequality index over a positive integer column — the
+    * ENTROPY-based concentration diagnostic next to [[giniIndex]]'s
+    * rank-based one (Gini weights transfers by rank distance; Theil is
+    * additively DECOMPOSABLE across subgroups, which is why pipeline
+    * audits report both). T = (1/S)·Σ xᵢ·ln(xᵢ·n/S) with S = Σx: 0 when
+    * every value is equal, ln(n) at total concentration.
+    *
+    * Engine-portable arithmetic (the [[jsDivergence]] discipline): each
+    * per-row term is the exact integer xᵢ·(qln(xᵢ·n) − qln(S)) — integer
+    * products under the 2⁻²⁰-grid-quantized ln — summed order-free into
+    * DECIMAL(38,0); the readout divides once by S·2²⁰ in fixed op order.
+    * Rows with x ≤ 0 or null are excluded (no mass to weigh).
+    *
+    * Scale shape: one 1-row (n, S) agg broadcast back, then ONE
+    * partial-aggregable integer-sum scan — no shuffle beyond the two
+    * aggs, nothing data-sized on the driver. */
+  def theilIndex(df: DataFrame, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val vals = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("long").as("__x"))
+    // the fail-fast rides the ALWAYS-1-ROW totals frame, so an entirely
+    // empty input raises too (a per-data-row raise would never evaluate)
+    val tot = vals.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__x").cast("decimal(18,0)")).cast("decimal(38,0)").as("sum_x"))
+      .select(when(col("n") > 0, col("n")).otherwise(raise_error(
+        lit("theilIndex: no positive values — no inequality to measure"))
+        .cast("long")).as("n"), col("sum_x"))
+    val nOk = col("n")
+    // the term sum is its own always-1-row agg; the final frame drives
+    // from tot so an empty input evaluates the raise instead of
+    // short-circuiting to zero rows
+    val sT = vals.crossJoin(broadcast(tot))
+      .select((dec(col("__x")) *
+        dec(qln(dec(col("__x")) * nOk) - qln(col("sum_x")))).as("__t"))
+      .agg(sum(col("__t")).cast("decimal(38,0)").as("s_t"))
+    tot.crossJoin(broadcast(sT))
+      .select(col("n"), col("sum_x"), col("s_t"),
+        (col("s_t").cast("double") /
+          (col("sum_x").cast("double") * lit(1048576.0))).as("theil"))
+  }
+
+  /** EXACT mutual information between two categorical columns — the
+    * ASSOCIATION member next to the drift family (chi2/G test whether two
+    * COHORTS differ on one column; MI asks how much two COLUMNS predict
+    * each other within one corpus — feature redundancy, label leakage,
+    * source/language coupling). MI = (1/N)·Σ_xy c_xy·ln(c_xy·N/(c_x·c_y))
+    * in nats, with the marginal entropies H(X), H(Y) on the same scan and
+    * the normalized readout NMI = 2·MI/(H(X)+H(Y)).
+    *
+    * Engine-portable arithmetic (the [[gTest]] discipline): each cell
+    * term is the exact integer c_xy·(qln(c_xy·N) − qln(c_x·c_y)); entropy
+    * numerators are Σ c_x·(qln(c_x) − qln(N)) — all order-free
+    * DECIMAL(38,0) sums of grid-quantized-ln integer products, readout
+    * doubles in one fixed op order. Rows with a null on either column are
+    * excluded (no cell to land in). Independent columns contribute ≈0
+    * (exactly 0 when the quantized lns cancel); MI ≥ 0 up to grid error.
+    *
+    * Scale shape: ONE (x,y)-keyed partial agg collapses the corpus to the
+    * contingency table; marginals re-aggregate THAT table (never the
+    * data) and re-enter via broadcast — categorical columns are
+    * low-cardinality by construction (language, source, label; bucket
+    * first for an unbounded column). */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__cxy"))
+    val mx = cells.groupBy("__x").agg(sum(col("__cxy")).as("__cx"))
+    val my = cells.groupBy("__y").agg(sum(col("__cxy")).as("__cy"))
+    // fail-fast on the always-1-row totals frame (the [[theilIndex]]
+    // convention): an entirely empty table raises instead of vanishing
+    val tot = cells.agg(sum(col("__cxy")).cast("long").as("__n"),
+      count(lit(1)).cast("long").as("__k"))
+      .select(when(col("__n") > 0, col("__n")).otherwise(raise_error(
+        lit("mutualInfo: no non-null (x, y) pairs — no table to measure"))
+        .cast("long")).as("__n"), col("__k"))
+    val nOk = col("__n")
+    // entropy numerator over a marginal histogram: Σ c·(qln(c) − qln(N))
+    def entNum(hist: DataFrame, c: String): DataFrame =
+      hist.crossJoin(broadcast(tot))
+        .select((dec(col(c)) * dec(qln(dec(col(c))) - qln(nOk))).as("__t"))
+        .agg(sum(col("__t")).cast("decimal(38,0)").as("__s"))
+    // the term sum is its own always-1-row agg; the final frame drives
+    // from tot so an empty table evaluates the raise (the [[theilIndex]]
+    // convention) instead of short-circuiting to zero rows
+    val sMi = cells.join(broadcast(mx), "__x").join(broadcast(my), "__y")
+      .crossJoin(broadcast(tot))
+      .select((dec(col("__cxy")) *
+        dec(qln(dec(col("__cxy")) * nOk) - qln(dec(col("__cx")) * dec(col("__cy")))))
+        .as("__t"))
+      .agg(sum(col("__t")).cast("decimal(38,0)").as("s_mi"))
+    val g = lit(1048576.0)
+    tot.crossJoin(broadcast(sMi))
+      .crossJoin(broadcast(entNum(mx, "__cx").select(col("__s").as("s_hx"))))
+      .crossJoin(broadcast(entNum(my, "__cy").select(col("__s").as("s_hy"))))
+      .select(col("__n").as("n"), col("__k").as("k"),
+        col("s_mi"), col("s_hx"), col("s_hy"),
+        (col("s_mi").cast("double") / (col("__n").cast("double") * g))
+          .as("mi"),
+        (-col("s_hx").cast("double") / (col("__n").cast("double") * g))
+          .as("h_x"),
+        (-col("s_hy").cast("double") / (col("__n").cast("double") * g))
+          .as("h_y"),
+        // degenerate 1-cell table: H(X)+H(Y) = 0 and NMI is undefined —
+        // null, not an ANSI divide-by-zero (Spark raises even for doubles)
+        (when(col("s_hx") + col("s_hy") =!= 0L,
+          lit(2.0) * (col("s_mi").cast("double") / (col("__n").cast("double") * g)) /
+            ((-col("s_hx").cast("double") / (col("__n").cast("double") * g)) +
+              (-col("s_hy").cast("double") / (col("__n").cast("double") * g))))
+          .otherwise(lit(null).cast("double")))
+          .as("nmi"))
   }
 
   private def heavyHittersImpl(

@@ -1707,6 +1707,94 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("sample A is empty"))
   }
 
+  test("wasserstein1: shift hand cases exact; identical samples give 0; empty side fails fast") {
+    import spark.implicits._
+    // A = {0,1}, B = {1,2}: every point moves by 1 -> W1 = 1 exactly
+    val df = Seq((0.0, false), (1.0, false), (1.0, true), (2.0, true))
+      .toDF("x", "b")
+    val r = Curation.wasserstein1(df, "x", col("b")).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[java.math.BigDecimal]("s_w1").longValueExact() ==
+      4L * 1048576L)
+    assert(r.getAs[Double]("w1") == 1.0)
+    // point masses 5 apart -> W1 = 5; fractional gap quantizes exactly
+    val far = Seq((0.0, false), (5.0, true)).toDF("x", "b")
+    assert(Curation.wasserstein1(far, "x", col("b"))
+      .collect().head.getAs[Double]("w1") == 5.0)
+    val frac = Seq((0.0, false), (0.5, true)).toDF("x", "b")
+    assert(Curation.wasserstein1(frac, "x", col("b"))
+      .collect().head.getAs[Double]("w1") == 0.5)
+    // identical samples: every ECDF gap numerator is 0 -> W1 = 0 exactly
+    val same = Seq((1.0, false), (2.0, false), (1.0, true), (2.0, true))
+      .toDF("x", "b")
+    assert(Curation.wasserstein1(same, "x", col("b"))
+      .collect().head.getAs[Double]("w1") == 0.0)
+    // partitioning cannot move the order-free integer sum
+    assert(Curation.wasserstein1(df.repartition(7), "x", col("b"))
+      .collect().head.getAs[Double]("w1") == 1.0)
+    val err = intercept[Exception] {
+      Curation.wasserstein1(df.filter(!col("b")), "x", col("b")).collect()
+    }
+    assert(err.getMessage.contains("sample B is empty"))
+  }
+
+  test("theilIndex: equal values give EXACTLY 0; hand case within grid residue") {
+    import spark.implicits._
+    // all equal: qln(x*n) == qln(S) identically -> every term 0 exactly
+    val eq = Seq(7L, 7L, 7L).toDF("x")
+    val r0 = Curation.theilIndex(eq, "x").collect().head
+    assert(r0.getAs[java.math.BigDecimal]("s_t").longValueExact() == 0L)
+    assert(r0.getAs[Double]("theil") == 0.0)
+    // x = {1, 3}: T = (1*ln(2/4) + 3*ln(6/4)) / 4
+    val df = Seq(1L, 3L).toDF("x")
+    val r = Curation.theilIndex(df, "x").collect().head
+    val exact = (math.log(0.5) + 3.0 * math.log(1.5)) / 4.0
+    assert(math.abs(r.getAs[Double]("theil") - exact) < 1e-4)
+    // zero and null rows carry no mass and are excluded
+    val withJunk = Seq(Some(1L), Some(3L), Some(0L), None).toDF("x")
+    assert(Curation.theilIndex(withJunk, "x").collect().head
+      .getAs[Long]("n") == 2L)
+    val err = intercept[Exception] {
+      Curation.theilIndex(df.filter(col("x") < 0), "x").collect()
+    }
+    assert(err.getMessage.contains("no positive values"))
+  }
+
+  test("mutualInfo: independence gives EXACTLY 0, identity gives NMI 1, hand case within grid") {
+    import spark.implicits._
+    // independent uniform 2x2: c_xy*N = c_x*c_y for every cell -> the
+    // quantized lns are EQUAL and every term is exactly zero
+    val ind = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+      .toDF("x", "y")
+    val r0 = Curation.mutualInfo(ind, "x", "y").collect().head
+    assert(r0.getAs[java.math.BigDecimal]("s_mi").longValueExact() == 0L)
+    assert(r0.getAs[Double]("mi") == 0.0)
+    // x == y: MI = H(X) = H(Y) = ln 2 -> NMI = 1 up to grid residue (the
+    // MI terms quantize ln(c·N) and ln(c²) separately, so no exact cancel)
+    val same = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val r1 = Curation.mutualInfo(same, "x", "y").collect().head
+    assert(math.abs(r1.getAs[Double]("mi") - math.log(2.0)) < 1e-4)
+    assert(math.abs(r1.getAs[Double]("nmi") - 1.0) < 1e-4)
+    // hand case: cells {(a,p):2, (a,q):1, (b,q):1}
+    val df = Seq(("a", "p"), ("a", "p"), ("a", "q"), ("b", "q"))
+      .toDF("x", "y")
+    val r = Curation.mutualInfo(df, "x", "y").collect().head
+    val exact = (2.0 * math.log(8.0 / 6.0) + math.log(4.0 / 6.0) +
+      math.log(2.0)) / 4.0
+    assert(math.abs(r.getAs[Double]("mi") - exact) < 1e-4)
+    assert(r.getAs[Long]("k") == 3L)
+    // null on either column lands in no cell
+    val withNull = Seq((Some("a"), Some("p")), (Some("a"), None),
+      (None, Some("p"))).toDF("x", "y")
+    assert(Curation.mutualInfo(withNull, "x", "y").collect().head
+      .getAs[Long]("n") == 1L)
+    val err = intercept[Exception] {
+      Curation.mutualInfo(df.filter(col("x") === "zzz"), "x", "y").collect()
+    }
+    assert(err.getMessage.contains("no non-null"))
+  }
+
   test("spearman: monotone = exactly +-1, tie hand case exact, tiny input fails fast") {
     import spark.implicits._
     // monotone nonlinear: ranks align exactly -> rho = 1.0 EXACTLY
