@@ -241,7 +241,10 @@ object Bench {
     // r17: Wasserstein-1 drift (KS prefix machinery + one rank self-join),
     // Theil length inequality (two aggs), mutual information (one
     // contingency agg + broadcast marginals)
-    "q_w1_drift", "q_theil", "q_mutual_info")
+    "q_w1_drift", "q_theil", "q_mutual_info",
+    // r17: CUPED variance-reduced A/B (one user-keyed agg) + daily ACF
+    // (day-spine self-join, never data-sized past the first agg)
+    "q_cuped", "q_acf")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -2170,6 +2170,19 @@ object SparkEntry {
     "q_ab_lift" -> ((s, dir) =>
       operators.EventSignals.abLift(ev(s, dir))),
 
+    // CUPED variance-reduced A/B: per-user pre/post activity counts
+    // split at the integer epoch-us midpoint, theta = cov/var from exact
+    // decimal moments, adjusted variant means + rho^2 variance-reduction
+    // readout — all fixed-order doubles over exact integers.
+    "q_cuped" -> ((s, dir) =>
+      operators.EventSignals.cupedLift(ev(s, dir))),
+
+    // Sample ACF of the daily event-count series at lags 1..7: the
+    // seasonality diagnostic — zero-filled integer day spine, n^2-scaled
+    // exact integer numerators/denominator, one double division per lag.
+    "q_acf" -> ((s, dir) =>
+      operators.TimeSeries.autocorrelation(ev(s, dir))),
+
     // Calendar densification: hourly per-type counts on the FULL hour
     // spine (quiet hours = 0) — spine is sequence() over broadcast
     // bounds x the distinct key table, never a raw-event expansion.
@@ -7435,6 +7448,77 @@ object SparkEntry {
         |                - CAST(c1 AS HUGEINT) * CAST(n0 - c0 AS HUGEINT) AS d
         |            FROM t))
         |SELECT v.variant, v.n_users, v.n_conv, f.significant FROM v, f""".stripMargin,
+
+    // CUPED: exact decimal moments over per-user integer counts, the
+    // midpoint split in pure integer epoch-us, fixed-order double readout
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |sp AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+        |pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN us * 2 < lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN us * 2 < lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS y
+        |  FROM e, sp GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy FROM pu),
+        |v AS (SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n_u,
+        |    sum(CAST(x AS HUGEINT)) AS sx_v, sum(CAST(y AS HUGEINT)) AS sy_v
+        |  FROM pu GROUP BY 1),
+        |r AS (SELECT variant, n_u,
+        |    CAST(sx_v AS DECIMAL(38,0)) AS sx_v, CAST(sy_v AS DECIMAL(38,0)) AS sy_v,
+        |    CAST(sx_v AS DOUBLE) / CAST(n_u AS DOUBLE) AS mean_x,
+        |    CAST(sy_v AS DOUBLE) / CAST(n_u AS DOUBLE) AS mean_y,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS vxden,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS vyden,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covnum,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxd,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyd,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS gmx
+        |  FROM v, g)
+        |SELECT variant, n_u, sx_v, sy_v, mean_x, mean_y,
+        |  CASE WHEN vxden <> 0 THEN covnum / vxd END AS theta,
+        |  CASE WHEN vxden <> 0 THEN mean_y - (covnum / vxd) * (mean_x - gmx)
+        |  END AS adj_mean,
+        |  CASE WHEN vxden <> 0 AND vyden <> 0
+        |    THEN (covnum * covnum) / (vxd * vyd) END AS rho2
+        |FROM r""".stripMargin,
+
+    // ACF: zero-filled integer day spine, n^2-scaled exact integer
+    // moments per lag, one fixed-order double division each
+    "q_acf" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dd FROM events
+        |           WHERE ts IS NOT NULL),
+        |dc AS (SELECT dd, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |sp AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dc),
+        |ser AS (
+        |  SELECT g.dd - (SELECT d0 FROM sp) + 1 AS r, COALESCE(dc.c, 0) AS c
+        |  FROM (SELECT unnest(generate_series((SELECT d0 FROM sp),
+        |                                      (SELECT d1 FROM sp))) AS dd) g
+        |  LEFT JOIN dc ON g.dd = dc.dd),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(CAST(c AS HUGEINT)) AS s,
+        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sxx FROM ser),
+        |l AS (SELECT unnest(range(1, 8)) AS k),
+        |p AS (SELECT l.k, t.n, t.s, t.sxx,
+        |    sum(CAST(s1.c AS HUGEINT) * COALESCE(CAST(s2.c AS HUGEINT), 0)) AS sxy,
+        |    sum(CASE WHEN s1.r <= t.n - l.k THEN CAST(s1.c AS HUGEINT) ELSE 0 END) AS a_k,
+        |    sum(CASE WHEN s1.r > l.k THEN CAST(s1.c AS HUGEINT) ELSE 0 END) AS b_k
+        |  FROM ser s1 CROSS JOIN l CROSS JOIN t
+        |  LEFT JOIN ser s2 ON s1.r + l.k = s2.r
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(k AS BIGINT) AS k, n, CAST(s AS DECIMAL(38,0)) AS s,
+        |  CAST(sxy AS DECIMAL(38,0)) AS sxy,
+        |  CAST(a_k AS DECIMAL(38,0)) AS a_k, CAST(b_k AS DECIMAL(38,0)) AS b_k,
+        |  CAST(n * n * sxy - n * s * (a_k + b_k) + (n - k) * s * s AS DECIMAL(38,0)) AS num,
+        |  CAST(n * n * sxx - n * s * s AS DECIMAL(38,0)) AS den,
+        |  CAST(n * n * sxy - n * s * (a_k + b_k) + (n - k) * s * s AS DOUBLE) /
+        |    CAST(n * n * sxx - n * s * s AS DOUBLE) AS r
+        |FROM p""".stripMargin,
 
     "q_resample" ->
       """WITH b AS (

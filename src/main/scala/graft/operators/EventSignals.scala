@@ -223,6 +223,80 @@ object EventSignals {
     byVariant.crossJoin(broadcast(flagged.select(col("significant"))))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) — the
+    * industry-standard upgrade of [[abLift]]: each user's POST-period
+    * activity count is adjusted by their PRE-period count via
+    * θ = cov(X,Y)/var(X), removing the between-user variance the
+    * pre-period already explains and shrinking the experiment's
+    * confidence interval by 1 − ρ² without touching the treatment
+    * effect (E[X] is identical across variants by randomization).
+    *
+    * Engine-portable arithmetic: the pre/post split is the INTEGER
+    * epoch-microsecond midpoint (2·us < lo + hi — no calendar types, no
+    * timezone), per-user X/Y are event COUNTS (integers), so all global
+    * and per-variant moment sums are exact DECIMAL(38,0); θ, the
+    * adjusted means, and the ρ² variance-reduction factor are fixed-order
+    * double expressions over the exact components. A zero-variance
+    * pre-period (den = 0, an exact decimal test both engines agree on)
+    * nulls the adjusted readouts instead of ANSI-throwing.
+    *
+    * Scale shape: ONE user-keyed partial agg collapses events to per-user
+    * (x, y); the global moments are a 1-row agg broadcast onto the
+    * variants-sized frame — nothing data-sized past the first shuffle. */
+  def cupedLift(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      variants: Int = 2): DataFrame = {
+    require(variants >= 2, s"variants must be >= 2: $variants")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    val base = events.filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__us"))
+    val sp = base.agg(min(col("__us")).as("__lo"), max(col("__us")).as("__hi"))
+    val isPre = col("__us") * 2 < col("__lo") + col("__hi")
+    val perUser = base.crossJoin(broadcast(sp))
+      .groupBy("__u")
+      .agg(sum(when(isPre, 1L).otherwise(0L)).cast("long").as("__x"),
+        sum(when(isPre, 0L).otherwise(1L)).cast("long").as("__y"))
+    val g = perUser.agg(count(lit(1)).cast("long").as("n"),
+      sum(d18(col("__x"))).cast("decimal(38,0)").as("sx"),
+      sum(d18(col("__y"))).cast("decimal(38,0)").as("sy"),
+      sum(d18(col("__x")) * d18(col("__x"))).cast("decimal(38,0)").as("sxx"),
+      sum(d18(col("__x")) * d18(col("__y"))).cast("decimal(38,0)").as("sxy"),
+      sum(d18(col("__y")) * d18(col("__y"))).cast("decimal(38,0)").as("syy"))
+    val byVariant = perUser
+      .withColumn("variant", pmod(col("__u"), lit(variants.toLong)))
+      .groupBy("variant")
+      .agg(count(lit(1)).cast("long").as("n_u"),
+        sum(d18(col("__x"))).cast("decimal(38,0)").as("sx_v"),
+        sum(d18(col("__y"))).cast("decimal(38,0)").as("sy_v"))
+    val nd = col("n").cast("double")
+    val covNum = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varXden = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+    val varYden = dec(col("n")) * col("syy") - col("sy") * col("sy")
+    val varXd = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varYd = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val theta = covNum / varXd
+    val meanX = col("sx_v").cast("double") / col("n_u").cast("double")
+    val meanY = col("sy_v").cast("double") / col("n_u").cast("double")
+    val adj = meanY - theta *
+      (meanX - col("sx").cast("double") / nd)
+    byVariant.crossJoin(broadcast(g))
+      .select(col("variant"), col("n_u"), col("sx_v"), col("sy_v"),
+        meanX.as("mean_x"), meanY.as("mean_y"),
+        when(varXden =!= 0L, theta).otherwise(lit(null).cast("double"))
+          .as("theta"),
+        when(varXden =!= 0L, adj).otherwise(lit(null).cast("double"))
+          .as("adj_mean"),
+        when(varXden =!= 0L && varYden =!= 0L,
+          (covNum * covNum) / (varXd * varYd))
+          .otherwise(lit(null).cast("double")).as("rho2"))
+  }
+
   /** Densify per-(`keyCol`, hour) counts onto the FULL calendar spine
     * between the corpus's first and last hour: quiet hours appear with
     * n = 0 instead of being absent — the calendar-semantics companion of

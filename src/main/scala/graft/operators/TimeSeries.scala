@@ -259,4 +259,88 @@ object TimeSeries {
       .where(col("rank") <= k)
       .select(col(keyCol), col("end_ts_us"), col("dist"), col("rank"))
   }
+
+  /** EXACT sample autocorrelation function of the daily event-count
+    * series at lags 1…`maxLag` — the seasonality/memory diagnostic the
+    * forecasting family reads before choosing a model ([[holtForecast]]
+    * assumes short memory, [[holtWinters]] a seasonal period: ACF is how
+    * you SEE the period). r_k = Σₜ(cₜ−m̄)(cₜ₊ₖ−m̄) / Σₜ(cₜ−m̄)² with the
+    * full-series mean and denominator (the standard biased estimator —
+    * what statsmodels/R `acf` compute).
+    *
+    * Engine-portable arithmetic: days are TIMEZONE-FREE integer epoch-day
+    * indexes (`unix_micros div 86400000000`), missing days count 0 (the
+    * series is the calendar, not the observed rows), and daily COUNTS are
+    * integers — so with m̄ = S/n both sides multiply through by n²:
+    *   num_k·n² = n²·Σcₜcₜ₊ₖ − n·S·(A_k + B_k) + (n−k)·S²
+    *   den·n²   = n²·Σc² − n·S²
+    * with A_k = Σ_{t ≤ n−k} cₜ, B_k = Σ_{t > k} cₜ — ALL exact
+    * DECIMAL(38,0) integers; r_k is one fixed-order double division.
+    *
+    * Scale shape: one day-keyed partial agg collapses the data to the
+    * day-count series (the only data-sized pass); the zero-filled
+    * calendar comes from a 1-row min/max broadcast + `sequence` explode;
+    * lag pairing is a ×maxLag explode of the DAYS frame joined back on
+    * the shifted day key — days × maxLag rows, never data-sized. Fails
+    * fast in-plan when the series is shorter than `maxLag + 2` days. */
+  def autocorrelation(
+      events: DataFrame,
+      tsCol: String = "ts",
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val usPerDay = 86400000000L
+    // integral DIV, not `/` (which is double division): epoch-day index
+    // stays an exact long; positive epochs make truncation = floor on
+    // both engines (DuckDB `//`)
+    val daily = events.filter(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros(`$tsCol`) div ${usPerDay}L").as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("__c"))
+    val span = daily.agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      .select(col("__d0"),
+        when(col("__d1") - col("__d0") + 1 >= maxLag + 2, col("__d1"))
+          .otherwise(raise_error(lit(
+            s"autocorrelation: need at least ${maxLag + 2} days of data"))
+            .cast("long")).as("__d1"))
+    val series = span
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+      .join(daily, Seq("__d"), "left")
+      .crossJoin(broadcast(span))
+      .select((col("__d") - col("__d0") + 1L).as("__r"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = series.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("__c").cast("decimal(18,0)")).cast("decimal(38,0)").as("s"),
+      sum(col("__c").cast("decimal(18,0)") * col("__c").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("sxx"))
+    val lags = (1 to maxLag).map(k => lit(k.toLong))
+    // per lag k: the shifted self-join carries Σ c_t·c_{t+k}; the edge
+    // sums A_k (head) and B_k (tail) ride the same exploded frame
+    val withLag = series
+      .select(col("__r"), col("__c"), explode(array(lags: _*)).as("k"))
+    val shifted = series.select(col("__r").as("__r2"), col("__c").as("__c2"))
+    val perLag = withLag.crossJoin(broadcast(tot))
+      .join(shifted, col("__r") + col("k") === col("__r2"), "left")
+      .groupBy("k", "n", "s", "sxx")
+      .agg(
+        sum(dec(col("__c")) * dec(coalesce(col("__c2"), lit(0L))))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(when(col("__r") <= col("n") - col("k"),
+          col("__c").cast("decimal(18,0)")).otherwise(lit(0L)))
+          .cast("decimal(38,0)").as("a_k"),
+        sum(when(col("__r") > col("k"),
+          col("__c").cast("decimal(18,0)")).otherwise(lit(0L)))
+          .cast("decimal(38,0)").as("b_k"))
+    val nD = dec(col("n"))
+    val num = nD * nD * col("sxy") - nD * col("s") * (col("a_k") + col("b_k")) +
+      (nD - dec(col("k"))) * col("s") * col("s")
+    val den = nD * nD * col("sxx") - nD * col("s") * col("s")
+    perLag.select(col("k"), col("n"), col("s"), col("sxy"),
+      col("a_k"), col("b_k"),
+      num.cast("decimal(38,0)").as("num"),
+      den.cast("decimal(38,0)").as("den"),
+      // a constant series has zero variance — ACF undefined: null, not an
+      // ANSI divide-by-zero (the exact decimal test agrees cross-engine)
+      when(den =!= 0L, num.cast("double") / den.cast("double"))
+        .otherwise(lit(null).cast("double")).as("r"))
+  }
 }

@@ -311,4 +311,40 @@ class EventSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == (3L, 6L, 6L))
     assert(out(2L)._1 == 1L && out(2L)._3 == 0L)
   }
+
+  test("cupedLift: hand moments exact, adjusted means and rho2 in fixed order") {
+    import spark.implicits._
+    // us range [1000, 9000]: pre iff 2*us < 10000. Per-user (x, y):
+    // u0 (2,4), u1 (3,5), u2 (1,1), u3 (1,2)
+    def mk(u: Long, pre: Int, post: Int) =
+      Seq.fill(pre)((u, 1000L)) ++ Seq.fill(post)((u, 9000L))
+    val base = mk(0L, 2, 4) ++ mk(1L, 3, 5) ++ mk(2L, 1, 1) ++ mk(3L, 1, 2)
+    val ev = base.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val out = EventSignals.cupedLift(ev).collect()
+      .map(r => r.getAs[Long]("variant") -> r).toMap
+    // n=4 sx=7 sy=12 sxx=15 sxy=26 syy=46:
+    // covNum = 4*26-84 = 20, varX = 4*15-49 = 11 -> theta = 20/11
+    val theta = 20.0 / 11.0
+    val v0 = out(0L)
+    assert(v0.getAs[Long]("n_u") == 2L)
+    assert(v0.getAs[java.math.BigDecimal]("sx_v").longValueExact() == 3L)
+    assert(v0.getAs[java.math.BigDecimal]("sy_v").longValueExact() == 5L)
+    assert(v0.getAs[Double]("theta") == theta)
+    assert(v0.getAs[Double]("adj_mean") == 2.5 - theta * (1.5 - 7.0 / 4.0))
+    val v1 = out(1L)
+    assert(v1.getAs[Double]("adj_mean") == 3.5 - theta * (2.0 - 7.0 / 4.0))
+    // rho2 = 20^2 / (11 * (4*46-144)) = 400/440
+    assert(v1.getAs[Double]("rho2") == (20.0 * 20.0) / (11.0 * 40.0))
+    // the CUPED invariant: adjustment shrinks the gap but both variants
+    // move by the same theta*(mean_x - grand_mean) construction
+    assert(math.abs((v1.getAs[Double]("adj_mean") - v0.getAs[Double]("adj_mean")) -
+      (1.0 - theta * 0.5)) < 1e-12)
+    // zero pre-period variance -> theta/adj/rho2 null, not a divide error
+    val flat = (mk(0L, 1, 4) ++ mk(1L, 1, 5)).toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val f = EventSignals.cupedLift(flat).collect().head
+    assert(f.isNullAt(f.fieldIndex("theta")) &&
+      f.isNullAt(f.fieldIndex("adj_mean")) && f.isNullAt(f.fieldIndex("rho2")))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TimeSeries
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
@@ -126,5 +127,42 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     // exactly p days: pure seed state — level = mean, trend 0, season =
     // the slot residual; horizon 1 from n=2 lands on slot 1 -> -1.0
     assert(got(2L) == ((2L, 5.0, 0.0, -1.0, 4.0)))
+  }
+
+  test("autocorrelation: hand case exact, gap days count zero, constant series nulls r") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    // daily counts [1,2,3,4] on four consecutive days
+    def mk(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(d.toLong * usPerDay + 1000L)
+      }.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    val r = TimeSeries.autocorrelation(mk(Seq(1, 2, 3, 4)), maxLag = 2)
+      .collect().map(x => x.getAs[Long]("k") ->
+        ((x.getAs[Long]("n"),
+          x.getAs[java.math.BigDecimal]("num").longValueExact(),
+          x.getAs[java.math.BigDecimal]("den").longValueExact(),
+          x.getAs[Double]("r")))).toMap
+    // n=4 S=10: num1*n^2 = 16*20-40*15+3*100 = 20, den*n^2 = 80 -> 0.25
+    assert(r(1L) == ((4L, 20L, 80L, 0.25)))
+    // lag 2: 16*11 - 40*10 + 2*100 = -24 -> -0.3
+    assert(r(2L) == ((4L, -24L, 80L, -0.3)))
+    // a missing calendar day is a 0 in the series, not an absent row:
+    // counts [2,0,2] -> r1: Sxy=0 A=2 B=2, num = 9*0 - 3*4*4 + 2*16 = -16
+    val gap = Seq.fill(2)(0L * usPerDay + 5L) ++ Seq.fill(2)(2L * usPerDay + 5L)
+    val g = TimeSeries.autocorrelation(
+      gap.toDF("us").select(timestamp_micros(col("us")).as("ts")), maxLag = 1)
+      .collect().head
+    assert(g.getAs[Long]("n") == 3L)
+    assert(g.getAs[java.math.BigDecimal]("num").longValueExact() == -16L)
+    // constant series: zero variance -> r is null, not a divide error
+    val const = TimeSeries.autocorrelation(mk(Seq(2, 2, 2, 2)), maxLag = 1)
+      .collect().head
+    assert(const.isNullAt(const.fieldIndex("r")))
+    // too-short series fails fast in-plan
+    val err = intercept[Exception] {
+      TimeSeries.autocorrelation(mk(Seq(1, 2)), maxLag = 7).collect()
+    }
+    assert(err.getMessage.contains("need at least"))
   }
 }
