@@ -244,7 +244,9 @@ object Bench {
     "q_w1_drift", "q_theil", "q_mutual_info",
     // r17: CUPED variance-reduced A/B (one user-keyed agg) + daily ACF
     // (day-spine self-join, never data-sized past the first agg)
-    "q_cuped", "q_acf")
+    "q_cuped", "q_acf",
+    // r17: HITS (20 integer half-steps, one keyed join + 1-row agg each)
+    "q_hits")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -1235,6 +1235,16 @@ object SparkEntry {
       operators.Graph.pageRank(edges, iters = 10, weightCol = Some("n"))
     }),
 
+    // HITS hubs/authorities on the same transition graph: 10 mutual-
+    // reinforcement rounds as 20 integer half-steps (push across edges,
+    // L1-normalize by integer division) — bit-identical to the
+    // parity-doubled recursive-CTE oracle.
+    "q_hits" -> ((s, dir) => {
+      val edges = operators.Funnel.transitions(ev(s, dir))
+        .select(col("from_type").as("src"), col("to_type").as("dst"), col("n"))
+      operators.Graph.hits(edges, iters = 10, weightCol = Some("n"))
+    }),
+
     // TextRank keywords: pageRank over the word co-occurrence graph
     // (window 2, undirected, count-weighted) — all-integer iterations, so
     // the extraction replays exactly in the recursive oracle; (rank desc,
@@ -6561,6 +6571,47 @@ object SparkEntry {
         |    GROUP BY d.node
         |  ) WHERE iter IS NOT NULL)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10""".stripMargin,
+
+    // HITS: parity-doubled edge table alternates the push direction per
+    // half-step; L1 normalization is one window-sum integer division —
+    // hubs land on even iters, authorities on odd
+    "q_hits" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT src, dst, count(*) AS w FROM pairs
+        |          WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |params AS (SELECT count(*) AS n FROM nodes),
+        |edir AS (
+        |  SELECT src AS frm, dst AS tgt, w, 0 AS par FROM edges
+        |  UNION ALL
+        |  SELECT dst AS frm, src AS tgt, w, 1 AS par FROM edges),
+        |rec AS (
+        |  SELECT 0 AS iter, node,
+        |    CAST(1000000000000 // (SELECT n FROM params) AS HUGEINT) AS score
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT iter, node,
+        |    (raw * 1000000000000) // (SUM(raw) OVER ()) AS score
+        |  FROM (
+        |    SELECT MAX(MAX(q.iter)) OVER () + 1 AS iter, d.node,
+        |      COALESCE(SUM(q.contrib), CAST(0 AS HUGEINT)) AS raw
+        |    FROM nodes d
+        |    LEFT JOIN (
+        |      SELECT p.iter, e.tgt, CAST(p.score AS HUGEINT) * e.w AS contrib
+        |      FROM rec p JOIN edir e ON e.frm = p.node AND e.par = (p.iter % 2)
+        |      WHERE p.iter < 20
+        |    ) q ON q.tgt = d.node
+        |    GROUP BY d.node
+        |  ) WHERE iter IS NOT NULL)
+        |SELECT h.node, CAST(h.score AS BIGINT) AS hub,
+        |  CAST(a.score AS BIGINT) AS auth
+        |FROM rec h JOIN rec a USING (node)
+        |WHERE h.iter = 20 AND a.iter = 19""".stripMargin,
 
     // q_pagerank's recursive replay over the word co-occurrence edges
     "q_textrank" ->

@@ -116,6 +116,77 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) — the BIPARTITE-role
+    * companion of [[pageRank]]: a page is a good AUTHORITY when good hubs
+    * point at it, a good HUB when it points at good authorities. On a
+    * crawl link graph the two roles separate directories/portals from
+    * content pages — a prior PageRank's single score conflates.
+    *
+    * Fixed-point integer iterations (the [[pageRank]] discipline, so the
+    * whole run is bit-identical to a recursive-CTE oracle): scores live
+    * in `1/scale` units; each HALF-STEP pushes the current scores across
+    * the edges (hub → authority along src→dst, authority → hub along
+    * dst→src), then L1-normalizes by INTEGER division
+    * `(raw · scale) div Σraw` — products ride DECIMAL(38,0) so a
+    * raw·scale never overflows a long. 2·`iters` half-steps = `iters`
+    * full mutual-reinforcement rounds; the classical l2 normalization is
+    * replaced by l1 (same fixed point up to scale, integer-exact).
+    *
+    * Scale shape: per half-step ONE node-keyed edges×scores join + one
+    * 1-row normalizer agg broadcast back; scores re-pin per round
+    * (localCheckpoint) so the plan stays constant-size — the
+    * [[Dedup.clusters]] loop discipline. Nothing data-sized on the
+    * driver. */
+  def hits(
+      edges: DataFrame,
+      iters: Int = 10,
+      scale: Long = 1000000000000L,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      w.as("__w")).localCheckpoint(true)
+    val nodes = e0.select(col("__src").as("node"))
+      .union(e0.select(col("__dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "graph has no nodes")
+    // half-step: push `scores` across (frm -> tgt), L1-normalize in
+    // integer units. COALESCE keeps contribution-less nodes at 0.
+    def halfStep(scores: DataFrame, frm: String, tgt: String): DataFrame = {
+      val raw = nodes
+        .join(e0.join(scores, e0(s"__$frm") === scores("node"))
+          .select(col(s"__$tgt").as("__t"),
+            (col("score").cast("decimal(38,0)") * col("__w")).as("__c"))
+          .groupBy("__t").agg(sum("__c").cast("decimal(38,0)").as("__raw")),
+          nodes("node") === col("__t"), "left")
+        .select(col("node"),
+          coalesce(col("__raw"), lit(0L).cast("decimal(38,0)")).as("__raw"))
+      val total = raw.agg(sum("__raw").cast("decimal(38,0)").as("__tot"))
+      raw.crossJoin(broadcast(total))
+        .selectExpr("node", s"(__raw * ${scale}L) div __tot AS score")
+    }
+    var hubs = nodes.select(col("node"), lit(scale / n).as("score"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val prevA = auths
+      auths = halfStep(hubs, "src", "dst").localCheckpoint(true)
+      if (prevA != null) graft.ops.Pins.releaseCheckpoint(prevA)
+      val prevH = hubs
+      hubs = halfStep(auths, "dst", "src").localCheckpoint(true)
+      graft.ops.Pins.releaseCheckpoint(prevH)
+    }
+    val out = hubs.select(col("node"), col("score").as("hub"))
+      .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))
+    graft.ops.Pins.releaseCheckpoint(e0)
+    graft.ops.Pins.releaseCheckpoint(nodes)
+    out
+  }
+
   /** Exact triangle count of an undirected graph, by DEGREE-ORDERED
     * ORIENTATION (Chiba–Nishizeki / the MapReduce "MGT" form): canonicalize
     * edges to (u < v) distinct pairs, orient every edge from its

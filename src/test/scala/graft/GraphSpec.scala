@@ -275,4 +275,51 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     // same node set (all words appear in both graphs)
     assert(w1 == 8 && w3 == 8)
   }
+
+  /** Reference fixed-point HITS on the driver — BigInt, floor division,
+    * the same half-step integer spec. */
+  private def refHits(
+      edges: Seq[(String, String, Long)],
+      iters: Int,
+      scale: Long = 1000000000000L): Map[String, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def half(sc: Map[String, BigInt], rev: Boolean): Map[String, BigInt] = {
+      val raw = nodes.map { nd =>
+        nd -> edges.collect {
+          case (s, d, w) if !rev && d == nd => sc(s) * w
+          case (s, d, w) if rev && s == nd => sc(d) * w
+        }.sum
+      }.toMap
+      val tot = raw.values.sum
+      nodes.map(nd => nd -> raw(nd) * scale / tot).toMap
+    }
+    var h: Map[String, BigInt] = nodes.map(_ -> BigInt(scale / nodes.size)).toMap
+    var a: Map[String, BigInt] = Map.empty
+    for (_ <- 1 to iters) {
+      a = half(h, rev = false)
+      h = half(a, rev = true)
+    }
+    nodes.map(nd => nd -> ((h(nd).toLong, a(nd).toLong))).toMap
+  }
+
+  test("hits matches the driver-side integer reference; hub/authority roles separate") {
+    import spark.implicits._
+    // a fans out (hub), c collects (authority), b does both
+    val edges = Seq(("a", "b", 1L), ("a", "c", 2L), ("b", "c", 1L),
+      ("d", "c", 1L), ("a", "d", 1L))
+    val got = Graph.hits(edges.toDF("src", "dst", "w"), iters = 3,
+      weightCol = Some("w"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("hub"), r.getAs[Long]("auth")))).toMap
+    assert(got == refHits(edges, iters = 3))
+    // roles: a is the best hub, c the best authority
+    assert(got("a")._1 == got.values.map(_._1).max)
+    assert(got("c")._2 == got.values.map(_._2).max)
+    // unweighted default = weight-1 edges
+    val unw = Graph.hits(edges.map(e => (e._1, e._2)).toDF("src", "dst"),
+      iters = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("hub"), r.getAs[Long]("auth")))).toMap
+    assert(unw == refHits(edges.map(e => (e._1, e._2, 1L)), iters = 2))
+  }
 }
