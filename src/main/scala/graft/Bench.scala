@@ -246,7 +246,9 @@ object Bench {
     // (day-spine self-join, never data-sized past the first agg)
     "q_cuped", "q_acf",
     // r17: HITS (20 integer half-steps, one keyed join + 1-row agg each)
-    "q_hits")
+    "q_hits",
+    // r17: SQ8 scalar-quantized search (d-row census, scan-local ADC)
+    "q_sim_sq8")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

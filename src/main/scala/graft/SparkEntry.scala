@@ -3377,6 +3377,15 @@ object SparkEntry {
     "q_pq_encode" -> ((s, dir) =>
       Similarity.pqEncode(t(s, dir, "embeddings"), m = 4, k = 16, dim = 64)),
 
+    // SQ8 scalar-quantized search: per-dim 8-bit codes against the
+    // corpus-wide [min,max] census (d-row shuffle after partial agg),
+    // asymmetric float-query-vs-code distances through the fixed
+    // reconstruction — the 1/4-width storage tier between raw and PQ.
+    "q_sim_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8Search(emb.filter(col("vec_id") < 10), emb, topK = 5)
+    }),
+
     // PQ-ADC search: the read side of pqEncode — per-query m×k distance
     // tables (one broadcast row each), corpus scored by m map lookups on
     // its CODES (the raw vectors never re-read), map-side-limited top-k.
@@ -5214,6 +5223,32 @@ object SparkEntry {
         |  max(CASE WHEN j = 2 THEN cid END) AS code_2,
         |  max(CASE WHEN j = 3 THEN cid END) AS code_3
         |FROM a WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
+    // SQ8: per-dim min/max census -> codes -> asymmetric reconstruction
+    // distance, every float op in the engine's exact order (list_sum =
+    // the sequential left fold Spark's aggregate HOF computes)
+    "q_sim_sq8" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |ps AS (SELECT unnest(range(0, 64)) AS pos),
+        |cen AS (SELECT pos, min(e[pos + 1]) AS lo, max(e[pos + 1]) AS hi
+        |        FROM v CROSS JOIN ps GROUP BY 1),
+        |r AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+        |      FROM cen),
+        |codes AS (SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN his[i] > los[i]
+        |      THEN CAST(floor((e[i] - los[i]) / (his[i] - los[i]) * 255.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS cds
+        |  FROM v, r),
+        |score AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)) *
+        |      (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)))) AS sq_d2
+        |  FROM v q, codes c, r
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, n_id, rank, sq_d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sq_d2, n_id) AS rank
+        |  FROM score) WHERE rank <= 5""".stripMargin,
 
     // ADC: the d CTE (every (vector, subspace, codeword) distance) serves
     // BOTH sides — argmin rows are the corpus codes, query-id rows are the

@@ -830,4 +830,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getDouble(1))
     assert(proj.zip(proj.tail).forall { case (a, b) => a < b })
   }
+
+  test("sq8Search: hand reconstruction exact; flat dims reconstruct to lo; ranks by (d2, id)") {
+    import spark.implicits._
+    // dim 1, corpus values {0, 1, 2}: lo=0 hi=2; codes 0, 128, 255
+    val corpus = Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(2.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((10L, Seq(0.9f))).toDF("vec_id", "embedding")
+    val got = Similarity.sq8Search(q, corpus, topK = 3).collect()
+      .map(r => (r.getAs[Long]("n_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("sq_d2")))
+    // recon: 0.0, 0 + 128*2/255, 2.0 — each distance the exact double chain
+    val qd = 0.9f.toDouble
+    def d(rec: Double) = (qd - rec) * (qd - rec)
+    val r1 = 0.0 + 128.0 * (2.0 - 0.0) / 255.0
+    assert(got.toSeq == Seq((1L, 1L, d(r1)), (0L, 2L, d(0.0)),
+      (2L, 3L, d(2.0))))
+    // a flat dimension (hi = lo) codes 0 and reconstructs to lo exactly:
+    // only dim 1 separates the corpus
+    val flat = Seq((0L, Seq(0.0f, 5.0f)), (1L, Seq(2.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val q2 = Seq((10L, Seq(1.9f, 5.0f))).toDF("vec_id", "embedding")
+    val g2 = Similarity.sq8Search(q2, flat, topK = 2).collect()
+      .map(r => r.getAs[Long]("n_id") -> r.getAs[Double]("sq_d2")).toMap
+    val qd2 = 1.9f.toDouble
+    assert(g2(1L) == (qd2 - (0.0 + 255.0 * 2.0 / 255.0)) *
+      (qd2 - (0.0 + 255.0 * 2.0 / 255.0)))
+    assert(g2(0L) == qd2 * qd2)
+  }
 }
