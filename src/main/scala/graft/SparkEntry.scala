@@ -1540,6 +1540,27 @@ object SparkEntry {
       }
     }),
 
+    // STREAMING PER-BATCH WASSERSTEIN-1 DRIFT under the gate — the
+    // numeric-MAGNITUDE companion of q_stream_jsd_gate's distributional
+    // readout: each micro-batch's earth-mover's distance vs the static
+    // reference cohort, in the column's own units (one drift row per
+    // batch through the exactly-once scoring sink). The oracle replays
+    // the 4-way ntile staging and each segment's W1 with the identical
+    // integer-x-quantized-gap arithmetic.
+    "q_stream_w1_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+      val ref = events.filter(col("user_id") % 5 =!= 0)
+        .select(col("value"), lit(false).as("__b"))
+      runStreamGateScored(s,
+          events.filter(col("user_id") % 5 === 0)
+            .select(col("ts"), col("event_id"), col("value")),
+          Seq(col("ts"), col("event_id"))) { batch =>
+        Curation.wasserstein1(
+          ref.unionByName(batch.select(col("value"), lit(true).as("__b"))),
+          "value", col("__b"))
+      }
+    }),
+
     // STREAMING SUBSEQUENCE PATTERN MATCH under the hash gate — the
     // live-motif twin of q_ts_pattern (flatMapGroupsWithState carrying a
     // w-1 value rolling buffer per user): every arriving event completes
@@ -6014,6 +6035,38 @@ object SparkEntry {
         |SELECT a_total, b_total, s_p, s_q, s_m, h_p, h_q, h_m,
         |  h_m - (h_p + h_q) / 2.0 AS jsd
         |FROM r""".stripMargin,
+
+    // streamed per-batch W1: replay the 4-way ntile staging, each
+    // segment vs the static reference with the same integer ECDF-gap x
+    // quantized-gap arithmetic (seg dropped — rows identify by totals)
+    "q_stream_w1_gate" ->
+      """WITH st AS (
+        |  SELECT value, ntile(4) OVER (ORDER BY ts, event_id) AS seg
+        |  FROM events WHERE user_id % 5 = 0),
+        |segs AS (SELECT DISTINCT seg FROM st),
+        |u AS (
+        |  SELECT s.seg, CAST(r.value AS DOUBLE) AS v, 0 AS b
+        |  FROM events r CROSS JOIN segs s WHERE r.user_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT seg, CAST(value AS DOUBLE) AS v, 1 AS b FROM st),
+        |c AS (SELECT seg, v,
+        |        CAST(count(*) FILTER (b = 0) AS BIGINT) AS ca,
+        |        CAST(count(*) FILTER (b = 1) AS BIGINT) AS cb
+        |      FROM u WHERE v IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT seg, v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |          lead(v) OVER w AS vn
+        |        FROM c WINDOW w AS (PARTITION BY seg ORDER BY v)),
+        |t AS (SELECT seg, CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM c GROUP BY 1),
+        |s AS (SELECT c2.seg,
+        |        sum(CAST(abs(cuma * n_b - cumb * n_a) AS HUGEINT) *
+        |            CAST(floor((vn - v) * 1048576.0 + 0.5) AS HUGEINT)) AS s_w1
+        |      FROM cum c2 JOIN t ON c2.seg = t.seg
+        |      WHERE vn IS NOT NULL GROUP BY 1)
+        |SELECT n_a, n_b, CAST(s_w1 AS DECIMAL(38,0)) AS s_w1,
+        |  CAST(s_w1 AS DOUBLE) /
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1048576.0) AS w1
+        |FROM s JOIN t USING (seg)""".stripMargin,
 
     // chi2: per-category exact-integer deviation, one double division per
     // term (HUGEINT products = Spark's DECIMAL(38,0)), ordered-fold total

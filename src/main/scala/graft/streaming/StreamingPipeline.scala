@@ -761,12 +761,19 @@ object StreamingPipeline {
       score: DataFrame => DataFrame,
       outDir: String,
       batchId: Long): Unit = {
-    val sp = batch.sparkSession
+    val scored = score(batch)
+    // the conf must scope to the SCORED frame's session, not the batch's:
+    // a scorer that joins/unions the batch UNDER a static frame (static
+    // frame on the left) yields a plan bound to the MAIN session, while
+    // `batch` belongs to the micro-batch clone — setting the mode on the
+    // clone would leave the actual write in static-overwrite mode, and
+    // every batch would wipe its predecessors' partitions
+    val sp = scored.sparkSession
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = sp.conf.getOption(key)
     sp.conf.set(key, "dynamic")
     try
-      score(batch)
+      scored
         .withColumn("_batch_id", lit(batchId))
         .write.mode("overwrite").partitionBy("_batch_id").parquet(outDir)
     finally prev match {
