@@ -248,7 +248,9 @@ object Bench {
     // r17: HITS (20 integer half-steps, one keyed join + 1-row agg each)
     "q_hits",
     // r17: SQ8 scalar-quantized search (d-row census, scan-local ADC)
-    "q_sim_sq8")
+    "q_sim_sq8",
+    // r17: robust means (histogram + prefix), per-day mix entropy
+    "q_trimmed", "q_mix_entropy")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -2409,6 +2409,18 @@ object SparkEntry {
     "q_mwu" -> ((s, dir) =>
       Curation.mannWhitneyU(ev(s, dir), "value", col("user_id") % 2 === 1)),
 
+    // Exact trimmed + winsorized means of event values: rank-based tail
+    // drop/clamp on the value histogram (kept multiplicity is an exact
+    // integer per distinct value), DECIMAL(20,4) kept sums, boundary
+    // order statistics from two filtered aggs.
+    "q_trimmed" -> ((s, dir) =>
+      Curation.trimmedMeans(ev(s, dir), "value")),
+
+    // Per-day Shannon entropy of the event-type mix: composition drift
+    // over time — quantized-ln integer entropy numerators per day.
+    "q_mix_entropy" -> ((s, dir) =>
+      Curation.mixEntropy(ev(s, dir), "event_type")),
+
     // Wasserstein-1 (earth-mover's) distance on the same cohorts: the
     // AREA between the ECDFs in the column's own units — exact integer
     // ECDF-gap numerators x 2^-20-grid-quantized value gaps, order-free
@@ -5835,6 +5847,45 @@ object SparkEntry {
         |  CAST(max(abs(cuma * n_b - cumb * n_a)) AS DOUBLE) /
         |    CAST(n_a * n_b AS DOUBLE) AS d
         |FROM cum, t GROUP BY n_a, n_b""".stripMargin,
+
+    // trimmed/winsorized: exact kept multiplicities on the histogram,
+    // DECIMAL(20,4) kept sums, boundary order statistics
+    "q_trimmed" ->
+      """WITH c AS (SELECT CAST(value AS DOUBLE) AS v,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+        |        FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |        (CAST(sum(c) AS BIGINT) * 1) // 10 AS k FROM c),
+        |core AS (SELECT n, k, sum(CAST(v AS DECIMAL(20,4)) *
+        |           greatest(least(cum, n - k) - greatest(cum - c, k), 0)) AS tsum
+        |         FROM cum, t GROUP BY 1, 2),
+        |lo AS (SELECT min(v) AS lo_cut FROM cum, t WHERE cum > k),
+        |hi AS (SELECT max(v) AS hi_cut FROM cum, t WHERE cum - c < n - k)
+        |SELECT n, k, lo_cut, hi_cut,
+        |  CASE WHEN n - 2 * k > 0
+        |    THEN CAST(tsum AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) END AS trimmed_mean,
+        |  CAST(tsum + CAST(lo_cut AS DECIMAL(20,4)) * k
+        |       + CAST(hi_cut AS DECIMAL(20,4)) * k AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS winsor_mean
+        |FROM core, lo, hi""".stripMargin,
+
+    // per-day mix entropy: quantized-ln integer numerators per day
+    "q_mix_entropy" ->
+      """WITH cells AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    event_type AS cat, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |d AS (SELECT day, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS k FROM cells GROUP BY 1),
+        |s AS (SELECT cells.day, n, k, sum(CAST(c AS HUGEINT) *
+        |    (CAST(floor(ln(CAST(c AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |     - CAST(floor(ln(CAST(n AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))) AS s_h
+        |  FROM cells JOIN d USING (day) GROUP BY 1, 2, 3)
+        |SELECT day, n, k, CAST(s_h AS DECIMAL(38,0)) AS s_h,
+        |  -CAST(s_h AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS h
+        |FROM s""".stripMargin,
 
     // W1: exact integer ECDF-gap numerators x quantized value gaps,
     // order-free HUGEINT term sum, one fixed-order double readout

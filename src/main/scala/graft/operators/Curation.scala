@@ -3069,6 +3069,74 @@ object Curation {
     }
   }
 
+  /** EXACT trimmed and winsorized means of a numeric column — the robust
+    * location estimates a pipeline reports next to the mean when heavy
+    * tails would otherwise dominate it (a handful of 10⁹-char documents
+    * should not move "typical doc length"): drop (trimmed) or clamp
+    * (winsorized) the lowest and highest k = ⌊n·tail⌋ observations by
+    * RANK, then average the rest.
+    *
+    * Engine-portable arithmetic: over the distinct-value histogram with
+    * cumulative counts, each value's KEPT multiplicity is the exact
+    * integer `min(cum, n−k) − max(cum−c, k)` clamped at 0 — no
+    * per-row sort, ties handled by mass not by row identity; the kept sum
+    * accumulates as DECIMAL(20,4)·count products (the money-column sum
+    * convention: values exact at 4dp), so the means are
+    * ONE fixed-order double division each. The winsorized tails clamp to
+    * the boundary ORDER STATISTICS (value at rank k+1 / rank n−k), read
+    * with two filtered min/max aggs on the same histogram. A fully-trimmed
+    * column (n − 2k = 0) nulls the trimmed mean instead of ANSI-throwing.
+    *
+    * Scale shape: one value-keyed partial agg to the histogram, the
+    * two-phase prefix pass for cumulative counts, and three 1-row aggs —
+    * nothing data-sized past the first shuffle. */
+  def trimmedMeans(
+      df: DataFrame,
+      valueCol: String,
+      tailNum: Long = 1L,
+      tailDen: Long = 10L): DataFrame = {
+    require(tailDen > 0 && tailNum >= 0 && tailNum * 2 < tailDen,
+      s"tail fraction must satisfy 0 <= num/den < 1/2: $tailNum/$tailDen")
+    def dec4(c: Column) = c.cast("decimal(20,4)")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = graft.ops.RunningCount.withRunningAgg(counts, col("__c"),
+      graft.ops.RunningCount.Kind.Sum, Seq(col("__v")), "__cum")
+    val tot = counts.agg(sum(col("__c")).cast("long").as("n"))
+      .select(when(col("n") > 0, col("n")).otherwise(raise_error(
+        lit("trimmedMeans: no non-null values — nothing to average"))
+        .cast("long")).as("n"))
+      .withColumn("k", expr(s"n * ${tailNum}L div ${tailDen}L"))
+    val withTot = cum.crossJoin(broadcast(tot))
+    val kept = greatest(
+      least(col("__cum"), col("n") - col("k")) -
+        greatest(col("__cum") - col("__c"), col("k")),
+      lit(0L))
+    // the kept sum is its own always-1-row agg and the final frame drives
+    // from tot, so an empty input evaluates the raise (the [[theilIndex]]
+    // convention) instead of short-circuiting to zero rows
+    val core = withTot
+      .select((dec4(col("__v")) * kept).as("__s"))
+      .agg(sum(col("__s")).cast("decimal(38,4)").as("__tsum"))
+    // boundary order statistics: value at rank k+1 (low clamp) and at
+    // rank n−k (high clamp) — one filtered min/max each on the histogram
+    val loCut = withTot.filter(col("__cum") > col("k"))
+      .agg(min(col("__v")).as("lo_cut"))
+    val hiCut = withTot.filter(col("__cum") - col("__c") < col("n") - col("k"))
+      .agg(max(col("__v")).as("hi_cut"))
+    tot.crossJoin(broadcast(core))
+      .crossJoin(broadcast(loCut)).crossJoin(broadcast(hiCut))
+      .select(col("n"), col("k"), col("lo_cut"), col("hi_cut"),
+        when(col("n") - lit(2L) * col("k") > 0,
+          col("__tsum").cast("double") /
+            (col("n") - lit(2L) * col("k")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("trimmed_mean"),
+        ((col("__tsum") + dec4(col("lo_cut")) * col("k") +
+          dec4(col("hi_cut")) * col("k")).cast("decimal(38,4)").cast("double") /
+          col("n").cast("double")).as("winsor_mean"))
+  }
+
   /** Theil T inequality index over a positive integer column — the
     * ENTROPY-based concentration diagnostic next to [[giniIndex]]'s
     * rank-based one (Gini weights transfers by rank distance; Theil is
@@ -3108,6 +3176,46 @@ object Curation {
       .select(col("n"), col("sum_x"), col("s_t"),
         (col("s_t").cast("double") /
           (col("sum_x").cast("double") * lit(1048576.0))).as("theil"))
+  }
+
+  /** Per-day Shannon entropy of a categorical mix — COMPOSITION drift
+    * over time, where the two-cohort tests ([[chi2Drift]]/[[gTest]]) give
+    * one global verdict: a crawl whose source mix collapses toward one
+    * domain shows as a falling daily entropy long before any single-day
+    * comparison fires. H_day = ln(n_d) − (1/n_d)·Σ_c c·ln(c) in nats,
+    * with the category count k_d as the accompanying richness readout.
+    *
+    * Engine-portable arithmetic: days are timezone-free integer epoch-day
+    * indexes (the [[TimeSeries.autocorrelation]] convention), entropy
+    * numerators are Σ c·(qln(c) − qln(n_d)) — order-free DECIMAL(38,0)
+    * sums of grid-quantized-ln integer products per day, one fixed-order
+    * double readout per row. A single-category day reads exactly 0.
+    *
+    * Scale shape: ONE (day, category)-keyed partial agg collapses the
+    * data; per-day totals re-aggregate that table and join back on the
+    * day key — days × categories rows end to end. */
+  def mixEntropy(
+      df: DataFrame,
+      catCol: String,
+      tsCol: String = "ts"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val usPerDay = 86400000000L
+    val cells = df.filter(col(tsCol).isNotNull && col(catCol).isNotNull)
+      .select(expr(s"unix_micros(`$tsCol`) div ${usPerDay}L").as("day"),
+        col(catCol).cast("string").as("__cat"))
+      .groupBy("day", "__cat").agg(count(lit(1)).as("__c"))
+    val days = cells.groupBy("day")
+      .agg(sum(col("__c")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k"))
+    cells.join(days, "day")
+      .select(col("day"), col("n"), col("k"),
+        (dec(col("__c")) * dec(qln(dec(col("__c"))) - qln(col("n"))))
+          .as("__t"))
+      .groupBy("day", "n", "k")
+      .agg(sum(col("__t")).cast("decimal(38,0)").as("s_h"))
+      .select(col("day"), col("n"), col("k"), col("s_h"),
+        (-col("s_h").cast("double") /
+          (col("n").cast("double") * lit(1048576.0))).as("h"))
   }
 
   /** EXACT mutual information between two categorical columns — the

@@ -1795,6 +1795,49 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("no non-null"))
   }
 
+  test("trimmedMeans: rank-mass trim exact under ties; winsorized clamps to order stats") {
+    import spark.implicits._
+    // 1..10, 10% tails: k=1, trimmed = mean(2..9) = 5.5, winsor = 5.5
+    val df = (1 to 10).map(_.toDouble).toDF("x")
+    val r = Curation.trimmedMeans(df, "x").collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("k") == 1L)
+    assert(r.getAs[Double]("lo_cut") == 2.0 && r.getAs[Double]("hi_cut") == 9.0)
+    assert(r.getAs[Double]("trimmed_mean") == 5.5)
+    assert(r.getAs[Double]("winsor_mean") == 5.5)
+    // ties: [1,1,1,5,9,9,9] at 1/4 tails -> k=1 drops ONE copy per side
+    val t = Seq(1.0, 1.0, 1.0, 5.0, 9.0, 9.0, 9.0).toDF("x")
+    val rt = Curation.trimmedMeans(t, "x", tailNum = 1L, tailDen = 4L)
+      .collect().head
+    assert(rt.getAs[Long]("k") == 1L)
+    assert(rt.getAs[Double]("trimmed_mean") == 25.0 / 5.0)
+    assert(rt.getAs[Double]("winsor_mean") == 35.0 / 7.0)
+    // boundary clamps stay inside the data: lo_cut = 1 (rank 2), hi = 9
+    assert(rt.getAs[Double]("lo_cut") == 1.0 && rt.getAs[Double]("hi_cut") == 9.0)
+    val err = intercept[Exception] {
+      Curation.trimmedMeans(df.filter(col("x") < 0), "x").collect()
+    }
+    assert(err.getMessage.contains("no non-null values"))
+  }
+
+  test("mixEntropy: uniform day = ln k within grid, single-category day EXACTLY 0") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    // day 0: a,a,b,b -> ln 2; day 1: a only -> 0; day 2: a,b,c,d -> ln 4
+    val rows = Seq((0L, "a"), (0L, "a"), (0L, "b"), (0L, "b"),
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"))
+    val df = rows.map { case (d, c) => (d * usPerDay + 7L, c) }
+      .toDF("us", "cat")
+      .select(timestamp_micros(col("us")).as("ts"), col("cat"))
+    val got = Curation.mixEntropy(df, "cat").collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k"), r.getAs[Double]("h")))).toMap
+    assert(got(0L)._1 == 4L && got(0L)._2 == 2L)
+    assert(math.abs(got(0L)._3 - math.log(2.0)) < 1e-4)
+    assert(got(1L) == ((3L, 1L, 0.0))) // qln(3)-qln(3) = 0 exactly
+    assert(math.abs(got(2L)._3 - math.log(4.0)) < 1e-4)
+  }
+
   test("spearman: monotone = exactly +-1, tie hand case exact, tiny input fails fast") {
     import spark.implicits._
     // monotone nonlinear: ranks align exactly -> rho = 1.0 EXACTLY
