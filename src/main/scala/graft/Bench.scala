@@ -250,7 +250,9 @@ object Bench {
     // r17: SQ8 scalar-quantized search (d-row census, scan-local ADC)
     "q_sim_sq8",
     // r17: robust means (histogram + prefix), per-day mix entropy
-    "q_trimmed", "q_mix_entropy")
+    "q_trimmed", "q_mix_entropy",
+    // r17: RBO agreement readout of the SQ8 tier vs exact L2
+    "q_rbo_sq8")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -3419,6 +3419,18 @@ object SparkEntry {
       Similarity.sq8Search(emb.filter(col("vec_id") < 10), emb, topK = 5)
     }),
 
+    // Rank-biased overlap between the exact L2 top-10 and the SQ8
+    // top-10 per query (p = 1/2: every term o_d/(d*2^d) has an exact
+    // small-integer denominator) — the top-weighted agreement readout
+    // that judges the compression tier beyond set-recall.
+    "q_rbo_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.rankBiasedOverlap(
+        Similarity.l2TopK(q, emb, topK = 10),
+        Similarity.sq8Search(q, emb, topK = 10))
+    }),
+
     // PQ-ADC search: the read side of pqEncode — per-query m×k distance
     // tables (one broadcast row each), corpus scored by m map lookups on
     // its CODES (the raw vectors never re-read), map-side-limited top-k.
@@ -5282,6 +5294,51 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, sq_d2 FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sq_d2, n_id) AS rank
         |  FROM score) WHERE rank <= 5""".stripMargin,
+
+    // RBO: both rankings replayed (exact L2 brute + the SQ8 chain), pair
+    // join on (q, n), per-depth prefix intersections, the d=1..10 term
+    // fold with exact d*2^d denominators
+    "q_rbo_sq8" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |ps AS (SELECT unnest(range(0, 64)) AS pos),
+        |cen AS (SELECT pos, min(e[pos + 1]) AS lo, max(e[pos + 1]) AS hi
+        |        FROM v CROSS JOIN ps GROUP BY 1),
+        |r AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+        |      FROM cen),
+        |codes AS (SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN his[i] > los[i]
+        |      THEN CAST(floor((e[i] - los[i]) / (his[i] - los[i]) * 255.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS cds
+        |  FROM v, r),
+        |sq AS (SELECT q_id, n_id, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sq_d2, n_id) AS rank
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |      list_sum(list_transform(range(1, 65), i ->
+        |        (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)) *
+        |        (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)))) AS sq_d2
+        |    FROM v q, codes c, r
+        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)) WHERE rank <= 10),
+        |ex AS (SELECT q_id, n_id, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |      list_sum(list_transform(list_zip(q.e, c.e),
+        |        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+        |    FROM v q, v c
+        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)) WHERE rank <= 10),
+        |j AS (SELECT ex.q_id, greatest(ex.rank, sq.rank) AS mr
+        |      FROM ex JOIN sq ON ex.q_id = sq.q_id AND ex.n_id = sq.n_id),
+        |g AS (SELECT q_id, list_sort(list(mr)) AS mrs,
+        |        CAST(count(*) AS BIGINT) AS n_common FROM j GROUP BY 1),
+        |qs AS (SELECT DISTINCT q_id FROM
+        |  (SELECT q_id FROM ex UNION ALL SELECT q_id FROM sq))
+        |SELECT qs.q_id, COALESCE(n_common, 0) AS n_common,
+        |  CASE WHEN mrs IS NOT NULL THEN
+        |    list_sum(list_transform(range(1, 11), d ->
+        |      CAST(len(list_filter(mrs, mr -> mr <= d)) AS DOUBLE) /
+        |      CAST(d * (1 << d) AS DOUBLE)))
+        |  ELSE 0.0 END AS rbo
+        |FROM qs LEFT JOIN g USING (q_id)""".stripMargin,
 
     // ADC: the d CTE (every (vector, subspace, codeword) distance) serves
     // BOTH sides — argmin rows are the corpus codes, query-id rows are the

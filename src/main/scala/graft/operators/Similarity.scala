@@ -1520,6 +1520,80 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("adc_d2"))
   }
 
+  /** Brute-force exact L2 top-k — the euclidean ground truth the
+    * quantized tiers ([[sq8Search]], [[pqSearch]]) are judged against
+    * (the cosine twin is the brute path behind `q_sim_topk`). Corpus scan
+    * × broadcast queries, per-pair distance in ONE fixed zip order with a
+    * sequential left-fold sum, map-side-limited (d2, id) top-k. */
+  def l2TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      topK: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    def dv(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val qs = queries.select(col(idCol).as("q_id"), dv(col(vecCol)).as("__qe"))
+    val dist = aggregate(
+      zip_with(col("__qe"), dv(col(vecCol)), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id").asc)
+    corpus.crossJoin(broadcast(qs))
+      .select(col("q_id"), col(idCol).as("n_id"), dist.as("d2"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("d2"))
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010) at p = ½ between two
+    * per-query rankings — the top-weighted agreement readout for judging
+    * an approximate ranking against its exact twin (recall@k counts set
+    * membership; RBO also rewards putting the SAME items EARLY):
+    * RBO = (1−p)·Σ_{d=1..D} p^{d−1}·|A_d ∩ B_d|/d. At p = ½ every term
+    * is o_d/(d·2^d) — an exact small-integer denominator, so the fold is
+    * a fixed-order sum of correctly-rounded divisions, bit-portable
+    * cross-engine.
+    *
+    * Inputs are two (q_id, n_id, rank) frames (any generator with the
+    * [[l2TopK]] output shape). The pair join keys on (q_id, n_id); an
+    * item in only one ranking contributes to no depth — exactly the
+    * prefix-intersection semantics. Returns one row per q_id present in
+    * EITHER ranking (full outer on the grouped frames; a query missing
+    * from one side scores 0).
+    *
+    * Scale shape: one (q_id, n_id)-keyed join of two ≤D·|queries|-row
+    * frames, a per-query collect of ≤D max-ranks, and a D-term fold —
+    * everything is queries-sized, nothing corpus-sized. */
+  def rankBiasedOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      depth: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth must be in [1, 62]: $depth")
+    val ja = a.select(col("q_id"), col("n_id"), col("rank").as("__ra"))
+      .filter(col("__ra") <= depth)
+    val jb = b.select(col("q_id"), col("n_id"), col("rank").as("__rb"))
+      .filter(col("__rb") <= depth)
+    val mrs = ja.join(jb, Seq("q_id", "n_id"))
+      .select(col("q_id"), greatest(col("__ra"), col("__rb")).as("__mr"))
+      .groupBy("q_id")
+      .agg(sort_array(collect_list(col("__mr"))).as("__mrs"),
+        count(lit(1)).cast("long").as("n_common"))
+    val qids = a.select("q_id").union(b.select("q_id")).distinct()
+    // denominators d·2^d are exact literals; the fold runs d = 1..D in
+    // order, each term one correctly-rounded double division
+    val terms = (1 to depth).map { d =>
+      val den = (d.toLong * (1L << d)).toDouble
+      size(filter(col("__mrs"), mr => mr <= d)).cast("double") / lit(den)
+    }
+    val rbo = terms.reduceLeft(_ + _) // explicit left-to-right chain
+    qids.join(mrs, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(col("__mrs").isNotNull, rbo).otherwise(lit(0.0)).as("rbo"))
+  }
+
   /** SQ8 scalar-quantized search — FAISS's `SQx` storage tier between raw
     * floats and PQ codes: each DIMENSION is quantized independently to
     * 8 bits against its corpus-wide [min, max] range, cutting the vector

@@ -858,4 +858,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       (qd2 - (0.0 + 255.0 * 2.0 / 255.0)))
     assert(g2(0L) == qd2 * qd2)
   }
+
+  test("rankBiasedOverlap: identical = 1 - 2^-D, swapped pair = 0.25, one-sided query = 0") {
+    import spark.implicits._
+    def rk(rows: (Long, Long, Long)*) = rows.toDF("q_id", "n_id", "rank")
+    // identical depth-10 rankings: term_d = 2^-d, sum = 1023/1024
+    val ident = rk((1 to 10).map(d => (0L, 100L + d, d.toLong)): _*)
+    val r0 = Similarity.rankBiasedOverlap(ident, ident).collect().head
+    assert(r0.getAs[Long]("n_common") == 10L)
+    assert(r0.getAs[Double]("rbo") == 1023.0 / 1024.0)
+    // swapped top-2 at depth 2: o_1 = 0, o_2 = 2 -> 2/(2*4) = 0.25
+    val a = rk((0L, 1L, 1L), (0L, 2L, 2L))
+    val b = rk((0L, 2L, 1L), (0L, 1L, 2L))
+    val r1 = Similarity.rankBiasedOverlap(a, b, depth = 2).collect().head
+    assert(r1.getAs[Double]("rbo") == 0.25)
+    // disjoint rankings = 0; a query present on one side only scores 0
+    val c = rk((0L, 9L, 1L), (1L, 5L, 1L))
+    val got = Similarity.rankBiasedOverlap(a, c, depth = 2).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("rbo")))).toMap
+    assert(got(0L) == ((0L, 0.0)) && got(1L) == ((0L, 0.0)))
+  }
 }
