@@ -2214,6 +2214,13 @@ object SparkEntry {
     "q_acf" -> ((s, dir) =>
       operators.TimeSeries.autocorrelation(ev(s, dir))),
 
+    // Cross-correlation view-vs-purchase at lags -7..7: the lead-lag
+    // diagnostic (a peak at k > 0 = views lead purchases by k days) —
+    // shared zero-filled day spine, exact integer moments, one double
+    // per lag; r_0 is the plain Pearson correlation of the two series.
+    "q_ccf" -> ((s, dir) =>
+      operators.TimeSeries.crossCorrelation(ev(s, dir), "view", "purchase")),
+
     // Calendar densification: hourly per-type counts on the FULL hour
     // spine (quiet hours = 0) — spine is sequence() over broadcast
     // bounds x the distinct key table, never a raw-event expansion.
@@ -2420,6 +2427,12 @@ object SparkEntry {
     // over time — quantized-ln integer entropy numerators per day.
     "q_mix_entropy" -> ((s, dir) =>
       Curation.mixEntropy(ev(s, dir), "event_type")),
+
+    // Herfindahl concentration of the source mix: the log-free companion
+    // — exact integer sum-of-squares, hhi + effective-source-count
+    // readouts, no quantization anywhere.
+    "q_hhi" -> ((s, dir) =>
+      Curation.hhi(t(s, dir, "documents"), "source")),
 
     // Wasserstein-1 (earth-mover's) distance on the same cohorts: the
     // AREA between the ECDFs in the column's own units — exact integer
@@ -5927,6 +5940,63 @@ object SparkEntry {
         |       + CAST(hi_cut AS DECIMAL(20,4)) * k AS DOUBLE)
         |    / CAST(n AS DOUBLE) AS winsor_mean
         |FROM core, lo, hi""".stripMargin,
+
+    // HHI: exact integer sum-of-squares over the category histogram
+    "q_hhi" ->
+      """WITH c AS (SELECT CAST(source AS VARCHAR) AS cat,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM documents WHERE source IS NOT NULL GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS n,
+        |  CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS ssq,
+        |  CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) /
+        |    (CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) *
+        |     CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE)) AS hhi,
+        |  (CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) *
+        |   CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE)) /
+        |    CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS effective_k
+        |FROM c""".stripMargin,
+
+    // CCF: shared zero-filled day spine carrying both series, matched-
+    // pair integer moments per signed lag, one fixed-order double each
+    "q_ccf" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dd, event_type AS c
+        |           FROM events WHERE ts IS NOT NULL
+        |             AND event_type IN ('view', 'purchase')),
+        |dc AS (SELECT dd,
+        |    CAST(count(*) FILTER (c = 'view') AS BIGINT) AS a,
+        |    CAST(count(*) FILTER (c = 'purchase') AS BIGINT) AS b
+        |  FROM d GROUP BY 1),
+        |sp AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dc),
+        |ser AS (
+        |  SELECT g.dd - (SELECT d0 FROM sp) + 1 AS r,
+        |    COALESCE(dc.a, 0) AS a, COALESCE(dc.b, 0) AS b
+        |  FROM (SELECT unnest(generate_series((SELECT d0 FROM sp),
+        |                                      (SELECT d1 FROM sp))) AS dd) g
+        |  LEFT JOIN dc ON g.dd = dc.dd),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
+        |        sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS saa,
+        |        sum(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS sbb FROM ser),
+        |l AS (SELECT unnest(range(-7, 8)) AS k),
+        |p AS (SELECT l.k, t.n, t.sa, t.sb, t.saa, t.sbb,
+        |    sum(CAST(s1.a AS HUGEINT) * CAST(s2.b AS HUGEINT)) AS sxy,
+        |    sum(CAST(s1.a AS HUGEINT)) AS a_k,
+        |    sum(CAST(s2.b AS HUGEINT)) AS b_k
+        |  FROM ser s1 CROSS JOIN l CROSS JOIN t
+        |  JOIN ser s2 ON s1.r + l.k = s2.r
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |  CAST(sa AS DECIMAL(38,0)) AS sa, CAST(sb AS DECIMAL(38,0)) AS sb,
+        |  CAST(sxy AS DECIMAL(38,0)) AS sxy,
+        |  CAST(a_k AS DECIMAL(38,0)) AS a_k, CAST(b_k AS DECIMAL(38,0)) AS b_k,
+        |  CAST(n * n * sxy - n * sb * a_k - n * sa * b_k + (n - abs(k)) * sa * sb AS DECIMAL(38,0)) AS num,
+        |  CASE WHEN (n * n * saa - n * sa * sa) <> 0 AND (n * n * sbb - n * sb * sb) <> 0 THEN
+        |    CAST(n * n * sxy - n * sb * a_k - n * sa * b_k + (n - abs(k)) * sa * sb AS DOUBLE) /
+        |      sqrt(CAST(n * n * saa - n * sa * sa AS DOUBLE) *
+        |           CAST(n * n * sbb - n * sb * sb AS DOUBLE))
+        |  END AS r
+        |FROM p""".stripMargin,
 
     // per-day mix entropy: quantized-ln integer numerators per day
     "q_mix_entropy" ->

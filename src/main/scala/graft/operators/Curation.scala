@@ -3178,6 +3178,36 @@ object Curation {
           (col("sum_x").cast("double") * lit(1048576.0))).as("theil"))
   }
 
+  /** Herfindahl–Hirschman concentration index of a categorical mix — the
+    * log-free, division-light companion of [[mixEntropy]] (antitrust's
+    * market-concentration readout applied to corpus source shares):
+    * HHI = Σ (cᵢ/N)² = (Σcᵢ²)/N², 1/k at uniform, 1 at total
+    * concentration; 1/HHI is the "effective number of sources" a mixture
+    * report quotes.
+    *
+    * Exact arithmetic: one category-keyed partial agg to the histogram,
+    * Σc and Σc² as exact DECIMAL(38,0) integers, two fixed-order double
+    * readouts (hhi, effective k) — no logs, no quantization at all.
+    * Scale shape: histogram agg + one 1-row agg, nothing else. */
+  def hhi(df: DataFrame, catCol: String): DataFrame = {
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("__cat"))
+      .agg(count(lit(1)).as("__c"))
+    counts.agg(count(lit(1)).cast("long").as("k"),
+      sum(d18(col("__c"))).cast("decimal(38,0)").as("n"),
+      sum(d18(col("__c")) * d18(col("__c"))).cast("decimal(38,0)").as("ssq"))
+      .select(col("k"),
+        when(col("n") > 0, col("n")).otherwise(raise_error(
+          lit("hhi: no non-null categories — no mix to measure"))
+          .cast("decimal(38,0)")).as("n"), col("ssq"))
+      .select(col("k"), col("n"), col("ssq"),
+        (col("ssq").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("hhi"),
+        ((col("n").cast("double") * col("n").cast("double")) /
+          col("ssq").cast("double")).as("effective_k"))
+  }
+
   /** Per-day Shannon entropy of a categorical mix — COMPOSITION drift
     * over time, where the two-cohort tests ([[chi2Drift]]/[[gTest]]) give
     * one global verdict: a crawl whose source mix collapses toward one

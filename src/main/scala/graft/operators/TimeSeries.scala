@@ -260,6 +260,88 @@ object TimeSeries {
       .select(col(keyCol), col("end_ts_us"), col("dist"), col("rank"))
   }
 
+  /** EXACT cross-correlation function between two event types' daily
+    * count series at lags −K…K — the LEAD–LAG diagnostic
+    * [[autocorrelation]] can't give: r_k correlates aₜ with bₜ₊ₖ, so a
+    * peak at k > 0 means A LEADS B by k days (signups lead purchases,
+    * errors lead churn). Both series share one zero-filled calendar; the
+    * normalizer is the full-series std pair (the statsmodels `ccf`
+    * convention), so r₀ is the plain Pearson correlation of the two
+    * series.
+    *
+    * Engine-portable arithmetic (the [[autocorrelation]] discipline):
+    * integer epoch-day spine, integer daily counts, n²-scaled exact
+    * DECIMAL(38,0) numerators over the matched-pair sums
+    *   num_k·n² = n²·Σaₜbₜ₊ₖ − n·S_b·A_k − n·S_a·B_k + (n−|k|)·S_a·S_b
+    * and exact variance factors n²·Σa² − n·S_a² — ONE double expression
+    * per lag (num/√(va·vb)), in fixed op order. A constant series nulls r.
+    *
+    * Scale shape: one day-keyed partial agg carrying BOTH series, the
+    * zero-filled spine from a 1-row bounds broadcast, and a ×(2K+1)
+    * explode of the DAYS frame joined back on the shifted key — days
+    * × lags rows, never data-sized. */
+  def crossCorrelation(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      tsCol: String = "ts",
+      catCol: String = "event_type",
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    val usPerDay = 86400000000L
+    val daily = events.filter(col(tsCol).isNotNull &&
+        (col(catCol) === typeA || col(catCol) === typeB))
+      .select(expr(s"unix_micros(`$tsCol`) div ${usPerDay}L").as("__d"),
+        col(catCol).as("__cat"))
+      .groupBy("__d")
+      .agg(sum(when(col("__cat") === typeA, 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__cat") === typeB, 1L).otherwise(0L)).as("__b"))
+    val span = daily.agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      .select(col("__d0"),
+        when(col("__d1") - col("__d0") + 1 >= maxLag + 2, col("__d1"))
+          .otherwise(raise_error(lit(
+            s"crossCorrelation: need at least ${maxLag + 2} days of data"))
+            .cast("long")).as("__d1"))
+    val series = span
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+      .join(daily, Seq("__d"), "left")
+      .crossJoin(broadcast(span))
+      .select((col("__d") - col("__d0") + 1L).as("__r"),
+        coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+    val tot = series.agg(count(lit(1)).cast("long").as("n"),
+      sum(d18(col("__a"))).cast("decimal(38,0)").as("sa"),
+      sum(d18(col("__b"))).cast("decimal(38,0)").as("sb"),
+      sum(d18(col("__a")) * d18(col("__a"))).cast("decimal(38,0)").as("saa"),
+      sum(d18(col("__b")) * d18(col("__b"))).cast("decimal(38,0)").as("sbb"))
+    val lags = (-maxLag to maxLag).map(k => lit(k.toLong))
+    val shifted = series.select(col("__r").as("__r2"), col("__b").as("__b2"))
+    val perLag = series
+      .select(col("__r"), col("__a"), explode(array(lags: _*)).as("k"))
+      .join(shifted, col("__r") + col("k") === col("__r2"))
+      .crossJoin(broadcast(tot))
+      .groupBy("k", "n", "sa", "sb", "saa", "sbb")
+      .agg(sum(dec(col("__a")) * dec(col("__b2")))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(d18(col("__a"))).cast("decimal(38,0)").as("a_k"),
+        sum(d18(col("__b2"))).cast("decimal(38,0)").as("b_k"))
+    val nD = dec(col("n"))
+    val num = nD * nD * col("sxy") - nD * col("sb") * col("a_k") -
+      nD * col("sa") * col("b_k") + (nD - dec(abs(col("k")))) * col("sa") * col("sb")
+    val va = nD * nD * col("saa") - nD * col("sa") * col("sa")
+    val vb = nD * nD * col("sbb") - nD * col("sb") * col("sb")
+    perLag.select(col("k"), col("n"), col("sa"), col("sb"),
+      col("sxy"), col("a_k"), col("b_k"),
+      num.cast("decimal(38,0)").as("num"),
+      // a constant series has zero variance — CCF undefined: null, not an
+      // ANSI divide-by-zero (the exact decimal test agrees cross-engine)
+      when(va =!= 0L && vb =!= 0L,
+        num.cast("double") / sqrt(va.cast("double") * vb.cast("double")))
+        .otherwise(lit(null).cast("double")).as("r"))
+  }
+
   /** EXACT sample autocorrelation function of the daily event-count
     * series at lags 1…`maxLag` — the seasonality/memory diagnostic the
     * forecasting family reads before choosing a model ([[holtForecast]]

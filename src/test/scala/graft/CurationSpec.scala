@@ -1838,6 +1838,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got(2L)._3 - math.log(4.0)) < 1e-4)
   }
 
+  test("hhi: uniform = 1/k, skew hand case exact, empty fails fast") {
+    import spark.implicits._
+    val uni = Seq("a", "b", "c", "d").toDF("c")
+    val r0 = Curation.hhi(uni, "c").collect().head
+    assert(r0.getAs[Long]("k") == 4L && r0.getAs[Double]("hhi") == 0.25 &&
+      r0.getAs[Double]("effective_k") == 4.0)
+    // counts {a:3, b:1}: hhi = 10/16, effective k = 16/10
+    val sk = Seq("a", "a", "a", "b").toDF("c")
+    val r1 = Curation.hhi(sk, "c").collect().head
+    assert(r1.getAs[java.math.BigDecimal]("ssq").longValueExact() == 10L)
+    assert(r1.getAs[Double]("hhi") == 10.0 / 16.0)
+    assert(r1.getAs[Double]("effective_k") == 16.0 / 10.0)
+    val err = intercept[Exception] {
+      Curation.hhi(uni.filter(col("c") === "zzz"), "c").collect()
+    }
+    assert(err.getMessage.contains("no non-null categories"))
+  }
+
   test("spearman: monotone = exactly +-1, tie hand case exact, tiny input fails fast") {
     import spark.implicits._
     // monotone nonlinear: ranks align exactly -> rho = 1.0 EXACTLY

@@ -129,6 +129,33 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == ((2L, 5.0, 0.0, -1.0, 4.0)))
   }
 
+  test("crossCorrelation: proportional series r0 = 1 exactly, shifted series peak at the lead lag") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    def mk(a: Seq[Int], b: Seq[Int]): org.apache.spark.sql.DataFrame =
+      (a.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)((d.toLong * usPerDay + 3L, "A"))
+      } ++ b.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)((d.toLong * usPerDay + 3L, "B"))
+      }).toDF("us", "event_type")
+        .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    // b = 2a: r_0 = 1 exactly (num 36, sqrt(18*72) = 36); r_+-1 = 0 exactly
+    val df = mk(Seq(1, 2, 3), Seq(2, 4, 6))
+    val got = TimeSeries.crossCorrelation(df, "A", "B", maxLag = 1)
+      .collect().map(x => x.getAs[Long]("k") -> x.getAs[Double]("r")).toMap
+    assert(got(0L) == 1.0)
+    assert(got(1L) == 0.0 && got(-1L) == 0.0)
+    // b is a one-day-delayed copy of a: the peak sits at k = +1 (A leads B)
+    val lead = mk(Seq(5, 1, 4, 2, 3, 1), Seq(1, 5, 1, 4, 2, 3))
+    val g2 = TimeSeries.crossCorrelation(lead, "A", "B", maxLag = 2)
+      .collect().map(x => x.getAs[Long]("k") -> x.getAs[Double]("r")).toMap
+    assert((-2L to 2L).filter(_ != 1L).forall(k => g2(1L) > g2(k)))
+    // a constant side has zero variance -> r is null, not a divide error
+    val const = TimeSeries.crossCorrelation(
+      mk(Seq(1, 2, 3), Seq(2, 2, 2)), "A", "B", maxLag = 1).collect().head
+    assert(const.isNullAt(const.fieldIndex("r")))
+  }
+
   test("autocorrelation: hand case exact, gap days count zero, constant series nulls r") {
     import spark.implicits._
     val usPerDay = 86400000000L
