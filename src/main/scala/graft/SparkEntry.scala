@@ -2461,6 +2461,20 @@ object SparkEntry {
       Curation.chi2Drift(t(s, dir, "documents"), "source",
         col("doc_id") % 3 === 0)),
 
+    // Exact Kendall tau-b between two discrete columns: concordant vs
+    // discordant pairs via the broadcast contingency-cell pair join,
+    // doubled marginal tie corrections, one sqrt readout over exact
+    // decimal integers.
+    "q_kendall" -> ((s, dir) =>
+      Curation.kendallTau(t(s, dir, "lineitem"), "l_quantity",
+        "l_discount")),
+
+    // Mann-Kendall monotone-trend verdict on the daily event-count
+    // series: S = sum of pair signs over the zero-filled calendar,
+    // tie-corrected 18*Var as an exact integer, continuity-corrected z.
+    "q_mann_kendall" -> ((s, dir) =>
+      operators.TimeSeries.mannKendall(ev(s, dir))),
+
     // Exact Spearman rank correlation (Pearson on DOUBLED average ranks —
     // the MWU tie discipline, so every moment is an exact decimal
     // integer): quantity vs extended price over lineitem.
@@ -6101,6 +6115,61 @@ object SparkEntry {
         |SELECT a_total, b_total, s_p, s_q, s_m, h_p, h_q, h_m,
         |  h_m - (h_p + h_q) / 2.0 AS jsd
         |FROM r""".stripMargin,
+
+    // Kendall tau-b: cell-pair concordance sums, doubled tie corrections,
+    // one fixed-order sqrt readout
+    "q_kendall" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_discount AS DOUBLE) AS y, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |p AS (SELECT
+        |    coalesce(sum(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS c_pairs,
+        |    coalesce(sum(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS d_pairs
+        |  FROM cells a JOIN cells b ON b.x > a.x),
+        |tx AS (SELECT coalesce(sum(CAST(cx AS HUGEINT) * (cx - 1)), 0) AS t2_x
+        |       FROM (SELECT CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY x)),
+        |ty AS (SELECT coalesce(sum(CAST(cy AS HUGEINT) * (cy - 1)), 0) AS t2_y
+        |       FROM (SELECT CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY y))
+        |SELECT n, CAST(c_pairs AS DECIMAL(38,0)) AS c_pairs,
+        |  CAST(d_pairs AS DECIMAL(38,0)) AS d_pairs,
+        |  CAST(t2_x AS DECIMAL(38,0)) AS t2_x, CAST(t2_y AS DECIMAL(38,0)) AS t2_y,
+        |  CAST(CAST(n AS HUGEINT) * (n - 1) AS DECIMAL(38,0)) AS n0_2,
+        |  CASE WHEN (CAST(n AS HUGEINT) * (n - 1) - t2_x) <> 0
+        |        AND (CAST(n AS HUGEINT) * (n - 1) - t2_y) <> 0 THEN
+        |    2.0 * CAST(c_pairs - d_pairs AS DOUBLE) /
+        |      sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - t2_x AS DOUBLE) *
+        |           CAST(CAST(n AS HUGEINT) * (n - 1) - t2_y AS DOUBLE))
+        |  END AS tau_b
+        |FROM p, t, tx, ty""".stripMargin,
+
+    // Mann-Kendall: calendar-bounded pair-sign sum, tie-corrected 18*Var,
+    // continuity-corrected z
+    "q_mann_kendall" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dd FROM events
+        |           WHERE ts IS NOT NULL),
+        |dc AS (SELECT dd, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |sp AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dc),
+        |ser AS (SELECT g.dd - (SELECT d0 FROM sp) + 1 AS r, COALESCE(dc.c, 0) AS c
+        |  FROM (SELECT unnest(generate_series((SELECT d0 FROM sp),
+        |                                      (SELECT d1 FROM sp))) AS dd) g
+        |  LEFT JOIN dc ON g.dd = dc.dd),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser),
+        |sv AS (SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
+        |                 WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS HUGEINT) AS s
+        |       FROM ser a JOIN ser b ON b.r > a.r),
+        |ties AS (SELECT coalesce(sum(CAST(m AS HUGEINT) * (m - 1) * (2 * m + 5)), 0) AS tsum
+        |         FROM (SELECT CAST(count(*) AS BIGINT) AS m FROM ser GROUP BY c))
+        |SELECT n, CAST(s AS DECIMAL(38,0)) AS s,
+        |  CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tsum AS DECIMAL(38,0)) AS var18,
+        |  CASE WHEN (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tsum) = 0 THEN NULL
+        |       WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) /
+        |         sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0)
+        |       WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) /
+        |         sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0)
+        |       ELSE 0.0 END AS z
+        |FROM sv, t, ties""".stripMargin,
 
     // Spearman: doubled average ranks from each column's histogram prefix,
     // exact HUGEINT moments, one fixed-order double rho

@@ -2876,6 +2876,75 @@ object Curation {
         .as("rho"))
   }
 
+  /** EXACT Kendall τ-b rank correlation between two DISCRETE numeric
+    * columns — the pair-concordance member of the correlation family
+    * ([[spearman]] correlates average ranks; τ-b counts concordant vs
+    * discordant PAIRS, the statistic behind Mann–Kendall trend tests and
+    * the most robust of the three to outliers). Over the (x, y)
+    * contingency cells: a concordant pair lives in two cells with
+    * x₂ > x₁ AND y₂ > y₁, so C = Σ n₁·n₂ over ordered cell pairs above
+    * the diagonal — each unordered row pair counted exactly once — and D
+    * symmetrically with y₂ < y₁. Marginal tie corrections come from the
+    * marginal histograms: T_x = Σ c_x(c_x−1)/2.
+    * τ_b = (C−D)/√((n₀−T_x)(n₀−T_y)) with n₀ = n(n−1)/2.
+    *
+    * Everything before the one √ readout is an exact DECIMAL(38,0)
+    * integer, so the statistic hash-gates cross-engine. Ties-only input
+    * (a constant column) nulls τ instead of ANSI-throwing.
+    *
+    * Scale shape: ONE (x, y)-keyed partial agg collapses the data to the
+    * cell table; the C/D pass is a broadcast cell-pair join — |cells|²
+    * work, which is why the PRECONDITION is discrete or pre-bucketed
+    * columns (quantity × discount, grade × band; bucket continuous
+    * columns first, exactly like [[chi2Drift]]'s categorical contract).
+    * Marginals re-aggregate the cell table. Nothing data-sized leaves the
+    * first shuffle. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+    val tot = cells.agg(sum(col("__c")).cast("long").as("__n"))
+      .select(when(col("__n") > 1, col("__n")).otherwise(raise_error(
+        lit("kendallTau: need at least 2 complete rows")).cast("long"))
+        .as("__n"))
+    // tie-pair counts ride DOUBLED (t2 = Σ c(c−1) = 2·T) — the
+    // [[mannWhitneyU]] discipline: no decimal division anywhere, the /2
+    // cancels in the τ readout (τ = 2(C−D)/√(den2x·den2y))
+    def tiePairs2(marg: DataFrame, cnt: String): DataFrame =
+      marg.select((dec(col(cnt)) * dec(col(cnt) - 1)).as("__t"))
+        .agg(coalesce(sum(col("__t")), lit(0L).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__tp"))
+    val tx = tiePairs2(cells.groupBy("__x")
+      .agg(sum(col("__c")).as("__cx")), "__cx")
+      .select(col("__tp").as("t2_x"))
+    val ty = tiePairs2(cells.groupBy("__y")
+      .agg(sum(col("__c")).as("__cy")), "__cy")
+      .select(col("__tp").as("t2_y"))
+    val c2 = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__c").as("__c2"))
+    val pairs = cells.join(broadcast(c2), col("__x2") > col("__x"))
+      .select((dec(col("__c")) * dec(col("__c2"))).as("__p"),
+        (col("__y2") > col("__y")).as("__conc"),
+        (col("__y2") < col("__y")).as("__disc"))
+      .agg(coalesce(sum(when(col("__conc"), col("__p"))),
+        lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as("c_pairs"),
+        coalesce(sum(when(col("__disc"), col("__p"))),
+          lit(0L).cast("decimal(38,0)")).cast("decimal(38,0)").as("d_pairs"))
+    val n02 = (dec(col("__n")) * dec(col("__n") - 1)).cast("decimal(38,0)")
+    val den2X = n02 - col("t2_x")
+    val den2Y = n02 - col("t2_y")
+    pairs.crossJoin(broadcast(tot)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("__n").as("n"), col("c_pairs"), col("d_pairs"),
+        col("t2_x"), col("t2_y"), n02.as("n0_2"),
+        when(den2X =!= 0L && den2Y =!= 0L,
+          lit(2.0) * (col("c_pairs") - col("d_pairs")).cast("double") /
+            sqrt(den2X.cast("double") * den2Y.cast("double")))
+          .otherwise(lit(null).cast("double")).as("tau_b"))
+  }
+
   /** Jensen–Shannon divergence between two corpora's shingle
     * distributions — the symmetric, bounded (0 … ln 2 nats) corpus-level
     * drift readout the per-category tests don't give: "how far apart are

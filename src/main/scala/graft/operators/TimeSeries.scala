@@ -260,6 +260,70 @@ object TimeSeries {
       .select(col(keyCol), col("end_ts_us"), col("dist"), col("rank"))
   }
 
+  /** EXACT Mann–Kendall trend test on the daily event-count series — the
+    * nonparametric "is activity monotonically rising or falling"
+    * verdict ([[EventSignals]]' activityTrend fits a least-squares SLOPE;
+    * Mann–Kendall asks only about pair ORDER, so one spike day can't
+    * fake a trend): S = Σ_{i<j} sign(cⱼ − cᵢ) over the zero-filled
+    * calendar, with the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t m_t(m_t−1)(2m_t+5) and the
+    * continuity-corrected z = (S ∓ 1)/√(Var).
+    *
+    * Engine-portable arithmetic: S and the 18-scaled variance numerator
+    * are exact DECIMAL(38,0) integers; z is one fixed-order double
+    * expression (√(var18/18)). S = 0 reads z = 0 exactly; a constant
+    * series (all-tied, Var = 0) nulls z.
+    *
+    * Scale shape: the day-keyed partial agg + zero-filled spine (the
+    * [[autocorrelation]] machinery), then one CALENDAR-bounded pair join
+    * (days², broadcast side — ten years of daily history is ~3.7k rows,
+    * 13M pairs, executor-trivial) and a series-value histogram for tie
+    * groups. Nothing data-sized past the first shuffle. */
+  def mannKendall(
+      events: DataFrame,
+      tsCol: String = "ts"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val usPerDay = 86400000000L
+    val daily = events.filter(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros(`$tsCol`) div ${usPerDay}L").as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("__c"))
+    val span = daily.agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      .select(col("__d0"),
+        when(col("__d1") > col("__d0"), col("__d1"))
+          .otherwise(raise_error(lit(
+            "mannKendall: need at least 2 days of data")).cast("long"))
+          .as("__d1"))
+    val series = span
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+      .join(daily, Seq("__d"), "left")
+      .crossJoin(broadcast(span))
+      .select((col("__d") - col("__d0") + 1L).as("__r"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val s2 = series.select(col("__r").as("__r2"), col("__c").as("__c2"))
+    val sAgg = series.join(broadcast(s2), col("__r2") > col("__r"))
+      .agg(coalesce(sum(signum(col("__c2") - col("__c")).cast("long")),
+        lit(0L)).cast("decimal(38,0)").as("s"))
+    val tot = series.agg(count(lit(1)).cast("long").as("n"))
+    // tie groups over the SERIES VALUES: m_t = how many days share count t
+    val ties = series.groupBy("__c").agg(count(lit(1)).as("__m"))
+      .select((dec(col("__m")) * dec(col("__m") - 1) *
+        dec(lit(2L) * col("__m") + 5L)).as("__tt"))
+      .agg(coalesce(sum(col("__tt")), lit(0L).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__tsum"))
+    val var18 = (dec(col("n")) * dec(col("n") - 1) *
+      dec(lit(2L) * col("n") + 5L) - col("__tsum")).cast("decimal(38,0)")
+    sAgg.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .select(col("n"), col("s"), var18.as("var18"),
+        when(var18 === 0L, lit(null).cast("double"))
+          .when(col("s") > 0,
+            (col("s").cast("double") - lit(1.0)) /
+              sqrt(var18.cast("double") / lit(18.0)))
+          .when(col("s") < 0,
+            (col("s").cast("double") + lit(1.0)) /
+              sqrt(var18.cast("double") / lit(18.0)))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** EXACT cross-correlation function between two event types' daily
     * count series at lags −K…K — the LEAD–LAG diagnostic
     * [[autocorrelation]] can't give: r_k correlates aₜ with bₜ₊ₖ, so a

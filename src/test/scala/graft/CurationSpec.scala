@@ -1856,6 +1856,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("no non-null categories"))
   }
 
+  test("kendallTau: monotone = exactly +-1, classic 0.2 case, tie case 0, constant column nulls") {
+    import spark.implicits._
+    val mono = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val r0 = Curation.kendallTau(mono, "x", "y").collect().head
+    assert(r0.getAs[java.math.BigDecimal]("c_pairs").longValueExact() == 3L)
+    assert(r0.getAs[Double]("tau_b") == 1.0)
+    val rev = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Curation.kendallTau(rev, "x", "y").collect().head
+      .getAs[Double]("tau_b") == -1.0)
+    // classic: y = [3,4,1,2,5] -> C=6 D=4 -> tau = 2/10
+    val cl = Seq((1.0, 3.0), (2.0, 4.0), (3.0, 1.0), (4.0, 2.0), (5.0, 5.0))
+      .toDF("x", "y")
+    val r1 = Curation.kendallTau(cl, "x", "y").collect().head
+    assert(r1.getAs[java.math.BigDecimal]("c_pairs").longValueExact() == 6L)
+    assert(r1.getAs[java.math.BigDecimal]("d_pairs").longValueExact() == 4L)
+    assert(r1.getAs[Double]("tau_b") == 2.0 * 2.0 / math.sqrt(20.0 * 20.0))
+    // 2x2 balanced ties: C = D = 1, doubled marginal ties 4 each -> tau 0
+    val ti = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0)).toDF("x", "y")
+    val r2 = Curation.kendallTau(ti, "x", "y").collect().head
+    assert(r2.getAs[java.math.BigDecimal]("t2_x").longValueExact() == 4L)
+    assert(r2.getAs[Double]("tau_b") == 0.0)
+    // constant x: den = 0 -> null, not a divide error
+    val cx = Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+    val r3 = Curation.kendallTau(cx, "x", "y").collect().head
+    assert(r3.isNullAt(r3.fieldIndex("tau_b")))
+    val err = intercept[Exception] {
+      Curation.kendallTau(mono.limit(1), "x", "y").collect()
+    }
+    assert(err.getMessage.contains("at least 2"))
+  }
+
   test("spearman: monotone = exactly +-1, tie hand case exact, tiny input fails fast") {
     import spark.implicits._
     // monotone nonlinear: ranks align exactly -> rho = 1.0 EXACTLY

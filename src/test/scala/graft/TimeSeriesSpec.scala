@@ -156,6 +156,33 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(const.isNullAt(const.fieldIndex("r")))
   }
 
+  test("mannKendall: rising series z by hand, S = 0 reads 0, all-tied nulls z") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    def mk(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(d.toLong * usPerDay + 9L)
+      }.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    // counts [1,2,3]: S = 3, no ties -> var18 = 3*2*11 = 66
+    val r = TimeSeries.mannKendall(mk(Seq(1, 2, 3))).collect().head
+    assert(r.getAs[java.math.BigDecimal]("s").longValueExact() == 3L)
+    assert(r.getAs[java.math.BigDecimal]("var18").longValueExact() == 66L)
+    assert(r.getAs[Double]("z") == (3.0 - 1.0) / math.sqrt(66.0 / 18.0))
+    // counts [1,2,1]: S = 0 -> z = 0 exactly (var18 = 66 - 18 = 48)
+    val r1 = TimeSeries.mannKendall(mk(Seq(1, 2, 1))).collect().head
+    assert(r1.getAs[java.math.BigDecimal]("s").longValueExact() == 0L)
+    assert(r1.getAs[java.math.BigDecimal]("var18").longValueExact() == 48L)
+    assert(r1.getAs[Double]("z") == 0.0)
+    // constant series: all-tied -> Var = 0 -> z null, not a divide error
+    val r2 = TimeSeries.mannKendall(mk(Seq(2, 2, 2))).collect().head
+    assert(r2.getAs[java.math.BigDecimal]("var18").longValueExact() == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+    val err = intercept[Exception] {
+      TimeSeries.mannKendall(mk(Seq(5))).collect()
+    }
+    assert(err.getMessage.contains("at least 2 days"))
+  }
+
   test("autocorrelation: hand case exact, gap days count zero, constant series nulls r") {
     import spark.implicits._
     val usPerDay = 86400000000L
