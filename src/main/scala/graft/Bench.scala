@@ -256,7 +256,10 @@ object Bench {
     // r17: HHI concentration (two aggs), view->purchase CCF (day spine)
     "q_hhi", "q_ccf",
     // r17: Kendall tau-b (broadcast cell-pair join) + Mann-Kendall trend
-    "q_kendall", "q_mann_kendall")
+    "q_kendall", "q_mann_kendall",
+    // r17: funnel time-to-convert quantiles (funnelTimes -> quantile
+    // machinery in one plan)
+    "q_funnel_latency")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

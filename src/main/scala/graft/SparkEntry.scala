@@ -2195,6 +2195,20 @@ object SparkEntry {
       Curation.heavyHittersByFraction(t(s, dir, "documents"),
         fracNum = 1L, fracDen = 1000L)),
 
+    // Funnel time-to-convert distribution: per-user first-view ->
+    // first-purchase-after latency (exact integer microseconds) through
+    // the exact distributed quantile machinery — the latency dashboard
+    // readout composed from funnelTimes + quantileProfile in ONE plan.
+    "q_funnel_latency" -> ((s, dir) => {
+      val lat = operators.Funnel.funnelTimes(ev(s, dir),
+          Seq("view", "purchase"))
+        .filter(col("t2").isNotNull)
+        .select((unix_micros(col("t2")) - unix_micros(col("t1")))
+          .as("latency_us"))
+      Curation.quantileProfile(lat, Seq("latency_us"),
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
     // Two-variant experiment readout: per-user conversion collapse, 2x2
     // chi-square significance as a DECIMAL(38,0) cross-multiplied integer
     // inequality (alpha = 0.05) — no float in the gate.
@@ -7834,6 +7848,23 @@ object SparkEntry {
         |                - CAST(c1 AS HUGEINT) * CAST(n0 - c0 AS HUGEINT) AS d
         |            FROM t))
         |SELECT v.variant, v.n_users, v.n_conv, f.significant FROM v, f""".stripMargin,
+
+    // funnel latency: greedy first-view -> first-purchase-after per user,
+    // integer-microsecond latencies through quantile_cont (bit-exact vs
+    // the engine's distributed exact-quantile machinery)
+    "q_funnel_latency" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN f USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > f.t1 GROUP BY 1),
+        |l AS (SELECT CAST(epoch_us(p.t2) - epoch_us(f.t1) AS BIGINT) AS latency_us
+        |      FROM p JOIN f USING (user_id))
+        |SELECT 'latency_us' AS col_name, 0.25 AS prob,
+        |  quantile_cont(latency_us, 0.25) AS value FROM l
+        |UNION ALL SELECT 'latency_us', 0.5, quantile_cont(latency_us, 0.5) FROM l
+        |UNION ALL SELECT 'latency_us', 0.75, quantile_cont(latency_us, 0.75) FROM l
+        |UNION ALL SELECT 'latency_us', 0.9, quantile_cont(latency_us, 0.9) FROM l
+        |UNION ALL SELECT 'latency_us', 0.99, quantile_cont(latency_us, 0.99) FROM l""".stripMargin,
 
     // CUPED: exact decimal moments over per-user integer counts, the
     // midpoint split in pure integer epoch-us, fixed-order double readout
