@@ -1561,6 +1561,27 @@ object SparkEntry {
       }
     }),
 
+    // STREAMING PER-BATCH CHI-SQUARE DRIFT under the gate — the
+    // CATEGORICAL member of the streaming drift trio (JSD = whole
+    // distribution, W1 = numeric magnitude, chi2 = category mix): each
+    // micro-batch's event-type mix tested against the static reference
+    // cohort, per-category rows + chi2/Cramer's V through the
+    // exactly-once scoring sink.
+    "q_stream_chi2_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+      val ref = events.filter(col("user_id") % 5 =!= 0)
+        .select(col("event_type"), lit(false).as("__b"))
+      runStreamGateScored(s,
+          events.filter(col("user_id") % 5 === 0)
+            .select(col("ts"), col("event_id"), col("event_type")),
+          Seq(col("ts"), col("event_id"))) { batch =>
+        Curation.chi2Drift(
+          ref.unionByName(batch.select(col("event_type"),
+            lit(true).as("__b"))),
+          "event_type", col("__b"))
+      }
+    }),
+
     // STREAMING SUBSEQUENCE PATTERN MATCH under the hash gate — the
     // live-motif twin of q_ts_pattern (flatMapGroupsWithState carrying a
     // w-1 value rolling buffer per user): every arriving event completes
@@ -6352,6 +6373,39 @@ object SparkEntry {
         |  (SELECT k - 1 FROM t) AS dof,
         |  sqrt(chi2 / (SELECT CAST(na + nb AS DOUBLE) FROM t)) AS cramers_v
         |FROM terms, tot""".stripMargin,
+
+    // streamed per-batch chi2: replay the 4-way ntile staging, each
+    // segment's category mix vs the static reference with the identical
+    // integer-deviation arithmetic (seg dropped — rows identify by
+    // their per-segment counts and terms)
+    "q_stream_chi2_gate" ->
+      """WITH st AS (
+        |  SELECT event_type, ntile(4) OVER (ORDER BY ts, event_id) AS seg
+        |  FROM events WHERE user_id % 5 = 0),
+        |segs AS (SELECT DISTINCT seg FROM st),
+        |u AS (
+        |  SELECT s.seg, r.event_type AS category, 0 AS b
+        |  FROM events r CROSS JOIN segs s WHERE r.user_id % 5 <> 0
+        |  UNION ALL SELECT seg, event_type, 1 FROM st),
+        |c AS (SELECT seg, CAST(category AS VARCHAR) AS category,
+        |    CAST(count(*) FILTER (b = 0) AS BIGINT) AS o_a,
+        |    CAST(count(*) FILTER (b = 1) AS BIGINT) AS o_b
+        |  FROM u WHERE category IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT seg, CAST(sum(o_a) AS BIGINT) AS na,
+        |        CAST(sum(o_b) AS BIGINT) AS nb,
+        |        CAST(count(*) AS BIGINT) AS k FROM c GROUP BY 1),
+        |terms AS (SELECT c.seg, category, o_a, o_b,
+        |    CAST(o_a * (na + nb) - na * (o_a + o_b) AS BIGINT) AS d_num,
+        |    CAST(CAST(o_a * (na + nb) - na * (o_a + o_b) AS HUGEINT) *
+        |         CAST(o_a * (na + nb) - na * (o_a + o_b) AS HUGEINT) AS DOUBLE) /
+        |      CAST(CAST(na AS HUGEINT) * nb * (o_a + o_b) AS DOUBLE) AS term
+        |  FROM c JOIN t ON c.seg = t.seg),
+        |tot AS (SELECT seg, list_sum(list(term ORDER BY category)) AS chi2
+        |        FROM terms GROUP BY 1),
+        |kk AS (SELECT seg, k - 1 AS dof, CAST(na + nb AS DOUBLE) AS nn FROM t)
+        |SELECT category, o_a, o_b, d_num, term, chi2, dof,
+        |  sqrt(chi2 / nn) AS cramers_v
+        |FROM terms JOIN tot USING (seg) JOIN kk USING (seg)""".stripMargin,
 
     "q_psi" ->
       """WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
