@@ -259,7 +259,9 @@ object Bench {
     "q_kendall", "q_mann_kendall",
     // r17: funnel time-to-convert quantiles (funnelTimes -> quantile
     // machinery in one plan)
-    "q_funnel_latency")
+    "q_funnel_latency",
+    // r17: IVF-SQ8 composed tier (cell-pruned reconstruction scan)
+    "q_sim_ivfsq8")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

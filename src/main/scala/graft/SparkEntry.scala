@@ -3481,6 +3481,15 @@ object SparkEntry {
       Similarity.sq8Search(emb.filter(col("vec_id") < 10), emb, topK = 5)
     }),
 
+    // IVF-SQ8 composed search: cell-pruned SQ8 — probes' cells only,
+    // reconstruction distances over 8-bit codes; the sub-linear rung of
+    // the SQ8 ladder (FAISS IVFx,SQ8).
+    "q_sim_ivfsq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSq8Search(emb.filter(col("vec_id") < 10), emb,
+        topK = 5)
+    }),
+
     // Rank-biased overlap between the exact L2 top-10 and the SQ8
     // top-10 per query (p = 1/2: every term o_d/(d*2^d) has an exact
     // small-integer denominator) — the top-weighted agreement readout
@@ -5356,6 +5365,42 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, sq_d2 FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sq_d2, n_id) AS rank
         |  FROM score) WHERE rank <= 5""".stripMargin,
+
+    // IVF-SQ8: the ivfpq oracle's cell/probe CTEs composed with the sq8
+    // oracle's code/reconstruction CTEs — cell-keyed score join only
+    "q_sim_ivfsq8" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |cent AS (SELECT vec_id AS ccid, e FROM v ORDER BY vec_id LIMIT 16),
+         |ca AS (SELECT v.vec_id, cent.ccid, ${sqlCos("v", "cent")} AS cos
+         |       FROM v, cent),
+         |cr AS (SELECT vec_id, ccid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ccid) AS rn
+         |       FROM ca),
+         |cells AS (SELECT vec_id, ccid AS cell FROM cr WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, ccid AS cell FROM cr
+         |           WHERE rn <= 4 AND vec_id < 10),
+         |ps AS (SELECT unnest(range(0, 64)) AS pos),
+         |cen AS (SELECT pos, min(e[pos + 1]) AS lo, max(e[pos + 1]) AS hi
+         |        FROM v CROSS JOIN ps GROUP BY 1),
+         |rr AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+         |       FROM cen),
+         |codes AS (SELECT vec_id, list_transform(range(1, 65), i ->
+         |    CASE WHEN his[i] > los[i]
+         |      THEN CAST(floor((e[i] - los[i]) / (his[i] - los[i]) * 255.0 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS cds
+         |  FROM v, rr),
+         |score AS (SELECT p.q_id, n.vec_id AS n_id,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)) *
+         |      (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)))) AS sq_d2
+         |  FROM probes p
+         |  JOIN cells n ON n.cell = p.cell AND n.vec_id != p.q_id
+         |  JOIN codes c ON c.vec_id = n.vec_id
+         |  JOIN v q ON q.vec_id = p.q_id
+         |  CROSS JOIN rr)
+         |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, sq_d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sq_d2, n_id) AS rank
+         |  FROM score) WHERE rank <= 5""".stripMargin,
 
     // RBO: both rankings replayed (exact L2 brute + the SQ8 chain), pair
     // join on (q, n), per-depth prefix intersections, the d=1..10 term

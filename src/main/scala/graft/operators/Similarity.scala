@@ -1520,6 +1520,95 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("adc_d2"))
   }
 
+  /** IVF-SQ8 composed search — coarse-cell pruning over SQ8 codes,
+    * completing the composed-tier symmetry ([[ivfPqSearch]] is
+    * IVF × PQ; this is IVF × [[sq8Search]]): the index stores each
+    * vector's cell + per-dim 8-bit codes, queries probe their `nprobe`
+    * best cells, and scoring reconstructs ONLY the probed cells'
+    * codes — FAISS's `IVFx,SQ8`, the configuration that keeps SQ8's
+    * near-exact recall while cutting the scan to nprobe/nlist of the
+    * corpus.
+    *
+    * Determinism: cell assignment is the [[assignToCentroids]]
+    * deterministic nearest-centroid (cosine desc, cid asc); codes and
+    * reconstruction distances follow [[sq8Search]]'s correctly-rounded
+    * fixed-order arithmetic — the whole top-k gates cross-engine.
+    *
+    * Scale shape: the index build is one scan-local projection against
+    * two broadcast frames (centroids + the d-row range census); the
+    * scored pass joins index×probes ON THE CELL KEY, so the work is
+    * (nprobe/nlist)·|corpus| — the first sub-linear rung of the SQ8
+    * ladder. */
+  def ivfSq8Search(
+      queries: DataFrame,
+      corpus: DataFrame,
+      topK: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidSource: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.GraftExpr
+    require(topK >= 1 && nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, topK >= 1: nlist=$nlist nprobe=$nprobe topK=$topK")
+    def dv(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val cents = centroidSource.getOrElse(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(nlist)
+      .agg(sort_array(collect_list(struct(col("id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    val census = corpus
+      .select(posexplode(dv(col(vecCol))).as(Seq("__pos", "__x")))
+      .groupBy("__pos")
+      .agg(min("__x").as("__lo"), max("__x").as("__hi"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__lo"),
+        col("__hi")))).as("__g"))
+      .select(transform(col("__g"), s =>
+        struct(s.getField("__lo").as("lo"), s.getField("__hi").as("hi")))
+        .as("__rng"))
+    val idx = corpus.crossJoin(broadcast(cents)).crossJoin(broadcast(census))
+      .select(col(idCol).as("n_id"),
+        GraftExpr.column(graft.functions.NearestCentroid(
+          GraftExpr.expression(col(vecCol)),
+          GraftExpr.expression(col("cents")))).as("cell"),
+        zip_with(dv(col(vecCol)), col("__rng"), (x, r) => {
+          val lo = r.getField("lo")
+          val hi = r.getField("hi")
+          when(hi > lo,
+            floor((x - lo) / (hi - lo) * lit(255.0) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L))
+        }).as("__codes"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cos").desc, col("cell").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("__qv"), explode(col("cents")).as("__c"))
+      .select(col("q_id"), col("__qv"), col("__c.cid").as("cell"),
+        graft.functions.VectorFunctions
+          .cosineSimilarity(col("__qv"), col("__c.cv")).as("__cos"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nprobe)
+      .crossJoin(broadcast(census))
+      .select(col("q_id"), col("cell"), dv(col("__qv")).as("__qe"),
+        col("__rng"))
+    val recon = zip_with(col("__codes"), col("__rng"), (cd, r) =>
+      r.getField("lo") +
+        cd.cast("double") * (r.getField("hi") - r.getField("lo")) /
+          lit(255.0))
+    val dist = aggregate(
+      zip_with(col("__qe"), recon, (q, rec) => (q - rec) * (q - rec)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sq_d2").asc, col("n_id").asc)
+    idx.join(broadcast(probes), Seq("cell"))
+      .select(col("q_id"), col("n_id"), dist.as("sq_d2"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("sq_d2"))
+  }
+
   /** Brute-force exact L2 top-k — the euclidean ground truth the
     * quantized tiers ([[sq8Search]], [[pqSearch]]) are judged against
     * (the cosine twin is the brute path behind `q_sim_topk`). Corpus scan

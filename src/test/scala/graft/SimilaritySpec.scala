@@ -859,6 +859,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(g2(0L) == qd2 * qd2)
   }
 
+  test("ivfSq8Search: full probe equals the unpruned sq8 ranking; pruning only drops rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val q = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("sq_d2"))).toSet
+    // nprobe = nlist: every cell probed -> identical to the flat SQ8 scan
+    val full = Similarity.ivfSq8Search(q, corpus, topK = 5,
+      nlist = 4, nprobe = 4)
+    assert(key(full) == key(Similarity.sq8Search(q, corpus, topK = 5)))
+    // nprobe = 1 prunes to one cell: a subset of the candidates, same
+    // reconstruction distances for survivors
+    val pruned = Similarity.ivfSq8Search(q, corpus, topK = 5,
+      nlist = 4, nprobe = 1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Double]("sq_d2")).toMap
+    val flat = Similarity.sq8Search(q, corpus, topK = 40).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Double]("sq_d2")).toMap
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (k, d) => assert(flat(k) == d) }
+  }
+
   test("rankBiasedOverlap: identical = 1 - 2^-D, swapped pair = 0.25, one-sided query = 0") {
     import spark.implicits._
     def rk(rows: (Long, Long, Long)*) = rows.toDF("q_id", "n_id", "rank")
