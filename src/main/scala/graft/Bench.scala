@@ -261,7 +261,9 @@ object Bench {
     // machinery in one plan)
     "q_funnel_latency",
     // r17: IVF-SQ8 composed tier (cell-pruned reconstruction scan)
-    "q_sim_ivfsq8")
+    "q_sim_ivfsq8",
+    // r17: Hill tail index + Lorenz deciles (histogram + prefix each)
+    "q_hill", "q_lorenz")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -1024,6 +1024,18 @@ object SparkEntry {
     // rank-weighted sum, exact decimal moments, one double division.
     "q_gini" -> ((s, dir) => Curation.giniIndex(t(s, dir, "documents"))),
 
+    // Lorenz curve of document-length mass at deciles: the curve behind
+    // Gini's scalar ("bottom 50% of docs hold x% of chars") — integer
+    // rank boundaries, tie-splitting by mass, exact decimal numerators.
+    "q_lorenz" -> ((s, dir) =>
+      Curation.lorenzCurve(t(s, dir, "documents"), "n_chars")),
+
+    // Hill tail-index of document lengths: the extreme-upper-tail Pareto
+    // exponent over the top-100 order statistics — DESC-cumulative
+    // histogram mass (no row sort), quantized-ln integer terms.
+    "q_hill" -> ((s, dir) =>
+      Curation.hillTail(t(s, dir, "documents"), "n_chars")),
+
     // Theil T inequality of document lengths: the entropy-based,
     // subgroup-decomposable concentration readout next to Gini —
     // grid-quantized lns, exact integer term sums, one double division.
@@ -8797,6 +8809,53 @@ object SparkEntry {
         |    (CAST(n AS DOUBLE) + 1.0) * CAST(sum_x AS DOUBLE)) /
         |    (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS gini
         |FROM a""".stripMargin,
+
+    // Lorenz: integer decile rank boundaries, kept-mass tie splitting,
+    // exact HUGEINT mass numerators, one double share per point
+    "q_lorenz" ->
+      """WITH c AS (SELECT CAST(n_chars AS BIGINT) AS x,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |           GROUP BY 1),
+        |cum AS (SELECT x, c, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cum
+        |        FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |        sum(CAST(x AS HUGEINT) * c) AS s FROM c),
+        |pts AS (SELECT unnest(range(1, 11)) AS i),
+        |m AS (SELECT i, (i * n) // 10 AS r, n, s,
+        |    sum(CAST(x AS HUGEINT) *
+        |        (least(cum, (i * n) // 10) - least(cum - c, (i * n) // 10))) AS mass
+        |  FROM cum CROSS JOIN pts CROSS JOIN t
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(r AS BIGINT) AS r, n,
+        |  CAST(mass AS DECIMAL(38,0)) AS mass,
+        |  CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pop_share,
+        |  CASE WHEN s <> 0 THEN CAST(mass AS DOUBLE) / CAST(s AS DOUBLE)
+        |  END AS mass_share
+        |FROM m""".stripMargin,
+
+    // Hill: DESC-cumulative kept multiplicities, quantized-ln diffs vs
+    // the (k+1)-th order statistic, order-free HUGEINT sum
+    "q_hill" ->
+      """WITH c AS (SELECT CAST(n_chars AS BIGINT) AS x,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |           GROUP BY 1),
+        |cum AS (SELECT x, c, CAST(sum(c) OVER (ORDER BY x DESC) AS BIGINT) AS cum
+        |        FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |xr AS (SELECT max(x) AS x_ref FROM cum WHERE cum >= 101),
+        |s AS (SELECT sum(CAST(greatest(least(cum, 100) - (cum - c), 0) AS HUGEINT) *
+        |    (CAST(floor(ln(CAST(x AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT)
+        |     - CAST(floor(ln(CAST(x_ref AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT))) AS s_gamma
+        |  FROM cum, xr)
+        |SELECT CAST(100 AS BIGINT) AS k, n, x_ref,
+        |  CAST(s_gamma AS DECIMAL(38,0)) AS s_gamma,
+        |  CAST(s_gamma AS DOUBLE) / (100.0 * 1048576.0) AS gamma,
+        |  CASE WHEN s_gamma <> 0
+        |    THEN 1.0 / (CAST(s_gamma AS DOUBLE) / (100.0 * 1048576.0))
+        |  END AS alpha
+        |FROM s, t, xr""".stripMargin,
 
     // Theil T: integer-product terms under the quantized ln, order-free
     // HUGEINT sum, one fixed-order double readout

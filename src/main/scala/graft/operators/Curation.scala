@@ -3247,6 +3247,118 @@ object Curation {
           (col("sum_x").cast("double") * lit(1048576.0))).as("theil"))
   }
 
+  /** Hill tail-index estimator over a positive column — the TAIL member
+    * of the scaling-law family ([[zipfFit]] fits the whole rank-frequency
+    * line; Hill reads only the extreme upper tail, which is what decides
+    * whether "one more 10⁹-char document" is expected or a bug):
+    * γ̂ = (1/k)·Σ_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order statistics,
+    * α̂ = 1/γ̂ the Pareto exponent.
+    *
+    * Engine-portable arithmetic: the top-k multiset comes from the
+    * DESC-cumulative value histogram (per distinct value the exact kept
+    * multiplicity min(cum, k) − (cum − c), the [[trimmedMeans]] mass
+    * discipline — no row-level sort), each term is the exact integer
+    * m·(qln(x) − qln(x_ref)) under the 2⁻²⁰ grid, summed order-free into
+    * DECIMAL(38,0); γ̂ and α̂ are fixed-order double readouts. Fails fast
+    * in-plan when fewer than k+1 positive rows exist.
+    *
+    * Scale shape: one value-keyed partial agg + the two-phase prefix
+    * pass + two 1-row aggs — nothing data-sized past the first shuffle. */
+  def hillTail(
+      df: DataFrame,
+      valueCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val counts = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("long").as("__x"))
+      .groupBy("__x").agg(count(lit(1)).as("__c"))
+    // DESC cumulative counts: order by the negated value
+    val cum = graft.ops.RunningCount.withRunningAgg(counts, col("__c"),
+      graft.ops.RunningCount.Kind.Sum, Seq(-col("__x")), "__cum")
+    val tot = counts.agg(sum(col("__c")).cast("long").as("__n"))
+      .select(when(col("__n") > k, col("__n")).otherwise(raise_error(
+        lit(s"hillTail: need more than k=$k positive rows")).cast("long"))
+        .as("__n"))
+    // x_ref = the (k+1)-th order statistic from the top: the largest
+    // value whose DESC-cumulative count reaches k+1
+    val xRef = cum.crossJoin(broadcast(tot))
+      .filter(col("__cum") >= k + 1)
+      .agg(max(col("__x")).as("x_ref"))
+    val kept = greatest(
+      least(col("__cum"), lit(k.toLong)) - (col("__cum") - col("__c")),
+      lit(0L))
+    val sG = cum.crossJoin(broadcast(xRef))
+      .select((dec(kept) * dec(qln(dec(col("__x"))) - qln(dec(col("x_ref")))))
+        .as("__t"))
+      .agg(sum(col("__t")).cast("decimal(38,0)").as("s_gamma"))
+    tot.crossJoin(broadcast(xRef)).crossJoin(broadcast(sG))
+      .select(lit(k.toLong).as("k"), col("__n").as("n"), col("x_ref"),
+        col("s_gamma"),
+        (col("s_gamma").cast("double") /
+          (lit(k.toDouble) * lit(1048576.0))).as("gamma"),
+        // an all-equal tail (s_gamma = 0) has an infinite Pareto exponent
+        // by convention — null, not an ANSI divide-by-zero
+        when(col("s_gamma") =!= 0L,
+          lit(1.0) / (col("s_gamma").cast("double") /
+            (lit(k.toDouble) * lit(1048576.0))))
+          .otherwise(lit(null).cast("double")).as("alpha"))
+  }
+
+  /** Lorenz curve at decile points — the CURVE behind [[giniIndex]]'s
+    * scalar (gini = 1 − 2∫L): L(i/10) = share of total mass held by the
+    * smallest i/10 of rows, the "bottom 50% of documents hold 12% of the
+    * characters" readout a mixture report plots. Exact arithmetic: decile
+    * boundaries are integer ranks rᵢ = ⌊i·n/10⌋; per distinct value the
+    * mass INSIDE the boundary is x·(min(cum, rᵢ) − min(cum−c, rᵢ)) — the
+    * [[trimmedMeans]] tie-splitting-by-mass discipline, so ties at a
+    * boundary split deterministically with no row identity involved; mass
+    * numerators are exact DECIMAL(38,0), shares one double division each.
+    *
+    * Scale shape: one value-keyed partial agg + the two-phase prefix
+    * pass, then a ×10 decile explode of the HISTOGRAM (never the data)
+    * and one 10-group agg. */
+  def lorenzCurve(
+      df: DataFrame,
+      valueCol: String,
+      points: Int = 10): DataFrame = {
+    require(points >= 1, s"points must be >= 1: $points")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    val counts = df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(valueCol).cast("long").as("__x"))
+      .groupBy("__x").agg(count(lit(1)).as("__c"))
+    val cum = graft.ops.RunningCount.withRunningAgg(counts, col("__c"),
+      graft.ops.RunningCount.Kind.Sum, Seq(col("__x")), "__cum")
+    val tot = counts.agg(
+      sum(col("__c")).cast("long").as("__n"),
+      sum(d18(col("__x")) * d18(col("__c"))).cast("decimal(38,0)").as("__s"))
+      .select(when(col("__n") > 0, col("__n")).otherwise(raise_error(
+        lit("lorenzCurve: no non-null values — no mass to rank"))
+        .cast("long")).as("__n"), col("__s"))
+    val pts = (1 to points).map(i => lit(i.toLong))
+    val kept = least(col("__cum"), col("__r")) -
+      least(col("__cum") - col("__c"), col("__r"))
+    // the decile frame derives from the ALWAYS-1-ROW totals and drives
+    // the output join, so an empty input evaluates the raise (the
+    // [[theilIndex]] convention) instead of short-circuiting to no rows
+    val decs = tot.select(col("__n"), col("__s"),
+        explode(array(pts: _*)).as("i"))
+      .withColumn("__r", expr(s"i * __n div ${points.toLong}L"))
+    val mass = cum.crossJoin(broadcast(decs.select("i", "__r")))
+      .select(col("i"), (d18(col("__x")) * d18(kept)).as("__m"))
+      .groupBy("i")
+      .agg(sum(col("__m")).cast("decimal(38,0)").as("mass"))
+    decs.join(mass, Seq("i"), "left")
+      .select(col("i"), col("__r").as("r"), col("__n").as("n"),
+        col("mass"),
+        (col("__r").cast("double") / col("__n").cast("double"))
+          .as("pop_share"),
+        when(col("__s") =!= 0L,
+          col("mass").cast("double") / col("__s").cast("double"))
+          .otherwise(lit(null).cast("double")).as("mass_share"))
+  }
+
   /** Herfindahl–Hirschman concentration index of a categorical mix — the
     * log-free, division-light companion of [[mixEntropy]] (antitrust's
     * market-concentration readout applied to corpus source shares):

@@ -1887,6 +1887,51 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("at least 2"))
   }
 
+  test("hillTail: hand top-k case within grid, all-equal tail gives gamma 0 and null alpha") {
+    import spark.implicits._
+    // values [1,1,2,4,8], k=2: top-2 = {8,4}, x_ref = 2 ->
+    // gamma = (ln 4 + ln 2)/2 = 1.5 ln 2
+    val df = Seq(1L, 1L, 2L, 4L, 8L).toDF("x")
+    val r = Curation.hillTail(df, "x", k = 2).collect().head
+    assert(r.getAs[Long]("x_ref") == 2L)
+    assert(math.abs(r.getAs[Double]("gamma") - 1.5 * math.log(2.0)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("alpha") - 1.0 / (1.5 * math.log(2.0))) < 1e-4)
+    // all-equal tail: every qln diff is 0 exactly -> gamma 0, alpha null
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("x")
+    val r1 = Curation.hillTail(eq, "x", k = 2).collect().head
+    assert(r1.getAs[java.math.BigDecimal]("s_gamma").longValueExact() == 0L)
+    assert(r1.getAs[Double]("gamma") == 0.0)
+    assert(r1.isNullAt(r1.fieldIndex("alpha")))
+    val err = intercept[Exception] {
+      Curation.hillTail(df.limit(2), "x", k = 2).collect()
+    }
+    assert(err.getMessage.contains("need more than"))
+  }
+
+  test("lorenzCurve: quartile hand case exact; boundary ties split by mass") {
+    import spark.implicits._
+    // [1,1,2,4] at 4 points: L = 1/8, 2/8, 4/8, 1
+    val df = Seq(1L, 1L, 2L, 4L).toDF("x")
+    val got = Curation.lorenzCurve(df, "x", points = 4).collect()
+      .map(r => r.getAs[Long]("i") ->
+        ((r.getAs[java.math.BigDecimal]("mass").longValueExact(),
+          r.getAs[Double]("mass_share")))).toMap
+    assert(got(1L) == ((1L, 1.0 / 8.0)))
+    assert(got(2L) == ((2L, 2.0 / 8.0)))
+    assert(got(3L) == ((4L, 0.5)))
+    assert(got(4L) == ((8L, 1.0)))
+    // two tied rows, 2 points: the boundary splits the tie by mass
+    val ti = Seq(2L, 2L).toDF("x")
+    val g2 = Curation.lorenzCurve(ti, "x", points = 2).collect()
+      .map(r => r.getAs[Long]("i") ->
+        r.getAs[java.math.BigDecimal]("mass").longValueExact()).toMap
+    assert(g2(1L) == 2L && g2(2L) == 4L)
+    val err = intercept[Exception] {
+      Curation.lorenzCurve(df.filter(col("x") < 0), "x").collect()
+    }
+    assert(err.getMessage.contains("no mass to rank"))
+  }
+
   test("spearman: monotone = exactly +-1, tie hand case exact, tiny input fails fast") {
     import spark.implicits._
     // monotone nonlinear: ranks align exactly -> rho = 1.0 EXACTLY
