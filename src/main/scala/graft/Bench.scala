@@ -263,7 +263,9 @@ object Bench {
     // r17: IVF-SQ8 composed tier (cell-pruned reconstruction scan)
     "q_sim_ivfsq8",
     // r17: Hill tail index + Lorenz deciles (histogram + prefix each)
-    "q_hill", "q_lorenz")
+    "q_hill", "q_lorenz",
+    // r17: per-type Fano burstiness + EB-shrunk per-source rates
+    "q_dispersion", "q_eb_shrink")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

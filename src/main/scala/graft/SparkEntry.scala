@@ -2261,6 +2261,19 @@ object SparkEntry {
     "q_acf" -> ((s, dir) =>
       operators.TimeSeries.autocorrelation(ev(s, dir))),
 
+    // Per-type dispersion (Fano) index of daily counts over the shared
+    // zero-filled calendar: burstiness vs Poisson — exact integer
+    // moments, one double division per type.
+    "q_dispersion" -> ((s, dir) =>
+      operators.TimeSeries.dispersionIndex(ev(s, dir))),
+
+    // Empirical-Bayes shrunk per-source "long doc" rates: small domains
+    // pull toward the corpus rate with 50 pseudo-trials — the
+    // small-domain fix for per-source quality dashboards.
+    "q_eb_shrink" -> ((s, dir) =>
+      Curation.ebShrinkRates(t(s, dir, "documents"), "source",
+        col("n_chars") > 1000)),
+
     // Cross-correlation view-vs-purchase at lags -7..7: the lead-lag
     // diagnostic (a peak at k > 0 = views lead purchases by k days) —
     // shared zero-filled day spine, exact integer moments, one double
@@ -6062,6 +6075,47 @@ object SparkEntry {
         |   CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE)) /
         |    CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS effective_k
         |FROM c""".stripMargin,
+
+    // dispersion: shared-calendar per-type day series, exact moments
+    "q_dispersion" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+        |    CAST(event_type AS VARCHAR) AS key
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |dc AS (SELECT key, dd, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |sp AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dc),
+        |spine AS (SELECT k.key, g.dd
+        |  FROM (SELECT unnest(generate_series((SELECT d0 FROM sp),
+        |                                      (SELECT d1 FROM sp))) AS dd) g
+        |  CROSS JOIN (SELECT DISTINCT key FROM dc) k),
+        |ser AS (SELECT spine.key, COALESCE(dc.c, 0) AS c
+        |  FROM spine LEFT JOIN dc ON spine.key = dc.key AND spine.dd = dc.dd),
+        |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(c AS HUGEINT)) AS s,
+        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sxx
+        |      FROM ser GROUP BY 1)
+        |SELECT key, n, CAST(s AS DECIMAL(38,0)) AS s,
+        |  CAST(sxx AS DECIMAL(38,0)) AS sxx,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  CASE WHEN s <> 0 THEN
+        |    CAST(CAST(n AS HUGEINT) * sxx - s * s AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        |  END AS fano
+        |FROM a""".stripMargin,
+
+    // EB shrinkage: exact integer counts, fixed-order double rates
+    "q_eb_shrink" ->
+      """WITH g AS (SELECT CAST(source AS VARCHAR) AS "group",
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |        CAST(sum(k) AS BIGINT) AS kk FROM g)
+        |SELECT "group", k, n,
+        |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+        |  CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE) AS m,
+        |  (CAST(k AS DOUBLE) + 50.0 * (CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))) /
+        |    (CAST(n AS DOUBLE) + 50.0) AS shrunk_rate
+        |FROM g, t""".stripMargin,
 
     // CCF: shared zero-filled day spine carrying both series, matched-
     // pair integer moments per signed lag, one fixed-order double each

@@ -3305,6 +3305,46 @@ object Curation {
           .otherwise(lit(null).cast("double")).as("alpha"))
   }
 
+  /** Empirical-Bayes shrunk per-group rates — the small-domain fix every
+    * per-source quality dashboard needs: a domain with 3/4 "good" docs
+    * must not outrank one with 900/1000, so each group's rate shrinks
+    * toward the corpus rate m = K/N with prior strength `s` pseudo-trials:
+    * shrunk = (k + s·m)/(n + s) (the Dirichlet-smoothed rate; s is the
+    * evidence a group needs before its own data dominates the prior).
+    *
+    * Engine-portable arithmetic: k, n, K, N are exact integers; m, raw
+    * and shrunk are fixed-order double expressions over them (shrunk
+    * multiplies out to (k·N + s·K)/((n + s)·N) — still one division of
+    * exactly-derived doubles). No cross-group float accumulation exists
+    * anywhere, so group count is unbounded.
+    *
+    * Scale shape: ONE group-keyed partial agg + a 1-row global broadcast
+    * back onto the groups frame. */
+  def ebShrinkRates(
+      df: DataFrame,
+      groupCol: String,
+      isSuccess: Column,
+      strength: Long = 50L): DataFrame = {
+    require(strength >= 0, s"strength must be >= 0: $strength")
+    val groups = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(isSuccess, 1L).otherwise(0L)).cast("long").as("k"))
+    // per-group output granularity: an empty input yields an EMPTY frame
+    // (there is no row to carry a diagnostic), unlike the 1-row
+    // statistics which raise in-plan
+    val tot = groups.agg(sum(col("n")).cast("long").as("__nn"),
+      sum(col("k")).cast("long").as("__kk"))
+    val m = col("__kk").cast("double") / col("__nn").cast("double")
+    groups.crossJoin(broadcast(tot))
+      .select(col("group"), col("k"), col("n"),
+        (col("k").cast("double") / col("n").cast("double")).as("raw_rate"),
+        m.as("m"),
+        ((col("k").cast("double") + lit(strength.toDouble) * m) /
+          (col("n").cast("double") + lit(strength.toDouble)))
+          .as("shrunk_rate"))
+  }
+
   /** Lorenz curve at decile points — the CURVE behind [[giniIndex]]'s
     * scalar (gini = 1 − 2∫L): L(i/10) = share of total mass held by the
     * smallest i/10 of rows, the "bottom 50% of documents hold 12% of the

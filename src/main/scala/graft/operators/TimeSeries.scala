@@ -260,6 +260,53 @@ object TimeSeries {
       .select(col(keyCol), col("end_ts_us"), col("dist"), col("rank"))
   }
 
+  /** Per-key dispersion (Fano) index of the daily count series — the
+    * burstiness diagnostic: a Poisson-arrival event type has Fano ≈ 1,
+    * campaign-driven or incident-driven types read ≫ 1, rate-limited
+    * ones ≪ 1. Fano = Var/Mean over the shared zero-filled calendar:
+    * with integer daily counts, Var·n² = n·Σc² − S² and Mean = S/n, so
+    * Fano = (n·Σc² − S²)/(n·S) — exact DECIMAL(38,0) integers, ONE
+    * double division per key (plus the mean readout). A key with zero
+    * total mass nulls the index.
+    *
+    * Scale shape: one (key, day) partial agg, the 1-row calendar-bounds
+    * broadcast, and a key-level agg over day rows — days × keys rows
+    * end to end. */
+  def dispersionIndex(
+      events: DataFrame,
+      catCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    val usPerDay = 86400000000L
+    val daily = events.filter(col(tsCol).isNotNull && col(catCol).isNotNull)
+      .select(expr(s"unix_micros(`$tsCol`) div ${usPerDay}L").as("__d"),
+        col(catCol).cast("string").as("key"))
+      .groupBy("key", "__d").agg(count(lit(1)).as("__c"))
+    val span = daily.agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      .select(col("__d0"),
+        when(col("__d1").isNotNull, col("__d1")).otherwise(raise_error(
+          lit("dispersionIndex: no events — no series to measure"))
+          .cast("long")).as("__d1"))
+    // the shared calendar: every key is scored over the SAME span, so a
+    // key dark for half the corpus's life correctly reads as bursty
+    val spine = span
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+      .crossJoin(daily.select("key").distinct())
+    val series = spine.join(daily, Seq("key", "__d"), "left")
+      .select(col("key"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val agg = series.groupBy("key")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d18(col("__c"))).cast("decimal(38,0)").as("s"),
+        sum(d18(col("__c")) * d18(col("__c"))).cast("decimal(38,0)").as("sxx"))
+    val varNum = dec(col("n")) * col("sxx") - col("s") * col("s")
+    agg.select(col("key"), col("n"), col("s"), col("sxx"),
+      (col("s").cast("double") / col("n").cast("double")).as("mean"),
+      when(col("s") =!= 0L,
+        varNum.cast("double") / (col("n").cast("double") * col("s").cast("double")))
+        .otherwise(lit(null).cast("double")).as("fano"))
+  }
+
   /** EXACT Mann–Kendall trend test on the daily event-count series — the
     * nonparametric "is activity monotonically rising or falling"
     * verdict ([[EventSignals]]' activityTrend fits a least-squares SLOPE;

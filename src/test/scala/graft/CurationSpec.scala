@@ -1932,6 +1932,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("no mass to rank"))
   }
 
+  test("ebShrinkRates: small groups pull to the corpus rate, big groups dominate the prior") {
+    import spark.implicits._
+    // group a: 3/4 good; group b: 900/1000 good; corpus m = 903/1004
+    val df = (Seq.fill(3)(("a", true)) ++ Seq.fill(1)(("a", false)) ++
+      Seq.fill(900)(("b", true)) ++ Seq.fill(100)(("b", false)))
+      .toDF("g", "ok")
+    val got = Curation.ebShrinkRates(df, "g", col("ok"), strength = 50L)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    val m = 903.0 / 1004.0
+    assert(got("a").getAs[Double]("raw_rate") == 0.75)
+    assert(got("a").getAs[Double]("shrunk_rate") == (3.0 + 50.0 * m) / (4.0 + 50.0))
+    assert(got("b").getAs[Double]("shrunk_rate") == (900.0 + 50.0 * m) / (1000.0 + 50.0))
+    // the small group moved most of the way to m; the big one barely
+    assert(math.abs(got("a").getAs[Double]("shrunk_rate") - m) <
+      math.abs(0.75 - m) / 2)
+    assert(math.abs(got("b").getAs[Double]("shrunk_rate") - 0.9) < 0.01)
+    // per-group granularity: empty input -> empty frame (no raise row)
+    assert(Curation.ebShrinkRates(df.filter(col("g") === "zzz"), "g",
+      col("ok")).collect().isEmpty)
+  }
+
   test("spearman: monotone = exactly +-1, tie hand case exact, tiny input fails fast") {
     import spark.implicits._
     // monotone nonlinear: ranks align exactly -> rho = 1.0 EXACTLY

@@ -156,6 +156,24 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(const.isNullAt(const.fieldIndex("r")))
   }
 
+  test("dispersionIndex: constant series Fano 0, bursty series > 1, shared calendar zero-fills") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    // key a: [2,2,2] constant -> var 0, fano 0; key b: [6,0,0] bursty
+    // over the SHARED 3-day calendar -> var*n^2 = 3*36 - 36 = 72,
+    // fano = 72/(3*6) = 4
+    val rows = (0 to 2).flatMap(d => Seq.fill(2)((d.toLong * usPerDay, "a"))) ++
+      Seq.fill(6)((0L, "b"))
+    val df = rows.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = TimeSeries.dispersionIndex(df).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean"),
+          r.getAs[Double]("fano")))).toMap
+    assert(got("a") == ((3L, 2.0, 0.0)))
+    assert(got("b") == ((3L, 2.0, 72.0 / 18.0)))
+  }
+
   test("mannKendall: rising series z by hand, S = 0 reads 0, all-tied nulls z") {
     import spark.implicits._
     val usPerDay = 86400000000L
