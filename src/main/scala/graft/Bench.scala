@@ -265,7 +265,9 @@ object Bench {
     // r17: Hill tail index + Lorenz deciles (histogram + prefix each)
     "q_hill", "q_lorenz",
     // r17: per-type Fano burstiness + EB-shrunk per-source rates
-    "q_dispersion", "q_eb_shrink")
+    "q_dispersion", "q_eb_shrink",
+    // r17: SRM hygiene gate (distinct-unit collapse + 2-row agg)
+    "q_srm")
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -2242,6 +2242,12 @@ object SparkEntry {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // Sample-ratio-mismatch hygiene gate: chi2 on the variant unit
+    // counts vs the 50/50 design — integer cross-multiplied significance,
+    // the check that must pass before any lift readout means anything.
+    "q_srm" -> ((s, dir) =>
+      operators.EventSignals.srmCheck(ev(s, dir))),
+
     // Two-variant experiment readout: per-user conversion collapse, 2x2
     // chi-square significance as a DECIMAL(38,0) cross-multiplied integer
     // inequality (alpha = 0.05) — no float in the gate.
@@ -7988,6 +7994,23 @@ object SparkEntry {
         |SELECT event_type, bucket_us, n, cusum_hi, cusum_lo,
         |  (cusum_hi >= 20 OR cusum_lo >= 20) AS is_alarm
         |FROM c""".stripMargin,
+
+    // SRM: distinct-unit variant counts, integer-inequality significance
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |v AS (SELECT user_id % 2 AS v, CAST(count(*) AS BIGINT) AS n
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN v = 0 THEN n END), 0) AS BIGINT) AS n0,
+        |    CAST(coalesce(sum(CASE WHEN v = 1 THEN n END), 0) AS BIGINT) AS n1
+        |  FROM v)
+        |SELECT n0, n1, n0 - n1 AS d,
+        |  CASE WHEN n0 + n1 > 0 THEN
+        |    CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+        |  END AS chi2,
+        |  CAST(1000000 AS HUGEINT) * (n0 - n1) * (n0 - n1) >
+        |    CAST(3841459 AS HUGEINT) * (n0 + n1) AS srm
+        |FROM t""".stripMargin,
 
     "q_ab_lift" ->
       """WITH pu AS (

@@ -223,6 +223,41 @@ object EventSignals {
     byVariant.crossJoin(broadcast(flagged.select(col("significant"))))
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the A/B HYGIENE gate that must
+    * pass before [[abLift]]/[[cupedLift]] readouts mean anything: under a
+    * 50/50 split the unit counts themselves are binomial, and a χ² on
+    * (n₀, n₁) vs equal expected catches broken bucketing, bot filtering
+    * applied to one arm, or redirect loss — the most common silent
+    * experiment-invalidator. χ² = (n₀−n₁)²/(n₀+n₁) (1 dof), flagged at
+    * α = 0.05 via the [[abLift]] cross-multiplied INTEGER inequality
+    * 10⁶·d² > 3841459·n — no float in the decision.
+    *
+    * Scale shape: one user-keyed distinct collapse + a 2-row variant agg
+    * + one 1-row readout. */
+  def srmCheck(
+      events: DataFrame,
+      userCol: String = "user_id",
+      variants: Int = 2): DataFrame = {
+    require(variants == 2, "the 1-dof SRM readout is defined for 2 variants")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val perVariant = events.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u")).distinct()
+      .withColumn("__v", pmod(col("__u"), lit(2L)))
+      .groupBy("__v").agg(count(lit(1)).cast("long").as("__n"))
+    val tbl = perVariant.agg(
+      coalesce(sum(when(col("__v") === 0, col("__n"))), lit(0L))
+        .cast("long").as("n0"),
+      coalesce(sum(when(col("__v") === 1, col("__n"))), lit(0L))
+        .cast("long").as("n1"))
+    val diff = col("n0") - col("n1")
+    val n = col("n0") + col("n1")
+    tbl.select(col("n0"), col("n1"), diff.as("d"),
+      when(n > 0, (diff * diff).cast("double") / n.cast("double"))
+        .otherwise(lit(null).cast("double")).as("chi2"),
+      (d(lit(1000000L)) * d(diff) * d(diff) >
+        d(lit(3841459L)) * d(n)).as("srm"))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) — the
     * industry-standard upgrade of [[abLift]]: each user's POST-period
     * activity count is adjusted by their PRE-period count via

@@ -312,6 +312,27 @@ class EventSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L)._1 == 1L && out(2L)._3 == 0L)
   }
 
+  test("srmCheck: balanced split passes, a 60/40 break on 1000 units flags") {
+    import spark.implicits._
+    def ev(n0: Int, n1: Int) =
+      ((0 until n0).map(i => i.toLong * 2) ++
+        (0 until n1).map(i => i.toLong * 2 + 1)).toDF("user_id")
+        .select(col("user_id"),
+          timestamp_micros(col("user_id") + 1000L).as("ts"))
+    val ok = EventSignals.srmCheck(ev(500, 490)).collect().head
+    assert(ok.getAs[Long]("n0") == 500L && ok.getAs[Long]("n1") == 490L)
+    assert(ok.getAs[Double]("chi2") == 100.0 / 990.0)
+    assert(!ok.getAs[Boolean]("srm"))
+    // 600/400: chi2 = 40000/1000 = 40 >> 3.84 -> flagged
+    val bad = EventSignals.srmCheck(ev(600, 400)).collect().head
+    assert(bad.getAs[Double]("chi2") == 40.0)
+    assert(bad.getAs[Boolean]("srm"))
+    // duplicate events per user don't inflate the unit counts
+    val dup = EventSignals.srmCheck(ev(10, 10).union(ev(10, 10)))
+      .collect().head
+    assert(dup.getAs[Long]("n0") == 10L && !dup.getAs[Boolean]("srm"))
+  }
+
   test("cupedLift: hand moments exact, adjusted means and rho2 in fixed order") {
     import spark.implicits._
     // us range [1000, 9000]: pre iff 2*us < 10000. Per-user (x, y):
