@@ -2021,6 +2021,31 @@ object SparkEntry {
           col("click_id"), unix_micros(col("cts")).as("cts_us"))
     }),
 
+    // STREAM-STREAM LEFT SEMI interval join under the gate — the
+    // existence form ("did a qualifying click precede this purchase")
+    // WITHOUT carrying click columns: each purchase emits AT MOST once,
+    // on its first in-window match, never with nulls. No sentinels
+    // needed: matched rows emit as matches arrive (like inner) and
+    // unmatched rows are simply evicted without emission — there is no
+    // null flush to force. Oracle: the batch EXISTS twin.
+    "q_stream_join_semi_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id"))) { src =>
+        graft.streaming.StreamingPipeline.intervalJoin(
+          src().filter(col("event_type") === "purchase")
+            .select(col("event_id").as("buy_id"), col("user_id"), col("ts")),
+          src().filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("cts")),
+          Seq("user_id"), "ts", "cts",
+          within = "30 minutes", watermark = "2 hours",
+          joinType = "left_semi")
+      }
+        .select(col("buy_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+    }),
+
     // The streaming ANOMALY DETECTOR under the hash gate (9th family —
     // the ingest-time alerting path: per-key ring state of the trailing
     // 24 closed hour buckets, flagged by the cross-multiplied integer
@@ -7759,6 +7784,17 @@ object SparkEntry {
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)
         |WHERE p.event_type = 'purchase'""".stripMargin,
+
+    // left semi: each purchase at most once, only if a qualifying click
+    // precedes it — the batch EXISTS twin
+    "q_stream_join_semi_gate" ->
+      """SELECT p.event_id AS buy_id, p.user_id, epoch_us(p.ts) AS ts_us
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        |    AND epoch_us(c.ts) <= epoch_us(p.ts))""".stripMargin,
 
     // overlapping 2h/1h windows flushed by the far sentinel — the oracle
     // IS q_events_sliding's

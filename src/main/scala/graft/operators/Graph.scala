@@ -132,10 +132,12 @@ object Graph {
     * full mutual-reinforcement rounds; the classical l2 normalization is
     * replaced by l1 (same fixed point up to scale, integer-exact).
     *
-    * Scale shape: per half-step ONE node-keyed edges×scores join + one
-    * 1-row normalizer agg broadcast back; scores re-pin per round
-    * (localCheckpoint) so the plan stays constant-size — the
-    * [[Dedup.clusters]] loop discipline. Nothing data-sized on the
+    * Scale shape: per half-step ONE node-keyed edges×scores join (the
+    * zero-stub union folds contribution-less nodes into the same
+    * exchange) + one 1-row normalizer agg broadcast back; scores re-pin
+    * once per ROUND (localCheckpoint) so the iterated plan stays
+    * constant-size — the [[Dedup.clusters]] loop discipline, at half the
+    * per-half-step checkpoint-job count. Nothing data-sized on the
     * driver. */
   def hits(
       edges: DataFrame,
@@ -155,16 +157,19 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "graph has no nodes")
     // half-step: push `scores` across (frm -> tgt), L1-normalize in
-    // integer units. COALESCE keeps contribution-less nodes at 0.
+    // integer units. A ZERO-STUB UNION (one 0-contribution row per node)
+    // keeps contribution-less nodes at 0 through the SAME groupBy that
+    // sums the real contributions — one exchange where a
+    // groupBy-then-left-join-nodes shape costs two, and decimal sums are
+    // exact so the extra zero term never changes a value.
     def halfStep(scores: DataFrame, frm: String, tgt: String): DataFrame = {
-      val raw = nodes
-        .join(e0.join(scores, e0(s"__$frm") === scores("node"))
-          .select(col(s"__$tgt").as("__t"),
-            (col("score").cast("decimal(38,0)") * col("__w")).as("__c"))
-          .groupBy("__t").agg(sum("__c").cast("decimal(38,0)").as("__raw")),
-          nodes("node") === col("__t"), "left")
-        .select(col("node"),
-          coalesce(col("__raw"), lit(0L).cast("decimal(38,0)")).as("__raw"))
+      val contrib = e0.join(scores, e0(s"__$frm") === scores("node"))
+        .select(col(s"__$tgt").as("node"),
+          (col("score").cast("decimal(38,0)") * col("__w")).as("__c"))
+      val raw = contrib
+        .union(nodes.select(col("node"),
+          lit(0L).cast("decimal(38,0)").as("__c")))
+        .groupBy("node").agg(sum("__c").cast("decimal(38,0)").as("__raw"))
       val total = raw.agg(sum("__raw").cast("decimal(38,0)").as("__tot"))
       raw.crossJoin(broadcast(total))
         .selectExpr("node", s"(__raw * ${scale}L) div __tot AS score")
@@ -172,13 +177,31 @@ object Graph {
     var hubs = nodes.select(col("node"), lit(scale / n).as("score"))
       .localCheckpoint(true)
     var auths: DataFrame = null
-    for (_ <- 1 to iters) {
-      val prevA = auths
-      auths = halfStep(hubs, "src", "dst").localCheckpoint(true)
-      if (prevA != null) graft.ops.Pins.releaseCheckpoint(prevA)
+    // The auth half-step stays a LAZY PLAN inside the round: the hub pin
+    // executes both half-steps (their 1-row normalizer broadcasts
+    // AQE-stage-reused across the subqueries) in ONE job — one pin per
+    // ROUND, not per half-step. On the 5-node bench graph the cost is
+    // almost entirely fixed per-QueryExecution scheduling/planning
+    // (measured: 136 jobs but only ~114 TASKS per run when every
+    // half-step pinned; AQE-off explodes to 15k tasks, so runtime
+    // replanning stays ON), and fusing deeper than one round buys
+    // nothing — optimizer time grows with plan depth and eats the saved
+    // jobs (measured every-2-rounds: no faster). Arithmetic is unchanged
+    // — same joins, same integer div — so scores stay bit-identical to
+    // the recursive-CTE oracle.
+    for (i <- 1 to iters) {
+      val aPlan = halfStep(hubs, "src", "dst")
+      // Final round only: the RETURNED join reads auths, so it gets its
+      // own pin — an unpinned plan would re-read the hub pin released
+      // below, which has no lineage to recompute from (Pins contract).
+      val a = if (i == iters) aPlan.localCheckpoint(true) else aPlan
       val prevH = hubs
-      hubs = halfStep(auths, "dst", "src").localCheckpoint(true)
+      hubs = halfStep(a, "dst", "src").localCheckpoint(true)
+      // hubs has materialized and every lazy plan that read the old pin
+      // is sealed inside it (final round: auths pinned above) — the
+      // previous pin is dead
       graft.ops.Pins.releaseCheckpoint(prevH)
+      if (i == iters) auths = a
     }
     val out = hubs.select(col("node"), col("score").as("hub"))
       .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))

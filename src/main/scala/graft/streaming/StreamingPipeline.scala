@@ -916,7 +916,16 @@ object StreamingPipeline {
     * unmatched rows — the reconciliation shape ("which purchases had no
     * touch, and which touches converted nothing"). For the outer forms
     * the key columns are COALESCED across sides, so an unmatched row
-    * from either side keeps its join key. */
+    * from either side keeps its join key.
+    *
+    * `"left_semi"` is the EXISTENCE form — "did a qualifying click
+    * precede this purchase" WITHOUT carrying the click columns: each
+    * left row emits AT MOST ONCE (when its first in-window match
+    * arrives; never with nulls), and the output schema is the left
+    * side's alone. Same watermark + time-bound state discipline as
+    * inner — matched-side buffering is bounded by `watermark + within`
+    * — but downstream sees a deduplicated attribution flag rather than
+    * a fan-out of (purchase × touch) pairs. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -927,8 +936,11 @@ object StreamingPipeline {
       watermark: String,
       joinType: String = "inner"): DataFrame = {
     require(keyCols.nonEmpty, "need at least one join key")
-    require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
-      s"joinType must be inner/left_outer/right_outer/full_outer: $joinType")
+    require(
+      Set("inner", "left_outer", "right_outer", "full_outer", "left_semi")(
+        joinType),
+      s"joinType must be inner/left_outer/right_outer/full_outer/left_semi: " +
+        joinType)
     val l = left.withWatermark(leftTs, watermark)
     val r0 = right.withWatermark(rightTs, watermark)
     // disambiguate overlapping column names on the right side
@@ -939,9 +951,11 @@ object StreamingPipeline {
       r(rTs) >= l(leftTs) - expr(s"INTERVAL $within") &&
       r(rTs) <= l(leftTs)
     val joined = l.join(r, cond, joinType)
+    // semi output carries ONLY left columns — nothing to drop or coalesce
+    if (joinType == "left_semi") joined
     // inner/left keep the left key; the right-null-emitting forms need a
     // coalesce or an unmatched right row loses its key
-    if (joinType == "right_outer" || joinType == "full_outer")
+    else if (joinType == "right_outer" || joinType == "full_outer")
       keyCols.foldLeft(joined)((d, k) =>
         d.withColumn(s"__k_$k", coalesce(l(k), r(k)))
           .drop(l(k)).drop(r(k)).withColumnRenamed(s"__k_$k", k))

@@ -899,6 +899,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT SEMI interval join: each left row at most once, matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cdf = clicks.toDF().toDF("click_id", "user_id", "cts")
+    val bdf = buys.toDF().toDF("buy_id", "user_id", "ts")
+    val out = StreamingPipeline.intervalJoin(
+      bdf, cdf, Seq("user_id"), "ts", "cts",
+      within = "30 minutes", watermark = "2 hours", joinType = "left_semi")
+    // semi output is the LEFT schema alone — no click columns
+    assert(out.columns.toSeq == Seq("buy_id", "user_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("ssj_semi_out")
+      .outputMode("append").start()
+    try {
+      // user 7 has TWO qualifying clicks — semi must emit the buy ONCE
+      // (the inner form emits two pairs); user 8's click is out of window;
+      // user 9 has none. Purchase 13 arrives BEFORE its click (batch
+      // boundary crossed the other way): the buffered left row must emit
+      // when the click shows up.
+      clicks.addData((1L, 7L, ts(0)), (2L, 7L, ts(10)), (3L, 8L, ts(5)))
+      buys.addData((13L, 5L, ts(15)))
+      q.processAllAvailable()
+      buys.addData((10L, 7L, ts(20)), (11L, 8L, ts(50)), (12L, 9L, ts(30)))
+      clicks.addData((4L, 5L, ts(15)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_semi_out").select("buy_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(10L, 13L))
+      // batch parity: the same rows through a plain batch left-semi join
+      val cb = Seq((1L, 7L, ts(0)), (2L, 7L, ts(10)), (3L, 8L, ts(5)),
+        (4L, 5L, ts(15))).toDF("click_id", "user_id", "cts")
+      val bb = Seq((13L, 5L, ts(15)), (10L, 7L, ts(20)), (11L, 8L, ts(50)),
+        (12L, 9L, ts(30))).toDF("buy_id", "user_id", "ts")
+      val want = bb.join(cb, bb("user_id") === cb("user_id") &&
+          cb("cts") >= bb("ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 minutes") &&
+          cb("cts") <= bb("ts"), "left_semi")
+        .select("buy_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("patternMatch: streamed distances equal the batch operator across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
