@@ -1822,6 +1822,28 @@ object SparkEntry {
           (col("n").cast("double") / col("n_from")).as("p"))
     }),
 
+    // The IDLE-TIMEOUT EVICTION path under the hash gate: per-user
+    // transition state is FREED once the watermark passes lastTs +
+    // idleTimeout (EventTimeTimeout), and dormant users RETURN across
+    // the 4 segments — their first return event starts pairless from
+    // empty state. Gateable because maxGap <= idleTimeout makes the
+    // bounded-state result EXACT on in-order replay: eviction needs
+    // wm > lastTs + idle, the return event's ts >= wm + delay, so any
+    // pair eviction could suppress already exceeds maxGap and is
+    // dropped by the gap check in both engines — the documented
+    // no-valid-pair-lost contract, now oracle-verified end-to-end.
+    "q_stream_transitions_idle_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      runStreamGate(s, events, Seq(col("ts"), col("event_id"))) { src =>
+        graft.streaming.StreamingPipeline.transitions(
+          src().withWatermark("ts", "2 hours"),
+          maxGap = Some("30 minutes"), idleTimeout = Some("45 minutes"))
+      }
+        .filter(col("to_type").isNotNull)
+        .select(col("user_id"), col("from_type"), col("to_type"))
+    }),
+
     // The SESSION-WINDOW AGGREGATION streaming mode under the hash gate
     // (7th stateful family: sessionWindowStateStore — merging-window
     // state, distinct from the fixed-window stateStoreSave the OHLC gate
@@ -3777,6 +3799,30 @@ object SparkEntry {
           (col("y_brute") === col("y_lsh")).as("agree"))
     }),
 
+    // The multi-seed recall lever applied to PQ CODEBOOKS (the r17 ask's
+    // closure): THREE independent deterministic codebooks (md5-ordered
+    // kCodes-row samples), per-codebook ADC cand-cuts unioned before the
+    // exact verify — a brute winner is missed only if EVERY codebook's
+    // quasi-independent ADC noise ranks it below cand. On this random
+    // worst-case corpus agreement lifts 129/250 (single codebook,
+    // cand=16) -> 227/250 at 72 exact scorings per x — ABOVE the LSH
+    // 3-seed 205/250 at ~1/3 of its exact-verify budget
+    // (tools/BitextProbe). The gate hashes the exact agreement SET.
+    "q_bitext_pq_seeds" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val xsS = emb.filter(col("vec_id") % 2 === 0)
+      val ysS = emb.filter(col("vec_id") % 2 === 1)
+      val brute = Similarity.bitextMarginMine(xsS, ysS, k = 4)
+        .select(col("x_id"), col("y_id").as("y_brute"))
+      val pq = Similarity.bitextMarginMinePq(xsS, ysS, k = 4, cand = 24,
+          nlist = 16, nprobe = 16, m = 8, kCodes = 32,
+          seeds = bitextSeedPool)
+        .select(col("x_id"), col("y_id").as("y_pq"))
+      brute.join(pq, Seq("x_id"))
+        .select(col("x_id"), col("y_brute"), col("y_pq"),
+          (col("y_brute") === col("y_pq")).as("agree"))
+    }),
+
     // Greedy k-center coreset (Gonzalez farthest-first): 8 maximally
     // spread representatives of the embedding corpus — the diversity
     // PRUNING selector (vs MMR's candidate re-rank); d2 carries the
@@ -4467,6 +4513,83 @@ object SparkEntry {
        |SELECT b.x_id, b.y_id, b.cos_q, b.margin_fp,
        |  coalesce(byy.bx_id = b.x_id, FALSE) AS mutual
        |FROM bx b LEFT JOIN byy ON byy.y_id = b.y_id""".stripMargin
+  }
+
+  /** The candidate condition shared by the PQ oracles: a pair survives
+    * to the exact cosine iff some seed's ADC cand-cut kept it. */
+  private val bitextPqCandCond =
+    """AND EXISTS (SELECT 1 FROM adctop a
+      |    WHERE a.x_id = x.vec_id AND a.y_id = y.vec_id)""".stripMargin
+
+  /** The q_bitext_pq / q_bitext_pq_seeds ADC-shortlist CTE block: shared
+    * cell-probe CTEs, then one codebook → codes → ADC → cand-cut chain
+    * per entry of `seeds` (None = the first-kCodes-by-id codebook;
+    * Some(s) = the md5(id || ':pqcb:' || s)-ordered sample — the engine's
+    * pqCodebook seedTag, md5-hex ordering being engine-portable), and
+    * `adctop` = the UNION of the per-seed cuts (SQL UNION distincts,
+    * matching the engine's `.distinct()`). */
+  private def bitextPqCtes(
+      m: Int, kCodes: Int, nprobe: Int, cand: Int,
+      seeds: Seq[Option[Long]]): String = {
+    val subDim = 64 / m
+    val caseSum = (0 until m)
+      .map(j => s"max(CASE WHEN q.j = $j THEN q.d2 END)")
+      .mkString("\n      + ")
+    val shared = s"""cents AS (
+      |  SELECT e AS ce, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+      |  FROM (SELECT * FROM v WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16)),
+      |cdst AS (SELECT v.vec_id, c.cell,
+      |         list_sum(list_transform(list_zip(v.e, c.ce),
+      |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+      |       FROM v, cents c),
+      |crnk AS (SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |        FROM cdst),
+      |ycell AS (SELECT vec_id, cell FROM crnk WHERE rn = 1 AND vec_id % 2 = 1),
+      |xprob AS (SELECT vec_id, cell FROM crnk WHERE rn <= $nprobe AND vec_id % 2 = 0),
+      |js AS (SELECT unnest(range(0, $m)) AS j),
+      |ysub AS (SELECT v.vec_id, js.j, v.e[js.j*$subDim+1 : js.j*$subDim+$subDim] AS se
+      |         FROM v CROSS JOIN js WHERE v.vec_id % 2 = 1),
+      |xsub AS (SELECT v.vec_id, js.j, v.e[js.j*$subDim+1 : js.j*$subDim+$subDim] AS se
+      |         FROM v CROSS JOIN js WHERE v.vec_id % 2 = 0)""".stripMargin
+    val perSeed = seeds.zipWithIndex.map { case (sd, i) =>
+      val order = sd match {
+        case Some(s) => s"md5(CAST(vec_id AS VARCHAR) || ':pqcb:$s'), vec_id"
+        case None => "vec_id"
+      }
+      s"""cb$i AS (SELECT vec_id AS cid, e AS ce FROM v
+         |       WHERE vec_id % 2 = 1 ORDER BY $order LIMIT $kCodes),
+         |cs$i AS (SELECT cid, js.j, ce[js.j*$subDim+1 : js.j*$subDim+$subDim] AS ce
+         |       FROM cb$i CROSS JOIN js),
+         |yd$i AS (SELECT s.vec_id, s.j, c.cid,
+         |         list_sum(list_transform(list_zip(s.se, c.ce),
+         |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+         |       FROM ysub s JOIN cs$i c ON s.j = c.j),
+         |ycodes$i AS (SELECT vec_id, j, cid FROM (
+         |    SELECT vec_id, j, cid,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+         |    FROM yd$i) WHERE rn = 1),
+         |xd$i AS (SELECT s.vec_id, s.j, c.cid,
+         |         list_sum(list_transform(list_zip(s.se, c.ce),
+         |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+         |       FROM xsub s JOIN cs$i c ON s.j = c.j),
+         |adc$i AS (
+         |  SELECT p.vec_id AS x_id, yc2.vec_id AS y_id,
+         |    $caseSum AS adc_d2
+         |  FROM xprob p JOIN ycell yc2 ON p.cell = yc2.cell
+         |  JOIN ycodes$i c ON c.vec_id = yc2.vec_id
+         |  JOIN xd$i q ON q.vec_id = p.vec_id AND q.j = c.j AND q.cid = c.cid
+         |  GROUP BY 1, 2),
+         |adctop$i AS (SELECT x_id, y_id FROM (
+         |  SELECT x_id, y_id,
+         |    row_number() OVER (PARTITION BY x_id ORDER BY adc_d2, y_id) AS rn
+         |  FROM adc$i) WHERE rn <= $cand)""".stripMargin
+    }
+    val union = seeds.indices
+      .map(i => s"SELECT x_id, y_id FROM adctop$i")
+      .mkString("\n  UNION\n  ")
+    shared + ",\n" + perSeed.mkString(",\n") +
+      s",\nadctop AS (\n  $union)"
   }
 
   /** q_perplexity3: the trigram interpolated-KN cascade replayed — one
@@ -7686,6 +7809,18 @@ object SparkEntry {
         |          OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 AS gap_new
         |      FROM events)""".stripMargin,
 
+    // idle-timeout eviction: with maxGap <= idleTimeout the bounded-state
+    // stream equals the batch gap-filtered pairs exactly (see the gate
+    // comment) — the oracle is the plain lead() pair set under the gap
+    "q_stream_transitions_idle_gate" ->
+      """SELECT user_id, from_type, to_type FROM (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE to_type IS NOT NULL AND gap <= 1800000000""".stripMargin,
+
     // the streamed transition pairs roll up to the batch Markov matrix on
     // in-order replay — the oracle IS q_event_transitions'
     "q_stream_transitions_gate" ->
@@ -9906,62 +10041,12 @@ object SparkEntry {
     // ties to the lower cid), x's ADC distance tables, the co-cell pairs
     // ranked by the fixed-order 4-term ADC sum, and the top-8-per-x cut
     // feeding the margin chain
-    "q_bitext_pq" -> {
-      // parameterized to the gate's (m, kCodes, nprobe, cand) so a default
-      // change on the Spark side regenerates the identical oracle shape
-      val m = 8; val subDim = 64 / m; val kCodes = 32
-      val nprobe = 16; val cand = 16
-      val caseSum = (0 until m)
-        .map(j => s"max(CASE WHEN q.j = $j THEN q.d2 END)")
-        .mkString("\n      + ")
-      s"${bitextWinnersSql(
-        candCond = """AND EXISTS (SELECT 1 FROM adctop a
-          |    WHERE a.x_id = x.vec_id AND a.y_id = y.vec_id)""".stripMargin,
-        extraCtes = s"""cents AS (
-          |  SELECT e AS ce, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
-          |  FROM (SELECT * FROM v WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16)),
-          |cdst AS (SELECT v.vec_id, c.cell,
-          |         list_sum(list_transform(list_zip(v.e, c.ce),
-          |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
-          |       FROM v, cents c),
-          |crnk AS (SELECT vec_id, cell,
-          |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-          |        FROM cdst),
-          |ycell AS (SELECT vec_id, cell FROM crnk WHERE rn = 1 AND vec_id % 2 = 1),
-          |xprob AS (SELECT vec_id, cell FROM crnk WHERE rn <= $nprobe AND vec_id % 2 = 0),
-          |js AS (SELECT unnest(range(0, $m)) AS j),
-          |cb AS (SELECT vec_id AS cid, e AS ce FROM v
-          |       WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT $kCodes),
-          |cs AS (SELECT cid, js.j, ce[js.j*$subDim+1 : js.j*$subDim+$subDim] AS ce
-          |       FROM cb CROSS JOIN js),
-          |ysub AS (SELECT v.vec_id, js.j, v.e[js.j*$subDim+1 : js.j*$subDim+$subDim] AS se
-          |         FROM v CROSS JOIN js WHERE v.vec_id % 2 = 1),
-          |yd AS (SELECT s.vec_id, s.j, c.cid,
-          |         list_sum(list_transform(list_zip(s.se, c.ce),
-          |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
-          |       FROM ysub s JOIN cs c ON s.j = c.j),
-          |ycodes AS (SELECT vec_id, j, cid FROM (
-          |    SELECT vec_id, j, cid,
-          |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
-          |    FROM yd) WHERE rn = 1),
-          |xd AS (SELECT s.vec_id, s.j, c.cid,
-          |         list_sum(list_transform(list_zip(s.se, c.ce),
-          |           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
-          |       FROM (SELECT v.vec_id, js.j, v.e[js.j*$subDim+1 : js.j*$subDim+$subDim] AS se
-          |             FROM v CROSS JOIN js WHERE v.vec_id % 2 = 0) s
-          |       JOIN cs c ON s.j = c.j),
-          |adc AS (
-          |  SELECT p.vec_id AS x_id, yc2.vec_id AS y_id,
-          |    $caseSum AS adc_d2
-          |  FROM xprob p JOIN ycell yc2 ON p.cell = yc2.cell
-          |  JOIN ycodes c ON c.vec_id = yc2.vec_id
-          |  JOIN xd q ON q.vec_id = p.vec_id AND q.j = c.j AND q.cid = c.cid
-          |  GROUP BY 1, 2),
-          |adctop AS (SELECT x_id, y_id FROM (
-          |  SELECT x_id, y_id,
-          |    row_number() OVER (PARTITION BY x_id ORDER BY adc_d2, y_id) AS rn
-          |  FROM adc) WHERE rn <= $cand)""".stripMargin)}"
-    },
+    // parameterized to the gate's (m, kCodes, nprobe, cand) so a default
+    // change on the Spark side regenerates the identical oracle shape
+    "q_bitext_pq" -> bitextWinnersSql(
+      candCond = bitextPqCandCond,
+      extraCtes = bitextPqCtes(m = 8, kCodes = 32, nprobe = 16, cand = 16,
+        seeds = Seq(None))),
 
     // agreement readout: per-x winner under LSH candidates vs brute
     "q_bitext_recall" ->
@@ -9970,6 +10055,18 @@ object SparkEntry {
          |SELECT b.x_id, b.y_id AS y_brute, l.y_id AS y_lsh,
          |  b.y_id = l.y_id AS agree
          |FROM brute b JOIN lsh l USING (x_id)""".stripMargin,
+
+    // multi-seed PQ agreement: per-codebook ADC cand-cuts unioned, per-x
+    // winner vs brute
+    "q_bitext_pq_seeds" ->
+      s"""WITH brute AS (${bitextWinnersSql()}),
+         |pq AS (${bitextWinnersSql(
+        candCond = bitextPqCandCond,
+        extraCtes = bitextPqCtes(m = 8, kCodes = 32, nprobe = 16,
+          cand = 24, seeds = bitextSeedPool.map(Some(_))))})
+         |SELECT b.x_id, b.y_id AS y_brute, p.y_id AS y_pq,
+         |  b.y_id = p.y_id AS agree
+         |FROM brute b JOIN pq p USING (x_id)""".stripMargin,
 
     // multi-seed agreement: candidates = union over three plane sets
     "q_bitext_recall_seeds" ->

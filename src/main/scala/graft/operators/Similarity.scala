@@ -634,7 +634,15 @@ object Similarity {
     * structure to prune) keep 129/250, ABOVE the IVF path's 113/250
     * co-cell ceiling at ~1/4 of its exact-scoring budget. On clustered
     * real embeddings keep nprobe < nlist: cells then prune honestly and
-    * the same ADC budget concentrates on real neighbors. */
+    * the same ADC budget concentrates on real neighbors.
+    *
+    * `seeds` is the multi-codebook recall lever (the
+    * [[bitextMarginMineLsh]] `seeds` analog): each seed derives an
+    * INDEPENDENT deterministic codebook (kCodes rows in md5(id:seed)
+    * order — engine-portable, so the oracle replays each), shortlists
+    * are unioned before the exact verify, and a brute winner is missed
+    * only if every codebook's ADC ranks it below `cand`. Empty (the
+    * default) keeps the single first-kCodes-by-id codebook. */
   def bitextMarginMinePq(
       xs: DataFrame,
       ys: DataFrame,
@@ -647,7 +655,8 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      salt: Int = 16): DataFrame = {
+      salt: Int = 16,
+      seeds: Seq[Long] = Seq.empty): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(cand >= 1, s"cand must be >= 1: $cand")
     require(nlist >= 1, s"nlist must be >= 1: $nlist")
@@ -671,40 +680,54 @@ object Similarity {
       case d: Double => d
     }.toArray)
     val probes = math.min(nprobe, centroids.length)
-    val cb = pqCodebook(y, m, kCodes, subDim, "y_id", "y_v")
-    // y side: cell + m code longs, one scan against two broadcast rows
-    val yb = y.crossJoin(broadcast(cb))
-      .select(col("y_id") +:
-        element_at(nearestCells(col("y_v"), centroids, 1), 1).as("cell") +:
-        pqCodeColumns(m, subDim, "y_v"): _*)
-      .withColumn("__s", pmod(hash(col("y_id")), lit(salt)))
-    val xb = x.select(col("x_id"),
-        explode(nearestCells(col("x_v"), centroids, probes)).as("cell"))
-      .withColumn("__s", explode(array((0 until salt).map(lit): _*)))
-    val pairs = yb.join(xb, Seq("cell", "__s"))
-      .select(col("x_id") +: col("y_id") +:
-        (0 until m).map(j => col(s"code_$j")): _*)
-    // x's ADC distance tables: cid -> ||x_j - codeword||^2, m maps per x
-    val tables = (0 until m).map { j =>
-      val xSub = slice(transform(col("x_v"), _.cast("double")),
-        j * subDim + 1, subDim)
-      map_from_entries(transform(col(s"__cb_$j"), c =>
-        struct(c.getField("cid").cast("long"), d2(c.getField("cv"), xSub))))
-        .as(s"__dt_$j")
+    // One ADC shortlist per codebook: `seedTag = None` is the default
+    // first-kCodes-by-id codebook; a Some(tag) picks the md5-ordered
+    // sample (pqCodebook) — the [[bitextMarginMineLsh]] `candidatesFor`
+    // convention applied to codebooks instead of plane sets.
+    def shortlistFor(seedTag: Option[String]): DataFrame = {
+      val cb = pqCodebook(y, m, kCodes, subDim, "y_id", "y_v", seedTag)
+      // y side: cell + m code longs, one scan against two broadcast rows
+      val yb = y.crossJoin(broadcast(cb))
+        .select(col("y_id") +:
+          element_at(nearestCells(col("y_v"), centroids, 1), 1).as("cell") +:
+          pqCodeColumns(m, subDim, "y_v"): _*)
+        .withColumn("__s", pmod(hash(col("y_id")), lit(salt)))
+      val xb = x.select(col("x_id"),
+          explode(nearestCells(col("x_v"), centroids, probes)).as("cell"))
+        .withColumn("__s", explode(array((0 until salt).map(lit): _*)))
+      val pairs = yb.join(xb, Seq("cell", "__s"))
+        .select(col("x_id") +: col("y_id") +:
+          (0 until m).map(j => col(s"code_$j")): _*)
+      // x's ADC distance tables: cid -> ||x_j - codeword||^2, m maps per x
+      val tables = (0 until m).map { j =>
+        val xSub = slice(transform(col("x_v"), _.cast("double")),
+          j * subDim + 1, subDim)
+        map_from_entries(transform(col(s"__cb_$j"), c =>
+          struct(c.getField("cid").cast("long"), d2(c.getField("cv"), xSub))))
+          .as(s"__dt_$j")
+      }
+      val xt = x.crossJoin(broadcast(cb))
+        .select(col("x_id") +: tables: _*)
+      val adcScore = (0 until m)
+        .map(j => element_at(col(s"__dt_$j"), col(s"code_$j")))
+        .reduceLeft(_ + _)
+      val wCand = Window.partitionBy(col("x_id"))
+        .orderBy(col("adc_d2").asc, col("y_id").asc)
+      pairs.join(xt, Seq("x_id"))
+        .select(col("x_id"), col("y_id"), adcScore.as("adc_d2"))
+        .where(col("adc_d2").isNotNull)
+        .withColumn("__rn", row_number().over(wCand))
+        .filter(col("__rn") <= cand)
+        .select(col("x_id"), col("y_id"))
     }
-    val xt = x.crossJoin(broadcast(cb))
-      .select(col("x_id") +: tables: _*)
-    val adcScore = (0 until m)
-      .map(j => element_at(col(s"__dt_$j"), col(s"code_$j")))
-      .reduceLeft(_ + _)
-    val wCand = Window.partitionBy(col("x_id"))
-      .orderBy(col("adc_d2").asc, col("y_id").asc)
-    val shortlist = pairs.join(xt, Seq("x_id"))
-      .select(col("x_id"), col("y_id"), adcScore.as("adc_d2"))
-      .where(col("adc_d2").isNotNull)
-      .withColumn("__rn", row_number().over(wCand))
-      .filter(col("__rn") <= cand)
-      .select(col("x_id"), col("y_id"))
+    // Multi-seed union (recall lever, the LSH path's `seeds` analog):
+    // each codebook's ADC noise is quasi-independent, so a brute winner
+    // is lost only if EVERY codebook ranks it below cand — the exact
+    // verify then touches at most |seeds|·cand pairs per x.
+    val tags: Seq[Option[String]] =
+      if (seeds.isEmpty) Seq(None) else seeds.map(s => Some(s":pqcb:$s"))
+    val unioned = tags.map(shortlistFor).reduce(_ union _)
+    val shortlist = if (tags.size == 1) unioned else unioned.distinct()
     val scored = shortlist
       .join(x, Seq("x_id"))
       .join(y.select(col("y_id"), col("y_v")), Seq("y_id"))
@@ -1428,22 +1451,35 @@ object Similarity {
     * struct(cid, sub-vector) list of the first `k` source rows by id —
     * shared by [[pqEncode]] (assignment) and [[pqSearch]] (distance
     * tables), so both sides of the encode/search pair provably quantize
-    * against identical codewords. */
+    * against identical codewords.
+    *
+    * `seedTag` picks a DIFFERENT deterministic k-row sample per tag —
+    * rows ordered by `(md5(id || tag), id)` instead of plain id — the
+    * multi-codebook lever behind [[bitextMarginMinePq]]'s `seeds`:
+    * md5-hex ordering is engine-portable (lowercase ASCII hex sorts
+    * identically in DuckDB), so every seeded codebook replays exactly
+    * in the oracle. */
   private def pqCodebook(
       src: DataFrame,
       m: Int,
       k: Int,
       subDim: Int,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      seedTag: Option[String] = None): DataFrame = {
     val cbCols = (0 until m).map { j =>
       sort_array(collect_list(struct(col("id").as("cid"),
         slice(col("v"), j * subDim + 1, subDim).as("cv")))).as(s"__cb_$j")
     }
-    src.select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
-      .orderBy(col("id")).limit(k)
-      .agg(cbCols.head, cbCols.tail: _*)
+    val base = src.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val ordered = seedTag match {
+      case Some(tag) =>
+        base.orderBy(md5(concat(col("id").cast("string"), lit(tag))),
+          col("id"))
+      case None => base.orderBy(col("id"))
+    }
+    ordered.limit(k).agg(cbCols.head, cbCols.tail: _*)
   }
 
   /** Left-fold Σ(a−b)² in array order — DuckDB `list_sum ∘ list_zip`

@@ -124,6 +124,18 @@ object BitextProbe {
       println(s"pq_adc cand=$cand m=$m kCodes=$kc nlist=16 nprobe=$np agree=$ag/$tot")
     }
 
+    // --- multi-seed PQ codebooks: the LSH `seeds` union applied to ADC
+    // rankers — a brute winner is missed only if EVERY codebook ranks it
+    // below cand; budget = |seeds|*cand exact scorings per x (compare:
+    // IVF's ~62-pair co-cell pool, LSH 3-seed's ~3/4-of-pairs pool) ---
+    for (nSeeds <- Seq(2, 3); cand <- Seq(8, 16, 24)) {
+      val (ag, tot) = agreement(Similarity.bitextMarginMinePq(
+        xs, ys, k = 4, cand = cand, nlist = 16, nprobe = 16, m = 8,
+        kCodes = 32, seeds = seedPool.take(nSeeds)))
+      println(s"pq_adc_seeds seeds=$nSeeds cand=$cand m=8 kCodes=32 " +
+        s"nlist=16 nprobe=16 agree=$ag/$tot budget=${nSeeds * cand}/x")
+    }
+
     // --- IVF: deterministic lowest-id cells vs kmeansIterate-trained ---
     val (agDet, totDet) = agreement(Similarity.bitextMarginMineIvf(
       xs, ys, k = 4, nlist = 16, nprobe = 4))

@@ -91,6 +91,58 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
   }
 
+  test("transitions idle-timeout: state evicted by the watermark across a restart; " +
+      "returning user starts pairless from empty state") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_idle_in").toString
+    val out = Files.createTempDirectory("graft_idle_out").toString
+    val ckpt = Files.createTempDirectory("graft_idle_ckpt").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 09:$m%02d:00")
+
+    def writeBatch(name: String,
+        rows: Seq[(Long, Long, Timestamp, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_idle_stage").resolve("w").toString
+      rows.toDF("event_id", "user_id", "ts", "event_type")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    lazy val schema = spark.read.parquet(in).schema
+    def startQuery() = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      StreamingPipeline.startFileSink(
+        StreamingPipeline.transitions(
+          src.withWatermark("ts", "0 seconds"),
+          idleTimeout = Some("10 minutes")),
+        out, ckpt)
+    }
+
+    // run 1: user 1 sits at 09:00 (timeout deadline 09:10); user 2's pair
+    // emits. Watermark commits at 09:05.
+    writeBatch("b1.parquet", Seq((1L, 1L, ts(0), "a"),
+      (2L, 2L, ts(0), "x"), (3L, 2L, ts(5), "y")))
+    val q1 = startQuery(); q1.awaitTermination(60000); assert(!q1.isActive)
+
+    // run 2 (restarted from checkpoint): user 3's 09:30 event advances the
+    // watermark past both deadlines; the engine's extra timeout batch
+    // EVICTS users 1 and 2 — their (lastTs, lastType) slots are freed.
+    writeBatch("b2.parquet", Seq((4L, 3L, ts(30), "z")))
+    val q2 = startQuery(); q2.awaitTermination(60000); assert(!q2.isActive)
+
+    // run 3 (restarted again): user 1 RETURNS at 09:40. With state evicted
+    // the return starts pairless — (a -> b) must NOT appear (it would if
+    // the 09:00 state had survived: no maxGap is set) — and the fresh
+    // state works: (b -> c) emits within the batch.
+    writeBatch("b3.parquet", Seq((5L, 1L, ts(40), "b"), (6L, 1L, ts(42), "c")))
+    val q3 = startQuery(); q3.awaitTermination(60000); assert(!q3.isActive)
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("from_type"), r.getAs[String]("to_type"))).toSet
+    assert(got == Set((2L, "x", "y"), (1L, "b", "c")))
+  }
+
   test("streaming as-of join recovers across a restart exactly-once (stateless: offset log only)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_asof_in").toString
