@@ -863,6 +863,18 @@ object SparkEntry {
         threshold = 0.88, blockPrefix = 8, textCol = "title",
         maxBlockSize = Some(80))),
 
+    // Sorted-neighborhood linkage over the same titles (Hernández &
+    // Stolfo): global (lower(trim(title)), id) rank via the two-phase
+    // prefix machinery, each record vs its 5 rank-successors through a
+    // bucket self-join (candidates n·w, never n²) — the blocking-FREE
+    // second pass that still finds a pair whose block prefix carries the
+    // typo. Jaro-Winkler verify, raw doubles under the gate.
+    "q_link_snm" -> ((s, dir) =>
+      operators.Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 64).as("title")),
+        window = 5, threshold = 0.85, textCol = "title")),
+
     // ExactSubstr repeated-span removal (Lee et al. 2022, windowed): any
     // 12-token window occurring >= 2 times corpus-wide marks duplicated
     // positions; overlapping windows merge into maximal spans, removed
@@ -906,6 +918,25 @@ object SparkEntry {
         operators.Classifier.trainPerceptron(docs, label,
           buckets = 64, epochs = 3),
         label, buckets = 64)
+    }),
+
+    // Rank-calibration of the trained quality scorer: the perceptron
+    // margin's empirical-CDF transform (two-phase global rank / N) cut
+    // into 10 equal-rank bins, per bin observed en-rate vs mean forecast
+    // and their gap — the reliability-diagram / ECE-term readout that
+    // tells a pipeline whether the scorer's CONFIDENCE is usable as a
+    // sampling weight, not just its sign as a filter.
+    "q_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val label = when(col("lang") === "en", 1L).otherwise(-1L)
+      val m = operators.Classifier.marginsUnder(docs,
+        operators.Classifier.trainPerceptron(docs, label,
+          buckets = 64, epochs = 3),
+        label, buckets = 64)
+      operators.EventSignals.calibrationBins(
+        m.select(col("doc_id"), col("margin"),
+          when(col("y") === 1L, 1L).otherwise(0L).as("label01")),
+        scoreCol = "margin", labelCol = "label01", bins = 10)
     }),
 
     // The curation pipeline CAPSTONE, end-to-end under one hash gate:
@@ -1189,6 +1220,15 @@ object SparkEntry {
     // apart don't count (no session labels materialized).
     "q_event_transitions_gap" -> ((s, dir) =>
       operators.Funnel.transitions(ev(s, dir), maxGap = Some("30 minutes"))),
+
+    // Contiguous length-3 sequential patterns (the n-gram step between
+    // the pairwise transition matrix and whole-journey paths): per-user
+    // consecutive event-type triples, total occurrences + distinct-user
+    // SUPPORT (the sequential-mining ranking measure, robust to one hot
+    // user looping), support >= 2. One user-keyed window shuffle, then
+    // (pattern, user) partial collapse before the pattern rollup.
+    "q_seq3" -> ((s, dir) =>
+      operators.Funnel.sequencePatterns(ev(s, dir), n = 3, minSupport = 2)),
 
     // Association rules over sessions: directed event-type pairs with
     // exact support counts + one-division confidence/lift doubles —
@@ -2307,6 +2347,14 @@ object SparkEntry {
     // readout — all fixed-order doubles over exact integers.
     "q_cuped" -> ((s, dir) =>
       operators.EventSignals.cupedLift(ev(s, dir))),
+
+    // Direct standardization — the Simpson's-paradox guard beside SRM:
+    // variant conversion rates re-weighted to the POOLED first-touch
+    // stratum mix (adj(v) = sum_s (N_s/N)*(c_vs/n_vs)), per-stratum
+    // terms quantized to 1e-12 integers so the per-variant sum is
+    // order-free exact.
+    "q_strat_adjust" -> ((s, dir) =>
+      operators.EventSignals.standardizedLift(ev(s, dir))),
 
     // Sample ACF of the daily event-count series at lags 1..7: the
     // seasonality diagnostic — zero-filled integer day spine, n^2-scaled
@@ -3947,6 +3995,14 @@ object SparkEntry {
         "fast table scan" -> Seq("fast", "table", "scan"),
         "join merge sort" -> Seq("join", "merge", "sort"),
         "stream window agg" -> Seq("stream", "window", "agg")), k = 10)),
+
+    // Exact phrase search over positional postings — adjacency the BM25
+    // bag-of-words cannot express: postings pruned to the phrase's two
+    // tokens BEFORE the shuffle, the second word joined at pos-1 on the
+    // co-partitioned (doc, pos) key, per-doc occurrence counts.
+    "q_phrase" -> ((s, dir) =>
+      graft.operators.Retrieval.phraseSearch(t(s, dir, "documents"),
+        Seq("data", "query"))),
 
     // RM3 pseudo-relevance feedback: top-5 feedback docs per query, top-2
     // integer-weighted expansion terms appended, BM25 re-run — two
@@ -6770,6 +6826,24 @@ object SparkEntry {
     "q_kcenter" -> kcenterOracleSql(8),
     "q_train_perceptron" -> perceptronOracleSql(64, 3, "weights"),
     "q_train_margins" -> perceptronOracleSql(64, 3, "margins"),
+
+    // rank-calibration bins over the perceptron margins: empirical-CDF
+    // forecast vs observed en-rate, 10 equal-rank bins
+    "q_calibration" ->
+      s"""WITH m AS (${perceptronOracleSql(64, 3, "margins")}),
+         |b AS (SELECT doc_id, margin, (y + 1) // 2 AS yy,
+         |        row_number() OVER (ORDER BY margin, doc_id) AS rnk,
+         |        count(*) OVER () AS nt
+         |      FROM m),
+         |c AS (SELECT CAST((rnk - 1) * 10 // nt AS BIGINT) + 1 AS bin,
+         |        yy, rnk, nt FROM b)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(yy) AS BIGINT) AS n_pos,
+         |  CAST(sum(yy) AS DOUBLE) / count(*) AS obs_rate,
+         |  CAST(sum(rnk) AS DOUBLE) / max(nt) / count(*) AS conf_mean,
+         |  abs(CAST(sum(yy) AS DOUBLE) / count(*)
+         |      - CAST(sum(rnk) AS DOUBLE) / max(nt) / count(*)) AS gap
+         |FROM c GROUP BY 1""".stripMargin,
     "q_strip_markup" -> stripMarkupOracleSql,
     "q_urls" -> urlsOracleSql,
     "q_lang_mix" -> langMixOracleSql,
@@ -7188,6 +7262,20 @@ object SparkEntry {
         |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, n, n_from, n / n_from AS p
         |FROM c JOIN f USING (from_type)""".stripMargin,
+
+    // contiguous event-type triples: occurrences + distinct-user support
+    "q_seq3" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type AS t0,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS support
+        |FROM g WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT user_id) >= 2""".stripMargin,
 
     "q_event_transitions_gap" ->
       """WITH o AS (
@@ -8208,6 +8296,33 @@ object SparkEntry {
         |            FROM t))
         |SELECT v.variant, v.n_users, v.n_conv, f.significant FROM v, f""".stripMargin,
 
+    // direct standardization: adjusted rate = sum over strata of the
+    // 1e-12-quantized (pooled share)x(cell rate) terms; a cell with no
+    // users of a variant contributes 0 (no row)
+    "q_strat_adjust" ->
+      """WITH f AS (SELECT user_id, event_type AS stratum FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE user_id IS NOT NULL) WHERE rn = 1),
+        |pu AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |u AS (SELECT pu.user_id, pu.conv, f.stratum, pu.user_id % 2 AS v
+        |      FROM pu JOIN f USING (user_id)),
+        |cell AS (SELECT v, stratum, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(conv) AS BIGINT) AS c
+        |         FROM u GROUP BY 1, 2),
+        |s AS (SELECT stratum, CAST(sum(n) AS BIGINT) AS ns FROM cell GROUP BY 1),
+        |t AS (SELECT CAST(sum(ns) AS BIGINT) AS nt FROM s),
+        |tm AS (SELECT v, n, c,
+        |        CAST(round((CAST(ns AS DOUBLE) / nt) * (CAST(c AS DOUBLE) / n)
+        |          * 1000000000000.0) AS BIGINT) AS tq
+        |      FROM cell JOIN s USING (stratum) CROSS JOIN t)
+        |SELECT v AS variant, CAST(sum(n) AS BIGINT) AS n_users,
+        |  CAST(sum(c) AS BIGINT) AS n_conv,
+        |  CAST(sum(tq) AS BIGINT) AS adj_rate_q
+        |FROM tm GROUP BY 1""".stripMargin,
+
     // funnel latency: greedy first-view -> first-purchase-after per user,
     // integer-microsecond latencies through quantile_cont (bit-exact vs
     // the engine's distributed exact-quantile machinery)
@@ -8947,6 +9062,21 @@ object SparkEntry {
         |FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE abs(len(a.title) - len(b.title)) <= 5
         |  AND levenshtein(a.title, b.title) <= 5""".stripMargin,
+
+    // sorted-neighborhood: global (key, id) rank, rank-successor pairs
+    // within the window, Jaro-Winkler verify
+    "q_link_snm" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS title FROM documents),
+        |k AS (SELECT doc_id, title, lower(trim(title)) AS key FROM d
+        |      WHERE lower(trim(title)) IS NOT NULL
+        |        AND len(lower(trim(title))) > 0),
+        |r AS (SELECT doc_id, title,
+        |        row_number() OVER (ORDER BY key, doc_id) AS rnk FROM k)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+        |  jaro_winkler_similarity(a.title, b.title) AS jw
+        |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 5
+        |WHERE jaro_winkler_similarity(a.title, b.title) >= 0.85""".stripMargin,
 
     "q_link_jw" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 64) AS title FROM documents),
@@ -9781,6 +9911,20 @@ object SparkEntry {
          |  CASE digit $expCase END AS exp_micro
          |FROM g, t""".stripMargin
     },
+
+    // positional phrase search: word i joins the first word's postings
+    // at pos - i; only position DIFFERENCES matter, so DuckDB's 1-based
+    // ordinals replay the engine's 0-based posexplode exactly
+    "q_phrase" ->
+      """WITH tk AS (SELECT doc_id, a[CAST(i AS INT)] AS t, CAST(i AS BIGINT) AS pos
+        |     FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |           FROM documents),
+        |          UNNEST(range(1, len(a) + 1)) r(i)),
+        |p0 AS (SELECT doc_id, pos FROM tk WHERE t = 'data'),
+        |p1 AS (SELECT doc_id, pos - 1 AS pos FROM tk WHERE t = 'query')
+        |SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM p0 JOIN p1 USING (doc_id, pos)
+        |GROUP BY 1""".stripMargin,
 
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -603,6 +603,65 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jw"))
   }
 
+  /** SORTED-NEIGHBORHOOD record-linkage pairs (Hernández & Stolfo 1995):
+    * rank every record under ONE global sort key, compare each record
+    * with the `window` records that FOLLOW it in rank order, keep pairs
+    * at Jaro-Winkler ≥ `threshold`. The blocking-free complement of
+    * [[fuzzyPairs]]/[[jaroWinklerPairs]]'s prefix blocks: an equality
+    * blocker silently loses a pair whose block key carries the typo,
+    * while SNM only needs the sort to bring variants NEAR each other —
+    * the standard second pass of a multi-pass ER pipeline (union the
+    * pairs from several sort keys).
+    *
+    * Scale shape: the global rank rides the two-phase prefix machinery
+    * ([[graft.ops.RunningCount.withRunningCount]] — no single-partition
+    * window); candidate pairs come from a BUCKET self-join (bucket =
+    * ⌊(rnk−1)/window⌋, each left row probes its own and the next
+    * bucket), so a pair within rank distance `window` is found by a
+    * KEYED join over buckets of at most `window` rows — candidate
+    * volume is n·window, never n². Pairs are (a_id, b_id) with a the
+    * LOWER-ranKED side; `rank_gap` ∈ [1, window] and the raw similarity
+    * double ride along (bit-exact vs the oracle engine's
+    * jaro_winkler_similarity, the [[jaroWinklerPairs]] kernel).
+    *
+    * `sortKey` defaults to `lower(trim(textCol))`; ties (duplicate keys)
+    * break by id, so the rank — and therefore the candidate set — is a
+    * pure function of the data in both engines. Null/empty keys are
+    * dropped (they have no meaningful neighborhood). */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      window: Int,
+      threshold: Double,
+      sortKey: Option[org.apache.spark.sql.Column] = None,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val key = sortKey.getOrElse(lower(trim(col(textCol))))
+    val keyed = docs
+      .select(col(idCol).as("a_id"), col(textCol).as("__ta"), key.as("__key"))
+      .filter(col("__key").isNotNull && length(col("__key")) > 0)
+    val ranked = graft.ops.RunningCount
+      .withRunningCount(keyed, Seq(col("__key"), col("a_id")), "rnk")
+    def bucketOf(rnk: org.apache.spark.sql.Column) =
+      floor((rnk - 1).cast("double") / window).cast("long")
+    // left row probes its own and the NEXT bucket — a pair at rank
+    // distance <= window cannot span further
+    val probes = ranked
+      .select(col("a_id"), col("__ta"), col("rnk"), bucketOf(col("rnk")).as("__b"))
+      .withColumn("__pb", explode(array(col("__b"), col("__b") + 1)))
+      .drop("__b")
+    val right = ranked.select(col("a_id").as("b_id"), col("__ta").as("__tb"),
+      col("rnk").as("__rnk_b"), bucketOf(col("rnk")).as("__pb"))
+    probes.join(right, Seq("__pb"))
+      .filter(col("__rnk_b") - col("rnk") >= 1 &&
+        col("__rnk_b") - col("rnk") <= window)
+      .withColumn("jw", TextFunctions.jaroWinkler(col("__ta"), col("__tb")))
+      .filter(col("jw") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        (col("__rnk_b") - col("rnk")).as("rank_gap"), col("jw"))
+  }
+
   /** Shared core of the n-gram pair generators: distinct-shingle postings
     * (df-capped when asked) self-joined by shingle, aggregated to one row
     * per candidate pair carrying (a_sz, b_sz, inter). */

@@ -258,6 +258,109 @@ object EventSignals {
         d(lit(3841459L)) * d(n)).as("srm"))
   }
 
+  /** DIRECT STANDARDIZATION of the variant conversion rates — the
+    * Simpson's-paradox guard beside [[srmCheck]]: when the variant mix
+    * differs across strata (acquisition channels, here each user's
+    * FIRST-TOUCH event type), raw rates confound the treatment with the
+    * mix; the adjusted rate re-weights each variant's per-stratum rates
+    * by the POOLED stratum shares — adj(v) = Σ_s (N_s/N)·(c_vs/n_vs) —
+    * so both variants are read against the same population composition
+    * (the epidemiology-standard directly-standardized rate).
+    *
+    * Engine-portable arithmetic: all counts exact integers; each
+    * stratum term is the fixed two-division product
+    * (N_s/N)·(c_vs/n_vs) quantized to round(term·10¹²) — an integer —
+    * and the per-variant adjusted rate is the ORDER-FREE integer sum of
+    * those terms (`adj_rate_q`, in 10⁻¹² units). A stratum with no
+    * users of a variant contributes 0 by construction (no cell row —
+    * the conservative convention, documented).
+    *
+    * Scale shape: one user-keyed partial agg (conv flag + min_by
+    * first-touch), one (variant, stratum) agg, a |strata|-row pooled
+    * join + 1-row total broadcast — nothing data-sized past the first
+    * shuffle. */
+  def standardizedLift(
+      events: DataFrame,
+      convType: String = "purchase",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      variants: Int = 2): DataFrame = {
+    require(variants >= 2, s"variants must be >= 2: $variants")
+    val perUser = events.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol).as("__u"))
+      .agg(max(when(col(typeCol) === lit(convType), 1L).otherwise(0L))
+          .as("__conv"),
+        min_by(col(typeCol), struct(col(tsCol), col(tieCol))).as("__stratum"))
+      .withColumn("__v", pmod(col("__u"), lit(variants.toLong)))
+    val cell = perUser.groupBy("__v", "__stratum")
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__conv")).cast("long").as("__c"))
+    val strat = cell.groupBy("__stratum")
+      .agg(sum(col("__n")).cast("long").as("__ns"))
+    val tot = strat.agg(sum(col("__ns")).cast("long").as("__nt"))
+    val term = col("__ns").cast("double") / col("__nt").cast("double") *
+      (col("__c").cast("double") / col("__n").cast("double"))
+    val terms = cell.join(strat, Seq("__stratum"))
+      .crossJoin(broadcast(tot))
+      .select(col("__v"), col("__n"), col("__c"),
+        round(term * lit(1000000000000.0)).cast("long").as("__tq"))
+    terms.groupBy(col("__v").as("variant"))
+      .agg(sum(col("__n")).cast("long").as("n_users"),
+        sum(col("__c")).cast("long").as("n_conv"),
+        sum(col("__tq")).cast("long").as("adj_rate_q"))
+  }
+
+  /** RANK-CALIBRATION bins + gap table for a score against a binary
+    * outcome — the reliability-diagram readout for the model-based
+    * quality filters ([[graft.operators.Classifier]]): transform the
+    * score to its empirical CDF (the two-phase global rank / N — the
+    * monotone probability forecast any raw margin implies), cut into
+    * `bins` equal-rank bins, and per bin report observed positive rate
+    * vs mean forecast and their gap — the per-bin terms of ECE
+    * (expected calibration error = Σ (n_b/N)·gap_b, one weighted sum
+    * away for the consumer). A well-calibrated-by-rank scorer has
+    * observed rates increasing ~linearly across bins; a flat profile
+    * means the score carries no signal for the outcome.
+    *
+    * Engine-portable: ranks are the two-phase integer row numbers
+    * (ties broken by id), bin = ⌊(rnk−1)·bins/N⌋+1 in pure integer
+    * arithmetic, per-bin sums exact; the three doubles (obs_rate,
+    * conf_mean, gap) are fixed-order divisions of exact integers.
+    *
+    * Scale shape: the global rank rides
+    * [[graft.ops.RunningCount.withRunningCount]] (no single-partition
+    * window); everything after is a `bins`-row aggregation. */
+  def calibrationBins(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val base = scored.select(col(idCol).as("__id"),
+      col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
+    val ranked = graft.ops.RunningCount
+      .withRunningCount(base, Seq(col("__s"), col("__id")), "__rnk")
+    val tot = ranked.agg(count(lit(1)).cast("long").as("__nt"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bin",
+        expr(s"CAST((__rnk - 1) * $bins DIV __nt AS BIGINT) + 1"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__y")).cast("long").as("n_pos"),
+        sum(col("__rnk")).cast("long").as("sum_rnk"),
+        max(col("__nt")).as("__nt"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("obs_rate"),
+        (col("sum_rnk").cast("double") / col("__nt").cast("double") /
+          col("n").cast("double")).as("conf_mean"),
+        abs(col("n_pos").cast("double") / col("n").cast("double") -
+          col("sum_rnk").cast("double") / col("__nt").cast("double") /
+            col("n").cast("double")).as("gap"))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) — the
     * industry-standard upgrade of [[abLift]]: each user's POST-period
     * activity count is adjusted by their PRE-period count via

@@ -154,6 +154,52 @@ object Funnel {
         (col("n").cast("double") / col("n_from")).as("p"))
   }
 
+  /** CONTIGUOUS sequential patterns of length `n` (the GSP/PrefixSpan
+    * contiguous special case, and the n-gram generalization of
+    * [[transitions]]' pairs): per user, every run of `n` consecutive
+    * event types in (ts, orderCols) order is one occurrence of the
+    * pattern (t0, …, t{n−1}); patterns aggregate to total occurrence
+    * count and USER SUPPORT (distinct users exhibiting the pattern —
+    * the support measure sequential mining ranks by, robust to one hot
+    * user looping), filtered at `minSupport`. The behavioral-motif
+    * rollup between the pairwise transition matrix and the whole-journey
+    * [[sessionPaths]]: long enough to see "view → click → purchase" as
+    * one unit, short enough to aggregate across the population.
+    *
+    * Scale shape: ONE user-keyed shuffle for the incremental lead()
+    * window (n−1 lookahead slots per row, no per-user buffering), then
+    * partial aggregation collapses map-side toward ≤|types|ⁿ rows; the
+    * exact distinct-user support rides the same (pattern, user) partial
+    * agg before the pattern-level count — two keyed exchanges end to
+    * end. Hot users are the usual sessionize caveat
+    * (ops.Skew.dropHotKeys upstream). */
+  def sequencePatterns(
+      events: DataFrame,
+      n: Int = 3,
+      minSupport: Long = 1L,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      orderCols: Seq[String] = Seq("event_id")): DataFrame = {
+    require(n >= 2, s"n must be >= 2: $n")
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc +: orderCols.map(col(_).asc): _*)
+    val steps = col(typeCol).as("t0") +:
+      (1 until n).map(i => lead(col(typeCol), i).over(w).as(s"t$i"))
+    val grams = events.select(col(userCol).as("__u") +: steps: _*)
+      .filter((1 until n).map(i => col(s"t$i").isNotNull).reduce(_ && _))
+    // (pattern, user) partial collapse first: the distinct-user support
+    // never shuffles raw occurrence rows twice
+    val perUser = grams.groupBy(col("__u") +: (0 until n).map(i => col(s"t$i")): _*)
+      .agg(count(lit(1)).as("__occ"))
+    perUser.groupBy((0 until n).map(i => col(s"t$i")): _*)
+      .agg(sum(col("__occ")).cast("long").as("n_occurrences"),
+        count(lit(1)).cast("long").as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** Top user journeys: sessionize, render each session as its ordered
     * event-type path ("view>click>purchase"), count identical paths, top-k
     * by frequency. THE path-analysis rollup next to funnels and the

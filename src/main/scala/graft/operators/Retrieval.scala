@@ -37,6 +37,43 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** EXACT PHRASE search over positional postings — the retrieval
+    * primitive [[bm25TopK]]'s bag-of-words scoring cannot express ("data
+    * query" as adjacent tokens, not two independent terms): a document
+    * matches iff the phrase's tokens occur at CONSECUTIVE positions, and
+    * `n_hits` counts the occurrences. The classic positional-index plan:
+    * postings are pruned to the phrase's vocabulary BEFORE any shuffle,
+    * then the i-th word's postings join the first word's at
+    * `pos − i` — every join keyed on (doc, pos), so after the first
+    * exchange all the phrase joins are co-partitioned (one shuffle of
+    * phrase-term postings total, never a token-position cross product).
+    *
+    * Tokenization is the repo-standard whitespace split of trim(text);
+    * positions are 0-based (only DIFFERENCES enter the join, so the
+    * oracle's 1-based ordinals replay exactly). */
+  def phraseSearch(
+      docs: DataFrame,
+      phrase: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 words: $phrase")
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val posts = docs.repartition(parts)
+      .select(col(idCol).as("__id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok").isin(phrase.distinct: _*))
+    val first = posts.filter(col("__tok") === phrase.head)
+      .select(col("__id"), col("__pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (wd, i)) =>
+        acc.join(posts.filter(col("__tok") === wd)
+            .select(col("__id"), (col("__pos") - i).as("__pos")),
+          Seq("__id", "__pos"))
+    }
+    matched.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+  }
+
   /** BM25 top-k per query. `queries` maps a query id to its ordered term
     * list; k1/b are the standard BM25 free parameters. Documents that match
     * no term of a query are not candidates for it (standard sparse

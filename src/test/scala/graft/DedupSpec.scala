@@ -746,6 +746,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept(1L) == "a\n\nb" && kept(3L) == "e\n\nf")
   }
 
+  test("sortedNeighborhoodPairs: rank-window candidates via bucket join, sorted not by id") {
+    import spark.implicits._
+    // ids deliberately NOT in key order: sort is by lower(trim(title)).
+    // Keys row1..row6 are mutually similar (shared "row" prefix, JW
+    // >= 0.87 for adjacent digits), so threshold 0.5 keeps every
+    // rank-window pair — the candidate STRUCTURE is what's asserted.
+    val d = Seq((10L, "row4"), (20L, "row1"), (30L, "row6"),
+      (40L, "row2"), (50L, "row5"), (60L, "row3"))
+      .toDF("doc_id", "title")
+    val got = Dedup.sortedNeighborhoodPairs(d, window = 2, threshold = 0.5,
+        textCol = "title")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // rank order: row1(20) row2(40) row3(60) row4(10) row5(50) row6(30);
+    // pairs = every (rank i, rank i+1) gap 1 and (i, i+2) gap 2
+    val rankOrder = Seq(20L, 40L, 60L, 10L, 50L, 30L)
+    val want = (for {
+      i <- rankOrder.indices; g <- 1 to 2; if i + g < rankOrder.size
+    } yield (rankOrder(i), rankOrder(i + g), g.toLong)).toSet
+    assert(got == want)
+    // threshold filters: only truly-near neighbors survive a tight cut
+    val tight = Seq((1L, "the quick brown fox"), (2L, "the quick brown fux"),
+      (3L, "zzz totally different"))
+      .toDF("doc_id", "title")
+    val near = Dedup.sortedNeighborhoodPairs(tight, window = 3,
+        threshold = 0.9, textCol = "title")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.toSeq == Seq((1L, 2L)))
+  }
+
   test("hammingPairs: exact hamming<=7 join at 8 chunks (pigeonhole), " +
       "each pair once, nulls drop") {
     import spark.implicits._

@@ -368,4 +368,48 @@ class EventSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(f.isNullAt(f.fieldIndex("theta")) &&
       f.isNullAt(f.fieldIndex("adj_mean")) && f.isNullAt(f.fieldIndex("rho2")))
   }
+
+  test("standardizedLift: adjusted rates re-weight cell rates by the pooled stratum mix") {
+    import spark.implicits._
+    // strata a/b via the FIRST event's type; conv via a later purchase.
+    // variant 0 (even ids): 3 users in a (2 conv), 1 in b (conv);
+    // variant 1 (odd ids):  1 user in a (conv), 3 in b (1 conv).
+    // pooled shares: a 4/8, b 4/8. Hand-quantized terms:
+    //   v0: (4/8)(2/3) -> 333333333333; (4/8)(1/1) -> 500000000000
+    //   v1: (4/8)(1/1) -> 500000000000; (4/8)(1/3) -> 166666666667
+    val users = Seq( // (user, stratum, conv)
+      (0L, "a", true), (2L, "a", true), (4L, "a", false), (6L, "b", true),
+      (1L, "a", true), (3L, "b", false), (5L, "b", true), (7L, "b", false))
+    val ev = users.flatMap { case (u, s, conv) =>
+      Seq((u, ts(1), u * 10L, s),
+        (u, ts(2), u * 10L + 1L, if (conv) "purchase" else "view"))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventSignals.standardizedLift(ev)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      0L -> (4L, 3L, 833333333333L),
+      1L -> (4L, 2L, 666666666667L)))
+  }
+
+  test("calibrationBins: rank-CDF bins, observed vs forecast, exact gap arithmetic") {
+    import spark.implicits._
+    // 6 rows, 2 bins: ranks 1..3 -> bin 1 (sum_rnk 6), 4..6 -> bin 2
+    // (sum_rnk 15); conf = sum_rnk/N/n. Labels: bin1 1/3 (gap 0),
+    // bin2 2/3 (gap |2/3 - 5/6| = 1/6).
+    val d = Seq((1L, 10L, 1L), (2L, 20L, 0L), (3L, 30L, 0L),
+      (4L, 40L, 1L), (5L, 50L, 1L), (6L, 60L, 0L))
+      .toDF("doc_id", "score", "y")
+    val got = EventSignals.calibrationBins(d, "score", "y", bins = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3, 6.0 / 6 / 3, math.abs(1.0 / 3 - 6.0 / 6 / 3))))
+    assert(got(2L) == ((3L, 2L, 2.0 / 3, 15.0 / 6 / 3, math.abs(2.0 / 3 - 15.0 / 6 / 3))))
+    // a rank-tie on score breaks by id, so bins are a pure data function
+    val tied = Seq((1L, 5L, 0L), (2L, 5L, 1L)).toDF("doc_id", "score", "y")
+    val bins = EventSignals.calibrationBins(tied, "score", "y", bins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 1L)) // id 1 -> bin 1, id 2 -> bin 2
+  }
 }

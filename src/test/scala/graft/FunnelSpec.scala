@@ -227,4 +227,29 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(!out.contains(("click", "purchase")))
     assert(out.toSet == Set(("click", "view"), ("view", "click")))
   }
+
+  test("sequencePatterns: contiguous triples, distinct-user support vs occurrences") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: v c p v  -> (v,c,p), (c,p,v)
+      (1L, ts(0), 1L, "v"), (1L, ts(1), 2L, "c"),
+      (1L, ts(2), 3L, "p"), (1L, ts(3), 4L, "v"),
+      // user 2: v c p -> (v,c,p)
+      (2L, ts(0), 5L, "v"), (2L, ts(1), 6L, "c"), (2L, ts(2), 7L, "p"),
+      // user 3 loops twice: v c p v c p -> (v,c,p) x2, (c,p,v), (p,v,c)
+      (3L, ts(0), 8L, "v"), (3L, ts(1), 9L, "c"), (3L, ts(2), 10L, "p"),
+      (3L, ts(3), 11L, "v"), (3L, ts(4), 12L, "c"), (3L, ts(5), 13L, "p"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.sequencePatterns(ev, n = 3, minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // hot user 3 adds occurrences but only ONE unit of support
+    assert(got == Map(
+      ("v", "c", "p") -> (4L, 3L),
+      ("c", "p", "v") -> (2L, 2L)))
+    // (p,v,c) occurs once (user 3) -> support 1, filtered at minSupport=2
+    val all = Funnel.sequencePatterns(ev, n = 3, minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(all.contains(("p", "v", "c")))
+  }
 }

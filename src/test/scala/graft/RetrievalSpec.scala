@@ -190,4 +190,22 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0L, 0L, 2L, 0.0, 0.0, 0.0)))
     assert(got(4L) == ((0L, 0L, 1L, 0.0, 0.0, 0.0)))
   }
+
+  test("phraseSearch: adjacency-exact occurrence counts, overlapping hits, 3-word phrases") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a"),   // "a b" at pos 0 and 2
+      (2L, "b a b"),       // at pos 1
+      (3L, "a a b"),       // at pos 1 (the bag-of-words FP "a...b" at 0 is NOT a hit)
+      (4L, "b a"),         // reversed - no hit
+      (5L, "c c c"))       // vocabulary miss - no hit
+      .toDF("doc_id", "text")
+    val two = graft.operators.Retrieval.phraseSearch(d, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // 3-word phrase, overlapping matches count individually
+    val three = graft.operators.Retrieval.phraseSearch(d, Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three == Map(1L -> 2L)) // "a b a" at pos 0 and pos 2 overlap
+  }
 }
