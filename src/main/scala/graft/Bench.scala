@@ -267,7 +267,23 @@ object Bench {
     // r17: per-type Fano burstiness + EB-shrunk per-source rates
     "q_dispersion", "q_eb_shrink",
     // r17: SRM hygiene gate (distinct-unit collapse + 2-row agg)
-    "q_srm")
+    "q_srm",
+    // r18: sorted-neighborhood linkage (two-phase rank + bucket join),
+    // contiguous triple mining (one lead-window shuffle + partial
+    // collapse), direct standardization (user-keyed agg + cell rollup),
+    // positional phrase search (vocabulary-pruned co-partitioned joins)
+    "q_link_snm", "q_seq3", "q_strat_adjust", "q_phrase",
+    // r18: Theil-Sen robust slope (calendar-bounded pair join + the
+    // exact-quantile histogram), binary-segmentation changepoint (one
+    // two-phase prefix pass + 1-row argmax), nDCG/MRR eval of the SQ8
+    // tier (queries-sized joins over the two top-10 frames, the
+    // q_rbo_sq8 budget)
+    "q_theil_sen", "q_changepoint", "q_rankeval_sq8")
+    // q_calibration stays gate-only: it re-trains the 3-epoch integer
+    // perceptron (the q_train_margins cost) before its 10-row readout —
+    // benching it would time the trainer twice under another name.
+    // q_bitext_pq_seeds stays gate-only: agreement readout containing
+    // the brute compare by construction (the q_bitext_recall class).
     // q_bitext_margin stays gate-only: the brute |X|x|Y| pair scan is the
     // quadratic-baseline family the bench excludes by policy (the scale
     // path composes the margin math over LSH/IVF candidates); the

@@ -2636,6 +2636,20 @@ object SparkEntry {
     "q_mann_kendall" -> ((s, dir) =>
       operators.TimeSeries.mannKendall(ev(s, dir))),
 
+    // Theil-Sen robust slope beside the MK test: median of all pairwise
+    // day slopes, each ONE double division quantized to 1e-6 units so
+    // the median runs over integral values (the gate-proven
+    // exact-quantile regime). Calendar-bounded pair join, never
+    // data-sized past the first agg.
+    "q_theil_sen" -> ((s, dir) =>
+      operators.TimeSeries.theilSen(ev(s, dir))),
+
+    // Single changepoint by binary segmentation: argmax over splits of
+    // the two-segment fit gain L^2/s + R^2/(n-s) from exact integer
+    // prefix sums; (score desc, split asc) argmax via one max_by.
+    "q_changepoint" -> ((s, dir) =>
+      operators.TimeSeries.changepoint(ev(s, dir))),
+
     // Exact Spearman rank correlation (Pearson on DOUBLED average ranks —
     // the MWU tie discipline, so every moment is an exact decimal
     // integer): quantity vs extended price over lineitem.
@@ -3628,6 +3642,18 @@ object SparkEntry {
         Similarity.sq8Search(q, emb, topK = 10))
     }),
 
+    // nDCG@10 + MRR of the SQ8 tier against exact-L2 ground truth — the
+    // IR-standard eval twin of the RBO readout (binary relevance = the
+    // exact top-10 set; position gains are shared quantized constants,
+    // so DCG/IDCG are order-free integer sums).
+    "q_rankeval_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.rankEval(
+        Similarity.l2TopK(q, emb, topK = 10),
+        Similarity.sq8Search(q, emb, topK = 10))
+    }),
+
     // PQ-ADC search: the read side of pqEncode — per-query m×k distance
     // tables (one broadcast row each), corpus scored by m map lookups on
     // its CODES (the raw vectors never re-read), map-side-limited top-k.
@@ -4570,6 +4596,39 @@ object SparkEntry {
        |  coalesce(byy.bx_id = b.x_id, FALSE) AS mutual
        |FROM bx b LEFT JOIN byy ON byy.y_id = b.y_id""".stripMargin
   }
+
+  /** CTE block shared by the SQ8 agreement readouts (q_rbo_sq8,
+    * q_rankeval_sq8): the SQ8-coded ranking `sq` and the exact-L2
+    * ranking `ex`, both top-10 per query over the vec_id < 10 query
+    * set. */
+  private val sq8VsExactCtes =
+    """v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |ps AS (SELECT unnest(range(0, 64)) AS pos),
+      |cen AS (SELECT pos, min(e[pos + 1]) AS lo, max(e[pos + 1]) AS hi
+      |        FROM v CROSS JOIN ps GROUP BY 1),
+      |r AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+      |      FROM cen),
+      |codes AS (SELECT vec_id, list_transform(range(1, 65), i ->
+      |    CASE WHEN his[i] > los[i]
+      |      THEN CAST(floor((e[i] - los[i]) / (his[i] - los[i]) * 255.0 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS cds
+      |  FROM v, r),
+      |sq AS (SELECT q_id, n_id, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sq_d2, n_id) AS rank
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      list_sum(list_transform(range(1, 65), i ->
+      |        (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)) *
+      |        (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)))) AS sq_d2
+      |    FROM v q, codes c, r
+      |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)) WHERE rank <= 10),
+      |ex AS (SELECT q_id, n_id, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      list_sum(list_transform(list_zip(q.e, c.e),
+      |        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+      |    FROM v q, v c
+      |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)) WHERE rank <= 10)""".stripMargin
 
   /** The candidate condition shared by the PQ oracles: a pair survives
     * to the exact cosine iff some seed's ADC cand-cut kept it. */
@@ -5641,33 +5700,7 @@ object SparkEntry {
     // join on (q, n), per-depth prefix intersections, the d=1..10 term
     // fold with exact d*2^d denominators
     "q_rbo_sq8" ->
-      """WITH v AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |ps AS (SELECT unnest(range(0, 64)) AS pos),
-        |cen AS (SELECT pos, min(e[pos + 1]) AS lo, max(e[pos + 1]) AS hi
-        |        FROM v CROSS JOIN ps GROUP BY 1),
-        |r AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
-        |      FROM cen),
-        |codes AS (SELECT vec_id, list_transform(range(1, 65), i ->
-        |    CASE WHEN his[i] > los[i]
-        |      THEN CAST(floor((e[i] - los[i]) / (his[i] - los[i]) * 255.0 + 0.5) AS BIGINT)
-        |      ELSE 0 END) AS cds
-        |  FROM v, r),
-        |sq AS (SELECT q_id, n_id, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sq_d2, n_id) AS rank
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-        |      list_sum(list_transform(range(1, 65), i ->
-        |        (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)) *
-        |        (q.e[i] - (los[i] + CAST(c.cds[i] AS DOUBLE) * (his[i] - los[i]) / 255.0)))) AS sq_d2
-        |    FROM v q, codes c, r
-        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)) WHERE rank <= 10),
-        |ex AS (SELECT q_id, n_id, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-        |      list_sum(list_transform(list_zip(q.e, c.e),
-        |        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
-        |    FROM v q, v c
-        |    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)) WHERE rank <= 10),
+      s"""WITH $sq8VsExactCtes,
         |j AS (SELECT ex.q_id, greatest(ex.rank, sq.rank) AS mr
         |      FROM ex JOIN sq ON ex.q_id = sq.q_id AND ex.n_id = sq.n_id),
         |g AS (SELECT q_id, list_sort(list(mr)) AS mrs,
@@ -5681,6 +5714,32 @@ object SparkEntry {
         |      CAST(d * (1 << d) AS DOUBLE)))
         |  ELSE 0.0 END AS rbo
         |FROM qs LEFT JOIN g USING (q_id)""".stripMargin,
+
+    // binary-relevance nDCG@10 + MRR of the SQ8 ranking vs the exact-L2
+    // top-10 ground truth; position gains are the engine's own quantized
+    // constants (generated from the same Scala formula)
+    "q_rankeval_sq8" -> {
+      val gains = (1 to 10)
+        .map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+      val idcg = gains.scanLeft(0L)(_ + _).tail
+      val gl = gains.mkString("[", ", ", "]")
+      val il = idcg.mkString("[", ", ", "]")
+      s"""WITH $sq8VsExactCtes,
+        |j AS (SELECT ex.q_id, sq.rank
+        |      FROM ex JOIN sq ON ex.q_id = sq.q_id AND ex.n_id = sq.n_id),
+        |nr AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM ex GROUP BY 1),
+        |h AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |        CAST(sum(($gl)[CAST(rank AS INT)]) AS BIGINT) AS dcg_micro,
+        |        min(rank) AS minr
+        |      FROM j GROUP BY 1)
+        |SELECT nr.q_id, nr.n_rel, COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.dcg_micro, 0) AS dcg_micro,
+        |  CAST(($il)[CAST(least(nr.n_rel, 10) AS INT)] AS BIGINT) AS idcg_micro,
+        |  CAST(COALESCE(h.dcg_micro, 0) AS DOUBLE) /
+        |    ($il)[CAST(least(nr.n_rel, 10) AS INT)] AS ndcg,
+        |  COALESCE(CAST(round(1000000.0 / h.minr) AS BIGINT), 0) AS rr_micro
+        |FROM nr LEFT JOIN h USING (q_id)""".stripMargin
+    },
 
     // ADC: the d CTE (every (vector, subspace, codeword) distance) serves
     // BOTH sides — argmin rows are the corpus codes, query-id rows are the
@@ -6526,6 +6585,54 @@ object SparkEntry {
         |         sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0)
         |       ELSE 0.0 END AS z
         |FROM sv, t, ties""".stripMargin,
+
+    // Theil-Sen: pairwise day slopes quantized to 1e-6 integers, exact
+    // median via quantile_cont (the gate-proven integral regime)
+    "q_theil_sen" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dd FROM events
+        |           WHERE ts IS NOT NULL),
+        |dc AS (SELECT dd, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |sp AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dc),
+        |ser AS (SELECT g.dd - (SELECT d0 FROM sp) + 1 AS r, COALESCE(dc.c, 0) AS c
+        |  FROM (SELECT unnest(generate_series((SELECT d0 FROM sp),
+        |                                      (SELECT d1 FROM sp))) AS dd) g
+        |  LEFT JOIN dc ON g.dd = dc.dd),
+        |sl AS (SELECT CAST(round(CAST(b.c - a.c AS DOUBLE) / (b.r - a.r)
+        |         * 1000000.0) AS BIGINT) AS sq
+        |       FROM ser a JOIN ser b ON b.r > a.r),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM ser)
+        |SELECT t.n_days,
+        |  CAST(t.n_days * (t.n_days - 1) // 2 AS BIGINT) AS n_pairs,
+        |  (SELECT quantile_cont(CAST(sq AS DOUBLE), 0.5) FROM sl)
+        |    AS sen_slope_micro
+        |FROM t""".stripMargin,
+
+    // binary-segmentation changepoint: argmax of the two-segment fit
+    // gain over exact integer prefix sums; (gain desc, split asc)
+    "q_changepoint" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dd FROM events
+        |           WHERE ts IS NOT NULL),
+        |dc AS (SELECT dd, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |sp AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dc),
+        |ser AS (SELECT g.dd, g.dd - (SELECT d0 FROM sp) + 1 AS r,
+        |         COALESCE(dc.c, 0) AS c
+        |  FROM (SELECT unnest(generate_series((SELECT d0 FROM sp),
+        |                                      (SELECT d1 FROM sp))) AS dd) g
+        |  LEFT JOIN dc ON g.dd = dc.dd),
+        |pre AS (SELECT dd, r, c, sum(c) OVER (ORDER BY r) AS cum FROM ser),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS tot FROM ser),
+        |sc AS (SELECT pre.dd AS split_day, CAST(pre.r AS BIGINT) AS split_r,
+        |         t.n AS n_days, CAST(pre.cum AS BIGINT) AS lsum,
+        |         CAST(t.tot - pre.cum AS BIGINT) AS rsum,
+        |         CAST(pre.cum AS DOUBLE) * CAST(pre.cum AS DOUBLE) / pre.r
+        |           + CAST(t.tot - pre.cum AS DOUBLE)
+        |             * CAST(t.tot - pre.cum AS DOUBLE) / (t.n - pre.r) AS g,
+        |         CAST(pre.cum AS DOUBLE) / pre.r AS mean_left,
+        |         CAST(t.tot - pre.cum AS DOUBLE) / (t.n - pre.r) AS mean_right
+        |       FROM pre, t WHERE pre.r < t.n)
+        |SELECT split_day, split_r, n_days, lsum, rsum, mean_left, mean_right
+        |FROM sc ORDER BY g DESC, split_r LIMIT 1""".stripMargin,
 
     // Spearman: doubled average ranks from each column's histogram prefix,
     // exact HUGEINT moments, one fixed-order double rho

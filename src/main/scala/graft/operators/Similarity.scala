@@ -1719,6 +1719,55 @@ object Similarity {
         when(col("__mrs").isNotNull, rbo).otherwise(lit(0.0)).as("rbo"))
   }
 
+  /** Binary-relevance nDCG@D + MRR eval of an approximate ranking against
+    * its exact twin — the IR-standard complement of
+    * [[rankBiasedOverlap]] (RBO compares two rankings symmetrically;
+    * nDCG/MRR grade the approximate list against the exact top-D as
+    * ground TRUTH): relevant = the exact ranking's top-D set,
+    * DCG = Σ_{hits} 1/log₂(rank+1) over the approximate positions,
+    * IDCG = the same gains densely packed (all |rel| items first), and
+    * MRR's reciprocal first-hit rank says how deep a user must read.
+    *
+    * Engine-portable arithmetic: the position gains 10⁶/log₂(i+1) are
+    * CONSTANTS quantized once in Scala and embedded in both engines (the
+    * makePlanes discipline), so DCG/IDCG are order-free integer sums;
+    * ndcg is one double division of the two micro-ints; rr_micro =
+    * round(10⁶/first_rank) — integer, no repeating-decimal .5 cases at
+    * D ≤ 62.
+    *
+    * Scale shape: one (q_id, n_id)-keyed join of two ≤D·|queries|-row
+    * frames plus queries-sized aggs — nothing corpus-sized. */
+  def rankEval(
+      truth: DataFrame,
+      approx: DataFrame,
+      depth: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth must be in [1, 62]: $depth")
+    val gains: Seq[Long] = (1 to depth)
+      .map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+    val idcgPrefix: Seq[Long] = gains.scanLeft(0L)(_ + _).tail
+    val rel = truth.filter(col("rank") <= depth).select(col("q_id"), col("n_id"))
+    val nrel = rel.groupBy("q_id").agg(count(lit(1)).cast("long").as("n_rel"))
+    val hits = approx.filter(col("rank") <= depth)
+      .select(col("q_id"), col("n_id"), col("rank"))
+      .join(rel, Seq("q_id", "n_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        sum(element_at(array(gains.map(lit(_)): _*), col("rank").cast("int")))
+          .cast("long").as("dcg_micro"),
+        min(col("rank")).cast("long").as("__minr"))
+    val idcg = element_at(array(idcgPrefix.map(lit(_)): _*),
+      least(col("n_rel"), lit(depth.toLong)).cast("int"))
+    nrel.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        idcg.cast("long").as("idcg_micro"),
+        (coalesce(col("dcg_micro"), lit(0L)).cast("double") /
+          idcg.cast("double")).as("ndcg"),
+        coalesce(round(lit(1000000.0) / col("__minr").cast("double"))
+          .cast("long"), lit(0L)).as("rr_micro"))
+  }
+
   /** SQ8 scalar-quantized search — FAISS's `SQx` storage tier between raw
     * floats and PQ codes: each DIMENSION is quantized independently to
     * 8 bits against its corpus-wide [min, max] range, cutting the vector

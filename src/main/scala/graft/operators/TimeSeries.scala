@@ -371,6 +371,135 @@ object TimeSeries {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** Theil–Sen slope of the daily event-count series — the ROBUST trend
+    * ESTIMATE beside [[mannKendall]]'s trend TEST (MK says whether a
+    * monotone trend exists; Sen's slope says how steep, with a 29.3%
+    * breakdown point where least squares ([[EventSignals]].activityTrend)
+    * is wrecked by one spike day): the median over all C(n,2) pairwise
+    * slopes (cⱼ−cᵢ)/(j−i).
+    *
+    * Engine-portable arithmetic: each pair slope is ONE double division
+    * of exact integers, quantized to round(slope·10⁶) — so the median
+    * runs over INTEGRAL values, the regime where the distributed
+    * exact-quantile machinery is gate-proven bit-equal to the oracle
+    * engine's quantile_cont ([[graft.operators.Curation
+    * .exactQuantilesDistributed]]); `sen_slope_micro` is that median in
+    * 10⁻⁶ counts/day units (an even pair count can land on an exact .5).
+    *
+    * Scale shape: the day-keyed partial agg + zero-filled spine, one
+    * CALENDAR-bounded pair join (days², broadcast side — the
+    * [[mannKendall]] budget), then the quantile path's distinct-value
+    * histogram. Nothing data-sized past the first shuffle. */
+  def theilSen(
+      events: DataFrame,
+      tsCol: String = "ts"): DataFrame = {
+    val usPerDay = 86400000000L
+    val daily = events.filter(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros(`$tsCol`) div ${usPerDay}L").as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("__c"))
+    val span = daily.agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      .select(col("__d0"),
+        when(col("__d1") > col("__d0"), col("__d1"))
+          .otherwise(raise_error(lit(
+            "theilSen: need at least 2 days of data")).cast("long"))
+          .as("__d1"))
+    val series = span
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+      .join(daily, Seq("__d"), "left")
+      .crossJoin(broadcast(span))
+      .select((col("__d") - col("__d0") + 1L).as("__r"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val s2 = series.select(col("__r").as("__r2"), col("__c").as("__c2"))
+    // the division is GUARDED even though the join admits only gap >= 1:
+    // a downstream isnotnull filter (the quantile path's) merges into
+    // this non-equi join's condition, and predicate reordering can
+    // evaluate it on gap = 0 pairs BEFORE the rank check — under ANSI
+    // that throws; CaseWhen short-circuits, so the guard is ordering-proof
+    val gap = col("__r2") - col("__r")
+    val slopes = series.join(broadcast(s2), col("__r2") > col("__r"))
+      .select(round(when(gap > 0,
+          (col("__c2") - col("__c")).cast("double") / gap.cast("double"))
+          * lit(1000000.0))
+        .cast("long").as("__sq"))
+    val med = graft.operators.Curation
+      .exactQuantilesDistributed(slopes, "__sq", Seq(0.5))
+      .select(col("value").as("sen_slope_micro"))
+    val counts = series.agg(count(lit(1)).cast("long").as("n_days"),
+      (count(lit(1)) * (count(lit(1)) - 1) / 2).cast("long").as("n_pairs"))
+    counts.crossJoin(broadcast(med))
+  }
+
+  /** Single changepoint by BINARY SEGMENTATION over the daily count
+    * series — the offline "WHEN did the level shift" answer that
+    * [[cusumChanges]]' sequential detector (tuned for ingest-time
+    * alerting) does not give: choose the split s maximizing the
+    * between-segment fit gain G(s) = L(s)²/s + R(s)²/(n−s) (the
+    * two-segment least-squares decomposition: maximizing G minimizes
+    * within-segment sum of squares for mean models). Recurse on the
+    * halves caller-side for multiple changepoints — each level is one
+    * more pass of the same plan.
+    *
+    * Engine-portable arithmetic: prefix sums are exact integers (the
+    * two-phase machinery); G(s) is TWO double divisions + one add of
+    * exactly-representable integers, identical op order in both
+    * engines, and the argmax breaks ties (score desc, s asc) — so the
+    * chosen split is a pure data function. Segment means are one
+    * division each.
+    *
+    * Scale shape: day-keyed partial agg + spine, one two-phase prefix
+    * pass over the calendar-sized series, a 1-row total broadcast, and
+    * a top-1 selection — nothing data-sized past the first shuffle. */
+  def changepoint(
+      events: DataFrame,
+      tsCol: String = "ts"): DataFrame = {
+    val usPerDay = 86400000000L
+    val daily = events.filter(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros(`$tsCol`) div ${usPerDay}L").as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("__c"))
+    val span = daily.agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      .select(col("__d0"),
+        when(col("__d1") > col("__d0"), col("__d1"))
+          .otherwise(raise_error(lit(
+            "changepoint: need at least 2 days of data")).cast("long"))
+          .as("__d1"))
+    val series = span
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+      .join(daily, Seq("__d"), "left")
+      .crossJoin(broadcast(span))
+      .select(col("__d"), (col("__d") - col("__d0") + 1L).as("__r"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val pre = graft.ops.RunningCount.withRunningAgg(series, col("__c"),
+      graft.ops.RunningCount.Kind.Sum, Seq(col("__r")), "__cum")
+    val tot = series.agg(count(lit(1)).cast("long").as("__n"),
+      sum(col("__c")).cast("long").as("__tot"))
+    val lsum = col("__cum").cast("long")
+    val rsum = col("__tot") - lsum
+    val rn = col("__n") - col("__r")
+    // rn divisions guarded (the theilSen lesson): the __r < __n filter
+    // can merge into a join condition and reorder ahead of itself —
+    // CaseWhen keeps the ANSI division unreachable at rn = 0
+    def overRn(c: Column) = when(rn > 0, c / rn.cast("double"))
+    val score = lsum.cast("double") * lsum.cast("double") / col("__r").cast("double") +
+      overRn(rsum.cast("double") * rsum.cast("double"))
+    val scored = pre.crossJoin(broadcast(tot))
+      .filter(col("__r") < col("__n")) // s in [1, n-1]
+      .select(col("__d").as("split_day"), col("__r").as("split_r"),
+        col("__n").as("n_days"), lsum.as("lsum"), rsum.as("rsum"),
+        score.as("__g"),
+        (lsum.cast("double") / col("__r").cast("double")).as("mean_left"),
+        overRn(rsum.cast("double")).as("mean_right"))
+    // 1-row argmax: (score desc, split asc) via max_by on an orderable
+    // struct — no global sort
+    scored
+      .agg(max_by(
+        struct(col("split_day"), col("split_r"), col("n_days"),
+          col("lsum"), col("rsum"), col("mean_left"), col("mean_right")),
+        struct(col("__g"), (-col("split_r")).as("__tb"))).as("__w"))
+      .select(col("__w.split_day"), col("__w.split_r"), col("__w.n_days"),
+        col("__w.lsum"), col("__w.rsum"), col("__w.mean_left"),
+        col("__w.mean_right"))
+  }
+
   /** EXACT cross-correlation function between two event types' daily
     * count series at lags −K…K — the LEAD–LAG diagnostic
     * [[autocorrelation]] can't give: r_k correlates aₜ with bₜ₊ₖ, so a

@@ -905,4 +905,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         ((r.getAs[Long]("n_common"), r.getAs[Double]("rbo")))).toMap
     assert(got(0L) == ((0L, 0.0)) && got(1L) == ((0L, 0.0)))
   }
+
+  test("rankEval: binary-relevance nDCG and MRR by hand; no-hit query scores 0") {
+    import spark.implicits._
+    // gains at depth 3: round(1e6/log2(i+1)) = 1000000, 630930, 500000
+    val truth = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L)).toDF("q_id", "n_id", "rank")
+    val approx = Seq((1L, 11L, 1L), (1L, 99L, 2L), (1L, 10L, 3L),
+      (2L, 98L, 1L), (2L, 97L, 2L)).toDF("q_id", "n_id", "rank")
+    val got = Similarity.rankEval(truth, approx, depth = 3).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_rel"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("dcg_micro"), r.getAs[Long]("idcg_micro"),
+          r.getAs[Double]("ndcg"), r.getAs[Long]("rr_micro")))).toMap
+    // q1: hits at approx ranks 1 (gain 1e6) and 3 (gain 5e5); idcg for
+    // 3 relevant = 1e6 + 630930 + 5e5
+    assert(got(1L) == ((3L, 2L, 1500000L, 2130930L,
+      1500000.0 / 2130930.0, 1000000L)))
+    // q2: zero hits -> everything 0 except idcg for its 1 relevant
+    assert(got(2L) == ((1L, 0L, 0L, 1000000L, 0.0, 0L)))
+    // perfect agreement: ndcg = 1, rr = 1e6
+    val perfect = Similarity.rankEval(truth, truth, depth = 3).collect()
+      .map(r => (r.getAs[Double]("ndcg"), r.getAs[Long]("rr_micro")))
+    assert(perfect.forall(_ == ((1.0, 1000000L))))
+  }
 }

@@ -237,4 +237,51 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
     assert(err.getMessage.contains("need at least"))
   }
+
+  test("theilSen: median pairwise slope by hand, zero-filled gaps, spike robustness") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    def mk(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(d.toLong * usPerDay + 9L)
+      }.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    // counts [1,2,3]: slopes {1,1,1} -> median 1.0 day^-1 = 1e6 micro
+    val r = TimeSeries.theilSen(mk(Seq(1, 2, 3))).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs")) == ((3L, 3L)))
+    assert(r.getAs[Double]("sen_slope_micro") == 1000000.0)
+    // one spike day barely moves Sen's slope where OLS would be wrecked:
+    // [1,2,100,3]: slopes {1, 49.5, 2/3, 98, 0.5, -97} sorted ->
+    // median = (2/3 + 1)/2 -> (666667 + 1000000)/2 = 833333.5
+    val sp = TimeSeries.theilSen(mk(Seq(1, 2, 100, 3))).collect().head
+    assert(sp.getAs[Double]("sen_slope_micro") == 833333.5)
+    // a day with NO events is a real zero in the series: [2,0(gap),4]
+    // via days 0 and 2 only -> series [2,0,4], slopes {-2, 1, 4} ->
+    // median 1e6
+    val gap = Seq.fill(2)(0L * usPerDay) ++ Seq.fill(4)(2L * usPerDay)
+    val g = TimeSeries.theilSen(
+      gap.toDF("us").select(timestamp_micros(col("us")).as("ts")))
+      .collect().head
+    assert(g.getAs[Long]("n_days") == 3L)
+    assert(g.getAs[Double]("sen_slope_micro") == 1000000.0)
+  }
+
+  test("changepoint: argmax split by hand, tie breaks to the earliest split") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    def mk(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(d.toLong * usPerDay + 9L)
+      }.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    // level shift [1,1,1,5,5,5]: the true split is after day 3
+    // (r = 3): G(3) = 9/3 + 225/3 = 78, the unique max
+    val r = TimeSeries.changepoint(mk(Seq(1, 1, 1, 5, 5, 5))).collect().head
+    assert(r.getAs[Long]("split_r") == 3L)
+    assert(r.getAs[Long]("split_day") == 2L) // epoch day of day index 2
+    assert((r.getAs[Long]("lsum"), r.getAs[Long]("rsum")) == ((3L, 15L)))
+    assert(r.getAs[Double]("mean_left") == 1.0)
+    assert(r.getAs[Double]("mean_right") == 5.0)
+    // constant series [2,2,2,2]: G(s) equal everywhere -> earliest split
+    val c = TimeSeries.changepoint(mk(Seq(2, 2, 2, 2))).collect().head
+    assert(c.getAs[Long]("split_r") == 1L)
+  }
 }
