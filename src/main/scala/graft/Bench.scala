@@ -278,7 +278,11 @@ object Bench {
     // two-phase prefix pass + 1-row argmax), nDCG/MRR eval of the SQ8
     // tier (queries-sized joins over the two top-10 frames, the
     // q_rbo_sq8 budget)
-    "q_theil_sen", "q_changepoint", "q_rankeval_sq8")
+    "q_theil_sen", "q_changepoint", "q_rankeval_sq8",
+    // r18: VAD energy segmentation (one partition-local decode pass, no
+    // shuffle), interval-overlap join (chunk-bucketed, occupancy^2 per
+    // chunk), k-anonymity census (one keyed partial agg)
+    "q_media_vad", "q_interval_join", "q_k_anon")
     // q_calibration stays gate-only: it re-trains the 3-epoch integer
     // perceptron (the q_train_margins cost) before its 10-row readout —
     // benching it would time the trainer twice under another name.

@@ -3695,6 +3695,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), "sum_value"))
     }),
 
+    // INTERVAL OVERLAP join — both sides genuine interval sets (user
+    // sessions x purchase windows), neither expressible as as-of or
+    // banding: intervals explode to 1-hour chunks, equi-join on chunk,
+    // exact overlap filter, distinct over multi-chunk pairs. Shuffle is
+    // span/chunk rows, per-chunk work occupancy^2 - never n^2 globally.
+    "q_interval_join" -> ((s, dir) => {
+      val events = ev(s, dir)
+      val sess = operators.Funnel.sessionize(events, gap = "30 minutes")
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .select((col("user_id") * 1000000L + col("session_idx")).as("s_id"),
+          col("start_us"), col("end_us"))
+      val promos = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"),
+          (unix_micros(col("ts")) - 600000000L).as("start_us"),
+          (unix_micros(col("ts")) + 600000000L).as("end_us"))
+      operators.AsOfJoin.overlapJoin(sess, promos, chunk = "1 hour",
+        aIdCol = "s_id", bIdCol = "p_id")
+    }),
+
+    // k-anonymity audit over generalized quasi-identifiers (lang,
+    // source, 100-token length band): every equivalence class sized,
+    // classes under k=5 flagged - the pre-release privacy gate; one
+    // keyed partial agg.
+    "q_k_anon" -> ((s, dir) =>
+      Curation.kAnonymity(
+        t(s, dir, "documents").select(col("lang"), col("source"),
+          expr("size(split(trim(text), '\\\\s+')) div 100")
+            .cast("long").as("len_band")),
+        Seq("lang", "source", "len_band"), k = 5)),
+
     // Benford first-digit audit (the fabricated-numbers screen): exact
     // leading-digit counts from the DECIMAL STRING rendering, observed
     // share vs Benford's log10(1+1/d) expectation in micros — one scan to
@@ -4251,6 +4283,18 @@ object SparkEntry {
     // PCM stream (audioFeatures) — one row per (clip, energy window).
     // Payload bytes never leave executors; the oracle recomputes both
     // header arithmetic and the exact integer Σs² -> IEEE energy chain.
+    // VAD-style energy segmentation of the synthesized clips: fixed
+    // 16-sample windows, cross-multiplied INTEGER activity decision
+    // (ssq*10^6 >= theta^2*2^30*cnt - no float in segment boundaries),
+    // maximal active runs emitted with exact integer run energies. The
+    // whole operator is one partition-local decode pass - no shuffle.
+    "q_media_vad" -> ((s, dir) => {
+      val wavs = Multimodal.synthesizeWavs(
+        t(s, dir, "documents").filter(col("doc_id") % 25 === 0)).toDF()
+      Multimodal.energySegments(wavs, windowSamples = 16,
+        thresholdMilli = 500).toDF()
+    }),
+
     "q_media_audio" -> ((s, dir) => {
       val wavs = Multimodal.synthesizeWavs(
         t(s, dir, "documents").filter(col("doc_id") % 25 === 0)).toDF()
@@ -6151,6 +6195,37 @@ object SparkEntry {
         |        epoch_us(ts) - LAG(epoch_us(ts))
         |          OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 AS gap_new
         |      FROM events)""".stripMargin,
+
+    // interval overlap: sessions (0-based gaps-and-islands ordinals, the
+    // q_sessionize convention) x +-10min purchase windows; DuckDB's
+    // IEJoin takes the non-equi form directly
+    "q_interval_join" ->
+      """WITH g AS (SELECT user_id, ts,
+        |    epoch_us(ts) - LAG(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 AS gap_new
+        |  FROM events),
+        |si AS (SELECT user_id, epoch_us(ts) AS t,
+        |    SUM(CASE WHEN gap_new THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM g),
+        |a AS (SELECT user_id * 1000000 + sid AS s_id,
+        |        min(t) AS s, max(t) AS e
+        |      FROM si GROUP BY user_id, sid),
+        |b AS (SELECT event_id AS p_id, epoch_us(ts) - 600000000 AS s,
+        |        epoch_us(ts) + 600000000 AS e
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(a.s_id AS BIGINT) AS s_id, b.p_id,
+        |  CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a.s <= b.e AND b.s <= a.e""".stripMargin,
+
+    // k-anonymity census over the generalized quasi tuple
+    "q_k_anon" ->
+      """WITH q AS (SELECT lang, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) // 100 AS len_band
+        |  FROM documents)
+        |SELECT lang, source, CAST(len_band AS BIGINT) AS len_band,
+        |  CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS k_anonymous
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
 
     "q_asof_fwd" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS p_value
@@ -10680,6 +10755,37 @@ object SparkEntry {
     // engine's exact chain — integer sum(s*s) (< 2^53, exact as DOUBLE),
     // one correctly-rounded divide, sqrt, /2^15, then the double->REAL
     // round-trip matching the engine's Float features.
+    // VAD energy segments: the formula-PCM windows, the integer activity
+    // inequality, gaps-and-islands runs
+    "q_media_vad" ->
+      """WITH sel AS (
+        |  SELECT doc_id,
+        |    (64 + (doc_id % 41)) * (1 + (doc_id % 2)) AS n
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |vals AS (
+        |  SELECT doc_id, i // 16 AS win,
+        |    ((i * 37 + doc_id * 101) % 65536) - 32768 AS s
+        |  FROM (SELECT *, unnest(range(0, n)) AS i FROM sel)),
+        |wins AS (SELECT doc_id, win, sum(CAST(s AS HUGEINT) * s) AS ssq,
+        |           count(*) AS cnt
+        |         FROM vals GROUP BY 1, 2),
+        |act AS (SELECT doc_id, win, ssq FROM wins
+        |        WHERE ssq * 1000000 >=
+        |          CAST(500 AS HUGEINT) * 500 * 32768 * 32768 * cnt),
+        |isl AS (SELECT doc_id, win, ssq,
+        |          win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS g
+        |        FROM act),
+        |seg AS (SELECT doc_id, g, min(win) AS start_win, max(win) AS end_win,
+        |          CAST(count(*) AS BIGINT) AS n_windows,
+        |          CAST(sum(ssq) AS BIGINT) AS ssq_total
+        |        FROM isl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_win) - 1
+        |    AS BIGINT) AS seg_idx,
+        |  CAST(start_win AS BIGINT) AS start_win,
+        |  CAST(end_win AS BIGINT) AS end_win, n_windows, ssq_total
+        |FROM seg""".stripMargin,
+
     "q_media_audio" ->
       """WITH sel AS (
         |  SELECT doc_id,

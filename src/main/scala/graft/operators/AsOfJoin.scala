@@ -215,6 +215,50 @@ object AsOfJoin {
 
   /** Elapsed "a - b" in the tolerance's units: event-time micros for
     * timestamp columns, the column's own units otherwise. */
+  /** INTERVAL OVERLAP JOIN — pairs of intervals from two relations that
+    * overlap in time (sessions × campaign windows, incidents ×
+    * deployments): the temporal-join family member [[asofJoin]] (nearest
+    * PAST point) and the banding range join (point ∈ static band) can't
+    * express, because BOTH sides are genuine interval SETS.
+    *
+    * Plan: each interval explodes to the fixed-width time CHUNKS it
+    * covers, the join is EQUI on chunk id, the exact overlap predicate
+    * filters the chunk-collisions, and a distinct collapses pairs that
+    * share several chunks. Shuffle volume is Σ(interval span / chunk)
+    * rows and per-chunk work is occupancy² — the standard
+    * spatial-gridding trade: size `chunk` near the typical interval
+    * length (too fine explodes rows, too coarse degrades toward
+    * all-pairs within a chunk). Never n² globally, no broadcast of
+    * either side.
+    *
+    * Inputs carry (id, start_us, end_us) as epoch-micro longs with
+    * start ≤ end (degenerate point intervals allowed); touching
+    * intervals (end_a = start_b) count as overlapping with overlap_us
+    * = 0, the closed-interval convention. */
+  def overlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      chunk: String = "1 hour",
+      aIdCol: String = "a_id",
+      bIdCol: String = "b_id",
+      startCol: String = "start_us",
+      endCol: String = "end_us"): DataFrame = {
+    val chunkUs = graft.ops.Intervals.subDayMicros(chunk)
+    require(chunkUs > 0, s"chunk must be positive: $chunk")
+    def chunked(df: DataFrame, idCol: String, p: String) = df
+      .select(col(idCol).as(s"${p}_id"), col(startCol).as(s"${p}_s"),
+        col(endCol).as(s"${p}_e"))
+      .where(col(s"${p}_s").isNotNull && col(s"${p}_e") >= col(s"${p}_s"))
+      .withColumn("__ch", explode(sequence(
+        expr(s"${p}_s div ${chunkUs}L"), expr(s"${p}_e div ${chunkUs}L"))))
+    chunked(a, aIdCol, "a").join(chunked(b, bIdCol, "b"), Seq("__ch"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("a_id").as(aIdCol), col("b_id").as(bIdCol),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      .distinct()
+  }
+
   private def tsDiff(a: Column, b: Column,
       dt: org.apache.spark.sql.types.DataType): Column = dt match {
     case org.apache.spark.sql.types.TimestampType |

@@ -3567,4 +3567,30 @@ object Curation {
         .where(col("cnt") >= minCount)
     }
   }
+
+  /** K-ANONYMITY audit over quasi-identifier columns (Sweeney 2002) —
+    * the privacy gate a dataset must pass before release: every
+    * quasi-identifier combination must be shared by at least `k` rows,
+    * else those rows are re-identifiable by linking the quasi columns
+    * against an external table. Returns one row per equivalence class
+    * with its size and the pass flag; the release pipeline suppresses
+    * or generalizes the failing classes (the caller picks which — a
+    * `filter(!$"k_anonymous")` is the suppression list).
+    *
+    * Quasi columns should be pre-generalized by the caller (bands, not
+    * raw values — e.g. `n_tokens div 100`): k-anonymity over raw
+    * high-cardinality columns is unachievable by construction.
+    *
+    * Scale shape: ONE keyed partial aggregation — the class census is
+    * |distinct quasi combinations|-sized, nothing else. */
+  def kAnonymity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("k_anonymous", col("n") >= k)
+  }
 }

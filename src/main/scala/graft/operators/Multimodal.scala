@@ -439,6 +439,98 @@ object Multimodal {
     })
   }
 
+  /** One active-energy run of an audio clip: windows [start_win, end_win]
+    * all at/above the threshold, with the exact integer Σs² over the
+    * run. */
+  final case class AudioSegment(
+      doc_id: Long,
+      seg_idx: Long,
+      start_win: Long,
+      end_win: Long,
+      n_windows: Long,
+      ssq_total: Long)
+
+  /** VAD-style ENERGY SEGMENTATION — the speech/silence splitter a
+    * large-scale audio-training pipeline runs right after ingest (cut
+    * clips to voiced runs before the expensive transcribe/embed stages):
+    * the decoded PCM is cut into fixed `windowSamples`-sample windows,
+    * a window is ACTIVE when its RMS (as a fraction of full scale)
+    * meets `thresholdMilli`/1000, and maximal runs of active windows
+    * emit one segment row each, with the exact integer Σs² energy.
+    *
+    * Engine-portable: the activity test is the cross-multiplied INTEGER
+    * inequality ssq·10⁶ ≥ θ²·32768²·cnt — no float enters the decision
+    * (the [[graft.operators.EventSignals.abLift]] significance
+    * discipline applied to signal processing), so segment boundaries
+    * replay exactly in the oracle. Same decode contract as
+    * [[audioFeatures]]: 16-bit PCM, O(buffer) working set, payloads
+    * never leave executors; the run detection is a per-clip sequential
+    * fold inside the same partition-local pass — no shuffle at all, the
+    * ideal 100 TB shape (cost ∝ bytes scanned, perfectly parallel). */
+  def energySegments(
+      media: DataFrame,
+      windowSamples: Int = 16,
+      thresholdMilli: Int = 500): Dataset[AudioSegment] = {
+    require(windowSamples >= 1 && windowSamples <= 4096,
+      s"windowSamples in [1, 4096] (keeps ssq*10^6 in a long): $windowSamples")
+    require(thresholdMilli >= 0 && thresholdMilli <= 1000,
+      s"thresholdMilli in [0, 1000]: $thresholdMilli")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val thrNum = thresholdMilli.toLong * thresholdMilli * 32768L * 32768L
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      import javax.sound.sampled.AudioSystem
+      val ais =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(r.payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"unparseable audio payload (doc ${r.doc_id})", e)
+        }
+      val af = ais.getFormat
+      require(af.getSampleSizeInBits == 16,
+        s"energySegments expects 16-bit PCM, got ${af.getSampleSizeInBits}-bit (doc ${r.doc_id})")
+      val segs = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+      var win = 0L; var ssq = 0L; var cnt = 0L
+      var segStart = -1L; var segSsq = 0L; var lastActiveWin = -2L
+      def closeSegment(): Unit = if (segStart >= 0) {
+        segs += AudioSegment(r.doc_id, segs.size.toLong, segStart,
+          lastActiveWin, lastActiveWin - segStart + 1, segSsq)
+        segStart = -1L; segSsq = 0L
+      }
+      def closeWindow(): Unit = if (cnt > 0) {
+        // integer decision: rms >= theta  <=>  ssq*10^6 >= theta^2*2^30*cnt
+        val active = ssq * 1000000L >= thrNum * cnt
+        if (active) {
+          if (segStart < 0) segStart = win
+          segSsq += ssq
+          lastActiveWin = win
+        } else closeSegment()
+        ssq = 0L; cnt = 0L
+      }
+      val buf = new Array[Byte](1 << 16)
+      val big = af.isBigEndian
+      var i = 0L
+      var read = ais.read(buf)
+      while (read > 0) {
+        var p = 0
+        while (p + 1 < read) {
+          val s =
+            (if (big) ((buf(p) & 0xff) << 8) | (buf(p + 1) & 0xff)
+             else ((buf(p + 1) & 0xff) << 8) | (buf(p) & 0xff)).toShort
+          val w = i / windowSamples
+          if (w != win) { closeWindow(); win = w }
+          ssq += s.toLong * s; cnt += 1
+          i += 1
+          p += 2
+        }
+        read = ais.read(buf)
+      }
+      closeWindow(); closeSegment()
+      segs
+    })
+  }
+
   /** Deterministic formula-pixel PNGs — the [[RealCodec]] correctness
     * gate's input generator. Image (8 + id % 9) × (8 + id % 7); pixel
     * (x, y) of doc d is explicit integer arithmetic (r = (7x + 11y + d)

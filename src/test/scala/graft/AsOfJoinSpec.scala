@@ -206,6 +206,39 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(Layouts.countExchanges(df) == 1,
       s"expected one exchange:\n${df.queryExecution.executedPlan}")
   }
+
+  test("overlapJoin: chunk-bucketed pairs equal the brute non-equi join, once each") {
+    import spark.implicits._
+    val M = 60000000L // one minute in micros
+    // intervals chosen to cross chunk boundaries (chunk = 1 hour) and to
+    // include touching, contained, disjoint, and multi-chunk-shared cases
+    val a = Seq(
+      (1L, 10L * M, 70L * M),    // crosses the hour boundary
+      (2L, 100L * M, 110L * M),  // inside hour 1
+      (3L, 200L * M, 200L * M))  // degenerate point, hour 3
+      .toDF("a_id", "start_us", "end_us")
+    val b = Seq(
+      (10L, 0L * M, 15L * M),     // overlaps a1 by 5 min
+      (11L, 70L * M, 80L * M),    // TOUCHES a1 exactly (overlap 0)
+      (12L, 30L * M, 130L * M),   // overlaps a1 (40m) and a2 (10m), shares 3 chunks with a1
+      (13L, 500L * M, 510L * M))  // disjoint from everything
+      .toDF("b_id", "start_us", "end_us")
+    val got = AsOfJoin.overlapJoin(a, b, chunk = "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = a.join(b, a("start_us") <= b("end_us") &&
+        b("start_us") <= a("end_us"))
+      .select(a("a_id"), b("b_id"),
+        (org.apache.spark.sql.functions.least(a("end_us"), b("end_us")) -
+          org.apache.spark.sql.functions.greatest(
+            a("start_us"), b("start_us"))).as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == brute)
+    assert(got == Map((1L, 10L) -> 5 * M, (1L, 11L) -> 0L,
+      (1L, 12L) -> 40 * M, (2L, 12L) -> 10 * M))
+    // multi-chunk pair (1, 12) appears exactly once despite 2 shared chunks
+    assert(AsOfJoin.overlapJoin(a, b, chunk = "1 hour")
+      .groupBy("a_id", "b_id").count().filter($"count" > 1).isEmpty)
+  }
 }
 
 /** Evaluation counter for the persistSnapshots spec — a static so the

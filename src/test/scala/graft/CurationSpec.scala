@@ -2036,4 +2036,18 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(sFlat == 0.0)
     assert(sSkew < -0.5, s"skewed corpus should have a steep slope: $sSkew")
   }
+
+  test("kAnonymity: equivalence-class sizes and the k flag; null quasi values form a class") {
+    import spark.implicits._
+    val d = Seq(("en", "web"), ("en", "web"), ("en", "web"),
+      ("en", "books"), (null, "web"), (null, "web"))
+      .toDF("lang", "source")
+    val got = Curation.kAnonymity(d, Seq("lang", "source"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      ("en", "web") -> ((3L, true)),
+      ("en", "books") -> ((1L, false)),   // the re-identifiable singleton
+      ((null, "web"): (String, String)) -> ((2L, true))))
+  }
 }

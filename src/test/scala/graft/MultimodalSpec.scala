@@ -322,4 +322,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val b = Array.tabulate[Byte](100)(i => (i * 7 % 256).toByte)
     assert(Multimodal.StubCodec.dhash(b) == Multimodal.StubCodec.dhash(b.clone()))
   }
+
+  test("energySegments: alternating loud/silent windows split into exact runs") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 6 windows of 16 samples: loud (constant 20000), silent (0), loud,
+    // loud, silent, loud-but-short tail (8 samples) -> runs
+    // [0,0], [2,3], [5,5]; window 5 is partial but its RMS is still
+    // full-amplitude, so the per-window cnt in the integer decision
+    // matters (a fixed-length assumption would misclassify it)
+    val amp = Seq(20000, 0, 20000, 20000, 0)
+    val samples = amp.flatMap(a => Seq.fill(16)(a)) ++ Seq.fill(8)(20000)
+    val pcm = new Array[Byte](samples.size * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.size.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((7L, "audio", bos.toByteArray)).toDF("doc_id", "media_type", "payload")
+    // threshold 500 milli = rms 0.5 fs = 16384; 20000 > that, 0 below
+    val got = Multimodal.energySegments(media, windowSamples = 16,
+        thresholdMilli = 500)
+      .collect().map(s => (s.seg_idx, s.start_win, s.end_win, s.n_windows,
+        s.ssq_total)).sortBy(_._1).toSeq
+    val loudW = 16L * 20000L * 20000L
+    assert(got == Seq(
+      (0L, 0L, 0L, 1L, loudW),
+      (1L, 2L, 3L, 2L, 2 * loudW),
+      (2L, 5L, 5L, 1L, 8L * 20000L * 20000L)))
+    // a lower threshold merges nothing across the true silence
+    val all = Multimodal.energySegments(media, windowSamples = 16,
+        thresholdMilli = 0)
+      .collect().map(s => (s.start_win, s.end_win)).toSeq
+    assert(all == Seq((0L, 5L))) // threshold 0: every window active, one run
+  }
 }
