@@ -134,10 +134,12 @@ object Graph {
     *
     * Scale shape: per half-step ONE node-keyed edges×scores join (the
     * zero-stub union folds contribution-less nodes into the same
-    * exchange) + one 1-row normalizer agg broadcast back; scores re-pin
-    * once per ROUND (localCheckpoint) so the iterated plan stays
-    * constant-size — the [[Dedup.clusters]] loop discipline, at half the
-    * per-half-step checkpoint-job count. Nothing data-sized on the
+    * exchange) feeding a pinned ROLLUP that carries the per-node sums
+    * AND the L1 normalizer total out of the SAME exchange — the 1-row
+    * total broadcast is then a scan of the pin, never a re-execution of
+    * the join (the dominant fixed cost on small graphs, measured); the
+    * per-half-step pin keeps the iterated plan constant-size — the
+    * [[Dedup.clusters]] loop discipline. Nothing data-sized on the
     * driver. */
   def hits(
       edges: DataFrame,
@@ -161,52 +163,82 @@ object Graph {
     // keeps contribution-less nodes at 0 through the SAME groupBy that
     // sums the real contributions — one exchange where a
     // groupBy-then-left-join-nodes shape costs two, and decimal sums are
-    // exact so the extra zero term never changes a value.
-    def halfStep(scores: DataFrame, frm: String, tgt: String): DataFrame = {
-      val contrib = e0.join(scores, e0(s"__$frm") === scores("node"))
+    // exact so the extra zero term never changes a value. The stub is
+    // pinned ONCE with fresh attribute ids: re-reading the `nodes`
+    // dataset inside every round's plan trips DetectAmbiguousSelfJoin
+    // against the join's Dataset-tagged column references.
+    val zeroStub = nodes
+      .select(col("node").as("node"), lit(0L).cast("decimal(38,0)").as("__c"))
+      .localCheckpoint(true)
+    // One half-step = ONE pinned ROLLUP: the per-node sums AND the L1
+    // normalizer total come out of the same exchange (rollup adds the
+    // grand-total grouping set — sum is associative on exact decimals,
+    // so Σ__c ≡ Σ__raw bit-for-bit), and the normalize projection is
+    // two cheap scans of the PIN — the 1-row total broadcast no longer
+    // re-executes the contribution join (the r18 finding: those
+    // broadcast-subquery recomputes, not tasks, dominated the 5-node
+    // bench cost). Returns (normalized scores view, the pin to release).
+    def halfStep(scores: DataFrame, frm: String, tgt: String)
+        : (DataFrame, DataFrame) = {
+      // unresolved col("node") (unique by name: e0 carries only __src/
+      // __dst/__w) — a Dataset-tagged scores("node") false-positives
+      // DetectAmbiguousSelfJoin once the pinned-normalized view is fed
+      // back through the loop
+      val contrib = e0.join(scores, e0(s"__$frm") === col("node"))
         .select(col(s"__$tgt").as("node"),
           (col("score").cast("decimal(38,0)") * col("__w")).as("__c"))
-      val raw = contrib
-        .union(nodes.select(col("node"),
-          lit(0L).cast("decimal(38,0)").as("__c")))
-        .groupBy("node").agg(sum("__c").cast("decimal(38,0)").as("__raw"))
-      val total = raw.agg(sum("__raw").cast("decimal(38,0)").as("__tot"))
-      raw.crossJoin(broadcast(total))
-        .selectExpr("node", s"(__raw * ${scale}L) div __tot AS score")
+      // rollup over the UNTAGGED col("node"): the String overload resolves
+      // through Dataset.col, whose __dataset_id metadata false-positives
+      // DetectAmbiguousSelfJoin against the Expand's re-aliased grouping
+      // attribute
+      val rolled = contrib
+        .union(zeroStub)
+        .rollup(col("node"))
+        .agg(sum("__c").cast("decimal(38,0)").as("__raw"),
+          grouping_id().cast("int").as("__g"))
+        .localCheckpoint(true)
+      // the normalizer is 1-row BOUNDED METADATA off the already-pinned
+      // rollup (the codebook/argmax collect class) — inlined as a decimal
+      // literal, so the loop runs ZERO broadcast subqueries
+      val tot = rolled.filter(col("__g") === 1)
+        .select(col("__raw")).head().getDecimal(0)
+      val normalized = rolled.filter(col("__g") === 0)
+        .selectExpr("node",
+          s"(__raw * ${scale}L) div CAST('${tot.toPlainString}' " +
+            "AS DECIMAL(38,0)) AS score")
+      (normalized, rolled)
     }
-    var hubs = nodes.select(col("node"), lit(scale / n).as("score"))
+    // explicit alias: the init pin must NOT reuse `nodes`' attribute ids —
+    // the zero-stub union re-reads `nodes`, and a shared id across the
+    // join and union branches trips DetectAmbiguousSelfJoin
+    var hubs = nodes.select(col("node").as("node"),
+        lit(scale / n).as("score"))
       .localCheckpoint(true)
+    // Release discipline per round (the Pins contract — a released
+    // checkpoint has no lineage): a side's rolled pin is consumed ONLY by
+    // the next half-step's pin job, so it dies as soon as that pin
+    // materializes; the LAST round's two pins survive into the returned
+    // join. The init scores pin rides `hubsPin` and is released after
+    // round 1's auth pin seals it.
+    var hubsPin: DataFrame = hubs
     var auths: DataFrame = null
-    // The auth half-step stays a LAZY PLAN inside the round: the hub pin
-    // executes both half-steps (their 1-row normalizer broadcasts
-    // AQE-stage-reused across the subqueries) in ONE job — one pin per
-    // ROUND, not per half-step. On the 5-node bench graph the cost is
-    // almost entirely fixed per-QueryExecution scheduling/planning
-    // (measured: 136 jobs but only ~114 TASKS per run when every
-    // half-step pinned; AQE-off explodes to 15k tasks, so runtime
-    // replanning stays ON), and fusing deeper than one round buys
-    // nothing — optimizer time grows with plan depth and eats the saved
-    // jobs (measured every-2-rounds: no faster). Arithmetic is unchanged
-    // — same joins, same integer div — so scores stay bit-identical to
-    // the recursive-CTE oracle.
+    var authsPin: DataFrame = null
     for (i <- 1 to iters) {
-      val aPlan = halfStep(hubs, "src", "dst")
-      // Final round only: the RETURNED join reads auths, so it gets its
-      // own pin — an unpinned plan would re-read the hub pin released
-      // below, which has no lineage to recompute from (Pins contract).
-      val a = if (i == iters) aPlan.localCheckpoint(true) else aPlan
-      val prevH = hubs
-      hubs = halfStep(a, "dst", "src").localCheckpoint(true)
-      // hubs has materialized and every lazy plan that read the old pin
-      // is sealed inside it (final round: auths pinned above) — the
-      // previous pin is dead
-      graft.ops.Pins.releaseCheckpoint(prevH)
-      if (i == iters) auths = a
+      val (a, aPin) = halfStep(hubs, "src", "dst")
+      // aPin materialized reading hubsPin; the PREVIOUS auths pin was
+      // consumed by the previous hub pin — dead now
+      if (authsPin != null) graft.ops.Pins.releaseCheckpoint(authsPin)
+      val (h, hPin) = halfStep(a, "dst", "src")
+      // hPin materialized reading aPin; the previous hubs pin is dead
+      graft.ops.Pins.releaseCheckpoint(hubsPin)
+      hubs = h; hubsPin = hPin
+      auths = a; authsPin = aPin
     }
     val out = hubs.select(col("node"), col("score").as("hub"))
       .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))
     graft.ops.Pins.releaseCheckpoint(e0)
     graft.ops.Pins.releaseCheckpoint(nodes)
+    graft.ops.Pins.releaseCheckpoint(zeroStub)
     out
   }
 
