@@ -1884,6 +1884,24 @@ object SparkEntry {
         .select(col("user_id"), col("from_type"), col("to_type"))
     }),
 
+    // The streaming SEQUENCE EMITTER under the gate (32nd family): the
+    // last n-1 event types per user ride in keyed state, every arriving
+    // event completes a contiguous triple as the stream arrives; the
+    // sink then rolls up to occurrences + distinct-user support with
+    // exactly the batch aggregation, so on in-order replay the oracle
+    // is q_seq3's own SQL.
+    "q_stream_seq3_gate" -> ((s, dir) => {
+      val events = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val grams = runStreamGate(s, events, Seq(col("ts"), col("event_id"))) {
+        src => graft.streaming.StreamingPipeline.sequences(src(), n = 3)
+      }
+      grams.groupBy("t0", "t1", "t2")
+        .agg(count(lit(1)).cast("long").as("n_occurrences"),
+          count_distinct(col("user_id")).cast("long").as("support"))
+        .filter(col("support") >= 2)
+    }),
+
     // The SESSION-WINDOW AGGREGATION streaming mode under the hash gate
     // (7th stateful family: sessionWindowStateStore — merging-window
     // state, distinct from the fixed-window stateStoreSave the OHLC gate
@@ -8078,6 +8096,21 @@ object SparkEntry {
         |        epoch_us(ts) - LAG(epoch_us(ts))
         |          OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 AS gap_new
         |      FROM events)""".stripMargin,
+
+    // streamed contiguous triples roll up to the batch pattern table on
+    // in-order replay — the oracle IS q_seq3's
+    "q_stream_seq3_gate" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type AS t0,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS support
+        |FROM g WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT user_id) >= 2""".stripMargin,
 
     // idle-timeout eviction: with maxGap <= idleTimeout the bounded-state
     // stream equals the batch gap-filtered pairs exactly (see the gate

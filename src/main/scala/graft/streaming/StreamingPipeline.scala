@@ -602,6 +602,74 @@ object StreamingPipeline {
       }(Encoders.product[TransitionState], outEnc)
   }
 
+  /** Rolling (n−1)-type tail for the streaming sequence emitter. */
+  final case class SeqTailState(tail: Seq[String])
+
+  /** Streaming form of [[graft.operators.Funnel.sequencePatterns]]' gram
+    * generation: per user, every arriving event completes the contiguous
+    * n-gram ending at it (the last n−1 types ride in keyed state), and
+    * the gram row (user, t0…t{n−1}) emits AS THE STREAM ARRIVES — the
+    * support/occurrence rollup is one batch agg or windowed streaming
+    * agg downstream, exactly the [[transitions]] contract generalized
+    * from pairs to n-grams. Events are ordered (ts, `orderCols`) within
+    * each micro-batch and chained across batches through the state;
+    * parity with the batch operator under per-user in-order arrival
+    * (the CDC-shaped assumption every last-value state makes). State is
+    * n−1 strings per user — bound an unbounded user universe with an
+    * upstream watermark + the [[transitions]] idle discipline when that
+    * matters. */
+  def sequences(
+      df: DataFrame,
+      n: Int = 3,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      orderCols: Seq[String] = Seq("event_id")): DataFrame = {
+    require(n >= 2, s"n must be >= 2: $n")
+    val userIdx = df.schema.fieldIndex(userCol)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val typeIdx = df.schema.fieldIndex(typeCol)
+    val orderIdxs = orderCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema(userCol) +:
+      (0 until n).map(i => StructField(s"t$i", StringType)))
+    val outEnc = Encoders.row(outSchema)
+    def micros(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant => org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+    val ord: Ordering[Row] = (a: Row, b: Row) => {
+      val c = java.lang.Long.compare(micros(a), micros(b))
+      if (c != 0) c
+      else orderIdxs.iterator.map { i =>
+        (a.get(i), b.get(i)) match {
+          case (null, null) => 0
+          case (null, _) => -1
+          case (_, null) => 1
+          case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
+        }
+      }.find(_ != 0).getOrElse(0)
+    }
+    df.groupByKey { r: Row =>
+        if (r.isNullAt(userIdx)) "0" else "1:" + r.get(userIdx)
+      }(Encoders.STRING)
+      .flatMapGroupsWithState[SeqTailState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[SeqTailState]) =>
+          var tail = state.getOption.map(_.tail).getOrElse(Seq.empty)
+          val out = Vector.newBuilder[Row]
+          rows.toVector.sorted(ord).foreach { r =>
+            val tp = r.get(typeIdx) match { case null => null; case v => v.toString }
+            if (tail.size == n - 1)
+              out += Row.fromSeq(r.get(userIdx) +: (tail :+ tp))
+            tail = (tail :+ tp).takeRight(n - 1)
+          }
+          state.update(SeqTailState(tail))
+          out.result().iterator
+      }(Encoders.product[SeqTailState], outEnc)
+  }
+
   /** Streaming gap-based sessionization — the labeling counterpart of
     * [[graft.operators.Funnel.sessionize]] (and of [[sessionCounts]], which
     * aggregates): every event gains the user's current session ordinal,

@@ -899,6 +899,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sequences: streamed n-grams chain across micro-batches, equal the batch grams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val out = StreamingPipeline.sequences(
+      mem.toDF().toDF("user_id", "event_type", "ts", "event_id"), n = 3)
+    val q = out.writeStream.format("memory").queryName("seq_out")
+      .outputMode("append").start()
+    try {
+      // user 1's triple (v,c,p) SPANS the batch boundary: v,c in batch 1,
+      // p in batch 2 — the (n-1)-type tail must ride the state
+      mem.addData((1L, "v", ts(0), 1L), (1L, "c", ts(1), 2L),
+        (2L, "v", ts(0), 3L))
+      q.processAllAvailable()
+      mem.addData((1L, "p", ts(2), 4L), (1L, "v", ts(3), 5L),
+        (2L, "c", ts(1), 6L), (2L, "p", ts(2), 7L))
+      q.processAllAvailable()
+      val got = spark.table("seq_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      assert(got == Seq(
+        (1L, "v", "c", "p"), (1L, "c", "p", "v"),
+        (2L, "v", "c", "p")).sortBy(t => (t._1, t._4)))
+      // batch parity: same rows through the batch gram generator
+      val batch = Seq((1L, "v", ts(0), 1L), (1L, "c", ts(1), 2L),
+        (2L, "v", ts(0), 3L), (1L, "p", ts(2), 4L), (1L, "v", ts(3), 5L),
+        (2L, "c", ts(1), 6L), (2L, "p", ts(2), 7L))
+        .toDF("user_id", "event_type", "ts", "event_id")
+      val want = graft.operators.Funnel.sequencePatterns(batch, n = 3,
+          minSupport = 1)
+        .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+          r.getLong(3))).toMap
+      val gotCounts = got.groupBy(t => (t._2, t._3, t._4))
+        .map { case (k, v) => k -> v.size.toLong }
+      assert(gotCounts == want)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT SEMI interval join: each left row at most once, matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
