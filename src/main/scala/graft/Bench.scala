@@ -282,7 +282,9 @@ object Bench {
     // r18: VAD energy segmentation (one partition-local decode pass, no
     // shuffle), interval-overlap join (chunk-bucketed, occupancy^2 per
     // chunk), k-anonymity census (one keyed partial agg)
-    "q_media_vad", "q_interval_join", "q_k_anon")
+    "q_media_vad", "q_interval_join", "q_k_anon",
+    // r18: personalized PageRank (the pageRank loop + a pinned seed flag)
+    "q_ppr")
     // q_calibration stays gate-only: it re-trains the 3-epoch integer
     // perceptron (the q_train_margins cost) before its 10-row readout —
     // benching it would time the trainer twice under another name.

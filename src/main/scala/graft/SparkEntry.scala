@@ -1291,6 +1291,20 @@ object SparkEntry {
     // reinforcement rounds as 20 integer half-steps (push across edges,
     // L1-normalize by integer division) — bit-identical to the
     // parity-doubled recursive-CTE oracle.
+    // Personalized PageRank from the {purchase, view} seed set: teleport
+    // mass returns only to the seeds, so ranks read "importance as seen
+    // from conversion activity" — the crawl-frontier / TrustRank shape.
+    // Same integer fixed-point discipline as q_pagerank (bit-identical
+    // recursive-CTE replay); the seed flag rides the pinned node list.
+    "q_ppr" -> ((s, dir) => {
+      val edges = operators.Funnel.transitions(ev(s, dir))
+        .select(col("from_type").as("src"), col("to_type").as("dst"), col("n"))
+      val seeds = s.createDataFrame(
+        Seq(Tuple1("purchase"), Tuple1("view"))).toDF("node")
+      operators.Graph.personalizedPageRank(edges, seeds, iters = 10,
+        weightCol = Some("n"))
+    }),
+
     "q_hits" -> ((s, dir) => {
       val edges = operators.Funnel.transitions(ev(s, dir))
         .select(col("from_type").as("src"), col("to_type").as("dst"), col("n"))
@@ -7525,6 +7539,44 @@ object SparkEntry {
         |      WHERE p.iter < 10
         |    ) q ON q.dst = d.node
         |    GROUP BY d.node
+        |  ) WHERE iter IS NOT NULL)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10""".stripMargin,
+
+    // personalized PageRank: the pagerank recursion with seed-conditional
+    // teleport base and seed-uniform init
+    "q_ppr" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |edges AS (SELECT src, dst, count(*) AS w FROM pairs
+        |          WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |sd AS (SELECT node, node IN ('purchase', 'view') AS s FROM nodes),
+        |params AS (SELECT CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS ns
+        |           FROM sd),
+        |pr AS (
+        |  SELECT 0 AS iter, node,
+        |    CASE WHEN s THEN 1000000000000 // (SELECT ns FROM params)
+        |         ELSE 0 END AS rank
+        |  FROM sd
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT MAX(MAX(q.iter)) OVER () + 1 AS iter, d.node,
+        |      (CASE WHEN d.s THEN (1000000000000 * 15)
+        |              // (100 * (SELECT ns FROM params)) ELSE 0 END)
+        |        + (85 * COALESCE(SUM(q.contrib), 0)) // 100 AS rank
+        |    FROM sd d
+        |    LEFT JOIN (
+        |      SELECT p.iter, e.dst, (p.rank * e.w) // ws.wsum AS contrib
+        |      FROM pr p JOIN edges e ON e.src = p.node
+        |        JOIN ws ON ws.src = p.node
+        |      WHERE p.iter < 10
+        |    ) q ON q.dst = d.node
+        |    GROUP BY d.node, d.s
         |  ) WHERE iter IS NOT NULL)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10""".stripMargin,
 

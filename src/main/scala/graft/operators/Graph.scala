@@ -116,6 +116,76 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** PERSONALIZED PageRank (Jeh & Widom 2003's random-walk-with-restart
+    * form) — [[pageRank]]'s seed-biased sibling: teleport mass returns
+    * only to the SEED set, so scores read "importance AS SEEN FROM the
+    * seeds" — crawl-frontier prioritization from trusted hosts,
+    * related-entity expansion from a query node, TrustRank-style spam
+    * demotion. Same fixed-point integer iterations as [[pageRank]]
+    * (scores in 1/scale units, `div` integral division — bit-identical
+    * to a recursive-CTE oracle): rank₀ = scale/|S| at seeds and 0
+    * elsewhere; each round rank = [seed]·(scale·(1−d))/(d_den·|S|) +
+    * d·Σ contrib. Dangling mass drains (the [[pageRank]]
+    * `redistributeDangling = false` convention).
+    *
+    * Scale shape: identical to [[pageRank]] — normalized edges pinned
+    * once, per round one src-keyed join + dst-keyed partial agg + node
+    * left join, ranks re-pinned per round; the seed FLAG rides the
+    * pinned node list (one extra boolean), so personalization costs
+    * nothing inside the loop. `seeds` is a frame, not literals — at
+    * crawl scale the trusted set is itself a table. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 10,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= num <= den: $dampNum/$dampDen")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      w.as("__w"))
+    val wsums = e0.groupBy("__src").agg(sum("__w").as("__wsum"))
+    val en = e0.join(wsums, Seq("__src")).localCheckpoint(true)
+    val nodes = e0.select(col("__src").as("node"))
+      .union(e0.select(col("__dst").as("node")))
+      .distinct()
+      .join(seeds.select(col(seeds.columns.head).as("node")).distinct()
+          .withColumn("__seed", lit(true)),
+        Seq("node"), "left")
+      .select(col("node").as("node"),
+        coalesce(col("__seed"), lit(false)).as("__seed"))
+      .localCheckpoint(true)
+    val nSeeds = nodes.filter(col("__seed")).count()
+    require(nSeeds > 0, "no seed appears in the graph")
+    val baseSeed = (scale * (dampDen - dampNum)) / (dampDen * nSeeds)
+    var ranks = nodes.select(col("node"), col("__seed"),
+        when(col("__seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = en.join(ranks, en("__src") === col("node"))
+        .selectExpr("__dst", "rank * __w div __wsum AS __c")
+        .groupBy("__dst").agg(sum("__c").as("__in"))
+      val next = nodes
+        .join(contribs, nodes("node") === contribs("__dst"), "left")
+        .selectExpr("node", "__seed",
+          s"(CASE WHEN __seed THEN ${baseSeed}L ELSE 0L END) + " +
+            s"(${dampNum}L * coalesce(__in, 0L)) div ${dampDen}L AS rank")
+      val prevRanks = ranks
+      ranks = next.localCheckpoint(true)
+      graft.ops.Pins.releaseCheckpoint(prevRanks)
+    }
+    graft.ops.Pins.releaseCheckpoint(en)
+    graft.ops.Pins.releaseCheckpoint(nodes)
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) — the BIPARTITE-role
     * companion of [[pageRank]]: a page is a good AUTHORITY when good hubs
     * point at it, a good HUB when it points at good authorities. On a

@@ -302,6 +302,44 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     nodes.map(nd => nd -> ((h(nd).toLong, a(nd).toLong))).toMap
   }
 
+  test("personalizedPageRank: driver integer reference; all-seeds degenerates to pageRank") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),
+      ("c", "b", 1L), ("d", "a", 1L)) // d is rankless under seeds {a}
+    val df = edges.toDF("src", "dst", "w")
+    def reference(seeds: Set[String], iters: Int): Map[String, Long] = {
+      val scale = 1000000000000L
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val wsum = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val baseSeed = (scale * 15L) / (100L * seeds.size)
+      var rank = nodes.map(n =>
+        n -> (if (seeds(n)) scale / seeds.size else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        edges.foreach { case (s, d, w) =>
+          in(d) += rank(s) * w / wsum(s)
+        }
+        rank = nodes.map(n =>
+          n -> ((if (seeds(n)) baseSeed else 0L) + 85L * in(n) / 100L)).toMap
+      }
+      rank
+    }
+    val got = Graph.personalizedPageRank(df,
+        Seq("a").toDF("node"), iters = 4, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == reference(Set("a"), 4))
+    // seed mass flows a -> b -> c; the seedless feeder d holds no rank
+    assert(got("d") == 0L && got("a") > got("d"))
+    // seeding EVERY node with uniform init = plain pageRank (no dangling
+    // redistribution): same base, same init, same recursion
+    val all = Graph.personalizedPageRank(df,
+        Seq("a", "b", "c", "d").toDF("node"), iters = 4, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Graph.pageRank(df, iters = 4, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == plain)
+  }
+
   test("hits matches the driver-side integer reference; hub/authority roles separate") {
     import spark.implicits._
     // a fans out (hub), c collects (authority), b does both

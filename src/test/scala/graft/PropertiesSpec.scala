@@ -300,4 +300,62 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       graft.operators.Curation.temperatureSample(docs, "source", budget = b).count())
     assert(counts == counts.sorted)
   }
+
+  test("overlapJoin equals the brute non-equi join on random interval sets, any chunk size") {
+    import spark.implicits._
+    val ivGen: Gen[List[(Long, Long, Long)]] = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 80L)))
+      .map(_.zipWithIndex.map { case ((s, len), i) => (i.toLong, s, s + len) })
+    for (seed <- 1L to 3L; chunk <- Seq("1 minute", "3 minutes")) {
+      val as = sample(ivGen, seed)
+      val bs = sample(ivGen, seed + 100)
+      // reference: in-memory all-pairs overlap (micros scale: seconds*1e6
+      // keeps the chunk arithmetic honest)
+      def us(x: Long) = x * 1000000L
+      val want = (for {
+        (ai, as_, ae) <- as; (bi, bs_, be) <- bs
+        if us(as_) <= us(be) && us(bs_) <= us(ae)
+      } yield (ai, bi) ->
+        (math.min(us(ae), us(be)) - math.max(us(as_), us(bs_)))).toMap
+      val got = graft.operators.AsOfJoin.overlapJoin(
+        as.map { case (i, s, e) => (i, us(s), us(e)) }
+          .toDF("a_id", "start_us", "end_us"),
+        bs.map { case (i, s, e) => (i, us(s), us(e)) }
+          .toDF("b_id", "start_us", "end_us"),
+        chunk = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"seed=$seed chunk=$chunk")
+    }
+  }
+
+  test("sortedNeighborhoodPairs candidates equal the brute rank-window on random keys") {
+    import spark.implicits._
+    val docGen: Gen[List[String]] = Gen.listOfN(20,
+      Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString))
+    for (seed <- 1L to 3L) {
+      val titles = sample(docGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = titles.toDF("doc_id", "title")
+      val got = graft.operators.Dedup.sortedNeighborhoodPairs(
+          df, window = 3, threshold = 0.01, textCol = "title")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: in-memory sort by (key, id), all pairs within rank
+      // distance 3, verified with the SAME JW kernel evaluated on an
+      // independent driver-built pair frame (the rank/bucket plumbing —
+      // the thing SNM adds — is what this probes; the kernel has its
+      // own spec)
+      val ranked = titles.sortBy { case (id, t) => (t.toLowerCase.trim, id) }
+      val cand = (for {
+        i <- ranked.indices; g <- 1 to 3; if i + g < ranked.size
+      } yield (ranked(i)._1, ranked(i + g)._1)).toSet
+      val byId = titles.toMap
+      val want = cand.toSeq
+        .map { case (a, b) => (a, b, byId(a), byId(b)) }
+        .toDF("a", "b", "ta", "tb")
+        .withColumn("jw", TextFunctions.jaroWinkler(col("ta"), col("tb")))
+        .filter(col("jw") >= 0.01)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
