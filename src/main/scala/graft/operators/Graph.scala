@@ -81,8 +81,18 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "graph has no nodes")
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    // LAZY pins (r18): the loop needs no per-round driver value, so every
+    // round's checkpoint is lazy and the WHOLE K-round chain materializes
+    // inside ONE count() job — each round's blocks are stored as its stages
+    // run and lineage truncates at materialization, so the iterated plan
+    // stays constant-size exactly as before, but the per-round eager
+    // materialize-and-sync driver round trip is gone (measured r18: the
+    // 5-node bench graph spent its whole cost on those round trips).
+    // Integer arithmetic is partitioning/order-free, so results are
+    // bit-identical to the eager form.
     var ranks = nodes.select(col("node"), col("__has_out"),
-      lit(scale / n).as("rank")).localCheckpoint(true)
+      lit(scale / n).as("rank")).localCheckpoint(false)
+    val pins = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
     for (_ <- 1 to iters) {
       // `div` (IntegralDivide), not `/`: Spark's `/` on longs is DOUBLE
       // division — one float would forfeit the bit-exactness contract
@@ -104,13 +114,15 @@ object Graph {
             .selectExpr("node", "__has_out",
               s"rank + (${dampNum}L * __dsum) div ${dampDen * n}L AS rank")
         }
-      val prevRanks = ranks
-      ranks = next.localCheckpoint(true)
-      // the eager checkpoint above has materialized; the previous round's
-      // pin is dead (Pins contract: Dataset.unpersist is a no-op here)
-      graft.ops.Pins.releaseCheckpoint(prevRanks)
+      ranks = next.localCheckpoint(false)
+      pins += ranks
     }
-    // the returned plan reads ONLY the final ranks pin
+    // ONE materializing action for the whole chain; every intermediate
+    // round's pin is then dead (Pins contract: next pin materialized, and
+    // the returned plan reads only the FINAL pin) — released here so a
+    // 100 TB caller never holds K node-sized generations.
+    ranks.count()
+    pins.dropRight(1).foreach(graft.ops.Pins.releaseCheckpoint)
     graft.ops.Pins.releaseCheckpoint(en)
     graft.ops.Pins.releaseCheckpoint(nodes)
     ranks.select(col("node"), col("rank"))
@@ -165,9 +177,13 @@ object Graph {
     val nSeeds = nodes.filter(col("__seed")).count()
     require(nSeeds > 0, "no seed appears in the graph")
     val baseSeed = (scale * (dampDen - dampNum)) / (dampDen * nSeeds)
+    // lazy per-round pins + one materializing count — the [[pageRank]] r18
+    // discipline (see there): bit-identical integer math, one driver action
+    // for the whole chain instead of one per round.
     var ranks = nodes.select(col("node"), col("__seed"),
         when(col("__seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("rank"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    val pins = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
     for (_ <- 1 to iters) {
       val contribs = en.join(ranks, en("__src") === col("node"))
         .selectExpr("__dst", "rank * __w div __wsum AS __c")
@@ -177,10 +193,11 @@ object Graph {
         .selectExpr("node", "__seed",
           s"(CASE WHEN __seed THEN ${baseSeed}L ELSE 0L END) + " +
             s"(${dampNum}L * coalesce(__in, 0L)) div ${dampDen}L AS rank")
-      val prevRanks = ranks
-      ranks = next.localCheckpoint(true)
-      graft.ops.Pins.releaseCheckpoint(prevRanks)
+      ranks = next.localCheckpoint(false)
+      pins += ranks
     }
+    ranks.count()
+    pins.dropRight(1).foreach(graft.ops.Pins.releaseCheckpoint)
     graft.ops.Pins.releaseCheckpoint(en)
     graft.ops.Pins.releaseCheckpoint(nodes)
     ranks.select(col("node"), col("rank"))
@@ -269,7 +286,11 @@ object Graph {
         .localCheckpoint(true)
       // the normalizer is 1-row BOUNDED METADATA off the already-pinned
       // rollup (the codebook/argmax collect class) — inlined as a decimal
-      // literal, so the loop runs ZERO broadcast subqueries
+      // literal, so the loop runs ZERO broadcast subqueries. (r18 probe:
+      // a lazy-chain variant with the normalizer as an in-plan broadcast
+      // of the pin measured 51 s vs 2.9 s — 2·iters nested broadcast
+      // levels re-plan and recompute deep lineage during stage planning;
+      // the eager pin + driver head() is the measured optimum here.)
       val tot = rolled.filter(col("__g") === 1)
         .select(col("__raw")).head().getDecimal(0)
       val normalized = rolled.filter(col("__g") === 0)
