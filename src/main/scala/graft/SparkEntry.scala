@@ -3008,8 +3008,13 @@ object SparkEntry {
     // is not. Sums cross the gate as DECIMAL-exact digit strings.
     "q_corr_stats" -> ((s, dir) => {
       val sums = Seq("sum_a", "sum_b", "sum_ab", "sum_a2", "sum_b2")
+      // boundedProducts: all four columns are <=2dp TPC-H measures bounded
+      // by ~1.1e5, so 2dp-scaled values are <=1.1e7 and every pairwise
+      // product <=1.3e14 — far inside int64; the sums are identical
+      // integers, only the per-row multiply representation changes
       Curation.corrStats(t(s, dir, "lineitem"),
-        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"),
+        boundedProducts = true)
         .select(col("col_a") +: col("col_b") +: col("n") +:
           sums.map(c => col(c).cast("string").as(c)): _*)
     }),

@@ -684,3 +684,343 @@ object CovMoments {
     val lo: Array[Long] = new Array[Long](tri)
   }
 }
+
+/** PQ subspace code: the argmin codeword id over ONE subspace window of the
+  * vector — the native form of the `aggregate`-HOF argmin in
+  * [[graft.operators.Similarity]]'s `pqCodeColumns` (kept there as the
+  * spec's reference semantics). `codebook` is the broadcast one-row
+  * `array<struct<cid: long, cv: array<double>>>` for subspace j; the
+  * distance is the left-fold Σ(v_{start+i} − cv_i)² in array order
+  * (bit-identical to the HOF / DuckDB `list_sum ∘ list_zip`), the winner
+  * is the FIRST strict improvement in array order (ties keep the earliest,
+  * i.e. lowest-cid entry of the cid-sorted codebook), and the sentinel is
+  * −1: a window that extends past the vector, or contains a null element,
+  * or an all-NaN distance row can never strictly beat +∞ — exactly the
+  * HOF's null/NaN propagation (NaN compares greatest, Java
+  * `Double.compare` semantics, matching Catalyst's double ordering).
+  * A codeword whose length differs from the effective window length is
+  * skipped for the same reason (`zip_with` null-pads the shorter side).
+  *
+  * Why native: the HOF evaluates interpreted — one lambda frame per
+  * codeword per row, a fresh zip array per distance — measured ~1.3 s per
+  * corpus pass at sf0.1 (m=8, k=32); this loop does the whole row's
+  * subspace in one call against a per-task decoded codebook cache (the
+  * [[NearestCentroid]] caching discipline). */
+case class PqCode(
+    left: Expression,
+    right: Expression,
+    start: Int,
+    len: Int)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private lazy val vecIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val cvIsFloat = right.dataType match {
+    case ArrayType(StructType(fields), _) if fields.length == 2 =>
+      fields(1).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def vecOk(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    right.dataType match {
+      case ArrayType(StructType(fields), _)
+          if fields.length == 2 && fields(0).dataType == LongType &&
+            vecOk(fields(1).dataType) && vecOk(left.dataType) && start >= 0 && len >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "pq_code needs (array<float|double>, array<struct<bigint, " +
+            s"array<float|double>>>, start >= 0, len >= 1), got ${left.dataType} / " +
+            s"${right.dataType} / $start / $len")
+    }
+  }
+
+  // per-task decoded-codebook cache — the [[NearestCentroid]] discipline:
+  // keyed on (base object identity, offset, size) for unsafe arrays, plain
+  // identity otherwise; a miss just re-decodes (pure caching).
+  @transient private var cachedRef: AnyRef = _
+  @transient private var cachedOffset: Long = -1L
+  @transient private var cachedSize: Int = -1
+  @transient private var cachedIds: Array[Long] = _
+  @transient private var cachedVecs: Array[Array[Double]] = _
+
+  private def cacheHit(cb: ArrayData): Boolean = cb match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      (u.getBaseObject.asInstanceOf[AnyRef] eq cachedRef) &&
+        u.getBaseOffset == cachedOffset && u.getSizeInBytes == cachedSize
+    case other => other.asInstanceOf[AnyRef] eq cachedRef
+  }
+
+  private def decodeCb(cb: ArrayData): Unit = {
+    val k = cb.numElements()
+    val ids = new Array[Long](k)
+    val vecs = new Array[Array[Double]](k)
+    var c = 0
+    while (c < k) {
+      val st = cb.getStruct(c, 2)
+      ids(c) = st.getLong(0)
+      val cvArr = st.getArray(1)
+      val m = cvArr.numElements()
+      // a null element inside a codeword nulls every distance against it
+      // in the HOF form — mark the codeword unusable (null slot)
+      var hasNull = false
+      var j = 0
+      val cv = new Array[Double](m)
+      while (j < m) {
+        if (cvArr.isNullAt(j)) hasNull = true
+        else cv(j) = if (cvIsFloat) cvArr.getFloat(j).toDouble else cvArr.getDouble(j)
+        j += 1
+      }
+      vecs(c) = if (hasNull) null else cv
+      c += 1
+    }
+    cb match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        cachedRef = u.getBaseObject.asInstanceOf[AnyRef]
+        cachedOffset = u.getBaseOffset; cachedSize = u.getSizeInBytes
+      case other =>
+        cachedRef = other.asInstanceOf[AnyRef]; cachedOffset = -1L; cachedSize = -1
+    }
+    cachedIds = ids; cachedVecs = vecs
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vArr = a.asInstanceOf[ArrayData]
+    val n = vArr.numElements()
+    // effective window = slice(vec, start+1, len): may be shorter than len
+    val subLen = math.max(0, math.min(n - start, len))
+    val sub = new Array[Double](subLen)
+    var hasNull = false
+    var i = 0
+    while (i < subLen) {
+      if (vArr.isNullAt(start + i)) hasNull = true
+      else sub(i) =
+        if (vecIsFloat) vArr.getFloat(start + i).toDouble
+        else vArr.getDouble(start + i)
+      i += 1
+    }
+    val cb = b.asInstanceOf[ArrayData]
+    if (!cacheHit(cb)) decodeCb(cb)
+    val ids = cachedIds; val vecs = cachedVecs
+    var bestCid = -1L
+    var bestD = Double.PositiveInfinity
+    if (!hasNull) {
+      var c = 0
+      val k = ids.length
+      while (c < k) {
+        val cv = vecs(c)
+        // zip_with null-pads unequal lengths -> null distance -> skipped
+        if (cv != null && cv.length == subLen) {
+          var acc = 0.0
+          var j = 0
+          while (j < subLen) { val x = sub(j) - cv(j); acc += x * x; j += 1 }
+          // FIRST strict improvement, Catalyst double ordering (NaN greatest)
+          if (java.lang.Double.compare(acc, bestD) < 0) { bestD = acc; bestCid = ids(c) }
+        }
+        c += 1
+      }
+    }
+    bestCid
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqCode = copy(left = l, right = r)
+}
+
+/** Squared L2 distance Σ(a_i − b_i)² by left fold in array order — the
+  * native form of the `aggregate(zip_with(a, b, (x,y) => (x−y)²))` HOF
+  * shape used by the brute L2 searchers, prototype scoring and k-center
+  * scans (kept at the call sites' scaladocs as the reference semantics;
+  * DuckDB `list_sum ∘ list_zip` bit-identical). Null semantics replicate
+  * the HOF exactly: a length mismatch (zip_with null-pads the shorter
+  * side) or a null element anywhere poisons the fold — result null.
+  *
+  * Why native: the HOF evaluates interpreted with a lambda frame per
+  * element per pair — on a |corpus|×|queries| pair scan that is the whole
+  * stage cost. */
+case class L2Distance(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  // element kinds: 0 = double, 1 = float, 2 = long (long arrays arrive
+  // from the quantized prototype path, where the HOF cast them to double
+  // per element — getLong(i).toDouble is the identical Catalyst cast)
+  private def kind(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case _ => 0
+  }
+  private lazy val leftKind = kind(left.dataType)
+  private lazy val rightKind = kind(right.dataType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+           ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_distance needs two array<float|double|bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elem(arr: ArrayData, i: Int, k: Int): Double = k match {
+    case 1 => arr.getFloat(i).toDouble
+    case 2 => arr.getLong(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = aa.numElements()
+    if (bb.numElements() != n) return null // zip_with null-pad -> null fold
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+      val x = elem(aa, i, leftKind) - elem(bb, i, rightKind)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): L2Distance = copy(left = l, right = r)
+}
+
+/** SQ8 reconstruction distance: Σ(q_i − (lo_i + code_i·(hi_i − lo_i)/255))²
+  * by left fold in array order — the native fusion of the two-HOF shape in
+  * [[graft.operators.Similarity]]'s sq8Search / ivfSq8Search (reconstruct
+  * via `zip_with(codes, rng, …)`, then square-distance via
+  * `aggregate(zip_with(qe, recon, …))` — kept there in scaladoc as the
+  * reference). Every float op replays the HOF's exact IEEE order:
+  * (hi − lo), code·Δ, /255, lo + ·, (q − rec), ·², acc + term. Null
+  * semantics identical: any length mismatch among the three arrays or a
+  * null element poisons the fold — result null. `rng` is the broadcast
+  * one-row range census — decoded once per task via the
+  * [[NearestCentroid]] identity-keyed cache. */
+case class Sq8L2(
+    first: Expression,
+    second: Expression,
+    third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  private lazy val qFloat = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val qOk = first.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cOk = second.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val rOk = third.dataType match {
+      case ArrayType(StructType(f), _) if f.length == 2 &&
+        f(0).dataType == DoubleType && f(1).dataType == DoubleType => true
+      case _ => false
+    }
+    if (qOk && cOk && rOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "sq8_l2 needs (array<float|double>, array<bigint>, " +
+          s"array<struct<double,double>>), got ${first.dataType} / " +
+          s"${second.dataType} / ${third.dataType}")
+  }
+
+  @transient private var cachedRef: AnyRef = _
+  @transient private var cachedOffset: Long = -1L
+  @transient private var cachedSize: Int = -1
+  @transient private var cachedLo: Array[Double] = _
+  @transient private var cachedHi: Array[Double] = _
+  @transient private var cachedHasNull: Boolean = false
+
+  private def cacheHit(rng: ArrayData): Boolean = rng match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      (u.getBaseObject.asInstanceOf[AnyRef] eq cachedRef) &&
+        u.getBaseOffset == cachedOffset && u.getSizeInBytes == cachedSize
+    case other => other.asInstanceOf[AnyRef] eq cachedRef
+  }
+
+  private def decodeRng(rng: ArrayData): Unit = {
+    val n = rng.numElements()
+    val lo = new Array[Double](n)
+    val hi = new Array[Double](n)
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      if (rng.isNullAt(i)) hasNull = true
+      else {
+        val st = rng.getStruct(i, 2)
+        if (st.isNullAt(0) || st.isNullAt(1)) hasNull = true
+        else { lo(i) = st.getDouble(0); hi(i) = st.getDouble(1) }
+      }
+      i += 1
+    }
+    rng match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        cachedRef = u.getBaseObject.asInstanceOf[AnyRef]
+        cachedOffset = u.getBaseOffset; cachedSize = u.getSizeInBytes
+      case other =>
+        cachedRef = other.asInstanceOf[AnyRef]; cachedOffset = -1L; cachedSize = -1
+    }
+    cachedLo = lo; cachedHi = hi; cachedHasNull = hasNull
+  }
+
+  override def nullSafeEval(q: Any, c: Any, r: Any): Any = {
+    val qe = q.asInstanceOf[ArrayData]
+    val cd = c.asInstanceOf[ArrayData]
+    val rng = r.asInstanceOf[ArrayData]
+    if (!cacheHit(rng)) decodeRng(rng)
+    val n = qe.numElements()
+    if (cd.numElements() != n || cachedLo.length != n || cachedHasNull)
+      return null // zip_with null-pad / null struct -> null fold
+    val lo = cachedLo; val hi = cachedHi
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (qe.isNullAt(i) || cd.isNullAt(i)) return null
+      val qv = if (qFloat) qe.getFloat(i).toDouble else qe.getDouble(i)
+      val rec = lo(i) + cd.getLong(i).toDouble * (hi(i) - lo(i)) / 255.0
+      val d = qv - rec
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8L2 =
+    copy(first = f, second = s, third = t)
+}

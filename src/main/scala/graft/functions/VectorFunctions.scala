@@ -63,6 +63,31 @@ object VectorFunctions {
   /** |A ∩ B| of two sorted `array<bigint>` columns — native two-pointer
     * merge ([[SortedIntersectCount]]), the per-edge hot op of adjacency-
     * intersection triangle counting. Callers own sortedness. */
+  /** PQ subspace code (argmin codeword id over a subspace window) — the
+    * native form of the pqCodeColumns aggregate-HOF argmin; see [[PqCode]]
+    * for the exact tie/null/NaN contract it replicates. */
+  def pqCode(vec: Column, codebook: Column, start: Int, len: Int): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(PqCode(GraftExpr.expression(vec),
+      GraftExpr.expression(codebook), start, len))
+  }
+
+  /** Squared L2 distance by left fold — native form of the
+    * `aggregate(zip_with((x−y)²))` HOF; see [[L2Distance]] for the exact
+    * null contract it replicates. */
+  def l2Distance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(L2Distance(GraftExpr.expression(a), GraftExpr.expression(b)))
+  }
+
+  /** SQ8 reconstruction distance (reconstruct-then-square-distance fused);
+    * see [[Sq8L2]] for the exact IEEE op order and null contract. */
+  def sq8L2(qe: Column, codes: Column, rng: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(Sq8L2(GraftExpr.expression(qe),
+      GraftExpr.expression(codes), GraftExpr.expression(rng)))
+  }
+
   def sortedIntersectCount(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftExpr
     GraftExpr.column(SortedIntersectCount(GraftExpr.expression(a), GraftExpr.expression(b)))

@@ -395,11 +395,12 @@ object Similarity {
           e => e.getField("__s").cast("double")).as("__sa"))
       .select(col("bucket"), col("__n"),
         transform(col("__sa"), s => s / col("__n").cast("double")).as("__c"))
+    // native L2Distance (r18): same left-fold/null contract as the
+    // aggregate(zip_with) it replaces — per-row lambda frames were the
+    // scan cost
     val d = q.join(broadcast(ca), Seq("bucket"))
-      .withColumn("d2", aggregate(
-        zip_with(transform(col("__q"), x => x.cast("double")), col("__c"),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, t) => acc + t))
+      .withColumn("d2", graft.functions.VectorFunctions
+        .l2Distance(col("__q"), col("__c")))
     val ord = if (keepClosest) col("d2").asc else col("d2").desc
     d.withColumn("rank", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(ord, col(idCol).asc)).cast("long"))
@@ -1054,9 +1055,10 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     def sqDistTo(center: Array[Double]): org.apache.spark.sql.Column =
-      aggregate(zip_with(transform(col("__v"), x => x.cast("double")),
-        typedLit(center.toSeq), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, x) => acc + x)
+      // native L2Distance (r18): same fold order/null contract as the
+      // aggregate(zip_with) HOF it replaces
+      graft.functions.VectorFunctions.l2Distance(
+        col("__v"), typedLit(center.toSeq))
     val nonNull = vecs.filter(col(vecCol).isNotNull)
     val seedRow = nonNull.select(col(idCol), col(vecCol))
       .orderBy(col(idCol).asc).limit(1).collect()
@@ -1241,19 +1243,17 @@ object Similarity {
   /** The per-subspace argmin code columns (`code_0` … `code_{m−1}`) —
     * evaluated against a frame already carrying the [[pqCodebook]] row.
     * FIRST strict improvement over cid-sorted codewords: deterministic on
-    * ties; a too-short vector keeps the −1 sentinel. */
+    * ties; a too-short vector keeps the −1 sentinel. Native
+    * [[graft.functions.PqCode]] expression (r18): the previous
+    * aggregate-HOF argmin evaluated interpreted — a lambda frame per
+    * codeword per corpus row dominated every PQ index build (measured
+    * ~1.3 s/pass at sf0.1, m=8 k=32); the native loop replicates the
+    * HOF's fold order, tie, null and NaN semantics bit-for-bit
+    * (SimilaritySpec pins the equivalence, incl. sentinel rows). */
   private def pqCodeColumns(m: Int, subDim: Int, vecCol: String) =
     (0 until m).map { j =>
-      val sub = slice(transform(col(vecCol), _.cast("double")),
-        j * subDim + 1, subDim)
-      aggregate(col(s"__cb_$j"),
-        struct(lit(-1L).as("cid"), lit(Double.PositiveInfinity).as("d")),
-        (acc, c) => {
-          val d = d2(c.getField("cv"), sub)
-          when(d < acc.getField("d"),
-            struct(c.getField("cid").cast("long").as("cid"), d.as("d")))
-            .otherwise(acc)
-        }).getField("cid").as(s"code_$j")
+      graft.functions.VectorFunctions.pqCode(
+        col(vecCol), col(s"__cb_$j"), j * subDim, subDim).as(s"code_$j")
     }
 
   /** IVF-PQ search — the full billion-scale composition: a coarse
@@ -1628,13 +1628,10 @@ object Similarity {
       .crossJoin(broadcast(census))
       .select(col("q_id"), col("cell"), dv(col("__qv")).as("__qe"),
         col("__rng"))
-    val recon = zip_with(col("__codes"), col("__rng"), (cd, r) =>
-      r.getField("lo") +
-        cd.cast("double") * (r.getField("hi") - r.getField("lo")) /
-          lit(255.0))
-    val dist = aggregate(
-      zip_with(col("__qe"), recon, (q, rec) => (q - rec) * (q - rec)),
-      lit(0.0), (acc, x) => acc + x)
+    // native Sq8L2 (r18): identical IEEE op order to the reconstruct
+    // zip_with + distance fold it replaces — see sq8Search
+    val dist = graft.functions.VectorFunctions
+      .sq8L2(col("__qe"), col("__codes"), col("__rng"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sq_d2").asc, col("n_id").asc)
     idx.join(broadcast(probes), Seq("cell"))
@@ -1659,9 +1656,12 @@ object Similarity {
     require(topK >= 1, s"topK must be >= 1: $topK")
     def dv(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
     val qs = queries.select(col(idCol).as("q_id"), dv(col(vecCol)).as("__qe"))
-    val dist = aggregate(
-      zip_with(col("__qe"), dv(col(vecCol)), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // native L2Distance (r18): replaces the interpreted
+    // aggregate(zip_with((a−b)²)) fold — identical left-fold order and
+    // null contract (see the expression's scaladoc); the HOF paid a
+    // lambda frame per dim per PAIR on this |corpus|×|queries| scan
+    val dist = graft.functions.VectorFunctions
+      .l2Distance(col("__qe"), dv(col(vecCol)))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("d2").asc, col("n_id").asc)
     corpus.crossJoin(broadcast(qs))
@@ -1817,14 +1817,13 @@ object Similarity {
             .otherwise(lit(0L))
         }).as("__codes"),
         col("__rng"))
-    val recon = zip_with(col("__codes"), col("__rng"), (cd, r) =>
-      r.getField("lo") +
-        cd.cast("double") * (r.getField("hi") - r.getField("lo")) /
-          lit(255.0))
     val qs = queries.select(col(idCol).as("q_id"), dv(col(vecCol)).as("__qe"))
-    val dist = aggregate(
-      zip_with(col("__qe"), recon, (q, rec) => (q - rec) * (q - rec)),
-      lit(0.0), (acc, x) => acc + x)
+    // native Sq8L2 (r18): fuses the reconstruct zip_with + distance fold
+    // into one traversal with the identical IEEE op order (see the
+    // expression's scaladoc) — the two interpreted HOFs per pair were the
+    // whole scan cost
+    val dist = graft.functions.VectorFunctions
+      .sq8L2(col("__qe"), col("__codes"), col("__rng"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sq_d2").asc, col("n_id").asc)
     coded.crossJoin(broadcast(qs))

@@ -29,6 +29,13 @@ object JobStats {
           tasks.addAndGet(sc.stageInfo.numTasks): Unit
           shuffleBytes.addAndGet(
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+          // slow-stage trace (>=200 ms wall): the serial-compute smoking gun
+          val i = sc.stageInfo
+          val wall = (for (a <- i.submissionTime; b <- i.completionTime)
+            yield b - a).getOrElse(0L)
+          if (wall >= 200 && sys.env.contains("SPARK_GRAFT_STAGETRACE"))
+            System.err.println(f"[stage] ${wall}%6d ms ${i.numTasks}%4d tasks " +
+              i.name.take(100))
         }
       })
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")

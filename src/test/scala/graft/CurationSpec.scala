@@ -97,6 +97,14 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(pearson(out(("y", "y"))) == 1.0)
     // all pairs present: k(k+1)/2 = 6
     assert(out.size == 6)
+    // boundedProducts fast path (long per-row multiplies, decimal sums):
+    // bit-identical rows to the default decimal-multiply path
+    val slow = Curation.corrStats(df, Seq("x", "y", "z"), fpDigits = 1)
+      .collect().map(_.toString).sorted
+    val fast = Curation.corrStats(df, Seq("x", "y", "z"), fpDigits = 1,
+        boundedProducts = true)
+      .collect().map(_.toString).sorted
+    assert(fast.sameElements(slow))
   }
 
   test("temperatureSample: T>1 shifts share toward small domains; clamps; drops null groups; pure") {

@@ -357,6 +357,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == ((2L, 2L)))
     // short row: sub0 [9,9] is closer to cid 2; sub1 slice is empty -> -1
     assert(out(13L) == ((2L, -1L)))
+    // null element in a window nulls every distance there -> -1 sentinel,
+    // while the clean window still encodes (the HOF null-propagation
+    // contract the native PqCode expression replicates)
+    val withNull = Seq(
+      (1L, Seq[java.lang.Float](0f, 0f, 4f, 4f)),
+      (2L, Seq[java.lang.Float](3f, 3f, 0f, 0f)),
+      (20L, Seq[java.lang.Float](1f, null, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val outN = graft.operators.Similarity.pqEncode(withNull, m = 2, k = 2, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
+    assert(outN(20L) == ((-1L, 2L))) // sub1 [1,1]: d2 2 (cid 2) beats 18 (cid 1)
     // encoding against a PROVIDED codebook source reproduces the same codes
     val cbSrc = emb.filter($"vec_id" <= 2)
     val out2 = graft.operators.Similarity
@@ -670,13 +682,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
   test("kCenterGreedy: every per-round localCheckpoint pin is RELEASED — " +
       "the persistent-RDD registry returns to its pre-call size (a plain " +
       "Dataset.unpersist is a no-op on checkpointed frames)") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     assert(Similarity.kCenterGreedy(corpus, k = 6).count() == 6)
     // the release is an explicit rdd-level unpersist, synchronous in the
     // registry (block deletion is async but the leak ADVICE flagged was
-    // the registry reference itself surviving until driver GC)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "kCenterGreedy left checkpointed RDDs registered after returning")
+    // the registry reference itself surviving until driver GC). Compare
+    // KEY SETS, not sizes: the async context cleaner may reclaim OTHER
+    // tests' stale pins mid-call, so only "no NEW key survives" is stable.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"kCenterGreedy left checkpointed RDDs registered after returning: $leaked")
   }
 
   test("bitextMarginMineLsh: multi-seed candidate union lifts brute-winner " +
