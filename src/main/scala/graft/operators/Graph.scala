@@ -69,12 +69,22 @@ object Graph {
     // pinned: K iterations must re-read bytes, not re-run edge lineage
     val wsums = e0.groupBy("__src").agg(sum("__w").as("__wsum"))
     val en = e0.join(wsums, Seq("__src")).localCheckpoint(true)
-    val nodes = e0.select(col("__src").as("node"))
-      .union(e0.select(col("__dst").as("node")))
+    // nodes derive from the PINNED edge list, not from e0 (r18): the pin
+    // materialization above already ran the whole upstream lineage once;
+    // deriving nodes from e0 ran it a SECOND time in the nodes-pin job
+    // (measured: q_textrank's interpreted pair-explode graph build was the
+    // dominant cost, paid twice — ReuseExchange only dedups within one
+    // job). Equivalent for non-null srcs; a null-src edge never joins
+    // wsums (SQL null key), so en drops it — such edges now contribute
+    // NO endpoints to the node list (before, their endpoints still
+    // registered as rank-base-only nodes). Callers own null hygiene.
+    val nodes = en.select(col("__src").as("node"))
+      .union(en.select(col("__dst").as("node")))
       .distinct()
       // the dangling flag rides the node list so the per-iteration filter
       // costs nothing (no join against the edge table inside the loop)
-      .join(wsums.select(col("__src").as("node")).withColumn("__has_out", lit(true)),
+      .join(en.select(col("__src").as("node")).distinct()
+          .withColumn("__has_out", lit(true)),
         Seq("node"), "left")
       .withColumn("__has_out", coalesce(col("__has_out"), lit(false)))
       .localCheckpoint(true)
@@ -165,8 +175,10 @@ object Graph {
       w.as("__w"))
     val wsums = e0.groupBy("__src").agg(sum("__w").as("__wsum"))
     val en = e0.join(wsums, Seq("__src")).localCheckpoint(true)
-    val nodes = e0.select(col("__src").as("node"))
-      .union(e0.select(col("__dst").as("node")))
+    // nodes from the PINNED edge list — the [[pageRank]] r18 discipline
+    // (one upstream-lineage pass, not two); same null-src caveat there
+    val nodes = en.select(col("__src").as("node"))
+      .union(en.select(col("__dst").as("node")))
       .distinct()
       .join(seeds.select(col(seeds.columns.head).as("node")).distinct()
           .withColumn("__seed", lit(true)),

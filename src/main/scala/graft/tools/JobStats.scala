@@ -33,9 +33,13 @@ object JobStats {
           val i = sc.stageInfo
           val wall = (for (a <- i.submissionTime; b <- i.completionTime)
             yield b - a).getOrElse(0L)
-          if (wall >= 200 && sys.env.contains("SPARK_GRAFT_STAGETRACE"))
+          if (wall >= 200 && sys.env.contains("SPARK_GRAFT_STAGETRACE")) {
+            val m = i.taskMetrics
             System.err.println(f"[stage] ${wall}%6d ms ${i.numTasks}%4d tasks " +
-              i.name.take(100))
+              f"run=${m.executorRunTime}%5d deser=${m.executorDeserializeTime}%4d " +
+              f"gc=${m.jvmGCTime}%4d cpu=${m.executorCpuTime / 1000000}%5d " +
+              i.name.take(60))
+          }
         }
       })
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
