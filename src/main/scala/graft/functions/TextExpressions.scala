@@ -797,3 +797,126 @@ object JaroWinkler {
     sim
   }
 }
+
+/** BM25 per-(doc, query) scoring fold — the native form of the
+  * `aggregate(qarr, struct(0.0, 0L), …)` HOF in
+  * [[graft.operators.Retrieval]]'s scoreMatched (kept there in scaladoc as
+  * the reference semantics). Inputs: the doc's matched-term bag
+  * `qtfs: array<struct<tok: string, tf: long>>`, the query's ti-ordered
+  * term table `qarr: array<struct<ti: int, term: string, idf: double>>`,
+  * and the precomputed per-doc length normalizer
+  * `norm = k1·(1−b + b·dl/avgdl)` (built by the caller with the exact
+  * expression the HOF lambda closed over — same double, same op order).
+  * `k1p1` is k1+1 as a literal parameter.
+  *
+  * Per qarr element, in array order (exactly the HOF's left fold):
+  *   tf = first qtfs entry whose tok equals term (filter order; a missing
+  *        term, a null term, or a null tf field reads 0) cast to double
+  *   s += (idf · (tf · k1p1)) / (tf + norm)    [unconditionally — a 0-tf
+  *        term adds +0.0, exactly as the HOF does]
+  *   h += tf.toLong
+  * Null qtfs ELEMENTS are skipped (the HOF's filter drops them); a null
+  * qarr element or null idf poisons s to null from that point on while h
+  * keeps accumulating — bit-for-bit the HOF's struct-field null algebra.
+  * Result: struct<s: double, h: long> (s nullable).
+  *
+  * Why native: the HOF ran interpreted — per (matched doc, query) pair a
+  * lambda frame per term AND a fresh filtered array per tf lookup; that
+  * scan was the whole cost of every BM25 scoring round (two rounds in
+  * bm25WithFeedback). The query table decodes per row, deliberately
+  * uncached — see the in-class comment. */
+case class Bm25Fold(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    k1p1: Double)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", DoubleType, nullable = true),
+    StructField("h", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bagOk = first.dataType match {
+      case ArrayType(StructType(f), _) if f.length == 2 &&
+        f(0).dataType == StringType && f(1).dataType == LongType => true
+      case _ => false
+    }
+    val qOk = second.dataType match {
+      case ArrayType(StructType(f), _) if f.length == 3 &&
+        f(1).dataType == StringType && f(2).dataType == DoubleType => true
+      case _ => false
+    }
+    if (bagOk && qOk && third.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "bm25_fold needs (array<struct<string,bigint>>, " +
+          "array<struct<int,string,double>>, double), got " +
+          s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+  }
+
+  // NO decoded-input cache here, deliberately: unlike PqCode/Sq8L2 —
+  // whose cached object is the ONE broadcast codebook/census, so any
+  // re-decode reproduces identical content and staleness is harmless —
+  // qarr cycles through |queries| DIFFERENT contents row by row, and a
+  // cached multi-content decode measurably served one query's idfs to
+  // another's rows in the full q_bm25 plan (r18 probe: scores off only
+  // for the middle query, hits — term lookups — unaffected). A query's
+  // term table is 3-5 entries; decoding it per row is noise next to the
+  // HOF's per-term lambda frames.
+
+  override def nullSafeEval(bag: Any, q: Any, nrm: Any): Any = {
+    val qtfs = bag.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val qarr = q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val norm = nrm.asInstanceOf[Double]
+    val nBag = qtfs.numElements()
+    var s = 0.0
+    var sNull = false
+    var h = 0L
+    var i = 0
+    val k = qarr.numElements()
+    while (i < k) {
+      var term: UTF8String = null
+      var idf: java.lang.Double = null
+      if (!qarr.isNullAt(i)) {
+        val st = qarr.getStruct(i, 3)
+        if (!st.isNullAt(1)) term = st.getUTF8String(1)
+        if (!st.isNullAt(2)) idf = java.lang.Double.valueOf(st.getDouble(2))
+      }
+      // first qtfs entry whose tok equals term; null bag elements, null
+      // toks and null tf fields read as "no/zero tf" (the HOF's
+      // filter + try_element_at + coalesce chain)
+      var tf = 0.0
+      if (term != null) {
+        var j = 0
+        var found = false
+        while (j < nBag && !found) {
+          if (!qtfs.isNullAt(j)) {
+            val e = qtfs.getStruct(j, 2)
+            if (!e.isNullAt(0) && e.getUTF8String(0).equals(term)) {
+              found = true
+              if (!e.isNullAt(1)) tf = e.getLong(1).toDouble
+            }
+          }
+          j += 1
+        }
+      }
+      if (!sNull) {
+        if (idf == null) sNull = true
+        else s += (idf.doubleValue() * (tf * k1p1)) / (tf + norm)
+      }
+      h += tf.toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      if (sNull) null else java.lang.Double.valueOf(s), h)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Bm25Fold =
+    copy(first = f, second = s, third = t)
+}

@@ -41,6 +41,15 @@ object TextFunctions {
     GraftExpr.column(WordShingles(GraftExpr.expression(text), n, distinctOut = true))
   }
 
+  /** BM25 per-(doc, query) scoring fold — native form of the scoreMatched
+    * aggregate HOF; see [[Bm25Fold]] for the exact fold/tf-lookup/null
+    * contract it replicates. Returns struct<s: double, h: long>. */
+  def bm25Fold(qtfs: Column, qarr: Column, norm: Column, k1p1: Double): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(Bm25Fold(GraftExpr.expression(qtfs),
+      GraftExpr.expression(qarr), GraftExpr.expression(norm), k1p1))
+  }
+
   /** Occurrence-preserving shingles via the same native expression —
     * element-identical to [[shingles]] (which stays as the composed
     * reference implementation); use this on hot paths that count

@@ -186,23 +186,20 @@ object Retrieval {
     // stats subquery executes once (ReuseExchange).
     val dlD = col("dl").cast("double")
     val norm = lit(k1) * (lit(1.0 - b) + lit(b) * dlD / col("avgdl"))
-    // tf lookup in the (tok, tf) bag — order-independent, so the
-    // collect_list's nondeterministic ordering can't reach the output
-    def tfOf(t: Column): Column =
-      coalesce(
-        try_element_at(filter(col("qtfs"), x => x.getField("tok") === t.getField("term")),
-          lit(1)).getField("tf"),
-        lit(0L)).cast("double")
-    val folded = aggregate(
-      col("qarr"),
-      struct(lit(0.0).as("s"), lit(0L).as("h")),
-      (acc, t) => {
-        val tf = tfOf(t)
-        struct(
-          (acc.getField("s") +
-            t.getField("idf") * (tf * lit(k1 + 1.0)) / (tf + norm)).as("s"),
-          (acc.getField("h") + tf.cast("long")).as("h"))
-      })
+    // Native Bm25Fold (r18) — the reference semantics it replicates
+    // bit-for-bit was the aggregate HOF (kept for the record):
+    //   tfOf(t) = coalesce(try_element_at(filter(qtfs,
+    //               x => x.tok === t.term), 1).tf, 0L).cast(double)
+    //     [tf lookup in the (tok, tf) bag — order-independent, so the
+    //      collect_list's nondeterministic ordering can't reach the output]
+    //   aggregate(qarr, struct(0.0 s, 0L h), (acc, t) =>
+    //     struct(acc.s + t.idf * (tfOf(t) * (k1+1)) / (tfOf(t) + norm),
+    //            acc.h + tfOf(t).cast(long)))
+    // The HOF evaluated interpreted: a lambda frame per term and a fresh
+    // filtered array per tf lookup, per (matched doc, query) pair — the
+    // whole cost of each scoring round (two rounds in bm25WithFeedback).
+    val folded = graft.functions.TextFunctions.bm25Fold(
+      col("qtfs"), col("qarr"), norm, k1 + 1.0)
 
     val scored = matched
       .crossJoin(broadcast(qidf))

@@ -168,6 +168,75 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(zero == plain)
   }
 
+
+  test("Bm25Fold native expression == the aggregate-HOF reference on edge " +
+      "cases (missing term, zero tf, null bag/query elements, null idf)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // bags: normal, missing-term, empty, null-element, null-tf
+    val rows = Seq(
+      (1L, Seq(("fast", 3L), ("scan", 1L)), 10L),
+      (2L, Seq(("slow", 2L)), 3L),
+      (3L, Seq.empty[(String, Long)], 7L),
+      (4L, Seq(("fast", 5L)), 1L)
+    ).toDF("id", "bag0", "dl")
+      .withColumn("qtfs", transform(col("bag0"),
+        x => struct(x.getField("_1").as("tok"), x.getField("_2").as("tf"))))
+    val k1 = 1.2; val b = 0.75; val avgdl = 5.25
+    val qarr = array(
+      struct(lit(0).as("ti"), lit("fast").as("term"), lit(0.9).as("idf")),
+      struct(lit(1).as("ti"), lit("scan").as("term"), lit(1.7).as("idf")),
+      struct(lit(2).as("ti"), lit("absent").as("term"), lit(2.5).as("idf")))
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))
+    def tfOf(t: org.apache.spark.sql.Column) =
+      coalesce(try_element_at(filter(col("qtfs"),
+        x => x.getField("tok") === t.getField("term")), lit(1))
+        .getField("tf"), lit(0L)).cast("double")
+    val hof = aggregate(qarr, struct(lit(0.0).as("s"), lit(0L).as("h")),
+      (acc, t) => {
+        val tf = tfOf(t)
+        struct((acc.getField("s") +
+          t.getField("idf") * (tf * lit(k1 + 1.0)) / (tf + norm)).as("s"),
+          (acc.getField("h") + tf.cast("long")).as("h"))
+      })
+    val nat = graft.functions.TextFunctions.bm25Fold(
+      col("qtfs"), qarr, norm, k1 + 1.0)
+    val out = Seq("id", "hs", "hh", "ns", "nh")
+    val both = rows.withColumn("h2", hof).withColumn("n2", nat)
+      .select(col("id"), col("h2.s").as("hs"), col("h2.h").as("hh"),
+        col("n2.s").as("ns"), col("n2.h").as("nh"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    both.foreach { case (id, hs, hh, ns, nh) =>
+      assert(java.lang.Double.doubleToLongBits(hs) ==
+        java.lang.Double.doubleToLongBits(ns), s"s mismatch at id=$id")
+      assert(hh == nh, s"h mismatch at id=$id")
+    }
+    // null-poisoning parity: a null idf nulls s from that term on, h keeps
+    val qarrNull = array(
+      struct(lit(0).as("ti"), lit("fast").as("term"),
+        lit(null).cast("double").as("idf")),
+      struct(lit(1).as("ti"), lit("scan").as("term"), lit(1.7).as("idf")))
+    val hofN = aggregate(qarrNull, struct(lit(0.0).as("s"), lit(0L).as("h")),
+      (acc, t) => {
+        val tf = tfOf(t)
+        struct((acc.getField("s") +
+          t.getField("idf") * (tf * lit(k1 + 1.0)) / (tf + norm)).as("s"),
+          (acc.getField("h") + tf.cast("long")).as("h"))
+      })
+    val natN = graft.functions.TextFunctions.bm25Fold(
+      col("qtfs"), qarrNull, norm, k1 + 1.0)
+    val bothN = rows.withColumn("h2", hofN).withColumn("n2", natN)
+      .select(col("id"), col("h2.s").as("hs"), col("h2.h").as("hh"),
+        col("n2.s").as("ns"), col("n2.h").as("nh"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getLong(2),
+        r.isNullAt(3), r.getLong(4)))
+    bothN.foreach { case (id, hNull, hh, nNull, nh) =>
+      assert(hNull && nNull, s"null-poison mismatch at id=$id")
+      assert(hh == nh, s"h mismatch at id=$id")
+    }
+  }
+
   test("rougeN: clipped bigram overlap by hand — repeated-gram min, " +
       "short/null sides define-away to zeros") {
     import spark.implicits._
