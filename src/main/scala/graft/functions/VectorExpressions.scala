@@ -700,6 +700,12 @@ object CovMoments {
   * `Double.compare` semantics, matching Catalyst's double ordering).
   * A codeword whose length differs from the effective window length is
   * skipped for the same reason (`zip_with` null-pads the shorter side).
+  * `positional = true` returns the winner's 0-based INDEX in the
+  * cid-sorted codebook array instead of its cid (same argmin, same
+  * sentinel) — the ADC paths key their distance tables by position so
+  * the per-pair lookup is an O(1) array index instead of an O(k) map
+  * scan; cid and index name the same codeword because both sides read
+  * the SAME sort_array'd codebook row.
   *
   * Why native: the HOF evaluates interpreted — one lambda frame per
   * codeword per row, a fresh zip array per distance — measured ~1.3 s per
@@ -710,7 +716,8 @@ case class PqCode(
     left: Expression,
     right: Expression,
     start: Int,
-    len: Int)
+    len: Int,
+    positional: Boolean = false)
   extends BinaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -828,7 +835,10 @@ case class PqCode(
           var j = 0
           while (j < subLen) { val x = sub(j) - cv(j); acc += x * x; j += 1 }
           // FIRST strict improvement, Catalyst double ordering (NaN greatest)
-          if (java.lang.Double.compare(acc, bestD) < 0) { bestD = acc; bestCid = ids(c) }
+          if (java.lang.Double.compare(acc, bestD) < 0) {
+            bestD = acc
+            bestCid = if (positional) c.toLong else ids(c)
+          }
         }
         c += 1
       }

@@ -66,10 +66,11 @@ object VectorFunctions {
   /** PQ subspace code (argmin codeword id over a subspace window) — the
     * native form of the pqCodeColumns aggregate-HOF argmin; see [[PqCode]]
     * for the exact tie/null/NaN contract it replicates. */
-  def pqCode(vec: Column, codebook: Column, start: Int, len: Int): Column = {
+  def pqCode(vec: Column, codebook: Column, start: Int, len: Int,
+      positional: Boolean = false): Column = {
     import org.apache.spark.sql.GraftExpr
     GraftExpr.column(PqCode(GraftExpr.expression(vec),
-      GraftExpr.expression(codebook), start, len))
+      GraftExpr.expression(codebook), start, len, positional))
   }
 
   /** Squared L2 distance by left fold — native form of the

@@ -688,10 +688,19 @@ object Similarity {
     def shortlistFor(seedTag: Option[String]): DataFrame = {
       val cb = pqCodebook(y, m, kCodes, subDim, "y_id", "y_v", seedTag)
       // y side: cell + m code longs, one scan against two broadcast rows
+      // POSITIONAL codes (r18): codes carry the codeword's index in the
+      // cid-sorted codebook instead of its cid, and the ADC tables below
+      // are plain arrays in the same order — the per-pair lookup is then
+      // an O(1) array index where the cid-keyed `element_at(map, code)`
+      // paid an O(kCodes) linear scan of an UnsafeMapData per subspace
+      // per candidate pair (m·kCodes/2 key comparisons x the full
+      // co-cell pair fan-out — the dominant q_bitext_pq stage cost).
+      // Same argmin, same d2 doubles, same sum order, same null/sentinel
+      // drops => bit-identical shortlist.
       val yb = y.crossJoin(broadcast(cb))
         .select(col("y_id") +:
           element_at(nearestCells(col("y_v"), centroids, 1), 1).as("cell") +:
-          pqCodeColumns(m, subDim, "y_v"): _*)
+          pqCodeColumns(m, subDim, "y_v", positional = true): _*)
         .withColumn("__s", pmod(hash(col("y_id")), lit(salt)))
       val xb = x.select(col("x_id"),
           explode(nearestCells(col("x_v"), centroids, probes)).as("cell"))
@@ -699,18 +708,22 @@ object Similarity {
       val pairs = yb.join(xb, Seq("cell", "__s"))
         .select(col("x_id") +: col("y_id") +:
           (0 until m).map(j => col(s"code_$j")): _*)
-      // x's ADC distance tables: cid -> ||x_j - codeword||^2, m maps per x
+      // x's ADC distance tables: position -> ||x_j - codeword||^2, m
+      // arrays per x in codebook (cid-sorted) order — see the positional
+      // note above
       val tables = (0 until m).map { j =>
         val xSub = slice(transform(col("x_v"), _.cast("double")),
           j * subDim + 1, subDim)
-        map_from_entries(transform(col(s"__cb_$j"), c =>
-          struct(c.getField("cid").cast("long"), d2(c.getField("cv"), xSub))))
+        transform(col(s"__cb_$j"), c => d2(c.getField("cv"), xSub))
           .as(s"__dt_$j")
       }
       val xt = x.crossJoin(broadcast(cb))
         .select(col("x_id") +: tables: _*)
+      // -1 sentinel -> null term -> null sum -> dropped by the isNotNull
+      // below, exactly the old map-miss semantics
       val adcScore = (0 until m)
-        .map(j => element_at(col(s"__dt_$j"), col(s"code_$j")))
+        .map(j => when(col(s"code_$j") >= 0,
+          element_at(col(s"__dt_$j"), (col(s"code_$j") + 1).cast("int"))))
         .reduceLeft(_ + _)
       val wCand = Window.partitionBy(col("x_id"))
         .orderBy(col("adc_d2").asc, col("y_id").asc)
@@ -1250,10 +1263,12 @@ object Similarity {
     * ~1.3 s/pass at sf0.1, m=8 k=32); the native loop replicates the
     * HOF's fold order, tie, null and NaN semantics bit-for-bit
     * (SimilaritySpec pins the equivalence, incl. sentinel rows). */
-  private def pqCodeColumns(m: Int, subDim: Int, vecCol: String) =
+  private def pqCodeColumns(m: Int, subDim: Int, vecCol: String,
+      positional: Boolean = false) =
     (0 until m).map { j =>
       graft.functions.VectorFunctions.pqCode(
-        col(vecCol), col(s"__cb_$j"), j * subDim, subDim).as(s"code_$j")
+        col(vecCol), col(s"__cb_$j"), j * subDim, subDim, positional)
+        .as(s"code_$j")
     }
 
   /** IVF-PQ search — the full billion-scale composition: a coarse
@@ -1483,10 +1498,15 @@ object Similarity {
   }
 
   /** Left-fold Σ(a−b)² in array order — DuckDB `list_sum ∘ list_zip`
-    * bit-for-bit. */
+    * bit-for-bit. Native [[graft.functions.L2Distance]] (r18): identical
+    * fold order and null/length contract to the
+    * `aggregate(zip_with(a, b, (x,y) => (x−y)²), 0.0, +)` HOF it replaces
+    * (see the expression's scaladoc) — the HOF paid a lambda frame per
+    * element per evaluation, the dominant cost of every ADC
+    * distance-table build (m·kCodes folds per query/x row). */
   private def d2(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    graft.functions.VectorFunctions.l2Distance(a, b)
 
   /** PQ-ADC top-k search (Jégou et al. 2011, asymmetric distance): rank
     * the PQ-ENCODED corpus against raw query vectors without decoding —

@@ -369,6 +369,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getAs[Long]("vec_id") ->
         ((r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
     assert(outN(20L) == ((-1L, 2L))) // sub1 [1,1]: d2 2 (cid 2) beats 18 (cid 1)
+    // positional mode: same argmin, 0-based codebook INDEX instead of cid
+    // (the ADC array-lookup key); sentinel stays -1. Codebook = the same
+    // cid-sorted 2-row book as above (cid 1 -> index 0, cid 2 -> index 1),
+    // built as a literal in sort order.
+    locally {
+      import org.apache.spark.sql.functions.{broadcast, col, typedLit}
+      val cbRow = emb.sparkSession.range(1).select(
+        typedLit(Seq((1L, Seq(0.0, 0.0)), (2L, Seq(3.0, 3.0)))).as("__cb_0"),
+        typedLit(Seq((1L, Seq(4.0, 4.0)), (2L, Seq(0.0, 0.0)))).as("__cb_1"))
+      val posOut = emb.crossJoin(broadcast(cbRow))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.pqCode(
+            col("embedding"), col("__cb_0"), 0, 2, positional = true).as("p0"),
+          graft.functions.VectorFunctions.pqCode(
+            col("embedding"), col("__cb_1"), 2, 2, positional = true).as("p1"))
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("p0"), r.getAs[Long]("p1")))).toMap
+      // cid k -> index k-1 on this codebook; -1 stays -1
+      out.foreach { case (id, (c0, c1)) =>
+        assert(posOut(id) == ((if (c0 < 0) c0 else c0 - 1,
+          if (c1 < 0) c1 else c1 - 1)), s"positional mismatch at id=$id")
+      }
+    }
     // encoding against a PROVIDED codebook source reproduces the same codes
     val cbSrc = emb.filter($"vec_id" <= 2)
     val out2 = graft.operators.Similarity
