@@ -475,15 +475,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  private lazy val isString = left.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
-      case _ => false
+    // both sides the SAME element type: long ids (triangle adjacency) or
+    // strings (r18: shingle sets — UTF8String.compareTo is the binary
+    // order sort_array uses for StringType, so the merge is consistent)
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) |
+           (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "sorted_intersect_count needs two array<bigint> or two " +
+            s"array<string>, got ${left.dataType} / ${right.dataType}")
     }
-    if (ok(left.dataType) && ok(right.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count needs array<bigint>, got ${left.dataType} / ${right.dataType}")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -491,11 +500,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0L
-    while (i < n && j < m) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv < yv) i += 1
-      else if (xv > yv) j += 1
-      else { c += 1; i += 1; j += 1 }
+    if (isString) {
+      while (i < n && j < m) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp < 0) i += 1
+        else if (cmp > 0) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+    } else {
+      while (i < n && j < m) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
     }
     c
   }
@@ -504,14 +522,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n"); val m = ctx.freshName("m")
-      val c = ctx.freshName("c"); val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val c = ctx.freshName("c")
+      val body = if (isString) {
+        val cmp = ctx.freshName("cmp")
+        s"""
+           |int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |if ($cmp < 0) { $i++; } else if ($cmp > 0) { $j++; }
+           |else { $c++; $i++; $j++; }
+         """.stripMargin
+      } else {
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |if ($xv < $yv) { $i++; } else if ($xv > $yv) { $j++; }
+           |else { $c++; $i++; $j++; }
+         """.stripMargin
+      }
       s"""
          |int $n = $a.numElements(); int $m = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $n && $j < $m) {
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv < $yv) { $i++; } else if ($xv > $yv) { $j++; }
-         |  else { $c++; $i++; $j++; }
+         |  $body
          |}
          |${ev.value} = $c;
        """.stripMargin
