@@ -569,12 +569,17 @@ object Graph {
       df: DataFrame,
       groupCol: String,
       idCol: String): DataFrame = {
+    // strict successors of position i in a SORTED DISTINCT array are
+    // exactly the suffix from i+1 — slice (codegen) instead of the
+    // per-element filter HOF, which paid a lambda frame + fresh array
+    // per element per group (r18; same pairs in the same order)
     df.groupBy(col(groupCol))
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))
       .where(size(col("__ids")) >= 2)
-      .select(explode(col("__ids")).as("src"), col("__ids"))
+      .select(posexplode(col("__ids")).as(Seq("__i", "src")), col("__ids"))
       .select(col("src"),
-        explode(filter(col("__ids"), x => x > col("src"))).as("dst"))
+        explode(slice(col("__ids"), col("__i") + 2, size(col("__ids"))))
+          .as("dst"))
       .distinct()
   }
 
