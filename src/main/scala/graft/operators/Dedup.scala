@@ -507,7 +507,10 @@ object Dedup {
     // can run ngram = 1 with the stopword cap.
     val termCol =
       if (ngram == 1) explode(TextFunctions.tokens(col(textCol)))
-      else explode(TextFunctions.shingles(col(textCol), ngram))
+      // shinglesNative: element-identical to the composed shingles HOF,
+      // single native pass (r18 — the HOF paid a lambda frame + slice +
+      // concat_ws per position per doc on this operator's hottest scan)
+      else explode(TextFunctions.shinglesNative(col(textCol), ngram))
     val tf = docs.repartition(parts).select(col(idCol).as("id"),
         termCol.as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
