@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  // routes through Tables.table for the schema-by-path cache (r18): the
+  // bare reader's eager schema inference cost ~80 ms per construction —
+  // the dominant fixed cost of every cheap query in the bench tail
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.table(s, dir, name)
 
   /** events with TIMESTAMP(NANOS) `ts` converted to TimestampType. */
   private def ev(s: SparkSession, dir: String): DataFrame =

@@ -81,9 +81,30 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
 
+  /** Schema-by-path cache (r18): `DataFrameReader.parquet` EAGERLY infers
+    * the schema — a footer read + file listing costing ~80 ms per call on
+    * the bench host where `read.schema(cached).parquet` costs ~10 ms —
+    * and the query registry constructs 1-3 table reads per query. The
+    * cache holds ONLY the inferred StructType (pure metadata, the thing a
+    * catalog/metastore persists); every read still scans the parquet
+    * DATA, and each call builds a FRESH relation (fresh attribute ids, so
+    * self-joins are unaffected). Keyed by (path, the two confs that can
+    * change what a timestamp column infers as); a path, once read under a
+    * given conf pair, is assumed schema-stable for the JVM lifetime — the
+    * testdata contract (tests that rewrite schemas use fresh temp dirs). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), org.apache.spark.sql.types.StructType]()
+
   /** Load one driver-generated parquet table from an sf directory. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val key = (path,
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+      spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true"))
+    val sch = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   /** Events table with a usable instant-typed `ts`, whatever the parquet
     * snapshot stored:
