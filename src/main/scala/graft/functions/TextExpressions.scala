@@ -920,3 +920,93 @@ case class Bm25Fold(
       f: Expression, s: Expression, t: Expression): Bm25Fold =
     copy(first = f, second = s, third = t)
 }
+
+/** All `windowTokens`-token window hashes of a token array, one pass —
+  * the native form of the spanWindows HOF
+  * `transform(sequence(0, n−L), i => md5(array_join(slice(__t, i+1, L),
+  * " ")))` (kept at the call site in scaladoc as the reference).
+  * Element i of the result is the md5 hex (lowercase, UTF8 bytes — the
+  * Spark/DuckDB md5-of-string) of the SPACE-joined tokens [i, i+L);
+  * arrays shorter than L yield an empty array (the sequence guard's
+  * `otherwise(empty)`), and null elements are skipped WITHOUT a
+  * separator, exactly array_join's null handling. Null input -> null
+  * (explodes to zero rows, same as the empty array).
+  *
+  * Why native: the HOF paid a lambda frame + a fresh slice array + a
+  * fresh joined string per START POSITION per document, interpreted —
+  * the whole single-task cost of the ExactSubstr census scan. This
+  * builds each window's bytes into one reused buffer and hashes in
+  * place. MessageDigest is per-thread (ThreadLocal): expression
+  * instances can be shared across local-mode task threads. */
+case class SpanWindowHashes(child: Expression, windowTokens: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if windowTokens >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"span_window_hashes needs array<string> and windowTokens >= 1, " +
+            s"got ${child.dataType} / $windowTokens")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val L = windowTokens
+    if (n < L) return new GenericArrayData(Array.empty[Any])
+    val md = SpanWindowHashes.digest.get()
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Any](n - L + 1)
+    val sep = ' '.toByte
+    var s = 0
+    while (s <= n - L) {
+      md.reset()
+      var first = true
+      var j = s
+      while (j < s + L) {
+        val t = toks(j)
+        if (t != null) { // array_join skips nulls without a separator
+          if (!first) md.update(sep)
+          md.update(t)
+          first = false
+        }
+        j += 1
+      }
+      out(s) = UTF8String.fromString(
+        SpanWindowHashes.hex(md.digest()))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SpanWindowHashes =
+    copy(child = c)
+}
+
+object SpanWindowHashes {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+  private def hex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = hexChars((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}

@@ -59,6 +59,14 @@ object TextFunctions {
     GraftExpr.column(WordShingles(GraftExpr.expression(text), n, distinctOut = false))
   }
 
+  /** All L-token window md5s of a token array — native form of the
+    * spanWindows HOF; see [[SpanWindowHashes]] for the exact
+    * join/hash/null contract it replicates. */
+  def spanWindowHashes(tokens: Column, windowTokens: Int): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(SpanWindowHashes(GraftExpr.expression(tokens), windowTokens))
+  }
+
   /** Exact Jaccard similarity of two string arrays (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -1545,14 +1545,15 @@ object Dedup {
   /** All (id, start pos, window md5) rows of the `__t` token arrays;
     * docs shorter than the window produce none. */
   private def spanWindows(toked: DataFrame, L: Int, idCol: String): DataFrame = {
-    val n = size(col("__t"))
-    // sequence(a, b) with b < a counts DOWN — guard short docs to empty
-    val starts = when(n >= lit(L),
-      sequence(lit(0L), (n - lit(L)).cast("long")))
-      .otherwise(typedLit(Seq.empty[Long]))
+    // Native SpanWindowHashes (r18) — the composed reference it
+    // replicates hash-for-hash (kept for the record):
+    //   starts = when(n >= L, sequence(0, n-L)).otherwise(empty)
+    //   posexplode(transform(starts,
+    //     i => md5(array_join(slice(__t, i+1, L), " "))))
+    // The HOF paid a lambda frame + slice array + joined string per
+    // start position, interpreted — the whole census-scan cost.
     toked.select(col(idCol),
-      posexplode(transform(starts,
-        i => md5(array_join(slice(col("__t"), (i + 1).cast("int"), lit(L)), " ")))))
+      posexplode(graft.functions.TextFunctions.spanWindowHashes(col("__t"), L)))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("__h"))
   }
 
