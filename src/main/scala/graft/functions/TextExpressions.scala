@@ -1010,3 +1010,67 @@ object SpanWindowHashes {
     new String(out)
   }
 }
+
+/** All ordered within-window token pairs (t_i, t_j), i < j <= i+window —
+  * the TextRank co-occurrence pair generator, native. Replicates the
+  * composed HOF (kept at the call site in scaladoc as the reference)
+  * element-for-element in the same (i asc, j asc) order:
+  * `flatten(transform(sequence(0, n−2), i => transform(sequence(i+1,
+  * least(i+window, n−1)), j => struct(t[i+1], t[j+1]))))`.
+  * Arrays shorter than 2 yield an empty array; a null input yields an
+  * empty array (the caller filters size >= 2 first, so both are
+  * unreachable there). The HOF paid two nested lambda frames plus a
+  * struct alloc per pair, interpreted — the whole graph-build scan. */
+case class WindowedPairs(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", StringType, nullable = true),
+      StructField("b", StringType, nullable = true))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if window >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"windowed_pairs needs array<string> and window >= 1, " +
+            s"got ${child.dataType} / $window")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => new GenericArrayData(Array.empty[Any])
+      case v => nullSafeEval(v)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](n * window)
+    i = 0
+    while (i <= n - 2) {
+      val hi = math.min(i + window, n - 1)
+      var j = i + 1
+      while (j <= hi) {
+        buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](toks(i), toks(j)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WindowedPairs =
+    copy(child = c)
+}

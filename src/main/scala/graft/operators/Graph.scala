@@ -100,19 +100,34 @@ object Graph {
     // 5-node bench graph spent its whole cost on those round trips).
     // Integer arithmetic is partitioning/order-free, so results are
     // bit-identical to the eager form.
+    // ZERO-STUB UNION (r18, the hits() round discipline): one
+    // 0-contribution row per node rides the SAME groupBy exchange that
+    // sums the real contributions — contribution-less nodes come out of
+    // the aggregate at Σ=0 where the old shape paid a THIRD per-round
+    // exchange (a left join back onto the node list) to re-attach them.
+    // Long sums are exact, +0 is identity, and max() recovers the
+    // per-node flag (each node contributes its flag exactly once, real
+    // contribution rows carry null) ⇒ bit-identical ranks. Pinned with
+    // fresh attribute ids (re-reading `nodes` per round would trip
+    // DetectAmbiguousSelfJoin against the join's tagged references).
+    val zeroStub = nodes
+      .select(col("node").as("node"), col("__has_out").as("__has_out"),
+        lit(0L).as("__c"))
+      .localCheckpoint(true)
     var ranks = nodes.select(col("node"), col("__has_out"),
       lit(scale / n).as("rank")).localCheckpoint(false)
     val pins = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
     for (_ <- 1 to iters) {
       // `div` (IntegralDivide), not `/`: Spark's `/` on longs is DOUBLE
       // division — one float would forfeit the bit-exactness contract
-      val contribs = en.join(ranks, en("__src") === ranks("node"))
-        .selectExpr("__dst", "rank * __w div __wsum AS __c")
-        .groupBy("__dst").agg(sum("__c").as("__in"))
-      val stepped = nodes
-        .join(contribs, nodes("node") === contribs("__dst"), "left")
+      val stepped = en.join(ranks, en("__src") === ranks("node"))
+        .selectExpr("__dst AS node", "CAST(null AS boolean) AS __has_out",
+          "rank * __w div __wsum AS __c")
+        .unionByName(zeroStub)
+        .groupBy("node")
+        .agg(max(col("__has_out")).as("__has_out"), sum(col("__c")).as("__in"))
         .selectExpr("node", "__has_out",
-          s"${base}L + (${dampNum}L * coalesce(__in, 0L)) div ${dampDen}L AS rank")
+          s"${base}L + (${dampNum}L * __in) div ${dampDen}L AS rank")
       val next =
         if (!redistributeDangling) stepped
         else {
@@ -135,6 +150,7 @@ object Graph {
     pins.dropRight(1).foreach(graft.ops.Pins.releaseCheckpoint)
     graft.ops.Pins.releaseCheckpoint(en)
     graft.ops.Pins.releaseCheckpoint(nodes)
+    graft.ops.Pins.releaseCheckpoint(zeroStub)
     ranks.select(col("node"), col("rank"))
   }
 
@@ -192,19 +208,28 @@ object Graph {
     // lazy per-round pins + one materializing count — the [[pageRank]] r18
     // discipline (see there): bit-identical integer math, one driver action
     // for the whole chain instead of one per round.
+    // zero-stub union round — the [[pageRank]] r18 shape (see there):
+    // the stub folds contribution-less nodes into the contribution
+    // groupBy, dropping the old third per-round exchange; long sums + 0
+    // are exact, max() recovers the seed flag ⇒ bit-identical ranks
+    val zeroStub = nodes
+      .select(col("node").as("node"), col("__seed").as("__seed"),
+        lit(0L).as("__c"))
+      .localCheckpoint(true)
     var ranks = nodes.select(col("node"), col("__seed"),
         when(col("__seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint(false)
     val pins = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
     for (_ <- 1 to iters) {
-      val contribs = en.join(ranks, en("__src") === col("node"))
-        .selectExpr("__dst", "rank * __w div __wsum AS __c")
-        .groupBy("__dst").agg(sum("__c").as("__in"))
-      val next = nodes
-        .join(contribs, nodes("node") === contribs("__dst"), "left")
+      val next = en.join(ranks, en("__src") === col("node"))
+        .selectExpr("__dst AS node", "CAST(null AS boolean) AS __seed",
+          "rank * __w div __wsum AS __c")
+        .unionByName(zeroStub)
+        .groupBy("node")
+        .agg(max(col("__seed")).as("__seed"), sum(col("__c")).as("__in"))
         .selectExpr("node", "__seed",
           s"(CASE WHEN __seed THEN ${baseSeed}L ELSE 0L END) + " +
-            s"(${dampNum}L * coalesce(__in, 0L)) div ${dampDen}L AS rank")
+            s"(${dampNum}L * __in) div ${dampDen}L AS rank")
       ranks = next.localCheckpoint(false)
       pins += ranks
     }
@@ -212,6 +237,7 @@ object Graph {
     pins.dropRight(1).foreach(graft.ops.Pins.releaseCheckpoint)
     graft.ops.Pins.releaseCheckpoint(en)
     graft.ops.Pins.releaseCheckpoint(nodes)
+    graft.ops.Pins.releaseCheckpoint(zeroStub)
     ranks.select(col("node"), col("rank"))
   }
 
@@ -607,15 +633,19 @@ object Graph {
     require(window >= 1, s"window must be >= 1: $window")
     require(topK >= 1, s"topK must be >= 1: $topK")
     val ts = col("ts")
+    // Native WindowedPairs (r18) — the composed reference it replicates
+    // pair-for-pair in the same (i asc, j asc) order (kept for the
+    // record): explode(flatten(transform(sequence(0, n−2), i =>
+    // transform(sequence(i+1, least(i+window, n−1)), j =>
+    // struct(ts[i+1] a, ts[j+1] b))))). The HOF ran interpreted — two
+    // nested lambda frames + a struct alloc per pair — the whole
+    // graph-build scan cost.
     val pairs = docs
       .select(graft.functions.TextFunctions.tokens(col(textCol)).as("ts"))
       .filter(size(ts) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(ts) - 2),
-        i => transform(
-          sequence(i + 1, least(i + lit(window), size(ts) - 1)),
-          j => struct(element_at(ts, i + 1).as("a"),
-            element_at(ts, j + 1).as("b")))))).as("p"))
+      .select(explode(org.apache.spark.sql.GraftExpr.column(
+        graft.functions.WindowedPairs(
+          org.apache.spark.sql.GraftExpr.expression(ts), window))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val und = pairs
       .filter(col("a") =!= col("b"))
